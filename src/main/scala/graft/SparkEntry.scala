@@ -1,13 +1,29 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps operator names (SURVEY §2 inventory + training-pipeline
+  * extensions) to DataFrame builders over the driver's testdata; each
+  * SQL-expressible entry has a matching DuckDB oracle in `oracleSql`
+  * (same column names + aliases on both sides — the driver sorts columns
+  * by name before hashing).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    graft.queries.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
+  def queryGroups: Seq[(Map[String, (SparkSession, String) => DataFrame],
+                        Map[String, String])] = Seq(
+    (graft.queries.Relational.queries, graft.queries.Relational.oracles))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryGroups.map(_._1).reduce(_ ++ _)
+
+  def oracleSql: Map[String, String] =
+    queryGroups.map(_._2).reduce(_ ++ _)
 }

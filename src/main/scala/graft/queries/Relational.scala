@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational query inventory: aggregation, join family, windows,
+  * set ops, rollup/cube, sort/limit — the Spark-SQL capability surface
+  * the reference delegates to Catalyst (SURVEY §2.3-2.7).
+  *
+  * Every query has a DuckDB oracle in `oracles`. Conventions for
+  * hash-parity with the oracle:
+  *   - every computed column is aliased identically on both sides;
+  *   - double aggregates are rounded (sum→2dp, avg/stddev→4dp) because
+  *     float summation order differs between engines;
+  *   - timestamps are emitted as formatted strings, never raw, to avoid
+  *     us-vs-ns physical-type mismatches between Spark and DuckDB.
+  *
+  * Scale notes per query are inline; plans verified via explain() in
+  * PlanSpec.
+  */
+object Relational {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // TPC-H Q1-style pricing summary: map-side partial agg, 6-group result.
+  val q1PricingSummary: Q = (s, d) => {
+    lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  // TPC-H Q6-style revenue forecast: fully pushed-down range filters,
+  // single-row global agg (no shuffle beyond the 1-row partial merge).
+  val q6Revenue: Q = (s, d) => {
+    lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+  }
+
+  // TPC-H Q3-style: shuffle join orders⋈lineitem with broadcast customer
+  // filter; top-10 by revenue. Deterministic ordering via orderkey tiebreak.
+  val q3TopOrders: Q = (s, d) => {
+    val c = customer(s, d).where(col("c_mktsegment") === "BUILDING")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  // TPC-H Q5-style: multi-way join down the dimension chain; all dims
+  // broadcast (region/nation/supplier/customer are tiny at every SF —
+  // the fact-table shuffle join is only lineitem⋈orders).
+  val q5NationRevenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val n = nation(s, d)
+    val r = region(s, d).where(col("r_name") === "ASIA")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          sup("s_nationkey") === c("c_nationkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  // Left-semi join: customers having a high-value order (EXISTS).
+  val qSemiJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d).where(col("o_totalprice") > 400000)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  // Left-anti join: customers with no orders at all (NOT EXISTS).
+  val qAntiJoin: Q = (s, d) => {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_nationkey"))
+  }
+
+  // Window ranking: top-3 orders per customer by price; unique tiebreak
+  // on o_orderkey keeps row_number deterministic across engines.
+  val qWindowTopPerCustomer: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rn"))
+  }
+
+  // Window analytics: lag/lead + running sum over each customer's order
+  // history (frame = unbounded preceding .. current row).
+  val qWindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .withColumn("prev_price",
+        round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("running_spend",
+        round(sum(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("prev_price"), col("running_spend"))
+  }
+
+  // Rollup: hierarchical subtotals (priority → status). Spark emits NULL
+  // for rolled-up levels exactly as DuckDB does.
+  val qRollup: Q = (s, d) =>
+    orders(s, d)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  // Cube over part brand/size band.
+  val qCube: Q = (s, d) =>
+    part(s, d)
+      .withColumn("size_band", (col("p_size") / 10).cast("int"))
+      .cube(col("p_brand"), col("size_band"))
+      .agg(count(lit(1)).as("n"))
+
+  // Set ops: nations that have customers but no suppliers (EXCEPT) —
+  // exercises distinct set difference.
+  val qExcept: Q = (s, d) => {
+    val cn = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sn = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    cn.except(sn)
+  }
+
+  // INTERSECT: nation keys present on both sides.
+  val qIntersect: Q = (s, d) => {
+    val cn = customer(s, d).select(col("c_nationkey").as("nationkey"))
+    val sn = supplier(s, d).select(col("s_nationkey").as("nationkey"))
+    cn.intersect(sn)
+  }
+
+  // Global stats: min/max/avg/stddev (sample) + exact and approx distinct.
+  val qStats: Q = (s, d) =>
+    lineitem(s, d).agg(
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"),
+      round(avg(col("l_extendedprice")), 4).as("avg_price"),
+      round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+      countDistinct(col("l_partkey")).as("n_parts"))
+
+  // Sort + limit → TakeOrderedAndProject (no global sort at scale).
+  val qTopK: Q = (s, d) =>
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(25)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+
+  // Distinct + order: the P6 pattern (pivot-value discovery).
+  val qDistinct: Q = (s, d) =>
+    lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  // Correlated-style aggregation join: orders above 1.5× their customer's
+  // average. All comparison arithmetic in exact decimal — float avg
+  // differs between engines in the last ulp, which flips rows sitting on
+  // the predicate/rounding boundary.
+  val qJoinAgg: Q = (s, d) => {
+    val o = orders(s, d)
+      .withColumn("p", col("o_totalprice").cast("decimal(18,2)"))
+    val perCust = o.groupBy(col("o_custkey").as("ac_custkey"))
+      .agg(sum(col("p")).as("cust_sum"), count(lit(1)).as("cust_n"))
+    o.join(perCust, o("o_custkey") === col("ac_custkey"))
+      .where(col("p") * col("cust_n") * 2 > col("cust_sum") * 3)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("cust_sum").cast("double").as("cust_sum"),
+        col("cust_n"))
+  }
+
+  // Grouped having: nations with >= 50 customers (post-agg filter).
+  val qHaving: Q = (s, d) =>
+    customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .where(col("n") >= 50)
+
+  // Date bucketing on the time column: monthly order volume, emitted as a
+  // string key (never raw timestamps — see file Scaladoc).
+  val qMonthly: Q = (s, d) =>
+    orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q6_revenue" -> q6Revenue,
+    "q3_top_orders" -> q3TopOrders,
+    "q5_nation_revenue" -> q5NationRevenue,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
+    "q_window_top_per_customer" -> qWindowTopPerCustomer,
+    "q_window_running" -> qWindowRunning,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_except" -> qExcept,
+    "q_intersect" -> qIntersect,
+    "q_stats" -> qStats,
+    "q_topk" -> qTopK,
+    "q_distinct" -> qDistinct,
+    "q_join_agg" -> qJoinAgg,
+    "q_having" -> qHaving,
+    "q_monthly" -> qMonthly)
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_nationkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT p_brand, CAST(floor(p_size / 10.0) AS INT) AS size_band,
+        | count(*) AS n
+        |FROM part
+        |GROUP BY CUBE (p_brand, size_band)""".stripMargin,
+    "q_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+    "q_stats" ->
+      """SELECT round(min(l_extendedprice), 2) AS min_price,
+        | round(max(l_extendedprice), 2) AS max_price,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_join_agg" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        | CAST(cust_sum AS DOUBLE) AS cust_sum, cust_n
+        |FROM orders
+        |JOIN (SELECT o_custkey AS ac_custkey,
+        |        sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_sum,
+        |        count(*) AS cust_n
+        |      FROM orders GROUP BY o_custkey) a
+        |  ON o_custkey = ac_custkey
+        |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n * 2 > cust_sum * 3""".stripMargin,
+    "q_having" ->
+      """SELECT c_nationkey, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer
+        |GROUP BY c_nationkey
+        |HAVING count(*) >= 50""".stripMargin,
+    "q_monthly" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1""".stripMargin)
+}
