@@ -19,7 +19,10 @@ object SparkEntry {
 
   def queryGroups: Seq[(Map[String, (SparkSession, String) => DataFrame],
                         Map[String, String])] = Seq(
-    (graft.queries.Relational.queries, graft.queries.Relational.oracles))
+    (graft.queries.Relational.queries, graft.queries.Relational.oracles),
+    (graft.queries.Ops.queries, graft.queries.Ops.oracles),
+    (graft.queries.Ext.queries, graft.queries.Ext.oracles),
+    (graft.queries.Events.queries, graft.queries.Events.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,248 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import TextFunctions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * exact-jaccard over word shingles, MinHash+LSH near-dup, SimHash,
+  * and embedding-cosine near-dup.
+  *
+  * Scale design (100 TB mandate):
+  *   - exact: one hash-groupBy, map-side combined; no data movement
+  *     beyond the (hash → count) shuffle.
+  *   - exact jaccard: explode shingles → equi-join on shingle →
+  *     pair-count aggregation. Cost is Σ |docs sharing a shingle|² —
+  *     selective when shingles are discriminative. `maxShingleDf`
+  *     drops stop-shingles to bound skew (standard practice; off by
+  *     default because the correctness oracle must see the same input).
+  *   - MinHash+LSH: fixed-width signature per doc (one pass), band →
+  *     equi-join on band key → candidate pairs → exact verify. Shuffle
+  *     volume is O(docs × bands), independent of pair count.
+  *   - SimHash: 64-bit fingerprint; near-dup candidates via 16-bit
+  *     chunk equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal).
+  */
+object Dedup {
+
+  /** Exact duplicate groups by content hash; `keep_id` is the canonical
+    * (minimum) id per group. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Rows to keep after exact dedup (minimum id per content hash wins) —
+    * window-free formulation: a semi-join against the winners, which
+    * stays a hash join at scale instead of a full sort per group. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val winners = exactGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
+  /** Exploded (id, shingle) pairs, distinct per doc. */
+  private def shingleRows(
+      df: DataFrame, idCol: String, textCol: String, n: Int,
+      maxShingleDf: Option[Int]): DataFrame = {
+    val base = df
+      .select(col(idCol).as("__id"),
+        explode(shingles(tokens(col(textCol)), n)).as("__sh"))
+    maxShingleDf match {
+      case None => base
+      case Some(cap) =>
+        // Drop stop-shingles with document frequency > cap (skew guard).
+        val rare = base.groupBy(col("__sh")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") <= cap).select(col("__sh"))
+        base.join(rare, Seq("__sh"), "left_semi")
+    }
+  }
+
+  /** Exact n-gram-Jaccard near-duplicate pairs: all (a < b) with
+    * |shingles(a) ∩ shingles(b)| / |shingles(a) ∪ shingles(b)| ≥
+    * threshold. Output: (id_a, id_b, jaccard). */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      maxShingleDf: Option[Int] = None): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, n, maxShingleDf).cache()
+    val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val a = sh.select(col("__id").as("id_a"), col("__sh"))
+    val b = sh.select(col("__id").as("id_b"), col("__sh"))
+    val inter = a.join(b, Seq("__sh"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.DetRound.det6(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Stable 64-bit string hash (murmur-free: splitmix over UTF-8 bytes —
+    * deterministic across JVMs and Spark versions). */
+  private def hash64(s: String): Long = {
+    var h = 0xcbf29ce484222325L // FNV offset basis
+    var i = 0
+    val bytes = s.getBytes("UTF-8")
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def mix(h: Long, seed: Long): Long = {
+    var z = h ^ seed
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: sig(i) = min over shingles of mix(hash64(sh), i).
+    * One pass over the shingle set per doc, k mins kept in a local
+    * array — O(shingles × k) CPU, no extra shuffle. */
+  def minhashSignature(numHashes: Int): Seq[String] => Seq[Long] = {
+    shs: Seq[String] => {
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      shs.foreach { s =>
+        val h = hash64(s)
+        var i = 0
+        while (i < numHashes) {
+          val v = mix(h, 0x9E3779B97F4A7C15L * (i + 1))
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig.toSeq
+    }
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard verification.
+    *
+    * bands × rowsPerBand = numHashes. Candidate generation: equal band
+    * slice ⇒ candidate; verification joins candidates back to distinct-
+    * shingle arrays and computes exact Jaccard via array_intersect /
+    * array_union, so the output CONTAINS NO FALSE POSITIVES — only
+    * (astronomically unlikely, tunable) false negatives vs `jaccardPairs`.
+    * Same output schema as `jaccardPairs`.
+    */
+  def minhashLshPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3,
+      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf(minhashSignature(numHashes))
+
+    val docs = df.select(col(idCol).as("__id"),
+      shingles(tokens(col(textCol)), n).as("__shs"))
+      .where(size(col("__shs")) > 0)
+      .withColumn("__sig", sigUdf(col("__shs")))
+      .cache()
+
+    // band key = (band index, hash of the signature slice)
+    val banded = docs.select(col("__id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("__sig"),
+          b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("__band", "__key")))
+
+    val l = banded.select(col("__band"), col("__key"), col("__id").as("id_a"))
+    val r = banded.select(col("__band"), col("__key"), col("__id").as("id_b"))
+    val candidates = l.join(r, Seq("__band", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val withSets = candidates
+      .join(docs.select(col("__id").as("id_a"), col("__shs").as("__sa")), Seq("id_a"))
+      .join(docs.select(col("__id").as("id_b"), col("__shs").as("__sb")), Seq("id_b"))
+    withSets
+      .withColumn("jaccard", graft.functions.DetRound.det6(
+        size(array_intersect(col("__sa"), col("__sb"))).cast("double") /
+          size(array_union(col("__sa"), col("__sb")))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over tokens: per-token 64-bit hash votes ±1 on every
+    * bit, weighted by term frequency; fingerprint bit = sign of vote. */
+  def simhash64Fn: Seq[String] => Long = { toks: Seq[String] =>
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      val h = mix(hash64(t), 0x5851f42d4c957f2dL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = udf(simhash64Fn)
+    df.select(col(idCol), sh(tokens(col(textCol))).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for
+    * the 4-chunk pigeonhole to be exhaustive). */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is exhaustive only for hamming <= 3")
+    val sh = withSimhash(df, idCol, textCol)
+    // 4 chunks of 16 bits each as candidate band keys.
+    val chunked = sh.select(col(idCol).as("__id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("__chunk", "__key")))
+    val l = chunked.select(col("__chunk"), col("__key"),
+      col("__id").as("id_a"), col("simhash").as("__ha"))
+    val r = chunked.select(col("__chunk"), col("__key"),
+      col("__id").as("id_b"), col("simhash").as("__hb"))
+    l.join(r, Seq("__chunk", "__key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------- Embedding cosine
+
+  /** Cosine similarity between two array<double> columns, computed as a
+    * strict left-to-right fold so any engine evaluating sequentially
+    * (e.g. DuckDB list_reduce) reproduces it bit-for-bit. */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) with
+    * cosine ≥ threshold. Exact all-pairs formulation — O(n²) dot
+    * products; for the 100 TB path use `SimilaritySearch.lshBuckets`
+    * candidates + this verify step. */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id_a"),
+      col(vecCol).cast("array<double>").as("__va"))
+    val w = df.select(col(idCol).as("id_b"),
+      col(vecCol).cast("array<double>").as("__vb"))
+    v.crossJoin(w)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cosine", graft.functions.DetRound.det6(cosineCol(col("__va"), col("__vb"))))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  *   - `bruteForceTopK`: exact baseline — broadcast the (small) query
+  *     set against every candidate, cosine via codegen'd array fold,
+  *     per-query top-k via window. Shuffle = candidates × queries rows
+  *     of (id, id, score) only; vectors never shuffle twice.
+  *   - `lshTopK`: scale path — sign-random-projection LSH. Each vector
+  *     hashes to a bucket id from the signs of `numPlanes` projections
+  *     onto deterministic pseudo-random hyperplanes; candidates are
+  *     vectors sharing a bucket with the query under any of `numTables`
+  *     independent tables. Recall tunes with planes/tables; cost is
+  *     O(candidates-in-bucket) instead of O(n) per query.
+  *
+  * At 100 TB: bucket ids are materialized once (a column, partitionable
+  * / bucketable on write), so query-time work is a broadcast-join on
+  * (table, bucket) — no full scan.
+  */
+object SimilaritySearch {
+
+  /** Deterministic pseudo-random hyperplane component for (table, plane,
+    * dim) — splitmix64 mapped to [-1, 1). No RNG state, reproducible on
+    * any executor. */
+  private def planeComponent(table: Int, plane: Int, dim: Int): Double = {
+    var z = table.toLong * 0x9E3779B97F4A7C15L +
+      plane.toLong * 0xC2B2AE3D27D4EB4FL + dim.toLong * 0x165667B19E3779F9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    (z.toDouble / Long.MaxValue.toDouble)
+  }
+
+  /** LSH bucket id for one table: bit b = sign of dot(vec, plane_b). */
+  def bucketFn(numPlanes: Int, table: Int): Seq[Float] => Long = {
+    vec: Seq[Float] => {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var dot = 0.0
+        var d = 0
+        while (d < vec.length) {
+          dot += vec(d) * planeComponent(table, p, d)
+          d += 1
+        }
+        if (dot >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+  }
+
+  /** Exact cosine top-k: for each query vector (small set, broadcast),
+    * the k nearest candidates by cosine. Scores rounded to 6dp before
+    * ranking with an id tiebreak, so ranking is engine-deterministic. */
+  def bruteForceTopK(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queriesDf.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = cand.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", graft.functions.DetRound.det6(Dedup.cosineCol(col("__qv"), col("__cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
+  /** Assign LSH bucket columns: one bucket id per table. */
+  def withBuckets(
+      df: DataFrame, vecCol: String,
+      numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    (0 until numTables).foldLeft(df) { (acc, t) =>
+      val f = udf(bucketFn(numPlanes, t))
+      acc.withColumn(s"__bucket_$t", f(col(vecCol)))
+    }
+  }
+
+  /** ANN top-k via LSH buckets: candidates share a bucket with the query
+    * in ≥ 1 table. Same output schema as bruteForceTopK; recall < 1 by
+    * construction (measured in SimilaritySpec against the exact baseline). */
+  def lshTopK(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      numPlanes: Int = 12, numTables: Int = 4): DataFrame = {
+    val tables = (0 until numTables)
+    def explodeBuckets(df: DataFrame, side: String): DataFrame = {
+      val b = withBuckets(df, vecCol, numPlanes, numTables)
+      val vAlias = if (side == "query") "__qv" else "__cv"
+      b.select(col(idCol).as(s"${side}_id"),
+        col(vecCol).cast("array<double>").as(vAlias),
+        posexplode(array(tables.map(t => col(s"__bucket_$t")): _*))
+          .as(Seq("__table", "__bucket")))
+    }
+    val cand = explodeBuckets(candidates, "cand")
+    val q = explodeBuckets(queriesDf, "query")
+    val scored = cand.join(broadcast(q), Seq("__table", "__bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("__qv"), col("__cv"))
+      .distinct() // a pair may collide in several tables
+      .withColumn("cosine", graft.functions.DetRound.det6(Dedup.cosineCol(col("__qv"), col("__cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+}

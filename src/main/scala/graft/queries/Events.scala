@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream queries (batch form — the same transforms run under
+  * Structured Streaming in graft.streaming; see StreamingSpec). Time
+  * values are emitted as formatted strings / epoch integers so Spark's
+  * µs timestamps and DuckDB's ns timestamps hash identically. */
+object Events {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // Tumbling-window aggregation: hourly event counts + value stats per
+  // type. The streaming twin is groupBy(window($"ts", "1 hour"), ...).
+  val evHourly: Q = (s, d) =>
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 6).as("avg_value"))
+
+  // Sessionization: 30-minute inactivity gap splits a user's events into
+  // sessions; classic lag → gap flag → running sum. The streaming twin
+  // uses flatMapGroupsWithState (see graft.streaming.Sessionize).
+  val evSessions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  // JSON property extraction + top-k users by error count.
+  val evErrorProne: Q = (s, d) =>
+    events(s, d)
+      .where(col("event_type") === "error")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_errors"), sum(col("k")).as("sum_k"))
+      .orderBy(col("n_errors").desc, col("user_id"))
+      .limit(20)
+
+  val queries: Map[String, Q] = Map(
+    "ev_hourly" -> evHourly,
+    "ev_sessions" -> evSessions,
+    "ev_error_prone" -> evErrorProne)
+
+  val oracles: Map[String, String] = Map(
+    "ev_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "ev_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM y)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |  round(sum(value), 4) AS sum_value,
+        |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+        |FROM z GROUP BY user_id, session_idx""".stripMargin,
+    "ev_error_prone" ->
+      """SELECT user_id, count(*) AS n_errors,
+        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |FROM events WHERE event_type = 'error'
+        |GROUP BY user_id
+        |ORDER BY n_errors DESC, user_id
+        |LIMIT 20""".stripMargin)
+}

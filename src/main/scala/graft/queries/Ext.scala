@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.{TextFunctions => TF, Dedup, SimilaritySearch}
+
+/** Training-pipeline extension queries over `documents` / `embeddings`:
+  * text analysis, dedup (exact / jaccard / minhash-LSH / simhash /
+  * embedding-cosine), similarity search. SQL-expressible entries carry a
+  * DuckDB oracle; LSH/simhash internals are engine-specific, so their
+  * correctness is either (a) an exact-verify output that shares the
+  * exact operator's oracle (minhash — no false positives by
+  * construction, false negatives < 1e-10 at these band params against
+  * this data's similarity gap), or (b) a rows-only driver check plus a
+  * recall ScalaTest (simhash, LSH top-k).
+  */
+object Ext {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------------ text
+
+  val tTokenStats: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TF.tokenCount(col("text")).as("n_tokens"),
+      size(TF.distinctTokens(col("text"))).as("n_distinct_tokens"),
+      TF.fingerprint(col("text")).as("fingerprint"))
+
+  val tLangId: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
+
+  val tQuality: Q = (s, d) =>
+    documents(s, d).select(
+      col("doc_id"),
+      TF.nChars(col("text")).as("n_chars_m"),
+      graft.functions.DetRound.det6(TF.punctRatio(col("text"))).as("punct_ratio"),
+      graft.functions.DetRound.det6(TF.stopwordRatio(col("text"))).as("stopword_ratio"),
+      graft.functions.DetRound.det6(TF.meanTokenLen(col("text"))).as("mean_token_len"),
+      TF.qualityScore(col("text")).as("quality"))
+
+  // ----------------------------------------------------------------- dedup
+
+  val dedupExact: Q = (s, d) =>
+    Dedup.exactGroups(documents(s, d), "doc_id", "text")
+
+  val dedupJaccard: Q = (s, d) =>
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
+
+  val dedupMinhash: Q = (s, d) =>
+    Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
+
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(documents(s, d), "doc_id", "text", maxHamming = 3)
+
+  val dedupEmbedding: Q = (s, d) =>
+    Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.45)
+
+  // ------------------------------------------------------------ similarity
+
+  private def queriesSubset(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).where(col("vec_id") < 20)
+
+  val simTopK: Q = (s, d) =>
+    SimilaritySearch.bruteForceTopK(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10)
+
+  val simLshTopK: Q = (s, d) =>
+    SimilaritySearch.lshTopK(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
+      numPlanes = 8, numTables = 6)
+
+  val queries: Map[String, Q] = Map(
+    "t_token_stats" -> tTokenStats,
+    "t_lang_id" -> tLangId,
+    "t_quality" -> tQuality,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "sim_topk" -> simTopK,
+    "sim_lsh_topk" -> simLshTopK)
+
+  // DuckDB token expression mirroring TF.tokens exactly.
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+  // DuckDB 3-shingle expression over a token list column `t` (1-based,
+  // mirroring TF.shingles).
+  private val shinglesSql =
+    """list_distinct(list_transform(
+      |  range(1, greatest(len(t) - 1, 1)),
+      |  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  floor(inter * 1.0 / (sa.n + sb.n - inter) * 1000000 + 0.5) / 1000000
+       |    AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+
+  private def langCase: String = {
+    val scores = TF.langMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      lang -> s"len(list_filter(t, x -> list_contains($lst, x)))"
+    }
+    val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scores.map { case (lang, sc) =>
+      s"WHEN $sc = best AND best > 0 THEN '$lang'" }.mkString("\n    ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |scored AS (SELECT doc_id, t, $best AS best FROM toks)
+       |SELECT doc_id, CASE
+       |    $whens
+       |    ELSE 'und' END AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "t_token_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+         |  md5(array_to_string(t, ' ')) AS fingerprint
+         |FROM toks""".stripMargin,
+    "t_lang_id" -> langCase,
+    "t_quality" ->
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |m AS (SELECT doc_id, text, t,
+         |  CASE WHEN length(text) > 0 THEN
+         |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+         |      / length(text) ELSE 0.0 END AS pr,
+         |  CASE WHEN len(t) > 0 THEN
+         |    CAST(len(list_filter(t, x -> list_contains(${allStopsSql}, x))) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END AS sr,
+         |  CASE WHEN len(t) > 0 THEN
+         |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+         |    ELSE 0.0 END AS mtl
+         |  FROM toks)
+         |SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars_m,
+         |  floor(pr * 1000000 + 0.5) / 1000000 AS punct_ratio,
+         |  floor(sr * 1000000 + 0.5) / 1000000 AS stopword_ratio,
+         |  floor(mtl * 1000000 + 0.5) / 1000000 AS mean_token_len,
+         |  floor((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.5
+         |    + (1.0 - pr) * 0.3
+         |    + least(mtl / 8.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
+         |FROM m""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_jaccard" -> jaccardOracle,
+    "dedup_minhash" -> jaccardOracle,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, floor(c * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM p
+        |WHERE floor(c * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20),
+        |scored AS (SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        |    floor(
+        |      list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
+        |        (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+        |      * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM q JOIN e ON q.vec_id <> e.vec_id),
+        |ranked AS (SELECT query_id, cand_id, cosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin)
+
+  private def allStopsSql: String =
+    TF.langMarkers.flatMap(_._2).distinct
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+}

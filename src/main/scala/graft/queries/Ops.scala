@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{UnionDfs, BalancedSample, DfHistogram, Bucketize}
+import graft.functions.StableHash
+
+/** Queries exercising the reference-derived operator library (SURVEY §2):
+  * schema-merging union, stratified sample, histogram, bucketize,
+  * stable hash. */
+object Ops {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // U1 union_dfs: two frames with partially-overlapping schemas; missing
+  // columns null-padded (ref: oarphpy/spark.py:149-192).
+  val opUnionDfs: Q = (s, d) => {
+    val a = customer(s, d).select(col("c_custkey").as("key"),
+      col("c_name").as("name"), col("c_acctbal").as("acctbal"))
+    val b = supplier(s, d).select(col("s_suppkey").as("key"),
+      col("s_name").as("name"), col("s_nationkey").as("nationkey"))
+    UnionDfs(a, b)
+  }
+
+  // A2 df_histogram: 50-bin histogram of l_extendedprice, all buckets.
+  val opHistogram: Q = (s, d) =>
+    DfHistogram.asDf(lineitem(s, d), "l_extendedprice", numBins = 50)
+
+  // P4 bucketize: fixed-edge CASE chain over l_quantity (edges cover the
+  // 1..50 domain; out-of-range → -1 bucket).
+  val opBucketize: Q = (s, d) =>
+    lineitem(s, d)
+      .groupBy(Bucketize(col("l_quantity"), Seq(0.0, 10.0, 20.0, 30.0, 40.0, 50.0))
+        .as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  // F1 stable_hash as a column op (portable md5 definition).
+  val opStableHash: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      StableHash.stableHashCol(col("text")).as("stable_hash"))
+
+  // A3 balanced sample: engine-specific RNG → no SQL oracle (driver
+  // rows-check); statistical contract asserted in OperatorSpec.
+  val opBalancedSample: Q = (s, d) =>
+    BalancedSample(lineitem(s, d), "l_returnflag", nPerCategory = Some(500))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+
+  val queries: Map[String, Q] = Map(
+    "op_union_dfs" -> opUnionDfs,
+    "op_histogram" -> opHistogram,
+    "op_bucketize" -> opBucketize,
+    "op_stable_hash" -> opStableHash,
+    "op_balanced_sample" -> opBalancedSample)
+
+  val oracles: Map[String, String] = Map(
+    "op_union_dfs" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
+        |  CAST(NULL AS INT) AS nationkey
+        |FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS key, s_name AS name,
+        |  CAST(NULL AS DOUBLE) AS acctbal, s_nationkey AS nationkey
+        |FROM supplier""".stripMargin,
+    "op_histogram" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |    AND NOT isnan(l_extendedprice)),
+        |s AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        |b AS (SELECT least(CAST(floor((v - mn) / (mx - mn) * 50) AS INT), 49)
+        |    AS bucket FROM v, s),
+        |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
+        |SELECT CAST(i AS INT) AS bucket,
+        |  mn + (mx - mn) * i / 50 AS lo,
+        |  mn + (mx - mn) * (i + 1) / 50 AS hi,
+        |  coalesce(n, 0) AS n
+        |FROM range(50) t(i) CROSS JOIN s LEFT JOIN c ON c.bucket = i""".stripMargin,
+    "op_bucketize" ->
+      """SELECT CASE
+        |    WHEN l_quantity >= 0 AND l_quantity < 10 THEN 0
+        |    WHEN l_quantity >= 10 AND l_quantity < 20 THEN 1
+        |    WHEN l_quantity >= 20 AND l_quantity < 30 THEN 2
+        |    WHEN l_quantity >= 30 AND l_quantity < 40 THEN 3
+        |    WHEN l_quantity >= 40 AND l_quantity < 50.000000001 THEN 4
+        |    ELSE -1 END AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "op_stable_hash" ->
+      "SELECT doc_id, md5(CAST(text AS VARCHAR)) AS stable_hash FROM documents")
+}
