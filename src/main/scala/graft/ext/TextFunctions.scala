@@ -31,9 +31,11 @@ object TextFunctions {
     * (1-based, matching element_at). Docs shorter than n shingle to []. */
   def shingles(tok: Column, n: Int = 3): Column = {
     val joined = transform(
-      sequence(lit(1), greatest(size(tok) - (n - 1), lit(0))),
+      sequence(lit(1), size(tok) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(tok, i + j)): _*))
-    array_distinct(joined)
+    // sequence(1, k) is DESCENDING for k < 1 — guard short docs to [].
+    when(size(tok) >= n, array_distinct(joined))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Language-ID by marker-word voting: score per language = number of

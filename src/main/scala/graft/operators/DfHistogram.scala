@@ -27,7 +27,11 @@ object DfHistogram {
   def bucketExpr(c: Column, lo: Double, hi: Double, numBins: Int): Column = {
     if (hi == lo) lit(0)
     else least(
-      floor((c - lit(lo)) / lit(hi - lo) * lit(numBins)).cast("int"),
+      // multiply BEFORE dividing: (v-lo)/(hi-lo)*n loses ulps in the
+      // division and floor-misassigns exact edge values (v=58 of 0..100
+      // in 50 bins → 28.999..); (v-lo)*n/(hi-lo) keeps edges exact —
+      // same order as Spark RDD.histogram's fastBucketFunction.
+      floor((c - lit(lo)) * lit(numBins) / lit(hi - lo)).cast("int"),
       lit(numBins - 1))
   }
 

@@ -67,7 +67,7 @@ object Ops {
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL
         |    AND NOT isnan(l_extendedprice)),
         |s AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
-        |b AS (SELECT least(CAST(floor((v - mn) / (mx - mn) * 50) AS INT), 49)
+        |b AS (SELECT least(CAST(floor((v - mn) * 50 / (mx - mn)) AS INT), 49)
         |    AS bucket FROM v, s),
         |c AS (SELECT bucket, count(*) AS n FROM b GROUP BY 1)
         |SELECT CAST(i AS INT) AS bucket,

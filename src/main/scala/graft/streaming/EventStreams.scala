@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming surface over event streams — net-new capability
+  * vs the reference (SURVEY §2.10: the reference has no streaming; this
+  * is the designated extension over the `events` fixture).
+  *
+  * Each transform has a batch twin in `graft.queries.Events`, and
+  * StreamingSpec asserts stream-result == batch-result on the same data
+  * (run via a file/memory source with `processAllAvailable`).
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond 1h dropped, state evicted); sessionization state is
+  * one small Session object per active user key, evicted on event-time
+  * timeout — both safe under unbounded input on a real cluster.
+  */
+object EventStreams {
+
+  /** Schema of the events table after µs normalization. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Internal per-user session buffer (public: Catalyst codegen
+    * instantiates it from generated Java, which can't see private
+    * classes). */
+  case class SessionState(startUs: Long, endUs: Long,
+      n: Long, total: Double)
+
+  /** Hourly tumbling-window counts/sums per event type, watermarked. */
+  def hourlyAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Event-time sessionization with a 30-minute inactivity gap via
+    * flatMapGroupsWithState: emits a session when the gap elapses
+    * (event-time timeout) or a new event arrives beyond the gap. */
+  def sessionize(
+      events: Dataset[Event],
+      gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
+          } else {
+            // Events within a micro-batch arrive unordered: sort locally
+            // (bounded by per-user-per-batch volume, not total data).
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val us = e.ts.getTime * 1000
+              cur match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, us),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  out += SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endUs / 1000 + gapMinutes * 60000L)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the collected result (test/batch-replay harness). */
+  def runToMemory(
+      streamDf: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streamDf.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    streamDf.sparkSession.table(queryName)
+  }
+}

@@ -39,8 +39,11 @@ class CounterAccumulator
 }
 
 /** Named collection of counters attached to a session
-  * (ref: oarphpy/spark.py:373-453 CounterCollection). */
-class CounterCollection(spark: SparkSession, name: String = "counters") {
+  * (ref: oarphpy/spark.py:373-453 CounterCollection). Serializable so
+  * closures may capture the whole collection; only the accumulator
+  * ships to executors. */
+class CounterCollection(@transient spark: SparkSession,
+    name: String = "counters") extends Serializable {
   val acc = new CounterAccumulator
   spark.sparkContext.register(acc, name)
 

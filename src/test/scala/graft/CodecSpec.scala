@@ -1,0 +1,112 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.codec.{Tensor, SerializedFn}
+import graft.sources.{ArchiveSource, ArchiveEntry}
+import graft.ext.Multimodal
+
+/** Round-trip serialization tests — the backbone pattern of the
+  * reference suite (ref: oarphpy_test/test_spark.py:1154-1202
+  * _check_serialization): objects → Dataset → parquet → Dataset →
+  * objects, compared for equality, plus schema assertions. */
+case class TensorRow(id: Long, t: Tensor)
+
+class CodecSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("Tensor round-trips through parquet with the contract schema") {
+    val rows = Seq(
+      TensorRow(1, Tensor.fromDoubles(Array(1.0, 2.0, 3.0))),
+      TensorRow(2, Tensor.fromDoubles(Array.tabulate(1000)(_ * 0.25), Seq(10L, 100L))))
+    val dir = Files.createTempDirectory("tensor").toString
+    rows.toDS().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[TensorRow].collect().sortBy(_.id)
+    assert(back.toSeq == rows)
+    // Schema contract (ref: oarphpy/spark.py:933-968, asserted at
+    // oarphpy_test/test_spark.py:1100-1102): externally-readable struct.
+    val tSchema = spark.read.parquet(dir).schema("t").dataType.sql.toLowerCase
+    assert(tSchema.contains("shape"), tSchema)
+    assert(tSchema.contains("dtype") && tSchema.contains("order"))
+    assert(tSchema.contains("values") && tSchema.contains("values_packed"))
+  }
+
+  test("SerializedFn as column data: flyweight-factory round trip") {
+    // The reference's motivating pattern (ref: oarphpy/spark.py:995-1013):
+    // rows carry a thunk that loads their payload on demand.
+    val rows = Seq(
+      (1L, SerializedFn(() => "payload-1")),
+      (2L, SerializedFn(() => "payload-2")),
+      (3L, SerializedFn.empty))
+    val dir = Files.createTempDirectory("fn").toString
+    rows.toDF("id", "fn").write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[(Long, SerializedFn)]
+      .collect().sortBy(_._1)
+    assert(back(0)._2.invoke[String]() == "payload-1")
+    assert(back(1)._2.invoke[String]() == "payload-2")
+    assert(back(2)._2.isEmpty)
+  }
+
+  test("ArchiveSource: zip entries as lazy flyweights") {
+    import java.util.zip.{ZipOutputStream, ZipEntry}
+    val dir = Files.createTempDirectory("arch")
+    val zipPath = dir.resolve("test.zip").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    val contents = Map("a.txt" -> "alpha", "sub/b.txt" -> "bravo", "c.bin" -> "x" * 1000)
+    contents.foreach { case (name, data) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(data.getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val ds = ArchiveSource.archiveDs(spark, zipPath)
+    assert(ds.collect().map(_.name).toSet == contents.keySet)
+    // flyweight: fetch on access (ref: archive_flyweight.py:86-137)
+    val fetched = ArchiveSource.readBytes(ds).collect()
+      .map { case (n, b) => n -> new String(b, "UTF-8") }.toMap
+    assert(fetched == contents)
+    // single-entry access path
+    assert(new String(ArchiveEntry(zipPath, "a.txt").data, "UTF-8") == "alpha")
+  }
+
+  test("ArchiveSource: tar round trip via dependency-free USTAR reader") {
+    val dir = Files.createTempDirectory("tar")
+    val src = dir.resolve("data")
+    Files.createDirectories(src)
+    Files.writeString(src.resolve("one.txt"), "first file")
+    Files.writeString(src.resolve("two.txt"), "second file with more bytes")
+    val tarPath = dir.resolve("test.tar").toString
+    import scala.sys.process._
+    assert(Seq("tar", "-cf", tarPath, "-C", src.toString,
+      "one.txt", "two.txt").! == 0)
+    val ds = ArchiveSource.archiveDs(spark, tarPath)
+    assert(ds.collect().map(_.name).toSet == Set("one.txt", "two.txt"))
+    val bytes = ArchiveSource.readBytes(ds).collect()
+      .map { case (n, b) => n -> new String(b, "UTF-8") }.toMap
+    assert(bytes("one.txt") == "first file")
+    assert(bytes("two.txt") == "second file with more bytes")
+  }
+
+  test("Multimodal: binary columns + stubbed feature extraction plumbing") {
+    val jpegHeader = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x07, 0x00, 0x09, 0x01, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    val rows = Seq(
+      (1L, jpegHeader ++ Array.tabulate(100)(_.toByte)),
+      (2L, Array.tabulate(64)(i => (i * 3).toByte)))
+    val df = rows.toDF("media_id", "content")
+    val withMeta = Multimodal.withImageMeta(df, "media_id", "content")
+    val metas = withMeta.collect().sortBy(_.media_id)
+    assert(metas(0).meta.format == "jpeg")
+    assert(metas(0).meta.width == 9 && metas(0).meta.height == 7)
+    assert(metas(1).meta.format == "unknown")
+    val feats = Multimodal.extractFeatures(withMeta, gridW = 8, gridH = 8)
+      .collect().sortBy(_.media_id)
+    assert(feats.length == 2)
+    feats.foreach { f =>
+      assert(f.embedding.shape == Seq(8L, 8L))
+      assert(f.embedding.numElements == 64)
+      val vals = Tensor.toFloats(f.embedding)
+      assert(vals.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+  }
+}

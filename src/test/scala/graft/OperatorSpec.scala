@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators._
+
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("UnionDfs null-pads missing columns and unions by name") {
+    val a = Seq((1L, "x")).toDF("id", "name")
+    val b = Seq((2L, 3.5)).toDF("id", "score")
+    val u = UnionDfs(a, b).orderBy("id")
+    assert(u.columns.toSeq == Seq("id", "name", "score"))
+    val rows = u.collect()
+    assert(rows(0).getString(1) == "x" && rows(0).isNullAt(2))
+    assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
+  }
+
+  test("UnionDfs rejects conflicting column types (reference error contract)") {
+    val a = Seq((1L, "x")).toDF("id", "v")
+    val b = Seq((2L, 3.5)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException](UnionDfs(a, b))
+    assert(e.getMessage.contains("Conflicting types"))
+    assert(e.getMessage.contains("v"))
+  }
+
+  test("BalancedSample equalizes categories in expectation (seed 1337)") {
+    // 3 classes with 10x imbalance; cap at 100 → each class ≈ 100.
+    val df = ((1 to 1000).map(i => ("big", i)) ++
+      (1 to 100).map(i => ("small", i)) ++
+      (1 to 500).map(i => ("mid", i))).toDF("cls", "v")
+    val counts = BalancedSample(df, "cls", nPerCategory = Some(100))
+      .groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rtol 0.3 as in the reference's statistical acceptance
+    // (ref: oarphpy_test/test_spark.py:303-304)
+    counts.values.foreach(n => assert(n > 70 && n < 130, s"counts=$counts"))
+  }
+
+  test("DfHistogram matches numpy semantics on range(0,101)") {
+    // 101 values 0..100 in 50 bins of width 2: every bin gets 2, the
+    // last (closed) bin gets 3 — the reference's golden shape
+    // (ref: oarphpy_test/test_plotting.py:34-60).
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val r = DfHistogram(df, "v", numBins = 50)
+    assert(r.edges.head == 0.0 && r.edges.last == 100.0)
+    assert(r.counts.take(49).forall(_ == 2L), r.counts.mkString(","))
+    assert(r.counts.last == 3L)
+    assert(r.counts.sum == 101L)
+  }
+
+  test("DfHistogram handles constant column and nulls") {
+    val df = Seq(Some(5.0), Some(5.0), None, Some(5.0)).toDF("v")
+    val r = DfHistogram(df, "v", numBins = 10)
+    assert(r.counts.sum == 3L)
+    assert(r.counts(0) == 3L) // degenerate range: everything in bucket 0
+  }
+
+  test("Bucketize: half-open buckets, closed last bucket, -1 out of range") {
+    val df = Seq(0.0, 9.99, 10.0, 19.99, 20.0, -1.0, 25.0).toDF("v")
+    val got = df.select(col("v"),
+      Bucketize(col("v"), Seq(0.0, 10.0, 20.0)).as("b")).collect()
+      .map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(got(0.0) == 0 && got(9.99) == 0)
+    assert(got(10.0) == 1 && got(19.99) == 1)
+    assert(got(20.0) == 1) // last bucket closed (hi += 1e-9)
+    assert(got(-1.0) == -1 && got(25.0) == -1)
+  }
+
+  test("histogram asDf covers all buckets including empty ones") {
+    val df = Seq(0.0, 100.0).toDF("v")
+    val h = DfHistogram.asDf(df, "v", numBins = 4)
+    assert(h.count() == 4)
+    val n = h.orderBy("bucket").select("n").as[Long].collect()
+    assert(n.toSeq == Seq(1L, 0L, 0L, 1L))
+  }
+}

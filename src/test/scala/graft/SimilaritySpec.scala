@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, SimilaritySearch}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def emb(s: org.apache.spark.sql.SparkSession) =
+    s.read.parquet(s"${SparkFixture.sf0001}/embeddings.parquet")
+
+  test("cosineCol: unit vectors, orthogonal vectors") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(1.0, 0.0)),
+      (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val got = df.select(Dedup.cosineCol(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: k results per query, self excluded, rank ordered") {
+    val e = emb(spark)
+    val q = e.where(col("vec_id") < 5)
+    val got = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", k = 7)
+    val byQuery = got.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 5)
+    byQuery.foreach { case (qid, rows) =>
+      assert(rows.length == 7)
+      assert(!rows.exists(_.getAs[Long]("cand_id") == qid))
+      val ranked = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = ranked.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshTopK recall vs exact baseline at matched params") {
+    val e = emb(spark)
+    val q = e.where(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ann = SimilaritySearch.lshTopK(e, q, "vec_id", "embedding", 5,
+      numPlanes = 4, numTables = 12)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    // Random 64-dim corpus: top-5 neighbors sit near cosine 0.3-0.5
+    // (θ≈60-70°) → per-table collision ~(1-θ/π)^4; 12 tables lift
+    // recall well above half. A hard floor guards against regressions.
+    assert(recall >= 0.5, s"recall=$recall")
+  }
+
+  test("withBuckets: deterministic bucket assignment") {
+    val e = emb(spark).limit(50).cache()
+    val b1 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)
+      .select("vec_id", "__bucket_0", "__bucket_1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b2 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)
+      .select("vec_id", "__bucket_0", "__bucket_1").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b1 == b2)
+    // buckets within range [0, 2^8)
+    assert(b1.forall { case (_, x, y) => x >= 0 && x < 256 && y >= 0 && y < 256 })
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, SessionOut}
+
+/** Stream/batch equivalence: the streaming transforms must produce the
+  * same results as their batch twins on the same (finite) data. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def writeEventsDir(): (String, org.apache.spark.sql.DataFrame) = {
+    val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val dir = Files.createTempDirectory("events").toString
+    batch.write.mode("overwrite").parquet(dir)
+    (dir, spark.read.parquet(dir))
+  }
+
+  test("streaming hourly agg == batch hourly agg (complete mode)") {
+    val (dir, batchDf) = writeEventsDir()
+    val stream = spark.readStream.schema(batchDf.schema).parquet(dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.hourlyAgg(stream), "hourly_stream", OutputMode.Complete)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val want = batchDf
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("flatMapGroupsWithState sessionization == batch sessionization") {
+    // Crafted input: two users with clear 30-min-gap sessions, plus a
+    // far-future sentinel event that pushes the watermark past every
+    // real session so EventTimeTimeout flushes them all.
+    def ev(id: Long, user: Long, minute: Long, value: Double) =
+      Event(id, new Timestamp(1700000000000L + minute * 60000), user,
+        "click", value, "{}")
+    val events = Seq(
+      ev(1, 10, 0, 1.0), ev(2, 10, 5, 2.0), ev(3, 10, 10, 3.0), // session 1
+      ev(4, 10, 60, 4.0), ev(5, 10, 65, 5.0), //                   session 2
+      ev(6, 20, 0, 1.5), //                                        session 1
+      ev(7, 20, 100, 2.5), ev(8, 20, 101, 3.5), //                 session 2
+      ev(9, 99, 100000, 0.0)) // sentinel: watermark pusher
+    val dir = Files.createTempDirectory("sess").toString
+    events.toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(events.toDS().schema).parquet(dir)
+      .as[Event]
+    val got = EventStreams.runToMemory(
+      EventStreams.sessionize(stream, 30).toDF(), "sessions_stream")
+      .as[SessionOut].collect()
+      .filter(_.user_id != 99)
+      .map(s => (s.user_id, s.n_events, s.sum_value))
+      .sortBy(x => (x._1, x._2))
+    assert(got.toSeq == Seq(
+      (10L, 2L, 9.0), (10L, 3L, 6.0),
+      (20L, 1L, 1.5), (20L, 2L, 6.0)).sortBy(x => (x._1, x._2)))
+  }
+
+  test("batch sessionization query matches hand-computed sessions") {
+    val out = graft.queries.Events.evSessions(spark, SparkFixture.sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // Session invariants: duration >= 0; n_events >= 1; sessions of one
+    // user don't overlap.
+    rows.foreach { r =>
+      assert(r.getAs[Long]("duration_us") >= 0)
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.values.foreach { ss =>
+      val spans = ss.map(s =>
+        (s.getAs[Long]("start_us"), s.getAs[Long]("end_us"))).sortBy(_._1)
+      spans.zip(spans.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 - e1 > 30L * 60 * 1000000, "sessions must be gap-separated")
+      }
+    }
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ext.{TextFunctions => TF, Dedup}
+
+class TextDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  def textDf(texts: (Long, String)*) = texts.toDF("doc_id", "text")
+
+  test("tokens: lowercase, punctuation split, empties dropped") {
+    val got = textDf((1L, "Hello, World!  foo-bar 42"))
+      .select(TF.tokens(col("text"))).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "foo", "bar", "42"))
+    val empty = textDf((1L, "!!!")).select(TF.tokens(col("text")))
+      .as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("shingles: 3-grams over tokens, distinct, short docs -> empty") {
+    val got = textDf((1L, "a b c d"))
+      .select(TF.shingles(TF.tokens(col("text")), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = textDf((1L, "a b"))
+      .select(TF.shingles(TF.tokens(col("text")), 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("langId votes marker words with priority tiebreak") {
+    val df = textDf(
+      (1L, "the cat and the dog of it"),
+      (2L, "der hund und die katze ist"),
+      (3L, "le chat et la maison est dans"),
+      (4L, "xyzzy plugh"))
+    val got = df.select(col("doc_id"), TF.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "de" && got(3L) == "fr")
+    assert(got(4L) == "und")
+  }
+
+  test("exactDedup keeps min id per identical content") {
+    val df = textDf((1L, "same text"), (2L, "same text"), (3L, "other"))
+    val kept = Dedup.exactDedup(df, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L))
+    val groups = Dedup.exactGroups(df, "doc_id", "text")
+      .where(col("n_copies") > 1).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("jaccardPairs finds planted near-dup, minhash LSH agrees exactly") {
+    val base = "spark engine scale data shuffle partition join filter " +
+      "aggregate window broadcast catalyst tungsten codegen parquet " +
+      "column row batch stream state watermark session checkpoint"
+    val nearDup = base.replace("codegen", "compiled") // 1-2 shingle diff
+    val other = "completely different words about cooking pasta sauce " +
+      "tomato basil garlic olive oil parmesan fresh grated delicious " +
+      "recipe kitchen dinner family table wine evening candle light"
+    val df = textDf((1L, base), (2L, nearDup), (3L, other), (4L, base))
+    val exact = Dedup.jaccardPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    // (1,2) near-dup, (1,4)+(2,4) exact dup; 3 matches nothing.
+    assert(exact.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(exact.find(p => (p._1, p._2) == (1L, 4L)).get._3 == 1.0)
+    val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(lsh.toSeq == exact.toSeq) // verified candidates == exact result
+  }
+
+  test("simhash: identical docs hamming 0, near-dups small, distinct large") {
+    val h = Dedup.simhash64Fn
+    val a = h(Seq("spark", "data", "engine", "scale", "join", "filter"))
+    val b = h(Seq("spark", "data", "engine", "scale", "join", "shuffle"))
+    val c = h(Seq("pasta", "sauce", "tomato", "basil", "garlic", "wine"))
+    assert(h(Seq("spark", "data", "engine", "scale", "join", "filter")) == a)
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(a, b) < hamming(a, c))
+  }
+
+  test("simhashPairs surfaces duplicate docs") {
+    val df = textDf(
+      (1L, "spark data engine scale join filter window batch"),
+      (2L, "spark data engine scale join filter window batch"),
+      (3L, "pasta sauce tomato basil garlic wine dinner family"))
+    val pairs = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("quality score rewards length and structure") {
+    val df = textDf(
+      (1L, "a good document with many meaningful words that continues " +
+        "for a while and has reasonable structure and flow to it overall"),
+      (2L, "x! y. z?"))
+    val got = df.select(col("doc_id"), TF.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L))
+    assert(got(1L) <= 1.0 && got(2L) >= 0.0)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.util.ThruputObserver
+import graft.functions.StableHash
+import graft.codec.{Tensor, SerializedFn}
+import graft.ext.Multimodal
+
+/** Pure-JVM unit tests (no Spark session) — fastest feedback layer,
+  * mirroring the reference's util test tier. */
+class UtilSpec extends AnyFunSuite {
+
+  test("ThruputObserver is a monoid: merge accumulates n/bytes/time") {
+    val a = ThruputObserver(name = "a").observe(10, 100, 1000000)
+    val b = ThruputObserver().observe(5, 50, 500000)
+    val m = a + b
+    assert(m.n == 15 && m.numBytes == 150 && m.totalNanos == 1500000)
+    assert(m.name == "a")
+    assert((ThruputObserver.zero + a).n == a.n)
+    val u = ThruputObserver.union(Seq(a, b, ThruputObserver.zero))
+    assert(u.n == 15)
+  }
+
+  test("ThruputObserver percentiles and rates") {
+    var o = ThruputObserver()
+    (1 to 100).foreach(i => o = o.observe(1, 0, i * 1000000L))
+    assert(o.percentileNanos(0.5) / 1000000 > 40)
+    assert(o.percentileNanos(0.99) / 1000000 > 95)
+    assert(o.ratePerSec > 0)
+    assert(o.toString.contains("p95_ms"))
+  }
+
+  test("stableHash matches the md5 definition (DuckDB-portable)") {
+    // echo -n 'hello' | md5sum
+    assert(StableHash.stableHash("hello") == "5d41402abc4b2a76b9719d911017c592")
+    assert(StableHash.stableHash("") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("hashToRgb is deterministic and in range") {
+    val c1 = StableHash.hashToRgb("moof")
+    val c2 = StableHash.hashToRgb("moof")
+    assert(c1 == c2)
+    val (r, g, b) = c1
+    assert(r >= 0 && r <= 255 && g >= 0 && g <= 255 && b >= 0 && b <= 255)
+    assert(StableHash.hashToRgb("other") != c1)
+  }
+
+  test("Tensor small arrays stay as queryable values") {
+    val t = Tensor.fromDoubles(Array(1.0, 2.0, 3.0))
+    assert(t.values == Seq(1.0, 2.0, 3.0))
+    assert(t.values_packed.isEmpty)
+    assert(t.shape == Seq(3L))
+    assert(t.toDoubles.toSeq == Seq(1.0, 2.0, 3.0))
+  }
+
+  test("Tensor >= 2KiB packs to little-endian binary (ref threshold)") {
+    val data = Array.tabulate(512)(_.toDouble) // 4KiB as doubles
+    val t = Tensor.fromDoubles(data, Seq(8L, 64L))
+    assert(t.values.isEmpty)
+    assert(t.values_packed.length == 512 * 8)
+    assert(t.dtype == "float64" && t.order == "C")
+    assert(t.toDoubles.toSeq == data.toSeq)
+    // boundary: 255 doubles = 2040 bytes < 2048 → unpacked
+    assert(Tensor.fromDoubles(Array.fill(255)(1.0)).values_packed.isEmpty)
+    assert(Tensor.fromDoubles(Array.fill(256)(1.0)).values.isEmpty)
+  }
+
+  test("Tensor float32 round-trip") {
+    val data = Array.tabulate(1024)(i => i * 0.5f)
+    val t = Tensor.fromFloats(data, Seq(1024L))
+    assert(t.dtype == "float32" && t.values.isEmpty)
+    assert(Tensor.toFloats(t).toSeq == data.toSeq)
+  }
+
+  test("SerializedFn round-trips a closure through bytes (flyweight pattern)") {
+    val payload = 42
+    val fn = SerializedFn(() => payload * 2)
+    assert(!fn.isEmpty)
+    assert(fn.invoke[Int]() == 84)
+    assert(SerializedFn.empty.isEmpty)
+    intercept[IllegalStateException](SerializedFn.empty.invoke[Int]())
+  }
+
+  test("jpegSize parses SOF dims from header bytes without decode") {
+    // Minimal synthetic JPEG: SOI + SOF0 with h=7, w=9.
+    val sof = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
+      0x00, 0x07, 0x00, 0x09, 0x01, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    assert(Multimodal.jpegSize(sof).contains((9, 7)))
+    assert(Multimodal.jpegSize(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("sampleFrameIndices: uniform stride, stable endpoints") {
+    assert(Multimodal.sampleFrameIndices(10, 20) == (0 until 10))
+    val s = Multimodal.sampleFrameIndices(100, 10)
+    assert(s.size == 10 && s.head == 0 && s.last == 90)
+    assert(s == s.sorted && s.distinct.size == 10)
+  }
+}
