@@ -39,13 +39,24 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Compiled tokenize→shingle UDF: semantically identical to
+    * TF.shingles(TF.tokens(c), n) (lowercase, [^a-z0-9]+ split, drop
+    * empties, n-gram join with spaces, distinct) but ~10× faster — the
+    * Catalyst higher-order array expressions are CodegenFallback and
+    * dominate the dedup pipelines when interpreted. */
+  private[ext] def shingleFn(n: Int): String => Seq[String] = { text: String =>
+    val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    if (toks.length < n) Seq.empty
+    else toks.sliding(n).map(_.mkString(" ")).distinct.toSeq
+  }
+
   /** Exploded (id, shingle) pairs, distinct per doc. */
   private def shingleRows(
       df: DataFrame, idCol: String, textCol: String, n: Int,
       maxShingleDf: Option[Int]): DataFrame = {
     val base = df
       .select(col(idCol).as("__id"),
-        explode(shingles(tokens(col(textCol)), n)).as("__sh"))
+        explode(udf(shingleFn(n)).apply(col(textCol))).as("__sh"))
     maxShingleDf match {
       case None => base
       case Some(cap) =>
@@ -63,7 +74,13 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3,
       maxShingleDf: Option[Int] = None): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, n, maxShingleDf).cache()
+    // Pre-hash-partition on shingle: parallelizes the explode output of
+    // single-partition inputs AND pre-shuffles both sides of the
+    // self-join (exchange reuse keeps it to one shuffle).
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val sh = shingleRows(
+      df.repartition(p), idCol, textCol, n, maxShingleDf)
+      .repartition(p, col("__sh")).cache()
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val a = sh.select(col("__id").as("id_a"), col("__sh"))
     val b = sh.select(col("__id").as("id_b"), col("__sh"))
@@ -136,8 +153,12 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val sigUdf = udf(minhashSignature(numHashes))
 
-    val docs = df.select(col(idCol).as("__id"),
-      shingles(tokens(col(textCol)), n).as("__shs"))
+    // Repartition RAW rows first: anything computed before the exchange
+    // runs on the input's partition count (often 1 small file locally).
+    val docs = df
+      .select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("__id"), udf(shingleFn(n)).apply(col("__text")).as("__shs"))
       .where(size(col("__shs")) > 0)
       .withColumn("__sig", sigUdf(col("__shs")))
       .cache()
@@ -187,8 +208,14 @@ object Dedup {
   }
 
   def withSimhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = udf(simhash64Fn)
-    df.select(col(idCol), sh(tokens(col(textCol))).as("simhash"))
+    // tokenize inside the UDF (compiled) rather than via the interpreted
+    // higher-order tokens() expression; repartition first so the CPU
+    // work spreads across cores for single-file inputs.
+    val sh = udf { text: String =>
+      simhash64Fn(text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    }
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), sh(col(textCol)).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3 for
@@ -217,31 +244,66 @@ object Dedup {
 
   // ------------------------------------------------------- Embedding cosine
 
-  /** Cosine similarity between two array<double> columns, computed as a
-    * strict left-to-right fold so any engine evaluating sequentially
-    * (e.g. DuckDB list_reduce) reproduces it bit-for-bit. */
-  def cosineCol(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+  /** Cosine similarity between two array<double> columns as a compiled
+    * tight loop. Catalyst's higher-order array functions
+    * (aggregate/zip_with) are CodegenFallback — interpreted per element —
+    * which made the pairwise path ~10× slower; a Scala UDF JIT-compiles.
+    * The loop replicates the strict left-to-right IEEE fold (dot and
+    * norms accumulated in index order, 0.0 seed), so DuckDB's
+    * list_reduce((x,y)->x+y) reproduces it bit-for-bit. */
+  private val cosineFn = (a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    i = 0
+    while (i < a.length) { na += a(i) * a(i); i += 1 }
+    i = 0
+    while (i < b.length) { nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+
+  def cosineCol(a: Column, b: Column): Column = udf(cosineFn).apply(a, b)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine ≥ threshold. Exact all-pairs formulation — O(n²) dot
     * products; for the 100 TB path use `SimilaritySearch.lshBuckets`
     * candidates + this verify step. */
+  /** Euclidean norm with the same left-to-right accumulation order as
+    * cosineFn / DuckDB list_reduce. */
+  private val normFn = (a: Seq[Double]) => {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * a(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private val dotFn = (a: Seq[Double], b: Seq[Double]) => {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += a(i) * b(i); i += 1 }
+    dot
+  }
+
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    // Streamed side repartitioned so the O(n²) nested-loop parallelizes
+    // even when the input arrives as one small file / partition. Norms
+    // are precomputed per ROW (O(n)) so the O(n²) pair stage does only
+    // the dot product; cosine = dot/(na·nb) keeps the exact IEEE op
+    // order of the oracle's formulation.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val norm = udf(normFn)
     val v = df.select(col(idCol).as("id_a"),
-      col(vecCol).cast("array<double>").as("__va"))
+      col(vecCol).cast("array<double>").as("__va")).repartition(p)
+      .withColumn("__na", norm(col("__va")))
     val w = df.select(col(idCol).as("id_b"),
       col(vecCol).cast("array<double>").as("__vb"))
+      .withColumn("__nb", norm(col("__vb")))
     v.crossJoin(w)
       .where(col("id_a") < col("id_b"))
-      .withColumn("cosine", graft.functions.DetRound.det6(cosineCol(col("__va"), col("__vb"))))
+      .withColumn("cosine", graft.functions.DetRound.det6(
+        udf(dotFn).apply(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
