@@ -56,10 +56,28 @@ object Events {
       .orderBy(col("n_errors").desc, col("user_id"))
       .limit(20)
 
+  // As-of join: each error event annotated with the user's most recent
+  // prior purchase (graft.operators.AsOfJoin — union+window plan, no
+  // range-expanded join). Oracle: DuckDB's native ASOF JOIN.
+  val evAsof: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.AsOfJoin(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_hourly" -> evHourly,
     "ev_sessions" -> evSessions,
-    "ev_error_prone" -> evErrorProne)
+    "ev_error_prone" -> evErrorProne,
+    "ev_asof_join" -> evAsof)
 
   val oracles: Map[String, String] = Map(
     "ev_hourly" ->
@@ -89,6 +107,16 @@ object Events {
         |  round(sum(value), 4) AS sum_value,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM z GROUP BY user_id, session_idx""".stripMargin,
+    "ev_asof_join" ->
+      """SELECT e.user_id, e.event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |      value AS p_value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "ev_error_prone" ->
       """SELECT user_id, count(*) AS n_errors,
         |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k

@@ -214,7 +214,32 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total"))
 
+  // Exact quantiles with linear interpolation (Spark `percentile` ==
+  // DuckDB `quantile_cont`); deterministic rounding guards interpolation
+  // op-order ulps.
+  val qPercentiles: Q = (s, d) => {
+    import graft.functions.DetRound.det
+    lineitem(s, d).agg(
+      det(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+      det(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+      det(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+      det(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+  }
+
+  // Decile bucketing via ntile window + per-decile stats.
+  val qNtile: Q = (s, d) => {
+    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+    customer(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("lo_bal"),
+        round(max(col("c_acctbal")), 2).as("hi_bal"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_percentiles" -> qPercentiles,
+    "q_ntile" -> qNtile,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_revenue" -> q6Revenue,
     "q3_top_orders" -> q3TopOrders,
@@ -235,6 +260,21 @@ object Relational {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_percentiles" ->
+      """SELECT
+        | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
+        | floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95
+        |FROM lineitem""".stripMargin,
+    "q_ntile" ->
+      """SELECT decile, count(*) AS n,
+        | round(min(c_acctbal), 2) AS lo_bal,
+        | round(max(c_acctbal), 2) AS hi_bal
+        |FROM (SELECT c_acctbal,
+        |    ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        |  FROM customer)
+        |GROUP BY decile""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

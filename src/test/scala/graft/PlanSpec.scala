@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape gate: the 100 TB mandate is about the PLAN, not the
+  * result. These tests pin the physical-plan properties each query
+  * depends on at scale — filter/column pushdown into the parquet scan,
+  * broadcast of dimension sides, partial (map-side) aggregation,
+  * whole-stage codegen coverage — so a regression that silently degrades
+  * the plan (e.g. a lost broadcast turning into a sort-merge join over
+  * the fact table) fails CI, not the cluster. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  val sf = SparkFixture.sf0001
+
+  def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q6 range filters push into the parquet scan; projection prunes") {
+    val p = plan(graft.queries.Relational.q6Revenue(spark, sf))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("l_shipdate"), "shipdate filter must reach the scan")
+    assert(p.contains("GreaterThanOrEqual") || p.contains("IsNotNull"), p)
+    // Only the 4 referenced columns are read, not all 11.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+  }
+
+  test("q3 joins broadcast the filtered customer dimension") {
+    val p = plan(graft.queries.Relational.q3TopOrders(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // top-k is TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q5 multiway join keeps every dimension broadcast") {
+    val p = plan(graft.queries.Relational.q5NationRevenue(spark, sf))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBroadcast >= 4, s"expected >=4 broadcast joins, got $nBroadcast")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q1 aggregation is partial (map-side) before the shuffle") {
+    val p = plan(graft.queries.Relational.q1PricingSummary(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_sum") || p.contains("Partial"), p)
+    // single exchange for the grouped agg
+    val nExchange = "Exchange".r.findAllIn(p).size
+    assert(nExchange <= 2, s"agg should need at most one shuffle (+AQE read), got $nExchange\n$p")
+  }
+
+  test("semi/anti joins stay joins (no subquery materialization)") {
+    val ps = plan(graft.queries.Relational.qSemiJoin(spark, sf))
+    assert(ps.contains("LeftSemi"), ps)
+    val pa = plan(graft.queries.Relational.qAntiJoin(spark, sf))
+    assert(pa.contains("LeftAnti"), pa)
+  }
+
+  test("as-of join plans as union + single window sort, no range join blowup") {
+    val p = plan(graft.queries.Events.evAsof(spark, sf))
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not degrade to a product join\n" + p)
+  }
+
+  test("whole-stage codegen covers the scan->filter->agg spine of q6") {
+    // AQE prints codegen stages only in the FINAL plan — execute first.
+    val df = graft.queries.Relational.q6Revenue(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd stages print as "*(n) Operator" in the final plan
+    assert("""\*\(\d+\)""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("histogram pass 2 groups at most numBins keys (bounded shuffle)") {
+    import org.apache.spark.sql.functions._
+    val li = graft.queries.Tables.lineitem(spark, sf)
+    val bucketed = li.select(
+      graft.operators.DfHistogram.bucketExpr(
+        col("l_extendedprice"), 900.0, 105000.0, 50).as("b"))
+      .groupBy("b").count()
+    val p = plan(bucketed)
+    assert(p.contains("HashAggregate") && p.contains("partial_count"), p)
+  }
+}
