@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{ArrayDot, ArrayNorm}
+
+/** Session extension registering graft's native expressions for SQL use:
+  *
+  *   spark = SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")...
+  *
+  * then `SELECT array_dot(a, b)`, `array_norm(v)`, `array_cosine(a, b)`
+  * work from plain SQL text, and the expressions participate in codegen
+  * exactly as the Column API forms do.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("array_norm"),
+      new ExpressionInfo(classOf[ArrayNorm].getName, "array_norm"),
+      (children: Seq[Expression]) => ArrayNorm(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_cosine"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
+      cosineBuilder))
+  }
+}
+
+object GraftExtensions {
+  private val cosineBuilder: Seq[Expression] => Expression = children => {
+    val (a, b) = (children(0), children(1))
+    org.apache.spark.sql.catalyst.expressions.Divide(
+      ArrayDot(a, b),
+      org.apache.spark.sql.catalyst.expressions.Multiply(
+        ArrayNorm(a), ArrayNorm(b)))
+  }
+
+  /** Runtime registration into an already-built session (extensions
+    * config only applies at construction; notebooks/tests use this). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.registerFunction(spark, "array_dot",
+      cs => ArrayDot(cs(0), cs(1)))
+    Bridge.registerFunction(spark, "array_norm", cs => ArrayNorm(cs.head))
+    Bridge.registerFunction(spark, "array_cosine", cosineBuilder)
+  }
+}

@@ -244,46 +244,17 @@ object Dedup {
 
   // ------------------------------------------------------- Embedding cosine
 
-  /** Cosine similarity between two array<double> columns as a compiled
-    * tight loop. Catalyst's higher-order array functions
-    * (aggregate/zip_with) are CodegenFallback — interpreted per element —
-    * which made the pairwise path ~10× slower; a Scala UDF JIT-compiles.
-    * The loop replicates the strict left-to-right IEEE fold (dot and
-    * norms accumulated in index order, 0.0 seed), so DuckDB's
-    * list_reduce((x,y)->x+y) reproduces it bit-for-bit. */
-  private val cosineFn = (a: Seq[Double], b: Seq[Double]) => {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) { dot += a(i) * b(i); i += 1 }
-    i = 0
-    while (i < a.length) { na += a(i) * a(i); i += 1 }
-    i = 0
-    while (i < b.length) { nb += b(i) * b(i); i += 1 }
-    dot / (math.sqrt(na) * math.sqrt(nb))
-  }
-
-  def cosineCol(a: Column, b: Column): Column = udf(cosineFn).apply(a, b)
+  /** Cosine similarity between two array<double> columns via the native
+    * codegen'd expressions (graft.functions.ArrayDot/ArrayNorm) — no UDF
+    * boxing, evaluated inside whole-stage codegen. Strict ascending-
+    * index accumulation keeps DuckDB's list_reduce bit-identical. */
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.array_cosine(a, b)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
     * cosine ≥ threshold. Exact all-pairs formulation — O(n²) dot
     * products; for the 100 TB path use `SimilaritySearch.lshBuckets`
     * candidates + this verify step. */
-  /** Euclidean norm with the same left-to-right accumulation order as
-    * cosineFn / DuckDB list_reduce. */
-  private val normFn = (a: Seq[Double]) => {
-    var s = 0.0; var i = 0
-    while (i < a.length) { s += a(i) * a(i); i += 1 }
-    math.sqrt(s)
-  }
-
-  private val dotFn = (a: Seq[Double], b: Seq[Double]) => {
-    val n = math.min(a.length, b.length)
-    var dot = 0.0; var i = 0
-    while (i < n) { dot += a(i) * b(i); i += 1 }
-    dot
-  }
-
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
@@ -292,18 +263,18 @@ object Dedup {
     // are precomputed per ROW (O(n)) so the O(n²) pair stage does only
     // the dot product; cosine = dot/(na·nb) keeps the exact IEEE op
     // order of the oracle's formulation.
+    import graft.functions.VectorFunctions.{array_dot, array_norm}
     val p = df.sparkSession.sparkContext.defaultParallelism
-    val norm = udf(normFn)
     val v = df.select(col(idCol).as("id_a"),
       col(vecCol).cast("array<double>").as("__va")).repartition(p)
-      .withColumn("__na", norm(col("__va")))
+      .withColumn("__na", array_norm(col("__va")))
     val w = df.select(col(idCol).as("id_b"),
       col(vecCol).cast("array<double>").as("__vb"))
-      .withColumn("__nb", norm(col("__vb")))
+      .withColumn("__nb", array_norm(col("__vb")))
     v.crossJoin(w)
       .where(col("id_a") < col("id_b"))
       .withColumn("cosine", graft.functions.DetRound.det6(
-        udf(dotFn).apply(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
+        array_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

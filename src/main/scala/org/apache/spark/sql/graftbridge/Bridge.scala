@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 made the converters
+  * `private[sql]`; extension libraries that ship custom Catalyst
+  * expressions conventionally expose them via a small shim in the sql
+  * package namespace (same approach as every third-party Spark
+  * connector/extension). Nothing else in this repo lives outside the
+  * `graft` namespace. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a function builder into a LIVE session's registry (the
+    * runtime analog of SparkSessionExtensions.injectFunction, which only
+    * applies at session construction). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
+}
