@@ -34,6 +34,9 @@ object GraftSession {
       .getOrElse(s"local[$defaultLocalCores]")
     val shufflePartitions =
       if (m.startsWith("local")) defaultLocalCores.toString else "200"
+    // Local mode reads small single-file tables: split scans finely so
+    // stage-1 parallelizes (cluster default 128m stands elsewhere).
+    val maxPartitionBytes = if (m.startsWith("local")) "4m" else "128m"
     val b = SparkSession.builder()
       .appName(appName)
       .master(m)
@@ -41,6 +44,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")

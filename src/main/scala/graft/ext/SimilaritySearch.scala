@@ -85,6 +85,85 @@ object SimilaritySearch {
     }
   }
 
+  // ------------------------------------------------------------------- IVF
+
+  /** Train IVF centroids: deterministic seeded sample → k-means (Lloyd)
+    * for `iters` rounds, computed with DataFrame aggregations (assignment
+    * is a scan; update is a groupBy — both distributed; only the k
+    * centroid vectors ever reach the driver). */
+  def trainIvfCentroids(
+      df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
+      sampleSize: Int = 10000, seed: Long = 1337L): Array[Array[Double]] = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    val sample = df.select(col(vecCol).cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
+      .limit(sampleSize).cache()
+    var centroids: Array[Array[Double]] =
+      sample.limit(k).collect().map(_.getSeq[Double](0).toArray)
+    (1 to iters).foreach { _ =>
+      val cs = centroids
+      val assign = udf { v: Seq[Double] =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) {
+            val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+      val updated = sample.withColumn("__c", assign(col("v")))
+        .groupBy(col("__c"))
+        .agg(array((0 until dim).map(i =>
+          avg(col("v").getItem(i))): _*).as("centroid"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+    }
+    sample.unpersist()
+    centroids
+  }
+
+  /** ANN top-k via IVF: vectors pre-assigned to their nearest centroid
+    * (a materialized partition/bucket column at scale); a query probes
+    * the `nProbe` nearest centroid cells only. */
+  def ivfTopK(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
+    def nearest(v: Seq[Double], n: Int): Seq[Int] =
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(n).map(_._1)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cell", assignOne(col("__cv")))
+    val q = queriesDf.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(probeN(col("__qv"))))
+    import graft.functions.VectorFunctions.array_cosine
+    val scored = cand.join(broadcast(q), Seq("__cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("__qv"), col("__cv"))
+      .distinct()
+      .withColumn("cosine",
+        graft.functions.DetRound.det6(array_cosine(col("__qv"), col("__cv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share a bucket with the query
     * in ≥ 1 table. Same output schema as bruteForceTopK; recall < 1 by
     * construction (measured in SimilaritySpec against the exact baseline). */

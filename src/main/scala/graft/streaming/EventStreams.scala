@@ -91,6 +91,18 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `keyCols` were already
+    * seen within the watermark horizon — the streaming twin of
+    * Dedup.exactDedup. State is bounded by the watermark (keys older
+    * than the horizon are evicted), so memory is O(keys-per-horizon),
+    * not O(stream). */
+  def dedupStream(
+      events: DataFrame, keyCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result (test/batch-replay harness). */
   def runToMemory(

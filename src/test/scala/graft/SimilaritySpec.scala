@@ -52,6 +52,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall=$recall")
   }
 
+  test("ivfTopK: recall vs exact baseline with nProbe cells") {
+    val e = emb(spark)
+    val q = e.where(col("vec_id") < 10)
+    val exact = SimilaritySearch.bruteForceTopK(e, q, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val ivf = SimilaritySearch.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 4, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // probing ALL cells must reproduce the exact result
+    val full = SimilaritySearch.ivfTopK(e, q, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 8, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toSet
+    assert(full == exact, "nProbe=nCentroids must equal brute force")
+  }
+
+  test("image helpers: png round-trip, data uri, viewport fit") {
+    import graft.functions.ImageFunctions
+    val png = ImageFunctions.grayToPng(Array.tabulate(64)(_ / 63.0f), 8, 8)
+    assert(png.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) // PNG magic
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    assert(ImageFunctions.toDataUri(png).startsWith("data:image/png;base64,"))
+    assert(ImageFunctions.toImgTag(png).startsWith("<img src=\"data:image"))
+    assert(ImageFunctions.hwInViewport(1000, 500, 100, 100) == (100, 50))
+    assert(ImageFunctions.hwInViewport(50, 40, 100, 100) == (50, 40))
+    assert(ImageFunctions.hwInViewport(500, 1000, 100, 100) == (50, 100))
+  }
+
   test("withBuckets: deterministic bucket assignment") {
     val e = emb(spark).limit(50).cache()
     val b1 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)

@@ -65,6 +65,19 @@ class StreamingSpec extends AnyFunSuite {
       (20L, 1L, 1.5), (20L, 2L, 6.0)).sortBy(x => (x._1, x._2)))
   }
 
+  test("streaming dedup drops in-watermark duplicate keys") {
+    val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    // plant duplicates: every event twice
+    val doubled = batch.union(batch)
+    val dir = Files.createTempDirectory("dedup").toString
+    doubled.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    val got = EventStreams.runToMemory(
+      EventStreams.dedupStream(stream, Seq("event_id")), "dedup_stream")
+    assert(got.count() == batch.count())
+    assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
   test("batch sessionization query matches hand-computed sessions") {
     val out = graft.queries.Events.evSessions(spark, SparkFixture.sf0001)
     val rows = out.collect()
