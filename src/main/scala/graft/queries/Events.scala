@@ -21,8 +21,13 @@ object Events {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 6).as("avg_value"))
+        // value is exact 2-decimal data: decimal sums are exact, so no
+        // float summation-order drift (observed flipping round() at
+        // sf0.1); avg divides the exact sum at the output edge.
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        graft.functions.DetRound.det6(
+          sum(col("value").cast("decimal(18,2)")).cast("double") /
+            count(lit(1))).as("avg_value"))
 
   // Sessionization: 30-minute inactivity gap splits a user's events into
   // sessions; classic lag → gap flag → running sum. The streaming twin
@@ -42,7 +47,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         min(unix_micros(col("ts"))).as("start_us"),
         max(unix_micros(col("ts"))).as("end_us"),
-        round(sum(col("value")), 4).as("sum_value"))
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
 
@@ -83,8 +88,9 @@ object Events {
     "ev_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
-        |  round(sum(value), 4) AS sum_value,
-        |  round(avg(value), 6) AS avg_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    * 1000000 + 0.5) / 1000000 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
     "ev_sessions" ->
       """WITH x AS (
@@ -104,7 +110,7 @@ object Events {
         |  FROM y)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
-        |  round(sum(value), 4) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "ev_asof_join" ->

@@ -24,18 +24,29 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // All money/quantity columns in the testdata are exact 2-decimal
+  // values: aggregate them in DECIMAL (exact integer arithmetic — no
+  // float summation-order drift between engines, which flips rounding
+  // at ulp boundaries; observed live on sf0.1 avgs) and cast the exact
+  // result back to double at the output edge.
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+  private def sumDec(c: org.apache.spark.sql.Column) =
+    sum(dec(c)).cast("double")
+  private def avgDec(c: org.apache.spark.sql.Column) =
+    sum(dec(c)).cast("double") / count(lit(1))
+
   // TPC-H Q1-style pricing summary: map-side partial agg, 6-group result.
   val q1PricingSummary: Q = (s, d) => {
     lineitem(s, d)
       .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        graft.functions.DetRound.det(avgDec(col("l_quantity")), 6).as("avg_qty"),
+        graft.functions.DetRound.det(avgDec(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -47,8 +58,8 @@ object Relational {
         col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-        .as("revenue"))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
   }
 
   // TPC-H Q3-style: shuffle join orders⋈lineitem with broadcast customer
@@ -60,8 +71,8 @@ object Relational {
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -84,8 +95,8 @@ object Relational {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-        .as("revenue"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
   }
 
   // Left-semi join: customers having a high-value order (EXISTS).
@@ -125,8 +136,9 @@ object Relational {
       .withColumn("prev_price",
         round(lag(col("o_totalprice"), 1).over(w), 2))
       .withColumn("running_spend",
-        round(sum(col("o_totalprice"))
-          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+        sum(dec(col("o_totalprice")))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
       .select(col("o_custkey"), col("o_orderkey"),
         col("prev_price"), col("running_spend"))
   }
@@ -137,7 +149,7 @@ object Relational {
     orders(s, d)
       .rollup(col("o_orderpriority"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        sumDec(col("o_totalprice")).as("total"))
 
   // Cube over part brand/size band.
   val qCube: Q = (s, d) =>
@@ -166,8 +178,16 @@ object Relational {
     lineitem(s, d).agg(
       round(min(col("l_extendedprice")), 2).as("min_price"),
       round(max(col("l_extendedprice")), 2).as("max_price"),
-      round(avg(col("l_extendedprice")), 4).as("avg_price"),
-      round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+      graft.functions.DetRound.det(avgDec(col("l_extendedprice")), 6)
+        .as("avg_price"),
+      // sample stddev from EXACT decimal moments: sqrt((sx2-sx²/n)/(n-1))
+      // — identical op order in the oracle, no float accumulation drift.
+      graft.functions.DetRound.det(
+        sqrt((sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice")))
+          .cast("double")
+          - sum(dec(col("l_extendedprice"))).cast("double")
+            * sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1)))
+          / (count(lit(1)) - 1)), 4).as("sd_price"),
       countDistinct(col("l_partkey")).as("n_parts"))
 
   // Sort + limit → TakeOrderedAndProject (no global sort at scale).
@@ -203,7 +223,7 @@ object Relational {
     customer(s, d)
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        graft.functions.DetRound.det(avgDec(col("c_acctbal")), 6).as("avg_bal"))
       .where(col("n") >= 50)
 
   // Date bucketing on the time column: monthly order volume, emitted as a
@@ -212,18 +232,34 @@ object Relational {
     orders(s, d)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total"))
+        sumDec(col("o_totalprice")).as("total"))
 
-  // Exact quantiles with linear interpolation (Spark `percentile` ==
-  // DuckDB `quantile_cont`); deterministic rounding guards interpolation
-  // op-order ulps.
+  // Exact quantiles with linear interpolation, computed via EXPLICIT
+  // rank + interpolation (identical formula text on both engines —
+  // builtin percentile/quantile_cont agree semantically but not in
+  // internal op order, which shifts ulps under rounding). Ties in v get
+  // arbitrary rank among equals, but vlo/vhi are then equal values, so
+  // the result is unaffected.
   val qPercentiles: Q = (s, d) => {
-    import graft.functions.DetRound.det
-    lineitem(s, d).agg(
-      det(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-      det(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-      det(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-      det(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+    import s.implicits._
+    val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val o = v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    val ps = Seq(0.25, 0.5, 0.75, 0.95).toDF("p")
+    val pick = ps.crossJoin(v.agg(count(lit(1)).as("n")))
+      .withColumn("k", (col("n") - 1) * col("p"))
+      .withColumn("lo", floor(col("k")).cast("long") + 1)
+      .withColumn("hi", least(floor(col("k")).cast("long") + 2, col("n")))
+      .withColumn("frac", col("k") - floor(col("k")))
+    val lov = o.select(col("rn").as("lo"), col("v").as("vlo"))
+    val hiv = o.select(col("rn").as("hi"), col("v").as("vhi"))
+    pick.join(lov, Seq("lo")).join(hiv, Seq("hi"))
+      .withColumn("q", graft.functions.DetRound.det(
+        col("vlo") + col("frac") * (col("vhi") - col("vlo")), 4))
+      .agg(
+        max(when(col("p") === 0.25, col("q"))).as("p25"),
+        max(when(col("p") === 0.5, col("q"))).as("p50"),
+        max(when(col("p") === 0.75, col("q"))).as("p75"),
+        max(when(col("p") === 0.95, col("q"))).as("p95"))
   }
 
   // Decile bucketing via ntile window + per-decile stats.
@@ -261,12 +297,28 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_percentiles" ->
-      """SELECT
-        | floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
-        | floor(quantile_cont(l_extendedprice, 0.5) * 10000 + 0.5) / 10000 AS p50,
-        | floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
-        | floor(quantile_cont(l_extendedprice, 0.95) * 10000 + 0.5) / 10000 AS p95
-        |FROM lineitem""".stripMargin,
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |pick AS (
+        |  SELECT p.p, (nn.n - 1) * p.p AS k,
+        |    CAST(floor((nn.n - 1) * p.p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(floor((nn.n - 1) * p.p) AS BIGINT) + 2, nn.n) AS hi,
+        |    (nn.n - 1) * p.p - floor((nn.n - 1) * p.p) AS frac
+        |  FROM (VALUES (0.25), (0.5), (0.75), (0.95)) p(p), nn),
+        |q AS (
+        |  SELECT pick.p,
+        |    floor((lov.v + pick.frac * (hiv.v - lov.v)) * 10000 + 0.5) / 10000
+        |      AS q
+        |  FROM pick
+        |  JOIN o lov ON lov.rn = pick.lo
+        |  JOIN o hiv ON hiv.rn = pick.hi)
+        |SELECT
+        |  max(CASE WHEN p = 0.25 THEN q END) AS p25,
+        |  max(CASE WHEN p = 0.5 THEN q END) AS p50,
+        |  max(CASE WHEN p = 0.75 THEN q END) AS p75,
+        |  max(CASE WHEN p = 0.95 THEN q END) AS p95
+        |FROM q""".stripMargin,
     "q_ntile" ->
       """SELECT decile, count(*) AS n,
         | round(min(c_acctbal), 2) AS lo_bal,
@@ -277,17 +329,23 @@ object Relational {
         |GROUP BY decile""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |   AS sum_disc_price,
+        | floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) * 1000000 + 0.5) / 1000000 AS avg_qty,
+        | floor(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) * 1000000 + 0.5) / 1000000 AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q6_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
@@ -295,7 +353,8 @@ object Relational {
         |  AND l_quantity < 24""".stripMargin,
     "q3_top_orders" ->
       """SELECT l_orderkey,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -305,7 +364,8 @@ object Relational {
         |LIMIT 10""".stripMargin,
     "q5_nation_revenue" ->
       """SELECT n_name,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -333,15 +393,16 @@ object Relational {
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
         | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        | round(sum(o_totalprice), 2) AS total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     "q_cube" ->
@@ -360,8 +421,14 @@ object Relational {
     "q_stats" ->
       """SELECT round(min(l_extendedprice), 2) AS min_price,
         | round(max(l_extendedprice), 2) AS max_price,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        | floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) * 1000000 + 0.5) / 1000000 AS avg_price,
+        | floor(sqrt((CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |       * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |       / count(*))
+        |   / (count(*) - 1)) * 10000 + 0.5) / 10000 AS sd_price,
         | count(DISTINCT l_partkey) AS n_parts
         |FROM lineitem""".stripMargin,
     "q_topk" ->
@@ -382,13 +449,16 @@ object Relational {
         |  ON o_custkey = ac_custkey
         |WHERE CAST(o_totalprice AS DECIMAL(18,2)) * cust_n * 2 > cust_sum * 3""".stripMargin,
     "q_having" ->
-      """SELECT c_nationkey, count(*) AS n, round(avg(c_acctbal), 4) AS avg_bal
+      """SELECT c_nationkey, count(*) AS n,
+        | floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) * 1000000 + 0.5) / 1000000 AS avg_bal
         |FROM customer
         |GROUP BY c_nationkey
         |HAVING count(*) >= 50""".stripMargin,
     "q_monthly" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
-        | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |GROUP BY 1""".stripMargin)
 }
