@@ -72,7 +72,23 @@ object Ext {
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
       numPlanes = 8, numTables = 6)
 
+  // Multimodal plumbing over synthesized binary media (testdata has no
+  // real media; text bytes stand in — the decode is stubbed by design,
+  // see graft.ext.Multimodal). Rows-only driver check + CodecSpec.
+  val mmFeatures: Q = (s, d) => {
+    val media = documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        col("text").cast("binary").as("content"))
+    val withMeta = graft.ext.Multimodal.withImageMeta(media, "media_id", "content")
+    graft.ext.Multimodal.extractFeatures(withMeta, gridW = 8, gridH = 8)
+      .toDF()
+      .select(col("media_id"),
+        col("embedding.shape").as("shape"),
+        size(col("embedding.values")).as("n_values"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_features" -> mmFeatures,
     "t_token_stats" -> tTokenStats,
     "t_lang_id" -> tLangId,
     "t_quality" -> tQuality,

@@ -273,7 +273,19 @@ object Relational {
         round(max(col("c_acctbal")), 2).as("hi_bal"))
   }
 
+  // GROUPING SETS via the SQL-text surface (temp views + spark.sql) —
+  // the engine's full SQL interface is part of the capability contract.
+  val qGroupingSets: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        |""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_ntile" -> qNtile,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -296,6 +308,10 @@ object Relational {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
     "q_percentiles" ->
       """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
         |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),

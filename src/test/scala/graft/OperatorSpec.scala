@@ -70,6 +70,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(-1.0) == -1 && got(25.0) == -1)
   }
 
+  test("approx_count_distinct within 5% of exact on lineitem partkeys") {
+    val li = graft.queries.Tables.lineitem(spark, SparkFixture.sf0001)
+    val exact = li.select(countDistinct(col("l_partkey"))).as[Long].head()
+    val approx = li.select(approx_count_distinct(col("l_partkey"))).as[Long].head()
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
   test("histogram asDf covers all buckets including empty ones") {
     val df = Seq(0.0, 100.0).toDF("v")
     val h = DfHistogram.asDf(df, "v", numBins = 4)

@@ -65,6 +65,40 @@ class StreamingSpec extends AnyFunSuite {
       (20L, 1L, 1.5), (20L, 2L, 6.0)).sortBy(x => (x._1, x._2)))
   }
 
+  test("stream-stream interval join: purchases joined to nearby errors") {
+    val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val dir = Files.createTempDirectory("ssj").toString
+    batch.write.mode("overwrite").parquet(dir)
+    def stream() = spark.readStream.schema(batch.schema).parquet(dir)
+    val purchases = stream().where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "1 hour")
+    val errors = stream().where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+      .withWatermark("e_ts", "1 hour")
+    // interval join: error within 6 hours AFTER a purchase (sf0.001 density)
+    val joined = purchases.join(errors,
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 6 hours"))
+    val got = EventStreams.runToMemory(joined, "ssj_stream")
+    // batch equivalent
+    val bp = batch.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+    val be = batch.where(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("e_id"))
+    val want = bp.join(be,
+      expr("p_user = e_user AND e_ts >= p_ts AND e_ts <= p_ts + interval 6 hours"))
+    val gotSet = got.select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val wantSet = want.select("p_id", "e_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotSet == wantSet)
+    assert(wantSet.nonEmpty)
+  }
+
   test("streaming dedup drops in-watermark duplicate keys") {
     val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
     // plant duplicates: every event twice
