@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.codec.Tensor
+import graft.ext.Dedup
+import graft.functions.StableHash
+
+/** Property-based tests (raw ScalaCheck — the scalatest bridge isn't on
+  * the classpath) — closes the reference's own test gap (SURVEY §5:
+  * "ScalaCheck ... for property tests of codec round-trips"). */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(label: String, p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(50), p)
+    assert(res.passed, s"$label: ${res.status}")
+  }
+
+  test("Tensor.fromDoubles/toDoubles is the identity for any payload") {
+    check("tensor-double", Prop.forAll(Gen.listOf(Gen.chooseNum(-1e12, 1e12))) {
+      xs: List[Double] =>
+        val t = Tensor.fromDoubles(xs.toArray)
+        t.toDoubles.toSeq == xs &&
+          (if (xs.length * 8 >= Tensor.AutoPackMinBytes) t.values.isEmpty
+           else t.values_packed.isEmpty)
+    })
+  }
+
+  test("Tensor.fromFloats/toFloats is the identity") {
+    check("tensor-float", Prop.forAll(Gen.listOf(Gen.chooseNum(-1e6f, 1e6f))) {
+      xs: List[Float] =>
+        Tensor.toFloats(Tensor.fromFloats(xs.toArray)).toSeq == xs
+    })
+  }
+
+  test("minhash signature: deterministic, length-stable, order-invariant") {
+    val sig = Dedup.minhashSignature(64)
+    check("minhash", Prop.forAll(Gen.listOf(Gen.alphaNumStr)) {
+      shingles: List[String] =>
+        val a = sig(shingles)
+        a == sig(shingles) && a.size == 64 && sig(shingles.reverse) == a
+    })
+  }
+
+  test("minhash similarity estimates jaccard within tolerance") {
+    val sig = Dedup.minhashSignature(256)
+    val base = (1 to 100).map(i => s"sh$i")
+    val a = sig(base)
+    check("minhash-jaccard", Prop.forAll(Gen.chooseNum(0, 100)) { overlap: Int =>
+      val other = (1 to overlap).map(i => s"sh$i") ++
+        (1 to (100 - overlap)).map(i => s"other$i")
+      val trueJ = overlap.toDouble / (200 - overlap)
+      val est = a.zip(sig(other)).count { case (x, y) => x == y }.toDouble / 256
+      math.abs(est - trueJ) < 0.15
+    })
+  }
+
+  test("simhash: deterministic; hamming symmetric") {
+    check("simhash", Prop.forAll(
+      Gen.listOf(Gen.alphaNumStr), Gen.listOf(Gen.alphaNumStr)) {
+      (a: List[String], b: List[String]) =>
+        val ha = Dedup.simhash64Fn(a)
+        val hb = Dedup.simhash64Fn(b)
+        Dedup.simhash64Fn(a) == ha &&
+          java.lang.Long.bitCount(ha ^ hb) == java.lang.Long.bitCount(hb ^ ha)
+    })
+  }
+
+  test("stableHash: deterministic; distinct on distinct strings") {
+    check("stablehash", Prop.forAll { (s1: String, s2: String) =>
+      StableHash.stableHash(s1) == StableHash.stableHash(s1) &&
+        (s1 == s2 || StableHash.stableHash(s1) != StableHash.stableHash(s2))
+    })
+  }
+}
