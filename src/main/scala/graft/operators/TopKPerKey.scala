@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded top-k per key WITHOUT sorting whole partitions.
+  *
+  * The window formulation (`row_number().over(partitionBy(key).orderBy
+  * (score)) <= k`) shuffles every row and SORTS every partition —
+  * O(n log n) per key and full materialization, which is exactly what
+  * hurts when a key holds millions of rows at 100 TB. This aggregator
+  * keeps a k-bounded buffer per key through map-side partial
+  * aggregation: each input partition contributes at most k rows per key
+  * to the shuffle, total work O(n log k), shuffle volume O(keys × k).
+  *
+  * Result parity with the window form (same rows for a unique tiebreak)
+  * is asserted in ScaleOpsSpec.
+  */
+object TopKPerKey {
+
+  /** One scored row: ordering by (score desc, tiebreak asc). */
+  case class Scored(score: Double, tiebreak: Long)
+
+  private class TopKAgg(k: Int)
+      extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def ord: Ordering[Scored] =
+      Ordering.by((s: Scored) => (-s.score, s.tiebreak))
+    override def zero: Seq[Scored] = Seq.empty
+    override def reduce(buf: Seq[Scored], a: Scored): Seq[Scored] =
+      insert(buf, a)
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      b.foldLeft(a)(insert)
+    private def insert(buf: Seq[Scored], a: Scored): Seq[Scored] = {
+      // buf kept sorted ascending in rank order, capped at k
+      if (buf.size < k) (buf :+ a).sorted(ord)
+      else if (ord.lt(a, buf.last)) ((buf :+ a).sorted(ord)).take(k)
+      else buf
+    }
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = bufferEncoder
+  }
+
+  /** Top-k rows per key: output (keyCols…, tiebreak, score, rank).
+    * `tiebreakCol` must be unique per row (deterministic ranking). */
+  def apply(
+      df: DataFrame, keyCols: Seq[String],
+      scoreCol: String, tiebreakCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val agg = udaf(new TopKAggregatorRows(k))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg(col(scoreCol).cast("double"), col(tiebreakCol).cast("long"))
+        .as("__top"))
+      .select((keyCols.map(col) :+ posexplode(col("__top"))
+        .as(Seq("__rank0", "__row"))): _*)
+      .select((keyCols.map(col) :+
+        col("__row.tiebreak").as(tiebreakCol) :+
+        col("__row.score").as(scoreCol) :+
+        (col("__rank0") + 1).as("rank")): _*)
+  }
+
+  /** udaf-friendly variant taking (score, tiebreak) columns. */
+  class TopKAggregatorRows(k: Int)
+      extends Aggregator[(Double, Long), Seq[Scored], Seq[Scored]] {
+    private val inner = new TopKAgg(k)
+    override def zero: Seq[Scored] = inner.zero
+    override def reduce(b: Seq[Scored], a: (Double, Long)): Seq[Scored] =
+      inner.reduce(b, Scored(a._1, a._2))
+    override def merge(a: Seq[Scored], b: Seq[Scored]): Seq[Scored] =
+      inner.merge(a, b)
+    override def finish(r: Seq[Scored]): Seq[Scored] = inner.finish(r)
+    override def bufferEncoder: Encoder[Seq[Scored]] = inner.bufferEncoder
+    override def outputEncoder: Encoder[Seq[Scored]] = inner.outputEncoder
+  }
+}

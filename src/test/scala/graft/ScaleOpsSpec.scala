@@ -55,6 +55,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("TopKPerKey matches the window row_number formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val o = graft.queries.Tables.orders(spark, SparkFixture.sf0001)
+    val viaAgg = graft.operators.TopKPerKey(
+      o, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+      .select("o_custkey", "o_orderkey", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val viaWindow = o.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select("o_custkey", "o_orderkey", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+    // and the plan aggregates partially (bounded shuffle), no Sort of
+    // the full input before the exchange
+    val df = graft.operators.TopKPerKey(
+      o, Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), plan)
+  }
+
   test("bucketed join plans without an Exchange (co-located)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
