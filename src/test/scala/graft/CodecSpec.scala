@@ -69,6 +69,30 @@ class CodecSpec extends AnyFunSuite {
     assert(new String(ArchiveEntry(zipPath, "a.txt").data, "UTF-8") == "alpha")
   }
 
+  test("graft-archive DataSource V2: format() read with partitioned entries") {
+    import java.util.zip.{ZipOutputStream, ZipEntry}
+    val dir = Files.createTempDirectory("dsv2")
+    val zipPath = dir.resolve("many.zip").toString
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(zipPath))
+    (1 to 100).foreach { i =>
+      zos.putNextEntry(new ZipEntry(s"f$i.txt"))
+      zos.write(s"payload-$i".getBytes("UTF-8")); zos.closeEntry()
+    }
+    zos.close()
+    val df = spark.read.format("graft-archive")
+      .option("entriesPerPartition", "16")
+      .load(zipPath)
+    assert(df.columns.toSeq == Seq("archive_path", "name", "content"))
+    assert(df.count() == 100)
+    assert(df.rdd.getNumPartitions == 7) // ceil(100/16)
+    val row = df.where(org.apache.spark.sql.functions.col("name") === "f42.txt")
+      .collect()(0)
+    assert(new String(row.getAs[Array[Byte]]("content"), "UTF-8") == "payload-42")
+    // column pruning + filter still work through the v2 scan
+    val names = df.select("name").where("name like 'f1%'").count()
+    assert(names == 12) // f1, f10..f19, f100
+  }
+
   test("ArchiveSource: tar round trip via dependency-free USTAR reader") {
     val dir = Files.createTempDirectory("tar")
     val src = dir.resolve("data")

@@ -69,6 +69,26 @@ class TextDedupSpec extends AnyFunSuite {
     assert(lsh.toSeq == exact.toSeq) // verified candidates == exact result
   }
 
+  test("jaccardPairs maxShingleDf drops stop-shingles (skew guard)") {
+    // 'common words here' appears in all docs; with a df cap of 2 the
+    // shared stop-shingle is dropped and only the true dup pair remains.
+    val df = textDf(
+      (1L, "common words here alpha beta gamma delta"),
+      (2L, "common words here alpha beta gamma delta"),
+      (3L, "common words here totally different content now"),
+      (4L, "common words here unrelated text about other things"))
+    val unfiltered = Dedup.jaccardPairs(df, "doc_id", "text", 0.1)
+    val filtered = Dedup.jaccardPairs(df, "doc_id", "text", 0.1,
+      maxShingleDf = Some(2))
+    // the cap can only REMOVE candidate pairs, never add
+    val uf = unfiltered.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val f = filtered.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(f.subsetOf(uf))
+    assert(f.contains((1L, 2L))) // exact dups survive (their shingles df=2)
+  }
+
   test("simhash: identical docs hamming 0, near-dups small, distinct large") {
     val h = Dedup.simhash64Fn
     val a = h(Seq("spark", "data", "engine", "scale", "join", "filter"))
