@@ -9,9 +9,12 @@ import org.apache.spark.sql.types.StructField
   * Semantics from the reference's schema-merging union
   * (ref: oarphpy/spark.py:149-192): the result schema is the union of all
   * input columns; frames missing a column get it null-padded; a column
-  * present in two frames with conflicting dtype or nullability is an
-  * error (the reference raises TypeError — we throw
-  * IllegalArgumentException with the same information).
+  * present in two frames with conflicting dtype is an error (the
+  * reference raises TypeError — we throw IllegalArgumentException with
+  * the same information). Documented divergence: the reference ALSO
+  * errors on nullability conflicts (spark.py:184-189); this engine
+  * widens nullability instead (Spark's unionByName semantics) — strictly
+  * more permissive, never changes values.
   *
   * Scale notes: union is a pure logical concat — no shuffle. Null-pad
   * projections are codegen'd `Project` nodes; Catalyst prunes them if the

@@ -262,7 +262,10 @@ object Relational {
         max(when(col("p") === 0.95, col("q"))).as("p95"))
   }
 
-  // Decile bucketing via ntile window + per-decile stats.
+  // Decile bucketing via ntile window + per-decile stats. NOTE the
+  // unpartitioned window = one global sort reducer — exact semantics
+  // for the oracle gate; at 100 TB compute approx_percentile edges and
+  // Bucketize instead (see SCALE.md "known deltas").
   val qNtile: Q = (s, d) => {
     val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
     customer(s, d)
