@@ -44,23 +44,25 @@ object StableHash {
     * value's string form, UTF-8 encoded — reproduces the reference's
     * golden RGB triples. */
   def hashToRgb(x: Any): (Int, Int, Int) = {
+    // Full 128-bit md5 digest as an unsigned integer, Knuth multiplicative
+    // modulus for the hue, HSV→RGB, TRUNCATED to ints — reproduces the
+    // reference's golden RGB triples exactly (e.g. "moof" → 145,40,204).
     val d = MessageDigest.getInstance("MD5")
       .digest(String.valueOf(x).getBytes(StandardCharsets.UTF_8))
-    // First 8 bytes as unsigned big-endian int, Knuth-style scatter.
-    val h = d.take(8).foldLeft(BigInt(0))((acc, b) => (acc << 8) | (b & 0xff))
-    val hue = (h % 2654435769L).toDouble / 2654435769.0
-    val (r, g, b) = hsvToRgb(hue, 0.8, 0.8)
-    (r, g, b)
+    val h128 = BigInt(1, d) // positive, big-endian — matches hexdigest int
+    val hue = (h128 mod BigInt(2654435769L)).toDouble / 2654435769.0
+    hsvToRgb(hue, 0.8, 0.8)
   }
 
   private def hsvToRgb(h: Double, s: Double, v: Double): (Int, Int, Int) = {
-    val i = (h * 6).toInt % 6
-    val f = h * 6 - (h * 6).toInt
-    val p = v * (1 - s); val q = v * (1 - f * s); val t = v * (1 - (1 - f) * s)
-    val (r, g, b) = i match {
+    // colorsys.hsv_to_rgb semantics (standard HSV sector formula).
+    val i = (h * 6).toInt
+    val f = h * 6 - i
+    val p = v * (1 - s); val q = v * (1 - s * f); val t = v * (1 - s * (1 - f))
+    val (r, g, b) = (i % 6) match {
       case 0 => (v, t, p); case 1 => (q, v, p); case 2 => (p, v, t)
       case 3 => (p, q, v); case 4 => (t, p, v); case _ => (v, p, q)
     }
-    ((r * 255).round.toInt, (g * 255).round.toInt, (b * 255).round.toInt)
+    ((r * 255).toInt, (g * 255).toInt, (b * 255).toInt)
   }
 }

@@ -11,6 +11,8 @@ import graft.ext.Multimodal
   * _check_serialization): objects → Dataset → parquet → Dataset →
   * objects, compared for equality, plus schema assertions. */
 case class TensorRow(id: Long, t: Tensor)
+case class ComplexRow(id: Long, t: Tensor, fn: SerializedFn,
+    nested: Map[String, Seq[Double]], label: String)
 
 class CodecSpec extends AnyFunSuite {
   lazy val spark = SparkFixture.spark
@@ -30,6 +32,28 @@ class CodecSpec extends AnyFunSuite {
     assert(tSchema.contains("shape"), tSchema)
     assert(tSchema.contains("dtype") && tSchema.contains("order"))
     assert(tSchema.contains("values") && tSchema.contains("values_packed"))
+  }
+
+  test("kitchen-sink row: tensor + fn + nesting in one frame, sparse second row") {
+    // ref: the "complex row" fixture (test_spark.py:1097-1109) — every
+    // codec feature in one row plus a mostly-empty row.
+    val full = ComplexRow(
+      id = 1L,
+      t = Tensor.fromDoubles(Array.tabulate(400)(_ * 0.5), Seq(2L, 200L)),
+      fn = SerializedFn(() => "lazy-payload"),
+      nested = Map("k" -> Seq(2.5, 3.5)),
+      label = "full")
+    val sparse = ComplexRow(2L, Tensor.fromDoubles(Array(1.0)),
+      SerializedFn.empty, Map.empty, null)
+    val dir = Files.createTempDirectory("complex").toString
+    Seq(full, sparse).toDS().write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).as[ComplexRow].collect().sortBy(_.id)
+    assert(back(0).t.toDoubles.length == 400)
+    assert(back(0).t.values_packed.nonEmpty) // 400*8 > 2KiB → packed
+    assert(back(0).fn.invoke[String]() == "lazy-payload")
+    assert(back(0).nested("k") == Seq(2.5, 3.5))
+    assert(back(1).fn.isEmpty && back(1).nested.isEmpty && back(1).label == null)
+    assert(back(1).t.values == Seq(1.0)) // small → queryable values
   }
 
   test("SerializedFn as column data: flyweight-factory round trip") {

@@ -52,6 +52,19 @@ class OperatorSpec extends AnyFunSuite {
     assert(r.counts.sum == 101L)
   }
 
+  test("DfHistogram reference goldens: range(101) and squares") {
+    // ref: oarphpy_test/test_plotting.py:38-60
+    val df = (0 to 100).map(x => (x.toDouble, (x * x).toDouble)).toDF("a", "b")
+    val h1 = DfHistogram(df, "a", numBins = 1)
+    assert(h1.counts.toSeq == Seq(101L))
+    assert(h1.edges.toSeq == Seq(0.0, 100.0))
+    val h2 = DfHistogram(df, "a", numBins = 2)
+    assert(h2.counts.toSeq == Seq(50L, 51L))
+    val h4 = DfHistogram(df, "b", numBins = 4)
+    assert(h4.counts.toSeq == Seq(50L, 21L, 16L, 14L), h4.counts.mkString(","))
+    assert(h4.edges.toSeq == Seq(0.0, 2500.0, 5000.0, 7500.0, 10000.0))
+  }
+
   test("DfHistogram handles constant column and nulls") {
     val df = Seq(Some(5.0), Some(5.0), None, Some(5.0)).toDF("v")
     val r = DfHistogram(df, "v", numBins = 10)
