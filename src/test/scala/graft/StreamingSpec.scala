@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.nio.file.Files
+import org.apache.spark.sql.types._
 import java.sql.Timestamp
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, SessionOut}
@@ -110,6 +111,40 @@ class StreamingSpec extends AnyFunSuite {
       EventStreams.dedupStream(stream, Seq("event_id")), "dedup_stream")
     assert(got.count() == batch.count())
     assert(got.select("event_id").distinct().count() == batch.count())
+  }
+
+  test("checkpointed streaming: restart resumes exactly-once, no reprocessing") {
+    val srcDir = Files.createTempDirectory("ck_src").toString
+    val ckDir = Files.createTempDirectory("ck_state").toString
+    val outDir = Files.createTempDirectory("ck_out").toString
+    def writeBatch(ids: Range): Unit =
+      ids.map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .write.mode("append").parquet(srcDir)
+    def runOnce(): Unit = {
+      // file sink: the fault-tolerant sink that supports checkpoint
+      // recovery (the memory sink explicitly does not)
+      val stream = spark.readStream
+        .schema(StructType(Seq(
+          StructField("id", LongType), StructField("v", DoubleType))))
+        .parquet(srcDir)
+      val q = stream.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .outputMode(OutputMode.Append)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeBatch(1 to 100)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() == 100)
+    // new data arrives; a RESTARTED query must process only the delta
+    writeBatch(101 to 150)
+    runOnce()
+    val ids = spark.read.parquet(outDir).select("id").as[Long].collect()
+    assert(ids.length == 150, s"expected exactly-once, got ${ids.length}")
+    assert(ids.distinct.length == 150)
   }
 
   test("batch sessionization query matches hand-computed sessions") {
