@@ -242,6 +242,55 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ---------------------------------------------------- Connected components
+
+  /** Duplicate-cluster formation: given near-dup PAIRS, label every id
+    * with the minimum id reachable in its connected component (the
+    * canonical representative). Classic iterative min-label propagation:
+    * each round joins current labels across the (symmetrized) edge set
+    * and keeps the min — O(diameter) rounds of one equi-join + one
+    * groupBy each, all distributed; converges when no label changes.
+    * Dup clusters are near-cliques in practice, so diameter (and the
+    * round count) is tiny regardless of data size. */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster_id", col("id")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaNeighbor = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.select(col("id"), col("cluster_id"))
+        .union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("id")).where(col("cluster_id") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-dedup keep-set: every doc labeled with its cluster's canonical
+    * id; docs in no pair are their own singleton cluster. */
+  def nearDedupClusters(
+      df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    df.select(col(idCol).as("id"))
+      .join(comps, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+  }
+
   // ------------------------------------------------------- Embedding cosine
 
   /** Cosine similarity between two array<double> columns via the native

@@ -109,6 +109,21 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("connectedComponents: transitive chains collapse to min label") {
+    // chain 1-2, 2-3 (1 and 3 never paired directly) + isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(7L) == 7L && comps(9L) == 7L)
+    // singletons via nearDedupClusters
+    val all = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val clustered = Dedup.nearDedupClusters(all, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clustered(5L) == 5L)
+    assert(clustered(3L) == 1L)
+  }
+
   test("quality score rewards length and structure") {
     val df = textDf(
       (1L, "a good document with many meaningful words that continues " +
