@@ -266,10 +266,13 @@ object Dedup {
       val viaNeighbor = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("cluster_id"))
+      // localCheckpoint truncates the plan lineage, which otherwise
+      // doubles per round (a correctness hazard for deep graphs, not
+      // just a perf one: the analyzer blows up past ~15 rounds).
       val next = labels.select(col("id"), col("cluster_id"))
         .union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("id")).where(col("cluster_id") =!= col("old")).count()
       labels.unpersist()

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.util.Random
+import graft.operators.{AsOfJoin, TopKPerKey, UnionDfs}
+
+/** Differential testing on seeded random data: each distributed operator
+  * vs an independent brute-force reference computed in plain Scala.
+  * Seeds are fixed — failures reproduce exactly. */
+class DifferentialSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  test("AsOfJoin == brute-force most-recent-prior on random data") {
+    val rng = new Random(42)
+    val lefts = (1 to 300).map(i =>
+      (rng.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i.toLong))
+    val rights = (1 to 200).map(i =>
+      (rng.nextInt(12).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i * 1.5))
+    val l = lefts.toDF("key", "ts", "lid")
+    val r = rights.toDF("key", "ts", "px")
+    val got = AsOfJoin(l, r, "key", "ts", Seq("px"))
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        Option(row.getAs[Any]("asof_px")).map(_.asInstanceOf[Double]))
+      .toMap
+    // brute force: latest right with ts <= left.ts per key; tiebreak on
+    // equal right ts = max px position... rights have unique (key, ts)?
+    // Possibly not — dedupe rights to the LAST-wins-by-px like the
+    // window (last over equal ts is the max in orderBy(ts, side) with
+    // stable input order not guaranteed) — so keep only rights with
+    // unique (key, ts) to make the reference well-defined.
+    val uniqueRights = rights.groupBy(x => (x._1, x._2))
+      .filter(_._2.size == 1).values.flatten.toSeq
+    val rightsByKey = uniqueRights.groupBy(_._1)
+    lefts.foreach { case (k, ts, lid) =>
+      val expected = rightsByKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.after(ts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      val dupTs = rights.groupBy(x => (x._1, x._2)).exists { case ((rk, rts), vs) =>
+        rk == k && !rts.after(ts) && vs.size > 1 }
+      if (!dupTs) // skip lefts whose answer depends on ambiguous dup-ts rights
+        assert(got(lid) == expected, s"left $lid key=$k ts=$ts")
+    }
+  }
+
+  test("TopKPerKey == window on random skewed data") {
+    val rng = new Random(7)
+    val rows = (1 to 5000).map { i =>
+      val key = if (rng.nextInt(4) == 0) 1L else rng.nextInt(50).toLong
+      (key, rng.nextDouble() * 1000, i.toLong)
+    }
+    val df = rows.toDF("k", "score", "id").repartition(8)
+    val viaAgg = TopKPerKey(df, Seq("k"), "score", "id", k = 5)
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val viaWindow = df.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5).select("k", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("UnionDfs n-ary: three frames, full column union") {
+    val a = Seq((1L, "a")).toDF("id", "x")
+    val b = Seq((2L, 2.5)).toDF("id", "y")
+    val c = Seq((3L, true)).toDF("id", "z")
+    val u = UnionDfs(a, b, c).orderBy("id")
+    assert(u.columns.toSeq == Seq("id", "x", "y", "z"))
+    val rows = u.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "a" && rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(2).getBoolean(3) && rows(2).isNullAt(1))
+  }
+}
