@@ -23,8 +23,17 @@ object TextFunctions {
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
-  /** Whitespace+punctuation token count (BPE-ish proxy: alnum runs). */
+  /** Whitespace+punctuation token count (alnum runs). */
   def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish token count: segments the lowercased text the way byte-pair
+    * pre-tokenizers do — optional leading space glued to letter runs,
+    * digit runs, and symbol runs each count as one token (the GPT-2
+    * pre-tokenizer shape, simplified to a dialect-portable regex).
+    * DuckDB equivalent: len(regexp_extract_all(lower(c),
+    * ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')). */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(lower(c), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
 
   /** Word n-gram shingles (distinct), the dedup unit. For a token array
     * t of size s: shingle i = t[i] ' ' t[i+1] ... t[i+n-1], i = 1..s-n+1

@@ -26,6 +26,7 @@ object Ext {
       col("doc_id"),
       TF.tokenCount(col("text")).as("n_tokens"),
       size(TF.distinctTokens(col("text"))).as("n_distinct_tokens"),
+      TF.bpeishTokenCount(col("text")).as("n_bpeish_tokens"),
       TF.fingerprint(col("text")).as("fingerprint"))
 
   val tLangId: Q = (s, d) =>
@@ -190,10 +191,12 @@ object Ext {
          |           d.doc_id) AS cluster_id
          |FROM documents d""".stripMargin,
     "t_token_stats" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
          |SELECT doc_id,
          |  CAST(len(t) AS INT) AS n_tokens,
          |  CAST(len(list_distinct(t)) AS INT) AS n_distinct_tokens,
+         |  CAST(len(regexp_extract_all(lower(text),
+         |    ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS INT) AS n_bpeish_tokens,
          |  md5(array_to_string(t, ' ')) AS fingerprint
          |FROM toks""".stripMargin,
     "t_lang_id" -> langCase,
