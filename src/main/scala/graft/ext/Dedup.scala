@@ -78,9 +78,12 @@ object Dedup {
     // single-partition inputs AND pre-shuffles both sides of the
     // self-join (exchange reuse keeps it to one shuffle).
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // localCheckpoint, not cache: blocks are GC-cleaned when the frame
+    // is unreferenced, so repeated calls in a long session don't leak
+    // executor storage (cache persists until explicit unpersist).
     val sh = shingleRows(
       df.repartition(p), idCol, textCol, n, maxShingleDf)
-      .repartition(p, col("__sh")).cache()
+      .repartition(p, col("__sh")).localCheckpoint()
     val sizes = sh.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val a = sh.select(col("__id").as("id_a"), col("__sh"))
     val b = sh.select(col("__id").as("id_b"), col("__sh"))
@@ -161,7 +164,7 @@ object Dedup {
       .select(col("__id"), udf(shingleFn(n)).apply(col("__text")).as("__shs"))
       .where(size(col("__shs")) > 0)
       .withColumn("__sig", sigUdf(col("__shs")))
-      .cache()
+      .localCheckpoint() // see jaccardPairs: GC-safe, no storage leak
 
     // band key = (band index, hash of the signature slice)
     val banded = docs.select(col("__id"), posexplode(
@@ -257,9 +260,9 @@ object Dedup {
       maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct().cache()
+      .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).cache()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -275,12 +278,10 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
         Seq("id")).where(col("cluster_id") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

@@ -57,9 +57,10 @@ object Multimodal {
   object DecodeStub {
     def decodeToGray(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
       val out = new Array[Float](w * h)
+      if (bytes.isEmpty) return out // empty media → zero raster
       var i = 0
       while (i < out.length) {
-        out(i) = ((bytes(i % math.max(1, bytes.length)) & 0xff) / 255.0f)
+        out(i) = ((bytes(i % bytes.length) & 0xff) / 255.0f)
         i += 1
       }
       out

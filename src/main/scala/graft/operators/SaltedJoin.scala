@@ -29,6 +29,14 @@ object SaltedJoin {
       keyCols: Seq[String], saltFactor: Int,
       joinType: String = "inner"): DataFrame = {
     require(saltFactor > 1, "saltFactor must be > 1")
+    // Right/full outer would emit saltFactor null-padded copies of every
+    // unmatched right row (each replica misses the left's single salt
+    // value) — reject rather than silently corrupt.
+    val safe = Set("inner", "left", "left_outer", "leftouter", "cross",
+      "left_semi", "leftsemi", "left_anti", "leftanti")
+    require(safe(joinType.toLowerCase),
+      s"salted $joinType would duplicate unmatched right rows; " +
+        "only inner/left/semi/anti/cross are salt-safe")
     val saltL = pmod(
       xxhash64(left.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
       .cast("int")

@@ -51,7 +51,11 @@ object TopKPerKey {
     val spark = df.sparkSession
     import spark.implicits._
     val agg = udaf(new TopKAggregatorRows(k))
-    df.groupBy(keyCols.map(col): _*)
+    // Null scores/tiebreaks would decode as 0.0/0L in the primitive
+    // input tuple and silently compete; the window formulation ranks
+    // null scores last. Drop them — a null score is unrankable.
+    df.where(col(scoreCol).isNotNull && col(tiebreakCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
       .agg(agg(col(scoreCol).cast("double"), col(tiebreakCol).cast("long"))
         .as("__top"))
       .select((keyCols.map(col) :+ posexplode(col("__top"))

@@ -30,7 +30,11 @@ object UnionDfs {
     for (df <- dfs; f <- df.schema.fields) {
       byName.get(f.name) match {
         case Some(prev) =>
-          if (prev.dataType != f.dataType)
+          // compare modulo nullability at every nesting level — nested
+          // containsNull/valueContainsNull differences are widened by
+          // unionByName, not conflicts
+          if (org.apache.spark.sql.graftbridge.Bridge.asNullable(prev.dataType) !=
+              org.apache.spark.sql.graftbridge.Bridge.asNullable(f.dataType))
             throw new IllegalArgumentException(
               s"Conflicting types for column ${f.name}: " +
                 s"${prev.dataType.simpleString} vs ${f.dataType.simpleString}")

@@ -82,15 +82,19 @@ class ArchiveReaderFactory extends PartitionReaderFactory {
     val ap = p.asInstanceOf[ArchivePartition]
     new PartitionReader[InternalRow] {
       private val archive = ArchiveSource.openArchive(ap.path)
-      private var i = -1
-      override def next(): Boolean = { i += 1; i < ap.names.length }
-      override def get(): InternalRow = {
-        val name = ap.names(i)
+      // readMany: one central-directory lookup per entry for zip, one
+      // sequential scan for the WHOLE partition for tar (per-entry
+      // random access would re-scan the stream per entry).
+      private val it = archive.readMany(ap.names.toSet)
+      private var cur: (String, Array[Byte]) = _
+      override def next(): Boolean = {
+        if (it.hasNext) { cur = it.next(); true } else false
+      }
+      override def get(): InternalRow =
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(ap.path),
-          UTF8String.fromString(name),
-          archive.read(name)))
-      }
+          UTF8String.fromString(cur._1),
+          cur._2))
       override def close(): Unit = archive.close()
     }
   }

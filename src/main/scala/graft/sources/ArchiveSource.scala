@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.{BufferedInputStream, FileInputStream, InputStream}
+import java.io.{BufferedInputStream, EOFException, FileInputStream, InputStream}
 import java.util.zip.{ZipFile, GZIPInputStream}
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -33,6 +33,12 @@ object ArchiveSource {
   trait Archive extends AutoCloseable {
     def entryNames: Seq[String]
     def read(name: String): Array[Byte]
+    /** Bulk read: zip resolves each name via the central directory;
+      * tar overrides with a SINGLE sequential scan (random access per
+      * entry would re-scan — and re-gunzip — the whole stream). Order
+      * of the returned pairs is archive order, not `names` order. */
+    def readMany(names: Set[String]): Iterator[(String, Array[Byte])] =
+      names.iterator.map(n => n -> read(n))
   }
 
   private final class Zip(path: String) extends Archive {
@@ -53,6 +59,22 @@ object ArchiveSource {
       try in.readAllBytes() finally in.close()
     }
     def close(): Unit = zf.close()
+  }
+
+  /** Read-based skip: InputStream.skip is unusable for truncation
+    * detection — GZIP streams return 0 at EOF (infinite loop in a naive
+    * skip loop) and FileInputStream SEEKS PAST EOF silently. Reading is
+    * sequential-scan speed (the stream is buffered and, for .gz, being
+    * decompressed anyway) and fails loudly on truncation. */
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    val buf = new Array[Byte](8192)
+    var left = n
+    while (left > 0) {
+      val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+      if (r < 0)
+        throw new EOFException(s"truncated archive: $left bytes missing")
+      left -= r
+    }
   }
 
   /** Dependency-free USTAR reader (Commons Compress is not on the
@@ -83,9 +105,7 @@ object ArchiveSource {
             val typeFlag = hdr(156).toChar
             f(name, size, in).foreach(out += _)
             // f must consume exactly `size` bytes if it reads; skip pad.
-            val pad = (512 - (size % 512)) % 512
-            var toSkip = pad
-            while (toSkip > 0) toSkip -= in.skip(toSkip)
+            skipFully(in, (512 - (size % 512)) % 512)
             if (typeFlag == '5') () // directory: size 0, nothing to do
           } else done = true
         }
@@ -93,8 +113,7 @@ object ArchiveSource {
       out.result()
     }
     def entryNames: Seq[String] = scan { (name, size, in) =>
-      var toSkip = size
-      while (toSkip > 0) toSkip -= in.skip(toSkip)
+      skipFully(in, size)
       if (name.nonEmpty && !name.endsWith("/")) Some(name) else None
     }
     def read(target: String): Array[Byte] = {
@@ -109,14 +128,30 @@ object ArchiveSource {
           }
           Some(buf)
         } else {
-          var toSkip = size
-          while (toSkip > 0) toSkip -= in.skip(toSkip)
+          skipFully(in, size)
           None
         }
       }
       require(hits.nonEmpty, s"no entry $target in $path")
       hits.head
     }
+    /** Single sequential pass for a whole name set. */
+    override def readMany(names: Set[String]): Iterator[(String, Array[Byte])] =
+      scan { (name, size, in) =>
+        if (names.contains(name)) {
+          val buf = new Array[Byte](size.toInt)
+          var got = 0
+          while (got < size) {
+            val r = in.read(buf, got, size.toInt - got)
+            require(r >= 0, s"truncated tar entry $name")
+            got += r
+          }
+          Some(name -> buf)
+        } else {
+          skipFully(in, size)
+          None
+        }
+      }.iterator
     def close(): Unit = ()
   }
 
@@ -144,14 +179,13 @@ object ArchiveSource {
     val spark = ds.sparkSession
     import spark.implicits._
     ds.mapPartitions { it =>
-      val handles = scala.collection.mutable.Map.empty[String, Archive]
-      val out = it.map { e =>
-        val a = handles.getOrElseUpdate(e.archive_path, openArchive(e.archive_path))
-        (e.name, a.read(e.name))
+      // Group this partition's entries by archive, then one readMany
+      // per archive (single pass for tar, directory lookups for zip).
+      it.toSeq.groupBy(_.archive_path).iterator.flatMap {
+        case (path, entries) =>
+          withArchive(path)(_.readMany(entries.map(_.name).toSet).toSeq)
+            .iterator
       }
-      // Note: handles leak until task end for simplicity of the lazy
-      // iterator; ZipFile handles are cheap and task-scoped.
-      out
     }
   }
 }

@@ -64,13 +64,17 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
           } else {
+            // getTime is ms-truncated; recover the sub-ms µs from
+            // getNanos or the batch twin (unix_micros) diverges.
+            def usOf(e: Event): Long =
+              e.ts.getTime / 1000 * 1000000L + e.ts.getNanos / 1000
             // Events within a micro-batch arrive unordered: sort locally
             // (bounded by per-user-per-batch volume, not total data).
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (usOf(e), e.event_id))
             var cur = state.getOption
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val us = e.ts.getTime * 1000
+              val us = usOf(e)
               cur match {
                 case Some(s) if us - s.endUs <= gapUs =>
                   cur = Some(s.copy(endUs = math.max(s.endUs, us),

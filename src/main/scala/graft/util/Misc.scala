@@ -93,13 +93,19 @@ object Misc {
       (Files.isDirectory(path) && allFilesRecursive(p).isEmpty)
   }
 
-  /** Shell out with captured output (ref: oarphpy/util/misc.py:332-350). */
+  /** Shell out with captured output (ref: oarphpy/util/misc.py:332-350).
+    * A missing binary returns (127, message) rather than throwing, so
+    * graceful-degradation callers (getGpuInfos on GPU-less hosts) work. */
   def runCmd(cmd: Seq[String]): (Int, String) = {
     import scala.sys.process._
     val out = new StringBuilder
-    val code = cmd ! ProcessLogger(l => out.append(l).append('\n'),
-      l => out.append(l).append('\n'))
-    (code, out.toString)
+    try {
+      val code = cmd ! ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n'))
+      (code, out.toString)
+    } catch {
+      case e: java.io.IOException => (127, e.getMessage)
+    }
   }
 
   /** nvidia-smi CSV → typed GPU rows (ref: oarphpy/util/misc.py:550-621

@@ -46,7 +46,9 @@ object HistogramWithExamples {
       case None => Seq(("ALL", df))
       case Some(p) =>
         df.select(col(p)).distinct().collect().map(_.get(0))
-          .map(v => (String.valueOf(v), df.filter(col(p) === lit(v))))
+          // null-safe equality: a null pivot value must select its rows
+          // (plain === never matches null and silently drops them)
+          .map(v => (String.valueOf(v), df.filter(col(p) <=> lit(v))))
           .sortBy(_._1).toSeq
     }
     val buckets = pivots.flatMap { case (pivotName, pdf) =>

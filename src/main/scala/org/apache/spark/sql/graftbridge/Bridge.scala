@@ -14,6 +14,11 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** DataType.asNullable is private[sql]; needed to compare schemas
+    * modulo nested nullability. */
+  def asNullable(dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt.asNullable
+
   /** Register a function builder into a LIVE session's registry (the
     * runtime analog of SparkSessionExtensions.injectFunction, which only
     * applies at session construction). */

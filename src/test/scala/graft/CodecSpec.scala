@@ -135,6 +135,33 @@ class CodecSpec extends AnyFunSuite {
     assert(bytes("two.txt") == "second file with more bytes")
   }
 
+  test("ArchiveSource: truncated tar fails loudly instead of hanging") {
+    val dir = Files.createTempDirectory("trunc")
+    val src = dir.resolve("data")
+    Files.createDirectories(src)
+    Files.writeString(src.resolve("big.txt"), "x" * 5000)
+    val tarPath = dir.resolve("t.tar").toString
+    import scala.sys.process._
+    assert(Seq("tar", "-cf", tarPath, "-C", src.toString, "big.txt").! == 0)
+    // truncate mid-payload
+    val ch = java.nio.channels.FileChannel.open(
+      java.nio.file.Paths.get(tarPath),
+      java.nio.file.StandardOpenOption.WRITE)
+    ch.truncate(1024); ch.close()
+    intercept[Exception] {
+      ArchiveSource.withArchive(tarPath)(_.entryNames)
+    } // EOFException/IllegalState — anything but an infinite loop
+  }
+
+  test("Multimodal: empty media bytes produce a zero raster, no crash") {
+    val df = Seq((1L, Array.emptyByteArray)).toDF("media_id", "content")
+    val feats = Multimodal.extractFeatures(
+      Multimodal.withImageMeta(df, "media_id", "content"))
+      .collect()
+    assert(feats.length == 1)
+    assert(graft.codec.Tensor.toFloats(feats(0).embedding).forall(_ == 0.0f))
+  }
+
   test("Multimodal: binary columns + stubbed feature extraction plumbing") {
     val jpegHeader = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
       0x00, 0x07, 0x00, 0x09, 0x01, 0x00, 0x00, 0x00, 0x00).map(_.toByte)

@@ -19,6 +19,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(1).getDouble(2) == 3.5)
   }
 
+  test("UnionDfs widens nested nullability instead of rejecting it") {
+    import org.apache.spark.sql.types._
+    // same element type, different containsNull → widened, not an error
+    val a = Seq(Tuple1(Seq(1L))).toDF("xs") // containsNull=false
+    val bSchema = StructType(Seq(
+      StructField("xs", ArrayType(LongType, containsNull = true))))
+    val b = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(Seq(2L, 3L))), bSchema)
+    val u = UnionDfs(a, b)
+    assert(u.count() == 2)
+  }
+
+  test("MiscSpec.runCmd missing binary returns 127, not an exception") {
+    val (code, msg) = graft.util.Misc.runCmd(Seq("definitely-not-a-binary-xyz"))
+    assert(code == 127 && msg.nonEmpty)
+    assert(graft.util.Misc.getGpuInfos != null) // graceful on GPU-less host
+  }
+
   test("UnionDfs rejects conflicting column types (reference error contract)") {
     val a = Seq((1L, "x")).toDF("id", "v")
     val b = Seq((2L, 3.5)).toDF("id", "v")

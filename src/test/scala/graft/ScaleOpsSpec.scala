@@ -42,6 +42,29 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("salted join rejects outer join types (would duplicate right rows)") {
+    val l = Seq((1L, "x")).toDF("k", "lv")
+    val r = Seq((1L, "y"), (2L, "z")).toDF("k", "rv")
+    val e = intercept[IllegalArgumentException](
+      SaltedJoin(l, r, Seq("k"), 4, joinType = "full"))
+    assert(e.getMessage.contains("salt-safe"))
+    // left join stays supported: unmatched LEFT rows appear exactly once
+    val lj = SaltedJoin(l, Seq((9L, "w")).toDF("k", "rv"), Seq("k"), 4, "left")
+    assert(lj.count() == 1 && lj.collect()(0).isNullAt(2))
+  }
+
+  test("TopKPerKey drops null scores (window parity: nulls rank last)") {
+    val df = Seq(
+      (1L, Some(-5.0), 1L), (1L, None, 2L), (1L, Some(-7.0), 3L))
+      .toDF("k", "score", "id")
+    val got = graft.operators.TopKPerKey(df, Seq("k"), "score", "id", k = 2)
+      .select("id", "rank").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // null-score row never enters; -5.0 ranks first even though a null
+    // decoded as 0.0 would have beaten it
+    assert(got == Map(1L -> 1, 3L -> 2))
+  }
+
   test("salted join returns the identical multiset as the plain join") {
     // skewed left: key 1 dominates
     val left = ((1 to 1000).map(_ => (1L, "hot")) ++
