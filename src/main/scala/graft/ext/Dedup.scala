@@ -245,6 +245,49 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  // ------------------------------------------------------- Full pipeline
+
+  /** End-to-end dedup pipeline, composed the way it must run at scale:
+    *
+    *   1. EXACT dedup first — duplicate-heavy corpora (the common case
+    *      for web-scale training data) multiply every shingle's document
+    *      frequency by the copy count, which blows the near-dup join up
+    *      QUADRATICALLY (Σ df² cost). Collapsing exact copies first
+    *      bounds that: near-dup work runs on unique texts only.
+    *   2. MinHash-LSH candidates + exact-Jaccard verify on the unique
+    *      texts.
+    *   3. Connected components → canonical id per near-dup cluster.
+    *
+    * Returns df's rows labeled: `exact_rep` (canonical id of the exact-
+    * duplicate group) and `cluster_rep` (canonical id of the near-dup
+    * cluster); rows to keep are `idCol == cluster_rep`. */
+  def pipeline(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val groups = exactGroups(df, idCol, textCol)
+      .select(col("content_hash"), col("keep_id"))
+    val withHash = df.withColumn("__h", md5(col(textCol)))
+      .join(groups.withColumnRenamed("content_hash", "__h"), Seq("__h"))
+      .withColumnRenamed("keep_id", "exact_rep")
+    val uniqueTexts = withHash.where(col(idCol) === col("exact_rep"))
+      .select(col(idCol), col(textCol))
+    val pairs = minhashLshPairs(uniqueTexts, idCol, textCol, threshold, n)
+    val clusters = nearDedupClusters(uniqueTexts, idCol, pairs)
+      .withColumnRenamed("cluster_id", "cluster_rep")
+      .withColumnRenamed("id", "exact_rep")
+    withHash.join(clusters, Seq("exact_rep"))
+      .drop("__h")
+  }
+
+  /** The keep-set of `pipeline`: one canonical row per near-dup cluster. */
+  def pipelineKeep(
+      df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8, n: Int = 3): DataFrame = {
+    val labeled = pipeline(df, idCol, textCol, threshold, n)
+    labeled.where(col(idCol) === col("cluster_rep"))
+      .drop("exact_rep", "cluster_rep")
+  }
+
   // ---------------------------------------------------- Connected components
 
   /** Duplicate-cluster formation: given near-dup PAIRS, label every id

@@ -109,6 +109,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(pairs.toSeq == Seq((1L, 2L)))
   }
 
+  test("dedup pipeline: exact copies collapse, near-dups cluster, keep-set canonical") {
+    val base = "spark engine scale data shuffle partition join filter " +
+      "aggregate window broadcast catalyst tungsten codegen parquet"
+    val near = base.replace("codegen", "compiled")
+    val other = "entirely different cooking pasta sauce tomato basil " +
+      "garlic olive oil parmesan fresh grated delicious recipe kitchen"
+    val df = textDf(
+      (1L, base), (2L, base), (3L, base), // exact copies
+      (4L, near), //                         near-dup of the base group
+      (5L, other), (6L, other)) //           second exact group
+    val labeled = Dedup.pipeline(df, "doc_id", "text", threshold = 0.5)
+    val m = labeled.select("doc_id", "exact_rep", "cluster_rep").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == (1L, 1L) && m(2L) == (1L, 1L) && m(3L) == (1L, 1L))
+    assert(m(4L)._2 == 1L) // near-dup joins base's cluster
+    assert(m(5L) == (5L, 5L) && m(6L) == (5L, 5L))
+    val keep = Dedup.pipelineKeep(df, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keep.toSeq == Seq(1L, 5L))
+  }
+
   test("connectedComponents: transitive chains collapse to min label") {
     // chain 1-2, 2-3 (1 and 3 never paired directly) + isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
