@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Opt-in scale probe: synthesizes a larger corpus from the sf0.1
+  * documents table (re-id'd copies with per-copy token mutation, so
+  * near-dup structure survives without exact-dup explosion) and times
+  * the dedup pipeline on it. Validates the SCALE.md claims at 10× the
+  * bench scale factor on local hardware.
+  *
+  * Usage: runMain graft.ScaleProbe [copies]
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val copies = if (args.nonEmpty) args(0).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val n = docs.count()
+    // copy c: ids shifted by c*1e6; texts prefixed with a copy marker so
+    // copies are near-dups of their original (high jaccard) rather than
+    // exact dups — the worst case for the pair join.
+    val big = (0 until copies).map { c =>
+      docs.select(
+        (col("doc_id") + c * 1000000L).as("doc_id"),
+        concat(lit(s"copymark$c "), col("text")).as("text"))
+    }.reduce(_ union _).localCheckpoint()
+    println(s"[probe] corpus: ${big.count()} docs (${n} x $copies)")
+    def time[T](label: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+    val nPairs = time("minhashLshPairs")(
+      graft.ext.Dedup.minhashLshPairs(big, "doc_id", "text", 0.5).count())
+    println(s"[probe] pairs: $nPairs")
+    val keep = time("pipelineKeep (exact->lsh->clusters)")(
+      graft.ext.Dedup.pipelineKeep(big, "doc_id", "text", 0.5).count())
+    println(s"[probe] keep-set: $keep of ${n * copies}")
+    spark.stop()
+  }
+}
