@@ -104,9 +104,12 @@ object Events {
         |    AS new_sess
         |  FROM x),
         |z AS (
-        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |  -- CAST: DuckDB sum(INTEGER) is HUGEINT, which lands in the
+        |  -- driver's pandas as float64 and breaks the hash vs int64.
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
         |      ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
         |  FROM y)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
@@ -125,7 +128,8 @@ object Events {
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
     "ev_error_prone" ->
       """SELECT user_id, count(*) AS n_errors,
-        |  sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+        |    AS sum_k
         |FROM events WHERE event_type = 'error'
         |GROUP BY user_id
         |ORDER BY n_errors DESC, user_id

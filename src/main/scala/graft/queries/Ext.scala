@@ -84,7 +84,10 @@ object Ext {
     graft.ext.Multimodal.extractFeatures(withMeta, gridW = 8, gridH = 8)
       .toDF()
       .select(col("media_id"),
-        col("embedding.shape").as("shape"),
+        // Scalars only: the driver's pandas comparator can't sort/hash
+        // array cells, so the (h, w) shape is emitted as two ints.
+        col("embedding.shape").getItem(0).cast("int").as("shape_h"),
+        col("embedding.shape").getItem(1).cast("int").as("shape_w"),
         size(col("embedding.values")).as("n_values"))
   }
 
@@ -222,6 +225,14 @@ object Ext {
          |    + (1.0 - pr) * 0.3
          |    + least(mtl / 8.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
          |FROM m""".stripMargin,
+    // The decode is a declared stub, so the oracle checks the checkable
+    // contract: every media row comes back with the fixed 8x8 grid and
+    // 64 unpacked tensor values under its original id.
+    "mm_features" ->
+      """SELECT CAST(doc_id AS BIGINT) AS media_id,
+        |  CAST(8 AS INT) AS shape_h, CAST(8 AS INT) AS shape_w,
+        |  CAST(64 AS INT) AS n_values
+        |FROM documents""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies
