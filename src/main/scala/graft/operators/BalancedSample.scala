@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Stratified, class-balanced sampling.
@@ -9,21 +9,46 @@ import org.apache.spark.sql.functions._
   * (ref: oarphpy/spark.py:195-213): count rows per category, derive a
   * per-category fraction `target / count` where `target` is the minimum
   * category count (optionally capped by `nPerCategory`), then one
-  * distributed Bernoulli pass via `stat.sampleBy`.
+  * distributed Bernoulli pass.
+  *
+  * Unlike the reference (engine RNG via `sampleBy`), the Bernoulli draw
+  * here is a PORTABLE hash threshold: a row is kept iff the top 60 bits
+  * of `md5(concat_ws(':', idCols..., seed))`, read as an integer, fall
+  * under `fraction * 2^60`. Any engine that can md5 a string reproduces
+  * the exact same sample — which makes the operator oracle-checkable —
+  * and the same seed always returns the same rows (the reference's RNG
+  * draw is only deterministic per partition layout).
   *
   * Scale notes: two jobs — a map-side-combined groupBy-count (tiny
-  * result: one row per category, collected to the driver as the fractions
-  * map) and a single scan with per-row Bernoulli draws. No shuffle of the
-  * data itself; fractions map is O(#categories), never O(rows).
+  * result: one row per category, collected to the driver as the
+  * thresholds map) and a single codegen'd filter scan. No shuffle of the
+  * data itself; thresholds map is O(#categories), never O(rows).
   */
 object BalancedSample {
   val DefaultSeed = 1337L // ref: oarphpy/spark.py:195
 
+  private val TwoPow60 = math.pow(2.0, 60) // 15 hex digits of md5
+
+  /** Uniform 60-bit draw in [0, 2^60) from the row's id columns + seed.
+    * Equivalent DuckDB: `CAST(('0x' || substr(md5(concat_ws(':', ids...,
+    * 'seed')), 1, 15)) AS UBIGINT)::DOUBLE`. Integer→double conversion
+    * and string parsing both round-to-nearest, so the two engines see
+    * bit-identical doubles.
+    */
+  def hash60(idCols: Seq[Column], seed: Long): Column =
+    conv(substring(md5(concat_ws(":", idCols :+ lit(seed.toString): _*)),
+      1, 15), 16, 10).cast("double")
+
+  /** @param idCols columns identifying a row for the hash draw; empty →
+    *               all columns of `df` (safe default; pass the table's
+    *               key columns to keep the hash input small).
+    */
   def apply(
       df: DataFrame,
       categoryCol: String,
       nPerCategory: Option[Long] = None,
-      seed: Long = DefaultSeed): DataFrame = {
+      seed: Long = DefaultSeed,
+      idCols: Seq[String] = Nil): DataFrame = {
     val counts: Map[Any, Long] =
       df.groupBy(col(categoryCol)).agg(count(lit(1)).as("__n"))
         .collect()
@@ -32,9 +57,17 @@ object BalancedSample {
     if (counts.isEmpty) return df
     val minCount = counts.values.min
     val target = nPerCategory.fold(minCount)(cap => math.min(minCount, cap))
-    val fractions: Map[Any, Double] =
+    // Per-category acceptance threshold, resolved as one when-chain (a
+    // handful of categories — the collect above is O(#categories)).
+    // <=> so a null category still matches its own threshold.
+    val thresholds: Map[Any, Double] =
       counts.map { case (k, n) =>
-        k -> math.min(1.0, target.toDouble / math.max(1L, n)) }
-    df.stat.sampleBy(categoryCol, fractions, seed)
+        k -> math.min(1.0, target.toDouble / math.max(1L, n)) * TwoPow60 }
+    val thresholdCol = thresholds.foldLeft(lit(Double.NegativeInfinity)) {
+      case (acc, (k, thr)) =>
+        when(col(categoryCol) <=> lit(k), lit(thr)).otherwise(acc)
+    }
+    val ids = if (idCols.nonEmpty) idCols.map(col) else df.columns.toSeq.map(col)
+    df.where(hash60(ids, seed) < thresholdCol)
   }
 }

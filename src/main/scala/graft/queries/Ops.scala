@@ -40,10 +40,12 @@ object Ops {
     documents(s, d).select(col("doc_id"),
       StableHash.stableHashCol(col("text")).as("stable_hash"))
 
-  // A3 balanced sample: engine-specific RNG → no SQL oracle (driver
-  // rows-check); statistical contract asserted in OperatorSpec.
+  // A3 balanced sample: portable md5-threshold Bernoulli → the exact
+  // sample is reproducible in DuckDB, so the oracle checks values, not
+  // just expectation. Row identity = lineitem's natural key.
   val opBalancedSample: Q = (s, d) =>
-    BalancedSample(lineitem(s, d), "l_returnflag", nPerCategory = Some(500))
+    BalancedSample(lineitem(s, d), "l_returnflag", nPerCategory = Some(500),
+      idCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
 
   val queries: Map[String, Q] = Map(
@@ -86,5 +88,26 @@ object Ops {
         |  count(*) AS n
         |FROM lineitem GROUP BY 1""".stripMargin,
     "op_stable_hash" ->
-      "SELECT doc_id, md5(CAST(text AS VARCHAR)) AS stable_hash FROM documents")
+      "SELECT doc_id, md5(CAST(text AS VARCHAR)) AS stable_hash FROM documents",
+    // Mirrors BalancedSample exactly: per-category fraction
+    // min(1, target/count) with target = min(min-count, 500), keep iff
+    // the 60-bit md5 draw over (l_orderkey, l_linenumber, seed) falls
+    // under fraction * 2^60. All arithmetic double-for-double identical
+    // to the Scala side (IEEE min/divide/multiply; int→double rounds to
+    // nearest in both engines).
+    "op_balanced_sample" ->
+      """WITH c AS (SELECT l_returnflag AS k, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |tgt AS (SELECT least(min(cnt), 500) AS target FROM c),
+        |t AS (SELECT k,
+        |    least(1.0, (SELECT target FROM tgt) * 1.0 / cnt)
+        |      * 1152921504606846976.0 AS thr
+        |  FROM c),
+        |kept AS (
+        |  SELECT l.l_returnflag
+        |  FROM lineitem l JOIN t ON l.l_returnflag = t.k
+        |  WHERE CAST(CAST(('0x' || substr(md5(
+        |      concat_ws(':', l.l_orderkey, l.l_linenumber, '1337')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) < t.thr)
+        |SELECT l_returnflag, count(*) AS n FROM kept GROUP BY 1""".stripMargin)
 }

@@ -239,11 +239,13 @@ object Relational {
   // builtin percentile/quantile_cont agree semantically but not in
   // internal op order, which shifts ulps under rounding). Ties in v get
   // arbitrary rank among equals, but vlo/vhi are then equal values, so
-  // the result is unaffected.
+  // the result is unaffected. Ranking is GlobalRank (range partition +
+  // parallel local sorts + offset join), NOT an unpartitioned window —
+  // exact at any scale with no single-reducer sort.
   val qPercentiles: Q = (s, d) => {
     import s.implicits._
     val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
-    val o = v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+    val o = graft.operators.GlobalRank.withRowNumber(v, "rn", Seq(col("v")))
     val ps = Seq(0.25, 0.5, 0.75, 0.95).toDF("p")
     val pick = ps.crossJoin(v.agg(count(lit(1)).as("n")))
       .withColumn("k", (col("n") - 1) * col("p"))
@@ -262,19 +264,16 @@ object Relational {
         max(when(col("p") === 0.95, col("q"))).as("p95"))
   }
 
-  // Decile bucketing via ntile window + per-decile stats. NOTE the
-  // unpartitioned window = one global sort reducer — exact semantics
-  // for the oracle gate; at 100 TB compute approx_percentile edges and
-  // Bucketize instead (see SCALE.md "known deltas").
-  val qNtile: Q = (s, d) => {
-    val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-    customer(s, d)
-      .withColumn("decile", ntile(10).over(w))
+  // Decile bucketing + per-decile stats. Exact SQL-ntile semantics via
+  // GlobalRank.withNtile — range partition + parallel local sorts, no
+  // unpartitioned window / single-reducer sort at any scale.
+  val qNtile: Q = (s, d) =>
+    graft.operators.GlobalRank.withNtile(customer(s, d), "decile", 10,
+      Seq(col("c_acctbal"), col("c_custkey")))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n"),
         round(min(col("c_acctbal")), 2).as("lo_bal"),
         round(max(col("c_acctbal")), 2).as("hi_bal"))
-  }
 
   // GROUPING SETS via the SQL-text surface (temp views + spark.sql) —
   // the engine's full SQL interface is part of the capability contract.

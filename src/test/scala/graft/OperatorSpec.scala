@@ -67,6 +67,37 @@ class OperatorSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("GlobalRank.withRowNumber == unpartitioned-window row_number") {
+    // Deliberately skewed + duplicated values across many partitions.
+    val df = spark.range(0, 5000).toDF("id")
+      .withColumn("v", (col("id") * 37 % 501).cast("double"))
+      .repartition(13)
+    val got = GlobalRank.withRowNumber(df, "rn", Seq(col("v"), col("id")))
+    val want = df.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))))
+    assert(got.select("id", "v", "rn").except(want.select("id", "v", "rn"))
+      .isEmpty)
+    assert(got.count() == 5000)
+  }
+
+  test("GlobalRank.withNtile == SQL ntile for n % buckets != 0") {
+    val df = spark.range(0, 1003).toDF("id")
+      .withColumn("v", (col("id") * 7919 % 997).cast("double"))
+      .repartition(7)
+    val got = GlobalRank.withNtile(df, "t", 10, Seq(col("v"), col("id")))
+    val want = df.withColumn("t", ntile(10).over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("v"), col("id"))))
+    assert(got.select("id", "t").except(want.select("id", "t")).isEmpty)
+  }
+
+  test("BalancedSample is deterministic: same seed, same exact rows") {
+    val df = ((1 to 10).map(i => ("a", i)) ++
+      (1 to 500).map(i => ("b", i))).toDF("cls", "v")
+    val s1 = BalancedSample(df, "cls", seed = 42L).collect().toSet
+    val s2 = BalancedSample(df, "cls", seed = 42L).collect().toSet
+    assert(s1 == s2 && s1.nonEmpty)
+  }
+
   test("approx_percentile within 1% of the exact rank statistic") {
     val li = graft.queries.Tables.lineitem(spark, SparkFixture.sf0001)
     val Seq(approx, exact) = Seq(
