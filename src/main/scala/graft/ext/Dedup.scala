@@ -309,20 +309,24 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val viaNeighbor = edges
+      val nbrMin = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("cluster_id"))
-      // localCheckpoint truncates the plan lineage, which otherwise
+        .groupBy(col("dst").as("id")).agg(min(col("cluster_id")).as("__nbr"))
+      // Convergence marker computed IN the update pass: the round runs
+      // ONE action (the eager localCheckpoint), and the converged test
+      // is then a filter-isEmpty over the materialized blocks — no
+      // separate join+count job per round (halves round latency).
+      // localCheckpoint also truncates the plan lineage, which otherwise
       // doubles per round (a correctness hazard for deep graphs, not
       // just a perf one: the analyzer blows up past ~15 rounds).
-      val next = labels.select(col("id"), col("cluster_id"))
-        .union(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("__nbr") < col("cluster_id")).as("__changed"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("id")).where(col("cluster_id") =!= col("old")).count()
-      labels = next
-      converged = changed == 0
+      converged = next.where(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       iter += 1
     }
     labels
@@ -348,17 +352,119 @@ object Dedup {
     graft.functions.VectorFunctions.array_cosine(a, b)
 
   /** Embedding-cosine near-duplicate pairs: all (a < b) with
-    * cosine ≥ threshold. Exact all-pairs formulation — O(n²) dot
-    * products; for the 100 TB path use `SimilaritySearch.lshBuckets`
-    * candidates + this verify step. */
+    * cosine ≥ threshold. EXACT — identical output to
+    * [[embeddingNearDupPairsAllPairs]] (asserted in SimilaritySpec) —
+    * but shaped for a cluster:
+    *
+    *   1. assign every vector to its nearest of `nCells` k-means
+    *      centroids (deterministic seeded training; assignment is one
+    *      compiled-UDF scan) and record its ANGLE to that centroid;
+    *   2. prune CELL PAIRS with the angular triangle inequality:
+    *      θ(a,b) ≥ θ(cᵢ,cⱼ) − rᵢ − rⱼ (r = max angle of a cell's
+    *      members to its centroid), so a cell pair with
+    *      θ(cᵢ,cⱼ) − rᵢ − rⱼ > arccos(threshold) can hold NO
+    *      qualifying pair — pruning is exact for any data, and strong
+    *      exactly when embeddings are clustered (the common case for
+    *      real near-dup corpora);
+    *   3. join the surviving (cellᵢ, cellⱼ) blocks — an equi-join on
+    *      the cell key (salted for balance), never a CartesianProduct;
+    *      each unordered pair is enumerated once, halving the naive n²
+    *      dot products even with zero pruning.
+    *
+    * Worst case (unclustered data, low threshold — e.g. the synthetic
+    * test embeddings) the pair work is inherently Θ(n²)/2: no exact
+    * method can prune a threshold below the data's ambient similarity.
+    * For approximate near-dup at scale, compose
+    * `SimilaritySearch.withBuckets` candidates with the exact verify.
+    */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, saltFactor: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions.array_dot
+    val spark = df.sparkSession
+    val p = spark.sparkContext.defaultParallelism
+    val cs = SimilaritySearch.trainIvfCentroids(df, vecCol, nCells, iters = 3)
+    val csNorm = cs.map(c => math.sqrt(c.map(x => x * x).sum))
+    // cell = argmin ||v - c||²; angle = arccos(cos(v, c_cell)). One
+    // compiled UDF pass (compiled beats the CodegenFallback HOFs here).
+    val assign = udf { v: Seq[Double] =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      var dot = 0.0; var n2 = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * cs(best)(i); n2 += v(i) * v(i); i += 1 }
+      val denom = math.sqrt(n2) * csNorm(best)
+      val cosC = if (denom == 0) 1.0 else math.max(-1.0, math.min(1.0, dot / denom))
+      (best, math.acos(cosC), math.sqrt(n2))
+    }
+    // localCheckpoint: the radii job and the pair join must read the
+    // SAME materialized assignment; blocks are GC-cleaned (vs cache).
+    val base = df
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .repartition(p)
+      .withColumn("__a", assign(col("__v")))
+      .select(col("__id"), col("__v"), col("__a._1").as("__cell"),
+        col("__a._2").as("__angle"), col("__a._3").as("__norm"))
+      .localCheckpoint()
+    // O(nCells) rows to the driver.
+    val radii: Map[Int, Double] =
+      base.groupBy(col("__cell")).agg(max(col("__angle")).as("__r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // 1e-6 covers the oracle's round-then-compare at the threshold edge;
+    // 1e-9 covers float error in the angle arithmetic itself.
+    val thetaTau =
+      math.acos(math.max(-1.0, math.min(1.0, threshold - 1e-6)))
+    def centroidAngle(i: Int, j: Int): Double = {
+      var dot = 0.0; var k = 0
+      while (k < cs(i).length) { dot += cs(i)(k) * cs(j)(k); k += 1 }
+      val denom = csNorm(i) * csNorm(j)
+      if (denom == 0) 0.0
+      else math.acos(math.max(-1.0, math.min(1.0, dot / denom)))
+    }
+    val cells = radii.keys.toSeq.sorted
+    val allowed = for {
+      i <- cells; j <- cells if i <= j
+      if centroidAngle(i, j) - radii(i) - radii(j) <= thetaTau + 1e-9
+    } yield (i, j)
+    import spark.implicits._
+    val allowedDf = allowed.toDF("__cl", "__cr")
+    // Each unordered cell pair enumerated once: the lexically-smaller
+    // cell is always the LEFT side. Salt spreads a cell's rows over
+    // saltFactor reducers (the cell key alone has only nCells values —
+    // too coarse for full-cluster parallelism).
+    val lhs = base
+      .select(col("__id").as("__ida"), col("__v").as("__va"),
+        col("__norm").as("__na"), col("__cell").as("__cella"))
+      .join(broadcast(allowedDf), col("__cella") === col("__cl"))
+      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+    val rhs = base
+      .select(col("__id").as("__idb"), col("__v").as("__vb"),
+        col("__norm").as("__nb"), col("__cell").as("__cellb"))
+      .withColumn("__saltb",
+        pmod(xxhash64(col("__idb")), lit(saltFactor)).cast("int"))
+    lhs.join(rhs,
+        col("__cr") === col("__cellb") && col("__salt") === col("__saltb"))
+      // same-cell blocks see both orders — keep one; cross-cell blocks
+      // see exactly one order already.
+      .where(col("__cella") =!= col("__cellb") || col("__ida") < col("__idb"))
+      .withColumn("cosine", graft.functions.DetRound.det6(
+        array_dot(col("__va"), col("__vb")) / (col("__na") * col("__nb"))))
+      .where(col("cosine") >= threshold)
+      .select(least(col("__ida"), col("__idb")).as("id_a"),
+        greatest(col("__ida"), col("__idb")).as("id_b"), col("cosine"))
+  }
+
+  /** All-pairs anchor for [[embeddingNearDupPairs]]: the O(n²)
+    * cross-join formulation — the verify/oracle reference, never the
+    * scale path. */
+  def embeddingNearDupPairsAllPairs(
+      df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    // Streamed side repartitioned so the O(n²) nested-loop parallelizes
-    // even when the input arrives as one small file / partition. Norms
-    // are precomputed per ROW (O(n)) so the O(n²) pair stage does only
-    // the dot product; cosine = dot/(na·nb) keeps the exact IEEE op
-    // order of the oracle's formulation.
     import graft.functions.VectorFunctions.{array_dot, array_norm}
     val p = df.sparkSession.sparkContext.defaultParallelism
     val v = df.select(col(idCol).as("id_a"),

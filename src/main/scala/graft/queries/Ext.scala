@@ -100,8 +100,20 @@ object Ext {
       .select(col("id").as("doc_id"), col("cluster_id"))
   }
 
+  // Flagship end-to-end dedup pipeline (exact → MinHash-LSH → connected
+  // components → keep-set): the rows that survive dedup at threshold 0.5.
+  // Oracle = the recursive-CTE transitive closure restricted to its
+  // canonical (minimum-id) members. NOTE the pipeline also merges exact
+  // duplicates too short to shingle (strictly better dedup than the
+  // jaccard closure); this corpus has no such rows (all dup texts have
+  // ≥ 11 tokens), so the keep-sets coincide — asserted by the oracle.
+  val dedupPipelineKeep: Q = (s, d) =>
+    Dedup.pipelineKeep(documents(s, d), "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
+    "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
     "t_token_stats" -> tTokenStats,
     "t_lang_id" -> tLangId,
@@ -160,39 +172,48 @@ object Ext {
        |FROM scored""".stripMargin
   }
 
+  // Transitive closure of the (exact-jaccard) pair set via recursive
+  // reachability; component label = min reachable id; singletons map
+  // to themselves. Pair set == dedup_jaccard's (minhash output is
+  // exact-verified, no false negatives in this data's gap).
+  private val clusterCte =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM pr
+       |  JOIN sz sa ON id_a = sa.doc_id
+       |  JOIN sz sb ON id_b = sb.doc_id
+       |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT src AS id, src AS r FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, reach.r
+       |  FROM reach JOIN edges e ON reach.id = e.src)""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // Transitive closure of the (exact-jaccard) pair set via recursive
-    // reachability; component label = min reachable id; singletons map
-    // to themselves. Pair set == dedup_jaccard's (minhash output is
-    // exact-verified, no false negatives in this data's gap).
     "dedup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-         |  SELECT doc_id, $toksSql AS t FROM documents),
-         |sh AS (
-         |  SELECT doc_id, unnest($shinglesSql) AS s
-         |  FROM toks WHERE len(t) >= 3),
-         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |pr AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |pairs AS (
-         |  SELECT id_a, id_b FROM pr
-         |  JOIN sz sa ON id_a = sa.doc_id
-         |  JOIN sz sb ON id_b = sb.doc_id
-         |  WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach AS (
-         |  SELECT src AS id, src AS r FROM edges
-         |  UNION
-         |  SELECT e.dst AS id, reach.r
-         |  FROM reach JOIN edges e ON reach.id = e.src)
+      s"""$clusterCte
          |SELECT d.doc_id,
          |  coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
          |           d.doc_id) AS cluster_id
          |FROM documents d""".stripMargin,
+    // Keep-set = canonical (minimum-id) member of each closure cluster.
+    "dedup_pipeline_keep" ->
+      s"""$clusterCte
+         |SELECT d.doc_id FROM documents d
+         |WHERE coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
+         |               d.doc_id) = d.doc_id""".stripMargin,
     "t_token_stats" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
          |SELECT doc_id,

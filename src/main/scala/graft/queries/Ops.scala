@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{UnionDfs, BalancedSample, DfHistogram, Bucketize}
+import graft.operators.{UnionDfs, BalancedSample, DfHistogram, Bucketize,
+  TopKPerKey, SaltedJoin}
 import graft.functions.StableHash
 
 /** Queries exercising the reference-derived operator library (SURVEY §2):
@@ -48,12 +49,36 @@ object Ops {
       idCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
 
+  // O3 top-k per key via the partial-aggregating heap (O(keys×k)
+  // shuffle, no per-key partition sort) — oracle is the window
+  // row_number formulation: results must be identical.
+  val opTopKPerKey: Q = (s, d) =>
+    TopKPerKey(orders(s, d), Seq("o_custkey"), "o_totalprice",
+      "o_orderkey", k = 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"), col("rank"))
+
+  // Skew-salted join: salting must be INVISIBLE in the result — the
+  // oracle is the plain (unsalted) join + aggregation.
+  val opSaltedJoin: Q = (s, d) => {
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val r = orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+      col("o_orderpriority"))
+    SaltedJoin(l, r, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "op_union_dfs" -> opUnionDfs,
     "op_histogram" -> opHistogram,
     "op_bucketize" -> opBucketize,
     "op_stable_hash" -> opStableHash,
-    "op_balanced_sample" -> opBalancedSample)
+    "op_balanced_sample" -> opBalancedSample,
+    "op_topk_per_key" -> opTopKPerKey,
+    "op_salted_join" -> opSaltedJoin)
 
   val oracles: Map[String, String] = Map(
     "op_union_dfs" ->
@@ -109,5 +134,19 @@ object Ops {
         |  WHERE CAST(CAST(('0x' || substr(md5(
         |      concat_ws(':', l.l_orderkey, l.l_linenumber, '1337')),
         |      1, 15)) AS UBIGINT) AS DOUBLE) < t.thr)
-        |SELECT l_returnflag, count(*) AS n FROM kept GROUP BY 1""".stripMargin)
+        |SELECT l_returnflag, count(*) AS n FROM kept GROUP BY 1""".stripMargin,
+    "op_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+    "op_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin)
 }

@@ -66,6 +66,12 @@ class PlanSpec extends AnyFunSuite {
       "as-of must not degrade to a product join\n" + p)
   }
 
+  test("embedding near-dup join is blocked equi-join, no CartesianProduct") {
+    val p = plan(graft.queries.Ext.dedupEmbedding(spark, sf))
+    assert(!p.contains("CartesianProduct"),
+      "embedding dedup must not plan an unconstrained product join\n" + p)
+  }
+
   test("whole-stage codegen covers the scan->filter->agg spine of q6") {
     // AQE prints codegen stages only in the FINAL plan — execute first.
     val df = graft.queries.Relational.q6Revenue(spark, sf)

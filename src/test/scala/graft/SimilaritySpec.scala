@@ -69,6 +69,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nProbe=nCentroids must equal brute force")
   }
 
+  test("blocked embeddingNearDupPairs == all-pairs anchor (exact)") {
+    val e = emb(spark)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("cosine"))).toSet
+    // low threshold → many pairs; cell pruning must still lose nothing
+    val anchor = rows(Dedup.embeddingNearDupPairsAllPairs(
+      e, "vec_id", "embedding", threshold = 0.4))
+    val blocked = rows(Dedup.embeddingNearDupPairs(
+      e, "vec_id", "embedding", threshold = 0.4, nCells = 8))
+    assert(anchor.nonEmpty, "fixture should yield pairs at 0.4")
+    assert(blocked == anchor,
+      s"missing=${(anchor -- blocked).take(5)} extra=${(blocked -- anchor).take(5)}")
+  }
+
   test("image helpers: png round-trip, data uri, viewport fit") {
     import graft.functions.ImageFunctions
     val png = ImageFunctions.grayToPng(Array.tabulate(64)(_ / 63.0f), 8, 8)
