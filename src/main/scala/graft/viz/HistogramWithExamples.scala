@@ -7,17 +7,19 @@ import graft.functions.StableHash
 
 /** Distributed histogram with per-bucket example drill-down — the
   * reference's most complex query DAG (ref: oarphpy/plotting.py:104-365,
-  * stage walk in SURVEY §3.2), recomposed Spark-native:
+  * stage walk in SURVEY §3.2), recomposed Spark-native as THREE jobs
+  * total, independent of the pivot count (the reference — and this
+  * operator's first cut — looped pivots driver-side at 2-3 jobs each):
   *
-  *   1. distinct sub-pivot values (one Aggregate, collected — small)
-  *   2. per pivot: filter → min/max agg → bucket-count agg (SQL-native
-  *      one-pass replacement for the 2-pass RDD histogram)
-  *   3. bucket column via the codegen'd CASE chain (Bucketize)
-  *   4. optional per-bucket example sampling cap — the reference's OOM
-  *      guard (ref: oarphpy/plotting.py:158-169,241-253), sampleBy with
-  *      seed 1337
-  *   5. per-bucket example collection via groupBy + collect_list over a
-  *      LIMITED sample (never all rows — 100 TB-safe)
+  *   1. per-pivot min/max: one groupBy(pivot) agg, O(pivots) collected
+  *   2. per-(pivot, bucket) counts: bucket index from the per-pivot
+  *      edges (stats broadcast-joined back, so the expression stays ONE
+  *      plan shape at any pivot count), O(pivots × bins) collected
+  *   3. per-bucket example collection: optional deterministic
+  *      hash-threshold cap (the reference's OOM guard,
+  *      ref: oarphpy/plotting.py:158-169,241-253) + bounded row_number
+  *      window over (pivot, bucket) — only display strings move, never
+  *      all rows (100 TB-safe)
   *
   * Output is data + a static HTML emitter (the reference's bokeh
   * dependency is replaced by a self-contained HTML/SVG template with the
@@ -40,48 +42,96 @@ object HistogramWithExamples {
       numBins: Int = NumBins,
       maxRowsPerBucket: Int = -1,
       displayRow: Row => String = _.toString): Result = {
+    val spark = df.sparkSession
+    import spark.implicits._
     // The caller may want to cache() df — same contract as the reference
     // (ref: oarphpy/plotting.py:276-279).
-    val pivots: Seq[(String, DataFrame)] = subPivotCol match {
-      case None => Seq(("ALL", df))
-      case Some(p) =>
-        df.select(col(p)).distinct().collect().map(_.get(0))
-          // null-safe equality: a null pivot value must select its rows
-          // (plain === never matches null and silently drops them)
-          .map(v => (String.valueOf(v), df.filter(col(p) <=> lit(v))))
-          .sortBy(_._1).toSeq
-    }
-    val buckets = pivots.flatMap { case (pivotName, pdf) =>
-      val hist = DfHistogram(pdf, column, numBins)
-      val edges = hist.edges
-      val withBucket = pdf.withColumn("__bucket",
-        Bucketize(col(column).cast("double"), edges.toSeq))
-      // OOM guard: cap rows per bucket before collecting examples.
-      val capped =
-        if (maxRowsPerBucket <= 0) withBucket
-        else {
-          val fractions = hist.counts.zipWithIndex.map { case (n, i) =>
-            (i: Any) -> math.min(1.0, maxRowsPerBucket.toDouble / math.max(1L, n))
-          }.toMap
-          withBucket.stat.sampleBy("__bucket", fractions, DefaultSeed)
-        }
-      // Bounded example collection: per-bucket row_number limit, then
-      // stringify executor-side so only display strings move.
-      val exCol = struct(capped.columns.filter(_ != "__bucket").map(col): _*)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("__bucket")).orderBy(monotonically_increasing_id())
-      val examples = capped
-        .withColumn("__rn", row_number().over(w))
-        .where(col("__rn") <= MaxExamplesPerBucket)
-        .select(col("__bucket"), exCol.cast("string").as("__ex"))
-        .groupBy(col("__bucket"))
-        .agg(collect_list(col("__ex")).as("__exs"))
+    val pivotExpr = subPivotCol
+      .map(p => coalesce(col(p).cast("string"), lit("null")))
+      .getOrElse(lit("ALL"))
+    val vExpr = col(column).cast("double")
+    val base = df
+      .withColumn("__pivot", pivotExpr)
+      // null/NaN values are histogram-invisible (reference's NaN caveat)
+      // but their pivot still appears (with empty buckets).
+      .withColumn("__v", when(!isnan(vExpr), vExpr))
+
+    // Job 1: per-pivot [lo, hi]. O(pivots) rows to the driver.
+    val stats: Seq[(String, Option[(Double, Double)])] =
+      base.groupBy(col("__pivot"))
+        .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
         .collect()
-        .map(r => r.getInt(0) -> r.getSeq[String](1))
+        .map { r =>
+          r.getString(0) -> (if (r.isNullAt(1)) None
+                             else Some((r.getDouble(1), r.getDouble(2))))
+        }
+        .sortBy(_._1).toSeq
+    val edgesOf: Map[String, Array[Double]] = stats.map { case (p, st) =>
+      val (lo, hi) = st.getOrElse((0.0, 0.0))
+      p -> (0 to numBins).map(i => lo + (hi - lo) * i / numBins).toArray
+    }.toMap
+
+    // Per-pivot bounds rejoin as a broadcast, so bucket assignment is one
+    // plan-stable expression regardless of how many pivots exist —
+    // multiply before dividing, exactly like DfHistogram.bucketExpr.
+    val statsDf = broadcast(stats.collect {
+      case (p, Some((lo, hi))) => (p, lo, hi)
+    }.toDF("__pivot", "__lo", "__hi"))
+    val withBucket = base
+      .where(col("__v").isNotNull)
+      .join(statsDf, Seq("__pivot"))
+      .withColumn("__bucket",
+        when(col("__hi") === col("__lo"), lit(0)).otherwise(least(
+          floor((col("__v") - col("__lo")) * numBins
+            / (col("__hi") - col("__lo"))).cast("int"),
+          lit(numBins - 1))))
+
+    // Job 2: (pivot, bucket) → count. O(pivots × bins) to the driver.
+    val countOf: Map[(String, Int), Long] =
+      withBucket.groupBy(col("__pivot"), col("__bucket"))
+        .agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
         .toMap
-      hist.counts.zipWithIndex.map { case (n, i) =>
-        Bucket(pivotName, i, edges(i), edges(i + 1), n,
-          examples.getOrElse(i, Seq.empty))
+
+    // OOM guard: cap rows per bucket BEFORE collecting examples, via the
+    // portable deterministic hash-threshold Bernoulli (same scheme as
+    // BalancedSample — seed 1337 like the reference's sampleBy).
+    val capped =
+      if (maxRowsPerBucket <= 0) withBucket
+      else {
+        val fracDf = broadcast(countOf.toSeq.map { case ((p, b), n) =>
+          (p, b, math.min(1.0, maxRowsPerBucket.toDouble / math.max(1L, n))
+            * math.pow(2.0, 60))
+        }.toDF("__pivot", "__bucket", "__thr"))
+        val draw = graft.operators.BalancedSample.hash60(
+          df.columns.toSeq.map(col), DefaultSeed)
+        withBucket.join(fracDf, Seq("__pivot", "__bucket"))
+          .where(draw < col("__thr")).drop("__thr")
+      }
+
+    // Job 3: bounded example collection — per-(pivot, bucket) row_number
+    // limit, stringified executor-side so only display strings move.
+    val exCol = struct(df.columns.toSeq.map(col): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pivot"), col("__bucket"))
+      .orderBy(monotonically_increasing_id())
+    val examples: Map[(String, Int), Seq[String]] = capped
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= MaxExamplesPerBucket)
+      .select(col("__pivot"), col("__bucket"), exCol.cast("string").as("__ex"))
+      .groupBy(col("__pivot"), col("__bucket"))
+      .agg(collect_list(col("__ex")).as("__exs"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2))
+      .toMap
+
+    val buckets = stats.flatMap { case (p, _) =>
+      val edges = edgesOf(p)
+      (0 until numBins).map { i =>
+        Bucket(p, i, edges(i), edges(i + 1),
+          countOf.getOrElse((p, i), 0L),
+          examples.getOrElse((p, i), Seq.empty))
       }
     }
     Result(column, buckets)
