@@ -22,7 +22,8 @@ object SparkEntry {
     (graft.queries.Relational.queries, graft.queries.Relational.oracles),
     (graft.queries.Ops.queries, graft.queries.Ops.oracles),
     (graft.queries.Ext.queries, graft.queries.Ext.oracles),
-    (graft.queries.Events.queries, graft.queries.Events.oracles))
+    (graft.queries.Events.queries, graft.queries.Events.oracles),
+    (graft.queries.Sources.queries, graft.queries.Sources.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.map(_._1).reduce(_ ++ _)

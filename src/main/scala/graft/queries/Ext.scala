@@ -73,6 +73,15 @@ object Ext {
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
       numPlanes = 8, numTables = 6)
 
+  // IVF in its EXHAUSTIVE configuration (nProbe = nCentroids scores
+  // every candidate) — the cell machinery runs for real but the result
+  // provably equals brute force, so it shares sim_topk's value oracle.
+  // Selective-probe recall is measured in SimilaritySpec.
+  val simIvfTopK: Q = (s, d) =>
+    SimilaritySearch.ivfTopK(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
+      nCentroids = 8, nProbe = 8, iters = 2)
+
   // Multimodal plumbing over synthesized binary media (testdata has no
   // real media; text bytes stand in — the decode is stubbed by design,
   // see graft.ext.Multimodal). Rows-only driver check + CodecSpec.
@@ -124,7 +133,8 @@ object Ext {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "sim_topk" -> simTopK,
-    "sim_lsh_topk" -> simLshTopK)
+    "sim_lsh_topk" -> simLshTopK,
+    "sim_ivf_topk" -> simIvfTopK)
 
   // DuckDB token expression mirroring TF.tokens exactly.
   private val toksSql =
@@ -274,7 +284,13 @@ object Ext {
         |SELECT id_a, id_b, floor(c * 1000000 + 0.5) / 1000000 AS cosine
         |FROM p
         |WHERE floor(c * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin,
-    "sim_topk" ->
+    "sim_ivf_topk" -> simTopKOracle,
+    "sim_topk" -> simTopKOracle)
+
+  // Exhaustive top-k oracle — shared by sim_topk (brute force) and
+  // sim_ivf_topk (full-probe IVF, provably the same result set).
+  // lazy: referenced from `oracles`, which initializes first.
+  private lazy val simTopKOracle =
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |  FROM embeddings),
@@ -291,7 +307,7 @@ object Ext {
         |    CAST(row_number() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, cand_id) AS INT) AS rank
         |  FROM scored)
-        |SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin)
+        |SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin
 
   private def allStopsSql: String =
     TF.langMarkers.flatMap(_._2).distinct

@@ -1,0 +1,97 @@
+package graft.queries
+
+import java.io.{BufferedOutputStream, File, FileOutputStream}
+import java.nio.ByteBuffer
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.{ArchiveSource, TfRecords}
+
+/** Source-format roundtrips, oracle-checked: `documents` is written to
+  * the foreign format DISTRIBUTED (one file per partition, executor-
+  * side) and read back through the graft source; the DuckDB oracle is
+  * simply the original table, so framing, CRC, entry naming and byte
+  * fidelity are all value-checked by the driver — not just spec'd.
+  *
+  * The fixtures land in a fresh temp dir per invocation (local-mode
+  * shared FS; a cluster deployment would point the writers at shared
+  * storage). Record encoding is 8-byte big-endian doc_id + UTF-8 text —
+  * length-free and safe for any text content.
+  */
+object Sources {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def packRecord(id: Long, text: String): Array[Byte] = {
+    val tb = text.getBytes("UTF-8")
+    val bb = ByteBuffer.allocate(8 + tb.length)
+    bb.putLong(id).put(tb)
+    bb.array()
+  }
+
+  private def unpackRecord(bytes: Array[Byte]): (Long, String) =
+    (ByteBuffer.wrap(bytes, 0, 8).getLong,
+      new String(bytes, 8, bytes.length - 8, "UTF-8"))
+
+  /** documents → per-partition .tfrecord files → TfRecords.readDs. */
+  val srcTfrecordRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_tfrec_").toFile
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        if (it.hasNext) {
+          val f = new File(dir, f"part-${TaskContext.getPartitionId()}%05d.tfrecord")
+          val out = new BufferedOutputStream(new FileOutputStream(f))
+          try TfRecords.write(out, it.map((packRecord _).tupled))
+          finally out.close()
+        }
+      }
+    TfRecords.readDs(s, dir.getAbsolutePath)
+      .map { case (_, bytes) => unpackRecord(bytes) }
+      .toDF("doc_id", "text")
+  }
+
+  /** documents → per-partition .zip archives → flyweight entries →
+    * bulk readBytes (one archive handle per partition). */
+  val srcArchiveRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = Files.createTempDirectory("graft_zip_").toFile
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        val rows = it.toSeq
+        if (rows.nonEmpty) {
+          val f = new File(dir, f"part-${TaskContext.getPartitionId()}%05d.zip")
+          val zout = new ZipOutputStream(
+            new BufferedOutputStream(new FileOutputStream(f)))
+          try rows.foreach { case (id, t) =>
+            zout.putNextEntry(new ZipEntry(s"doc_$id.txt"))
+            zout.write(t.getBytes("UTF-8"))
+            zout.closeEntry()
+          } finally zout.close()
+        }
+      }
+    // Entry listing per archive is O(#entries) names on the driver (zip
+    // central directory) — the bytes only ever move executor-side.
+    val zips = dir.listFiles().filter(_.getName.endsWith(".zip"))
+      .map(_.getAbsolutePath).sorted
+    val entries = zips.map(z => ArchiveSource.archiveDs(s, z)).reduce(_ union _)
+    ArchiveSource.readBytes(entries)
+      .map { case (name, bytes) =>
+        (name.stripPrefix("doc_").stripSuffix(".txt").toLong,
+          new String(bytes, "UTF-8"))
+      }
+      .toDF("doc_id", "text")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
+    "src_archive_roundtrip" -> srcArchiveRoundtrip)
+
+  val oracles: Map[String, String] = Map(
+    "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents")
+}
