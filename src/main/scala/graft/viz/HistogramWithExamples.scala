@@ -137,44 +137,74 @@ object HistogramWithExamples {
     Result(column, buckets)
   }
 
-  /** Self-contained HTML rendering (information contract of the
-    * reference's bokeh figure: per-pivot colored quads + hover counts +
-    * per-bucket examples; ref: oarphpy/plotting.py:305-365). */
+  /** Self-contained HTML rendering with the reference bokeh figure's
+    * interaction contract (ref: oarphpy/plotting.py:305-365) —
+    * per-pivot colored quads, hover counts, TAP-a-bar drill-down to its
+    * examples, legend click to show/hide a pivot — as dependency-free
+    * inline SVG + vanilla JS (no bokeh/CDN; renders offline). */
   def toHtml(r: Result): String = {
     val pivots = r.buckets.map(_.pivot).distinct
     val maxCount = math.max(1L, r.buckets.map(_.count).max)
     val width = 900; val height = 260
     val bw = width.toDouble / math.max(1, r.buckets.count(_.pivot == pivots.head))
+    val pivotIdx = pivots.zipWithIndex.toMap
     val svg = new StringBuilder
-    pivots.zipWithIndex.foreach { case (p, pi) =>
+    pivots.foreach { p =>
       val (cr, cg, cb) = StableHash.hashToRgb(p)
+      val pi = pivotIdx(p)
       r.buckets.filter(_.pivot == p).foreach { b =>
         val h = (b.count.toDouble / maxCount) * (height - 20)
         val x = b.bucket * bw
         val y = height - h
         svg.append(
           f"""<rect x="$x%.1f" y="$y%.1f" width="${bw * 0.9}%.1f" height="$h%.1f"
-             | fill="rgb($cr,$cg,$cb)" fill-opacity="0.6"
-             | data-pivot="$p" data-bucket="${b.bucket}">
-             |<title>$p [${b.lo}%.3f, ${b.hi}%.3f): ${b.count}</title></rect>
+             | fill="rgb($cr,$cg,$cb)" fill-opacity="0.6" class="bar bar-p$pi"
+             | data-ex="ex-p$pi-b${b.bucket}" onclick="drill(this)">
+             |<title>${escape(b.pivot)} [${b.lo}%.3f, ${b.hi}%.3f): ${b.count}</title></rect>
              |""".stripMargin)
       }
     }
     val examples = r.buckets.filter(_.examples.nonEmpty).map { b =>
-      s"""<div class="bucket" id="ex-${b.pivot}-${b.bucket}">
+      val pi = pivotIdx(b.pivot)
+      s"""<div class="bucket" id="ex-p$pi-b${b.bucket}">
          |<h4>${escape(b.pivot)} bucket ${b.bucket} [${b.lo}, ${b.hi}) — ${b.count} rows</h4>
          |<ul>${b.examples.map(e => s"<li><code>${escape(e)}</code></li>").mkString}</ul>
          |</div>""".stripMargin
     }.mkString("\n")
+    val legend = pivots.map { p =>
+      val (cr, cg, cb) = StableHash.hashToRgb(p)
+      val pi = pivotIdx(p)
+      s"""<span style="color:rgb($cr,$cg,$cb);cursor:pointer"
+         | id="leg-p$pi" onclick="toggle($pi)">■ ${escape(p)}</span>"""
+        .stripMargin.replace("\n", "")
+    }.mkString(" ")
     s"""<!DOCTYPE html><html><head><meta charset="utf-8">
-       |<title>Histogram: ${escape(r.column)}</title></head><body>
+       |<title>Histogram: ${escape(r.column)}</title>
+       |<style>
+       |.bar:hover { fill-opacity: 1; cursor: pointer; }
+       |.hidden { display: none; }
+       |.bucket.hit { background: #ffffcc; }
+       |.legend span.off { text-decoration: line-through; opacity: 0.4; }
+       |</style></head><body>
        |<h2>Histogram of ${escape(r.column)}</h2>
        |<svg width="$width" height="$height">${svg.toString}</svg>
-       |<div class="legend">${pivots.map { p =>
-        val (cr, cg, cb) = StableHash.hashToRgb(p)
-        s"""<span style="color:rgb($cr,$cg,$cb)">■ ${escape(p)}</span>"""
-      }.mkString(" ")}</div>
+       |<div class="legend">$legend</div>
        |$examples
+       |<script>
+       |function toggle(pi) {
+       |  document.querySelectorAll('.bar-p' + pi).forEach(function(e) {
+       |    e.classList.toggle('hidden'); });
+       |  document.getElementById('leg-p' + pi).classList.toggle('off');
+       |}
+       |function drill(rect) {
+       |  var ex = document.getElementById(rect.getAttribute('data-ex'));
+       |  if (!ex) return;
+       |  document.querySelectorAll('.bucket.hit').forEach(function(e) {
+       |    e.classList.remove('hit'); });
+       |  ex.classList.add('hit');
+       |  ex.scrollIntoView({behavior: 'smooth', block: 'nearest'});
+       |}
+       |</script>
        |</body></html>""".stripMargin
   }
 
