@@ -406,6 +406,10 @@ object Dedup {
     // SAME materialized assignment; blocks are GC-cleaned (vs cache).
     val base = df
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      // Null/empty vectors can't be near anything (the all-pairs anchor
+      // yields null cosine → filtered); drop them BEFORE the assign UDF,
+      // which dereferences the vector.
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
       .repartition(p)
       .withColumn("__a", assign(col("__v")))
       .select(col("__id"), col("__v"), col("__a._1").as("__cell"),

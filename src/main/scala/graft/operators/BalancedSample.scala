@@ -30,13 +30,19 @@ object BalancedSample {
   private val TwoPow60 = math.pow(2.0, 60) // 15 hex digits of md5
 
   /** Uniform 60-bit draw in [0, 2^60) from the row's id columns + seed.
-    * Equivalent DuckDB: `CAST(('0x' || substr(md5(concat_ws(':', ids...,
-    * 'seed')), 1, 15)) AS UBIGINT)::DOUBLE`. Integer→double conversion
-    * and string parsing both round-to-nearest, so the two engines see
-    * bit-identical doubles.
+    * Equivalent DuckDB: `CAST(('0x' || substr(md5(concat_ws(':',
+    * coalesce(CAST(id AS VARCHAR), chr(1))..., 'seed')), 1, 15)) AS
+    * UBIGINT)::DOUBLE`. Integer→double conversion and string parsing
+    * both round-to-nearest, so the two engines see bit-identical
+    * doubles. NULL id values are marked with a U+0001 sentinel rather
+    * than silently skipped (concat_ws drops NULLs, which would give
+    * ('a', NULL) and (NULL, 'a') the same draw); U+0001 cannot appear
+    * in a cast of a numeric/date key, keeping draws independent.
     */
   def hash60(idCols: Seq[Column], seed: Long): Column =
-    conv(substring(md5(concat_ws(":", idCols :+ lit(seed.toString): _*)),
+    conv(substring(md5(concat_ws(":",
+      idCols.map(c => coalesce(c.cast("string"), lit("\u0001")))
+        :+ lit(seed.toString): _*)),
       1, 15), 16, 10).cast("double")
 
   /** @param idCols columns identifying a row for the hash draw; empty →

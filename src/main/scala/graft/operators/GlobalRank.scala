@@ -47,17 +47,21 @@ object GlobalRank {
     val counts: Map[Int, Long] =
       parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // offset(pid) = total rows in partitions with smaller pid.
+    // offset(pid) = total rows in partitions with smaller pid. Resolved
+    // by broadcast-joining the tiny (pid, offset) frame back — a
+    // when-chain would build an expression of depth O(#partitions),
+    // which hits codegen's 64KB-method fallback in the thousands.
     val pids = counts.keys.toSeq.sorted
     val offsetOf: Map[Int, Long] =
       pids.zip(pids.map(counts).scanLeft(0L)(_ + _)).toMap
-    val offsetCol = offsetOf.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    import s.implicits._
+    val offsetsDf = broadcast(
+      offsetOf.toSeq.toDF("__pid", "__gr_off"))
     val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
     val ranked = parted
-      .withColumn(out, row_number().over(w).cast("long") + offsetCol)
-      .drop("__pid")
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn(out, row_number().over(w).cast("long") + col("__gr_off"))
+      .drop("__pid", "__gr_off")
     (ranked, counts)
   }
 

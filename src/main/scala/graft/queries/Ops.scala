@@ -132,7 +132,8 @@ object Ops {
         |  SELECT l.l_returnflag
         |  FROM lineitem l JOIN t ON l.l_returnflag = t.k
         |  WHERE CAST(CAST(('0x' || substr(md5(
-        |      concat_ws(':', l.l_orderkey, l.l_linenumber, '1337')),
+        |      concat_ws(':', coalesce(CAST(l.l_orderkey AS VARCHAR), chr(1)),
+        |        coalesce(CAST(l.l_linenumber AS VARCHAR), chr(1)), '1337')),
         |      1, 15)) AS UBIGINT) AS DOUBLE) < t.thr)
         |SELECT l_returnflag, count(*) AS n FROM kept GROUP BY 1""".stripMargin,
     "op_topk_per_key" ->

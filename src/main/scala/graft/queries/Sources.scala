@@ -37,10 +37,29 @@ object Sources {
     (ByteBuffer.wrap(bytes, 0, 8).getLong,
       new String(bytes, 8, bytes.length - 8, "UTF-8"))
 
+  /** Executor-written fixtures are only visible to the driver on a
+    * shared FS. These queries are driver-testbed entries, so fail FAST
+    * off local mode instead of silently returning an empty frame; the
+    * dir (and its recursively-registered files) is deleted at JVM exit.
+    */
+  private def fixtureDir(s: SparkSession, prefix: String): File = {
+    require(s.sparkContext.isLocal,
+      s"$prefix roundtrip fixtures require local mode (shared FS); " +
+        s"master=${s.sparkContext.master}. Point the writers at shared " +
+        "storage for cluster use.")
+    val dir = Files.createTempDirectory(prefix).toFile
+    dir.deleteOnExit()
+    dir
+  }
+
+  /** deleteOnExit is LIFO, so register children after the dir itself. */
+  private def registerCleanup(dir: File): Unit =
+    Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+
   /** documents → per-partition .tfrecord files → TfRecords.readDs. */
   val srcTfrecordRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_tfrec_").toFile
+    val dir = fixtureDir(s, "graft_tfrec_")
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         if (it.hasNext) {
@@ -50,6 +69,7 @@ object Sources {
           finally out.close()
         }
       }
+    registerCleanup(dir)
     TfRecords.readDs(s, dir.getAbsolutePath)
       .map { case (_, bytes) => unpackRecord(bytes) }
       .toDF("doc_id", "text")
@@ -59,7 +79,7 @@ object Sources {
     * bulk readBytes (one archive handle per partition). */
   val srcArchiveRoundtrip: Q = (s, d) => {
     import s.implicits._
-    val dir = Files.createTempDirectory("graft_zip_").toFile
+    val dir = fixtureDir(s, "graft_zip_")
     documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
       .foreachPartition { it: Iterator[(Long, String)] =>
         val rows = it.toSeq
@@ -74,6 +94,7 @@ object Sources {
           } finally zout.close()
         }
       }
+    registerCleanup(dir)
     // Entry listing per archive is O(#entries) names on the driver (zip
     // central directory) — the bytes only ever move executor-side.
     val zips = dir.listFiles().filter(_.getName.endsWith(".zip"))

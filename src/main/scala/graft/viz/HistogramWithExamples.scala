@@ -46,8 +46,11 @@ object HistogramWithExamples {
     import spark.implicits._
     // The caller may want to cache() df — same contract as the reference
     // (ref: oarphpy/plotting.py:276-279).
+    // NULL pivots map to a U+0001-prefixed sentinel: a cast can never
+    // produce a control character, so rows whose pivot column genuinely
+    // holds the string "null" stay a separate group.
     val pivotExpr = subPivotCol
-      .map(p => coalesce(col(p).cast("string"), lit("null")))
+      .map(p => coalesce(col(p).cast("string"), lit("\u0001null")))
       .getOrElse(lit("ALL"))
     val vExpr = col(column).cast("double")
     val base = df
@@ -209,5 +212,7 @@ object HistogramWithExamples {
   }
 
   private def escape(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    // The U+0001 null-pivot sentinel is display-invisible.
+    s.replace("\u0001", "")
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }
