@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main (not part of the driver contract). */
+object Profile {
+  def t[A](name: String)(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[prof] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val which = args.headOption.getOrElse("all")
+
+    if (which == "all" || which == "ntile") {
+      // q_ntile decomposition
+      val cust = graft.queries.Tables.customer(spark, sfDir)
+      t("customer count")(cust.count())
+      val v = cust
+      t("repartitionByRange+ckpt") {
+        v.repartitionByRange(32, col("c_acctbal"), col("c_custkey"))
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint().count()
+      }
+      (1 to 2).foreach { i =>
+        t(s"q_ntile full run$i") {
+          graft.queries.Relational.queries("q_ntile")(spark, sfDir).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (which == "all" || which == "emb") {
+      val emb = graft.queries.Tables.embeddings(spark, sfDir)
+      t("embeddings count")(emb.count())
+      println("dim = " + emb.selectExpr("size(embedding)").head())
+      t("kmeans train") {
+        graft.ext.SimilaritySearch.trainIvfCentroids(emb, "embedding", 16, iters = 3)
+      }
+      (1 to 2).foreach { i =>
+        t(s"dedup_embedding full run$i") {
+          graft.queries.Ext.queries("dedup_embedding")(spark, sfDir).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (which == "all" || which == "minhash") {
+      val docs = graft.queries.Tables.documents(spark, sfDir)
+      t("documents count")(docs.count())
+      val p = spark.sparkContext.defaultParallelism
+      val shf: String => Seq[String] = { text =>
+        val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).distinct.toSeq
+      }
+      val sh = udf(shf)
+      t("shingle+sig scan") {
+        val sigUdf = udf(graft.ext.Dedup.minhashSignature(128))
+        docs.select(col("doc_id"), sh(col("text")).as("__shs"))
+          .repartition(p)
+          .withColumn("__sig", sigUdf(col("__shs")))
+          .select(sum(size(col("__sig")))).head()
+      }
+      (1 to 2).foreach { i =>
+        t(s"dedup_minhash full run$i") {
+          graft.queries.Ext.queries("dedup_minhash")(spark, sfDir).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+
+    if (which == "all" || which == "cc") {
+      (1 to 2).foreach { i =>
+        t(s"dedup_clusters full run$i") {
+          graft.queries.Ext.queries("dedup_clusters")(spark, sfDir).count()
+        }
+        spark.catalog.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}

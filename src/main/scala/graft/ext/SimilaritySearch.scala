@@ -87,44 +87,50 @@ object SimilaritySearch {
 
   // ------------------------------------------------------------------- IVF
 
-  /** Train IVF centroids: deterministic seeded sample → k-means (Lloyd)
-    * for `iters` rounds, computed with DataFrame aggregations (assignment
-    * is a scan; update is a groupBy — both distributed; only the k
-    * centroid vectors ever reach the driver). */
+  /** Train IVF centroids: deterministic seeded sample → k-means (Lloyd).
+    *
+    * The coarse quantizer trains on a BOUNDED sample (`sampleSize` rows,
+    * the FAISS convention): the sample selection is distributed (a
+    * TakeOrdered over a seeded hash — one job at any data size), and the
+    * Lloyd iterations then run driver-side over the collected sample —
+    * O(sampleSize × k × dim) CPU on ≤ a few MB, with ZERO per-iteration
+    * Spark jobs. The collect is O(sampleSize), a constant — never
+    * O(rows). Training on a sample (not the full data) is the standard
+    * IVF recipe: cell quality saturates long before 10k points, and
+    * pruning/probing correctness never depends on centroid quality. */
   def trainIvfCentroids(
       df: DataFrame, vecCol: String, k: Int, iters: Int = 5,
       sampleSize: Int = 10000, seed: Long = 1337L): Array[Array[Double]] = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    val sample = df.select(col(vecCol).cast("array<double>").as("v"))
+    val sample: Array[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .where(col("v").isNotNull && size(col("v")) > 0)
       .orderBy(xxhash64(col("v").cast("string"), lit(seed)))
-      .limit(sampleSize).cache()
-    var centroids: Array[Array[Double]] =
-      sample.limit(k).collect().map(_.getSeq[Double](0).toArray)
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, s"no non-empty vectors in $vecCol")
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] = sample.take(k)
     (1 to iters).foreach { _ =>
-      val cs = centroids
-      val assign = udf { v: Seq[Double] =>
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val ns = new Array[Long](centroids.length)
+      sample.foreach { v =>
         var best = 0; var bestD = Double.MaxValue
         var c = 0
-        while (c < cs.length) {
+        while (c < centroids.length) {
           var d = 0.0; var i = 0
-          while (i < v.length) {
-            val diff = v(i) - cs(c)(i); d += diff * diff; i += 1
-          }
+          while (i < dim) { val x = v(i) - centroids(c)(i); d += x * x; i += 1 }
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
-        best
+        ns(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
       }
-      val updated = sample.withColumn("__c", assign(col("v")))
-        .groupBy(col("__c"))
-        .agg(array((0 until dim).map(i =>
-          avg(col("v").getItem(i))): _*).as("centroid"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-        .toMap
-      centroids = centroids.indices.map(i => updated.getOrElse(i, centroids(i))).toArray
+      centroids = centroids.indices.map { c =>
+        if (ns(c) == 0) centroids(c)
+        else sums(c).map(_ / ns(c))
+      }.toArray
     }
-    sample.unpersist()
     centroids
   }
 
@@ -151,12 +157,14 @@ object SimilaritySearch {
       col(vecCol).cast("array<double>").as("__qv"))
       .withColumn("__cell", explode(probeN(col("__qv"))))
     import graft.functions.VectorFunctions.array_cosine
+    // No distinct needed: a candidate sits in exactly ONE cell and a
+    // query's probe cells are distinct, so each (query, cand) pair joins
+    // at most once — the old distinct() shuffled both vectors per pair.
     val scored = cand.join(broadcast(q), Seq("__cell"))
       .where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("__qv"), col("__cv"))
-      .distinct()
       .withColumn("cosine",
         graft.functions.DetRound.det6(array_cosine(col("__qv"), col("__cv"))))
+      .select(col("query_id"), col("cand_id"), col("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -182,11 +190,16 @@ object SimilaritySearch {
     }
     val cand = explodeBuckets(candidates, "cand")
     val q = explodeBuckets(queriesDf, "query")
+    // A pair may collide in several tables: compute the (deterministic)
+    // cosine FIRST and dedup on scalars only, so the distinct shuffles
+    // (ids, cosine) rows — never the vectors. Re-scoring a multi-table
+    // collision costs O(dim) CPU; shuffling two vectors costs 2×dim×8
+    // bytes of network — CPU wins at any scale.
     val scored = cand.join(broadcast(q), Seq("__table", "__bucket"))
       .where(col("query_id") =!= col("cand_id"))
-      .select(col("query_id"), col("cand_id"), col("__qv"), col("__cv"))
-      .distinct() // a pair may collide in several tables
       .withColumn("cosine", graft.functions.DetRound.det6(Dedup.cosineCol(col("__qv"), col("__cv"))))
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+      .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored
