@@ -193,11 +193,24 @@ object Dedup {
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over tokens: per-token 64-bit hash votes ±1 on every
-    * bit, weighted by term frequency; fingerprint bit = sign of vote. */
+    * bit, weighted by term frequency; fingerprint bit = sign of vote.
+    *
+    * The token hash is the FIRST 8 BYTES OF md5 (big-endian) — not the
+    * internal FNV/splitmix mix — precisely so any engine with an md5
+    * builtin reproduces the fingerprint bit-for-bit: DuckDB's
+    * `CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT)` yields the
+    * same 64 bits, which is what makes `dedup_simhash` value-checkable
+    * against a SQL oracle rather than rows-only. md5 throughput (~500
+    * MB/s/core on short tokens) is not the bottleneck of any simhash
+    * pipeline stage (the pair join is). */
   def simhash64Fn: Seq[String] => Long = { toks: Seq[String] =>
+    val md = java.security.MessageDigest.getInstance("MD5")
     val votes = new Array[Int](64)
     toks.foreach { t =>
-      val h = mix(hash64(t), 0x5851f42d4c957f2dL)
+      val d = md.digest(t.getBytes("UTF-8")) // digest() resets the md
+      var h = 0L
+      var i = 0
+      while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -35,6 +35,13 @@ object SimilaritySearch {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
+  /** One full hyperplane as literal components — for external
+    * replication of the bucketing (e.g. the driver's DuckDB oracle,
+    * which inlines these as SQL literals). Same (table, plane, dim)
+    * derivation as [[bucketFn]]. */
+  def planeVector(table: Int, plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => planeComponent(table, plane, d))
+
   /** LSH bucket id for one table: bit b = sign of dot(vec, plane_b). */
   def bucketFn(numPlanes: Int, table: Int): Seq[Float] => Long = {
     vec: Seq[Float] => {

@@ -270,6 +270,32 @@ object Ext {
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard" -> jaccardOracle,
     "dedup_minhash" -> jaccardOracle,
+    // Full SimHash replication: the fingerprint's token hash is md5's
+    // first 8 bytes (see Dedup.simhash64Fn), so DuckDB rebuilds the
+    // exact 64-bit fingerprints and checks ALL hamming<=3 pairs — the
+    // Spark side's 16-bit-chunk banding is exhaustive for hamming<=3
+    // (pigeonhole), so the sets must be identical.
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+         |th AS (SELECT doc_id,
+         |    CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+         |  FROM tok),
+         |bits AS (SELECT doc_id, b,
+         |    SUM(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM th CROSS JOIN range(64) r(b) GROUP BY 1, 2),
+         |fp0 AS (SELECT doc_id,
+         |    CAST(SUM(CASE WHEN v > 0
+         |      THEN (CAST(1 AS UBIGINT) << CAST(b AS INT))
+         |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS f
+         |  FROM bits GROUP BY 1),
+         |fp AS (SELECT d.doc_id, coalesce(fp0.f, CAST(0 AS UBIGINT)) AS f
+         |  FROM documents d LEFT JOIN fp0 ON d.doc_id = fp0.doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin,
+    "sim_lsh_topk" -> lshOracle,
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id,
         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -312,4 +338,56 @@ object Ext {
   private def allStopsSql: String =
     TF.langMarkers.flatMap(_._2).distinct
       .map(m => s"'$m'").mkString("[", ", ", "]")
+
+  /** Full LSH replication for sim_lsh_topk: the deterministic hyperplane
+    * components (SimilaritySearch.planeVector — splitmix64 of (table,
+    * plane, dim), no RNG state) are inlined as SQL literals, so DuckDB
+    * computes the same sign-bit buckets, the same candidate union across
+    * tables, and the same exact-cosine re-rank. Shortest-round-trip
+    * Double.toString guarantees DuckDB parses bit-identical doubles;
+    * both engines accumulate dot products in ascending index order.
+    * dim=64 matches the driver's embeddings fixture (all SFs). */
+  private lazy val lshOracle: String = {
+    val numPlanes = 8; val numTables = 6; val dim = 64
+    val rows = (for {
+      t <- 0 until numTables
+      p <- 0 until numPlanes
+    } yield {
+      val comps = SimilaritySearch.planeVector(t, p, dim)
+        .map(java.lang.Double.toString).mkString("[", ", ", "]")
+      s"($t, $p, CAST($comps AS DOUBLE[]))"
+    }).mkString(",\n    ")
+    s"""WITH planes(tbl, plane, pv) AS (VALUES
+       |    $rows),
+       |e AS (SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings),
+       |buck AS (
+       |  SELECT e.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN list_reduce(
+       |        list_transform(list_zip(e.v, p.pv), z -> z[1] * z[2]),
+       |        (x, y) -> x + y) >= 0
+       |      THEN (CAST(1 AS UBIGINT) << CAST(p.plane AS INT))
+       |      ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS bucket
+       |  FROM e CROSS JOIN planes p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |scored AS (SELECT cand.query_id, cand.cand_id,
+       |    floor(
+       |      list_reduce(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]),
+       |        (x, y) -> x + y)
+       |      / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+       |       * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
+       |      * 1000000 + 0.5) / 1000000 AS cosine
+       |  FROM cand
+       |  JOIN e q ON cand.query_id = q.vec_id
+       |  JOIN e c ON cand.cand_id = c.vec_id),
+       |ranked AS (SELECT query_id, cand_id, cosine,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, cand_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT query_id, cand_id, cosine, rank FROM ranked WHERE rank <= 10""".stripMargin
+  }
 }
