@@ -23,7 +23,8 @@ object SparkEntry {
     (graft.queries.Ops.queries, graft.queries.Ops.oracles),
     (graft.queries.Ext.queries, graft.queries.Ext.oracles),
     (graft.queries.Events.queries, graft.queries.Events.oracles),
-    (graft.queries.Sources.queries, graft.queries.Sources.oracles))
+    (graft.queries.Sources.queries, graft.queries.Sources.oracles),
+    (graft.queries.Streams.queries, graft.queries.Streams.oracles))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     queryGroups.map(_._1).reduce(_ ++ _)

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming driver entries: each runs a REAL streaming query
+  * (file source over the events parquet, Trigger.AvailableNow, append
+  * mode with watermarks) to completion and returns the emitted rows, so
+  * the production streaming path — not just the batch twin — is checked
+  * against the DuckDB oracle.
+  *
+  * Determinism contract (what makes a streaming result value-checkable):
+  *   - the fixture is ONE parquet file, so AvailableNow processes it as
+  *     one micro-batch; within a batch the operators themselves are
+  *     order-insensitive (dedup emits the KEY set only, sessionize sorts
+  *     per user, window agg is commutative-exact via decimal cents);
+  *   - append-mode emission is decided by the FINAL watermark
+  *     (max event time − delay, ms-truncated), which the oracles
+  *     replicate as a SQL filter. Boundary collisions (a window end or
+  *     session timeout EXACTLY equal to the watermark) cannot occur with
+  *     the fixture's µs-random timestamps.
+  *
+  * At scale the memory sink becomes a file/Kafka sink; the query shapes
+  * are unchanged (state bounded by watermark, see EventStreams).
+  */
+object Streams {
+  import Tables._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Memory-sink table names must be fresh per run (Bench invokes each
+    * query twice in one session). */
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def uniq(prefix: String): String =
+    s"${prefix}_${runSeq.incrementAndGet()}"
+
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    // The streaming file source takes a DIRECTORY (or glob) — the
+    // fixture is a single file, so address it via a glob pattern.
+    val path = s"$d/events*.parquet"
+    // Streaming file sources need the schema up front: one footer read.
+    // Same ns→µs normalization as the batch Tables.events (the fixture
+    // stores ns-precision timestamps, which Spark reads as raw longs).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(schema).parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming exact dedup on (user_id, event_type): the emitted rows'
+    * key set equals the batch DISTINCT (which representative row
+    * survives a within-batch tie is engine-arbitrary, so only the keys
+    * are emitted). */
+  val stDedupKeys: Q = (s, d) =>
+    EventStreams.runToMemory(
+      EventStreams.dedupStream(
+        eventStream(s, d).select(col("ts"), col("user_id"), col("event_type")),
+        Seq("user_id", "event_type")),
+      uniq("st_dedup"))
+      .select(col("user_id"), col("event_type"))
+
+  /** Watermarked hourly window agg, append mode: emits exactly the
+    * windows closed by the final watermark. */
+  val stHourly: Q = (s, d) =>
+    EventStreams.runToMemory(
+      EventStreams.hourlyAgg(eventStream(s, d)), uniq("st_hourly"))
+
+  /** flatMapGroupsWithState sessionization (30-min gap): emits every
+    * completed session; a user's final session surfaces only if its
+    * event-time timeout fired before the final watermark. */
+  val stSessions: Q = (s, d) => {
+    import s.implicits._
+    EventStreams.runToMemory(
+      EventStreams.sessionize(
+        eventStream(s, d).as[EventStreams.Event], 30).toDF(),
+      uniq("st_sessions"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st_dedup_keys" -> stDedupKeys,
+    "st_hourly" -> stHourly,
+    "st_sessions" -> stSessions)
+
+  val oracles: Map[String, String] = Map(
+    "st_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
+    // Emission rule: window end <= watermark = ms-trunc(max ts) - 1h.
+    "st_hourly" ->
+      """WITH m AS (SELECT date_trunc('millisecond', max(ts)) AS mx
+        |  FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= (SELECT mx FROM m)
+        |GROUP BY 1, 2""".stripMargin,
+    // Batch sessionization (the ev_sessions CTE) + the emission rule:
+    // non-final sessions always surface (a later event closed them);
+    // a user's final session surfaces iff its timeout (session end +
+    // gap, in ms) fell strictly before the final watermark
+    // (ms-trunc(max ts) - gap).
+    "st_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, session_idx, count(*) AS n_events,
+        |    min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM z GROUP BY user_id, session_idx),
+        |m AS (SELECT max(epoch_us(ts)) AS mxus FROM events),
+        |ranked AS (
+        |  SELECT sess.*, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY session_idx DESC) AS rn
+        |  FROM sess)
+        |SELECT user_id, start_us, end_us, n_events, sum_value
+        |FROM ranked, m
+        |WHERE rn > 1
+        |   OR (end_us // 1000 + 1800000) < (mxus // 1000 - 1800000)""".stripMargin)
+}

@@ -29,16 +29,22 @@ object EventStreams {
 
   /** Internal per-user session buffer (public: Catalyst codegen
     * instantiates it from generated Java, which can't see private
-    * classes). */
+    * classes). `totalCents` keeps the value sum EXACT (the fixture's
+    * values are 2-decimal): a sequential double accumulation would
+    * drift from the batch twin's decimal(18,2) sum by summation order,
+    * breaking stream==batch value equality. */
   case class SessionState(startUs: Long, endUs: Long,
-      n: Long, total: Double)
+      n: Long, totalCents: Long)
 
-  /** Hourly tumbling-window counts/sums per event type, watermarked. */
+  /** Hourly tumbling-window counts/sums per event type, watermarked.
+    * Decimal-exact sum like the batch twin (Events.evHourly): float
+    * summation order must not leak into the result. */
   def hourlyAgg(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("sum_value"))
@@ -59,10 +65,16 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // 2-decimal values are exact in integer cents; /100.0 at the
+          // emission edge reproduces DuckDB's CAST(sum(DECIMAL) AS
+          // DOUBLE) bit-for-bit.
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, s.startUs, s.endUs, s.n, s.totalCents / 100.0)
+          def cents(v: Double): Long = math.round(v * 100)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.startUs, s.endUs, s.n, s.total))
+            Iterator.single(emit(s))
           } else {
             // getTime is ms-truncated; recover the sub-ms µs from
             // getNanos or the batch twin (unix_micros) diverges.
@@ -78,12 +90,12 @@ object EventStreams {
               cur match {
                 case Some(s) if us - s.endUs <= gapUs =>
                   cur = Some(s.copy(endUs = math.max(s.endUs, us),
-                    n = s.n + 1, total = s.total + e.value))
+                    n = s.n + 1, totalCents = s.totalCents + cents(e.value)))
                 case Some(s) =>
-                  out += SessionOut(userId, s.startUs, s.endUs, s.n, s.total)
-                  cur = Some(SessionState(us, us, 1, e.value))
+                  out += emit(s)
+                  cur = Some(SessionState(us, us, 1, cents(e.value)))
                 case None =>
-                  cur = Some(SessionState(us, us, 1, e.value))
+                  cur = Some(SessionState(us, us, 1, cents(e.value)))
               }
             }
             cur.foreach { s =>
