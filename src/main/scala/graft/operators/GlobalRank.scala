@@ -72,6 +72,41 @@ object GlobalRank {
       numPartitions: Int = 0): DataFrame =
     rank(df, out, orderCols, numPartitions)._1
 
+  /** Exact GLOBAL running sum of `valueCol` over a total order — the
+    * distributed prefix sum — with the same shape as [[withRowNumber]]:
+    * range partition, per-partition window sums in parallel, and a tiny
+    * per-partition-total offset broadcast back. No unpartitioned window
+    * at any scale. Exact for integral/decimal value types. */
+  def withRunningSum(
+      df: DataFrame,
+      out: String,
+      valueCol: Column,
+      orderCols: Seq[Column],
+      numPartitions: Int = 0): DataFrame = {
+    val s = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+            else s.conf.get("spark.sql.shuffle.partitions").toInt
+    val parted = df.repartitionByRange(n, orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // O(#partitions) rows to the driver — never O(rows).
+    val totals: Map[Int, Long] =
+      parted.groupBy(col("__pid"))
+        .agg(coalesce(sum(valueCol.cast("long")), lit(0L)).as("__t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsetOf: Map[Int, Long] =
+      pids.zip(pids.map(totals).scanLeft(0L)(_ + _)).toMap
+    import s.implicits._
+    val offsetsDf = broadcast(offsetOf.toSeq.toDF("__pid", "__rs_off"))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted
+      .join(offsetsDf, Seq("__pid"))
+      .withColumn(out, sum(valueCol.cast("long")).over(w) + col("__rs_off"))
+      .drop("__pid", "__rs_off")
+  }
+
   /** Exact `ntile(b)` over a global order, built on [[withRowNumber]]
     * (same first-(n%b)-buckets-get-one-extra semantics as SQL ntile).
     */

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bucketed range (interval) join.
+  *
+  * `left JOIN right ON keys AND r.ts ∈ [l.ts + lowerUs, l.ts + upperUs]`
+  * planned naively by Spark becomes a BroadcastNestedLoopJoin (the range
+  * predicate is not an equi-condition) — O(|L| × |R|) comparisons and a
+  * broadcast of a whole side: the classic interval-join scale-killer.
+  *
+  * This operator makes it an EQUI-join: time is cut into buckets of
+  * width `upperUs - lowerUs` (so any left row's interval spans at most
+  * TWO buckets), the left row is exploded to its ≤ 2 distinct probe
+  * buckets, the right row gets its single home bucket, and the join key
+  * becomes (keys..., bucket) with the exact range predicate applied as a
+  * post-join filter. Each (l, r) match is produced exactly once (a right
+  * row's single bucket matches at most one of the left row's distinct
+  * probe buckets).
+  *
+  * Shuffle volume: |L|·≤2 + |R| rows hashed on (keys, bucket) — a plain
+  * shuffled equi-join that AQE can skew-split, vs. the nested-loop's
+  * full cross product. Floor division uses the pmod identity so
+  * negative timestamps bucket correctly.
+  */
+object RangeJoin {
+
+  private def floorDiv(x: Column, w: Long): Column =
+    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+
+  /** @param tsCols (left ts col, right ts col), µs-precision timestamps.
+    * @param lowerUs,upperUs right.ts − left.ts bounds (inclusive), µs.
+    */
+  def apply(
+      left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCols: (String, String), lowerUs: Long, upperUs: Long): DataFrame = {
+    require(upperUs > lowerUs, "empty interval")
+    require(tsCols._1 != tsCols._2,
+      "rename the ts columns apart (both sides survive into the output)")
+    val w = upperUs - lowerUs
+    val lUs = unix_micros(col(tsCols._1))
+    val rUs = unix_micros(col(tsCols._2))
+    val l = left
+      .withColumn("__b", explode(array_distinct(array(
+        floorDiv(lUs + lowerUs, w), floorDiv(lUs + upperUs, w)))))
+    val r = right.withColumn("__b", floorDiv(rUs, w))
+    l.join(r, keyCols :+ "__b")
+      .where(rUs.between(lUs + lowerUs, lUs + upperUs))
+      .drop("__b")
+  }
+}

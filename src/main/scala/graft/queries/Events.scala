@@ -78,11 +78,29 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // Interval join via the bucketed equi-join operator (RangeJoin): every
+  // error paired with the same user's purchases within ±6 hours. The
+  // naive formulation is a BroadcastNestedLoopJoin (PlanSpec asserts
+  // this operator never is); the oracle is the plain range-join SQL —
+  // bucketing must be invisible in the result.
+  val evRangeJoin: Q = (s, d) => {
+    val ev = events(s, d)
+    val sixHoursUs = 6L * 3600 * 1000000
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    graft.operators.RangeJoin(errors, purchases, Seq("user_id"),
+      ("e_ts", "p_ts"), -sixHoursUs, sixHoursUs)
+      .select(col("user_id"), col("e_id"), col("p_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_hourly" -> evHourly,
     "ev_sessions" -> evSessions,
     "ev_error_prone" -> evErrorProne,
-    "ev_asof_join" -> evAsof)
+    "ev_asof_join" -> evAsof,
+    "ev_range_join" -> evRangeJoin)
 
   val oracles: Map[String, String] = Map(
     "ev_hourly" ->
@@ -126,6 +144,13 @@ object Events {
         |      value AS p_value FROM events
         |      WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "ev_range_join" ->
+      """SELECT e.user_id, e.event_id AS e_id, p.event_id AS p_id
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id
+        | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 21600000000
+        |                        AND epoch_us(e.ts) + 21600000000""".stripMargin,
     "ev_error_prone" ->
       """SELECT user_id, count(*) AS n_errors,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)

@@ -32,6 +32,18 @@ object Ext {
   val tLangId: Q = (s, d) =>
     documents(s, d).select(col("doc_id"), TF.langId(col("text")).as("lang_pred"))
 
+  // Concat-and-chunk sequence packing into 512-token blocks, doc_id
+  // order — the LLM pre-training layout. The prefix sum is the
+  // distributed GlobalRank.withRunningSum (never an unpartitioned
+  // window); the oracle is DuckDB's window cumsum.
+  val tSeqPack: Q = (s, d) => {
+    val withTokens = documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.TokenPacker(withTokens, "n_tokens", 512, Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("pack_first"), col("pack_last"))
+  }
+
   val tQuality: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
@@ -127,6 +139,7 @@ object Ext {
     "t_token_stats" -> tTokenStats,
     "t_lang_id" -> tLangId,
     "t_quality" -> tQuality,
+    "t_seq_pack" -> tSeqPack,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -234,6 +247,21 @@ object Ext {
          |  md5(array_to_string(t, ' ')) AS fingerprint
          |FROM toks""".stripMargin,
     "t_lang_id" -> langCase,
+    "t_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM t)
+         |SELECT doc_id, n_tokens,
+         |  cum - n_tokens AS start_token,
+         |  (cum - n_tokens) // 512 AS pack_first,
+         |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+         |       ELSE (cum - n_tokens) // 512 END AS pack_last
+         |FROM c""".stripMargin,
     "t_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id, text, t,

@@ -165,4 +165,59 @@ class OperatorSpec extends AnyFunSuite {
     val n = h.orderBy("bucket").select("n").as[Long].collect()
     assert(n.toSeq == Seq(1L, 0L, 0L, 1L))
   }
+
+  test("RangeJoin equals the naive range join and stays an equi-join plan") {
+    val ev = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val sixH = 6L * 3600 * 1000000
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+    val got = RangeJoin(errors, purchases, Seq("user_id"),
+      ("e_ts", "p_ts"), -sixH, sixH)
+    val naive = errors.join(purchases,
+      errors("user_id") === purchases("user_id") &&
+        unix_micros(col("p_ts")).between(
+          unix_micros(col("e_ts")) - sixH, unix_micros(col("e_ts")) + sixH))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("e_id"), col("p_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotPairs = pairs(got)
+    assert(gotPairs == pairs(naive))
+    assert(gotPairs.nonEmpty)
+    // the whole point: the bucketed form must be an equi-join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+    // asymmetric window exercises the two-bucket probe path
+    val asym = RangeJoin(errors, purchases, Seq("user_id"),
+      ("e_ts", "p_ts"), 0L, 2 * sixH)
+    val asymNaive = errors.join(purchases,
+      errors("user_id") === purchases("user_id") &&
+        unix_micros(col("p_ts")).between(
+          unix_micros(col("e_ts")), unix_micros(col("e_ts")) + 2 * sixH))
+    assert(pairs(asym) == pairs(asymNaive))
+  }
+
+  test("TokenPacker: contiguous global layout, boundary-spanning docs, zero-token docs") {
+    val docs = Seq(
+      (1L, 100L), (2L, 500L), (3L, 0L), (4L, 12L), (5L, 2000L), (6L, 1L))
+      .toDF("doc_id", "n_tokens")
+      .repartition(4) // force the multi-partition prefix-sum path
+    val out = TokenPacker(docs, "n_tokens", 512, Seq(col("doc_id")))
+      .orderBy("doc_id")
+      .select("doc_id", "start_token", "pack_first", "pack_last")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hand-computed: cum = 100, 600, 600, 612, 2612, 2613
+    assert(out.toSeq == Seq(
+      (1L, 0L, 0L, 0L),       // [0, 100)   in pack 0
+      (2L, 100L, 0L, 1L),     // [100, 600) spans packs 0-1
+      (3L, 600L, 1L, 1L),     // zero tokens at offset 600
+      (4L, 600L, 1L, 1L),     // [600, 612)
+      (5L, 612L, 1L, 5L),     // [612, 2612) spans packs 1-5
+      (6L, 2612L, 5L, 5L)))   // [2612, 2613)
+    // global invariant: stream is gapless
+    val cums = out.map(_._2)
+    assert(cums.toSeq == cums.sorted.toSeq)
+  }
 }
