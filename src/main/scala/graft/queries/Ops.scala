@@ -71,7 +71,23 @@ object Ops {
           .as("sum_qty"))
   }
 
+  // The reference's flagship viz operator as a value-checked query: the
+  // per-(pivot, bucket) histogram grid that HistogramWithExamples
+  // computes distributed (3 jobs at any pivot count). Example strings
+  // are display-arbitrary and excluded; the counts/edges are the data
+  // contract. Output is O(pivots × bins) — a driver-local frame by
+  // design.
+  val vizHistogram: Q = (s, d) => {
+    import s.implicits._
+    val r = graft.viz.HistogramWithExamples.run(
+      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+      "l_extendedprice", subPivotCol = Some("l_returnflag"))
+    r.buckets.map(b => (b.pivot, b.bucket, b.lo, b.hi, b.count))
+      .toDF("pivot_key", "bucket", "lo", "hi", "n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "viz_histogram" -> vizHistogram,
     "op_union_dfs" -> opUnionDfs,
     "op_histogram" -> opHistogram,
     "op_bucketize" -> opBucketize,
@@ -81,6 +97,28 @@ object Ops {
     "op_salted_join" -> opSaltedJoin)
 
   val oracles: Map[String, String] = Map(
+    // Mirrors HistogramWithExamples: per-pivot [mn, mx] edges, bucket =
+    // floor((v - mn) * bins / (mx - mn)) clamped to bins-1 (multiply
+    // BEFORE divide, same op order), all 50 buckets present per pivot
+    // including empty ones.
+    "viz_histogram" ->
+      """WITH v AS (SELECT l_returnflag AS pivot_key,
+        |    CAST(l_extendedprice AS DOUBLE) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+        |s AS (SELECT pivot_key, min(v) AS mn, max(v) AS mx FROM v GROUP BY 1),
+        |b AS (SELECT v.pivot_key,
+        |    CASE WHEN mx = mn THEN 0
+        |         ELSE least(CAST(floor((v - mn) * 50 / (mx - mn)) AS INT), 49)
+        |    END AS bucket
+        |  FROM v JOIN s ON v.pivot_key = s.pivot_key),
+        |c AS (SELECT pivot_key, bucket, count(*) AS n FROM b GROUP BY 1, 2)
+        |SELECT s.pivot_key, CAST(i AS INT) AS bucket,
+        |  mn + (mx - mn) * i / 50 AS lo,
+        |  mn + (mx - mn) * (i + 1) / 50 AS hi,
+        |  coalesce(n, 0) AS n
+        |FROM range(50) t(i) CROSS JOIN s
+        |LEFT JOIN c ON c.pivot_key = s.pivot_key AND c.bucket = i""".stripMargin,
     "op_union_dfs" ->
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal,
         |  CAST(NULL AS INT) AS nationkey

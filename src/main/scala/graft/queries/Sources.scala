@@ -108,11 +108,49 @@ object Sources {
       .toDF("doc_id", "text")
   }
 
+  /** Tensor codec roundtrip THROUGH parquet, exercising the packed
+    * path: each embedding is tiled 4× (256 doubles = 2048 B ≥ the 2 KiB
+    * auto-pack threshold), encoded as a Tensor struct with a
+    * little-endian packed blob, written to parquet, read back and
+    * decoded executor-side. The oracle checks structure (shape, dtype,
+    * blob size) and value fidelity (first/last decoded element ==
+    * original embedding endpoints, widened float→double). Full
+    * element-for-element fidelity is CodecSpec's job. */
+  val srcTensorRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    import graft.codec.Tensor
+    val dir = fixtureDir(s, "graft_tensor_")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .map { case (id, v) =>
+        val tiled = Array.fill(4)(v.map(_.toDouble).toArray).flatten
+        (id, Tensor.fromDoubles(tiled, Seq(4L, v.length.toLong)))
+      }
+      .toDF("vec_id", "tensor")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.parquet(dir.getAbsolutePath).as[(Long, Tensor)]
+      .map { case (id, t) =>
+        val dv = t.toDoubles
+        (id, t.numElements, t.dtype, t.values_packed.length, dv.head, dv.last)
+      }
+      .toDF("vec_id", "n_values", "dtype", "packed_bytes", "v_first", "v_last")
+  }
+
   val queries: Map[String, Q] = Map(
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
-    "src_archive_roundtrip" -> srcArchiveRoundtrip)
+    "src_archive_roundtrip" -> srcArchiveRoundtrip,
+    "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
-    "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents")
+    "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_tensor_roundtrip" ->
+      """SELECT vec_id,
+        |  CAST(4 * len(embedding) AS BIGINT) AS n_values,
+        |  'float64' AS dtype,
+        |  CAST(4 * len(embedding) * 8 AS INT) AS packed_bytes,
+        |  CAST(embedding[1] AS DOUBLE) AS v_first,
+        |  CAST(embedding[len(embedding)] AS DOUBLE) AS v_last
+        |FROM embeddings""".stripMargin)
 }
