@@ -275,6 +275,47 @@ object Relational {
         round(min(col("c_acctbal")), 2).as("lo_bal"),
         round(max(col("c_acctbal")), 2).as("hi_bal"))
 
+  // TPC-H Q4-style: orders having at least one flagged lineitem —
+  // correlated EXISTS, planned as a LeftSemi hash join (never a
+  // per-row subquery). Adapted predicate: the fixture has no
+  // commit/receipt dates, so the EXISTS tests l_returnflag = 'R'.
+  val q4PriorityExists: Q = (s, d) => {
+    val flagged = lineitem(s, d).where(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o_orderkey"))
+    orders(s, d).join(flagged, Seq("o_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // TPC-H Q13-style: distribution of per-customer order counts. The
+  // LEFT join keeps order-less customers (count = 0 via count(col),
+  // which skips nulls); both aggregations are map-side partial.
+  val q13CustDistribution: Q = (s, d) => {
+    val joined = customer(s, d).select(col("c_custkey"))
+      .join(orders(s, d).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+    joined.groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  // RANGE-frame window: per customer, trailing-30-day order revenue.
+  // The frame is value-based (peers included), keyed on an exact
+  // integer day so both engines agree on frame membership; decimal sum
+  // keeps the double cast exact.
+  val qWindowRange: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+      .rangeBetween(-30, 0)
+    orders(s, d)
+      // NTZ → LTZ under the session's UTC zone, then epoch seconds —
+      // numerically the naive epoch DuckDB's epoch_ms sees.
+      .withColumn("day",
+        expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) div 86400"))
+      .withColumn("sum_30d", sum(dec(col("o_totalprice"))).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("day"), col("sum_30d"))
+  }
+
   // GROUPING SETS via the SQL-text surface (temp views + spark.sql) —
   // the engine's full SQL interface is part of the capability contract.
   val qGroupingSets: Q = (s, d) => {
@@ -290,6 +331,9 @@ object Relational {
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_ntile" -> qNtile,
+    "q4_priority_exists" -> q4PriorityExists,
+    "q13_cust_distribution" -> q13CustDistribution,
+    "q_window_range" -> qWindowRange,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_revenue" -> q6Revenue,
     "q3_top_orders" -> q3TopOrders,
@@ -314,6 +358,28 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY 1""".stripMargin,
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY 1)
+        |GROUP BY 1""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        |  epoch_ms(o_orderdate) // 86400000 AS day,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY (epoch_ms(o_orderdate) // 86400000)
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS sum_30d
+        |FROM orders""".stripMargin,
     "q_percentiles" ->
       """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
         |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
