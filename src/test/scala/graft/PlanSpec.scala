@@ -91,4 +91,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(bucketed)
     assert(p.contains("HashAggregate") && p.contains("partial_count"), p)
   }
+
+  test("token packing and range-frame windows never hit a single-reducer sort") {
+    import org.apache.spark.sql.functions._
+    // TokenPacker's prefix sum must window over __pid partitions, not a
+    // global (SinglePartition) order.
+    val docs = graft.queries.Tables.documents(spark, sf)
+      .select(col("doc_id"), lit(7L).as("n_tokens"))
+    val packed = graft.operators.TokenPacker(
+      docs, "n_tokens", 512, Seq(col("doc_id")))
+    val pp = packed.queryExecution.executedPlan.toString
+    assert(pp.contains("Window"), pp.take(800))
+    assert(!pp.contains("SinglePartition"),
+      "prefix sum regressed to a single-reducer window:\n" + pp.take(2000))
+    // ev_range_join stays a shuffled/broadcast equi-join.
+    val rj = graft.queries.Events.queries("ev_range_join")(spark, sf)
+    val rp = plan(rj)
+    assert(!rp.contains("BroadcastNestedLoopJoin") && !rp.contains("CartesianProduct"), rp.take(2000))
+  }
 }
