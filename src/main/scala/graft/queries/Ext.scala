@@ -44,6 +44,39 @@ object Ext {
         col("pack_first"), col("pack_last"))
   }
 
+  // Deterministic 80/10/10 train/val/test split via the portable
+  // md5-threshold draw (BalancedSample.hash60): any engine reproduces
+  // the assignment, so shards are stable across runs/engines — the
+  // property a training pipeline actually needs from a splitter.
+  val tSplit: Q = (s, d) => {
+    val draw = graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 42L)
+    val twoPow60 = math.pow(2.0, 60)
+    documents(s, d).select(col("doc_id"),
+      when(draw < lit(0.8 * twoPow60), "train")
+        .when(draw < lit(0.9 * twoPow60), "val")
+        .otherwise("test").as("split"))
+  }
+
+  // Deterministic global shuffle: position = rank in md5-hash order —
+  // the reproducible "shuffle the corpus" primitive. Ranking is the
+  // distributed GlobalRank (range partition + offsets), not a
+  // single-reducer window.
+  val tShuffleRank: Q = (s, d) => {
+    val hashed = documents(s, d).select(col("doc_id"),
+      md5(concat(col("doc_id").cast("string"), lit("shuf"))).as("__h"))
+    graft.operators.GlobalRank.withRowNumber(
+      hashed, "pos", Seq(col("__h"), col("doc_id")))
+      .select(col("doc_id"), col("pos"))
+  }
+
+  // Vocabulary building: token counts with map-side combine, top 100 by
+  // (count desc, token) — TakeOrderedAndProject, no global sort.
+  val tVocab: Q = (s, d) =>
+    documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(100)
+
   val tQuality: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
@@ -140,6 +173,9 @@ object Ext {
     "t_lang_id" -> tLangId,
     "t_quality" -> tQuality,
     "t_seq_pack" -> tSeqPack,
+    "t_split" -> tSplit,
+    "t_shuffle_rank" -> tShuffleRank,
+    "t_vocab" -> tVocab,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_minhash" -> dedupMinhash,
@@ -247,6 +283,26 @@ object Ext {
          |  md5(array_to_string(t, ' ')) AS fingerprint
          |FROM toks""".stripMargin,
     "t_lang_id" -> langCase,
+    "t_split" ->
+      """WITH draw AS (SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '42')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN h < 0.8 * 1152921504606846976.0 THEN 'train'
+        |       WHEN h < 0.9 * 1152921504606846976.0 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM draw""".stripMargin,
+    "t_shuffle_rank" ->
+      """SELECT doc_id,
+        |  row_number() OVER (
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'shuf'), doc_id) AS pos
+        |FROM documents""".stripMargin,
+    "t_vocab" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS n FROM tok
+         |GROUP BY 1 ORDER BY n DESC, token LIMIT 100""".stripMargin,
     "t_seq_pack" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len($toksSql) AS BIGINT) AS n_tokens
