@@ -87,6 +87,63 @@ object Profile {
       }
     }
 
+    if (which == "rj") {
+      val ev = graft.queries.Tables.events(spark, sfDir)
+      val sixH = 6L * 3600 * 1000000
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_ts"), col("event_id").as("e_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      (1 to 2).foreach { i =>
+        t(s"RangeJoin bucketed run$i") {
+          graft.operators.RangeJoin(errors, purchases, Seq("user_id"),
+            ("e_ts", "p_ts"), -sixH, sixH).count()
+        }
+      }
+      (1 to 2).foreach { i =>
+        t(s"naive BNLJ range join run$i") {
+          errors.join(purchases,
+            errors("user_id") === purchases("user_id") &&
+              unix_micros(col("p_ts")).between(
+                unix_micros(col("e_ts")) - sixH,
+                unix_micros(col("e_ts")) + sixH)).count()
+        }
+      }
+      println(graft.queries.Events.queries("ev_range_join")(spark, sfDir)
+        .queryExecution.executedPlan.toString.linesIterator
+        .filter(l => l.contains("Join") || l.contains("Exchange"))
+        .mkString("\n"))
+      // KEYLESS (pure temporal) join: the case Spark can only plan as a
+      // nested loop.
+      val halfH = 30L * 60 * 1000000
+      (1 to 2).foreach { i =>
+        t(s"KEYLESS bucketed run$i") {
+          graft.operators.RangeJoin(errors, purchases, Seq.empty,
+            ("e_ts", "p_ts"), -halfH, halfH).count()
+        }
+      }
+      (1 to 2).foreach { i =>
+        t(s"KEYLESS naive BNLJ run$i") {
+          errors.join(purchases,
+            unix_micros(col("p_ts")).between(
+              unix_micros(col("e_ts")) - halfH,
+              unix_micros(col("e_ts")) + halfH)).count()
+        }
+      }
+    }
+
+    if (which == "plans") {
+      Seq("t_seq_pack", "t_shuffle_rank", "q_window_range", "st_hourly")
+        .foreach { q =>
+          println(s"===== $q")
+          println(SparkEntry.queries(q)(spark, sfDir)
+            .queryExecution.executedPlan.toString.linesIterator
+            .filter(l => l.contains("Exchange") || l.contains("Join") ||
+              l.contains("Window") || l.contains("Sort") || l.contains("Scan"))
+            .take(20).mkString("\n"))
+        }
+    }
+
     if (which == "all" || which == "cc") {
       (1 to 2).foreach { i =>
         t(s"dedup_clusters full run$i") {

@@ -1,68 +1,80 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
-/** Distributed exact global ranking without a single-reducer sort.
-  *
-  * `Window.orderBy(...)` with no partition clause moves EVERY row to one
-  * reducer ("WindowExec: No Partition Defined") — a scale-killer the
-  * reference never hits because it delegates ranking to its own engine.
-  * This operator produces the identical global `row_number` with all
-  * sorts parallel:
+/** Distributed exact global ranking / prefix sums without a
+  * single-reducer sort — the classic two-pass scan:
   *
   *   1. range-partition on the order key (ascending partition ids hold
-  *      ascending value ranges);
-  *   2. `row_number` within each partition — parallel local sorts;
-  *   3. add per-partition row-count offsets: the counts are one tiny
-  *      aggregate (O(#partitions) rows), prefix-summed on the driver and
-  *      resolved as a when-chain (never O(rows) on the driver).
+  *      ascending value ranges) and sort within partitions — ONE
+  *      exchange, all sorts parallel;
+  *   2. per-partition totals: a tiny O(#partitions) collect;
+  *   3. per-row rank/cumsum via `mapPartitionsWithIndex`, adding the
+  *      partition's prefix offset — ZERO further shuffle.
   *
-  * The partitioned frame is `localCheckpoint`ed so the (sampled) range
-  * boundaries are materialized once and the offsets job and the final
-  * job read the same layout; checkpoint blocks are GC-cleaned
-  * (unlike `cache`) and the checkpoint truncates lineage.
+  * Pass 3 is deliberately an RDD `mapPartitions` (the sanctioned
+  * per-partition imperative case): the alternative — a window over a
+  * `__pid` column — forces Catalyst to insert a SECOND full-data hash
+  * exchange, because the checkpointed range partitioning is invisible
+  * to the planner. At 100 TB that second shuffle is the dominant cost
+  * of the whole operator; per-row `Row` boxing is not.
+  *
+  * `Window.orderBy(...)` with no partition clause ("WindowExec: No
+  * Partition Defined") would move EVERY row to one reducer — the
+  * scale-killer this operator exists to avoid.
   *
   * Ties across the order key get an arbitrary-but-consistent rank among
-  * equals (the range partitioner maps equal keys to one partition, and
-  * both jobs read the same materialized layout). Pass a unique tiebreak
-  * column for fully deterministic ranks, as with any `row_number`.
+  * equals (the range partitioner maps equal keys to one partition and
+  * both passes read the same materialized layout — `localCheckpoint`,
+  * GC-cleaned unlike `cache`). Pass a unique tiebreak column for fully
+  * deterministic ranks, as with any `row_number`.
   */
 object GlobalRank {
 
-  /** (ranked frame, per-partition counts keyed by partition id). */
-  private def rank(
+  /** (augmented frame, per-partition row counts). `valueCol` None →
+    * every row weighs 1 (row_number); Some(v) → running sum of v (null
+    * values weigh 0, matching SQL sum's null-skipping). */
+  private def scan(
       df: DataFrame,
       out: String,
       orderCols: Seq[Column],
+      valueCol: Option[Column],
       numPartitions: Int): (DataFrame, Map[Int, Long]) = {
     val s = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
+    val prepared = df.withColumn("__gr_v",
+      valueCol.fold(lit(1L))(v => coalesce(v.cast("long"), lit(0L))))
+    val parted = prepared
+      .repartitionByRange(n, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .localCheckpoint()
-    // O(#partitions) rows to the driver — never O(rows).
-    val counts: Map[Int, Long] =
-      parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // offset(pid) = total rows in partitions with smaller pid. Resolved
-    // by broadcast-joining the tiny (pid, offset) frame back — a
-    // when-chain would build an expression of depth O(#partitions),
-    // which hits codegen's 64KB-method fallback in the thousands.
-    val pids = counts.keys.toSeq.sorted
+    val vIdx = parted.schema.fieldIndex("__gr_v")
+    // Pass 2: O(#partitions) (sum, count) pairs to the driver.
+    val stats: Array[(Int, (Long, Long))] =
+      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+        var sum = 0L; var cnt = 0L
+        it.foreach { r => sum += r.getLong(vIdx); cnt += 1 }
+        Iterator.single(pid -> (sum, cnt))
+      }.collect()
+    val pids = stats.map(_._1).sorted
+    val sumOf = stats.toMap
     val offsetOf: Map[Int, Long] =
-      pids.zip(pids.map(counts).scanLeft(0L)(_ + _)).toMap
-    import s.implicits._
-    val offsetsDf = broadcast(
-      offsetOf.toSeq.toDF("__pid", "__gr_off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-    val ranked = parted
-      .join(offsetsDf, Seq("__pid"))
-      .withColumn(out, row_number().over(w).cast("long") + col("__gr_off"))
-      .drop("__pid", "__gr_off")
-    (ranked, counts)
+      pids.zip(pids.map(p => sumOf(p)._1).scanLeft(0L)(_ + _)).toMap
+    val counts: Map[Int, Long] = stats.map { case (p, (_, c)) => p -> c }.toMap
+    // Pass 3: running accumulate + offset, partition-local.
+    val outSchema = parted.schema.add(out, LongType, nullable = false)
+    val dropIdx = vIdx
+    val augmented = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = offsetOf.getOrElse(pid, 0L)
+      it.map { r =>
+        acc += r.getLong(dropIdx)
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }
+    (s.createDataFrame(augmented, outSchema).drop("__gr_v"), counts)
   }
 
   def withRowNumber(
@@ -70,42 +82,17 @@ object GlobalRank {
       out: String,
       orderCols: Seq[Column],
       numPartitions: Int = 0): DataFrame =
-    rank(df, out, orderCols, numPartitions)._1
+    scan(df, out, orderCols, None, numPartitions)._1
 
   /** Exact GLOBAL running sum of `valueCol` over a total order — the
-    * distributed prefix sum — with the same shape as [[withRowNumber]]:
-    * range partition, per-partition window sums in parallel, and a tiny
-    * per-partition-total offset broadcast back. No unpartitioned window
-    * at any scale. Exact for integral/decimal value types. */
+    * distributed prefix sum. Exact for integral value types. */
   def withRunningSum(
       df: DataFrame,
       out: String,
       valueCol: Column,
       orderCols: Seq[Column],
-      numPartitions: Int = 0): DataFrame = {
-    val s = df.sparkSession
-    val n = if (numPartitions > 0) numPartitions
-            else s.conf.get("spark.sql.shuffle.partitions").toInt
-    val parted = df.repartitionByRange(n, orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // O(#partitions) rows to the driver — never O(rows).
-    val totals: Map[Int, Long] =
-      parted.groupBy(col("__pid"))
-        .agg(coalesce(sum(valueCol.cast("long")), lit(0L)).as("__t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val pids = totals.keys.toSeq.sorted
-    val offsetOf: Map[Int, Long] =
-      pids.zip(pids.map(totals).scanLeft(0L)(_ + _)).toMap
-    import s.implicits._
-    val offsetsDf = broadcast(offsetOf.toSeq.toDF("__pid", "__rs_off"))
-    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    parted
-      .join(offsetsDf, Seq("__pid"))
-      .withColumn(out, sum(valueCol.cast("long")).over(w) + col("__rs_off"))
-      .drop("__pid", "__rs_off")
-  }
+      numPartitions: Int = 0): DataFrame =
+    scan(df, out, orderCols, Some(valueCol), numPartitions)._1
 
   /** Exact `ntile(b)` over a global order, built on [[withRowNumber]]
     * (same first-(n%b)-buckets-get-one-extra semantics as SQL ntile).
@@ -116,7 +103,7 @@ object GlobalRank {
       buckets: Int,
       orderCols: Seq[Column]): DataFrame = {
     val rn = "__gr_rn"
-    val (ranked, counts) = rank(df, rn, orderCols, 0)
+    val (ranked, counts) = scan(df, rn, orderCols, None, 0)
     val total = counts.values.sum
     val q = total / buckets
     val r = total % buckets

@@ -101,7 +101,9 @@ class PlanSpec extends AnyFunSuite {
     val packed = graft.operators.TokenPacker(
       docs, "n_tokens", 512, Seq(col("doc_id")))
     val pp = packed.queryExecution.executedPlan.toString
-    assert(pp.contains("Window"), pp.take(800))
+    // The two-pass scan needs NO window and NO second exchange — and
+    // above all no single-reducer global sort.
+    assert(!pp.contains("Window"), pp.take(2000))
     assert(!pp.contains("SinglePartition"),
       "prefix sum regressed to a single-reducer window:\n" + pp.take(2000))
     // ev_range_join stays a shuffled/broadcast equi-join.
