@@ -203,8 +203,15 @@ object Dedup {
     * against a SQL oracle rather than rows-only. md5 throughput (~500
     * MB/s/core on short tokens) is not the bottleneck of any simhash
     * pipeline stage (the pair join is). */
+  // One digest per executor thread, not per row — getInstance pays a
+  // JCA provider lookup comparable to the md5 work itself on short docs.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def simhash64Fn: Seq[String] => Long = { toks: Seq[String] =>
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = md5Local.get()
     val votes = new Array[Int](64)
     toks.foreach { t =>
       val d = md.digest(t.getBytes("UTF-8")) // digest() resets the md

@@ -85,14 +85,22 @@ object GlobalRank {
     scan(df, out, orderCols, None, numPartitions)._1
 
   /** Exact GLOBAL running sum of `valueCol` over a total order — the
-    * distributed prefix sum. Exact for integral value types. */
+    * distributed prefix sum. Integral value columns only (a double
+    * would silently truncate per-row — rejected instead). NULL values
+    * weigh 0 (unlike a SQL window sum, which stays NULL until the
+    * first non-null value). */
   def withRunningSum(
       df: DataFrame,
       out: String,
       valueCol: Column,
       orderCols: Seq[Column],
-      numPartitions: Int = 0): DataFrame =
+      numPartitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.select(valueCol).schema.head.dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"withRunningSum needs an integral value column, got ${dt.simpleString}")
     scan(df, out, orderCols, Some(valueCol), numPartitions)._1
+  }
 
   /** Exact `ntile(b)` over a global order, built on [[withRowNumber]]
     * (same first-(n%b)-buckets-get-one-extra semantics as SQL ntile).

@@ -35,10 +35,14 @@ object RangeJoin {
   def apply(
       left: DataFrame, right: DataFrame, keyCols: Seq[String],
       tsCols: (String, String), lowerUs: Long, upperUs: Long): DataFrame = {
-    require(upperUs > lowerUs, "empty interval")
+    require(upperUs >= lowerUs,
+      s"inverted interval: [$lowerUs, $upperUs]")
     require(tsCols._1 != tsCols._2,
       "rename the ts columns apart (both sides survive into the output)")
-    val w = upperUs - lowerUs
+    // Degenerate single-point interval (lower == upper) still buckets
+    // correctly with width 1: both probe buckets collapse to the same
+    // value and the exact filter keeps only the single offset.
+    val w = math.max(1L, upperUs - lowerUs)
     val lUs = unix_micros(col(tsCols._1))
     val rUs = unix_micros(col(tsCols._2))
     val l = left
