@@ -45,6 +45,35 @@ object ScaleProbe {
     val keep = time("pipelineKeep (exact->lsh->clusters)")(
       graft.ext.Dedup.pipelineKeep(big, "doc_id", "text", 0.5).count())
     println(s"[probe] keep-set: $keep of ${n * copies}")
+
+    // Prefix-sum family at the same 10x corpus: one range exchange, no
+    // window (SCALE.md GlobalRank row).
+    val withTokens = big.select(col("doc_id"),
+      graft.ext.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    time("TokenPacker (concat-and-chunk, 2048)")(
+      graft.operators.TokenPacker(withTokens, "n_tokens", 2048,
+        Seq(col("doc_id"))).count())
+    time("GlobalRank.withRowNumber (global shuffle rank)")(
+      graft.operators.GlobalRank.withRowNumber(withTokens, "pos",
+        Seq(col("n_tokens"), col("doc_id"))).count())
+
+    // Keyless interval join at 10x events (the BNLJ-killer case).
+    val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
+    val bigEv = (0 until copies).map { c =>
+      ev.select((col("event_id") + c * 10000000L).as("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    }.reduce(_ union _).localCheckpoint()
+    println(s"[probe] events: ${bigEv.count()}")
+    val halfH = 30L * 60 * 1000000
+    val errs = bigEv.where(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("ts").as("e_ts"))
+    val purch = bigEv.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val nrj = time("RangeJoin keyless +-30min (bucketed)")(
+      graft.operators.RangeJoin(errs, purch, Seq.empty,
+        ("e_ts", "p_ts"), -halfH, halfH).count())
+    println(s"[probe] range-join matches: $nrj")
     spark.stop()
   }
 }

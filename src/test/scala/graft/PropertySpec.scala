@@ -73,4 +73,54 @@ class PropertySpec extends AnyFunSuite {
         (s1 == s2 || StableHash.stableHash(s1) != StableHash.stableHash(s2))
     })
   }
+
+  test("TokenPacker: gapless stream, monotone packs, boundary math (any sizes)") {
+    lazy val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(0L, 900L))
+    check("token-packer", Prop.forAll(gen, Gen.chooseNum(1L, 600L)) {
+      (sizes: List[Long], chunk: Long) =>
+        val df = sizes.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("doc_id", "n_tokens").repartition(3)
+        val rows = graft.operators.TokenPacker(
+            df, "n_tokens", chunk, Seq(col("doc_id")))
+          .orderBy("doc_id")
+          .select("doc_id", "n_tokens", "start_token", "pack_first", "pack_last")
+          .collect()
+          .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        // gapless: start = running sum of previous sizes
+        val starts = sizes.scanLeft(0L)(_ + _).init
+        rows.map(_._2).toSeq == starts &&
+          rows.forall { case (n, st, pf, pl) =>
+            pf == st / chunk &&
+              (if (n > 0) pl == (st + n - 1) / chunk else pl == pf) &&
+              pl >= pf
+          }
+    })
+  }
+
+  test("RangeJoin: equals naive join for any interval, incl. degenerate") {
+    lazy val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val evGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.chooseNum(0L, 3L), Gen.chooseNum(0L, 5000000L)))
+    check("range-join", Prop.forAll(evGen,
+      Gen.chooseNum(-2000000L, 2000000L), Gen.chooseNum(0L, 3000000L)) {
+      (evs: List[(Long, Long)], lower: Long, span: Long) =>
+        val upper = lower + span
+        val df = evs.zipWithIndex
+          .map { case ((k, us), i) => (i.toLong, k, new java.sql.Timestamp(us / 1000)) }
+        val l = df.toDF("lid", "k", "l_ts")
+        val r = df.map { case (i, k, ts) => (i, k, ts) }.toDF("rid", "k", "r_ts")
+        val got = graft.operators.RangeJoin(l, r, Seq("k"), ("l_ts", "r_ts"), lower, upper)
+          .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        val want = l.join(r, l("k") === r("k") &&
+            unix_micros(col("r_ts")).between(
+              unix_micros(col("l_ts")) + lower, unix_micros(col("l_ts")) + upper))
+          .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+        got == want
+    })
+  }
 }
