@@ -137,14 +137,49 @@ object Sources {
       .toDF("vec_id", "n_values", "dtype", "packed_bytes", "v_first", "v_last")
   }
 
+  /** The DataSource V2 connector path (`spark.read.format(
+    * "graft-archive")`): ONE zip holding every document, fanned across
+    * input partitions by `entriesPerPartition` — the flyweight design
+    * point (a single large archive parallelized on read). Fixture is
+    * written executor-side from a single partition; the READ fan-out is
+    * what's under test. */
+  val srcArchiveDsv2: Q = (s, d) => {
+    import s.implicits._
+    val dir = fixtureDir(s, "graft_zipv2_")
+    documents(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .coalesce(1)
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        val rows = it.toSeq
+        if (rows.nonEmpty) {
+          val zout = new ZipOutputStream(new BufferedOutputStream(
+            new FileOutputStream(new File(dir, "docs.zip"))))
+          try rows.foreach { case (id, t) =>
+            zout.putNextEntry(new ZipEntry(s"doc_$id.txt"))
+            zout.write(t.getBytes("UTF-8"))
+            zout.closeEntry()
+          } finally zout.close()
+        }
+      }
+    registerCleanup(dir)
+    s.read.format("graft-archive")
+      .option("entriesPerPartition", "64")
+      .load(new File(dir, "docs.zip").getAbsolutePath)
+      .select(
+        regexp_extract(col("name"), "doc_(\\d+)\\.txt", 1).cast("long")
+          .as("doc_id"),
+        col("content").cast("string").as("text"))
+  }
+
   val queries: Map[String, Q] = Map(
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
+    "src_archive_dsv2" -> srcArchiveDsv2,
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_archive_dsv2" -> "SELECT doc_id, text FROM documents",
     "src_tensor_roundtrip" ->
       """SELECT vec_id,
         |  CAST(4 * len(embedding) AS BIGINT) AS n_values,
