@@ -95,7 +95,36 @@ object Events {
       .select(col("user_id"), col("e_id"), col("p_id"))
   }
 
+  // Sliding (overlapping) windows: 1-hour windows every 30 minutes —
+  // every event lands in exactly two windows (Spark epoch-aligned
+  // semantics, replicated in the oracle by unnesting both candidate
+  // window starts).
+  val evSliding: Q = (s, d) =>
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // Built-in session_window aggregation (gap 30 min) — the SQL-surface
+  // twin of the manual lag/cumsum sessionization (ev_sessions) and the
+  // stateful streaming one (st_sessions). Spark defines session end =
+  // last event + gap; the oracle mirrors that from the same session CTE.
+  val evSessionWindow: Q = (s, d) =>
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("sum_value"))
+
   val queries: Map[String, Q] = Map(
+    "ev_sliding" -> evSliding,
+    "ev_session_window" -> evSessionWindow,
     "ev_hourly" -> evHourly,
     "ev_sessions" -> evSessions,
     "ev_error_prone" -> evErrorProne,
@@ -144,6 +173,43 @@ object Events {
         |      value AS p_value FROM events
         |      WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "ev_sliding" ->
+      """WITH cand AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |      AS ws,
+        |    ts
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM cand
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    "ev_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |  FROM y)
+        |SELECT user_id,
+        |  min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "ev_range_join" ->
       """SELECT e.user_id, e.event_id AS e_id, p.event_id AS p_id
         |FROM (SELECT * FROM events WHERE event_type = 'error') e
