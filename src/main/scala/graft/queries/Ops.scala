@@ -91,7 +91,23 @@ object Ops {
       .toDF("pivot_key", "bucket", "lo", "hi", "n")
   }
 
+  // Deterministic k-row uniform sample PER KEY ("reservoir"): rank rows
+  // by the portable md5 draw, keep the top 5 via the bounded-heap
+  // aggregator — O(keys×k) shuffle, no per-key partition sort, and the
+  // exact same sample on any engine (oracle = the window formulation
+  // over the same draw).
+  val opReservoirPerKey: Q = (s, d) => {
+    val withDraw = lineitem(s, d)
+      .withColumn("__rowid",
+        (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"))
+      .withColumn("__draw", BalancedSample.hash60(
+        Seq(col("l_orderkey"), col("l_linenumber")), 7L))
+    TopKPerKey(withDraw, Seq("l_returnflag"), "__draw", "__rowid", k = 5)
+      .select(col("l_returnflag"), col("__rowid").as("sample_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_reservoir_per_key" -> opReservoirPerKey,
     "viz_histogram" -> vizHistogram,
     "op_union_dfs" -> opUnionDfs,
     "op_histogram" -> opHistogram,
@@ -102,6 +118,20 @@ object Ops {
     "op_salted_join" -> opSaltedJoin)
 
   val oracles: Map[String, String] = Map(
+    "op_reservoir_per_key" ->
+      """WITH d AS (SELECT l_returnflag,
+        |    l_orderkey * 10 + l_linenumber AS sample_id,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(l_orderkey AS VARCHAR), chr(1)),
+        |      coalesce(CAST(l_linenumber AS VARCHAR), chr(1)), '7')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) AS draw
+        |  FROM lineitem)
+        |SELECT l_returnflag, sample_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT l_returnflag, sample_id,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY draw DESC, sample_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 5""".stripMargin,
     // Mirrors HistogramWithExamples: per-pivot [mn, mx] edges, bucket =
     // floor((v - mn) * bins / (mx - mn)) clamped to bins-1 (multiply
     // BEFORE divide, same op order), all 50 buckets present per pivot
