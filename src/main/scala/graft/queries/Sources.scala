@@ -99,13 +99,18 @@ object Sources {
     // central directory) — the bytes only ever move executor-side.
     val zips = dir.listFiles().filter(_.getName.endsWith(".zip"))
       .map(_.getAbsolutePath).sorted
-    val entries = zips.map(z => ArchiveSource.archiveDs(s, z)).reduce(_ union _)
-    ArchiveSource.readBytes(entries)
-      .map { case (name, bytes) =>
-        (name.stripPrefix("doc_").stripSuffix(".txt").toLong,
-          new String(bytes, "UTF-8"))
-      }
-      .toDF("doc_id", "text")
+    // Zero-row input writes zero archives: a typed empty frame, not a
+    // reduce-of-empty crash.
+    if (zips.isEmpty) s.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    else {
+      val entries = zips.map(z => ArchiveSource.archiveDs(s, z)).reduce(_ union _)
+      ArchiveSource.readBytes(entries)
+        .map { case (name, bytes) =>
+          (name.stripPrefix("doc_").stripSuffix(".txt").toLong,
+            new String(bytes, "UTF-8"))
+        }
+        .toDF("doc_id", "text")
+    }
   }
 
   /** Tensor codec roundtrip THROUGH parquet, exercising the packed
@@ -161,7 +166,10 @@ object Sources {
         }
       }
     registerCleanup(dir)
-    s.read.format("graft-archive")
+    // Zero-row input writes no archive at all.
+    if (!new File(dir, "docs.zip").exists())
+      s.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    else s.read.format("graft-archive")
       .option("entriesPerPartition", "64")
       .load(new File(dir, "docs.zip").getAbsolutePath)
       .select(
