@@ -178,13 +178,27 @@ object Sources {
         col("content").cast("string").as("text"))
   }
 
+  /** JSON-lines roundtrip: documents written as JSONL (newlines and
+    * unicode in `text` escaped per JSON), read back through the JSON
+    * source. Value-checks string-escaping fidelity end-to-end. */
+  val srcJsonlRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_jsonl_")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").json(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.schema("doc_id BIGINT, text STRING").json(dir.getAbsolutePath)
+      .select(col("doc_id"), col("text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
     "src_archive_dsv2" -> srcArchiveDsv2,
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_dsv2" -> "SELECT doc_id, text FROM documents",

@@ -66,6 +66,21 @@ object Streams {
     EventStreams.runToMemory(
       EventStreams.hourlyAgg(eventStream(s, d)), uniq("st_hourly"))
 
+  /** Watermarked SLIDING windows (1 h every 30 min), append mode: each
+    * event belongs to two windows; only windows closed by the final
+    * watermark emit. */
+  val stSliding: Q = (s, d) =>
+    EventStreams.runToMemory(
+      eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          col("event_type"), col("n"), col("sum_value")),
+      uniq("st_sliding"))
+
   /** flatMapGroupsWithState sessionization (30-min gap): emits every
     * completed session; a user's final session surfaces only if its
     * event-time timeout fired before the final watermark. */
@@ -80,6 +95,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
+    "st_sliding" -> stSliding,
     "st_sessions" -> stSessions)
 
   val oracles: Map[String, String] = Map(
@@ -94,6 +110,25 @@ object Streams {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 2 HOUR <= (SELECT mx FROM m)
+        |GROUP BY 1, 2""".stripMargin,
+    // Sliding windows (the ev_sliding unnest) + the emission rule:
+    // window end (start + 1h) <= watermark = ms-trunc(max ts) - 1h.
+    "st_sliding" ->
+      """WITH m AS (SELECT date_trunc('millisecond', max(ts)) AS mx
+        |  FROM events),
+        |cand AS (
+        |  SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |            time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |      AS ws,
+        |    ts
+        |  FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM cand
+        |WHERE ts >= ws AND ts < ws + INTERVAL 1 HOUR
+        |  AND ws + INTERVAL 2 HOUR <= (SELECT mx FROM m)
         |GROUP BY 1, 2""".stripMargin,
     // Batch sessionization (the ev_sessions CTE) + the emission rule:
     // non-final sessions always surface (a later event closed them);
