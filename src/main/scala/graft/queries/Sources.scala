@@ -190,7 +190,37 @@ object Sources {
       .select(col("doc_id"), col("text"))
   }
 
+  /** Hive-style partitioned layout: orders written `partitionBy(
+    * o_orderpriority)` (the at-rest partitioning a 100 TB table lives
+    * with), read back through partition discovery. Partition-column
+    * values round-trip through DIRECTORY NAMES (escaped), not data
+    * pages — that encoding is what's value-checked here; directory
+    * pruning on a partition filter is asserted in PlanSpec. */
+  val srcPartitionedRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_part_")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority")
+      .parquet(dir.getAbsolutePath)
+    registerCleanup(dir)
+    // Zero-row input writes only _SUCCESS: no partition dirs to infer
+    // a schema from.
+    val hasData = Option(dir.listFiles()).getOrElse(Array.empty)
+      .exists(_.isDirectory)
+    if (!hasData)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE, " +
+            "o_orderpriority STRING"))
+    else s.read.parquet(dir.getAbsolutePath)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"),
+        col("o_orderpriority").cast("string").as("o_orderpriority"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
@@ -198,6 +228,10 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "src_partitioned_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",

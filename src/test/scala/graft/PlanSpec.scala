@@ -111,4 +111,21 @@ class PlanSpec extends AnyFunSuite {
     val rp = plan(rj)
     assert(!rp.contains("BroadcastNestedLoopJoin") && !rp.contains("CartesianProduct"), rp.take(2000))
   }
+
+  test("partitioned-table read prunes directories on a partition filter") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_part_").toString
+    graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val filtered = spark.read.parquet(dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+    val p = plan(filtered)
+    assert(p.contains("PartitionFilters"), p.take(1500))
+    assert(p.contains("o_orderpriority"), p.take(1500))
+    // the partition predicate must NOT appear as a post-scan Filter on
+    // data pages - it is resolved from directory names alone
+    val dataFilterLine = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(dataFilterLine.forall(!_.contains("o_orderpriority")), p.take(1500))
+  }
 }
