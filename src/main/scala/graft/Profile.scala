@@ -132,6 +132,32 @@ object Profile {
       }
     }
 
+    if (which == "res") {
+      import graft.operators.{BalancedSample, TopKPerKey}
+      val li = graft.queries.Tables.lineitem(spark, sfDir)
+      val withDraw = li
+        .withColumn("__rowid",
+          (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"))
+        .withColumn("__draw", BalancedSample.hash60(
+          Seq(col("l_orderkey"), col("l_linenumber")), 7L))
+      t("plain count")(li.count())
+      t("md5 only")(li.select(count(md5(concat_ws(":",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        lit("7")))).as("c")).head())
+      t("md5+substr+conv")(li.select(count(conv(substring(md5(concat_ws(":",
+        col("l_orderkey").cast("string"), col("l_linenumber").cast("string"),
+        lit("7"))), 1, 15), 16, 10)).as("c")).head())
+      t("draw-only scan")(withDraw.select(sum(col("__draw"))).head())
+      (1 to 2).foreach { i =>
+        t(s"TopKPerKey k=5 3keys run$i")(
+          TopKPerKey(withDraw, Seq("l_returnflag"), "__draw", "__rowid", 5).count())
+      }
+      (1 to 2).foreach { i =>
+        t(s"full query run$i")(
+          SparkEntry.queries("op_reservoir_per_key")(spark, sfDir).count())
+      }
+    }
+
     if (which == "plans") {
       Seq("t_seq_pack", "t_shuffle_rank", "q_window_range", "st_hourly")
         .foreach { q =>

@@ -105,6 +105,66 @@ case class ArrayNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** First 15 hex chars of a (md5-hex) string as a double in [0, 2^60) —
+  * the portable-Bernoulli draw primitive. Replaces
+  * `conv(substring(s, 1, 15), 16, 10).cast("double")`, whose
+  * arbitrary-base `conv` + decimal-string re-parse measured ~2 µs/row
+  * (dominating every hash-threshold operator); this is a 15-iteration
+  * nibble loop inside whole-stage codegen. Value-identical: both round
+  * the same exact ≤60-bit integer to nearest double, which is also what
+  * DuckDB's `CAST(('0x' || substr(md5(..), 1, 15)) AS UBIGINT)::DOUBLE`
+  * produces. */
+case class Hex60ToDouble(child: Expression)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, DoubleType => DT}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hex60_to_double needs a string, got ${t.simpleString}")
+    }
+  override def dataType: DataType = DT
+  override def prettyName: String = "hex60_to_double"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.toString
+    var v = 0L
+    var i = 0
+    while (i < 15 && i < s.length) {
+      val c = s.charAt(i)
+      val d = if (c <= '9') c - '0'
+              else if (c <= 'F') c - 'A' + 10
+              else c - 'a' + 10
+      v = (v << 4) | d
+      i += 1
+    }
+    v.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      s"""
+         |String $s = $a.toString();
+         |long $v = 0L;
+         |for (int $i = 0; $i < 15 && $i < $s.length(); $i++) {
+         |  char $c = $s.charAt($i);
+         |  int d = $c <= '9' ? $c - '0'
+         |    : ($c <= 'F' ? $c - 'A' + 10 : $c - 'a' + 10);
+         |  $v = ($v << 4) | d;
+         |}
+         |${ev.value} = (double) $v;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Hex60ToDouble =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** dot(a, b) as a Column (codegen'd native expression). */
   def array_dot(a: Column, b: Column): Column =
@@ -113,6 +173,10 @@ object VectorFunctions {
   /** ||a||₂ as a Column. */
   def array_norm(a: Column): Column =
     Bridge.column(ArrayNorm(expression(a)))
+
+  /** First 15 hex chars of a string → double in [0, 2^60). */
+  def hex60_to_double(a: Column): Column =
+    Bridge.column(Hex60ToDouble(expression(a)))
 
   /** cosine(a, b) with the exact op order of the DuckDB oracle:
     * dot / (norm(a) * norm(b)). */

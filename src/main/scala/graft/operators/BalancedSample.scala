@@ -40,10 +40,13 @@ object BalancedSample {
     * in a cast of a numeric/date key, keeping draws independent.
     */
   def hash60(idCols: Seq[Column], seed: Long): Column =
-    conv(substring(md5(concat_ws(":",
-      idCols.map(c => coalesce(c.cast("string"), lit("\u0001")))
-        :+ lit(seed.toString): _*)),
-      1, 15), 16, 10).cast("double")
+    // hex60_to_double is the codegen'd hex-prefix parser — conv()'s
+    // arbitrary-base string path measured ~2 us/row, dominating every
+    // hash-threshold scan.
+    graft.functions.VectorFunctions.hex60_to_double(
+      md5(concat_ws(":",
+        idCols.map(c => coalesce(c.cast("string"), lit("\u0001")))
+          :+ lit(seed.toString): _*)))
 
   /** @param idCols columns identifying a row for the hash draw; empty →
     *               all columns of `df` (safe default; pass the table's

@@ -97,7 +97,10 @@ object Ops {
   // exact same sample on any engine (oracle = the window formulation
   // over the same draw).
   val opReservoirPerKey: Q = (s, d) => {
+    // Repartition BEFORE the md5 draw: the draw is the CPU cost here
+    // and must run at full parallelism, not at the scan's split count.
     val withDraw = lineitem(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("__rowid",
         (col("l_orderkey") * 10 + col("l_linenumber")).cast("long"))
       .withColumn("__draw", BalancedSample.hash60(
