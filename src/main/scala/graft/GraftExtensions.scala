@@ -31,6 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_cosine"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
       cosineBuilder))
+    // Advisory plan-time scale linter (records + warns, never rewrites).
+    ext.injectOptimizerRule(_ => graft.plans.ScaleLint)
   }
 }
 

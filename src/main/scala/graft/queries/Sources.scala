@@ -219,7 +219,19 @@ object Sources {
         col("o_orderpriority").cast("string").as("o_orderpriority"))
   }
 
+  /** ORC roundtrip — the second columnar at-rest format (predicate
+    * pushdown + column pruning work the same way as parquet). */
+  val srcOrcRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_orc_")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").orc(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.schema("doc_id BIGINT, text STRING").orc(dir.getAbsolutePath)
+      .select(col("doc_id"), col("text"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
@@ -233,6 +245,7 @@ object Sources {
         |  o_orderpriority
         |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_orc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_dsv2" -> "SELECT doc_id, text FROM documents",

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.plans.ScaleLint
+
+/** The advisory plan-time linter must flag the two classic laptop-only
+  * plan shapes and stay silent on their scale-correct forms. */
+class ScaleLintSpec extends AnyFunSuite {
+  lazy val spark = { val s = SparkFixture.spark; ScaleLint.attach(s); s }
+  import spark.implicits._
+
+  private def lint[A](body: => A): Seq[ScaleLint.Finding] = {
+    ScaleLint.clear()
+    body
+    ScaleLint.findings
+  }
+
+  test("unpartitioned window flags; partitioned window does not") {
+    val df = (1 to 100).map(i => (i.toLong, i % 5)).toDF("v", "k")
+    // consume rn — an unused window column is pruned before the lint
+    val bad = lint {
+      df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"))))
+        .agg(max(col("rn"))).head()
+    }
+    assert(bad.exists(_.kind == "unpartitioned-window"), bad)
+
+    val good = lint {
+      df.withColumn("rn",
+        row_number().over(Window.partitionBy(col("k")).orderBy(col("v"))))
+        .agg(max(col("rn"))).head()
+    }
+    assert(!good.exists(_.kind == "unpartitioned-window"), good)
+  }
+
+  test("cross join flags; equi-join does not") {
+    val a = (1 to 10).toDF("x")
+    val b = (1 to 10).toDF("y")
+    val bad = lint { a.crossJoin(b).count() }
+    assert(bad.exists(_.kind == "cross-join"), bad)
+
+    val good = lint { a.join(b, col("x") === col("y")).count() }
+    assert(!good.exists(_.kind == "cross-join"), good)
+  }
+
+  test("the engine's own ranking operators stay lint-clean") {
+    val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
+    val fs = lint {
+      graft.operators.GlobalRank.withRowNumber(df, "pos", Seq(col("v"))).count()
+    }
+    assert(!fs.exists(_.kind == "unpartitioned-window"), fs)
+  }
+}
