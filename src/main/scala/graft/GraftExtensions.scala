@@ -32,7 +32,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayDot].getName, "array_cosine"),
       cosineBuilder))
     // Advisory plan-time scale linter (records + warns, never rewrites).
-    ext.injectOptimizerRule(_ => graft.plans.ScaleLint)
+    // Injected into the AQE RUNTIME optimizer — it sees final
+    // (post-main-optimization) plans only, so shapes that later batches
+    // would prune away (an unused window, a pushed-down join predicate)
+    // don't produce false warnings, which injectOptimizerRule's
+    // fixed-point batch placement would.
+    ext.injectRuntimeOptimizerRule(_ => graft.plans.ScaleLint)
   }
 }
 

@@ -113,7 +113,11 @@ case class ArrayNorm(child: Expression)
   * nibble loop inside whole-stage codegen. Value-identical: both round
   * the same exact ≤60-bit integer to nearest double, which is also what
   * DuckDB's `CAST(('0x' || substr(md5(..), 1, 15)) AS UBIGINT)::DOUBLE`
-  * produces. */
+  * produces.
+  *
+  * CONTRACT: input must be lowercase-hex (md5/sha output). The nibble
+  * loop is deliberately unvalidated — it sits inside the per-row hot
+  * path — so non-hex characters map to garbage nibbles, not errors. */
 case class Hex60ToDouble(child: Expression)
     extends UnaryExpression {
   import org.apache.spark.sql.types.{StringType, DoubleType => DT}

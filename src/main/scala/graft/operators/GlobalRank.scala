@@ -43,6 +43,8 @@ object GlobalRank {
       valueCol: Option[Column],
       numPartitions: Int): (DataFrame, Map[Int, Long]) = {
     val s = df.sparkSession
+    require(!df.columns.contains(out),
+      s"output column '$out' already exists (the scan appends, never replaces)")
     val n = if (numPartitions > 0) numPartitions
             else s.conf.get("spark.sql.shuffle.partitions").toInt
     val prepared = df.withColumn("__gr_v",
@@ -52,11 +54,14 @@ object GlobalRank {
       .sortWithinPartitions(orderCols: _*)
       .localCheckpoint()
     val vIdx = parted.schema.fieldIndex("__gr_v")
-    // Pass 2: O(#partitions) (sum, count) pairs to the driver.
+    // Pass 2: O(#partitions) (sum, count) pairs to the driver. Narrow
+    // projection first — deserializing the full row width to read one
+    // long would box every column of a wide table (a projection over
+    // checkpointed blocks keeps partition indices).
     val stats: Array[(Int, (Long, Long))] =
-      parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      parted.select(col("__gr_v")).rdd.mapPartitionsWithIndex { (pid, it) =>
         var sum = 0L; var cnt = 0L
-        it.foreach { r => sum += r.getLong(vIdx); cnt += 1 }
+        it.foreach { r => sum += r.getLong(0); cnt += 1 }
         Iterator.single(pid -> (sum, cnt))
       }.collect()
     val pids = stats.map(_._1).sorted

@@ -49,8 +49,15 @@ object ScaleLint extends Rule[LogicalPlan] {
       logWarning(s"[scale-lint] $kind: $detail")
   }
 
+  /** Remove a previous [[attach]]. */
+  def detach(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ eq this)
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    plan.foreach {
+    // subqueriesAll: EXISTS/IN/scalar subquery plans hide the exact
+    // shapes this lint exists for; plain foreach never visits them.
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
       case w: Window if w.partitionSpec.isEmpty && w.orderSpec.nonEmpty =>
         record("unpartitioned-window",
           s"window [${w.windowExpressions.map(_.name).mkString(", ")}] " +
@@ -60,7 +67,7 @@ object ScaleLint extends Rule[LogicalPlan] {
           s"${j.joinType} join with no condition multiplies " +
             "|left| x |right|; ensure one side is provably tiny")
       case _ =>
-    }
+    })
     plan
   }
 }

@@ -35,7 +35,13 @@ class EmptyInputSpec extends AnyFunSuite {
       try {
         fn(spark, emptyDir).count() // any row count is fine, incl. 0
       } catch {
-        case _: IllegalArgumentException => // documented refusal: fine
+        // Only KNOWN contract refusals count as deliberate — a blanket
+        // IllegalArgumentException pass would also bless regressions
+        // that surface through some other require().
+        case e: IllegalArgumentException
+            if Option(e.getMessage).exists(m =>
+              m.contains("no non-empty vectors") ||
+                m.contains("require local mode")) =>
         case e: Throwable =>
           failures += s"$name: ${e.getClass.getSimpleName}: " +
             s"${Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}"

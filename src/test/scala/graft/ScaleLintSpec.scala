@@ -7,9 +7,17 @@ import graft.plans.ScaleLint
 
 /** The advisory plan-time linter must flag the two classic laptop-only
   * plan shapes and stay silent on their scale-correct forms. */
-class ScaleLintSpec extends AnyFunSuite {
+class ScaleLintSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
   lazy val spark = { val s = SparkFixture.spark; ScaleLint.attach(s); s }
   import spark.implicits._
+
+  // The fixture session is shared across suites: detach so later suites
+  // neither pay the rule nor pollute the global findings buffer.
+  override def afterAll(): Unit = {
+    ScaleLint.detach(spark)
+    ScaleLint.clear()
+  }
 
   private def lint[A](body: => A): Seq[ScaleLint.Finding] = {
     ScaleLint.clear()
