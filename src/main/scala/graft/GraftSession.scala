@@ -48,6 +48,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // graft's SQL functions (array_dot/norm/cosine) + the advisory
+      // ScaleLint runtime-optimizer rule, wired at construction.
+      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
     extraConf.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
   }
 
