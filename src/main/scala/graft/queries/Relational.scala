@@ -316,6 +316,18 @@ object Relational {
       .select(col("o_orderkey"), col("o_custkey"), col("day"), col("sum_30d"))
   }
 
+  // FULL OUTER join: per-nation customer/supplier counts, keeping
+  // nations present on either side only (null-padded on the other).
+  val qFullOuter: Q = (s, d) => {
+    val c = customer(s, d).groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"))
+    val su = supplier(s, d).groupBy(col("s_nationkey").as("skey"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(su, col("nationkey") === col("skey"), "full_outer")
+      .select(coalesce(col("nationkey"), col("skey")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+  }
+
   // GROUPING SETS via the SQL-text surface (temp views + spark.sql) —
   // the engine's full SQL interface is part of the capability contract.
   val qGroupingSets: Q = (s, d) => {
@@ -334,6 +346,7 @@ object Relational {
     "q4_priority_exists" -> q4PriorityExists,
     "q13_cust_distribution" -> q13CustDistribution,
     "q_window_range" -> qWindowRange,
+    "q_full_outer" -> qFullOuter,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_revenue" -> q6Revenue,
     "q3_top_orders" -> q3TopOrders,
@@ -358,6 +371,15 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin,
+    "q_full_outer" ->
+      """SELECT coalesce(c.nationkey, s.skey) AS nationkey,
+        |  c.n_cust, s.n_supp
+        |FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey AS skey, count(*) AS n_supp
+        |      FROM supplier GROUP BY 1) s
+        |  ON c.nationkey = s.skey""".stripMargin,
     "q4_priority_exists" ->
       """SELECT o_orderpriority, count(*) AS n
         |FROM orders
