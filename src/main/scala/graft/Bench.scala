@@ -15,24 +15,33 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Events fixture stores TIMESTAMP(NANOS); set once at construction
+      // (a per-query conf.set invalidates cached relation plans).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM/codegen paths so the first measured query isn't
     // charged for session spin-up.
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // Steady-state measurement: two runs per query, report the min —
+    // Steady-state measurement: three runs per query, report the min —
     // run 1 pays one-time codegen/JIT for that query's operators, which
-    // a real deployment amortizes across thousands of invocations.
+    // a real deployment amortizes across thousands of invocations, and
+    // the min-of-3 damps transient machine-load spikes (r2/r3 bench
+    // history shows >2x ambient noise on an otherwise idle box).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // Operator-internal caches must not leak into the next
-        // measurement (or accumulate heap pressure across 35+ queries).
+        // measurement (or accumulate heap pressure across 70+ queries).
         spark.catalog.clearCache()
         dt
       }
+      // localCheckpoint blocks are freed by the ContextCleaner only on
+      // GC; nudge between queries so checkpoint-heavy operators (dedup
+      // connected components) don't tax later measurements' heap.
+      System.gc()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

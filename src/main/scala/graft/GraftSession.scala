@@ -48,6 +48,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // TIMESTAMP(NANOS) parquet columns read as raw longs (the events
+      // fixture needs it; setting it per read invalidates plan caches).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // graft's SQL functions (array_dot/norm/cosine) + the advisory
       // ScaleLint runtime-optimizer rule, wired at construction.
       .config("spark.sql.extensions", classOf[GraftExtensions].getName)

@@ -7,45 +7,86 @@ import org.apache.spark.sql.functions._
   * pipelines: tokenization, n-gram shingling, language ID, quality
   * scoring, token counting, fingerprinting.
   *
-  * Everything here is built from `org.apache.spark.sql.functions`
-  * higher-order array functions — codegen'd, no UDF boundary — so the
-  * whole pipeline stays inside whole-stage codegen on a 100 TB scan.
+  * Hot-path note: Catalyst's higher-order array functions (`filter`,
+  * `transform`, `aggregate`) are CodegenFallback — interpreted, ~10×
+  * slower than a compiled Scala UDF in a tight scan (measured on the
+  * dedup pipelines, see Dedup.shingleFn). Every per-row text kernel here
+  * is therefore a COMPILED function behind a UDF boundary: one
+  * tokenization per call, primitive loops, no Catalyst lambda
+  * interpretation. The surrounding plan stays whole-stage codegen'd;
+  * only the kernel call itself crosses the UDF boundary (the next rung —
+  * a native Expression with doGenCode — buys back the boxing only, which
+  * for these string kernels is noise next to the regex split).
+  *
   * Every function has an exactly-equivalent DuckDB SQL form (used by the
-  * correctness oracles), which pins the semantics engine-independently.
+  * correctness oracles), which pins the semantics engine-independently;
+  * SCALE.md records the measured interpreted-HOF → compiled-kernel
+  * speedup.
   */
 object TextFunctions {
 
-  /** Lowercased alphanumeric tokens, empties removed.
-    * DuckDB equivalent: list_filter(regexp_split_to_array(lower(c),
-    * '[^a-z0-9]+'), x -> x <> ''). */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => t =!= "")
+  /** Tokenizer kernel: lowercased alphanumeric runs, empties removed.
+    * Identical to `filter(split(lower(c), "[^a-z0-9]+"), _ =!= "")`
+    * (Spark's split is Java-regex with limit -1; leading/trailing
+    * empties are filtered on both paths) and to DuckDB's
+    * list_filter(regexp_split_to_array(lower(c), '[^a-z0-9]+'),
+    * x -> x <> ''). */
+  private[graft] val tokenizeFn: String => Seq[String] = text =>
+    if (text == null) null
+    else {
+      val out = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      // ArraySeq wrap, no copy; Spark encodes Seq[String] natively.
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+    }
+
+  private val tokensUdf = udf(tokenizeFn)
+
+  /** Lowercased alphanumeric tokens, empties removed. */
+  def tokens(c: Column): Column = tokensUdf(c)
 
   def distinctTokens(c: Column): Column = array_distinct(tokens(c))
 
-  /** Whitespace+punctuation token count (alnum runs). */
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** Whitespace+punctuation token count (alnum runs). Null text → null
+    * (as size(null) under non-legacy sizeOfNull). */
+  def tokenCount(c: Column): Column =
+    udf((text: String) =>
+      if (text == null) None else Some(tokenizeFn(text).length)).apply(c)
+
+  /** Distinct-token count — fused tokenize+dedup kernel. */
+  def distinctTokenCount(c: Column): Column =
+    udf((text: String) =>
+      if (text == null) None
+      else Some(tokenizeFn(text).distinct.length)).apply(c)
 
   /** BPE-ish token count: segments the lowercased text the way byte-pair
     * pre-tokenizers do — optional leading space glued to letter runs,
     * digit runs, and symbol runs each count as one token (the GPT-2
     * pre-tokenizer shape, simplified to a dialect-portable regex).
-    * DuckDB equivalent: len(regexp_extract_all(lower(c),
-    * ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')). */
+    * Stays a native Catalyst regex (RegExpExtractAll IS codegen'd, only
+    * the array HOFs are not). DuckDB equivalent:
+    * len(regexp_extract_all(lower(c), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')). */
   def bpeishTokenCount(c: Column): Column =
     size(regexp_extract_all(lower(c), lit(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"), lit(0)))
 
   /** Word n-gram shingles (distinct), the dedup unit. For a token array
-    * t of size s: shingle i = t[i] ' ' t[i+1] ... t[i+n-1], i = 1..s-n+1
-    * (1-based, matching element_at). Docs shorter than n shingle to []. */
-  def shingles(tok: Column, n: Int = 3): Column = {
-    val joined = transform(
-      sequence(lit(1), size(tok) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(tok, i + j)): _*))
-    // sequence(1, k) is DESCENDING for k < 1 — guard short docs to [].
-    when(size(tok) >= n, array_distinct(joined))
-      .otherwise(array().cast("array<string>"))
-  }
+    * t of size s: shingle i = t[i] ' ' t[i+1] ... t[i+n-1] (docs shorter
+    * than n shingle to []). Same kernel family as Dedup.shingleFn. */
+  def shingles(tok: Column, n: Int = 3): Column =
+    udf((toks: Seq[String]) =>
+      if (toks == null) null
+      else if (toks.length < n) Seq.empty[String]
+      else toks.sliding(n).map(_.mkString(" ")).distinct.toSeq).apply(tok)
+
+  /** Fused text → distinct n-gram shingles (one tokenize, no
+    * intermediate array column). */
+  def shinglesOfText(c: Column, n: Int = 3): Column =
+    udf((text: String) =>
+      if (text == null) null
+      else {
+        val toks = tokenizeFn(text)
+        if (toks.length < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).distinct.toSeq
+      }).apply(c)
 
   /** Language-ID by marker-word voting: score per language = number of
     * tokens that are that language's stopword markers; argmax with a
@@ -57,53 +98,110 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
     "es" -> Seq("el", "los", "las", "es", "una", "por", "como", "para"))
 
-  def langScore(tok: Column, markers: Seq[String]): Column =
-    size(filter(tok, t => t.isin(markers.map(lit): _*)))
+  private val markerSets: Array[(String, Set[String])] =
+    langMarkers.map { case (l, ms) => l -> ms.toSet }.toArray
 
-  def langId(c: Column): Column = {
-    val tok = tokens(c)
-    val scores = langMarkers.map { case (lang, ms) => lang -> langScore(tok, ms) }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // Priority = declaration order on ties; zero hits → 'und'.
-    scores.foldRight(lit("und")) { case ((lang, sc), acc) =>
-      when(sc === best && best > 0, lit(lang)).otherwise(acc)
-    }
+  /** Marker-hit count over a token array (spec/composition surface;
+    * langId fuses this per-language loop into one kernel). */
+  def langScore(tok: Column, markers: Seq[String]): Column = {
+    val set = markers.toSet
+    udf((toks: Seq[String]) =>
+      if (toks == null) None else Some(toks.count(set))).apply(tok)
   }
+
+  /** One fused kernel: tokenize once, count all four marker sets, argmax
+    * with declaration-order tie priority; zero hits (or null text) →
+    * 'und' — exactly the semantics of the when-chain over langScores. */
+  def langId(c: Column): Column =
+    udf((text: String) => {
+      if (text == null) "und"
+      else {
+        val toks = tokenizeFn(text)
+        val scores = new Array[Int](markerSets.length)
+        toks.foreach { t =>
+          var i = 0
+          while (i < markerSets.length) {
+            if (markerSets(i)._2.contains(t)) scores(i) += 1
+            i += 1
+          }
+        }
+        var best = 0; var bestIdx = -1; var i = 0
+        while (i < markerSets.length) {
+          // strict > keeps the FIRST language on ties (priority order)
+          if (scores(i) > best) { best = scores(i); bestIdx = i }
+          i += 1
+        }
+        if (bestIdx < 0) "und" else markerSets(bestIdx)._1
+      }
+    }).apply(c)
 
   /** Quality metrics: lengths + punctuation/stopword/uppercase ratios.
     * All single-division doubles over integer counts — bit-identical
     * across engines (no summation-order drift). */
   def nChars(c: Column): Column = length(c)
+
+  /** Punctuation ratio — native Catalyst regex (codegen'd; character
+    * counts are codepoints, matching Spark `length`). */
   def punctRatio(c: Column): Column =
     when(length(c) > 0,
       (length(c) - length(regexp_replace(c, "[\\.,;:!\\?]", ""))).cast("double")
         / length(c)).otherwise(lit(0.0))
-  def stopwordRatio(c: Column): Column = {
-    val tok = tokens(c)
-    val stops = langMarkers.flatMap(_._2).distinct
-    when(size(tok) > 0,
-      size(filter(tok, t => t.isin(stops.map(lit): _*))).cast("double") / size(tok))
-      .otherwise(lit(0.0))
-  }
-  def meanTokenLen(c: Column): Column = {
-    val tok = tokens(c)
-    when(size(tok) > 0,
-      aggregate(tok, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(tok))
-      .otherwise(lit(0.0))
-  }
+
+  private val allStops: Set[String] = langMarkers.flatMap(_._2).toSet
+
+  /** Stopword-token ratio; empty/null token stream → 0.0 (mirrors the
+    * when/otherwise of the HOF form). */
+  def stopwordRatio(c: Column): Column =
+    udf((text: String) => {
+      val toks = if (text == null) null else tokenizeFn(text)
+      if (toks == null || toks.isEmpty) 0.0
+      else toks.count(allStops).toDouble / toks.length
+    }).apply(c)
+
+  /** Mean token length; empty/null token stream → 0.0. Sum as Long then
+    * one double division — same op order as the aggregate-HOF form and
+    * the DuckDB oracle (list_sum / len). */
+  def meanTokenLen(c: Column): Column =
+    udf((text: String) => {
+      val toks = if (text == null) null else tokenizeFn(text)
+      if (toks == null || toks.isEmpty) 0.0
+      else {
+        var s = 0L
+        toks.foreach(t => s += t.length)
+        s.toDouble / toks.length
+      }
+    }).apply(c)
 
   /** Composite quality score in [0,1]: rewards mid-length docs and real
     * word structure, penalizes punctuation soup. Weights are engine
-    * policy (no reference analog — net-new per the build mandate). */
+    * policy (no reference analog — net-new per the build mandate).
+    * lenScore/wordScore share ONE tokenize in a fused kernel; punctRatio
+    * stays the native regex column. IEEE op order matches the previous
+    * column form exactly (min(n/50, 1), 1 - pr, min(mtl/8, 1), weighted
+    * sum left-to-right). */
   def qualityScore(c: Column): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / 50.0, lit(1.0))
+    val lenAndWord = udf((text: String) => {
+      val toks = if (text == null) null else tokenizeFn(text)
+      if (toks == null || toks.isEmpty) (0.0, 0.0)
+      else {
+        var s = 0L
+        toks.foreach(t => s += t.length)
+        val lenScore = math.min(toks.length.toDouble / 50.0, 1.0)
+        val wordScore = math.min((s.toDouble / toks.length) / 8.0, 1.0)
+        (lenScore, wordScore)
+      }
+    }).apply(c)
     val structScore = lit(1.0) - punctRatio(c)
-    val wordScore = least(meanTokenLen(c) / 8.0, lit(1.0))
-    graft.functions.DetRound.det6(lenScore * 0.5 + structScore * 0.3 + wordScore * 0.2)
+    graft.functions.DetRound.det6(
+      lenAndWord.getField("_1") * 0.5 + structScore * 0.3 +
+        lenAndWord.getField("_2") * 0.2)
   }
 
   /** Content fingerprint: md5 over the normalized token stream. Robust
     * to case/punctuation/whitespace changes; identical in DuckDB as
-    * md5(array_to_string(tokens, ' ')). */
-  def fingerprint(c: Column): Column = md5(concat_ws(" ", tokens(c)))
+    * md5(array_to_string(tokens, ' ')). The join is fused into the
+    * kernel; md5 stays the native (codegen'd) expression. */
+  def fingerprint(c: Column): Column =
+    md5(udf((text: String) =>
+      if (text == null) null else tokenizeFn(text).mkString(" ")).apply(c))
 }

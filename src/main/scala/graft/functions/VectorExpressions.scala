@@ -152,14 +152,15 @@ case class Hex60ToDouble(child: Expression)
       val v = ctx.freshName("v")
       val i = ctx.freshName("i")
       val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
       s"""
          |String $s = $a.toString();
          |long $v = 0L;
          |for (int $i = 0; $i < 15 && $i < $s.length(); $i++) {
          |  char $c = $s.charAt($i);
-         |  int d = $c <= '9' ? $c - '0'
+         |  int $d = $c <= '9' ? $c - '0'
          |    : ($c <= 'F' ? $c - 'A' + 10 : $c - 'a' + 10);
-         |  $v = ($v << 4) | d;
+         |  $v = ($v << 4) | $d;
          |}
          |${ev.value} = (double) $v;
        """.stripMargin

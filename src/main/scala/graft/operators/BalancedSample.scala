@@ -77,6 +77,13 @@ object BalancedSample {
         when(col(categoryCol) <=> lit(k), lit(thr)).otherwise(acc)
     }
     val ids = if (idCols.nonEmpty) idCols.map(col) else df.columns.toSeq.map(col)
-    df.where(hash60(ids, seed) < thresholdCol)
+    // The md5 draw is the per-row CPU cost of this operator: it must run
+    // at full parallelism, not at the input's scan-split count (a single
+    // small parquet file is ONE split → a serial draw stage). Guarded so
+    // cluster-scale inputs — which already carry >= defaultParallelism
+    // splits — never pay a data shuffle for a filter.
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    src.where(hash60(ids, seed) < thresholdCol)
   }
 }

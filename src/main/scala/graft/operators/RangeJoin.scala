@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
-  private def floorDiv(x: Column, w: Long): Column =
-    ((x - pmod(x, lit(w))) / lit(w)).cast("long")
+  /** Bucket id = the bucket's START (x - x mod w): pure long arithmetic,
+    * exact over the whole long domain. Dividing by w would be Spark's
+    * IEEE double `/`, only exact while |x| < 2^53 µs (~year 2255) —
+    * and the join key needs uniqueness per bucket, not density. */
+  private def bucketStart(x: Column, w: Long): Column =
+    x - pmod(x, lit(w))
 
   /** @param tsCols (left ts col, right ts col), µs-precision timestamps.
     * @param lowerUs,upperUs right.ts − left.ts bounds (inclusive), µs.
@@ -47,8 +51,8 @@ object RangeJoin {
     val rUs = unix_micros(col(tsCols._2))
     val l = left
       .withColumn("__b", explode(array_distinct(array(
-        floorDiv(lUs + lowerUs, w), floorDiv(lUs + upperUs, w)))))
-    val r = right.withColumn("__b", floorDiv(rUs, w))
+        bucketStart(lUs + lowerUs, w), bucketStart(lUs + upperUs, w)))))
+    val r = right.withColumn("__b", bucketStart(rUs, w))
     l.join(r, keyCols :+ "__b")
       .where(rUs.between(lUs + lowerUs, lUs + upperUs))
       .drop("__b")

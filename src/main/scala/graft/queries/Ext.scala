@@ -113,10 +113,13 @@ object Ext {
     SimilaritySearch.bruteForceTopK(
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10)
 
+  // 12 planes / 4 tables over the same 48-plane budget as 8/6: finer
+  // buckets (2^12 vs 2^8) cut the candidate set ~2x with recall still
+  // comfortably above SimilaritySpec's floor — measured in SCALE.md.
   val simLshTopK: Q = (s, d) =>
     SimilaritySearch.lshTopK(
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
-      numPlanes = 8, numTables = 6)
+      numPlanes = 12, numTables = 4)
 
   // IVF in its EXHAUSTIVE configuration (nProbe = nCentroids scores
   // every candidate) — the cell machinery runs for real but the result
@@ -432,7 +435,7 @@ object Ext {
     * both engines accumulate dot products in ascending index order.
     * dim=64 matches the driver's embeddings fixture (all SFs). */
   private lazy val lshOracle: String = {
-    val numPlanes = 8; val numTables = 6; val dim = 64
+    val numPlanes = 12; val numTables = 4; val dim = 64
     val rows = (for {
       t <- 0 until numTables
       p <- 0 until numPlanes

@@ -82,11 +82,12 @@ object Ops {
     val r = graft.viz.HistogramWithExamples.run(
       lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
       "l_extendedprice", subPivotCol = Some("l_returnflag"))
-    // A NULL pivot travels internally as the U+0001-prefixed sentinel;
-    // translate it back to SQL NULL at the output edge so the contract
-    // matches the oracle's GROUP BY (which groups NULLs together).
+    // A NULL pivot travels internally as the U+0001 sentinel (genuine
+    // U+0001 chars are doubled); translate back to SQL NULL and unescape
+    // at the output edge so the contract matches the oracle's GROUP BY.
     r.buckets.map(b => (
-        if (b.pivot == "\u0001null") null else b.pivot,
+        if (b.pivot == "\u0001null") null
+        else b.pivot.replace("\u0001\u0001", "\u0001"),
         b.bucket, b.lo, b.hi, b.count))
       .toDF("pivot_key", "bucket", "lo", "hi", "n")
   }

@@ -52,9 +52,17 @@ object Sources {
     dir
   }
 
-  /** deleteOnExit is LIFO, so register children after the dir itself. */
-  private def registerCleanup(dir: File): Unit =
-    Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.deleteOnExit())
+  /** deleteOnExit is LIFO, so register descendants after the dir itself
+    * (the dir was registered at creation) in top-down walk order —
+    * deletion then runs bottom-up, so nested partition directories
+    * (e.g. o_orderpriority=X/part-*.parquet) empty before their parents
+    * are removed. */
+  private def registerCleanup(dir: File): Unit = {
+    val root = dir.toPath
+    val walk = Files.walk(root)
+    try walk.filter(p => p != root).forEach(p => p.toFile.deleteOnExit())
+    finally walk.close()
+  }
 
   /** documents → per-partition .tfrecord files → TfRecords.readDs. */
   val srcTfrecordRoundtrip: Q = (s, d) => {
@@ -230,7 +238,51 @@ object Sources {
       .select(col("doc_id"), col("text"))
   }
 
+  /** S4 DF→training-loop bridge (ShardedReader): shard `documents` on a
+    * materialized key, stream every shard through the toLocalIterator
+    * bridge with round-robin interleave, and re-emit the union — the
+    * value check proves each row crosses the bridge exactly once with
+    * byte-fidelity. The driver-side materialization is the BRIDGE ITSELF
+    * (a training loop consumes rows driver/host-side by definition);
+    * memory high-water stays one partition + one chunk per shard. The
+    * interleave ORDER is round-robin over distinct-key discovery order —
+    * engine-arbitrary, which is fine under the driver's sorted-row hash
+    * (and any training loop treats stream order as arbitrary-but-fixed). */
+  val srcShardedReader: Q = (s, d) => {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(4)).cast("int").as("shard"),
+        col("text"))
+    val rows = graft.operators.ShardedReader
+      .interleaved(docs, "shard", chunk = 64)
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .toSeq
+    rows.toDF("doc_id", "shard", "text")
+  }
+
+  /** X4 closures as column data (SerializedFn): each row carries a
+    * serialized zero-arg closure capturing its doc_id; the struct column
+    * round-trips through parquet and is INVOKED executor-side on read.
+    * Oracle = the closures' computed payloads — proving the flyweight
+    * factory (ref: oarphpy/spark.py:971-1088) survives storage and
+    * executes, not just re-serializes. */
+  val srcSerializedFn: Q = (s, d) => {
+    import s.implicits._
+    import graft.codec.SerializedFn
+    val dir = fixtureDir(s, "graft_serfn_")
+    documents(s, d).select(col("doc_id")).as[Long]
+      .map(id => (id, SerializedFn(() => id * 2 + 1)))
+      .toDF("doc_id", "fn")
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.parquet(dir.getAbsolutePath).as[(Long, SerializedFn)]
+      .map { case (id, fn) => (id, fn.invoke[Long]()) }
+      .toDF("doc_id", "payload")
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_sharded_reader" -> srcShardedReader,
+    "src_serialized_fn" -> srcSerializedFn,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
@@ -240,6 +292,11 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "src_sharded_reader" ->
+      """SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, text
+        |FROM documents""".stripMargin,
+    "src_serialized_fn" ->
+      "SELECT doc_id, doc_id * 2 + 1 AS payload FROM documents",
     "src_partitioned_roundtrip" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price,
         |  o_orderpriority

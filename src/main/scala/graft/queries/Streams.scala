@@ -35,15 +35,22 @@ object Streams {
   private def uniq(prefix: String): String =
     s"${prefix}_${runSeq.incrementAndGet()}"
 
+  /** Streaming file sources need the schema up front; it costs a footer
+    * read per call, so cache it per fixture dir (Bench runs each st_*
+    * query twice — 8 footer reads otherwise). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     // The streaming file source takes a DIRECTORY (or glob) — the
     // fixture is a single file, so address it via a glob pattern.
     val path = s"$d/events*.parquet"
-    // Streaming file sources need the schema up front: one footer read.
     // Same ns→µs normalization as the batch Tables.events (the fixture
     // stores ns-precision timestamps, which Spark reads as raw longs).
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    Tables.ensureNanosAsLong(s)
+    val schema = schemaCache.computeIfAbsent(d,
+      _ => s.read.parquet(s"$d/events.parquet").schema)
     s.readStream.schema(schema).parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }

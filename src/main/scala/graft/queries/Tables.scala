@@ -15,11 +15,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = t(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
+  /** Conf key letting Spark read TIMESTAMP(NANOS) parquet columns as raw
+    * longs. Preferably set once at session construction (GraftSession /
+    * Bench / Verify do); [[events]] only falls back to a runtime set when
+    * the session missed it, and never re-sets an already-correct value —
+    * a per-call `conf.set` invalidates cached relation plans. */
+  val NanosAsLongKey = "spark.sql.legacy.parquet.nanosAsLong"
+  def ensureNanosAsLong(s: SparkSession): Unit =
+    if (!s.conf.getOption(NanosAsLongKey).contains("true"))
+      s.conf.set(NanosAsLongKey, "true")
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects; read them as raw nanos and
     * convert to µs timestamps (the data is whole-µs, no precision loss). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensureNanosAsLong(s)
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

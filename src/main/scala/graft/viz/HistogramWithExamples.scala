@@ -46,17 +46,25 @@ object HistogramWithExamples {
     import spark.implicits._
     // The caller may want to cache() df — same contract as the reference
     // (ref: oarphpy/plotting.py:276-279).
-    // NULL pivots map to a U+0001-prefixed sentinel: a cast can never
-    // produce a control character, so rows whose pivot column genuinely
-    // holds the string "null" stay a separate group.
+    // NULL pivots map to the "\u0001null" sentinel; a GENUINE U+0001 in
+    // a string-typed pivot value is first escaped by doubling, so the
+    // sentinel is unforgeable (a real "\u0001null" becomes
+    // "\u0001\u0001null" != sentinel) — no value conflates with NULL.
+    // Consumers translating back to SQL NULL must unescape (see
+    // Ops.vizHistogram). Casts of non-string types never produce control
+    // characters, so the escape is an identity for them.
     val pivotExpr = subPivotCol
-      .map(p => coalesce(col(p).cast("string"), lit("\u0001null")))
+      .map(p => coalesce(
+        regexp_replace(col(p).cast("string"), "\u0001", "\u0001\u0001"),
+        lit("\u0001null")))
       .getOrElse(lit("ALL"))
     val vExpr = col(column).cast("double")
     val base = df
       .withColumn("__pivot", pivotExpr)
-      // null/NaN values are histogram-invisible (reference's NaN caveat)
-      // but their pivot still appears (with empty buckets).
+      // null/NaN values are histogram-invisible (reference's NaN caveat);
+      // a pivot with NO usable values at all is dropped from the result
+      // (there is nothing to bin — emitting 50 empty [0,0) buckets would
+      // fabricate edges).
       .withColumn("__v", when(!isnan(vExpr), vExpr))
 
     // Job 1: per-pivot [lo, hi]. O(pivots) rows to the driver.
@@ -129,13 +137,15 @@ object HistogramWithExamples {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2))
       .toMap
 
-    val buckets = stats.flatMap { case (p, _) =>
-      val edges = edgesOf(p)
-      (0 until numBins).map { i =>
-        Bucket(p, i, edges(i), edges(i + 1),
-          countOf.getOrElse((p, i), 0L),
-          examples.getOrElse((p, i), Seq.empty))
-      }
+    val buckets = stats.flatMap {
+      case (_, None) => Nil // value-less pivot: nothing to bin
+      case (p, Some(_)) =>
+        val edges = edgesOf(p)
+        (0 until numBins).map { i =>
+          Bucket(p, i, edges(i), edges(i + 1),
+            countOf.getOrElse((p, i), 0L),
+            examples.getOrElse((p, i), Seq.empty))
+        }
     }
     Result(column, buckets)
   }
