@@ -8,7 +8,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{ArchiveSource, TfRecords}
+import graft.sources.{ArchiveSource, TfEventLogs, TfRecords}
 
 /** Source-format roundtrips, oracle-checked: `documents` is written to
   * the foreign format DISTRIBUTED (one file per partition, executor-
@@ -280,7 +280,43 @@ object Sources {
       .toDF("doc_id", "payload")
   }
 
+  /** S6 TF event-log roundtrip: events become scalar training summaries
+    * (step = event_id, wall_time = epoch µs, tag = event_type,
+    * simple_value = value-as-float32), written as framed Event protos
+    * per partition, read back through the TFSummaryReader analog. The
+    * float32 narrowing is part of the contract under test (simple_value
+    * IS a float in the public proto): both engines widen the same REAL
+    * back to double, so the hash check covers the full encode→frame→
+    * parse path bit-for-bit. Each file also carries the standard
+    * file_version header record, which the reader must skip. */
+  val srcTfeventsRoundtrip: Q = (s, d) => {
+    import s.implicits._
+    val dir = fixtureDir(s, "graft_tfev_")
+    events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .as[(Long, Long, String, Double)]
+      .foreachPartition { it: Iterator[(Long, Long, String, Double)] =>
+        if (it.hasNext) {
+          val f = new File(dir,
+            f"events.out.tfevents.part-${TaskContext.getPartitionId()}%05d")
+          val out = new BufferedOutputStream(new FileOutputStream(f))
+          try TfEventLogs.write(out, it.map { case (id, us, typ, v) =>
+            TfEventLogs.encodeEvent(us.toDouble, id,
+              Seq(TfEventLogs.EventValue(typ, simpleValue = Some(v.toFloat))))
+          })
+          finally out.close()
+        }
+      }
+    registerCleanup(dir)
+    TfEventLogs.readSummaries(s, dir.getAbsolutePath)
+      .select(col("step").as("event_id"), col("wall_time").as("wall_us"),
+        col("tag").as("event_type"),
+        col("simple_value").cast("double").as("value_f"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_tfevents_roundtrip" -> srcTfeventsRoundtrip,
     "src_sharded_reader" -> srcShardedReader,
     "src_serialized_fn" -> srcSerializedFn,
     "src_orc_roundtrip" -> srcOrcRoundtrip,
@@ -292,6 +328,10 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "src_tfevents_roundtrip" ->
+      """SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS wall_us,
+        |  event_type, CAST(CAST(value AS REAL) AS DOUBLE) AS value_f
+        |FROM events""".stripMargin,
     "src_sharded_reader" ->
       """SELECT doc_id, CAST(doc_id % 4 AS INT) AS shard, text
         |FROM documents""".stripMargin,

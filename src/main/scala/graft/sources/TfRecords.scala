@@ -86,10 +86,14 @@ object TfRecords {
     }
   }
 
-  /** Distributed scan: every file under `path` parsed per-partition. */
-  def readDs(spark: SparkSession, path: String): Dataset[(String, Array[Byte])] = {
+  /** Distributed scan: every file under `path` parsed per-partition.
+    * `recursive` descends into subdirectories (the tfevents layout:
+    * run dirs nest an `eval/` split, ref oarphpy/util/tfutil.py:266). */
+  def readDs(spark: SparkSession, path: String,
+             recursive: Boolean = false): Dataset[(String, Array[Byte])] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(path)
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", recursive.toString).load(path)
       .select("path", "content").as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (p, content) =>
