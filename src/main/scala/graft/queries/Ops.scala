@@ -41,6 +41,24 @@ object Ops {
     documents(s, d).select(col("doc_id"),
       StableHash.stableHashCol(col("text")).as("stable_hash"))
 
+  // F2 hash_to_rgb: reference-parity value→color (md5 → Knuth-mod hue →
+  // HSV, golden-pinned in UtilSpec, ref: oarphpy/plotting.py:20-35) as a
+  // compiled Scala UDF over the column (the Dedup.shingleFn treatment —
+  // one JVM call per row, no interpreted lambdas). The oracle rebuilds
+  // the 128-bit digest from two 64-bit hex halves (2^64 mod 2654435769 =
+  // 2120883862 folded in; every product < 2^63) and replays the exact
+  // double chain, so the RGB triples are value-checked cross-engine.
+  val opHashRgb: Q = (s, d) => {
+    val rgb = udf { v: String =>
+      val (r, g, b) = StableHash.hashToRgb(v)
+      (r, g, b)
+    }
+    documents(s, d)
+      .select(col("doc_id"), rgb(col("doc_id").cast("string")).as("c"))
+      .select(col("doc_id"), col("c._1").as("r"), col("c._2").as("g"),
+        col("c._3").as("b"))
+  }
+
   // A3 balanced sample: portable md5-threshold Bernoulli → the exact
   // sample is reproducible in DuckDB, so the oracle checks values, not
   // just expectation. Row identity = lineitem's natural key.
@@ -117,11 +135,43 @@ object Ops {
     "op_histogram" -> opHistogram,
     "op_bucketize" -> opBucketize,
     "op_stable_hash" -> opStableHash,
+    "op_hash_rgb" -> opHashRgb,
     "op_balanced_sample" -> opBalancedSample,
     "op_topk_per_key" -> opTopKPerKey,
     "op_salted_join" -> opSaltedJoin)
 
   val oracles: Map[String, String] = Map(
+    "op_hash_rgb" ->
+      """WITH parts AS (
+        |  SELECT doc_id,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,16))
+        |      AS UBIGINT) % 2654435769 AS BIGINT) AS hi,
+        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),17,16))
+        |      AS UBIGINT) % 2654435769 AS BIGINT) AS lo
+        |  FROM documents
+        |), sect AS (
+        |  SELECT doc_id,
+        |    CAST(trunc(CAST((hi * 2120883862 + lo) % 2654435769 AS DOUBLE)
+        |      / 2654435769.0 * 6) AS INT) AS i,
+        |    CAST((hi * 2120883862 + lo) % 2654435769 AS DOUBLE)
+        |      / 2654435769.0 * 6
+        |      - trunc(CAST((hi * 2120883862 + lo) % 2654435769 AS DOUBLE)
+        |        / 2654435769.0 * 6) AS f
+        |  FROM parts
+        |), pqt AS (
+        |  SELECT doc_id, i,
+        |    0.8*(1-0.8) AS p, 0.8*(1-0.8*f) AS q, 0.8*(1-0.8*(1-f)) AS t,
+        |    0.8 AS vv
+        |  FROM sect
+        |)
+        |SELECT doc_id,
+        |  CAST(trunc(255 * (CASE i%6 WHEN 0 THEN vv WHEN 1 THEN q
+        |    WHEN 2 THEN p WHEN 3 THEN p WHEN 4 THEN t ELSE vv END)) AS INT) AS r,
+        |  CAST(trunc(255 * (CASE i%6 WHEN 0 THEN t WHEN 1 THEN vv
+        |    WHEN 2 THEN vv WHEN 3 THEN q WHEN 4 THEN p ELSE p END)) AS INT) AS g,
+        |  CAST(trunc(255 * (CASE i%6 WHEN 0 THEN p WHEN 1 THEN p
+        |    WHEN 2 THEN t WHEN 3 THEN vv WHEN 4 THEN vv ELSE q END)) AS INT) AS b
+        |FROM pqt""".stripMargin,
     "op_reservoir_per_key" ->
       """WITH d AS (SELECT l_returnflag,
         |    l_orderkey * 10 + l_linenumber AS sample_id,

@@ -280,6 +280,32 @@ object Sources {
       .toDF("doc_id", "payload")
   }
 
+  /** P5 nested-path predicates, driver-checked end-to-end: orders round-
+    * trip through parquet with their scalars packed into a STRUCT column,
+    * then a nested-path filter (`meta.priority`, `meta.total`) and a
+    * nested projection read them back out. At 100 TB the load-bearing
+    * property is that BOTH the filter and the projection reach the scan
+    * (nested predicate pushdown + nested schema pruning — PlanSpec gates
+    * the plan shape); here the driver value-checks the semantics. */
+  val srcNestedRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_nested_")
+    orders(s, d)
+      .select(col("o_orderkey"),
+        struct(
+          col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("total"),
+          struct(col("o_custkey").as("custkey")).as("who")).as("meta"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.parquet(dir.getAbsolutePath)
+      .filter(col("meta.priority") === "1-URGENT" &&
+        col("meta.total") > 100000.0)
+      .select(col("o_orderkey"),
+        col("meta.priority").as("priority"),
+        round(col("meta.total"), 2).as("total"),
+        col("meta.who.custkey").as("custkey"))
+  }
+
   /** S6 TF event-log roundtrip: events become scalar training summaries
     * (step = event_id, wall_time = epoch µs, tag = event_type,
     * simple_value = value-as-float32), written as framed Event protos
@@ -316,6 +342,7 @@ object Sources {
   }
 
   val queries: Map[String, Q] = Map(
+    "src_nested_roundtrip" -> srcNestedRoundtrip,
     "src_tfevents_roundtrip" -> srcTfeventsRoundtrip,
     "src_sharded_reader" -> srcShardedReader,
     "src_serialized_fn" -> srcSerializedFn,
@@ -328,6 +355,11 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    "src_nested_roundtrip" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        |  round(o_totalprice, 2) AS total, o_custkey AS custkey
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 100000""".stripMargin,
     "src_tfevents_roundtrip" ->
       """SELECT event_id, CAST(epoch_us(ts) AS DOUBLE) AS wall_us,
         |  event_type, CAST(CAST(value AS REAL) AS DOUBLE) AS value_f

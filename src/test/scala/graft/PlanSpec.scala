@@ -128,4 +128,27 @@ class PlanSpec extends AnyFunSuite {
     val dataFilterLine = p.linesIterator.find(_.contains("PushedFilters"))
     assert(dataFilterLine.forall(!_.contains("o_orderpriority")), p.take(1500))
   }
+
+  test("nested-path filter pushes down; nested schema prunes to used leaves") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_nested_").toString
+    graft.queries.Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        struct(col("o_orderpriority").as("priority"),
+          col("o_totalprice").as("total"),
+          col("o_orderstatus").as("status")).as("meta"))
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .where(col("meta.priority") === "1-URGENT")
+      .select(col("o_orderkey"), col("meta.total"))
+    val p = plan(q)
+    // nested predicate reaches the scan (parquet nested pushdown)
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(pushed.contains("meta.priority"), p.take(2000))
+    // nested schema pruning: untouched leaf `status` is not read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("status"), readSchema)
+    assert(readSchema.contains("priority") && readSchema.contains("total"),
+      readSchema)
+  }
 }
