@@ -204,4 +204,82 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     md5(udf((text: String) =>
       if (text == null) null else tokenizeFn(text).mkString(" ")).apply(c))
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Rolling-window document fingerprints — winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD 2003; the MOSS scheme). The normalized
+    * text (lowercase, whitespace runs → one space) is hashed as
+    * overlapping char k-grams; every sliding window of `w` consecutive
+    * gram hashes contributes its minimum; the result is the sorted
+    * DISTINCT set of window minima. Winnowing's guarantee carries over:
+    * any substring match of length ≥ w+k-1 between two docs produces at
+    * least one shared fingerprint, and density is ~2/(w+1) of grams.
+    * (Positional tie-break bookkeeping affects only which POSITION is
+    * charged, never the selected hash value, so a value-set is
+    * tie-break-free and is what a fingerprint index stores anyway.)
+    *
+    * Gram hash = first 15 hex chars of md5 (a nonnegative 60-bit long) —
+    * the repo's portable derivation, so DuckDB reproduces the set with
+    * `min() OVER (... ROWS w-1 PRECEDING)` + DISTINCT over
+    * `CAST(('0x' || substr(md5(substr(t,i,k)),1,15)) AS BIGINT)`.
+    * Texts with fewer than w grams use one whole-text window; texts
+    * shorter than k chars have no fingerprints (empty array). Indexing
+    * parity note: the kernel is UTF-16 code-unit based while SQL twins
+    * are codepoint based — identical on BMP-only text (all of this
+    * corpus); non-BMP corpora need a codepoint-stepping gram loop.
+    *
+    * Row-local compiled kernel: O(len) hashing + an O(len) monotonic
+    * deque for the window minima — no shuffle; the candidate-pair stage
+    * downstream is a plain explode + equi-join on the fingerprint
+    * value, the same bucket-join shape as MinHash LSH. */
+  private[graft] def winnowFn(k: Int, w: Int): String => Array[Long] = {
+    text: String =>
+      if (text == null) null
+      else {
+        val t = text.toLowerCase.replaceAll("\\s+", " ")
+        val m = t.length - k + 1
+        if (m <= 0) Array.empty[Long]
+        else {
+          val md = md5Local.get()
+          val h = new Array[Long](m)
+          var i = 0
+          while (i < m) {
+            val d = md.digest(t.substring(i, i + k).getBytes("UTF-8"))
+            // first 15 hex chars = bytes 0-6 plus the high nibble of
+            // byte 7: a 60-bit nonnegative value (sign-safe ordering)
+            var v = 0L
+            var j = 0
+            while (j < 7) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+            h(i) = (v << 4) | ((d(7) >> 4) & 0xfL)
+            i += 1
+          }
+          val sel = new java.util.HashSet[java.lang.Long]()
+          val dq = new java.util.ArrayDeque[Int]() // indices, h increasing
+          i = 0
+          while (i < m) {
+            while (!dq.isEmpty && h(dq.peekLast()) >= h(i)) dq.pollLast()
+            dq.addLast(i)
+            while (dq.peekFirst() <= i - w) dq.pollFirst()
+            // full windows end at i >= w-1; an m<w text has one
+            // whole-text window, emitted at its last gram
+            if (i >= w - 1 || i == m - 1) sel.add(h(dq.peekFirst()))
+            i += 1
+          }
+          val out = new Array[Long](sel.size())
+          val it = sel.iterator()
+          i = 0
+          while (it.hasNext) { out(i) = it.next(); i += 1 }
+          java.util.Arrays.sort(out)
+          out
+        }
+      }
+  }
+
+  /** Sorted distinct winnowing fingerprint set of the text column. */
+  def winnowFingerprints(c: Column, k: Int = 8, w: Int = 8): Column =
+    udf(winnowFn(k, w)).apply(c)
 }

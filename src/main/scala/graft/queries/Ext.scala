@@ -44,6 +44,41 @@ object Ext {
         col("pack_first"), col("pack_last"))
   }
 
+  // Rolling-hash document fingerprints (winnowing / MOSS). Compact
+  // whole-set value check: per doc, the fingerprint COUNT and the XOR
+  // of all fingerprints (order-free, overflow-free) — any hash, window
+  // or dedup slip flips the xor. Docs shorter than k chars have no
+  // fingerprints and are excluded on both sides.
+  val tWinnow: Q = (s, d) => {
+    val fps = TF.winnowFingerprints(col("text"), k = 25, w = 16)
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), fps.as("fps"))
+      .where(size(col("fps")) > 0)
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        udf((fps: Seq[Long]) => fps.foldLeft(0L)(_ ^ _))
+          .apply(col("fps")).as("fp_xor"))
+  }
+
+  // Winnowing as a NEAR-DUP CANDIDATE generator: explode the per-doc
+  // fingerprint sets and equi-join on the fingerprint value (the same
+  // bucket-join shape as MinHash LSH — shuffle is O(docs × fps/doc),
+  // never all-pairs), keeping pairs that share >= 3 fingerprints. By
+  // the winnowing guarantee, any shared run >= w+k-1 chars surfaces
+  // the pair; the shared-count threshold is the noise floor.
+  val dedupWinnow: Q = (s, d) => {
+    val fps = documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        explode(TF.winnowFingerprints(col("text"), 25, 16)).as("fp"))
+    val l = fps.as("l"); val r = fps.as("r")
+    l.join(r, col("l.fp") === col("r.fp") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .where(col("n_shared") >= 3)
+  }
+
   // Deterministic 80/10/10 train/val/test split via the portable
   // md5-threshold draw (BalancedSample.hash60): any engine reproduces
   // the assignment, so shards are stable across runs/engines — the
@@ -173,6 +208,8 @@ object Ext {
     "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
     "t_token_stats" -> tTokenStats,
+    "t_winnow" -> tWinnow,
+    "dedup_winnow" -> dedupWinnow,
     "t_lang_id" -> tLangId,
     "t_quality" -> tQuality,
     "t_seq_pack" -> tSeqPack,
@@ -263,7 +300,42 @@ object Ext {
        |  SELECT e.dst AS id, reach.r
        |  FROM reach JOIN edges e ON reach.id = e.src)""".stripMargin
 
+  /** Winnowing replication: same normalization, same 60-bit md5-prefix
+    * gram hash, window minima via `min() OVER (ROWS w-1 PRECEDING)`.
+    * Prefix rows (rn < w) are incomplete windows and are excluded,
+    * except a doc with fewer than w grams keeps its LAST row — the
+    * whole-text window (rn >= least(w, m) covers both cases). */
+  private val winnowFpsCte: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |  FROM documents
+      |), grams AS (
+      |  SELECT doc_id, CAST(u.i AS INT) AS i,
+      |    CAST(('0x' || substr(md5(substr(t, CAST(u.i AS INT), 25)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM docs, unnest(range(1, len(t) - 25 + 2)) AS u(i)
+      |), wmins AS (
+      |  SELECT doc_id,
+      |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+      |      ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS fp,
+      |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+      |    count(*) OVER (PARTITION BY doc_id) AS m
+      |  FROM grams
+      |), fps AS (
+      |  SELECT DISTINCT doc_id, fp FROM wmins WHERE rn >= least(16, m)
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "t_winnow" ->
+      s"""$winnowFpsCte
+         |SELECT doc_id, CAST(count(*) AS INT) AS n_fp, bit_xor(fp) AS fp_xor
+         |FROM fps GROUP BY doc_id""".stripMargin,
+    "dedup_winnow" ->
+      s"""$winnowFpsCte
+         |SELECT l.doc_id AS a, r.doc_id AS b, CAST(count(*) AS INT) AS n_shared
+         |FROM fps l JOIN fps r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2
+         |HAVING count(*) >= 3""".stripMargin,
     "dedup_clusters" ->
       s"""$clusterCte
          |SELECT d.doc_id,

@@ -155,4 +155,27 @@ class TextDedupSpec extends AnyFunSuite {
     assert(got(1L) > got(2L))
     assert(got(1L) <= 1.0 && got(2L) >= 0.0)
   }
+
+  test("winnowing: guarantee, normalization, short-text windows") {
+    val fn = TF.winnowFn(k = 8, w = 4)
+    // deterministic: same text, same set
+    val a = fn("the quick brown fox jumps over the lazy dog")
+    assert(java.util.Arrays.equals(a,
+      fn("the quick brown fox jumps over the lazy dog")))
+    assert(a.sameElements(a.sorted) && a.distinct.length == a.length)
+    // normalization: case + whitespace runs don't change the set
+    assert(java.util.Arrays.equals(a,
+      fn("The  QUICK brown\tfox jumps  over the LAZY dog")))
+    // winnowing guarantee: a shared run of >= w+k-1 chars (here 11)
+    // inside otherwise-different docs yields a shared fingerprint
+    val shared = "zqxjkvbwpyfmarker" // >= 11 distinctive chars
+    val d1 = fn("AAAA left context " + shared + " RIGHT tail one")
+    val d2 = fn("completely other prefix " + shared + " different end")
+    assert(d1.toSet.intersect(d2.toSet).nonEmpty)
+    // fewer grams than w -> one whole-text window -> exactly 1 fp
+    assert(fn("abcdefghij").length == 1) // 3 grams < w=4
+    // shorter than k -> no grams -> empty
+    assert(fn("abc").isEmpty)
+    assert(fn(null) == null)
+  }
 }
