@@ -240,7 +240,10 @@ object TextFunctions {
     text: String =>
       if (text == null) null
       else {
-        val t = text.toLowerCase.replaceAll("\\s+", " ")
+        // explicit whitespace class, NOT \s: Java \s and RE2 \s disagree
+        // on vertical tab (\x0B), and the oracle must see the same gram
+        // stream — both sides pin [ \t\n\x0B\f\r] (ASCII whitespace).
+        val t = text.toLowerCase.replaceAll("[ \\t\\n\\u000B\\f\\r]+", " ")
         val m = t.length - k + 1
         if (m <= 0) Array.empty[Long]
         else {

@@ -67,10 +67,14 @@ object Ext {
   // the winnowing guarantee, any shared run >= w+k-1 chars surfaces
   // the pair; the shared-count threshold is the noise floor.
   val dedupWinnow: Q = (s, d) => {
+    // localCheckpoint before the self-join (the jaccardPairs /
+    // minhashLshPairs rule): both sides read the materialized rows
+    // instead of running the winnowing kernel twice.
     val fps = documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"),
         explode(TF.winnowFingerprints(col("text"), 25, 16)).as("fp"))
+      .localCheckpoint()
     val l = fps.as("l"); val r = fps.as("r")
     l.join(r, col("l.fp") === col("r.fp") &&
         col("l.doc_id") < col("r.doc_id"))
@@ -307,7 +311,8 @@ object Ext {
     * whole-text window (rn >= least(w, m) covers both cases). */
   private val winnowFpsCte: String =
     """WITH docs AS (
-      |  SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+      |  SELECT doc_id,
+      |    lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
       |  FROM documents
       |), grams AS (
       |  SELECT doc_id, CAST(u.i AS INT) AS i,

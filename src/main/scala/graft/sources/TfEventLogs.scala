@@ -94,10 +94,14 @@ object TfEventLogs {
       v
     }
 
-    /** Returns (start, length) of a length-delimited payload and skips it. */
+    /** Returns (start, length) of a length-delimited payload and skips it.
+      * Bounds-checked in LONG space: a huge declared length must fail
+      * loudly, not wrap Int and alias to a small/negative slice. */
     def readBytesSlice(): (Int, Int) = {
-      val len = readVarint().toInt
-      require(len >= 0 && pos + len <= end, "truncated length-delimited field")
+      val lenL = readVarint()
+      require(lenL >= 0 && lenL <= (end - pos).toLong,
+        s"truncated length-delimited field (declared $lenL, ${end - pos} left)")
+      val len = lenL.toInt
       val start = pos
       pos += len
       (start, len)
@@ -311,6 +315,7 @@ object TfEventLogs {
         case (4, 2) => content = r.bytes()
         case (6, 2) => // packed repeated float
           val (start, len) = r.readBytesSlice()
+          require(len % 4 == 0, s"packed float_val length $len not /4")
           val bb = ByteBuffer.wrap(r.buf, start, len).order(ByteOrder.LITTLE_ENDIAN)
           while (bb.remaining() >= 4) { packed += bb.getFloat.toDouble; sawPacked = true }
         case (6, 5) =>
@@ -318,6 +323,7 @@ object TfEventLogs {
           sawPacked = true
         case (7, 2) => // packed repeated double
           val (start, len) = r.readBytesSlice()
+          require(len % 8 == 0, s"packed double_val length $len not /8")
           val bb = ByteBuffer.wrap(r.buf, start, len).order(ByteOrder.LITTLE_ENDIAN)
           while (bb.remaining() >= 8) { packed += bb.getDouble; sawPacked = true }
         case (7, 1) => packed += java.lang.Double.longBitsToDouble(r.readFixed64()); sawPacked = true
@@ -325,6 +331,9 @@ object TfEventLogs {
       }
     }
     if (content != null && (dtype == DtFloat || dtype == DtDouble)) {
+      val elem = if (dtype == DtDouble) 8 else 4
+      require(content.length % elem == 0,
+        s"tensor_content length ${content.length} not /$elem for dtype $dtype")
       val bb = ByteBuffer.wrap(content).order(ByteOrder.LITTLE_ENDIAN)
       if (dtype == DtDouble) {
         val out = new Array[Double](content.length / 8)
