@@ -99,13 +99,50 @@ object Streams {
       uniq("st_sessions"))
   }
 
+  /** STREAM-STREAM interval join (the remaining §2.10 primitive): each
+    * click joins the same user's views within the following 30 minutes.
+    * Both sides carry watermarks and the join condition bounds event
+    * time in both directions, so at scale each side's buffered state is
+    * evicted once the other side's watermark passes the bound — the
+    * state-bounding contract Spark requires of stream-stream joins.
+    * Emission determinism: inner-join matches emit in the micro-batch
+    * that completes them; with the one-file AvailableNow fixture that is
+    * one batch containing every match, so the oracle is the plain batch
+    * interval join. */
+  val stJoin: Q = (s, d) => {
+    val clicks = eventStream(s, d).where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val views = eventStream(s, d).where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 30 minutes"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("v_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+    EventStreams.runToMemory(joined, uniq("st_join"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_join" -> stJoin,
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
     "st_sessions" -> stSessions)
 
   val oracles: Map[String, String] = Map(
+    "st_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id,
+        |  e.event_id AS view_id,
+        |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events c JOIN events e
+        |  ON c.user_id = e.user_id
+        |  AND c.event_type = 'click' AND e.event_type = 'view'
+        |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "st_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     // Emission rule: window end <= watermark = ms-trunc(max ts) - 1h.
