@@ -42,6 +42,21 @@ object Streams {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
 
+  /** Stateful micro-batch cost scales with shuffle partitions (one
+    * state-store instance per partition per stateful operator — a
+    * stream-stream join keeps FOUR per partition). The st_* fixtures
+    * carry trivially small state, so cap the stream's shuffle
+    * parallelism: the conf is read at stream START, restored after.
+    * Production sizing goes the other way (enough partitions that
+    * per-partition state fits an executor), which is a deploy-time
+    * conf, not a query-shape change. */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
+
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     // The streaming file source takes a DIRECTORY (or glob) — the
     // fixture is a single file, so address it via a glob pattern.
@@ -59,24 +74,26 @@ object Streams {
     * key set equals the batch DISTINCT (which representative row
     * survives a within-batch tie is engine-arbitrary, so only the keys
     * are emitted). */
-  val stDedupKeys: Q = (s, d) =>
+  val stDedupKeys: Q = (s, d) => withStreamPartitions(s, 4) {
     EventStreams.runToMemory(
       EventStreams.dedupStream(
         eventStream(s, d).select(col("ts"), col("user_id"), col("event_type")),
         Seq("user_id", "event_type")),
       uniq("st_dedup"))
       .select(col("user_id"), col("event_type"))
+  }
 
   /** Watermarked hourly window agg, append mode: emits exactly the
     * windows closed by the final watermark. */
-  val stHourly: Q = (s, d) =>
+  val stHourly: Q = (s, d) => withStreamPartitions(s, 4) {
     EventStreams.runToMemory(
       EventStreams.hourlyAgg(eventStream(s, d)), uniq("st_hourly"))
+  }
 
   /** Watermarked SLIDING windows (1 h every 30 min), append mode: each
     * event belongs to two windows; only windows closed by the final
     * watermark emit. */
-  val stSliding: Q = (s, d) =>
+  val stSliding: Q = (s, d) => withStreamPartitions(s, 4) {
     EventStreams.runToMemory(
       eventStream(s, d)
         .withWatermark("ts", "1 hour")
@@ -87,11 +104,12 @@ object Streams {
           date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           col("event_type"), col("n"), col("sum_value")),
       uniq("st_sliding"))
+  }
 
   /** flatMapGroupsWithState sessionization (30-min gap): emits every
     * completed session; a user's final session surfaces only if its
     * event-time timeout fired before the final watermark. */
-  val stSessions: Q = (s, d) => {
+  val stSessions: Q = (s, d) => withStreamPartitions(s, 4) {
     import s.implicits._
     EventStreams.runToMemory(
       EventStreams.sessionize(
@@ -109,7 +127,7 @@ object Streams {
     * that completes them; with the one-file AvailableNow fixture that is
     * one batch containing every match, so the oracle is the plain batch
     * interval join. */
-  val stJoin: Q = (s, d) => {
+  val stJoin: Q = (s, d) => withStreamPartitions(s, 4) {
     val clicks = eventStream(s, d).where(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
