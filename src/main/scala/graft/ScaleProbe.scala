@@ -58,6 +58,27 @@ object ScaleProbe {
       graft.operators.GlobalRank.withRowNumber(withTokens, "pos",
         Seq(col("n_tokens"), col("doc_id"))).count())
 
+    // Winnowing at the same corpus: fingerprinting is row-local (cost
+    // linear in chars), and the candidate join is fp-bucketed — output
+    // tracks planted near-dup pairs, never corpus². The copy marker
+    // keeps copies NEAR-dups, so every shared >=40-char run across
+    // copies surfaces pairs (quadratic in copies by construction, the
+    // LSH-probe regime).
+    val fps = time("winnowFingerprints (k=25,w=16, row-local)")(
+      big.select(col("doc_id"),
+        explode(graft.ext.TextFunctions.winnowFingerprints(
+          col("text"), 25, 16)).as("fp"))
+        .localCheckpoint())
+    println(s"[probe] fingerprints: ${fps.count()}")
+    val nw = time("winnow candidate pairs (fp equi-join, >=3 shared)") {
+      val l = fps.as("l"); val r = fps.as("r")
+      l.join(r, col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id"), col("r.doc_id"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= 3).count()
+    }
+    println(s"[probe] winnow pairs: $nw")
+
     // Keyless interval join at 10x events (the BNLJ-killer case).
     val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
     val bigEv = (0 until copies).map { c =>

@@ -77,4 +77,31 @@ class DifferentialSpec extends AnyFunSuite {
     assert(rows(0).getString(1) == "a" && rows(0).isNullAt(2) && rows(0).isNullAt(3))
     assert(rows(2).getBoolean(3) && rows(2).isNullAt(1))
   }
+
+  test("winnowFn == brute-force window minima on random text") {
+    val rng = new Random(1337)
+    val alphabet = "ab cd"
+    def hash60(g: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8"))
+      var v = 0L
+      (0 until 7).foreach(j => v = (v << 8) | (d(j) & 0xffL))
+      (v << 4) | ((d(7) >> 4) & 0xfL)
+    }
+    val (k, w) = (4, 3)
+    val fn = graft.ext.TextFunctions.winnowFn(k, w)
+    (1 to 200).foreach { _ =>
+      val len = rng.nextInt(30)
+      val text = (1 to len).map(_ => alphabet(rng.nextInt(5))).mkString
+      // brute force straight from the definition
+      val t = text.toLowerCase.replaceAll("[ \\t\\n\\u000B\\f\\r]+", " ")
+      val grams = (0 to t.length - k).map(i => hash60(t.substring(i, i + k)))
+      val expect =
+        if (grams.isEmpty) Seq.empty[Long]
+        else if (grams.length <= w) Seq(grams.min)
+        else grams.sliding(w).map(_.min).toSeq
+      assert(fn(text).toSeq == expect.distinct.sorted,
+        s"text=${text.replace(' ', '_')}")
+    }
+  }
 }
