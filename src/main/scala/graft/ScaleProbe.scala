@@ -9,11 +9,17 @@ import org.apache.spark.sql.functions._
   * the dedup pipeline on it. Validates the SCALE.md claims at 10× the
   * bench scale factor on local hardware.
   *
-  * Usage: runMain graft.ScaleProbe [copies]
+  * Usage: runMain graft.ScaleProbe [copies] [stages]
+  * (stages: comma-separated from lsh,pipeline,pack,rank,winnow,range;
+  * default all — a filter lets a 100x run probe one operator without
+  * paying the full suite.)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
+    val stages: Set[String] =
+      if (args.length > 1) args(1).split(',').toSet
+      else Set("lsh", "pipeline", "pack", "rank", "winnow", "range")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -39,22 +45,26 @@ object ScaleProbe {
       println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
       r
     }
-    val nPairs = time("minhashLshPairs")(
-      graft.ext.Dedup.minhashLshPairs(big, "doc_id", "text", 0.5).count())
-    println(s"[probe] pairs: $nPairs")
-    val keep = time("pipelineKeep (exact->lsh->clusters)")(
-      graft.ext.Dedup.pipelineKeep(big, "doc_id", "text", 0.5).count())
-    println(s"[probe] keep-set: $keep of ${n * copies}")
+    if (stages("lsh")) {
+      val nPairs = time("minhashLshPairs")(
+        graft.ext.Dedup.minhashLshPairs(big, "doc_id", "text", 0.5).count())
+      println(s"[probe] pairs: $nPairs")
+    }
+    if (stages("pipeline")) {
+      val keep = time("pipelineKeep (exact->lsh->clusters)")(
+        graft.ext.Dedup.pipelineKeep(big, "doc_id", "text", 0.5).count())
+      println(s"[probe] keep-set: $keep of ${n * copies}")
+    }
 
     // Prefix-sum family at the same 10x corpus: one range exchange, no
     // window (SCALE.md GlobalRank row).
     val withTokens = big.select(col("doc_id"),
       graft.ext.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
       .localCheckpoint()
-    time("TokenPacker (concat-and-chunk, 2048)")(
+    if (stages("pack")) time("TokenPacker (concat-and-chunk, 2048)")(
       graft.operators.TokenPacker(withTokens, "n_tokens", 2048,
         Seq(col("doc_id"))).count())
-    time("GlobalRank.withRowNumber (global shuffle rank)")(
+    if (stages("rank")) time("GlobalRank.withRowNumber (global shuffle rank)")(
       graft.operators.GlobalRank.withRowNumber(withTokens, "pos",
         Seq(col("n_tokens"), col("doc_id"))).count())
 
@@ -64,6 +74,7 @@ object ScaleProbe {
     // keeps copies NEAR-dups, so every shared >=40-char run across
     // copies surfaces pairs (quadratic in copies by construction, the
     // LSH-probe regime).
+    if (stages("winnow")) {
     val fps = time("winnowFingerprints (k=25,w=16, row-local)")(
       big.select(col("doc_id"),
         explode(graft.ext.TextFunctions.winnowFingerprints(
@@ -78,8 +89,10 @@ object ScaleProbe {
         .where(col("n") >= 3).count()
     }
     println(s"[probe] winnow pairs: $nw")
+    }
 
     // Keyless interval join at 10x events (the BNLJ-killer case).
+    if (stages("range")) {
     val ev = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
     val bigEv = (0 until copies).map { c =>
       ev.select((col("event_id") + c * 10000000L).as("event_id"), col("ts"),
@@ -95,6 +108,7 @@ object ScaleProbe {
       graft.operators.RangeJoin(errs, purch, Seq.empty,
         ("e_ts", "p_ts"), -halfH, halfH).count())
     println(s"[probe] range-join matches: $nrj")
+    }
     spark.stop()
   }
 }
