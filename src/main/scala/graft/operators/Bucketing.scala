@@ -14,11 +14,21 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   /** Write `df` as a bucketed managed table (bucketBy requires the
-    * table catalog, not a bare path — Spark limitation). */
+    * table catalog, not a bare path — Spark limitation). Idempotent
+    * ACROSS JVMs: a previous session may have left the managed location
+    * on disk while this session's catalog (fresh in-memory/derby) has no
+    * entry for it — saveAsTable then fails LOCATION_ALREADY_EXISTS, so
+    * drop the catalog entry AND any orphaned location first. */
   def writeBucketed(
       df: DataFrame, table: String,
       bucketCols: Seq[String], numBuckets: Int,
       sortCols: Seq[String] = Seq.empty): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     var w = df.write.mode(SaveMode.Overwrite)
       .format("parquet")
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)

@@ -89,6 +89,29 @@ object Ops {
           .as("sum_qty"))
   }
 
+  // Bucketed co-located join, driver-checked END-TO-END through the
+  // physical layout: both sides land as 8-bucket managed tables keyed
+  // on c_custkey, and the join plans with NO Exchange (gated in
+  // ScaleOpsSpec on the executed plan) — the at-rest design lever for
+  // repeated fact-fact joins at 100 TB. The oracle is the plain join:
+  // bucketing must be result-invisible. Warehouse artifacts are
+  // .gitignore'd; overwrite mode keeps reruns idempotent.
+  val opBucketedJoin: Q = (s, d) => {
+    val c = customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(s, d).select(col("o_custkey").as("c_custkey"),
+      col("o_totalprice"))
+    graft.operators.Bucketing.writeBucketed(
+      c, "graft_bk_cust", Seq("c_custkey"), 8, Seq("c_custkey"))
+    graft.operators.Bucketing.writeBucketed(
+      o, "graft_bk_ord", Seq("c_custkey"), 8, Seq("c_custkey"))
+    graft.operators.Bucketing.bucketedJoin(
+      s, "graft_bk_cust", "graft_bk_ord", Seq("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+  }
+
   // The reference's flagship viz operator as a value-checked query: the
   // per-(pivot, bucket) histogram grid that HistogramWithExamples
   // computes distributed (3 jobs at any pivot count). Example strings
@@ -138,6 +161,7 @@ object Ops {
     "op_hash_rgb" -> opHashRgb,
     "op_balanced_sample" -> opBalancedSample,
     "op_topk_per_key" -> opTopKPerKey,
+    "op_bucketed_join" -> opBucketedJoin,
     "op_salted_join" -> opSaltedJoin)
 
   val oracles: Map[String, String] = Map(
@@ -276,5 +300,11 @@ object Ops {
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+    "op_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         |GROUP BY 1""".stripMargin)
 }
