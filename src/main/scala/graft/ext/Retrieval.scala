@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Corpus retrieval + train/test contamination — the two query shapes a
+  * training-data pipeline runs against its document store beyond dedup:
+  * "which documents match these terms" (BM25 keyword retrieval, the
+  * classic data-curation filter) and "which training documents leak the
+  * benchmark" (n-gram overlap contamination detection, the
+  * GPT-3/PaLM-style decontamination pass).
+  *
+  * Both are engine-native DataFrame plans (no driver-side loops over
+  * data): BM25 is one corpus-stats aggregate + a codegen'd scoring
+  * projection + TakeOrdered; contamination is a shingle-bucket
+  * equi-join with the benchmark side broadcast — never an all-pairs
+  * product.
+  *
+  * Reference behavior anchor: the reference ships only exact-text
+  * search helpers; both operators here are engine-added capabilities
+  * (SURVEY §2 extension surface), value-oracled by the driver.
+  */
+object Retrieval {
+
+  /** Okapi BM25 top-k over a document table.
+    *
+    * Scoring: for query terms T, score(d) = Σ_{t∈T} idf(t) ·
+    * tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)), idf(t) =
+    * ln((N − df + 0.5)/(df + 0.5) + 1) — the standard
+    * Robertson/Sparck-Jones form, non-negative.
+    *
+    * Scale shape: two bounded aggregates up front (corpus row count +
+    * token-length sum; per-term document frequency — both one job,
+    * O(|terms|) driver state, the IVF-centroid convention), then a
+    * single scan computing the score as a fixed-order arithmetic column
+    * (per-term tf via a compiled UDF — not an interpreted array HOF)
+    * and a TakeOrderedAndProject for the top-k. No shuffle of the
+    * documents at all.
+    *
+    * Determinism: tf/df/N/dl are exact integers; dl sums are exact in
+    * double (< 2^53); contributions are added left-to-right in `terms`
+    * order; the score is rounded to 6dp before the (score desc, id)
+    * ranking — replicable bit-for-bit by the DuckDB oracle, which
+    * mirrors the same expression tree.
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one query term")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__t"))
+      .withColumn("__dl", size(col("__t")).cast("double"))
+
+    // Corpus stats: one aggregate job, two scalars of driver state.
+    val statsRow = toks.agg(
+      count(lit(1)).cast("double").as("n"), sum(col("__dl")).as("sdl"))
+      .collect()(0)
+    val n = statsRow.getDouble(0)
+    if (n == 0) // empty corpus: deliberate empty result, same schema
+      return toks.select(col("doc_id"), lit(0.0).as("bm25")).limit(0)
+    val avgdl = statsRow.getDouble(1) / n
+
+    // Per-term document frequency: distinct-token explode filtered to
+    // the |terms| query terms — map-side combine, O(|terms|) rows out.
+    val dfMap = toks
+      .select(explode(array_distinct(col("__t"))).as("__tok"))
+      .where(col("__tok").isin(terms: _*))
+      .groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    // Term frequency via a compiled UDF (codegen'd call, no interpreted
+    // HOF in the hot path — the Dedup.scala rule).
+    def tf(t: String): Column =
+      udf((toks: Seq[String]) =>
+        if (toks == null) 0d else toks.count(_ == t).toDouble).apply(col("__t"))
+
+    val contribs = terms.map { t =>
+      val dfT = dfMap.getOrElse(t, 0.0)
+      val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      val tfc = tf(t)
+      lit(idf) * (tfc * lit(k1 + 1.0)) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / lit(avgdl))))
+    }
+    val score = contribs.reduceLeft(_ + _)
+    toks.select(col("doc_id"),
+        graft.functions.DetRound.det6(score).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** Benchmark-contamination pairs: (benchmark doc, corpus doc) sharing
+    * at least `minShared` distinct word `n`-grams.
+    *
+    * Scale shape: both sides shingle once (the frame is checkpointed so
+    * the kernel runs a single time), then meet in an equi-join on the
+    * shingle value — shuffle O(docs × shingles/doc), never all-pairs.
+    * The benchmark side (eval sets are small by construction) is
+    * broadcast, so the corpus never shuffles at all: at 100 TB this is
+    * a map-only scan of the corpus against a broadcast shingle set.
+    */
+  def contaminationPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchFlag: Column, n: Int = 8, minShared: Int = 1): DataFrame = {
+    val s = docs.sparkSession
+    val sh = docs
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col(idCol).as("doc_id"), benchFlag.as("__bench"),
+        explode(TextFunctions.shinglesOfText(col(textCol), n)).as("__s"))
+      .localCheckpoint()
+    val bench = sh.where(col("__bench"))
+      .select(col("doc_id").as("bench_id"), col("__s"))
+    val corpus = sh.where(!col("__bench"))
+      .select(col("doc_id").as("corpus_id"), col("__s"))
+    corpus.join(broadcast(bench), "__s")
+      .groupBy(col("bench_id"), col("corpus_id"))
+      .agg(count(lit(1)).cast("int").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

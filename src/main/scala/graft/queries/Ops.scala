@@ -151,7 +151,15 @@ object Ops {
       .select(col("l_returnflag"), col("__rowid").as("sample_id"), col("rank"))
   }
 
+  // Dataset profile: one aggregate pass over lineitem → one row per
+  // column (counts, exact distinct, typed min/max lanes). Driver state
+  // is O(|cols|); the oracle is the per-column UNION ALL of the same
+  // statistics.
+  val opProfile: Q = (s, d) =>
+    graft.operators.ColumnProfiler.profile(lineitem(s, d))
+
   val queries: Map[String, Q] = Map(
+    "op_profile" -> opProfile,
     "op_reservoir_per_key" -> opReservoirPerKey,
     "viz_histogram" -> vizHistogram,
     "op_union_dfs" -> opUnionDfs,
@@ -164,7 +172,33 @@ object Ops {
     "op_bucketed_join" -> opBucketedJoin,
     "op_salted_join" -> opSaltedJoin)
 
+  // Per-column profile statistics, one UNION ALL branch per lineitem
+  // column. Numeric + timestamp columns use the numeric min/max lane
+  // (timestamps as epoch micros — no string-format dialect); strings
+  // use binary-collation min/max strings.
+  private val profileOracle: String = {
+    val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val tsCols = Seq("l_shipdate")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    def sel(c: String, mn: String, mx: String,
+        mns: String, mxs: String): String =
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
+         |FROM lineitem""".stripMargin
+    val nullD = "CAST(NULL AS DOUBLE)"
+    val nullS = "CAST(NULL AS VARCHAR)"
+    (numCols.map(c => sel(c, s"CAST(min($c) AS DOUBLE)",
+        s"CAST(max($c) AS DOUBLE)", nullS, nullS)) ++
+      tsCols.map(c => sel(c, s"CAST(epoch_us(min($c)) AS DOUBLE)",
+        s"CAST(epoch_us(max($c)) AS DOUBLE)", nullS, nullS)) ++
+      strCols.map(c => sel(c, nullD, nullD, s"min($c)", s"max($c)")))
+      .mkString("\nUNION ALL\n")
+  }
+
   val oracles: Map[String, String] = Map(
+    "op_profile" -> profileOracle,
     "op_hash_rgb" ->
       """WITH parts AS (
         |  SELECT doc_id,

@@ -201,6 +201,18 @@ object Relational {
   val qDistinct: Q = (s, d) =>
     lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
 
+  // Pivot (long → wide): sum of quantity by returnflag × linestatus,
+  // status values pinned explicitly (no value-discovery job — the
+  // production pivot contract at scale). Quantities are whole-number
+  // doubles, so distributed sums are order-exact. Oracle = conditional
+  // aggregation.
+  val qPivot: Q = (s, d) =>
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_quantity")))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
   // Correlated-style aggregation join: orders above 1.5× their customer's
   // average. All comparison arithmetic in exact decimal — float avg
   // differs between engines in the last ulp, which flips rows sitting on
@@ -362,11 +374,17 @@ object Relational {
     "q_stats" -> qStats,
     "q_topk" -> qTopK,
     "q_distinct" -> qDistinct,
+    "q_pivot" -> qPivot,
     "q_join_agg" -> qJoinAgg,
     "q_having" -> qHaving,
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders
