@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * bench scale factor on local hardware.
   *
   * Usage: runMain graft.ScaleProbe [copies] [stages]
-  * (stages: comma-separated from lsh,pipeline,pack,rank,winnow,range;
-  * default all — a filter lets a 100x run probe one operator without
-  * paying the full suite.)
+  * (stages: comma-separated from lsh,pipeline,pack,rank,winnow,range,
+  * contam,bm25,profile,quant; default the dedup/rank core — a filter
+  * lets a 100x run probe one operator without paying the full suite.)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val copies = if (args.nonEmpty) args(0).toInt else 10
     val stages: Set[String] =
       if (args.length > 1) args(1).split(',').toSet
-      else Set("lsh", "pipeline", "pack", "rank", "winnow", "range")
+      else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
+        "contam", "bm25", "profile", "quant")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -89,6 +90,49 @@ object ScaleProbe {
         .where(col("n") >= 3).count()
     }
     println(s"[probe] winnow pairs: $nw")
+    }
+
+    // Contamination at copies×: bench slice = 250 docs of copy 0; every
+    // other copy of those docs is a planted leak, so output grows
+    // linearly in copies while the corpus side streams map-only against
+    // the broadcast bench shingles.
+    if (stages("contam")) {
+      val nc = time("contaminationPairs (8-gram, 250-doc bench)")(
+        graft.ext.Retrieval.contaminationPairs(big, "doc_id", "text",
+          benchFlag = col("doc_id") < 250, n = 8).count())
+      println(s"[probe] contamination pairs: $nc")
+    }
+
+    // BM25 at copies×: stats aggregates + one scoring scan + TakeOrdered.
+    if (stages("bm25")) {
+      val nb = time("bm25TopK (5 terms, k=100)")(
+        graft.ext.Retrieval.bm25TopK(big, "doc_id", "text",
+          Seq("spark", "query", "join", "vector", "hash"), k = 100).count())
+      println(s"[probe] bm25 rows: $nb")
+    }
+
+    // Profiler at copies×: the melt-dedup distinct path (the Expand-free
+    // plan) over a corpus whose distinct count grows with copies.
+    if (stages("profile")) {
+      val prof = time("ColumnProfiler (exact distinct, melt-dedup)")(
+        graft.operators.ColumnProfiler.profile(big).collect())
+      println(s"[probe] profile rows: ${prof.length}")
+    }
+
+    // Quantized ANN at copies×: candidates grow linearly; 20 broadcast
+    // queries; integer dot products.
+    if (stages("quant")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val bigEmb = (0 until copies).map { c =>
+        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] embeddings: ${bigEmb.count()}")
+      val q = bigEmb.where(col("vec_id") < 20)
+      val nq = time("quantizedTopK (int8, k=10, 20 queries)")(
+        graft.ext.SimilaritySearch.quantizedTopK(
+          bigEmb, q, "vec_id", "embedding", k = 10).count())
+      println(s"[probe] quantized top-k rows: $nq")
     }
 
     // Keyless interval join at 10x events (the BNLJ-killer case).

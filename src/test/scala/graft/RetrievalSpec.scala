@@ -39,8 +39,12 @@ class RetrievalSpec extends AnyFunSuite {
       val text = if (i <= 3) "alpha beta gamma" else "delta epsilon zeta"
       (i, text)
     }.toDF("doc_id", "text")
-    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
-      terms = Seq("alpha", "beta"), k = 5).collect()
+    val q = Retrieval.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("alpha", "beta"), k = 5)
+    // top-k must plan as TakeOrderedAndProject — never a global sort
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+    val out = q.collect()
     assert(out.length == 5)
     // the 3 matching docs outrank the rest; ties break by doc_id
     assert(out.take(3).map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
