@@ -142,23 +142,32 @@ object Ext {
     Retrieval.contaminationPairs(documents(s, d), "doc_id", "text",
       benchFlag = col("source") === "src0", n = 8)
 
-  // PII redaction: emails + phone numbers are synthesized onto each doc
-  // deterministically (the corpus itself carries none), then detected
-  // and masked; the oracle replays the same synthesis + regex pipeline,
-  // so the md5 of the redacted text checks masking exactly.
-  val tRedact: Q = (s, d) => {
-    val pii = concat(
-      col("text"), lit(" contact user"), col("doc_id").cast("string"),
-      lit("@example.com"),
-      when(pmod(col("doc_id"), lit(3)) === 0,
-        concat(lit(" or call +1-555-"),
-          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
-        .otherwise(lit("")))
-    documents(s, d).select(col("doc_id"),
+  /** Deterministic PII synthesis over (doc_id, text) — the corpus
+    * carries no real PII, so the redaction queries plant it identically
+    * on both engines. Shared by the batch and streaming entries. */
+  private[queries] def piiSynth: org.apache.spark.sql.Column = concat(
+    col("text"), lit(" contact user"), col("doc_id").cast("string"),
+    lit("@example.com"),
+    when(pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit(" or call +1-555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+      .otherwise(lit("")))
+
+  /** Redaction projection over a documents-shaped frame (batch or
+    * stream — pure codegen'd regex, no state). */
+  private[queries] def redactProjection(docs: DataFrame): DataFrame = {
+    val pii = piiSynth
+    docs.select(col("doc_id"),
       Redaction.emailCount(pii).as("n_emails"),
       Redaction.phoneCount(pii).as("n_phones"),
       md5(Redaction.redact(pii)).as("redacted_hash"))
   }
+
+  // PII redaction: emails + phone numbers are synthesized onto each doc
+  // deterministically (the corpus itself carries none), then detected
+  // and masked; the oracle replays the same synthesis + regex pipeline,
+  // so the md5 of the redacted text checks masking exactly.
+  val tRedact: Q = (s, d) => redactProjection(documents(s, d))
 
   // ----------------------------------------------------------------- dedup
 
@@ -575,7 +584,7 @@ object Ext {
   /** Redaction replication: identical PII synthesis, identical RE2 ∩
     * java.util.regex patterns; DuckDB regexp_replace needs the 'g'
     * flag to match Spark's replace-all semantics. */
-  private lazy val redactOracle: String = {
+  private[queries] lazy val redactOracle: String = {
     val email = Redaction.EmailRe
     val phone = Redaction.PhoneRe
     s"""WITH pii AS (SELECT doc_id,

@@ -145,14 +145,72 @@ object Streams {
     EventStreams.runToMemory(joined, uniq("st_join"))
   }
 
+  private def docStream(s: SparkSession, d: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(s"$d#documents",
+      _ => s.read.parquet(s"$d/documents.parquet").schema)
+    s.readStream.schema(schema).parquet(s"$d/documents*.parquet")
+  }
+
+  /** Stateless streaming text transform: the redaction projection over
+    * a streaming documents source — pure codegen'd regex, zero state,
+    * append mode with no watermark. The streaming result must equal the
+    * batch t_redact exactly (same oracle). */
+  val stRedact: Q = (s, d) => withStreamPartitions(s, 4) {
+    EventStreams.runToMemory(
+      Ext.redactProjection(docStream(s, d)), uniq("st_redact"))
+  }
+
+  /** STREAM-STATIC broadcast join (the remaining §2.10 join flavor
+    * after stream-stream): streaming corpus docs shingle on the fly and
+    * probe a STATIC benchmark shingle set, broadcast once — the
+    * production "decontaminate while ingesting" shape. Stream-static
+    * inner joins are stateless on the stream side (no watermark
+    * needed): each arriving doc matches against the pinned static
+    * relation and emits immediately. Emits the contamination evidence
+    * (bench_id, corpus_id, shingle). */
+  val stContamination: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.ext.{TextFunctions => TF}
+    val stream = docStream(s, d).where(col("source") =!= "src0")
+      .select(col("doc_id").as("corpus_id"),
+        explode(TF.shinglesOfText(col("text"), 8)).as("shingle"))
+    val bench = s.read.parquet(s"$d/documents.parquet")
+      .where(col("source") === "src0")
+      .select(col("doc_id").as("bench_id"),
+        explode(TF.shinglesOfText(col("text"), 8)).as("shingle"))
+    EventStreams.runToMemory(
+      stream.join(broadcast(bench), "shingle")
+        .select(col("bench_id"), col("corpus_id"), col("shingle")),
+      uniq("st_contam"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_join" -> stJoin,
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
     "st_sliding" -> stSliding,
-    "st_sessions" -> stSessions)
+    "st_sessions" -> stSessions,
+    "st_redact" -> stRedact,
+    "st_contamination" -> stContamination)
 
   val oracles: Map[String, String] = Map(
+    "st_redact" -> Ext.redactOracle,
+    // The stream-static join emits one row per (bench, corpus, shared
+    // shingle) — the contamination evidence stream, no aggregation.
+    "st_contamination" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 6, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+        |      || ' ' || t[i+7]))) AS s
+        |  FROM toks WHERE len(t) >= 8)
+        |SELECT b.doc_id AS bench_id, c.doc_id AS corpus_id, c.s AS shingle
+        |FROM sh c JOIN sh b ON b.s = c.s
+        |WHERE b.source = 'src0' AND c.source <> 'src0'""".stripMargin,
     "st_join" ->
       """SELECT c.user_id AS user_id, c.event_id AS click_id,
         |  e.event_id AS view_id,
