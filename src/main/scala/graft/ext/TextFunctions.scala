@@ -205,6 +205,60 @@ object TextFunctions {
     md5(udf((text: String) =>
       if (text == null) null else tokenizeFn(text).mkString(" ")).apply(c))
 
+  /** Repetition-quality signals (the Gopher/RefinedWeb document-level
+    * repetitiveness filters, token-gram flavor):
+    *   - `dupTrigramFrac`: fraction of trigram OCCURRENCES whose
+    *     trigram occurs more than once in the doc (machine-generated /
+    *     boilerplate text scores high);
+    *   - `topBigramFrac`: occurrences of the single most frequent
+    *     bigram over all bigram occurrences (loops/listicles score
+    *     high).
+    * Both are row-local compiled kernels (one tokenize, open-addressed
+    * count map), return 0.0 for docs too short to form the gram, and
+    * round 6dp for cross-engine hash parity. */
+  def dupTrigramFrac(c: Column): Column =
+    udf((text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val toks = tokenizeFn(text)
+        if (toks.length < 3) java.lang.Double.valueOf(0.0)
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < toks.length - 2) {
+            val g = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+            counts.merge(g, 1, Integer.sum)
+            i += 1
+          }
+          var dup = 0L
+          val it = counts.values().iterator()
+          while (it.hasNext) { val n = it.next(); if (n > 1) dup += n }
+          val raw = dup.toDouble / (toks.length - 2).toDouble
+          java.lang.Double.valueOf(math.floor(raw * 1e6 + 0.5) / 1e6)
+        }
+      }).apply(c)
+
+  def topBigramFrac(c: Column): Column =
+    udf((text: String) =>
+      if (text == null) null.asInstanceOf[java.lang.Double]
+      else {
+        val toks = tokenizeFn(text)
+        if (toks.length < 2) java.lang.Double.valueOf(0.0)
+        else {
+          val counts = new java.util.HashMap[String, Int]()
+          var i = 0
+          while (i < toks.length - 1) {
+            counts.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+            i += 1
+          }
+          var mx = 0
+          val it = counts.values().iterator()
+          while (it.hasNext) { val n = it.next(); if (n > mx) mx = n }
+          val raw = mx.toDouble / (toks.length - 1).toDouble
+          java.lang.Double.valueOf(math.floor(raw * 1e6 + 0.5) / 1e6)
+        }
+      }).apply(c)
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

@@ -142,6 +142,14 @@ object Ext {
     Retrieval.contaminationPairs(documents(s, d), "doc_id", "text",
       benchFlag = col("source") === "src0", n = 8)
 
+  // Repetition-quality signals (Gopher/RefinedWeb-style): duplicated
+  // trigram occurrence fraction + top-bigram occurrence fraction —
+  // row-local compiled kernels, 6dp parity rounding in-kernel.
+  val tRepetition: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      TF.dupTrigramFrac(col("text")).as("dup_trigram_frac"),
+      TF.topBigramFrac(col("text")).as("top_bigram_frac"))
+
   /** Deterministic PII synthesis over (doc_id, text) — the corpus
     * carries no real PII, so the redaction queries plant it identically
     * on both engines. Shared by the batch and streaming entries. */
@@ -282,7 +290,8 @@ object Ext {
     "sim_quant_topk" -> simQuantTopK,
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
-    "t_redact" -> tRedact)
+    "t_redact" -> tRedact,
+    "t_repetition" -> tRepetition)
 
   // DuckDB token expression mirroring TF.tokens exactly.
   private val toksSql =
@@ -534,7 +543,40 @@ object Ext {
     "sim_quant_topk" -> quantTopKOracle,
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
-    "t_redact" -> redactOracle)
+    "t_redact" -> redactOracle,
+    "t_repetition" -> repetitionOracle)
+
+  /** Repetition-signal replication: occurrence-counted (NOT distinct)
+    * trigram/bigram grams per doc; dup fraction and top fraction with
+    * the same divide-then-round structure as the kernels. Docs too
+    * short for the gram default to 0.0 via the LEFT JOINs. */
+  private lazy val repetitionOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tri AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t) - 1, 1)),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+       |  FROM toks WHERE len(t) >= 3),
+       |tc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+       |tstat AS (SELECT doc_id,
+       |    sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, sum(c) AS tot
+       |  FROM tc GROUP BY 1),
+       |bi AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t), 1)),
+       |    i -> t[i] || ' ' || t[i+1])) AS g
+       |  FROM toks WHERE len(t) >= 2),
+       |bc AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+       |bstat AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot
+       |  FROM bc GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(floor(CAST(ts.dup AS DOUBLE) / CAST(ts.tot AS DOUBLE)
+       |    * 1000000 + 0.5) / 1000000, 0.0) AS dup_trigram_frac,
+       |  coalesce(floor(CAST(bs.mx AS DOUBLE) / CAST(bs.tot AS DOUBLE)
+       |    * 1000000 + 0.5) / 1000000, 0.0) AS top_bigram_frac
+       |FROM documents d
+       |LEFT JOIN tstat ts ON d.doc_id = ts.doc_id
+       |LEFT JOIN bstat bs ON d.doc_id = bs.doc_id""".stripMargin
 
   /** BM25 replication: tf/df/N/dl recomputed in SQL (SF-independent),
     * constants written as the same source-literal arithmetic the Scala

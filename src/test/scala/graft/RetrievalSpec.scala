@@ -103,6 +103,29 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 1, "two mails: [EMAIL] [EMAIL] and [PHONE]")))
   }
 
+  // ------------------------------------------------------------ repetition
+
+  test("repetition signals: duplicated trigrams and top bigram fraction") {
+    import graft.ext.{TextFunctions => TF}
+    val df = Seq(
+      (1L, "spam spam spam spam spam"),    // all grams identical
+      (2L, "one two three four five six"), // all grams unique
+      (3L, "ab"),                          // too short for any gram
+      (4L, "go go stop go go stop"))
+      .toDF("id", "t")
+    val out = df.select(col("id"),
+      TF.dupTrigramFrac(col("t")).as("d3"),
+      TF.topBigramFrac(col("t")).as("b2"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) == ((1.0, 1.0)))
+    assert(out(2L) == ((0.0, 0.2)))  // unique trigrams; each of 5 bigrams once
+    assert(out(3L) == ((0.0, 0.0)))
+    // doc 4 trigrams: [go go stop]x2, [go stop go], [stop go go] -> 2/4;
+    // bigrams: [go go]x2, [go stop]x2, [stop go]x1 -> top 2/5
+    assert(out(4L) == ((0.5, 0.4)))
+  }
+
   // -------------------------------------------------------------- profiler
 
   test("ColumnProfiler: counts, distinct, typed min/max lanes") {
