@@ -214,15 +214,24 @@ object SimilaritySearch {
     val qz = udf((v: Seq[Double]) =>
       if (v == null) null
       else v.map(x => math.floor(x / scale * 127 + 0.5).toLong))
+    // Null guards: projections evaluate before the norm filter prunes
+    // null/empty vectors, so the kernels must tolerate null input.
     val dotU = udf((a: Seq[Long], b: Seq[Long]) => {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i) * b(i); i += 1 }
-      s
+      if (a == null || b == null) 0L
+      else {
+        var s = 0L; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) { s += a(i) * b(i); i += 1 }
+        s
+      }
     })
     val normU = udf((a: Seq[Long]) => {
-      var s = 0L; var i = 0
-      while (i < a.length) { s += a(i) * a(i); i += 1 }
-      s
+      if (a == null) 0L
+      else {
+        var s = 0L; var i = 0
+        while (i < a.length) { s += a(i) * a(i); i += 1 }
+        s
+      }
     })
     def quantized(df: DataFrame, side: String): DataFrame = df
       .select(col(idCol).as(s"${side}_id"),

@@ -82,12 +82,18 @@ object ColumnProfiler {
     // Job 2 (exact mode): melt → per-column distributed exact distinct.
     // Canonicalization (cast to string) only needs injectivity within a
     // column, not cross-engine value parity — Java's Double/Timestamp
-    // renderings are injective.
+    // renderings are injective. BinaryType is the exception (arbitrary
+    // bytes don't render injectively): hex-encode those.
     val distincts: Map[String, Long] =
       if (!exactDistinct) Map.empty
       else {
-        val kvs = names.map(c =>
-          struct(lit(c).as("c"), col(c).cast("string").as("v")))
+        val kvs = names.map { c =>
+          val canon = types(c) match {
+            case BinaryType => hex(col(c))
+            case _ => col(c).cast("string")
+          }
+          struct(lit(c).as("c"), canon.as("v"))
+        }
         df.select(explode(array(kvs: _*)).as("kv"))
           .select(col("kv.c").as("__c"), col("kv.v").as("__v"))
           .where(col("__v").isNotNull)

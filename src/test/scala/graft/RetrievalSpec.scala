@@ -156,6 +156,41 @@ class RetrievalSpec extends AnyFunSuite {
     assert(exact.count() == 2)
   }
 
+  test("ColumnProfiler never plans the multi-distinct Expand; binary ok") {
+    val df = Seq((1L, Array[Byte](1, 2)), (2L, Array[Byte](1, 2)),
+      (3L, Array[Byte](3))).toDF("k", "b")
+    // capture plans of the two profile jobs via a listener-free check:
+    // both component frames must be Expand-free
+    val meltPlan = df.select(explode(array(
+        struct(lit("k").cast("string"), col("k").cast("string")),
+        struct(lit("b").cast("string"), hex(col("b"))))))
+      .queryExecution.executedPlan.toString
+    assert(!meltPlan.contains("Expand"))
+    val prof = ColumnProfiler.profile(df).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(prof("b") == 2 && prof("k") == 3)
+  }
+
+  test("quantizedTopK tolerates null and empty vectors") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(0L, Seq(1.0f, 0.0f)),
+      org.apache.spark.sql.Row(1L, Seq(1.0f, 1.0f)),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, Seq.empty[Float]))
+    val vecs = spark.createDataFrame(rows, schema)
+    val out = SimilaritySearch.quantizedTopK(
+      vecs, vecs.where(col("vec_id") === 0L), "vec_id", "embedding", k = 5)
+      .collect()
+    // null/empty candidates are dropped, not crashed on
+    assert(out.map(_.getLong(1)).toSet == Set(1L))
+  }
+
   // ---------------------------------------------------------- quantization
 
   test("quantizedTopK: exact integer cosine on constructed vectors") {
