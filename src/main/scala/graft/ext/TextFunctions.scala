@@ -216,9 +216,9 @@ object TextFunctions {
     * Both are row-local compiled kernels (one tokenize, open-addressed
     * count map), return 0.0 for docs too short to form the gram, and
     * round 6dp for cross-engine hash parity. */
-  def dupTrigramFrac(c: Column): Column =
-    udf((text: String) =>
-      if (text == null) null.asInstanceOf[java.lang.Double]
+  private[graft] val dupTrigramFracFn: String => java.lang.Double = {
+    text: String =>
+      if (text == null) null
       else {
         val toks = tokenizeFn(text)
         if (toks.length < 3) java.lang.Double.valueOf(0.0)
@@ -236,11 +236,12 @@ object TextFunctions {
           val raw = dup.toDouble / (toks.length - 2).toDouble
           java.lang.Double.valueOf(math.floor(raw * 1e6 + 0.5) / 1e6)
         }
-      }).apply(c)
+      }
+  }
 
-  def topBigramFrac(c: Column): Column =
-    udf((text: String) =>
-      if (text == null) null.asInstanceOf[java.lang.Double]
+  private[graft] val topBigramFracFn: String => java.lang.Double = {
+    text: String =>
+      if (text == null) null
       else {
         val toks = tokenizeFn(text)
         if (toks.length < 2) java.lang.Double.valueOf(0.0)
@@ -257,7 +258,12 @@ object TextFunctions {
           val raw = mx.toDouble / (toks.length - 1).toDouble
           java.lang.Double.valueOf(math.floor(raw * 1e6 + 0.5) / 1e6)
         }
-      }).apply(c)
+      }
+  }
+
+  def dupTrigramFrac(c: Column): Column = udf(dupTrigramFracFn).apply(c)
+
+  def topBigramFrac(c: Column): Column = udf(topBigramFracFn).apply(c)
 
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

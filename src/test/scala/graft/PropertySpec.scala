@@ -123,4 +123,33 @@ class PropertySpec extends AnyFunSuite {
         got == want
     })
   }
+
+  test("repetition signals live in [0,1]; all-same text maxes both") {
+    val textGen = Gen.listOf(Gen.oneOf("aa", "bb", "cc", "dd"))
+      .map(_.mkString(" "))
+    val dup3 = graft.ext.TextFunctions.dupTrigramFracFn
+    val top2 = graft.ext.TextFunctions.topBigramFracFn
+    check("repetition-bounds", Prop.forAll(textGen) { t: String =>
+      val d: Double = dup3(t); val b: Double = top2(t)
+      d >= 0.0 && d <= 1.0 && b >= 0.0 && b <= 1.0
+    })
+    assert(dup3("x x x x x x") == 1.0 && top2("x x x x x x") == 1.0)
+  }
+
+  test("BM25 per-term contribution: monotone in tf, saturating") {
+    // the scoring arithmetic the Column expression implements
+    def contrib(tf: Double, dl: Double, idf: Double,
+        avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double =
+      idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
+    check("bm25-monotone", Prop.forAll(
+      Gen.chooseNum(0, 50), Gen.chooseNum(1, 500), Gen.chooseNum(1, 200)) {
+      (tf: Int, dl: Int, davg: Int) =>
+        val idf = 1.5
+        val c0 = contrib(tf, dl, idf, davg)
+        val c1 = contrib(tf + 1, dl, idf, davg)
+        // monotone nondecreasing in tf, bounded by the (k1+1)*idf asymptote
+        c1 >= c0 && c1 <= idf * 2.2 + 1e-9
+    })
+  }
 }
