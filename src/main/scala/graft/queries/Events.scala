@@ -95,6 +95,36 @@ object Events {
       .select(col("user_id"), col("e_id"), col("p_id"))
   }
 
+  // Conversion funnel (view → click → purchase, each stage within 30
+  // minutes of the previous): the classic product-analytics query,
+  // composed from the keyed RangeJoin — each stage is a bucketed
+  // equi-join bounded to ≤2 probe buckets per row, so per-user history
+  // length never explodes the join (the funnel-over-raw-events trap).
+  // Output = users surviving each stage.
+  val evFunnel: Q = (s, d) => {
+    val ev = events(s, d)
+    val tUs = 30L * 60 * 1000000
+    def stage(t: String, tsName: String): DataFrame =
+      ev.where(col("event_type") === t)
+        .select(col("user_id"), col("ts").as(tsName))
+    val views = stage("view", "v_ts")
+    val clicks = stage("click", "c_ts")
+    val purchases = stage("purchase", "p_ts")
+    val s1 = views.select(col("user_id")).distinct()
+    // qualifying clicks: strictly after a view, within the window
+    val vc = graft.operators.RangeJoin(views, clicks, Seq("user_id"),
+        ("v_ts", "c_ts"), 1L, tUs)
+      .select(col("user_id"), col("c_ts")).distinct()
+    val s2 = vc.select(col("user_id")).distinct()
+    val s3 = graft.operators.RangeJoin(vc, purchases, Seq("user_id"),
+        ("c_ts", "p_ts"), 1L, tUs)
+      .select(col("user_id")).distinct()
+    def counted(df: DataFrame, n: Int): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(n).as("stage"),
+        col("n_users"))
+    counted(s1, 1).unionAll(counted(s2, 2)).unionAll(counted(s3, 3))
+  }
+
   // Sliding (overlapping) windows: 1-hour windows every 30 minutes —
   // every event lands in exactly two windows (Spark epoch-aligned
   // semantics, replicated in the oracle by unnesting both candidate
@@ -129,7 +159,8 @@ object Events {
     "ev_sessions" -> evSessions,
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
-    "ev_range_join" -> evRangeJoin)
+    "ev_range_join" -> evRangeJoin,
+    "ev_funnel" -> evFunnel)
 
   val oracles: Map[String, String] = Map(
     "ev_hourly" ->
@@ -217,6 +248,23 @@ object Events {
         |  ON e.user_id = p.user_id
         | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 21600000000
         |                        AND epoch_us(e.ts) + 21600000000""".stripMargin,
+    "ev_funnel" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        |s1 AS (SELECT DISTINCT user_id FROM v),
+        |vc AS (SELECT DISTINCT v.user_id, c.ts AS c_ts
+        |  FROM v JOIN c ON v.user_id = c.user_id
+        |  AND epoch_us(c.ts) BETWEEN epoch_us(v.ts) + 1
+        |                         AND epoch_us(v.ts) + 1800000000),
+        |s2 AS (SELECT DISTINCT user_id FROM vc),
+        |s3 AS (SELECT DISTINCT vc.user_id
+        |  FROM vc JOIN p ON vc.user_id = p.user_id
+        |  AND epoch_us(p.ts) BETWEEN epoch_us(vc.c_ts) + 1
+        |                         AND epoch_us(vc.c_ts) + 1800000000)
+        |SELECT CAST(1 AS INT) AS stage, count(*) AS n_users FROM s1
+        |UNION ALL SELECT CAST(2 AS INT), count(*) FROM s2
+        |UNION ALL SELECT CAST(3 AS INT), count(*) FROM s3""".stripMargin,
     "ev_error_prone" ->
       """SELECT user_id, count(*) AS n_errors,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
