@@ -152,6 +152,13 @@ object ScaleProbe {
       graft.operators.RangeJoin(errs, purch, Seq.empty,
         ("e_ts", "p_ts"), -halfH, halfH).count())
     println(s"[probe] range-join matches: $nrj")
+    // The staged funnel at copies× events: three keyed RangeJoins +
+    // distincts; cost tracks qualifying-pair volume per stage.
+    val funnel = time("evFunnel (view->click->purchase, 30min stages)") {
+      graft.queries.Events.funnelStages(bigEv).collect()
+        .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+    }
+    println(s"[probe] funnel stages: $funnel")
     }
     spark.stop()
   }

@@ -101,8 +101,11 @@ object Events {
   // equi-join bounded to ≤2 probe buckets per row, so per-user history
   // length never explodes the join (the funnel-over-raw-events trap).
   // Output = users surviving each stage.
-  val evFunnel: Q = (s, d) => {
-    val ev = events(s, d)
+  val evFunnel: Q = (s, d) => funnelStages(events(s, d))
+
+  /** The funnel core over any events-shaped frame (user_id, ts,
+    * event_type) — also driven directly by ScaleProbe. */
+  def funnelStages(ev: DataFrame): DataFrame = {
     val tUs = 30L * 60 * 1000000
     def stage(t: String, tsName: String): DataFrame =
       ev.where(col("event_type") === t)
