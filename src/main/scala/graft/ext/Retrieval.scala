@@ -69,21 +69,36 @@ object Retrieval {
       .groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("df"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-    // Term frequency via a compiled UDF (codegen'd call, no interpreted
-    // HOF in the hot path — the Dedup.scala rule).
-    def tf(t: String): Column =
-      udf((toks: Seq[String]) =>
-        if (toks == null) 0d else toks.count(_ == t).toDouble).apply(col("__t"))
+    // All term frequencies in ONE compiled UDF call (one token-array
+    // conversion per row, not per term; no interpreted HOF in the hot
+    // path — the Dedup.scala rule).
+    val termArr = terms.toArray
+    val tfsU = udf((toks: Seq[String]) => {
+      val out = new Array[Double](termArr.length)
+      if (toks != null) {
+        val it = toks.iterator
+        while (it.hasNext) {
+          val tok = it.next()
+          var j = 0
+          while (j < termArr.length) {
+            if (termArr(j) == tok) out(j) += 1.0
+            j += 1
+          }
+        }
+      }
+      out
+    })
+    val withTfs = toks.withColumn("__tfs", tfsU(col("__t")))
 
-    val contribs = terms.map { t =>
+    val contribs = terms.zipWithIndex.map { case (t, j) =>
       val dfT = dfMap.getOrElse(t, 0.0)
       val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
-      val tfc = tf(t)
+      val tfc = col("__tfs").getItem(j)
       lit(idf) * (tfc * lit(k1 + 1.0)) /
         (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / lit(avgdl))))
     }
     val score = contribs.reduceLeft(_ + _)
-    toks.select(col("doc_id"),
+    withTfs.select(col("doc_id"),
         graft.functions.DetRound.det6(score).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
@@ -92,26 +107,29 @@ object Retrieval {
   /** Benchmark-contamination pairs: (benchmark doc, corpus doc) sharing
     * at least `minShared` distinct word `n`-grams.
     *
-    * Scale shape: both sides shingle once (the frame is checkpointed so
-    * the kernel runs a single time), then meet in an equi-join on the
-    * shingle value — shuffle O(docs × shingles/doc), never all-pairs.
-    * The benchmark side (eval sets are small by construction) is
-    * broadcast, so the corpus never shuffles at all: at 100 TB this is
-    * a map-only scan of the corpus against a broadcast shingle set.
+    * Scale shape: the two sides filter `docs` disjointly, so each
+    * side's shingle kernel runs exactly once streaming into the join —
+    * no corpus-sized materialization anywhere. The benchmark side
+    * (eval sets are small by construction) is broadcast, so the corpus
+    * never shuffles at all: at 100 TB this is a map-only scan of the
+    * corpus against a broadcast shingle set, aggregating only the
+    * matching (bench, corpus) pairs.
     */
   def contaminationPairs(
       docs: DataFrame, idCol: String, textCol: String,
       benchFlag: Column, n: Int = 8, minShared: Int = 1): DataFrame = {
     val s = docs.sparkSession
-    val sh = docs
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col(idCol).as("doc_id"), benchFlag.as("__bench"),
+    // The two sides partition `docs` disjointly, so each side's shingle
+    // kernel runs exactly once with NO materialization barrier — never
+    // cache/checkpoint the corpus-sized shingle set (that is the
+    // self-join double-compute rule, which does not apply here).
+    def shingled(side: DataFrame, outId: String): DataFrame =
+      side.select(col(idCol).as(outId),
         explode(TextFunctions.shinglesOfText(col(textCol), n)).as("__s"))
-      .localCheckpoint()
-    val bench = sh.where(col("__bench"))
-      .select(col("doc_id").as("bench_id"), col("__s"))
-    val corpus = sh.where(!col("__bench"))
-      .select(col("doc_id").as("corpus_id"), col("__s"))
+    val bench = shingled(docs.where(benchFlag), "bench_id")
+    val corpus = shingled(
+      docs.where(!benchFlag).repartition(s.sparkContext.defaultParallelism),
+      "corpus_id")
     corpus.join(broadcast(bench), "__s")
       .groupBy(col("bench_id"), col("corpus_id"))
       .agg(count(lit(1)).cast("int").as("n_shared"))
