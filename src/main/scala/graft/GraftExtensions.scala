@@ -58,5 +58,23 @@ object GraftExtensions {
       cs => ArrayDot(cs(0), cs(1)))
     Bridge.registerFunction(spark, "array_norm", cs => ArrayNorm(cs.head))
     Bridge.registerFunction(spark, "array_cosine", cosineBuilder)
+    registerTextSql(spark)
+  }
+
+  /** SQL names for the compiled text kernels, for SQL-first users:
+    * `SELECT graft_dup_trigram_frac(text) FROM corpus`. These are
+    * UDF-backed (the kernels are row-local compiled Scala — the Column
+    * API and SQL name share one implementation). */
+  def registerTextSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.ext.{TextFunctions => TF, Redaction}
+    spark.udf.register("graft_tokens", TF.tokenizeFn)
+    spark.udf.register("graft_dup_trigram_frac", TF.dupTrigramFracFn)
+    spark.udf.register("graft_top_bigram_frac", TF.topBigramFracFn)
+    val winnow2516 = TF.winnowFn(25, 16)
+    spark.udf.register("graft_winnow", winnow2516)
+    spark.udf.register("graft_redact", (text: String) =>
+      if (text == null) null
+      else text.replaceAll(Redaction.EmailRe, "[EMAIL]")
+        .replaceAll(Redaction.PhoneRe, "[PHONE]"))
   }
 }

@@ -40,6 +40,14 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    // text kernels under their SQL names (same impls as the Column API)
+    val t = spark.sql(
+      "SELECT graft_tokens('A b, c') AS toks, " +
+        "graft_dup_trigram_frac('x x x x x') AS d3, " +
+        "graft_redact('mail a@b.io or +1-555-0100') AS red").collect()(0)
+    assert(t.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(t.getDouble(1) == 1.0)
+    assert(t.getString(2) == "mail [EMAIL] or [PHONE]")
   }
 
   test("salted join rejects outer join types (would duplicate right rows)") {
