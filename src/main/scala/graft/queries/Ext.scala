@@ -150,6 +150,22 @@ object Ext {
       TF.dupTrigramFrac(col("text")).as("dup_trigram_frac"),
       TF.topBigramFrac(col("text")).as("top_bigram_frac"))
 
+  // Curriculum sampling: the quality-stratified deterministic sample a
+  // training pipeline draws when it wants equal representation across
+  // quality strata — qualityScore → fixed-edge Bucketize → BalancedSample
+  // (portable md5-threshold draw). Three already-oracled operators
+  // composed END-TO-END; the oracle replays the whole chain, so any
+  // drift in any stage flips the hash.
+  val tCurriculum: Q = (s, d) => {
+    val scored = documents(s, d).select(col("doc_id"),
+      TF.qualityScore(col("text")).as("q"))
+    val bucketed = scored.withColumn("bucket",
+      graft.operators.Bucketize(col("q"), Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)))
+    graft.operators.BalancedSample(bucketed, "bucket",
+      nPerCategory = Some(40), idCols = Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"))
+  }
+
   /** Deterministic PII synthesis over (doc_id, text) — the corpus
     * carries no real PII, so the redaction queries plant it identically
     * on both engines. Shared by the batch and streaming entries. */
@@ -291,7 +307,8 @@ object Ext {
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
-    "t_repetition" -> tRepetition)
+    "t_repetition" -> tRepetition,
+    "t_curriculum" -> tCurriculum)
 
   // DuckDB token expression mirroring TF.tokens exactly.
   private val toksSql =
@@ -544,7 +561,46 @@ object Ext {
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,
-    "t_repetition" -> repetitionOracle)
+    "t_repetition" -> repetitionOracle,
+    "t_curriculum" -> curriculumOracle)
+
+  /** Whole-chain curriculum replication: the t_quality score CTE →
+    * the op_bucketize CASE (last edge +1e-9) → the op_balanced_sample
+    * per-bucket threshold + md5 draw, all double-for-double. */
+  private lazy val curriculumOracle: String =
+    s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+       |m AS (SELECT doc_id, text, t,
+       |  CASE WHEN length(text) > 0 THEN
+       |    CAST(length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')) AS DOUBLE)
+       |      / length(text) ELSE 0.0 END AS pr,
+       |  CASE WHEN len(t) > 0 THEN
+       |    CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+       |    ELSE 0.0 END AS mtl
+       |  FROM toks),
+       |q AS (SELECT doc_id,
+       |  floor((least(CAST(len(t) AS DOUBLE) / 50.0, 1.0) * 0.5
+       |    + (1.0 - pr) * 0.3
+       |    + least(mtl / 8.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS q
+       |  FROM m),
+       |b AS (SELECT doc_id, CASE
+       |    WHEN q >= 0.0 AND q < 0.2 THEN 0
+       |    WHEN q >= 0.2 AND q < 0.4 THEN 1
+       |    WHEN q >= 0.4 AND q < 0.6 THEN 2
+       |    WHEN q >= 0.6 AND q < 0.8 THEN 3
+       |    WHEN q >= 0.8 AND q < 1.000000001 THEN 4
+       |    ELSE -1 END AS bucket
+       |  FROM q),
+       |c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY 1),
+       |tgt AS (SELECT least(min(cnt), 40) AS target FROM c),
+       |thr AS (SELECT bucket,
+       |    least(1.0, (SELECT target FROM tgt) * 1.0 / cnt)
+       |      * 1152921504606846976.0 AS thr
+       |  FROM c)
+       |SELECT b.doc_id, b.bucket
+       |FROM b JOIN thr ON b.bucket = thr.bucket
+       |WHERE CAST(CAST(('0x' || substr(md5(concat_ws(':',
+       |    coalesce(CAST(b.doc_id AS VARCHAR), chr(1)), '1337')),
+       |    1, 15)) AS UBIGINT) AS DOUBLE) < thr.thr""".stripMargin
 
   /** Repetition-signal replication: occurrence-counted (NOT distinct)
     * trigram/bigram grams per doc; dup fraction and top fraction with
