@@ -60,6 +60,11 @@ object GraftSession {
   def getOrCreate(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // UDF-backed text kernels can't ride spark.sql.extensions (they are
+    // session-level registrations, not expression builders) — register
+    // on the built session so `SELECT graft_redact(...)` etc. always
+    // work from SQL in graft sessions.
+    GraftExtensions.registerTextSql(spark)
     spark
   }
 
