@@ -171,6 +171,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(prof("b") == 2 && prof("k") == 3)
   }
 
+  test("ColumnProfiler handles array/struct columns in the counts lane") {
+    val df = Seq(
+      (1L, Seq(1, 2), ("a", 1)),
+      (2L, Seq(1, 2), ("a", 1)),
+      (3L, Seq(3), ("b", 2))).toDF("k", "arr", "st")
+    val prof = ColumnProfiler.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val arr = prof("arr")
+    assert(arr.getLong(2) == 3 && arr.getLong(3) == 2) // distinct by value
+    assert(arr.isNullAt(4) && arr.isNullAt(6)) // no min/max lane
+    assert(prof("st").getLong(3) == 2)
+  }
+
   test("quantizedTopK tolerates null and empty vectors") {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("vec_id",
