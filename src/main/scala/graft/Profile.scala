@@ -87,6 +87,38 @@ object Profile {
       }
     }
 
+    if (which == "prof") {
+      // op_profile decomposition: job 1 (plain agg) vs job 2 (melt dedup)
+      val li = graft.queries.Tables.lineitem(spark, sfDir)
+      t("lineitem count")(li.count())
+      (1 to 2).foreach { i =>
+        t(s"job1 agg-only (approx mode) run$i") {
+          graft.operators.ColumnProfiler.profile(li, exactDistinct = false)
+            .count()
+        }
+        t(s"full exact profile run$i") {
+          graft.operators.ColumnProfiler.profile(li).count()
+        }
+      }
+      // melt variants: string-cast vs string-cast-free for numerics
+      val names = li.schema.fieldNames.toSeq
+      t("melt string-cast dedup") {
+        val kvs = names.map(c =>
+          struct(lit(c).as("c"), col(c).cast("string").as("v")))
+        li.select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.c").as("__c"), col("kv.v").as("__v"))
+          .where(col("__v").isNotNull)
+          .groupBy(col("__c")).agg(countDistinct(col("__v"))).count()
+      }
+      t("melt xxhash64 dedup (lower bound, not exact-safe)") {
+        val kvs = names.map(c =>
+          struct(lit(c).as("c"), xxhash64(col(c)).as("v")))
+        li.select(explode(array(kvs: _*)).as("kv"))
+          .select(col("kv.c").as("__c"), col("kv.v").as("__v"))
+          .groupBy(col("__c")).agg(countDistinct(col("__v"))).count()
+      }
+    }
+
     if (which == "rj") {
       val ev = graft.queries.Tables.events(spark, sfDir)
       val sixH = 6L * 3600 * 1000000

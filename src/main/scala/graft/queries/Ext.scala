@@ -159,8 +159,14 @@ object Ext {
   val tCurriculum: Q = (s, d) => {
     val scored = documents(s, d).select(col("doc_id"),
       TF.qualityScore(col("text")).as("q"))
+    // BalancedSample runs two actions (per-bucket counts, then the
+    // filter scan); checkpoint the derived 3-scalar-column frame so the
+    // tokenize-heavy quality kernel runs ONCE — the standard
+    // persist-before-multi-action shape (the cached rows are 10-100x
+    // smaller than the text they derive from, and spill to disk).
     val bucketed = scored.withColumn("bucket",
       graft.operators.Bucketize(col("q"), Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)))
+      .localCheckpoint()
     graft.operators.BalancedSample(bucketed, "bucket",
       nPerCategory = Some(40), idCols = Seq("doc_id"))
       .select(col("doc_id"), col("bucket"))
