@@ -250,6 +250,16 @@ object Ext {
     SimilaritySearch.quantizedTopK(
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10)
 
+  // The production composition — IVF cells + int8 codegen scoring — in
+  // its EXHAUSTIVE configuration (nProbe = nCentroids): the cell
+  // machinery runs for real but the result provably equals quantized
+  // brute force, so it shares sim_quant_topk's oracle (the sim_ivf_topk
+  // pattern). Selective-probe recall is measured in RetrievalSpec.
+  val simIvfQuant: Q = (s, d) =>
+    SimilaritySearch.ivfQuantizedTopK(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
+      nCentroids = 8, nProbe = 8, iters = 2)
+
   // Multimodal plumbing over synthesized binary media (testdata has no
   // real media; text bytes stand in — the decode is stubbed by design,
   // see graft.ext.Multimodal). Rows-only driver check + CodecSpec.
@@ -310,6 +320,7 @@ object Ext {
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
     "sim_quant_topk" -> simQuantTopK,
+    "sim_ivf_quant" -> simIvfQuant,
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
@@ -564,6 +575,7 @@ object Ext {
     "sim_ivf_topk" -> simTopKOracle,
     "sim_topk" -> simTopKOracle,
     "sim_quant_topk" -> quantTopKOracle,
+    "sim_ivf_quant" -> quantTopKOracle,
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,

@@ -225,6 +225,31 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == d6(-1.0))
   }
 
+  test("ivfQuantizedTopK: exhaustive probe equals quantized brute force") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val exhaustive = rows(SimilaritySearch.ivfQuantizedTopK(
+      vecs, queries, "vec_id", "embedding", k = 10,
+      nCentroids = 4, nProbe = 4, iters = 2))
+    val brute = rows(SimilaritySearch.quantizedTopK(
+      vecs, queries, "vec_id", "embedding", k = 10))
+    assert(exhaustive == brute)
+    // selective probing: recall degrades gracefully, never exceeds cost
+    val selective = SimilaritySearch.ivfQuantizedTopK(
+      vecs, queries, "vec_id", "embedding", k = 10,
+      nCentroids = 4, nProbe = 2, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds & selective).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"2/4-probe recall $recall implausibly low")
+  }
+
   test("quantizedTopK ranking tracks exact cosine on smooth vectors") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 60L).map { i =>
