@@ -104,6 +104,45 @@ object Retrieval {
       .limit(k)
   }
 
+  /** CCNet-style unigram surprisal: mean −ln p(token) per document
+    * under the corpus unigram model — the classic LM-perplexity quality
+    * filter (high surprisal ≈ gibberish / OOD text, low ≈ boilerplate).
+    *
+    * Scale shape: one map-side-combined wordcount (the unigram model;
+    * driver state O(vocab) — the bounded-vocabulary convention of
+    * CCNet-style filters, broadcast to executors), then a single
+    * scoring scan. Determinism: each doc folds its per-distinct-token
+    * contributions (count × ln(freq/total)) in SORTED token order — a
+    * pinned IEEE fold any engine reproduces; 6dp rounding in-kernel.
+    * Out-of-vocabulary tokens are skipped (count 0 under the model). */
+  def surprisal(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val freqs: Map[String, Long] = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = freqs.values.sum.toDouble
+    val scoreU = udf((toks: Seq[String]) => {
+      if (toks == null || toks.isEmpty) 0.0
+      else {
+        val counts = new java.util.TreeMap[String, Int]()
+        toks.foreach(t => counts.merge(t, 1, Integer.sum))
+        var s = 0.0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          freqs.get(e.getKey).foreach { f =>
+            s += e.getValue * math.log(f.toDouble / total)
+          }
+        }
+        val raw = -s / toks.length
+        math.floor(raw * 1e6 + 0.5) / 1e6
+      }
+    })
+    docs.select(col(idCol).as("doc_id"),
+      scoreU(TextFunctions.tokens(col(textCol))).as("surprisal"))
+  }
+
   /** Benchmark-contamination pairs: (benchmark doc, corpus doc) sharing
     * at least `minShared` distinct word `n`-grams.
     *

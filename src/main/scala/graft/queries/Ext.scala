@@ -150,6 +150,12 @@ object Ext {
       TF.dupTrigramFrac(col("text")).as("dup_trigram_frac"),
       TF.topBigramFrac(col("text")).as("top_bigram_frac"))
 
+  // CCNet-style unigram surprisal (LM-perplexity quality filter): mean
+  // -ln p(token) under the corpus unigram model, folded in sorted token
+  // order for engine-exact IEEE parity.
+  val tSurprisal: Q = (s, d) =>
+    Retrieval.surprisal(documents(s, d), "doc_id", "text")
+
   // Curriculum sampling: the quality-stratified deterministic sample a
   // training pipeline draws when it wants equal representation across
   // quality strata — qualityScore → fixed-edge Bucketize → BalancedSample
@@ -325,6 +331,7 @@ object Ext {
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
     "t_repetition" -> tRepetition,
+    "t_surprisal" -> tSurprisal,
     "t_curriculum" -> tCurriculum)
 
   // DuckDB token expression mirroring TF.tokens exactly.
@@ -580,7 +587,34 @@ object Ext {
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,
     "t_repetition" -> repetitionOracle,
+    "t_surprisal" -> surprisalOracle,
     "t_curriculum" -> curriculumOracle)
+
+  /** Surprisal replication: corpus unigram frequencies in SQL, per-doc
+    * per-distinct-token contributions folded via `list(v ORDER BY tok)`
+    * + list_reduce — the same sorted-order IEEE fold as the kernel's
+    * TreeMap walk (tokens are [a-z0-9]+, so UTF-16 and binary UTF-8
+    * orders coincide). ntoks counts ALL tokens (the kernel divides by
+    * toks.length), not just in-vocabulary ones. */
+  private lazy val surprisalOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+       |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+       |cnt AS (SELECT doc_id, count(*) AS ntoks FROM tok GROUP BY 1),
+       |dt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
+       |contrib AS (SELECT dt.doc_id, dt.tok,
+       |    dt.n * ln(freq.c * 1.0 / (SELECT t FROM tot)) AS v
+       |  FROM dt JOIN freq ON dt.tok = freq.tok),
+       |folded AS (SELECT doc_id,
+       |    list_reduce(list(v ORDER BY tok), (a, b) -> a + b) AS sv
+       |  FROM contrib GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(floor(-sv / ntoks * 1000000 + 0.5) / 1000000, 0.0)
+       |    AS surprisal
+       |FROM documents d
+       |LEFT JOIN folded f ON d.doc_id = f.doc_id
+       |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
 
   /** Whole-chain curriculum replication: the t_quality score CTE →
     * the op_bucketize CASE (last edge +1e-9) → the op_balanced_sample

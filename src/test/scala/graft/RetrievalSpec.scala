@@ -103,6 +103,22 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == ((2, 1, "two mails: [EMAIL] [EMAIL] and [PHONE]")))
   }
 
+  // ------------------------------------------------------------- surprisal
+
+  test("surprisal: rare-token docs score higher; uniform doc is baseline") {
+    val docs = (Seq.fill(20)("the common words here") :+ "zyzzyva qwerty")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = Retrieval.surprisal(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // the doc of two rare tokens is far more surprising than the
+    // repeated boilerplate
+    assert(out(20L) > out(0L) + 1.0)
+    // identical docs score identically
+    assert(out(0L) == out(19L))
+    assert(out.values.forall(_ >= 0.0))
+  }
+
   // ------------------------------------------------------------ repetition
 
   test("repetition signals: duplicated trigrams and top bigram fraction") {
