@@ -198,6 +198,21 @@ object Sources {
       .select(col("doc_id"), col("text"))
   }
 
+  /** CSV round-trip (header + explicit read schema — never inference, a
+    * full-scan job at scale): the remaining text-format lane of the
+    * source matrix. Quoting/escaping is the writer's; the oracle reads
+    * the parquet table, so the check is write→read losslessness. */
+  val srcCsvRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_csv_")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .write.mode("overwrite").option("header", "true")
+      .csv(dir.getAbsolutePath)
+    registerCleanup(dir)
+    s.read.option("header", "true").schema("doc_id BIGINT, text STRING")
+      .csv(dir.getAbsolutePath)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** Hive-style partitioned layout: orders written `partitionBy(
     * o_orderpriority)` (the at-rest partitioning a 100 TB table lives
     * with), read back through partition discovery. Partition-column
@@ -349,6 +364,7 @@ object Sources {
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
     "src_archive_dsv2" -> srcArchiveDsv2,
@@ -374,6 +390,7 @@ object Sources {
         |  o_orderpriority
         |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_csv_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_orc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_archive_roundtrip" -> "SELECT doc_id, text FROM documents",
