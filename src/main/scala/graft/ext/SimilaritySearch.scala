@@ -141,14 +141,17 @@ object SimilaritySearch {
     centroids
   }
 
-  /** Nearest `n` centroid indices for a vector (squared-L2). */
-  private def nearestCells(
-      cs: Array[Array[Double]])(v: Seq[Double], n: Int): Seq[Int] =
-    cs.indices.map { c =>
-      var d = 0.0; var i = 0
-      while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
-      (c, d)
-    }.sortBy(_._2).take(n).map(_._1)
+  /** Nearest-centroid finder (squared-L2). Returns a CLOSURE capturing
+    * only the centroid array, so udfs built from it serialize without
+    * dragging the module object into the task closure. */
+  private def cellFinder(
+      cs: Array[Array[Double]]): (Seq[Double], Int) => Seq[Int] =
+    (v: Seq[Double], n: Int) =>
+      cs.indices.map { c =>
+        var d = 0.0; var i = 0
+        while (i < v.length) { val x = v(i) - cs(c)(i); d += x * x; i += 1 }
+        (c, d)
+      }.sortBy(_._2).take(n).map(_._1)
 
   /** ANN top-k via IVF: vectors pre-assigned to their nearest centroid
     * (a materialized partition/bucket column at scale); a query probes
@@ -158,7 +161,7 @@ object SimilaritySearch {
       idCol: String, vecCol: String, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
-    def nearest(v: Seq[Double], n: Int): Seq[Int] = nearestCells(cs)(v, n)
+    val nearest = cellFinder(cs)
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
     val cand = candidates.select(col(idCol).as("cand_id"),
@@ -262,8 +265,9 @@ object SimilaritySearch {
       nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
     val scale = quantizationScale(candidates, vecCol)
     val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
-    val assignOne = udf { v: Seq[Double] => nearestCells(cs)(v, 1).head }
-    val probeN = udf { v: Seq[Double] => nearestCells(cs)(v, nProbe) }
+    val nearest = cellFinder(cs)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
     val qz = udf((v: Seq[Double]) =>
       if (v == null) null
       else v.map(x => math.floor(x / scale * 127 + 0.5)))
