@@ -20,7 +20,7 @@ object ScaleProbe {
     val stages: Set[String] =
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
-        "contam", "bm25", "profile", "quant")
+        "contam", "bm25", "profile", "quant", "surprisal", "curriculum")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -117,6 +117,30 @@ object ScaleProbe {
       val prof = time("ColumnProfiler (exact distinct, melt-dedup)")(
         graft.operators.ColumnProfiler.profile(big).collect())
       println(s"[probe] profile rows: ${prof.length}")
+    }
+
+    // Surprisal at copies×: one wordcount (vocab is FIXED as the corpus
+    // replicates — the bounded-vocab premise) + one scoring scan.
+    if (stages("surprisal")) {
+      val ns = time("surprisal (unigram LM quality filter)")(
+        graft.ext.Retrieval.surprisal(big, "doc_id", "text").count())
+      println(s"[probe] surprisal rows: $ns")
+    }
+
+    // Curriculum at copies×: quality scan → bucketize → counts +
+    // threshold filter (two actions over the checkpointed 3-col frame).
+    if (stages("curriculum")) {
+      val nc2 = time("curriculum (quality-stratified sample)") {
+        val scored = big.select(col("doc_id"),
+          graft.ext.TextFunctions.qualityScore(col("text")).as("q"))
+        val bucketed = scored.withColumn("bucket",
+          graft.operators.Bucketize(col("q"),
+            Seq(0.0, 0.2, 0.4, 0.6, 0.8, 1.0)))
+          .localCheckpoint()
+        graft.operators.BalancedSample(bucketed, "bucket",
+          nPerCategory = Some(1000), idCols = Seq("doc_id")).count()
+      }
+      println(s"[probe] curriculum sample: $nc2")
     }
 
     // Quantized ANN at copies×: candidates grow linearly; 20 broadcast
