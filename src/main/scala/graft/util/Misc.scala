@@ -93,6 +93,35 @@ object Misc {
       (Files.isDirectory(path) && allFilesRecursive(p).isEmpty)
   }
 
+  /** macOS resource-fork / Finder turds that pollute archive listings
+    * (ref: oarphpy/util/misc.py:470-472). */
+  def isStupidMacFile(p: String): Boolean = {
+    val name = Paths.get(p).getFileName.toString
+    name.startsWith("._") || name == ".DS_Store"
+  }
+
+  /** Copy the first `n` entries (sorted by name) of a zip into a new
+    * zip — the reference's fixture-thinning helper (ref:
+    * oarphpy/util/misc.py:416-427). */
+  def copyNFromZip(src: String, dest: String, n: Int): Unit = {
+    Option(Paths.get(dest).getParent).foreach(Files.createDirectories(_))
+    val zin = new java.util.zip.ZipFile(src)
+    try {
+      val out = new java.util.zip.ZipOutputStream(
+        Files.newOutputStream(Paths.get(dest)))
+      try {
+        zin.entries().asScala.toSeq
+          .filterNot(_.isDirectory).sortBy(_.getName).take(n)
+          .foreach { e =>
+            out.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+            val in = zin.getInputStream(e)
+            try in.transferTo(out) finally in.close()
+            out.closeEntry()
+          }
+      } finally out.close()
+    } finally zin.close()
+  }
+
   /** Shell out with captured output (ref: oarphpy/util/misc.py:332-350).
     * A missing binary returns (127, message) rather than throwing, so
     * graceful-degradation callers (getGpuInfos on GPU-less hosts) work. */

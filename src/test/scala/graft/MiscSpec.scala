@@ -48,6 +48,34 @@ class MiscSpec extends AnyFunSuite {
     assert(Misc.missingOrEmpty(root))
   }
 
+  test("copyNFromZip thins a zip to the first n sorted entries") {
+    val root = Files.createTempDirectory("zipthin").toString
+    val src = s"$root/src.zip"
+    val zout = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(java.nio.file.Paths.get(src)))
+    Seq("c.txt", "a.txt", "b.txt").foreach { n =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(n.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    zout.close()
+    val dest = s"$root/out/thin.zip"
+    Misc.copyNFromZip(src, dest, 2)
+    val zin = new java.util.zip.ZipFile(dest)
+    import scala.jdk.CollectionConverters._
+    val names = zin.entries().asScala.map(_.getName).toSeq
+    zin.close()
+    assert(names == Seq("a.txt", "b.txt")) // sorted order, first 2
+    Misc.rmRf(root)
+  }
+
+  test("isStupidMacFile matches the reference predicate") {
+    assert(Misc.isStupidMacFile("/x/._foo"))
+    assert(Misc.isStupidMacFile("a/.DS_Store"))
+    assert(!Misc.isStupidMacFile("/x/data.parquet"))
+    assert(!Misc.isStupidMacFile("dotDS_Store"))
+  }
+
   test("runCmd captures output and exit code") {
     val (code, out) = Misc.runCmd(Seq("echo", "hello"))
     assert(code == 0 && out.trim == "hello")
