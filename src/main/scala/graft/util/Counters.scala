@@ -65,4 +65,28 @@ class CounterCollection(@transient spark: SparkSession,
   override def toString: String =
     acc.value.toSeq.sortBy(_._1)
       .map { case (k, v) => f"$k%-40s $v%12d" }.mkString("\n")
+
+  /** Periodic background progress logging while `body` runs — the
+    * reference's `log_progress` contextmanager as a loan pattern (ref:
+    * oarphpy/spark.py:431-453): a daemon thread logs the collection
+    * every `freqSec` seconds, plus a final report at exit. */
+  def logProgress[T](freqSec: Int = 10,
+      log: String => Unit = s => println(s))(body: => T): T = {
+    @volatile var done = false
+    val t = new Thread(() => {
+      while (!done) {
+        try Thread.sleep(freqSec * 1000L)
+        catch { case _: InterruptedException => }
+        if (!done) log(s"[$name]\n" + toString)
+      }
+    })
+    t.setDaemon(true)
+    t.start()
+    try body
+    finally {
+      done = true
+      t.interrupt()
+      log(s"[$name final]\n" + toString)
+    }
+  }
 }

@@ -47,4 +47,20 @@ class ClusterOpsSpec extends AnyFunSuite {
     assert(!counters.counters.contains("__graft_kv.parity.even"))
     assert(counters.toString.contains("rows"))
   }
+
+  test("CounterCollection.logProgress logs periodically and at exit") {
+    val counters = new CounterCollection(spark, "progress-counters")
+    val lines = scala.collection.mutable.ListBuffer[String]()
+    val r = counters.logProgress(freqSec = 1, log = s =>
+      lines.synchronized { lines += s }) {
+      counters.tally("work", 7)
+      Thread.sleep(1500) // at least one periodic tick
+      42
+    }
+    assert(r == 42)
+    val snap = lines.synchronized(lines.toList)
+    assert(snap.nonEmpty && snap.last.contains("final"))
+    assert(snap.exists(_.contains("work")))
+    assert(snap.size >= 2) // >=1 periodic + the final report
+  }
 }
