@@ -78,6 +78,51 @@ class DifferentialSpec extends AnyFunSuite {
     assert(rows(2).getBoolean(3) && rows(2).isNullAt(1))
   }
 
+  test("contaminationPairs == brute-force shingle intersection") {
+    val rnd = new Random(23)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.length)))
+      .mkString(" ")
+    val rows = (0L until 40L).map(i => (i, doc(8 + rnd.nextInt(12)),
+      i % 4 == 0))
+    val df = rows.toDF("doc_id", "text", "bench")
+    val got = graft.ext.Retrieval.contaminationPairs(
+      df, "doc_id", "text", col("bench"), n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    def shingles(t: String): Set[String] =
+      graft.ext.TextFunctions.tokenizeFn(t)
+        .sliding(8).filter(_.size == 8).map(_.mkString(" ")).toSet
+    val want = (for {
+      (bid, bt, bf) <- rows if bf
+      (cid, ct, cf) <- rows if !cf
+      shared = (shingles(bt) & shingles(ct)).size if shared >= 1
+    } yield (bid, cid) -> shared).toMap
+    assert(got == want)
+  }
+
+  test("surprisal == brute-force unigram scoring on random corpus") {
+    val rnd = new Random(31)
+    val vocab = Vector("x", "y", "z", "w", "v", "u")
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill(1 + rnd.nextInt(20))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = graft.ext.Retrieval.surprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val allToks = rows.flatMap(r => graft.ext.TextFunctions.tokenizeFn(r._2))
+    val freq = allToks.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong }
+    val total = allToks.size.toDouble
+    rows.foreach { case (id, t) =>
+      val toks = graft.ext.TextFunctions.tokenizeFn(t)
+      val naive = -toks.map(tok =>
+        math.log(freq(tok) / total)).sum / toks.length
+      assert(math.abs(got(id) - naive) < 1.5e-6,
+        s"doc $id: got ${got(id)} want ~$naive")
+    }
+  }
+
   test("winnowFn == brute-force window minima on random text") {
     val rng = new Random(1337)
     val alphabet = "ab cd"
