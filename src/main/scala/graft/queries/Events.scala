@@ -128,6 +128,24 @@ object Events {
     counted(s1, 1).unionAll(counted(s2, 2)).unionAll(counted(s3, 3))
   }
 
+  // Cohort retention: for each user, days-since-first-activity → how
+  // many users were active at that offset (the classic product
+  // retention curve). Two aggregations + one co-partitioned join on
+  // user_id — both sides shuffle once on the same key, no broadcast of
+  // user-proportional state. All values are exact dates/counts.
+  val evRetention: Q = (s, d) => {
+    val ev = events(s, d)
+    val days = ev.select(col("user_id"),
+      date_trunc("day", col("ts")).as("day")).distinct()
+    val cohort = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .select(col("user_id"),
+        datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .groupBy(col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // Sliding (overlapping) windows: 1-hour windows every 30 minutes —
   // every event lands in exactly two windows (Spark epoch-aligned
   // semantics, replicated in the oracle by unnesting both candidate
@@ -163,7 +181,8 @@ object Events {
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
     "ev_range_join" -> evRangeJoin,
-    "ev_funnel" -> evFunnel)
+    "ev_funnel" -> evFunnel,
+    "ev_retention" -> evRetention)
 
   val oracles: Map[String, String] = Map(
     "ev_hourly" ->
@@ -251,6 +270,17 @@ object Events {
         |  ON e.user_id = p.user_id
         | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 21600000000
         |                        AND epoch_us(e.ts) + 21600000000""".stripMargin,
+    "ev_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day
+        |  FROM days GROUP BY 1)
+        |SELECT CAST(date_diff('day', c.cohort_day, d.day) AS INT)
+        |    AS day_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM days d JOIN cohort c ON d.user_id = c.user_id
+        |GROUP BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
