@@ -146,6 +146,29 @@ object Events {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  // Rolling 7-day active users (WAU): for each calendar day in the
+  // data, distinct users active in [day-6, day]. EXACT rolling distinct
+  // via presence fan-out — each (user, active-day) row supports ≤ 7
+  // report days (explode, a projection), then one distinct-count per
+  // report day; the calendar is broadcast for the semi-join. Shuffle =
+  // 7 × |user-day presences|, never a per-day rescan — the standard
+  // exact-DAU/WAU shape (approx path at extreme scale: per-day HLL
+  // sketches unioned over the window).
+  val evWau: Q = (s, d) => {
+    val days = events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("day")).distinct()
+    val cal = days.select(col("day").as("report_day")).distinct()
+    days
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"),
+        date_add(col("day"), col("off")).as("report_day"))
+      .join(broadcast(cal), Seq("report_day"), "leftsemi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .select(date_format(col("report_day"), "yyyy-MM-dd").as("day"),
+        col("n_users"))
+  }
+
   // Sliding (overlapping) windows: 1-hour windows every 30 minutes —
   // every event lands in exactly two windows (Spark epoch-aligned
   // semantics, replicated in the oracle by unnesting both candidate
@@ -182,7 +205,8 @@ object Events {
     "ev_asof_join" -> evAsof,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
-    "ev_retention" -> evRetention)
+    "ev_retention" -> evRetention,
+    "ev_wau" -> evWau)
 
   val oracles: Map[String, String] = Map(
     "ev_hourly" ->
@@ -270,6 +294,19 @@ object Events {
         |  ON e.user_id = p.user_id
         | AND epoch_us(p.ts) BETWEEN epoch_us(e.ts) - 21600000000
         |                        AND epoch_us(e.ts) + 21600000000""".stripMargin,
+    "ev_wau" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events),
+        |cal AS (SELECT DISTINCT day FROM days),
+        |fan AS (SELECT user_id, day + CAST(u.i AS INT) AS report_day
+        |  FROM days, unnest(range(0, 7)) u(i)),
+        |f2 AS (SELECT f.user_id, f.report_day
+        |  FROM fan f JOIN cal c ON f.report_day = c.day)
+        |SELECT strftime(report_day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM f2 GROUP BY 1""".stripMargin,
     "ev_retention" ->
       """WITH days AS (
         |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day

@@ -213,6 +213,19 @@ object Relational {
       .withColumnRenamed("F", "qty_f")
       .withColumnRenamed("O", "qty_o")
 
+  // Unpivot (wide → long), the inverse reshaping: the three charge
+  // columns melt into (measure, value) rows — Spark's native unpivot
+  // (logical Expand, a projection: no shuffle at all). Values are
+  // exact 2-decimal doubles.
+  val qUnpivot: Q = (s, d) =>
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+
   // Correlated-style aggregation join: orders above 1.5× their customer's
   // average. All comparison arithmetic in exact decimal — float avg
   // differs between engines in the last ulp, which flips rows sitting on
@@ -375,6 +388,7 @@ object Relational {
     "q_topk" -> qTopK,
     "q_distinct" -> qDistinct,
     "q_pivot" -> qPivot,
+    "q_unpivot" -> qUnpivot,
     "q_join_agg" -> qJoinAgg,
     "q_having" -> qHaving,
     "q_monthly" -> qMonthly)
@@ -385,6 +399,15 @@ object Relational {
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
         |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
+        |  l_extendedprice AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |FROM lineitem""".stripMargin,
     "q_grouping_sets" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n
         |FROM orders
