@@ -226,6 +226,29 @@ object Relational {
         Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "measure", "value")
 
+  // Per-group z-score normalization (the feature-engineering standard):
+  // group moments computed as EXACT decimal sums (2dp inputs → 4dp
+  // squares, no float summation-order drift), variance/sd derived in
+  // double with pinned op order, 6dp-rounded z per row. Moments frame
+  // is O(groups) and broadcast — one scan + one tiny join.
+  val qZscore: Q = (s, d) => {
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      col("l_returnflag"), col("l_extendedprice"))
+    val m = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double").as("s"),
+      sum((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,4)"))
+        .cast("double").as("q"))
+    li.join(broadcast(m), "l_returnflag")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        graft.functions.DetRound.det6(
+          (col("l_extendedprice") - col("s") / col("n")) /
+            sqrt((col("q") - col("s") * col("s") / col("n")) / col("n")))
+          .as("z"))
+  }
+
   // Correlated-style aggregation join: orders above 1.5× their customer's
   // average. All comparison arithmetic in exact decimal — float avg
   // differs between engines in the last ulp, which flips rows sitting on
@@ -389,6 +412,7 @@ object Relational {
     "q_distinct" -> qDistinct,
     "q_pivot" -> qPivot,
     "q_unpivot" -> qUnpivot,
+    "q_zscore" -> qZscore,
     "q_join_agg" -> qJoinAgg,
     "q_having" -> qHaving,
     "q_monthly" -> qMonthly)
@@ -399,6 +423,20 @@ object Relational {
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
         |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_zscore" ->
+      """WITH m AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |      AS s,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS q
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        |  floor((l.l_extendedprice - m.s / m.n) /
+        |    sqrt((m.q - m.s * m.s / m.n) / m.n) * 1000000 + 0.5) / 1000000
+        |    AS z
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure,
         |  l_extendedprice AS value FROM lineitem
