@@ -58,5 +58,7 @@ def main(old_path, new_path, ratio=2.0):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 2.0
     sys.exit(main(sys.argv[1], sys.argv[2], ratio))

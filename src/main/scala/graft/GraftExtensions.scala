@@ -72,9 +72,7 @@ object GraftExtensions {
     spark.udf.register("graft_top_bigram_frac", TF.topBigramFracFn)
     val winnow2516 = TF.winnowFn(25, 16)
     spark.udf.register("graft_winnow", winnow2516)
-    spark.udf.register("graft_redact", (text: String) =>
-      if (text == null) null
-      else text.replaceAll(Redaction.EmailRe, "[EMAIL]")
-        .replaceAll(Redaction.PhoneRe, "[PHONE]"))
+    spark.udf.register("graft_redact",
+      (text: String) => Redaction.redactString(text))
   }
 }

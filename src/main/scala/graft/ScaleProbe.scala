@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [copies] [stages]
   * (stages: comma-separated from lsh,pipeline,pack,rank,winnow,range,
-  * contam,bm25,profile,quant; default the dedup/rank core — a filter
-  * lets a 100x run probe one operator without paying the full suite.)
+  * contam,bm25,profile,quant,surprisal,curriculum; default ALL — pass
+  * a filter so a 100x run can probe one operator without paying the
+  * full suite.)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {

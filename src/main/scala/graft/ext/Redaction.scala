@@ -37,4 +37,12 @@ object Redaction {
     * the phone pass can never split an address), then phones. */
   def redact(c: Column): Column =
     regexp_replace(regexp_replace(c, EmailRe, EmailToken), PhoneRe, PhoneToken)
+
+  /** The same masking pipeline on a plain JVM string (java.util.regex ≡
+    * the RE2 ∩ Java dialect above) — the single implementation behind
+    * the `graft_redact` SQL registration, so the SQL name can never
+    * drift from the Column form's patterns/order/tokens. */
+  def redactString(s: String): String =
+    if (s == null) null
+    else s.replaceAll(EmailRe, EmailToken).replaceAll(PhoneRe, PhoneToken)
 }

@@ -122,7 +122,11 @@ object Retrieval {
       .groupBy(col("__tok")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = freqs.values.sum.toDouble
+    // The model ships as a real broadcast (one copy per executor), not
+    // a task-closure capture re-serialized per task.
+    val bFreqs = docs.sparkSession.sparkContext.broadcast(freqs)
     val scoreU = udf((toks: Seq[String]) => {
+      val freqs = bFreqs.value
       if (toks == null || toks.isEmpty) 0.0
       else {
         val counts = new java.util.TreeMap[String, Int]()
@@ -150,9 +154,11 @@ object Retrieval {
     * side's shingle kernel runs exactly once streaming into the join —
     * no corpus-sized materialization anywhere. The benchmark side
     * (eval sets are small by construction) is broadcast, so the corpus
-    * never shuffles at all: at 100 TB this is a map-only scan of the
-    * corpus against a broadcast shingle set, aggregating only the
-    * matching (bench, corpus) pairs.
+    * never shuffles: at 100 TB this is a map-only scan of the corpus
+    * against a broadcast shingle set, aggregating only the matching
+    * (bench, corpus) pairs. (Locally, a corpus arriving in fewer
+    * splits than cores is widened first — the BalancedSample
+    * fewer-splits rule; a well-split scan skips that exchange.)
     */
   def contaminationPairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -166,8 +172,13 @@ object Retrieval {
       side.select(col(idCol).as(outId),
         explode(TextFunctions.shinglesOfText(col(textCol), n)).as("__s"))
     val bench = shingled(docs.where(benchFlag), "bench_id")
+    // Widen ONLY under-split inputs (local single-file scans): a
+    // well-partitioned corpus must stay a map-only scan, no exchange.
+    val p = s.sparkContext.defaultParallelism
+    val corpusSide = docs.where(!benchFlag)
     val corpus = shingled(
-      docs.where(!benchFlag).repartition(s.sparkContext.defaultParallelism),
+      if (corpusSide.rdd.getNumPartitions < p) corpusSide.repartition(p)
+      else corpusSide,
       "corpus_id")
     corpus.join(broadcast(bench), "__s")
       .groupBy(col("bench_id"), col("corpus_id"))

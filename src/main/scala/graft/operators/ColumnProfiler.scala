@@ -90,6 +90,12 @@ object ColumnProfiler {
         val kvs = names.map { c =>
           val canon = types(c) match {
             case BinaryType => hex(col(c))
+            // String rendering distinguishes MORE than SQL DISTINCT
+            // for signed zeros ("-0.0" vs "0.0"); normalize with +0.0
+            // (IEEE: -0.0 + 0.0 = +0.0, all else unchanged). NaNs all
+            // render "NaN", matching DISTINCT's NaN=NaN.
+            case DoubleType | FloatType =>
+              (col(c).cast("double") + lit(0.0)).cast("string")
             case _ => col(c).cast("string")
           }
           struct(lit(c).as("c"), canon.as("v"))

@@ -208,7 +208,12 @@ object Sources {
       .write.mode("overwrite").option("header", "true")
       .csv(dir.getAbsolutePath)
     registerCleanup(dir)
-    s.read.option("header", "true").schema("doc_id BIGINT, text STRING")
+    // multiLine: embedded newlines stay inside their quoted field (the
+    // default line-splitting reader would shear such records); pinned
+    // emptyValue keeps "" round-tripping as "" instead of NULL.
+    s.read.option("header", "true").option("multiLine", "true")
+      .option("emptyValue", "")
+      .schema("doc_id BIGINT, text STRING")
       .csv(dir.getAbsolutePath)
       .select(col("doc_id"), col("text"))
   }

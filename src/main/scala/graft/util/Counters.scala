@@ -86,6 +86,7 @@ class CounterCollection(@transient spark: SparkSession,
     finally {
       done = true
       t.interrupt()
+      t.join(2000) // a periodic line must never print after the final one
       log(s"[$name final]\n" + toString)
     }
   }
