@@ -284,6 +284,21 @@ object Ext {
         size(col("embedding.values")).as("n_values"))
   }
 
+  // Video frame-sampling plan (multimodal lane 2): per media item, the
+  // deterministic uniform-stride frame indices a decode stage would
+  // fetch (Multimodal.sampleFrameIndices; the decode itself is the
+  // declared stub boundary). Frame counts are synthesized from n_chars;
+  // the oracle replays the integer stride arithmetic.
+  val mmFrames: Q = (s, d) => {
+    val sample = udf((n: Int) =>
+      graft.ext.Multimodal.sampleFrameIndices(n, 8).toArray)
+    documents(s, d)
+      .select(col("doc_id").as("media_id"),
+        (pmod(col("n_chars"), lit(200)) + 1).cast("int").as("n_frames"))
+      .select(col("media_id"), col("n_frames"),
+        explode(sample(col("n_frames"))).as("frame_idx"))
+  }
+
   // Duplicate clusters: MinHash-LSH pairs → connected components →
   // every doc labeled with its cluster's canonical (min) id.
   val dedupClusters: Q = (s, d) => {
@@ -308,6 +323,7 @@ object Ext {
     "dedup_clusters" -> dedupClusters,
     "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
     "dedup_winnow" -> dedupWinnow,
@@ -528,6 +544,15 @@ object Ext {
     // The decode is a declared stub, so the oracle checks the checkable
     // contract: every media row comes back with the fixed 8x8 grid and
     // 64 unpacked tensor values under its original id.
+    "mm_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    CAST(n_chars % 200 + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, n_frames,
+        |  CAST(unnest(CASE WHEN n_frames <= 8 THEN range(0, n_frames)
+        |    ELSE list_transform(range(0, 8), i -> i * n_frames // 8)
+        |    END) AS INT) AS frame_idx
+        |FROM v""".stripMargin,
     "mm_features" ->
       """SELECT CAST(doc_id AS BIGINT) AS media_id,
         |  CAST(8 AS INT) AS shape_h, CAST(8 AS INT) AS shape_w,
