@@ -72,6 +72,21 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("contaminationPairs leaves a well-split corpus unshuffled") {
+    val p = spark.sparkContext.defaultParallelism
+    val docs = (1L to 200L).map(i =>
+      (i, (1 to 10).map(j => s"t${i % 7}$j").mkString(" "), i <= 5))
+      .toDF("doc_id", "text", "is_bench")
+      .repartition(p * 2) // more splits than cores: no widening needed
+    val out = graft.ext.Retrieval.contaminationPairs(
+      docs, "doc_id", "text", col("is_bench"), n = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // the corpus side must stream map-only into the broadcast join —
+    // the only exchange is the final (bench, corpus) aggregation
+    assert(!plan.contains("RoundRobinPartitioning"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("contaminationPairs respects minShared") {
     val shared = (1 to 8).map(i => s"w$i").mkString(" ")
     val docs = Seq(
