@@ -77,7 +77,9 @@ class RetrievalSpec extends AnyFunSuite {
     val docs = (1L to 200L).map(i =>
       (i, (1 to 10).map(j => s"t${i % 7}$j").mkString(" "), i <= 5))
       .toDF("doc_id", "text", "is_bench")
-      .repartition(p * 2) // more splits than cores: no widening needed
+      // more splits than cores: no widening needed. checkpoint so the
+      // fixture's own repartition is not in the plan under test
+      .repartition(p * 2).localCheckpoint()
     val out = graft.ext.Retrieval.contaminationPairs(
       docs, "doc_id", "text", col("is_bench"), n = 8)
     val plan = out.queryExecution.executedPlan.toString
