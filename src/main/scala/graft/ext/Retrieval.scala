@@ -29,13 +29,17 @@ object Retrieval {
     * ln((N − df + 0.5)/(df + 0.5) + 1) — the standard
     * Robertson/Sparck-Jones form, non-negative.
     *
-    * Scale shape: two bounded aggregates up front (corpus row count +
-    * token-length sum; per-term document frequency — both one job,
-    * O(|terms|) driver state, the IVF-centroid convention), then a
-    * single scan computing the score as a fixed-order arithmetic column
-    * (per-term tf via a compiled UDF — not an interpreted array HOF)
-    * and a TakeOrderedAndProject for the top-k. No shuffle of the
-    * documents at all.
+    * Scale shape: ONE tokenize pass. A fused compiled kernel maps each
+    * doc to (doc_length, per-query-term tf vector) — O(|terms|) doubles
+    * per row, 10-100× smaller than the text it derives from — and that
+    * frame is localCheckpoint'd (the persist-before-multi-action
+    * convention, cf. tCurriculum) so the tokenize kernel never re-runs.
+    * Then ONE fused stats aggregate (corpus row count, token-length
+    * sum, and per-term document frequency as sum(tf_j > 0) — a single
+    * job, O(|terms|) driver state, the IVF-centroid convention), then a
+    * scoring projection over the checkpointed frame (fixed-order
+    * arithmetic column) and a TakeOrderedAndProject for the top-k. No
+    * shuffle of the documents at all.
     *
     * Determinism: tf/df/N/dl are exact integers; dl sums are exact in
     * double (< 2^53); contributions are added left-to-right in `terms`
@@ -48,34 +52,15 @@ object Retrieval {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25TopK needs at least one query term")
-    val toks = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__t"))
-      .withColumn("__dl", size(col("__t")).cast("double"))
-
-    // Corpus stats: one aggregate job, two scalars of driver state.
-    val statsRow = toks.agg(
-      count(lit(1)).cast("double").as("n"), sum(col("__dl")).as("sdl"))
-      .collect()(0)
-    val n = statsRow.getDouble(0)
-    if (n == 0) // empty corpus: deliberate empty result, same schema
-      return toks.select(col("doc_id"), lit(0.0).as("bm25")).limit(0)
-    val avgdl = statsRow.getDouble(1) / n
-
-    // Per-term document frequency: distinct-token explode filtered to
-    // the |terms| query terms — map-side combine, O(|terms|) rows out.
-    val dfMap = toks
-      .select(explode(array_distinct(col("__t"))).as("__tok"))
-      .where(col("__tok").isin(terms: _*))
-      .groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("df"))
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-
-    // All term frequencies in ONE compiled UDF call (one token-array
-    // conversion per row, not per term; no interpreted HOF in the hot
-    // path — the Dedup.scala rule).
+    // Fused kernel: tokenize ONCE per doc → (dl, tf vector). Null text →
+    // null struct (null dl/score, matching size(null)/sum-skip SQL
+    // semantics). Compiled loop, no interpreted HOF (the Dedup rule).
     val termArr = terms.toArray
-    val tfsU = udf((toks: Seq[String]) => {
-      val out = new Array[Double](termArr.length)
-      if (toks != null) {
+    val dlTfsU = udf((text: String) => {
+      if (text == null) null.asInstanceOf[(Double, Array[Double])]
+      else {
+        val toks = TextFunctions.tokenizeFn(text)
+        val out = new Array[Double](termArr.length)
         val it = toks.iterator
         while (it.hasNext) {
           val tok = it.next()
@@ -85,43 +70,80 @@ object Retrieval {
             j += 1
           }
         }
+        (toks.length.toDouble, out)
       }
-      out
     })
-    val withTfs = toks.withColumn("__tfs", tfsU(col("__t")))
+    // Checkpointed rows are (id, double, |terms| doubles) — bounded per
+    // row and tiny vs the source text, safe to materialize at any SF.
+    val prepped = docs
+      .select(col(idCol).as("doc_id"), dlTfsU(col(textCol)).as("__p"))
+      .select(col("doc_id"), col("__p").getField("_1").as("__dl"),
+        col("__p").getField("_2").as("__tfs"))
+      .localCheckpoint()
+
+    // ONE fused stats job: N, Σdl, and df per term (docs with tf > 0).
+    val aggCols =
+      Seq(count(lit(1)).cast("double").as("n"), sum(col("__dl")).as("sdl")) ++
+      termArr.indices.map(j => sum(
+        when(col("__tfs").getItem(j) > 0.0, 1.0).otherwise(0.0)).as(s"df_$j"))
+    val statsRow = prepped.agg(aggCols.head, aggCols.tail: _*).collect()(0)
+    val n = statsRow.getDouble(0)
+    if (n == 0) // empty corpus: deliberate empty result, same schema
+      return prepped.select(col("doc_id"), lit(0.0).as("bm25")).limit(0)
+    val avgdl = statsRow.getDouble(1) / n
 
     val contribs = terms.zipWithIndex.map { case (t, j) =>
-      val dfT = dfMap.getOrElse(t, 0.0)
+      val dfT = statsRow.getDouble(2 + j)
       val idf = math.log((n - dfT + 0.5) / (dfT + 0.5) + 1.0)
       val tfc = col("__tfs").getItem(j)
       lit(idf) * (tfc * lit(k1 + 1.0)) /
         (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * (col("__dl") / lit(avgdl))))
     }
     val score = contribs.reduceLeft(_ + _)
-    withTfs.select(col("doc_id"),
+    prepped.select(col("doc_id"),
         graft.functions.DetRound.det6(score).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
 
   /** CCNet-style unigram surprisal: mean −ln p(token) per document
-    * under the corpus unigram model — the classic LM-perplexity quality
-    * filter (high surprisal ≈ gibberish / OOD text, low ≈ boilerplate).
+    * under a BOUNDED corpus unigram model — the classic LM-perplexity
+    * quality filter (high surprisal ≈ gibberish / OOD text, low ≈
+    * boilerplate).
     *
-    * Scale shape: one map-side-combined wordcount (the unigram model;
-    * driver state O(vocab) — the bounded-vocabulary convention of
-    * CCNet-style filters, broadcast to executors), then a single
-    * scoring scan. Determinism: each doc folds its per-distinct-token
-    * contributions (count × ln(freq/total)) in SORTED token order — a
-    * pinned IEEE fold any engine reproduces; 6dp rounding in-kernel.
-    * Out-of-vocabulary tokens are skipped (count 0 under the model). */
+    * Scale shape: one map-side-combined wordcount produces the
+    * distributed frequency table; the model the driver holds is HARD
+    * CAPPED at the top-`maxVocab` tokens by count (ties broken by token
+    * asc — deterministic at the boundary), fetched via a single
+    * TakeOrdered job, so driver state is O(maxVocab) — the actual CCNet
+    * practice (a fixed ~top-200k vocabulary; the heavy-tailed remainder
+    * is out-of-vocabulary and scores as count 0, i.e. skipped). The
+    * normalizer `total` is the FULL corpus token count (one 1-row
+    * aggregate over the same cached frequency table), so in-vocab
+    * probabilities are unchanged by the cap. The model then ships as one
+    * broadcast and scoring is a single map-only scan. On any corpus
+    * whose vocabulary fits the cap (every test fixture) the result is
+    * bit-identical to the unbounded model.
+    *
+    * Determinism: each doc folds its per-distinct-token contributions
+    * (count × ln(freq/total)) in SORTED token order — a pinned IEEE
+    * fold any engine reproduces; 6dp rounding in-kernel. */
   def surprisal(
-      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val freqs: Map[String, Long] = docs
+      docs: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 200000): DataFrame = {
+    val freqDf = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
       .groupBy(col("__tok")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = freqs.values.sum.toDouble
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (freqs, total) = try {
+      val totRow = freqDf.agg(sum(col("n"))).collect()(0)
+      val tot = if (totRow.isNullAt(0)) 0.0 else totRow.getLong(0).toDouble
+      // TakeOrdered: O(maxVocab) driver state however large the corpus.
+      val top = freqDf.orderBy(col("n").desc, col("__tok"))
+        .limit(maxVocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (top, tot)
+    } finally freqDf.unpersist(blocking = false)
     // The model ships as a real broadcast (one copy per executor), not
     // a task-closure capture re-serialized per task.
     val bFreqs = docs.sparkSession.sparkContext.broadcast(freqs)

@@ -214,11 +214,13 @@ object TextFunctions {
     *     bigram over all bigram occurrences (loops/listicles score
     *     high).
     * Both are row-local compiled kernels (one tokenize, open-addressed
-    * count map), return 0.0 for docs too short to form the gram, and
+    * count map), return 0.0 for null text and for docs too short to form
+    * the gram (a doc with no grams has zero repetition — the same
+    * convention the DuckDB oracle's LEFT JOIN + coalesce encodes), and
     * round 6dp for cross-engine hash parity. */
   private[graft] val dupTrigramFracFn: String => java.lang.Double = {
     text: String =>
-      if (text == null) null
+      if (text == null) java.lang.Double.valueOf(0.0)
       else {
         val toks = tokenizeFn(text)
         if (toks.length < 3) java.lang.Double.valueOf(0.0)
@@ -241,7 +243,7 @@ object TextFunctions {
 
   private[graft] val topBigramFracFn: String => java.lang.Double = {
     text: String =>
-      if (text == null) null
+      if (text == null) java.lang.Double.valueOf(0.0)
       else {
         val toks = tokenizeFn(text)
         if (toks.length < 2) java.lang.Double.valueOf(0.0)

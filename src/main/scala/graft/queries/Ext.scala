@@ -619,13 +619,19 @@ object Ext {
     * per-distinct-token contributions folded via `list(v ORDER BY tok)`
     * + list_reduce — the same sorted-order IEEE fold as the kernel's
     * TreeMap walk (tokens are [a-z0-9]+, so UTF-16 and binary UTF-8
-    * orders coincide). ntoks counts ALL tokens (the kernel divides by
-    * toks.length), not just in-vocabulary ones. */
+    * orders coincide). The model is capped at the top-200000 tokens by
+    * (count desc, token asc) exactly as Retrieval.surprisal's default
+    * bound — a no-op at fixture vocab sizes, but it pins the bounded
+    * semantics engine-independently; the normalizer `tot` stays the
+    * FULL corpus token count. ntoks counts ALL tokens (the kernel
+    * divides by toks.length), not just in-vocabulary ones. */
   private lazy val surprisalOracle: String =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
-       |freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
-       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+       |freqall AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freqall),
+       |freq AS (SELECT tok, c FROM freqall
+       |  ORDER BY c DESC, tok LIMIT 200000),
        |cnt AS (SELECT doc_id, count(*) AS ntoks FROM tok GROUP BY 1),
        |dt AS (SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2),
        |contrib AS (SELECT dt.doc_id, dt.tok,

@@ -204,15 +204,20 @@ object Sources {
     * the parquet table, so the check is write→read losslessness. */
   val srcCsvRoundtrip: Q = (s, d) => {
     val dir = fixtureDir(s, "graft_csv_")
+    // nullValue pinned to a sentinel on BOTH write and read so NULL and
+    // "" stay distinguishable (the writer's default renders NULL as "",
+    // which the emptyValue-pinned reader would resurrect as "" — a
+    // silent NULL→"" lossy lane on any corpus with null text).
     documents(s, d).select(col("doc_id"), col("text"))
       .write.mode("overwrite").option("header", "true")
+      .option("nullValue", "\\N")
       .csv(dir.getAbsolutePath)
     registerCleanup(dir)
     // multiLine: embedded newlines stay inside their quoted field (the
     // default line-splitting reader would shear such records); pinned
     // emptyValue keeps "" round-tripping as "" instead of NULL.
     s.read.option("header", "true").option("multiLine", "true")
-      .option("emptyValue", "")
+      .option("emptyValue", "").option("nullValue", "\\N")
       .schema("doc_id BIGINT, text STRING")
       .csv(dir.getAbsolutePath)
       .select(col("doc_id"), col("text"))

@@ -220,4 +220,35 @@ class OperatorSpec extends AnyFunSuite {
     val cums = out.map(_._2)
     assert(cums.toSeq == cums.sorted.toSeq)
   }
+
+  test("CSV lane keeps NULL and empty string distinguishable (pinned nullValue)") {
+    // The srcCsvRoundtrip option set: nullValue "\N" on write AND read,
+    // emptyValue "" on read. Without the sentinel, the writer renders
+    // NULL as "" and the reader resurrects it as "" — silent NULL→""
+    // loss on any corpus with null text.
+    val dir = java.nio.file.Files.createTempDirectory("graft_csvnull_").toFile
+    try {
+      val in = Seq(
+        (1L, "hello,\nworld"), (2L, null), (3L, ""), (4L, "plain"))
+        .toDF("doc_id", "text")
+      in.coalesce(1).write.mode("overwrite").option("header", "true")
+        .option("nullValue", "\\N").csv(dir.getAbsolutePath)
+      val back = spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("emptyValue", "").option("nullValue", "\\N")
+        .schema("doc_id BIGINT, text STRING")
+        .csv(dir.getAbsolutePath)
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+        .toMap
+      assert(back(1L) == "hello,\nworld") // quoted multiline survives
+      assert(back(2L) == null)            // NULL stays NULL
+      assert(back(3L) == "")              // "" stays "", not NULL
+      assert(back(4L) == "plain")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
