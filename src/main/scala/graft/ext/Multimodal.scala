@@ -10,17 +10,20 @@ import graft.codec.Tensor
   * decode / feature-extraction / resize / frame-sampling run as
   * `mapPartitions` batch transforms (the JVM analog of the Python-side
   * `mapInPandas` pattern — one decoder instantiation per partition, not
-  * per row). The actual codec call is STUBBED (no image/audio libraries
-  * in this container): `DecodeStub` derives a deterministic fake raster
-  * from the bytes, so the Spark-side contract — schema, batching,
-  * partitioning, output shapes — is fully real and tested, and swapping
-  * in a real decoder is a one-function change.
+  * per row). The decode is REAL: `decodeGray` reads any JDK-supported
+  * container (PNG/JPEG/GIF/BMP) via `javax.imageio` — the same decode
+  * the reference performs with imageio (ref: oarphpy/util/misc.py:281-302
+  * and its imagenet fixtures). Gray PNG is byte-exact through the
+  * encode→decode round trip (lossless format, identity raster), which is
+  * what the pixel-sum driver oracle (`mm_decode`) pins; JPEG decode is
+  * exercised in CodecSpec with a tolerance check (lossy by design, so
+  * never hash-oracled).
   *
   * The reference's image utilities (header-only JPEG dims, ref:
   * oarphpy/util/misc.py:305-329; image→bytes helpers, ref:
   * oarphpy/util/misc.py:281-302) inform the schema: dimensions are
   * extractable WITHOUT decoding, so `withImageMeta` is a cheap
-  * header-scan, not a decode.
+  * header-scan (JPEG SOF walk / PNG IHDR read), not a decode.
   */
 object Multimodal {
 
@@ -50,55 +53,155 @@ object Multimodal {
     None
   }
 
-  /** STUB decoder: deterministic fake "raster" summary derived from the
-    * bytes — stands in for a real image decode (library absent in this
-    * container). Replace the body with e.g. javax.imageio for real use;
-    * the signature and batch shape are the contract. */
-  object DecodeStub {
-    def decodeToGray(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
-      val out = new Array[Float](w * h)
-      if (bytes.isEmpty) return out // empty media → zero raster
-      var i = 0
-      while (i < out.length) {
-        out(i) = ((bytes(i % bytes.length) & 0xff) / 255.0f)
-        i += 1
-      }
-      out
-    }
+  private val PngSig =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Header-only PNG dimension scan: signature + IHDR (always the first
+    * chunk per the PNG spec), width/height big-endian at bytes 16-23. */
+  def pngSize(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes.length < 24) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSig(i)) return None; i += 1 }
+    if (!(bytes(12) == 'I' && bytes(13) == 'H' &&
+      bytes(14) == 'D' && bytes(15) == 'R')) return None
+    def be32(o: Int): Int =
+      ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+        ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    Some((be32(16), be32(20)))
   }
 
-  /** Attach metadata from the binary header (cheap scan, no decode). */
+  /** REAL image decode to an 8-bit gray raster via `javax.imageio`
+    * (JDK-built-in readers: PNG, JPEG, GIF, BMP, WBMP). Single-band
+    * images read their raster samples directly (gray PNG is therefore
+    * byte-exact); multi-band images convert through sRGB `getRGB` with
+    * integer BT.601 luma `(299r + 587g + 114b + 500) / 1000` — a pinned
+    * deterministic reduction, same on every JVM. Undecodable or empty
+    * bytes → None (the caller's defined-degradation contract). */
+  def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Int](w * h)
+        if (img.getRaster.getNumBands == 1) {
+          img.getRaster.getSamples(0, 0, w, h, 0, out)
+        } else {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val argb = img.getRGB(x, y)
+              val r = (argb >> 16) & 0xff
+              val g = (argb >> 8) & 0xff
+              val b = argb & 0xff
+              out(y * w + x) = (299 * r + 587 * g + 114 * b + 500) / 1000
+              x += 1
+            }
+            y += 1
+          }
+        }
+        Some((w, h, out))
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Encode an 8-bit gray raster (row-major, values 0-255) as PNG —
+    * lossless, so decodeGray(encodeGrayPng(px)) == px exactly. Fixture
+    * synthesis + the image→bytes lane (ref: oarphpy/util/misc.py:281-302
+    * to_png_bytes). */
+  def encodeGrayPng(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, s"raster must be $w x $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Encode an 8-bit gray raster as JPEG (JDK writer, default quality).
+    * Lossy — used by specs to exercise the JPEG read path; exact-value
+    * oracles use the PNG lane. */
+  def encodeGrayJpeg(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, s"raster must be $w x $h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Attach metadata from the binary header (cheap scan, no decode):
+    * JPEG SOF walk, then PNG IHDR; anything else → (0, 0, unknown). */
   def withImageMeta(df: DataFrame, idCol: String, binCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .map { case (id, bytes) =>
-        val (w, h) = jpegSize(bytes).getOrElse((0, 0))
-        val fmt = if (w > 0) "jpeg" else "unknown"
+        val (w, h, fmt) = jpegSize(bytes) match {
+          case Some((jw, jh)) => (jw, jh, "jpeg")
+          case None => pngSize(bytes) match {
+            case Some((pw, ph)) => (pw, ph, "png")
+            case None => (0, 0, "unknown")
+          }
+        }
         MediaRow(id, bytes, ImageMeta(w, h, fmt, bytes.length.toLong))
       }
   }
 
-  /** Batched feature extraction: decode (stubbed) + mean-pool to a fixed
-    * grid, one decoder per partition. Output is a Tensor column (packed
-    * binary above 2 KiB — see graft.codec.Tensor). */
+  /** Batched feature extraction: REAL decode + mean-pool to a fixed
+    * gridH x gridW luma grid, one partition = one decoder scope. Cell of
+    * pixel (x, y) is (y*gridH/h, x*gridW/w) — integer floor, the
+    * standard adaptive-average-pool binning; cell value = mean luma of
+    * its pixels / 255 (double accumulate, float store), empty cells
+    * (image smaller than the grid) 0.0f. Undecodable media → the zero
+    * tensor of grid shape (defined degradation, keeps the pipeline
+    * total). Output is a Tensor column (packed binary above 2 KiB — see
+    * graft.codec.Tensor). */
   def extractFeatures(
       media: Dataset[MediaRow], gridW: Int = 8, gridH: Int = 8): Dataset[Feature] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      // Per-partition decoder init goes here (real impl: codec handles,
-      // model weights); the stub needs none.
+      // Per-partition decoder scope (real codecs/model weights would
+      // init here once; ImageIO readers are instantiated per call).
       it.map { row =>
-        val gray = DecodeStub.decodeToGray(row.content, gridW, gridH)
-        Feature(row.media_id, Tensor.fromFloats(gray, Seq(gridH.toLong, gridW.toLong)))
+        val vals = new Array[Float](gridW * gridH)
+        decodeGray(row.content).foreach { case (w, h, px) =>
+          val sums = new Array[Double](gridW * gridH)
+          val counts = new Array[Int](gridW * gridH)
+          var y = 0
+          while (y < h) {
+            val cy = y.toLong * gridH / h
+            var x = 0
+            while (x < w) {
+              val cell = (cy * gridW + x.toLong * gridW / w).toInt
+              sums(cell) += px(y * w + x)
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var i = 0
+          while (i < vals.length) {
+            if (counts(i) > 0)
+              vals(i) = ((sums(i) / counts(i)) / 255.0).toFloat
+            i += 1
+          }
+        }
+        Feature(row.media_id, Tensor.fromFloats(vals, Seq(gridH.toLong, gridW.toLong)))
       }
     }
   }
 
   /** Deterministic frame-sampling plan for video columns: given a frame
     * count and a target, the selected frame indices (uniform stride).
-    * The decode of each frame is the same stubbed boundary. */
+    * Per-frame decode uses the same decodeGray boundary. */
   def sampleFrameIndices(nFrames: Int, target: Int): Seq[Int] = {
     require(target > 0)
     if (nFrames <= target) 0 until nFrames

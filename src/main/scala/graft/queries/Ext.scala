@@ -266,13 +266,37 @@ object Ext {
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
       nCentroids = 8, nProbe = 8, iters = 2)
 
-  // Multimodal plumbing over synthesized binary media (testdata has no
-  // real media; text bytes stand in — the decode is stubbed by design,
-  // see graft.ext.Multimodal). Rows-only driver check + CodecSpec.
+  /** Deterministic gray-PNG synthesis per media id (testdata carries no
+    * real media, so the multimodal lane builds its own): dims
+    * (16 + id%17) x (12 + id%11), pixel(x,y) = (id*31 + x*7 + y*13) %
+    * 256 — an integer formula DuckDB replays with generate_series, which
+    * is what makes a REAL decode pixel-exact-oracle-able (PNG is
+    * lossless, so decode must return exactly these values). */
+  private val encodePatternPng = udf((id: Long) => {
+    val w = (16 + id % 17).toInt
+    val h = (12 + id % 11).toInt
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = ((id * 31 + x * 7 + y * 13) % 256).toInt
+        x += 1
+      }
+      y += 1
+    }
+    graft.ext.Multimodal.encodeGrayPng(w, h, px)
+  })
+
+  // Multimodal feature lane over REAL synthesized PNGs: encode the
+  // deterministic pattern raster, then the real javax.imageio decode +
+  // adaptive mean-pool runs distributed (graft.ext.Multimodal). The
+  // driver pins the shape contract; pixel exactness is pinned by
+  // mm_decode below and CodecSpec's round-trip tests.
   val mmFeatures: Q = (s, d) => {
     val media = documents(s, d)
       .select(col("doc_id").as("media_id"),
-        col("text").cast("binary").as("content"))
+        encodePatternPng(col("doc_id")).as("content"))
     val withMeta = graft.ext.Multimodal.withImageMeta(media, "media_id", "content")
     graft.ext.Multimodal.extractFeatures(withMeta, gridW = 8, gridH = 8)
       .toDF()
@@ -282,6 +306,30 @@ object Ext {
         col("embedding.shape").getItem(0).cast("int").as("shape_h"),
         col("embedding.shape").getItem(1).cast("int").as("shape_w"),
         size(col("embedding.values")).as("n_values"))
+  }
+
+  // REAL-decode pixel oracle: encode the pattern as PNG (lossless),
+  // decode with javax.imageio (Multimodal.decodeGray), and emit dims +
+  // the pixel sum. The oracle recomputes the expected sum from the
+  // closed-form pattern — any decoder deviation (wrong dims, wrong
+  // sample order, color-space drift) flips the hash. One media per 8
+  // docs keeps the lane ~60 images at sf0.01.
+  val mmDecode: Q = (s, d) => {
+    val dec = udf((bytes: Array[Byte]) =>
+      graft.ext.Multimodal.decodeGray(bytes).map { case (w, h, px) =>
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        (w, h, sum)
+      })
+    documents(s, d).where(pmod(col("doc_id"), lit(8)) === 0)
+      .select(col("doc_id").as("media_id"),
+        encodePatternPng(col("doc_id")).as("content"))
+      .select(col("media_id"), dec(col("content")).as("__r"))
+      .select(col("media_id"),
+        col("__r").getField("_1").as("width"),
+        col("__r").getField("_2").as("height"),
+        col("__r").getField("_3").as("px_sum"))
   }
 
   // Video frame-sampling plan (multimodal lane 2): per media item, the
@@ -324,6 +372,7 @@ object Ext {
     "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
+    "mm_decode" -> mmDecode,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
     "dedup_winnow" -> dedupWinnow,
@@ -541,9 +590,9 @@ object Ext {
          |    + (1.0 - pr) * 0.3
          |    + least(mtl / 8.0, 1.0) * 0.2) * 1000000 + 0.5) / 1000000 AS quality
          |FROM m""".stripMargin,
-    // The decode is a declared stub, so the oracle checks the checkable
-    // contract: every media row comes back with the fixed 8x8 grid and
-    // 64 unpacked tensor values under its original id.
+    // mm_features pins the shape contract (every media row comes back
+    // with the fixed 8x8 grid and 64 unpacked tensor values under its
+    // original id); mm_decode below pins the decoded PIXELS.
     "mm_frames" ->
       """WITH v AS (SELECT doc_id AS media_id,
         |    CAST(n_chars % 200 + 1 AS INT) AS n_frames
@@ -558,6 +607,21 @@ object Ext {
         |  CAST(8 AS INT) AS shape_h, CAST(8 AS INT) AS shape_w,
         |  CAST(64 AS INT) AS n_values
         |FROM documents""".stripMargin,
+    // Replays the deterministic raster formula (dims + pixel values) in
+    // closed form: the Spark side must DECODE the lossless PNG back to
+    // exactly these pixels for the sums to hash-match.
+    "mm_decode" ->
+      """WITH ids AS (SELECT doc_id AS media_id,
+        |    16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |px AS (SELECT media_id, w, h,
+        |    (media_id * 31 + xs.x * 7 + ys.y * 13) % 256 AS g
+        |  FROM ids,
+        |    LATERAL (SELECT unnest(range(0, w)) AS x) xs,
+        |    LATERAL (SELECT unnest(range(0, h)) AS y) ys)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(sum(g) AS BIGINT) AS px_sum
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         | count(*) AS n_copies

@@ -153,35 +153,73 @@ class CodecSpec extends AnyFunSuite {
     } // EOFException/IllegalState — anything but an infinite loop
   }
 
-  test("Multimodal: empty media bytes produce a zero raster, no crash") {
-    val df = Seq((1L, Array.emptyByteArray)).toDF("media_id", "content")
+  test("Multimodal: empty/undecodable media produce a zero raster, no crash") {
+    val df = Seq((1L, Array.emptyByteArray),
+      (2L, Array.tabulate(64)(i => (i * 3).toByte)))
+      .toDF("media_id", "content")
     val feats = Multimodal.extractFeatures(
       Multimodal.withImageMeta(df, "media_id", "content"))
       .collect()
-    assert(feats.length == 1)
-    assert(graft.codec.Tensor.toFloats(feats(0).embedding).forall(_ == 0.0f))
+    assert(feats.length == 2)
+    feats.foreach(f =>
+      assert(graft.codec.Tensor.toFloats(f.embedding).forall(_ == 0.0f)))
   }
 
-  test("Multimodal: binary columns + stubbed feature extraction plumbing") {
+  test("Multimodal: gray PNG encode -> REAL imageio decode is byte-exact") {
+    val w = 23; val h = 11
+    val px = Array.tabulate(w * h)(i => (i * 31 + 7) % 256)
+    val bytes = Multimodal.encodeGrayPng(w, h, px)
+    assert(Multimodal.pngSize(bytes).contains((w, h)))
+    val Some((dw, dh, dec)) = Multimodal.decodeGray(bytes)
+    assert(dw == w && dh == h)
+    assert(dec.toSeq == px.toSeq) // lossless round trip, sample-exact
+  }
+
+  test("Multimodal: REAL JPEG decode — dims match header scan, values near source") {
+    val w = 32; val h = 16
+    // Smooth gradient: JPEG is lossy but close on low-frequency content.
+    val px = Array.tabulate(w * h)(i => (i % w) * 255 / (w - 1))
+    val bytes = Multimodal.encodeGrayJpeg(w, h, px)
+    assert(Multimodal.jpegSize(bytes).contains((w, h))) // SOF walk agrees
+    val Some((dw, dh, dec)) = Multimodal.decodeGray(bytes)
+    assert(dw == w && dh == h)
+    val meanErr = px.indices.map(i => math.abs(dec(i) - px(i))).sum.toDouble / px.length
+    assert(meanErr < 8.0, s"JPEG decode drifted: mean |err| = $meanErr")
+  }
+
+  test("Multimodal: binary columns + real feature extraction plumbing") {
     val jpegHeader = Array[Int](0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08,
       0x00, 0x07, 0x00, 0x09, 0x01, 0x00, 0x00, 0x00, 0x00).map(_.toByte)
+    // A real 16x16 PNG with known constant value 100 in the top-left
+    // 8x8 quadrant and 200 elsewhere: pooled 8x8 grid has exact means.
+    val qpx = Array.tabulate(16 * 16) { i =>
+      val x = i % 16; val y = i / 16
+      if (x < 8 && y < 8) 100 else 200
+    }
     val rows = Seq(
-      (1L, jpegHeader ++ Array.tabulate(100)(_.toByte)),
-      (2L, Array.tabulate(64)(i => (i * 3).toByte)))
+      (1L, jpegHeader ++ Array.tabulate(100)(_.toByte)), // header only: meta parses, decode fails -> zeros
+      (2L, Multimodal.encodeGrayPng(16, 16, qpx)))
     val df = rows.toDF("media_id", "content")
     val withMeta = Multimodal.withImageMeta(df, "media_id", "content")
     val metas = withMeta.collect().sortBy(_.media_id)
     assert(metas(0).meta.format == "jpeg")
     assert(metas(0).meta.width == 9 && metas(0).meta.height == 7)
-    assert(metas(1).meta.format == "unknown")
+    assert(metas(1).meta.format == "png")
+    assert(metas(1).meta.width == 16 && metas(1).meta.height == 16)
     val feats = Multimodal.extractFeatures(withMeta, gridW = 8, gridH = 8)
       .collect().sortBy(_.media_id)
     assert(feats.length == 2)
     feats.foreach { f =>
       assert(f.embedding.shape == Seq(8L, 8L))
       assert(f.embedding.numElements == 64)
-      val vals = Tensor.toFloats(f.embedding)
-      assert(vals.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+    // Undecodable -> zero tensor (defined degradation).
+    assert(Tensor.toFloats(feats(0).embedding).forall(_ == 0.0f))
+    // 16x16 -> 8x8 pool: each cell is a 2x2 block of one constant.
+    val vals = Tensor.toFloats(feats(1).embedding)
+    (0 until 64).foreach { c =>
+      val expected = if (c % 8 < 4 && c / 8 < 4) 100f / 255f else 200f / 255f
+      assert(math.abs(vals(c) - expected) < 1e-6f, s"cell $c: ${vals(c)}")
     }
   }
 }
