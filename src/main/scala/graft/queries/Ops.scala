@@ -120,8 +120,20 @@ object Ops {
   // design.
   val vizHistogram: Q = (s, d) => {
     import s.implicits._
+    // Two synthetic pivot groups exercise the operator's edge contracts
+    // end-to-end against the oracle: 'ZZ' has ONLY null values (a
+    // value-less pivot must be DROPPED — emitting 50 empty [0,0)
+    // buckets would fabricate edges), and the NULL pivot has real
+    // values (must survive as SQL NULL through the U+0001 sentinel).
+    val synth = Seq(
+      ("ZZ", Option.empty[Double]), ("ZZ", Option.empty[Double]),
+      (null.asInstanceOf[String], Some(1000.0)),
+      (null.asInstanceOf[String], Some(2000.0)),
+      (null.asInstanceOf[String], Some(3000.0)))
+      .toDF("l_returnflag", "l_extendedprice")
     val r = graft.viz.HistogramWithExamples.run(
-      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice")),
+      lineitem(s, d).select(col("l_returnflag"), col("l_extendedprice"))
+        .unionByName(synth),
       "l_extendedprice", subPivotCol = Some("l_returnflag"))
     // A NULL pivot travels internally as the U+0001 sentinel (genuine
     // U+0001 chars are doubled); translate back to SQL NULL and unescape
@@ -158,8 +170,30 @@ object Ops {
   val opProfile: Q = (s, d) =>
     graft.operators.ColumnProfiler.profile(lineitem(s, d))
 
+  // The 100 TB default profile mode: HLL distincts fused into the ONE
+  // aggregate job (no melt/distinct second job — PlanSpec pins the
+  // single-job shape). DuckDB can't replay Spark's HLL++ estimate, so
+  // the row pins every deterministic lane exactly (n_rows, n_nonnull,
+  // typed min/max) plus the estimate's accuracy contract as a boolean:
+  // |hll/exact - 1| <= 0.15 (3x the default 5% rsd). The oracle emits
+  // literal TRUE — an out-of-band estimate flips the hash and fails the
+  // row. (The exact-mode pass exists only to source the comparison
+  // denominator; it is itself value-oracled by op_profile.)
+  val opProfileApprox: Q = (s, d) => {
+    val li = lineitem(s, d)
+    val approx = graft.operators.ColumnProfiler.profile(li, exactDistinct = false)
+    val exact = graft.operators.ColumnProfiler.profile(li)
+      .select(col("col_name"), col("n_distinct").as("__nd_exact"))
+    approx.join(exact, "col_name")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"),
+        (abs(col("n_distinct").cast("double") / col("__nd_exact") - 1.0)
+          <= 0.15).as("nd_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "op_profile" -> opProfile,
+    "op_profile_approx" -> opProfileApprox,
     "op_reservoir_per_key" -> opReservoirPerKey,
     "viz_histogram" -> vizHistogram,
     "op_union_dfs" -> opUnionDfs,
@@ -176,15 +210,21 @@ object Ops {
   // column. Numeric + timestamp columns use the numeric min/max lane
   // (timestamps as epoch micros — no string-format dialect); strings
   // use binary-collation min/max strings.
-  private val profileOracle: String = {
+  private def profileOracleFor(approx: Boolean): String = {
     val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
       "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val tsCols = Seq("l_shipdate")
     val strCols = Seq("l_returnflag", "l_linestatus")
+    // Approx mode: the HLL estimate itself isn't engine-portable, so the
+    // oracle pins its accuracy-contract boolean (TRUE) instead of the
+    // estimate value; exact mode pins count(DISTINCT) itself.
+    val ndLane =
+      if (approx) "TRUE AS nd_ok"
+      else "count(DISTINCT %s) AS n_distinct"
     def sel(c: String, mn: String, mx: String,
         mns: String, mxs: String): String =
       s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+         |  count($c) AS n_nonnull, ${ndLane.format(c)},
          |  $mn AS min_num, $mx AS max_num, $mns AS min_str, $mxs AS max_str
          |FROM lineitem""".stripMargin
     val nullD = "CAST(NULL AS DOUBLE)"
@@ -196,9 +236,11 @@ object Ops {
       strCols.map(c => sel(c, nullD, nullD, s"min($c)", s"max($c)")))
       .mkString("\nUNION ALL\n")
   }
+  private val profileOracle: String = profileOracleFor(approx = false)
 
   val oracles: Map[String, String] = Map(
     "op_profile" -> profileOracle,
+    "op_profile_approx" -> profileOracleFor(approx = true),
     "op_hash_rgb" ->
       """WITH parts AS (
         |  SELECT doc_id,
@@ -247,12 +289,25 @@ object Ops {
     // Mirrors HistogramWithExamples: per-pivot [mn, mx] edges, bucket =
     // floor((v - mn) * bins / (mx - mn)) clamped to bins-1 (multiply
     // BEFORE divide, same op order), all 50 buckets present per pivot
-    // including empty ones.
+    // including empty ones. Replays the Spark side's synthetic groups:
+    // 'ZZ' (all-null values) must vanish — `s` only keeps pivots with at
+    // least one usable value — and the NULL pivot (real values) rides
+    // the same U+0001 sentinel through the joins (NULL keys would drop
+    // at `v JOIN s`), translated back to SQL NULL at the output edge.
     "viz_histogram" ->
-      """WITH v AS (SELECT l_returnflag AS pivot_key,
-        |    CAST(l_extendedprice AS DOUBLE) AS v
-        |  FROM lineitem
-        |  WHERE l_extendedprice IS NOT NULL AND NOT isnan(l_extendedprice)),
+      """WITH li AS (SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS p
+        |    FROM lineitem
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    ('ZZ', CAST(NULL AS DOUBLE)), ('ZZ', CAST(NULL AS DOUBLE)),
+        |    (NULL, 1000.0), (NULL, 2000.0), (NULL, 3000.0))
+        |    t(l_returnflag, p)),
+        |v AS (SELECT
+        |    coalesce(replace(l_returnflag, chr(1), chr(1) || chr(1)),
+        |      chr(1) || 'null') AS pivot_key,
+        |    p AS v
+        |  FROM li
+        |  WHERE p IS NOT NULL AND NOT isnan(p)),
         |s AS (SELECT pivot_key, min(v) AS mn, max(v) AS mx FROM v GROUP BY 1),
         |b AS (SELECT v.pivot_key,
         |    CASE WHEN mx = mn THEN 0
@@ -260,7 +315,9 @@ object Ops {
         |    END AS bucket
         |  FROM v JOIN s ON v.pivot_key = s.pivot_key),
         |c AS (SELECT pivot_key, bucket, count(*) AS n FROM b GROUP BY 1, 2)
-        |SELECT s.pivot_key, CAST(i AS INT) AS bucket,
+        |SELECT CASE WHEN s.pivot_key = chr(1) || 'null' THEN NULL
+        |    ELSE replace(s.pivot_key, chr(1) || chr(1), chr(1)) END AS pivot_key,
+        |  CAST(i AS INT) AS bucket,
         |  mn + (mx - mn) * i / 50 AS lo,
         |  mn + (mx - mn) * (i + 1) / 50 AS hi,
         |  coalesce(n, 0) AS n

@@ -134,6 +134,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!mp.contains("Expand"), mp.take(2000))
   }
 
+  test("approx profile fuses HLL distincts into the one stats aggregate (no extra job)") {
+    import org.apache.spark.sql.functions._
+    // Counts Spark JOBS per run via job groups: the approx profile must
+    // cost exactly as many jobs as a bare single-aggregate over the same
+    // frame (AQE may split one aggregate into N stage-jobs — equality
+    // with the baseline absorbs that), while exact mode pays the melt
+    // second pass on top. This is the "100 TB default has no second
+    // scan" contract from ColumnProfiler's scaladoc.
+    def jobsIn(group: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+      try body finally spark.sparkContext.clearJobGroup()
+      // status tracker is fed by the async listener bus: poll to stable
+      def n = spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      var last = -1
+      var cur = n
+      var tries = 0
+      while ((cur != last || cur == 0) && tries < 50) {
+        Thread.sleep(100); last = cur; cur = n; tries += 1
+      }
+      cur
+    }
+    val li = graft.queries.Tables.lineitem(spark, sf)
+    li.count() // warm file-listing outside the counted groups
+    val base = jobsIn("gate-profile-base") {
+      li.agg(count(lit(1)), min(col("l_quantity"))).collect()
+    }
+    val approx = jobsIn("gate-profile-approx") {
+      graft.operators.ColumnProfiler.profile(li, exactDistinct = false)
+    }
+    val exact = jobsIn("gate-profile-exact") {
+      graft.operators.ColumnProfiler.profile(li)
+    }
+    assert(approx == base,
+      s"approx profile ran $approx jobs vs $base for a bare aggregate")
+    assert(exact > approx,
+      s"exact mode should pay the melt pass on top ($exact vs $approx)")
+  }
+
   test("partitioned-table read prunes directories on a partition filter") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("plan_part_").toString
