@@ -298,6 +298,91 @@ object SimilaritySearch {
       .select(col("query_id"), col("cand_id"), col("qcosine"), col("rank"))
   }
 
+  // ------------------------------------------------- at-rest IVF index
+
+  /** Materialize the IVF + int8 index AT REST: one parquet table
+    * `(cand_id, q int8[], n double)` written `partitionBy(cell)` — the
+    * layout SCALE.md claims for 100 TB serving. The quantized column is
+    * stored as `array<tinyint>` (the actual 8× bandwidth cut on disk,
+    * not just in flight); the float vectors are NOT in the index —
+    * they never load at query time. Returns the query-side quantizer
+    * state (scale, centroids): O(k × dim) driver values, the
+    * IVF-centroid convention.
+    */
+  def writeQuantizedIndex(
+      candidates: DataFrame, idCol: String, vecCol: String, path: String,
+      nCentroids: Int = 16, iters: Int = 3): (Double, Array[Array[Double]]) = {
+    val scale = quantizationScale(candidates, vecCol)
+    val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
+    val nearest = cellFinder(cs)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val qz = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    import graft.functions.VectorFunctions.array_norm
+    candidates
+      .select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("__fv"))
+      .where(col("__fv").isNotNull && size(col("__fv")) > 0)
+      .withColumn("__q", qz(col("__fv")))
+      .withColumn("n", array_norm(col("__q")))
+      .where(col("n") > 0)
+      .withColumn("cell", assignOne(col("__fv")))
+      // |q_i| <= 127 integral → tinyint is lossless; norm kept as the
+      // one precomputed double (sqrt of an exact integer).
+      .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
+        col("n"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    (scale, cs)
+  }
+
+  /** Query the at-rest index: the bounded query set's probe cells are
+    * computed driver-side (O(queries × nProbe) values) and applied as a
+    * STATIC `cell IN (...)` predicate — partition PRUNING, so the scan
+    * reads only the probed directories and the rest of the corpus never
+    * leaves disk (PlanSpec pins PartitionFilters on this shape). Scoring
+    * is identical to [[quantizedTopK]] — tinyint→double restores the
+    * exact integral values, array_dot/array_norm sums are IEEE-exact —
+    * so with `nProbe` = #cells the result provably equals it (shared
+    * driver oracle). */
+  def ivfQuantizedTopKAtRest(
+      index: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      scale: Double, centroids: Array[Array[Double]],
+      nProbe: Int): DataFrame = {
+    val nearest = cellFinder(centroids)
+    val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
+    val qz = udf((v: Seq[Double]) =>
+      if (v == null) null
+      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    import graft.functions.VectorFunctions.{array_dot, array_norm}
+    val q = queriesDf
+      .select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("__fv"))
+      .where(col("__fv").isNotNull && size(col("__fv")) > 0)
+      .withColumn("__queryq", qz(col("__fv")))
+      .withColumn("__queryn", array_norm(col("__queryq")))
+      .where(col("__queryn") > 0)
+      .withColumn("cell", explode(probeN(col("__fv")))).drop("__fv")
+    // Bounded driver state: distinct probe cells of a bounded query set.
+    val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cand = index
+      .where(col("cell").isin(cells.map(c => c: Any): _*)) // static → pruned scan
+      .select(col("cand_id"), col("q").cast("array<double>").as("__candq"),
+        col("n").as("__candn"), col("cell"))
+    val scored = cand.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("qcosine", graft.functions.DetRound.det6(
+        array_dot(col("__queryq"), col("__candq")) /
+          (col("__queryn") * col("__candn"))))
+      .select(col("query_id"), col("cand_id"), col("qcosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("qcosine").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("cand_id"), col("qcosine"), col("rank"))
+  }
+
   /** ANN top-k via LSH buckets: candidates share a bucket with the query
     * in ≥ 1 table. Same output schema as bruteForceTopK; recall < 1 by
     * construction (measured in SimilaritySpec against the exact baseline). */

@@ -266,6 +266,23 @@ object Ext {
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10,
       nCentroids = 8, nProbe = 8, iters = 2)
 
+  // The MATERIALIZED serving shape: the int8+IVF index written at rest
+  // partitionBy(cell) (array<tinyint> on disk — the real 8× cut), then
+  // queried back with a static probe-cell partition filter (pruned
+  // scan; PlanSpec pins PartitionFilters). Full probe ≡ quantized brute
+  // force, so it shares sim_quant_topk's oracle.
+  val simIvfAtRest: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_ivfidx_")
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      embeddings(s, d), "vec_id", "embedding", dir.getAbsolutePath,
+      nCentroids = 8, iters = 2)
+    Sources.registerCleanup(dir)
+    SimilaritySearch.ivfQuantizedTopKAtRest(
+      s.read.parquet(dir.getAbsolutePath), queriesSubset(s, d),
+      "vec_id", "embedding", k = 10,
+      scale, cs, nProbe = 8)
+  }
+
   /** Deterministic gray-PNG synthesis per media id (testdata carries no
     * real media, so the multimodal lane builds its own): dims
     * (16 + id%17) x (12 + id%11), pixel(x,y) = (id*31 + x*7 + y*13) %
@@ -392,6 +409,7 @@ object Ext {
     "sim_ivf_topk" -> simIvfTopK,
     "sim_quant_topk" -> simQuantTopK,
     "sim_ivf_quant" -> simIvfQuant,
+    "sim_ivf_at_rest" -> simIvfAtRest,
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
@@ -672,6 +690,7 @@ object Ext {
     "sim_topk" -> simTopKOracle,
     "sim_quant_topk" -> quantTopKOracle,
     "sim_ivf_quant" -> quantTopKOracle,
+    "sim_ivf_at_rest" -> quantTopKOracle,
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,

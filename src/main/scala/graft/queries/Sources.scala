@@ -42,7 +42,7 @@ object Sources {
     * off local mode instead of silently returning an empty frame; the
     * dir (and its recursively-registered files) is deleted at JVM exit.
     */
-  private def fixtureDir(s: SparkSession, prefix: String): File = {
+  private[queries] def fixtureDir(s: SparkSession, prefix: String): File = {
     require(s.sparkContext.isLocal,
       s"$prefix roundtrip fixtures require local mode (shared FS); " +
         s"master=${s.sparkContext.master}. Point the writers at shared " +
@@ -57,7 +57,7 @@ object Sources {
     * deletion then runs bottom-up, so nested partition directories
     * (e.g. o_orderpriority=X/part-*.parquet) empty before their parents
     * are removed. */
-  private def registerCleanup(dir: File): Unit = {
+  private[queries] def registerCleanup(dir: File): Unit = {
     val root = dir.toPath
     val walk = Files.walk(root)
     try walk.filter(p => p != root).forEach(p => p.toFile.deleteOnExit())

@@ -90,6 +90,20 @@ object Streams {
       EventStreams.hourlyAgg(eventStream(s, d)), uniq("st_hourly"))
   }
 
+  /** COMPLETE-mode hourly agg — the remaining §2.10 emission mode: the
+    * sink re-receives the FULL result table each batch, so the final
+    * memory-sink contents are every window (closed or not — no
+    * append-mode watermark emission filter), and the oracle is the
+    * plain batch aggregate. Complete mode retains all window state (no
+    * watermark eviction), which is only sane for bounded-cardinality
+    * dashboard rollups like hours × event types; unbounded keys stay on
+    * the append entries. */
+  val stHourlyComplete: Q = (s, d) => withStreamPartitions(s, 4) {
+    EventStreams.runToMemory(
+      EventStreams.hourlyAgg(eventStream(s, d)), uniq("st_hourly_c"),
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+  }
+
   /** Watermarked SLIDING windows (1 h every 30 min), append mode: each
     * event belongs to two windows; only windows closed by the final
     * watermark emit. */
@@ -187,6 +201,7 @@ object Streams {
     "st_join" -> stJoin,
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
+    "st_hourly_complete" -> stHourlyComplete,
     "st_sliding" -> stSliding,
     "st_sessions" -> stSessions,
     "st_redact" -> stRedact,
@@ -221,6 +236,13 @@ object Streams {
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "st_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Complete mode has NO emission filter: the final table is the
+    // plain batch aggregate over everything.
+    "st_hourly_complete" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // Emission rule: window end <= watermark = ms-trunc(max ts) - 1h.
     "st_hourly" ->
       """WITH m AS (SELECT date_trunc('millisecond', max(ts)) AS mx

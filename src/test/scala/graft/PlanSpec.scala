@@ -189,6 +189,29 @@ class PlanSpec extends AnyFunSuite {
     assert(dataFilterLine.forall(!_.contains("o_orderpriority")), p.take(1500))
   }
 
+  test("at-rest IVF index probe prunes to the probed cell directories") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("plan_ivfidx_").toString
+    val emb = graft.queries.Tables.embeddings(spark, sf)
+    val (scale, cs) = graft.ext.SimilaritySearch.writeQuantizedIndex(
+      emb, "vec_id", "embedding", dir, nCentroids = 8, iters = 2)
+    // SELECTIVE probe (nProbe=1): the query plan must read only the
+    // probed cells — a PartitionFilters entry on `cell`, and no
+    // post-scan data filter re-checking the partition predicate.
+    val topk = graft.ext.SimilaritySearch.ivfQuantizedTopKAtRest(
+      spark.read.parquet(dir), emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", k = 5, scale, cs, nProbe = 1)
+    val p = plan(topk)
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    val pfLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(pfLine.contains("cell"), pfLine)
+    val pushedLine = p.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushedLine.forall(!_.contains("cell")),
+      "partition predicate must resolve from directory names, not data pages")
+    // and the result is still a real top-k (probe actually ran)
+    assert(topk.count() > 0)
+  }
+
   test("nested-path filter pushes down; nested schema prunes to used leaves") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("plan_nested_").toString
