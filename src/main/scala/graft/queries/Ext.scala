@@ -364,6 +364,27 @@ object Ext {
         explode(sample(col("n_frames"))).as("frame_idx"))
   }
 
+  // LEAKAGE-SAFE train/val/test split: the split is drawn from the
+  // near-dup CLUSTER id, not the doc id, so every member of a dup
+  // cluster lands in the same split — the contamination-by-duplication
+  // failure mode (train/test near-dup leakage silently inflating eval)
+  // is structurally impossible. Composition of two already-oracled
+  // stages (LSH clusters + md5-threshold draw); the oracle replays the
+  // whole chain, so drift in either stage flips the hash.
+  val tLeakageSplit: Q = (s, d) => {
+    val pairs = Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+      threshold = 0.5)
+    val clusters = Dedup.nearDedupClusters(documents(s, d), "doc_id", pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+    val draw = graft.operators.BalancedSample.hash60(
+      Seq(col("cluster_id")), 42L)
+    val twoPow60 = math.pow(2.0, 60)
+    clusters.select(col("doc_id"), col("cluster_id"),
+      when(draw < lit(0.8 * twoPow60), "train")
+        .when(draw < lit(0.9 * twoPow60), "val")
+        .otherwise("test").as("split"))
+  }
+
   // Duplicate clusters: MinHash-LSH pairs → connected components →
   // every doc labeled with its cluster's canonical (min) id.
   val dedupClusters: Q = (s, d) => {
@@ -397,6 +418,7 @@ object Ext {
     "t_quality" -> tQuality,
     "t_seq_pack" -> tSeqPack,
     "t_split" -> tSplit,
+    "t_leakage_split" -> tLeakageSplit,
     "t_shuffle_rank" -> tShuffleRank,
     "t_vocab" -> tVocab,
     "dedup_exact" -> dedupExact,
@@ -535,6 +557,24 @@ object Ext {
          |  coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
          |           d.doc_id) AS cluster_id
          |FROM documents d""".stripMargin,
+    // Whole-chain replication: the dedup_clusters closure → the
+    // t_split md5 draw, drawn from the CLUSTER id (seed 42).
+    "t_leakage_split" ->
+      s"""$clusterCte,
+         |cl AS (SELECT d.doc_id,
+         |    coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
+         |             d.doc_id) AS cluster_id
+         |  FROM documents d),
+         |draw AS (SELECT doc_id, cluster_id,
+         |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+         |      coalesce(CAST(cluster_id AS VARCHAR), chr(1)), '42')),
+         |      1, 15)) AS UBIGINT) AS DOUBLE) AS h
+         |  FROM cl)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN h < 0.8 * 1152921504606846976.0 THEN 'train'
+         |       WHEN h < 0.9 * 1152921504606846976.0 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM draw""".stripMargin,
     // Keep-set = canonical (minimum-id) member of each closure cluster.
     "dedup_pipeline_keep" ->
       s"""$clusterCte

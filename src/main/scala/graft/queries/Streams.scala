@@ -174,6 +174,29 @@ object Streams {
       Ext.redactProjection(docStream(s, d)), uniq("st_redact"))
   }
 
+  /** Streaming PARQUET FILE SINK — the production sink lane (every
+    * other st_* entry uses the memory sink): the redaction projection
+    * streams into an exactly-once parquet sink (checkpoint +
+    * _spark_metadata commit manifest; readers see only committed
+    * files), and the query returns the sink directory read back. At
+    * scale this is the shape that replaces the memory sink verbatim —
+    * same plan, different `format`. Value-oracled via the shared
+    * redaction oracle, so the sink round-trip must be lossless. */
+  val stFileSink: Q = (s, d) => withStreamPartitions(s, 4) {
+    val dir = Sources.fixtureDir(s, "graft_stsink_")
+    val out = new java.io.File(dir, "out")
+    val chk = new java.io.File(dir, "chk")
+    val q = Ext.redactProjection(docStream(s, d)).writeStream
+      .format("parquet")
+      .option("path", out.getAbsolutePath)
+      .option("checkpointLocation", chk.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    Sources.registerCleanup(dir)
+    s.read.parquet(out.getAbsolutePath)
+  }
+
   /** STREAM-STATIC broadcast join (the remaining §2.10 join flavor
     * after stream-stream): streaming corpus docs shingle on the fly and
     * probe a STATIC benchmark shingle set, broadcast once — the
@@ -205,10 +228,13 @@ object Streams {
     "st_sliding" -> stSliding,
     "st_sessions" -> stSessions,
     "st_redact" -> stRedact,
+    "st_file_sink" -> stFileSink,
     "st_contamination" -> stContamination)
 
   val oracles: Map[String, String] = Map(
     "st_redact" -> Ext.redactOracle,
+    // The file sink must round-trip the same rows the memory sink sees.
+    "st_file_sink" -> Ext.redactOracle,
     // The stream-static join emits one row per (bench, corpus, shared
     // shingle) — the contamination evidence stream, no aggregation.
     "st_contamination" ->

@@ -178,4 +178,23 @@ class TextDedupSpec extends AnyFunSuite {
     assert(fn("abc").isEmpty)
     assert(fn(null) == null)
   }
+
+  test("leakage-safe split: no near-dup cluster straddles splits; all docs covered") {
+    import org.apache.spark.sql.functions._
+    val out = graft.queries.Ext.queries("t_leakage_split")(
+      spark, SparkFixture.sf0001)
+    val rows = out.collect()
+    val nDocs = graft.queries.Tables.documents(spark, SparkFixture.sf0001).count()
+    assert(rows.length == nDocs) // total: every doc gets exactly one split
+    // the invariant the operator exists for: a cluster is atomic w.r.t.
+    // the split — near-dups can never land on both sides of train/test
+    val straddlers = out.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("split")).as("k"))
+      .where(col("k") > 1).count()
+    assert(straddlers == 0)
+    // and the draw actually stratifies (all three splits non-empty at
+    // 100 docs; deterministic fixture, deterministic draw)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits == Set("train", "val", "test"))
+  }
 }
