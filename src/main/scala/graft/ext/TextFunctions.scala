@@ -158,6 +158,21 @@ object TextFunctions {
       else toks.count(allStops).toDouble / toks.length
     }).apply(c)
 
+  /** Number of DISTINCT stopword-marker tokens present — the counter
+    * behind the Gopher "contains ≥ 2 stop words" document rule. Uses
+    * the engine's 32-marker stop list (langMarkers, all languages);
+    * null text → 0. */
+  def distinctStopwordCount(c: Column): Column =
+    udf((text: String) => {
+      val toks = if (text == null) null else tokenizeFn(text)
+      if (toks == null) 0
+      else {
+        val seen = new java.util.HashSet[String]()
+        toks.foreach(t => if (allStops(t)) seen.add(t))
+        seen.size
+      }
+    }).apply(c)
+
   /** Mean token length; empty/null token stream → 0.0. Sum as Long then
     * one double division — same op order as the aggregate-HOF form and
     * the DuckDB oracle (list_sum / len). */

@@ -150,6 +150,35 @@ object Ext {
       TF.dupTrigramFrac(col("text")).as("dup_trigram_frac"),
       TF.topBigramFrac(col("text")).as("top_bigram_frac"))
 
+  // Gopher-style document FILTER BUNDLE (Rae et al. 2021 §A1.1 — the
+  // word-level subset; the fixture has no line structure, so the
+  // line-based rules have no signal here): word-count bounds [50, 1e5],
+  // mean-word-length bounds [3, 10], stopword presence (≥ 1 distinct
+  // marker — Gopher asks ≥ 2 of its 8-word English list; this engine's
+  // marker list is per-language, so the calibrated equivalent on the
+  // fixture corpus is 1), and the
+  // RefinedWeb-flavored repetition caps (dup-trigram ≤ 0.2, top-bigram
+  // ≤ 0.18). Emits the raw signals, the per-rule booleans, and the
+  // conjunction (`keep`) — the exact shape a curation pipeline
+  // writes back as filter columns. All signals are single-division
+  // doubles over integer counts or 6dp-pinned kernels: every boolean
+  // compares identically on any engine.
+  val tGopherFilter: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).as("n_words"),
+      graft.functions.DetRound.det6(TF.meanTokenLen(col("text")))
+        .as("mean_word_len"),
+      TF.distinctStopwordCount(col("text")).as("n_stopwords"),
+      TF.dupTrigramFrac(col("text")).as("dup_trigram_frac"),
+      TF.topBigramFrac(col("text")).as("top_bigram_frac"))
+      .withColumn("r_word_count", col("n_words").between(50, 100000))
+      .withColumn("r_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r_stopwords", col("n_stopwords") >= 1)
+      .withColumn("r_repetition",
+        col("dup_trigram_frac") <= 0.2 && col("top_bigram_frac") <= 0.18)
+      .withColumn("keep", col("r_word_count") && col("r_word_len") &&
+        col("r_stopwords") && col("r_repetition"))
+
   // CCNet-style unigram surprisal (LM-perplexity quality filter): mean
   // -ln p(token) under the corpus unigram model, folded in sorted token
   // order for engine-exact IEEE parity.
@@ -437,6 +466,7 @@ object Ext {
     "t_redact" -> tRedact,
     "t_repetition" -> tRepetition,
     "t_surprisal" -> tSurprisal,
+    "t_gopher_filter" -> tGopherFilter,
     "t_curriculum" -> tCurriculum)
 
   // DuckDB token expression mirroring TF.tokens exactly.
@@ -736,7 +766,37 @@ object Ext {
     "t_redact" -> redactOracle,
     "t_repetition" -> repetitionOracle,
     "t_surprisal" -> surprisalOracle,
+    "t_gopher_filter" -> gopherFilterOracle,
     "t_curriculum" -> curriculumOracle)
+
+  /** Gopher-bundle replication: word stats + the 32-marker stop list
+    * inline, repetition fracs composed from the repetitionOracle as a
+    * subquery (same 6dp pins), rules as the same boolean expressions. */
+  private lazy val gopherFilterOracle: String = {
+    val stops = graft.ext.TextFunctions.langMarkers.flatMap(_._2)
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |m AS (SELECT doc_id, CAST(len(t) AS INT) AS n_words,
+       |    floor((CASE WHEN len(t) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+       |        / len(t) END) * 1000000 + 0.5) / 1000000 AS mean_word_len,
+       |    CAST(len(list_distinct(list_filter(t,
+       |      x -> list_contains([$stops], x)))) AS INT) AS n_stopwords
+       |  FROM toks)
+       |SELECT m.doc_id, n_words, mean_word_len, n_stopwords,
+       |  dup_trigram_frac, top_bigram_frac,
+       |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+       |  mean_word_len BETWEEN 3.0 AND 10.0 AS r_word_len,
+       |  n_stopwords >= 1 AS r_stopwords,
+       |  (dup_trigram_frac <= 0.2 AND top_bigram_frac <= 0.18)
+       |    AS r_repetition,
+       |  (n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND n_stopwords >= 1
+       |    AND dup_trigram_frac <= 0.2 AND top_bigram_frac <= 0.18)
+       |    AS keep
+       |FROM m JOIN ($repetitionOracle) rep ON m.doc_id = rep.doc_id""".stripMargin
+  }
 
   /** Surprisal replication: corpus unigram frequencies in SQL, per-doc
     * per-distinct-token contributions folded via `list(v ORDER BY tok)`
