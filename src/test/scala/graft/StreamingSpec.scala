@@ -147,6 +147,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.distinct.length == 150)
   }
 
+  test("multi-batch append emission == single-batch (watermark carries across batches)") {
+    // The driver's st_* fixtures arrive as ONE micro-batch; this pins
+    // the genuinely-incremental path: two chronologically-ordered files
+    // fed one per micro-batch (maxFilesPerTrigger=1 under AvailableNow),
+    // so batch 1 advances the watermark and emits the early closed
+    // windows, batch 2 the rest. The union of emissions must equal the
+    // single-batch append run — watermark state carries across batches.
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val midTs = batch.selectExpr("percentile_approx(unix_micros(ts), 0.5)")
+      .collect()(0).getLong(0)
+    val dir = JFiles.createTempDirectory("events_mb")
+    def writeHalf(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("events_half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = dir.resolve(name)
+      JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 100000
+    writeHalf(batch.where(unix_micros(col("ts")) <= midTs), "a.parquet", t0)
+    writeHalf(batch.where(unix_micros(col("ts")) > midTs), "b.parquet", t0 + 50000)
+    val schema = batch.schema
+    def agg(extraOpt: Map[String, String]) = {
+      val reader = extraOpt.foldLeft(spark.readStream.schema(schema)) {
+        case (r, (k, v)) => r.option(k, v)
+      }
+      EventStreams.hourlyAgg(reader.parquet(dir.toString))
+    }
+    val multi = EventStreams.runToMemory(
+      agg(Map("maxFilesPerTrigger" -> "1")), "mb_multi")
+      .collect().map(_.toSeq).toSet
+    val single = EventStreams.runToMemory(agg(Map.empty), "mb_single")
+      .collect().map(_.toSeq).toSet
+    assert(multi == single)
+    assert(single.nonEmpty)
+  }
+
   test("batch sessionization query matches hand-computed sessions") {
     val out = graft.queries.Events.evSessions(spark, SparkFixture.sf0001)
     val rows = out.collect()
