@@ -332,6 +332,13 @@ object SimilaritySearch {
       // one precomputed double (sqrt of an exact integer).
       .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
         col("n"), col("cell"))
+      // Cluster by the partition column before the partitioned write:
+      // without this every task writes a file into EVERY cell dir
+      // (tasks × cells small files — the classic partitionBy
+      // explosion); with it each cell lands in one task → one file per
+      // cell. Costs one shuffle of the (already 8×-shrunk) index rows —
+      // the standard trade for a sane at-rest layout.
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     (scale, cs)
   }
