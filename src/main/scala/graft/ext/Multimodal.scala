@@ -70,11 +70,19 @@ object Multimodal {
     Some((be32(16), be32(20)))
   }
 
+  // ImageIO's default stream cache spills every decode through a temp
+  // FILE (create/write/delete per image) even when the bytes are
+  // already in memory — pure I/O waste in a per-row decode loop.
+  // JVM-global, safe on executors (each JVM flips it once).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL image decode to an 8-bit gray raster via `javax.imageio`
-    * (JDK-built-in readers: PNG, JPEG, GIF, BMP, WBMP). Single-band
-    * images read their raster samples directly (gray PNG is therefore
-    * byte-exact); multi-band images convert through sRGB `getRGB` with
-    * integer BT.601 luma `(299r + 587g + 114b + 500) / 1000` — a pinned
+    * (JDK-built-in readers: PNG, JPEG, GIF, BMP, WBMP). 8-bit
+    * NON-INDEXED single-band images read their raster samples directly
+    * (gray PNG is therefore byte-exact); everything else — RGB(A),
+    * palette/indexed (whose single band holds colormap INDICES, not
+    * gray values), 16-bit gray — converts through sRGB `getRGB` with
+    * integer BT.601 luma `(299r + 587g + 114b + 500) / 1000`, a pinned
     * deterministic reduction, same on every JVM. Undecodable or empty
     * bytes → None (the caller's defined-degradation contract). */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
@@ -87,21 +95,22 @@ object Multimodal {
         val w = img.getWidth
         val h = img.getHeight
         val out = new Array[Int](w * h)
-        if (img.getRaster.getNumBands == 1) {
-          img.getRaster.getSamples(0, 0, w, h, 0, out)
+        val raster = img.getRaster
+        val directGray = raster.getNumBands == 1 &&
+          img.getColorModel.getPixelSize == 8 &&
+          !img.getColorModel.isInstanceOf[java.awt.image.IndexColorModel]
+        if (directGray) {
+          raster.getSamples(0, 0, w, h, 0, out)
         } else {
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val argb = img.getRGB(x, y)
-              val r = (argb >> 16) & 0xff
-              val g = (argb >> 8) & 0xff
-              val b = argb & 0xff
-              out(y * w + x) = (299 * r + 587 * g + 114 * b + 500) / 1000
-              x += 1
-            }
-            y += 1
+          // Bulk conversion: one getRGB pass (per-pixel getRGB dispatches
+          // through the ColorModel w*h times).
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < argb.length) {
+            val a = argb(i)
+            out(i) = (299 * ((a >> 16) & 0xff) + 587 * ((a >> 8) & 0xff) +
+              114 * (a & 0xff) + 500) / 1000
+            i += 1
           }
         }
         Some((w, h, out))

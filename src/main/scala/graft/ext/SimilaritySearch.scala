@@ -202,6 +202,15 @@ object SimilaritySearch {
     s
   }
 
+  /** The int8 quantizer kernel — ONE definition shared by every
+    * write-time and query-time path (quantizedTopK, ivfQuantizedTopK,
+    * writeQuantizedIndex, ivfQuantizedTopKAtRest): the at-rest index
+    * and the query-side scoring MUST round bit-identically or at-rest
+    * scores silently diverge from the oracle. */
+  private def qzUdf(scale: Double) = udf((v: Seq[Double]) =>
+    if (v == null) null
+    else v.map(x => math.floor(x / scale * 127 + 0.5)))
+
   /** Cosine top-k over int8 scalar-quantized vectors (q_i =
     * round(x_i/scale·127), symmetric global scale) — the
     * memory-bandwidth path: quantized vectors are 8× smaller than
@@ -225,9 +234,7 @@ object SimilaritySearch {
     // BIGINT formulation — with NO per-pair UDF boxing in the O(n×q)
     // scoring loop (the one udf here runs once per VECTOR, not pair;
     // measured 30.4 s → sub-10 s at 200k×20 on local[16]).
-    val qz = udf((v: Seq[Double]) =>
-      if (v == null) null
-      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.{array_dot, array_norm}
     def quantized(df: DataFrame, side: String): DataFrame = df
       .select(col(idCol).as(s"${side}_id"),
@@ -268,9 +275,7 @@ object SimilaritySearch {
     val nearest = cellFinder(cs)
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
-    val qz = udf((v: Seq[Double]) =>
-      if (v == null) null
-      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.{array_dot, array_norm}
     def prep(df: DataFrame, side: String): DataFrame = df
       .select(col(idCol).as(s"${side}_id"),
@@ -316,9 +321,7 @@ object SimilaritySearch {
     val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
     val nearest = cellFinder(cs)
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
-    val qz = udf((v: Seq[Double]) =>
-      if (v == null) null
-      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.array_norm
     candidates
       .select(col(idCol).as("cand_id"),
@@ -359,9 +362,7 @@ object SimilaritySearch {
       nProbe: Int): DataFrame = {
     val nearest = cellFinder(centroids)
     val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
-    val qz = udf((v: Seq[Double]) =>
-      if (v == null) null
-      else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.{array_dot, array_norm}
     val q = queriesDf
       .select(col(idCol).as("query_id"),
@@ -371,6 +372,12 @@ object SimilaritySearch {
       .withColumn("__queryn", array_norm(col("__queryq")))
       .where(col("__queryn") > 0)
       .withColumn("cell", explode(probeN(col("__fv")))).drop("__fv")
+      // Two actions read this frame (the probe-cell collect, then the
+      // broadcast join): checkpoint so the quantize + O(nCells × dim)
+      // centroid-scan kernels run ONCE per query vector — the
+      // persist-before-multi-action convention; the frame is bounded
+      // (queries × nProbe rows) by contract.
+      .localCheckpoint()
     // Bounded driver state: distinct probe cells of a bounded query set.
     val cells = q.select(col("cell")).distinct().collect().map(_.getInt(0))
     val cand = index

@@ -771,17 +771,22 @@ object Ext {
 
   /** Gopher-bundle replication: word stats + the 32-marker stop list
     * inline, repetition fracs composed from the repetitionOracle as a
-    * subquery (same 6dp pins), rules as the same boolean expressions. */
+    * subquery (same 6dp pins), rules as the same boolean expressions.
+    * Null-text parity: the kernels return 0.0/0 for null text (the
+    * repetition-kernel convention), so mean_word_len and n_stopwords
+    * coalesce the NULL the SQL token pipeline produces — n_words stays
+    * NULL on both sides (tokenCount's size(null) contract). */
   private lazy val gopherFilterOracle: String = {
     val stops = graft.ext.TextFunctions.langMarkers.flatMap(_._2)
       .map(w => s"'$w'").mkString(", ")
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |m AS (SELECT doc_id, CAST(len(t) AS INT) AS n_words,
-       |    floor((CASE WHEN len(t) = 0 THEN 0.0
+       |    coalesce(floor((CASE WHEN len(t) = 0 THEN 0.0
        |      ELSE CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
-       |        / len(t) END) * 1000000 + 0.5) / 1000000 AS mean_word_len,
-       |    CAST(len(list_distinct(list_filter(t,
-       |      x -> list_contains([$stops], x)))) AS INT) AS n_stopwords
+       |        / len(t) END) * 1000000 + 0.5) / 1000000, 0.0)
+       |      AS mean_word_len,
+       |    coalesce(CAST(len(list_distinct(list_filter(t,
+       |      x -> list_contains([$stops], x)))) AS INT), 0) AS n_stopwords
        |  FROM toks)
        |SELECT m.doc_id, n_words, mean_word_len, n_stopwords,
        |  dup_trigram_frac, top_bigram_frac,

@@ -208,6 +208,11 @@ object Sources {
     // "" stay distinguishable (the writer's default renders NULL as "",
     // which the emptyValue-pinned reader would resurrect as "" — a
     // silent NULL→"" lossy lane on any corpus with null text).
+    // RESIDUAL (documented, pinned by OperatorSpec): a field whose
+    // ENTIRE content is the literal sentinel reads back as NULL — the
+    // writer doesn't quote data colliding with nullValue. That is the
+    // inherent CSV trade (some byte sequence must mean NULL); corpora
+    // where "\N" is a real document belong in the parquet/JSONL lanes.
     documents(s, d).select(col("doc_id"), col("text"))
       .write.mode("overwrite").option("header", "true")
       .option("nullValue", "\\N")

@@ -175,6 +175,36 @@ class CodecSpec extends AnyFunSuite {
     assert(dec.toSeq == px.toSeq) // lossless round trip, sample-exact
   }
 
+  test("Multimodal: indexed/palette and 16-bit gray images decode to luma, not raw samples") {
+    import java.awt.image.BufferedImage
+    // Indexed image with white top row / black bottom row: the decoded
+    // single band holds palette INDICES, so a raster shortcut would
+    // return whatever index the writer assigned — the luma path must
+    // return the palette COLORS (255 / 0) regardless of index order.
+    val img = new BufferedImage(4, 2, BufferedImage.TYPE_BYTE_INDEXED)
+    (0 until 4).foreach { x =>
+      img.setRGB(x, 0, 0xffffff) // white row
+      img.setRGB(x, 1, 0x000000) // black row
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val Some((w, h, px)) = Multimodal.decodeGray(bos.toByteArray)
+    assert(w == 4 && h == 2)
+    assert(px.take(4).forall(_ == 255), s"white row decoded as ${px.take(4).toSeq}")
+    assert(px.drop(4).forall(_ == 0), s"black row decoded as ${px.drop(4).toSeq}")
+    // 16-bit gray PNG: single band but NOT 8-bit — must convert, and
+    // stay in the 0-255 contract range.
+    val img16 = new BufferedImage(4, 2, BufferedImage.TYPE_USHORT_GRAY)
+    (0 until 4).foreach { x =>
+      (0 until 2).foreach(y => img16.getRaster.setSample(x, y, 0, 65535))
+    }
+    val bos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img16, "png", bos16)
+    val Some((_, _, px16)) = Multimodal.decodeGray(bos16.toByteArray)
+    assert(px16.forall(v => v >= 0 && v <= 255), s"out of contract: ${px16.toSeq}")
+    assert(px16.forall(_ >= 250), s"white 16-bit gray should be ~255: ${px16.toSeq}")
+  }
+
   test("Multimodal: REAL JPEG decode — dims match header scan, values near source") {
     val w = 32; val h = 16
     // Smooth gradient: JPEG is lossy but close on low-frequency content.

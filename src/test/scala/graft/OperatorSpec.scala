@@ -229,7 +229,8 @@ class OperatorSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_csvnull_").toFile
     try {
       val in = Seq(
-        (1L, "hello,\nworld"), (2L, null), (3L, ""), (4L, "plain"))
+        (1L, "hello,\nworld"), (2L, null), (3L, ""), (4L, "plain"),
+        (5L, "\\N"))
         .toDF("doc_id", "text")
       in.coalesce(1).write.mode("overwrite").option("header", "true")
         .option("nullValue", "\\N").csv(dir.getAbsolutePath)
@@ -244,6 +245,10 @@ class OperatorSpec extends AnyFunSuite {
       assert(back(2L) == null)            // NULL stays NULL
       assert(back(3L) == "")              // "" stays "", not NULL
       assert(back(4L) == "plain")
+      // The DOCUMENTED residual: text that IS the sentinel collides
+      // with NULL (the writer doesn't quote it). Pinned so a future
+      // option change that alters this behavior is noticed.
+      assert(back(5L) == null)
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
