@@ -181,8 +181,15 @@ object Ops {
   // denominator; it is itself value-oracled by op_profile.)
   val opProfileApprox: Q = (s, d) => {
     val li = lineitem(s, d)
-    val approx = graft.operators.ColumnProfiler.profile(li, exactDistinct = false)
-    val exact = graft.operators.ColumnProfiler.profile(li)
+    // One representative column per lane (high-card bigint, low-card
+    // int, double, string, timestamp) — the HLL contract is per-column,
+    // so five lanes pin it as well as eleven at half the bench cost;
+    // op_profile still value-checks every column in exact mode.
+    val cols = Seq("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
+    val approx = graft.operators.ColumnProfiler.profile(
+      li, cols, exactDistinct = false)
+    val exact = graft.operators.ColumnProfiler.profile(li, cols)
       .select(col("col_name"), col("n_distinct").as("__nd_exact"))
     approx.join(exact, "col_name")
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
@@ -217,7 +224,10 @@ object Ops {
     val strCols = Seq("l_returnflag", "l_linestatus")
     // Approx mode: the HLL estimate itself isn't engine-portable, so the
     // oracle pins its accuracy-contract boolean (TRUE) instead of the
-    // estimate value; exact mode pins count(DISTINCT) itself.
+    // estimate value; exact mode pins count(DISTINCT) itself. The approx
+    // entry scopes to one representative column per type lane.
+    val laneCols = Set("l_orderkey", "l_linenumber", "l_extendedprice",
+      "l_returnflag", "l_shipdate")
     val ndLane =
       if (approx) "TRUE AS nd_ok"
       else "count(DISTINCT %s) AS n_distinct"
@@ -229,11 +239,13 @@ object Ops {
          |FROM lineitem""".stripMargin
     val nullD = "CAST(NULL AS DOUBLE)"
     val nullS = "CAST(NULL AS VARCHAR)"
-    (numCols.map(c => sel(c, s"CAST(min($c) AS DOUBLE)",
+    def scoped(cs: Seq[String]): Seq[String] =
+      if (approx) cs.filter(laneCols) else cs
+    (scoped(numCols).map(c => sel(c, s"CAST(min($c) AS DOUBLE)",
         s"CAST(max($c) AS DOUBLE)", nullS, nullS)) ++
-      tsCols.map(c => sel(c, s"CAST(epoch_us(min($c)) AS DOUBLE)",
+      scoped(tsCols).map(c => sel(c, s"CAST(epoch_us(min($c)) AS DOUBLE)",
         s"CAST(epoch_us(max($c)) AS DOUBLE)", nullS, nullS)) ++
-      strCols.map(c => sel(c, nullD, nullD, s"min($c)", s"max($c)")))
+      scoped(strCols).map(c => sel(c, nullD, nullD, s"min($c)", s"max($c)")))
       .mkString("\nUNION ALL\n")
   }
   private val profileOracle: String = profileOracleFor(approx = false)
