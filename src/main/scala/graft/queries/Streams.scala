@@ -104,6 +104,55 @@ object Streams {
       org.apache.spark.sql.streaming.OutputMode.Complete())
   }
 
+  /** UPDATE-mode hourly agg over TWO chronological micro-batches — the
+    * genuinely incremental emission semantics (append emits on window
+    * close, complete re-emits everything; update emits the CHANGED
+    * groups per batch). The fixture is split at the midpoint timestamp
+    * into two files fed one per batch (maxFilesPerTrigger=1 under
+    * AvailableNow, ordered by mtime), so the memory sink accumulates:
+    * every batch-1 group at its batch-1 state, then every group batch 2
+    * touches at its final state. Determinism: the cut is integer
+    * arithmetic on epoch-µs bounds (exact in both engines); batch-2
+    * events trail batch 1 by construction, so nothing is late-dropped
+    * and no live window crosses the eviction threshold (1 h margin) —
+    * the oracle replays both emissions as plain SQL. */
+  val stHourlyUpdate: Q = (s, d) => withStreamPartitions(s, 4) {
+    import java.nio.file.{Files => JF, StandardCopyOption}
+    val ev = Tables.events(s, d) // µs-normalized batch read
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    if (b.isNullAt(0)) {
+      // zero-row input: no batches to split — deliberate empty result
+      // with the hourly-agg schema (watermark is a no-op on batch).
+      EventStreams.hourlyAgg(ev).limit(0)
+    } else {
+      val cut = (b.getLong(0) + b.getLong(1)) / 2
+      val dir = Sources.fixtureDir(s, "graft_stupd_")
+      def writeHalf(cond: org.apache.spark.sql.Column, name: String,
+          mtime: Long): Unit = {
+        val tmp = JF.createTempDirectory("graft_stupd_half_")
+        ev.where(cond).coalesce(1).write.mode("overwrite")
+          .parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, name)
+        JF.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(mtime)
+        Sources.registerCleanup(tmp.toFile)
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      writeHalf(unix_micros(col("ts")) <= cut, "a.parquet", t0)
+      writeHalf(unix_micros(col("ts")) > cut, "b.parquet", t0 + 60000)
+      Sources.registerCleanup(dir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${dir.getAbsolutePath}/*.parquet")
+      EventStreams.runToMemory(
+        EventStreams.hourlyAgg(stream), uniq("st_hourly_u"),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+    }
+  }
+
   /** Watermarked SLIDING windows (1 h every 30 min), append mode: each
     * event belongs to two windows; only windows closed by the final
     * watermark emit. */
@@ -225,6 +274,7 @@ object Streams {
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
     "st_hourly_complete" -> stHourlyComplete,
+    "st_hourly_update" -> stHourlyUpdate,
     "st_sliding" -> stSliding,
     "st_sessions" -> stSessions,
     "st_redact" -> stRedact,
@@ -262,6 +312,29 @@ object Streams {
         |  AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin,
     "st_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Update-mode two-batch replay: batch-1 groups at their batch-1
+    // state, plus every group batch 2 touches at its final state. The
+    // cut replays the same integer epoch-µs midpoint.
+    "st_hourly_update" ->
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+        |    AS cut FROM events),
+        |e1 AS (SELECT e.* FROM events e, b WHERE epoch_us(ts) <= cut),
+        |e2 AS (SELECT e.* FROM events e, b WHERE epoch_us(ts) > cut),
+        |a1 AS (SELECT strftime(date_trunc('hour', ts),
+        |      '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM e1 GROUP BY 1, 2),
+        |tot AS (SELECT strftime(date_trunc('hour', ts),
+        |      '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |k2 AS (SELECT DISTINCT strftime(date_trunc('hour', ts),
+        |      '%Y-%m-%d %H:%M:%S') AS hour, event_type FROM e2)
+        |SELECT * FROM a1
+        |UNION ALL
+        |SELECT tot.* FROM tot JOIN k2 USING (hour, event_type)""".stripMargin,
     // Complete mode has NO emission filter: the final table is the
     // plain batch aggregate over everything.
     "st_hourly_complete" ->
