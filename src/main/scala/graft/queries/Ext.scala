@@ -179,6 +179,36 @@ object Ext {
       .withColumn("keep", col("r_word_count") && col("r_word_len") &&
         col("r_stopwords") && col("r_repetition"))
 
+  // Per-source TF-IDF top terms — the "what characterizes each slice of
+  // my corpus" query a curation pipeline runs per domain/source:
+  // tf(source, term) × ln((N+1)/(df+1)) with df = #sources containing
+  // the term, smooth idf, top 5 per source. Scale shape: wordcount and
+  // df are map-side-combined aggregates (corpus-scale scan, vocab-scale
+  // output); the ranking window runs over the AGGREGATED (source, term)
+  // frame — vocab-sized, never the corpus — partitioned by source (for
+  // web-scale vocabularies the surprisal top-V cap convention applies
+  // upstream). ln-parity + 6dp pin per the bm25 precedent.
+  val tTfidfTerms: Q = (s, d) => {
+    val tok = documents(s, d).select(col("source"),
+      explode(TF.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tok.select(col("source"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // #sources: one 1-row aggregate, one scalar of driver state.
+    val ns = documents(s, d).agg(countDistinct(col("source")))
+      .collect()(0).getLong(0).toDouble
+    val scored = tf.join(dfT, "term")
+      .withColumn("tfidf", graft.functions.DetRound.det6(
+        col("tf") * log(lit(ns + 1.0) / (col("df") + lit(1.0)))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 5)
+      .select(col("source"), col("term"), col("tfidf"), col("rank"))
+  }
+
   // CCNet-style unigram surprisal (LM-perplexity quality filter): mean
   // -ln p(token) under the corpus unigram model, folded in sorted token
   // order for engine-exact IEEE parity.
@@ -467,6 +497,7 @@ object Ext {
     "t_repetition" -> tRepetition,
     "t_surprisal" -> tSurprisal,
     "t_gopher_filter" -> tGopherFilter,
+    "t_tfidf_terms" -> tTfidfTerms,
     "t_curriculum" -> tCurriculum)
 
   // DuckDB token expression mirroring TF.tokens exactly.
@@ -767,6 +798,22 @@ object Ext {
     "t_repetition" -> repetitionOracle,
     "t_surprisal" -> surprisalOracle,
     "t_gopher_filter" -> gopherFilterOracle,
+    "t_tfidf_terms" ->
+      s"""WITH tok AS (SELECT source, unnest(t) AS term
+         |  FROM (SELECT source, $toksSql AS t FROM documents)),
+         |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(DISTINCT source) AS df
+         |  FROM tok GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS ns
+         |  FROM documents),
+         |sc AS (SELECT source, tf.term AS term,
+         |    floor(tf * ln((ns + 1.0) / (df + 1.0)) * 1000000 + 0.5)
+         |      / 1000000 AS tfidf
+         |  FROM tf JOIN dfx ON tf.term = dfx.term, n)
+         |SELECT source, term, tfidf, CAST(rank AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY tfidf DESC, term) AS rank FROM sc)
+         |WHERE rank <= 5""".stripMargin,
     "t_curriculum" -> curriculumOracle)
 
   /** Gopher-bundle replication: word stats + the 32-marker stop list
