@@ -169,6 +169,76 @@ object Retrieval {
       scoreU(TextFunctions.tokens(col(textCol))).as("surprisal"))
   }
 
+  /** Bigram surprisal: mean −ln p(w_i | w_{i-1}) per document under a
+    * BOUNDED corpus bigram model — the next rung of the CCNet-style
+    * LM-quality-filter ladder after [[surprisal]] (real CCNet uses a
+    * 5-gram KenLM; the bigram model is the largest n the engine can pin
+    * with an exact cross-engine oracle).
+    *
+    * Model: p(w2|w1) = c(w1 w2) / c(w1), with BOTH tables hard-bounded
+    * the [[surprisal]] way — unigrams capped at top-`maxVocab`, bigrams
+    * at top-`maxBigrams`, each by (count desc, key asc) via one
+    * TakeOrdered job over its persisted frequency table. A position
+    * scores only if its bigram AND its prefix unigram are in-model
+    * (OOV skipped — count-0 convention); the result divides by
+    * (len − 1) positions. Driver state O(maxVocab + maxBigrams).
+    *
+    * Determinism: per-doc contributions (n_occurrences × ln(c2/c1))
+    * fold in SORTED bigram order; 6dp floor-round in-kernel — the
+    * surprisal conventions exactly. */
+  def bigramSurprisal(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxVocab: Int = 200000, maxBigrams: Int = 200000): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val uniDf = docs.select(explode(toks).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni: Map[String, Long] = try {
+      uniDf.orderBy(col("n").desc, col("__w")).limit(maxVocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally uniDf.unpersist(blocking = false)
+    val bigramsOf = udf((ts: Seq[String]) =>
+      if (ts == null || ts.length < 2) Seq.empty[String]
+      else ts.iterator.zip(ts.iterator.drop(1))
+        .map { case (a, b) => a + " " + b }.toSeq)
+    val biDf = docs.select(explode(bigramsOf(toks)).as("__b"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bi: Map[String, Long] = try {
+      biDf.orderBy(col("n").desc, col("__b")).limit(maxBigrams)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    } finally biDf.unpersist(blocking = false)
+    val bUni = docs.sparkSession.sparkContext.broadcast(uni)
+    val bBi = docs.sparkSession.sparkContext.broadcast(bi)
+    val scoreU = udf((ts: Seq[String]) => {
+      if (ts == null || ts.length < 2) 0.0
+      else {
+        val u = bUni.value; val b = bBi.value
+        val counts = new java.util.TreeMap[String, Int]()
+        var i = 0
+        while (i < ts.length - 1) {
+          counts.merge(ts(i) + " " + ts(i + 1), 1, Integer.sum)
+          i += 1
+        }
+        var s = 0.0
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val w1 = e.getKey.substring(0, e.getKey.indexOf(' '))
+          (b.get(e.getKey), u.get(w1)) match {
+            case (Some(c2), Some(c1)) =>
+              s += e.getValue * math.log(c2.toDouble / c1.toDouble)
+            case _ => // OOV position: skipped (count 0 under the model)
+          }
+        }
+        val raw = -s / (ts.length - 1)
+        math.floor(raw * 1e6 + 0.5) / 1e6
+      }
+    })
+    docs.select(col(idCol).as("doc_id"),
+      scoreU(TextFunctions.tokens(col(textCol))).as("surprisal2"))
+  }
+
   /** Benchmark-contamination pairs: (benchmark doc, corpus doc) sharing
     * at least `minShared` distinct word `n`-grams.
     *

@@ -179,6 +179,12 @@ object Ext {
       .withColumn("keep", col("r_word_count") && col("r_word_len") &&
         col("r_stopwords") && col("r_repetition"))
 
+  // Bigram surprisal (the LM-quality ladder's next rung): mean
+  // -ln p(w_i | w_{i-1}) under the hard-bounded corpus bigram model —
+  // OOV positions skipped, sorted-order IEEE fold, 6dp in-kernel.
+  val tSurprisal2: Q = (s, d) =>
+    Retrieval.bigramSurprisal(documents(s, d), "doc_id", "text")
+
   // Per-source TF-IDF top terms — the "what characterizes each slice of
   // my corpus" query a curation pipeline runs per domain/source:
   // tf(source, term) × ln((N+1)/(df+1)) with df = #sources containing
@@ -496,6 +502,7 @@ object Ext {
     "t_redact" -> tRedact,
     "t_repetition" -> tRepetition,
     "t_surprisal" -> tSurprisal,
+    "t_surprisal2" -> tSurprisal2,
     "t_gopher_filter" -> tGopherFilter,
     "t_tfidf_terms" -> tTfidfTerms,
     "t_curriculum" -> tCurriculum)
@@ -797,6 +804,7 @@ object Ext {
     "t_redact" -> redactOracle,
     "t_repetition" -> repetitionOracle,
     "t_surprisal" -> surprisalOracle,
+    "t_surprisal2" -> surprisal2Oracle,
     "t_gopher_filter" -> gopherFilterOracle,
     "t_tfidf_terms" ->
       s"""WITH tok AS (SELECT source, unnest(t) AS term
@@ -815,6 +823,38 @@ object Ext {
          |    ORDER BY tfidf DESC, term) AS rank FROM sc)
          |WHERE rank <= 5""".stripMargin,
     "t_curriculum" -> curriculumOracle)
+
+  /** Bigram-surprisal replication: both model tables rebuilt with the
+    * same top-200000 (count desc, key asc) caps, p = c(bigram)/c(prefix)
+    * with the prefix looked up via split_part (tokens carry no spaces),
+    * per-doc contributions folded in sorted bigram order — the
+    * surprisalOracle conventions one n up. */
+  private lazy val surprisal2Oracle: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |w AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |uniall AS (SELECT w, count(*) AS c FROM w GROUP BY 1),
+       |uni AS (SELECT w, c FROM uniall ORDER BY c DESC, w LIMIT 200000),
+       |bg AS (SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(t), 1)),
+       |    i -> t[i] || ' ' || t[i+1])) AS b
+       |  FROM toks WHERE len(t) >= 2),
+       |biall AS (SELECT b, count(*) AS c FROM bg GROUP BY 1),
+       |bi AS (SELECT b, c FROM biall ORDER BY c DESC, b LIMIT 200000),
+       |db AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+       |contrib AS (SELECT db.doc_id, db.b,
+       |    db.n * ln(bi.c * 1.0 / uni.c) AS v
+       |  FROM db JOIN bi ON db.b = bi.b
+       |  JOIN uni ON split_part(db.b, ' ', 1) = uni.w),
+       |folded AS (SELECT doc_id,
+       |    list_reduce(list(v ORDER BY b), (a, x) -> a + x) AS sv
+       |  FROM contrib GROUP BY 1),
+       |cnt AS (SELECT doc_id, len(t) AS nt FROM toks)
+       |SELECT d.doc_id,
+       |  coalesce(floor(-sv / (nt - 1) * 1000000 + 0.5) / 1000000, 0.0)
+       |    AS surprisal2
+       |FROM documents d
+       |LEFT JOIN folded f ON d.doc_id = f.doc_id
+       |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
 
   /** Gopher-bundle replication: word stats + the 32-marker stop list
     * inline, repetition fracs composed from the repetitionOracle as a
