@@ -147,6 +147,81 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.distinct.length == 150)
   }
 
+  test("stream-stream LEFT OUTER join == batch left outer (outer rows flush at watermark)") {
+    // Outer results can only emit when the watermark passes the join
+    // bound (the row is then provably unmatched); AvailableNow runs a
+    // final no-data batch that advances the watermark to max-event-time
+    // minus delay, flushing every decidable outer row. Rows too close
+    // to the stream end stay undecidable — the batch reference below
+    // excludes exactly those via the same watermark rule.
+    val batch = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val dir = Files.createTempDirectory("events_louter").toString
+    batch.write.mode("overwrite").parquet(dir)
+    def stream() = spark.readStream.schema(batch.schema).parquet(dir)
+    val clicks = stream().where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val views = stream().where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val joined = clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .select(col("click_id"), col("view_id"))
+    val got = EventStreams.runToMemory(joined, "louter_stream")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    // Batch reference: full left outer, minus undecidable outer rows —
+    // a null-match click whose 30-min window end hasn't passed the
+    // final watermark (ms-trunc(max ts) - 1h) stays buffered, not
+    // emitted as an outer result.
+    val bc = batch.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val bv = batch.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    // The query's watermark is the MIN over the two sides' watermarks,
+    // each derived from that side's (filtered) max event time — not the
+    // global events max.
+    val mrow = batch.agg(
+      max(when(col("event_type") === "click", unix_micros(col("ts")))),
+      max(when(col("event_type") === "view", unix_micros(col("ts")))))
+      .collect()(0)
+    val wmUs = math.min(mrow.getLong(0), mrow.getLong(1)) / 1000 * 1000 -
+      3600L * 1000000
+    val ref = bc.join(bv,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("interval 30 minutes"),
+      "left_outer")
+      .where(col("view_id").isNotNull ||
+        unix_micros(col("c_ts")) + 1800L * 1000000 < wmUs)
+      .select(col("click_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    // Spark's state-eviction boundary rounds through ms internally, so
+    // an outer row whose window end lands WITHIN ~1 ms of the final
+    // watermark is legitimately undecidable either way. Matched rows
+    // emit on match (no boundary); compare outer rows outside a ±2 ms
+    // band and require the sets to agree exactly there.
+    val ctsUs: Map[Long, Long] = bc
+      .select(col("click_id"), unix_micros(col("c_ts")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def decisive(cid: Long): Boolean =
+      math.abs(ctsUs(cid) + 1800L * 1000000 - wmUs) > 2000
+    def core(s: Set[(Long, Long)]) =
+      s.filter(t => t._2 != -1L || decisive(t._1))
+    assert(core(got) == core(ref))
+    assert(got.exists(_._2 == -1L), "fixture should produce outer rows")
+    assert(got.exists(_._2 != -1L), "fixture should produce matches")
+  }
+
   test("multi-batch append emission == single-batch (watermark carries across batches)") {
     // The driver's st_* fixtures arrive as ONE micro-batch; this pins
     // the genuinely-incremental path: two chronologically-ordered files
