@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC-style batch upsert: apply a change set (insert / update /
+  * delete rows) to a base snapshot, producing the next snapshot — the
+  * MERGE INTO a training pipeline runs against its metadata tables
+  * (shard registries, label stores, curation verdicts) between runs.
+  * The engine has no transactional table format by design (snapshots
+  * are immutable parquet); this operator is the deterministic
+  * functional merge over them.
+  *
+  * Contract: `changes` carries the base's data columns plus `opCol` ∈
+  * {"I", "U", "D"} and AT MOST ONE row per key (collapsing multiple
+  * ops per key into the latest is the upstream CDC log's job — a
+  * TopKPerKey on a sequence number). I and U are both "take the change
+  * row's values" (an I for an existing key behaves as U — idempotent
+  * replay); D drops the key.
+  *
+  * Scale shape: ONE hash shuffle of each side on the key (a plain
+  * full-outer equi-join — broadcastable when the change set is small,
+  * which AQE decides), then a codegen'd per-column coalesce
+  * projection. No windows, no driver state. Unchanged base rows flow
+  * through untouched, so cost tracks max(|base|, |changes|), never
+  * their product.
+  */
+object SnapshotMerge {
+
+  def apply(
+      base: DataFrame, changes: DataFrame,
+      keyCol: String, opCol: String = "op"): DataFrame = {
+    val dataCols = base.columns.toSeq
+    require(dataCols.contains(keyCol), s"base lacks key column $keyCol")
+    require(changes.columns.contains(opCol),
+      s"changes lacks op column $opCol")
+    require(dataCols.forall(changes.columns.contains),
+      "changes must carry every base data column")
+    val b = base.alias("__b")
+    val c = changes.alias("__c")
+    val joined = b.join(c,
+      col(s"__b.$keyCol") === col(s"__c.$keyCol"), "full_outer")
+    val touched = col(s"__c.$opCol").isNotNull
+    joined
+      .where(!touched || col(s"__c.$opCol") =!= "D") // deletes drop out
+      .select(dataCols.map(n =>
+        when(touched, col(s"__c.$n")).otherwise(col(s"__b.$n")).as(n)): _*)
+  }
+}

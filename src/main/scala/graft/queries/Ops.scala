@@ -198,9 +198,36 @@ object Ops {
           <= 0.15).as("nd_ok"))
   }
 
+  // CDC-style snapshot upsert over customer: deletes (key % 13 == 0),
+  // updates (+100.00 to acctbal for key % 7 == 0 among the survivors),
+  // inserts (key + 1000000 clones for key % 17 == 0) — all synthesized
+  // deterministically from the base table so the oracle replays the
+  // change set and the merge. One full-outer hash join + codegen
+  // coalesce projection (SnapshotMerge).
+  val opMergeUpsert: Q = (s, d) => {
+    val base = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    val deletes = base.where(pmod(col("c_custkey"), lit(13)) === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"), lit("D").as("op"))
+    val updates = base.where(pmod(col("c_custkey"), lit(13)) =!= 0 &&
+        pmod(col("c_custkey"), lit(7)) === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") + lit(100.0)).as("c_acctbal"), lit("U").as("op"))
+    val inserts = base.where(pmod(col("c_custkey"), lit(17)) === 0)
+      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
+        concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+        col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("I").as("op"))
+    graft.operators.SnapshotMerge(
+      base, deletes.unionByName(updates).unionByName(inserts),
+      "c_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
     "op_profile" -> opProfile,
     "op_profile_approx" -> opProfileApprox,
+    "op_merge_upsert" -> opMergeUpsert,
     "op_reservoir_per_key" -> opReservoirPerKey,
     "viz_histogram" -> vizHistogram,
     "op_union_dfs" -> opUnionDfs,
@@ -253,6 +280,30 @@ object Ops {
   val oracles: Map[String, String] = Map(
     "op_profile" -> profileOracle,
     "op_profile_approx" -> profileOracleFor(approx = true),
+    // Replays the synthesized change set and the merge: deletes drop,
+    // updates/inserts take the change row, untouched keys pass through.
+    "op_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_acctbal
+        |  FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'D' AS op
+        |    FROM base WHERE c_custkey % 13 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'U'
+        |    FROM base WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |      c_nationkey, 0.0, 'I'
+        |    FROM base WHERE c_custkey % 17 = 0)
+        |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_name ELSE b.c_name END
+        |    AS c_name,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_nationkey
+        |    ELSE b.c_nationkey END AS c_nationkey,
+        |  CASE WHEN c.op IS NOT NULL THEN c.c_acctbal
+        |    ELSE b.c_acctbal END AS c_acctbal
+        |FROM base b FULL OUTER JOIN chg c ON b.c_custkey = c.c_custkey
+        |WHERE c.op IS NULL OR c.op <> 'D'""".stripMargin,
     "op_hash_rgb" ->
       """WITH parts AS (
         |  SELECT doc_id,

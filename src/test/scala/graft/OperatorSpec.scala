@@ -221,6 +221,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(cums.toSeq == cums.sorted.toSeq)
   }
 
+  test("SnapshotMerge: upsert semantics, idempotent replay, no-op edge cases") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, "b2", 25.0, "U"),  // update existing
+      (3L, "c", 30.0, "D"),   // delete existing
+      (4L, "d", 40.0, "I"),   // insert new
+      (9L, "x", 0.0, "D"),    // delete of ABSENT key: must be a no-op
+      (1L, "a1", 11.0, "I"))  // insert of EXISTING key: acts as update
+      .toDF("k", "name", "v", "op")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    val merged = SnapshotMerge(base, changes, "k")
+    assert(rows(merged) == Set(
+      (1L, "a1", 11.0), (2L, "b2", 25.0), (4L, "d", 40.0)))
+    // Idempotent replay: applying the same change set to the merged
+    // snapshot yields the same snapshot (I-on-existing behaves as U,
+    // D-on-absent stays a no-op).
+    assert(rows(SnapshotMerge(merged, changes, "k")) == rows(merged))
+    // Contract guards
+    intercept[IllegalArgumentException] {
+      SnapshotMerge(base, changes.drop("name"), "k")
+    }
+  }
+
   test("CSV lane keeps NULL and empty string distinguishable (pinned nullValue)") {
     // The srcCsvRoundtrip option set: nullValue "\N" on write AND read,
     // emptyValue "" on read. Without the sentinel, the writer renders
