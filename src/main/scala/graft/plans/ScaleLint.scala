@@ -16,6 +16,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *   - `cross-join`: an explicit CROSS or condition-less join — O(|L|×|R|)
   *     output. Sometimes intentional (tiny broadcast side, e.g. the
   *     exact ANN baseline); the lint is ADVISORY, it never blocks.
+  *   - `unclustered-partitioned-write`: `partitionBy(...)` whose input
+  *     is not clustered on the partition columns — every task then
+  *     writes a file into EVERY partition directory (tasks × partitions
+  *     small files; found in the wild on this engine's own at-rest ANN
+  *     index, where it measurably erased the pruning benefit). The fix
+  *     is a `repartition(partitionCols)` before the write.
   *
   * Findings are recorded (bounded, deduplicated) and log-warned at plan
   * time — failing in the optimizer beats failing three hours into a
@@ -66,6 +72,24 @@ object ScaleLint extends Rule[LogicalPlan] {
         record("cross-join",
           s"${j.joinType} join with no condition multiplies " +
             "|left| x |right|; ensure one side is provably tiny")
+      case cmd: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+          if cmd.partitionColumns.nonEmpty =>
+        val pNames = cmd.partitionColumns.map(_.name.toLowerCase).toSet
+        val clustered = cmd.query.exists {
+          case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+            r.partitionExpressions
+              .flatMap(_.references.map(_.name.toLowerCase))
+              .toSet.intersect(pNames).nonEmpty
+          case r: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions =>
+            r.partitionExpressions
+              .flatMap(_.references.map(_.name.toLowerCase))
+              .toSet.intersect(pNames).nonEmpty
+          case _ => false
+        }
+        if (!clustered) record("unclustered-partitioned-write",
+          s"partitionBy(${cmd.partitionColumns.map(_.name).mkString(", ")}) " +
+            "without clustering the input on those columns writes " +
+            "tasks x partitions small files; repartition(partitionCols) first")
       case _ =>
     })
     plan

@@ -53,6 +53,29 @@ class ScaleLintSpec extends AnyFunSuite
     assert(!good.exists(_.kind == "cross-join"), good)
   }
 
+  test("unclustered partitioned write flags; repartition(partitionCol) silences") {
+    val df = (1 to 100).map(i => (i.toLong, i % 4)).toDF("v", "p")
+      .repartition(4) // multiple input tasks, none clustered on p
+    val dir = java.nio.file.Files.createTempDirectory("lint_pw_")
+    val bad = lint {
+      df.write.mode("overwrite").partitionBy("p")
+        .parquet(dir.resolve("bad").toString)
+    }
+    assert(bad.exists(_.kind == "unclustered-partitioned-write"), bad)
+
+    val good = lint {
+      df.repartition(col("p")).write.mode("overwrite").partitionBy("p")
+        .parquet(dir.resolve("good").toString)
+    }
+    assert(!good.exists(_.kind == "unclustered-partitioned-write"), good)
+
+    // unpartitioned writes never flag
+    val plain = lint {
+      df.write.mode("overwrite").parquet(dir.resolve("plain").toString)
+    }
+    assert(!plain.exists(_.kind == "unclustered-partitioned-write"), plain)
+  }
+
   test("the engine's own ranking operators stay lint-clean") {
     val df = (1 to 1000).map(i => (i.toLong, s"r$i")).toDF("v", "s")
     val fs = lint {
