@@ -282,6 +282,35 @@ object TextFunctions {
 
   def topBigramFrac(c: Column): Column = udf(topBigramFracFn).apply(c)
 
+  /** Fixed-size overlapping character chunks — the RAG/embedding prep
+    * unit (TokenPacker is the training-side complement that packs by
+    * token budget; this slices by character window for retrieval
+    * indexing). Chunk i covers [i·step, i·step + size) with
+    * step = size − overlap; the last chunk may be shorter; a doc always
+    * yields ≥ 1 chunk (empty/null text → one empty chunk — total, like
+    * the rest of the kernel family). Row-local compiled kernel;
+    * count = max(1, 1 + ceil((len − size) / step)), replicated exactly
+    * by the DuckDB oracle via substr over a range. */
+  private[graft] def chunkFn(size: Int, overlap: Int): String => Seq[(Int, Int, String)] = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val step = size - overlap
+    text: String => {
+      val t = if (text == null) "" else text
+      val n =
+        if (t.length <= size) 1
+        else 1 + ((t.length - size + step - 1) / step)
+      (0 until n).map { i =>
+        val start = i * step
+        (i, start, t.substring(start, math.min(start + size, t.length)))
+      }
+    }
+  }
+
+  /** Array of (chunk_idx, chunk_start, chunk_text) structs. */
+  def chunks(c: Column, size: Int = 200, overlap: Int = 40): Column =
+    udf(chunkFn(size, overlap)).apply(c)
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")

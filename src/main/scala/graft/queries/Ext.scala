@@ -179,6 +179,19 @@ object Ext {
       .withColumn("keep", col("r_word_count") && col("r_word_len") &&
         col("r_stopwords") && col("r_repetition"))
 
+  // Overlapping character chunks (RAG/embedding indexing prep): each
+  // doc → its 200-char windows with 40-char overlap; emitted as
+  // (doc_id, idx, start, len, md5) so the whole chunk CONTENT is
+  // value-pinned without shipping it twice.
+  val tChunk: Q = (s, d) =>
+    documents(s, d)
+      .select(col("doc_id"), explode(TF.chunks(col("text"), 200, 40)).as("c"))
+      .select(col("doc_id"),
+        col("c._1").as("chunk_idx"),
+        col("c._2").as("chunk_start"),
+        length(col("c._3")).as("chunk_len"),
+        md5(col("c._3")).as("chunk_md5"))
+
   // Bigram surprisal (the LM-quality ladder's next rung): mean
   // -ln p(w_i | w_{i-1}) under the hard-bounded corpus bigram model —
   // OOV positions skipped, sorted-order IEEE fold, 6dp in-kernel.
@@ -503,6 +516,7 @@ object Ext {
     "t_repetition" -> tRepetition,
     "t_surprisal" -> tSurprisal,
     "t_surprisal2" -> tSurprisal2,
+    "t_chunk" -> tChunk,
     "t_gopher_filter" -> tGopherFilter,
     "t_tfidf_terms" -> tTfidfTerms,
     "t_curriculum" -> tCurriculum)
@@ -805,6 +819,18 @@ object Ext {
     "t_repetition" -> repetitionOracle,
     "t_surprisal" -> surprisalOracle,
     "t_surprisal2" -> surprisal2Oracle,
+    // Chunking replication: same count formula and substr windows
+    // (both engines index characters 1-based; step = 160).
+    "t_chunk" ->
+      """WITH c AS (SELECT doc_id, text, coalesce(text, '') AS t,
+        |    greatest(1, 1 + CAST(ceil((len(coalesce(text, '')) - 200)
+        |      / 160.0) AS INT)) AS n
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(i * 160 AS INT) AS chunk_start,
+        |  CAST(len(substr(t, i * 160 + 1, 200)) AS INT) AS chunk_len,
+        |  md5(substr(t, i * 160 + 1, 200)) AS chunk_md5
+        |FROM c, LATERAL (SELECT unnest(range(0, n)) AS i) r""".stripMargin,
     "t_gopher_filter" -> gopherFilterOracle,
     "t_tfidf_terms" ->
       s"""WITH tok AS (SELECT source, unnest(t) AS term
