@@ -179,6 +179,39 @@ object Ext {
       .withColumn("keep", col("r_word_count") && col("r_word_len") &&
         col("r_stopwords") && col("r_repetition"))
 
+  // THE END-TO-END CURATION PIPELINE as one query — the flagship
+  // composition a user of this engine actually ships: Gopher-rules
+  // filter → near-dedup keep-set → benchmark decontamination →
+  // deterministic split → token packing, each stage an independently
+  // oracled operator, the whole chain value-pinned (any drift in any
+  // stage flips the hash). Scale shape: every stage is its
+  // already-audited self (map-only kernels, bucketed LSH joins,
+  // broadcast bench side, distributed prefix sum); the composition
+  // adds only key-equi joins on doc_id.
+  val tPipelineE2e: Q = (s, d) => {
+    val docs = documents(s, d)
+    val keepG = tGopherFilter(s, d).where(col("keep")).select("doc_id")
+    val keepD = Dedup.pipelineKeep(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_id")
+    val contam = Retrieval.contaminationPairs(docs, "doc_id", "text",
+        benchFlag = col("source") === "src0", n = 8)
+      .select(col("corpus_id").as("doc_id")).distinct()
+    val surv = docs.where(col("source") =!= "src0") // bench never trains
+      .join(keepG, "doc_id").join(keepD, "doc_id")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), TF.tokenCount(col("text")).cast("long")
+        .as("n_tokens"))
+    val packed = graft.operators.TokenPacker(
+      surv, "n_tokens", 512, Seq(col("doc_id")))
+    val draw = graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 42L)
+    val twoPow60 = math.pow(2.0, 60)
+    packed.select(col("doc_id"), col("n_tokens"), col("start_token"),
+      col("pack_first"),
+      when(draw < lit(0.8 * twoPow60), "train")
+        .when(draw < lit(0.9 * twoPow60), "val")
+        .otherwise("test").as("split"))
+  }
+
   // Overlapping character chunks (RAG/embedding indexing prep): each
   // doc → its 200-char windows with 40-char overlap; emitted as
   // (doc_id, idx, start, len, md5) so the whole chunk CONTENT is
@@ -517,6 +550,7 @@ object Ext {
     "t_surprisal" -> tSurprisal,
     "t_surprisal2" -> tSurprisal2,
     "t_chunk" -> tChunk,
+    "t_pipeline_e2e" -> tPipelineE2e,
     "t_gopher_filter" -> tGopherFilter,
     "t_tfidf_terms" -> tTfidfTerms,
     "t_curriculum" -> tCurriculum)
@@ -819,6 +853,7 @@ object Ext {
     "t_repetition" -> repetitionOracle,
     "t_surprisal" -> surprisalOracle,
     "t_surprisal2" -> surprisal2Oracle,
+    "t_pipeline_e2e" -> pipelineE2eOracle,
     // Chunking replication: same count formula and substr windows
     // (both engines index characters 1-based; step = 160).
     "t_chunk" ->
@@ -881,6 +916,46 @@ object Ext {
        |FROM documents d
        |LEFT JOIN folded f ON d.doc_id = f.doc_id
        |LEFT JOIN cnt ON d.doc_id = cnt.doc_id""".stripMargin
+
+  /** Whole-pipeline replication: each stage's existing oracle embedded
+    * as a subquery (scoped WITHs — the recursive dedup closure, the
+    * Gopher bundle, the contamination shingle join), then the survivor
+    * join, the t_seq_pack window cumsum, and the t_split draw.
+    * Substitution happens AFTER stripMargin: the embedded oracles
+    * contain `||` continuation lines that stripMargin would mangle. */
+  private lazy val pipelineE2eOracle: String =
+    s"""WITH keepg AS (SELECT doc_id FROM (__GOPHER__) g
+       |  WHERE g.keep),
+       |dk AS (SELECT doc_id FROM (__CLUSTER__
+       |  SELECT d.doc_id FROM documents d
+       |  WHERE coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
+       |                 d.doc_id) = d.doc_id) k),
+       |contam AS (SELECT DISTINCT corpus_id AS doc_id
+       |  FROM (__CONTAM__) cc),
+       |surv AS (SELECT d.doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN keepg USING (doc_id) JOIN dk USING (doc_id)
+       |  WHERE d.source <> 'src0'
+       |    AND d.doc_id NOT IN (SELECT doc_id FROM contam)),
+       |c AS (SELECT doc_id, n_tokens,
+       |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS cum
+       |  FROM surv),
+       |draw AS (SELECT doc_id, n_tokens, cum,
+       |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+       |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '42')),
+       |      1, 15)) AS UBIGINT) AS DOUBLE) AS h
+       |  FROM c)
+       |SELECT doc_id, n_tokens, cum - n_tokens AS start_token,
+       |  (cum - n_tokens) // 512 AS pack_first,
+       |  CASE WHEN h < 0.8 * 1152921504606846976.0 THEN 'train'
+       |       WHEN h < 0.9 * 1152921504606846976.0 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM draw""".stripMargin
+      .replace("__GOPHER__", gopherFilterOracle)
+      .replace("__CLUSTER__", clusterCte)
+      .replace("__CONTAM__", contaminationOracle)
 
   /** Gopher-bundle replication: word stats + the 32-marker stop list
     * inline, repetition fracs composed from the repetitionOracle as a
