@@ -189,6 +189,17 @@ class PlanSpec extends AnyFunSuite {
     assert(dataFilterLine.forall(!_.contains("o_orderpriority")), p.take(1500))
   }
 
+  test("e2e pipeline plan: no cartesian blowup, no single-reducer window") {
+    // The flagship 5-stage composition must inherit every stage's
+    // audited shape: LSH bucket joins and doc_id equi-joins only, the
+    // prefix sum via GlobalRank (never an unpartitioned Window).
+    val p = plan(graft.queries.Ext.queries("t_pipeline_e2e")(spark, sf))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("Window"), "prefix sum must stay GlobalRank: " +
+      p.take(2000))
+  }
+
   test("at-rest IVF index probe prunes to the probed cell directories") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("plan_ivfidx_").toString
