@@ -189,25 +189,38 @@ object Retrieval {
   def bigramSurprisal(
       docs: DataFrame, idCol: String, textCol: String,
       maxVocab: Int = 200000, maxBigrams: Int = 200000): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val uniDf = docs.select(explode(toks).as("__w"))
-      .groupBy(col("__w")).agg(count(lit(1)).as("n"))
+    // BOTH model tables from ONE tokenize pass: a fused kernel emits
+    // every unigram and bigram of a doc as tagged grams ("u:w" /
+    // "b:w1 w2"), one map-side-combined count aggregates them, and the
+    // gram-scale result is cached for its two TakeOrdered caps. Total
+    // corpus scans for the operator: this one + the scoring scan — the
+    // bm25/surprisal one-pass convention (the alternative, a separate
+    // count job per n, pays the tokenize kernel once per model).
+    val gramsU = udf((text: String) => {
+      if (text == null) Seq.empty[String]
+      else {
+        val ts = TextFunctions.tokenizeFn(text)
+        val out = Seq.newBuilder[String]
+        var i = 0
+        while (i < ts.length) {
+          out += "u:" + ts(i)
+          if (i < ts.length - 1) out += "b:" + ts(i) + " " + ts(i + 1)
+          i += 1
+        }
+        out.result()
+      }
+    })
+    val gramDf = docs.select(explode(gramsU(col(textCol))).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val uni: Map[String, Long] = try {
-      uniDf.orderBy(col("n").desc, col("__w")).limit(maxVocab)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    } finally uniDf.unpersist(blocking = false)
-    val bigramsOf = udf((ts: Seq[String]) =>
-      if (ts == null || ts.length < 2) Seq.empty[String]
-      else ts.iterator.zip(ts.iterator.drop(1))
-        .map { case (a, b) => a + " " + b }.toSeq)
-    val biDf = docs.select(explode(bigramsOf(toks)).as("__b"))
-      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bi: Map[String, Long] = try {
-      biDf.orderBy(col("n").desc, col("__b")).limit(maxBigrams)
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    } finally biDf.unpersist(blocking = false)
+    val (uni, bi) = try {
+      def top(prefix: String, cap: Int): Map[String, Long] = gramDf
+        .where(col("__g").startsWith(prefix))
+        .orderBy(col("n").desc, col("__g")).limit(cap)
+        .collect()
+        .map(r => r.getString(0).substring(2) -> r.getLong(1)).toMap
+      (top("u:", maxVocab), top("b:", maxBigrams))
+    } finally gramDf.unpersist(blocking = false)
     val bUni = docs.sparkSession.sparkContext.broadcast(uni)
     val bBi = docs.sparkSession.sparkContext.broadcast(bi)
     val scoreU = udf((ts: Seq[String]) => {

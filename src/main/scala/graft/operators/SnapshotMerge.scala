@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   * ops per key into the latest is the upstream CDC log's job — a
   * TopKPerKey on a sequence number). I and U are both "take the change
   * row's values" (an I for an existing key behaves as U — idempotent
-  * replay); D drops the key.
+  * replay); D drops the key. Rows with any OTHER op value (including
+  * null) are malformed CDC input and are DROPPED before the join —
+  * without the filter a null-op row for an absent key would survive
+  * the full-outer join on the `!touched` branch and emit a phantom
+  * all-NULL row into the snapshot.
   *
   * Scale shape: ONE hash shuffle of each side on the key (a plain
   * full-outer equi-join — broadcastable when the change set is small,
@@ -37,7 +41,7 @@ object SnapshotMerge {
     require(dataCols.forall(changes.columns.contains),
       "changes must carry every base data column")
     val b = base.alias("__b")
-    val c = changes.alias("__c")
+    val c = changes.where(col(opCol).isin("I", "U", "D")).alias("__c")
     val joined = b.join(c,
       col(s"__b.$keyCol") === col(s"__c.$keyCol"), "full_outer")
     val touched = col(s"__c.$opCol").isNotNull

@@ -75,18 +75,35 @@ object ScaleLint extends Rule[LogicalPlan] {
       case cmd: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
           if cmd.partitionColumns.nonEmpty =>
         val pNames = cmd.partitionColumns.map(_.name.toLowerCase).toSet
-        val clustered = cmd.query.exists {
-          case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
-            r.partitionExpressions
-              .flatMap(_.references.map(_.name.toLowerCase))
-              .toSet.intersect(pNames).nonEmpty
-          case r: org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions =>
-            r.partitionExpressions
-              .flatMap(_.references.map(_.name.toLowerCase))
-              .toSet.intersect(pNames).nonEmpty
-          case _ => false
+        // The clustering that matters is the one REACHING the write:
+        // walk down through partitioning-preserving nodes only and let
+        // the FIRST partitioning-changing node decide (a subtree-wide
+        // exists would be silenced by a repartition below a later join
+        // that re-shuffles, and would miss that groupBy(partitionCols)
+        // already clusters). Hash clustering keeps each partition value
+        // in one task only when the shuffle keys are a SUBSET of the
+        // partition columns.
+        import org.apache.spark.sql.catalyst.plans.logical._
+        def keyed(exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Boolean = {
+          val refs = exprs.flatMap(_.references.map(_.name.toLowerCase)).toSet
+          refs.nonEmpty && refs.subsetOf(pNames)
         }
-        if (!clustered) record("unclustered-partitioned-write",
+        @annotation.tailrec
+        def clustered(p: LogicalPlan): Boolean = p match {
+          case r: RepartitionByExpression => keyed(r.partitionExpressions)
+          case r: RebalancePartitions => keyed(r.partitionExpressions)
+          case a: Aggregate => keyed(a.groupingExpressions)
+          case pr: Project => clustered(pr.child)
+          case f: Filter => clustered(f.child)
+          case sa: SubqueryAlias => clustered(sa.child)
+          case s: Sort if !s.global => clustered(s.child)
+          // V1Writes wraps the input in WriteFiles (+ a local sort on
+          // the partition columns): both partitioning-transparent.
+          case w: org.apache.spark.sql.execution.datasources.WriteFiles =>
+            clustered(w.child)
+          case _ => false // unknown/partitioning-changing: assume not
+        }
+        if (!clustered(cmd.query)) record("unclustered-partitioned-write",
           s"partitionBy(${cmd.partitionColumns.map(_.name).mkString(", ")}) " +
             "without clustering the input on those columns writes " +
             "tasks x partitions small files; repartition(partitionCols) first")

@@ -188,7 +188,11 @@ object Ext {
   // already-audited self (map-only kernels, bucketed LSH joins,
   // broadcast bench side, distributed prefix sum); the composition
   // adds only key-equi joins on doc_id.
-  val tPipelineE2e: Q = (s, d) => {
+  /** The pipeline's survivor stage (pre-packing) — exposed so PlanSpec
+    * can gate the JOIN/FILTER plan shapes directly: TokenPacker's
+    * GlobalRank checkpoints eagerly, so planning the full query would
+    * only show the post-checkpoint scan. */
+  private[graft] def pipelineSurvivors(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val keepG = tGopherFilter(s, d).where(col("keep")).select("doc_id")
     val keepD = Dedup.pipelineKeep(docs, "doc_id", "text", threshold = 0.5)
@@ -196,11 +200,15 @@ object Ext {
     val contam = Retrieval.contaminationPairs(docs, "doc_id", "text",
         benchFlag = col("source") === "src0", n = 8)
       .select(col("corpus_id").as("doc_id")).distinct()
-    val surv = docs.where(col("source") =!= "src0") // bench never trains
+    docs.where(col("source") =!= "src0") // bench never trains
       .join(keepG, "doc_id").join(keepD, "doc_id")
       .join(contam, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), TF.tokenCount(col("text")).cast("long")
         .as("n_tokens"))
+  }
+
+  val tPipelineE2e: Q = (s, d) => {
+    val surv = pipelineSurvivors(s, d)
     val packed = graft.operators.TokenPacker(
       surv, "n_tokens", 512, Seq(col("doc_id")))
     val draw = graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 42L)
@@ -243,11 +251,18 @@ object Ext {
   val tTfidfTerms: Q = (s, d) => {
     val tok = documents(s, d).select(col("source"),
       explode(TF.tokens(col("text"))).as("term"))
+    // ONE corpus-scale pass: tf has exactly one row per (source, term),
+    // so per-term df = that frame's row count per term — derived from
+    // the vocab-scale aggregate, never a second tokenize/explode scan.
+    // Checkpoint it (vocab-sized): tf feeds both the df rollup and the
+    // scoring join (the persist-before-multi-action convention).
     val tf = tok.groupBy(col("source"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfT = tok.select(col("source"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // #sources: one 1-row aggregate, one scalar of driver state.
+      .localCheckpoint()
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // #sources: one 1-row aggregate, one scalar of driver state. Over
+    // DOCUMENTS (column-pruned scan), matching the oracle — a source
+    // whose docs hold zero tokens still counts toward N.
     val ns = documents(s, d).agg(countDistinct(col("source")))
       .collect()(0).getLong(0).toDouble
     val scored = tf.join(dfT, "term")

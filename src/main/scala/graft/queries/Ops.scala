@@ -200,28 +200,36 @@ object Ops {
 
   // CDC-style snapshot upsert over customer: deletes (key % 13 == 0),
   // updates (+100.00 to acctbal for key % 7 == 0 among the survivors),
-  // inserts (key + 1000000 clones for key % 17 == 0) — all synthesized
-  // deterministically from the base table so the oracle replays the
-  // change set and the merge. One full-outer hash join + codegen
-  // coalesce projection (SnapshotMerge).
+  // inserts (clones shifted past the CURRENT max key — derived from
+  // the data, not a constant, so insert keys can never collide with
+  // base keys at ANY scale factor) — all synthesized deterministically
+  // from the base table so the oracle replays the change set and the
+  // merge. One full-outer hash join + codegen coalesce projection
+  // (SnapshotMerge).
   val opMergeUpsert: Q = (s, d) => {
     val base = customer(s, d)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
         col("c_acctbal"))
-    val deletes = base.where(pmod(col("c_custkey"), lit(13)) === 0)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_acctbal"), lit("D").as("op"))
-    val updates = base.where(pmod(col("c_custkey"), lit(13)) =!= 0 &&
-        pmod(col("c_custkey"), lit(7)) === 0)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        (col("c_acctbal") + lit(100.0)).as("c_acctbal"), lit("U").as("op"))
-    val inserts = base.where(pmod(col("c_custkey"), lit(17)) === 0)
-      .select((col("c_custkey") + lit(1000000L)).as("c_custkey"),
-        concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
-        col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("I").as("op"))
-    graft.operators.SnapshotMerge(
-      base, deletes.unionByName(updates).unionByName(inserts),
-      "c_custkey")
+    // one 1-row aggregate of driver state; oracle replays as a subquery
+    val maxRow = base.agg(max(col("c_custkey"))).collect()(0)
+    if (maxRow.isNullAt(0)) base // zero-row base: nothing to synthesize
+    else {
+      val maxKey = maxRow.getLong(0)
+      val deletes = base.where(pmod(col("c_custkey"), lit(13)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), lit("D").as("op"))
+      val updates = base.where(pmod(col("c_custkey"), lit(13)) =!= 0 &&
+          pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") + lit(100.0)).as("c_acctbal"), lit("U").as("op"))
+      val inserts = base.where(pmod(col("c_custkey"), lit(17)) === 0)
+        .select((col("c_custkey") + lit(maxKey)).as("c_custkey"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("I").as("op"))
+      graft.operators.SnapshotMerge(
+        base, deletes.unionByName(updates).unionByName(inserts),
+        "c_custkey")
+    }
   }
 
   val queries: Map[String, Q] = Map(
@@ -292,7 +300,8 @@ object Ops {
         |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0, 'U'
         |    FROM base WHERE c_custkey % 13 <> 0 AND c_custkey % 7 = 0
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR),
+        |  SELECT c_custkey + (SELECT max(c_custkey) FROM base),
+        |      'NEW_' || CAST(c_custkey AS VARCHAR),
         |      c_nationkey, 0.0, 'I'
         |    FROM base WHERE c_custkey % 17 = 0)
         |SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,

@@ -131,6 +131,10 @@ object Streams {
       def writeHalf(cond: org.apache.spark.sql.Column, name: String,
           mtime: Long): Unit = {
         val tmp = JF.createTempDirectory("graft_stupd_half_")
+        // register the ROOT first (registerCleanup only walks
+        // descendants; deleteOnExit is LIFO so root registered before
+        // children deletes last — otherwise the emptied dir leaks)
+        tmp.toFile.deleteOnExit()
         ev.where(cond).coalesce(1).write.mode("overwrite")
           .parquet(tmp.toString)
         val part = tmp.toFile.listFiles()

@@ -241,6 +241,11 @@ class OperatorSpec extends AnyFunSuite {
     // snapshot yields the same snapshot (I-on-existing behaves as U,
     // D-on-absent stays a no-op).
     assert(rows(SnapshotMerge(merged, changes, "k")) == rows(merged))
+    // Malformed CDC rows (null / unknown op) are dropped, never leaked
+    // as phantom all-NULL snapshot rows.
+    val malformed = Seq((99L, "z", 1.0, null.asInstanceOf[String]),
+      (98L, "y", 2.0, "X")).toDF("k", "name", "v", "op")
+    assert(rows(SnapshotMerge(base, malformed, "k")) == rows(base))
     // Contract guards
     intercept[IllegalArgumentException] {
       SnapshotMerge(base, changes.drop("name"), "k")

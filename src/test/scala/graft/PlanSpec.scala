@@ -190,13 +190,16 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("e2e pipeline plan: no cartesian blowup, no single-reducer window") {
-    // The flagship 5-stage composition must inherit every stage's
-    // audited shape: LSH bucket joins and doc_id equi-joins only, the
-    // prefix sum via GlobalRank (never an unpartitioned Window).
-    val p = plan(graft.queries.Ext.queries("t_pipeline_e2e")(spark, sf))
+    // Gate the SURVIVOR stage (pre-packing): TokenPacker's GlobalRank
+    // checkpoints eagerly, so the full query's rendered plan is just a
+    // post-checkpoint scan — planning `surv` is what actually inspects
+    // the gopher-filter kernels, LSH dedup joins, contamination join,
+    // and survivor equi-joins. (Stages that checkpoint internally hide
+    // their own subplans; each has its own dedicated gate/spec.)
+    val p = plan(graft.queries.Ext.pipelineSurvivors(spark, sf))
     assert(!p.contains("CartesianProduct"), p.take(2000))
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(!p.contains("Window"), "prefix sum must stay GlobalRank: " +
+    assert(!p.contains("Window"), "no unpartitioned/any Window here: " +
       p.take(2000))
   }
 

@@ -74,6 +74,32 @@ class ScaleLintSpec extends AnyFunSuite
       df.write.mode("overwrite").parquet(dir.resolve("plain").toString)
     }
     assert(!plain.exists(_.kind == "unclustered-partitioned-write"), plain)
+
+    // groupBy(partitionCol) ALREADY hash-clusters on it: no flag
+    val viaAgg = lint {
+      df.groupBy(col("p")).agg(sum(col("v")).as("v"))
+        .write.mode("overwrite").partitionBy("p")
+        .parquet(dir.resolve("agg").toString)
+    }
+    assert(!viaAgg.exists(_.kind == "unclustered-partitioned-write"), viaAgg)
+
+    // a join BELOW the write re-shuffles on ITS keys: an earlier
+    // repartition(p) deeper in the tree must NOT silence the lint
+    val dim = (0 until 4).map(i => (i, s"d$i")).toDF("p", "label")
+    val viaJoin = lint {
+      df.repartition(col("p")).join(dim, "p")
+        .write.mode("overwrite").partitionBy("p")
+        .parquet(dir.resolve("join").toString)
+    }
+    assert(viaJoin.exists(_.kind == "unclustered-partitioned-write"), viaJoin)
+
+    // repartition on (other, p) scatters each p across tasks: flag
+    val viaMixed = lint {
+      df.repartition(col("v"), col("p"))
+        .write.mode("overwrite").partitionBy("p")
+        .parquet(dir.resolve("mixed").toString)
+    }
+    assert(viaMixed.exists(_.kind == "unclustered-partitioned-write"), viaMixed)
   }
 
   test("the engine's own ranking operators stay lint-clean") {
