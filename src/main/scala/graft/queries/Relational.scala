@@ -387,7 +387,41 @@ object Relational {
         |""".stripMargin)
   }
 
+  // TPC-H Q18-style (large-volume orders) through the SQL surface with
+  // the IN + grouped-HAVING subquery form — Catalyst plans it as a
+  // semi-join against the aggregated subquery, never a per-row probe.
+  // sum(l_quantity) is integral-double exact, so the HAVING threshold
+  // is engine-portable.
+  val q18LargeVolume: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("orders_v18")
+    customer(s, d).createOrReplaceTempView("customer_v18")
+    lineitem(s, d).createOrReplaceTempView("lineitem_v18")
+    s.sql(
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders_v18 o JOIN customer_v18 c ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem_v18
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |""".stripMargin)
+  }
+
+  // TPC-H Q17-style (small-quantity-order revenue): lineitems whose
+  // quantity is under 20% of their part's average. The 0.2·avg
+  // comparison is rewritten to the integer-exact cross-multiplied form
+  // `5 · qty · n < sum` (all integral doubles, exact < 2^53) so the
+  // boundary never depends on an engine's avg() evaluation order; the
+  // revenue sum is decimal-exact per the house convention.
+  val q17SmallQtyRevenue: Q = (s, d) => {
+    val pq = lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("__n"), sum(col("l_quantity")).as("__s"))
+    lineitem(s, d).join(pq, "l_partkey")
+      .where(col("l_quantity") * lit(5.0) * col("__n") < col("__s"))
+      .agg((sum(dec(col("l_extendedprice"))) / lit(7.0)).cast("double")
+        .as("avg_yearly"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q18_large_volume" -> q18LargeVolume,
+    "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q_grouping_sets" -> qGroupingSets,
     "q_percentiles" -> qPercentiles,
     "q_ntile" -> qNtile,
@@ -418,6 +452,18 @@ object Relational {
     "q_monthly" -> qMonthly)
 
   val oracles: Map[String, String] = Map(
+    "q18_large_volume" ->
+      """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders o JOIN customer c ON c_custkey = o_custkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """WITH pq AS (SELECT l_partkey, count(*) AS n, sum(l_quantity) AS s
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) / 7.0
+        |    AS DOUBLE) AS avg_yearly
+        |FROM lineitem l JOIN pq ON l.l_partkey = pq.l_partkey
+        |WHERE l.l_quantity * 5.0 * pq.n < pq.s""".stripMargin,
     "q_pivot" ->
       """SELECT l_returnflag,
         |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f,
