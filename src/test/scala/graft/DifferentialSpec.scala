@@ -123,6 +123,59 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("bigramSurprisal == brute-force bigram scoring on random corpus") {
+    val rnd = new Random(47)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val rows = (0L until 50L).map(i =>
+      (i, Seq.fill(2 + rnd.nextInt(15))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = graft.ext.Retrieval.bigramSurprisal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // independent reference: plain Scala count maps, vocab << caps
+    def bigrams(ts: Seq[String]) = ts.zip(ts.tail).map(p => p._1 + " " + p._2)
+    val toksBy = rows.map { case (id, t) =>
+      id -> graft.ext.TextFunctions.tokenizeFn(t).toSeq }.toMap
+    val uni = toksBy.values.flatten.groupBy(identity)
+      .map { case (w, xs) => w -> xs.size.toDouble }
+    val bi = toksBy.values.flatMap(bigrams).groupBy(identity)
+      .map { case (b, xs) => b -> xs.size.toDouble }
+    rows.foreach { case (id, _) =>
+      val ts = toksBy(id)
+      val naive = -bigrams(ts).map { b =>
+        math.log(bi(b) / uni(b.substring(0, b.indexOf(' '))))
+      }.sum / (ts.length - 1)
+      assert(math.abs(got(id) - naive) < 1.5e-6,
+        s"doc $id: got ${got(id)} want ~$naive")
+    }
+  }
+
+  test("chunkFn: lossless coverage, exact windows, total on any input") {
+    val rnd = new Random(53)
+    val fn = graft.ext.TextFunctions.chunkFn(size = 50, overlap = 10)
+    (0 until 200).foreach { _ =>
+      val len = rnd.nextInt(300)
+      val text = Seq.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      val cs = fn(text)
+      assert(cs.nonEmpty) // total: >= 1 chunk always
+      // starts advance by step; every chunk is the exact substring
+      cs.foreach { case (i, start, t) =>
+        assert(start == i * 40)
+        assert(t == text.substring(start, math.min(start + 50, text.length)))
+      }
+      // coverage is lossless: stitching chunks (dropping each overlap)
+      // reconstructs the text exactly
+      val stitched = cs.map(_._3).zipWithIndex.map {
+        case (t, 0) => t
+        case (t, _) => t.drop(10)
+      }.mkString
+      assert(stitched == text)
+      // every chunk but the last is full-size
+      cs.dropRight(1).foreach { case (_, _, t) => assert(t.length == 50) }
+    }
+    assert(fn(null).map(_._3) == Seq("")) // null text -> one empty chunk
+  }
+
   test("winnowFn == brute-force window minima on random text") {
     val rng = new Random(1337)
     val alphabet = "ab cd"
