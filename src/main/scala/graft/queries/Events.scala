@@ -196,7 +196,33 @@ object Events {
         unix_micros(col("session_window.end")).as("end_us"),
         col("n_events"), col("sum_value"))
 
+  // Hourly-volume ANOMALY detection per event type — the monitoring
+  // query a pipeline runs over its own event stream: hours whose count
+  // deviates > 2σ from that type's mean hourly volume. Moments via the
+  // exact-decimal q_zscore convention (integral counts, so sums are
+  // exact; the z expression is a pinned arithmetic order both engines
+  // replay); per-type stats broadcast back — two map-side aggregates,
+  // no window over the corpus.
+  val evAnomaly: Q = (s, d) => {
+    val hourly = events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val m = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("nh"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q"))
+    val z = (col("n") - col("s") / col("nh")) /
+      sqrt((col("q") - col("s") * col("s") / col("nh")) / col("nh"))
+    hourly.join(broadcast(m), "event_type")
+      .withColumn("z", graft.functions.DetRound.det6(z))
+      .where(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hour"),
+        col("n").cast("long").as("n"), col("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_anomaly" -> evAnomaly,
     "ev_sliding" -> evSliding,
     "ev_session_window" -> evSessionWindow,
     "ev_hourly" -> evHourly,
@@ -209,6 +235,23 @@ object Events {
     "ev_wau" -> evWau)
 
   val oracles: Map[String, String] = Map(
+    // Same moment arithmetic (integral hourly counts → exact sums),
+    // same z expression order, same 6dp pin and 2σ threshold.
+    "ev_anomaly" ->
+      """WITH hourly AS (SELECT
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    event_type, CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nh,
+        |    sum(n) AS s, sum(n * n) AS q
+        |  FROM hourly GROUP BY 1),
+        |z AS (SELECT h.event_type, h.hour, h.n,
+        |    floor((h.n - m.s / m.nh)
+        |      / sqrt((m.q - m.s * m.s / m.nh) / m.nh) * 1000000 + 0.5)
+        |      / 1000000 AS z
+        |  FROM hourly h JOIN m ON h.event_type = m.event_type)
+        |SELECT event_type, hour, CAST(n AS BIGINT) AS n, z
+        |FROM z WHERE abs(z) > 2.0""".stripMargin,
     "ev_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n,
