@@ -25,13 +25,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
-  /** For every left row, append `payloadCols` from the most recent right
-    * row with right(tsCol) <= left(tsCol), matched on keyCol; nulls when
-    * no prior right row exists. */
+  /** For every left row, append `payloadCols` from the matched right
+    * row: direction "backward" (default) takes the most recent right
+    * row with right(tsCol) <= left(tsCol); "forward" the EARLIEST right
+    * row with right(tsCol) >= left(tsCol) — forward is backward on
+    * reversed time, so it reuses the same union+window plan with the
+    * sort order flipped (ties stay inclusive on both directions: the
+    * side tag orders the right row into the frame at equal ts). Nulls
+    * when no matching right row exists. */
   def apply(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
-      payloadCols: Seq[String]): DataFrame = {
+      payloadCols: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val leftCols = left.columns.toSeq
     val lTagged = left
       .withColumn("__payload",
@@ -48,8 +56,10 @@ object AsOfJoin {
         .foldLeft(rTagged)((df, c) =>
           df.withColumn(c, lit(null).cast(lTagged.schema(c).dataType))),
       allowMissingColumns = false)
+    val tsOrd =
+      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(tsOrd, col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = unioned
       .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))

@@ -78,6 +78,24 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // FORWARD as-of: every error joined to the same user's NEXT purchase
+  // (earliest purchase at-or-after the error) — the "time to recovery /
+  // conversion after incident" shape; same union+window plan as the
+  // backward form on reversed time. DuckDB's ASOF supports <= natively.
+  val evAsofForward: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.AsOfJoin(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"), direction = "forward")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // Interval join via the bucketed equi-join operator (RangeJoin): every
   // error paired with the same user's purchases within ±6 hours. The
   // naive formulation is a BroadcastNestedLoopJoin (PlanSpec asserts
@@ -229,6 +247,7 @@ object Events {
     "ev_sessions" -> evSessions,
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
+    "ev_asof_forward" -> evAsofForward,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
@@ -293,6 +312,16 @@ object Events {
         |      value AS p_value FROM events
         |      WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "ev_asof_forward" ->
+      """SELECT e.user_id, e.event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |      value AS p_value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts <= p.ts""".stripMargin,
     "ev_sliding" ->
       """WITH cand AS (
         |  SELECT event_type, value,

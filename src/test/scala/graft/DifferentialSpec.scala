@@ -49,6 +49,36 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin forward == brute-force earliest-at-or-after on random data") {
+    val rng = new Random(77)
+    val lefts = (1 to 300).map(i =>
+      (rng.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i.toLong))
+    val rights = (1 to 200).map(i =>
+      (rng.nextInt(12).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i * 1.5))
+    val l = lefts.toDF("key", "ts", "lid")
+    val r = rights.toDF("key", "ts", "px")
+    val got = AsOfJoin(l, r, "key", "ts", Seq("px"), direction = "forward")
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        Option(row.getAs[Any]("asof_px")).map(_.asInstanceOf[Double]))
+      .toMap
+    val uniqueRights = rights.groupBy(x => (x._1, x._2))
+      .filter(_._2.size == 1).values.flatten.toSeq
+    val rightsByKey = uniqueRights.groupBy(_._1)
+    lefts.foreach { case (k, ts, lid) =>
+      val expected = rightsByKey.getOrElse(k, Seq.empty)
+        .filter(!_._2.before(ts)) // at-or-after: inclusive tie
+        .sortBy(_._2.getTime)
+        .headOption.map(_._3)
+      val dupTs = rights.groupBy(x => (x._1, x._2)).exists { case ((rk, rts), vs) =>
+        rk == k && !rts.before(ts) && vs.size > 1 }
+      if (!dupTs)
+        assert(got(lid) == expected, s"left $lid key=$k ts=$ts")
+    }
+  }
+
   test("TopKPerKey == window on random skewed data") {
     val rng = new Random(7)
     val rows = (1 to 5000).map { i =>
