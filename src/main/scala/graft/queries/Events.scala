@@ -96,6 +96,31 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // RESAMPLE + FORWARD-FILL: each user's purchase value re-gridded to a
+  // daily series over their active span, gaps carrying the last
+  // observation forward — the classic time-series gap-fill, composed
+  // from existing machinery: per-user calendar via sequence/explode
+  // (bounded: users × their span days), then the backward AsOfJoin
+  // carries the payload. Grid timestamps are day-start (exact), so
+  // determinism needs no rounding beyond the 2dp value convention.
+  val evResampleFfill: Q = (s, d) => {
+    val purchases = events(s, d).where(col("event_type") === "purchase")
+      .select(col("user_id"),
+        col("ts"), col("value"))
+    val grid = purchases
+      .groupBy(col("user_id"))
+      .agg(date_trunc("day", min(col("ts"))).as("d0"),
+        date_trunc("day", max(col("ts"))).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"),
+          expr("interval 1 day"))).as("ts"))
+    graft.operators.AsOfJoin(grid, purchases, "user_id", "ts",
+      Seq("value"))
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        round(col("asof_value"), 2).as("ffill_value"))
+  }
+
   // Interval join via the bucketed equi-join operator (RangeJoin): every
   // error paired with the same user's purchases within ±6 hours. The
   // naive formulation is a BroadcastNestedLoopJoin (PlanSpec asserts
@@ -248,6 +273,7 @@ object Events {
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
     "ev_asof_forward" -> evAsofForward,
+    "ev_resample_ffill" -> evResampleFfill,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
@@ -312,6 +338,21 @@ object Events {
         |      value AS p_value FROM events
         |      WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // Daily grid per user (generate_series over the truncated span) +
+    // native ASOF carry — day-0 rows predate the first purchase and
+    // stay NULL (no observation yet), matching the Spark side.
+    "ev_resample_ffill" ->
+      """WITH p AS (SELECT user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |g AS (SELECT user_id, unnest(generate_series(
+        |    date_trunc('day', mn), date_trunc('day', mx),
+        |    INTERVAL 1 DAY)) AS ts
+        |  FROM (SELECT user_id, min(ts) AS mn, max(ts) AS mx
+        |        FROM p GROUP BY 1))
+        |SELECT g.user_id, strftime(g.ts, '%Y-%m-%d') AS day,
+        |  round(p.value, 2) AS ffill_value
+        |FROM g ASOF LEFT JOIN p
+        |  ON g.user_id = p.user_id AND g.ts >= p.ts""".stripMargin,
     "ev_asof_forward" ->
       """SELECT e.user_id, e.event_id,
         |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
