@@ -349,6 +349,20 @@ object Ext {
     Dedup.embeddingNearDupPairs(embeddings(s, d), "vec_id", "embedding",
       threshold = 0.45)
 
+  // SemDeDup-style SEMANTIC keep-set: embedding near-dup pairs →
+  // connected components → one canonical (min-id) survivor per
+  // semantic cluster — the embedding-space twin of the text
+  // dedup_pipeline_keep. The oracle closes the exact cosine pair set
+  // transitively with a recursive CTE and keeps the minimum member.
+  val dedupSemanticKeep: Q = (s, d) => {
+    val pairs = Dedup.embeddingNearDupPairs(
+      embeddings(s, d), "vec_id", "embedding", threshold = 0.45)
+      .select(col("id_a"), col("id_b"))
+    Dedup.nearDedupClusters(embeddings(s, d), "vec_id", pairs)
+      .where(col("cluster_id") === col("id"))
+      .select(col("id").as("vec_id"))
+  }
+
   // ------------------------------------------------------------ similarity
 
   private def queriesSubset(s: SparkSession, d: String): DataFrame =
@@ -552,6 +566,7 @@ object Ext {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_semantic_keep" -> dedupSemanticKeep,
     "sim_topk" -> simTopK,
     "sim_lsh_topk" -> simLshTopK,
     "sim_ivf_topk" -> simIvfTopK,
@@ -857,6 +872,34 @@ object Ext {
         |SELECT id_a, id_b, floor(c * 1000000 + 0.5) / 1000000 AS cosine
         |FROM p
         |WHERE floor(c * 1000000 + 0.5) / 1000000 >= 0.45""".stripMargin,
+    // The embedding pair predicate (exact cosine >= 0.45 at 6dp, the
+    // dedup_embedding oracle) closed transitively; survivors = minimum
+    // member of each closure cluster, singletons keep themselves.
+    "dedup_semantic_keep" ->
+      """WITH RECURSIVE e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |    AS c
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+        |pairs AS (SELECT id_a, id_b FROM p
+        |  WHERE floor(c * 1000000 + 0.5) / 1000000 >= 0.45),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT edges.dst AS id, reach.r
+        |  FROM reach JOIN edges ON reach.id = edges.src)
+        |SELECT emb.vec_id FROM embeddings emb
+        |WHERE coalesce((SELECT min(r) FROM reach
+        |                WHERE reach.id = emb.vec_id), emb.vec_id)
+        |      = emb.vec_id""".stripMargin,
     "sim_ivf_topk" -> simTopKOracle,
     "sim_topk" -> simTopKOracle,
     "sim_quant_topk" -> quantTopKOracle,
