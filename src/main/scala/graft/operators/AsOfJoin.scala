@@ -4,68 +4,90 @@ import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** As-of (most-recent-prior) join — a time-series operator Spark lacks
-  * natively (SURVEY §2.3 lists the join family as built-in; as-of is the
-  * one genuinely missing member, called out in the build mandate).
+/** As-of join — a time-series operator Spark lacks natively (SURVEY
+  * §2.3 lists the join family as built-in; as-of is the one genuinely
+  * missing member, called out in the build mandate). Three directions:
+  * "backward" (most recent right row at-or-before — the classic),
+  * "forward" (earliest right row at-or-after — time-to-next-event),
+  * "nearest" (whichever of the two is closer in time; exact ties
+  * prefer backward — a pinned rule both engines replay).
   *
   * Composition strategy (preference (a) of the custom-operator ladder:
   * compose built-ins before writing a SparkPlan): tag both sides, UNION
-  * them, and carry the latest right-side payload forward with
-  * `last(_, ignoreNulls)` over a (key, time) window. One shuffle + one
-  * sort per input — crucially NO range-expanded join: a naive
+  * them, and carry the latest right-side (ts, payload) forward with
+  * `last(_, ignoreNulls)` over a (key, time) window — forward is the
+  * same carry on reversed time; nearest runs both carries over the one
+  * unioned frame (two sorts of the same shuffled partition, still no
+  * join blow-up). Crucially NO range-expanded join: a naive
   * `l.join(r, l.ts >= r.ts)` is O(|L|·|R|) per key before aggregation,
   * which is exactly the blow-up that kills at 100 TB. This plan is
   * O((|L|+|R|) log) via sort-merge, AQE-skew-splittable, and needs no
   * driver-side state.
   *
-  * Tie semantics: a right row at exactly left.ts IS visible (inclusive),
-  * ordered before the left row via the side tag — matching DuckDB's
-  * ASOF JOIN (`ON l.k = r.k AND l.ts >= r.ts`), which the correctness
-  * oracle uses.
+  * Tie semantics: a right row at exactly left.ts IS visible in every
+  * direction (inclusive), ordered before the left row via the side
+  * tag — matching DuckDB's ASOF JOIN (`l.ts >= r.ts` / `l.ts <= r.ts`),
+  * which the correctness oracles use.
   */
 object AsOfJoin {
 
   /** For every left row, append `payloadCols` from the matched right
-    * row: direction "backward" (default) takes the most recent right
-    * row with right(tsCol) <= left(tsCol); "forward" the EARLIEST right
-    * row with right(tsCol) >= left(tsCol) — forward is backward on
-    * reversed time, so it reuses the same union+window plan with the
-    * sort order flipped (ties stay inclusive on both directions: the
-    * side tag orders the right row into the frame at equal ts). Nulls
-    * when no matching right row exists. */
+    * row per `direction` (see object doc); nulls when no matching
+    * right row exists. */
   def apply(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       payloadCols: Seq[String],
       direction: String = "backward"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
+    // Carry (right ts, payload struct): nearest needs the matched ts to
+    // compare distances; backward/forward just project the payload out.
+    val carrySchema = right
+      .select(col(tsCol).as("__rts"),
+        struct(payloadCols.map(col): _*).as("__p"))
+      .schema.catalogString
     val lTagged = left
-      .withColumn("__payload",
-        lit(null).cast(right.select(payloadCols.map(col): _*).schema.catalogString))
+      .withColumn("__payload", lit(null).cast(carrySchema))
       .withColumn("__side", lit(1))
     val rTagged = right
-      .select((Seq(col(keyCol), col(tsCol)) :+
-        struct(payloadCols.map(col): _*).as("__payload")): _*)
+      .select(col(keyCol), col(tsCol),
+        struct(col(tsCol).as("__rts"),
+          struct(payloadCols.map(col): _*).as("__p")).as("__payload"))
       .withColumn("__side", lit(0))
     // Align schemas: left keeps all columns; right contributes only
-    // key/ts/payload (null-padded for the rest).
+    // key/ts/carry (null-padded for the rest).
     val unioned = lTagged.unionByName(
       leftCols.filterNot(c => c == keyCol || c == tsCol)
         .foldLeft(rTagged)((df, c) =>
           df.withColumn(c, lit(null).cast(lTagged.schema(c).dataType))),
       allowMissingColumns = false)
-    val tsOrd =
-      if (direction == "backward") col(tsCol).asc else col(tsCol).desc
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(tsOrd, col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned
-      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
-      .where(col("__side") === 1)
+    def carry(tsOrd: Column): Column =
+      last(col("__payload"), ignoreNulls = true).over(
+        Window.partitionBy(col(keyCol))
+          .orderBy(tsOrd, col("__side"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val withAsof = direction match {
+      case "backward" => unioned.withColumn("__asof", carry(col(tsCol).asc))
+      case "forward" => unioned.withColumn("__asof", carry(col(tsCol).desc))
+      case "nearest" =>
+        // seconds-as-double deltas are exact to the microsecond for
+        // any realistic epoch (< 2^53 µs); ties prefer backward.
+        val db = col(tsCol).cast("double") - col("__b.__rts").cast("double")
+        val df_ = col("__f.__rts").cast("double") - col(tsCol).cast("double")
+        unioned
+          .withColumn("__b", carry(col(tsCol).asc))
+          .withColumn("__f", carry(col(tsCol).desc))
+          .withColumn("__asof",
+            when(col("__f").isNull, col("__b"))
+              .when(col("__b").isNull, col("__f"))
+              .when(db <= df_, col("__b"))
+              .otherwise(col("__f")))
+    }
+    val carried = withAsof.where(col("__side") === 1)
     payloadCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"__asof.$c"))
+      df.withColumn(s"asof_$c", col(s"__asof.__p.$c"))
     }.select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
   }
 }

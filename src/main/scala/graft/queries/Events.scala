@@ -96,6 +96,24 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // NEAREST as-of: each error matched to the same user's time-closest
+  // purchase in either direction (exact ties prefer backward — a
+  // pinned rule the oracle replays via both native ASOFs + the same
+  // delta comparison).
+  val evAsofNearest: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.AsOfJoin(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"), direction = "nearest")
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // RESAMPLE + FORWARD-FILL: each user's purchase value re-gridded to a
   // daily series over their active span, gaps carrying the last
   // observation forward — the classic time-series gap-fill, composed
@@ -273,6 +291,7 @@ object Events {
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
     "ev_asof_forward" -> evAsofForward,
+    "ev_asof_nearest" -> evAsofNearest,
     "ev_resample_ffill" -> evResampleFfill,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
@@ -338,6 +357,33 @@ object Events {
         |      value AS p_value FROM events
         |      WHERE event_type = 'purchase') p
         |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // Both native ASOF directions joined back per error, then the same
+    // seconds-as-double delta comparison with backward tie preference.
+    "ev_asof_nearest" ->
+      """WITH e AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'error'),
+        |p AS (SELECT user_id, ts, event_id AS p_event_id,
+        |      value AS p_value FROM events WHERE event_type = 'purchase'),
+        |b AS (SELECT e.event_id, p.ts AS bts,
+        |    p.p_event_id AS b_id, p.p_value AS b_v
+        |  FROM e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts >= p.ts),
+        |f AS (SELECT e.event_id, p.ts AS fts,
+        |    p.p_event_id AS f_id, p.p_value AS f_v
+        |  FROM e ASOF LEFT JOIN p
+        |    ON e.user_id = p.user_id AND e.ts <= p.ts)
+        |SELECT e.user_id, e.event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  CASE WHEN fts IS NULL THEN b_id
+        |       WHEN bts IS NULL THEN f_id
+        |       WHEN epoch_us(e.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(e.ts)
+        |         THEN b_id ELSE f_id END AS asof_p_event_id,
+        |  CASE WHEN fts IS NULL THEN b_v
+        |       WHEN bts IS NULL THEN f_v
+        |       WHEN epoch_us(e.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(e.ts)
+        |         THEN b_v ELSE f_v END AS asof_p_value
+        |FROM e JOIN b ON e.event_id = b.event_id
+        |JOIN f ON e.event_id = f.event_id""".stripMargin,
     // Daily grid per user (generate_series over the truncated span) +
     // native ASOF carry — day-0 rows predate the first purchase and
     // stay NULL (no observation yet), matching the Spark side.

@@ -79,6 +79,43 @@ class DifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfJoin nearest == brute-force closest-in-time (backward ties)") {
+    val rng = new Random(91)
+    val lefts = (1 to 300).map(i =>
+      (rng.nextInt(10).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i.toLong))
+    val rights = (1 to 200).map(i =>
+      (rng.nextInt(12).toLong, new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i * 1.5))
+    val l = lefts.toDF("key", "ts", "lid")
+    val r = rights.toDF("key", "ts", "px")
+    val got = AsOfJoin(l, r, "key", "ts", Seq("px"), direction = "nearest")
+      .collect()
+      .map(row => row.getAs[Long]("lid") ->
+        Option(row.getAs[Any]("asof_px")).map(_.asInstanceOf[Double]))
+      .toMap
+    val uniqueRights = rights.groupBy(x => (x._1, x._2))
+      .filter(_._2.size == 1).values.flatten.toSeq
+    val rightsByKey = uniqueRights.groupBy(_._1)
+    lefts.foreach { case (k, ts, lid) =>
+      val rs = rightsByKey.getOrElse(k, Seq.empty)
+      val back = rs.filter(!_._2.after(ts)).sortBy(_._2.getTime).lastOption
+      val fwd = rs.filter(!_._2.before(ts)).sortBy(_._2.getTime).headOption
+      val expected = (back, fwd) match {
+        case (None, f) => f.map(_._3)
+        case (b, None) => b.map(_._3)
+        case (Some(b), Some(f)) =>
+          val db = ts.getTime - b._2.getTime
+          val df = f._2.getTime - ts.getTime
+          Some(if (db <= df) b._3 else f._3) // ties prefer backward
+      }
+      val dupTs = rights.groupBy(x => (x._1, x._2))
+        .exists { case ((rk, _), vs) => rk == k && vs.size > 1 }
+      if (!dupTs)
+        assert(got(lid) == expected, s"left $lid key=$k ts=$ts")
+    }
+  }
+
   test("TopKPerKey == window on random skewed data") {
     val rng = new Random(7)
     val rows = (1 to 5000).map { i =>
