@@ -310,46 +310,96 @@ object Dedup {
 
   // ---------------------------------------------------- Connected components
 
+  /** Large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): every node connects each of its
+    * STRICTLY LARGER neighbors to the minimum of its closed
+    * neighborhood. Input/output edges are oriented large→small
+    * (src > dst); the round preserves that invariant and never emits a
+    * self-loop. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mn = adj.groupBy("src").agg(min(col("dst")).as("__mn"))
+      .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+    adj.join(mn, Seq("src"))
+      .where(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star round: every node connects its (all smaller, by the
+    * orientation invariant) neighbors and itself to the minimum
+    * neighbor. Orientation src > dst is preserved. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mn = edges.groupBy("src").agg(min(col("dst")).as("__m"))
+    val relinked = edges.join(mn, Seq("src"))
+      .where(col("dst") =!= col("__m"))
+      .select(col("dst").as("src"), col("__m").as("dst"))
+    val toCenter = mn.select(col("src"), col("__m").as("dst"))
+    relinked.union(toCenter).distinct()
+  }
+
   /** Duplicate-cluster formation: given near-dup PAIRS, label every id
     * with the minimum id reachable in its connected component (the
-    * canonical representative). Classic iterative min-label propagation:
-    * each round joins current labels across the (symmetrized) edge set
-    * and keeps the min — O(diameter) rounds of one equi-join + one
-    * groupBy each, all distributed; converges when no label changes.
-    * Dup clusters are near-cliques in practice, so diameter (and the
-    * round count) is tiny regardless of data size. */
+    * canonical representative).
+    *
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et
+    * al., SoCC 2014) — O(log n) rounds for ANY graph shape, each round
+    * two shuffles (a groupBy min + an equi-join), all distributed. This
+    * replaces the earlier min-label propagation, whose O(diameter)
+    * round count made transitive near-dup CHAINS (doc₁≈doc₂≈…≈doc₄₀ —
+    * a documented real-corpus phenomenon) exceed the iteration cap and
+    * silently return split clusters. With log₂-round convergence the
+    * default cap is unreachable for any physical dataset (2^30
+    * components deep would need > 10^9 nodes on a path); if it IS hit,
+    * the function now THROWS rather than returning wrong labels —
+    * callers (nearDedupClusters / pipeline / dedupSemanticKeep /
+    * leakage-safe splits) inherit loud failure instead of silent
+    * corruption. Convergence is tested by exact set equality of the
+    * edge relation (count + except over materialized checkpoints), not
+    * a checksum. DifferentialSpec pins a diameter-40 path graph against
+    * an independent union-find oracle. */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      maxIters: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id")).localCheckpoint()
-    var converged = false
+    // Canonical orientation: large → small, self-loops dropped (a
+    // self-pair contributes its node to `nodes`, which suffices).
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("src"),
+        least(col(aCol), col(bCol)).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min(col("cluster_id")).as("__nbr"))
-      // Convergence marker computed IN the update pass: the round runs
-      // ONE action (the eager localCheckpoint), and the converged test
-      // is then a filter-isEmpty over the materialized blocks — no
-      // separate join+count job per round (halves round latency).
-      // localCheckpoint also truncates the plan lineage, which otherwise
-      // doubles per round (a correctness hazard for deep graphs, not
-      // just a perf one: the analyzer blows up past ~15 rounds).
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
-            .as("cluster_id"),
-          (col("__nbr") < col("cluster_id")).as("__changed"))
-        .localCheckpoint()
-      converged = next.where(col("__changed")).isEmpty
-      labels = next.drop("__changed")
+      // localCheckpoint truncates lineage every round (the analyzer
+      // blows up past ~15 rounds of accumulated plan otherwise) and
+      // materializes the round so the convergence test is a cheap
+      // scan over cached blocks, not a recompute.
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      converged =
+        next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
       iter += 1
     }
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIters alternating " +
+        "large-star/small-star rounds — refusing to return partial " +
+        "cluster labels. This should be unreachable (rounds are " +
+        "O(log n)); raise maxIters only after verifying the input.")
+    // At convergence the edge set is a star forest: child → component
+    // min. Roots label themselves; nodes with no surviving edge are
+    // singletons.
+    val children =
+      edges.select(col("src").as("id"), col("dst").as("cluster_id"))
+    val roots = edges.select(col("dst")).distinct()
+      .select(col("dst").as("id"), col("dst").as("cluster_id"))
+    nodes.join(children.union(roots).distinct(), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
   /** Near-dedup keep-set: every doc labeled with its cluster's canonical

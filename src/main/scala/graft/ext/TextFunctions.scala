@@ -290,20 +290,34 @@ object TextFunctions {
     * yields ≥ 1 chunk (empty/null text → one empty chunk — total, like
     * the rest of the kernel family). Row-local compiled kernel;
     * count = max(1, 1 + ceil((len − size) / step)), replicated exactly
-    * by the DuckDB oracle via substr over a range. */
+    * by the DuckDB oracle via substr over a range.
+    *
+    * Lengths and offsets are Unicode CODEPOINTS, not UTF-16 code units —
+    * DuckDB's len()/substr() count codepoints, so a code-unit kernel
+    * would diverge on any non-BMP text (emoji, rare CJK). The walk is a
+    * single forward pass (offsetByCodePoints from the previous
+    * boundary), so cost stays O(len) per row. */
   private[graft] def chunkFn(size: Int, overlap: Int): String => Seq[(Int, Int, String)] = {
     require(size > 0 && overlap >= 0 && overlap < size,
       s"need 0 <= overlap < size, got size=$size overlap=$overlap")
     val step = size - overlap
     text: String => {
       val t = if (text == null) "" else text
+      val cpLen = t.codePointCount(0, t.length)
       val n =
-        if (t.length <= size) 1
-        else 1 + ((t.length - size + step - 1) / step)
-      (0 until n).map { i =>
-        val start = i * step
-        (i, start, t.substring(start, math.min(start + size, t.length)))
+        if (cpLen <= size) 1
+        else 1 + ((cpLen - size + step - 1) / step)
+      val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, String)](n)
+      var startCu = 0 // code-unit index of chunk i's first codepoint
+      var i = 0
+      while (i < n) {
+        val remaining = cpLen - i * step
+        val endCu = t.offsetByCodePoints(startCu, math.min(size, remaining))
+        out += ((i, i * step, t.substring(startCu, endCu)))
+        i += 1
+        if (i < n) startCu = t.offsetByCodePoints(startCu, step)
       }
+      out.toSeq
     }
   }
 

@@ -72,10 +72,13 @@ object AsOfJoin {
       case "backward" => unioned.withColumn("__asof", carry(col(tsCol).asc))
       case "forward" => unioned.withColumn("__asof", carry(col(tsCol).desc))
       case "nearest" =>
-        // seconds-as-double deltas are exact to the microsecond for
-        // any realistic epoch (< 2^53 µs); ties prefer backward.
-        val db = col(tsCol).cast("double") - col("__b.__rts").cast("double")
-        val df_ = col("__f.__rts").cast("double") - col(tsCol).cast("double")
+        // Deltas on exact integer microseconds (unix_micros), matching
+        // the oracle's epoch_us arithmetic bit-for-bit. (A seconds-as-
+        // double cast rounds by up to ~0.12 µs at realistic epochs —
+        // micros/1e6 is not exactly representable — which can flip an
+        // exact two-sided tie away from the pinned backward preference.)
+        val db = unix_micros(col(tsCol)) - unix_micros(col("__b.__rts"))
+        val df_ = unix_micros(col("__f.__rts")) - unix_micros(col(tsCol))
         unioned
           .withColumn("__b", carry(col(tsCol).asc))
           .withColumn("__f", carry(col(tsCol).desc))

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   * Contract: `changes` carries the base's data columns plus `opCol` ∈
   * {"I", "U", "D"} and AT MOST ONE row per key (collapsing multiple
   * ops per key into the latest is the upstream CDC log's job — a
-  * TopKPerKey on a sequence number). I and U are both "take the change
+  * TopKPerKey on a sequence number). The one-row-per-key contract is
+  * ENFORCED: a duplicate key in `changes` fails the job with a clear
+  * error instead of silently fanning out the join. I and U are both "take the change
   * row's values" (an I for an existing key behaves as U — idempotent
   * replay); D drops the key. Rows with any OTHER op value (including
   * null) are malformed CDC input and are DROPPED before the join —
@@ -41,7 +43,21 @@ object SnapshotMerge {
     require(dataCols.forall(changes.columns.contains),
       "changes must carry every base data column")
     val b = base.alias("__b")
-    val c = changes.where(col(opCol).isin("I", "U", "D")).alias("__c")
+    // Loud guard on the AT-MOST-ONE-row-per-key contract: a duplicate
+    // key would fan out the full-outer join and silently corrupt the
+    // snapshot. One window count over the (small) change set, keyed the
+    // same as the join, and assert_true fails the job executor-side the
+    // moment a violation is seen — no extra driver action.
+    import org.apache.spark.sql.expressions.Window
+    val c = changes.where(col(opCol).isin("I", "U", "D"))
+      .withColumn("__keyCnt",
+        count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .withColumn("__chk", assert_true(col("__keyCnt") === 1,
+        concat(lit(s"SnapshotMerge: duplicate key in changes for $keyCol="),
+          col(keyCol).cast("string"))))
+      .where(col("__chk").isNull)
+      .drop("__keyCnt", "__chk")
+      .alias("__c")
     val joined = b.join(c,
       col(s"__b.$keyCol") === col(s"__c.$keyCol"), "full_outer")
     val touched = col(s"__c.$opCol").isNotNull

@@ -141,7 +141,12 @@ object Streams {
           .find(_.getName.endsWith(".parquet")).get
         val dst = new java.io.File(dir, name)
         JF.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified(mtime)
+        // The two-micro-batch ORDER depends on these mtimes; a
+        // filesystem that silently ignores setLastModified would
+        // reorder the halves and fail the oracle with no hint why.
+        require(dst.setLastModified(mtime),
+          s"setLastModified failed for $dst — filesystem does not " +
+            "support mtime updates; stHourlyUpdate needs ordered batches")
         Sources.registerCleanup(tmp.toFile)
       }
       val t0 = System.currentTimeMillis() - 120000

@@ -269,4 +269,59 @@ class DifferentialSpec extends AnyFunSuite {
         s"text=${text.replace(' ', '_')}")
     }
   }
+
+  /** Independent oracle: plain Scala union-find with path compression. */
+  private def unionFindLabels(
+      nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // root by min-id: union always hangs the larger root under the
+    // smaller, so find() already yields the component minimum
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents: diameter-40 path graph == union-find oracle") {
+    // The shape that broke O(diameter) min-label propagation at the old
+    // maxIters=20 cap: a transitive near-dup CHAIN 0-1-2-...-40 (each
+    // doc similar only to its neighbor). Large-star/small-star must
+    // collapse it to one cluster labeled 0 in O(log n) rounds.
+    val chain = (0L until 40L).map(i => (i, i + 1))
+    val pairs = chain.toDF("id_a", "id_b")
+    val got = graft.ext.Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = unionFindLabels((0L to 40L).toSeq, chain)
+    assert(got == want)
+    assert(got.values.toSet == Set(0L)) // one component, min label
+  }
+
+  test("connectedComponents == union-find on random graphs (chains, cliques, isolates)") {
+    val rng = new Random(4242)
+    (1 to 5).foreach { trial =>
+      val n = 60 + rng.nextInt(40)
+      val nodes = (0L until n.toLong).toSeq
+      // mixed shapes: sparse random edges + one long chain segment
+      val randomEdges = (1 to n).map(_ =>
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      val chainStart = rng.nextInt(n / 2).toLong
+      val chainEdges = (chainStart until math.min(
+        chainStart + 25, n.toLong - 1)).map(i => (i, i + 1))
+      val edges = (randomEdges ++ chainEdges).filter(e => e._1 != e._2)
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.ext.Dedup.connectedComponents(pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = unionFindLabels(touched, edges)
+      assert(got == want, s"trial $trial n=$n")
+    }
+  }
 }
