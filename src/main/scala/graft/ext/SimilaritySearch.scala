@@ -207,9 +207,15 @@ object SimilaritySearch {
     * writeQuantizedIndex, ivfQuantizedTopKAtRest): the at-rest index
     * and the query-side scoring MUST round bit-identically or at-rest
     * scores silently diverge from the oracle. */
+  /** Saturating on purpose: a component beyond ±scale clamps to ±127
+    * (standard int8 practice). A no-op when scale is the corpus max —
+    * the clamp only bites for vectors quantized under a FROZEN scale
+    * from an older build (upsertQuantizedIndex inserts), where failing
+    * the cast would otherwise abort the upsert. */
   private def qzUdf(scale: Double) = udf((v: Seq[Double]) =>
     if (v == null) null
-    else v.map(x => math.floor(x / scale * 127 + 0.5)))
+    else v.map(x =>
+      math.max(-127.0, math.min(127.0, math.floor(x / scale * 127 + 0.5)))))
 
   /** Cosine top-k over int8 scalar-quantized vectors (q_i =
     * round(x_i/scale·127), symmetric global scale) — the
@@ -344,6 +350,68 @@ object SimilaritySearch {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
     (scale, cs)
+  }
+
+  /** Incremental at-rest index maintenance: apply a CDC change-set
+    * (`opCol` ∈ {"I","U","D"}, keyed by `idCol`; I/U carry the new
+    * vector) to an index written by [[writeQuantizedIndex]], rewriting
+    * ONLY the touched cells via DYNAMIC partition overwrite — cost
+    * tracks the change set (touched cells × cell size), never the
+    * index size. The quantizer state (scale, centroids) is FROZEN from
+    * the original build: retraining would reassign every row's cell
+    * and force a full rewrite (corpus drift ⇒ rebuild, not upsert —
+    * the standard IVF serving convention). Touched = cells where
+    * upserted vectors LAND ∪ cells currently HOLDING a changed key (an
+    * update can move a vector across cells — the old copy must go; a
+    * delete empties its slot). Idempotent: replaying the same
+    * change-set reproduces the same index (UpsertSpec). The
+    * one-file-per-cell layout is preserved (repartition on the
+    * partition column before the write). */
+  def upsertQuantizedIndex(
+      changes: DataFrame, idCol: String, vecCol: String, opCol: String,
+      path: String, scale: Double,
+      centroids: Array[Array[Double]]): Unit = {
+    val spark = changes.sparkSession
+    val nearest = cellFinder(centroids)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val qz = qzUdf(scale)
+    import graft.functions.VectorFunctions.array_norm
+    val filtered = changes.where(col(opCol).isin("I", "U", "D"))
+    val upserts = filtered.where(col(opCol) =!= "D")
+      .select(col(idCol).as("cand_id"),
+        col(vecCol).cast("array<double>").as("__fv"))
+      .where(col("__fv").isNotNull && size(col("__fv")) > 0)
+      .withColumn("__q", qz(col("__fv")))
+      .withColumn("n", array_norm(col("__q")))
+      .where(col("n") > 0)
+      .withColumn("cell", assignOne(col("__fv")))
+      .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
+        col("n"), col("cell"))
+      .localCheckpoint() // two consumers: landing-cell scan + the write
+    val keys = filtered.select(col(idCol).as("cand_id")).distinct()
+      .localCheckpoint()
+    val index = spark.read.parquet(path)
+    // Bounded driver state: the distinct touched-cell ids (≤ nCentroids).
+    val touched = index.join(keys, Seq("cand_id"), "left_semi")
+      .select(col("cell")).distinct()
+      .union(upserts.select(col("cell")).distinct())
+      .distinct().collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      val survivors = index
+        .where(col("cell").isin(touched.map(c => c: Any): _*)) // pruned scan
+        .join(keys, Seq("cand_id"), "left_anti")
+        .select(col("cand_id"), col("q"), col("n"), col("cell"))
+      survivors.unionByName(upserts)
+        .repartition(col("cell"))
+        // Materialize BEFORE the write: the write replaces partitions of
+        // the very path the survivors scan reads (checkpoint cuts the
+        // lineage, so the read completes first and the overwrite-what-
+        // you-read hazard cannot bite).
+        .localCheckpoint()
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell").parquet(path)
+    }
   }
 
   /** Query the at-rest index: the bounded query set's probe cells are

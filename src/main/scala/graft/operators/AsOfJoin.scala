@@ -28,17 +28,37 @@ import org.apache.spark.sql.expressions.Window
   * direction (inclusive), ordered before the left row via the side
   * tag — matching DuckDB's ASOF JOIN (`l.ts >= r.ts` / `l.ts <= r.ts`),
   * which the correctness oracles use.
+  *
+  * SKEW (`timeSliceMicros`): a `Window.partitionBy(key)` partition is
+  * NOT splittable — not by AQE (which splits shuffle-read partitions
+  * for joins/aggs, never a window's sort group), not by anything: one
+  * pathological hot key (a bot user with 10⁹ events) serializes into
+  * ONE task. `timeSliceMicros = Some(span)` is the salt-and-merge
+  * recipe for the carry: partition the timeline into fixed slices and
+  * window over (key, slice) — the hot key becomes (hot, slice₁..ₙ)
+  * groups that sort in parallel — then repair the cross-slice carry
+  * with a per-(key, slice) BOUNDARY frame (≤ one row per non-empty
+  * slice, i.e. |keys|·|slices| rows, data-size-independent): the
+  * latest right payload per slice, prefix-carried over slices by a
+  * window whose partitions are now O(|slices per key|), and joined
+  * back on (key, slice). Result is bit-identical to the unsliced plan
+  * (DifferentialSpec proves it on a hot key spanning empty slices) at
+  * the cost of one extra small shuffle — pay it when key skew is
+  * known, skip it when keys are well-distributed. Requires unique
+  * right-side (key, ts) pairs for deterministic output — the same
+  * precondition the unsliced form and DuckDB's ASOF already carry.
   */
 object AsOfJoin {
 
   /** For every left row, append `payloadCols` from the matched right
     * row per `direction` (see object doc); nulls when no matching
-    * right row exists. */
+    * right row exists. `timeSliceMicros`: see the skew note above. */
   def apply(
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String,
       payloadCols: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      timeSliceMicros: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
     val leftCols = left.columns.toSeq
@@ -63,14 +83,65 @@ object AsOfJoin {
         .foldLeft(rTagged)((df, c) =>
           df.withColumn(c, lit(null).cast(lTagged.schema(c).dataType))),
       allowMissingColumns = false)
+    // Sliced mode: window partitions are (key, slice); slicePartCols
+    // collapses to just (key) in the classic mode.
+    val sliced = timeSliceMicros match {
+      case None => unioned
+      case Some(span) =>
+        require(span > 0, s"timeSliceMicros must be positive, got $span")
+        // Exact floor division on integer micros: subtracting pmod makes
+        // the dividend an exact multiple, so the long division is exact
+        // (a double divide of raw e15-scale micros can misround at a
+        // slice boundary and put a boundary row in the wrong slice).
+        val us = unix_micros(col(tsCol))
+        unioned.withColumn("__slice",
+          ((us - pmod(us, lit(span))) / lit(span)).cast("long"))
+    }
+    val partCols: Seq[Column] =
+      if (timeSliceMicros.isEmpty) Seq(col(keyCol))
+      else Seq(col(keyCol), col("__slice"))
     def carry(tsOrd: Column): Column =
       last(col("__payload"), ignoreNulls = true).over(
-        Window.partitionBy(col(keyCol))
+        Window.partitionBy(partCols: _*)
           .orderBy(tsOrd, col("__side"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    // Cross-slice boundary repair (sliced mode only): per (key, slice),
+    // the latest/earliest right payload; prefix-carried across slices on
+    // a frame of ≤ |keys|·|slices| rows, then joined back. __prevp/
+    // __nextp are what a within-slice carry misses from other slices.
+    val withBoundary = timeSliceMicros match {
+      case None => sliced
+      case Some(_) =>
+        val rightRows = sliced.where(col("__side") === 0)
+          .select(col(keyCol), col("__slice"), col(tsCol), col("__payload"))
+        val bnd = rightRows.groupBy(col(keyCol), col("__slice"))
+          .agg(max_by(col("__payload"), col(tsCol)).as("__bndb"),
+            min_by(col("__payload"), col(tsCol)).as("__bndf"))
+        val spine = sliced.select(col(keyCol), col("__slice")).distinct()
+          .join(bnd, Seq(keyCol, "__slice"), "left")
+        val wPrev = Window.partitionBy(col(keyCol))
+          .orderBy(col("__slice").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy(col(keyCol))
+          .orderBy(col("__slice").asc)
+          .rowsBetween(1, Window.unboundedFollowing)
+        val carried = spine
+          .withColumn("__prevp",
+            last(col("__bndb"), ignoreNulls = true).over(wPrev))
+          .withColumn("__nextp",
+            first(col("__bndf"), ignoreNulls = true).over(wNext))
+          .select(col(keyCol), col("__slice"), col("__prevp"), col("__nextp"))
+        sliced.join(carried, Seq(keyCol, "__slice"), "left")
+    }
+    def bwd: Column =
+      if (timeSliceMicros.isEmpty) carry(col(tsCol).asc)
+      else coalesce(carry(col(tsCol).asc), col("__prevp"))
+    def fwd: Column =
+      if (timeSliceMicros.isEmpty) carry(col(tsCol).desc)
+      else coalesce(carry(col(tsCol).desc), col("__nextp"))
     val withAsof = direction match {
-      case "backward" => unioned.withColumn("__asof", carry(col(tsCol).asc))
-      case "forward" => unioned.withColumn("__asof", carry(col(tsCol).desc))
+      case "backward" => withBoundary.withColumn("__asof", bwd)
+      case "forward" => withBoundary.withColumn("__asof", fwd)
       case "nearest" =>
         // Deltas on exact integer microseconds (unix_micros), matching
         // the oracle's epoch_us arithmetic bit-for-bit. (A seconds-as-
@@ -79,9 +150,9 @@ object AsOfJoin {
         // exact two-sided tie away from the pinned backward preference.)
         val db = unix_micros(col(tsCol)) - unix_micros(col("__b.__rts"))
         val df_ = unix_micros(col("__f.__rts")) - unix_micros(col(tsCol))
-        unioned
-          .withColumn("__b", carry(col(tsCol).asc))
-          .withColumn("__f", carry(col(tsCol).desc))
+        withBoundary
+          .withColumn("__b", bwd)
+          .withColumn("__f", fwd)
           .withColumn("__asof",
             when(col("__f").isNull, col("__b"))
               .when(col("__b").isNull, col("__f"))

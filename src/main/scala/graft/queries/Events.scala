@@ -114,6 +114,26 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // The SLICED as-of (the skew lever for the window carry — see
+  // AsOfJoin's skew note): identical semantics to ev_asof_join,
+  // executed with 6-hour time slices so the per-key window partitions
+  // are (user, slice) and a hot key cannot serialize into one task.
+  // Same DuckDB ASOF oracle — the slicing must be invisible in values.
+  val evAsofSliced: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.operators.AsOfJoin(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"),
+      timeSliceMicros = Some(6L * 3600 * 1000000))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // RESAMPLE + FORWARD-FILL: each user's purchase value re-gridded to a
   // daily series over their active span, gaps carrying the last
   // observation forward — the classic time-series gap-fill, composed
@@ -230,6 +250,43 @@ object Events {
         col("n_users"))
   }
 
+  // The EXTREME-SCALE WAU lane ev_wau's design note names: one HLL
+  // sketch PER DAY (a daily aggregate — each user-day contributes one
+  // sketch update), then the trailing-7-day union is a fan-out of ≤ 7
+  // SKETCHES per report day (|days| × 7 fixed-size binaries, data-size
+  // independent) instead of 7 × |user-day| presence rows. DuckDB can't
+  // replay Spark's DataSketches HLL, so the row pins the exact lane
+  // (n_users, hash-matched — the same value ev_wau oracles) plus the
+  // estimate's accuracy contract as a boolean: |est/exact − 1| ≤ 0.10
+  // (lgConfigK=12 ⇒ rsd ≈ 1.6%; the bound is ~6σ, same contract style
+  // as op_profile_approx). The oracle emits literal TRUE — an
+  // out-of-band estimate flips the hash and fails the row.
+  val evWauApprox: Q = (s, d) => {
+    val days = events(s, d).select(col("user_id"),
+      date_trunc("day", col("ts")).cast("date").as("day")).distinct()
+    val cal = days.select(col("day").as("report_day")).distinct()
+    val daily = days.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("__sk"))
+    val est = daily
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(date_add(col("day"), col("off")).as("report_day"), col("__sk"))
+      .join(broadcast(cal), Seq("report_day"), "leftsemi")
+      .groupBy(col("report_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"))).as("__est"))
+    val exact = days
+      .withColumn("off", explode(sequence(lit(0), lit(6))))
+      .select(col("user_id"),
+        date_add(col("day"), col("off")).as("report_day"))
+      .join(broadcast(cal), Seq("report_day"), "leftsemi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    exact.join(est, Seq("report_day"))
+      .select(date_format(col("report_day"), "yyyy-MM-dd").as("day"),
+        col("n_users"),
+        (abs(col("__est").cast("double") / col("n_users") - 1.0) <= 0.10)
+          .as("est_ok"))
+  }
+
   // Sliding (overlapping) windows: 1-hour windows every 30 minutes —
   // every event lands in exactly two windows (Spark epoch-aligned
   // semantics, replicated in the oracle by unnesting both candidate
@@ -292,11 +349,13 @@ object Events {
     "ev_asof_join" -> evAsof,
     "ev_asof_forward" -> evAsofForward,
     "ev_asof_nearest" -> evAsofNearest,
+    "ev_asof_sliced" -> evAsofSliced,
     "ev_resample_ffill" -> evResampleFfill,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
     "ev_retention" -> evRetention,
-    "ev_wau" -> evWau)
+    "ev_wau" -> evWau,
+    "ev_wau_approx" -> evWauApprox)
 
   val oracles: Map[String, String] = Map(
     // Same moment arithmetic (integral hourly counts → exact sums),
@@ -348,6 +407,18 @@ object Events {
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM z GROUP BY user_id, session_idx""".stripMargin,
     "ev_asof_join" ->
+      """SELECT e.user_id, e.event_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'error') e
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+        |      value AS p_value FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    // Same native ASOF as ev_asof_join — the engine-side time slicing
+    // must be value-invisible.
+    "ev_asof_sliced" ->
       """SELECT e.user_id, e.event_id,
         |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
         |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
@@ -465,6 +536,22 @@ object Events {
         |  FROM fan f JOIN cal c ON f.report_day = c.day)
         |SELECT strftime(report_day, '%Y-%m-%d') AS day,
         |  count(DISTINCT user_id) AS n_users
+        |FROM f2 GROUP BY 1""".stripMargin,
+    // Exact lane replayed; the HLL estimate is pinned by its accuracy
+    // contract (literal TRUE — see evWauApprox).
+    "ev_wau_approx" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day
+        |  FROM events),
+        |cal AS (SELECT DISTINCT day FROM days),
+        |fan AS (SELECT user_id, day + CAST(u.i AS INT) AS report_day
+        |  FROM days, unnest(range(0, 7)) u(i)),
+        |f2 AS (SELECT f.user_id, f.report_day
+        |  FROM fan f JOIN cal c ON f.report_day = c.day)
+        |SELECT strftime(report_day, '%Y-%m-%d') AS day,
+        |  count(DISTINCT user_id) AS n_users,
+        |  TRUE AS est_ok
         |FROM f2 GROUP BY 1""".stripMargin,
     "ev_retention" ->
       """WITH days AS (

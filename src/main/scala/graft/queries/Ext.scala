@@ -2,8 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ext.{TextFunctions => TF, Dedup, SimilaritySearch, Retrieval,
-  Redaction}
+import graft.ext.{TextFunctions => TF, Bpe, Dedup, SimilaritySearch,
+  Retrieval, Redaction}
 
 /** Training-pipeline extension queries over `documents` / `embeddings`:
   * text analysis, dedup (exact / jaccard / minhash-LSH / simhash /
@@ -40,6 +40,29 @@ object Ext {
   val tSeqPack: Q = (s, d) => {
     val withTokens = documents(s, d).select(col("doc_id"),
       TF.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.TokenPacker(withTokens, "n_tokens", 512, Seq(col("doc_id")))
+      .select(col("doc_id"), col("n_tokens"), col("start_token"),
+        col("pack_first"), col("pack_last"))
+  }
+
+  // BPE subword token stats: the production packing-budget quantity
+  // (t_seq_pack's word count is the proxy). Counts AND the first
+  // word's actual token boundaries are value-checked — the oracle
+  // replays the pinned merge table with a recursive replace-to-fixpoint
+  // over the distinct vocabulary (see Bpe scaladoc for why the two
+  // scan orders provably agree).
+  val tBpeTokens: Q = (s, d) =>
+    documents(s, d).select(col("doc_id"),
+      TF.tokenCount(col("text")).cast("long").as("n_words"),
+      Bpe.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+      Bpe.bpeHeadEncoding(col("text")).as("head_enc"))
+
+  // TokenPacker driven by the BPE counts — the packing layout a real
+  // training run would use. Same concat-and-chunk contract as
+  // t_seq_pack, different (subword) budget quantity.
+  val tSeqPackBpe: Q = (s, d) => {
+    val withTokens = documents(s, d).select(col("doc_id"),
+      Bpe.bpeTokenCount(col("text")).as("n_tokens"))
     graft.operators.TokenPacker(withTokens, "n_tokens", 512, Seq(col("doc_id")))
       .select(col("doc_id"), col("n_tokens"), col("start_token"),
         col("pack_first"), col("pack_last"))
@@ -339,6 +362,15 @@ object Ext {
   val dedupJaccard: Q = (s, d) =>
     Dedup.jaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
 
+  // The jaccardPairs SKEW LEVER exercised end-to-end: shingles with
+  // document frequency > 3 (boilerplate stop-shingles — at scale the
+  // Σdf² pair blowup) are dropped BEFORE pair formation; sizes (the
+  // jaccard denominators) are post-cap. The oracle replays the same df
+  // cap in SQL, so the capped path is value-checked, not spec-only.
+  val dedupJaccardCapped: Q = (s, d) =>
+    Dedup.jaccardPairs(documents(s, d), "doc_id", "text", threshold = 0.5,
+      n = 3, maxShingleDf = Some(3))
+
   val dedupMinhash: Q = (s, d) =>
     Dedup.minhashLshPairs(documents(s, d), "doc_id", "text", threshold = 0.5)
 
@@ -421,6 +453,40 @@ object Ext {
       s.read.parquet(dir.getAbsolutePath), queriesSubset(s, d),
       "vec_id", "embedding", k = 10,
       scale, cs, nProbe = 8)
+  }
+
+  // Incremental index maintenance end-to-end: build the at-rest index
+  // on a BASE subset (vec_id % 5 != 4), then apply a deterministic CDC
+  // change-set — deletes (% 13 == 0), updates (% 7 == 0 among
+  // survivors; the vector is REVERSED, so updates genuinely move
+  // across cells), inserts (the held-out % 5 == 4 rows) — via
+  // upsertQuantizedIndex (dynamic partition overwrite of touched cells
+  // only), and query the result with nProbe = nCells. The quantizer
+  // scale is frozen from the base build; the oracle replays the base
+  // scale, the post-CDC corpus (list_reverse for updates), and the
+  // exact int8 arithmetic.
+  val simIvfUpsert: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_ivfups_")
+    val e = embeddings(s, d)
+    val base = e.where(pmod(col("vec_id"), lit(5)) =!= 4)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      base, "vec_id", "embedding", dir.getAbsolutePath,
+      nCentroids = 8, iters = 2)
+    Sources.registerCleanup(dir)
+    val deletes = base.where(pmod(col("vec_id"), lit(13)) === 0)
+      .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+    val updates = base.where(pmod(col("vec_id"), lit(13)) =!= 0 &&
+        pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("U").as("op"))
+    val inserts = e.where(pmod(col("vec_id"), lit(5)) === 4)
+      .select(col("vec_id"), col("embedding"), lit("I").as("op"))
+    SimilaritySearch.upsertQuantizedIndex(
+      deletes.unionByName(updates).unionByName(inserts),
+      "vec_id", "embedding", "op", dir.getAbsolutePath, scale, cs)
+    SimilaritySearch.ivfQuantizedTopKAtRest(
+      s.read.parquet(dir.getAbsolutePath), queriesSubset(s, d),
+      "vec_id", "embedding", k = 10, scale, cs, nProbe = 8)
   }
 
   /** Deterministic gray-PNG synthesis per media id (testdata carries no
@@ -557,12 +623,15 @@ object Ext {
     "t_lang_id" -> tLangId,
     "t_quality" -> tQuality,
     "t_seq_pack" -> tSeqPack,
+    "t_bpe_tokens" -> tBpeTokens,
+    "t_seq_pack_bpe" -> tSeqPackBpe,
     "t_split" -> tSplit,
     "t_leakage_split" -> tLeakageSplit,
     "t_shuffle_rank" -> tShuffleRank,
     "t_vocab" -> tVocab,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_jaccard_capped" -> dedupJaccardCapped,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -573,6 +642,7 @@ object Ext {
     "sim_quant_topk" -> simQuantTopK,
     "sim_ivf_quant" -> simIvfQuant,
     "sim_ivf_at_rest" -> simIvfAtRest,
+    "sim_ivf_upsert" -> simIvfUpsert,
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
@@ -602,6 +672,59 @@ object Ext {
        |sh AS (
        |  SELECT doc_id, unnest($shinglesSql) AS s
        |  FROM toks WHERE len(t) >= 3),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b,
+       |  floor(inter * 1.0 / (sa.n + sb.n - inter) * 1000000 + 0.5) / 1000000
+       |    AS jaccard
+       |FROM pairs
+       |JOIN sz sa ON id_a = sa.doc_id
+       |JOIN sz sb ON id_b = sb.doc_id
+       |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin
+
+  // The pinned BPE merge table rendered as delimiter-framed replace
+  // rules — GENERATED from Bpe.merges, so kernel and oracle can never
+  // drift. The recursive CTE applies rule i by replace() until the
+  // string stops changing, then advances to rule i+1 (exactly the
+  // kernel's per-rule-fixpoint semantics; confluent because left≠right
+  // for every rule — see Bpe scaladoc).
+  private val bpeMergesValues = Bpe.merges.zipWithIndex.map {
+    case ((a, b), i) => s"(${i + 1}, '|$a|$b|', '|$a$b|')"
+  }.mkString(", ")
+
+  private val bpeEncCte =
+    s"""vocab AS (
+       |  SELECT DISTINCT unnest($toksSql) AS w FROM documents),
+       |m AS (SELECT * FROM (VALUES $bpeMergesValues) v(i, pat, rep)),
+       |enc AS (
+       |  SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s,
+       |    1 AS i
+       |  FROM vocab
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s, m.pat, m.rep) AS s,
+       |    CASE WHEN replace(e.s, m.pat, m.rep) = e.s THEN e.i + 1
+       |         ELSE e.i END AS i
+       |  FROM enc e JOIN m ON m.i = e.i
+       |  WHERE e.i <= ${Bpe.merges.length}),
+       |done AS (SELECT w, s FROM enc WHERE i = ${Bpe.merges.length + 1}),
+       |wc AS (SELECT w,
+       |    CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT) AS n
+       |  FROM done)""".stripMargin
+
+  // jaccardOracle with the df cap replayed: shingles in more than 3
+  // docs are dropped before sizes and pair counts (exactly what
+  // Dedup.jaccardPairs(maxShingleDf = Some(3)) does).
+  private val cappedJaccardOracle =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $toksSql AS t FROM documents),
+       |sh0 AS (
+       |  SELECT doc_id, unnest($shinglesSql) AS s
+       |  FROM toks WHERE len(t) >= 3),
+       |keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 3),
+       |sh AS (SELECT doc_id, sh0.s FROM sh0 JOIN keep ON sh0.s = keep.s),
        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -772,6 +895,39 @@ object Ext {
          |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
          |       ELSE (cum - n_tokens) // 512 END AS pack_last
          |FROM c""".stripMargin,
+    "t_bpe_tokens" ->
+      s"""WITH RECURSIVE $bpeEncCte,
+         |docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w2 AS (SELECT doc_id, unnest(t) AS w FROM docs),
+         |per_doc AS (SELECT w2.doc_id, CAST(sum(wc.n) AS BIGINT) AS n_bpe
+         |  FROM w2 JOIN wc ON w2.w = wc.w GROUP BY 1)
+         |SELECT d.doc_id, CAST(len(d.t) AS BIGINT) AS n_words,
+         |  coalesce(p.n_bpe, 0) AS n_bpe_tokens,
+         |  CASE WHEN len(d.t) = 0 THEN ''
+         |       ELSE replace(trim(dn.s, '|'), '|', ' ') END AS head_enc
+         |FROM docs d
+         |LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+         |LEFT JOIN done dn ON dn.w = d.t[1]""".stripMargin,
+    "t_seq_pack_bpe" ->
+      s"""WITH RECURSIVE $bpeEncCte,
+         |docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |w2 AS (SELECT doc_id, unnest(t) AS w FROM docs),
+         |tt AS (SELECT d.doc_id, coalesce(p.n_bpe, 0) AS n_tokens
+         |  FROM docs d LEFT JOIN (
+         |    SELECT w2.doc_id, CAST(sum(wc.n) AS BIGINT) AS n_bpe
+         |    FROM w2 JOIN wc ON w2.w = wc.w GROUP BY 1) p
+         |  ON d.doc_id = p.doc_id),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum
+         |  FROM tt)
+         |SELECT doc_id, n_tokens,
+         |  cum - n_tokens AS start_token,
+         |  (cum - n_tokens) // 512 AS pack_first,
+         |  CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+         |       ELSE (cum - n_tokens) // 512 END AS pack_last
+         |FROM c""".stripMargin,
     "t_quality" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
          |m AS (SELECT doc_id, text, t,
@@ -831,6 +987,7 @@ object Ext {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
     "dedup_jaccard" -> jaccardOracle,
+    "dedup_jaccard_capped" -> cappedJaccardOracle,
     "dedup_minhash" -> jaccardOracle,
     // Full SimHash replication: the fingerprint's token hash is md5's
     // first 8 bytes (see Dedup.simhash64Fn), so DuckDB rebuilds the
@@ -905,6 +1062,52 @@ object Ext {
     "sim_quant_topk" -> quantTopKOracle,
     "sim_ivf_quant" -> quantTopKOracle,
     "sim_ivf_at_rest" -> quantTopKOracle,
+    // quantTopKOracle restructured over the POST-CDC corpus: frozen
+    // base scale, deletes removed, updates reversed, inserts present;
+    // query vectors stay the ORIGINAL embeddings (vec_id < 20).
+    "sim_ivf_upsert" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s
+        |  FROM e WHERE vec_id % 5 <> 4 AND v IS NOT NULL AND len(v) > 0),
+        |corpus AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 5 <> 4 AND vec_id % 13 <> 0
+        |              AND vec_id % 7 = 0
+        |         THEN list_reverse(v) ELSE v END AS v
+        |  FROM e
+        |  WHERE NOT (vec_id % 5 <> 4 AND vec_id % 13 = 0)),
+        |qzc AS (SELECT vec_id, list_transform(v,
+        |      x -> CAST(greatest(-127, least(127,
+        |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
+        |  FROM corpus, sc),
+        |qzq AS (SELECT vec_id, list_transform(v,
+        |      x -> CAST(greatest(-127, least(127,
+        |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
+        |  FROM e, sc WHERE vec_id < 20),
+        |nc AS (SELECT vec_id, q,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
+        |      AS nn
+        |  FROM qzc),
+        |nq AS (SELECT vec_id, q,
+        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
+        |      AS nn
+        |  FROM qzq),
+        |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    floor(CAST(list_reduce(
+        |        list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]),
+        |        (x, y) -> x + y) AS DOUBLE)
+        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+        |      * 1000000 + 0.5) / 1000000 AS qcosine
+        |  FROM (SELECT * FROM nq WHERE nn > 0) a
+        |  JOIN (SELECT * FROM nc WHERE nn > 0) b
+        |    ON b.vec_id <> a.vec_id),
+        |ranked AS (SELECT query_id, cand_id, qcosine,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY qcosine DESC, cand_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT query_id, cand_id, qcosine, rank FROM ranked
+        |WHERE rank <= 10""".stripMargin,
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,

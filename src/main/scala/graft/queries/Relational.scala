@@ -419,7 +419,54 @@ object Relational {
         .as("avg_yearly"))
   }
 
+  // Approx twin of q_percentiles: percentile_approx is ONE mergeable
+  // map-side sketch aggregate — no global sort, no GlobalRank prefix
+  // pass — the shape that wins at 100 TB (q_percentiles stays as the
+  // exact reference). DuckDB can't replay Spark's sketch, so the row
+  // pins the exact lanes (p25..p95 — the very values q_percentiles
+  // oracles) plus the sketch's accuracy contract as booleans:
+  // accuracy=10000 bounds rank error at 1e-4, so each approx value
+  // must lie between the exact interpolated quantiles at p ∓ 0.002
+  // (20× slack absorbs the nearest-rank vs interpolation convention
+  // gap). The oracle emits literal TRUE per lane.
+  val qPercentilesApprox: Q = (s, d) => {
+    import s.implicits._
+    val targets = Seq(0.25, 0.5, 0.75, 0.95)
+    val eps = 0.002
+    val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    val o = graft.operators.GlobalRank.withRowNumber(v, "rn", Seq(col("v")))
+    val ps = targets.flatMap(p => Seq(p - eps, p, p + eps)).toDF("p")
+    val pick = ps.crossJoin(v.agg(count(lit(1)).as("n")))
+      .withColumn("k", (col("n") - 1) * col("p"))
+      .withColumn("lo", floor(col("k")).cast("long") + 1)
+      .withColumn("hi", least(floor(col("k")).cast("long") + 2, col("n")))
+      .withColumn("frac", col("k") - floor(col("k")))
+    val lov = o.select(col("rn").as("lo"), col("v").as("vlo"))
+    val hiv = o.select(col("rn").as("hi"), col("v").as("vhi"))
+    val qs = pick.join(lov, Seq("lo")).join(hiv, Seq("hi"))
+      .withColumn("q", col("vlo") + col("frac") * (col("vhi") - col("vlo")))
+    def qAt(p: Double) =
+      max(when(abs(col("p") - p) < 1e-9, col("q")))
+    val exactRow = qs.agg(
+      qAt(0.25).as("e25"), qAt(0.25 - eps).as("l25"), qAt(0.25 + eps).as("h25"),
+      qAt(0.50).as("e50"), qAt(0.50 - eps).as("l50"), qAt(0.50 + eps).as("h50"),
+      qAt(0.75).as("e75"), qAt(0.75 - eps).as("l75"), qAt(0.75 + eps).as("h75"),
+      qAt(0.95).as("e95"), qAt(0.95 - eps).as("l95"), qAt(0.95 + eps).as("h95"))
+    val approx = v.agg(percentile_approx(col("v"),
+      array(targets.map(lit): _*), lit(10000)).as("ap"))
+    def ok(i: Int, l: String, h: String) =
+      (col("ap")(i) >= col(l) && col("ap")(i) <= col(h))
+    exactRow.crossJoin(approx).select(
+      graft.functions.DetRound.det(col("e25"), 4).as("p25"),
+      graft.functions.DetRound.det(col("e50"), 4).as("p50"),
+      graft.functions.DetRound.det(col("e75"), 4).as("p75"),
+      graft.functions.DetRound.det(col("e95"), 4).as("p95"),
+      ok(0, "l25", "h25").as("p25_ok"), ok(1, "l50", "h50").as("p50_ok"),
+      ok(2, "l75", "h75").as("p75_ok"), ok(3, "l95", "h95").as("p95_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_percentiles_approx" -> qPercentilesApprox,
     "q18_large_volume" -> q18LargeVolume,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
     "q_grouping_sets" -> qGroupingSets,
@@ -549,6 +596,32 @@ object Relational {
         |  max(CASE WHEN p = 0.5 THEN q END) AS p50,
         |  max(CASE WHEN p = 0.75 THEN q END) AS p75,
         |  max(CASE WHEN p = 0.95 THEN q END) AS p95
+        |FROM q""".stripMargin,
+    // Exact q_percentiles lanes replayed; the sketch lanes are pinned
+    // by their rank-error contract (literal TRUE — see qPercentilesApprox).
+    "q_percentiles_approx" ->
+      """WITH v AS (SELECT l_extendedprice AS v FROM lineitem),
+        |o AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        |nn AS (SELECT count(*) AS n FROM v),
+        |pick AS (
+        |  SELECT p.p, (nn.n - 1) * p.p AS k,
+        |    CAST(floor((nn.n - 1) * p.p) AS BIGINT) + 1 AS lo,
+        |    least(CAST(floor((nn.n - 1) * p.p) AS BIGINT) + 2, nn.n) AS hi,
+        |    (nn.n - 1) * p.p - floor((nn.n - 1) * p.p) AS frac
+        |  FROM (VALUES (0.25), (0.5), (0.75), (0.95)) p(p), nn),
+        |q AS (
+        |  SELECT pick.p,
+        |    floor((lov.v + pick.frac * (hiv.v - lov.v)) * 10000 + 0.5) / 10000
+        |      AS q
+        |  FROM pick
+        |  JOIN o lov ON lov.rn = pick.lo
+        |  JOIN o hiv ON hiv.rn = pick.hi)
+        |SELECT
+        |  max(CASE WHEN p = 0.25 THEN q END) AS p25,
+        |  max(CASE WHEN p = 0.5 THEN q END) AS p50,
+        |  max(CASE WHEN p = 0.75 THEN q END) AS p75,
+        |  max(CASE WHEN p = 0.95 THEN q END) AS p95,
+        |  TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
         |FROM q""".stripMargin,
     "q_ntile" ->
       """SELECT decile, count(*) AS n,

@@ -324,4 +324,41 @@ class DifferentialSpec extends AnyFunSuite {
       assert(got == want, s"trial $trial n=$n")
     }
   }
+
+  test("AsOfJoin sliced (skew mode) == unsliced, all directions, hot key") {
+    val rng = new Random(123)
+    // Hot key 0 carries ~60% of both sides (the straggler shape the
+    // slice exists for); ts over ~100 slices of 1000 s, rights sparse
+    // enough that many slices are left-only — the cross-slice boundary
+    // repair is genuinely exercised, not just the local carry.
+    def key(): Long = if (rng.nextInt(10) < 6) 0L else 1L + rng.nextInt(8)
+    val lefts = (1 to 600).map { i =>
+      (key(), new java.sql.Timestamp(1700000000000L +
+        rng.nextInt(100000) * 1000L), i.toLong)
+    }
+    // unique right (key, ts) — the determinism precondition both paths
+    // share (and DuckDB ASOF documents)
+    val usedR = scala.collection.mutable.Set.empty[(Long, Long)]
+    val rights = (1 to 150).flatMap { i =>
+      val k = key()
+      val t = 1700000000000L + rng.nextInt(100000) * 1000L
+      if (usedR.add((k, t))) Some((k, new java.sql.Timestamp(t), i * 1.5))
+      else None
+    }
+    val l = lefts.toDF("key", "ts", "lid")
+    val r = rights.toDF("key", "ts", "px")
+    for {
+      dir <- Seq("backward", "forward", "nearest")
+      // ~100 slices; 1 s = every distinct ts its own slice (carry is
+      // almost entirely boundary repair); huge = one slice (degenerates
+      // to the classic plan modulo the extra join)
+      span <- Seq(1000L * 1000000L, 1000000L, Long.MaxValue / 4)
+    } {
+      val base = AsOfJoin(l, r, "key", "ts", Seq("px"), dir)
+        .collect().map(_.toSeq).toSet
+      val sliced = AsOfJoin(l, r, "key", "ts", Seq("px"), dir,
+        timeSliceMicros = Some(span)).collect().map(_.toSeq).toSet
+      assert(sliced == base, s"direction=$dir span=$span")
+    }
+  }
 }

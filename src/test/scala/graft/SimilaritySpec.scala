@@ -98,6 +98,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ImageFunctions.hwInViewport(500, 1000, 100, 100) == (50, 100))
   }
 
+  test("upsertQuantizedIndex: cell moves, idempotent replay, one file per cell") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val e = emb(spark)
+    val base = e.where(col("vec_id") % 5 =!= 4)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      base, "vec_id", "embedding", path, nCentroids = 4, iters = 2)
+    val changes = base.where(col("vec_id") % 13 === 0)
+      .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+      .unionByName(base.where(col("vec_id") % 13 =!= 0 &&
+          col("vec_id") % 7 === 0)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+          lit("U").as("op")))
+      .unionByName(e.where(col("vec_id") % 5 === 4)
+        .select(col("vec_id"), col("embedding"), lit("I").as("op")))
+    SimilaritySearch.upsertQuantizedIndex(
+      changes, "vec_id", "embedding", "op", path, scale, cs)
+    def snapshot() = spark.read.parquet(path)
+      .select("cand_id", "n", "cell")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      .toSet
+    val after1 = snapshot()
+    val ids1 = after1.map(_._1)
+    // deletes gone, inserts present
+    val deleted = base.where(col("vec_id") % 13 === 0)
+      .select("vec_id").as[Long].collect().toSet
+    val inserted = e.where(col("vec_id") % 5 === 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(deleted.forall(id => !ids1.contains(id)))
+    assert(inserted.subsetOf(ids1))
+    // every id appears in exactly ONE cell (a moved update leaves no
+    // stale copy behind)
+    assert(after1.groupBy(_._1).forall(_._2.size == 1))
+    // idempotent replay
+    SimilaritySearch.upsertQuantizedIndex(
+      changes, "vec_id", "embedding", "op", path, scale, cs)
+    assert(snapshot() == after1)
+    // one data file per cell directory (the at-rest layout survives)
+    val cellDirs = dir.listFiles().filter(f =>
+      f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val files = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${cd.getName}: ${files.length} files")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("withBuckets: deterministic bucket assignment") {
     val e = emb(spark).limit(50).cache()
     val b1 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)
