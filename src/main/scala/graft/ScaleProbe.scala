@@ -21,7 +21,8 @@ object ScaleProbe {
     val stages: Set[String] =
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
-        "contam", "bm25", "profile", "quant", "surprisal", "curriculum")
+        "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
+        "asofskew")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -184,6 +185,69 @@ object ScaleProbe {
         .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
     }
     println(s"[probe] funnel stages: $funnel")
+    }
+
+    // Window-skew probe: one pathological hot key (HALF of all events
+    // remapped to user -1) through the as-of carry. The unsliced plan
+    // serializes the hot key into ONE window task — AQE does NOT split
+    // a Window partition (it splits shuffle-read partitions for
+    // joins/aggs only) — while timeSliceMicros salts the carry into
+    // (key, slice) groups plus a boundary repair. Equal counts assert
+    // the semantic identity; the timing gap is the SCALE.md number.
+    if (stages("asofskew")) {
+      val ev0 = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
+      // Two skew regimes: "hot50" remaps half of all users onto one key
+      // (a bot-dominated log); "hot100" remaps EVERYTHING onto one key
+      // (the asymptote — the unsliced plan is then one serial sort with
+      // every other core idle, the cluster-straggler shape in miniature).
+      def run(label: String, hotCond: org.apache.spark.sql.Column): Unit = {
+        val bigEv = (0 until copies).map { c =>
+          ev0.select((col("event_id") + c * 10000000L).as("event_id"),
+            col("ts"),
+            when(hotCond, lit(-1L))
+              .otherwise(col("user_id") + c * 1000000L).as("user_id"),
+            col("event_type"), col("value"))
+        }.reduce(_ union _).localCheckpoint()
+        val hot = bigEv.where(col("user_id") === -1L).count()
+        println(s"[probe] $label events: ${bigEv.count()} (hot key: $hot)")
+        // Left = EVERY event (annotate each with its most recent prior
+        // purchase) — the full hot-key volume flows through the window,
+        // not just a thin error slice.
+        val lefts = bigEv.select(col("user_id"), col("ts"), col("event_id"))
+        val purch = bigEv.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("p_event_id"), col("value").as("p_value"))
+        // Consume the carried values (count() alone lets ColumnPruning
+        // delete the unused window — the probe would time nothing), and
+        // checksum on DECIMAL so the compare is summation-order-free.
+        def checksum(df: org.apache.spark.sql.DataFrame) = {
+          val r = df.agg(count(lit(1)), count(col("asof_p_event_id")),
+            sum(col("asof_p_value").cast("decimal(18,2)"))).collect()(0)
+          (r.getLong(0), r.getLong(1), r.getDecimal(2))
+        }
+        // min-of-2 (codegen warmup + ambient noise swamp a one-shot)
+        def time2[T](lbl: String)(body: => T): T = {
+          val t0 = System.nanoTime(); body
+          val w1 = (System.nanoTime() - t0) / 1e9
+          val t1 = System.nanoTime(); val r = body
+          val w2 = (System.nanoTime() - t1) / 1e9
+          println(f"[probe] $lbl: ${math.min(w1, w2)}%.1f s (min of 2)")
+          r
+        }
+        val csU = time2(s"$label AsOfJoin UNSLICED (one window task)")(
+          checksum(graft.operators.AsOfJoin(lefts, purch, "user_id", "ts",
+            Seq("p_event_id", "p_value"))))
+        val csS = time2(s"$label AsOfJoin SLICED (6h slices + boundary)")(
+          checksum(graft.operators.AsOfJoin(lefts, purch, "user_id", "ts",
+            Seq("p_event_id", "p_value"),
+            timeSliceMicros = Some(6L * 3600 * 1000000))))
+        require(csU == csS,
+          s"sliced/unsliced checksums diverge: $csU vs $csS")
+        println(s"[probe] $label asof checksum: $csU (sliced == unsliced)")
+        bigEv.unpersist()
+      }
+      run("hot50", pmod(col("user_id"), lit(2)) === 0)
+      run("hot100", lit(true))
     }
     spark.stop()
   }
