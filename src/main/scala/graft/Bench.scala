@@ -28,7 +28,12 @@ object Bench {
     // a real deployment amortizes across thousands of invocations, and
     // the min-of-3 damps transient machine-load spikes (r2/r3 bench
     // history shows >2x ambient noise on an otherwise idle box).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter (dev loop: A/B one family
+    // without paying the full suite).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

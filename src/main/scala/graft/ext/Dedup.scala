@@ -343,45 +343,87 @@ object Dedup {
     * with the minimum id reachable in its connected component (the
     * canonical representative).
     *
-    * Algorithm: alternating large-star / small-star rounds (Kiveris et
-    * al., SoCC 2014) — O(log n) rounds for ANY graph shape, each round
-    * two shuffles (a groupBy min + an equi-join), all distributed. This
-    * replaces the earlier min-label propagation, whose O(diameter)
-    * round count made transitive near-dup CHAINS (doc₁≈doc₂≈…≈doc₄₀ —
-    * a documented real-corpus phenomenon) exceed the iteration cap and
-    * silently return split clusters. With log₂-round convergence the
-    * default cap is unreachable for any physical dataset (2^30
-    * components deep would need > 10^9 nodes on a path); if it IS hit,
-    * the function now THROWS rather than returning wrong labels —
-    * callers (nearDedupClusters / pipeline / dedupSemanticKeep /
-    * leakage-safe splits) inherit loud failure instead of silent
-    * corruption. Convergence is tested by exact set equality of the
-    * edge relation (count + except over materialized checkpoints), not
-    * a checksum. DifferentialSpec pins a diameter-40 path graph against
-    * an independent union-find oracle. */
+    * TWO-PHASE algorithm, tuned to the two graph shapes dup clusters
+    * actually take:
+    *
+    *   Phase 1 — min-label propagation for `propagationRounds` rounds
+    *   (one equi-join + one groupBy = 2 shuffles per round, convergence
+    *   marker fused into the round's single action). O(diameter)
+    *   rounds; dup clusters are near-CLIQUES in practice (diameter
+    *   2-3), so this phase almost always finishes — at the cheapest
+    *   per-round plan there is.
+    *
+    *   Phase 2 — reached ONLY if phase 1 hasn't converged (a
+    *   high-diameter shape: transitive near-dup CHAINS doc₁≈doc₂≈…≈
+    *   doc₄₀, a documented real-corpus phenomenon): alternating
+    *   large-star / small-star rounds (Kiveris et al., "Connected
+    *   Components in MapReduce and Beyond", SoCC 2014) — O(log n)
+    *   rounds for ANY shape. Phase-1 labels are not wasted: each
+    *   (id → label) fact is a component-preserving shortcut edge
+    *   (label is reachable from id by construction) unioned into the
+    *   phase-2 edge set, so propagation work converts into contraction.
+    *   Convergence is exact edge-set equality in ONE aggregate over
+    *   materialized checkpoints (any (src, dst) group of the tagged
+    *   union not seen exactly twice is a difference), not a checksum.
+    *
+    * With log₂-round convergence the phase-2 cap is unreachable for
+    * physical data (2^30-deep contraction needs > 10^9-node paths); if
+    * it IS hit, the function THROWS rather than returning wrong
+    * labels — callers (nearDedupClusters / pipeline / dedupSemanticKeep
+    * / leakage-safe splits) inherit loud failure instead of silent
+    * corruption (the pre-round-7 min-label cap returned silently split
+    * clusters). DifferentialSpec pins a diameter-40 path graph — which
+    * exercises the phase-2 escalation — against an independent
+    * union-find oracle. */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, propagationRounds: Int = 6): DataFrame = {
+    // Symmetrized edges for phase 1; nodes covers self-pairs too.
+    val symEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .where(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
     val nodes = pairs.select(col(aCol).as("id"))
       .union(pairs.select(col(bCol).as("id")))
       .distinct().localCheckpoint()
-    // Canonical orientation: large → small, self-loops dropped (a
-    // self-pair contributes its node to `nodes`, which suffices).
-    var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("src"),
-        least(col(aCol), col(bCol)).as("dst"))
+    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint()
+    var converged = symEdges.isEmpty
+    var iter = 0
+    while (!converged && iter < propagationRounds) {
+      val nbrMin = symEdges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min(col("cluster_id")).as("__nbr"))
+      // Convergence marker computed IN the update pass: the round runs
+      // ONE action (the eager localCheckpoint), and the converged test
+      // is then a filter-isEmpty over the materialized blocks.
+      // localCheckpoint also truncates lineage, which otherwise doubles
+      // per round (an analyzer-blowup hazard past ~15 rounds).
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
+            .as("cluster_id"),
+          (col("__nbr") < col("cluster_id")).as("__changed"))
+        .localCheckpoint()
+      converged = next.where(col("__changed")).isEmpty
+      labels = next.drop("__changed")
+      iter += 1
+    }
+    if (converged) return labels
+    // Phase 2: star rounds over original edges + phase-1 shortcuts,
+    // canonically oriented large → small, self-loops dropped.
+    var edges = symEdges
+      .union(labels.where(col("id") =!= col("cluster_id"))
+        .select(col("id").as("src"), col("cluster_id").as("dst")))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
-    var converged = edges.isEmpty
-    var iter = 0
+    iter = 0
     while (!converged && iter < maxIters) {
-      // localCheckpoint truncates lineage every round (the analyzer
-      // blows up past ~15 rounds of accumulated plan otherwise) and
-      // materializes the round so the convergence test is a cheap
-      // scan over cached blocks, not a recompute.
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged =
-        next.count() == edges.count() && next.except(edges).isEmpty
+      converged = next.union(edges)
+        .groupBy("src", "dst").agg(count(lit(1)).as("__n"))
+        .where(col("__n") =!= 2).isEmpty
       edges = next
       iter += 1
     }
