@@ -56,4 +56,20 @@ class VizGoldenSpec extends AnyFunSuite {
     assert(html.contains("leg-p0") && html.contains("leg-p1"))
     assert(html.contains("ex-p0-b0") && html.contains("ex-p1-b0"))
   }
+
+  test("interaction contract: tap drill-down + legend toggle are wired") {
+    val html = toHtml(fixture)
+    // every bar is tappable and carries its example-target id
+    // (reference tap-tool contract, oarphpy/plotting.py:305-365)
+    assert(html.contains("""onclick="drill(this)""""))
+    assert(html.contains("data-ex=\"ex-p0-b0\""))
+    // the handlers are defined inline (self-contained, no CDN)
+    assert(html.contains("function drill(") && html.contains("function toggle("))
+    // legend entries toggle their pivot's bars
+    assert(html.contains("onclick=\"toggle(0)\"") &&
+      html.contains("onclick=\"toggle(1)\""))
+    // drill highlights + scrolls to the bucket's example block
+    assert(html.contains("classList.add('hit')") &&
+      html.contains("scrollIntoView"))
+  }
 }
