@@ -66,6 +66,25 @@ class PlanSpec extends AnyFunSuite {
       "as-of must not degrade to a product join\n" + p)
   }
 
+  test("sliced as-of: every window partitions on (key, slice), none on key alone") {
+    val p = plan(graft.queries.Events.evAsofSliced(spark, sf))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "sliced as-of must stay a hash/sort plan\n" + p)
+    // The skew guarantee: the big-frame carry windows key on __slice too,
+    // so no window partition can swallow a whole hot key. (The boundary
+    // frame's cross-slice window keys on user_id alone BY DESIGN — it is
+    // O(|keys|*|slices|) rows — and distinguishes itself by ordering on
+    // __slice.)
+    val windowSpecs = p.linesIterator
+      .filter(l => l.contains("windowspecdefinition"))
+      .toSeq
+    assert(windowSpecs.nonEmpty, p.take(2000))
+    windowSpecs.foreach { l =>
+      assert(l.contains("__slice"),
+        s"window not sliced (hot-key straggler shape): $l")
+    }
+  }
+
   test("embedding near-dup join is blocked equi-join, no CartesianProduct") {
     val p = plan(graft.queries.Ext.dedupEmbedding(spark, sf))
     assert(!p.contains("CartesianProduct"),
