@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew")
+        "asofskew", "ivfups", "bpe")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -159,6 +159,56 @@ object ScaleProbe {
         graft.ext.SimilaritySearch.quantizedTopK(
           bigEmb, q, "vec_id", "embedding", k = 10).count())
       println(s"[probe] quantized top-k rows: $nq")
+    }
+
+    // Incremental index maintenance at copies×: the cost claim is that
+    // an upsert tracks the CHANGE SET (touched cells × cell size), not
+    // the index — measured against the full rebuild on the same corpus.
+    if (stages("ivfups")) {
+      val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val bigEmb = (0 until copies).map { c =>
+        emb.select((col("vec_id") + c * 1000000L).as("vec_id"),
+          col("embedding"))
+      }.reduce(_ union _).localCheckpoint()
+      val n = bigEmb.count()
+      val dir = java.nio.file.Files
+        .createTempDirectory("probe_ivfups_").toString
+      val nCells = 256
+      val (scale, cs) = time(s"writeQuantizedIndex FULL BUILD ($n vecs)")(
+        graft.ext.SimilaritySearch.writeQuantizedIndex(
+          bigEmb, "vec_id", "embedding", dir, nCentroids = nCells,
+          iters = 3))
+      // FIXED-size change-set (~60 ops) however big the index grows —
+      // the claim under test is that upsert cost tracks touched cells
+      // (≤ |changes| of them), not index size. Random keys scatter, so
+      // touched ≈ min(|changes|, nCells); keeping |changes| ≪ nCells
+      // keeps the partition pruning visible at every scale.
+      val mod = math.max(300L, n / 20)
+      val changes = bigEmb.where(pmod(col("vec_id"), lit(mod)) === 0)
+        .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+        .unionByName(bigEmb.where(pmod(col("vec_id"), lit(mod)) === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit("U").as("op")))
+        .unionByName(bigEmb.where(pmod(col("vec_id"), lit(mod)) === 2)
+          .select((col("vec_id") + copies * 1000000L).as("vec_id"),
+            col("embedding"), lit("I").as("op")))
+        .localCheckpoint()
+      println(s"[probe] change set: ${changes.count()} ops")
+      time("upsertQuantizedIndex (touched cells only)")(
+        graft.ext.SimilaritySearch.upsertQuantizedIndex(
+          changes, "vec_id", "embedding", "op", dir, scale, cs))
+      println(s"[probe] post-upsert index rows: " +
+        s"${spark.read.parquet(dir).count()}")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // BPE kernel at copies×: row-local, memoized per task — the claim
+    // is map-side flatness (cost ~ corpus chars, no shuffle at all).
+    if (stages("bpe")) {
+      val nTok = time("bpeTokenCount (pinned merges, memoized)")(
+        big.agg(sum(graft.ext.Bpe.bpeTokenCount(col("text")))).collect()(0)
+          .getLong(0))
+      println(s"[probe] bpe tokens: $nTok")
     }
 
     // Keyless interval join at 10x events (the BNLJ-killer case).
