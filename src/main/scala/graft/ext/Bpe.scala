@@ -112,4 +112,142 @@ object Bpe {
   def bpeTokenCount(c: Column): Column = udf(countFn).apply(c)
 
   def bpeHeadEncoding(c: Column): Column = udf(headEncFn).apply(c)
+
+  /** Encode one word under an ARBITRARY merges table (the trained-model
+    * path; `encodeWord` is the pinned-table specialization). Same
+    * semantics: rules in table order, each to fixpoint, forward scan. */
+  private[graft] def encodeWith(
+      merges: Seq[(String, String)], w: String): Array[String] = {
+    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
+    merges.foreach { case (a, b) =>
+      var i = 0
+      while (i < syms.length - 1) {
+        if (syms(i) == a && syms(i + 1) == b) {
+          syms(i) = a + b
+          syms.remove(i + 1)
+        } else i += 1
+      }
+    }
+    syms.toArray
+  }
+
+  /** TRAIN a merges table from a corpus — the missing half of the BPE
+    * story (the pinned table above is the apply-side fixture; real
+    * pipelines learn the merges from their own data, SentencePiece
+    * style).
+    *
+    * Scale shape (the surprisal/k-means recipe): ONE distributed
+    * word-count aggregate, hard-capped at the top `maxVocab` words via
+    * TakeOrdered (deterministic count-desc, word-asc tie-break), then
+    * the classic sequential BPE loop runs DRIVER-SIDE over that bounded
+    * (word, count) table — zero per-merge Spark jobs, driver state
+    * O(maxVocab), corpus never rescanned. Training quality saturates on
+    * the capped vocabulary exactly like the surprisal LM (the dropped
+    * tail is singleton words whose pair counts are noise).
+    *
+    * Determinism (engine-portable): pair selection is max count with
+    * lexicographic (left, right) tie-break; training stops early when
+    * the best pair count is 1 (merging hapax pairs memorizes noise).
+    * Every emitted rule has left != right when `skipSelfPairs` (the
+    * default) — keeping the trained table inside the confluence
+    * invariant the SQL oracle replay machinery requires (an (a, a) rule
+    * is order-sensitive; see the object scaladoc). */
+  def trainMerges(
+      df: org.apache.spark.sql.DataFrame, textCol: String,
+      numMerges: Int, maxVocab: Int = 200000,
+      skipSelfPairs: Boolean = true): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, count, explode, lit, lower,
+      split => fsplit}
+    val words = df
+      .select(explode(fsplit(lower(col(textCol)), "[^a-z0-9]+")).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // TakeOrderedAndProject: one job, O(maxVocab) to the driver.
+      .orderBy(col("n").desc, col("w").asc).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Driver-side classic BPE over the bounded vocab.
+    val syms = words.map { case (w, _) =>
+      val a = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) { a += String.valueOf(w.charAt(i)); i += 1 }
+      a
+    }
+    val counts = words.map(_._2)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var m = 0
+    var exhausted = false
+    while (m < numMerges && !exhausted) {
+      val pairCounts = new java.util.HashMap[(String, String), Long]()
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi); val c = counts(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val p = (s(i), s(i + 1))
+          if (!(skipSelfPairs && p._1 == p._2))
+            pairCounts.merge(p, c, java.lang.Long.sum(_, _))
+          i += 1
+        }
+        wi += 1
+      }
+      var best: (String, String) = null
+      var bestN = 1L // stop below 2: hapax pairs are noise
+      val it = pairCounts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val better = e.getValue > bestN ||
+          (e.getValue == bestN && best != null && {
+            val c = e.getKey._1.compareTo(best._1)
+            c < 0 || (c == 0 && e.getKey._2.compareTo(best._2) < 0)
+          })
+        if (better) { best = e.getKey; bestN = e.getValue }
+      }
+      if (best == null) exhausted = true
+      else {
+        out += best
+        val (a, b) = best
+        var wj = 0
+        while (wj < syms.length) {
+          val s = syms(wj)
+          var i = 0
+          while (i < s.length - 1) {
+            if (s(i) == a && s(i + 1) == b) {
+              s(i) = a + b
+              s.remove(i + 1)
+            } else i += 1
+          }
+          wj += 1
+        }
+      }
+      m += 1
+    }
+    out.toSeq
+  }
+
+  /** Column form of the trained model: token count under `merges`
+    * (same memoized row-local kernel shape as the pinned-table path). */
+  def tokenCountWith(merges: Seq[(String, String)])(c: Column): Column = {
+    val fn: String => Long = {
+      val memo = new java.util.HashMap[String, java.lang.Integer]()
+      text => {
+        var total = 0L
+        val ws = tokenize(text)
+        var i = 0
+        while (i < ws.length) {
+          val w = ws(i)
+          var n = memo.get(w)
+          if (n == null) {
+            n = Integer.valueOf(encodeWith(merges, w).length)
+            memo.put(w, n)
+          }
+          total += n.intValue()
+          i += 1
+        }
+        total
+      }
+    }
+    udf(fn).apply(c)
+  }
 }

@@ -57,6 +57,21 @@ object Ext {
       Bpe.bpeTokenCount(col("text")).as("n_bpe_tokens"),
       Bpe.bpeHeadEncoding(col("text")).as("head_enc"))
 
+  // BPE merge TRAINING on the corpus (the learn-side of the BPE story;
+  // no SQL oracle — iterative data-dependent training isn't
+  // SQL-expressible, so the driver records the weaker rows-only check.
+  // The heavy lifting is spec'd instead: BpeSpec proves the distributed
+  // trainer equals an independent sequential reference on this same
+  // corpus, is deterministic, confluent, and compresses.) Output: the
+  // learned rules in priority order.
+  val tBpeTrain: Q = (s, d) => {
+    import s.implicits._
+    Bpe.trainMerges(documents(s, d), "text", numMerges = 50)
+      .zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b) }
+      .toDF("rank", "left", "right")
+  }
+
   // TokenPacker driven by the BPE counts — the packing layout a real
   // training run would use. Same concat-and-chunk contract as
   // t_seq_pack, different (subword) budget quantity.
@@ -624,6 +639,7 @@ object Ext {
     "t_quality" -> tQuality,
     "t_seq_pack" -> tSeqPack,
     "t_bpe_tokens" -> tBpeTokens,
+    "t_bpe_train" -> tBpeTrain,
     "t_seq_pack_bpe" -> tSeqPackBpe,
     "t_split" -> tSplit,
     "t_leakage_split" -> tLeakageSplit,
