@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -322,14 +322,15 @@ object SimilaritySearch {
     */
   def writeQuantizedIndex(
       candidates: DataFrame, idCol: String, vecCol: String, path: String,
-      nCentroids: Int = 16, iters: Int = 3): (Double, Array[Array[Double]]) = {
+      nCentroids: Int = 16, iters: Int = 3,
+      keyBuckets: Int = 64): (Double, Array[Array[Double]]) = {
     val scale = quantizationScale(candidates, vecCol)
     val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
     val nearest = cellFinder(cs)
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.array_norm
-    candidates
+    val rows = candidates
       .select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("__fv"))
       .where(col("__fv").isNotNull && size(col("__fv")) > 0)
@@ -341,15 +342,62 @@ object SimilaritySearch {
       // one precomputed double (sqrt of an exact integer).
       .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
         col("n"), col("cell"))
-      // Cluster by the partition column before the partitioned write:
-      // without this every task writes a file into EVERY cell dir
-      // (tasks × cells small files — the classic partitionBy
-      // explosion); with it each cell lands in one task → one file per
-      // cell. Costs one shuffle of the (already 8×-shrunk) index rows —
-      // the standard trade for a sane at-rest layout.
-      .repartition(col("cell"))
+      .localCheckpoint() // two writes below share the quantization pass
+    // Cluster by the partition column before the partitioned write:
+    // without this every task writes a file into EVERY cell dir
+    // (tasks × cells small files — the classic partitionBy
+    // explosion); with it each cell lands in one task → one file per
+    // cell. Costs one shuffle of the (already 8×-shrunk) index rows —
+    // the standard trade for a sane at-rest layout.
+    rows.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(path)
+    // KEYMAP sidecar (key → cell), partitioned by a hash bucket of the
+    // key: upsertQuantizedIndex's touched-cell discovery prunes to the
+    // changed keys' buckets instead of scanning the whole index — the
+    // piece that keeps upsert cost change-set-proportional at 100 TB.
+    // Lives INSIDE the index dir under an underscore name, so partition
+    // discovery on `path` never sees it and cleanup stays one delete.
+    rows.select(col("cand_id"), col("cell"))
+      .withColumn("kb", keyBucketCol(col("cand_id"), keyBuckets))
+      .repartition(col("kb"))
+      .write.mode("overwrite").partitionBy("kb").parquet(keymapPath(path))
+    writeKeyBucketsMeta(candidates.sparkSession, path, keyBuckets)
     (scale, cs)
+  }
+
+  private def keymapPath(path: String): String =
+    path.stripSuffix("/") + "/_keymap"
+
+  /** Write-side and read-side MUST bucket identically; the bucket count
+    * is recorded next to the keymap (underscore file — invisible to the
+    * parquet reader) so upsert never has to guess it. */
+  private def keyBucketCol(id: Column, keyBuckets: Int): Column =
+    pmod(xxhash64(id), lit(keyBuckets.toLong)).cast("int")
+
+  private def keyBucketsMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(keymapPath(path), "_graft_keybuckets")
+
+  private def writeKeyBucketsMeta(
+      spark: SparkSession, path: String, keyBuckets: Int): Unit = {
+    val p = keyBucketsMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(keyBuckets.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readKeyBucketsMeta(
+      spark: SparkSession, path: String): Option[Int] = {
+    val p = keyBucketsMetaPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](32)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, n, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
   }
 
   /** Incremental at-rest index maintenance: apply a CDC change-set
@@ -366,7 +414,20 @@ object SimilaritySearch {
     * delete empties its slot). Idempotent: replaying the same
     * change-set reproduces the same index (UpsertSpec). The
     * one-file-per-cell layout is preserved (repartition on the
-    * partition column before the write). */
+    * partition column before the write).
+    *
+    * Touched-cell DISCOVERY is itself change-set-proportional: the
+    * keymap sidecar (key → cell, bucketed by key hash; written by
+    * [[writeQuantizedIndex]]) is read with a static `kb IN (...)`
+    * partition filter over the changed keys' buckets — the index data
+    * files are never scanned to find the old locations. (An index
+    * written before the sidecar existed falls back to a column-pruned
+    * full scan of (cand_id, cell) — correct, but O(index); rebuild to
+    * get the sidecar.) The keymap's changed buckets are rewritten in
+    * the same dynamic-overwrite style; a deleted key's entry can
+    * linger only in a bucket whose every other key was also deleted,
+    * and is semantically inert (worst case: one extra touched cell
+    * whose rewrite is a no-op on the next upsert that hashes there). */
   def upsertQuantizedIndex(
       changes: DataFrame, idCol: String, vecCol: String, opCol: String,
       path: String, scale: Double,
@@ -387,16 +448,36 @@ object SimilaritySearch {
       .withColumn("cell", assignOne(col("__fv")))
       .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
         col("n"), col("cell"))
-      .localCheckpoint() // two consumers: landing-cell scan + the write
+      .localCheckpoint() // consumers: landing cells + index + keymap writes
     val keys = filtered.select(col(idCol).as("cand_id")).distinct()
       .localCheckpoint()
-    val index = spark.read.parquet(path)
+    val keyBuckets = readKeyBucketsMeta(spark, path)
+    // ONE pruned keymap scan (changed keys' buckets only), checkpointed:
+    // touched-cell discovery semi-joins it, the bucket rewrite
+    // anti-joins it, and the checkpoint both shares the scan and cuts
+    // lineage before the overwrite of the very files it read.
+    val kmPruned = keyBuckets.map { kb =>
+      val kbs = keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
+        .distinct().collect().map(_.getInt(0)) // ≤ |changes| values
+      val pruned =
+        if (kbs.isEmpty) spark.read.parquet(keymapPath(path)).limit(0)
+        else spark.read.parquet(keymapPath(path))
+          .where(col("kb").isin(kbs.map(x => x: Any): _*)) // pruned scan
+      pruned.localCheckpoint()
+    }
+    // (cand_id → cell) of changed keys currently in the index: pruned
+    // keymap scan when the sidecar exists, legacy full scan otherwise.
+    val oldLocs = kmPruned match {
+      case Some(km) => km.join(keys, Seq("cand_id"), "left_semi")
+      case None => spark.read.parquet(path)
+        .join(keys, Seq("cand_id"), "left_semi")
+    }
     // Bounded driver state: the distinct touched-cell ids (≤ nCentroids).
-    val touched = index.join(keys, Seq("cand_id"), "left_semi")
-      .select(col("cell")).distinct()
+    val touched = oldLocs.select(col("cell")).distinct()
       .union(upserts.select(col("cell")).distinct())
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
+      val index = spark.read.parquet(path)
       val survivors = index
         .where(col("cell").isin(touched.map(c => c: Any): _*)) // pruned scan
         .join(keys, Seq("cand_id"), "left_anti")
@@ -411,6 +492,21 @@ object SimilaritySearch {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(path)
+    }
+    // Keymap maintenance: rewrite exactly the changed keys' buckets —
+    // surviving entries minus changed keys, plus the upserts' new
+    // locations. (The pruned scan is the checkpoint from above — no
+    // second read, no overwrite-what-you-read hazard.)
+    for (kb <- keyBuckets; km <- kmPruned) {
+      val kmSurvivors = km
+        .join(keys, Seq("cand_id"), "left_anti")
+        .select(col("cand_id"), col("cell"), col("kb"))
+      val kmNew = upserts.select(col("cand_id"), col("cell"))
+        .withColumn("kb", keyBucketCol(col("cand_id"), kb))
+      kmSurvivors.unionByName(kmNew).repartition(col("kb"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb").parquet(keymapPath(path))
     }
   }
 

@@ -147,6 +147,49 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("upsert keymap: pruned discovery == legacy full-scan fallback") {
+    def build(tag: String) = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_km_$tag").toFile
+      dir.deleteOnExit()
+      val e = emb(spark).limit(120)
+      val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+        e, "vec_id", "embedding", dir.getAbsolutePath,
+        nCentroids = 4, iters = 2, keyBuckets = 8)
+      (dir, e, scale, cs)
+    }
+    val changesOf = (e: org.apache.spark.sql.DataFrame) =>
+      e.where(col("vec_id") % 11 === 0)
+        .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+        .unionByName(e.where(col("vec_id") % 11 === 1)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+            lit("U").as("op")))
+    // keymap path
+    val (d1, e1, s1, c1) = build("a")
+    // the sidecar must be invisible to a plain index read
+    val visible = spark.read.parquet(d1.getAbsolutePath).columns.toSet
+    assert(visible == Set("cand_id", "q", "n", "cell"))
+    SimilaritySearch.upsertQuantizedIndex(
+      changesOf(e1), "vec_id", "embedding", "op", d1.getAbsolutePath, s1, c1)
+    // legacy path: same build, sidecar deleted -> full-scan fallback
+    val (d2, e2, s2, c2) = build("b")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(d2, "_keymap"))
+    SimilaritySearch.upsertQuantizedIndex(
+      changesOf(e2), "vec_id", "embedding", "op", d2.getAbsolutePath, s2, c2)
+    def snap(d: java.io.File) = spark.read.parquet(d.getAbsolutePath)
+      .select("cand_id", "n", "cell").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+    assert(snap(d1) == snap(d2), "keymap and fallback paths must agree")
+    // keymap reflects the post-CDC state: one row per surviving key,
+    // cell matches the index
+    val km = spark.read.parquet(d1.getAbsolutePath + "/_keymap")
+      .select("cand_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val idx = snap(d1).map(t => t._1 -> t._3).toMap
+    assert(km == idx, "keymap must mirror the index after upsert")
+    Seq(d1, d2).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
   test("withBuckets: deterministic bucket assignment") {
     val e = emb(spark).limit(50).cache()
     val b1 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)
