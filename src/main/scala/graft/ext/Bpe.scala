@@ -54,35 +54,21 @@ object Bpe {
   require(merges.forall { case (a, b) => a != b },
     "BPE merge rules must have left != right for oracle parity")
 
-  /** Encode one word: char symbols, then each rule in order to
-    * fixpoint. Forward scan without post-merge backtracking is
-    * complete because a merge can never create a new occurrence of the
-    * SAME rule (ab ∉ {a, b}). */
-  private[graft] def encodeWord(w: String): Array[String] = {
-    val syms = scala.collection.mutable.ArrayBuffer.empty[String]
-    var ci = 0
-    while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
-    merges.foreach { case (a, b) =>
-      var i = 0
-      while (i < syms.length - 1) {
-        if (syms(i) == a && syms(i + 1) == b) {
-          syms(i) = a + b
-          syms.remove(i + 1)
-        } else i += 1
-      }
-    }
-    syms.toArray
-  }
+  /** Encode one word under the PINNED table (delegates to
+    * [[encodeWith]] — one kernel, two tables can never drift). */
+  private[graft] def encodeWord(w: String): Array[String] =
+    encodeWith(merges, w)
 
   private def tokenize(text: String): Array[String] =
     if (text == null) Array.empty
     else text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
 
-  /** Total BPE token count of a doc. The per-instance memo is scoped to
-    * the deserialized task closure (no cross-thread sharing) and
-    * exploits the Zipfian word distribution: encode each distinct word
-    * once per task. */
-  private[graft] def countFn: String => Long = {
+  /** Memoized total-token-count closure under `table`. The
+    * per-instance memo is scoped to the deserialized task closure (no
+    * cross-thread sharing) and exploits the Zipfian word distribution:
+    * encode each distinct word once per task. */
+  private def memoizedCountFn(
+      table: Seq[(String, String)]): String => Long = {
     val memo = new java.util.HashMap[String, java.lang.Integer]()
     text => {
       var total = 0L
@@ -92,7 +78,7 @@ object Bpe {
         val w = ws(i)
         var n = memo.get(w)
         if (n == null) {
-          n = Integer.valueOf(encodeWord(w).length)
+          n = Integer.valueOf(encodeWith(table, w).length)
           memo.put(w, n)
         }
         total += n.intValue()
@@ -101,6 +87,8 @@ object Bpe {
       total
     }
   }
+
+  private[graft] def countFn: String => Long = memoizedCountFn(merges)
 
   /** The doc's FIRST word encoded, space-joined ("" for wordless docs) —
     * pins actual token BOUNDARIES in the oracle, not just counts. */
@@ -113,15 +101,17 @@ object Bpe {
 
   def bpeHeadEncoding(c: Column): Column = udf(headEncFn).apply(c)
 
-  /** Encode one word under an ARBITRARY merges table (the trained-model
-    * path; `encodeWord` is the pinned-table specialization). Same
-    * semantics: rules in table order, each to fixpoint, forward scan. */
+  /** Encode one word under an ARBITRARY merges table — THE kernel
+    * (`encodeWord` is its pinned-table specialization): char symbols,
+    * then each rule in table order, each to fixpoint. Forward scan
+    * without post-merge backtracking is complete because a merge can
+    * never create a new occurrence of the SAME rule (ab ∉ {a, b}). */
   private[graft] def encodeWith(
-      merges: Seq[(String, String)], w: String): Array[String] = {
+      table: Seq[(String, String)], w: String): Array[String] = {
     val syms = scala.collection.mutable.ArrayBuffer.empty[String]
     var ci = 0
     while (ci < w.length) { syms += String.valueOf(w.charAt(ci)); ci += 1 }
-    merges.foreach { case (a, b) =>
+    table.foreach { case (a, b) =>
       var i = 0
       while (i < syms.length - 1) {
         if (syms(i) == a && syms(i + 1) == b) {
@@ -226,28 +216,8 @@ object Bpe {
     out.toSeq
   }
 
-  /** Column form of the trained model: token count under `merges`
-    * (same memoized row-local kernel shape as the pinned-table path). */
-  def tokenCountWith(merges: Seq[(String, String)])(c: Column): Column = {
-    val fn: String => Long = {
-      val memo = new java.util.HashMap[String, java.lang.Integer]()
-      text => {
-        var total = 0L
-        val ws = tokenize(text)
-        var i = 0
-        while (i < ws.length) {
-          val w = ws(i)
-          var n = memo.get(w)
-          if (n == null) {
-            n = Integer.valueOf(encodeWith(merges, w).length)
-            memo.put(w, n)
-          }
-          total += n.intValue()
-          i += 1
-        }
-        total
-      }
-    }
-    udf(fn).apply(c)
-  }
+  /** Column form of the trained model: token count under `table`
+    * (the same memoized row-local kernel as the pinned-table path). */
+  def tokenCountWith(table: Seq[(String, String)])(c: Column): Column =
+    udf(memoizedCountFn(table)).apply(c)
 }

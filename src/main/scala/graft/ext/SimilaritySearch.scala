@@ -377,28 +377,44 @@ object SimilaritySearch {
   private def keyBucketsMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(keymapPath(path), "_graft_keybuckets")
 
+  /** Framed ("v1:<n>\n") and written via temp-file + rename so a crash
+    * mid-write can never leave a half-written count that would prune
+    * the WRONG buckets — an unparseable/absent meta file instead
+    * disables pruning (full-scan fallback, correct either way). */
   private def writeKeyBucketsMeta(
       spark: SparkSession, path: String, keyBuckets: Int): Unit = {
     val p = keyBucketsMetaPath(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
-    try out.write(keyBuckets.toString.getBytes("UTF-8")) finally out.close()
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s"._graft_keybuckets.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v1:$keyBuckets\n".getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    require(fs.rename(tmp, p), s"rename $tmp -> $p failed")
   }
 
   private def readKeyBucketsMeta(
-      spark: SparkSession, path: String): Option[Int] = {
-    val p = keyBucketsMetaPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](32)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, n, "UTF-8").trim.toInt)
-      } finally in.close()
-    }
-  }
+      spark: SparkSession, path: String): Option[Int] =
+    scala.util.Try {
+      val p = keyBucketsMetaPath(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val text = try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val bytes = new Array[Byte](64)
+          var n = in.read(bytes)
+          while (n > 0) { buf.write(bytes, 0, n); n = in.read(bytes) }
+          buf.toString("UTF-8")
+        } finally in.close()
+        // The frame IS the integrity check: prefix + newline prove the
+        // write completed (a truncated "v1:6" of "v1:64\n" fails).
+        if (text.startsWith("v1:") && text.endsWith("\n"))
+          Some(text.stripPrefix("v1:").trim.toInt)
+        else None
+      }
+    }.toOption.flatten
 
   /** Incremental at-rest index maintenance: apply a CDC change-set
     * (`opCol` ∈ {"I","U","D"}, keyed by `idCol`; I/U carry the new
@@ -422,12 +438,23 @@ object SimilaritySearch {
     * partition filter over the changed keys' buckets — the index data
     * files are never scanned to find the old locations. (An index
     * written before the sidecar existed falls back to a column-pruned
-    * full scan of (cand_id, cell) — correct, but O(index); rebuild to
-    * get the sidecar.) The keymap's changed buckets are rewritten in
-    * the same dynamic-overwrite style; a deleted key's entry can
-    * linger only in a bucket whose every other key was also deleted,
-    * and is semantically inert (worst case: one extra touched cell
-    * whose rewrite is a no-op on the next upsert that hashes there). */
+    * full scan of (cand_id, cell) — correct, but O(index); see
+    * [[rebuildKeymap]] to migrate.) The keymap's changed buckets are
+    * rewritten in the same dynamic-overwrite style. Dynamic overwrite
+    * only replaces partitions PRESENT in the written data, so both
+    * writes explicitly delete any touched partition whose post-upsert
+    * content is empty (a cell losing its last vector, a bucket losing
+    * its last key) — without that, the deleted rows would silently
+    * remain at rest.
+    *
+    * DURABILITY: the index write and the keymap write are two separate
+    * jobs with no cross-file transaction (immutable-parquet engine, no
+    * table format by design) — a crash between them leaves the keymap
+    * pointing at pre-upsert cells, and discovery through a stale map
+    * can miss a moved row on the NEXT upsert. Recovery is
+    * [[rebuildKeymap]] (one column-pruned index scan) before
+    * re-running the change set; the change-set replay itself is
+    * idempotent. */
   def upsertQuantizedIndex(
       changes: DataFrame, idCol: String, vecCol: String, opCol: String,
       path: String, scale: Double,
@@ -437,7 +464,23 @@ object SimilaritySearch {
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.array_norm
-    val filtered = changes.where(col(opCol).isin("I", "U", "D"))
+    // Loud guard on the AT-MOST-ONE-op-per-key CDC contract (same as
+    // SnapshotMerge): duplicate I/U rows would both survive the
+    // anti-join and corrupt the index with two rows per key; U-then-D
+    // would resurrect a deleted key. One window count over the (small
+    // by contract) change set; assert_true fails executor-side on the
+    // first violation.
+    val filtered = {
+      import org.apache.spark.sql.expressions.Window
+      changes.where(col(opCol).isin("I", "U", "D"))
+        .withColumn("__kc",
+          count(lit(1)).over(Window.partitionBy(col(idCol))))
+        .withColumn("__chk", assert_true(col("__kc") === 1,
+          concat(lit(s"upsertQuantizedIndex: duplicate key in changes: "),
+            col(idCol).cast("string"))))
+        .where(col("__chk").isNull)
+        .drop("__kc", "__chk")
+    }
     val upserts = filtered.where(col(opCol) =!= "D")
       .select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("__fv"))
@@ -482,16 +525,31 @@ object SimilaritySearch {
         .where(col("cell").isin(touched.map(c => c: Any): _*)) // pruned scan
         .join(keys, Seq("cand_id"), "left_anti")
         .select(col("cand_id"), col("q"), col("n"), col("cell"))
-      survivors.unionByName(upserts)
+      val out = survivors.unionByName(upserts)
         .repartition(col("cell"))
         // Materialize BEFORE the write: the write replaces partitions of
         // the very path the survivors scan reads (checkpoint cuts the
         // lineage, so the read completes first and the overwrite-what-
         // you-read hazard cannot bite).
         .localCheckpoint()
-        .write.mode("overwrite")
+      out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell").parquet(path)
+      // Dynamic overwrite only rewrites partitions PRESENT in the
+      // output: a touched cell whose post-upsert content is EMPTY
+      // (delete/move of its last vector) gets zero output rows and its
+      // stale directory would survive — the deleted vector would stay
+      // queryable. Drop those directories explicitly.
+      val outCells = out.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val emptied = touched.filterNot(outCells)
+      if (emptied.nonEmpty) {
+        val hconf = spark.sessionState.newHadoopConf()
+        emptied.foreach { c =>
+          val dir = new org.apache.hadoop.fs.Path(path, s"cell=$c")
+          dir.getFileSystem(hconf).delete(dir, true)
+        }
+      }
     }
     // Keymap maintenance: rewrite exactly the changed keys' buckets —
     // surviving entries minus changed keys, plus the upserts' new
@@ -503,11 +561,44 @@ object SimilaritySearch {
         .select(col("cand_id"), col("cell"), col("kb"))
       val kmNew = upserts.select(col("cand_id"), col("cell"))
         .withColumn("kb", keyBucketCol(col("cand_id"), kb))
-      kmSurvivors.unionByName(kmNew).repartition(col("kb"))
-        .write.mode("overwrite")
+      val kmOut = kmSurvivors.unionByName(kmNew).repartition(col("kb"))
+        .localCheckpoint() // consumed by the write AND the emptied scan
+      kmOut.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("kb").parquet(keymapPath(path))
+      // Same stale-partition hole as the cells: a bucket whose every
+      // key was deleted yields no output rows, so dynamic overwrite
+      // would leave its directory (and its deleted keys) behind.
+      val outKbs = kmOut.select(col("kb")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      val changedKbs = keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
+        .distinct().collect().map(_.getInt(0))
+      val emptiedKbs = changedKbs.filterNot(outKbs)
+      if (emptiedKbs.nonEmpty) {
+        val hconf = spark.sessionState.newHadoopConf()
+        emptiedKbs.foreach { b =>
+          val d = new org.apache.hadoop.fs.Path(keymapPath(path), s"kb=$b")
+          d.getFileSystem(hconf).delete(d, true)
+        }
+      }
     }
+  }
+
+  /** Rebuild the keymap sidecar from the index itself — ONE
+    * column-pruned scan of (cand_id, cell). The recovery path for a
+    * torn upsert (see [[upsertQuantizedIndex]] DURABILITY) and the
+    * migration path for a pre-sidecar index that should stop paying
+    * the full-scan discovery fallback. */
+  def rebuildKeymap(
+      spark: SparkSession, path: String, keyBuckets: Int = 64): Unit = {
+    spark.read.parquet(path)
+      .select(col("cand_id"), col("cell"))
+      .withColumn("kb", keyBucketCol(col("cand_id"), keyBuckets))
+      .repartition(col("kb"))
+      // no checkpoint needed: the scan reads cell=* dirs, the write
+      // replaces only the disjoint _keymap subtree
+      .write.mode("overwrite").partitionBy("kb").parquet(keymapPath(path))
+    writeKeyBucketsMeta(spark, path, keyBuckets)
   }
 
   /** Query the at-rest index: the bounded query set's probe cells are

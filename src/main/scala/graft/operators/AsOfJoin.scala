@@ -71,7 +71,15 @@ object AsOfJoin {
     val lTagged = left
       .withColumn("__payload", lit(null).cast(carrySchema))
       .withColumn("__side", lit(1))
+    // NULL-ts semantics pinned to the DuckDB ASOF the oracles use: a
+    // null timestamp never matches (the >=/<= comparison is NULL), so
+    // null-ts right rows are dropped here and null-ts left rows get a
+    // null payload in the final projection. (Without this, Spark's
+    // asymmetric null ordering — nulls first under asc, last under
+    // desc — would hand null-ts rows direction-dependent matches, and
+    // the sliced mode would diverge from the classic mode on them.)
     val rTagged = right
+      .where(col(tsCol).isNotNull)
       .select(col(keyCol), col(tsCol),
         struct(col(tsCol).as("__rts"),
           struct(payloadCols.map(col): _*).as("__p")).as("__payload"))
@@ -161,7 +169,9 @@ object AsOfJoin {
     }
     val carried = withAsof.where(col("__side") === 1)
     payloadCols.foldLeft(carried) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"__asof.__p.$c"))
+      // null-ts left rows match nothing (see rTagged note)
+      df.withColumn(s"asof_$c",
+        when(col(tsCol).isNotNull, col(s"__asof.__p.$c")))
     }.select((leftCols.map(col) ++ payloadCols.map(c => col(s"asof_$c"))): _*)
   }
 }

@@ -28,6 +28,31 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("t3").isEmpty)          // key 2 has no quotes
   }
 
+  test("null timestamps: never match, direction- and mode-independent (ASOF contract)") {
+    val trades = Seq(
+      (1L, ts(10), "t1"), (1L, null.asInstanceOf[Timestamp], "tnull"),
+      (1L, ts(20), "t2")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(8), 100.0), (1L, null.asInstanceOf[Timestamp], 666.0),
+      (1L, ts(15), 102.0)).toDF("key", "ts", "px")
+    for {
+      dir <- Seq("backward", "forward", "nearest")
+      slice <- Seq(None, Some(60L * 1000000))
+    } {
+      val got = AsOfJoin(trades, quotes, "key", "ts", Seq("px"), dir, slice)
+        .collect()
+        .map(r => (r.getAs[String]("trade"), Option(r.getAs[Any]("asof_px"))))
+        .toMap
+      // a null-ts left row matches nothing, in every direction and mode
+      assert(got("tnull").isEmpty, s"dir=$dir slice=$slice")
+      // the null-ts right row (px=666) is invisible to every match
+      assert(!got.values.flatten.exists(_ == 666.0), s"dir=$dir slice=$slice")
+      // real rows still match per direction
+      if (dir == "backward") assert(got("t1").contains(100.0))
+      if (dir == "forward") assert(got("t1").contains(102.0))
+    }
+  }
+
   test("asof join carries multiple payload columns") {
     val l = Seq((1L, ts(10), "a")).toDF("key", "ts", "x")
     val r = Seq((1L, ts(9), 5L, "meta")).toDF("key", "ts", "qty", "note")

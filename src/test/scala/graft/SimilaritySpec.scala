@@ -190,6 +190,54 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(d1, d2).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  test("upsert: emptying a cell deletes its directory (no stale vectors)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_cell_").toFile
+    dir.deleteOnExit()
+    val e = emb(spark).limit(100)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      e, "vec_id", "embedding", dir.getAbsolutePath, nCentroids = 4, iters = 2)
+    // pick one whole cell and delete every key in it
+    val idx0 = spark.read.parquet(dir.getAbsolutePath)
+      .select("cand_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1)))
+    val victim = idx0.groupBy(_._2).minBy(_._2.length)._1
+    val victimIds = idx0.filter(_._2 == victim).map(_._1).toSet
+    val changes = e.where(col("vec_id").isin(victimIds.toSeq.map(x => x: Any): _*))
+      .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+    SimilaritySearch.upsertQuantizedIndex(
+      changes, "vec_id", "embedding", "op", dir.getAbsolutePath, scale, cs)
+    // stale partition dir gone, vectors unreadable, keymap clean
+    assert(!new java.io.File(dir, s"cell=$victim").exists(),
+      "emptied cell directory must be deleted, not left stale")
+    val after = spark.read.parquet(dir.getAbsolutePath)
+      .select("cand_id").as[Long].collect().toSet
+    assert(victimIds.forall(id => !after.contains(id)))
+    val km = spark.read.parquet(dir.getAbsolutePath + "/_keymap")
+      .select("cand_id").as[Long].collect().toSet
+    assert(victimIds.forall(id => !km.contains(id)))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("upsert: duplicate key in the change set fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dupkey_").toFile
+    dir.deleteOnExit()
+    val e = emb(spark).limit(60)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      e, "vec_id", "embedding", dir.getAbsolutePath, nCentroids = 2, iters = 1)
+    val dup = e.where(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding"), lit("U").as("op"))
+    val ex = intercept[Exception] {
+      SimilaritySearch.upsertQuantizedIndex(
+        dup.unionByName(dup), "vec_id", "embedding", "op",
+        dir.getAbsolutePath, scale, cs)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("duplicate key")),
+      s"expected the duplicate-key guard, got: $ex")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("withBuckets: deterministic bucket assignment") {
     val e = emb(spark).limit(50).cache()
     val b1 = SimilaritySearch.withBuckets(e, "embedding", 8, 2)
