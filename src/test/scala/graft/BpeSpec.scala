@@ -132,6 +132,16 @@ class BpeSpec extends AnyFunSuite {
     val charLen = sample.map(_.length.toLong).sum
     val tokLen = sample.map(w => Bpe.encodeWith(got, w).length.toLong).sum
     assert(tokLen < charLen, "trained merges should compress the vocab")
+    // the Column form of the trained model agrees with the kernel
+    val viaCol = docs.select(
+      org.apache.spark.sql.functions.sum(
+        Bpe.tokenCountWith(got)(org.apache.spark.sql.functions.col("text"))))
+      .collect()(0).getLong(0)
+    val viaKernel = docs.select("text").collect()
+      .map(r => Option(r.getString(0)).getOrElse(""))
+      .map(t => t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .map(w => Bpe.encodeWith(got, w).length.toLong).sum).sum
+    assert(viaCol == viaKernel)
   }
 
   test("trainMerges is capped: maxVocab bounds driver state, not correctness") {
