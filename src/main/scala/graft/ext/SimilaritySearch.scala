@@ -330,7 +330,7 @@ object SimilaritySearch {
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val qz = qzUdf(scale)
     import graft.functions.VectorFunctions.array_norm
-    val rows = candidates
+    val base = candidates
       .select(col(idCol).as("cand_id"),
         col(vecCol).cast("array<double>").as("__fv"))
       .where(col("__fv").isNotNull && size(col("__fv")) > 0)
@@ -342,7 +342,9 @@ object SimilaritySearch {
       // one precomputed double (sqrt of an exact integer).
       .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
         col("n"), col("cell"))
-      .localCheckpoint() // two writes below share the quantization pass
+    val withSidecar = keyBuckets > 0
+    // checkpoint only when a second consumer (the keymap write) exists
+    val rows = if (withSidecar) base.localCheckpoint() else base
     // Cluster by the partition column before the partitioned write:
     // without this every task writes a file into EVERY cell dir
     // (tasks × cells small files — the classic partitionBy
@@ -357,11 +359,17 @@ object SimilaritySearch {
     // piece that keeps upsert cost change-set-proportional at 100 TB.
     // Lives INSIDE the index dir under an underscore name, so partition
     // discovery on `path` never sees it and cleanup stays one delete.
-    rows.select(col("cand_id"), col("cell"))
-      .withColumn("kb", keyBucketCol(col("cand_id"), keyBuckets))
-      .repartition(col("kb"))
-      .write.mode("overwrite").partitionBy("kb").parquet(keymapPath(path))
-    writeKeyBucketsMeta(candidates.sparkSession, path, keyBuckets)
+    // `keyBuckets <= 0` skips it (a read-only serving index doesn't
+    // need CDC machinery); [[rebuildKeymap]] adds it later if plans
+    // change, and an upsert against a sidecar-less index falls back to
+    // full-scan discovery.
+    if (withSidecar) {
+      rows.select(col("cand_id"), col("cell"))
+        .withColumn("kb", keyBucketCol(col("cand_id"), keyBuckets))
+        .repartition(col("kb"))
+        .write.mode("overwrite").partitionBy("kb").parquet(keymapPath(path))
+      writeKeyBucketsMeta(candidates.sparkSession, path, keyBuckets)
+    }
     (scale, cs)
   }
 
@@ -495,13 +503,17 @@ object SimilaritySearch {
     val keys = filtered.select(col(idCol).as("cand_id")).distinct()
       .localCheckpoint()
     val keyBuckets = readKeyBucketsMeta(spark, path)
+    // Changed keys' bucket ids — ≤ |changes| values, computed ONCE for
+    // both the pruned scan and the emptied-bucket sweep.
+    val changedKbs = keyBuckets.map { kb =>
+      keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
+        .distinct().collect().map(_.getInt(0))
+    }
     // ONE pruned keymap scan (changed keys' buckets only), checkpointed:
     // touched-cell discovery semi-joins it, the bucket rewrite
     // anti-joins it, and the checkpoint both shares the scan and cuts
     // lineage before the overwrite of the very files it read.
-    val kmPruned = keyBuckets.map { kb =>
-      val kbs = keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
-        .distinct().collect().map(_.getInt(0)) // ≤ |changes| values
+    val kmPruned = changedKbs.map { kbs =>
       val pruned =
         if (kbs.isEmpty) spark.read.parquet(keymapPath(path)).limit(0)
         else spark.read.parquet(keymapPath(path))
@@ -555,7 +567,7 @@ object SimilaritySearch {
     // surviving entries minus changed keys, plus the upserts' new
     // locations. (The pruned scan is the checkpoint from above — no
     // second read, no overwrite-what-you-read hazard.)
-    for (kb <- keyBuckets; km <- kmPruned) {
+    for (kb <- keyBuckets; km <- kmPruned; kbs <- changedKbs) {
       val kmSurvivors = km
         .join(keys, Seq("cand_id"), "left_anti")
         .select(col("cand_id"), col("cell"), col("kb"))
@@ -571,9 +583,7 @@ object SimilaritySearch {
       // would leave its directory (and its deleted keys) behind.
       val outKbs = kmOut.select(col("kb")).distinct()
         .collect().map(_.getInt(0)).toSet
-      val changedKbs = keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
-        .distinct().collect().map(_.getInt(0))
-      val emptiedKbs = changedKbs.filterNot(outKbs)
+      val emptiedKbs = kbs.filterNot(outKbs)
       if (emptiedKbs.nonEmpty) {
         val hconf = spark.sessionState.newHadoopConf()
         emptiedKbs.foreach { b =>

@@ -462,7 +462,8 @@ object Ext {
     val dir = Sources.fixtureDir(s, "graft_ivfidx_")
     val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
       embeddings(s, d), "vec_id", "embedding", dir.getAbsolutePath,
-      nCentroids = 8, iters = 2)
+      // read-only serving index: no CDC sidecar needed (keyBuckets=0)
+      nCentroids = 8, iters = 2, keyBuckets = 0)
     Sources.registerCleanup(dir)
     SimilaritySearch.ivfQuantizedTopKAtRest(
       s.read.parquet(dir.getAbsolutePath), queriesSubset(s, d),
@@ -486,7 +487,9 @@ object Ext {
     val base = e.where(pmod(col("vec_id"), lit(5)) =!= 4)
     val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
       base, "vec_id", "embedding", dir.getAbsolutePath,
-      nCentroids = 8, iters = 2)
+      // keyBuckets sized to the fixture (64 near-empty bucket dirs are
+      // pure write overhead at this SF; production sizes this up)
+      nCentroids = 8, iters = 2, keyBuckets = 8)
     Sources.registerCleanup(dir)
     val deletes = base.where(pmod(col("vec_id"), lit(13)) === 0)
       .select(col("vec_id"), col("embedding"), lit("D").as("op"))

@@ -190,6 +190,33 @@ class SimilaritySpec extends AnyFunSuite {
     Seq(d1, d2).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  test("keyBuckets=0: no sidecar written; upsert falls back; rebuild migrates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_km_off_").toFile
+    dir.deleteOnExit()
+    val e = emb(spark).limit(100)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      e, "vec_id", "embedding", dir.getAbsolutePath,
+      nCentroids = 4, iters = 2, keyBuckets = 0)
+    // read-only serving build: no CDC sidecar at all
+    assert(!new java.io.File(dir, "_keymap").exists())
+    // upsert against the sidecar-less index works via full-scan fallback
+    val changes = e.where(col("vec_id") % 7 === 0)
+      .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+    SimilaritySearch.upsertQuantizedIndex(
+      changes, "vec_id", "embedding", "op", dir.getAbsolutePath, scale, cs)
+    val ids = spark.read.parquet(dir.getAbsolutePath)
+      .select("cand_id").as[Long].collect().toSet
+    val want = e.where(col("vec_id") % 7 =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == want)
+    // migration: rebuildKeymap adds the sidecar from the index itself
+    SimilaritySearch.rebuildKeymap(spark, dir.getAbsolutePath, keyBuckets = 8)
+    val km = spark.read.parquet(dir.getAbsolutePath + "/_keymap")
+      .select("cand_id").as[Long].collect().toSet
+    assert(km == want, "rebuilt keymap must mirror the index")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("upsert: emptying a cell deletes its directory (no stale vectors)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_empty_cell_").toFile
     dir.deleteOnExit()
