@@ -378,13 +378,20 @@ object Dedup {
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       maxIters: Int = 30, propagationRounds: Int = 6): DataFrame = {
+    // Materialize the narrow (src, dst) projection ONCE: the input
+    // pairs frame usually carries an expensive lineage (LSH candidate
+    // joins, shingle kernels, verification), and both the edge set and
+    // the node set need it — deriving either straight from `pairs`
+    // would re-execute that whole lineage a second time.
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint()
     // Symmetrized edges for phase 1; nodes covers self-pairs too.
-    val symEdges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val symEdges = p0
+      .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
       .distinct().localCheckpoint()
-    val nodes = pairs.select(col(aCol).as("id"))
-      .union(pairs.select(col(bCol).as("id")))
+    val nodes = p0.select(col("src").as("id"))
+      .union(p0.select(col("dst").as("id")))
       .distinct().localCheckpoint()
     var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = symEdges.isEmpty

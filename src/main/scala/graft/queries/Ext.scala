@@ -507,6 +507,55 @@ object Ext {
       "vec_id", "embedding", k = 10, scale, cs, nProbe = 8)
   }
 
+  // CONTINUOUS index maintenance: the same CDC change-set arrives as a
+  // STREAM — two chronological micro-batches (deletes+updates, then
+  // inserts; file source + maxFilesPerTrigger=1 in pinned-mtime order)
+  // — and foreachBatch applies upsertQuantizedIndex per batch. This is
+  // the production serving loop (Kafka CDC → foreachBatch → dynamic
+  // partition overwrite of touched cells; state lives in the index
+  // itself, so the stream needs no state store and restarts resume
+  // from the sink checkpoint). Each batch has unique keys by
+  // construction (D/U and I key sets are disjoint), so the final index
+  // state equals the one-shot upsert and the entry shares
+  // sim_ivf_upsert's oracle.
+  val stIndexUpsert: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_stidx_")
+    val e = embeddings(s, d)
+    val base = e.where(pmod(col("vec_id"), lit(5)) =!= 4)
+    val (scale, cs) = SimilaritySearch.writeQuantizedIndex(
+      base, "vec_id", "embedding", dir.getAbsolutePath,
+      nCentroids = 8, iters = 2, keyBuckets = 8)
+    Sources.registerCleanup(dir)
+    val deletes = base.where(pmod(col("vec_id"), lit(13)) === 0)
+      .select(col("vec_id"), col("embedding"), lit("D").as("op"))
+    val updates = base.where(pmod(col("vec_id"), lit(13)) =!= 0 &&
+        pmod(col("vec_id"), lit(7)) === 0)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"),
+        lit("U").as("op"))
+    val inserts = e.where(pmod(col("vec_id"), lit(5)) === 4)
+      .select(col("vec_id"), col("embedding"), lit("I").as("op"))
+    val cdcDir = Sources.fixtureDir(s, "graft_stidx_cdc_")
+    val t0 = System.currentTimeMillis() - 120000
+    Sources.writeOrderedPart(
+      deletes.unionByName(updates), cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(inserts, cdcDir, "b.parquet", t0 + 60000)
+    val stream = s.readStream.schema(deletes.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        SimilaritySearch.upsertQuantizedIndex(
+          batch, "vec_id", "embedding", "op", dir.getAbsolutePath,
+          scale, cs)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SimilaritySearch.ivfQuantizedTopKAtRest(
+      s.read.parquet(dir.getAbsolutePath), queriesSubset(s, d),
+      "vec_id", "embedding", k = 10, scale, cs, nProbe = 8)
+  }
+
   /** Deterministic gray-PNG synthesis per media id (testdata carries no
     * real media, so the multimodal lane builds its own): dims
     * (16 + id%17) x (12 + id%11), pixel(x,y) = (id*31 + x*7 + y*13) %
@@ -662,6 +711,7 @@ object Ext {
     "sim_ivf_quant" -> simIvfQuant,
     "sim_ivf_at_rest" -> simIvfAtRest,
     "sim_ivf_upsert" -> simIvfUpsert,
+    "st_index_upsert" -> stIndexUpsert,
     "t_bm25" -> tBm25,
     "t_contamination" -> tContamination,
     "t_redact" -> tRedact,
@@ -1081,52 +1131,8 @@ object Ext {
     "sim_quant_topk" -> quantTopKOracle,
     "sim_ivf_quant" -> quantTopKOracle,
     "sim_ivf_at_rest" -> quantTopKOracle,
-    // quantTopKOracle restructured over the POST-CDC corpus: frozen
-    // base scale, deletes removed, updates reversed, inserts present;
-    // query vectors stay the ORIGINAL embeddings (vec_id < 20).
-    "sim_ivf_upsert" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s
-        |  FROM e WHERE vec_id % 5 <> 4 AND v IS NOT NULL AND len(v) > 0),
-        |corpus AS (SELECT vec_id,
-        |    CASE WHEN vec_id % 5 <> 4 AND vec_id % 13 <> 0
-        |              AND vec_id % 7 = 0
-        |         THEN list_reverse(v) ELSE v END AS v
-        |  FROM e
-        |  WHERE NOT (vec_id % 5 <> 4 AND vec_id % 13 = 0)),
-        |qzc AS (SELECT vec_id, list_transform(v,
-        |      x -> CAST(greatest(-127, least(127,
-        |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
-        |  FROM corpus, sc),
-        |qzq AS (SELECT vec_id, list_transform(v,
-        |      x -> CAST(greatest(-127, least(127,
-        |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
-        |  FROM e, sc WHERE vec_id < 20),
-        |nc AS (SELECT vec_id, q,
-        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
-        |      AS nn
-        |  FROM qzc),
-        |nq AS (SELECT vec_id, q,
-        |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
-        |      AS nn
-        |  FROM qzq),
-        |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |    floor(CAST(list_reduce(
-        |        list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]),
-        |        (x, y) -> x + y) AS DOUBLE)
-        |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
-        |      * 1000000 + 0.5) / 1000000 AS qcosine
-        |  FROM (SELECT * FROM nq WHERE nn > 0) a
-        |  JOIN (SELECT * FROM nc WHERE nn > 0) b
-        |    ON b.vec_id <> a.vec_id),
-        |ranked AS (SELECT query_id, cand_id, qcosine,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY qcosine DESC, cand_id) AS INT) AS rank
-        |  FROM scored)
-        |SELECT query_id, cand_id, qcosine, rank FROM ranked
-        |WHERE rank <= 10""".stripMargin,
+    "sim_ivf_upsert" -> ivfUpsertOracle,
+    "st_index_upsert" -> ivfUpsertOracle,
     "t_bm25" -> bm25Oracle,
     "t_contamination" -> contaminationOracle,
     "t_redact" -> redactOracle,
@@ -1440,6 +1446,55 @@ object Ext {
        |    AS redacted_hash
        |FROM pii""".stripMargin
   }
+
+  /** quantTopKOracle restructured over the POST-CDC corpus: frozen base
+    * scale, deletes removed, updates reversed, inserts present; query
+    * vectors stay the ORIGINAL embeddings (vec_id < 20). Shared by the
+    * one-shot (sim_ivf_upsert) and streaming (st_index_upsert) entries
+    * — both converge the index to the same state. */
+  private lazy val ivfUpsertOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sc AS (SELECT max(list_max(list_transform(v, x -> abs(x)))) AS s
+      |  FROM e WHERE vec_id % 5 <> 4 AND v IS NOT NULL AND len(v) > 0),
+      |corpus AS (SELECT vec_id,
+      |    CASE WHEN vec_id % 5 <> 4 AND vec_id % 13 <> 0
+      |              AND vec_id % 7 = 0
+      |         THEN list_reverse(v) ELSE v END AS v
+      |  FROM e
+      |  WHERE NOT (vec_id % 5 <> 4 AND vec_id % 13 = 0)),
+      |qzc AS (SELECT vec_id, list_transform(v,
+      |      x -> CAST(greatest(-127, least(127,
+      |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
+      |  FROM corpus, sc),
+      |qzq AS (SELECT vec_id, list_transform(v,
+      |      x -> CAST(greatest(-127, least(127,
+      |        floor(x / s * 127 + 0.5))) AS BIGINT)) AS q
+      |  FROM e, sc WHERE vec_id < 20),
+      |nc AS (SELECT vec_id, q,
+      |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
+      |      AS nn
+      |  FROM qzc),
+      |nq AS (SELECT vec_id, q,
+      |    list_reduce(list_transform(q, x -> x * x), (a, b) -> a + b)
+      |      AS nn
+      |  FROM qzq),
+      |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+      |    floor(CAST(list_reduce(
+      |        list_transform(list_zip(a.q, b.q), z -> z[1] * z[2]),
+      |        (x, y) -> x + y) AS DOUBLE)
+      |      / (sqrt(CAST(a.nn AS DOUBLE)) * sqrt(CAST(b.nn AS DOUBLE)))
+      |      * 1000000 + 0.5) / 1000000 AS qcosine
+      |  FROM (SELECT * FROM nq WHERE nn > 0) a
+      |  JOIN (SELECT * FROM nc WHERE nn > 0) b
+      |    ON b.vec_id <> a.vec_id),
+      |ranked AS (SELECT query_id, cand_id, qcosine,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY qcosine DESC, cand_id) AS INT) AS rank
+      |  FROM scored)
+      |SELECT query_id, cand_id, qcosine, rank FROM ranked
+      |WHERE rank <= 10""".stripMargin
 
   /** Quantized-cosine replication: int8 quantization (q = floor(x/s*127
     * + 0.5), global symmetric scale from the corpus max |component|),

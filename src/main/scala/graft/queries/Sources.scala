@@ -52,6 +52,32 @@ object Sources {
     dir
   }
 
+  /** Write `df` as ONE parquet file named `name` inside `dir` with a
+    * pinned mtime — the building block for multi-micro-batch streaming
+    * fixtures: a file source with maxFilesPerTrigger=1 processes files
+    * in mtime order, so pinned mtimes make the batch sequence
+    * deterministic. Fails fast if the filesystem silently ignores
+    * setLastModified (the batches would reorder and the oracle would
+    * fail with no hint why). */
+  private[queries] def writeOrderedPart(df: DataFrame, dir: File,
+      name: String, mtime: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_ordpart_")
+    // register the ROOT first (registerCleanup only walks descendants;
+    // deleteOnExit is LIFO so root registered before children deletes
+    // last — otherwise the emptied dir leaks)
+    tmp.toFile.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new File(dir, name)
+    Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dst.setLastModified(mtime),
+      s"setLastModified failed for $dst — filesystem does not " +
+        "support mtime updates; ordered streaming batches need it")
+    registerCleanup(tmp.toFile)
+  }
+
   /** deleteOnExit is LIFO, so register descendants after the dir itself
     * (the dir was registered at creation) in top-down walk order —
     * deletion then runs bottom-up, so nested partition directories

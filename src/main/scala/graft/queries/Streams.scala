@@ -117,7 +117,6 @@ object Streams {
     * and no live window crosses the eviction threshold (1 h margin) —
     * the oracle replays both emissions as plain SQL. */
   val stHourlyUpdate: Q = (s, d) => withStreamPartitions(s, 4) {
-    import java.nio.file.{Files => JF, StandardCopyOption}
     val ev = Tables.events(s, d) // µs-normalized batch read
     val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
       .collect()(0)
@@ -128,30 +127,11 @@ object Streams {
     } else {
       val cut = (b.getLong(0) + b.getLong(1)) / 2
       val dir = Sources.fixtureDir(s, "graft_stupd_")
-      def writeHalf(cond: org.apache.spark.sql.Column, name: String,
-          mtime: Long): Unit = {
-        val tmp = JF.createTempDirectory("graft_stupd_half_")
-        // register the ROOT first (registerCleanup only walks
-        // descendants; deleteOnExit is LIFO so root registered before
-        // children deletes last — otherwise the emptied dir leaks)
-        tmp.toFile.deleteOnExit()
-        ev.where(cond).coalesce(1).write.mode("overwrite")
-          .parquet(tmp.toString)
-        val part = tmp.toFile.listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(dir, name)
-        JF.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-        // The two-micro-batch ORDER depends on these mtimes; a
-        // filesystem that silently ignores setLastModified would
-        // reorder the halves and fail the oracle with no hint why.
-        require(dst.setLastModified(mtime),
-          s"setLastModified failed for $dst — filesystem does not " +
-            "support mtime updates; stHourlyUpdate needs ordered batches")
-        Sources.registerCleanup(tmp.toFile)
-      }
       val t0 = System.currentTimeMillis() - 120000
-      writeHalf(unix_micros(col("ts")) <= cut, "a.parquet", t0)
-      writeHalf(unix_micros(col("ts")) > cut, "b.parquet", t0 + 60000)
+      Sources.writeOrderedPart(
+        ev.where(unix_micros(col("ts")) <= cut), dir, "a.parquet", t0)
+      Sources.writeOrderedPart(
+        ev.where(unix_micros(col("ts")) > cut), dir, "b.parquet", t0 + 60000)
       Sources.registerCleanup(dir)
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
