@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{UnionDfs, BalancedSample, DfHistogram, Bucketize,
-  TopKPerKey, SaltedJoin}
+  TopKPerKey, SaltedJoin, ZOrder}
 import graft.functions.StableHash
 
 /** Queries exercising the reference-derived operator library (SURVEY §2):
@@ -232,7 +232,27 @@ object Ops {
     }
   }
 
+  // Z-order layout roundtrip: lineitem clustered on (l_partkey,
+  // l_suppkey) via the Morton curve, read back through a TWO-dimension
+  // selective predicate. The value oracle is the plain filter (layout
+  // must be value-invisible); the SCAN-REDUCTION claim — parquet
+  // min/max stats prune most files for predicates on either dimension
+  // — is measured in ZOrderSpec (per-file dim-span assertion) and
+  // SCALE.md. numFiles=16 keeps the fixture's files non-trivial; at
+  // scale it is total-bytes / target-file-size.
+  val opZorderScan: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_zorder_")
+    ZOrder.write(lineitem(s, d), Seq("l_partkey", "l_suppkey"),
+      dir.getAbsolutePath, numFiles = 16)
+    Sources.registerCleanup(dir)
+    s.read.parquet(dir.getAbsolutePath)
+      .where(col("l_partkey") <= 500 && col("l_suppkey") <= 50)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_zorder_scan" -> opZorderScan,
     "op_profile" -> opProfile,
     "op_profile_approx" -> opProfileApprox,
     "op_merge_upsert" -> opMergeUpsert,
@@ -286,6 +306,12 @@ object Ops {
   private val profileOracle: String = profileOracleFor(approx = false)
 
   val oracles: Map[String, String] = Map(
+    // The z-order layout must be value-invisible: the oracle is the
+    // plain two-dimension filter on the source table.
+    "op_zorder_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_partkey <= 500 AND l_suppkey <= 50""".stripMargin,
     "op_profile" -> profileOracle,
     "op_profile_approx" -> profileOracleFor(approx = true),
     // Replays the synthesized change set and the merge: deletes drop,
