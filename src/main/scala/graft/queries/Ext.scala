@@ -481,7 +481,7 @@ object Ext {
   // scale is frozen from the base build; the oracle replays the base
   // scale, the post-CDC corpus (list_reverse for updates), and the
   // exact int8 arithmetic.
-  val simIvfUpsert: Q = (s, d) => {
+  val simIvfUpsert: Q = (s, d) => Tables.withShufflePartitions(s, 8) {
     val dir = Sources.fixtureDir(s, "graft_ivfups_")
     val e = embeddings(s, d)
     val base = e.where(pmod(col("vec_id"), lit(5)) =!= 4)
@@ -518,7 +518,10 @@ object Ext {
   // construction (D/U and I key sets are disjoint), so the final index
   // state equals the one-shot upsert and the entry shares
   // sim_ivf_upsert's oracle.
-  val stIndexUpsert: Q = (s, d) => {
+  // Fixture-scale parallelism cap (the st_* convention): the upsert's
+  // internal shuffles carry tiny state here, so 32-task stages are
+  // pure scheduling overhead; production sizes shuffle partitions up.
+  val stIndexUpsert: Q = (s, d) => Tables.withShufflePartitions(s, 8) {
     val dir = Sources.fixtureDir(s, "graft_stidx_")
     val e = embeddings(s, d)
     val base = e.where(pmod(col("vec_id"), lit(5)) =!= 4)

@@ -46,16 +46,10 @@ object Streams {
     * state-store instance per partition per stateful operator — a
     * stream-stream join keeps FOUR per partition). The st_* fixtures
     * carry trivially small state, so cap the stream's shuffle
-    * parallelism: the conf is read at stream START, restored after.
-    * Production sizing goes the other way (enough partitions that
-    * per-partition state fits an executor), which is a deploy-time
-    * conf, not a query-shape change. */
-  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try f finally s.conf.set(key, old)
-  }
+    * parallelism: the conf is read at stream START, restored after
+    * (see [[Tables.withShufflePartitions]]). */
+  private def withStreamPartitions[T](s: SparkSession, n: Int)(f: => T): T =
+    Tables.withShufflePartitions(s, n)(f)
 
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     // The streaming file source takes a DIRECTORY (or glob) — the

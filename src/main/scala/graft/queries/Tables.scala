@@ -36,4 +36,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Scoped shuffle-partition override for fixture-scale multi-job
+    * entries (streaming state stores, index upserts): tiny per-task
+    * state makes 32-task stages pure scheduling overhead, so cap the
+    * parallelism for the scope and restore the session conf after.
+    * Production sizing goes the other way — enough partitions that
+    * per-task state fits an executor — which is a deploy-time conf,
+    * not a query-shape change. */
+  private[queries] def withShufflePartitions[T](
+      s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, old)
+  }
 }
