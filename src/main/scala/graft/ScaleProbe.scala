@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe")
+        "asofskew", "ivfups", "bpe", "zorder")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -200,6 +200,57 @@ object ScaleProbe {
       println(s"[probe] post-upsert index rows: " +
         s"${spark.read.parquet(dir).count()}")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+
+    // Z-order layout at copies×: the claim is SCAN reduction — a
+    // selective 2-dim predicate over the Morton-clustered layout reads
+    // a fraction of the row groups the unsorted layout must, in any
+    // parquet reader, with identical results.
+    if (stages("zorder")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi = (0 until copies).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
+      }.reduce(_ union _).localCheckpoint()
+      val n = bigLi.count()
+      val zDir = java.nio.file.Files
+        .createTempDirectory("probe_zorder_z_").toString
+      val pDir = java.nio.file.Files
+        .createTempDirectory("probe_zorder_p_").toString
+      time(s"ZOrder.write ($n rows, 64 files)")(
+        graft.operators.ZOrder.write(
+          bigLi, Seq("l_partkey", "l_suppkey"), zDir, numFiles = 64))
+      time("plain write (unsorted baseline, 64 files)")(
+        bigLi.repartition(64).write.mode("overwrite").parquet(pDir))
+      val bounds = bigLi.agg(max("l_partkey"), max("l_suppkey")).collect()(0)
+      val (pk, sk) = (bounds.getLong(0) / 20, bounds.getLong(1) / 10)
+      def scan(dir: String): (Long, Double) = {
+        val r = spark.read.parquet(dir)
+          .where(col("l_partkey") <= pk && col("l_suppkey") <= sk)
+          .agg(count(lit(1)), sum("l_quantity")).collect()(0)
+        (r.getLong(0), r.getDouble(1))
+      }
+      scan(zDir); scan(pDir) // warm file listings + code paths
+      val rz = time("2-dim selective scan over Z-ORDERED layout")(scan(zDir))
+      val rp = time("same scan over UNSORTED layout")(scan(pDir))
+      require(rz == rp, s"layouts must be value-invisible: $rz vs $rp")
+      println(s"[probe] selected ${rz._1} of $n rows " +
+        f"(${100.0 * rz._1 / n}%.2f%%); identical results")
+      // The reader-agnostic scan-volume contract: a file must be read
+      // iff its per-file [min,max] box on the clustered dims overlaps
+      // the predicate box (exactly what parquet stats pruning does).
+      def mustRead(dir: String): (Long, Long) = {
+        val f = spark.read.parquet(dir)
+          .groupBy(input_file_name())
+          .agg(min("l_partkey").as("pmin"), min("l_suppkey").as("smin"))
+        (f.where(col("pmin") <= pk && col("smin") <= sk).count(), f.count())
+      }
+      val (zHit, zAll) = mustRead(zDir)
+      val (pHit, pAll) = mustRead(pDir)
+      println(s"[probe] files whose stats overlap the predicate box: " +
+        s"z-ordered $zHit/$zAll vs unsorted $pHit/$pAll " +
+        "(scan volume at 100 TB tracks this ratio)")
+      Seq(zDir, pDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     }
 
     // BPE kernel at copies×: row-local, memoized per task — the claim
