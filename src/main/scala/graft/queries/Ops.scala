@@ -251,7 +251,26 @@ object Ops {
         col("l_quantity"))
   }
 
+  // Small-file compaction roundtrip: documents written as 64 tiny
+  // files (the streaming-sink/CDC accretion shape), compacted to
+  // size-targeted files in place (temp+rename swap), read back. The
+  // oracle is the source table (compaction is layout-only by
+  // contract); file-count arithmetic and the partitioned path are
+  // spec'd in CompactSpec.
+  val opCompactRoundtrip: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_compact_")
+    documents(s, d).repartition(64)
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    graft.operators.Compact(s, dir.getAbsolutePath,
+      targetFileBytes = 8L * 1024 * 1024)
+    Sources.registerCleanup(dir)
+    s.read.parquet(dir.getAbsolutePath)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_compact_roundtrip" -> opCompactRoundtrip,
     "op_zorder_scan" -> opZorderScan,
     "op_profile" -> opProfile,
     "op_profile_approx" -> opProfileApprox,
@@ -306,6 +325,10 @@ object Ops {
   private val profileOracle: String = profileOracleFor(approx = false)
 
   val oracles: Map[String, String] = Map(
+    // Compaction must be layout-only: the oracle is the source table.
+    "op_compact_roundtrip" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h
+        |FROM documents""".stripMargin,
     // The z-order layout must be value-invisible: the oracle is the
     // plain two-dimension filter on the source table.
     "op_zorder_scan" ->
