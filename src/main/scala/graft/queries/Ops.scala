@@ -269,7 +269,20 @@ object Ops {
         md5(coalesce(col("text"), lit(""))).as("h"))
   }
 
+  // Bloom-pruned semi join: lineitem reduced map-side by a bloom
+  // filter over the URGENT orders' keys BEFORE any shuffle, then the
+  // exact semi join on the survivors. Bloom false positives are
+  // removed by the exact join and false negatives don't exist, so the
+  // result — and the oracle — is the plain semi join.
+  val opBloomSemiJoin: Q = (s, d) => {
+    val urgent = orders(s, d).where(col("o_orderpriority") === "1-URGENT")
+    graft.operators.BloomPrune.semiJoin(
+      lineitem(s, d), urgent, "l_orderkey", "o_orderkey")
+      .select(col("l_orderkey"), col("l_linenumber"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_bloom_semi_join" -> opBloomSemiJoin,
     "op_compact_roundtrip" -> opCompactRoundtrip,
     "op_zorder_scan" -> opZorderScan,
     "op_profile" -> opProfile,
@@ -325,6 +338,11 @@ object Ops {
   private val profileOracle: String = profileOracleFor(approx = false)
 
   val oracles: Map[String, String] = Map(
+    // Bloom pruning must be result-invisible: plain semi join.
+    "op_bloom_semi_join" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     // Compaction must be layout-only: the oracle is the source table.
     "op_compact_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h
