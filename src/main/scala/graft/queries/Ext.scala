@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.{TextFunctions => TF, Bpe, Dedup, SimilaritySearch,
-  Retrieval, Redaction}
+  Retrieval, Redaction, Mixture}
 
 /** Training-pipeline extension queries over `documents` / `embeddings`:
   * text analysis, dedup (exact / jaccard / minhash-LSH / simhash /
@@ -640,6 +640,35 @@ object Ext {
         explode(sample(col("n_frames"))).as("frame_idx"))
   }
 
+  // DATA MIXING with fractional epochs: every source resampled to a
+  // deterministic per-source token budget (index mod 4 -> factor 0 /
+  // 0.5 / 1.0 / 2.3 of its actual mass — exclusion, downsample,
+  // passthrough, and fractional upsample all exercised). The md5
+  // threshold draw and the budget arithmetic are replayed exactly in
+  // the oracle, so the output MULTISET (including epoch indices) is
+  // hash-checked, not just counts.
+  val tMixture: Q = (s, d) => {
+    val doc = documents(s, d)
+    val totals = doc.groupBy(col("source")).agg(sum(col("n_chars")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def factor(idx: Int): Double = (idx % 4) match {
+      case 0 => 0.0
+      case 1 => 0.5
+      case 2 => 1.0
+      case _ => 2.3
+    }
+    val budgets = totals.map { case (src, t) =>
+      src -> math.floor(t * factor(src.stripPrefix("src").toInt)).toLong
+    }
+    // zero-row corpus: no sources, no budgets — deliberate empty result
+    if (budgets.isEmpty)
+      doc.select(col("doc_id"), col("source"),
+        lit(1L).as("mix_epoch")).limit(0)
+    else
+      Mixture(doc, "source", "n_chars", Seq("doc_id"), budgets)
+        .select(col("doc_id"), col("source"), col("mix_epoch"))
+  }
+
   // LEAKAGE-SAFE train/val/test split: the split is drawn from the
   // near-dup CLUSTER id, not the doc id, so every member of a dup
   // cluster lands in the same split — the contamination-by-duplication
@@ -698,6 +727,7 @@ object Ext {
     "t_seq_pack_bpe" -> tSeqPackBpe,
     "t_split" -> tSplit,
     "t_leakage_split" -> tLeakageSplit,
+    "t_mixture" -> tMixture,
     "t_shuffle_rank" -> tShuffleRank,
     "t_vocab" -> tVocab,
     "dedup_exact" -> dedupExact,
@@ -900,6 +930,35 @@ object Ext {
          |FROM documents d""".stripMargin,
     // Whole-chain replication: the dedup_clusters closure → the
     // t_split md5 draw, drawn from the CLUSTER id (seed 42).
+    // Mixture replication: identical budget arithmetic (floor(t *
+    // factor) as BIGINT over exact integer sums), identical rate
+    // division, identical md5 60-bit threshold, epochs via
+    // unnest(range(...)) (empty list when copies = 0 drops the row —
+    // the lateral-free spelling this DuckDB supports).
+    "t_mixture" ->
+      """WITH tot AS (SELECT source, sum(n_chars) AS t
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, t,
+        |    CAST(floor(t * CASE CAST(substr(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 0.0 WHEN 1 THEN 0.5 WHEN 2 THEN 1.0
+        |      ELSE 2.3 END) AS BIGINT) AS b
+        |  FROM tot),
+        |rr AS (SELECT source, CAST(b AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS rate
+        |  FROM r WHERE t > 0),
+        |d AS (SELECT doc_id, dd.source, rate,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '1337')), 1, 15))
+        |      AS UBIGINT) AS DOUBLE) AS u
+        |  FROM documents dd JOIN rr ON dd.source = rr.source),
+        |c AS (SELECT doc_id, source,
+        |    CAST(floor(rate) AS BIGINT) +
+        |      CASE WHEN u < (rate - floor(rate)) * 1152921504606846976.0
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, source,
+        |  unnest(range(1, copies + 1)) AS mix_epoch
+        |FROM c""".stripMargin,
     "t_leakage_split" ->
       s"""$clusterCte,
          |cl AS (SELECT d.doc_id,
