@@ -46,13 +46,21 @@ object Compact {
   }
 
   /** Compact the parquet directory at `path`. Returns the file count
-    * written. `partitionCols` empty = flat directory. */
+    * written. `partitionCols` empty = flat directory. `zorderBy`
+    * re-clusters the data on those dimensions during the rewrite (the
+    * compact-and-optimize shape: small-file accretion destroys
+    * clustering too, so the maintenance pass restores both) — flat
+    * directories only; a hive-partitioned dir already clusters on its
+    * partition values. */
   def apply(
       spark: SparkSession, path: String,
       partitionCols: Seq[String] = Nil,
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions._
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(zorderBy.isEmpty || partitionCols.isEmpty,
+      "zorderBy applies to flat directories only")
     val src = new Path(path)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(src.getParent, s".${src.getName}__compact_tmp")
@@ -61,16 +69,24 @@ object Compact {
     if (partitionCols.isEmpty) {
         val n = math.max(1L,
           (dataBytes(fs, src) + targetFileBytes - 1) / targetFileBytes)
-        df.repartition(n.toInt).write.parquet(tmp.toString)
+        if (zorderBy.isEmpty)
+          df.repartition(n.toInt).write.parquet(tmp.toString)
+        else
+          ZOrder.write(df, zorderBy, tmp.toString, numFiles = n.toInt)
       } else {
-        // Files per partition sized for the largest partition dir:
-        // one listing walk, no data read. A salt in [0, perPart)
-        // appended to the repartition key caps files per partition at
-        // perPart while keeping the whole rewrite ONE job.
-        val statuses = fs.listStatus(src).filter(s =>
-          s.isDirectory && s.getPath.getName.contains("="))
-        val maxPart = statuses.map(s => dataBytes(fs, s.getPath))
-          .foldLeft(0L)(math.max)
+        // Files per partition sized for the largest LEAF partition dir
+        // (multi-level partitioning sizes by the leaves, where the
+        // files actually live): one listing walk, no data read. A salt
+        // in [0, perPart) appended to the repartition key caps files
+        // per partition at perPart while keeping the rewrite ONE job.
+        def leafDirs(p: Path): Seq[Path] = {
+          val dirs = fs.listStatus(p).filter(s =>
+            s.isDirectory && s.getPath.getName.contains("="))
+          if (dirs.isEmpty) Seq(p)
+          else dirs.toSeq.flatMap(d => leafDirs(d.getPath))
+        }
+        val maxPart = leafDirs(src).filter(_ != src)
+          .map(dataBytes(fs, _)).foldLeft(0L)(math.max)
         val perPart = math.max(1L,
           (maxPart + targetFileBytes - 1) / targetFileBytes).toInt
         // layout-only salt (values unaffected): caps files per

@@ -85,12 +85,15 @@ object ZOrder {
   private def bucketId(c: Column, edges: Seq[Double]): Column =
     if (edges.isEmpty) lit(0)
     else if (edges.size <= 32) {
-      val chain = edges.zipWithIndex.foldLeft(null.asInstanceOf[Column]) {
+      // null test FIRST: a null comparison is null, which would fall
+      // through every when() to the otherwise (last bucket) — the
+      // kernel lane sends nulls to bucket 0, and the lanes must agree
+      val chain = edges.zipWithIndex.foldLeft(
+          when(c.isNull, lit(0))) {
         case (acc, (e, i)) =>
-          val cond = c.cast("double") < lit(e)
-          if (acc == null) when(cond, lit(i)) else acc.when(cond, lit(i))
+          acc.when(c.cast("double") < lit(e), lit(i))
       }
-      coalesce(chain.otherwise(lit(edges.size)), lit(0))
+      chain.otherwise(lit(edges.size))
     } else {
       val arr = edges.toArray
       val kernel = udf { v: java.lang.Double =>

@@ -78,4 +78,52 @@ class CompactSpec extends AnyFunSuite {
     assert(got == want)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("compact + zorderBy: restores clustering while defragmenting") {
+    val li = spark.read.parquet(s"${SparkFixture.sf0001}/lineitem.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_z_").toFile
+    dir.deleteOnExit()
+    // fragmented AND unclustered
+    li.repartition(48).write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val total = dataFiles(dir).map(_.length).sum
+    Compact(spark, dir.getAbsolutePath,
+      targetFileBytes = total / 8,
+      zorderBy = Seq("l_partkey", "l_suppkey"))
+    val files = dataFiles(dir).size
+    assert(files >= 6 && files <= 10, s"expected ~8 files, got $files")
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == li.count())
+    // clustering restored: avg per-file span well below global on both dims
+    val per = back.groupBy(input_file_name())
+      .agg((max("l_partkey") - min("l_partkey")).as("ps"),
+        (max("l_suppkey") - min("l_suppkey")).as("ss"))
+      .agg(avg("ps"), avg("ss")).collect()(0)
+    val g = li.agg(max("l_partkey") - min("l_partkey"),
+      max("l_suppkey") - min("l_suppkey")).collect()(0)
+    assert(per.getDouble(0) < 0.6 * g.getLong(0))
+    assert(per.getDouble(1) < 0.6 * g.getLong(1))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("multi-level partitioning: sizing walks to LEAF dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmp_ml_").toFile
+    dir.deleteOnExit()
+    val src = docs
+      .withColumn("a", pmod(col("doc_id"), lit(2)))
+      .withColumn("b", pmod(col("doc_id"), lit(3)))
+    src.repartition(8)
+      .write.mode("overwrite").partitionBy("a", "b")
+      .parquet(dir.getAbsolutePath)
+    Compact(spark, dir.getAbsolutePath, partitionCols = Seq("a", "b"),
+      targetFileBytes = 1L << 30)
+    // every LEAF dir (a=*/b=*) compacted to one file
+    val leaves = dir.listFiles().filter(_.getName.startsWith("a="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("b=")))
+    assert(leaves.length == 6)
+    leaves.foreach { leaf =>
+      assert(dataFiles(leaf).size == 1, s"${leaf.getName}")
+    }
+    assert(spark.read.parquet(dir.getAbsolutePath).count() == src.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -87,6 +87,18 @@ class ZOrderSpec extends AnyFunSuite {
     ZOrder.write(const, Seq("l_partkey", "l_suppkey"),
       cDir.getAbsolutePath, numFiles = 2)
     assert(spark.read.parquet(cDir.getAbsolutePath).count() == 100)
-    Seq(dir, cDir).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    // null dims survive the layout (both bucket lanes send them to the
+    // curve origin; no row may be dropped)
+    val nDir = java.nio.file.Files.createTempDirectory("graft_zorder_n_").toFile
+    nDir.deleteOnExit()
+    val withNulls = li.limit(100).withColumn("l_partkey",
+      when(col("l_orderkey") % 3 === 0, lit(null)).otherwise(col("l_partkey")))
+    ZOrder.write(withNulls, Seq("l_partkey", "l_suppkey"),
+      nDir.getAbsolutePath, numFiles = 2)
+    val backN = spark.read.parquet(nDir.getAbsolutePath)
+    assert(backN.count() == 100)
+    assert(backN.where(col("l_partkey").isNull).count() ==
+      withNulls.where(col("l_partkey").isNull).count())
+    Seq(dir, cDir, nDir).foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 }
