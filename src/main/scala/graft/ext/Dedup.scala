@@ -190,6 +190,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Banded LSH probe rows — one row per (doc, band) with the band key
+    * and the doc's shingle set carried alongside: the building block
+    * for STREAM-STATIC near-dup screens, where the static corpus index
+    * and the arriving docs must band identically (same signature, same
+    * `xxhash64("band", i, slice)` key as [[minhashLshPairs]], asserted
+    * by spec). Stateless and stream-safe: no checkpoint, no
+    * repartition — the batch self-join pipeline keeps its own
+    * checkpointed two-phase form in [[minhashLshPairs]]. Carrying the
+    * shingle array through the band explode costs bands× duplication
+    * in flight (never in state); the alternative — joining back to a
+    * second pass over the stream — is a stream-stream join this
+    * composition exists to avoid. */
+  def bandedProbeRows(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigUdf = udf(minhashSignature(numHashes))
+    df.select(col(idCol), udf(shingleFn(n)).apply(col(textCol)).as("__shs"))
+      .where(size(col("__shs")) > 0)
+      .withColumn("__sig", sigUdf(col("__shs")))
+      .select(col(idCol), col("__shs"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, slice(col("__sig"),
+            b * rowsPerBand + 1, lit(rowsPerBand))))).as(Seq("__band", "__key")))
+  }
+
   // ---------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over tokens: per-token 64-bit hash votes ±1 on every
@@ -580,6 +607,56 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(least(col("__ida"), col("__idb")).as("id_a"),
         greatest(col("__ida"), col("__idb")).as("id_b"), col("cosine"))
+  }
+
+  /** Duplicated-SPAN removal (the corpus-level complement of whole-doc
+    * dedup, per RefinedWeb / "Deduplicating Training Data Makes
+    * Language Models Better": repeated boilerplate passages recur
+    * inside otherwise-distinct documents, and whole-doc near-dedup
+    * never sees them). Every document is sliced into non-overlapping
+    * `chunkSize`-codepoint spans; a span whose exact text occurs
+    * anywhere else in the corpus survives only at its FIRST occurrence
+    * (minimum (id, chunk_idx)); later occurrences are excised and each
+    * document is reassembled from its surviving spans in order.
+    *
+    * Scale shape: the first-occurrence winner per span hash is a
+    * hash-GROUPBY `min(struct(id, idx))` — map-side combined, no
+    * window, so a boilerplate span repeated 10⁹ times costs one
+    * combine tree, not one sorted partition (the window formulation
+    * would serialize exactly on the hot spans this operator exists to
+    * remove). The winner set joins back on the span hash (broadcastable
+    * when the duplicate universe is small; shuffle hash join
+    * otherwise), and reassembly is one groupBy over doc ids.
+    *
+    * Returns (idCol, n_chunks, n_kept, clean_text): span counts before/
+    * after excision and the reassembled text (empty when every span was
+    * a later duplicate). Chunking is codepoint-based — see
+    * [[TextFunctions.chunkFn]] for the DuckDB substr parity contract.
+    */
+  def spanDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 200): DataFrame = {
+    val ch = df
+      .select(col(idCol).as("__id"),
+        explode(TextFunctions.chunks(col(textCol), chunkSize, 0)).as("__c"))
+      .select(col("__id"), col("__c._1").as("__idx"),
+        col("__c._3").as("__chunk"))
+      .withColumn("__h", md5(col("__chunk")))
+    val firsts = ch.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
+    ch.join(firsts, Seq("__h"))
+      .withColumn("__kept",
+        struct(col("__id"), col("__idx")) === col("__first"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_chunks"),
+        sum(when(col("__kept"), 1).otherwise(0)).cast("int").as("n_kept"),
+        // collect_list drops nulls, so only kept spans enter; sort_array
+        // on struct(idx, chunk) orders by the unique idx — deterministic
+        concat_ws("", transform(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("__idx"), col("__chunk"))))),
+          x => x.getField("__chunk"))).as("clean_text"))
   }
 
   /** All-pairs anchor for [[embeddingNearDupPairs]]: the O(n²)

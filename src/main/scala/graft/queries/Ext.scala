@@ -669,6 +669,66 @@ object Ext {
         .select(col("doc_id"), col("source"), col("mix_epoch"))
   }
 
+  /** Temperature-reweighted mixture (α = 0.5): each source's token
+    * budget is floor(sqrt(n_src · n_min)) — the geometric mean of its
+    * natural size and the smallest source's size, i.e. temperature
+    * sampling's α = 0.5 point re-anchored at the smallest domain
+    * (dominant sources down-weighted toward balance, the multilingual
+    * pre-training recipe). Bit-exact across engines BY CONSTRUCTION:
+    * n_src · n_min is exact integer arithmetic (guarded < 2^53), sqrt
+    * is IEEE correctly rounded in both the JVM and DuckDB, and no
+    * cross-source float sum exists anywhere — a conventionally
+    * normalized Σ nᵅ budget would depend on float summation ORDER,
+    * which no engine pair agrees on. */
+  val tMixtureTemp: Q = (s, d) => {
+    val doc = documents(s, d)
+    val totals = doc.groupBy(col("source")).agg(sum(col("n_chars")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (totals.isEmpty)
+      doc.select(col("doc_id"), col("source"),
+        lit(1L).as("mix_epoch")).limit(0)
+    else {
+      val nMin = totals.values.min
+      val budgets = totals.map { case (src, t) =>
+        require(BigInt(t) * nMin < BigInt(1L << 53),
+          s"geometric-mean budget for $src exceeds exact double range")
+        src -> math.floor(math.sqrt((t * nMin).toDouble)).toLong
+      }
+      Mixture(doc, "source", "n_chars", Seq("doc_id"), budgets)
+        .select(col("doc_id"), col("source"), col("mix_epoch"))
+    }
+  }
+
+  /** Duplicated-SPAN removal (RefinedWeb-style): repeated boilerplate
+    * passages recur inside otherwise-distinct documents, where whole-doc
+    * dedup never looks. Non-overlapping 200-codepoint spans; a span
+    * that recurs anywhere in the corpus survives only at its first
+    * (doc_id, idx) occurrence; docs reassemble from surviving spans.
+    * See [[graft.ext.Dedup.spanDedup]] for the window-free scale shape. */
+  val tSpanDedup: Q = (s, d) =>
+    Dedup.spanDedup(documents(s, d), "doc_id", "text", chunkSize = 200)
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        md5(col("clean_text")).as("clean_md5"))
+
+  /** Mutual-kNN graph edges — the SemDeDup / SSL-curation building
+    * block: edge (a, b) exists iff b is in a's top-k cosine neighbors
+    * AND a is in b's. Exact brute-force formulation (the corpus is its
+    * own query set — the verify anchor, like
+    * [[Dedup.embeddingNearDupPairsAllPairs]]); at 100 TB the candidate
+    * set comes from the IVF/LSH entries and this ranking runs per
+    * bounded cell, same plan shape. */
+  val simKnnMutual: Q = (s, d) => {
+    val e = embeddings(s, d)
+    val topk = SimilaritySearch.bruteForceTopK(
+      e, e, "vec_id", "embedding", k = 10)
+    val ab = topk.where(col("query_id") < col("cand_id"))
+      .select(col("query_id").as("id_a"), col("cand_id").as("id_b"),
+        col("cosine"))
+    val ba = topk.where(col("query_id") > col("cand_id"))
+      .select(col("cand_id").as("id_a"), col("query_id").as("id_b"))
+    ab.join(ba, Seq("id_a", "id_b"), "left_semi")
+  }
+
   // LEAKAGE-SAFE train/val/test split: the split is drawn from the
   // near-dup CLUSTER id, not the doc id, so every member of a dup
   // cluster lands in the same split — the contamination-by-duplication
@@ -728,6 +788,9 @@ object Ext {
     "t_split" -> tSplit,
     "t_leakage_split" -> tLeakageSplit,
     "t_mixture" -> tMixture,
+    "t_mixture_temp" -> tMixtureTemp,
+    "t_span_dedup" -> tSpanDedup,
+    "sim_knn_mutual" -> simKnnMutual,
     "t_shuffle_rank" -> tShuffleRank,
     "t_vocab" -> tVocab,
     "dedup_exact" -> dedupExact,
@@ -959,6 +1022,77 @@ object Ext {
         |SELECT doc_id, source,
         |  unnest(range(1, copies + 1)) AS mix_epoch
         |FROM c""".stripMargin,
+    // Same md5-draw replay as t_mixture, with the budget computed as
+    // the geometric mean floor(sqrt(t * min(t))) — integer product,
+    // IEEE-exact sqrt, no cross-source float sum (see tMixtureTemp).
+    "t_mixture_temp" ->
+      """WITH tot AS (SELECT source, sum(n_chars) AS t
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, t,
+        |    CAST(floor(sqrt(CAST(t * (SELECT min(t) FROM tot) AS DOUBLE)))
+        |      AS BIGINT) AS b
+        |  FROM tot),
+        |rr AS (SELECT source, CAST(b AS DOUBLE) / CAST(t AS DOUBLE)
+        |    AS rate
+        |  FROM r WHERE t > 0),
+        |d AS (SELECT doc_id, dd.source, rate,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '1337')), 1, 15))
+        |      AS UBIGINT) AS DOUBLE) AS u
+        |  FROM documents dd JOIN rr ON dd.source = rr.source),
+        |c AS (SELECT doc_id, source,
+        |    CAST(floor(rate) AS BIGINT) +
+        |      CASE WHEN u < (rate - floor(rate)) * 1152921504606846976.0
+        |           THEN 1 ELSE 0 END AS copies
+        |  FROM d)
+        |SELECT doc_id, source,
+        |  unnest(range(1, copies + 1)) AS mix_epoch
+        |FROM c""".stripMargin,
+    // Span-dedup replication: t_chunk's substr windows at step = size
+    // (no overlap), first occurrence by (doc_id, idx) per span md5,
+    // reassembly as the ordered concat of surviving spans. A doc whose
+    // every span is a later duplicate keeps md5('') — coalesce matches
+    // the engine's empty concat_ws.
+    "t_span_dedup" ->
+      """WITH c AS (SELECT doc_id, coalesce(text, '') AS t,
+        |    greatest(1, 1 + CAST(ceil((len(coalesce(text, '')) - 200)
+        |      / 200.0) AS INT)) AS n
+        |  FROM documents),
+        |ch AS (SELECT doc_id, CAST(i AS INT) AS idx,
+        |    substr(t, CAST(i * 200 AS INT) + 1, 200) AS chunk
+        |  FROM c, LATERAL (SELECT unnest(range(0, n)) AS i) r),
+        |mk AS (SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk)
+        |      ORDER BY doc_id, idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE rn = 1) AS INT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ''
+        |    ORDER BY idx), '')) AS clean_md5
+        |FROM mk GROUP BY doc_id""".stripMargin,
+    // Mutual-kNN edges: brute-force ranks both directions; an (a < b)
+    // edge survives iff each endpoint ranks the other within top-10.
+    // Same det6 cosine and (cosine DESC, cand_id) tie-break as
+    // sim_topk's oracle.
+    "sim_knn_mutual" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+        |    floor(
+        |      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+        |        (x, y) -> x + y)
+        |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+        |      * 1000000 + 0.5) / 1000000 AS cosine
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ranked AS (SELECT qa, qb, cosine,
+        |    row_number() OVER (PARTITION BY qa
+        |      ORDER BY cosine DESC, qb) AS rank
+        |  FROM scored)
+        |SELECT r1.qa AS id_a, r1.qb AS id_b, r1.cosine
+        |FROM ranked r1 JOIN ranked r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
+        |WHERE r1.rank <= 10 AND r2.rank <= 10 AND r1.qa < r1.qb""".stripMargin,
     "t_leakage_split" ->
       s"""$clusterCte,
          |cl AS (SELECT d.doc_id,

@@ -252,8 +252,47 @@ object Streams {
       uniq("st_contam"))
   }
 
+  /** Stream-static NEAR-DUP screen — the ingest-time "is this arriving
+    * doc a near-duplicate of anything already in the corpus?" gate.
+    * The static half (even doc ids) builds the LSH band index once;
+    * arriving docs (odd ids) minhash + band ROW-LOCALLY (stateless,
+    * [[graft.ext.Dedup.bandedProbeRows]] — same signature and band-key
+    * derivation as the batch pipeline) and probe the broadcast index;
+    * band collisions verify with exact Jaccard (no false positives),
+    * and a streaming dropDuplicates collapses multi-band hits to one
+    * verdict row per (new, old) pair. At scale: the index broadcast is
+    * O(corpus × bands) keys — beyond broadcast size the same join runs
+    * shuffled; the per-pair dedup state is watermark-bounded in
+    * production (dropDuplicatesWithinWatermark once arriving docs
+    * carry event time); the single AvailableNow pass keeps it exact
+    * here. Oracle: exact-Jaccard pairs odd×even — dedup_minhash's
+    * verified-LSH ≡ exact-Jaccard parity argument restricted to the
+    * stream/static split. */
+  val stNearDup: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.ext.Dedup
+    val corpus = s.read.parquet(s"$d/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+    val index = Dedup.bandedProbeRows(corpus, "doc_id", "text")
+      .select(col("__band"), col("__key"), col("doc_id").as("old_id"),
+        col("__shs").as("__old_shs"))
+    val probes = Dedup.bandedProbeRows(
+        docStream(s, d).where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .select(col("__band"), col("__key"), col("doc_id").as("new_id"),
+        col("__shs").as("__new_shs"))
+    val verified = probes.join(broadcast(index), Seq("__band", "__key"))
+      .withColumn("jaccard", graft.functions.DetRound.det6(
+        size(array_intersect(col("__new_shs"), col("__old_shs")))
+          .cast("double") /
+          size(array_union(col("__new_shs"), col("__old_shs")))))
+      .where(col("jaccard") >= 0.5)
+      .select(col("new_id"), col("old_id"), col("jaccard"))
+      .dropDuplicates("new_id", "old_id")
+    EventStreams.runToMemory(verified, uniq("st_neardup"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_join" -> stJoin,
+    "st_neardup" -> stNearDup,
     "st_dedup_keys" -> stDedupKeys,
     "st_hourly" -> stHourly,
     "st_hourly_complete" -> stHourlyComplete,
@@ -266,6 +305,31 @@ object Streams {
 
   val oracles: Map[String, String] = Map(
     "st_redact" -> Ext.redactOracle,
+    // Verified-LSH output ≡ exact-Jaccard pairs (dedup_minhash's parity
+    // argument), restricted to arriving (odd) × corpus (even) ids.
+    "st_neardup" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(t) - 1, 1)),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |pairs AS (
+        |  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS inter
+        |  FROM sh n JOIN sh o ON n.s = o.s
+        |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+        |  GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  floor(inter * 1.0 / (sa.n + sb.n - inter) * 1000000 + 0.5)
+        |    / 1000000 AS jaccard
+        |FROM pairs
+        |JOIN sz sa ON new_id = sa.doc_id
+        |JOIN sz sb ON old_id = sb.doc_id
+        |WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.5""".stripMargin,
     // The file sink must round-trip the same rows the memory sink sees.
     "st_file_sink" -> Ext.redactOracle,
     // The stream-static join emits one row per (bench, corpus, shared

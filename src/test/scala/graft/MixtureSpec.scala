@@ -91,4 +91,26 @@ class MixtureSpec extends AnyFunSuite {
         .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  test("temperature mixture: geometric-mean budgets' structural invariants") {
+    // budget = floor(sqrt(t * t_min)) ≤ t, so every rate ≤ 1: a doc is
+    // emitted at most once (pure downsampling toward balance) — and the
+    // SMALLEST source has rate exactly 1.0 (sqrt(t_min²) = t_min): it
+    // passes through whole.
+    val out = graft.queries.Ext.queries("t_mixture_temp")(
+      spark, SparkFixture.sf0001)
+    assert(out.where(col("mix_epoch") =!= 1).isEmpty, "rates ≤ 1 ⇒ epoch 1")
+    val totals = docs.groupBy("source").agg(sum("n_chars").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val minSrc = totals.minBy(t => (t._2, t._1))._1
+    val nMinSrcDocs = docs.where(col("source") === minSrc).count()
+    assert(out.where(col("source") === minSrc).count() == nMinSrcDocs,
+      "smallest source passes through whole (rate exactly 1.0)")
+    // down-weighting is monotone-ish in aggregate: the LARGEST source
+    // keeps a strictly smaller fraction of docs than the smallest
+    val maxSrc = totals.maxBy(t => (t._2, t._1))._1
+    val keptMax = out.where(col("source") === maxSrc).count().toDouble /
+      docs.where(col("source") === maxSrc).count()
+    assert(keptMax < 1.0, "largest source must be downsampled")
+  }
 }

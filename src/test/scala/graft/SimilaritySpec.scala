@@ -277,4 +277,24 @@ class SimilaritySpec extends AnyFunSuite {
     // buckets within range [0, 2^8)
     assert(b1.forall { case (_, x, y) => x >= 0 && x < 256 && y >= 0 && y < 256 })
   }
+
+  test("mutual-kNN graph: edges are exactly the symmetric top-k intersections") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.queries.Ext.queries("sim_knn_mutual")(
+      spark, SparkFixture.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (a, b) => a < b }, "canonical orientation")
+    // independent check from the raw top-k lists: an (a, b) edge exists
+    // iff b ∈ topk(a) AND a ∈ topk(b)
+    val e = emb(spark)
+    val topk = SimilaritySearch.bruteForceTopK(
+        e, e, "vec_id", "embedding", k = 10)
+      .select("query_id", "cand_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = topk.collect {
+      case (a, b) if a < b && topk.contains((b, a)) => (a, b)
+    }
+    assert(edges == expect)
+  }
 }

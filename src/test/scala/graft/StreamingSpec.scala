@@ -262,6 +262,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(single.nonEmpty)
   }
 
+  test("stream-static near-dup screen == independent exact-jaccard pairs") {
+    import org.apache.spark.sql.functions._
+    // The streaming entry (LSH probe of a broadcast static band index,
+    // exact-verify, streaming dropDuplicates) must equal the pair set an
+    // INDEPENDENT batch path computes: jaccardPairs' shingle equi-join,
+    // restricted to the (odd arriving) × (even corpus) split.
+    val got = graft.queries.Streams.queries("st_neardup")(
+      spark, SparkFixture.sf0001)
+      .select(col("new_id"), col("old_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = graft.queries.Tables.documents(spark, SparkFixture.sf0001)
+    val expect = graft.ext.Dedup.jaccardPairs(docs, "doc_id", "text", 0.5)
+      .where(col("id_a") % 2 =!= col("id_b") % 2)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 2 == 1) (a, b) else (b, a)
+      }.toSet
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("batch sessionization query matches hand-computed sessions") {
     val out = graft.queries.Events.evSessions(spark, SparkFixture.sf0001)
     val rows = out.collect()

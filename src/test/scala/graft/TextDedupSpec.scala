@@ -197,4 +197,59 @@ class TextDedupSpec extends AnyFunSuite {
     val splits = rows.map(_.getAs[String]("split")).toSet
     assert(splits == Set("train", "val", "test"))
   }
+
+  test("spanDedup: first occurrence survives, later spans excised, order kept") {
+    // chunkSize=4 spans: doc1=[aaaa,bbbb] doc2=[aaaa,cccc] doc3=[aaaa]
+    // doc4=[dddd,aaaa] doc5=[bbbb] — 'aaaa' first at (1,0), 'bbbb'
+    // first at (1,1); everything else unique.
+    val df = textDf(
+      (1L, "aaaabbbb"), (2L, "aaaacccc"), (3L, "aaaa"),
+      (4L, "ddddaaaa"), (5L, "bbbb"))
+    val got = Dedup.spanDedup(df, "doc_id", "text", chunkSize = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_chunks"), r.getAs[Int]("n_kept"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got(1L) == ((2, 2, "aaaabbbb"))) // first occurrences keep all
+    assert(got(2L) == ((2, 1, "cccc")))     // later 'aaaa' excised
+    assert(got(3L) == ((1, 0, "")))         // every span a later dup
+    assert(got(4L) == ((2, 1, "dddd")))     // order: surviving span only
+    assert(got(5L) == ((1, 0, "")))         // 'bbbb' first seen at (1,1)
+    // empty text is total: one empty span, which IS the corpus-first
+    // empty span for doc 0 (sorts before all) — self-consistency only
+    val e = Dedup.spanDedup(textDf((7L, "")), "doc_id", "text", 4)
+      .collect()(0)
+    assert(e.getAs[Int]("n_chunks") == 1 && e.getAs[Int]("n_kept") == 1)
+  }
+
+  test("bandedProbeRows: stream-static banding == batch minhashLshPairs pairs") {
+    // The stream-static composition (probe side banded independently of
+    // the index side) must find exactly the pairs the batch self-join
+    // pipeline finds across the parity split — this pins the band-key
+    // derivation of bandedProbeRows to minhashLshPairs' (a drifted key
+    // scheme would silently miss every pair).
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.documents(spark, SparkFixture.sf0001)
+    val index = Dedup.bandedProbeRows(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      .select(col("__band"), col("__key"), col("doc_id").as("old_id"),
+        col("__shs").as("__so"))
+    val probes = Dedup.bandedProbeRows(
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+      .select(col("__band"), col("__key"), col("doc_id").as("new_id"),
+        col("__shs").as("__sn"))
+    val got = probes.join(index, Seq("__band", "__key"))
+      .withColumn("j",
+        size(array_intersect(col("__sn"), col("__so"))).cast("double") /
+          size(array_union(col("__sn"), col("__so"))))
+      .where(col("j") >= 0.5)
+      .select(col("new_id"), col("old_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .where(col("id_a") % 2 =!= col("id_b") % 2)
+      .collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (a % 2 == 1) (a, b) else (b, a)
+      }.toSet
+    assert(got == batch && got.nonEmpty)
+  }
 }
