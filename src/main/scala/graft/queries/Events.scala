@@ -339,7 +339,32 @@ object Events {
         col("n").cast("long").as("n"), col("z"))
   }
 
+  /** Top event-type PATHS (3-step behavioral sequences) — the "what do
+    * users do next" product-analytics staple the funnel doesn't cover
+    * (a funnel pins the stages; paths DISCOVER them). Per user, events
+    * in (ts, event_id) order yield every 3 consecutive event types as
+    * "a>b>c"; corpus-wide counts, top 25 (count desc, path asc —
+    * deterministic). Scale: the per-user window is the sessionize
+    * shape (hot-user caveat documented in SCALE.md — the as-of
+    * timeSlice lever applies if a bot user dominates); path counting
+    * is a map-side-combined groupBy and the top-25 is TakeOrdered,
+    * never a global sort. */
+  val evPaths: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("__e2"),
+        lead(col("event_type"), 2).over(w).as("__e3"))
+      .where(col("__e2").isNotNull && col("__e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(25)
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_paths" -> evPaths,
     "ev_anomaly" -> evAnomaly,
     "ev_sliding" -> evSliding,
     "ev_session_window" -> evSessionWindow,
@@ -358,6 +383,19 @@ object Events {
     "ev_wau_approx" -> evWauApprox)
 
   val oracles: Map[String, String] = Map(
+    // Same (ts, event_id) order, same lead() fan, same deterministic
+    // (count desc, path asc) top-25.
+    "ev_paths" ->
+      """WITH w AS (SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS e3
+        |  FROM events)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  count(*) AS n
+        |FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 25""".stripMargin,
     // Same moment arithmetic (integral hourly counts → exact sums),
     // same z expression order, same 6dp pin and 2σ threshold.
     "ev_anomaly" ->

@@ -281,7 +281,50 @@ object Ops {
       .select(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Scoped conf override: set, run, restore — an entry must never
+    * leak session-wide conf changes into the other queries. */
+  private def withConfs[T](
+      s: SparkSession, kv: (String, String)*)(f: => T): T = {
+    val olds = kv.map { case (k, _) => k -> s.conf.getOption(k) }
+    kv.foreach { case (k, v) => s.conf.set(k, v) }
+    try f finally olds.foreach { case (k, o) =>
+      o.fold(s.conf.unset(k))(v => s.conf.set(k, v)) }
+  }
+
+  /** The MIN/MAX/COUNT frame for footer-only aggregation; shared with
+    * PlanSpec's PushedAggregation gate. */
+  private[graft] def metaAggFrame(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/lineitem.parquet").agg(
+      count(lit(1)).as("n_rows"),
+      min(col("l_orderkey")).as("min_key"),
+      max(col("l_orderkey")).as("max_key"),
+      min(col("l_quantity")).as("min_qty"),
+      max(col("l_quantity")).as("max_qty"))
+
+  /** The confs that turn on footer-only aggregation: DSv2 parquet read
+    * path + aggregate pushdown (Spark 4 spells the conf
+    * `aggregatePushdown` — the 3.x capital-D name is silently ignored). */
+  private[graft] val metaAggConfs = Seq(
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.sql.sources.useV1SourceList" -> "")
+
+  /** FOOTER-ONLY aggregation: parquet keeps min/max/count per row group
+    * in its metadata, and with the DSv2 read path + aggregate pushdown
+    * Spark answers whole-table MIN/MAX/COUNT from footers alone — zero
+    * data pages decoded (`PushedAggregation` in the scan, gated by
+    * PlanSpec). At 100 TB this turns full-corpus stats from a scan into
+    * an O(#files) metadata sweep — the cheapest query the format can
+    * answer. Confs are entry-scoped, so the result is materialized
+    * UNDER them (pushdown is consulted at optimization time; a lazy
+    * frame would escape the scope and silently fall back to a scan). */
+  val opMetaAgg: Q = (s, d) => withConfs(s, metaAggConfs: _*) {
+    val df = metaAggFrame(s, d)
+    val rows = java.util.Arrays.asList(df.collect(): _*)
+    s.createDataFrame(rows, df.schema)
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_meta_agg" -> opMetaAgg,
     "op_bloom_semi_join" -> opBloomSemiJoin,
     "op_compact_roundtrip" -> opCompactRoundtrip,
     "op_zorder_scan" -> opZorderScan,
@@ -338,6 +381,12 @@ object Ops {
   private val profileOracle: String = profileOracleFor(approx = false)
 
   val oracles: Map[String, String] = Map(
+    // Footer-only aggregation must be value-identical to the scan.
+    "op_meta_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
     // Bloom pruning must be result-invisible: plain semi join.
     "op_bloom_semi_join" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem

@@ -267,4 +267,46 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("priority") && readSchema.contains("total"),
       readSchema)
   }
+
+  test("span dedup plans window-free; mutual-kNN avoids the window sort") {
+    // spanDedup's claim: first-occurrence selection is a hash aggregate,
+    // never a Window — a hot boilerplate span must not serialize a sort
+    // partition.
+    val sd = plan(graft.ext.Dedup.spanDedup(
+      graft.queries.Tables.documents(spark, sf), "doc_id", "text"))
+    assert(!sd.contains("Window"), "spanDedup must not plan a Window:\n" +
+      sd.take(1500))
+    assert(sd.contains("HashAggregate") || sd.contains("ObjectHashAggregate"),
+      sd.take(1500))
+    // simKnnMutual composes TopKPerKey for per-node ranking: the
+    // k-bounded udaf must plan as a PARTIAL ObjectHashAggregate before
+    // its exchange (map-side cap ⇒ shuffle O(keys × k)), never a
+    // window. (The entry's own final plan hides this behind its
+    // post-reduction localCheckpoint, so gate the operator itself.)
+    import spark.implicits._
+    val scored = Seq((1L, 2L, 0.5), (2L, 1L, 0.5)).toDF("q", "c", "cosine")
+    val tk = plan(graft.operators.TopKPerKey(
+      scored, Seq("q"), "cosine", "c", k = 10))
+    assert(!tk.contains("Window"), tk.take(1500))
+    // partial + final aggregate pair around one exchange
+    val nAgg = tk.linesIterator.count(_.contains("ObjectHashAggregate"))
+    assert(nAgg >= 2 && tk.contains("Exchange"), tk.take(1500))
+  }
+
+  test("meta agg pushes MIN/MAX/COUNT into the parquet footer scan") {
+    // Under the DSv2 path + aggregatePushDown, the scan node itself
+    // answers the aggregates (PushedAggregation) — no data pages read.
+    val kv = graft.queries.Ops.metaAggConfs
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan(graft.queries.Ops.metaAggFrame(spark, sf))
+      val pushed = p.linesIterator
+        .find(_.contains("PushedAggregation")).getOrElse("")
+      assert(pushed.contains("MIN") && pushed.contains("MAX")
+        && pushed.toUpperCase.contains("COUNT"),
+        "aggregates must reach the footer scan:\n" + p.take(2000))
+    } finally olds.foreach { case (k, o) =>
+      o.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
+  }
 }
