@@ -55,13 +55,12 @@ object Streams {
     // The streaming file source takes a DIRECTORY (or glob) — the
     // fixture is a single file, so address it via a glob pattern.
     val path = s"$d/events*.parquet"
-    // Same ns→µs normalization as the batch Tables.events (the fixture
-    // stores ns-precision timestamps, which Spark reads as raw longs).
+    // Same ts normalization as the batch Tables.events (handles both the
+    // raw-nanos-long and the TIMESTAMP_NTZ fixture layouts).
     Tables.ensureNanosAsLong(s)
     val schema = schemaCache.computeIfAbsent(d,
       _ => s.read.parquet(s"$d/events.parquet").schema)
-    s.readStream.schema(schema).parquet(path)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(s.readStream.schema(schema).parquet(path))
   }
 
   /** Streaming exact dedup on (user_id, event_type): the emitted rows'

@@ -25,14 +25,28 @@ object Tables {
     if (!s.conf.getOption(NanosAsLongKey).contains("true"))
       s.conf.set(NanosAsLongKey, "true")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects; read them as raw nanos and
-    * convert to µs timestamps (the data is whole-µs, no precision loss). */
+  /** Normalize the events `ts` column to a session-TZ TimestampType
+    * whatever the fixture stores. The testdata generator has shipped two
+    * layouts: TIMESTAMP(NANOS) — which Spark's vectorized reader rejects,
+    * so [[ensureNanosAsLong]] reads it as raw long nanos and we convert
+    * (the data is whole-µs, no precision loss) — and plain timestamp[µs]
+    * with no zone, which Spark reads as TIMESTAMP_NTZ; the session runs
+    * UTC, so the NTZ→LTZ cast is µs-value-preserving and keeps every
+    * downstream window/watermark/unix_micros call (and the naive-reading
+    * DuckDB oracle) on identical epoch micros. */
+  private[queries] def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
     ensureNanosAsLong(s)
-    t(s, d, "events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventTs(t(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
