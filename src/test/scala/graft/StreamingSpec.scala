@@ -241,7 +241,9 @@ class StreamingSpec extends AnyFunSuite {
         .find(_.getName.endsWith(".parquet")).get
       val dst = dir.resolve(name)
       JFiles.move(part.toPath, dst, StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(mtime)
+      require(dst.toFile.setLastModified(mtime),
+        s"setLastModified failed for $dst — filesystem does not " +
+          "support mtimes, micro-batch ordering would be undefined")
     }
     val t0 = System.currentTimeMillis() - 100000
     writeHalf(batch.where(unix_micros(col("ts")) <= midTs), "a.parquet", t0)
