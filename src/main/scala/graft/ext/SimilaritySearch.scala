@@ -697,4 +697,74 @@ object SimilaritySearch {
       .where(col("rank") <= k)
       .select(col("query_id"), col("cand_id"), col("cosine"), col("rank"))
   }
+
+  /** Nearest-anchor assignment: label every vector with the closest (by
+    * cosine) of a small driver-side anchor set — the k-means/IVF
+    * ASSIGNMENT step exposed as its own operator (topic bucketing by
+    * exemplar documents, domain tagging, cluster inference under a
+    * frozen model).
+    *
+    * Shape for scale: the anchors ride into the plan as array LITERALS,
+    * so the whole assignment is ONE codegen'd projection per row —
+    * |anchors| native array_cosine folds and a greatest() over
+    * (cosine, -anchor_id) structs. Zero shuffle, zero join, no
+    * broadcast table; 100 TB of vectors assign at scan speed.
+    *
+    * Ties (equal det6 cosine) go to the smaller anchor id: the struct
+    * comparison takes the greater -id. Output: (idCol, cluster_id,
+    * cosine[det6]). */
+  /** (cluster_id, cosine) columns appended; one codegen'd projection. */
+  private def bestAnchorCol(
+      vecCol: String, anchors: Seq[(Long, Seq[Double])]): Column = {
+    require(anchors.size >= 2, s"need >= 2 anchors, got ${anchors.size}")
+    val v = col(vecCol).cast("array<double>")
+    greatest(anchors.map { case (aid, av) =>
+      struct(
+        graft.functions.DetRound.det6(
+          Dedup.cosineCol(typedLit(av), v)).as("c"),
+        lit(-aid).as("na"))
+    }: _*)
+  }
+
+  def nearestAnchor(
+      df: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[(Long, Seq[Double])]): DataFrame =
+    df.select(col(idCol), bestAnchorCol(vecCol, anchors).as("__best"))
+      .select(col(idCol),
+        (-col("__best.na")).as("cluster_id"),
+        col("__best.c").as("cosine"))
+
+  /** One Lloyd (k-means) iteration from the given anchors: assign every
+    * vector to its nearest anchor ([[nearestAnchor]] — one codegen'd
+    * scan), then recompute each centroid as the per-dimension mean of
+    * its members.
+    *
+    * The mean uses FIXED-POINT accumulation (det6-rounded components
+    * cast to decimal(18,6), summed exactly) so the distributed result is
+    * ORDER-INDEPENDENT — bit-reproducible across partitionings and
+    * replayable by any engine, where a naive double sum would depend on
+    * Spark's partition/merge order (same trick as the z-score / anomaly
+    * moments). Shuffle volume after map-side partial aggregation is
+    * O(partitions × |anchors| × dim), independent of row count.
+    *
+    * Output: (cluster_id, dim, centroid[det6]) — |anchors| × dim rows. */
+  def kmeansStep(
+      df: DataFrame, idCol: String, vecCol: String,
+      anchors: Seq[(Long, Seq[Double])]): DataFrame = {
+    // Assignment and member vector stay in ONE projection — no join
+    // back (an id-keyed self-join would shuffle the whole vector set
+    // twice for data the scan already has in hand).
+    df.select(
+        (-bestAnchorCol(vecCol, anchors).getField("na")).as("cluster_id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .select(col("cluster_id"), posexplode(col("__v")).as(Seq("dim", "__x")))
+      .groupBy(col("cluster_id"), col("dim"))
+      .agg(
+        sum(graft.functions.DetRound.det6(col("__x")).cast("decimal(18,6)"))
+          .as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("cluster_id"), col("dim"),
+        graft.functions.DetRound.det6(
+          col("__s").cast("double") / col("__n")).as("centroid"))
+  }
 }

@@ -170,6 +170,63 @@ case class Hex60ToDouble(child: Expression)
     copy(child = newChild)
 }
 
+/** First 15 hex chars → exact long in [0, 2^60) — [[Hex60ToDouble]]'s
+  * sibling for call sites needing an EXACT integral key (bloom/join
+  * keys), where the double form's >2^53 rounding would merge distinct
+  * hashes. Replaces `conv(substr(md5, 1, 15), 16, 10).cast(long)`
+  * (~2 µs/row through BigInteger) in the content-hash scans. */
+case class Hex60ToLong(child: Expression)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{StringType, LongType => LT}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"hex60_to_long needs a string, got ${t.simpleString}")
+    }
+  override def dataType: DataType = LT
+  override def prettyName: String = "hex60_to_long"
+
+  override def nullSafeEval(a: Any): Any = {
+    val s = a.toString
+    var v = 0L
+    var i = 0
+    while (i < 15 && i < s.length) {
+      val c = s.charAt(i)
+      val d = if (c <= '9') c - '0'
+              else if (c <= 'F') c - 'A' + 10
+              else c - 'a' + 10
+      v = (v << 4) | d
+      i += 1
+    }
+    v
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val i = ctx.freshName("i")
+      val c = ctx.freshName("c")
+      val d = ctx.freshName("d")
+      s"""
+         |String $s = $a.toString();
+         |long $v = 0L;
+         |for (int $i = 0; $i < 15 && $i < $s.length(); $i++) {
+         |  char $c = $s.charAt($i);
+         |  int $d = $c <= '9' ? $c - '0'
+         |    : ($c <= 'F' ? $c - 'A' + 10 : $c - 'a' + 10);
+         |  $v = ($v << 4) | $d;
+         |}
+         |${ev.value} = $v;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Hex60ToLong =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** dot(a, b) as a Column (codegen'd native expression). */
   def array_dot(a: Column, b: Column): Column =
@@ -182,6 +239,10 @@ object VectorFunctions {
   /** First 15 hex chars of a string → double in [0, 2^60). */
   def hex60_to_double(a: Column): Column =
     Bridge.column(Hex60ToDouble(expression(a)))
+
+  /** First 15 hex chars of a string → EXACT long in [0, 2^60). */
+  def hex60_to_long(a: Column): Column =
+    Bridge.column(Hex60ToLong(expression(a)))
 
   /** cosine(a, b) with the exact op order of the DuckDB oracle:
     * dot / (norm(a) * norm(b)). */

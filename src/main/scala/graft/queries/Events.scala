@@ -363,7 +363,42 @@ object Events {
       .orderBy(col("n").desc, col("path")).limit(25)
   }
 
+  // SCD2 (slowly-changing-dimension type-2) interval build: each user's
+  // event stream becomes validity intervals [valid_from, valid_to) via
+  // one lead() over the per-user order — the dimension-table shape a
+  // warehouse derives from CDC. The window partitions by user_id, so at
+  // 100 TB no task ever holds more than one user's history; the open
+  // (current) row carries a null valid_to. Epoch-µs output keeps both
+  // engines on exact integers.
+  val evScd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d).select(
+      col("user_id"), col("event_id"), col("event_type").as("state"),
+      unix_micros(col("ts")).as("valid_from"),
+      unix_micros(lead(col("ts"), 1).over(w)).as("valid_to"),
+      lead(col("ts"), 1).over(w).isNull.as("is_current"))
+  }
+
+  // First-order Markov transition matrix over per-user event sequences
+  // (the journey-model complement of ev_paths): transition counts and
+  // P(dst | src). The probability window runs over the AGGREGATED
+  // |types|² frame, never the raw events; the long/long→double division
+  // is one IEEE op, bit-identical cross-engine.
+  val evMarkov: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_scd2" -> evScd2,
+    "ev_markov" -> evMarkov,
     "ev_paths" -> evPaths,
     "ev_anomaly" -> evAnomaly,
     "ev_sliding" -> evSliding,
@@ -385,6 +420,24 @@ object Events {
   val oracles: Map[String, String] = Map(
     // Same (ts, event_id) order, same lead() fan, same deterministic
     // (count desc, path asc) top-25.
+    "ev_scd2" ->
+      """SELECT user_id, event_id, event_type AS state,
+        |  epoch_us(ts) AS valid_from,
+        |  epoch_us(lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id)) AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events""".stripMargin,
+    "ev_markov" ->
+      """WITH t AS (SELECT event_type AS src,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |c AS (SELECT src, dst, count(*) AS n FROM t
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2)
+        |SELECT src, dst, n, CAST(n AS DOUBLE) /
+        |  CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
     "ev_paths" ->
       """WITH w AS (SELECT user_id, event_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id

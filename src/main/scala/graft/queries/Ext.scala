@@ -748,6 +748,93 @@ object Ext {
     ab.join(ba, Seq("id_a", "id_b"), "left_semi")
   }
 
+  // Anchor-seeded nearest-centroid labeling (k-means INFERENCE under a
+  // frozen model — the IVF cell-assign step exposed as an operator):
+  // anchors = the first 8 vectors (vec_id < 8), collected driver-side
+  // (8 × 64 doubles) and inlined as array literals, so the whole
+  // assignment is ONE codegen'd projection — zero shuffle, zero join.
+  // The oracle replays the full argmax (cosine DESC, anchor-id ASC tie).
+  private def anchorSet(s: SparkSession, d: String): Seq[(Long, Seq[Double])] =
+    embeddings(s, d).where(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).toSeq
+
+  val simCentroidAssign: Q = (s, d) =>
+    SimilaritySearch.nearestAnchor(
+      embeddings(s, d), "vec_id", "embedding", anchorSet(s, d))
+
+  // One Lloyd (k-means) iteration from the same pinned anchors:
+  // assignment scan + per-(cluster, dim) FIXED-POINT mean (det6
+  // components as decimal(18,6) — exact, order-independent sums, so the
+  // distributed mean is bit-reproducible and DuckDB-replayable; the
+  // decimal→double cast stays exact while |sum×10⁶| < 2^53, true
+  // through sf10 for unit-scale embeddings).
+  val simKmeansStep: Q = (s, d) =>
+    SimilaritySearch.kmeansStep(
+      embeddings(s, d), "vec_id", "embedding", anchorSet(s, d))
+
+  // Per-domain document cap (the C4/RefinedWeb "at most N pages per
+  // domain" rule): keep 15 docs per source, chosen by the portable
+  // md5-threshold draw (seed 97) so the kept set is stable across runs
+  // and partitionings. TopKPerKey's k-bounded map-side heap ships at
+  // most 15 rows per (partition, source) to the shuffle — never a
+  // per-domain sort, which a hot domain (10^8 pages at 100 TB) would
+  // serialize into one task.
+  val tDomainCap: Q = (s, d) => {
+    val draw = graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 97L)
+    graft.operators.TopKPerKey(
+      documents(s, d).withColumn("__draw", draw),
+      Seq("source"), "__draw", "doc_id", k = 15)
+      .select(col("source"), col("doc_id"), col("rank"))
+  }
+
+  // Incremental (batch-vs-corpus) exact dedup — the nightly-crawl shape:
+  // the at-rest corpus (even doc_ids) holds 60-bit content hashes; the
+  // arriving batch (odd doc_ids) drops rows whose hash already exists,
+  // then keeps one winner (min doc_id) per in-batch duplicate group.
+  // BloomPrune filters the batch MAP-SIDE against a broadcast bloom of
+  // the corpus hashes: at 100 TB the corpus never shuffles against the
+  // batch — only probable matches reach the exact anti join that
+  // removes bloom false positives.
+  val dedupIncremental: Q = (s, d) => {
+    val h = graft.functions.VectorFunctions.hex60_to_long(
+      md5(coalesce(col("text"), lit(""))))
+    // Checkpoint the narrow (id, hash) projection: corpus and batch both
+    // derive from the one documents scan, and BloomPrune runs multiple
+    // jobs (key count, bloom build, join) — without it the text scan +
+    // md5 kernel re-executes per job. 16 bytes/row; in production the
+    // corpus hash set is its own at-rest table and this is a plain read.
+    val docs = documents(s, d).select(col("doc_id"), h.as("h"))
+      .localCheckpoint()
+    val corpus = docs.where(col("doc_id") % 2 === 0).select(col("h"))
+    val batch = docs.where(col("doc_id") % 2 === 1)
+    graft.operators.BloomPrune.antiJoin(batch, corpus, "h", "h")
+      .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+  }
+
+  // CCNet-style perplexity bucketing: unigram surprisal (t_surprisal's
+  // model, det6-pinned so the sort key is bit-identical cross-engine) →
+  // exact global tertiles via GlobalRank.withNtile (never an
+  // unpartitioned ntile window). Training pipelines keep "head", mix
+  // "middle", drop "tail".
+  val tCcnetBuckets: Q = (s, d) => {
+    // Checkpoint the (doc_id, surprisal) frame: GlobalRank's rank scan
+    // is multi-action, and each action would otherwise re-run the
+    // tokenize + TreeMap surprisal kernel over the full text column.
+    // Two scalar columns per row — 100-1000× smaller than the text.
+    val sur = Retrieval.surprisal(documents(s, d), "doc_id", "text")
+      .localCheckpoint()
+    graft.operators.GlobalRank.withNtile(
+      sur, "__tile", 3, Seq(col("surprisal"), col("doc_id")))
+      .select(col("doc_id"), col("surprisal"),
+        when(col("__tile") === 1, "head")
+          .when(col("__tile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   // LEAKAGE-SAFE train/val/test split: the split is drawn from the
   // near-dup CLUSTER id, not the doc id, so every member of a dup
   // cluster lands in the same split — the contamination-by-duplication
@@ -790,6 +877,11 @@ object Ext {
       .select(col("doc_id"))
 
   val queries: Map[String, Q] = Map(
+    "sim_centroid_assign" -> simCentroidAssign,
+    "sim_kmeans_step" -> simKmeansStep,
+    "t_domain_cap" -> tDomainCap,
+    "dedup_incremental" -> dedupIncremental,
+    "t_ccnet_buckets" -> tCcnetBuckets,
     "dedup_clusters" -> dedupClusters,
     "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
@@ -993,7 +1085,71 @@ object Ext {
       |  SELECT DISTINCT doc_id, fp FROM wmins WHERE rn >= least(16, m)
       |)""".stripMargin
 
+  // Shared CTE prefix for the anchor-assignment oracles: exact cosine
+  // against the vec_id < 8 anchor set, argmax by (cosine DESC, aid ASC)
+  // — mirrors nearestAnchor's greatest() over (det6 cosine, -aid)
+  // structs, with the same operand order in every float op (dot folds
+  // ascending zip index; denominator = norm(anchor) * norm(vector)).
+  private lazy val anchorAssignCte: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |a AS (SELECT vec_id AS aid, v AS av FROM e WHERE vec_id < 8),
+      |sc AS (SELECT e.vec_id, a.aid,
+      |    floor(
+      |      list_reduce(list_transform(list_zip(a.av, e.v), z -> z[1] * z[2]),
+      |        (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(a.av, x -> x * x), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+      |      * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM e, a),
+      |asn AS (SELECT vec_id, aid, cosine FROM (
+      |    SELECT vec_id, aid, cosine, row_number() OVER (
+      |      PARTITION BY vec_id ORDER BY cosine DESC, aid) AS rn
+      |    FROM sc) WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_centroid_assign" ->
+      s"""$anchorAssignCte
+         |SELECT vec_id, aid AS cluster_id, cosine FROM asn""".stripMargin,
+    "sim_kmeans_step" ->
+      s"""$anchorAssignCte,
+         |x AS (SELECT asn.aid AS cluster_id, i - 1 AS dim,
+         |    CAST(floor(e.v[i] * 1000000 + 0.5) / 1000000
+         |      AS DECIMAL(18,6)) AS xr
+         |  FROM asn JOIN e USING (vec_id),
+         |    LATERAL (SELECT unnest(range(1, len(e.v) + 1)) AS i) r)
+         |SELECT cluster_id, CAST(dim AS INT) AS dim,
+         |  floor(CAST(sum(xr) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         |    / 1000000 AS centroid
+         |FROM x GROUP BY 1, 2""".stripMargin,
+    "t_domain_cap" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '97')), 1, 15))
+        |      AS UBIGINT) AS DOUBLE) AS draw
+        |  FROM documents)
+        |SELECT source, doc_id, CAST(rank AS INT) AS rank FROM (
+        |  SELECT source, doc_id, row_number() OVER (
+        |      PARTITION BY source ORDER BY draw DESC, doc_id) AS rank
+        |  FROM d)
+        |WHERE rank <= 15""".stripMargin,
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15))
+        |      AS UBIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT h FROM d WHERE doc_id % 2 = 0),
+        |b AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1)
+        |SELECT min(doc_id) AS doc_id FROM b
+        |WHERE h NOT IN (SELECT h FROM c) GROUP BY h""".stripMargin,
+    "t_ccnet_buckets" ->
+      s"""WITH s AS ($surprisalOracle)
+         |SELECT doc_id, surprisal,
+         |  CASE CAST(ntile(3) OVER (ORDER BY surprisal, doc_id) AS INT)
+         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         |    AS ppl_bucket
+         |FROM s""".stripMargin,
     "t_winnow" ->
       s"""$winnowFpsCte
          |SELECT doc_id, CAST(count(*) AS INT) AS n_fp, bit_xor(fp) AS fp_xor

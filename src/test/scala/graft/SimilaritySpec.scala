@@ -297,4 +297,74 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(edges == expect)
   }
+
+  test("nearestAnchor: argmax parity with driver replay; ties to smaller id") {
+    val e = emb(spark)
+    val anchors = e.where(col("vec_id") < 6)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).toSeq
+    val got = SimilaritySearch.nearestAnchor(e, "vec_id", "embedding", anchors)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent driver-side replay (same det6 pin)
+    def det6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      det6(dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+    }
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    vecs.foreach { case (id, v) =>
+      val best = anchors.map { case (aid, av) => (cos(av, v), aid) }
+        .minBy { case (c, aid) => (-c, aid) }._2
+      assert(got(id) == best, s"vec $id")
+    }
+    // anchors label themselves (cosine 1.0 to their own vector)
+    anchors.foreach { case (aid, _) => assert(got(aid) == aid) }
+    // exact tie (duplicated anchor vector under two ids) → smaller id
+    val dup = Seq((10L, anchors.head._2), (11L, anchors.head._2))
+    val tied = SimilaritySearch.nearestAnchor(
+      e.where(col("vec_id") === anchors.head._1), "vec_id", "embedding", dup)
+      .collect()
+    assert(tied.head.getLong(1) == 10L)
+  }
+
+  test("kmeansStep: partitioning-invariant; equals sequential Lloyd update") {
+    val e = emb(spark)
+    val anchors = e.where(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .sortBy(_._1).toSeq
+    def run(df: org.apache.spark.sql.DataFrame) =
+      SimilaritySearch.kmeansStep(df, "vec_id", "embedding", anchors)
+        .collect()
+        .map(r => ((r.getLong(0), r.getInt(1)), r.getDouble(2))).toMap
+    val a = run(e)
+    val b = run(e.repartition(13))
+    assert(a == b, "fixed-point mean must not depend on partitioning")
+    // sequential replay: same det6-component fixed-point mean
+    def det6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def cos(p: Seq[Double], q: Seq[Double]) = {
+      val dot = p.zip(q).map { case (x, y) => x * y }.sum
+      det6(dot / (math.sqrt(p.map(x => x * x).sum) *
+        math.sqrt(q.map(x => x * x).sum)))
+    }
+    val vecs = e.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+    val byCluster = vecs.groupBy { case (_, v) =>
+      anchors.map { case (aid, av) => (cos(av, v), aid) }
+        .minBy { case (c, aid) => (-c, aid) }._2
+    }
+    byCluster.foreach { case (cid, members) =>
+      val dim = members.head._2.length
+      (0 until dim).foreach { i =>
+        // exact integer micro-units replay of the decimal(18,6) sum
+        val sumMicros = members.map { case (_, v) =>
+          math.floor(v(i) * 1e6 + 0.5).toLong }.sum
+        val want = det6(sumMicros / 1e6 / members.size)
+        assert(a((cid, i)) == want, s"cluster $cid dim $i")
+      }
+    }
+  }
 }

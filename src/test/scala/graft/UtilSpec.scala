@@ -95,4 +95,37 @@ class UtilSpec extends AnyFunSuite {
     assert(s.size == 10 && s.head == 0 && s.last == 90)
     assert(s == s.sorted && s.distinct.size == 10)
   }
+
+  test("hex60_to_long: exact BigInteger parity incl. values double would round") {
+    val spark = SparkFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // '8000000000000001' region: 2^59 + 1 is NOT representable as a
+    // double — the long path must keep the +1 (the double sibling's
+    // rounding is exactly why this expression exists).
+    val cases = Seq(
+      "800000000000001aaa", // 2^59 + 1 after 15 chars
+      "fffffffffffffff",    // 2^60 - 1
+      "000000000000000",
+      "0123456789abcdef",
+      "DEADBEEFCAFEBABE",   // uppercase path
+      "ab")                 // short string
+    val got = cases.toDF("s")
+      .select(graft.functions.VectorFunctions.hex60_to_long(col("s")))
+      .as[Long].collect()
+    val want = cases.map { s =>
+      s.take(15).foldLeft(0L)((v, c) =>
+        (v << 4) | java.lang.Integer.parseInt(c.toString, 16))
+    }
+    assert(got.toSeq == want)
+    assert(want(0) == (1L << 59) + 1)
+    assert(want(0).toDouble.toLong != want(0), "double sibling would round")
+    // parity with the md5-prefix conv() form it replaces
+    val texts = (0 until 100).map(i => s"doc $i").toDF("t")
+    val both = texts.select(
+      graft.functions.VectorFunctions.hex60_to_long(md5(col("t"))).as("a"),
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("b"))
+      .where(col("a") =!= col("b")).count()
+    assert(both == 0L)
+  }
 }
