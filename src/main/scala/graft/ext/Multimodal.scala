@@ -216,4 +216,100 @@ object Multimodal {
     if (nFrames <= target) 0 until nFrames
     else (0 until target).map(i => (i.toLong * nFrames / target).toInt)
   }
+
+  // ------------------------------------------------- audio (PCM16 WAV)
+
+  /** Decoded mono/interleaved PCM16 audio. */
+  case class WavPcm(sampleRate: Int, channels: Int, samples: Array[Short])
+
+  /** Dependency-free RIFF/WAVE writer: 16-bit little-endian PCM, the
+    * canonical 44-byte header. The audio twin of [[encodeGrayPng]] —
+    * real bytes in the binary column, not a stub. */
+  def wavEncode(
+      samples: Array[Short], sampleRate: Int, channels: Int = 1): Array[Byte] = {
+    require(channels > 0 && sampleRate > 0)
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort)  // block align
+      .putShort(16)                      // bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** RIFF/WAVE chunk-walking parser for 16-bit PCM (None for anything
+    * that isn't a well-formed PCM16 WAV — same total-Option contract as
+    * the image decoders). Walks chunks rather than assuming the 44-byte
+    * layout, so LIST/INFO metadata chunks between fmt and data parse
+    * fine. */
+  def wavDecode(bytes: Array[Byte]): Option[WavPcm] = {
+    if (bytes == null || bytes.length < 44) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    if (tag4() != "RIFF") return None
+    bb.getInt // riff size (ignored; truncated files fail chunk reads)
+    if (tag4() != "WAVE") return None
+    var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+    while (bb.remaining() >= 8) {
+      val id = tag4()
+      val len = bb.getInt
+      if (len < 0 || len > bb.remaining()) return None
+      id match {
+        case "fmt " =>
+          if (len < 16) return None
+          val pos = bb.position()
+          val audioFormat = bb.getShort
+          val ch = bb.getShort.toInt
+          val rate = bb.getInt
+          bb.getInt; bb.getShort
+          val bits = bb.getShort.toInt
+          if (audioFormat != 1) return None // PCM only
+          fmt = Some((ch, rate, bits))
+          bb.position(pos + len + (len & 1))
+        case "data" =>
+          val (ch, rate, bits) = fmt.getOrElse(return None)
+          if (bits != 16 || len % 2 != 0) return None
+          val n = len / 2
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) { out(i) = bb.getShort; i += 1 }
+          return Some(WavPcm(rate, ch, out))
+        case _ =>
+          bb.position(bb.position() + len + (len & 1))
+      }
+    }
+    None
+  }
+
+  /** Per-frame energy features over PCM samples: (frame_idx, n, Σs²).
+    * The sum of squares of int16 samples is an EXACT long (≤ 2^30 per
+    * sample, so frames up to 2^23 samples stay under 2^53) — the audio
+    * feature stays integer-oracle-exact the way the image lane's pixel
+    * sums do; RMS = sqrt(Σs²/n) is then one correctly-rounded op per
+    * engine. */
+  def frameSumSquares(
+      samples: Array[Short], frame: Int): Seq[(Int, Int, Long)] = {
+    require(frame > 0)
+    if (samples.isEmpty) return Nil
+    val nFrames = (samples.length + frame - 1) / frame
+    (0 until nFrames).map { f =>
+      val lo = f * frame
+      val hi = math.min(lo + frame, samples.length)
+      var s = 0L
+      var i = lo
+      while (i < hi) { val v = samples(i).toLong; s += v * v; i += 1 }
+      (f, hi - lo, s)
+    }
+  }
 }

@@ -640,6 +640,34 @@ object Ext {
         explode(sample(col("n_frames"))).as("frame_idx"))
   }
 
+  // AUDIO lane (multimodal lane 3): per-doc PCM16 WAV binaries
+  // synthesized row-locally from a closed-form sample formula, round
+  // tripped through the REAL RIFF writer + chunk-walking parser, then
+  // per-frame energy features. Everything cross-engine-exact: samples
+  // are integers, Σs² is an exact long, and RMS is one
+  // correctly-rounded sqrt per engine. The oracle replays the formula
+  // arithmetically (DuckDB never sees the binary — the codec itself is
+  // what the round trip tests; a corrupted header/chunk walk/sample
+  // order would shift every energy).
+  val mmAudio: Q = (s, d) => {
+    import s.implicits._
+    val frames = udf { (docId: Long) =>
+      val ns = 800 + (docId % 5).toInt * 100
+      val samples = Array.tabulate(ns)(i =>
+        (((docId * 31 + i.toLong * 7) % 65536) - 32768).toShort)
+      val wav = graft.ext.Multimodal.wavEncode(samples, 16000)
+      val pcm = graft.ext.Multimodal.wavDecode(wav).get
+      require(pcm.sampleRate == 16000 && pcm.channels == 1)
+      graft.ext.Multimodal.frameSumSquares(pcm.samples, 256).toArray
+    }
+    documents(s, d).where(col("doc_id") < 64)
+      .select(col("doc_id"), explode(frames(col("doc_id"))).as("f"))
+      .select(col("doc_id"), col("f._1").as("frame_idx"),
+        col("f._2").as("n"), col("f._3").as("sumsq"),
+        graft.functions.DetRound.det6(
+          sqrt(col("f._3").cast("double") / col("f._2"))).as("rms"))
+  }
+
   // DATA MIXING with fractional epochs: every source resampled to a
   // deterministic per-source token budget (index mod 4 -> factor 0 /
   // 0.5 / 1.0 / 2.3 of its actual mass — exclusion, downsample,
@@ -761,9 +789,19 @@ object Ext {
       .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
       .sortBy(_._1).toSeq
 
-  val simCentroidAssign: Q = (s, d) =>
-    SimilaritySearch.nearestAnchor(
-      embeddings(s, d), "vec_id", "embedding", anchorSet(s, d))
+  val simCentroidAssign: Q = (s, d) => {
+    val anchors = anchorSet(s, d)
+    // zero-row corpus → no anchors: deliberate empty frame with the
+    // output schema (the operator's >= 2-anchor contract is for real
+    // anchor sets, not an empty-partition crash)
+    if (anchors.size < 2)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id long, cluster_id long, cosine double"))
+    else
+      SimilaritySearch.nearestAnchor(
+        embeddings(s, d), "vec_id", "embedding", anchors)
+  }
 
   // One Lloyd (k-means) iteration from the same pinned anchors:
   // assignment scan + per-(cluster, dim) FIXED-POINT mean (det6
@@ -771,9 +809,16 @@ object Ext {
   // distributed mean is bit-reproducible and DuckDB-replayable; the
   // decimal→double cast stays exact while |sum×10⁶| < 2^53, true
   // through sf10 for unit-scale embeddings).
-  val simKmeansStep: Q = (s, d) =>
-    SimilaritySearch.kmeansStep(
-      embeddings(s, d), "vec_id", "embedding", anchorSet(s, d))
+  val simKmeansStep: Q = (s, d) => {
+    val anchors = anchorSet(s, d)
+    if (anchors.size < 2)
+      s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "cluster_id long, dim int, centroid double"))
+    else
+      SimilaritySearch.kmeansStep(
+        embeddings(s, d), "vec_id", "embedding", anchors)
+  }
 
   // Per-domain document cap (the C4/RefinedWeb "at most N pages per
   // domain" rule): keep 15 docs per source, chosen by the portable
@@ -886,6 +931,7 @@ object Ext {
     "dedup_pipeline_keep" -> dedupPipelineKeep,
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
+    "mm_audio" -> mmAudio,
     "mm_decode" -> mmDecode,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
@@ -1407,6 +1453,23 @@ object Ext {
         |  CAST(8 AS INT) AS shape_h, CAST(8 AS INT) AS shape_w,
         |  CAST(64 AS INT) AS n_values
         |FROM documents""".stripMargin,
+    // Closed-form replay of the PCM sample formula + 256-sample frame
+    // energies; the Spark side must survive the WAV encode→parse round
+    // trip bit-exactly for Σs² to hash-match.
+    "mm_audio" ->
+      """WITH p AS (SELECT doc_id, 800 + (doc_id % 5) * 100 AS ns
+        |  FROM documents WHERE doc_id < 64),
+        |s AS (SELECT doc_id, i,
+        |    ((doc_id * 31 + i * 7) % 65536) - 32768 AS v
+        |  FROM p, LATERAL (SELECT unnest(range(0, ns)) AS i) r),
+        |f AS (SELECT doc_id, CAST(i // 256 AS INT) AS frame_idx,
+        |    count(*) AS n, sum(v * v) AS sumsq
+        |  FROM s GROUP BY 1, 2)
+        |SELECT doc_id, frame_idx, CAST(n AS INT) AS n,
+        |  CAST(sumsq AS BIGINT) AS sumsq,
+        |  floor(sqrt(CAST(sumsq AS DOUBLE) / n) * 1000000 + 0.5)
+        |    / 1000000 AS rms
+        |FROM f""".stripMargin,
     // Replays the deterministic raster formula (dims + pixel values) in
     // closed form: the Spark side must DECODE the lossless PNG back to
     // exactly these pixels for the sums to hash-match.

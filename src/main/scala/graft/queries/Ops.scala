@@ -269,6 +269,27 @@ object Ops {
         md5(coalesce(col("text"), lit(""))).as("h"))
   }
 
+  // Targeted at-rest delete (the right-to-be-forgotten shape):
+  // documents written range-clustered on doc_id across 16 files, a
+  // contiguous id band deleted — discovery's literal IN filter prunes
+  // to the files whose row-group min/max overlap the band, only those
+  // rewrite, every other file MOVES (metadata rename, no data copy).
+  // The oracle is the surviving table (delete semantics only — layout
+  // invisible); the pruning ratio and swap hygiene are spec'd in
+  // TargetedDeleteSpec.
+  val opTargetedDelete: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_tdelete_")
+    documents(s, d).repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    Sources.registerCleanup(dir)
+    graft.operators.TargetedDelete(s, dir.getAbsolutePath, "doc_id",
+      (10L until 25L).toSeq)
+    s.read.parquet(dir.getAbsolutePath)
+      .select(col("doc_id"), col("source"),
+        md5(coalesce(col("text"), lit(""))).as("h"))
+  }
+
   // Bloom-pruned semi join: lineitem reduced map-side by a bloom
   // filter over the URGENT orders' keys BEFORE any shuffle, then the
   // exact semi join on the survivors. Bloom false positives are
@@ -327,6 +348,7 @@ object Ops {
     "op_meta_agg" -> opMetaAgg,
     "op_bloom_semi_join" -> opBloomSemiJoin,
     "op_compact_roundtrip" -> opCompactRoundtrip,
+    "op_targeted_delete" -> opTargetedDelete,
     "op_zorder_scan" -> opZorderScan,
     "op_profile" -> opProfile,
     "op_profile_approx" -> opProfileApprox,
@@ -392,6 +414,11 @@ object Ops {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
+    // Delete semantics only (layout invisible): survivors of the band.
+    "op_targeted_delete" ->
+      """SELECT doc_id, source, md5(coalesce(text, '')) AS h
+        |FROM documents
+        |WHERE doc_id < 10 OR doc_id >= 25""".stripMargin,
     // Compaction must be layout-only: the oracle is the source table.
     "op_compact_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h

@@ -96,6 +96,38 @@ class UtilSpec extends AnyFunSuite {
     assert(s == s.sorted && s.distinct.size == 10)
   }
 
+  test("wav codec: PCM16 round trip, chunk walking, malformed rejection") {
+    val samples = Array.tabulate(1000)(i => ((i * 37) % 65536 - 32768).toShort)
+    val wav = Multimodal.wavEncode(samples, 16000)
+    assert(wav.length == 44 + 2000)
+    val back = Multimodal.wavDecode(wav).get
+    assert(back.sampleRate == 16000 && back.channels == 1)
+    assert(back.samples.toSeq == samples.toSeq)
+    // chunk walking: a LIST metadata chunk between fmt and data must be
+    // skipped, not break the parse
+    val bb = java.nio.ByteBuffer.allocate(wav.length + 12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(wav, 0, 36) // RIFF..fmt chunk
+    bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+      .put("INFO".getBytes("US-ASCII"))
+    bb.put(wav, 36, wav.length - 36) // data chunk
+    val withList = bb.array()
+    // fix RIFF size for the inserted chunk
+    java.nio.ByteBuffer.wrap(withList)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(4, 36 + 12 + 2000)
+    assert(Multimodal.wavDecode(withList).get.samples.toSeq == samples.toSeq)
+    // malformed: truncated, wrong magic, float format
+    assert(Multimodal.wavDecode(wav.take(40)).isEmpty)
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    assert(Multimodal.wavDecode(bad).isEmpty)
+    val floatFmt = wav.clone(); floatFmt(20) = 3 // IEEE float tag
+    assert(Multimodal.wavDecode(floatFmt).isEmpty)
+    // frame energies: exact partial last frame
+    val fr = Multimodal.frameSumSquares(Array[Short](3, -4, 5), 2)
+    assert(fr == Seq((0, 2, 25L), (1, 1, 25L)))
+  }
+
   test("hex60_to_long: exact BigInteger parity incl. values double would round") {
     val spark = SparkFixture.spark
     import spark.implicits._
