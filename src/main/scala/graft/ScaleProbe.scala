@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -250,6 +250,62 @@ object ScaleProbe {
         s"z-ordered $zHit/$zAll vs unsorted $pHit/$pAll " +
         "(scan volume at 100 TB tracks this ratio)")
       Seq(zDir, pDir).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    }
+
+    // Targeted delete at copies×: the claim is that the REWRITE cost
+    // tracks the affected files, and the layout decides how many those
+    // are — a key-clustered layout (range-sorted) localizes a
+    // contiguous key band into few files; the unsorted layout smears it
+    // across all of them. Parquet column bloom filters are the
+    // unclustered fallback for POINT deletes: row groups that can't
+    // contain a key skip at discovery time without any clustering.
+    if (stages("tdelete")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi = (0 until copies).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
+      }.reduce(_ union _)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+        .localCheckpoint()
+      val n = bigLi.count()
+      val sDir = java.nio.file.Files
+        .createTempDirectory("probe_tdel_sorted_").toString
+      val uDir = java.nio.file.Files
+        .createTempDirectory("probe_tdel_unsorted_").toString
+      val bDir = java.nio.file.Files
+        .createTempDirectory("probe_tdel_bloom_").toString
+      bigLi.repartitionByRange(64, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(sDir)
+      bigLi.repartition(64).write.mode("overwrite").parquet(uDir)
+      bigLi.repartition(64).write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+        .parquet(bDir)
+      // a contiguous band of ~200 keys (the clustered win) …
+      val band: Seq[Any] = (500L to 699L).map(identity)
+      val rs = time("TargetedDelete on RANGE-SORTED layout")(
+        graft.operators.TargetedDelete(spark, sDir, "l_orderkey", band))
+      val ru = time("TargetedDelete on UNSORTED layout")(
+        graft.operators.TargetedDelete(spark, uDir, "l_orderkey", band))
+      println(s"[probe] band delete files touched: " +
+        s"sorted ${rs.filesTouched}/${rs.totalFiles} vs " +
+        s"unsorted ${ru.filesTouched}/${ru.totalFiles} " +
+        s"(${rs.rowsDeleted} rows) — rewrite volume tracks this ratio")
+      // … and a POINT lookup on the unclustered layouts: bloom filters
+      // vs plain stats (stats can't help — every file's [min,max]
+      // spans the domain). Timing the discovery scan isolates the
+      // row-group skip.
+      def discover(dir: String, key: Long): Long =
+        spark.read.parquet(dir).where(col("l_orderkey") === key)
+          .select(input_file_name()).distinct().count()
+      discover(uDir, 42L); discover(bDir, 42L) // warm listings
+      val tu = time("point-key discovery scan, plain unsorted")(
+        discover(uDir, 777L))
+      val tb = time("point-key discovery scan, parquet BLOOM on key")(
+        discover(bDir, 777L))
+      println(s"[probe] point discovery found in $tu vs $tb files " +
+        s"($n rows; bloom row-group skipping shows in the scan time)")
+      Seq(sDir, uDir, bDir).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
     }
 

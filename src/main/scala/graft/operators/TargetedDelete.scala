@@ -67,6 +67,13 @@ object TargetedDelete {
     require(!fs.listStatus(src).exists(s =>
       s.isDirectory && s.getPath.getName.contains("=")),
       s"$path is hive-partitioned: run TargetedDelete per partition dir")
+    // A surviving backup dir is a CRASH STATE, not debris: it may hold
+    // the only copy of files a crashed move-back never returned.
+    // Deleting it would lose them — refuse up front, route to recover.
+    val bak = new Path(src.getParent, s".${src.getName}__delete_old")
+    require(!fs.exists(bak),
+      s"delete: $bak exists — a previous delete crashed mid-swap; " +
+        s"run TargetedDelete.recover(spark, \"$path\") first")
     val isMatch = col(keyCol).isin(keys: _*)
     val affected = spark.read.parquet(path)
       .where(isMatch)
@@ -103,8 +110,6 @@ object TargetedDelete {
     // readers skip it) so recovery after any crash knows which backup
     // files are stale rewrites vs unmoved survivors.
     writeManifest(fs, tmp, affectedNames)
-    val bak = new Path(src.getParent, s".${src.getName}__delete_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
     require(fs.rename(src, bak), s"delete: rename $src -> $bak failed")
     require(fs.rename(tmp, src), s"delete: rename $tmp -> $src failed")
     // untouched files MOVE back in — metadata renames, no data copy

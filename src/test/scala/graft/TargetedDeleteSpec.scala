@@ -144,6 +144,24 @@ class TargetedDeleteSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("apply refuses while a crash-state backup exists (no data loss)") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_tdel_bak_").toFile
+    dir.deleteOnExit()
+    writeClustered(dir, files = 4)
+    val src = new Path(dir.getAbsolutePath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new Path(src.getParent, s".${src.getName}__delete_old")
+    fs.mkdirs(bak) // simulate a crashed move-back's leftover backup
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.TargetedDelete(
+        spark, dir.getAbsolutePath, "doc_id", Seq(1L))
+    }
+    assert(e.getMessage.contains("recover"))
+    fs.delete(bak, true)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("hive-partitioned dir rejected with guidance") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tdel_part_").toFile
     dir.deleteOnExit()
