@@ -680,4 +680,58 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** Distinct character n-grams of a string (compiled kernel). */
+  private[ext] def charGramFn(n: Int): String => Seq[String] = { s: String =>
+    val t = if (s == null) "" else s
+    if (t.length < n) Nil
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + n <= t.length) { out += t.substring(i, i + n); i += 1 }
+      out.toSeq
+    }
+  }
+
+  /** FUZZY (edit-distance) near-duplicate pairs over a short key
+    * column — the entity-resolution shape (names, titles, URLs):
+    * all (a < b) with ≥ `minShared` common character n-grams of the
+    * lowercased `keyLen`-prefix key AND levenshtein ≤ `maxDist`.
+    *
+    * Same two-stage discipline as the other dedup lanes: cheap
+    * BLOCKING (distinct char-gram explode → equi-self-join → shared
+    * count, with the `maxGramDf` stop-gram cap bounding any gram's
+    * pair fan-out at df², exactly `jaccardPairs`' skew lever) and an
+    * EXACT verify (one codegen'd `levenshtein` per candidate — O(k²)
+    * on ≤ keyLen chars, never on whole documents). Blocking recall is
+    * probabilistic (two strings within maxDist share many grams unless
+    * edits are adversarially spread — the dedup_winnow argument);
+    * precision is exact. Output: (id_a, id_b, shared, dist). */
+  def fuzzyPairs(
+      df: DataFrame, idCol: String, strCol: String,
+      keyLen: Int = 80, gram: Int = 3, maxGramDf: Int = 100,
+      minShared: Int = 4, maxDist: Int = 20): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val k = df.select(col(idCol).as("__id"),
+        lower(substring(coalesce(col(strCol), lit("")), 1, keyLen)).as("__s"))
+      .repartition(p).localCheckpoint() // 3 consumers: grams + 2 verifies
+    val g0 = k.select(col("__id"),
+      explode(udf(charGramFn(gram)).apply(col("__s"))).as("__gr"))
+    val rare = g0.groupBy(col("__gr")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxGramDf).select(col("__gr"))
+    val g = g0.join(rare, Seq("__gr"), "left_semi")
+      .repartition(p, col("__gr")).localCheckpoint()
+    val cand = g.select(col("__id").as("id_a"), col("__gr"))
+      .join(g.select(col("__id").as("id_b"), col("__gr")), Seq("__gr"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+    cand
+      .join(k.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
+      .join(k.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
+      .where(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("shared"), col("dist"))
+  }
 }

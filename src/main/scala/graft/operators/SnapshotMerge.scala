@@ -66,4 +66,32 @@ object SnapshotMerge {
       .select(dataCols.map(n =>
         when(touched, col(s"__c.$n")).otherwise(col(s"__b.$n")).as(n)): _*)
   }
+
+  /** MERGE INTO an at-rest parquet snapshot: read, merge, write to a
+    * temp sibling, swap with two renames (the [[Compact]] discipline —
+    * racing readers see the old complete snapshot or the new one,
+    * never a half-written mix). The write job reads the CURRENT
+    * snapshot files lazily while they are still in place; the swap is
+    * pure metadata afterwards. This is the `foreachBatch` body for a
+    * STREAM-maintained snapshot (state lives in the snapshot itself,
+    * no state store — the SnapshotMerge twin of the streaming ANN
+    * index maintenance). Sequential batch applies compose: merge(
+    * merge(base, b1), b2) — each batch's at-most-one-op-per-key
+    * contract is enforced per apply. */
+  def applyAtRest(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      changes: DataFrame, keyCol: String, opCol: String = "op"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(src.getParent, s".${src.getName}__snap_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    apply(spark.read.parquet(path), changes, keyCol, opCol)
+      .write.parquet(tmp.toString)
+    val bak = new Path(src.getParent, s".${src.getName}__snap_old")
+    if (fs.exists(bak)) fs.delete(bak, true)
+    require(fs.rename(src, bak), s"snapshot swap: $src -> $bak failed")
+    require(fs.rename(tmp, src), s"snapshot swap: $tmp -> $src failed")
+    fs.delete(bak, true)
+  }
 }

@@ -640,6 +640,15 @@ object Ext {
         explode(sample(col("n_frames"))).as("frame_idx"))
   }
 
+  // FUZZY (edit-distance) near-dup pairs — the entity-resolution lane
+  // (names/titles/URLs): char-3-gram blocking (df-capped, shared >= 4)
+  // over the lowercased 80-char key, then exact levenshtein <= 20
+  // verify. The oracle replays blocking AND verify (DuckDB's
+  // levenshtein is the same unit-cost edit distance), so a drift in
+  // either stage flips the hash.
+  val dedupFuzzy: Q = (s, d) =>
+    Dedup.fuzzyPairs(documents(s, d), "doc_id", "text")
+
   // AUDIO lane (multimodal lane 3): per-doc PCM16 WAV binaries
   // synthesized row-locally from a closed-form sample formula, round
   // tripped through the REAL RIFF writer + chunk-walking parser, then
@@ -932,6 +941,7 @@ object Ext {
     "mm_features" -> mmFeatures,
     "mm_frames" -> mmFrames,
     "mm_audio" -> mmAudio,
+    "dedup_fuzzy" -> dedupFuzzy,
     "mm_decode" -> mmDecode,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
@@ -1453,6 +1463,25 @@ object Ext {
         |  CAST(8 AS INT) AS shape_h, CAST(8 AS INT) AS shape_w,
         |  CAST(64 AS INT) AS n_values
         |FROM documents""".stripMargin,
+    "dedup_fuzzy" ->
+      """WITH k AS (SELECT doc_id,
+        |    lower(substr(coalesce(text, ''), 1, 80)) AS s FROM documents),
+        |g AS (SELECT DISTINCT doc_id, substr(s, i, 3) AS gr
+        |  FROM k, LATERAL (SELECT unnest(range(1,
+        |    greatest(len(s) - 2, 0) + 1)) AS i) r),
+        |rare AS (SELECT gr FROM (
+        |  SELECT gr, count(*) AS d FROM g GROUP BY 1) WHERE d <= 100),
+        |gg AS (SELECT g.* FROM g JOIN rare USING (gr)),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS shared
+        |  FROM gg a JOIN gg b ON a.gr = b.gr AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 4)
+        |SELECT id_a, id_b, shared,
+        |  CAST(levenshtein(ka.s, kb.s) AS INT) AS dist
+        |FROM cand
+        |JOIN k ka ON cand.id_a = ka.doc_id
+        |JOIN k kb ON cand.id_b = kb.doc_id
+        |WHERE levenshtein(ka.s, kb.s) <= 20""".stripMargin,
     // Closed-form replay of the PCM sample formula + 256-sample frame
     // energies; the Spark side must survive the WAV encode→parse round
     // trip bit-exactly for Σs² to hash-match.

@@ -289,7 +289,59 @@ object Streams {
     EventStreams.runToMemory(verified, uniq("st_neardup"))
   }
 
+  // STREAM-MAINTAINED SNAPSHOT (the warehouse-maintenance lane,
+  // SnapshotMerge's streaming form — the metadata-table twin of the
+  // streaming ANN index maintenance): a CDC file stream applies to an
+  // at-rest parquet snapshot via foreachBatch + SnapshotMerge
+  // .applyAtRest (read → merge → temp+rename swap). Two chronological
+  // micro-batches (D+U then I, ordered by mtime under
+  // maxFilesPerTrigger=1); state lives in the snapshot itself — no
+  // state store, restarts resume from the sink checkpoint. The change
+  // synthesis matches op_merge_upsert exactly and the batch sequence
+  // converges to the same final snapshot (insert keys are disjoint
+  // from the base by construction), so the entries share the oracle.
+  val stMergeUpsert: Q = (s, d) => Tables.withShufflePartitions(s, 4) {
+    val snapDir = Sources.fixtureDir(s, "graft_stsnap_")
+    val base = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+    base.coalesce(2).write.mode("overwrite").parquet(snapDir.getAbsolutePath)
+    Sources.registerCleanup(snapDir)
+    val maxRow = base.agg(max(col("c_custkey"))).collect()(0)
+    if (!maxRow.isNullAt(0)) { // zero-row base: nothing to synthesize
+      val maxKey = maxRow.getLong(0)
+      val deletes = base.where(pmod(col("c_custkey"), lit(13)) === 0)
+        .withColumn("op", lit("D"))
+      val updates = base.where(pmod(col("c_custkey"), lit(13)) =!= 0 &&
+          pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + lit(100.0))
+        .withColumn("op", lit("U"))
+      val inserts = base.where(pmod(col("c_custkey"), lit(17)) === 0)
+        .select((col("c_custkey") + lit(maxKey)).as("c_custkey"),
+          concat(lit("NEW_"), col("c_custkey").cast("string")).as("c_name"),
+          col("c_nationkey"), lit(0.0).as("c_acctbal"), lit("I").as("op"))
+      val cdcDir = Sources.fixtureDir(s, "graft_stsnap_cdc_")
+      val t0 = System.currentTimeMillis() - 120000
+      Sources.writeOrderedPart(
+        deletes.unionByName(updates), cdcDir, "a.parquet", t0)
+      Sources.writeOrderedPart(inserts, cdcDir, "b.parquet", t0 + 60000)
+      val stream = s.readStream.schema(inserts.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.SnapshotMerge.applyAtRest(
+            s, snapDir.getAbsolutePath, batch, "c_custkey")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    s.read.parquet(snapDir.getAbsolutePath)
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_merge_upsert" -> stMergeUpsert,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
     "st_dedup_keys" -> stDedupKeys,
@@ -303,6 +355,9 @@ object Streams {
     "st_contamination" -> stContamination)
 
   val oracles: Map[String, String] = Map(
+    // Shared with op_merge_upsert: the sequential batch application
+    // provably converges to the single-merge result (see stMergeUpsert).
+    "st_merge_upsert" -> Ops.oracles("op_merge_upsert"),
     "st_redact" -> Ext.redactOracle,
     // Verified-LSH output ≡ exact-Jaccard pairs (dedup_minhash's parity
     // argument), restricted to arriving (odd) × corpus (even) ids.

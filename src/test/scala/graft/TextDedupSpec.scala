@@ -252,4 +252,33 @@ class TextDedupSpec extends AnyFunSuite {
       }.toSet
     assert(got == batch && got.nonEmpty)
   }
+
+  test("fuzzyPairs: planted typo pair found, verify prunes gram-similar far pairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps ovre the lazy dog tonight"), // 2 edits
+      (3L, "the quick brown fox jumps over the lazy dog tonight"), // exact dup of 1
+      (4L, "zzz completely unrelated content qqq xxx yyy www vvv"),
+      // shares many grams with 1 (same vocabulary, reshuffled order) but
+      // far in edit distance -> must be BLOCKED in, then verify-pruned
+      (5L, "dog lazy the over jumps fox brown quick the tonightz"))
+      .toDF("doc_id", "text")
+    val got = Dedup.fuzzyPairs(docs, "doc_id", "text",
+      keyLen = 80, gram = 3, maxGramDf = 100, minShared = 4, maxDist = 5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(got.contains((1L, 2L)) && got((1L, 2L)) == 2,
+      s"typo pair with exact distance, got $got")
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) == 0)
+    assert(got.contains((2L, 3L)) && got((2L, 3L)) == 2)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L), "unrelated")
+    assert(!got.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "gram-similar but edit-far pair must fail the exact verify")
+    // the reshuffled doc 5 WAS a blocking candidate (shared grams >= 4):
+    // raising maxDist shows verify, not blocking, excluded it
+    val loose = Dedup.fuzzyPairs(docs, "doc_id", "text",
+      keyLen = 80, gram = 3, maxGramDf = 100, minShared = 4, maxDist = 80)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.exists(p => p._1 == 5L || p._2 == 5L))
+  }
 }
