@@ -640,6 +640,30 @@ object Ext {
         explode(sample(col("n_frames"))).as("frame_idx"))
   }
 
+  // CURATION FUNNEL (round-8 composition): the multi-criteria keep-set
+  // a production pipeline computes as parallel INDEPENDENT verdicts
+  // intersected at the end (each stage scans the corpus once; no stage
+  // depends on another's output, so they run concurrently and cache
+  // nothing) — per-domain cap ∩ Gopher keep ∩ not-perplexity-tail ∩
+  // exact-dedup winner. Complements t_pipeline_e2e's SEQUENTIAL
+  // composition. Every stage is its own oracled entry; the funnel
+  // oracle joins their CTEs, so drift in any stage flips this hash
+  // too.
+  val tCurationFunnel: Q = (s, d) => {
+    val cap = tDomainCap(s, d).select(col("doc_id"))
+    val gopher = tGopherFilter(s, d).where(col("keep")).select(col("doc_id"))
+    val buckets = tCcnetBuckets(s, d)
+      .where(col("ppl_bucket") =!= "tail")
+      .select(col("doc_id"), col("ppl_bucket"))
+    val exactWinners = Dedup.exactGroups(documents(s, d), "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    documents(s, d).select(col("doc_id"), col("source"))
+      .join(cap, Seq("doc_id"))
+      .join(gopher, Seq("doc_id"))
+      .join(buckets, Seq("doc_id"))
+      .join(exactWinners, Seq("doc_id"))
+  }
+
   // FUZZY (edit-distance) near-dup pairs — the entity-resolution lane
   // (names/titles/URLs): char-3-gram blocking (df-capped, shared >= 4)
   // over the lowercased 80-char key, then exact levenshtein <= 20
@@ -942,6 +966,7 @@ object Ext {
     "mm_frames" -> mmFrames,
     "mm_audio" -> mmAudio,
     "dedup_fuzzy" -> dedupFuzzy,
+    "t_curation_funnel" -> tCurationFunnel,
     "mm_decode" -> mmDecode,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
@@ -1164,6 +1189,26 @@ object Ext {
       |      PARTITION BY vec_id ORDER BY cosine DESC, aid) AS rn
       |    FROM sc) WHERE rn = 1)""".stripMargin
 
+  private lazy val domainCapOracle: String =
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+      |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '97')), 1, 15))
+      |      AS UBIGINT) AS DOUBLE) AS draw
+      |  FROM documents)
+      |SELECT source, doc_id, CAST(rank AS INT) AS rank FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |      PARTITION BY source ORDER BY draw DESC, doc_id) AS rank
+      |  FROM d)
+      |WHERE rank <= 15""".stripMargin
+
+  private lazy val ccnetBucketsOracle: String =
+    s"""WITH s AS ($surprisalOracle)
+       |SELECT doc_id, surprisal,
+       |  CASE CAST(ntile(3) OVER (ORDER BY surprisal, doc_id) AS INT)
+       |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+       |    AS ppl_bucket
+       |FROM s""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_centroid_assign" ->
       s"""$anchorAssignCte
@@ -1179,17 +1224,7 @@ object Ext {
          |  floor(CAST(sum(xr) AS DOUBLE) / count(*) * 1000000 + 0.5)
          |    / 1000000 AS centroid
          |FROM x GROUP BY 1, 2""".stripMargin,
-    "t_domain_cap" ->
-      """WITH d AS (SELECT source, doc_id,
-        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
-        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '97')), 1, 15))
-        |      AS UBIGINT) AS DOUBLE) AS draw
-        |  FROM documents)
-        |SELECT source, doc_id, CAST(rank AS INT) AS rank FROM (
-        |  SELECT source, doc_id, row_number() OVER (
-        |      PARTITION BY source ORDER BY draw DESC, doc_id) AS rank
-        |  FROM d)
-        |WHERE rank <= 15""".stripMargin,
+    "t_domain_cap" -> domainCapOracle,
     "dedup_incremental" ->
       """WITH d AS (SELECT doc_id,
         |    CAST(('0x' || substr(md5(coalesce(text, '')), 1, 15))
@@ -1199,13 +1234,22 @@ object Ext {
         |b AS (SELECT doc_id, h FROM d WHERE doc_id % 2 = 1)
         |SELECT min(doc_id) AS doc_id FROM b
         |WHERE h NOT IN (SELECT h FROM c) GROUP BY h""".stripMargin,
-    "t_ccnet_buckets" ->
-      s"""WITH s AS ($surprisalOracle)
-         |SELECT doc_id, surprisal,
-         |  CASE CAST(ntile(3) OVER (ORDER BY surprisal, doc_id) AS INT)
-         |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-         |    AS ppl_bucket
-         |FROM s""".stripMargin,
+    "t_ccnet_buckets" -> ccnetBucketsOracle,
+    // Funnel = intersection of four independently-oracled keep-sets;
+    // each stage's full CTE is inlined, so any stage drift flips this
+    // hash as well as its own entry's.
+    "t_curation_funnel" ->
+      s"""WITH capk AS (SELECT doc_id FROM ($domainCapOracle) c),
+         |gk AS (SELECT doc_id FROM (__GOPHER__) g WHERE g.keep),
+         |bk AS (SELECT doc_id, ppl_bucket FROM ($ccnetBucketsOracle) b
+         |  WHERE ppl_bucket <> 'tail'),
+         |ek AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text))
+         |SELECT d.doc_id, d.source, bk.ppl_bucket
+         |FROM documents d
+         |JOIN capk USING (doc_id) JOIN gk USING (doc_id)
+         |JOIN bk USING (doc_id) JOIN ek USING (doc_id)""".stripMargin
+        .replace("__GOPHER__", gopherFilterOracle),
     "t_winnow" ->
       s"""$winnowFpsCte
          |SELECT doc_id, CAST(count(*) AS INT) AS n_fp, bit_xor(fp) AS fp_xor

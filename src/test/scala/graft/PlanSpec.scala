@@ -309,4 +309,35 @@ class PlanSpec extends AnyFunSuite {
     } finally olds.foreach { case (k, o) =>
       o.fold(spark.conf.unset(k))(v => spark.conf.set(k, v)) }
   }
+
+  test("nearest-anchor assignment is ONE projection: zero exchange, zero join") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val anchors = e.where(org.apache.spark.sql.functions.col("vec_id") < 4)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toVector)).toSeq
+    val p = plan(graft.ext.SimilaritySearch.nearestAnchor(
+      e, "vec_id", "embedding", anchors))
+    assert(!p.contains("Exchange"), "anchors are literals — no shuffle:\n" + p)
+    assert(!p.contains("Join"), "no join either:\n" + p)
+  }
+
+  test("domain cap uses the partial-agg heap, never a per-domain window sort") {
+    val p = plan(graft.queries.Ext.queries("t_domain_cap")(spark, sf))
+    assert(!p.contains("Window"), "no window formulation:\n" + p)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "k-bounded aggregator expected:\n" + p)
+  }
+
+  test("markov/scd2 windows all partition (ScaleLint-clean, no global sort)") {
+    // both event windows partition by user_id; the probability window
+    // partitions by src over the aggregated types² frame — none may
+    // degrade to an unpartitioned (single-reducer) window
+    Seq("ev_markov", "ev_scd2").foreach { q =>
+      val p = plan(graft.queries.Events.queries(q)(spark, sf))
+      assert(p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"),
+        s"$q window must never run single-reducer:\n" + p)
+    }
+  }
 }
