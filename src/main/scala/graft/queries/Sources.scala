@@ -215,6 +215,26 @@ object Sources {
   /** JSON-lines roundtrip: documents written as JSONL (newlines and
     * unicode in `text` escaped per JSON), read back through the JSON
     * source. Value-checks string-escaping fidelity end-to-end. */
+  /** Avro OCF round-trip through the engine's own container-file
+    * source/sink (no `format("avro")` connector in this environment —
+    * `sources/AvroFiles` carries the wire format over the provided
+    * avro core jars): documents + an events-derived timestamp column
+    * out as one OCF per partition, read back distributed. The oracle
+    * is the source table — the check is write→read losslessness
+    * including null unions and timestamp-micros. */
+  val srcAvroRoundtrip: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_avro_")
+    graft.sources.AvroFiles.write(
+      documents(s, d)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .repartition(4),
+      dir.getAbsolutePath)
+    registerCleanup(dir)
+    graft.sources.AvroFiles.read(s, dir.getAbsolutePath)
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("h"),
+        col("n_chars"))
+  }
+
   val srcJsonlRoundtrip: Q = (s, d) => {
     val dir = fixtureDir(s, "graft_jsonl_")
     documents(s, d).select(col("doc_id"), col("text"))
@@ -405,6 +425,7 @@ object Sources {
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
@@ -431,6 +452,8 @@ object Sources {
         |  o_orderpriority
         |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
+    "src_avro_roundtrip" ->
+      "SELECT doc_id, lang, md5(text) AS h, n_chars FROM documents",
     "src_csv_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_orc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",

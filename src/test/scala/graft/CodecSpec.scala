@@ -252,4 +252,49 @@ class CodecSpec extends AnyFunSuite {
       assert(math.abs(vals(c) - expected) < 1e-6f, s"cell $c: ${vals(c)}")
     }
   }
+
+  test("AvroFiles: full type-matrix round trip incl. nulls and ts-micros") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("l", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("ts", TimestampType)))
+    val ts = java.sql.Timestamp.valueOf("2024-03-01 12:34:56.123456")
+    val rows = Seq(
+      Row(1L, 2, 3.5, 4.5f, true, "héllo", Array[Byte](1, 2, 3), ts),
+      Row(null, null, null, null, null, null, null, null),
+      Row(-9L, -8, Double.MinPositiveValue, -0.0f, false, "", Array[Byte](), ts))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      st).repartition(2)
+    val dir = Files.createTempDirectory("graft_avro_spec_").toFile
+    dir.deleteOnExit()
+    val n = graft.sources.AvroFiles.write(df, dir.getAbsolutePath)
+    assert(n == 3)
+    val back = graft.sources.AvroFiles.read(spark, dir.getAbsolutePath)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      st.fields.map(f => (f.name, f.dataType)).toSeq)
+    val got = back.collect().sortBy(r =>
+      if (r.isNullAt(0)) Long.MinValue else r.getLong(0))
+    assert(got.length == 3)
+    val full = got.find(r => !r.isNullAt(0) && r.getLong(0) == 1L).get
+    assert(full.getInt(1) == 2 && full.getDouble(2) == 3.5 &&
+      full.getFloat(3) == 4.5f && full.getBoolean(4) &&
+      full.getString(5) == "héllo" &&
+      full.getAs[Array[Byte]](6).toSeq == Seq[Byte](1, 2, 3))
+    assert(full.getTimestamp(7) == ts, "exact micros through the long")
+    val nulls = got.find(_.isNullAt(0)).get
+    (0 until 8).foreach(i => assert(nulls.isNullAt(i), s"field $i"))
+    // unsupported nested type refuses loudly
+    val bad = spark.createDataFrame(
+      new java.util.ArrayList[Row](), StructType(Seq(
+        StructField("a", ArrayType(LongType)))))
+    intercept[IllegalArgumentException] {
+      graft.sources.AvroFiles.write(bad, dir.getAbsolutePath + "_bad")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
