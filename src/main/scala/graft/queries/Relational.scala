@@ -293,9 +293,14 @@ object Relational {
   val qPercentiles: Q = (s, d) => {
     import s.implicits._
     val v = lineitem(s, d).select(col("l_extendedprice").as("v"))
+    // Checkpoint the ranked frame: lo-value and hi-value lookups are
+    // two consumers, and each would otherwise re-run the whole
+    // range-exchange + sort lineage. (rn, v) is 16 B/row; n comes from
+    // max(rn) over the same blocks — no third scan of the source.
     val o = graft.operators.GlobalRank.withRowNumber(v, "rn", Seq(col("v")))
+      .localCheckpoint()
     val ps = Seq(0.25, 0.5, 0.75, 0.95).toDF("p")
-    val pick = ps.crossJoin(v.agg(count(lit(1)).as("n")))
+    val pick = ps.crossJoin(o.agg(max(col("rn")).as("n")))
       .withColumn("k", (col("n") - 1) * col("p"))
       .withColumn("lo", floor(col("k")).cast("long") + 1)
       .withColumn("hi", least(floor(col("k")).cast("long") + 2, col("n")))
