@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -405,6 +405,46 @@ object ScaleProbe {
       }
       run("hot50", pmod(col("user_id"), lit(2)) === 0)
       run("hot100", lit(true))
+    }
+
+    // Native MergeAsOfExec vs declarative union+window at copies× —
+    // same rows by construction (decimal checksum compared); the claim
+    // is per-task memory (two retained rows vs the window's frame) and
+    // the absence of the unioned null-padded frame.
+    if (stages("asofnative")) {
+      val ev0 = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
+      val bigEv = (0 until copies).map { c =>
+        ev0.select((col("event_id") + c * 10000000L).as("event_id"),
+          col("ts"), (col("user_id") + c * 1000000L).as("user_id"),
+          col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] asofnative events: ${bigEv.count()}")
+      val lefts = bigEv.select(col("user_id"), col("ts"), col("event_id"))
+      val purch = bigEv.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      def checksum(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)), count(col("asof_p_event_id")),
+          sum(col("asof_p_value").cast("decimal(18,2)"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDecimal(2))
+      }
+      def time2[T](lbl: String)(body: => T): T = {
+        val t0 = System.nanoTime(); body
+        val w1 = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime(); val r = body
+        val w2 = (System.nanoTime() - t1) / 1e9
+        println(f"[probe] $lbl: ${math.min(w1, w2)}%.1f s (min of 2)")
+        r
+      }
+      val csD = time2("declarative AsOfJoin (union + window)")(
+        checksum(graft.operators.AsOfJoin(lefts, purch, "user_id", "ts",
+          Seq("p_event_id", "p_value"))))
+      val csN = time2("native MergeAsOfExec (sort-merge pass)")(
+        checksum(graft.plans.MergeAsOf.join(lefts, purch, "user_id", "ts",
+          Seq("p_event_id", "p_value"))))
+      require(csD == csN, s"native/declarative diverge: $csD vs $csN")
+      println(s"[probe] asofnative checksum: $csN (native == declarative)")
+      bigEv.unpersist()
     }
     spark.stop()
   }

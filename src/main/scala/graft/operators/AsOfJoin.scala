@@ -78,8 +78,14 @@ object AsOfJoin {
     // asymmetric null ordering — nulls first under asc, last under
     // desc — would hand null-ts rows direction-dependent matches, and
     // the sliced mode would diverge from the classic mode on them.)
+    // Null KEYS never match either (SQL equality, same as the DuckDB
+    // ASOF oracle and the native MergeAsOfExec): dropping null-key
+    // right rows leaves null-key left partitions with nothing to carry,
+    // so they emit a null payload — without this, Spark's window
+    // partitioning would group the nulls together and hand them
+    // matches no SQL join would produce.
     val rTagged = right
-      .where(col(tsCol).isNotNull)
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .select(col(keyCol), col(tsCol),
         struct(col(tsCol).as("__rts"),
           struct(payloadCols.map(col): _*).as("__p")).as("__payload"))

@@ -78,6 +78,26 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // The NATIVE (custom LogicalPlan + Strategy + SparkPlan) as-of
+  // operator on the same query shape: one sort-merge pass per
+  // co-partitioned partition, no unioned frame, no window state.
+  // Value-identical to evAsof by the MergeAsOfSpec differential, so it
+  // shares the DuckDB ASOF oracle — a driver-value-checked custom
+  // physical operator.
+  val evAsofNative: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.MergeAsOf.join(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // FORWARD as-of: every error joined to the same user's NEXT purchase
   // (earliest purchase at-or-after the error) — the "time to recovery /
   // conversion after incident" shape; same union+window plan as the
@@ -407,6 +427,7 @@ object Events {
     "ev_sessions" -> evSessions,
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
+    "ev_asof_native" -> evAsofNative,
     "ev_asof_forward" -> evAsofForward,
     "ev_asof_nearest" -> evAsofNearest,
     "ev_asof_sliced" -> evAsofSliced,
@@ -416,6 +437,17 @@ object Events {
     "ev_retention" -> evRetention,
     "ev_wau" -> evWau,
     "ev_wau_approx" -> evWauApprox)
+
+  private lazy val asofBackwardOracle: String =
+    """SELECT e.user_id, e.event_id,
+      |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+      |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
+      |FROM (SELECT user_id, ts, event_id FROM events
+      |      WHERE event_type = 'error') e
+      |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
+      |      value AS p_value FROM events
+      |      WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Same (ts, event_id) order, same lead() fan, same deterministic
@@ -497,16 +529,10 @@ object Events {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
         |FROM z GROUP BY user_id, session_idx""".stripMargin,
-    "ev_asof_join" ->
-      """SELECT e.user_id, e.event_id,
-        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
-        |  p.p_event_id AS asof_p_event_id, p.p_value AS asof_p_value
-        |FROM (SELECT user_id, ts, event_id FROM events
-        |      WHERE event_type = 'error') e
-        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS p_event_id,
-        |      value AS p_value FROM events
-        |      WHERE event_type = 'purchase') p
-        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+    "ev_asof_join" -> asofBackwardOracle,
+    // The custom physical operator (MergeAsOfExec) must be
+    // value-identical to the declarative plan: same native ASOF oracle.
+    "ev_asof_native" -> asofBackwardOracle,
     // Same native ASOF as ev_asof_join — the engine-side time slicing
     // must be value-invisible.
     "ev_asof_sliced" ->
