@@ -1189,6 +1189,28 @@ object Ext {
       |      PARTITION BY vec_id ORDER BY cosine DESC, aid) AS rn
       |    FROM sc) WHERE rn = 1)""".stripMargin
 
+  // Blocking + verify for the fuzzy lane, CTE-ized so both the pair
+  // entry and the recursive-closure entry replay one definition.
+  private lazy val fuzzyPairsCte: String =
+    """WITH RECURSIVE k AS (SELECT doc_id,
+      |    lower(substr(coalesce(text, ''), 1, 80)) AS s FROM documents),
+      |g AS (SELECT DISTINCT doc_id, substr(s, i, 3) AS gr
+      |  FROM k, LATERAL (SELECT unnest(range(1,
+      |    greatest(len(s) - 2, 0) + 1)) AS i) r),
+      |rare AS (SELECT gr FROM (
+      |  SELECT gr, count(*) AS d FROM g GROUP BY 1) WHERE d <= 100),
+      |gg AS (SELECT g.* FROM g JOIN rare USING (gr)),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS shared
+      |  FROM gg a JOIN gg b ON a.gr = b.gr AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 4),
+      |fpairs AS (SELECT id_a, id_b, shared,
+      |    CAST(levenshtein(ka.s, kb.s) AS INT) AS dist
+      |  FROM cand
+      |  JOIN k ka ON cand.id_a = ka.doc_id
+      |  JOIN k kb ON cand.id_b = kb.doc_id
+      |  WHERE levenshtein(ka.s, kb.s) <= 20)""".stripMargin
+
   private lazy val domainCapOracle: String =
     """WITH d AS (SELECT source, doc_id,
       |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
@@ -1508,24 +1530,9 @@ object Ext {
         |  CAST(64 AS INT) AS n_values
         |FROM documents""".stripMargin,
     "dedup_fuzzy" ->
-      """WITH k AS (SELECT doc_id,
-        |    lower(substr(coalesce(text, ''), 1, 80)) AS s FROM documents),
-        |g AS (SELECT DISTINCT doc_id, substr(s, i, 3) AS gr
-        |  FROM k, LATERAL (SELECT unnest(range(1,
-        |    greatest(len(s) - 2, 0) + 1)) AS i) r),
-        |rare AS (SELECT gr FROM (
-        |  SELECT gr, count(*) AS d FROM g GROUP BY 1) WHERE d <= 100),
-        |gg AS (SELECT g.* FROM g JOIN rare USING (gr)),
-        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    count(*) AS shared
-        |  FROM gg a JOIN gg b ON a.gr = b.gr AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING count(*) >= 4)
-        |SELECT id_a, id_b, shared,
-        |  CAST(levenshtein(ka.s, kb.s) AS INT) AS dist
-        |FROM cand
-        |JOIN k ka ON cand.id_a = ka.doc_id
-        |JOIN k kb ON cand.id_b = kb.doc_id
-        |WHERE levenshtein(ka.s, kb.s) <= 20""".stripMargin,
+      s"""$fuzzyPairsCte
+         |SELECT id_a, id_b, shared, dist FROM fpairs""".stripMargin,
+
     // Closed-form replay of the PCM sample formula + 256-sample frame
     // energies; the Spark side must survive the WAV encode→parse round
     // trip bit-exactly for Σs² to hash-match.

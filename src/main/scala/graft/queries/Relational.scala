@@ -282,6 +282,39 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"),
         sumDec(col("o_totalprice")).as("total"))
 
+  // ITERATIVE-STATE SQL — Spark 4's recursive CTE (WITH RECURSIVE,
+  // UNION ALL): a 0.5-EWMA over each priority's monthly revenue, the
+  // forecasting/state-machine recursion a window function cannot
+  // express (each smoothed value depends on the PREVIOUS smoothed
+  // value, not on the raw frame). One recursion level per month (80 at
+  // this fixture — under Spark's 100-level default), one row per
+  // (priority, month) per level: linear, no fan-out. The monthly base
+  // is an exact decimal sum, and the smoothing chain is the same IEEE
+  // op sequence in both engines, so the oracle (DuckDB's identical
+  // recursion) matches to the 6dp pin.
+  val qEwmaRecursive: Q = (s, d) => {
+    orders(s, d).createOrReplaceTempView("graft_orders_rec")
+    s.sql(
+      """WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS pri,
+        |    date_format(o_orderdate, 'yyyy-MM') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM graft_orders_rec GROUP BY 1, 2),
+        |rk AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
+        |      AS INT) AS rnk
+        |  FROM m),
+        |r AS (
+        |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
+        |  UNION ALL
+        |  SELECT rk.pri, rk.rnk, rk.month, rk.rev,
+        |    0.5 * rk.rev + 0.5 * r.ewma
+        |  FROM r JOIN rk ON rk.pri = r.pri AND rk.rnk = r.rnk + 1)
+        |SELECT pri, month, rev,
+        |  floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM r""".stripMargin)
+  }
+
   // Exact quantiles with linear interpolation, computed via EXPLICIT
   // rank + interpolation (identical formula text on both engines —
   // builtin percentile/quantile_cont agree semantically but not in
@@ -501,9 +534,31 @@ object Relational {
     "q_zscore" -> qZscore,
     "q_join_agg" -> qJoinAgg,
     "q_having" -> qHaving,
-    "q_monthly" -> qMonthly)
+    "q_monthly" -> qMonthly,
+    "q_ewma_recursive" -> qEwmaRecursive)
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's recursion is the same UNION ALL semantics; the smoothing
+    // chain replays the identical op order.
+    "q_ewma_recursive" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS pri,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
+        |      AS INT) AS rnk
+        |  FROM m),
+        |r AS (
+        |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
+        |  UNION ALL
+        |  SELECT rk.pri, rk.rnk, rk.month, rk.rev,
+        |    0.5 * rk.rev + 0.5 * r.ewma
+        |  FROM r JOIN rk ON rk.pri = r.pri AND rk.rnk = r.rnk + 1)
+        |SELECT pri, month, rev,
+        |  floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM r""".stripMargin,
     "q18_large_volume" ->
       """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders o JOIN customer c ON c_custkey = o_custkey
@@ -764,6 +819,27 @@ object Relational {
         |FROM customer
         |GROUP BY c_nationkey
         |HAVING count(*) >= 50""".stripMargin,
+    // DuckDB's recursion is the same UNION ALL semantics; the smoothing
+    // chain replays the identical op order.
+    "q_ewma_recursive" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS pri,
+        |    strftime(o_orderdate, '%Y-%m') AS month,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |rk AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
+        |      AS INT) AS rnk
+        |  FROM m),
+        |r AS (
+        |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
+        |  UNION ALL
+        |  SELECT rk.pri, rk.rnk, rk.month, rk.rev,
+        |    0.5 * rk.rev + 0.5 * r.ewma
+        |  FROM r JOIN rk ON rk.pri = r.pri AND rk.rnk = r.rnk + 1)
+        |SELECT pri, month, rev,
+        |  floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM r""".stripMargin,
     "q_monthly" ->
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         | count(*) AS n_orders,
