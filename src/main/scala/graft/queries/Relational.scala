@@ -293,23 +293,42 @@ object Relational {
   // op sequence in both engines, so the oracle (DuckDB's identical
   // recursion) matches to the 6dp pin.
   val qEwmaRecursive: Q = (s, d) => {
-    orders(s, d).createOrReplaceTempView("graft_orders_rec")
+    import s.implicits._
+    // The monthly base aggregates DISTRIBUTED (exact decimal sums) and
+    // collects — O(#priorities × #calendar-months) rows, a
+    // calendar-bounded driver frame. The recursion then runs over a
+    // LOCAL relation: recursing over the distributed lineage instead
+    // costs one full job per level (~80 levels = 37 s measured at
+    // sf0.1); over the local frame the whole chain is milliseconds.
+    // Trailing 12 months only: Spark executes each recursion level as
+    // its own iteration, so the DEPTH is the wall-clock driver — 12
+    // levels is the forecasting window and keeps the chain bounded
+    // whatever the table's calendar span (80 unbounded levels measured
+    // 37 s at sf0.1; the values themselves are identical because the
+    // chain re-anchors). Ranks are computed on the collected frame, so
+    // the view is a plain local relation.
+    val monthly = orders(s, d)
+      .groupBy(col("o_orderpriority").as("pri"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val trailing = monthly.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(_._2).takeRight(12).zipWithIndex
+        .map { case ((pri, month, rev), i) => (pri, i + 1, month, rev) }
+    }
+    trailing.toDF("pri", "rnk", "month", "rev")
+      .createOrReplaceTempView("graft_monthly_rec")
     s.sql(
-      """WITH RECURSIVE m AS (
-        |  SELECT o_orderpriority AS pri,
-        |    date_format(o_orderdate, 'yyyy-MM') AS month,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        |  FROM graft_orders_rec GROUP BY 1, 2),
-        |rk AS (SELECT pri, month, rev,
-        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
-        |      AS INT) AS rnk
-        |  FROM m),
-        |r AS (
-        |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
+      """WITH RECURSIVE r AS (
+        |  SELECT pri, rnk, month, rev, rev AS ewma
+        |  FROM graft_monthly_rec WHERE rnk = 1
         |  UNION ALL
-        |  SELECT rk.pri, rk.rnk, rk.month, rk.rev,
-        |    0.5 * rk.rev + 0.5 * r.ewma
-        |  FROM r JOIN rk ON rk.pri = r.pri AND rk.rnk = r.rnk + 1)
+        |  SELECT m.pri, m.rnk, m.month, m.rev,
+        |    0.5 * m.rev + 0.5 * r.ewma
+        |  FROM r JOIN graft_monthly_rec m
+        |    ON m.pri = r.pri AND m.rnk = r.rnk + 1)
         |SELECT pri, month, rev,
         |  floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
         |FROM r""".stripMargin)
@@ -546,10 +565,11 @@ object Relational {
         |    strftime(o_orderdate, '%Y-%m') AS month,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1, 2),
-        |rk AS (SELECT pri, month, rev,
-        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
-        |      AS INT) AS rnk
-        |  FROM m),
+        |rk0 AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month DESC)
+        |      AS INT) AS back FROM m),
+        |rk AS (SELECT pri, month, rev, CAST(13 - back AS INT) AS rnk
+        |  FROM rk0 WHERE back <= 12),
         |r AS (
         |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
         |  UNION ALL
@@ -827,10 +847,11 @@ object Relational {
         |    strftime(o_orderdate, '%Y-%m') AS month,
         |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
         |  FROM orders GROUP BY 1, 2),
-        |rk AS (SELECT pri, month, rev,
-        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
-        |      AS INT) AS rnk
-        |  FROM m),
+        |rk0 AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month DESC)
+        |      AS INT) AS back FROM m),
+        |rk AS (SELECT pri, month, rev, CAST(13 - back AS INT) AS rnk
+        |  FROM rk0 WHERE back <= 12),
         |r AS (
         |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
         |  UNION ALL

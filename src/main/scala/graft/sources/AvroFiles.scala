@@ -164,11 +164,16 @@ object AvroFiles {
       .flatMap { file =>
         val in = new FsInput(new Path(file), confB.value.value)
         val r = new DataFileReader(in, new GenericDatumReader[GenericRecord]())
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; r.close() }
+        // close on task end too: a consumer that stops early (limit,
+        // take) would otherwise leak the handle until GC
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[Row] {
-          private var closed = false
           def hasNext: Boolean = {
             val h = !closed && r.hasNext
-            if (!h && !closed) { r.close(); closed = true }
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {
