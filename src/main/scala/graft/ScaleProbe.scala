@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -405,6 +405,27 @@ object ScaleProbe {
       }
       run("hot50", pmod(col("user_id"), lit(2)) === 0)
       run("hot100", lit(true))
+    }
+
+    // Fuzzy (edit-distance) dedup at copies× on an entity-resolution
+    // workload: each copy is a 1-substitution TYPO of its original's
+    // key (not a prefix marker — that would shift every gram). The
+    // maxGramDf cap must scale WITH the corpus (stop-gram df grows
+    // linearly in copies; a fixed cap silently blocks everything —
+    // measured 0 pairs at 10× with the sf0.01-tuned cap of 100), and
+    // blocking volume then tracks Σ df(gram)² over surviving grams.
+    if (stages("fuzzy")) {
+      val typod = (0 until copies).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 7 + c % 13), lit("z"),
+            substring(col("text"), 9 + c % 13, 100000)).as("text"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] fuzzy corpus: ${typod.count()} typo'd keys")
+      val nf = time("fuzzyPairs (3-gram blocked, pro-rata df cap)")(
+        graft.ext.Dedup.fuzzyPairs(typod, "doc_id", "text",
+          maxGramDf = 100 * copies).count())
+      println(s"[probe] fuzzy pairs: $nf (each original's copies are " +
+        "dist<=2 neighbors)")
     }
 
     // Native MergeAsOfExec vs declarative union+window at copies× —

@@ -235,6 +235,30 @@ object Sources {
         col("n_chars"))
   }
 
+  /** Schema EVOLUTION across parquet file generations — the corpus
+    * that grew a column mid-life (every long-lived pipeline's reality):
+    * generation 1 files lack `lang`, generation 2 carries it;
+    * `mergeSchema` unifies on read and back-fills nulls. The oracle
+    * replays the generation split with explicit NULLs. (Default reads
+    * skip schema merging — one footer defines the schema — so the
+    * evolved read is an explicit, documented opt-in; partition-pruned
+    * scans still work on the merged schema.) */
+  val srcSchemaEvolution: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_schevo_")
+    val docs = documents(s, d)
+    docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+      .coalesce(2).write.parquet(s"${dir.getAbsolutePath}/gen=1")
+    docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .coalesce(2).write.parquet(s"${dir.getAbsolutePath}/gen=2")
+    registerCleanup(dir)
+    s.read.option("mergeSchema", "true")
+      .parquet(dir.getAbsolutePath)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        col("lang"), col("gen").cast("int").as("gen"))
+  }
+
   val srcJsonlRoundtrip: Q = (s, d) => {
     val dir = fixtureDir(s, "graft_jsonl_")
     documents(s, d).select(col("doc_id"), col("text"))
@@ -426,6 +450,7 @@ object Sources {
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
     "src_avro_roundtrip" -> srcAvroRoundtrip,
+    "src_schema_evolution" -> srcSchemaEvolution,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_tfrecord_roundtrip" -> srcTfrecordRoundtrip,
     "src_archive_roundtrip" -> srcArchiveRoundtrip,
@@ -454,6 +479,14 @@ object Sources {
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_avro_roundtrip" ->
       "SELECT doc_id, lang, md5(text) AS h, n_chars FROM documents",
+    "src_schema_evolution" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h,
+        |  CAST(NULL AS VARCHAR) AS lang, CAST(1 AS INT) AS gen
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, md5(coalesce(text, '')) AS h, lang,
+        |  CAST(2 AS INT) AS gen
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     "src_csv_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_orc_roundtrip" -> "SELECT doc_id, text FROM documents",
     "src_tfrecord_roundtrip" -> "SELECT doc_id, text FROM documents",
