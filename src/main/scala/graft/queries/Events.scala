@@ -98,6 +98,23 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // Native operator, forward + nearest directions — same shapes as the
+  // declarative entries, sharing their oracles (MergeAsOfSpec pins the
+  // differential; the driver row pins the DuckDB value parity).
+  private def asofNativeDir(dir: String): Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.MergeAsOf.join(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"), direction = dir)
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // FORWARD as-of: every error joined to the same user's NEXT purchase
   // (earliest purchase at-or-after the error) — the "time to recovery /
   // conversion after incident" shape; same union+window plan as the
@@ -428,6 +445,8 @@ object Events {
     "ev_error_prone" -> evErrorProne,
     "ev_asof_join" -> evAsof,
     "ev_asof_native" -> evAsofNative,
+    "ev_asof_native_fwd" -> asofNativeDir("forward"),
+    "ev_asof_native_near" -> asofNativeDir("nearest"),
     "ev_asof_forward" -> evAsofForward,
     "ev_asof_nearest" -> evAsofNearest,
     "ev_asof_sliced" -> evAsofSliced,
@@ -449,7 +468,12 @@ object Events {
       |      WHERE event_type = 'purchase') p
       |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    // native-operator direction variants share the declarative oracles
+    "ev_asof_native_fwd" -> oraclesBase("ev_asof_forward"),
+    "ev_asof_native_near" -> oraclesBase("ev_asof_nearest"))
+
+  private lazy val oraclesBase: Map[String, String] = Map(
     // Same (ts, event_id) order, same lead() fan, same deterministic
     // (count desc, path asc) top-25.
     "ev_scd2" ->
