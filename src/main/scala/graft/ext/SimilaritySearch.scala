@@ -713,6 +713,28 @@ object SimilaritySearch {
     * Ties (equal det6 cosine) go to the smaller anchor id: the struct
     * comparison takes the greater -id. Output: (idCol, cluster_id,
     * cosine[det6]). */
+  /** RADIUS search: every candidate within `minCosine` of each query —
+    * the fixed-threshold complement of top-k (dedup verification,
+    * "everything semantically close to this exemplar" pulls). Exact
+    * brute force over broadcast queries; at scale the IVF/LSH candidate
+    * structures bound the scan exactly as for top-k, with the triangle
+    * -inequality cell pruning of [[Dedup.embeddingNearDupPairs]] as the
+    * no-false-negative path. */
+  def radiusSearch(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double): DataFrame = {
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queriesDf.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    cand.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", graft.functions.DetRound.det6(
+        Dedup.cosineCol(col("__qv"), col("__cv"))))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+  }
+
   /** (cluster_id, cosine) columns appended; one codegen'd projection. */
   private def bestAnchorCol(
       vecCol: String, anchors: Seq[(Long, Seq[Double])]): Column = {

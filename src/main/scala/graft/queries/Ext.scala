@@ -419,6 +419,14 @@ object Ext {
     SimilaritySearch.bruteForceTopK(
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding", k = 10)
 
+  // RADIUS (fixed-threshold) search — the top-k complement: all
+  // candidates with cosine >= 0.4 per query. Shares sim_topk's scoring
+  // arithmetic; the oracle drops the rank window for a threshold.
+  val simRadius: Q = (s, d) =>
+    SimilaritySearch.radiusSearch(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      minCosine = 0.4)
+
   // 12 planes / 4 tables over the same 48-plane budget as 8/6: finer
   // buckets (2^12 vs 2^8) cut the candidate set ~2x with recall still
   // comfortably above SimilaritySpec's floor — measured in SCALE.md.
@@ -956,6 +964,7 @@ object Ext {
 
   val queries: Map[String, Q] = Map(
     "sim_centroid_assign" -> simCentroidAssign,
+    "sim_radius" -> simRadius,
     "sim_kmeans_step" -> simKmeansStep,
     "t_domain_cap" -> tDomainCap,
     "dedup_incremental" -> dedupIncremental,
@@ -1232,6 +1241,25 @@ object Ext {
        |FROM s""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "sim_radius" ->
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 20)
+        |SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+        |  floor(
+        |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000 + 0.5) / 1000000 AS cosine
+        |FROM q JOIN e ON q.vec_id <> e.vec_id
+        |WHERE floor(
+        |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
+        |      (x, y) -> x + y)
+        |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+        |    * 1000000 + 0.5) / 1000000 >= 0.4""".stripMargin,
     "sim_centroid_assign" ->
       s"""$anchorAssignCte
          |SELECT vec_id, aid AS cluster_id, cosine FROM asn""".stripMargin,

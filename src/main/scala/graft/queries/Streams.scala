@@ -340,7 +340,33 @@ object Streams {
     s.read.parquet(snapDir.getAbsolutePath)
   }
 
+  // STREAMING anomaly screen: the offline-model/online-scoring shape —
+  // per-type volume statistics are computed BATCH-side (the "model"),
+  // broadcast into a stream-static join after the windowed aggregation,
+  // and every closed hourly window is z-scored and flagged in-flight.
+  // Emission = st_hourly's append rule; the oracle composes
+  // ev_anomaly's exact-moment arithmetic with that emission filter.
+  val stAnomaly: Q = (s, d) => withStreamPartitions(s, 4) {
+    val hourlyBatch = events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val m = hourlyBatch.groupBy(col("event_type")).agg(
+      count(lit(1)).cast("double").as("nh"),
+      sum(col("n")).as("s"),
+      sum(col("n") * col("n")).as("q"))
+    val z = (col("n").cast("double") - col("s") / col("nh")) /
+      sqrt((col("q") - col("s") * col("s") / col("nh")) / col("nh"))
+    val flagged = EventStreams.hourlyAgg(eventStream(s, d))
+      .join(broadcast(m), "event_type")
+      .withColumn("z", graft.functions.DetRound.det6(z))
+      .where(abs(col("z")) > 2.0)
+      .select(col("event_type"), col("hour"), col("n"), col("z"))
+    EventStreams.runToMemory(flagged, uniq("st_anomaly"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_anomaly" -> stAnomaly,
     "st_merge_upsert" -> stMergeUpsert,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
@@ -358,6 +384,27 @@ object Streams {
     // Shared with op_merge_upsert: the sequential batch application
     // provably converges to the single-merge result (see stMergeUpsert).
     "st_merge_upsert" -> Ops.oracles("op_merge_upsert"),
+    // ev_anomaly's exact-moment z arithmetic + st_hourly's append
+    // emission rule (window end + 1h watermark <= ms-trunc(max ts)).
+    "st_anomaly" ->
+      """WITH mx AS (SELECT date_trunc('millisecond', max(ts)) AS mx
+        |  FROM events),
+        |hourly AS (SELECT
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |    date_trunc('hour', ts) AS h0, event_type,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |m AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS nh,
+        |    sum(n) AS s, sum(n * n) AS q
+        |  FROM hourly GROUP BY 1),
+        |z AS (SELECT h.event_type, h.hour, h.h0, h.n,
+        |    floor((h.n - m.s / m.nh)
+        |      / sqrt((m.q - m.s * m.s / m.nh) / m.nh) * 1000000 + 0.5)
+        |      / 1000000 AS z
+        |  FROM hourly h JOIN m ON h.event_type = m.event_type)
+        |SELECT event_type, hour, CAST(n AS BIGINT) AS n, z
+        |FROM z WHERE abs(z) > 2.0
+        |  AND h0 + INTERVAL 2 HOUR <= (SELECT mx FROM mx)""".stripMargin,
     "st_redact" -> Ext.redactOracle,
     // Verified-LSH output ≡ exact-Jaccard pairs (dedup_minhash's parity
     // argument), restricted to arriving (odd) × corpus (even) ids.
