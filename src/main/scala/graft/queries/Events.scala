@@ -400,6 +400,37 @@ object Events {
       .orderBy(col("n").desc, col("path")).limit(25)
   }
 
+  // RFM segmentation (recency / frequency / monetary) — the classic
+  // user-value rollup: per user, whole days since last purchase
+  // (against the corpus max ts — deterministic, no wall clock),
+  // purchase count, and decimal-exact spend; fixed-threshold segments
+  // (quantile-based tiers would be 3 GlobalRank runs — the thresholds
+  // here are the product definition, like the Gopher rule bundle).
+  // One map-side-combined aggregate; the max-ts anchor is a 1-scalar
+  // broadcast.
+  val evRfm: Q = (s, d) => {
+    val p = events(s, d).where(col("event_type") === "purchase")
+    val anchor = p.agg(max(unix_micros(col("ts"))).as("__mx"))
+    p.groupBy(col("user_id"))
+      .agg(max(unix_micros(col("ts"))).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("recency_days",
+        // explicit floor: Spark's cast(double→long) truncates but
+        // DuckDB's CAST rounds — floor() is identical in both
+        floor((col("__mx") - col("__last")) / lit(86400000000L))
+          .cast("long"))
+      .withColumn("segment",
+        when(col("recency_days") <= 7 && col("frequency") >= 10, "champion")
+          .when(col("recency_days") <= 30 && col("frequency") >= 5, "loyal")
+          .when(col("recency_days") > 60, "at_risk")
+          .otherwise("regular"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("segment"))
+  }
+
   // SCD2 (slowly-changing-dimension type-2) interval build: each user's
   // event stream becomes validity intervals [valid_from, valid_to) via
   // one lead() over the per-user order — the dimension-table shape a
@@ -435,6 +466,7 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     "ev_scd2" -> evScd2,
+    "ev_rfm" -> evRfm,
     "ev_markov" -> evMarkov,
     "ev_paths" -> evPaths,
     "ev_anomaly" -> evAnomaly,
@@ -476,6 +508,24 @@ object Events {
   private lazy val oraclesBase: Map[String, String] = Map(
     // Same (ts, event_id) order, same lead() fan, same deterministic
     // (count desc, path asc) top-25.
+    "ev_rfm" ->
+      """WITH p AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |mx AS (SELECT max(us) AS m FROM p),
+        |u AS (SELECT user_id, max(us) AS last_us,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM p GROUP BY 1),
+        |r AS (SELECT user_id,
+        |    CAST(floor(((SELECT m FROM mx) - last_us) / 86400000000.0)
+        |      AS BIGINT) AS recency_days,
+        |    frequency, monetary FROM u)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  CASE WHEN recency_days <= 7 AND frequency >= 10 THEN 'champion'
+        |       WHEN recency_days <= 30 AND frequency >= 5 THEN 'loyal'
+        |       WHEN recency_days > 60 THEN 'at_risk'
+        |       ELSE 'regular' END AS segment
+        |FROM r""".stripMargin,
     "ev_scd2" ->
       """SELECT user_id, event_id, event_type AS state,
         |  epoch_us(ts) AS valid_from,
