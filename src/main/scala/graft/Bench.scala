@@ -15,6 +15,14 @@ object Bench {
       .config("spark.sql.files.openCostInBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The app-status listener tracks every job/stage/task in driver
+      // memory even with the UI off; at 158 queries × 3 runs the
+      // retained-object defaults (1000 stages / 100k tasks) are pure
+      // heap+GC drag on later measurements. Keep a short history.
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.ui.retainedExecutions", "20")
       // Events fixture stores TIMESTAMP(NANOS); set once at construction
       // (a per-query conf.set invalidates cached relation plans).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -43,6 +51,12 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
+      // Streaming queries leave their state-store providers (in-memory
+      // version maps + a maintenance thread touching them) loaded in
+      // the JVM-wide registry after the query stops; across 14 st_*
+      // entries × 3 runs that is standing heap the later t_* queries
+      // pay GC for. Unload is a no-op when nothing is loaded.
+      org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
       // localCheckpoint blocks are freed by the ContextCleaner only on
       // GC; nudge between queries so checkpoint-heavy operators (dedup
       // connected components) don't tax later measurements' heap.
@@ -52,7 +66,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's BENCH_r{N}.json keeps only a truncated log tail (~90
+    // of 158 per-query timings were invisible in r8); persist the full
+    // line so every timing survives for audit. Full runs land in-repo
+    // as BENCH_FULL.json; SPARK_GRAFT_ONLY dev runs go to /tmp so they
+    // never clobber the committed artifact.
+    val outPath =
+      if (only.isEmpty) "BENCH_FULL.json" else "/tmp/bench_partial.json"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -401,6 +401,21 @@ object ScaleProbe {
         require(csU == csS,
           s"sliced/unsliced checksums diverge: $csU vs $csS")
         println(s"[probe] $label asof checksum: $csU (sliced == unsliced)")
+        // The NATIVE operator under the same hot key: its
+        // ClusteredDistribution(key) serializes the hot key into one
+        // merge task exactly like the window — and its skew lever is
+        // the ROUTED timeSliceMicros fallback (MergeAsOf.join hands the
+        // sliced request to the declarative plan). The pair of timings
+        // is SCALE.md's native-operator hot-key number.
+        val csN = time2(s"$label NATIVE MergeAsOf (hot key = one merge task)")(
+          checksum(graft.plans.MergeAsOf.join(lefts, purch, "user_id", "ts",
+            Seq("p_event_id", "p_value"))))
+        val csNS = time2(s"$label NATIVE routed to sliced fallback (6h)")(
+          checksum(graft.plans.MergeAsOf.join(lefts, purch, "user_id", "ts",
+            Seq("p_event_id", "p_value"),
+            timeSliceMicros = Some(6L * 3600 * 1000000))))
+        require(csN == csU && csNS == csU,
+          s"native hot-key checksums diverge: $csN / $csNS vs $csU")
         bigEv.unpersist()
       }
       run("hot50", pmod(col("user_id"), lit(2)) === 0)
@@ -421,9 +436,12 @@ object ScaleProbe {
             substring(col("text"), 9 + c % 13, 100000)).as("text"))
       }.reduce(_ union _).localCheckpoint()
       println(s"[probe] fuzzy corpus: ${typod.count()} typo'd keys")
-      val nf = time("fuzzyPairs (3-gram blocked, pro-rata df cap)")(
-        graft.ext.Dedup.fuzzyPairs(typod, "doc_id", "text",
-          maxGramDf = 100 * copies).count())
+      // DEFAULT corpus-relative cap (0.2 × rows = exactly the pro-rata
+      // 100 × copies this probe used to pass explicitly): the r8
+      // footgun — a fixed absolute cap blocking everything at 10× — is
+      // closed in the operator itself, not by caller tuning.
+      val nf = time("fuzzyPairs (3-gram blocked, corpus-relative df cap)")(
+        graft.ext.Dedup.fuzzyPairs(typod, "doc_id", "text").count())
       println(s"[probe] fuzzy pairs: $nf (each original's copies are " +
         "dist<=2 neighbors)")
     }

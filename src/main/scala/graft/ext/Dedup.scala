@@ -700,25 +700,38 @@ object Dedup {
     *
     * Same two-stage discipline as the other dedup lanes: cheap
     * BLOCKING (distinct char-gram explode → equi-self-join → shared
-    * count, with the `maxGramDf` stop-gram cap bounding any gram's
-    * pair fan-out at df², exactly `jaccardPairs`' skew lever) and an
+    * count, with the stop-gram df cap bounding any gram's pair
+    * fan-out at df², exactly `jaccardPairs`' skew lever) and an
     * EXACT verify (one codegen'd `levenshtein` per candidate — O(k²)
     * on ≤ keyLen chars, never on whole documents). Blocking recall is
     * probabilistic (two strings within maxDist share many grams unless
     * edits are adversarially spread — the dedup_winnow argument);
-    * precision is exact. Output: (id_a, id_b, shared, dist). */
+    * precision is exact. Output: (id_a, id_b, shared, dist).
+    *
+    * The df cap is CORPUS-RELATIVE by default (`maxGramDfFrac` of the
+    * row count, one cheap count job): a gram is a stop-gram when a
+    * FRACTION of the corpus carries it, and that fraction is
+    * scale-invariant, whereas an absolute cap tuned at one size
+    * silently blocks EVERY gram at 10× (a duplicated gram's df grows
+    * with the corpus — measured in SCALE.md's round-8 probe). Pass
+    * `maxGramDf > 0` to pin an absolute cap instead (tests / probes
+    * that control the corpus). */
   def fuzzyPairs(
       df: DataFrame, idCol: String, strCol: String,
-      keyLen: Int = 80, gram: Int = 3, maxGramDf: Int = 100,
-      minShared: Int = 4, maxDist: Int = 20): DataFrame = {
+      keyLen: Int = 80, gram: Int = 3, maxGramDf: Int = -1,
+      minShared: Int = 4, maxDist: Int = 20,
+      maxGramDfFrac: Double = 0.2): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    val dfCap: Long =
+      if (maxGramDf > 0) maxGramDf.toLong
+      else math.max(1L, math.ceil(maxGramDfFrac * df.count()).toLong)
     val k = df.select(col(idCol).as("__id"),
         lower(substring(coalesce(col(strCol), lit("")), 1, keyLen)).as("__s"))
       .repartition(p).localCheckpoint() // 3 consumers: grams + 2 verifies
     val g0 = k.select(col("__id"),
       explode(udf(charGramFn(gram)).apply(col("__s"))).as("__gr"))
     val rare = g0.groupBy(col("__gr")).agg(count(lit(1)).as("__df"))
-      .where(col("__df") <= maxGramDf).select(col("__gr"))
+      .where(col("__df") <= dfCap).select(col("__gr"))
     val g = g0.join(rare, Seq("__gr"), "left_semi")
       .repartition(p, col("__gr")).localCheckpoint()
     val cand = g.select(col("__id").as("id_a"), col("__gr"))

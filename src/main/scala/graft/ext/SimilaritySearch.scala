@@ -735,6 +735,86 @@ object SimilaritySearch {
       .select(col("query_id"), col("cand_id"), col("cosine"))
   }
 
+  /** The SCALE lane for [[radiusSearch]]: IVF cells bound the scan —
+    * each query scores only the `nProbe` nearest cells' candidates
+    * instead of the corpus, so cost is O(queries × probed-cell rows)
+    * whatever the corpus size (and with an at-rest `partitionBy(cell)`
+    * layout the probe is a pruned scan, the [[ivfQuantizedTopKAtRest]]
+    * shape). With `nProbe = nCentroids` every candidate is scored and
+    * the result PROVABLY equals [[radiusSearch]] (the driver entry runs
+    * that configuration and shares its oracle); selective-probe recall
+    * is measured in SimilaritySpec. Unlike top-k, radius results under
+    * selective probing are a strict SUBSET of the exact answer (no
+    * rank shifts — a scored pair passes the same threshold), so missed
+    * mass is pure recall, never wrong rows. */
+  def ivfRadiusSearch(
+      candidates: DataFrame, queriesDf: DataFrame,
+      idCol: String, vecCol: String, minCosine: Double,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val cs = trainIvfCentroids(candidates, vecCol, nCentroids, iters)
+    val nearest = cellFinder(cs)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+      .withColumn("__cell", assignOne(col("__cv")))
+    val q = queriesDf.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+      .withColumn("__cell", explode(probeN(col("__qv"))))
+    // candidate in exactly ONE cell × distinct probe cells → each pair
+    // joins at most once (the ivfTopK argument) — no distinct needed.
+    cand.join(broadcast(q), Seq("__cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .withColumn("cosine", graft.functions.DetRound.det6(
+        Dedup.cosineCol(col("__qv"), col("__cv"))))
+      .where(col("cosine") >= minCosine)
+      .select(col("query_id"), col("cand_id"), col("cosine"))
+  }
+
+  /** Mutual-kNN edges with IVF-BOUNDED candidate generation — the scale
+    * lane the exact formulation in `queries/Ext.simKnnMutual` anchors:
+    * the corpus is its own query set, every vector probes its `nProbe`
+    * nearest cells, pairs sharing a probed cell score (cell-keyed
+    * equi-join — never all-pairs), per-node top-k runs through
+    * [[graft.operators.TopKPerKey]]'s k-bounded partial aggregation,
+    * and the mutuality semi-join keeps (a, b) iff each ranks the other
+    * within top-k. Shuffle after the capped agg is O(nodes × k).
+    *
+    * With `nProbe = nCentroids` every directed pair is a candidate, so
+    * the result PROVABLY equals the exact mutual-kNN graph (the driver
+    * entry runs that configuration and shares its oracle). The directed
+    * pair (a→b) and (b→a) score identically bitwise: the dot-product
+    * fold visits dimensions in the same order and double multiplication
+    * commutes, so mutuality never breaks on rounding. */
+  def ivfKnnMutual(
+      df: DataFrame, idCol: String, vecCol: String, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 3): DataFrame = {
+    val cs = trainIvfCentroids(df, vecCol, nCentroids, iters)
+    val nearest = cellFinder(cs)
+    val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
+    val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
+    val base = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val cand = base.select(col("__id").as("c"), col("__v").as("__cv"))
+      .withColumn("__cell", assignOne(col("__cv")))
+    val q = base.select(col("__id").as("q"), col("__v").as("__qv"))
+      .withColumn("__cell", explode(probeN(col("__qv"))))
+    val scored = cand.join(q, Seq("__cell"))
+      .where(col("q") =!= col("c"))
+      .withColumn("cosine", graft.functions.DetRound.det6(
+        Dedup.cosineCol(col("__qv"), col("__cv"))))
+      .select(col("q"), col("c"), col("cosine"))
+    // tiny after the cap (nodes × k rows): checkpoint so the two
+    // mutuality branches don't recompute the scoring join
+    val tk = graft.operators.TopKPerKey(
+      scored, Seq("q"), "cosine", "c", k).localCheckpoint()
+    val ab = tk.where(col("q") < col("c"))
+      .select(col("q").as("id_a"), col("c").as("id_b"), col("cosine"))
+    val ba = tk.where(col("q") > col("c"))
+      .select(col("c").as("id_a"), col("q").as("id_b"))
+    ab.join(ba, Seq("id_a", "id_b"), "left_semi")
+  }
+
   /** (cluster_id, cosine) columns appended; one codegen'd projection. */
   private def bestAnchorCol(
       vecCol: String, anchors: Seq[(Long, Seq[Double])]): Column = {

@@ -77,7 +77,18 @@ object SnapshotMerge {
     * no state store — the SnapshotMerge twin of the streaming ANN
     * index maintenance). Sequential batch applies compose: merge(
     * merge(base, b1), b2) — each batch's at-most-one-op-per-key
-    * contract is enforced per apply. */
+    * contract is enforced per apply.
+    *
+    * Crash recovery: the two-rename swap has a window (after
+    * `src -> bak`, before `tmp -> src`) where NO snapshot sits at
+    * `path`. Because this runs inside streaming `foreachBatch` where
+    * restarts are routine, every call first repairs any crash state:
+    * a missing `src` with `bak` present is rolled BACK (bak -> src,
+    * stale tmp deleted) and the merge re-runs — correct under
+    * foreachBatch replay semantics, since the micro-batch's offsets
+    * only commit after the batch body returns, so the restarted query
+    * re-delivers the same change set. A leftover `bak` alongside a
+    * live `src` (crash after the second rename) is just deleted. */
   def applyAtRest(
       spark: org.apache.spark.sql.SparkSession, path: String,
       changes: DataFrame, keyCol: String, opCol: String = "op"): Unit = {
@@ -85,11 +96,18 @@ object SnapshotMerge {
     val src = new Path(path)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(src.getParent, s".${src.getName}__snap_tmp")
+    val bak = new Path(src.getParent, s".${src.getName}__snap_old")
+    if (!fs.exists(src)) {
+      require(fs.exists(bak),
+        s"SnapshotMerge: no snapshot at $src and no backup at $bak — " +
+          "nothing to recover; was the path ever initialized?")
+      require(fs.rename(bak, src), s"snapshot recovery: $bak -> $src failed")
+    } else if (fs.exists(bak)) {
+      fs.delete(bak, true) // crash after swap completed: stale backup
+    }
     if (fs.exists(tmp)) fs.delete(tmp, true)
     apply(spark.read.parquet(path), changes, keyCol, opCol)
       .write.parquet(tmp.toString)
-    val bak = new Path(src.getParent, s".${src.getName}__snap_old")
-    if (fs.exists(bak)) fs.delete(bak, true)
     require(fs.rename(src, bak), s"snapshot swap: $src -> $bak failed")
     require(fs.rename(tmp, src), s"snapshot swap: $tmp -> $src failed")
     fs.delete(bak, true)

@@ -66,7 +66,8 @@ object TargetedDelete {
     // dirs ARE the file-pruning there).
     require(!fs.listStatus(src).exists(s =>
       s.isDirectory && s.getPath.getName.contains("=")),
-      s"$path is hive-partitioned: run TargetedDelete per partition dir")
+      s"$path is hive-partitioned: use TargetedDelete.applyPartitioned " +
+        "(runs this delete per affected partition dir)")
     // A surviving backup dir is a CRASH STATE, not debris: it may hold
     // the only copy of files a crashed move-back never returned.
     // Deleting it would lose them — refuse up front, route to recover.
@@ -105,7 +106,13 @@ object TargetedDelete {
       .coalesce(affected.length)
       .write.parquet(tmp.toString)
 
-    val affectedNames = affected.map(f => new Path(f).getName).toSet
+    // input_file_name() returns URI-ESCAPED paths; the listing names
+    // they are compared against below (move-back) and in recover() are
+    // raw. Decode via URI so a name needing percent-encoding (space,
+    // '%', '#') still matches — an undecoded mismatch would move the
+    // original affected file (deleted rows included) back in alongside
+    // its rewrite.
+    val affectedNames = affected.map(uriFileName).toSet
     // Manifest rides INSIDE the new directory (underscore name: data
     // readers skip it) so recovery after any crash knows which backup
     // files are stale rewrites vs unmoved survivors.
@@ -121,6 +128,91 @@ object TargetedDelete {
       }
     fs.delete(bak, true)
     Stats(affected.length.toLong, total, rowsDeleted)
+  }
+
+  /** Decoded file name of an `input_file_name()` value (URI-escaped). */
+  private def uriFileName(f: String): String =
+    try new Path(new java.net.URI(f)).getName
+    catch { case _: java.net.URISyntaxException => new Path(f).getName }
+
+  /** [[apply]] over a HIVE-PARTITIONED table: one global discovery scan
+    * finds which leaf partition directories hold matching keys (row-
+    * group stats prune exactly as in the flat case — the scan reads the
+    * key column's footers, not the data), then the flat delete runs
+    * per AFFECTED leaf only. Untouched partitions are never listed,
+    * read, or renamed.
+    *
+    * `keyCol` must be a DATA column in the leaf files (deleting by a
+    * partition column is a directory drop, not a rewrite — out of
+    * scope here and rejected).
+    *
+    * Crash story: each leaf swap keeps the flat operator's manifest +
+    * two-rename discipline, and leaves are processed sequentially, so
+    * a crash leaves AT MOST ONE partition in a crash state — walk with
+    * [[recoverPartitioned]], then rerun (already-deleted partitions
+    * no-op: their keys are gone, so discovery skips them). */
+  def applyPartitioned(
+      spark: SparkSession, path: String, keyCol: String,
+      keys: Seq[Any], maxKeys: Int = 100000): Stats = {
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    def leafDirs(p: Path): Seq[Path] = {
+      val parts = fs.listStatus(p).filter(st => st.isDirectory &&
+        st.getPath.getName.contains("="))
+      if (parts.isEmpty) Seq(p)
+      else parts.toSeq.flatMap(st => leafDirs(st.getPath))
+    }
+    val leaves = leafDirs(src)
+    require(leaves != Seq(src),
+      s"$path is not hive-partitioned: use TargetedDelete(...) directly")
+    val partCols = leaves.flatMap(_.toString.stripPrefix(src.toString)
+      .split('/').filter(_.contains('=')).map(_.takeWhile(_ != '='))).toSet
+    require(!partCols.contains(keyCol),
+      s"$keyCol is a partition column: deleting by it is a partition " +
+        "DROP (delete the directory), not a row rewrite")
+    require(keys.nonEmpty, "empty delete key set")
+    require(!keys.contains(null), "null delete keys are not allowed")
+    require(keys.size <= maxKeys,
+      s"${keys.size} delete keys > maxKeys=$maxKeys")
+    // ONE discovery job over the whole table; affected leaf dirs are
+    // the distinct parents of the matching files.
+    val affectedDirs = spark.read.parquet(path)
+      .where(col(keyCol).isin(keys: _*))
+      .select(input_file_name().as("f"))
+      .distinct().collect()
+      .map(r => new Path(new java.net.URI(r.getString(0))).getParent)
+      .distinct.sortBy(_.toString)
+    val totalAll = leaves.map(l =>
+      fs.listStatus(l).count(st => !st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".")).toLong).sum
+    val perDir = affectedDirs.map(dir =>
+      apply(spark, dir.toString, keyCol, keys, maxKeys))
+    Stats(perDir.map(_.filesTouched).sum, totalAll,
+      perDir.map(_.rowsDeleted).sum)
+  }
+
+  /** [[recover]] across a partitioned table: walks the tree for leaf
+    * crash states (backup/tmp siblings live INSIDE the partition
+    * structure) and repairs each. Idempotent; returns true if any
+    * partition needed repair. */
+  def recoverPartitioned(spark: SparkSession, path: String): Boolean = {
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    def walk(p: Path): Seq[Path] = {
+      val subs = fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      subs.toSeq ++ subs.flatMap(walk)
+    }
+    val marks = (walk(src) :+ src).filter { d =>
+      val n = d.getName
+      n.startsWith(".") && (n.endsWith("__delete_old") ||
+        n.endsWith("__delete_tmp"))
+    }
+    marks.map { d =>
+      val orig = d.getName.stripPrefix(".")
+        .stripSuffix("__delete_old").stripSuffix("__delete_tmp")
+      recover(spark, new Path(d.getParent, orig).toString)
+    }.exists(identity)
   }
 
   private val ManifestName = "_delete_manifest"

@@ -45,12 +45,29 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 object MergeAsOf {
 
   /** As-of join `left` with `right` (both carrying `keyCol` + `tsCol`;
-    * payload columns from `right` come back as `asof_<name>`). */
+    * payload columns from `right` come back as `asof_<name>`).
+    *
+    * SKEW LEVER (`timeSliceMicros`): the native merge keys its
+    * ClusteredDistribution on `keyCol`, so — exactly like SortMergeJoin
+    * or a window — one pathologically hot key serializes into one
+    * task, and slicing INSIDE the merge would need the cross-slice
+    * candidate carry that is precisely the declarative path's boundary
+    * -frame machinery. So the lever routes: `timeSliceMicros =
+    * Some(span)` falls back to `operators/AsOfJoin`'s sliced plan
+    * (identical output schema `left.* ++ asof_<payload>`, identical
+    * semantics — DifferentialSpec pins the two paths row-identical),
+    * trading the merge's two-rows-of-state streaming pass for
+    * parallel (key, slice) groups. Pay it when key skew is known;
+    * the hot-key probe numbers are in SCALE.md. */
   def join(
       left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
-      payloadCols: Seq[String], direction: String = "backward"): DataFrame = {
+      payloadCols: Seq[String], direction: String = "backward",
+      timeSliceMicros: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
+    if (timeSliceMicros.isDefined)
+      return graft.operators.AsOfJoin(
+        left, right, keyCol, tsCol, payloadCols, direction, timeSliceMicros)
     val spark = left.sparkSession
     ensureRegistered(spark)
     // Manual pruning: the optimizer does not see through a foreign

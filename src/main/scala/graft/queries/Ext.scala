@@ -427,6 +427,16 @@ object Ext {
       embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
       minCosine = 0.4)
 
+  // The IVF-BOUNDED radius lane in its EXHAUSTIVE configuration
+  // (nProbe = nCentroids): the cell machinery runs for real but every
+  // candidate is scored, so the result provably equals the brute lane
+  // and shares sim_radius's oracle (the sim_ivf_topk pattern).
+  // Selective-probe recall is measured in SimilaritySpec.
+  val simRadiusIvf: Q = (s, d) =>
+    SimilaritySearch.ivfRadiusSearch(
+      embeddings(s, d), queriesSubset(s, d), "vec_id", "embedding",
+      minCosine = 0.4, nCentroids = 8, nProbe = 8, iters = 2)
+
   // 12 planes / 4 tables over the same 48-plane budget as 8/6: finer
   // buckets (2^12 vs 2^8) cut the candidate set ~2x with recall still
   // comfortably above SimilaritySpec's floor — measured in SCALE.md.
@@ -817,6 +827,16 @@ object Ext {
     ab.join(ba, Seq("id_a", "id_b"), "left_semi")
   }
 
+  // The IVF-BOUNDED mutual-kNN lane in its EXHAUSTIVE configuration
+  // (nProbe = nCentroids → every directed pair is a candidate): cell
+  // machinery + capped agg + mutuality semi-join run for real, result
+  // provably equals the exact graph, oracle shared with sim_knn_mutual.
+  // Selective-probe recall is measured in SimilaritySpec.
+  val simKnnMutualIvf: Q = (s, d) =>
+    SimilaritySearch.ivfKnnMutual(
+      embeddings(s, d), "vec_id", "embedding", k = 10,
+      nCentroids = 8, nProbe = 8, iters = 2)
+
   // Anchor-seeded nearest-centroid labeling (k-means INFERENCE under a
   // frozen model — the IVF cell-assign step exposed as an operator):
   // anchors = the first 8 vectors (vec_id < 8), collected driver-side
@@ -965,6 +985,8 @@ object Ext {
   val queries: Map[String, Q] = Map(
     "sim_centroid_assign" -> simCentroidAssign,
     "sim_radius" -> simRadius,
+    "sim_radius_ivf" -> simRadiusIvf,
+    "sim_knn_mutual_ivf" -> simKnnMutualIvf,
     "sim_kmeans_step" -> simKmeansStep,
     "t_domain_cap" -> tDomainCap,
     "dedup_incremental" -> dedupIncremental,
@@ -1207,7 +1229,8 @@ object Ext {
       |  FROM k, LATERAL (SELECT unnest(range(1,
       |    greatest(len(s) - 2, 0) + 1)) AS i) r),
       |rare AS (SELECT gr FROM (
-      |  SELECT gr, count(*) AS d FROM g GROUP BY 1) WHERE d <= 100),
+      |  SELECT gr, count(*) AS d FROM g GROUP BY 1)
+      |  WHERE d <= ceil(0.2 * (SELECT count(*) FROM documents))),
       |gg AS (SELECT g.* FROM g JOIN rare USING (gr)),
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    count(*) AS shared
@@ -1240,26 +1263,84 @@ object Ext {
        |    AS ppl_bucket
        |FROM s""".stripMargin
 
+  // Shared by the brute entry and its exhaustive-IVF twin (full probe
+  // provably equals brute force — see simRadiusIvf / simKnnMutualIvf).
+  private lazy val simKnnMutualOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
+      |    floor(
+      |      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
+      |        (x, y) -> x + y)
+      |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+      |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
+      |      * 1000000 + 0.5) / 1000000 AS cosine
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+      |ranked AS (SELECT qa, qb, cosine,
+      |    row_number() OVER (PARTITION BY qa
+      |      ORDER BY cosine DESC, qb) AS rank
+      |  FROM scored)
+      |SELECT r1.qa AS id_a, r1.qb AS id_b, r1.cosine
+      |FROM ranked r1 JOIN ranked r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
+      |WHERE r1.rank <= 10 AND r2.rank <= 10 AND r1.qa < r1.qb""".stripMargin
+
+  private lazy val simRadiusOracle: String =
+    """WITH e AS (SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 20)
+      |SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
+      |  floor(
+      |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
+      |      (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+      |    * 1000000 + 0.5) / 1000000 AS cosine
+      |FROM q JOIN e ON q.vec_id <> e.vec_id
+      |WHERE floor(
+      |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
+      |      (x, y) -> x + y)
+      |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+      |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
+      |    * 1000000 + 0.5) / 1000000 >= 0.4""".stripMargin
+
+  // t_bpe_train value oracle: the trainer is DETERMINISTIC given the
+  // corpus (BpeSpec proves the distributed trainer equals an
+  // independent sequential reference, and the selection rule is
+  // max-count with lexicographic tie-break — no engine arbitrariness),
+  // so the merges learned from the driver's sf0.01 documents fixture
+  // are PINNED as a VALUES literal — the goldens pattern
+  // (ref: oarphpy_test/test_util/test_misc.py:115-126). Fixture-bound
+  // by construction: regenerate via
+  //   runMain graft.Verify /root/testdata/sf0.01 <out> t_bpe_train
+  // if the driver's corpus ever changes.
+  private lazy val bpeTrainOracle: String = {
+    val rows = Seq(
+      (1, "e", "r"), (2, "i", "n"), (3, "o", "w"), (4, "o", "r"),
+      (5, "s", "t"), (6, "m", "er"), (7, "a", "t"), (8, "l", "u"),
+      (9, "a", "r"), (10, "p", "ar"), (11, "j", "o"), (12, "jo", "in"),
+      (13, "a", "s"), (14, "as", "h"), (15, "h", "ash"), (16, "r", "ow"),
+      (17, "at", "c"), (18, "atc", "h"), (19, "b", "atch"),
+      (20, "a", "n"), (21, "c", "an"), (22, "s", "can"), (23, "c", "o"),
+      (24, "c", "u"), (25, "co", "lu"), (26, "colu", "m"),
+      (27, "colum", "n"), (28, "cu", "st"), (29, "cust", "o"),
+      (30, "custo", "mer"), (31, "f", "i"), (32, "fi", "l"),
+      (33, "fil", "t"), (34, "filt", "er"), (35, "a", "l"),
+      (36, "al", "l"), (37, "m", "all"), (38, "s", "mall"),
+      (39, "g", "e"), (40, "l", "ow"), (41, "mer", "ge"),
+      (42, "s", "low"), (43, "c", "t"), (44, "ct", "or"),
+      (45, "d", "er"), (46, "e", "ctor"), (47, "or", "der"),
+      (48, "v", "ector"), (49, "in", "e"), (50, "l", "ine"))
+    val values = rows.map { case (r, a, b) => s"($r, '$a', '$b')" }
+      .mkString(",\n  ")
+    s"""SELECT * FROM (VALUES\n  $values\n) AS t(rank, "left", "right")"""
+  }
+
   val oracles: Map[String, String] = Map(
-    "sim_radius" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |q AS (SELECT * FROM e WHERE vec_id < 20)
-        |SELECT q.vec_id AS query_id, e.vec_id AS cand_id,
-        |  floor(
-        |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
-        |      (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
-        |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
-        |    * 1000000 + 0.5) / 1000000 AS cosine
-        |FROM q JOIN e ON q.vec_id <> e.vec_id
-        |WHERE floor(
-        |    list_reduce(list_transform(list_zip(q.v, e.v), z -> z[1] * z[2]),
-        |      (x, y) -> x + y)
-        |    / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
-        |     * sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y)))
-        |    * 1000000 + 0.5) / 1000000 >= 0.4""".stripMargin,
+    "t_bpe_train" -> bpeTrainOracle,
+    "sim_radius" -> simRadiusOracle,
+    "sim_radius_ivf" -> simRadiusOracle,
     "sim_centroid_assign" ->
       s"""$anchorAssignCte
          |SELECT vec_id, aid AS cluster_id, cosine FROM asn""".stripMargin,
@@ -1398,26 +1479,9 @@ object Ext {
     // Mutual-kNN edges: brute-force ranks both directions; an (a < b)
     // edge survives iff each endpoint ranks the other within top-10.
     // Same det6 cosine and (cosine DESC, cand_id) tie-break as
-    // sim_topk's oracle.
-    "sim_knn_mutual" ->
-      """WITH e AS (SELECT vec_id,
-        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |scored AS (SELECT a.vec_id AS qa, b.vec_id AS qb,
-        |    floor(
-        |      list_reduce(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2]),
-        |        (x, y) -> x + y)
-        |      / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
-        |       * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y)))
-        |      * 1000000 + 0.5) / 1000000 AS cosine
-        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
-        |ranked AS (SELECT qa, qb, cosine,
-        |    row_number() OVER (PARTITION BY qa
-        |      ORDER BY cosine DESC, qb) AS rank
-        |  FROM scored)
-        |SELECT r1.qa AS id_a, r1.qb AS id_b, r1.cosine
-        |FROM ranked r1 JOIN ranked r2 ON r1.qa = r2.qb AND r1.qb = r2.qa
-        |WHERE r1.rank <= 10 AND r2.rank <= 10 AND r1.qa < r1.qb""".stripMargin,
+    // sim_topk's oracle. Shared with the exhaustive-IVF twin.
+    "sim_knn_mutual" -> simKnnMutualOracle,
+    "sim_knn_mutual_ivf" -> simKnnMutualOracle,
     "t_leakage_split" ->
       s"""$clusterCte,
          |cl AS (SELECT d.doc_id,

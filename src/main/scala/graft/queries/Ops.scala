@@ -290,6 +290,37 @@ object Ops {
         md5(coalesce(col("text"), lit(""))).as("h"))
   }
 
+  // The PARTITIONED targeted delete: documents written hive-partitioned
+  // on source (and range-clustered on doc_id within each partition), a
+  // doc_id band deleted through the partitioned wrapper — one global
+  // discovery scan finds the affected leaf dirs, the flat delete runs
+  // per affected leaf only, untouched partitions are never listed or
+  // read. Same delete-semantics-only oracle shape as the flat entry;
+  // partition columns survive (read back from the dir structure).
+  // Cross-partition crash recovery is spec'd in TargetedDeleteSpec.
+  val opTargetedDeletePart: Q = (s, d) => {
+    val src = documents(s, d)
+    val out = src.select(col("doc_id"), col("source"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+    // Zero-row corpus: a dynamic partitionBy write creates NO leaf
+    // dirs (nothing to delete, nothing to read back) — deliberate
+    // empty frame with the output schema.
+    if (src.isEmpty) out.limit(0)
+    else {
+      val dir = Sources.fixtureDir(s, "graft_tdelpart_")
+      src.repartitionByRange(8, col("source"), col("doc_id"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("source")
+        .parquet(dir.getAbsolutePath)
+      Sources.registerCleanup(dir)
+      graft.operators.TargetedDelete.applyPartitioned(
+        s, dir.getAbsolutePath, "doc_id", (10L until 25L).toSeq)
+      s.read.parquet(dir.getAbsolutePath)
+        .select(col("doc_id"), col("source"),
+          md5(coalesce(col("text"), lit(""))).as("h"))
+    }
+  }
+
   // Bloom-pruned semi join: lineitem reduced map-side by a bloom
   // filter over the URGENT orders' keys BEFORE any shuffle, then the
   // exact semi join on the survivors. Bloom false positives are
@@ -349,6 +380,7 @@ object Ops {
     "op_bloom_semi_join" -> opBloomSemiJoin,
     "op_compact_roundtrip" -> opCompactRoundtrip,
     "op_targeted_delete" -> opTargetedDelete,
+    "op_targeted_delete_part" -> opTargetedDeletePart,
     "op_zorder_scan" -> opZorderScan,
     "op_profile" -> opProfile,
     "op_profile_approx" -> opProfileApprox,
@@ -416,6 +448,11 @@ object Ops {
         |                     WHERE o_orderpriority = '1-URGENT')""".stripMargin,
     // Delete semantics only (layout invisible): survivors of the band.
     "op_targeted_delete" ->
+      """SELECT doc_id, source, md5(coalesce(text, '')) AS h
+        |FROM documents
+        |WHERE doc_id < 10 OR doc_id >= 25""".stripMargin,
+    // Partitioned layout must be delete-semantics-invisible too.
+    "op_targeted_delete_part" ->
       """SELECT doc_id, source, md5(coalesce(text, '')) AS h
         |FROM documents
         |WHERE doc_id < 10 OR doc_id >= 25""".stripMargin,

@@ -557,28 +557,6 @@ object Relational {
     "q_ewma_recursive" -> qEwmaRecursive)
 
   val oracles: Map[String, String] = Map(
-    // DuckDB's recursion is the same UNION ALL semantics; the smoothing
-    // chain replays the identical op order.
-    "q_ewma_recursive" ->
-      """WITH RECURSIVE m AS (
-        |  SELECT o_orderpriority AS pri,
-        |    strftime(o_orderdate, '%Y-%m') AS month,
-        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
-        |  FROM orders GROUP BY 1, 2),
-        |rk0 AS (SELECT pri, month, rev,
-        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month DESC)
-        |      AS INT) AS back FROM m),
-        |rk AS (SELECT pri, month, rev, CAST(13 - back AS INT) AS rnk
-        |  FROM rk0 WHERE back <= 12),
-        |r AS (
-        |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1
-        |  UNION ALL
-        |  SELECT rk.pri, rk.rnk, rk.month, rk.rev,
-        |    0.5 * rk.rev + 0.5 * r.ewma
-        |  FROM r JOIN rk ON rk.pri = r.pri AND rk.rnk = r.rnk + 1)
-        |SELECT pri, month, rev,
-        |  floor(ewma * 1000000 + 0.5) / 1000000 AS ewma
-        |FROM r""".stripMargin,
     "q18_large_volume" ->
       """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders o JOIN customer c ON c_custkey = o_custkey
@@ -840,7 +818,10 @@ object Relational {
         |GROUP BY c_nationkey
         |HAVING count(*) >= 50""".stripMargin,
     // DuckDB's recursion is the same UNION ALL semantics; the smoothing
-    // chain replays the identical op order.
+    // chain replays the identical op order. rnk ranks forward from the
+    // OLDEST RETAINED month (not 13 - back): a priority with fewer than
+    // 12 months still gets its rnk=1 anchor, matching the Spark side's
+    // takeRight(12) + zipWithIndex numbering on short calendars.
     "q_ewma_recursive" ->
       """WITH RECURSIVE m AS (
         |  SELECT o_orderpriority AS pri,
@@ -850,7 +831,9 @@ object Relational {
         |rk0 AS (SELECT pri, month, rev,
         |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month DESC)
         |      AS INT) AS back FROM m),
-        |rk AS (SELECT pri, month, rev, CAST(13 - back AS INT) AS rnk
+        |rk AS (SELECT pri, month, rev,
+        |    CAST(row_number() OVER (PARTITION BY pri ORDER BY month)
+        |      AS INT) AS rnk
         |  FROM rk0 WHERE back <= 12),
         |r AS (
         |  SELECT pri, rnk, month, rev, rev AS ewma FROM rk WHERE rnk = 1

@@ -340,6 +340,54 @@ object Streams {
     s.read.parquet(snapDir.getAbsolutePath)
   }
 
+  /** LATE-DATA drop — the watermark-VIOLATION case the mode matrix
+    * lacked: the OLDER half of the fixture arrives LAST, wholly behind
+    * the watermark, and the aggregation must refuse it (Spark's
+    * late-row drop, `numRowsDroppedByWatermark`).
+    *
+    * THREE chronological micro-batches, not two: since SPARK-40925,
+    * late-row FILTERING uses the PREVIOUS batch's watermark
+    * (`watermarkForLateEvents`) while EVICTION uses the current one —
+    * late rows landing in the very next batch after the advancing one
+    * are still admitted (measured: a two-file feed emits the late
+    * windows with dropped=0). So batch 1 carries the upper-mid quarter
+    * (advances event time), batch 2 the newest quarter (the watermark
+    * CATCHES UP to ms-trunc(max) − 1 h for the late filter), and
+    * batch 3 the older half — every row now sits hours behind the
+    * late-filter watermark, in windows long closed, and drops.
+    * Determinism: cuts are integer epoch-µs arithmetic; the fixture
+    * spans weeks, so no late window ends near the watermark and the
+    * watermark never regresses on old data. The oracle is the hourly
+    * aggregate over the NEWER half only under st_hourly's append
+    * -emission rule — a value check that the drop happened (a
+    * full-data aggregate differs in every straddling window). */
+  val stLateData: Q = (s, d) => withStreamPartitions(s, 4) {
+    val ev = Tables.events(s, d)
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    if (b.isNullAt(0)) {
+      EventStreams.hourlyAgg(ev).limit(0)
+    } else {
+      val cut = (b.getLong(0) + b.getLong(1)) / 2
+      val cut2 = (cut + b.getLong(1)) / 2
+      val us = unix_micros(col("ts"))
+      val dir = Sources.fixtureDir(s, "graft_stlate_")
+      val t0 = System.currentTimeMillis() - 180000
+      Sources.writeOrderedPart(
+        ev.where(us > cut && us <= cut2), dir, "a.parquet", t0)
+      Sources.writeOrderedPart(
+        ev.where(us > cut2), dir, "b.parquet", t0 + 60000)
+      Sources.writeOrderedPart(
+        ev.where(us <= cut), dir, "c.parquet", t0 + 120000)
+      Sources.registerCleanup(dir)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"${dir.getAbsolutePath}/*.parquet")
+      EventStreams.runToMemory(
+        EventStreams.hourlyAgg(stream), uniq("st_late"))
+    }
+  }
+
   // STREAMING anomaly screen: the offline-model/online-scoring shape —
   // per-type volume statistics are computed BATCH-side (the "model"),
   // broadcast into a stream-static join after the windowed aggregation,
@@ -374,6 +422,7 @@ object Streams {
     "st_hourly" -> stHourly,
     "st_hourly_complete" -> stHourlyComplete,
     "st_hourly_update" -> stHourlyUpdate,
+    "st_late_data" -> stLateData,
     "st_sliding" -> stSliding,
     "st_sessions" -> stSessions,
     "st_redact" -> stRedact,
@@ -483,6 +532,22 @@ object Streams {
         |SELECT * FROM a1
         |UNION ALL
         |SELECT tot.* FROM tot JOIN k2 USING (hour, event_type)""".stripMargin,
+    // Late-data drop: batch 2's older half arrives wholly behind the
+    // watermark set by batch 1's newer half, so the result is the
+    // newer half's aggregate under the standard emission rule. (A
+    // full-data aggregate would differ in every straddling window —
+    // the drop is value-checked, not assumed.)
+    "st_late_data" ->
+      """WITH b AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+        |    AS cut FROM events),
+        |m AS (SELECT date_trunc('millisecond', max(ts)) AS mx FROM events)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE epoch_us(ts) > cut
+        |  AND date_trunc('hour', ts) + INTERVAL 2 HOUR <= (SELECT mx FROM m)
+        |GROUP BY 1, 2""".stripMargin,
     // Complete mode has NO emission filter: the final table is the
     // plain batch aggregate over everything.
     "st_hourly_complete" ->

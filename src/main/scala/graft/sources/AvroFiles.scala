@@ -90,19 +90,37 @@ object AvroFiles {
     })
   }
 
-  /** Write one Avro OCF per partition. Returns rows written. */
+  /** Write one Avro OCF per partition. Returns rows written.
+    *
+    * Commit protocol (the two failure modes a bare create-final-name
+    * sink corrupts on): each task ATTEMPT writes to a dot-prefixed
+    * temp name unique to the attempt, then renames onto the final
+    * `part-NNNNN.avro` on task success — a speculative or zombie
+    * duplicate attempt either loses the rename race (and deletes its
+    * temp) or atomically replaces a complete file with another
+    * complete file, never interleaves bytes. The driver stamps
+    * `_SUCCESS` only after the whole job returns and sweeps leftover
+    * attempt temps; [[read]] REQUIRES the marker, so a failed job's
+    * partial output is never consumed as a complete dataset. */
   def write(df: DataFrame, dir: String, codec: String = "snappy"): Long = {
     val spark = df.sparkSession
     val st = df.schema
     val avroJson = toAvroSchema(st, "GraftRecord").toString
+    val conf0 = spark.sessionState.newHadoopConf()
+    val outDir = new Path(dir)
+    val fs0 = outDir.getFileSystem(conf0)
+    // A marker from a PREVIOUS write must not vouch for this one.
+    fs0.delete(new Path(outDir, "_SUCCESS"), false)
     val confB = spark.sparkContext.broadcast(
-      new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf()))
+      new org.apache.spark.util.SerializableConfiguration(conf0))
     val counts = df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val schema = new Schema.Parser().parse(avroJson)
       val fs = new Path(dir).getFileSystem(confB.value.value)
       fs.mkdirs(new Path(dir))
-      val out = fs.create(new Path(dir, f"part-$pid%05d.avro"), true)
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val tmpPath = new Path(dir, f".part-$pid%05d-$attempt.avro.tmp")
+      val out = fs.create(tmpPath, true)
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setCodec(org.apache.avro.file.CodecFactory.fromString(codec))
       w.create(schema, out)
@@ -134,8 +152,24 @@ object AvroFiles {
           n += 1
         }
       } finally w.close() // closes the stream
+      // Task-success commit: rename temp onto the final name. A lost
+      // race means another attempt of THIS partition already committed
+      // a complete file — drop ours.
+      val dest = new Path(dir, f"part-$pid%05d.avro")
+      fs.delete(dest, false) // stale file from a prior overwrite write
+      if (!fs.rename(tmpPath, dest)) {
+        fs.delete(tmpPath, false)
+        if (!fs.exists(dest)) throw new java.io.IOException(
+          s"AvroFiles: commit rename $tmpPath -> $dest failed")
+      }
       Iterator.single(n)
     }.collect()
+    // Job-level commit: sweep orphaned attempt temps, then stamp.
+    fs0.listStatus(outDir).map(_.getPath)
+      .filter(p => p.getName.startsWith(".part-") &&
+        p.getName.endsWith(".avro.tmp"))
+      .foreach(p => fs0.delete(p, false))
+    fs0.create(new Path(outDir, "_SUCCESS"), true).close()
     counts.sum
   }
 
@@ -146,6 +180,9 @@ object AvroFiles {
     val conf = spark.sessionState.newHadoopConf()
     val d = new Path(dir)
     val fs = d.getFileSystem(conf)
+    require(fs.exists(new Path(d, "_SUCCESS")),
+      s"$dir has no _SUCCESS marker: the write job did not complete — " +
+        "refusing to read a possibly-partial dataset")
     val files = fs.listStatus(d).map(_.getPath)
       .filter(p => p.getName.endsWith(".avro")).map(_.toString).sorted
     require(files.nonEmpty, s"no .avro files under $dir")

@@ -36,6 +36,13 @@ object Bridge {
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
       .queryExecution.analyzed
 
+  /** Unload every state-store provider a stopped streaming query left
+    * in the JVM-wide registry (StateStore.unloadAll is private[sql]).
+    * Bench calls this between measurements so stale in-memory state
+    * maps don't tax later queries' GC. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
+
   /** Dataset.ofRows for a custom LogicalPlan (private[sql] in classic) —
     * the output side: wraps an injected logical node back into the
     * public DataFrame API. */

@@ -297,4 +297,30 @@ class CodecSpec extends AnyFunSuite {
     }
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("AvroFiles commit protocol: read requires _SUCCESS; temps swept") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_avro_commit_").toFile
+    dir.deleteOnExit()
+    graft.sources.AvroFiles.write(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(2),
+      dir.getAbsolutePath)
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(names.contains("_SUCCESS"), names.mkString(","))
+    assert(!names.exists(_.endsWith(".avro.tmp")), "attempt temps swept")
+    assert(graft.sources.AvroFiles.read(spark, dir.getAbsolutePath)
+      .count() == 2)
+    // a failed/partial job (no marker) must be refused, not half-read
+    require(new java.io.File(dir, "_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.AvroFiles.read(spark, dir.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("_SUCCESS"))
+    // a rerun of the write must re-stamp and read cleanly again
+    graft.sources.AvroFiles.write(
+      Seq((3L, "c")).toDF("k", "s").coalesce(1), dir.getAbsolutePath)
+    assert(graft.sources.AvroFiles.read(spark, dir.getAbsolutePath)
+      .count() >= 1)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

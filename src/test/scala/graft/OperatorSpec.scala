@@ -252,6 +252,45 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("SnapshotMerge.applyAtRest: crash between the swap renames is repaired") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft_snaprec_").toFile
+    dir.deleteOnExit()
+    val path = new java.io.File(dir, "snap").getAbsolutePath
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+      .coalesce(1).write.parquet(path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val src = new Path(path)
+    val bak = new Path(src.getParent, s".${src.getName}__snap_old")
+    val tmp = new Path(src.getParent, s".${src.getName}__snap_tmp")
+    // SIMULATE "crashed after rename(src, bak), before rename(tmp, src)":
+    // no snapshot at path, backup holds the pre-merge state, stale tmp.
+    require(fs.rename(src, bak))
+    fs.mkdirs(tmp)
+    // next apply (the foreachBatch replay) must roll back and succeed
+    val changes = Seq((2L, 25.0, "U"), (3L, 30.0, "I")).toDF("k", "v", "op")
+    SnapshotMerge.applyAtRest(spark, path, changes, "k")
+    val got = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 10.0), (2L, 25.0), (3L, 30.0)))
+    assert(!fs.exists(bak) && !fs.exists(tmp), "no swap debris survives")
+    // a stale backup NEXT TO a live snapshot (crash after the second
+    // rename) is swept on entry, and the merge still applies cleanly
+    fs.mkdirs(bak)
+    SnapshotMerge.applyAtRest(spark, path,
+      Seq((3L, 0.0, "D")).toDF("k", "v", "op"), "k")
+    val got2 = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got2 == Set((1L, 10.0), (2L, 25.0)))
+    assert(!fs.exists(bak))
+    // nothing at path and nothing to recover: loud failure, not a write
+    val none = new java.io.File(dir, "never").getAbsolutePath
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.applyAtRest(spark, none, changes, "k")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("CSV lane keeps NULL and empty string distinguishable (pinned nullValue)") {
     // The srcCsvRoundtrip option set: nullValue "\N" on write AND read,
     // emptyValue "" on read. Without the sentinel, the writer renders

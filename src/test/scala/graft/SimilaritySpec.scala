@@ -69,6 +69,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == exact, "nProbe=nCentroids must equal brute force")
   }
 
+  test("ivfRadiusSearch: full probe == brute radius; selective is a subset") {
+    val e = emb(spark)
+    val q = e.where(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"),
+        r.getAs[Double]("cosine"))).toSet
+    val exact = rows(SimilaritySearch.radiusSearch(
+      e, q, "vec_id", "embedding", minCosine = 0.35))
+    assert(exact.nonEmpty, "fixture should yield radius hits at 0.35")
+    val full = rows(SimilaritySearch.ivfRadiusSearch(
+      e, q, "vec_id", "embedding", minCosine = 0.35,
+      nCentroids = 8, nProbe = 8, iters = 2))
+    assert(full == exact, "nProbe=nCentroids must equal brute radius")
+    // selective probing: a STRICT SUBSET contract (scored pairs pass
+    // the same threshold — missed cells are pure recall, never wrong
+    // rows) with a recall floor
+    val sel = rows(SimilaritySearch.ivfRadiusSearch(
+      e, q, "vec_id", "embedding", minCosine = 0.35,
+      nCentroids = 8, nProbe = 4, iters = 2))
+    assert(sel.subsetOf(exact), s"extra=${(sel -- exact).take(5)}")
+    val recall = (exact & sel).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
+  test("ivfKnnMutual: full probe == exact mutual graph; selective recall") {
+    val e = emb(spark)
+    def edges(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = edges(graft.queries.Ext.simKnnMutual(
+      spark, SparkFixture.sf0001))
+    assert(exact.nonEmpty)
+    val full = edges(SimilaritySearch.ivfKnnMutual(
+      e, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 8,
+      iters = 2))
+    assert(full == exact,
+      s"missing=${(exact -- full).take(5)} extra=${(full -- exact).take(5)}")
+    val sel = edges(SimilaritySearch.ivfKnnMutual(
+      e, "vec_id", "embedding", k = 10, nCentroids = 8, nProbe = 4,
+      iters = 2))
+    val recall = (exact & sel).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+  }
+
   test("blocked embeddingNearDupPairs == all-pairs anchor (exact)") {
     val e = emb(spark)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

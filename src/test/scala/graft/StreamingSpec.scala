@@ -264,6 +264,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(single.nonEmpty)
   }
 
+  test("late data behind the watermark is dropped (st_late_data contract)") {
+    import org.apache.spark.sql.functions._
+    // Newer half first (advances the watermark), older half second
+    // (every row late): the emitted aggregate must equal the NEWER
+    // half's batch aggregate under the append-emission rule — and must
+    // DIFFER from the full-data aggregate (the drop is observable).
+    val got = graft.queries.Streams.queries("st_late_data")(
+      spark, SparkFixture.sf0001)
+      .collect().map(_.toSeq).toSet
+    val ev = graft.queries.Tables.events(spark, SparkFixture.sf0001)
+    val b = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts"))))
+      .collect()(0)
+    val cut = (b.getLong(0) + b.getLong(1)) / 2
+    def hourly(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+    // append emission: window end (+1h watermark delay) <= ms-trunc(max)
+    val wmUs = (b.getLong(1) / 1000L) * 1000L
+    val expect = hourly(ev.where(unix_micros(col("ts")) > cut))
+      .where(unix_micros(to_timestamp(col("hour"))) +
+        2L * 3600L * 1000000L <= wmUs)
+      .collect().map(_.toSeq).toSet
+    assert(got == expect && got.nonEmpty)
+    val fullData = hourly(ev)
+      .where(unix_micros(to_timestamp(col("hour"))) +
+        2L * 3600L * 1000000L <= wmUs)
+      .collect().map(_.toSeq).toSet
+    assert(got != fullData,
+      "late rows must be missing from straddling windows")
+  }
+
   test("stream-static near-dup screen == independent exact-jaccard pairs") {
     import org.apache.spark.sql.functions._
     // The streaming entry (LSH probe of a broadcast static band index,

@@ -281,4 +281,37 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(loose.exists(p => p._1 == 5L || p._2 == 5L))
   }
+
+  test("fuzzyPairs df cap is corpus-relative: duplication-invariant blocking") {
+    import spark.implicits._
+    // The round-8 SCALE.md footgun: an absolute cap tuned at one corpus
+    // size blocks EVERYTHING once the corpus (and with it every gram's
+    // df) grows. The corpus-relative default must find the planted typo
+    // pair at 1× AND at 8× duplication, where the old absolute cap
+    // (pro-rated for 1×) blocks every gram.
+    // 2 near-dups + 10 distinct fillers: the pair's shared grams have
+    // df=2 of n=12 (under the 0.2 default); at 8× duplication df=16 of
+    // n=96 — the RATIO is invariant, so the relative cap keeps passing.
+    val base = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog tonight",
+      2L -> "the quick brown fox jumps ovre the lazy dog tonight") ++
+      (3L to 12L).map(i =>
+        i -> s"memo$i entry$i item$i alpha$i beta$i gamma$i delta$i")
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      Dedup.fuzzyPairs(df, "doc_id", "text", maxDist = 5)
+        .collect().map(r => (r.getLong(0) % 100, r.getLong(1) % 100)).toSet
+    val one = pairsOf(base.toDF("doc_id", "text"))
+    assert(one.contains((1L, 2L)), s"1x: $one")
+    val eight = (0 until 8).flatMap(c =>
+      base.map { case (id, t) => (c * 100L + id, t) })
+      .toDF("doc_id", "text")
+    // default (fraction) cap: still finds the clones' typo pairs
+    assert(pairsOf(eight).contains((1L, 2L)), "8x under the relative cap")
+    // the 1×-tuned ABSOLUTE cap (df <= 2, what the pair needed at 1×)
+    // blocks every shared gram at 8× where each repeats 16 times
+    val absolute = Dedup.fuzzyPairs(eight, "doc_id", "text",
+      maxGramDf = 2, maxDist = 5).count()
+    assert(absolute == 0L,
+      "a size-tuned absolute cap must demonstrate the 10x footgun")
+  }
 }
