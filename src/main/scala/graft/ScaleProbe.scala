@@ -436,12 +436,18 @@ object ScaleProbe {
             substring(col("text"), 9 + c % 13, 100000)).as("text"))
       }.reduce(_ union _).localCheckpoint()
       println(s"[probe] fuzzy corpus: ${typod.count()} typo'd keys")
-      // DEFAULT corpus-relative cap (0.2 × rows = exactly the pro-rata
-      // 100 × copies this probe used to pass explicitly): the r8
-      // footgun — a fixed absolute cap blocking everything at 10× — is
-      // closed in the operator itself, not by caller tuning.
-      val nf = time("fuzzyPairs (3-gram blocked, corpus-relative df cap)")(
-        graft.ext.Dedup.fuzzyPairs(typod, "doc_id", "text").count())
+      // Corpus-relative cap via the FRACTION knob. The default 0.2 is
+      // pinned to the driver's 500-doc oracle fixture; on this 50k
+      // corpus it would admit grams up to df=10k, and blocking cost is
+      // Σ df² over surviving grams — a 10^8-pair join per boilerplate
+      // gram (measured: GC-bound, not a regression but the knob's
+      // worst case). The entity-resolution setting for a corpus this
+      // size is a tighter fraction — 0.02 here reproduces the old
+      // pro-rata absolute cap (1000) while staying scale-invariant:
+      // at 100× the SAME fraction keeps the same relative blocking.
+      val nf = time("fuzzyPairs (3-gram blocked, df <= 2% of corpus)")(
+        graft.ext.Dedup.fuzzyPairs(typod, "doc_id", "text",
+          maxGramDfFrac = 0.02).count())
       println(s"[probe] fuzzy pairs: $nf (each original's copies are " +
         "dist<=2 neighbors)")
     }

@@ -793,12 +793,23 @@ object SimilaritySearch {
     val nearest = cellFinder(cs)
     val assignOne = udf { v: Seq[Double] => nearest(v, 1).head }
     val probeN = udf { v: Seq[Double] => nearest(v, nProbe) }
+    // Spread the corpus scan before the pair loop: the fixture parquet
+    // is a couple of input splits, and the O(pairs × dim) cosine work
+    // runs in the probe side's partitions — without this the whole
+    // scoring loop lands on 1-2 tasks (measured 7.3 s → 2 s at sf0.1).
+    val p = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("__id"),
       col(vecCol).cast("array<double>").as("__v"))
     val cand = base.select(col("__id").as("c"), col("__v").as("__cv"))
       .withColumn("__cell", assignOne(col("__cv")))
-    val q = base.select(col("__id").as("q"), col("__v").as("__qv"))
+    val q = base.repartition(p)
+      .select(col("__id").as("q"), col("__v").as("__qv"))
       .withColumn("__cell", explode(probeN(col("__qv"))))
+    // No broadcast hint: locally Catalyst broadcasts the (small) cand
+    // side and streams the repartitioned probes; at warehouse scale
+    // both sides are corpus-sized and the same plan degrades to a
+    // cell-keyed shuffle join whose parallelism is the cell count —
+    // thousands of cells there, so no hint should pin either choice.
     val scored = cand.join(q, Seq("__cell"))
       .where(col("q") =!= col("c"))
       .withColumn("cosine", graft.functions.DetRound.det6(

@@ -291,21 +291,32 @@ object Ops {
   }
 
   // The PARTITIONED targeted delete: documents written hive-partitioned
-  // on source (and range-clustered on doc_id within each partition), a
-  // doc_id band deleted through the partitioned wrapper — one global
-  // discovery scan finds the affected leaf dirs, the flat delete runs
-  // per affected leaf only, untouched partitions are never listed or
-  // read. Same delete-semantics-only oracle shape as the flat entry;
-  // partition columns survive (read back from the dir structure).
-  // Cross-partition crash recovery is spec'd in TargetedDeleteSpec.
+  // on source (and range-clustered on doc_id within each partition),
+  // the FIRST source's low-id band deleted through the partitioned
+  // wrapper — one global discovery scan finds the single affected leaf
+  // dir, the flat delete runs there only, every other partition is
+  // never listed or read (a delete set spread across all partitions
+  // would instead pay one flat delete per leaf — correct, just
+  // unpruned). Same delete-semantics-only oracle shape as the flat
+  // entry; partition columns survive (read back from the dir
+  // structure). Cross-partition crash recovery is spec'd in
+  // TargetedDeleteSpec.
   val opTargetedDeletePart: Q = (s, d) => {
     val src = documents(s, d)
     val out = src.select(col("doc_id"), col("source"),
       md5(coalesce(col("text"), lit(""))).as("h"))
     // Zero-row corpus: a dynamic partitionBy write creates NO leaf
-    // dirs (nothing to delete, nothing to read back) — deliberate
-    // empty frame with the output schema.
+    // dirs — deliberate empty frame with the output schema.
     if (src.isEmpty) out.limit(0)
+    else {
+    // Keys confined to ONE partition value (min source, doc_id < 40) —
+    // deterministic, and the pruning story is observable: exactly one
+    // leaf rewrites. Collect is bounded by the band.
+    val keys = src.where(
+        col("source") === src.agg(min(col("source"))).collect()(0)
+          .getString(0) && col("doc_id") < 40)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+    if (keys.isEmpty) out
     else {
       val dir = Sources.fixtureDir(s, "graft_tdelpart_")
       src.repartitionByRange(8, col("source"), col("doc_id"))
@@ -314,10 +325,11 @@ object Ops {
         .parquet(dir.getAbsolutePath)
       Sources.registerCleanup(dir)
       graft.operators.TargetedDelete.applyPartitioned(
-        s, dir.getAbsolutePath, "doc_id", (10L until 25L).toSeq)
+        s, dir.getAbsolutePath, "doc_id", keys)
       s.read.parquet(dir.getAbsolutePath)
         .select(col("doc_id"), col("source"),
           md5(coalesce(col("text"), lit(""))).as("h"))
+    }
     }
   }
 
@@ -451,11 +463,13 @@ object Ops {
       """SELECT doc_id, source, md5(coalesce(text, '')) AS h
         |FROM documents
         |WHERE doc_id < 10 OR doc_id >= 25""".stripMargin,
-    // Partitioned layout must be delete-semantics-invisible too.
+    // Partitioned layout must be delete-semantics-invisible too: the
+    // deleted keys are the FIRST source's doc_id < 40 band.
     "op_targeted_delete_part" ->
       """SELECT doc_id, source, md5(coalesce(text, '')) AS h
         |FROM documents
-        |WHERE doc_id < 10 OR doc_id >= 25""".stripMargin,
+        |WHERE NOT (source = (SELECT min(source) FROM documents)
+        |           AND doc_id < 40)""".stripMargin,
     // Compaction must be layout-only: the oracle is the source table.
     "op_compact_roundtrip" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h
