@@ -155,6 +155,47 @@ object Ext {
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(100)
 
+  // Exact heavy hitters (tokens with > 2% corpus frequency) via the
+  // two-pass Misra-Gries pattern: a bounded map-side sketch (capacity
+  // 2t) narrows the corpus to ≤ 2t candidates, then one exact count
+  // pass over the broadcast-semi-joined candidates — the shuffle never
+  // carries the full vocabulary. Composite output is EXACT (the sketch
+  // guarantees no item above threshold is lost), hence the plain SQL
+  // oracle; the sketch's superset guarantee under genuine pruning
+  // (capacity << vocabulary) is differential-tested in OperatorSpec.
+  val tHeavyHitters: Q = (s, d) => {
+    val toks = documents(s, d)
+      .select(explode(TF.tokens(col("text"))).as("token"))
+    graft.operators.HeavyHitters(toks, "token", t = 50)
+      .orderBy(col("n").desc, col("item"))
+  }
+
+  // Suppression/generalization k-anonymity over the quasi-identifier
+  // (lang, source, size bucket): classes of ≥ k keep the full QI
+  // (level 0); smaller classes generalize the size dimension away and
+  // re-test at (lang, source) over the still-exposed docs (level 1);
+  // classes small even generalized are fully suppressed (level 2).
+  // Scale shape: class-count tables are bounded by the QI domain (≪
+  // rows) and broadcast — document rows are never shuffled.
+  val tKAnon: Q = (s, d) => {
+    val k = 5
+    val q = documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"), expr("n_chars div 100").as("size_b"))
+    val c0 = q.groupBy("lang", "source", "size_b")
+      .agg(count(lit(1)).as("n0"))
+    val j0 = q.join(broadcast(c0), Seq("lang", "source", "size_b"))
+    val c1 = j0.where(col("n0") < k).groupBy("lang", "source")
+      .agg(count(lit(1)).as("n1"))
+    j0.join(broadcast(c1), Seq("lang", "source"), "left")
+      .select(col("doc_id"),
+        when(col("n0") >= k, 0).when(col("n1") >= k, 1).otherwise(2)
+          .as("level"),
+        when(col("n0") >= k || col("n1") >= k, col("lang")).as("lang_out"),
+        when(col("n0") >= k || col("n1") >= k, col("source"))
+          .as("source_out"),
+        when(col("n0") >= k, col("size_b")).as("size_out"))
+  }
+
   val tQuality: Q = (s, d) =>
     documents(s, d).select(
       col("doc_id"),
@@ -999,6 +1040,8 @@ object Ext {
     "dedup_fuzzy" -> dedupFuzzy,
     "t_curation_funnel" -> tCurationFunnel,
     "mm_decode" -> mmDecode,
+    "t_heavy_hitters" -> tHeavyHitters,
+    "t_k_anon" -> tKAnon,
     "t_token_stats" -> tTokenStats,
     "t_winnow" -> tWinnow,
     "dedup_winnow" -> dedupWinnow,
@@ -1504,6 +1547,31 @@ object Ext {
          |SELECT d.doc_id FROM documents d
          |WHERE coalesce((SELECT min(r) FROM reach WHERE reach.id = d.doc_id),
          |               d.doc_id) = d.doc_id""".stripMargin,
+    "t_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($toksSql) AS item FROM documents),
+         |tot AS (SELECT count(*) AS n_tot FROM tok)
+         |SELECT item, count(*) AS n
+         |FROM tok CROSS JOIN tot
+         |GROUP BY item, tot.n_tot
+         |HAVING count(*) * 50 > tot.n_tot
+         |ORDER BY n DESC, item""".stripMargin,
+    "t_k_anon" ->
+      """WITH q AS (SELECT doc_id, lang, source,
+        |    n_chars // 100 AS size_b FROM documents),
+        |c0 AS (SELECT lang, source, size_b, count(*) AS n0
+        |       FROM q GROUP BY 1, 2, 3),
+        |j0 AS (SELECT q.*, c0.n0 FROM q
+        |       JOIN c0 USING (lang, source, size_b)),
+        |c1 AS (SELECT lang, source, count(*) AS n1 FROM j0
+        |       WHERE n0 < 5 GROUP BY 1, 2)
+        |SELECT j0.doc_id,
+        |  CASE WHEN j0.n0 >= 5 THEN 0
+        |       WHEN c1.n1 >= 5 THEN 1 ELSE 2 END AS level,
+        |  CASE WHEN j0.n0 >= 5 OR c1.n1 >= 5 THEN j0.lang END AS lang_out,
+        |  CASE WHEN j0.n0 >= 5 OR c1.n1 >= 5 THEN j0.source END
+        |    AS source_out,
+        |  CASE WHEN j0.n0 >= 5 THEN j0.size_b END AS size_out
+        |FROM j0 LEFT JOIN c1 USING (lang, source)""".stripMargin,
     "t_token_stats" ->
       s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents)
          |SELECT doc_id,

@@ -387,7 +387,28 @@ object Ops {
     s.createDataFrame(rows, df.schema)
   }
 
+  // Iterative-graph workload: PageRank over the part co-purchase graph
+  // (parts sharing an order are linked, both directions — symmetric, so
+  // no dangling mass). Fixed-point long arithmetic end to end makes the
+  // 10-iteration power recurrence bit-exact in both engines; the oracle
+  // unrolls the same integer recurrence as 10 chained CTEs. Scale shape
+  // (operators/PageRank.scala): edges+degrees partitioned once and
+  // reused; per-iteration shuffle is the O(nodes) rank table only.
+  val opPagerank: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.PageRank.run(e, iterations = 10)
+      .orderBy(col("r").desc, col("node"))
+      .limit(25)
+      .select(col("node").as("p_partkey"), col("r").as("rank_fp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_pagerank" -> opPagerank,
     "op_meta_agg" -> opMetaAgg,
     "op_bloom_semi_join" -> opBloomSemiJoin,
     "op_compact_roundtrip" -> opCompactRoundtrip,
@@ -446,7 +467,38 @@ object Ops {
   }
   private val profileOracle: String = profileOracleFor(approx = false)
 
+  // The same integer PageRank recurrence, unrolled: r_{i+1}(v) =
+  // (0.15·S) // n + (85·Σ_{u→v} r_i(u) // outdeg(u)) // 100, S = 1e12.
+  // All-BIGINT floor division (DuckDB `//` ≡ Spark `div` on positives):
+  // no float summation anywhere, so the hash match is exact.
+  private val pagerankOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS node,
+         |    (150000000000 // nn.n) +
+         |      (85 * CAST(sum(r${i - 1}.r // deg.outdeg) AS BIGINT)) // 100
+         |      AS r
+         |  FROM e
+         |  JOIN r${i - 1} ON e.src = r${i - 1}.node
+         |  JOIN deg ON e.src = deg.src
+         |  CROSS JOIN nn
+         |  GROUP BY e.dst, nn.n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+       |        AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT deg.src AS node, 1000000000000 // nn.n AS r
+       |       FROM deg CROSS JOIN nn),
+       |$steps
+       |SELECT node AS p_partkey, CAST(r AS BIGINT) AS rank_fp FROM r10
+       |ORDER BY r DESC, node LIMIT 25""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "op_pagerank" -> pagerankOracle,
     // Footer-only aggregation must be value-identical to the scan.
     "op_meta_agg" ->
       """SELECT count(*) AS n_rows,

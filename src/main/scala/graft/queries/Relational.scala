@@ -522,7 +522,178 @@ object Relational {
       ok(2, "l75", "h75").as("p75_ok"), ok(3, "l95", "h95").as("p95_ok"))
   }
 
+  // TPC-H Q7-style volume shipping between two trading nations. The
+  // two-nation predicate is pushed into the BROADCAST nation dims (2
+  // rows each) BEFORE the join — the fact side is never filtered by a
+  // post-join residual alone, and the only shuffle join in the plan is
+  // lineitem⋈orders. Years as strings per the house date convention.
+  val q7VolumeShipping: Q = (s, d) => {
+    val pair = Seq("NATION_1", "NATION_2")
+    val l = lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val n1 = nation(s, d).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    val n2 = nation(s, d).where(col("n_name").isin(pair: _*))
+      .select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("snk"))
+      .join(broadcast(n2), col("c_nationkey") === col("cnk"))
+      .where(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        date_format(col("l_shipdate"), "yyyy").as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  // TPC-H Q8-style market share: NATION_3 suppliers' share of AMERICA
+  // customers' ECONOMY-part volume, per year. Both sums are exact
+  // decimals; the single final division is the only float op, so the
+  // 6dp deterministic round is engine-stable.
+  val q8MarketShare: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val sup = supplier(s, d)
+    val p = part(s, d).where(col("p_type") === "ECONOMY")
+    val nCust = nation(s, d).join(
+      region(s, d).where(col("r_name") === "AMERICA"),
+      col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("cnk"))
+    val nSupp = nation(s, d)
+      .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(nCust), col("c_nationkey") === col("cnk"))
+      .join(broadcast(nSupp), col("s_nationkey") === col("snk"))
+      .withColumn("volume",
+        dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .groupBy(date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(graft.functions.DetRound.det(
+        sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(col("volume")).cast("double"), 6).as("mkt_share"))
+  }
+
+  // TPC-H Q9-style product profit (adapted: the fixture has no
+  // partsupp, so supply cost is the part's retail price — the join
+  // shape is the point, not the constant). Profit per supplier nation
+  // per year over 'red' parts; all-decimal arithmetic.
+  val q9ProductProfit: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val sup = supplier(s, d)
+    val p = part(s, d).where(col("p_name").like("%red%"))
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(sup), l("l_suppkey") === sup("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        date_format(col("o_orderdate"), "yyyy").as("o_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          - dec(col("p_retailprice")) * dec(col("l_quantity")))
+        .cast("double").as("sum_profit"))
+  }
+
+  // TPC-H Q10-style returned-item report: top 20 customers by revenue
+  // lost to returns in one quarter. TakeOrderedAndProject keeps the
+  // top-k bounded; c_custkey tiebreak keeps it deterministic.
+  val q10ReturnedItems: Q = (s, d) => {
+    val l = lineitem(s, d).where(col("l_returnflag") === "R")
+    val o = orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val c = customer(s, d)
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // TPC-H Q14-style promo revenue share for one month: 100·promo/total.
+  // Single scalar output; decimal sums, one final rounded division.
+  val q14PromoRevenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .withColumn("volume",
+        dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+      .agg(graft.functions.DetRound.det(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO", col("volume"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+          sum(col("volume")).cast("double"), 6).as("promo_revenue"))
+  }
+
+  // TPC-H Q19-style discounted revenue: OR-of-ANDs over part attributes
+  // and line quantity — an equi-join on partkey with a disjunctive
+  // residual Catalyst must keep OUT of the join keys (and does; the
+  // plan stays a single broadcast hash join, gated in PlanSpec).
+  val q19DiscRevenue: Q = (s, d) => {
+    val l = lineitem(s, d)
+    val p = part(s, d)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey") && (
+      (p("p_brand") === "Brand#1" && p("p_size").between(1, 10) &&
+        l("l_quantity").between(1, 20)) ||
+      (p("p_brand") === "Brand#2" && p("p_size").between(1, 15) &&
+        l("l_quantity").between(10, 30)) ||
+      (p("p_brand") === "Brand#3" && p("p_size").between(1, 20) &&
+        l("l_quantity").between(20, 40))))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  // TPC-H Q22-style global sales opportunity: well-funded customers
+  // (balance above the positive-balance average of their cohort) with
+  // no RECENT orders — scalar subquery + filtered anti join, grouped by
+  // nation as the country-code analog. (The classic no-orders-at-all
+  // predicate is empty on this fixture — every customer orders — so the
+  // EXISTS is date-restricted to keep the entry non-trivial.) The avg
+  // is an exact decimal sum over an exact count; only the final
+  // comparison is float, against balances two decimals wide — no
+  // boundary ambiguity.
+  val q22GlobalSales: Q = (s, d) => {
+    val cohort = Seq(1, 3, 5, 7, 9, 11, 13)
+    val c = customer(s, d).where(col("c_nationkey").isin(cohort: _*))
+    // house avgDec shape: exact decimal sum cast to double, THEN divide
+    // (decimal-division rounding rules are not engine-portable)
+    val avgBal = c.where(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .as("avg_bal"))
+    val o = orders(s, d)
+      .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        sumDec(col("c_acctbal")).as("totacctbal"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q10_returned_items" -> q10ReturnedItems,
+    "q14_promo_revenue" -> q14PromoRevenue,
+    "q19_disc_revenue" -> q19DiscRevenue,
+    "q22_global_sales" -> q22GlobalSales,
     "q_percentiles_approx" -> qPercentilesApprox,
     "q18_large_volume" -> q18LargeVolume,
     "q17_small_qty_revenue" -> q17SmallQtyRevenue,
@@ -556,7 +727,106 @@ object Relational {
     "q_monthly" -> qMonthly,
     "q_ewma_recursive" -> qEwmaRecursive)
 
+  private val volSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))"
+
   val oracles: Map[String, String] = Map(
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  strftime(l_shipdate, '%Y') AS l_year,
+         |  CAST(sum($volSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+         |  AND n1.n_name <> n2.n_name
+         |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q8_market_share" -> {
+      val share = "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume" +
+        " ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)" +
+        " / CAST(sum(volume) AS DOUBLE)"
+      s"""WITH base AS (
+         |  SELECT strftime(o_orderdate, '%Y') AS o_year,
+         |    $volSql AS volume, n2.n_name AS supp_nation
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |  JOIN region ON n1.n_regionkey = r_regionkey
+         |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY')
+         |SELECT o_year, ${graft.functions.DetRound.sql(share, 6)} AS mkt_share
+         |FROM base GROUP BY 1""".stripMargin
+    },
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, strftime(o_orderdate, '%Y') AS o_year,
+         |  CAST(sum($volSql
+         |      - CAST(p_retailprice AS DECIMAL(18,2))
+         |        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS sum_profit
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_name LIKE '%red%'
+         |GROUP BY 1, 2""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
+         |  CAST(sum($volSql) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q14_promo_revenue" -> {
+      val share = "100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN volume" +
+        " ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)" +
+        " / CAST(sum(volume) AS DOUBLE)"
+      s"""WITH base AS (
+         |  SELECT $volSql AS volume, p_type
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01')
+         |SELECT ${graft.functions.DetRound.sql(share, 6)} AS promo_revenue
+         |FROM base""".stripMargin
+    },
+    "q19_disc_revenue" ->
+      s"""SELECT CAST(sum($volSql) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+         |       AND l_quantity BETWEEN 1 AND 20)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 10 AND 30)
+         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_global_sales" ->
+      """WITH cohort AS (SELECT * FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_bal
+        |  FROM cohort WHERE c_acctbal > 0)
+        |SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cohort CROSS JOIN ab
+        |WHERE c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "q18_large_volume" ->
       """SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders o JOIN customer c ON c_custkey = o_custkey

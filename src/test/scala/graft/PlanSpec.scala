@@ -329,6 +329,56 @@ class PlanSpec extends AnyFunSuite {
       "k-bounded aggregator expected:\n" + p)
   }
 
+  test("q19 OR-of-ANDs residual stays one broadcast hash join") {
+    val p = plan(graft.queries.Relational.q19DiscRevenue(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "disjunctive residual must not degrade the equi-join:\n" + p)
+  }
+
+  test("q7/q8/q9 keep all dimension joins broadcast (fact shuffle only)") {
+    Seq("q7_volume_shipping", "q8_market_share", "q9_product_profit")
+      .foreach { q =>
+        val p = plan(graft.queries.Relational.queries(q)(spark, sf))
+        assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+        val bhj = "BroadcastHashJoin".r.findAllIn(p).size
+        val smj = "SortMergeJoin".r.findAllIn(p).size
+        // at most the lineitem⋈orders fact join may shuffle
+        assert(smj <= 1, s"$q: fact-fact join only, got $smj SMJ:\n$p")
+        assert(bhj >= 2, s"$q: dims must broadcast:\n$p")
+      }
+  }
+
+  test("heavy hitters: bounded sketch agg + broadcast semi-join pass 2") {
+    val p = plan(graft.queries.Ext.queries("t_heavy_hitters")(spark, sf))
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      "Misra-Gries sketch must partial-aggregate map-side:\n" + p)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      "candidate filter must be a broadcast semi join:\n" + p)
+  }
+
+  test("k-anonymity joins broadcast the QI-class counts (rows never shuffle)") {
+    val p = plan(graft.queries.Ext.queries("t_k_anon")(spark, sf))
+    assert(!p.contains("SortMergeJoin"),
+      "class-count joins must broadcast:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("pagerank iteration: edge side stays exchange-free after the one-time partition") {
+    // One iteration over a toy graph: the edges side was repartitioned
+    // by src once; the per-iteration join must reuse that layout (its
+    // exchange is the persisted RDD scan, not a fresh edge shuffle).
+    import spark.implicits._
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = graft.operators.PageRank.run(e, iterations = 1)
+    val p = plan(r)
+    assert(!p.contains("CartesianProduct"), p)
+    // rank table: one shuffle for the groupBy(dst) aggregation is the
+    // designed per-iteration cost; localCheckpoint flattens the rest
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"), p)
+  }
+
   test("markov/scd2 windows all partition (ScaleLint-clean, no global sort)") {
     // both event windows partition by user_id; the probability window
     // partitions by src over the aggregated types² frame — none may
