@@ -743,8 +743,12 @@ object Dedup {
     cand
       .join(k.select(col("__id").as("id_a"), col("__s").as("__sa")), Seq("id_a"))
       .join(k.select(col("__id").as("id_b"), col("__s").as("__sb")), Seq("id_b"))
-      .withColumn("dist", levenshtein(col("__sa"), col("__sb")))
-      .where(col("dist") <= maxDist)
+      // banded DP with early exit (Spark 4 3-arg levenshtein): -1 when
+      // the distance exceeds maxDist, the exact distance otherwise —
+      // surviving rows carry values identical to the unbanded form,
+      // at O(len·maxDist) instead of O(len²) per candidate.
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .where(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("shared"), col("dist"))
   }
 }
