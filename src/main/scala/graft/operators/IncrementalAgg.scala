@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep a grouped rollup (counts +
+  * sums per key) at rest and fold each new delta batch into it WITHOUT
+  * re-reading history — the materialized-view maintenance loop every
+  * ingest pipeline runs between arrivals. Cost per apply is
+  * O(|state| + |delta|): the delta is partially aggregated first (its
+  * map-side combine collapses it to one row per touched group), then
+  * one equi-join merges it into the state. Recomputing from scratch is
+  * O(|history|) and at 100 TB history that is the difference between a
+  * minutes-cadence rollup and a nightly one.
+  *
+  * State schema: the group columns plus `n_rows` and `sum_<c>` per
+  * measure — every lane is a COMMUTATIVE MONOID (longsum / doublesum),
+  * so batch application order cannot change the result and
+  * `combine(combine(s, d1), d2) == combine(s, d1 ∪ d2)` (spec-pinned).
+  * Derived, non-additive views (avg = sum/n) are computed AT READ TIME
+  * from the additive state, never stored.
+  *
+  * Sums accumulate as DECIMAL(38,6): double-summing partial states
+  * would make the result depend on the merge tree's shape, and the
+  * whole point of at-rest state is bit-stable replay.
+  */
+object IncrementalAgg {
+
+  /** Partially aggregate a raw batch to state shape: one row per group,
+    * `n_rows` + decimal `sum_<c>` per measure. Used for both the
+    * initial state build and each delta. */
+  def partial(
+      batch: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "IncrementalAgg: no group keys")
+    require(measures.nonEmpty, "IncrementalAgg: no measures")
+    val aggs = count(lit(1)).as("n_rows") +:
+      measures.map(c =>
+        sum(col(c).cast("decimal(38,6)")).as(s"sum_$c"))
+    batch.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fold a partially-aggregated delta into state: one full-outer
+    * equi-join on the group keys (broadcastable when the delta touches
+    * few groups — AQE decides), additive lanes coalesced and added.
+    * Both inputs must be in state shape (same keys + lanes). */
+  def combine(state: DataFrame, delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val lanes = state.columns.filterNot(keys.contains).toSeq
+    require(lanes.contains("n_rows"),
+      "IncrementalAgg: state lacks n_rows — not in state shape?")
+    require(delta.columns.sorted.sameElements(state.columns.sorted),
+      s"IncrementalAgg: delta columns ${delta.columns.mkString(",")} " +
+        s"!= state columns ${state.columns.mkString(",")}")
+    val s = state.alias("__s")
+    val d = delta.alias("__d")
+    val on = keys.map(k => col(s"__s.$k") <=> col(s"__d.$k"))
+      .reduce(_ && _)
+    s.join(d, on, "full_outer").select(
+      keys.map(k =>
+        coalesce(col(s"__s.$k"), col(s"__d.$k")).as(k)) ++
+      lanes.map { c =>
+        val z = if (c == "n_rows") lit(0L).cast("long")
+                else lit(0).cast("decimal(38,6)")
+        (coalesce(col(s"__s.$c"), z) + coalesce(col(s"__d.$c"), z)).as(c)
+      }: _*)
+  }
+
+  /** Read-time view over additive state: the sums as doubles plus the
+    * derived mean per measure (deterministic 1e-6 rounding so the
+    * division is engine-portable). */
+  def withDerived(state: DataFrame, measures: Seq[String]): DataFrame =
+    measures.foldLeft(state) { (df, c) =>
+      df.withColumn(s"sum_$c", col(s"sum_$c").cast("double"))
+        .withColumn(s"avg_$c",
+          floor(col(s"sum_$c") / col("n_rows") * 1e6 + 0.5) / 1e6)
+    }
+
+  /** Maintain the state AT REST: read the snapshot at `path`, fold the
+    * (raw) delta batch in, swap via [[SnapshotMerge.applyAtRest]]'s
+    * temp+rename discipline — crash-repairing on entry, so this is
+    * safe as a streaming `foreachBatch` body. Initializes the snapshot
+    * from the delta alone on first call. */
+  def applyAtRest(
+      spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], measures: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(path)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new Path(src.getParent, s".${src.getName}__agg_tmp")
+    val bak = new Path(src.getParent, s".${src.getName}__agg_old")
+    // Crash repair first (the SnapshotMerge discipline): missing src
+    // with a backup → roll back; stale backup/tmp → clear.
+    if (!fs.exists(src) && fs.exists(bak))
+      require(fs.rename(bak, src), s"zone recovery: $bak -> $src failed")
+    else if (fs.exists(bak)) fs.delete(bak, true)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val d = partial(delta, keys, measures)
+    if (!fs.exists(src)) {
+      d.write.parquet(tmp.toString)
+      require(fs.rename(tmp, src), s"agg init: $tmp -> $src failed")
+    } else {
+      combine(spark.read.parquet(path), d, keys).write.parquet(tmp.toString)
+      require(fs.rename(src, bak), s"agg swap: $src -> $bak failed")
+      require(fs.rename(tmp, src), s"agg swap: $tmp -> $src failed")
+      fs.delete(bak, true)
+    }
+  }
+}

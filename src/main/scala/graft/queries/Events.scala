@@ -464,7 +464,67 @@ object Events {
           sum(col("n")).over(Window.partitionBy(col("src"))).cast("double"))
   }
 
+  // Peak concurrency per calendar day (max simultaneously-active
+  // sessions — the capacity-planning number), WITHOUT a global sort:
+  // the classic sweep-line (+1 at session start, −1 after session end)
+  // runs as a per-day window over net deltas grouped by timestamp, and
+  // cross-midnight sessions enter as a per-day CARRY-IN computed by a
+  // broadcast non-equi join against the tiny day list. At 100 TB the
+  // only shuffles are the session agg and the day-partitioned delta
+  // window — each day's deltas are one partition, never one reducer
+  // for the whole timeline. Tie semantics are deterministic: deltas
+  // collapse to one net per µs, so concurrency is evaluated after all
+  // arrivals/departures at that instant (a session is active over
+  // [start_us, end_us] inclusive).
+  val evConcurrency: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .localCheckpoint() // consumed 3×: days, deltas, carry-in
+    // Every day each session touches (cross-midnight sessions span >1).
+    // Days as EPOCH-DAY integers end to end — no timezone anywhere —
+    // formatted to yyyy-MM-dd only at the output edge.
+    val dayUs = 86400000000L
+    val days = sess.select(explode(sequence(
+        expr(s"s_us div $dayUs"), expr(s"e_us div $dayUs"))).as("dnum"))
+      .distinct()
+      .withColumn("day_us", col("dnum") * dayUs)
+    val deltas = sess.select(col("s_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sess.select((col("e_us") + 1).as("ts_us"),
+        lit(-1L).as("delta")))
+      .groupBy(expr(s"ts_us div $dayUs").as("dnum"), col("ts_us"))
+      .agg(sum(col("delta")).as("net"))
+    val dw = Window.partitionBy(col("dnum")).orderBy(col("ts_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = deltas.withColumn("run", sum(col("net")).over(dw))
+      .groupBy(col("dnum")).agg(max(col("run")).as("max_run"))
+    // Sessions already active at each midnight: started strictly
+    // before, still active at (inclusive-end ⇒ e_us >= day_us).
+    val carried = sess.join(broadcast(days),
+        col("s_us") < col("day_us") && col("e_us") >= col("day_us"))
+      .groupBy(col("dnum")).agg(count(lit(1)).as("carry"))
+    days.join(carried, Seq("dnum"), "left")
+      .join(runs, Seq("dnum"), "left")
+      .select(
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("dnum").cast("int")), "yyyy-MM-dd").as("day"),
+        (coalesce(col("carry"), lit(0L)) +
+          greatest(lit(0L), coalesce(col("max_run"), lit(0L))))
+          .as("max_concurrent"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_concurrency" -> evConcurrency,
     "ev_scd2" -> evScd2,
     "ev_rfm" -> evRfm,
     "ev_markov" -> evMarkov,
@@ -579,6 +639,58 @@ object Events {
         |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    * 1000000 + 0.5) / 1000000 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Same gap-sessionization CTE as ev_sessions, then the sweep-line
+    // replayed relationally: per-day net deltas + running max, plus the
+    // midnight carry-in join. generate_series is DuckDB's `sequence`.
+    "ev_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |y AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL
+        |      OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_sess
+        |  FROM x),
+        |z AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_idx
+        |  FROM y),
+        |sess AS (
+        |  SELECT user_id, session_idx,
+        |    min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+        |  FROM z GROUP BY 1, 2),
+        |days AS (
+        |  SELECT DISTINCT u.dnum AS dnum, u.dnum * 86400000000 AS day_us
+        |  FROM sess, unnest(generate_series(
+        |    s_us // 86400000000, e_us // 86400000000)) u(dnum)),
+        |deltas AS (
+        |  SELECT ts_us // 86400000000 AS dnum, ts_us, sum(delta) AS net
+        |  FROM (
+        |    SELECT s_us AS ts_us, 1 AS delta FROM sess
+        |    UNION ALL
+        |    SELECT e_us + 1, -1 FROM sess)
+        |  GROUP BY 1, 2),
+        |runs AS (
+        |  SELECT dnum, max(run) AS max_run FROM (
+        |    SELECT dnum, sum(net) OVER (PARTITION BY dnum ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |    FROM deltas)
+        |  GROUP BY 1),
+        |carried AS (
+        |  SELECT d.dnum, count(*) AS carry
+        |  FROM days d JOIN sess ON s_us < day_us AND e_us >= day_us
+        |  GROUP BY 1)
+        |SELECT strftime(DATE '1970-01-01' + CAST(d.dnum AS INT), '%Y-%m-%d')
+        |    AS day,
+        |  CAST(coalesce(carry, 0)
+        |    + greatest(0, coalesce(max_run, 0)) AS BIGINT) AS max_concurrent
+        |FROM days d
+        |LEFT JOIN carried c ON d.dnum = c.dnum
+        |LEFT JOIN runs r ON d.dnum = r.dnum""".stripMargin,
     "ev_sessions" ->
       """WITH x AS (
         |  SELECT user_id, event_id, ts, value,

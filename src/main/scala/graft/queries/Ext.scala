@@ -1023,7 +1023,32 @@ object Ext {
     Dedup.pipelineKeep(documents(s, d), "doc_id", "text", threshold = 0.5)
       .select(col("doc_id"))
 
+  // ε-differentially-private released counts (Laplace mechanism,
+  // sensitivity 1, ε = 0.5): corpus composition per (source, lang)
+  // with calibrated noise — the privacy lane's release half, next to
+  // t_k_anon's suppression half. The "random" draw is a keyed PRF
+  // (the portable 60-bit md5 over the group key + seed) mapped through
+  // the Laplace inverse-CDF — exactly how DP release pipelines make
+  // their noise replayable for audit, and what makes this entry
+  // value-checkable cross-engine. Scale: one map-side-combined
+  // aggregate; the noise is a per-GROUP scalar projection (O(groups)
+  // rows), nothing touches row-level data after the count.
+  val tDpCounts: Q = (s, d) => {
+    val b = 2.0 // scale = sensitivity/ε = 1/0.5
+    val u = graft.operators.BalancedSample.hash60(
+      Seq(col("source"), col("lang")), 41L) / lit(1.152921504606846976e18)
+    val shifted = u - lit(0.5)
+    val noise = lit(-b) * signum(shifted) *
+      log(greatest(lit(1e-12), lit(1.0) - lit(2.0) * abs(shifted)))
+    documents(s, d).groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__n"))
+      .select(col("source"), col("lang"),
+        graft.functions.DetRound.det6(col("__n").cast("double") + noise)
+          .as("n_dp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_dp_counts" -> tDpCounts,
     "sim_centroid_assign" -> simCentroidAssign,
     "sim_radius" -> simRadius,
     "sim_radius_ivf" -> simRadiusIvf,
@@ -1381,6 +1406,24 @@ object Ext {
   }
 
   val oracles: Map[String, String] = Map(
+    // Replays the keyed-PRF Laplace draw: 60-bit md5 uniform over
+    // (source, lang, seed 41) → inverse-CDF with the same 1e-12 clamp
+    // and the same 1e-6 floor-round. ln is libm on both engines; the
+    // 6dp round absorbs any last-ulp divergence.
+    "t_dp_counts" ->
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |u AS (SELECT source, lang, n,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(source, chr(1)), coalesce(lang, chr(1)), '41')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) / 1152921504606846976.0
+        |      - 0.5 AS su
+        |  FROM c)
+        |SELECT source, lang,
+        |  floor((n + (-2.0) * sign(su)
+        |    * ln(greatest(1e-12, 1.0 - 2.0 * abs(su)))) * 1000000 + 0.5)
+        |    / 1000000 AS n_dp
+        |FROM u""".stripMargin,
     "t_bpe_train" -> bpeTrainOracle,
     "sim_radius" -> simRadiusOracle,
     "sim_radius_ivf" -> simRadiusOracle,

@@ -407,7 +407,69 @@ object Ops {
       .select(col("node").as("p_partkey"), col("r").as("rank_fp"))
   }
 
+  // Zone-map (file-level min/max manifest) scan planning: lineitem
+  // written range-clustered on l_orderkey across 16 files, the
+  // manifest built in one grouped aggregate, then a selective range
+  // read planned FROM THE MANIFEST — only span-overlapping files are
+  // opened (1–2 of 16 here; pruning ratio and staleness refusal are
+  // spec'd in ZoneMapSpec). The oracle is the plain range filter:
+  // manifest planning must be result-invisible.
+  val opZonemapPrune: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_zmap_")
+    lineitem(s, d).repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    Sources.registerCleanup(dir)
+    graft.operators.ZoneMapIndex.build(s, dir.getAbsolutePath,
+      Seq("l_orderkey", "l_quantity"))
+    graft.operators.ZoneMapIndex.prunedRead(s, dir.getAbsolutePath,
+      "l_orderkey", 1000L, 3000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  // Incremental aggregate maintenance: a (priority × month) revenue
+  // rollup initialized from pre-1995 orders, then TWO delta batches
+  // (1995, post-1995) folded in at rest — each apply costs
+  // O(|state| + |delta|), never O(|history|), and the monoid state
+  // makes the result independent of batch boundaries. The oracle is
+  // the one-shot aggregate over everything: incremental maintenance
+  // must be result-invisible.
+  val opIncrAgg: Q = (s, d) => {
+    val keys = Seq("o_orderpriority", "month")
+    val withMonth = orders(s, d).withColumn("month",
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val dir = Sources.fixtureDir(s, "graft_incragg_")
+    Sources.registerCleanup(dir)
+    val path = s"${dir.getAbsolutePath}/state"
+    for (b <- Seq(
+        withMonth.where(year(col("o_orderdate")) < 1995),
+        withMonth.where(year(col("o_orderdate")) === 1995),
+        withMonth.where(year(col("o_orderdate")) > 1995)))
+      graft.operators.IncrementalAgg.applyAtRest(
+        s, path, b, keys, Seq("o_totalprice"))
+    graft.operators.IncrementalAgg.withDerived(
+      s.read.parquet(path), Seq("o_totalprice"))
+  }
+
+  // Triangle counting over the part co-purchase graph via
+  // degree-ordered orientation (operators/Triangles.scala — wedges
+  // only from the low-degree corner, O(|E|^1.5) candidates, no hub
+  // reducer). The oracle is the textbook a<b<c three-way self-join:
+  // orientation must be count-invisible.
+  val opTriangles: Q = (s, d) => {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    graft.operators.Triangles.count(e)
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_zonemap_prune" -> opZonemapPrune,
+    "op_incr_agg" -> opIncrAgg,
+    "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
     "op_meta_agg" -> opMetaAgg,
     "op_bloom_semi_join" -> opBloomSemiJoin,
@@ -498,6 +560,34 @@ object Ops {
   }
 
   val oracles: Map[String, String] = Map(
+    // Zone-map planning must be result-invisible: plain range filter.
+    "op_zonemap_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // Incremental maintenance must equal the one-shot aggregate; sums
+    // accumulate as DECIMAL(38,6) (the state's lane type) and the
+    // derived mean replays the 1e-6 floor-round.
+    "op_incr_agg" ->
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_o_totalprice,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // The textbook ordered-triple formulation: each triangle a<b<c
+    // counted once from edges (a,b),(b,c),(a,c).
+    "op_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
+        |    greatest(a.l_partkey, b.l_partkey) AS v
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey <> b.l_partkey)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.u = e1.v
+        |JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v""".stripMargin,
     "op_pagerank" -> pagerankOracle,
     // Footer-only aggregation must be value-identical to the scan.
     "op_meta_agg" ->

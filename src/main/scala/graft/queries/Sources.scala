@@ -8,7 +8,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.{ArchiveSource, TfEventLogs, TfRecords}
+import graft.sources.{ArchiveSource, TarShards, TfEventLogs, TfRecords}
 
 /** Source-format roundtrips, oracle-checked: `documents` is written to
   * the foreign format DISTRIBUTED (one file per partition, executor-
@@ -441,7 +441,29 @@ object Sources {
         col("simple_value").cast("double").as("value_f"))
   }
 
+  /** WebDataset-style export round trip: documents → 4 deterministic
+    * tar shards ({id}.txt + {id}.json pairs, byte-stable framing,
+    * temp+rename commit + _SUCCESS gate — sources/TarShards.scala) →
+    * distributed shard listing → flyweight bulk read → JSON sidecar
+    * fields rejoined. The oracle is the source table: export must be
+    * content-lossless. */
+  val srcTarShards: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_tarshard_")
+    registerCleanup(dir)
+    TarShards.write(
+      documents(s, d).select(col("doc_id"), col("text"), col("lang"),
+        col("source")),
+      dir.getAbsolutePath, numShards = 4, idCol = "doc_id",
+      textCol = "text")
+    TarShards.read(s, dir.getAbsolutePath)
+      .select(col("id").as("doc_id"),
+        md5(col("text")).as("h"),
+        get_json_object(col("meta"), "$.lang").as("lang"),
+        get_json_object(col("meta"), "$.source").as("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_tar_shards" -> srcTarShards,
     "src_nested_roundtrip" -> srcNestedRoundtrip,
     "src_tfevents_roundtrip" -> srcTfeventsRoundtrip,
     "src_sharded_reader" -> srcShardedReader,
@@ -458,6 +480,12 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // Export must be content-lossless (null text lands as the empty
+    // entry; null meta fields are omitted from the JSON sidecar and
+    // read back as NULL).
+    "src_tar_shards" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, lang, source
+        |FROM documents""".stripMargin,
     "src_nested_roundtrip" ->
       """SELECT o_orderkey, o_orderpriority AS priority,
         |  round(o_totalprice, 2) AS total, o_custkey AS custkey

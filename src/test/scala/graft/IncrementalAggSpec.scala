@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.IncrementalAgg
+
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ord = spark.read.parquet(s"${SparkFixture.sf0001}/orders.parquet")
+
+  private def stateMap(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("o_orderpriority"), col("n_rows"),
+        col("sum_o_totalprice").cast("string"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+
+  test("batch boundaries are invisible: 1-shot == 3 folded deltas") {
+    val keys = Seq("o_orderpriority")
+    val ms = Seq("o_totalprice")
+    val oneShot = IncrementalAgg.partial(ord, keys, ms)
+    val b1 = ord.where(col("o_orderkey") % 3 === 0)
+    val b2 = ord.where(col("o_orderkey") % 3 === 1)
+    val b3 = ord.where(col("o_orderkey") % 3 === 2)
+    val folded = IncrementalAgg.combine(
+      IncrementalAgg.combine(
+        IncrementalAgg.partial(b1, keys, ms),
+        IncrementalAgg.partial(b2, keys, ms), keys),
+      IncrementalAgg.partial(b3, keys, ms), keys)
+    assert(stateMap(folded) == stateMap(oneShot))
+  }
+
+  test("delta touching NEW groups extends the state (full-outer lanes)") {
+    val keys = Seq("k")
+    val s0 = IncrementalAgg.partial(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v"), keys, Seq("v"))
+    val d = IncrementalAgg.partial(
+      Seq(("b", 10.0)).toDF("k", "v"), keys, Seq("v"))
+    val out = IncrementalAgg.combine(s0, d, keys)
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .as[(String, Long, Double)].collect()
+      .map { case (k, n, s) => k -> ((n, s)) }.toMap
+    assert(out("a") == ((2L, 3.0)))
+    assert(out("b") == ((1L, 10.0)))
+  }
+
+  test("null group keys merge as one group (null-safe join keys)") {
+    val keys = Seq("k")
+    val s0 = IncrementalAgg.partial(
+      Seq[(String, Double)]((null, 1.0)).toDF("k", "v"), keys, Seq("v"))
+    val d = IncrementalAgg.partial(
+      Seq[(String, Double)]((null, 4.0)).toDF("k", "v"), keys, Seq("v"))
+    val out = IncrementalAgg.combine(s0, d, keys)
+    assert(out.count() == 1)
+    assert(out.select(col("sum_v").cast("double")).head.getDouble(0) == 5.0)
+  }
+
+  test("at-rest: init + two deltas == one-shot; crash states repaired") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ia_spec_")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/state"
+    val keys = Seq("o_orderpriority")
+    val ms = Seq("o_totalprice")
+    val cut = ord.agg(expr("percentile_approx(o_orderkey, 0.5)"))
+      .head.getLong(0)
+    IncrementalAgg.applyAtRest(spark, path,
+      ord.where(col("o_orderkey") <= cut), keys, ms)
+    IncrementalAgg.applyAtRest(spark, path,
+      ord.where(col("o_orderkey") > cut), keys, ms)
+    assert(stateMap(spark.read.parquet(path)) ==
+      stateMap(IncrementalAgg.partial(ord, keys, ms)))
+
+    // crash window: src renamed away, bak present → next apply rolls
+    // back and folds its delta on the ORIGINAL state
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val bak = new org.apache.hadoop.fs.Path(s"$dir/.state__agg_old")
+    require(fs.rename(new org.apache.hadoop.fs.Path(path), bak))
+    val extra = Seq(("1-URGENT", 100.0)).toDF("o_orderpriority", "o_totalprice")
+    IncrementalAgg.applyAtRest(spark, path, extra, keys, ms)
+    val want = stateMap(IncrementalAgg.combine(
+      IncrementalAgg.partial(ord, keys, ms),
+      IncrementalAgg.partial(extra, keys, ms), keys))
+    assert(stateMap(spark.read.parquet(path)) == want)
+    assert(!fs.exists(bak))
+  }
+
+  test("derived mean matches the oracle rounding formula") {
+    val st = IncrementalAgg.partial(
+      Seq(("a", 1.0), ("a", 2.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val out = IncrementalAgg.withDerived(st, Seq("v"))
+    assert(out.select(col("avg_v")).head.getDouble(0) == 1.5)
+  }
+
+  test("shape mismatches are refused") {
+    val st = IncrementalAgg.partial(
+      Seq(("a", 1.0)).toDF("k", "v"), Seq("k"), Seq("v"))
+    val bad = st.withColumnRenamed("sum_v", "sum_w")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.combine(st, bad, Seq("k"))
+    }
+  }
+}
