@@ -491,6 +491,101 @@ object ScaleProbe {
       println(s"[probe] asofnative checksum: $csN (native == declarative)")
       bigEv.unpersist()
     }
+
+    // Zone-map file pruning at copies× the row count, 64 files: the
+    // claim is scan-planning cost — candidate files vs total, and the
+    // pruned read vs the full-dir read for a selective band.
+    if (stages("zonemap")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi = (0 until copies).map { c =>
+        li.select((col("l_orderkey") + c * 100000000L).as("k"),
+          col("l_quantity").as("q"))
+      }.reduce(_ union _)
+      val dir = java.nio.file.Files.createTempDirectory("probe_zmap_")
+      time("zonemap: clustered write (64 files)")(
+        bigLi.repartitionByRange(64, col("k")).sortWithinPartitions(col("k"))
+          .write.mode("overwrite").parquet(dir.toString))
+      time("zonemap: manifest build (one grouped agg)")(
+        graft.operators.ZoneMapIndex.build(spark, dir.toString, Seq("k")))
+      val cand = graft.operators.ZoneMapIndex.candidateFiles(
+        spark, dir.toString, "k", 5000L, 25000L)
+      println(s"[probe] zonemap candidates: ${cand.size}/64 files")
+      val nPruned = time("zonemap: pruned band read")(
+        graft.operators.ZoneMapIndex.prunedRead(spark, dir.toString,
+          "k", 5000L, 25000L).count())
+      val nFull = time("zonemap: full-dir band read (no manifest)")(
+        spark.read.parquet(dir.toString)
+          .where(col("k").between(5000L, 25000L)).count())
+      require(nPruned == nFull, s"pruning changed the result: $nPruned != $nFull")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Incremental agg maintenance at copies×: fold ONE day-equivalent
+    // delta into state built from the rest vs recompute over history —
+    // the claim is O(|state|+|delta|) per apply, flat as history grows.
+    if (stages("incragg")) {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigOrd = (0 until copies).map { c =>
+        ord.select(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_totalprice"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] incragg history: ${bigOrd.count()} rows")
+      val keys = Seq("o_orderpriority", "month")
+      val delta = ord.select(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_totalprice")).limit(20000).localCheckpoint()
+      val state = graft.operators.IncrementalAgg.partial(
+        bigOrd, keys, Seq("o_totalprice")).localCheckpoint()
+      time(s"incragg: fold 20k-row delta into ${state.count()}-group state")(
+        graft.operators.IncrementalAgg.combine(state,
+          graft.operators.IncrementalAgg.partial(delta, keys,
+            Seq("o_totalprice")), keys).count())
+      time("incragg: full recompute over history + delta")(
+        graft.operators.IncrementalAgg.partial(
+          bigOrd.unionAll(delta), keys, Seq("o_totalprice")).count())
+      bigOrd.unpersist(); delta.unpersist()
+    }
+
+    // Triangle counting on the sf0.1 co-purchase graph (copies× via
+    // disjoint graph copies — count scales linearly, wedge cost too).
+    if (stages("triangles")) {
+      val li0 = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val liBig = (0 until copies).map { c =>
+        li0.select((col("ok") + c * 100000000L).as("ok"),
+          (col("pk") + c * 10000000L).as("pk"))
+      }.reduce(_ union _)
+      val e = liBig.as("a").join(liBig.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+        .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      val nt = time(s"triangles: ${copies}x co-purchase graph")(
+        graft.operators.Triangles.count(e).head.getLong(0))
+      println(s"[probe] triangles: $nt")
+      val maxOut = graft.operators.Triangles.orient(
+          graft.operators.Triangles.canonical(e))
+        .groupBy("lo").agg(count(lit(1)).as("d")).agg(max("d"))
+        .head.getLong(0)
+      println(s"[probe] triangles: max oriented out-degree $maxOut " +
+        "(the no-hub-reducer bound)")
+    }
+
+    // Tar-shard export throughput at copies× the corpus.
+    if (stages("tarshards")) {
+      val bigDocs = (0 until copies).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          col("text"), col("lang"), col("source"))
+      }.reduce(_ union _)
+      val dir = java.nio.file.Files.createTempDirectory("probe_tar_")
+      time(s"tarshards: export ${copies}x docs to 32 shards")(
+        graft.sources.TarShards.write(bigDocs, dir.toString, 32,
+          "doc_id", "text"))
+      val nBack = time("tarshards: distributed read-back")(
+        graft.sources.TarShards.read(spark, dir.toString).count())
+      println(s"[probe] tarshards roundtrip rows: $nBack")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
     spark.stop()
   }
 }

@@ -48,7 +48,29 @@ object ZoneMapIndex {
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .withColumn("file", udf(fileNameOf _).apply(col("__uri")))
       .drop("__uri")
-    manifest.coalesce(1).write.mode("overwrite")
+    // A ZERO-ROW part file produces no group above but still exists on
+    // disk; index it with an empty span (n_rows 0, null min/max — which
+    // prunedRead prunes) so the staleness check can tell "empty file"
+    // from "file written after the build". The name collect is
+    // O(#files), the same driver state as the staleness listing.
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    val have = manifest.select(col("file")).collect()
+      .map(_.getString(0)).toSet
+    val empties = live.filterNot(have).toSeq
+    val full = if (empties.isEmpty) manifest else {
+      val rows = empties.map { name =>
+        org.apache.spark.sql.Row.fromSeq(
+          0L +: Seq.fill(2 * cols.size)(null) :+ name)
+      }
+      manifest.unionByName(spark.createDataFrame(
+        new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
+        manifest.schema))
+    }
+    full.coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/$SidecarName")
   }
 

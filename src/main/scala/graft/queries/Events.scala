@@ -523,7 +523,43 @@ object Events {
           .as("max_concurrent"))
   }
 
+  // Marketing attribution per conversion: LAST touch (latest click/view
+  // at/before the purchase) and FIRST touch inside the 7-day lookback —
+  // both as AS-OF joins (backward for last; forward from the shifted
+  // ts−7d for first), the single-pass sort-merge shape, never a
+  // purchases × touches window join. Out-of-window matches null out via
+  // exact integer-µs guards. Timestamp ties are sub-µs-impossible in
+  // the fixture (the standing as-of determinism contract).
+  val evAttribution: Q = (s, d) => {
+    val windowUs = 7L * 86400L * 1000000L
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val touches = ev.where(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("ts"), col("event_id").as("t_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("t_us"))
+    val last = graft.operators.AsOfJoin(purchases, touches,
+        "user_id", "ts", Seq("t_id", "channel", "t_us"), "backward")
+    val shifted = purchases.withColumn("ts0", col("ts"))
+      .withColumn("ts", col("ts") - expr("interval 7 days"))
+    val first = graft.operators.AsOfJoin(shifted, touches,
+        "user_id", "ts", Seq("t_id", "channel", "t_us"), "forward")
+      .select(col("event_id"), col("ts0"),
+        col("asof_t_id").as("f_id"), col("asof_channel").as("f_ch"),
+        col("asof_t_us").as("f_us"))
+    val lastOk = col("asof_t_us") >= unix_micros(col("ts")) - windowUs
+    val firstOk = col("f_us") <= unix_micros(col("ts0"))
+    last.join(first, Seq("event_id"))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        when(firstOk, col("f_id")).as("first_id"),
+        when(firstOk, col("f_ch")).as("first_channel"),
+        when(lastOk, col("asof_t_id")).as("last_id"),
+        when(lastOk, col("asof_channel")).as("last_channel"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
     "ev_scd2" -> evScd2,
     "ev_rfm" -> evRfm,
@@ -639,6 +675,35 @@ object Events {
         |  floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    * 1000000 + 0.5) / 1000000 AS avg_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // Both attribution directions as DuckDB ASOF joins (backward on the
+    // purchase ts; forward from the shifted ts−7d), same integer-µs
+    // window guards.
+    "ev_attribution" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_id AS t_id, event_type AS channel
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |l AS (SELECT p.user_id, p.event_id, p.ts,
+        |    t.t_id AS l_id, t.channel AS l_ch, t.ts AS l_ts
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND p.ts >= t.ts),
+        |p2 AS (SELECT user_id, event_id, ts,
+        |    ts - INTERVAL 7 DAY AS ts7 FROM p),
+        |f AS (SELECT p2.event_id, t.t_id AS f_id, t.channel AS f_ch,
+        |    t.ts AS f_ts, p2.ts AS pts
+        |  FROM p2 ASOF LEFT JOIN t
+        |    ON p2.user_id = t.user_id AND p2.ts7 <= t.ts)
+        |SELECT l.user_id, l.event_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  CASE WHEN epoch_us(f.f_ts) <= epoch_us(f.pts)
+        |    THEN f.f_id END AS first_id,
+        |  CASE WHEN epoch_us(f.f_ts) <= epoch_us(f.pts)
+        |    THEN f.f_ch END AS first_channel,
+        |  CASE WHEN epoch_us(l.l_ts) >= epoch_us(l.ts) - 604800000000
+        |    THEN l.l_id END AS last_id,
+        |  CASE WHEN epoch_us(l.l_ts) >= epoch_us(l.ts) - 604800000000
+        |    THEN l.l_ch END AS last_channel
+        |FROM l JOIN f ON l.event_id = f.event_id""".stripMargin,
     // Same gap-sessionization CTE as ev_sessions, then the sweep-line
     // replayed relationally: per-day net deltas + running max, plus the
     // midnight carry-in join. generate_series is DuckDB's `sequence`.

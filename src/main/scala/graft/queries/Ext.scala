@@ -1047,7 +1047,30 @@ object Ext {
           .as("n_dp"))
   }
 
+  // Weighted sampling WITHOUT replacement, distributed: the
+  // Efraimidis–Spirakis A-ES scheme — per-row key ln(u)/w with u a
+  // keyed-PRF uniform, take the k largest keys. One pass, no
+  // sequential draw-and-remove state, and the top-k runs as
+  // TakeOrderedAndProject (per-partition heaps + driver merge of k),
+  // never a global sort — the standard way to sample a 100 TB corpus
+  // by token-count weight in one job. The PRF draw makes the sample a
+  // pure function of the corpus: the oracle replays the identical
+  // arithmetic and must select the identical 100 docs.
+  val tWeightedSample: Q = (s, d) => {
+    val u = greatest(
+      graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 99L) /
+        lit(1.152921504606846976e18),
+      lit(1e-18)) // u=0 would send ln to -inf; clamp is replayed in SQL
+    val w = (coalesce(col("n_chars"), lit(0L)) + lit(1L)).cast("double")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), (log(u) / w).as("__key"))
+      .orderBy(col("__key").desc, col("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_weighted_sample" -> tWeightedSample,
     "t_dp_counts" -> tDpCounts,
     "sim_centroid_assign" -> simCentroidAssign,
     "sim_radius" -> simRadius,
@@ -1406,6 +1429,19 @@ object Ext {
   }
 
   val oracles: Map[String, String] = Map(
+    // The A-ES draw replayed: same 60-bit md5 uniform, same clamp,
+    // same ln(u)/w ordering — the selected 100 must be identical.
+    "t_weighted_sample" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |    greatest(CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '99')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) / 1152921504606846976.0,
+        |      1e-18) AS uu
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM u
+        |ORDER BY ln(uu) / CAST(coalesce(n_chars, 0) + 1 AS DOUBLE) DESC,
+        |  doc_id
+        |LIMIT 100""".stripMargin,
     // Replays the keyed-PRF Laplace draw: 60-bit md5 uniform over
     // (source, lang, seed 41) → inverse-CDF with the same 1e-12 clamp
     // and the same 1e-6 floor-round. ln is libm on both engines; the

@@ -455,10 +455,17 @@ object Ops {
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
   // reducer). The oracle is the textbook a<b<c three-way self-join:
-  // orientation must be count-invisible.
+  // orientation must be count-invisible. The entry scopes the graph
+  // to ONE order-year: every order is a part-clique, so wedge volume
+  // grows superlinearly with the scan and the full-corpus graph is a
+  // probe workload (ScaleProbe `triangles`: 10× sf0.1 in SCALE.md),
+  // not a per-round bench entry.
   val opTriangles: Q = (s, d) => {
+    val ords95 = orders(s, d).where(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey").as("ok"))
     val li = lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .join(ords95, Seq("ok"), "left_semi")
       .distinct()
     val e = li.as("a").join(li.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
@@ -466,7 +473,73 @@ object Ops {
     graft.operators.Triangles.count(e)
   }
 
+  // Crash-debris vacuum (operators/Vacuum.scala): the table dir is
+  // salted with every debris species the engine's swap ops can leave —
+  // an aged temp snapshot dir, an aged sink part temp, a stale backup
+  // WITH its live sibling — plus a FRESH temp and an orphaned backup
+  // that must both survive. The oracle is the source table: vacuum
+  // must be invisible to live data, whatever it deletes. The
+  // kept/deleted manifest itself is spec'd in VacuumSpec.
+  val opVacuum: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_vac_")
+    Sources.registerCleanup(dir)
+    val table = new java.io.File(dir, "docs")
+    documents(s, d).coalesce(2)
+      .write.mode("overwrite").parquet(table.getAbsolutePath)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    def mk(f: java.io.File, aged: Boolean): Unit = {
+      java.nio.file.Files.write(f.toPath, "junk".getBytes)
+      if (aged) require(f.setLastModified(old))
+    }
+    val tmpDir = new java.io.File(dir, ".docs__snap_tmp")
+    tmpDir.mkdirs()
+    mk(new java.io.File(tmpDir, "part-0.parquet"), aged = false)
+    require(tmpDir.setLastModified(old))
+    mk(new java.io.File(dir, ".part-00003-77.avro.tmp"), aged = true)
+    mk(new java.io.File(dir, ".shard-00001-42.tar.tmp"), aged = false) // fresh: keep
+    val bak = new java.io.File(dir, ".docs__snap_old") // live sibling exists
+    bak.mkdirs(); mk(new java.io.File(bak, "part-0.parquet"), aged = false)
+    require(bak.setLastModified(old))
+    val orphan = new java.io.File(dir, ".lost__agg_old") // no sibling: keep
+    orphan.mkdirs(); require(orphan.setLastModified(old))
+    graft.operators.Vacuum(s, dir.getAbsolutePath, ttlMs = 3600 * 1000L)
+    s.read.parquet(table.getAbsolutePath)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+  }
+
+  // HLL sketch COLUMNS at rest (Spark 4's DataSketches builtins): the
+  // pre-aggregated-sketch-table pattern — per-group sketches built
+  // once and stored as binary, re-estimated and UNIONED across groups
+  // without re-reading the fact table (sketch union is the only
+  // distinct-count that composes after aggregation). Exact lanes pin
+  // the group cardinalities; the sketches' estimates are pinned via
+  // the accuracy-contract booleans (the op_profile_approx discipline —
+  // DuckDB can't replay the sketch bytes, an out-of-band estimate
+  // flips the hash).
+  val opSketchUnion: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_sketch_")
+    Sources.registerCleanup(dir)
+    lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"),
+        count_distinct(col("l_orderkey")).as("nd"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val skt = s.read.parquet(dir.getAbsolutePath)
+    val exactGlobal = lineitem(s, d)
+      .agg(count_distinct(col("l_orderkey")).as("g"))
+    val globalOk = skt
+      .agg(hll_union_agg(col("sk")).as("u")).crossJoin(broadcast(exactGlobal))
+      .select((abs(hll_sketch_estimate(col("u")).cast("double")
+        / col("g") - 1.0) <= 0.05).as("global_ok"))
+    skt.crossJoin(broadcast(globalOk))
+      .select(col("l_returnflag"), col("nd"),
+        (abs(hll_sketch_estimate(col("sk")).cast("double")
+          / col("nd") - 1.0) <= 0.05).as("grp_ok"),
+        col("global_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_vacuum" -> opVacuum,
+    "op_sketch_union" -> opSketchUnion,
     "op_zonemap_prune" -> opZonemapPrune,
     "op_incr_agg" -> opIncrAgg,
     "op_triangles" -> opTriangles,
@@ -560,6 +633,17 @@ object Ops {
   }
 
   val oracles: Map[String, String] = Map(
+    // Vacuum must be invisible to live data: the source table.
+    "op_vacuum" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h
+        |FROM documents""".stripMargin,
+    // Exact group distincts pinned by value; sketch estimates pinned
+    // via their accuracy-contract booleans (TRUE on both sides — an
+    // out-of-band estimate flips the hash and fails the row).
+    "op_sketch_union" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd,
+        |  TRUE AS grp_ok, TRUE AS global_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Zone-map planning must be result-invisible: plain range filter.
     "op_zonemap_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
@@ -579,7 +663,9 @@ object Ops {
     // The textbook ordered-triple formulation: each triangle a<b<c
     // counted once from edges (a,b),(b,c),(a,c).
     "op_triangles" ->
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                       WHERE year(o_orderdate) = 1995)),
         |e AS (SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS u,
         |    greatest(a.l_partkey, b.l_partkey) AS v
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey

@@ -340,6 +340,52 @@ object Streams {
     s.read.parquet(snapDir.getAbsolutePath)
   }
 
+  /** STREAM-maintained incremental aggregate: the (priority × month)
+    * revenue rollup of op_incr_agg, but the delta batches arrive as a
+    * file stream and each micro-batch folds into the at-rest state via
+    * `IncrementalAgg.applyAtRest` in foreachBatch — the materialized-
+    * view-maintenance twin of st_merge_upsert's snapshot MERGE. State
+    * lives in the rollup itself (no state store, restart-safe via the
+    * crash-repairing swap); per-batch cost is O(|state| + |delta|).
+    * The oracle is the one-shot batch aggregate: micro-batch
+    * boundaries must be result-invisible (monoid lanes). */
+  val stIncrAgg: Q = (s, d) => Tables.withShufflePartitions(s, 4) {
+    val keys = Seq("o_orderpriority", "month")
+    val proj = orders(s, d).select(col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stincr_")
+    Sources.registerCleanup(dir)
+    val statePath = s"${dir.getAbsolutePath}/state"
+    val cdcDir = Sources.fixtureDir(s, "graft_stincr_cdc_")
+    val t0 = System.currentTimeMillis() - 120000
+    Sources.writeOrderedPart(
+      proj.where(col("__y") <= 1994).drop("__y"), cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      proj.where(col("__y") > 1994).drop("__y"), cdcDir, "b.parquet",
+      t0 + 60000)
+    val schema = proj.drop("__y").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.IncrementalAgg.applyAtRest(
+            s, statePath, batch, keys, Seq("o_totalprice"))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // zero-row corpus: no batch ever initialized the state — emit the
+    // empty frame in state-derived shape
+    val state =
+      if (new java.io.File(statePath).exists()) s.read.parquet(statePath)
+      else graft.operators.IncrementalAgg.partial(
+        proj.drop("__y").limit(0), keys, Seq("o_totalprice"))
+    graft.operators.IncrementalAgg.withDerived(state, Seq("o_totalprice"))
+  }
+
   /** LATE-DATA drop — the watermark-VIOLATION case the mode matrix
     * lacked: the OLDER half of the fixture arrives LAST, wholly behind
     * the watermark, and the aggregation must refuse it (Spark's
@@ -416,6 +462,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "st_anomaly" -> stAnomaly,
     "st_merge_upsert" -> stMergeUpsert,
+    "st_incr_agg" -> stIncrAgg,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
     "st_dedup_keys" -> stDedupKeys,
@@ -433,6 +480,8 @@ object Streams {
     // Shared with op_merge_upsert: the sequential batch application
     // provably converges to the single-merge result (see stMergeUpsert).
     "st_merge_upsert" -> Ops.oracles("op_merge_upsert"),
+    // Micro-batch boundaries must be invisible: the one-shot rollup.
+    "st_incr_agg" -> Ops.oracles("op_incr_agg"),
     // ev_anomaly's exact-moment z arithmetic + st_hourly's append
     // emission rule (window end + 1h watermark <= ms-trunc(max ts)).
     "st_anomaly" ->

@@ -113,4 +113,22 @@ class MixtureSpec extends AnyFunSuite {
       docs.where(col("source") === maxSrc).count()
     assert(keptMax < 1.0, "largest source must be downsampled")
   }
+
+  test("A-ES weighted sample: deterministic, weight-biased, k-exact") {
+    import spark.implicits._
+    val run = () => graft.queries.Ext.tWeightedSample(
+      spark, SparkFixture.sf0001).as[(Long, Long)].collect().toSeq
+    val a = run()
+    assert(a == run(), "PRF draw must make the sample a pure function")
+    assert(a.size == 100 && a.map(_._1).distinct.size == 100,
+      "exactly k distinct docs (sampling WITHOUT replacement)")
+    // char-count weighting must pull the sample's mean size above the
+    // corpus mean (deterministic draws — never flakes)
+    val corpusMean = spark.read
+      .parquet(s"${SparkFixture.sf0001}/documents.parquet")
+      .agg(avg(col("n_chars"))).head.getDouble(0)
+    val sampleMean = a.map(_._2.toDouble).sum / a.size
+    assert(sampleMean > corpusMean,
+      s"weighted sample mean $sampleMean ≤ corpus mean $corpusMean")
+  }
 }

@@ -390,4 +390,33 @@ class PlanSpec extends AnyFunSuite {
         s"$q window must never run single-reducer:\n" + p)
     }
   }
+
+  test("concurrency sweep-line: day-partitioned window, broadcast carry-in") {
+    val p = plan(graft.queries.Events.evConcurrency(spark, sf))
+    // the running-sum window must partition by day (one partition per
+    // day's deltas), never a single global timeline reducer
+    assert(p.contains("Window"), p)
+    assert(!p.contains("SinglePartition"),
+      "sweep-line window degraded to a single reducer:\n" + p)
+    // the non-equi midnight carry-in join must BROADCAST the tiny day
+    // list — a CartesianProduct here would be O(sessions × days)
+    // shuffled both ways
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("triangles: oriented wedge join + semi-join probe, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val p = plan(graft.operators.Triangles.count(e))
+    assert(p.contains("LeftSemi"),
+      "closing-edge probe must stay a semi join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
