@@ -35,6 +35,7 @@ object Vacuum {
   /** Temp-file patterns owned by this engine's writers. */
   private val TempPatterns = Seq(
     ".*__snap_tmp$", ".*__agg_tmp$", ".*__compact_tmp$",
+    ".*__vt_stage_v\\d+$", ".*\\.manifest\\.tmp$",
     "\\.shard-\\d+-\\d+\\.tar\\.tmp$", "\\.part-\\d+-\\d+\\.avro\\.tmp$",
     "\\..*\\.parquet\\.tmp$").map(_.r)
 

@@ -537,7 +537,56 @@ object Ops {
         col("global_ok"))
   }
 
+  // Versioned table + time travel (operators/VersionedTable.scala):
+  // three commits — overwrite, append, destructive overwrite — then a
+  // TIME-TRAVEL read of the middle version, which must equal the full
+  // corpus even though the LATEST version has dropped half of it. The
+  // entry also exercises the crash story end to end: data files
+  // published without a manifest (a simulated pre-commit crash) are
+  // invisible to every versioned read and swept by vacuumUnreferenced,
+  // while fresh orphans survive the TTL. The oracle is the source
+  // table — version history must reconstruct it exactly.
+  val opTimeTravel: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_vt_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val v0 = graft.operators.VersionedTable.commit(
+      docs.where(col("doc_id") % 2 === 0), t, overwrite = true)
+    val v1 = graft.operators.VersionedTable.commit(
+      docs.where(col("doc_id") % 2 =!= 0), t, overwrite = false)
+    val v2 = graft.operators.VersionedTable.commit(
+      docs.where(col("doc_id") % 7 === 0), t, overwrite = true)
+    require(Seq(v0, v1, v2) == Seq(0, 1, 2), "version numbering drifted")
+    // pre-commit crash: a published-but-unmanifested data file must be
+    // invisible now and TTL-swept later
+    val orphan = new java.io.File(dir, "docs/v00099-part-orphan.parquet")
+    docs.limit(3).coalesce(1).write.mode("overwrite")
+      .parquet(orphan.getAbsolutePath + ".stage")
+    val part = new java.io.File(orphan.getAbsolutePath + ".stage")
+      .listFiles().filter(_.getName.endsWith(".parquet")).head
+    require(part.renameTo(orphan), "orphan setup rename failed")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(orphan.getAbsolutePath + ".stage"))
+    require(graft.operators.VersionedTable
+      .vacuumUnreferenced(s, t, ttlMs = 3600 * 1000L).isEmpty,
+      "fresh orphan must survive the TTL")
+    require(orphan.setLastModified(
+      System.currentTimeMillis() - 7200 * 1000L))
+    require(graft.operators.VersionedTable
+      .vacuumUnreferenced(s, t, ttlMs = 3600 * 1000L)
+      == Seq("v00099-part-orphan.parquet"), "aged orphan must sweep")
+    val hist = graft.operators.VersionedTable.versions(s, t)
+    require(hist.map(v => (v._1, v._2)) ==
+      Seq((0, "overwrite"), (1, "append"), (2, "overwrite")), hist.toString)
+    graft.operators.VersionedTable.read(s, t, asOfVersion = Some(1))
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
     "op_zonemap_prune" -> opZonemapPrune,
@@ -633,6 +682,11 @@ object Ops {
   }
 
   val oracles: Map[String, String] = Map(
+    // The time-traveled middle version IS the full corpus (v0 even ids
+    // + v1 append of the odd ids), regardless of what v2 dropped.
+    "op_time_travel" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents""".stripMargin,
     // Vacuum must be invisible to live data: the source table.
     "op_vacuum" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h

@@ -686,7 +686,32 @@ object Relational {
         sumDec(col("c_acctbal")).as("totacctbal"))
   }
 
+  // TPC-H Q15 top supplier: per-supplier revenue over one quarter, then
+  // the supplier(s) achieving the maximum — the "create view" scalar-max
+  // pattern as a broadcast 1-row cross join (never a second scan-wide
+  // shuffle: the max is an O(suppliers) agg over the already-reduced
+  // revenue frame). Revenue stays DECIMAL through the max-equality test
+  // (float max-equality is ulp-ambiguous across engines) and casts to
+  // double only at the output edge. Completes the classic suite as far
+  // as the fixture allows: Q2/Q11/Q16/Q20 need partsupp and Q12/Q21 need
+  // l_shipmode/l_commitdate/l_receiptdate, none of which the driver's
+  // testdata generates.
+  val q15TopSupplier: Q = (s, d) => {
+    val rev = lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.crossJoin(broadcast(mx)).where(col("rev_dec") === col("mx"))
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q15_top_supplier" -> q15TopSupplier,
     "q7_volume_shipping" -> q7VolumeShipping,
     "q8_market_share" -> q8MarketShare,
     "q9_product_profit" -> q9ProductProfit,
@@ -732,6 +757,18 @@ object Relational {
       "(1 - CAST(l_discount AS DECIMAL(18,2)))"
 
   val oracles: Map[String, String] = Map(
+    // The scalar-max stays DECIMAL through the equality; double only at
+    // the output edge (mirrors the Spark side exactly).
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+        |  SELECT l_suppkey, sum($volSql) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE rev_dec = (SELECT max(rev_dec) FROM revenue)""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |  strftime(l_shipdate, '%Y') AS l_year,

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.VersionedTable
+
+class VersionedTableSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+
+  private def tmpTable(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_vt_spec_").toFile
+    d.deleteOnExit()
+    new java.io.File(d, "t").getAbsolutePath
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+  }
+
+  test("commit/append/overwrite versioning and time travel") {
+    val t = tmpTable()
+    assert(VersionedTable.commit(df(0 until 10), t, overwrite = true) == 0)
+    assert(VersionedTable.commit(df(10 until 15), t, overwrite = false) == 1)
+    assert(VersionedTable.commit(df(100 until 103), t, overwrite = true) == 2)
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(0) == (0L until 10L))
+    assert(ids(1) == (0L until 15L))
+    assert(ids(2) == (100L until 103L))
+    // latest == explicit last version
+    assert(VersionedTable.read(spark, t).count() == 3)
+    assert(VersionedTable.versions(spark, t).map(v => (v._1, v._2)) ==
+      Seq((0, "overwrite"), (1, "append"), (2, "overwrite")))
+  }
+
+  test("append carries history by reference: no data file rewritten") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    val v0Files = VersionedTable.files(spark, t, 0).toSet
+    VersionedTable.commit(df(10 until 20), t, overwrite = false)
+    val v1Files = VersionedTable.files(spark, t, 1).toSet
+    assert(v0Files.subsetOf(v1Files),
+      "append manifest must reference v0's files unchanged")
+    assert((v1Files -- v0Files).nonEmpty)
+  }
+
+  test("uncommitted data files are invisible and TTL-vacuumable") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    // simulate a crash between PUBLISH and COMMIT: a version-prefixed
+    // data file with no manifest
+    val stage = t + "_orphan_stage"
+    df(90 until 95).coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val orphan = new java.io.File(t, "v00007-part-crashed.parquet")
+    require(part.renameTo(orphan))
+    assert(VersionedTable.read(spark, t).count() == 5,
+      "unmanifested files must be invisible to reads")
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L).isEmpty,
+      "fresh orphan kept (writer may still commit)")
+    require(orphan.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L) ==
+      Seq("v00007-part-crashed.parquet"))
+    assert(!orphan.exists())
+  }
+
+  test("expire keeps the tail, deletes only exclusively-dead files") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 20), t, overwrite = false)
+    VersionedTable.commit(df(20 until 25), t, overwrite = true)
+    val v0Files = VersionedTable.files(spark, t, 0)
+    VersionedTable.expire(spark, t, keepLast = 2)
+    // v0's files are still referenced by v1 (append) — must survive
+    assert(v0Files.forall(n => new java.io.File(t, n).exists()),
+      "files shared with a retained version must survive expire")
+    assert(VersionedTable.versions(spark, t).map(_._1) == Seq(1, 2))
+    intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(0)))
+    // reads of retained versions unharmed
+    assert(VersionedTable.read(spark, t, Some(1)).count() == 20)
+    VersionedTable.expire(spark, t, keepLast = 1)
+    assert(VersionedTable.versions(spark, t).map(_._1) == Seq(2))
+    // now v0/v1's exclusive files are gone from disk
+    assert(v0Files.forall(n => !new java.io.File(t, n).exists()))
+    assert(VersionedTable.read(spark, t).count() == 5)
+  }
+
+  test("a foreign manifest advances the counter and is never clobbered") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    // another writer committed version 1 between our reads: the next
+    // commit must allocate 2, leaving the foreign manifest untouched
+    val log = new java.io.File(t, "_graft_log")
+    val racing = new java.io.File(log, "v00001.manifest")
+    java.nio.file.Files.write(racing.toPath,
+      "graft-vt-v1\noverwrite\n".getBytes)
+    assert(VersionedTable.commit(df(5 until 9), t, overwrite = false) == 2)
+    assert(new String(java.nio.file.Files.readAllBytes(racing.toPath))
+      == "graft-vt-v1\noverwrite\n")
+    // the append at v2 carried v1's (empty) file list + its own files
+    assert(VersionedTable.read(spark, t, Some(2)).count() == 4)
+  }
+
+  test("empty table read fails loudly") {
+    val t = tmpTable()
+    intercept[IllegalStateException](VersionedTable.read(spark, t))
+  }
+}
