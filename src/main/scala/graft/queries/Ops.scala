@@ -585,7 +585,26 @@ object Ops {
         col("source"))
   }
 
+  // Declarative data-quality audit (operators/QualityAudit.scala): five
+  // row-level rules folded into ONE table scan (the naive form reads
+  // the table once per rule), plus a uniqueness constraint in the same
+  // report shape. NULL predicates count as violations (audit semantics,
+  // not SQL CHECK) — the oracle replays that with NOT coalesce(p, FALSE).
+  val opQualityAudit: Q = (s, d) => {
+    val docs = documents(s, d)
+    val rules = Seq(
+      "doc_id_nonneg" -> (col("doc_id") >= 0),
+      "lang_wellformed" -> length(col("lang")).between(2, 3),
+      "n_chars_consistent" -> (col("n_chars") === length(col("text"))),
+      "text_nonempty" -> (length(col("text")) > 0),
+      "text_not_null" -> col("text").isNotNull)
+    graft.operators.QualityAudit.audit(docs, rules)
+      .unionByName(graft.operators.QualityAudit.uniqueness(
+        docs, Seq("doc_id"), "doc_id_unique"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_quality_audit" -> opQualityAudit,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
@@ -682,6 +701,36 @@ object Ops {
   }
 
   val oracles: Map[String, String] = Map(
+    // Each rule replayed as NOT coalesce(pred, FALSE); uniqueness
+    // violations = all rows carrying a duplicated non-null key.
+    "op_quality_audit" ->
+      """WITH n AS (SELECT count(*) AS n_rows FROM documents),
+        |r AS (
+        |  SELECT 'doc_id_nonneg' AS rule, sum(CASE WHEN NOT
+        |    coalesce(doc_id >= 0, FALSE) THEN 1 ELSE 0 END) AS v
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lang_wellformed', sum(CASE WHEN NOT
+        |    coalesce(length(lang) BETWEEN 2 AND 3, FALSE) THEN 1 ELSE 0 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars_consistent', sum(CASE WHEN NOT
+        |    coalesce(n_chars = length(text), FALSE) THEN 1 ELSE 0 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text_nonempty', sum(CASE WHEN NOT
+        |    coalesce(length(text) > 0, FALSE) THEN 1 ELSE 0 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'text_not_null', sum(CASE WHEN text IS NULL
+        |    THEN 1 ELSE 0 END)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'doc_id_unique', coalesce((SELECT sum(c) FROM (
+        |    SELECT count(*) AS c FROM documents WHERE doc_id IS NOT NULL
+        |    GROUP BY doc_id HAVING count(*) > 1)), 0))
+        |SELECT r.rule, n.n_rows, r.v AS n_violations, r.v = 0 AS pass
+        |FROM r CROSS JOIN n""".stripMargin,
     // The time-traveled middle version IS the full corpus (v0 even ids
     // + v1 append of the odd ids), regardless of what v2 dropped.
     "op_time_travel" ->
