@@ -586,6 +586,40 @@ object ScaleProbe {
       println(s"[probe] tarshards roundtrip rows: $nBack")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+
+    // Versioned-table commit economics at copies× history: an append
+    // commit's cost is O(new files) renames + one manifest write —
+    // flat as history grows — vs the rewrite a non-versioned "keep
+    // history" table pays. Read resolves ONE manifest, no dir walk.
+    if (stages("vtable")) {
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dir = java.nio.file.Files.createTempDirectory("probe_vt_")
+      val table = s"$dir/t"
+      (0 until copies).foreach { c =>
+        val gen = ord.select((col("o_orderkey") + c * 100000000L)
+          .as("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        time(s"vtable: append commit gen $c")(
+          graft.operators.VersionedTable.commit(gen, table,
+            overwrite = false))
+      }
+      val delta = ord.limit(10000)
+      time(s"vtable: small append after $copies generations (flat?)")(
+        graft.operators.VersionedTable.commit(delta, table,
+          overwrite = false))
+      val n = time("vtable: latest read (one manifest, no dir walk)")(
+        graft.operators.VersionedTable.read(spark, table).count())
+      println(s"[probe] vtable latest rows: $n; versions: " +
+        graft.operators.VersionedTable.versions(spark, table).size)
+      time("vtable: the rewrite a manifest-less history table pays")(
+        graft.operators.VersionedTable.read(spark, table)
+          .write.mode("overwrite").parquet(s"$dir/rewrite"))
+      time("vtable: expire to last 2 + vacuum")( {
+        graft.operators.VersionedTable.expire(spark, table, keepLast = 2)
+        graft.operators.VersionedTable.vacuumUnreferenced(spark, table, 0L)
+      })
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
     spark.stop()
   }
 }

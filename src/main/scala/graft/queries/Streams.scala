@@ -360,9 +360,9 @@ object Streams {
     val cdcDir = Sources.fixtureDir(s, "graft_stincr_cdc_")
     val t0 = System.currentTimeMillis() - 120000
     Sources.writeOrderedPart(
-      proj.where(col("__y") <= 1994).drop("__y"), cdcDir, "a.parquet", t0)
+      proj.where(col("__y") <= 1997).drop("__y"), cdcDir, "a.parquet", t0)
     Sources.writeOrderedPart(
-      proj.where(col("__y") > 1994).drop("__y"), cdcDir, "b.parquet",
+      proj.where(col("__y") > 1997).drop("__y"), cdcDir, "b.parquet",
       t0 + 60000)
     val schema = proj.drop("__y").schema
     val stream = s.readStream.schema(schema)
@@ -384,6 +384,54 @@ object Streams {
       else graft.operators.IncrementalAgg.partial(
         proj.drop("__y").limit(0), keys, Seq("o_totalprice"))
     graft.operators.IncrementalAgg.withDerived(state, Seq("o_totalprice"))
+  }
+
+  /** STREAM → VERSIONED TABLE sink: each micro-batch commits one
+    * [[graft.operators.VersionedTable]] version (append — history by
+    * reference, zero rewrite), so the sink gains exactly-once semantics
+    * BY CONSTRUCTION: the manifest rename is the commit point, a batch
+    * replayed after a crash-before-commit re-publishes files but the
+    * table state never saw them (vacuumUnreferenced sweeps the debris),
+    * and every batch boundary stays queryable forever via time travel.
+    * This is the foreachBatch idempotent-sink recipe from the Spark
+    * docs, made concrete with a real transaction log. The entry drives
+    * two chronological micro-batches, requires the version history to
+    * show them, and returns the LATEST read — which must equal the
+    * batch union (the oracle: micro-batch boundaries invisible). */
+  val stVersionedSink: Q = (s, d) => withStreamPartitions(s, 4) {
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvt_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val cdcDir = Sources.fixtureDir(s, "graft_stvt_cdc_")
+    val t0 = System.currentTimeMillis() - 120000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1997).drop("__y"), cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1997).drop("__y"), cdcDir, "b.parquet",
+      t0 + 60000)
+    val schema = ords.drop("__y").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.VersionedTable.commit(
+            batch, table, overwrite = false): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = graft.operators.VersionedTable.versions(s, table)
+    require(hist.map(_._1) == Seq(0, 1),
+      s"expected one committed version per micro-batch: $hist")
+    require(graft.operators.VersionedTable
+      .read(s, table, Some(0)).count() < hist.size +
+        graft.operators.VersionedTable.read(s, table, Some(1)).count(),
+      "version 0 must be a strict prefix of the table")
+    graft.operators.VersionedTable.read(s, table)
   }
 
   /** LATE-DATA drop — the watermark-VIOLATION case the mode matrix
@@ -463,6 +511,7 @@ object Streams {
     "st_anomaly" -> stAnomaly,
     "st_merge_upsert" -> stMergeUpsert,
     "st_incr_agg" -> stIncrAgg,
+    "st_versioned_sink" -> stVersionedSink,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
     "st_dedup_keys" -> stDedupKeys,
@@ -482,6 +531,9 @@ object Streams {
     "st_merge_upsert" -> Ops.oracles("op_merge_upsert"),
     // Micro-batch boundaries must be invisible: the one-shot rollup.
     "st_incr_agg" -> Ops.oracles("op_incr_agg"),
+    // Append commits union to the source: batch boundaries invisible.
+    "st_versioned_sink" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     // ev_anomaly's exact-moment z arithmetic + st_hourly's append
     // emission rule (window end + 1h watermark <= ms-trunc(max ts)).
     "st_anomaly" ->
