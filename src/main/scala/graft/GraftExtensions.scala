@@ -38,6 +38,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // don't produce false warnings, which injectOptimizerRule's
     // fixed-point batch placement would.
     ext.injectRuntimeOptimizerRule(_ => graft.plans.ScaleLint)
+    // Opt-in approximate-query rewrite (inert without the conf flag):
+    // count(DISTINCT x) -> HLL++ sketch, fleet-wide, no query-text edit.
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
   }
 }
 
@@ -59,6 +62,16 @@ object GraftExtensions {
     Bridge.registerFunction(spark, "array_norm", cs => ArrayNorm(cs.head))
     Bridge.registerFunction(spark, "array_cosine", cosineBuilder)
     registerTextSql(spark)
+    // Runtime twin of injectOptimizerRule: the experimental batch runs
+    // at the end of logical optimization — single-distinct aggregates
+    // are still un-rewritten there (their planning happens physical-
+    // side), so the approx rewrite sees them. Idempotent.
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.ApproxDistinctRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.ApproxDistinctRewrite
+    }
   }
 
   /** SQL names for the compiled text kernels, for SQL-first users:

@@ -603,7 +603,55 @@ object Ops {
         docs, Seq("doc_id"), "doc_id_unique"))
   }
 
+  // Opt-in approximate-distinct REWRITE (plans/ApproxDistinctRewrite):
+  // the same count(DISTINCT) query text planned exact and then — under
+  // the session flag — as an HLL++ sketch, with the rewrite asserted
+  // in the optimized plan (not just the answer). Exact lanes pin the
+  // true counts; the sketch is pinned via its accuracy-contract boolean
+  // (3-sigma of rsd, the op_profile_approx discipline). The exact side
+  // is MATERIALIZED before the flag flips: DataFrames are lazy, and an
+  // unexecuted "exact" plan would silently re-optimize into a sketch.
+  val opApproxRewrite: Q = (s, d) => {
+    graft.GraftExtensions.register(s)
+    val flag = graft.plans.ApproxDistinctRewrite.EnabledKey
+    val exactRows = lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey")).as("nd_exact"))
+      .collect().toSeq
+    val exact = s.createDataFrame(
+      new java.util.ArrayList(
+        java.util.Arrays.asList(exactRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nd_exact",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // The estimates are materialized INSIDE the flag window too — the
+    // returned frame builds a fresh QueryExecution at driver-execution
+    // time, after the finally has restored the conf.
+    s.conf.set(flag, "true")
+    val estRows = try {
+      val approx = lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey")).as("nd_est"))
+      require(approx.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"),
+        "approx rewrite did not fire — is the rule registered?")
+      approx.collect().toSeq
+    } finally s.conf.unset(flag)
+    val est = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(estRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nd_est",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    est.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("nd_exact"),
+        (abs(col("nd_est").cast("double") / col("nd_exact") - 1.0)
+          <= 0.15).as("est_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "op_approx_rewrite" -> opApproxRewrite,
     "op_quality_audit" -> opQualityAudit,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
@@ -701,6 +749,12 @@ object Ops {
   }
 
   val oracles: Map[String, String] = Map(
+    // Exact distinct counts by value; the sketch estimate pinned via
+    // its 3-sigma accuracy boolean (TRUE on both sides or the row fails).
+    "op_approx_rewrite" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact,
+        |  TRUE AS est_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Each rule replayed as NOT coalesce(pred, FALSE); uniqueness
     // violations = all rows carrying a duplicated non-null key.
     "op_quality_audit" ->
