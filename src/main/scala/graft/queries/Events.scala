@@ -558,7 +558,52 @@ object Events {
         when(lastOk, col("asof_channel")).as("last_channel"))
   }
 
+  // A/B experiment readout: deterministic assignment (user_id parity —
+  // the hash-bucket assignment every experimentation platform uses),
+  // per-user conversion (≥1 purchase), per-variant rates, and the
+  // pooled two-proportion z statistic. Scale shape: ONE per-user agg
+  // (map-side combined), then a 2-row variant rollup; the z arithmetic
+  // runs on a broadcast 1-row frame — nothing after the first agg is
+  // data-proportional. Rate/z pinned at 6dp via the zscore precedent
+  // (double division/sqrt are IEEE-exact-rounded — engine-portable).
+  val evAbTest: Q = (s, d) => {
+    // conversion = heavy purchaser (≥20 purchases): non-degenerate at
+    // every fixture SF (≥1-purchase is TRUE for all users here, which
+    // would zero the pooled variance — the guard below still nulls z
+    // rather than erroring if a corpus degenerates anyway)
+    val perUser = events(s, d).groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= 20, 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    val v = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wide = v.agg(
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+    val p = (col("ca") + col("cb")).cast("double") /
+      (col("na") + col("nb"))
+    val z0 = (col("ca").cast("double") / col("na") -
+        col("cb").cast("double") / col("nb")) /
+      sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("na") + lit(1.0) / col("nb")))
+    // all-converted / none-converted / one-armed experiments have no
+    // defined z — NULL, never a divide-by-zero job failure
+    val z = when(col("na").isNotNull && col("nb").isNotNull &&
+      col("na") > 0 && col("nb") > 0 && p > 0 && p < 1, z0)
+    v.crossJoin(broadcast(wide.select(
+        graft.functions.DetRound.det(z, 6).as("z"))))
+      .select(col("variant"), col("n_users"), col("n_conv"),
+        graft.functions.DetRound.det(
+          col("n_conv").cast("double") / col("n_users"), 6)
+          .as("conv_rate"),
+        col("z"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev_ab_test" -> evAbTest,
     "ev_attribution" -> evAttribution,
     "ev_concurrency" -> evConcurrency,
     "ev_scd2" -> evScd2,
@@ -602,6 +647,35 @@ object Events {
     "ev_asof_native_near" -> oraclesBase("ev_asof_nearest"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
+    // Same parity assignment, per-user conversion, pooled z replayed
+    // with the identical double arithmetic and 6dp floor-round.
+    "ev_ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) >= 20 THEN 1 ELSE 0 END AS conv,
+        |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT variant, count(*) AS n_users, sum(conv) AS n_conv
+        |  FROM u GROUP BY 1),
+        |w AS (SELECT
+        |    sum(CASE WHEN variant = 'A' THEN n_users END) AS na,
+        |    sum(CASE WHEN variant = 'A' THEN n_conv END) AS ca,
+        |    sum(CASE WHEN variant = 'B' THEN n_users END) AS nb,
+        |    sum(CASE WHEN variant = 'B' THEN n_conv END) AS cb
+        |  FROM v),
+        |z AS (SELECT CASE WHEN na > 0 AND nb > 0
+        |      AND ca + cb > 0 AND ca + cb < na + nb THEN
+        |    floor(((CAST(ca AS DOUBLE) / na
+        |      - CAST(cb AS DOUBLE) / nb)
+        |    / sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+        |      * (1.0 / na + 1.0 / nb))) * 1000000 + 0.5) / 1000000
+        |    END AS z
+        |  FROM w)
+        |SELECT v.variant, v.n_users, v.n_conv,
+        |  floor(CAST(v.n_conv AS DOUBLE) / v.n_users * 1000000 + 0.5)
+        |    / 1000000 AS conv_rate, z.z
+        |FROM v CROSS JOIN z""".stripMargin,
     // Same (ts, event_id) order, same lead() fan, same deterministic
     // (count desc, path asc) top-25.
     "ev_rfm" ->

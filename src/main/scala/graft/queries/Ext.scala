@@ -1069,7 +1069,27 @@ object Ext {
       .select(col("doc_id"), col("n_chars"))
   }
 
+  // EXACT-k stratified sample: exactly min(k, |stratum|) docs per
+  // source, selected by a keyed-PRF order — the "same eval slice every
+  // run" sampler (BalancedSample is Bernoulli: k only in expectation).
+  // Runs as TopKPerKey's bounded heap — O(n log k) per stratum and
+  // shuffle O(strata × k), never a per-stratum full sort; a hot stratum
+  // costs a heap, not a partition sort. The order key is hash60's
+  // DOUBLE image (the 60-bit integer rounds identically under IEEE
+  // round-to-nearest in both engines — the t_weighted_sample
+  // precedent); rounding-collision ties break on doc_id in both. The
+  // oracle replays the identical order and must pick the identical
+  // rows with identical ranks.
+  val tStratifiedSample: Q = (s, d) => {
+    val h = graft.operators.BalancedSample.hash60(Seq(col("doc_id")), 77L)
+    val scored = documents(s, d)
+      .select(col("source"), col("doc_id"), (-h).as("__sc"))
+    graft.operators.TopKPerKey(scored, Seq("source"), "__sc", "doc_id", 20)
+      .select(col("source"), col("doc_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "t_stratified_sample" -> tStratifiedSample,
     "t_weighted_sample" -> tWeightedSample,
     "t_dp_counts" -> tDpCounts,
     "sim_centroid_assign" -> simCentroidAssign,
@@ -1429,6 +1449,20 @@ object Ext {
   }
 
   val oracles: Map[String, String] = Map(
+    // Same PRF order: the 60-bit md5 integer's DOUBLE image, asc,
+    // doc_id tiebreak; row_number caps each stratum at exactly 20.
+    "t_stratified_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+        |    CAST(CAST(('0x' || substr(md5(concat_ws(':',
+        |      coalesce(CAST(doc_id AS VARCHAR), chr(1)), '77')),
+        |      1, 15)) AS UBIGINT) AS DOUBLE) AS hs
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY hs, doc_id) AS rank
+        |  FROM h)
+        |SELECT source, doc_id, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 20""".stripMargin,
     // The A-ES draw replayed: same 60-bit md5 uniform, same clamp,
     // same ln(u)/w ordering — the selected 100 must be identical.
     "t_weighted_sample" ->

@@ -268,6 +268,40 @@ object Sources {
       .select(col("doc_id"), col("text"))
   }
 
+  /** CORRUPT-record JSONL ingest — the dirty-feed robustness lane every
+    * web-scale pipeline needs: every doc_id ≡ 0 (mod 10) line is
+    * deterministically mangled at write time, and the PERMISSIVE reader
+    * must (a) quarantine exactly those lines into the corrupt-record
+    * column (count REQUIRED in-entry) and (b) parse every clean line
+    * losslessly — the oracle is the clean subset. FAILFAST would kill a
+    * 100 TB job on one bad byte; DROPMALFORMED silently loses data;
+    * PERMISSIVE + a quarantine count is the production posture (route
+    * the quarantined lines to a dead-letter sink for reprocess). */
+  val srcCorruptJsonl: Q = (s, d) => {
+    val dir = fixtureDir(s, "graft_badjsonl_")
+    documents(s, d).select(col("doc_id"), col("text"))
+      .select(when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(lit("{corrupt!"), to_json(struct(col("doc_id"),
+            col("text")))))
+        .otherwise(to_json(struct(col("doc_id"), col("text"))))
+        .as("value"))
+      .write.mode("overwrite").text(dir.getAbsolutePath)
+    registerCleanup(dir)
+    val read = s.read
+      .schema("doc_id BIGINT, text STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.getAbsolutePath)
+      .localCheckpoint() // one materialization feeds count + output
+    val nBad = read.where(col("_corrupt_record").isNotNull).count()
+    val nExpect = documents(s, d)
+      .where(pmod(col("doc_id"), lit(10)) === 0).count()
+    require(nBad == nExpect,
+      s"quarantined $nBad lines, corrupted $nExpect")
+    read.where(col("_corrupt_record").isNull)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** CSV round-trip (header + explicit read schema — never inference, a
     * full-scan job at scale): the remaining text-format lane of the
     * source matrix. Quoting/escaping is the writer's; the oracle reads
@@ -471,6 +505,7 @@ object Sources {
     "src_orc_roundtrip" -> srcOrcRoundtrip,
     "src_partitioned_roundtrip" -> srcPartitionedRoundtrip,
     "src_jsonl_roundtrip" -> srcJsonlRoundtrip,
+    "src_corrupt_jsonl" -> srcCorruptJsonl,
     "src_avro_roundtrip" -> srcAvroRoundtrip,
     "src_schema_evolution" -> srcSchemaEvolution,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
@@ -505,6 +540,10 @@ object Sources {
         |  o_orderpriority
         |FROM orders""".stripMargin,
     "src_jsonl_roundtrip" -> "SELECT doc_id, text FROM documents",
+    // Only the clean 9/10 survive; the quarantine count is REQUIRED
+    // in-entry (a miscount fails the query, not just the hash).
+    "src_corrupt_jsonl" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0",
     "src_avro_roundtrip" ->
       "SELECT doc_id, lang, md5(text) AS h, n_chars FROM documents",
     "src_schema_evolution" ->
