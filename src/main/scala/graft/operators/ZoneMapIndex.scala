@@ -40,28 +40,63 @@ object ZoneMapIndex {
     * any layout change ([[Compact]], [[TargetedDelete]], appends). */
   def build(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "ZoneMapIndex: no columns to index")
+    val live = listLive(spark, dir)
+    val manifest = spans(spark,
+      live.map(n => s"$dir/$n"), cols, live)
+    manifest.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/$SidecarName")
+  }
+
+  /** INCREMENTAL maintenance for append-mostly dirs: index only the
+    * files the manifest doesn't know (reading just their bytes) and
+    * drop rows for vanished files — never rescanning already-indexed
+    * data. The steady-state cost of keeping zone maps fresh is thus
+    * O(delta bytes) + an O(#files) listing, not a full-table rebuild;
+    * after a REWRITING layout change ([[Compact]], [[TargetedDelete]],
+    * [[ZOrder]]) the file names change, which this sees as
+    * vanished+new — correct, and automatically a full rebuild exactly
+    * when one is warranted. Returns (newlyIndexed, dropped). */
+  def refresh(spark: SparkSession, dir: String): (Int, Int) = {
+    val m = spark.read.parquet(s"$dir/$SidecarName")
+    val cols = m.columns.filter(_.startsWith("min_"))
+      .map(_.stripPrefix("min_")).toSeq
+    val live = listLive(spark, dir)
+    val indexed = m.select(col("file")).collect()
+      .map(_.getString(0)).toSet
+    val fresh = live.filterNot(indexed)
+    val vanished = indexed -- live.toSet
+    if (fresh.isEmpty && vanished.isEmpty) return (0, 0)
+    val kept = m.where(!col("file").isInCollection(vanished))
+    val full =
+      if (fresh.isEmpty) kept
+      else kept.unionByName(
+        spans(spark, fresh.map(n => s"$dir/$n"), cols, fresh))
+    // same temp+rename discipline as the engine's other swaps: the
+    // sidecar dir is replaced only after the new manifest is complete
+    val out = full.coalesce(1).localCheckpoint() // sever the self-read
+    out.write.mode("overwrite").parquet(s"$dir/$SidecarName")
+    (fresh.size, vanished.size)
+  }
+
+  /** One row per file of `paths`: n_rows + min/max per indexed column.
+    * ONE distributed aggregate grouped by file — no driver footer
+    * walking. `expected` backfills ZERO-ROW part files (no group from
+    * the agg, but the file exists) with a null span, so the staleness
+    * check can tell "empty file" from "file written after the build". */
+  private def spans(spark: SparkSession, paths: Seq[String],
+      cols: Seq[String], expected: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
     }
-    val manifest = spark.read.parquet(dir)
+    val manifest = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__uri"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
       .withColumn("file", udf(fileNameOf _).apply(col("__uri")))
       .drop("__uri")
-    // A ZERO-ROW part file produces no group above but still exists on
-    // disk; index it with an empty span (n_rows 0, null min/max — which
-    // prunedRead prunes) so the staleness check can tell "empty file"
-    // from "file written after the build". The name collect is
-    // O(#files), the same driver state as the staleness listing.
-    import org.apache.hadoop.fs.Path
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val live = fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
-      .filterNot(n => n.startsWith("_") || n.startsWith("."))
     val have = manifest.select(col("file")).collect()
       .map(_.getString(0)).toSet
-    val empties = live.filterNot(have).toSeq
-    val full = if (empties.isEmpty) manifest else {
+    val empties = expected.filterNot(have)
+    if (empties.isEmpty) manifest else {
       val rows = empties.map { name =>
         org.apache.spark.sql.Row.fromSeq(
           0L +: Seq.fill(2 * cols.size)(null) :+ name)
@@ -70,8 +105,14 @@ object ZoneMapIndex {
         new java.util.ArrayList(java.util.Arrays.asList(rows: _*)),
         manifest.schema))
     }
-    full.coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/$SidecarName")
+  }
+
+  private def listLive(spark: SparkSession, dir: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".")).toSeq
   }
 
   /** input_file_name() is a URI (percent-escaped); manifest rows store

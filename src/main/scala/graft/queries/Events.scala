@@ -576,8 +576,11 @@ object Events {
         .otherwise(0L)) >= 20, 1L).otherwise(0L).as("conv"))
       .withColumn("variant",
         when(pmod(col("user_id"), lit(2)) === 0, "A").otherwise("B"))
+    // the 2-row rollup feeds BOTH the z computation and the output —
+    // checkpoint it so the events scan runs once, not once per consumer
     val v = perUser.groupBy(col("variant"))
       .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .localCheckpoint()
     val wide = v.agg(
       sum(when(col("variant") === "A", col("n_users"))).as("na"),
       sum(when(col("variant") === "A", col("n_conv"))).as("ca"),

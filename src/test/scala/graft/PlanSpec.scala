@@ -419,4 +419,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("stratified sample: bounded-heap aggregate, never a per-stratum sort") {
+    val p = plan(graft.queries.Ext.tStratifiedSample(spark, sf))
+    // the top-k must run as the partial-aggregating udaf heap — a
+    // Window row_number here would full-sort every stratum partition
+    assert(!p.contains("Window"),
+      "stratified sample degraded to a window sort:\n" + p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("ab test: one events scan, z on a broadcast 1-row frame") {
+    val p = plan(graft.queries.Events.evAbTest(spark, sf))
+    assert(!p.contains("Scan parquet"),
+      "A/B readout must compute z from the checkpointed 2-row rollup, " +
+        "never rescan events:\n" + p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      "the 1-row z frame must broadcast:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -109,4 +109,40 @@ class ZoneMapSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("not indexed"))
   }
+
+  test("refresh: appends indexed incrementally, vanished dropped, rebuild-free") {
+    val d = tmpDir().getAbsolutePath
+    li.limit(3000).repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(d)
+    ZoneMapIndex.build(spark, d, Seq("l_orderkey"))
+    // append two new files without touching the indexed ones
+    val before = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    li.where(col("l_orderkey") > 5000).limit(500).coalesce(1)
+      .write.mode("append").parquet(d)
+    li.where(col("l_orderkey") <= 5000).limit(500).coalesce(1)
+      .write.mode("append").parquet(d)
+    intercept[IllegalStateException](
+      ZoneMapIndex.prunedRead(spark, d, "l_orderkey", 1L, 100000L))
+    val (fresh, dropped) = ZoneMapIndex.refresh(spark, d)
+    assert(fresh == 2 && dropped == 0, s"($fresh, $dropped)")
+    // pruned read now plans and equals the plain filter
+    val exp = spark.read.parquet(d)
+      .where(col("l_orderkey").between(1L, 100000L)).count()
+    assert(ZoneMapIndex.prunedRead(spark, d, "l_orderkey", 1L, 100000L)
+      .count() == exp)
+    // delete one original file: refresh drops its manifest row
+    val victim = new java.io.File(d).listFiles()
+      .filter(f => before.contains(f.getName)).head
+    require(victim.delete())
+    val (f2, d2) = ZoneMapIndex.refresh(spark, d)
+    assert(f2 == 0 && d2 == 1, s"($f2, $d2)")
+    val exp2 = spark.read.parquet(d)
+      .where(col("l_orderkey").between(1L, 100000L)).count()
+    assert(ZoneMapIndex.prunedRead(spark, d, "l_orderkey", 1L, 100000L)
+      .count() == exp2)
+    // no drift: refresh on a fresh manifest is a no-op
+    assert(ZoneMapIndex.refresh(spark, d) == ((0, 0)))
+  }
 }
