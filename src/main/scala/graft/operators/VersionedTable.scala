@@ -54,18 +54,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object VersionedTable {
 
   private val LogDir = "_graft_log"
-  private val Header = "graft-vt-v1"
+  private val Header = "graft-vt-v2"
 
   /** Commit `df` as the next version. `overwrite=true` makes the new
     * version exactly `df`; `overwrite=false` appends to the previous
     * version's files (zero data movement for history — the new
-    * manifest lists old + new files). Returns the committed version. */
-  def commit(df: DataFrame, path: String, overwrite: Boolean): Int = {
+    * manifest lists old + new files). Returns the committed version.
+    *
+    * `txnId` makes the commit IDEMPOTENT: if any manifest already
+    * carries the same id, the data is not even staged and that version
+    * is returned. This is what closes the streaming exactly-once gap —
+    * a micro-batch replayed after its commit landed but before Spark's
+    * checkpoint advanced (the crash window foreachBatch docs call out)
+    * re-offers the same batchId and becomes a no-op instead of a
+    * double-append. The id check is O(versions) against the already-
+    * listed log — no extra I/O class. */
+  def commit(df: DataFrame, path: String, overwrite: Boolean,
+      txnId: Option[String] = None): Int = {
+    require(txnId.forall(t => t.nonEmpty && !t.exists(_ < ' ')),
+      s"txnId must be non-empty printable text: $txnId")
     val spark = df.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.mkdirs(new Path(root, LogDir))
-    val prev = latestVersion(spark, path)
+    val committed = versions(spark, path)
+    txnId.foreach { t =>
+      committed.find(_.txnId.contains(t)).foreach(v => return v.version)
+    }
+    val prev = committed.lastOption.map(_.version)
     val v = prev.map(_ + 1).getOrElse(0)
     val stage = new Path(root.getParent,
       s".${root.getName}__vt_stage_v$v")
@@ -87,7 +103,8 @@ object VersionedTable {
       if (overwrite || prev.isEmpty) Seq.empty
       else files(spark, path, prev.get)
     writeManifest(fs, root, v,
-      if (overwrite) "overwrite" else "append", carried ++ published)
+      if (overwrite) "overwrite" else "append", txnId,
+      carried ++ published)
     v
   }
 
@@ -102,9 +119,12 @@ object VersionedTable {
     else spark.read.parquet(fl.map(n => s"$path/$n"): _*)
   }
 
-  /** All committed versions, ascending, with mode and file count —
-    * the audit listing (`DESCRIBE HISTORY` analog). */
-  def versions(spark: SparkSession, path: String): Seq[(Int, String, Int)] = {
+  final case class VersionInfo(version: Int, mode: String,
+      txnId: Option[String], nFiles: Int)
+
+  /** All committed versions, ascending, with mode, transaction id and
+    * file count — the audit listing (`DESCRIBE HISTORY` analog). */
+  def versions(spark: SparkSession, path: String): Seq[VersionInfo] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val log = new Path(root, LogDir)
@@ -113,7 +133,9 @@ object VersionedTable {
       .filter(_.matches("v\\d{5}\\.manifest")).sorted.map { n =>
         val v = n.stripPrefix("v").stripSuffix(".manifest").toInt
         val lines = readLines(fs, new Path(log, n))
-        (v, lines(1), lines.size - 2)
+        VersionInfo(v, lines(1),
+          Option(lines(2).stripPrefix("txn:")).filter(_ != "-"),
+          lines.size - 3)
       }.toSeq
   }
 
@@ -125,7 +147,7 @@ object VersionedTable {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val all = versions(spark, path).map(_._1)
+    val all = versions(spark, path).map(_.version)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     if (drop.isEmpty) return
     val retained = keep.flatMap(v => files(spark, path, v)).toSet
@@ -144,7 +166,7 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val referenced = versions(spark, path)
-      .flatMap(v => files(spark, path, v._1)).toSet
+      .flatMap(v => files(spark, path, v.version)).toSet
     val now = System.currentTimeMillis()
     fs.listStatus(root).filter(_.isFile).filter { st =>
       val n = st.getPath.getName
@@ -156,7 +178,7 @@ object VersionedTable {
   }
 
   private def latestVersion(spark: SparkSession, path: String): Option[Int] =
-    versions(spark, path).lastOption.map(_._1)
+    versions(spark, path).lastOption.map(_.version)
 
   /** The exact file list of a committed version. */
   def files(spark: SparkSession, path: String, version: Int): Seq[String] = {
@@ -167,14 +189,16 @@ object VersionedTable {
       s"version $version was never committed (or expired) at $path")
     val lines = readLines(fs, mf)
     require(lines.headOption.contains(Header), s"bad manifest $mf")
-    lines.drop(2)
+    lines.drop(3)
   }
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
-      root: Path, v: Int, mode: String, fileNames: Seq[String]): Unit = {
+      root: Path, v: Int, mode: String, txnId: Option[String],
+      fileNames: Seq[String]): Unit = {
     val tmp = new Path(root, f"$LogDir/.v$v%05d.manifest.tmp")
     val out = fs.create(tmp, true)
-    try out.write((Seq(Header, mode) ++ fileNames)
+    try out.write((Seq(Header, mode, s"txn:${txnId.getOrElse("-")}")
+      ++ fileNames)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(root, f"$LogDir/v$v%05d.manifest")

@@ -578,7 +578,7 @@ object Ops {
       .vacuumUnreferenced(s, t, ttlMs = 3600 * 1000L)
       == Seq("v00099-part-orphan.parquet"), "aged orphan must sweep")
     val hist = graft.operators.VersionedTable.versions(s, t)
-    require(hist.map(v => (v._1, v._2)) ==
+    require(hist.map(v => (v.version, v.mode)) ==
       Seq((0, "overwrite"), (1, "append"), (2, "overwrite")), hist.toString)
     graft.operators.VersionedTable.read(s, t, asOfVersion = Some(1))
       .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),

@@ -389,10 +389,13 @@ object Streams {
   /** STREAM → VERSIONED TABLE sink: each micro-batch commits one
     * [[graft.operators.VersionedTable]] version (append — history by
     * reference, zero rewrite), so the sink gains exactly-once semantics
-    * BY CONSTRUCTION: the manifest rename is the commit point, a batch
-    * replayed after a crash-before-commit re-publishes files but the
-    * table state never saw them (vacuumUnreferenced sweeps the debris),
-    * and every batch boundary stays queryable forever via time travel.
+    * BY CONSTRUCTION — both crash windows are closed: a batch replayed
+    * after a crash BEFORE the manifest rename re-publishes files the
+    * table state never referenced (vacuumUnreferenced sweeps them),
+    * and a batch replayed AFTER its commit landed but before Spark's
+    * checkpoint advanced is deduplicated by its txnId (the batchId) —
+    * a no-op returning the already-committed version. Every batch
+    * boundary stays queryable forever via time travel.
     * This is the foreachBatch idempotent-sink recipe from the Spark
     * docs, made concrete with a real transaction log. The entry drives
     * two chronological micro-batches, requires the version history to
@@ -416,16 +419,17 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.VersionedTable.commit(
-            batch, table, overwrite = false): Unit
+            batch, table, overwrite = false,
+            txnId = Some(s"st_vt_$batchId")): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     val hist = graft.operators.VersionedTable.versions(s, table)
-    require(hist.map(_._1) == Seq(0, 1),
+    require(hist.map(_.version) == Seq(0, 1),
       s"expected one committed version per micro-batch: $hist")
     require(graft.operators.VersionedTable
       .read(s, table, Some(0)).count() < hist.size +

@@ -30,7 +30,7 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids(2) == (100L until 103L))
     // latest == explicit last version
     assert(VersionedTable.read(spark, t).count() == 3)
-    assert(VersionedTable.versions(spark, t).map(v => (v._1, v._2)) ==
+    assert(VersionedTable.versions(spark, t).map(v => (v.version, v.mode)) ==
       Seq((0, "overwrite"), (1, "append"), (2, "overwrite")))
   }
 
@@ -76,12 +76,12 @@ class VersionedTableSpec extends AnyFunSuite {
     // v0's files are still referenced by v1 (append) — must survive
     assert(v0Files.forall(n => new java.io.File(t, n).exists()),
       "files shared with a retained version must survive expire")
-    assert(VersionedTable.versions(spark, t).map(_._1) == Seq(1, 2))
+    assert(VersionedTable.versions(spark, t).map(_.version) == Seq(1, 2))
     intercept[IllegalArgumentException](VersionedTable.read(spark, t, Some(0)))
     // reads of retained versions unharmed
     assert(VersionedTable.read(spark, t, Some(1)).count() == 20)
     VersionedTable.expire(spark, t, keepLast = 1)
-    assert(VersionedTable.versions(spark, t).map(_._1) == Seq(2))
+    assert(VersionedTable.versions(spark, t).map(_.version) == Seq(2))
     // now v0/v1's exclusive files are gone from disk
     assert(v0Files.forall(n => !new java.io.File(t, n).exists()))
     assert(VersionedTable.read(spark, t).count() == 5)
@@ -95,10 +95,10 @@ class VersionedTableSpec extends AnyFunSuite {
     val log = new java.io.File(t, "_graft_log")
     val racing = new java.io.File(log, "v00001.manifest")
     java.nio.file.Files.write(racing.toPath,
-      "graft-vt-v1\noverwrite\n".getBytes)
+      "graft-vt-v2\noverwrite\ntxn:-\n".getBytes)
     assert(VersionedTable.commit(df(5 until 9), t, overwrite = false) == 2)
     assert(new String(java.nio.file.Files.readAllBytes(racing.toPath))
-      == "graft-vt-v1\noverwrite\n")
+      == "graft-vt-v2\noverwrite\ntxn:-\n")
     // the append at v2 carried v1's (empty) file list + its own files
     assert(VersionedTable.read(spark, t, Some(2)).count() == 4)
   }
@@ -106,5 +106,31 @@ class VersionedTableSpec extends AnyFunSuite {
   test("empty table read fails loudly") {
     val t = tmpTable()
     intercept[IllegalStateException](VersionedTable.read(spark, t))
+  }
+
+  test("txnId commits are idempotent: a replayed batch is a no-op") {
+    val t = tmpTable()
+    assert(VersionedTable.commit(df(0 until 5), t, overwrite = true,
+      txnId = Some("b0")) == 0)
+    assert(VersionedTable.commit(df(5 until 9), t, overwrite = false,
+      txnId = Some("b1")) == 1)
+    // the crash-replay: same batch id offered again -> same version
+    // returned, no new version, no duplicated rows, no new files
+    val filesBefore = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).length
+    assert(VersionedTable.commit(df(5 until 9), t, overwrite = false,
+      txnId = Some("b1")) == 1)
+    assert(VersionedTable.versions(spark, t).map(_.version) == Seq(0, 1))
+    assert(VersionedTable.read(spark, t).count() == 9)
+    assert(new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).length == filesBefore,
+      "a replayed txn must not even stage data")
+    // a NEW id commits normally; history records the ids
+    assert(VersionedTable.commit(df(9 until 10), t, overwrite = false,
+      txnId = Some("b2")) == 2)
+    assert(VersionedTable.versions(spark, t).flatMap(_.txnId) ==
+      Seq("b0", "b1", "b2"))
+    intercept[IllegalArgumentException](VersionedTable.commit(
+      df(0 until 1), t, overwrite = false, txnId = Some("bad\nid")))
   }
 }
