@@ -157,6 +157,28 @@ object VersionedTable {
       new Path(root, f"$LogDir/v$v%05d.manifest"), false))
   }
 
+  /** OPTIMIZE: rewrite the latest version's (typically many small,
+    * per-batch) files into ~`targetFileBytes` files, committed as a
+    * new OVERWRITE version — so compaction is ROLLBACK-ABLE (the
+    * pre-compaction version stays time-travelable until [[expire]])
+    * and never races readers (they hold a manifest). The streaming
+    * sink's natural failure mode — one small file per micro-batch —
+    * is repaired by running this periodically; [[Compact]] is the
+    * equivalent for plain dirs, where the swap must be in-place. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"bad target: $targetFileBytes")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = latestVersion(spark, path).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    val bytes = files(spark, path, v)
+      .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    commit(read(spark, path, Some(v)).repartition(nOut), path,
+      overwrite = true)
+  }
+
   /** Delete data files referenced by NO manifest and older than
     * `ttlMs` — the debris of a crash between PUBLISH and COMMIT. TTL
     * semantics as in [[Vacuum]]: age is the only signal that no

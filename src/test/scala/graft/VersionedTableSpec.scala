@@ -133,4 +133,22 @@ class VersionedTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VersionedTable.commit(
       df(0 until 1), t, overwrite = false, txnId = Some("bad\nid")))
   }
+
+  test("compact: fewer files as a new version; rollback intact") {
+    val t = tmpTable()
+    // 6 tiny per-batch files via 3 appends of 2 partitions each
+    (0 until 3).foreach(i => VersionedTable.commit(
+      df(i * 10 until (i + 1) * 10).repartition(2), t, overwrite = false))
+    assert(VersionedTable.files(spark, t, 2).size == 6)
+    val cv = VersionedTable.compact(spark, t, targetFileBytes = 1L << 30)
+    assert(cv == 3)
+    assert(VersionedTable.files(spark, t, 3).size == 1,
+      "30 rows must compact to one target-size file")
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(3) == (0L until 30L), "compaction is content-invisible")
+    assert(ids(2) == (0L until 30L), "pre-compaction version intact")
+    VersionedTable.expire(spark, t, keepLast = 1)
+    assert(ids(3) == (0L until 30L))
+  }
 }
