@@ -429,13 +429,18 @@ object Streams {
       .start()
     q.awaitTermination()
     val hist = graft.operators.VersionedTable.versions(s, table)
-    require(hist.map(_.version) == Seq(0, 1),
-      s"expected one committed version per micro-batch: $hist")
-    require(graft.operators.VersionedTable
-      .read(s, table, Some(0)).count() < hist.size +
-        graft.operators.VersionedTable.read(s, table, Some(1)).count(),
-      "version 0 must be a strict prefix of the table")
-    graft.operators.VersionedTable.read(s, table)
+    // one committed version per NON-EMPTY micro-batch: 2 on the real
+    // fixture; fewer when a half (or the whole corpus) is empty —
+    // zero-row input returns the deliberate empty frame, not a crash
+    require(hist.map(_.version) == (0 until hist.size),
+      s"non-contiguous version history: $hist")
+    if (hist.size == 2)
+      require(graft.operators.VersionedTable
+        .read(s, table, Some(0)).count() <
+          graft.operators.VersionedTable.read(s, table, Some(1)).count(),
+        "version 0 must be a strict prefix of the table")
+    if (hist.isEmpty) ords.drop("__y").limit(0)
+    else graft.operators.VersionedTable.read(s, table)
   }
 
   /** LATE-DATA drop — the watermark-VIOLATION case the mode matrix
