@@ -151,4 +151,52 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.expire(spark, t, keepLast = 1)
     assert(ids(3) == (0L until 30L))
   }
+
+  test("randomized op-sequence model check (seeded, deterministic)") {
+    // a table driven by a random mix of operations must always agree
+    // with a trivial in-memory model of "content per live version"
+    val rnd = new scala.util.Random(4242)
+    val t = tmpTable()
+    var model = Map.empty[Int, Seq[Long]] // version -> ids
+    var nextBase = 0L
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    model += 0 -> (0L until 5L)
+    nextBase = 100
+    (1 to 18).foreach { _ =>
+      val live = model.keys.toSeq.sorted
+      rnd.nextInt(5) match {
+        case 0 | 1 => // append a fresh chunk
+          val ids = nextBase until nextBase + 3 + rnd.nextInt(5)
+          nextBase = ids.end + 100
+          val v = VersionedTable.commit(
+            df(ids.head.toInt until ids.end.toInt), t, overwrite = false)
+          model += v -> (model(live.last) ++ ids.map(_.toLong))
+        case 2 => // overwrite
+          val ids = nextBase until nextBase + 2 + rnd.nextInt(4)
+          nextBase = ids.end + 100
+          val v = VersionedTable.commit(
+            df(ids.head.toInt until ids.end.toInt), t, overwrite = true)
+          model += v -> ids.map(_.toLong)
+        case 3 => // compact = new version, same content
+          val v = VersionedTable.compact(spark, t, 1L << 30)
+          model += v -> model(live.last)
+        case 4 if live.size > 2 => // expire the oldest
+          val keep = 1 + rnd.nextInt(live.size - 1)
+          VersionedTable.expire(spark, t, keepLast = keep)
+          model = model.filter(kv => live.takeRight(keep).contains(kv._1))
+        case _ => ()
+      }
+      // invariant: every live version reads back exactly its model
+      model.keys.toSeq.sorted.foreach { v =>
+        val got = VersionedTable.read(spark, t, Some(v))
+          .select("id").collect().map(_.getLong(0)).sorted.toSeq
+        assert(got == model(v).sorted,
+          s"version $v diverged: got ${got.size} want ${model(v).size}")
+      }
+      // invariant: vacuum never touches referenced files
+      VersionedTable.vacuumUnreferenced(spark, t, 0L)
+      val latest = model.keys.max
+      assert(VersionedTable.read(spark, t).count() == model(latest).size)
+    }
+  }
 }
