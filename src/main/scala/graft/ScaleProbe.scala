@@ -492,6 +492,41 @@ object ScaleProbe {
       bigEv.unpersist()
     }
 
+    // Hot-key skew on the NATIVE as-of: every event on ONE user —
+    // unsliced, the merge serializes into one task; the sliced-native
+    // lever (composite (key, slice) distribution + boundary repair)
+    // must fan it out while staying checksum-identical.
+    if (stages("asofnativeskew")) {
+      val ev0 = graft.queries.Tables.events(spark, "/root/testdata/sf0.1")
+      val hot = (0 until copies).map { c =>
+        ev0.select((col("event_id") + c * 10000000L).as("event_id"),
+          col("ts"), lit(7L).as("user_id"), col("event_type"), col("value"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] asofnativeskew events on ONE key: ${hot.count()}")
+      val lefts = hot.select(col("user_id"), col("ts"), col("event_id"))
+      val purch = hot.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("p_event_id"), col("value").as("p_value"))
+      def checksum(df: org.apache.spark.sql.DataFrame) = {
+        val r = df.agg(count(lit(1)), count(col("asof_p_event_id")),
+          sum(col("asof_p_value").cast("decimal(18,2)"))).collect()(0)
+        (r.getLong(0), r.getLong(1), r.getDecimal(2))
+      }
+      val slice = 6L * 3600 * 1000000
+      val t0 = System.nanoTime()
+      val csU = checksum(graft.plans.MergeAsOf.join(lefts, purch,
+        "user_id", "ts", Seq("p_event_id", "p_value")))
+      println(f"[probe] native UNSLICED on the hot key: ${(System.nanoTime() - t0) / 1e9}%.1f s (one task)")
+      val t1 = System.nanoTime()
+      val csS = checksum(graft.plans.MergeAsOf.join(lefts, purch,
+        "user_id", "ts", Seq("p_event_id", "p_value"),
+        timeSliceMicros = Some(slice)))
+      println(f"[probe] native SLICED (6h slices): ${(System.nanoTime() - t1) / 1e9}%.1f s")
+      require(csU == csS, s"sliced native diverges: $csU vs $csS")
+      println(s"[probe] asofnativeskew checksum: $csS (sliced == unsliced)")
+      hot.unpersist()
+    }
+
     // Zone-map file pruning at copies× the row count, 64 files: the
     // claim is scan-planning cost — candidate files vs total, and the
     // pruned read vs the full-dir read for a selective band.

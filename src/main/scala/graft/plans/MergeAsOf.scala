@@ -50,24 +50,27 @@ object MergeAsOf {
     * SKEW LEVER (`timeSliceMicros`): the native merge keys its
     * ClusteredDistribution on `keyCol`, so — exactly like SortMergeJoin
     * or a window — one pathologically hot key serializes into one
-    * task, and slicing INSIDE the merge would need the cross-slice
-    * candidate carry that is precisely the declarative path's boundary
-    * -frame machinery. So the lever routes: `timeSliceMicros =
-    * Some(span)` falls back to `operators/AsOfJoin`'s sliced plan
-    * (identical output schema `left.* ++ asof_<payload>`, identical
-    * semantics — DifferentialSpec pins the two paths row-identical),
-    * trading the merge's two-rows-of-state streaming pass for
-    * parallel (key, slice) groups. Pay it when key skew is known;
-    * the hot-key probe numbers are in SCALE.md. */
+    * task. `timeSliceMicros = Some(span)` keeps the NATIVE merge but
+    * re-keys it on the composite `(key, slice)` (see [[slicedNative]]):
+    * a hot key fans out across its slices, each task still holding two
+    * rows of state, and the cross-slice candidates are repaired with
+    * the same O(keys × slices) boundary frame the declarative sliced
+    * plan uses. Identical output schema `left.* ++ asof_<payload>`,
+    * identical semantics — MergeAsOfSpec pins native-sliced ≡
+    * declarative-sliced ≡ unsliced row-identical, boundary timestamps
+    * included. Pay it when key skew is known; probe numbers in
+    * SCALE.md. */
   def join(
       left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
       payloadCols: Seq[String], direction: String = "backward",
       timeSliceMicros: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward|forward|nearest, got $direction")
-    if (timeSliceMicros.isDefined)
-      return graft.operators.AsOfJoin(
-        left, right, keyCol, tsCol, payloadCols, direction, timeSliceMicros)
+    timeSliceMicros.foreach { span =>
+      require(span > 0, s"timeSliceMicros must be positive, got $span")
+      return slicedNative(
+        left, right, keyCol, tsCol, payloadCols, direction, span)
+    }
     val spark = left.sparkSession
     ensureRegistered(spark)
     // Manual pruning: the optimizer does not see through a foreign
@@ -86,6 +89,106 @@ object MergeAsOf {
     Bridge.ofRows(spark, MergeAsOfPlan(
       Bridge.logicalPlan(left), rPlan,
       keyCol, tsCol, payloadCols, direction, payloadAttrs))
+  }
+
+  /** The native merge under time-slice salting. Both sides gain an
+    * exact integer slice (`floor(micros / span)`) and the merge runs
+    * keyed on `struct(key, slice)` — interpreted struct ordering sorts
+    * (key, slice) lexicographically and `EnsureRequirements` hashes the
+    * composite, so a hot key's rows spread across its slices instead of
+    * serializing into one task. What a within-slice merge misses —
+    * candidates in OTHER slices — is repaired from a boundary frame of
+    * per-(key, slice) latest/earliest right payloads, prefix/suffix-
+    * carried on the O(keys × slices) spine (the declarative sliced
+    * plan's machinery, reused shape-for-shape so the two levers stay
+    * semantically twins).
+    *
+    * Correctness of the nearest pick with only the IN-SLICE winner in
+    * hand: a same-side in-slice candidate always beats that side's
+    * cross-slice boundary (strictly closer in time), and when the
+    * in-slice merge had BOTH sides and chose one, the chosen row also
+    * beats the opposite boundary (it beat the opposite in-slice row,
+    * which is itself closer than that boundary). So comparing {chosen
+    * in-slice candidate, __prevp, __nextp} with the standing µs-exact
+    * tie rule (backward on equal deltas) reproduces the global nearest
+    * exactly. */
+  private def slicedNative(
+      lf: DataFrame, rt: DataFrame, keyCol: String, tsCol: String,
+      payloadCols: Seq[String], direction: String, span: Long): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct,
+      unix_micros, max_by, min_by, when, last, first}
+    import org.apache.spark.sql.expressions.Window
+    def usExpr(df: DataFrame): Column = df.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.LongType => col(tsCol)
+      case _ => unix_micros(col(tsCol))
+    }
+    // exact floor division on integer micros (the declarative lever's
+    // rule: a double divide can misround a slice-boundary row)
+    def withSlice(df: DataFrame): DataFrame = {
+      val us = usExpr(df)
+      df.withColumn("__slice",
+        ((us - pmod(us, lit(span))) / lit(span)).cast("long"))
+    }
+    val lS = withSlice(lf)
+      .withColumn("__mk", struct(col(keyCol), col("__slice")))
+    val rS = withSlice(rt)
+      .withColumn("__rts0", usExpr(rt))
+      .withColumn("__mk", struct(col(keyCol), col("__slice")))
+    // boundary frame: per (key, slice) the latest/earliest right
+    // payload, carried across slices — O(keys × slices) rows
+    val plStruct = struct(col("__rts0").as("__rts"),
+      struct(payloadCols.map(col): _*).as("__p"))
+    val bnd = rS.groupBy(col(keyCol), col("__slice"))
+      .agg(max_by(plStruct, col("__rts0")).as("__bndb"),
+        min_by(plStruct, col("__rts0")).as("__bndf"))
+    val spine = lS.select(col(keyCol), col("__slice"))
+      .unionByName(rS.select(col(keyCol), col("__slice"))).distinct()
+      .join(bnd, Seq(keyCol, "__slice"), "left")
+    val wPrev = Window.partitionBy(col(keyCol)).orderBy(col("__slice").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.partitionBy(col(keyCol)).orderBy(col("__slice").asc)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carried = spine
+      .withColumn("__prevp", last(col("__bndb"), ignoreNulls = true).over(wPrev))
+      .withColumn("__nextp", first(col("__bndf"), ignoreNulls = true).over(wNext))
+      .select(col(keyCol), col("__slice"), col("__prevp"), col("__nextp"))
+    // the native merge on the composite key; the right ts rides along
+    // as a payload so candidate EXISTENCE and deltas are observable
+    val merged = join(lS, rS, "__mk", tsCol,
+        payloadCols :+ "__rts0", direction, None)
+      .join(carried, Seq(keyCol, "__slice"), "left")
+    val usL = usExpr(merged)
+    val inTs = col("asof___rts0")
+    val inP = struct(inTs.as("__rts"),
+      struct(payloadCols.map(c => col(s"asof_$c").as(c)): _*).as("__p"))
+    val asof = direction match {
+      case "backward" =>
+        when(inTs.isNotNull, inP).otherwise(col("__prevp"))
+      case "forward" =>
+        when(inTs.isNotNull, inP).otherwise(col("__nextp"))
+      case _ =>
+        // the in-slice winner routes to its own side; the opposite
+        // side's best visible candidate is the boundary (see scaladoc)
+        val bestB = when(inTs.isNotNull && inTs <= usL, inP)
+          .otherwise(col("__prevp"))
+        val bestF = when(inTs.isNotNull && inTs > usL, inP)
+          .otherwise(col("__nextp"))
+        when(bestF.isNull, bestB)
+          .when(bestB.isNull, bestF)
+          .when(usL - bestB.getField("__rts") <=
+            bestF.getField("__rts") - usL, bestB)
+          .otherwise(bestF)
+    }
+    // null-key/null-ts left rows match nothing (classic-path contract);
+    // their carried boundary is already null (null never joins), but
+    // guard explicitly so the contract never rests on join semantics
+    val guarded = when(col(keyCol).isNotNull && col(tsCol).isNotNull, asof)
+    val out = merged.withColumn("__asof", guarded)
+    payloadCols.foldLeft(out) { (df, c) =>
+      df.withColumn(s"asof_$c", col(s"__asof.__p.$c"))
+    }.select(lf.columns.map(col).toSeq ++
+      payloadCols.map(c => col(s"asof_$c")): _*)
   }
 
   /** Idempotent strategy registration (public `experimental` hook —

@@ -95,4 +95,69 @@ class MergeAsOfSpec extends AnyFunSuite {
       .collect().map(row => row.getInt(2) -> Option(row.get(3))).toMap
     assert(got(1).contains(10.0) && got(2).contains(20.0) && got(3).isEmpty)
   }
+
+  test("SLICED native == declarative sliced == unsliced, 3 directions") {
+    // events fixture + planted slice-BOUNDARY timestamps: right rows
+    // exactly on multiples of the span, left probes on/either side
+    val span = 6L * 3600 * 1000000 // 6h slices
+    val l0 = events.where(col("event_id") % 2 === 1)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val r0 = events.where(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("ts"), col("value"))
+    val edge = (1 to 8).map { i =>
+      val us = (1700000000000000L / span + i) * span // exact boundary
+      (999L, new Timestamp(us / 1000), Some(i * 1.0))
+    }
+    val lEdge = edge.map { case (u, t0, _) => (u, t0, 1L) }
+      .toDF("user_id", "ts", "event_id")
+    val rEdge = edge.toDF("user_id", "ts", "value")
+    val l = l0.unionByName(lEdge)
+    val r = r0.unionByName(rEdge)
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val unsliced = MergeAsOf.join(l, r, "user_id", "ts", Seq("value"), dir)
+      val declSliced = AsOfJoin(l, r, "user_id", "ts", Seq("value"), dir,
+        timeSliceMicros = Some(span))
+      val natSliced = MergeAsOf.join(l, r, "user_id", "ts", Seq("value"),
+        dir, timeSliceMicros = Some(span))
+      assert(natSliced.columns.toSeq == unsliced.columns.toSeq)
+      assert(canon(natSliced) == canon(unsliced), s"native sliced vs unsliced, $dir")
+      assert(canon(natSliced) == canon(declSliced), s"native vs declarative sliced, $dir")
+    }
+  }
+
+  test("sliced native: null keys/timestamps never match (guard, not join luck)") {
+    val span = 60L * 1000000
+    val l = Seq(
+      (Some(1L), Some(ts(10)), 100L),
+      (None, Some(ts(10)), 101L),
+      (Some(1L), None, 102L)
+    ).toDF("k", "ts", "id")
+    val r = Seq(
+      (Some(1L), Some(ts(5)), Some(5.0)),
+      (None, Some(ts(5)), Some(6.0)),
+      (Some(1L), None, Some(7.0))
+    ).toDF("k", "ts", "v")
+    Seq("backward", "forward", "nearest").foreach { dir =>
+      val natRows = MergeAsOf.join(l, r, "k", "ts", Seq("v"), dir,
+          timeSliceMicros = Some(span))
+        .collect().map(x => (x.getLong(2), Option(x.get(3)))).toMap
+      val expected = dir match {
+        case "forward" => Map(100L -> None, 101L -> None, 102L -> None)
+        case _ => Map(100L -> Some(5.0), 101L -> None, 102L -> None)
+      }
+      assert(natRows == expected, s"dir $dir: $natRows")
+    }
+  }
+
+  test("sliced native plan: merge keyed on the composite, no key-only exchange") {
+    val span = 6L * 3600 * 1000000
+    val l = events.select(col("user_id"), col("ts"), col("event_id"))
+    val r = events.select(col("user_id"), col("ts"), col("value"))
+    val df = MergeAsOf.join(l, r, "user_id", "ts", Seq("value"),
+      "backward", timeSliceMicros = Some(span))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("MergeAsOf"), "native operator must still run:\n" + p.take(1500))
+    assert(p.contains("__mk"), "merge must key on the composite (key, slice):\n" + p.take(1500))
+  }
 }
