@@ -171,6 +171,26 @@ object Events {
         col("asof_p_event_id"), col("asof_p_value"))
   }
 
+  // NATIVE sliced as-of: the same 6-hour-slice skew lever executed by
+  // the native merge on the composite (key, slice) distribution with
+  // boundary repair (plans/MergeAsOf.slicedNative). Shares the plain
+  // ASOF oracle — slicing AND the native execution must both be
+  // value-invisible.
+  val evAsofNativeSliced: Q = (s, d) => {
+    val ev = events(s, d)
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    graft.plans.MergeAsOf.join(errors, purchases, "user_id", "ts",
+      Seq("p_event_id", "p_value"),
+      timeSliceMicros = Some(6L * 3600 * 1000000))
+      .select(col("user_id"), col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+        col("asof_p_event_id"), col("asof_p_value"))
+  }
+
   // RESAMPLE + FORWARD-FILL: each user's purchase value re-gridded to a
   // daily series over their active span, gaps carrying the last
   // observation forward — the classic time-series gap-fill, composed
@@ -626,6 +646,7 @@ object Events {
     "ev_asof_forward" -> evAsofForward,
     "ev_asof_nearest" -> evAsofNearest,
     "ev_asof_sliced" -> evAsofSliced,
+    "ev_asof_native_sliced" -> evAsofNativeSliced,
     "ev_resample_ffill" -> evResampleFfill,
     "ev_range_join" -> evRangeJoin,
     "ev_funnel" -> evFunnel,
@@ -647,7 +668,8 @@ object Events {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     // native-operator direction variants share the declarative oracles
     "ev_asof_native_fwd" -> oraclesBase("ev_asof_forward"),
-    "ev_asof_native_near" -> oraclesBase("ev_asof_nearest"))
+    "ev_asof_native_near" -> oraclesBase("ev_asof_nearest"),
+    "ev_asof_native_sliced" -> oraclesBase("ev_asof_sliced"))
 
   private lazy val oraclesBase: Map[String, String] = Map(
     // Same parity assignment, per-user conversion, pooled z replayed
