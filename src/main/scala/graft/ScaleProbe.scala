@@ -404,13 +404,14 @@ object ScaleProbe {
         // The NATIVE operator under the same hot key: its
         // ClusteredDistribution(key) serializes the hot key into one
         // merge task exactly like the window — and its skew lever is
-        // the ROUTED timeSliceMicros fallback (MergeAsOf.join hands the
-        // sliced request to the declarative plan). The pair of timings
-        // is SCALE.md's native-operator hot-key number.
+        // now the NATIVE sliced merge (composite (key, slice)
+        // distribution + boundary repair; see `asofnativeskew` for the
+        // dedicated asymptote probe). The pair of timings is SCALE.md's
+        // native-operator hot-key number.
         val csN = time2(s"$label NATIVE MergeAsOf (hot key = one merge task)")(
           checksum(graft.plans.MergeAsOf.join(lefts, purch, "user_id", "ts",
             Seq("p_event_id", "p_value"))))
-        val csNS = time2(s"$label NATIVE routed to sliced fallback (6h)")(
+        val csNS = time2(s"$label NATIVE sliced merge (6h)")(
           checksum(graft.plans.MergeAsOf.join(lefts, purch, "user_id", "ts",
             Seq("p_event_id", "p_value"),
             timeSliceMicros = Some(6L * 3600 * 1000000))))

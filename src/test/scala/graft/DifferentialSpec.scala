@@ -359,6 +359,13 @@ class DifferentialSpec extends AnyFunSuite {
       val sliced = AsOfJoin(l, r, "key", "ts", Seq("px"), dir,
         timeSliceMicros = Some(span)).collect().map(_.toSeq).toSet
       assert(sliced == base, s"direction=$dir span=$span")
+      // the NATIVE sliced merge under the same randomized sweep — the
+      // composite-key + boundary-repair path must match the reference
+      // semantics at every span, including the degenerate ones
+      val natSliced = graft.plans.MergeAsOf.join(
+        l, r, "key", "ts", Seq("px"), dir,
+        timeSliceMicros = Some(span)).collect().map(_.toSeq).toSet
+      assert(natSliced == base, s"NATIVE direction=$dir span=$span")
     }
   }
 }
