@@ -623,6 +623,57 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 
+    // Approx-distinct rewrite at copies×: exact count(DISTINCT hi-card
+    // key) per group vs the HLL++ rewrite — the claim is shuffle sized
+    // by GROUPS (sketches) instead of DATA (distinct pairs).
+    if (stages("approxdistinct")) {
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+      val bigLi = (0 until copies).map { c =>
+        li.select(col("l_returnflag"),
+          (col("l_orderkey") * 1000 + c).as("k"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] approxdistinct rows: ${bigLi.count()}")
+      graft.GraftExtensions.register(spark)
+      def q() = bigLi.groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("k")).as("nd"))
+      val exact = time("exact count(DISTINCT) (shuffle = data)")(
+        q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      spark.conf.set(graft.plans.ApproxDistinctRewrite.EnabledKey, "true")
+      val est = try time("HLL++ rewrite (shuffle = groups)")(
+        q().collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      finally spark.conf.unset(graft.plans.ApproxDistinctRewrite.EnabledKey)
+      est.foreach { case (k, e) =>
+        val ex = exact(k).toDouble
+        println(f"[probe] approxdistinct $k: est $e vs exact ${ex.toLong} (${(e / ex - 1) * 100}%.2f%%)")
+        require(math.abs(e / ex - 1.0) <= 0.15, s"estimate out of contract for $k")
+      }
+      bigLi.unpersist()
+    }
+
+    // Quality audit at copies×: the one-scan claim measured against the
+    // naive one-query-per-rule formulation.
+    if (stages("qaudit")) {
+      val bigDocs = (0 until copies).map { c =>
+        docs.select((col("doc_id") + c * 1000000L).as("doc_id"),
+          col("text"), col("lang"))
+      }.reduce(_ union _).localCheckpoint()
+      println(s"[probe] qaudit docs: ${bigDocs.count()}")
+      val rules = Seq(
+        "text_not_null" -> col("text").isNotNull,
+        "text_nonempty" -> (length(col("text")) > 0),
+        "lang_wellformed" -> length(col("lang")).between(2, 3),
+        "id_nonneg" -> (col("doc_id") >= 0),
+        "text_short" -> (length(col("text")) < 100000))
+      time(s"QualityAudit: ${rules.size} rules, ONE scan")(
+        graft.operators.QualityAudit.audit(bigDocs, rules).collect())
+      time(s"naive: ${rules.size} rules, one scan EACH")(
+        rules.foreach { case (_, pred) =>
+          bigDocs.agg(sum(when(coalesce(pred, lit(false)), 0L)
+            .otherwise(1L))).collect()
+        })
+      bigDocs.unpersist()
+    }
+
     // Versioned-table commit economics at copies× history: an append
     // commit's cost is O(new files) renames + one manifest write —
     // flat as history grows — vs the rewrite a non-versioned "keep
