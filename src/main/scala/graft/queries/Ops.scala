@@ -427,6 +427,62 @@ object Ops {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
   }
 
+  // Zone-map INCREMENTAL refresh end to end: build the manifest on the
+  // initial clustered layout, APPEND two new files (stale manifest —
+  // prunedRead refuses), refresh (only the new files are scanned), and
+  // the pruned range read must again equal the plain filter over the
+  // grown table. Exercises operators/ZoneMapIndex.refresh through the
+  // driver oracle, not just ZoneMapSpec.
+  val opZonemapRefresh: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_zmapr_")
+    val li = lineitem(s, d)
+    li.where(col("l_linenumber") <= 4)
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(dir.getAbsolutePath)
+    Sources.registerCleanup(dir)
+    graft.operators.ZoneMapIndex.build(s, dir.getAbsolutePath,
+      Seq("l_orderkey"))
+    li.where(col("l_linenumber") === 5).coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    li.where(col("l_linenumber") >= 6).coalesce(1)
+      .write.mode("append").parquet(dir.getAbsolutePath)
+    val (fresh, dropped) =
+      graft.operators.ZoneMapIndex.refresh(s, dir.getAbsolutePath)
+    require(fresh == 2 && dropped == 0,
+      s"refresh should index exactly the 2 appended files: ($fresh, $dropped)")
+    graft.operators.ZoneMapIndex.prunedRead(s, dir.getAbsolutePath,
+      "l_orderkey", 1000L, 3000L)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  // Versioned-table OPTIMIZE as a driver entry: three small appends
+  // accrete many tiny files; compact() rewrites the latest version into
+  // one target-size file as a NEW version (rollback-able — v2 stays
+  // time-travelable), and the read must be content-invisible. The
+  // oracle is the source table.
+  val opVtCompact: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_vtc_")
+    Sources.registerCleanup(dir)
+    val t0 = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    for (m <- 0 until 3)
+      graft.operators.VersionedTable.commit(
+        docs.where(pmod(col("doc_id"), lit(3)) === m).repartition(2),
+        t0, overwrite = false)
+    val before = graft.operators.VersionedTable.files(s, t0, 2).size
+    val cv = graft.operators.VersionedTable.compact(s, t0,
+      targetFileBytes = 1L << 30)
+    val after = graft.operators.VersionedTable.files(s, t0, cv).size
+    require(after < before,
+      s"compaction must shrink the file count: $before -> $after")
+    require(graft.operators.VersionedTable.read(s, t0, Some(2)).count() ==
+      graft.operators.VersionedTable.read(s, t0).count(),
+      "pre-compaction version must stay readable and equal")
+    graft.operators.VersionedTable.read(s, t0)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+  }
+
   // Incremental aggregate maintenance: a (priority × month) revenue
   // rollup initialized from pre-1995 orders, then TWO delta batches
   // (1995, post-1995) folded in at rest — each apply costs
@@ -441,10 +497,12 @@ object Ops {
     val dir = Sources.fixtureDir(s, "graft_incragg_")
     Sources.registerCleanup(dir)
     val path = s"${dir.getAbsolutePath}/state"
+    // fixture orders span 1995-2001: cuts at 1996/1998 make all THREE
+    // batches genuinely non-empty (a pre-1995 init batch was empty)
     for (b <- Seq(
-        withMonth.where(year(col("o_orderdate")) < 1995),
-        withMonth.where(year(col("o_orderdate")) === 1995),
-        withMonth.where(year(col("o_orderdate")) > 1995)))
+        withMonth.where(year(col("o_orderdate")) <= 1996),
+        withMonth.where(year(col("o_orderdate")).between(1997, 1998)),
+        withMonth.where(year(col("o_orderdate")) > 1998)))
       graft.operators.IncrementalAgg.applyAtRest(
         s, path, b, keys, Seq("o_totalprice"))
     graft.operators.IncrementalAgg.withDerived(
@@ -653,6 +711,8 @@ object Ops {
   val queries: Map[String, Q] = Map(
     "op_approx_rewrite" -> opApproxRewrite,
     "op_quality_audit" -> opQualityAudit,
+    "op_zonemap_refresh" -> opZonemapRefresh,
+    "op_vt_compact" -> opVtCompact,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
@@ -801,6 +861,16 @@ object Ops {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd,
         |  TRUE AS grp_ok, TRUE AS global_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Refresh + pruning must be result-invisible: plain range filter
+    // over the FULL grown table.
+    "op_zonemap_refresh" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // Compaction is content-invisible: the source table.
+    "op_vt_compact" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h
+        |FROM documents""".stripMargin,
     // Zone-map planning must be result-invisible: plain range filter.
     "op_zonemap_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
