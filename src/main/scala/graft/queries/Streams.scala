@@ -443,6 +443,68 @@ object Streams {
     else graft.operators.VersionedTable.read(s, table)
   }
 
+  /** QUALITY-GATED streaming publish — the production composition of
+    * the round's pieces: every micro-batch is audited
+    * ([[graft.operators.QualityAudit]], one scan) and COMMITTED to the
+    * versioned table only if every rule passes; a failing batch routes
+    * whole to a quarantine sink (dead-letter for reprocess) and the
+    * table never sees it. Three chronological batches: two clean, one
+    * with planted violations (negated prices). The entry requires the
+    * version history to show exactly the clean commits and the
+    * quarantine to hold exactly the bad batch; the oracle is the clean
+    * subset — a leaked bad row or a dropped clean one flips the hash. */
+  val stQualityGate: Q = (s, d) => withStreamPartitions(s, 4) {
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stqg_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val quarantine = s"${dir.getAbsolutePath}/quarantine"
+    val cdcDir = Sources.fixtureDir(s, "graft_stqg_cdc_")
+    val t0 = System.currentTimeMillis() - 180000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1997).drop("__y"), cdcDir, "a.parquet", t0)
+    // the BAD batch: 1998's prices negated — violates price_positive
+    Sources.writeOrderedPart(
+      ords.where(col("__y") === 1998).drop("__y")
+        .withColumn("o_totalprice", -col("o_totalprice")),
+      cdcDir, "b.parquet", t0 + 60000)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1998).drop("__y"), cdcDir, "c.parquet",
+      t0 + 120000)
+    val schema = ords.drop("__y").schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val report = graft.operators.QualityAudit.audit(batch, Seq(
+            "key_not_null" -> col("o_orderkey").isNotNull,
+            "price_positive" -> (col("o_totalprice") > 0)))
+          if (report.where(!col("pass")).isEmpty)
+            graft.operators.VersionedTable.commit(batch, table,
+              overwrite = false, txnId = Some(s"qg_$batchId")): Unit
+          else batch.write.mode("append").parquet(quarantine)
+        }
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = graft.operators.VersionedTable.versions(s, table)
+    val nBad = ords.where(col("__y") === 1998).count()
+    if (nBad > 0) {
+      require(s.read.parquet(quarantine).count() == nBad,
+        "the bad batch must land whole in quarantine")
+      require(hist.size + 1 >= 2, s"clean batches must commit: $hist")
+      require(graft.operators.VersionedTable.read(s, table)
+        .where(col("o_totalprice") <= 0).count() == 0,
+        "no violating row may reach the published table")
+    }
+    if (hist.isEmpty) ords.drop("__y").limit(0)
+    else graft.operators.VersionedTable.read(s, table)
+  }
+
   /** LATE-DATA drop — the watermark-VIOLATION case the mode matrix
     * lacked: the OLDER half of the fixture arrives LAST, wholly behind
     * the watermark, and the aggregation must refuse it (Spark's
@@ -521,6 +583,7 @@ object Streams {
     "st_merge_upsert" -> stMergeUpsert,
     "st_incr_agg" -> stIncrAgg,
     "st_versioned_sink" -> stVersionedSink,
+    "st_quality_gate" -> stQualityGate,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
     "st_dedup_keys" -> stDedupKeys,
@@ -543,6 +606,11 @@ object Streams {
     // Append commits union to the source: batch boundaries invisible.
     "st_versioned_sink" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // Only the clean batches publish: 1998 (the planted-violation
+    // batch) must be wholly absent.
+    "st_quality_gate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE year(o_orderdate) <> 1998""".stripMargin,
     // ev_anomaly's exact-moment z arithmetic + st_hourly's append
     // emission rule (window end + 1h watermark <= ms-trunc(max ts)).
     "st_anomaly" ->
