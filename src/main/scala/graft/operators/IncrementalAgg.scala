@@ -76,15 +76,30 @@ object IncrementalAgg {
           floor(col(s"sum_$c") / col("n_rows") * 1e6 + 0.5) / 1e6)
     }
 
+  /** Name of the applied-transaction sidecar INSIDE the state dir (the
+    * `_` prefix keeps parquet readers from seeing it as data). Riding
+    * inside the dir means the txn list and the state it describes swap
+    * ATOMICALLY in the same rename — they can never disagree. */
+  private val TxnsName = "_graft_txns"
+
   /** Maintain the state AT REST: read the snapshot at `path`, fold the
     * (raw) delta batch in, swap via [[SnapshotMerge.applyAtRest]]'s
-    * temp+rename discipline — crash-repairing on entry, so this is
-    * safe as a streaming `foreachBatch` body. Initializes the snapshot
-    * from the delta alone on first call. */
+    * temp+rename discipline — crash-repairing on entry.
+    *
+    * EXACTLY-ONCE under replay requires `txnId` (pass the foreachBatch
+    * batchId): each applied id is recorded in a sidecar that swaps
+    * atomically with the state, and a replayed id no-ops. Without a
+    * txnId the fold is only crash-consistent / at-least-once — a
+    * micro-batch replayed after a successful apply but before the
+    * stream checkpoint advances would double-count; callers omitting
+    * it must dedup batches upstream. */
   def applyAtRest(
       spark: SparkSession, path: String, delta: DataFrame,
-      keys: Seq[String], measures: Seq[String]): Unit = {
+      keys: Seq[String], measures: Seq[String],
+      txnId: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
+    require(txnId.forall(t => t.nonEmpty && !t.exists(_ <= ' ')),
+      s"txnId must be non-empty with no whitespace: $txnId")
     val src = new Path(path)
     val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(src.getParent, s".${src.getName}__agg_tmp")
@@ -95,15 +110,36 @@ object IncrementalAgg {
       require(fs.rename(bak, src), s"zone recovery: $bak -> $src failed")
     else if (fs.exists(bak)) fs.delete(bak, true)
     if (fs.exists(tmp)) fs.delete(tmp, true)
+    val applied = appliedTxns(fs, src)
+    if (txnId.exists(applied.contains)) return // replayed batch: no-op
     val d = partial(delta, keys, measures)
     if (!fs.exists(src)) {
       d.write.parquet(tmp.toString)
+      txnId.foreach(t => writeTxns(fs, tmp, Seq(t)))
       require(fs.rename(tmp, src), s"agg init: $tmp -> $src failed")
     } else {
       combine(spark.read.parquet(path), d, keys).write.parquet(tmp.toString)
+      txnId.foreach(t => writeTxns(fs, tmp, applied :+ t))
       require(fs.rename(src, bak), s"agg swap: $src -> $bak failed")
       require(fs.rename(tmp, src), s"agg swap: $tmp -> $src failed")
       fs.delete(bak, true)
     }
+  }
+
+  private def appliedTxns(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, TxnsName)
+    if (!fs.exists(p)) return Seq.empty
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def writeTxns(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, ids: Seq[String]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, TxnsName), true)
+    try out.write(ids.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
   }
 }

@@ -519,10 +519,18 @@ object Events {
         expr(s"s_us div $dayUs"), expr(s"e_us div $dayUs"))).as("dnum"))
       .distinct()
       .withColumn("day_us", col("dnum") * dayUs)
-    val deltas = sess.select(col("s_us").as("ts_us"), lit(1L).as("delta"))
-      .unionAll(sess.select((col("e_us") + 1).as("ts_us"),
-        lit(-1L).as("delta")))
-      .groupBy(expr(s"ts_us div $dayUs").as("dnum"), col("ts_us"))
+    // The end delta is CLAMPED to the session's own day (dnum from
+    // e_us, not e_us+1): a session ending at a day's last microsecond
+    // would otherwise emit its −1 as the NEXT day's leading delta —
+    // a day where it was never counted (carry-in needs e_us >= day_us)
+    // — depressing that day's prefix sums. Within the owning day the
+    // +1 offset still orders the decrement after every same-instant
+    // arrival (inclusive-end semantics), since e_us+1 > any in-day ts.
+    val deltas = sess.select(expr(s"s_us div $dayUs").as("dnum"),
+        col("s_us").as("ts_us"), lit(1L).as("delta"))
+      .unionAll(sess.select(expr(s"e_us div $dayUs").as("dnum"),
+        (col("e_us") + 1).as("ts_us"), lit(-1L).as("delta")))
+      .groupBy(col("dnum"), col("ts_us"))
       .agg(sum(col("delta")).as("net"))
     val dw = Window.partitionBy(col("dnum")).orderBy(col("ts_us"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -697,7 +705,8 @@ object Events {
         |      * (1.0 / na + 1.0 / nb))) * 1000000 + 0.5) / 1000000
         |    END AS z
         |  FROM w)
-        |SELECT v.variant, v.n_users, v.n_conv,
+        |SELECT v.variant, v.n_users,
+        |  CAST(v.n_conv AS BIGINT) AS n_conv,
         |  floor(CAST(v.n_conv AS DOUBLE) / v.n_users * 1000000 + 0.5)
         |    / 1000000 AS conv_rate, z.z
         |FROM v CROSS JOIN z""".stripMargin,
@@ -832,11 +841,12 @@ object Events {
         |  FROM sess, unnest(generate_series(
         |    s_us // 86400000000, e_us // 86400000000)) u(dnum)),
         |deltas AS (
-        |  SELECT ts_us // 86400000000 AS dnum, ts_us, sum(delta) AS net
+        |  SELECT dnum, ts_us, sum(delta) AS net
         |  FROM (
-        |    SELECT s_us AS ts_us, 1 AS delta FROM sess
+        |    SELECT s_us // 86400000000 AS dnum, s_us AS ts_us, 1 AS delta
+        |    FROM sess
         |    UNION ALL
-        |    SELECT e_us + 1, -1 FROM sess)
+        |    SELECT e_us // 86400000000, e_us + 1, -1 FROM sess)
         |  GROUP BY 1, 2),
         |runs AS (
         |  SELECT dnum, max(run) AS max_run FROM (

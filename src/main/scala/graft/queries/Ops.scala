@@ -483,6 +483,94 @@ object Ops {
       .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
   }
 
+  // Manifest-stats scan planning over a VERSIONED table: v0 commits
+  // half of lineitem range-clustered on l_orderkey (8 files, per-file
+  // min/max harvested from parquet footers into the manifest), v1
+  // appends the other half (stats columns inherited), v2 overwrites
+  // with an empty frame — and the range read is planned from v1's
+  // MANIFEST ALONE, composing time travel with file skipping: only
+  // span-overlapping files of the TIME-TRAVELED version are opened
+  // (gated below), no sidecar, no refresh step. The oracle is the
+  // plain range filter over the full table: manifest planning must be
+  // result-invisible, and reading v1 (not the empty latest) is what
+  // the oracle checks.
+  val opVtPrunedRead: Q = (s, d) => {
+    val dir = Sources.fixtureDir(s, "graft_vtpr_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    graft.operators.VersionedTable.commit(
+      li.where(col("l_linenumber") <= 4)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    graft.operators.VersionedTable.commit(
+      li.where(col("l_linenumber") >= 5)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = false)
+    graft.operators.VersionedTable.commit(li.limit(0), t, overwrite = true)
+    val entries = graft.operators.VersionedTable.readEntries(s, t, 1)
+    val keep = graft.operators.VersionedTable.pruneEntries(
+      entries, "l_orderkey", 1000L, 3000L)
+    require(entries.isEmpty || keep.size < entries.size,
+      s"manifest stats must prune files: ${keep.size}/${entries.size}")
+    graft.operators.VersionedTable.prunedRead(
+      s, t, "l_orderkey", 1000L, 3000L, asOfVersion = Some(1))
+  }
+
+  // Row-level DELETE as a versioned commit: the table is committed
+  // range-clustered on doc_id, then the low-id fifth is deleted via
+  // VersionedTable.deleteWhere — only the files whose manifest span
+  // holds matching rows are rewritten; the rest carry into the new
+  // version BY REFERENCE (gated below). The pre-delete version stays
+  // readable and whole until expire(); a replayed delete (same txnId)
+  // no-ops; after expire + vacuum only the latest version's files
+  // remain on disk. The oracle is the anti-filter over the source
+  // table.
+  val opVtDelete: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtd_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    val mx = docs.agg(max(col("doc_id"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val cut = mx.getLong(0) / 5
+      val pred = col("doc_id") <= cut
+      val preFiles = VersionedTable.files(s, t, 0).toSet
+      val v = VersionedTable.deleteWhere(s, t, pred,
+        txnId = Some("vtd_del1"))
+      require(v == 1, s"delete must commit version 1, got $v")
+      // untouched files carry by reference — the delete must NOT have
+      // rewritten the whole table
+      val carried = VersionedTable.files(s, t, 1).toSet.intersect(preFiles)
+      require(carried.nonEmpty,
+        "a range delete over a range-clustered table must carry files")
+      require(VersionedTable.read(s, t, Some(0)).count() == docs.count(),
+        "the pre-delete version must stay whole")
+      require(VersionedTable.deleteWhere(s, t, pred,
+        txnId = Some("vtd_del1")) == v,
+        "a replayed delete (same txnId) must no-op")
+      VersionedTable.expire(s, t, keepLast = 1)
+      VersionedTable.vacuumUnreferenced(s, t, 0L)
+      val live = VersionedTable.files(s, t, v).toSet
+      val onDisk = new java.io.File(t).listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+      require(onDisk == live,
+        s"after expire+vacuum only v$v's files remain: $onDisk vs $live")
+    }
+    VersionedTable.read(s, t)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        col("source"))
+  }
+
   // Incremental aggregate maintenance: a (priority × month) revenue
   // rollup initialized from pre-1995 orders, then TWO delta batches
   // (1995, post-1995) folded in at rest — each apply costs
@@ -713,6 +801,8 @@ object Ops {
     "op_quality_audit" -> opQualityAudit,
     "op_zonemap_refresh" -> opZonemapRefresh,
     "op_vt_compact" -> opVtCompact,
+    "op_vt_pruned_read" -> opVtPrunedRead,
+    "op_vt_delete" -> opVtDelete,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
@@ -843,7 +933,8 @@ object Ops {
         |  SELECT 'doc_id_unique', coalesce((SELECT sum(c) FROM (
         |    SELECT count(*) AS c FROM documents WHERE doc_id IS NOT NULL
         |    GROUP BY doc_id HAVING count(*) > 1)), 0))
-        |SELECT r.rule, n.n_rows, r.v AS n_violations, r.v = 0 AS pass
+        |SELECT r.rule, n.n_rows, CAST(r.v AS BIGINT) AS n_violations,
+        |  r.v = 0 AS pass
         |FROM r CROSS JOIN n""".stripMargin,
     // The time-traveled middle version IS the full corpus (v0 even ids
     // + v1 append of the odd ids), regardless of what v2 dropped.
@@ -871,6 +962,21 @@ object Ops {
     "op_vt_compact" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h
         |FROM documents""".stripMargin,
+    // Manifest-stats planning over the time-traveled version must be
+    // result-invisible: plain range filter over the full table (v1 =
+    // both halves; the empty v2 overwrite must NOT be what's read).
+    "op_vt_pruned_read" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // A versioned delete must equal the anti-filter (null doc_ids are
+    // kept: SQL WHERE-delete semantics remove only predicate-TRUE
+    // rows). The cut replays the engine's integer max/5.
+    "op_vt_delete" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents
+        |WHERE doc_id IS NULL
+        |   OR doc_id > (SELECT max(doc_id) // 5 FROM documents)""".stripMargin,
     // Zone-map planning must be result-invisible: plain range filter.
     "op_zonemap_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

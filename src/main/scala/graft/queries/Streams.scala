@@ -369,10 +369,11 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
     val q = stream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.IncrementalAgg.applyAtRest(
-            s, statePath, batch, keys, Seq("o_totalprice"))
+            s, statePath, batch, keys, Seq("o_totalprice"),
+            txnId = Some(s"st_ia_$batchId"))
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -448,11 +449,15 @@ object Streams {
     * ([[graft.operators.QualityAudit]], one scan) and COMMITTED to the
     * versioned table only if every rule passes; a failing batch routes
     * whole to a quarantine sink (dead-letter for reprocess) and the
-    * table never sees it. Three chronological batches: two clean, one
-    * with planted violations (negated prices). The entry requires the
-    * version history to show exactly the clean commits and the
-    * quarantine to hold exactly the bad batch; the oracle is the clean
-    * subset — a leaked bad row or a dropped clean one flips the hash. */
+    * table never sees it. BOTH lanes are exactly-once: commit and
+    * quarantine each go through `VersionedTable.commit` with a
+    * batchId-derived txnId, so a micro-batch replayed after a crash
+    * no-ops on whichever side it already landed. Three chronological
+    * batches: two clean, one with planted violations (negated prices).
+    * The entry requires the version history to show exactly the clean
+    * commits and the quarantine to hold exactly the bad batch; the
+    * oracle is the clean subset — a leaked bad row or a dropped clean
+    * one flips the hash. */
   val stQualityGate: Q = (s, d) => withStreamPartitions(s, 4) {
     val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
       col("o_totalprice"), year(col("o_orderdate")).as("__y"))
@@ -485,7 +490,14 @@ object Streams {
           if (report.where(!col("pass")).isEmpty)
             graft.operators.VersionedTable.commit(batch, table,
               overwrite = false, txnId = Some(s"qg_$batchId")): Unit
-          else batch.write.mode("append").parquet(quarantine)
+          else
+            // Dead-letter through the SAME idempotent commit protocol
+            // as the table side: a bare append would double-write the
+            // bad batch when a replay follows a crash after the write
+            // but before the checkpoint advances. With a txnId the
+            // replay no-ops and the quarantine is exactly-once too.
+            graft.operators.VersionedTable.commit(batch, quarantine,
+              overwrite = false, txnId = Some(s"qg_bad_$batchId")): Unit
         }
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -494,7 +506,8 @@ object Streams {
     val hist = graft.operators.VersionedTable.versions(s, table)
     val nBad = ords.where(col("__y") === 1998).count()
     if (nBad > 0) {
-      require(s.read.parquet(quarantine).count() == nBad,
+      require(graft.operators.VersionedTable.read(s, quarantine)
+          .count() == nBad,
         "the bad batch must land whole in quarantine")
       require(hist.size + 1 >= 2, s"clean batches must commit: $hist")
       require(graft.operators.VersionedTable.read(s, table)

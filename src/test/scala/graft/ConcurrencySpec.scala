@@ -77,4 +77,17 @@ class ConcurrencySpec extends AnyFunSuite {
     out.foreach { case (day, m) =>
       assert(m >= 1 && m <= users, s"$day peak $m out of range") }
   }
+
+  test("a session ending at a day's last microsecond stays in its day") {
+    // u1's point session ends at 23:59:59.999999 — its sweep decrement
+    // (emitted at e_us+1, which is numerically the NEXT day's first
+    // microsecond) must be CLAMPED into day 1: placed in day 2 it
+    // would be a spurious leading −1 there, depressing day 2's prefix
+    // sums so u2's solo session would score peak 0 instead of 1.
+    val lastUs = Timestamp.valueOf("2024-03-01 23:59:59.999999")
+    val out = run(Seq(
+      (1L, lastUs, 1L),
+      (2L, ts("2024-03-02 08:00:00"), 2L)))
+    assert(out == Map("2024-03-01" -> 1L, "2024-03-02" -> 1L))
+  }
 }

@@ -101,4 +101,40 @@ class IncrementalAggSpec extends AnyFunSuite {
       IncrementalAgg.combine(st, bad, Seq("k"))
     }
   }
+
+  test("txnId replay is a no-op: exactly-once under the crash window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ia_txn_")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/state"
+    val keys = Seq("k")
+    val b1 = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    val b2 = Seq(("a", 10.0)).toDF("k", "v")
+    IncrementalAgg.applyAtRest(spark, path, b1, keys, Seq("v"),
+      txnId = Some("batch-0"))
+    IncrementalAgg.applyAtRest(spark, path, b2, keys, Seq("v"),
+      txnId = Some("batch-1"))
+    def snap() = spark.read.parquet(path)
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = snap()
+    assert(want == Set(("a", 2L, 11.0), ("b", 1L, 2.0)))
+    // the exact crash window from the advisory: the batch applied,
+    // Spark's checkpoint did not advance, the stream replays it
+    IncrementalAgg.applyAtRest(spark, path, b2, keys, Seq("v"),
+      txnId = Some("batch-1"))
+    assert(snap() == want, "a replayed txn must not double-count")
+    // a replayed INIT batch (first-apply crash window) also no-ops
+    IncrementalAgg.applyAtRest(spark, path, b1, keys, Seq("v"),
+      txnId = Some("batch-0"))
+    assert(snap() == want)
+    // WITHOUT a txnId the fold is at-least-once by contract: the same
+    // delta applied twice double-counts — the documented contrast
+    IncrementalAgg.applyAtRest(spark, path, b2, keys, Seq("v"))
+    assert(snap() == Set(("a", 3L, 21.0), ("b", 1L, 2.0)))
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyAtRest(spark, path, b2, keys, Seq("v"),
+        txnId = Some("bad id"))
+    }
+  }
 }

@@ -337,4 +337,43 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("quality-gate replay: both lanes are exactly-once under restart") {
+    // the st_quality_gate foreachBatch body, driven directly with a
+    // replayed batchId — the crash window where a micro-batch lands on
+    // one lane but the stream checkpoint never advances, so a
+    // restarted stream re-offers the same (batch, batchId). Both the
+    // table commit AND the quarantine must be idempotent: before this
+    // round the quarantine was a bare append and a replayed bad batch
+    // double-appended.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_qg_replay_")
+    dir.toFile.deleteOnExit()
+    val table = s"$dir/table"
+    val quarantine = s"$dir/quarantine"
+    def offer(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+      val report = graft.operators.QualityAudit.audit(batch, Seq(
+        "price_positive" -> (col("price") > 0)))
+      if (report.where(!col("pass")).isEmpty)
+        graft.operators.VersionedTable.commit(batch, table,
+          overwrite = false, txnId = Some(s"qg_$batchId")): Unit
+      else
+        graft.operators.VersionedTable.commit(batch, quarantine,
+          overwrite = false, txnId = Some(s"qg_bad_$batchId")): Unit
+    }
+    val clean = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "price")
+    val bad = Seq((3L, -5.0), (4L, 30.0)).toDF("id", "price")
+    offer(clean, 0); offer(bad, 1)
+    def counts() = (
+      graft.operators.VersionedTable.read(spark, table).count(),
+      graft.operators.VersionedTable.read(spark, quarantine).count())
+    assert(counts() == ((2L, 2L)))
+    // restart replays the last uncommitted batch — and an operator
+    // replaying from an older checkpoint re-offers both
+    offer(bad, 1); offer(clean, 0); offer(bad, 1)
+    assert(counts() == ((2L, 2L)),
+      "replayed batches must not duplicate on either lane")
+    assert(graft.operators.VersionedTable.versions(spark, quarantine)
+      .size == 1)
+  }
 }

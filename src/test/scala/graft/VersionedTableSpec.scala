@@ -199,4 +199,168 @@ class VersionedTableSpec extends AnyFunSuite {
       assert(VersionedTable.read(spark, t).count() == model(latest).size)
     }
   }
+
+  test("optimistic concurrency: two interleaved committers both land") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    // writer B commits in A's window between PUBLISH and COMMIT (the
+    // fault-injection seam) — A must lose the manifest race for v1,
+    // re-prefix its already-published files to v2, recompute its
+    // carried list against B's manifest, and land.
+    var interleaved = false
+    val vA = VersionedTable.commitImpl(df(100 until 104), t,
+      overwrite = false, txnId = Some("A"), statsCols = Seq.empty,
+      maxRetries = 5, onBeforeManifestCommit = () => {
+        if (!interleaved) {
+          interleaved = true
+          assert(VersionedTable.commit(df(200 until 203), t,
+            overwrite = false, txnId = Some("B")) == 1)
+        }
+      })
+    assert(vA == 2, "loser retries and lands at the next version")
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // no lost update: A's append carries B's rows (serializable append)
+    assert(ids(1) == ((0L until 5L) ++ (200L until 203L)))
+    assert(ids(2) ==
+      ((0L until 5L) ++ (100L until 104L) ++ (200L until 203L)).sorted)
+    assert(VersionedTable.versions(spark, t).flatMap(_.txnId) ==
+      Seq("B", "A"))
+    // every on-disk data file is referenced by some manifest: the
+    // retry's reprefix left no debris for vacuum
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).isEmpty)
+  }
+
+  test("optimistic concurrency: retries are bounded, then loud") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 3), t, overwrite = true)
+    var n = 0
+    val e = intercept[IllegalStateException] {
+      VersionedTable.commitImpl(df(10 until 12), t, overwrite = false,
+        txnId = None, statsCols = Seq.empty, maxRetries = 2,
+        onBeforeManifestCommit = () => {
+          n += 1
+          VersionedTable.commit(df(100 + n until 102 + n), t,
+            overwrite = false): Unit
+        })
+    }
+    assert(e.getMessage.contains("lost the manifest race"))
+    // the winners' commits are all intact; the loser published no
+    // manifest and its files are unreferenced debris for vacuum
+    assert(VersionedTable.versions(spark, t).size == 4) // v0 + 3 winners
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).nonEmpty)
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).isEmpty)
+  }
+
+  test("manifest stats: prunedRead opens only overlapping files") {
+    import spark.implicits._
+    val t = tmpTable()
+    // three single-file commits with disjoint id ranges -> tight spans
+    VersionedTable.commit(df(0 until 100).coalesce(1), t,
+      overwrite = true, statsCols = Seq("id", "s"))
+    VersionedTable.commit(df(100 until 200).coalesce(1), t,
+      overwrite = false)
+    VersionedTable.commit(df(200 until 300).coalesce(1), t,
+      overwrite = false)
+    val entries = VersionedTable.readEntries(spark, t, 2)
+    assert(entries.size == 3)
+    assert(entries.map(_.nRows).sum == 300, "footer row counts recorded")
+    // long + string spans roundtrip through the manifest encoding
+    val spans = entries.flatMap(_.stats.get("id")).flatten
+    assert(spans.contains((100L, 199L)))
+    assert(entries.forall(_.stats.get("s").exists(_.isDefined)))
+    // the manifest-side decision: one file overlaps [120, 130]
+    val keep = VersionedTable.pruneEntries(entries, "id", 120, 130)
+    assert(keep.map(_.stats("id")) == Seq(Some((100L, 199L))))
+    // result-invisible vs the plain filter
+    val got = VersionedTable.prunedRead(spark, t, "id", 120, 130)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (120L to 130L))
+    // composes with time travel: version 0 has no file covering 250
+    assert(VersionedTable.prunedRead(spark, t, "id", 250, 260, Some(0))
+      .count() == 0)
+    assert(VersionedTable.prunedRead(spark, t, "id", 250, 260)
+      .count() == 11)
+    // an all-null column is provably excluded from any range
+    val t2 = tmpTable()
+    val withNull = df(0 until 10).withColumn("v",
+      lit(null).cast("double"))
+    VersionedTable.commit(withNull, t2, overwrite = true,
+      statsCols = Seq("v"))
+    assert(VersionedTable.pruneEntries(
+      VersionedTable.readEntries(spark, t2, 0), "v", 0.0, 1.0).isEmpty)
+    // a column never indexed is conservatively kept
+    assert(VersionedTable.pruneEntries(
+      VersionedTable.readEntries(spark, t2, 0), "id", 999, 999).nonEmpty)
+  }
+
+  test("manifest stats: inherited across append/compact; v2 compat") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 50), t, overwrite = true,
+      statsCols = Seq("id"))
+    VersionedTable.commit(df(50 until 100), t, overwrite = false)
+    val e1 = VersionedTable.readEntries(spark, t, 1)
+    assert(e1.forall(_.stats.get("id").exists(_.isDefined)),
+      "appends inherit the stats columns without re-declaration")
+    VersionedTable.compact(spark, t, 1L << 30)
+    assert(VersionedTable.readEntries(spark, t, 2)
+      .forall(_.stats.get("id").exists(_.isDefined)),
+      "compaction re-harvests stats for its rewritten files")
+    // a pre-v3 manifest is readable; its files are never prunable
+    val log = new java.io.File(t, "_graft_log")
+    val mf = new java.io.File(log, "v00003.manifest")
+    java.nio.file.Files.write(mf.toPath,
+      ("graft-vt-v2\noverwrite\ntxn:-\n" +
+        VersionedTable.files(spark, t, 2).mkString("\n") + "\n").getBytes)
+    val e3 = VersionedTable.readEntries(spark, t, 3)
+    assert(e3.forall(e => e.nRows == -1L && e.stats.isEmpty))
+    assert(VersionedTable.pruneEntries(e3, "id", -999, -999) == e3,
+      "files without stats are conservatively kept")
+    assert(VersionedTable.read(spark, t, Some(3)).count() == 100)
+  }
+
+  test("deleteWhere: a new version, carried files, intact history") {
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions(col("id")),
+      t, overwrite = true, statsCols = Seq("id"))
+    val preFiles = VersionedTable.files(spark, t, 0).toSet
+    assert(preFiles.size == 4)
+    val v = VersionedTable.deleteWhere(spark, t, col("id") < 30,
+      txnId = Some("d1"))
+    assert(v == 1)
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(1) == (30L until 100L), "delete equals the anti-filter")
+    assert(ids(0) == (0L until 100L), "prior version still reads whole")
+    // only span-touched files rewritten; the rest carried by reference
+    val carried = VersionedTable.files(spark, t, 1).toSet & preFiles
+    assert(carried.nonEmpty, "range delete must carry untouched files")
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "delete"))
+    // replay (same txnId) and no-op (nothing matches) commit nothing
+    assert(VersionedTable.deleteWhere(spark, t, col("id") < 30,
+      txnId = Some("d1")) == 1)
+    assert(VersionedTable.deleteWhere(spark, t, col("id") < 0) == 1)
+    assert(VersionedTable.versions(spark, t).size == 2)
+    // a NULL predicate keeps the row (SQL WHERE-delete semantics)
+    val t2 = tmpTable()
+    import spark.implicits._
+    Seq((Some(1L), "a"), (None, "b"), (Some(5L), "c"))
+      .toDF("id", "s").write.mode("overwrite").parquet(t2 + "_src")
+    VersionedTable.commit(spark.read.parquet(t2 + "_src"), t2,
+      overwrite = true)
+    VersionedTable.deleteWhere(spark, t2, col("id") <= 1)
+    assert(VersionedTable.read(spark, t2).select("s").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("b", "c"),
+      "null-id row survives the delete")
+    // expire + vacuum: only the latest version's files remain on disk
+    VersionedTable.expire(spark, t, keepLast = 1)
+    VersionedTable.vacuumUnreferenced(spark, t, 0L)
+    val onDisk = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk == VersionedTable.files(spark, t, 1).toSet)
+    assert(ids(1) == (30L until 100L))
+  }
 }
