@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -705,6 +705,65 @@ object ScaleProbe {
         graft.operators.VersionedTable.expire(spark, table, keepLast = 2)
         graft.operators.VersionedTable.vacuumUnreferenced(spark, table, 0L)
       })
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Manifest file-stats economics: what the footer harvest costs at
+    // commit time, and what the manifest-planned read earns back on a
+    // selective range over a clustered layout — plus the incremental
+    // since-version read vs the full re-read a manifest-less consumer
+    // pays. The pruning ratio (files opened / files total) is the
+    // number that scales: at 100 TB it is the scan volume.
+    if (stages("vtstats")) {
+      import graft.operators.VersionedTable
+      val li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val bigLi = (0 until copies).map { c =>
+        li.withColumn("l_orderkey", col("l_orderkey") + c * 100000000L)
+      }.reduce(_ union _).localCheckpoint()
+      val n = bigLi.count()
+      val dir = java.nio.file.Files.createTempDirectory("probe_vts_")
+      val plain = s"$dir/plain"
+      val stats = s"$dir/stats"
+      val clustered = bigLi.repartitionByRange(64, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey").localCheckpoint()
+      time(s"vtstats: commit $n rows / 64 files, NO stats")(
+        VersionedTable.commit(clustered, plain, overwrite = true))
+      time("vtstats: same commit + footer-stats harvest")(
+        VersionedTable.commit(clustered, stats, overwrite = true,
+          statsCols = Seq("l_orderkey")))
+      // sum() a DATA column so the timing measures actual scan volume
+      // (a bare count() resolves from parquet footers alone and would
+      // understate both sides)
+      val (lo, hi) = (500L, 2999L) // one generation's low band
+      def full(): Double = VersionedTable.read(spark, stats)
+        .where(col("l_orderkey").between(lo, hi))
+        .agg(sum("l_quantity")).collect()(0).getDouble(0)
+      def pruned(): Double = VersionedTable
+        .prunedRead(spark, stats, "l_orderkey", lo, hi)
+        .agg(sum("l_quantity")).collect()(0).getDouble(0)
+      full(); pruned() // warm listings + code paths
+      val a = time("vtstats: versioned read + filter (opens all footers)")(
+        full())
+      val b = time("vtstats: manifest-pruned read (overlapping files)")(
+        pruned())
+      require(a == b, s"pruning must be result-invisible: $a vs $b")
+      val entries = VersionedTable.readEntries(spark, stats, 0)
+      val kept = VersionedTable.pruneEntries(entries, "l_orderkey", lo, hi)
+      println(s"[probe] vtstats: manifest kept ${kept.size}/" +
+        s"${entries.size} files for the band")
+      // incremental consumption: a small append, then the delta read
+      // vs the full read the manifest-less consumer pays
+      val delta = li.limit(200000)
+      VersionedTable.commit(delta, stats, overwrite = false)
+      val d = time("vtstats: readAppendsSince (file-diff delta, sum)")(
+        VersionedTable.readAppendsSince(spark, stats, 0)
+          .agg(sum("l_quantity")).collect()(0).getDouble(0))
+      val f = time("vtstats: full latest-version re-read (sum baseline)")(
+        VersionedTable.read(spark, stats)
+          .agg(sum("l_quantity")).collect()(0).getDouble(0))
+      println(s"[probe] vtstats: delta sum over 200k rows vs full " +
+        s"sum over ${n + 200000} rows")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     spark.stop()

@@ -329,9 +329,21 @@ object VersionedTable {
     * and never races readers (they hold a manifest). The streaming
     * sink's natural failure mode — one small file per micro-batch —
     * is repaired by running this periodically; [[Compact]] is the
-    * equivalent for plain dirs, where the swap must be in-place. */
+    * equivalent for plain dirs, where the swap must be in-place.
+    *
+    * `clusterBy` is OPTIMIZE ... ZORDER BY as a versioned commit: one
+    * column range-clusters + sorts (tight single-dim spans, any
+    * orderable type), 2-4 columns route through [[ZOrder]]'s
+    * bit-interleaved curve (NUMERIC dimensions — ZOrder's quantile
+    * bucketing contract) so the per-file spans stay tight on EVERY
+    * listed dimension. Because the
+    * manifest re-harvests footer stats for the rewritten files, a
+    * clustered compaction directly upgrades [[prunedRead]]'s file
+    * skipping — the Delta OPTIMIZE ZORDER loop, commit-logged and
+    * rollback-able here. */
   def compact(spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty): Int = {
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -340,8 +352,51 @@ object VersionedTable {
     val bytes = files(spark, path, v)
       .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    commit(read(spark, path, Some(v)).repartition(nOut), path,
-      overwrite = true)
+    val base = read(spark, path, Some(v))
+    val clustered =
+      if (clusterBy.isEmpty) base.repartition(nOut)
+      else if (clusterBy.size == 1)
+        base.repartitionByRange(nOut, col(clusterBy.head))
+          .sortWithinPartitions(clusterBy.head)
+      else
+        base.withColumn("__z", ZOrder.zValue(base, clusterBy, 256))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    commit(clustered, path, overwrite = true)
+  }
+
+  /** INCREMENTAL consumption: the rows ADDED after `fromVersion` (up
+    * to `toVersion`, default latest) — resolved as the FILE DIFF of
+    * the two manifests, so the read costs O(delta), never a rescan of
+    * history. This is what a downstream pipeline polls between runs
+    * ("give me what landed since my last watermark version") and what
+    * a backfill replays commit by commit.
+    *
+    * Sound only while every intervening commit is an APPEND (files
+    * strictly accumulate, so new files ⇔ new rows); an overwrite,
+    * delete, or compaction in the window makes the file diff no
+    * longer row-level adds, and the call refuses LOUDLY rather than
+    * return wrong rows — re-baseline from a full read of the newer
+    * version instead. */
+  def readAppendsSince(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    require(to >= fromVersion,
+      s"toVersion $to precedes fromVersion $fromVersion")
+    val window = versions(spark, path)
+      .filter(v => v.version > fromVersion && v.version <= to)
+    val nonAppend = window.filterNot(_.mode == "append")
+    require(nonAppend.isEmpty,
+      s"readAppendsSince($fromVersion, $to) at $path crosses " +
+        s"non-append commits ${nonAppend.map(v => s"v${v.version}:${v.mode}")
+          .mkString(",")} — the file diff is not row-level adds; " +
+        "re-baseline from a full read")
+    val before = files(spark, path, fromVersion).toSet
+    val added = files(spark, path, to).filterNot(before)
+    if (added.isEmpty) read(spark, path, Some(to)).limit(0)
+    else spark.read.parquet(added.map(n => s"$path/$n"): _*)
   }
 
   /** Delete data files referenced by NO manifest and older than

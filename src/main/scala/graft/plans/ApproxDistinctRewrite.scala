@@ -1,5 +1,7 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.expressions.{
+  CreateStruct, If, IsNull, Literal, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
@@ -24,9 +26,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *
   * Scope guards, in order:
   *   - OFF by default; nothing changes without the conf.
-  *   - single-argument `count(DISTINCT x)` only — multi-column distinct
-  *     and other distinct aggregates (`sum(DISTINCT …)`, where
-  *     approximation has no error contract) are left exact.
+  *   - `count(DISTINCT …)` only — other distinct aggregates
+  *     (`sum(DISTINCT …)`, where approximation has no error contract)
+  *     are left exact.
+  *   - multi-column `count(DISTINCT a, b)` rewrites to the sketch over
+  *     `struct(a, b)` with the SAME error contract — guarded for SQL
+  *     null semantics: `count(DISTINCT a, b)` counts only rows where
+  *     EVERY argument is non-null, while `struct(a, b)` is itself
+  *     non-null even when a field is, so the struct is nulled out
+  *     whenever any argument is null (HLL++ skips null input exactly
+  *     like count does).
   *   - a FILTER clause is preserved if the rule sees it — but under the
   *     runtime registration path (`experimental.extraOptimizations`,
   *     which runs at the END of the optimizer) filtered distincts have
@@ -49,6 +58,18 @@ object ApproxDistinctRewrite extends Rule[LogicalPlan] {
       a.transformExpressions {
         case ae @ AggregateExpression(
             Count(Seq(child)), _, true, _, _) =>
+          ae.copy(
+            aggregateFunction = HyperLogLogPlusPlus(child, rsd),
+            isDistinct = false)
+        case ae @ AggregateExpression(
+            Count(children), _, true, _, _) if children.size > 1 =>
+          val tuple = CreateStruct(children)
+          // count(DISTINCT a, b) skips rows with ANY null argument;
+          // struct(a, b) would smuggle them in as non-null tuples.
+          val child =
+            if (children.forall(!_.nullable)) tuple
+            else If(children.map(IsNull).reduceLeft(Or),
+              Literal.create(null, tuple.dataType), tuple)
           ae.copy(
             aggregateFunction = HyperLogLogPlusPlus(child, rsd),
             isDistinct = false)

@@ -571,6 +571,80 @@ object Ops {
         col("source"))
   }
 
+  // OPTIMIZE ... CLUSTER BY as a versioned commit: v0 lands lineitem
+  // in a hash-SCATTERED layout (every file spans the whole key range —
+  // the manifest stats prove pruning is impossible), then a clustered
+  // compaction rewrites it range-sorted on l_orderkey as a new
+  // version. The re-harvested footer spans must now prune the same
+  // range read (gated: strictly fewer files than the file count, and
+  // no worse than the scattered layout), while the pre-compaction
+  // version stays time-travelable. The oracle is the plain range
+  // filter — clustering must be result-invisible.
+  val opVtOptimizeCluster: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtoc_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(li.repartition(8), t, overwrite = true,
+      statsCols = Seq("l_orderkey"))
+    val e0 = VersionedTable.readEntries(s, t, 0)
+    val keep0 = VersionedTable.pruneEntries(e0, "l_orderkey", 1000L, 3000L)
+    // ~64 KB target keeps several output files at fixture scale so the
+    // post-compaction prune gate is meaningful (not one giant file)
+    val cv = VersionedTable.compact(s, t, targetFileBytes = 64L * 1024,
+      clusterBy = Seq("l_orderkey"))
+    val e1 = VersionedTable.readEntries(s, t, cv)
+    val keep1 = VersionedTable.pruneEntries(e1, "l_orderkey", 1000L, 3000L)
+    require(e1.size < 2 ||
+      (keep1.size < e1.size && keep1.size <= keep0.size),
+      s"clustered compaction must earn pruning: " +
+        s"${keep0.size}/${e0.size} -> ${keep1.size}/${e1.size}")
+    require(VersionedTable.read(s, t, Some(0)).count() ==
+      VersionedTable.read(s, t, Some(cv)).count(),
+      "pre-compaction version must stay whole")
+    VersionedTable.prunedRead(s, t, "l_orderkey", 1000L, 3000L)
+  }
+
+  // Incremental consumption of a versioned table: three chronological
+  // append commits, then readAppendsSince(v0) resolves the NEW rows as
+  // the manifest FILE DIFF — the read costs O(delta) files, no rescan
+  // of history (gated: row count equals the version-count difference).
+  // A non-append commit (here a compaction) in the window must make
+  // the call refuse LOUDLY — the file diff is no longer row-level
+  // adds. The oracle is the post-1996 filter: the delta must be
+  // exactly the appended years.
+  val opVtIncrRead: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtir_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    VersionedTable.commit(ords.where(col("__y") <= 1996).drop("__y"),
+      t, overwrite = true)
+    VersionedTable.commit(
+      ords.where(col("__y").between(1997, 1998)).drop("__y"),
+      t, overwrite = false)
+    VersionedTable.commit(ords.where(col("__y") > 1998).drop("__y"),
+      t, overwrite = false)
+    val inc = VersionedTable.readAppendsSince(s, t, fromVersion = 0)
+    require(inc.count() ==
+      VersionedTable.read(s, t, Some(2)).count() -
+        VersionedTable.read(s, t, Some(0)).count(),
+      "the file-diff delta must be exactly the appended rows")
+    // materialize before the history stops being append-only below
+    val out = inc.localCheckpoint()
+    VersionedTable.compact(s, t, targetFileBytes = 1L << 30)
+    val refused =
+      try { VersionedTable.readAppendsSince(s, t, 0); false }
+      catch { case _: IllegalArgumentException => true }
+    require(refused,
+      "readAppendsSince must refuse across non-append commits")
+    out
+  }
+
   // Incremental aggregate maintenance: a (priority × month) revenue
   // rollup initialized from pre-1995 orders, then TWO delta batches
   // (1995, post-1995) folded in at rest — each apply costs
@@ -796,13 +870,62 @@ object Ops {
           <= 0.15).as("est_ok"))
   }
 
+  // The MULTI-COLUMN arm of the rewrite rule: count(DISTINCT a, b)
+  // planned as HLL++ over a null-guarded struct(a, b) — same sketch,
+  // same error contract, same no-query-edit lever, for the composite
+  // keys (user × day, order × line) fleet dashboards actually count.
+  // Oracled like op_approx_rewrite: exact values pinned, the estimate
+  // pinned through its 3-sigma accuracy boolean.
+  val opApproxRewriteMulti: Q = (s, d) => {
+    graft.GraftExtensions.register(s)
+    val flag = graft.plans.ApproxDistinctRewrite.EnabledKey
+    val exactRows = lineitem(s, d).groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_orderkey"), col("l_linenumber"))
+        .as("nd_exact"))
+      .collect().toSeq
+    val exact = s.createDataFrame(
+      new java.util.ArrayList(
+        java.util.Arrays.asList(exactRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nd_exact",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    // materialized INSIDE the flag window (the standing conf-window
+    // rule: the returned frame re-optimizes after the restore)
+    s.conf.set(flag, "true")
+    val estRows = try {
+      val approx = lineitem(s, d).groupBy(col("l_returnflag"))
+        .agg(count_distinct(col("l_orderkey"), col("l_linenumber"))
+          .as("nd_est"))
+      require(approx.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"),
+        "multi-column approx rewrite did not fire")
+      approx.collect().toSeq
+    } finally s.conf.unset(flag)
+    val est = s.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(estRows: _*)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_returnflag",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("nd_est",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    est.join(broadcast(exact), "l_returnflag")
+      .select(col("l_returnflag"), col("nd_exact"),
+        (abs(col("nd_est").cast("double") / col("nd_exact") - 1.0)
+          <= 0.15).as("est_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
     "op_approx_rewrite" -> opApproxRewrite,
+    "op_approx_rewrite_multi" -> opApproxRewriteMulti,
     "op_quality_audit" -> opQualityAudit,
     "op_zonemap_refresh" -> opZonemapRefresh,
     "op_vt_compact" -> opVtCompact,
     "op_vt_pruned_read" -> opVtPrunedRead,
     "op_vt_delete" -> opVtDelete,
+    "op_vt_optimize_cluster" -> opVtOptimizeCluster,
+    "op_vt_incr_read" -> opVtIncrRead,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
@@ -905,6 +1028,17 @@ object Ops {
       """SELECT l_returnflag, count(DISTINCT l_orderkey) AS nd_exact,
         |  TRUE AS est_ok
         |FROM lineitem GROUP BY 1""".stripMargin,
+    // Composite-key distinct as a row-value tuple, null-guarded to
+    // Spark's count(DISTINCT a, b) semantics (any-null rows skip —
+    // DuckDB would count (x, NULL) tuples); the estimate is pinned
+    // through its accuracy boolean like the single-column entry.
+    "op_approx_rewrite_multi" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT CASE
+        |    WHEN l_orderkey IS NULL OR l_linenumber IS NULL THEN NULL
+        |    ELSE (l_orderkey, l_linenumber) END) AS nd_exact,
+        |  TRUE AS est_ok
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // Each rule replayed as NOT coalesce(pred, FALSE); uniqueness
     // violations = all rows carrying a duplicated non-null key.
     "op_quality_audit" ->
@@ -969,6 +1103,17 @@ object Ops {
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // Clustered compaction must be result-invisible: the same plain
+    // range filter as op_vt_pruned_read.
+    "op_vt_optimize_cluster" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // The file-diff delta is exactly the appended years.
+    "op_vt_incr_read" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) > 1996""".stripMargin,
     // A versioned delete must equal the anti-filter (null doc_ids are
     // kept: SQL WHERE-delete semantics remove only predicate-TRUE
     // rows). The cut replays the engine's integer max/5.

@@ -67,19 +67,51 @@ class ApproxRewriteSpec extends AnyFunSuite {
     }
   }
 
-  test("guards: multi-column and sum(DISTINCT) stay exact") {
+  test("multi-column count(DISTINCT a, b) -> sketch over struct(a, b)") {
+    val exact = li.select(col("l_orderkey"), col("l_linenumber"))
+      .distinct().count()
     withFlag() {
       val multi = li.agg(
         count_distinct(col("l_orderkey"), col("l_linenumber")).as("nd"))
-      assert(!multi.queryExecution.optimizedPlan.toString
-        .contains("approx_count_distinct"), "multi-column must stay exact")
+      val plan = multi.queryExecution.optimizedPlan.toString
+      assert(plan.contains("approx_count_distinct"),
+        s"no sketch in plan:\n$plan")
+      assert(!multi.queryExecution.executedPlan.toString.contains("Expand"),
+        "sketch aggregate must be a plain one-pass aggregate")
+      val est = multi.head.getLong(0).toDouble
+      assert(math.abs(est / exact - 1.0) <= 0.15, // 3 sigma
+        s"est $est vs exact $exact")
+    }
+  }
+
+  test("multi-column rewrite keeps SQL null semantics: any-null rows skip") {
+    // count(DISTINCT a, b) counts only rows where EVERY argument is
+    // non-null; a bare struct(a, b) would smuggle them in as non-null
+    // tuples. The small cardinality keeps HLL++ in its exact sparse
+    // range, so the assertion is equality, not a tolerance.
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 10L), (1L, 10L), (2L, null), (null, 20L), (null, null),
+      (3L, 30L)).toDF("a", "b")
+    val exact = df.agg(count_distinct(col("a"), col("b"))).head.getLong(0)
+    assert(exact == 2L) // (1,10) and (3,30) only
+    withFlag() {
+      val est = df.agg(count_distinct(col("a"), col("b")).as("nd"))
+      assert(est.queryExecution.optimizedPlan.toString
+        .contains("approx_count_distinct"))
+      assert(est.head.getLong(0) == exact,
+        "null-argument rows must be skipped exactly like count(DISTINCT)")
+    }
+  }
+
+  test("guards: sum(DISTINCT) stays exact") {
+    withFlag() {
       val sumDist = li.agg(sum_distinct(col("l_linenumber")).as("sd"))
       assert(!sumDist.queryExecution.optimizedPlan.toString
         .contains("approx_count_distinct"), "sum(DISTINCT) must stay exact")
-      // and their VALUES are the exact ones
-      val exact = li.select(col("l_orderkey"), col("l_linenumber"))
-        .distinct().count()
-      assert(multi.head.getLong(0) == exact)
+      assert(sumDist.head.getLong(0) ==
+        li.select("l_linenumber").distinct()
+          .agg(sum("l_linenumber")).head.getLong(0))
     }
   }
 

@@ -363,4 +363,62 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(onDisk == VersionedTable.files(spark, t, 1).toSet)
     assert(ids(1) == (30L until 100L))
   }
+
+  test("clustered compact: content-invisible, spans earn pruning") {
+    import spark.implicits._
+    val t = tmpTable()
+    // scattered layout: every file spans ~the whole id range
+    val rows = (0 until 512).map(i => ((i * 37) % 512).toLong)
+      .map(id => (id, id * 31 % 512, s"v$id")).toDF("id", "id2", "s")
+    VersionedTable.commit(rows.repartition(8), t, overwrite = true,
+      statsCols = Seq("id"))
+    val e0 = VersionedTable.readEntries(spark, t, 0)
+    val keep0 = VersionedTable.pruneEntries(e0, "id", 100, 150)
+    assert(keep0.size == e0.size, "scattered layout cannot prune")
+    // multi-column (numeric) clusterBy exercises the z-order path
+    val cv = VersionedTable.compact(spark, t, targetFileBytes = 2048,
+      clusterBy = Seq("id", "id2"))
+    val e1 = VersionedTable.readEntries(spark, t, cv)
+    assert(e1.size > 2, s"fixture should compact to several files")
+    val keep1 = VersionedTable.pruneEntries(e1, "id", 100, 150)
+    assert(keep1.size < e1.size,
+      s"z-clustered spans must prune: ${keep1.size}/${e1.size}")
+    // content-invisible, old version intact
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(cv) == ids(0))
+    // and the pruned read equals the plain filter
+    assert(VersionedTable.prunedRead(spark, t, "id", 100, 150)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (100L to 150L))
+  }
+
+  test("readAppendsSince: file-diff delta; loud across rewrites") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 25), t, overwrite = false)
+    VersionedTable.commit(df(25 until 30), t, overwrite = false)
+    def got(from: Int, to: Option[Int] = None) =
+      VersionedTable.readAppendsSince(spark, t, from, to)
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got(0) == (10L until 30L))
+    assert(got(1) == (25L until 30L))
+    assert(got(0, Some(1)) == (10L until 25L))
+    assert(got(2).isEmpty, "nothing since the latest version")
+    // schema survives an empty delta
+    assert(VersionedTable.readAppendsSince(spark, t, 2)
+      .columns.toSeq == Seq("id", "s"))
+    // the delta read must open ONLY the added files
+    val before = VersionedTable.files(spark, t, 0).toSet
+    val added = VersionedTable.files(spark, t, 2).filterNot(before)
+    assert(VersionedTable.readAppendsSince(spark, t, 0)
+      .inputFiles.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet ==
+      added.toSet)
+    // a delete in the window is not row-level adds: refuse loudly
+    VersionedTable.deleteWhere(spark, t, col("id") < 5)
+    intercept[IllegalArgumentException](
+      VersionedTable.readAppendsSince(spark, t, 0))
+    // but a window that stops before the delete still works
+    assert(got(0, Some(2)) == (10L until 30L))
+  }
 }
