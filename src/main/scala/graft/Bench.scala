@@ -42,7 +42,7 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+      val times: Seq[Double] = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -61,24 +61,35 @@ object Bench {
       // GC; nudge between queries so checkpoint-heavy operators (dedup
       // connected components) don't tax later measurements' heap.
       System.gc()
-      name -> times.min
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2.min).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // Per-query {min, med} over the 3 repeats: this box's measured
+    // ambient dispersion is ±40-50% per query (SCALE.md r10 bisection),
+    // so a single number per query makes round-over-round deltas nearly
+    // uninterpretable — min is the steady-state estimate (headline +
+    // round comparisons), med shows how noisy that query's runs were.
+    val stats = results.map { case (k, ts) =>
+      val med = ts.sorted.apply(ts.size / 2)
+      s"\"" + k + s"\":{\"min\":${ts.min},\"med\":$med}"
+    }.mkString("{", ",", "}")
+    val statsLine =
+      s"""{"metric":"per_query_stats","queries":$stats,"sf":"$sfDir"}"""
     // The driver's BENCH_r{N}.json keeps only a truncated log tail (~90
     // of 158 per-query timings were invisible in r8); persist the full
-    // line so every timing survives for audit. Full runs land in-repo
+    // lines so every timing survives for audit. Full runs land in-repo
     // as BENCH_FULL.json; SPARK_GRAFT_ONLY dev runs go to /tmp so they
     // never clobber the committed artifact.
     val outPath =
       if (only.isEmpty) "BENCH_FULL.json" else "/tmp/bench_partial.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes("UTF-8"))
+      (line + "\n" + statsLine + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

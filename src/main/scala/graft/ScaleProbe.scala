@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -764,6 +764,54 @@ object ScaleProbe {
           .agg(sum("l_quantity")).collect()(0).getDouble(0))
       println(s"[probe] vtstats: delta sum over 200k rows vs full " +
         s"sum over ${n + 200000} rows")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Commit-log cost over a LONG history: 1,000 versions at
+    // streaming-sink cadence. The OVERWRITE lane keeps the manifest at
+    // one line, isolating pure log work (one listing + checkpointed
+    // txn probe + six-line header reads + manifest write) — this must
+    // stay FLAT as history grows (pre-r11 it grew linearly per commit:
+    // every commit parsed every manifest in full). The APPEND lane's
+    // manifest is the full live-file snapshot, O(live files) by
+    // design — bounded in practice by OPTIMIZE, reported here for
+    // honesty, not flatness.
+    if (stages("vtlog")) {
+      import graft.operators.VersionedTable
+      val dir = java.nio.file.Files.createTempDirectory("probe_vtlog_")
+      val one = spark.range(1)
+        .selectExpr("id", "cast(id as string) as s")
+        .coalesce(1).localCheckpoint()
+      def lane(name: String, nCommits: Int, window: Int,
+          overwrite: Boolean): Unit = {
+        val t = s"$dir/$name"
+        val winMs = new scala.collection.mutable.ArrayBuffer[Double]()
+        var t0 = System.nanoTime()
+        (0 until nCommits).foreach { i =>
+          VersionedTable.commit(one, t, overwrite = overwrite,
+            txnId = Some(s"${name}_$i"))
+          if ((i + 1) % window == 0) {
+            winMs += (System.nanoTime() - t0) / 1e6 / window
+            t0 = System.nanoTime()
+          }
+        }
+        println(s"[probe] vtlog/$name: per-commit ms by $window-commit " +
+          s"window: ${winMs.map(m => f"$m%.0f").mkString(", ")}")
+        val (head, tail) = (winMs.take(3).min, winMs.takeRight(3).min)
+        println(f"[probe] vtlog/$name: early-window min $head%.0f ms vs " +
+          f"late-window min $tail%.0f ms (ratio ${tail / head}%.2f)")
+        // a replayed txn from the BOTTOM of the history must resolve
+        // through the checkpoint index, not a full-log scan
+        val tr0 = System.nanoTime()
+        require(VersionedTable.commit(one, t, overwrite = overwrite,
+          txnId = Some(s"${name}_5")) == 5, "deep replay must no-op")
+        println(f"[probe] vtlog/$name: deep-history txn replay no-op in " +
+          f"${(System.nanoTime() - tr0) / 1e6}%.0f ms")
+      }
+      time("vtlog overwrite lane (1000 versions — must be flat)")(
+        lane("ow", 1000, 100, overwrite = true))
+      time("vtlog append lane (300 versions — O(live files) manifest)")(
+        lane("ap", 300, 50, overwrite = false))
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     spark.stop()

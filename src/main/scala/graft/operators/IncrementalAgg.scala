@@ -119,12 +119,25 @@ object IncrementalAgg {
       require(fs.rename(tmp, src), s"agg init: $tmp -> $src failed")
     } else {
       combine(spark.read.parquet(path), d, keys).write.parquet(tmp.toString)
-      txnId.foreach(t => writeTxns(fs, tmp, applied :+ t))
+      // The applied-id list ALWAYS carries forward into the new state,
+      // even when this apply has no txnId of its own: dropping it would
+      // let a later replay of an ALREADY-APPLIED id double-count (the
+      // mixed txn/non-txn degradation). Bounded to the most recent ids —
+      // foreachBatch replays only ever re-offer recent batchIds, so an
+      // unbounded one-line-per-batch sidecar is pure growth.
+      val forward = (applied ++ txnId).takeRight(MaxTrackedTxns)
+      if (forward.nonEmpty) writeTxns(fs, tmp, forward)
       require(fs.rename(src, bak), s"agg swap: $src -> $bak failed")
       require(fs.rename(tmp, src), s"agg swap: $tmp -> $src failed")
       fs.delete(bak, true)
     }
   }
+
+  /** Sidecar bound: replays only ever re-offer recent batch ids (the
+    * foreachBatch crash window is one batch deep; a generous margin
+    * covers manual backfills), so the applied list keeps a tail, not
+    * the full history. */
+  private val MaxTrackedTxns = 10000
 
   private def appliedTxns(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[String] = {

@@ -6,8 +6,9 @@ import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Versioned parquet table with a commit log and time-travel reads —
   * the manifest/transaction layer [[TargetedDelete]]'s scaladoc defers
@@ -25,6 +26,7 @@ import org.apache.spark.sql.functions._
   *     _graft_log/
   *       v00000.manifest           // full file list of version 0
   *       v00001.manifest           // full file list of version 1
+  *       _checkpoint               // latest-version pointer + txn index
   * }}}
   *
   * Commit protocol (the ACID story, same discipline as the engine's
@@ -36,22 +38,40 @@ import org.apache.spark.sql.functions._
   *   2. PUBLISH — per-file metadata renames into the table root under
   *      the version prefix. Data files are invisible to versioned
   *      readers until a manifest references them.
-  *   3. COMMIT — write the manifest to a temp name and rename it into
-  *      `_graft_log/`. The rename IS the commit point: a crash before
-  *      it leaves orphaned data files (cleaned by [[vacuumUnreferenced]]
+  *   3. COMMIT — write the manifest to a temp name and PROMOTE it to
+  *      `_graft_log/v<N>.manifest`. The promotion IS the commit point
+  *      and is atomic-no-overwrite (see below): a crash before it
+  *      leaves orphaned data files (cleaned by [[vacuumUnreferenced]]
   *      after a TTL) and the table state unchanged; after it, the
   *      version is durable.
   *
-  * CONCURRENCY is optimistic (Delta's check-and-retry on a
-  * rename-detecting filesystem): a committer that loses the manifest
-  * race re-resolves the new latest version, re-prefixes its already
-  * published files to the next version number (O(#files) metadata
-  * renames — the data never moves), recomputes the carried file list
-  * against the winner's manifest, and retries, bounded by
-  * `maxRetries`. Blind appends/overwrites are commutative so the
-  * retry is serializable; predicate deletes ([[deleteWhere]]) instead
-  * restart their whole discovery — their carried set depends on data
-  * a concurrent winner may have changed.
+  * COMMIT-POINT ATOMICITY CONTRACT. Two racing committers targeting
+  * the same version number must resolve to exactly one winner, with
+  * the loser observing the loss — never a silent overwrite. The
+  * promotion therefore never uses bare rename-onto-destination, whose
+  * semantics are filesystem-dependent (HDFS refuses an existing
+  * destination, but POSIX `rename(2)` — and hence Hadoop's
+  * `RawLocalFileSystem` — silently replaces it):
+  *   - `file:` — promote via `Files.createLink` (POSIX `link(2)`),
+  *     which atomically fails with `EEXIST` when the destination
+  *     exists. No check-then-act window at all.
+  *   - HDFS — `fs.rename` per the HDFS contract: rename onto an
+  *     existing destination returns false atomically at the NameNode.
+  *   - Object stores without atomic no-overwrite (plain S3 et al.) are
+  *     NOT safe for multi-writer commits without a coordination layer
+  *     (DynamoDB-style lock or conditional put) — the same documented
+  *     restriction Delta Lake carries.
+  *
+  * CONCURRENCY is optimistic (Delta's check-and-retry): a committer
+  * that loses the commit-point race re-resolves the new latest
+  * version, re-prefixes its already published files to the next
+  * version number (O(#files) metadata renames — the data never
+  * moves), recomputes the carried file list against the winner's
+  * manifest, and retries, bounded by `maxRetries`. Blind
+  * appends/overwrites are commutative so the retry is serializable;
+  * predicate deletes ([[deleteWhere]]) and merges ([[mergeInto]])
+  * instead restart their whole discovery — their carried set depends
+  * on data a concurrent winner may have changed.
   *
   * Manifests are FULL snapshots (every live file of that version), so
   * a read resolves from exactly one manifest — no log replay. Each
@@ -61,10 +81,28 @@ import org.apache.spark.sql.functions._
   * plans a range scan from the manifest alone, the Delta `stats` /
   * Iceberg-manifest design, composing time travel with
   * [[ZoneMapIndex]]-style file skipping without a separately
-  * refreshed sidecar. The log grows O(versions × files-per-version);
-  * [[expire]] drops old versions and deletes the files only they
-  * reference. At 100 TB the listing cost a reader pays is ONE
-  * small-file read instead of a recursive directory walk.
+  * refreshed sidecar. Since v4 each manifest also records the
+  * committed SCHEMA, giving appends a checked evolution contract
+  * (added columns back-fill null in older files; a changed type
+  * refuses loudly) and time-travel reads the exact shape of their
+  * version.
+  *
+  * LOG COST IS FLAT IN HISTORY LENGTH. The v4 manifest header carries
+  * everything version resolution needs (mode, txn id, stats columns,
+  * file count, schema), so [[versions]] reads six lines per manifest,
+  * never the file list; and `_graft_log/_checkpoint` (the
+  * `_last_checkpoint` analog) indexes `version → txnId` up to its
+  * watermark so the idempotence probe reads ONE small file plus at
+  * most [[CheckpointInterval]] manifest headers — a commit's log work
+  * does not grow with the number of historical versions (the probe:
+  * `ScaleProbe vtlog`). What a commit does pay is one full read +
+  * write of the PREVIOUS manifest (the carried snapshot), which is
+  * O(live files) by design and bounded by running [[compact]].
+  *
+  * The log grows O(versions × files-per-version); [[expire]] drops
+  * old versions and deletes the files only they reference. At 100 TB
+  * the listing cost a reader pays is ONE small-file read instead of a
+  * recursive directory walk.
   *
   * Reads go through [[read]]: a bare `spark.read.parquet(table/)`
   * would see the union of ALL versions' files. The manifest's file
@@ -74,8 +112,22 @@ import org.apache.spark.sql.functions._
 object VersionedTable {
 
   private val LogDir = "_graft_log"
-  private val Header = "graft-vt-v3"
+  private val Header = "graft-vt-v4"
+  private val HeaderV3 = "graft-vt-v3"
   private val HeaderV2 = "graft-vt-v2"
+  private val CkptName = "_checkpoint"
+  private val CkptHeader = "graft-vt-ckpt-v1"
+
+  /** Every N-th commit refreshes `_graft_log/_checkpoint`; the txn
+    * probe thus reads the checkpoint plus at most this many manifest
+    * headers. */
+  private val CheckpointInterval = 10
+
+  /** Thrown when an incremental consumer's watermark version has been
+    * [[expire]]d out of the log — distinguishable from "never
+    * committed" so a poller can re-baseline instead of crashing. */
+  final class VersionExpiredException(msg: String)
+    extends IllegalStateException(msg)
 
   /** One manifest line: file name, row count (−1 when unknown — files
     * carried from a pre-v3 manifest), and per-stats-column span.
@@ -86,6 +138,18 @@ object VersionedTable {
     * Long / Double / String. */
   final case class FileEntry(name: String, nRows: Long,
       stats: Map[String, Option[(Any, Any)]])
+
+  /** Manifest-side pruning predicates for [[prunedReadWhere]]: a
+    * conjunction of range and IN-list tests, each decidable from the
+    * per-file spans alone. */
+  sealed trait PrunePred { def column: String }
+  /** `column BETWEEN lo AND hi` (inclusive). */
+  final case class RangePred(column: String, lo: Any, hi: Any)
+    extends PrunePred
+  /** `column IN (values…)` — a file survives when at least one value
+    * falls inside its span. */
+  final case class InPred(column: String, values: Seq[Any])
+    extends PrunePred
 
   /** Commit `df` as the next version. `overwrite=true` makes the new
     * version exactly `df`; `overwrite=false` appends to the previous
@@ -98,26 +162,39 @@ object VersionedTable {
     * a micro-batch replayed after its commit landed but before Spark's
     * checkpoint advanced (the crash window foreachBatch docs call out)
     * re-offers the same batchId and becomes a no-op instead of a
-    * double-append. The id check is O(versions) against the already-
-    * listed log — no extra I/O class.
+    * double-append. The probe reads the checkpoint's txn index plus at
+    * most [[CheckpointInterval]] manifest headers — O(1) in history.
     *
     * `statsCols` are the columns whose per-file min/max go into the
     * manifest (harvested from parquet footers — O(#new files) driver
     * metadata reads, no data scan). Empty = inherit the previous
     * manifest's stats columns, so one declaration at table creation
-    * keeps every later append/compaction/delete pruned the same way. */
+    * keeps every later append/compaction/delete pruned the same way.
+    *
+    * SCHEMA EVOLUTION (appends): a column the table lacks is ADDED —
+    * older files back-fill it with null at read time (mergeSchema
+    * semantics, planned from the manifest's recorded schema instead of
+    * per-file footer merging). A column whose type differs from the
+    * recorded one REFUSES loudly — silent cross-type reads are how a
+    * 100 TB table gets corrupted by one bad producer. Overwrites may
+    * reshape the schema freely (the table is replaced). */
   def commit(df: DataFrame, path: String, overwrite: Boolean,
       txnId: Option[String] = None, statsCols: Seq[String] = Seq.empty,
       maxRetries: Int = 5): Int =
     commitImpl(df, path, overwrite, txnId, statsCols, maxRetries, () => ())
 
-  /** [[commit]] with a fault-injection seam invoked between PUBLISH
-    * and COMMIT — the window where a concurrent committer can win the
-    * manifest race. Specs use it to interleave two writers
-    * deterministically. */
+  /** [[commit]] with fault-injection seams: `onBeforeManifestCommit`
+    * runs between PUBLISH and COMMIT (the window where a concurrent
+    * committer can win the race and force a retry);
+    * `onBeforePromote` runs INSIDE the commit point, after the
+    * manifest temp file is written and immediately before the atomic
+    * promotion — the narrowest possible interleaving, where two true
+    * racers both hold a finished temp manifest for the SAME version.
+    * Specs use them to interleave writers deterministically. */
   private[graft] def commitImpl(df: DataFrame, path: String,
       overwrite: Boolean, txnId: Option[String], statsCols: Seq[String],
-      maxRetries: Int, onBeforeManifestCommit: () => Unit): Int = {
+      maxRetries: Int, onBeforeManifestCommit: () => Unit,
+      onBeforePromote: () => Unit = () => ()): Int = {
     require(txnId.forall(t => t.nonEmpty && !t.exists(_ < ' ')),
       s"txnId must be non-empty printable text: $txnId")
     val spark = df.sparkSession
@@ -125,50 +202,58 @@ object VersionedTable {
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
     fs.mkdirs(new Path(root, LogDir))
-    val committed = versions(spark, path)
+    val nums0 = listVersionNumbers(fs, root)
     txnId.foreach { t =>
-      committed.find(_.txnId.contains(t)).foreach(v => return v.version)
+      findTxn(fs, root, nums0, t).foreach(v => return v)
     }
-    val prev = committed.lastOption.map(_.version)
-    val v0 = prev.map(_ + 1).getOrElse(0)
+    val v0 = nums0.lastOption.map(_ + 1).getOrElse(0)
     val published = stageAndPublish(df, fs, root, v0)
-    val cols = resolveStatsCols(spark, path, prev, statsCols)
-    val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols))
 
     // not @tailrec: the non-local txn-idempotence return blocks the
     // optimization; depth is bounded by maxRetries (tiny)
-    def attempt(v: Int, entries: Seq[FileEntry],
+    def attempt(v: Int, entries: Seq[FileEntry], cached: Seq[FileEntry],
         triesLeft: Int): Int = {
-      val latest = versions(spark, path).lastOption
+      val nums = listVersionNumbers(fs, root)
       // Idempotence must hold across the retry too: if the same txnId
       // landed concurrently, our staged files are debris — drop them.
       txnId.foreach { t =>
-        versions(spark, path).find(_.txnId.contains(t)).foreach { w =>
+        findTxn(fs, root, nums, t).foreach { w =>
           entries.foreach(e => fs.delete(new Path(root, e.name), false))
-          return w.version
+          return w
         }
       }
+      val latest = nums.lastOption
+      val prevHeader = latest.map(l => readHeader(fs, root, l))
+      val cols = resolveStatsCols(prevHeader, statsCols)
+      val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
+      val fresh =
+        if (entries.nonEmpty) entries
+        else published.map(n => footerEntry(fs, conf, new Path(root, n), cols))
       val carried =
         if (overwrite) Seq.empty
-        else latest.map(l => readEntries(spark, path, l.version))
-          .getOrElse(Seq.empty)
+        else if (cached.nonEmpty) cached
+        else latest.map(l => readEntries(spark, path, l)).getOrElse(Seq.empty)
       onBeforeManifestCommit()
       if (tryWriteManifest(fs, root, v,
           if (overwrite) "overwrite" else "append", txnId, cols,
-          carried ++ entries)) v
-      else if (triesLeft <= 0)
+          Some(schemaJson), carried ++ fresh, onBeforePromote)) {
+        maybeCheckpoint(fs, root, v)
+        v
+      } else if (triesLeft <= 0)
         throw new IllegalStateException(
           s"versioned commit at $path lost the manifest race " +
             s"$maxRetries times — giving up (staged files remain for " +
             "vacuumUnreferenced)")
       else {
-        val v2 = versions(spark, path).lastOption.map(_.version + 1)
+        val v2 = listVersionNumbers(fs, root).lastOption.map(_ + 1)
           .getOrElse(0)
-        attempt(v2, reprefix(fs, root, entries, v, v2), triesLeft - 1)
+        // carried list is stale after a loss: recompute against the
+        // winner's manifest on the next attempt
+        attempt(v2, reprefix(fs, root, fresh, v, v2), Seq.empty,
+          triesLeft - 1)
       }
     }
-    attempt(v0, newEntries, maxRetries)
+    attempt(v0, Seq.empty, Seq.empty, maxRetries)
   }
 
   /** Row-level DELETE as a NEW VERSION (the [[TargetedDelete]]
@@ -198,31 +283,35 @@ object VersionedTable {
     val fs = root.getFileSystem(conf)
     var triesLeft = maxRetries
     while (true) {
-      val committed = versions(spark, path)
+      val nums = listVersionNumbers(fs, root)
       txnId.foreach { t =>
-        committed.find(_.txnId.contains(t)).foreach(v => return v.version)
+        findTxn(fs, root, nums, t).foreach(v => return v)
       }
-      val v = committed.lastOption.map(_.version).getOrElse(
+      val v = nums.lastOption.getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
       val entries = readEntries(spark, path, v)
       if (entries.isEmpty) return v
+      val header = readHeader(fs, root, v)
       val all = entries.map(e => s"$path/${e.name}")
-      val touched = spark.read.parquet(all: _*)
+      val touched = schemaRead(spark, header.schemaJson, all)
         .where(predicate)
         .select(input_file_name().as("f"))
         .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
       if (touched.isEmpty) return v
       val (rewrite, carried) = entries.partition(e => touched(e.name))
-      val survivors = spark.read
-        .parquet(rewrite.map(e => s"$path/${e.name}"): _*)
+      val survivors = schemaRead(spark, header.schemaJson,
+        rewrite.map(e => s"$path/${e.name}"))
         .where(!coalesce(predicate, lit(false)))
       val v2 = v + 1
       val published = stageAndPublish(survivors, fs, root, v2)
-      val cols = resolveStatsCols(spark, path, Some(v), Seq.empty)
+      val cols = resolveStatsCols(Some(header), Seq.empty)
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
-          carried ++ newEntries)) return v2
+          header.schemaJson, carried ++ newEntries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
       // lost the race: drop our rewrites (vacuum-class debris swept
       // eagerly) and re-run discovery against the winner's version
       published.foreach(n => fs.delete(new Path(root, n), false))
@@ -234,15 +323,147 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** MERGE INTO (upsert) as a versioned commit — [[SnapshotMerge]]'s
+    * semantics lifted onto the commit log the way [[deleteWhere]]
+    * lifted [[TargetedDelete]]: target rows whose key tuple matches a
+    * `source` row are REPLACED by that row (update), source rows
+    * matching nothing are INSERTED, and only the files holding a
+    * matched row are rewritten — everything else carries into the new
+    * version by reference. The prior version stays time-travelable;
+    * `txnId` gives CDC pipelines the same replay-no-op idempotence as
+    * [[commit]].
+    *
+    * Discovery is two-phase and scale-shaped: (1) a COARSE manifest
+    * prune — one tiny aggregate computes the source's per-key-column
+    * min/max, and any file whose recorded span misses one of them can
+    * hold no match (a necessary condition on every key column); (2) an
+    * EXACT probe of only the surviving candidate files, projecting the
+    * key columns plus `input_file_name` into a semi-join against the
+    * distinct source keys (delta-sized — AQE broadcasts it). A merge
+    * of a key-range-clustered CDC batch thus rewrites O(touched
+    * files), never the table.
+    *
+    * Contract: `source` must carry exactly the table's columns (same
+    * types modulo nullability — schema evolution composes via a prior
+    * [[commit]], not mid-merge), and its key tuples must be UNIQUE
+    * (checked; "last row wins" hides producer bugs). Null-keyed source
+    * rows match nothing (SQL join semantics) and are inserted as-is.
+    * An empty source returns the current version untouched. */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+      keys: Seq[String], txnId: Option[String] = None,
+      maxRetries: Int = 5): Int = {
+    require(keys.nonEmpty, "mergeInto: no key columns")
+    require(keys.forall(source.columns.contains),
+      s"mergeInto: source lacks key columns " +
+        s"${keys.filterNot(source.columns.contains).mkString(",")}")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    // One stable snapshot of the (delta-sized) source: it is consumed
+    // by the uniqueness check, the span aggregate, the discovery join,
+    // the rewrite, and possibly a retry — recomputing a non-
+    // deterministic source per consumer would un-serialize the merge.
+    val src = source.localCheckpoint()
+    if (src.isEmpty)
+      return listVersionNumbers(fs, root).lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+    require(src.groupBy(keys.map(col): _*).count()
+        .where(col("count") > 1).isEmpty,
+      s"mergeInto: source keys ${keys.mkString(",")} are not unique")
+    val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"),
+      max(col(k)).as(s"__mx_$k")))
+    val bounds = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    var triesLeft = maxRetries
+    while (true) {
+      val nums = listVersionNumbers(fs, root)
+      txnId.foreach { t =>
+        findTxn(fs, root, nums, t).foreach(v => return v)
+      }
+      val v = nums.lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+      val header = readHeader(fs, root, v)
+      val entries = readEntries(spark, path, v)
+      val tableSchema = header.schemaJson.map(decodeSchema)
+        .orElse(entries.headOption.map(e =>
+          schemaRead(spark, None, Seq(s"$path/${e.name}")).schema))
+        .getOrElse(src.schema) // empty pre-v4 table: pure insert
+      require(src.columns.sorted.sameElements(tableSchema.fieldNames.sorted),
+        s"mergeInto: source columns ${src.columns.sorted.mkString(",")} " +
+          s"!= table columns ${tableSchema.fieldNames.sorted.mkString(",")}")
+      // coarse manifest prune: a file can hold a match only if its span
+      // overlaps the source's [min, max] on EVERY key column
+      val preds = keys.flatMap { k =>
+        val (mn, mx) = (bounds.get(bounds.fieldIndex(s"__mn_$k")),
+          bounds.get(bounds.fieldIndex(s"__mx_$k")))
+        if (mn == null || mx == null) None else Some(RangePred(k, mn, mx))
+      }
+      val candidates = pruneEntriesWhere(entries, preds)
+      val srcKeys = src.select(keys.map(col): _*)
+        .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
+      val touched =
+        if (candidates.isEmpty) Set.empty[String]
+        else schemaRead(spark, header.schemaJson,
+            candidates.map(e => s"$path/${e.name}"))
+          .select(keys.map(col) :+ input_file_name().as("__f"): _*)
+          .join(srcKeys, keys, "left_semi")
+          .select("__f").distinct()
+          .collect().map(r => uriFileName(r.getString(0))).toSet
+      val (rewrite, carried) = entries.partition(e => touched(e.name))
+      val ordered = src.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      val newData =
+        if (rewrite.isEmpty) ordered
+        else schemaRead(spark, header.schemaJson,
+            rewrite.map(e => s"$path/${e.name}"))
+          .join(srcKeys, keys, "left_anti")
+          .unionByName(ordered)
+      val v2 = v + 1
+      val published = stageAndPublish(newData, fs, root, v2)
+      val cols = resolveStatsCols(Some(header), Seq.empty)
+      val newEntries = published.map(n =>
+        footerEntry(fs, conf, new Path(root, n), cols))
+      if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
+          header.schemaJson, carried ++ newEntries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      triesLeft -= 1
+      if (triesLeft < 0) throw new IllegalStateException(
+        s"versioned merge at $path lost the manifest race " +
+          s"$maxRetries times — giving up")
+    }
+    -1 // unreachable
+  }
+
   /** Read a version (default: latest). Fails loudly on a version that
-    * was never committed — an uncommitted crash leaves no manifest. */
+    * was never committed — an uncommitted crash leaves no manifest.
+    * Reads plan with the manifest's RECORDED schema (v4+): files
+    * committed before a column was added back-fill it with null, and
+    * a time-travel read returns exactly its version's shape. */
   def read(spark: SparkSession, path: String,
       asOfVersion: Option[Int] = None): DataFrame = {
-    val v = asOfVersion.orElse(latestVersion(spark, path)).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $path"))
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
     val fl = files(spark, path, v)
-    if (fl.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(fl.map(n => s"$path/$n"): _*)
+    if (fl.isEmpty) header.schemaJson match {
+      case Some(j) => spark.createDataFrame(
+        new java.util.ArrayList[Row](), decodeSchema(j))
+      case None => spark.emptyDataFrame
+    }
+    else schemaRead(spark, header.schemaJson, fl.map(n => s"$path/$n"))
+  }
+
+  /** The recorded schema of a committed version (None for pre-v4
+    * manifests, which predate schema tracking). */
+  def schemaOf(spark: SparkSession, path: String,
+      version: Int): Option[StructType] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    readHeader(fs, root, version).schemaJson.map(decodeSchema)
   }
 
   /** Range scan planned from the MANIFEST alone: resolve the version's
@@ -254,18 +475,44 @@ object VersionedTable {
     * that wrote the files). Files committed without stats for `column`
     * are conservatively kept. */
   def prunedRead(spark: SparkSession, path: String, column: String,
-      lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame = {
-    val v = asOfVersion.orElse(latestVersion(spark, path)).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $path"))
+      lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame =
+    prunedReadWhere(spark, path, Seq(RangePred(column, lo, hi)), asOfVersion)
+
+  /** [[prunedRead]] generalized to a CONJUNCTION of range and IN-list
+    * predicates: a file is opened only when EVERY predicate might
+    * match its spans, so a two-column conjunction opens no more files
+    * than either column alone (and usually strictly fewer — the
+    * Iceberg/Delta data-skipping composition). The exact predicates
+    * are re-applied to the survivors, keeping the plan
+    * result-invisible. */
+  def prunedReadWhere(spark: SparkSession, path: String,
+      preds: Seq[PrunePred], asOfVersion: Option[Int] = None): DataFrame = {
+    require(preds.nonEmpty, "prunedReadWhere: no predicates")
+    preds.collect { case InPred(c, vs) if vs.isEmpty => c } match {
+      case Seq() => ()
+      case cs => throw new IllegalArgumentException(
+        s"prunedReadWhere: empty IN-list on ${cs.mkString(",")}")
+    }
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
     val entries = readEntries(spark, path, v)
-    val pred = col(column).isNotNull &&
-      col(column) >= lit(lo) && col(column) <= lit(hi)
-    val keep = pruneEntries(entries, column, lo, hi)
-    if (entries.isEmpty) spark.emptyDataFrame
+    val pred = preds.map {
+      case RangePred(c, lo, hi) =>
+        col(c).isNotNull && col(c) >= lit(lo) && col(c) <= lit(hi)
+      case InPred(c, vs) => col(c).isin(vs: _*)
+    }.reduce(_ && _)
+    val keep = pruneEntriesWhere(entries, preds)
+    if (entries.isEmpty) read(spark, path, Some(v)).limit(0)
     else if (keep.isEmpty)
       read(spark, path, Some(v)).where(pred).limit(0)
-    else spark.read.parquet(keep.map(e => s"$path/${e.name}"): _*)
-      .where(pred)
+    else {
+      val header = readHeader(fs, root, v)
+      schemaRead(spark, header.schemaJson,
+        keep.map(e => s"$path/${e.name}")).where(pred)
+    }
   }
 
   /** The manifest-side pruning decision of [[prunedRead]], exposed for
@@ -273,13 +520,27 @@ object VersionedTable {
     * `entries` a range predicate `[lo, hi]` on `column` might match. */
   def pruneEntries(entries: Seq[FileEntry], column: String,
       lo: Any, hi: Any): Seq[FileEntry] =
-    entries.filter { e =>
-      e.stats.get(column) match {
-        case None => true // stats never collected: cannot prune
-        case Some(None) => false // all-null column: no range match
-        case Some(Some((mn, mx))) =>
+    pruneEntriesWhere(entries, Seq(RangePred(column, lo, hi)))
+
+  /** Conjunctive manifest-side pruning: the entries EVERY predicate
+    * might match. Incomparable or uncollected spans keep the file
+    * (conservative); an all-null column provably fails any range or
+    * IN test. */
+  def pruneEntriesWhere(entries: Seq[FileEntry],
+      preds: Seq[PrunePred]): Seq[FileEntry] =
+    entries.filter(e => preds.forall(p => mightMatch(e, p)))
+
+  private def mightMatch(e: FileEntry, p: PrunePred): Boolean =
+    e.stats.get(p.column) match {
+      case None => true // stats never collected: cannot prune
+      case Some(None) => false // all-null column: no value test matches
+      case Some(Some((mn, mx))) => p match {
+        case RangePred(_, lo, hi) =>
           // conservative on any comparison we cannot make
           cmp(mx, lo).forall(_ >= 0) && cmp(mn, hi).forall(_ <= 0)
+        case InPred(_, vs) =>
+          vs.exists(v =>
+            cmp(v, mn).forall(_ >= 0) && cmp(v, mx).forall(_ <= 0))
       }
     }
 
@@ -287,32 +548,29 @@ object VersionedTable {
       txnId: Option[String], nFiles: Int)
 
   /** All committed versions, ascending, with mode, transaction id and
-    * file count — the audit listing (`DESCRIBE HISTORY` analog). */
+    * file count — the audit listing (`DESCRIBE HISTORY` analog). Reads
+    * ONLY manifest headers (six lines each since v4) — never the file
+    * lists — so the listing stays cheap over a long history. */
   def versions(spark: SparkSession, path: String): Seq[VersionInfo] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val log = new Path(root, LogDir)
-    if (!fs.exists(log)) return Seq.empty
-    fs.listStatus(log).map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.manifest")).sorted.map { n =>
-        val v = n.stripPrefix("v").stripSuffix(".manifest").toInt
-        val lines = readLines(fs, new Path(log, n))
-        val headerLines = if (lines.head == Header) 4 else 3
-        VersionInfo(v, lines(1),
-          Option(lines(2).stripPrefix("txn:")).filter(_ != "-"),
-          lines.size - headerLines)
-      }.toSeq
+    listVersionNumbers(fs, root).map { v =>
+      val h = readHeader(fs, root, v)
+      VersionInfo(v, h.mode, h.txnId, h.nFiles)
+    }
   }
 
   /** Drop all but the last `keepLast` versions: delete their manifests
     * and every data file no RETAINED version references. Time travel
     * to an expired version then fails loudly (manifest gone) instead
-    * of returning partial data. */
+    * of returning partial data; an incremental consumer holding an
+    * expired watermark gets the distinguishable
+    * [[VersionExpiredException]] from [[readAppendsSince]]. */
   def expire(spark: SparkSession, path: String, keepLast: Int): Unit = {
     require(keepLast >= 1, s"keepLast must be >= 1: $keepLast")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val all = versions(spark, path).map(_.version)
+    val all = listVersionNumbers(fs, root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
     if (drop.isEmpty) return
     val retained = keep.flatMap(v => files(spark, path, v)).toSet
@@ -347,7 +605,7 @@ object VersionedTable {
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = latestVersion(spark, path).getOrElse(
+    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val bytes = files(spark, path, v)
       .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
@@ -370,57 +628,92 @@ object VersionedTable {
     * to `toVersion`, default latest) — resolved as the FILE DIFF of
     * the two manifests, so the read costs O(delta), never a rescan of
     * history. This is what a downstream pipeline polls between runs
-    * ("give me what landed since my last watermark version") and what
-    * a backfill replays commit by commit.
+    * ("give me what landed since my last watermark version"), what
+    * [[graft.sources.VtStreamSource]] feeds each micro-batch from,
+    * and what a backfill replays commit by commit.
     *
     * Sound only while every intervening commit is an APPEND (files
     * strictly accumulate, so new files ⇔ new rows); an overwrite,
-    * delete, or compaction in the window makes the file diff no
+    * delete, merge, or compaction in the window makes the file diff no
     * longer row-level adds, and the call refuses LOUDLY rather than
     * return wrong rows — re-baseline from a full read of the newer
-    * version instead. */
+    * version instead. A `fromVersion` that [[expire]] already dropped
+    * raises the distinguishable [[VersionExpiredException]] — the
+    * "your watermark aged out, re-baseline" signal, not a crash. */
   def readAppendsSince(spark: SparkSession, path: String,
       fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
-    val to = toVersion.orElse(latestVersion(spark, path)).getOrElse(
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = listVersionNumbers(fs, root)
+    val to = toVersion.orElse(live.lastOption).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     require(to >= fromVersion,
       s"toVersion $to precedes fromVersion $fromVersion")
-    val window = versions(spark, path)
-      .filter(v => v.version > fromVersion && v.version <= to)
-    val nonAppend = window.filterNot(_.mode == "append")
+    if (!live.contains(fromVersion) && live.nonEmpty &&
+        fromVersion < live.head && fromVersion >= 0)
+      throw new VersionExpiredException(
+        s"version $fromVersion at $path has been expired from the log " +
+          s"(oldest live version is ${live.head}) — the incremental " +
+          "window is gone; re-baseline from a full read of the current " +
+          "version")
+    val window = live.filter(v => v > fromVersion && v <= to)
+      .map(v => (v, readHeader(fs, root, v)))
+    val nonAppend = window.filterNot(_._2.mode == "append")
     require(nonAppend.isEmpty,
       s"readAppendsSince($fromVersion, $to) at $path crosses " +
-        s"non-append commits ${nonAppend.map(v => s"v${v.version}:${v.mode}")
+        s"non-append commits ${nonAppend.map(v => s"v${v._1}:${v._2.mode}")
           .mkString(",")} — the file diff is not row-level adds; " +
         "re-baseline from a full read")
     val before = files(spark, path, fromVersion).toSet
     val added = files(spark, path, to).filterNot(before)
     if (added.isEmpty) read(spark, path, Some(to)).limit(0)
-    else spark.read.parquet(added.map(n => s"$path/$n"): _*)
+    else schemaRead(spark, readHeader(fs, root, to).schemaJson,
+      added.map(n => s"$path/$n"))
   }
 
-  /** Delete data files referenced by NO manifest and older than
-    * `ttlMs` — the debris of a crash between PUBLISH and COMMIT. TTL
-    * semantics as in [[Vacuum]]: age is the only signal that no
-    * writer is coming back. */
+  /** Delete debris no committed version references and older than
+    * `ttlMs`: data files orphaned by a crash between PUBLISH and
+    * COMMIT, and staging directories (`.<table>__vt_stage_*` siblings)
+    * orphaned by a crash DURING staging. TTL semantics as in
+    * [[Vacuum]]: age is the only signal that no writer is coming
+    * back. Returns the deleted names. */
   def vacuumUnreferenced(spark: SparkSession, path: String,
       ttlMs: Long): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val referenced = versions(spark, path)
-      .flatMap(v => files(spark, path, v.version)).toSet
+    val referenced = listVersionNumbers(fs, root)
+      .flatMap(v => files(spark, path, v)).toSet
     val now = System.currentTimeMillis()
-    fs.listStatus(root).filter(_.isFile).filter { st =>
+    val orphanFiles = fs.listStatus(root).filter(_.isFile).filter { st =>
       val n = st.getPath.getName
       n.matches("v\\d{5}-.*") && !referenced.contains(n) &&
         now - st.getModificationTime > ttlMs
     }.map { st =>
       fs.delete(st.getPath, false); st.getPath.getName
     }.toSeq
+    // crash-orphaned staging dirs are SIBLINGS of the table root (so a
+    // recursive table copy never drags half-written data along); sweep
+    // the ones past the TTL — a live committer's stage is younger.
+    val stagePrefix = s".${root.getName}__vt_stage_"
+    val parent = root.getParent
+    val orphanStages =
+      if (parent == null || !fs.exists(parent)) Seq.empty
+      else fs.listStatus(parent).filter(_.isDirectory).filter { st =>
+        st.getPath.getName.startsWith(stagePrefix) &&
+          now - st.getModificationTime > ttlMs
+      }.map { st =>
+        fs.delete(st.getPath, true); st.getPath.getName
+      }.toSeq
+    orphanFiles ++ orphanStages
   }
 
-  private def latestVersion(spark: SparkSession, path: String): Option[Int] =
-    versions(spark, path).lastOption.map(_.version)
+  /** The latest committed version, if any — one directory listing,
+    * zero manifest reads (what a poll-based consumer calls per tick). */
+  def latestVersion(spark: SparkSession, path: String): Option[Int] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    listVersionNumbers(fs, root).lastOption
+  }
 
   /** The exact file list of a committed version. */
   def files(spark: SparkSession, path: String, version: Int): Seq[String] =
@@ -439,10 +732,10 @@ object VersionedTable {
     val lines = readLines(fs, mf)
     lines.headOption match {
       case Some(Header) =>
-        val cols = lines(3).stripPrefix("stats:") match {
-          case "-" => Seq.empty[String]
-          case s => s.split(',').toSeq
-        }
+        val cols = statsColsOf(lines(3))
+        lines.drop(6).map(parseEntry(_, cols))
+      case Some(HeaderV3) =>
+        val cols = statsColsOf(lines(3))
         lines.drop(4).map(parseEntry(_, cols))
       case Some(HeaderV2) =>
         lines.drop(3).map(FileEntry(_, -1L, Map.empty))
@@ -451,6 +744,122 @@ object VersionedTable {
   }
 
   // ---- commit internals ----------------------------------------------
+
+  /** Parsed manifest HEADER — everything version resolution needs,
+    * without the file list. v4 headers are six lines; pre-v4 headers
+    * lack `nFiles`/`schema` (nFiles falls back to a full line count —
+    * the legacy-compat path only). */
+  private final case class ManifestHeader(mode: String,
+      txnId: Option[String], statsCols: Seq[String], nFiles: Int,
+      schemaJson: Option[String])
+
+  private def statsColsOf(line: String): Seq[String] =
+    line.stripPrefix("stats:") match {
+      case "-" => Seq.empty
+      case s => s.split(',').toSeq
+    }
+
+  /** Header-only manifest read: v4 reads exactly six lines and stops —
+    * the file list is never materialized. */
+  private def readHeader(fs: FileSystem, root: Path,
+      version: Int): ManifestHeader = {
+    val mf = new Path(root, f"$LogDir/v$version%05d.manifest")
+    require(fs.exists(mf),
+      s"version $version was never committed (or expired) at $root")
+    val head = readHeadLines(fs, mf, 6)
+    head.headOption match {
+      case Some(Header) =>
+        ManifestHeader(head(1),
+          Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
+          statsColsOf(head(3)),
+          head(4).stripPrefix("nfiles:").toInt,
+          Option(head(5).stripPrefix("schema:")).filter(_ != "-")
+            .map(s => java.net.URLDecoder.decode(s, "UTF-8")))
+      case Some(HeaderV3) =>
+        ManifestHeader(head(1),
+          Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
+          statsColsOf(head(3)),
+          readLines(fs, mf).size - 4, None)
+      case Some(HeaderV2) =>
+        ManifestHeader(head(1),
+          Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
+          Seq.empty, readLines(fs, mf).size - 3, None)
+      case _ => throw new IllegalStateException(s"bad manifest $mf")
+    }
+  }
+
+  /** The committed version numbers, ascending — ONE directory listing,
+    * no manifest reads. */
+  private def listVersionNumbers(fs: FileSystem, root: Path): Seq[Int] = {
+    val log = new Path(root, LogDir)
+    if (!fs.exists(log)) return Seq.empty
+    fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.matches("v\\d{5}\\.manifest"))
+      .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
+      .sorted.toSeq
+  }
+
+  // ---- txn checkpoint --------------------------------------------------
+
+  private final case class Checkpoint(latest: Int, txns: Map[String, Int])
+
+  /** Resolve the version that committed `txnId`, if any: ONE
+    * checkpoint read plus manifest-header probes of only the versions
+    * the checkpoint has not indexed yet (newest first — a replayed
+    * micro-batch is always recent). O(1) in history length. */
+  private def findTxn(fs: FileSystem, root: Path, nums: Seq[Int],
+      txnId: String): Option[Int] = {
+    val ck = readCheckpoint(fs, root)
+    ck.flatMap(_.txns.get(txnId)).orElse {
+      val after = ck.map(_.latest).getOrElse(-1)
+      nums.filter(_ > after).reverseIterator
+        .map(v => (v, readHeader(fs, root, v).txnId))
+        .collectFirst { case (v, Some(t)) if t == txnId => v }
+    }
+  }
+
+  private def readCheckpoint(fs: FileSystem, root: Path): Option[Checkpoint] = {
+    val p = new Path(root, s"$LogDir/$CkptName")
+    if (!fs.exists(p)) return None
+    val lines = try readLines(fs, p) catch { case _: java.io.IOException =>
+      return None } // racing refresh: fall back to the full header scan
+    if (lines.headOption != Some(CkptHeader) || lines.size < 2) return None
+    val latest = lines(1).stripPrefix("latest:").toInt
+    val txns = lines.drop(2).filter(_.nonEmpty).map { l =>
+      val i = l.indexOf(':')
+      l.substring(i + 1) -> l.substring(0, i).toInt
+    }.toMap
+    Some(Checkpoint(latest, txns))
+  }
+
+  /** Refresh `_checkpoint` every [[CheckpointInterval]] commits:
+    * carry the previous checkpoint's txn index forward and header-scan
+    * only the versions since it — bounded work regardless of history
+    * length. The swap is tmp + delete + rename, NOT the atomic commit
+    * point: two racing refreshes last-write-win and any checkpoint is
+    * valid (readers scan forward from its watermark), and a reader
+    * catching the brief gap just falls back to the full header scan. */
+  private def maybeCheckpoint(fs: FileSystem, root: Path, v: Int): Unit = {
+    if (v % CheckpointInterval != 0 || v == 0) return
+    val prev = readCheckpoint(fs, root)
+    val after = prev.map(_.latest).getOrElse(-1)
+    val nums = listVersionNumbers(fs, root).filter(n => n > after && n <= v)
+    val fresh = nums.flatMap(n =>
+      readHeader(fs, root, n).txnId.map(t => t -> n))
+    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ fresh
+    val tmp = new Path(root,
+      s"$LogDir/.$CkptName.${java.util.UUID.randomUUID}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((Seq(CkptHeader, s"latest:$v") ++
+      txns.toSeq.sortBy(_._2).map { case (t, n) => s"$n:$t" })
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(root, s"$LogDir/$CkptName")
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+  }
+
+  // ---- staging ---------------------------------------------------------
 
   /** STAGE df via Spark's committer into a unique hidden sibling, then
     * PUBLISH each part under the `v<N>-` prefix in the table root.
@@ -488,20 +897,58 @@ object VersionedTable {
   /** Stats columns for a commit: explicit wins; otherwise inherit from
     * the previous manifest so the table's index stays live across
     * appends/compactions/deletes without re-declaration. */
-  private def resolveStatsCols(spark: SparkSession, path: String,
-      prev: Option[Int], statsCols: Seq[String]): Seq[String] = {
+  private def resolveStatsCols(prev: Option[ManifestHeader],
+      statsCols: Seq[String]): Seq[String] = {
     require(statsCols.forall(c => c.nonEmpty &&
         !c.exists(ch => ch == ',' || ch == '\t' || ch < ' ')),
       s"bad stats column names: $statsCols")
     if (statsCols.nonEmpty) statsCols
-    else prev.map { v =>
-      val root = new Path(path)
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      val lines = readLines(fs, new Path(root, f"$LogDir/v$v%05d.manifest"))
-      if (lines.head == Header && lines(3) != "stats:-")
-        lines(3).stripPrefix("stats:").split(',').toSeq
-      else Seq.empty
-    }.getOrElse(Seq.empty)
+    else prev.map(_.statsCols).getOrElse(Seq.empty)
+  }
+
+  /** The schema this commit records, enforcing the evolution contract
+    * on appends: columns the table lacks are ADDED (nullable — older
+    * files back-fill null); a column whose type differs from the
+    * recorded one refuses loudly; columns the batch lacks stay (its
+    * new files back-fill null). Overwrites reshape freely. Everything
+    * is stored nullability-widened — parquet file sources read as
+    * nullable anyway, and a spurious non-null flag would just lie. */
+  private def resolveSchema(dfSchema: StructType,
+      prev: Option[ManifestHeader], overwrite: Boolean,
+      path: String): String = {
+    val incoming = StructType(dfSchema.map(f =>
+      f.copy(dataType = org.apache.spark.sql.graftbridge.Bridge
+        .asNullable(f.dataType), nullable = true)))
+    val merged =
+      if (overwrite) incoming
+      else prev.flatMap(_.schemaJson).map(decodeSchema) match {
+        case None => incoming
+        case Some(old) =>
+          val conflicts = incoming.flatMap(f =>
+            old.find(_.name == f.name).filter(_.dataType != f.dataType)
+              .map(o => s"${f.name}: ${o.dataType.simpleString} -> " +
+                s"${f.dataType.simpleString}"))
+          require(conflicts.isEmpty,
+            s"versioned append at $path changes column types " +
+              s"(${conflicts.mkString("; ")}) — incompatible schema " +
+              "evolution; rewrite via an overwrite commit instead")
+          StructType(old ++ incoming.filterNot(f =>
+            old.exists(_.name == f.name)))
+      }
+    merged.json
+  }
+
+  private def decodeSchema(json: String): StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[StructType]
+
+  /** Parquet scan of `paths` planned with the manifest's recorded
+    * schema when present: files predating a column addition back-fill
+    * it with null (the mergeSchema result, without footer merging). */
+  private def schemaRead(spark: SparkSession, schemaJson: Option[String],
+      paths: Seq[String]): DataFrame = schemaJson match {
+    case Some(j) => spark.read.schema(decodeSchema(j)).parquet(paths: _*)
+    case None => spark.read.parquet(paths: _*)
   }
 
   /** Build a [[FileEntry]] from the parquet FOOTER of a just-published
@@ -510,7 +957,9 @@ object VersionedTable {
     * Iceberg design: the writer already computed these stats). Columns
     * whose physical type we do not normalize (nested, decimal, int96)
     * or whose chunks lack statistics are recorded as not-collected —
-    * readable, never prunable. */
+    * readable, never prunable. NaN bounds (legal in float/double
+    * footers) are treated as not-collected too: NaN orders under no
+    * range predicate. */
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
       cols: Seq[String]): FileEntry = {
     if (cols.isEmpty) {
@@ -548,7 +997,7 @@ object VersionedTable {
               }
               if (sts.exists(s => s.hasNonNullValue) &&
                   spans.size != sts.count(_.hasNonNullValue))
-                None // some chunk's type we cannot normalize
+                None // some chunk's bound we cannot normalize (or NaN)
               else if (spans.isEmpty) Some(c -> None) // all-null column
               else Some(c -> Some((
                 spans.map(_._1).reduce((a, b) =>
@@ -566,8 +1015,8 @@ object VersionedTable {
   /** Normalize a parquet statistics value to Long / Double / String.
     * DATE (epoch days) and TIMESTAMP (epoch micros) columns normalize
     * through their physical ints — pruning on them compares in those
-    * units. Decimals and int96 are not normalized (None → stat not
-    * collected). */
+    * units. Decimals and int96 are not normalized, and neither is a
+    * NaN float/double bound (None → stat not collected). */
   private def normalize(prim: org.apache.parquet.schema.PrimitiveType,
       v: AnyRef): Option[Any] = {
     val logical = prim.getLogicalTypeAnnotation
@@ -577,9 +1026,9 @@ object VersionedTable {
       case PrimitiveTypeName.INT32 => Some(v.asInstanceOf[Number].longValue)
       case PrimitiveTypeName.INT64 => Some(v.asInstanceOf[Number].longValue)
       case PrimitiveTypeName.FLOAT =>
-        Some(v.asInstanceOf[Number].doubleValue)
+        Some(v.asInstanceOf[Number].doubleValue).filterNot(_.isNaN)
       case PrimitiveTypeName.DOUBLE =>
-        Some(v.asInstanceOf[Number].doubleValue)
+        Some(v.asInstanceOf[Number].doubleValue).filterNot(_.isNaN)
       case PrimitiveTypeName.BINARY if logical.isInstanceOf[
           LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
         Some(v.asInstanceOf[org.apache.parquet.io.api.Binary]
@@ -592,12 +1041,19 @@ object VersionedTable {
     * bound; None when the pair is incomparable (pruning then keeps the
     * file — conservative). Numeric cross-type compares go through
     * BigDecimal so `Long` spans test correctly against `Int`/`Double`
-    * bounds. */
+    * bounds; ±Infinity (legal in double footers, unparseable by
+    * BigDecimal) compares as a double, and NaN on either side is
+    * incomparable — the conservative keep, never a crash. */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
     case (x: String, y: String) => Some(x.compareTo(y))
     case (x: Number, y: Number) =>
-      Some(new java.math.BigDecimal(x.toString)
+      val (dx, dy) = (x.doubleValue, y.doubleValue)
+      if (dx.isNaN || dy.isNaN) None
+      else if (dx.isInfinite || dy.isInfinite)
+        Some(java.lang.Double.compare(dx, dy))
+      else try Some(new java.math.BigDecimal(x.toString)
         .compareTo(new java.math.BigDecimal(y.toString)))
+      catch { case _: NumberFormatException => None }
     case _ => None
   }
 
@@ -617,7 +1073,7 @@ object VersionedTable {
     case _ => throw new IllegalStateException(s"bad span field: $s")
   }
 
-  /** v3 entry line: `name TAB nRows TAB min1 TAB max1 ...` — two
+  /** v3+/v4 entry line: `name TAB nRows TAB min1 TAB max1 ...` — two
     * fields per stats column; `- -` = not collected, `N N` = all-null
     * column. */
   private def formatEntry(e: FileEntry, cols: Seq[String]): String = {
@@ -644,27 +1100,64 @@ object VersionedTable {
     FileEntry(f(0), f(1).toLong, stats)
   }
 
-  /** Write + rename the manifest — the commit point. Returns false on
-    * a lost race (a manifest for this version already exists, or the
-    * rename itself lost to one that appeared in between) so the caller
-    * can re-resolve and retry; any other failure throws. */
+  /** Write the manifest to a temp name and PROMOTE it — the commit
+    * point. Returns false on a lost race (a manifest for this version
+    * already exists) so the caller can re-resolve and retry; any other
+    * failure throws. Promotion is atomic-no-overwrite per the contract
+    * in the class scaladoc: `link(2)` on local filesystems (EEXIST is
+    * atomic at the kernel — no check-then-act window), the
+    * no-overwrite rename contract on HDFS. */
   private def tryWriteManifest(fs: FileSystem, root: Path, v: Int,
       mode: String, txnId: Option[String], cols: Seq[String],
-      entries: Seq[FileEntry]): Boolean = {
+      schemaJson: Option[String], entries: Seq[FileEntry],
+      onBeforePromote: () => Unit = () => ()): Boolean = {
+    val dest = new Path(root, f"$LogDir/v$v%05d.manifest")
+    if (fs.exists(dest)) return false // fast-path; the promote re-checks
     val tmp = new Path(root,
       f"$LogDir/.v$v%05d.manifest.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write((Seq(Header, mode, s"txn:${txnId.getOrElse("-")}",
-      s"stats:${if (cols.isEmpty) "-" else cols.mkString(",")}")
+      s"stats:${if (cols.isEmpty) "-" else cols.mkString(",")}",
+      s"nfiles:${entries.size}",
+      s"schema:${schemaJson.map(j =>
+        java.net.URLEncoder.encode(j, "UTF-8")).getOrElse("-")}")
       ++ entries.map(formatEntry(_, cols)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = new Path(root, f"$LogDir/v$v%05d.manifest")
-    if (fs.exists(dest)) { fs.delete(tmp, false); return false }
-    val won = fs.rename(tmp, dest)
+    onBeforePromote()
+    val won = atomicPromote(fs, tmp, dest)
     if (!won) fs.delete(tmp, false)
     won
   }
+
+  /** Atomic no-overwrite promotion of `tmp` to `dest`. On `file:`
+    * filesystems POSIX `rename(2)` silently REPLACES an existing
+    * destination, so rename can never be the commit point there;
+    * `link(2)` fails with EEXIST atomically instead — two true racers
+    * resolve to exactly one winner with no check-then-act window. On
+    * HDFS, rename-onto-existing returns false atomically at the
+    * NameNode (the filesystem-contract no-overwrite rename), which is
+    * the commit point Delta relies on too. Anything else gets the
+    * HDFS-shaped path plus a best-effort exists guard — object stores
+    * without atomic no-overwrite need an external coordination layer
+    * for multi-writer use (documented in the class scaladoc). */
+  private def atomicPromote(fs: FileSystem, tmp: Path, dest: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val src = java.nio.file.Paths.get(
+        fs.makeQualified(tmp).toUri.getPath)
+      val dst = java.nio.file.Paths.get(
+        fs.makeQualified(dest).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dst, src)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    } else {
+      if (fs.exists(dest)) return false
+      fs.rename(tmp, dest)
+    }
 
   /** Decoded file name of an `input_file_name()` value (URI-escaped —
     * the [[TargetedDelete]] discipline). */
@@ -675,6 +1168,16 @@ object VersionedTable {
   private def readLines(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** First `n` lines of a file, reading no further — the header-only
+    * manifest path (a 100k-file manifest's header costs six lines, not
+    * the list). */
+  private def readHeadLines(fs: FileSystem, p: Path, n: Int): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .take(n).toList
     finally in.close()
   }
 }

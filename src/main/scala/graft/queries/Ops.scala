@@ -645,6 +645,127 @@ object Ops {
     out
   }
 
+  // MERGE INTO as a versioned commit: the table is committed
+  // range-clustered on o_orderkey, then a CDC batch carrying UPDATES
+  // (top-quarter keys, prices doubled) and INSERTS (brand-new keys
+  // beyond every file's span) merges in ONE commit — only the files
+  // whose manifest span can hold a matched key are rewritten (coarse
+  // source-span prune, then an exact key probe of the candidates);
+  // the low-key files carry into the new version BY REFERENCE (gated
+  // below). The pre-merge version stays whole; a replayed merge
+  // (same txnId) no-ops. The oracle replays the upsert in SQL.
+  val opVtMerge: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtm_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    val ords = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    VersionedTable.commit(
+      ords.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      t, overwrite = true, statsCols = Seq("o_orderkey"))
+    val mx = ords.agg(max(col("o_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val m = mx.getLong(0)
+      val cut = m * 3 / 4
+      val updates = ords.where(col("o_orderkey") > cut)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ords.where(col("o_orderkey") > cut)
+        .select((col("o_orderkey") + m * 10).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      val source = updates.unionByName(inserts)
+      val preFiles = VersionedTable.files(s, t, 0).toSet
+      val v = VersionedTable.mergeInto(s, t, source, Seq("o_orderkey"),
+        txnId = Some("vtm_1"))
+      require(v == 1, s"merge must commit version 1, got $v")
+      require((VersionedTable.files(s, t, 1).toSet & preFiles).nonEmpty,
+        "a span-pruned merge over a clustered table must carry files")
+      require(VersionedTable.read(s, t, Some(0)).count() == ords.count(),
+        "the pre-merge version must stay whole")
+      require(VersionedTable.mergeInto(s, t, source, Seq("o_orderkey"),
+        txnId = Some("vtm_1")) == v,
+        "a replayed merge (same txnId) must no-op")
+      require(VersionedTable.versions(s, t).map(_.mode) ==
+        Seq("overwrite", "merge"))
+    }
+    VersionedTable.read(s, t)
+  }
+
+  // Schema evolution across versioned commits (the src_schema_evolution
+  // scenario lifted onto the commit log): v0 lands the even docs as
+  // (doc_id, text), v1 appends the odd docs WITH A NEW COLUMN — the
+  // manifest records the merged schema, so the latest read back-fills
+  // null for pre-evolution files (mergeSchema semantics planned from
+  // ONE manifest, no per-file footer merging), while a time-travel
+  // read at v0 keeps its own pre-evolution shape (gated). The oracle
+  // rebuilds the evolved table: source only where the odd half
+  // carried it.
+  val opVtSchemaEvolution: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtse_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d).where(col("doc_id").isNotNull)
+    VersionedTable.commit(
+      docs.where(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text")),
+      t, overwrite = true)
+    VersionedTable.commit(
+      docs.where(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"), col("source")),
+      t, overwrite = false)
+    require(VersionedTable.read(s, t, Some(0)).columns.toSeq ==
+      Seq("doc_id", "text"),
+      "time travel to v0 must keep the pre-evolution shape")
+    require(VersionedTable.schemaOf(s, t, 1).exists(
+      _.fieldNames.toSeq == Seq("doc_id", "text", "source")),
+      "the append manifest must record the merged schema")
+    VersionedTable.read(s, t)
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+  }
+
+  // Conjunctive manifest pruning: the table is z-order clustered on
+  // (l_orderkey, l_quantity), so per-file spans are tight on BOTH
+  // dimensions and a two-column conjunction opens FEWER files than
+  // either single-column prune (gated) — plus an IN-list predicate on
+  // l_linenumber, all decided from the manifest alone. The oracle is
+  // the plain three-predicate filter: pruning must be
+  // result-invisible.
+  val opVtPrunedMulti: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    import VersionedTable.{InPred, RangePred}
+    val dir = Sources.fixtureDir(s, "graft_vtpm_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(li.repartition(8), t, overwrite = true,
+      statsCols = Seq("l_orderkey", "l_quantity"))
+    val cv = VersionedTable.compact(s, t, targetFileBytes = 48L * 1024,
+      clusterBy = Seq("l_orderkey", "l_quantity"))
+    val entries = VersionedTable.readEntries(s, t, cv)
+    val pa = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("l_orderkey", 1000L, 5000L)))
+    val pb = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("l_quantity", 1.0, 10.0)))
+    val both = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("l_orderkey", 1000L, 5000L),
+        RangePred("l_quantity", 1.0, 10.0)))
+    require(both.size <= pa.size && both.size <= pb.size,
+      "a conjunction can never open more files than one conjunct")
+    require(entries.size < 8 ||
+      (both.size < pa.size && both.size < pb.size),
+      s"z-clustered 2-col conjunction must out-prune both single " +
+        s"prunes: ${pa.size}/${pb.size}/${both.size} of ${entries.size}")
+    VersionedTable.prunedReadWhere(s, t, Seq(
+      RangePred("l_orderkey", 1000L, 5000L),
+      RangePred("l_quantity", 1.0, 10.0),
+      InPred("l_linenumber", Seq(1L, 3L, 5L))))
+  }
+
   // Incremental aggregate maintenance: a (priority × month) revenue
   // rollup initialized from pre-1995 orders, then TWO delta batches
   // (1995, post-1995) folded in at rest — each apply costs
@@ -926,6 +1047,9 @@ object Ops {
     "op_vt_delete" -> opVtDelete,
     "op_vt_optimize_cluster" -> opVtOptimizeCluster,
     "op_vt_incr_read" -> opVtIncrRead,
+    "op_vt_merge" -> opVtMerge,
+    "op_vt_schema_evolution" -> opVtSchemaEvolution,
+    "op_vt_pruned_multi" -> opVtPrunedMulti,
     "op_time_travel" -> opTimeTravel,
     "op_vacuum" -> opVacuum,
     "op_sketch_union" -> opSketchUnion,
@@ -1114,6 +1238,37 @@ object Ops {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders
         |WHERE year(o_orderdate) > 1996""".stripMargin,
+    // The versioned merge equals the SQL upsert replay: top-quarter
+    // keys updated (price doubled), shifted copies inserted (price
+    // +5), everything else untouched. The cut replays the engine's
+    // integer max*3/4; null keys (none in the fixture, but the
+    // contract) match nothing and survive.
+    "op_vt_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) * 3 // 4 AS cut,
+        |  max(o_orderkey) * 10 AS shift FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, mx WHERE o_orderkey IS NULL OR o_orderkey <= cut
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders, mx WHERE o_orderkey > cut
+        |UNION ALL
+        |SELECT o_orderkey + shift AS o_orderkey, o_custkey,
+        |  o_totalprice + 5 AS o_totalprice
+        |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // The evolved table: every doc, with the mid-life column present
+    // only where the post-evolution (odd) half carried it.
+    "op_vt_schema_evolution" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h,
+        |  CASE WHEN doc_id % 2 = 1 THEN source END AS source
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
+    // Conjunctive + IN-list manifest pruning must be result-invisible:
+    // the plain three-predicate filter.
+    "op_vt_pruned_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 5000
+        |  AND l_quantity BETWEEN 1 AND 10
+        |  AND l_linenumber IN (1, 3, 5)""".stripMargin,
     // A versioned delete must equal the anti-filter (null doc_ids are
     // kept: SQL WHERE-delete semantics remove only predicate-TRUE
     // rows). The cut replays the engine's integer max/5.

@@ -444,6 +444,67 @@ object Streams {
     else graft.operators.VersionedTable.read(s, table)
   }
 
+  /** CDC OUT of a versioned table — the consumer half of
+    * [[stVersionedSink]]'s loop, through the engine's own streaming
+    * SOURCE over the commit log ([[graft.sources.VtStreamSource]]:
+    * offsets are versions, each micro-batch is one manifest file-diff
+    * window). The producer lands three chronological commits; the
+    * consumer stream runs, STOPS, misses a commit, and resumes from
+    * its checkpoint — the restart must deliver exactly the unseen
+    * append (no replay of the initial snapshot, no loss), and an idle
+    * third run must deliver nothing. The consumer republishes into a
+    * second versioned table with batch-derived txnIds, so BOTH hops of
+    * the relay are exactly-once; the oracle is the full source table —
+    * any duplicated or dropped window flips the count/hash. */
+  val stVtSource: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvs_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val outTable = s"${dir.getAbsolutePath}/out"
+    val ck = s"${dir.getAbsolutePath}/ck"
+    def drain(): Unit = {
+      val q = s.readStream
+        .format(classOf[graft.sources.VtStreamSource].getName)
+        .option("path", table).load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty)
+            VersionedTable.commit(batch, outTable, overwrite = false,
+              txnId = Some(s"vtsrc_$batchId")): Unit
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VersionedTable.commit(ords.where(col("__y") <= 1996).drop("__y"),
+      table, overwrite = true)
+    VersionedTable.commit(
+      ords.where(col("__y").between(1997, 1998)).drop("__y"),
+      table, overwrite = false)
+    drain() // run 1: initial snapshot (v0 + v1) as one batch
+    // a commit lands while the consumer is DOWN...
+    VersionedTable.commit(ords.where(col("__y") > 1998).drop("__y"),
+      table, overwrite = false)
+    drain() // run 2: resumes at the checkpointed version: the delta only
+    val versionsAfterTail =
+      VersionedTable.versions(s, outTable).size
+    drain() // run 3: nothing new -> no batch, no new output version
+    val nIn = VersionedTable.read(s, table).count()
+    if (nIn == 0) ords.drop("__y").limit(0)
+    else {
+      require(VersionedTable.versions(s, outTable).size ==
+        versionsAfterTail, "an idle run must not commit")
+      val out = VersionedTable.read(s, outTable)
+      require(out.count() == nIn,
+        s"exactly-once relay: ${out.count()} out vs $nIn in")
+      out
+    }
+  }
+
   /** QUALITY-GATED streaming publish — the production composition of
     * the round's pieces: every micro-batch is audited
     * ([[graft.operators.QualityAudit]], one scan) and COMMITTED to the
@@ -596,6 +657,7 @@ object Streams {
     "st_merge_upsert" -> stMergeUpsert,
     "st_incr_agg" -> stIncrAgg,
     "st_versioned_sink" -> stVersionedSink,
+    "st_vt_source" -> stVtSource,
     "st_quality_gate" -> stQualityGate,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
@@ -618,6 +680,10 @@ object Streams {
     "st_incr_agg" -> Ops.oracles("op_incr_agg"),
     // Append commits union to the source: batch boundaries invisible.
     "st_versioned_sink" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // Snapshot + tailed appends relay the whole table exactly once:
+    // a duplicated or dropped micro-batch window flips the hash.
+    "st_vt_source" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     // Only the clean batches publish: 1998 (the planted-violation
     // batch) must be wholly absent.

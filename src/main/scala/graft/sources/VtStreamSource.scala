@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.VersionedTable
+
+/** Structured-Streaming SOURCE over a [[VersionedTable]] — the CDC-out
+  * half of the versioned-sink loop (`st_versioned_sink` writes the
+  * table one commit per micro-batch; this tails it one micro-batch per
+  * commit window), the `readChangeFeed` analog for the engine's commit
+  * log.
+  *
+  * {{{
+  *   spark.readStream
+  *     .format(classOf[graft.sources.VtStreamSource].getName)
+  *     .option("path", table)            // required
+  *     .option("startingVersion", "3")   // optional: tail after v3
+  *     .load()
+  * }}}
+  *
+  * OFFSETS ARE VERSIONS. Each offset is the table version consumed
+  * through (inclusive), so a micro-batch is exactly one
+  * [[VersionedTable.readAppendsSince]] window — the file DIFF of two
+  * immutable manifests. That makes delivery EXACTLY-ONCE by
+  * construction: Spark's offset log records the window, manifests
+  * never change, so a crash-replayed `getBatch(start, end)` re-reads
+  * the identical rows (the determinism contract V1 sources must
+  * honor), and a restarted stream resumes from its checkpointed
+  * version. No listener, no polling thread — `getOffset` is ONE
+  * directory listing per trigger, and the batch plan is a plain
+  * parquet scan of only the window's files (pushdown/pruning intact).
+  *
+  * FIRST BATCH: with no `startingVersion`, the initial micro-batch is
+  * the FULL SNAPSHOT of the latest version at start (Delta's initial
+  * snapshot semantics) and the stream tails appends from there. With
+  * `startingVersion=N`, the stream delivers only appends AFTER
+  * version N — the consumer already holds N (its saved watermark).
+  *
+  * REFUSALS ARE LOUD, never wrong rows: a non-append commit
+  * (overwrite / delete / merge / OPTIMIZE) inside a tail window makes
+  * the file diff no longer row-level adds, and the underlying
+  * `readAppendsSince` refuses — the stream fails with the re-baseline
+  * message instead of emitting phantom rows. A `startingVersion`
+  * that [[VersionedTable.expire]] already dropped raises the
+  * distinguishable `VersionExpiredException` ("re-baseline"), not a
+  * generic crash. At 100 TB this is the property that matters:
+  * downstream consumers can trust that what arrived is exactly what
+  * was appended, or the pipeline stops and says why.
+  */
+final class VtStreamSource extends StreamSourceProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft-vt"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft-vt stream source requires .option(\"path\", <table dir>)"))
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val resolved = schema.orElse {
+      VersionedTable.latestVersion(spark, path).map { v =>
+        VersionedTable.schemaOf(spark, path, v)
+          .getOrElse(VersionedTable.read(spark, path, Some(v)).schema)
+      }
+    }.getOrElse(throw new IllegalStateException(
+      s"graft-vt source at $path: no committed versions and no " +
+        "user-provided schema — commit version 0 first or pass .schema()"))
+    (shortName(), resolved)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val path = pathOf(parameters)
+    val (_, resolved) =
+      sourceSchema(sqlContext, schema, providerName, parameters)
+    val startingVersion = parameters.get("startingVersion").map(_.toInt)
+    new VtSource(sqlContext.sparkSession, path, resolved, startingVersion)
+  }
+}
+
+private final class VtSource(spark: SparkSession, path: String,
+    override val schema: StructType,
+    startingVersion: Option[Int]) extends Source
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  private def versionOf(o: Offset): Int = o.json.trim.toInt
+
+  /** Trigger.AvailableNow: pin the end version at trigger start so the
+    * run drains exactly the versions that existed then and stops —
+    * commits landing mid-run wait for the next trigger. */
+  @volatile private var availableNowCap: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = VersionedTable.latestVersion(spark, path)
+
+  /** One directory listing; None until the table has a version past
+    * the starting watermark (the engine then skips the trigger). */
+  override def getOffset: Option[Offset] = {
+    val latest = VersionedTable.latestVersion(spark, path)
+    availableNowCap.map(c => latest.map(_.min(c))).getOrElse(latest) match {
+      case Some(v) if startingVersion.forall(v > _) => Some(LongOffset(v))
+      case _ => None
+    }
+  }
+
+  /** Admission-control twin of [[getOffset]] (the engine calls this
+    * once a source declares AvailableNow support). Versions are not
+    * rate-limitable mid-manifest — a commit is the atomic unit — so
+    * read limits are advisory here, as for any snapshot-log source. */
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
+      org.apache.spark.sql.connector.read.streaming.Offset =
+    getOffset.orNull
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val batch = start.map(versionOf).orElse(startingVersion) match {
+      case Some(from) if from >= endV =>
+        // replay alignment edge: nothing new in (from, endV]
+        VersionedTable.read(spark, path, Some(endV)).limit(0)
+      case Some(from) =>
+        VersionedTable.readAppendsSince(spark, path, from, Some(endV))
+      case None =>
+        // initial snapshot: the full content of the first offset's
+        // version (a snapshot needs no append-only window)
+        VersionedTable.read(spark, path, Some(endV))
+    }
+    Bridge.asStreamingFrame(batch)
+  }
+
+  /** Versions are retired by [[VersionedTable.expire]] on the table
+    * owner's schedule, never by a reader. */
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VtSource[$path]"
+}

@@ -43,6 +43,19 @@ object Bridge {
   def unloadStateStores(): Unit =
     org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 
+  /** Re-tag a batch DataFrame as a STREAMING one (isStreaming=true) —
+    * what a V1 streaming `Source.getBatch` must return.
+    * `SparkSession.internalCreateDataFrame` is private[sql]; every V1
+    * connector that materializes batches from an external log (the
+    * FileStreamSource pattern) goes through it. The RDD is the batch
+    * plan's, so execution stays lazy until the micro-batch runs. */
+  def asStreamingFrame(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Dataset.ofRows for a custom LogicalPlan (private[sql] in classic) —
     * the output side: wraps an injected logical node back into the
     * public DataFrame API. */

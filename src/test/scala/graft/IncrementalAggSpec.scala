@@ -137,4 +137,29 @@ class IncrementalAggSpec extends AnyFunSuite {
         txnId = Some("bad id"))
     }
   }
+
+  test("a txn-less apply does not erase the applied-id sidecar") {
+    // the r10 advisory's mixed-mode degradation: txn applies, then a
+    // txn-LESS apply swaps in new state — the applied list must carry
+    // forward so a later replay of an EARLIER txn still no-ops
+    val dir = java.nio.file.Files.createTempDirectory("graft_ia_mix_")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/state"
+    val keys = Seq("k")
+    val b1 = Seq(("a", 1.0)).toDF("k", "v")
+    val b2 = Seq(("a", 10.0)).toDF("k", "v")
+    IncrementalAgg.applyAtRest(spark, path, b1, keys, Seq("v"),
+      txnId = Some("t0"))
+    IncrementalAgg.applyAtRest(spark, path, b2, keys, Seq("v")) // no txn
+    def snap() = spark.read.parquet(path)
+      .select(col("n_rows"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val want = snap()
+    assert(want == Set((2L, 11.0)))
+    // replay of the PRE-mixed txn must still be recognized
+    IncrementalAgg.applyAtRest(spark, path, b1, keys, Seq("v"),
+      txnId = Some("t0"))
+    assert(snap() == want,
+      "a replayed txn after a txn-less apply must still no-op")
+  }
 }

@@ -393,6 +393,218 @@ class VersionedTableSpec extends AnyFunSuite {
       (100L to 150L))
   }
 
+  test("commit point is atomic under a TRUE race (no serialized window)") {
+    // Both writers fully stage, publish, and WRITE THEIR TEMP MANIFEST
+    // for the same version, then hit the promote point simultaneously
+    // (CyclicBarrier inside the commit point, after the exists
+    // fast-path) — the exact interleave where exists-then-rename
+    // silently clobbers the first winner on POSIX. With link(2)
+    // promotion exactly one wins; the loser observes the loss and
+    // retries to the next version. No seam serializes the race.
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def task(ids: Range, txn: String) =
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          val first = new java.util.concurrent.atomic.AtomicBoolean(true)
+          VersionedTable.commitImpl(df(ids), t, overwrite = false,
+            txnId = Some(txn), statsCols = Seq.empty, maxRetries = 5,
+            onBeforeManifestCommit = () => (),
+            onBeforePromote = () =>
+              if (first.getAndSet(false))
+                barrier.await(30, java.util.concurrent.TimeUnit.SECONDS): Unit)
+        }
+      })
+    val fa = task(100 until 104, "race_a")
+    val fb = task(200 until 203, "race_b")
+    val va = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    val vb = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(Set(va, vb) == Set(1, 2),
+      s"exactly one winner at v1, loser lands at v2: got $va, $vb")
+    def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // serializable appends: v2 = v0 rows + BOTH writers' rows, and the
+    // v1 winner's manifest was never clobbered (its rows are in v1)
+    assert(ids(2) ==
+      ((0L until 5L) ++ (100L until 104L) ++ (200L until 203L)).sorted)
+    val v1Ids = ids(1)
+    assert(v1Ids.size == 5 + (if (va == 1) 4 else 3),
+      s"v1 holds the winner's rows intact: $v1Ids")
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).isEmpty,
+      "the retry reprefixed, never abandoned, its files")
+  }
+
+  test("schema evolution: added column back-fills null; types refuse") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 4), t, overwrite = true)
+    // append a batch CARRYING A NEW COLUMN
+    val withLang = (4 until 8).map(i => (i.toLong, s"row$i", s"lang$i"))
+      .toDF("id", "s", "lang")
+    VersionedTable.commit(withLang, t, overwrite = false)
+    val latest = VersionedTable.read(spark, t)
+    assert(latest.columns.toSeq == Seq("id", "s", "lang"),
+      "the recorded schema gains the new column (old cols first)")
+    val rows = latest.select("id", "lang").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert((0L until 4L).forall(rows(_).isEmpty),
+      "pre-evolution files back-fill null")
+    assert((4L until 8L).forall(i => rows(i).contains(s"lang$i")))
+    // time travel to v0 returns the PRE-evolution shape
+    assert(VersionedTable.read(spark, t, Some(0)).columns.toSeq ==
+      Seq("id", "s"))
+    assert(VersionedTable.schemaOf(spark, t, 0).get.fieldNames.toSeq ==
+      Seq("id", "s"))
+    // a batch MISSING an old column still reads whole (nulls)
+    VersionedTable.commit(
+      (8 until 10).map(i => (i.toLong, s"lang$i")).toDF("id", "lang"),
+      t, overwrite = false)
+    val v2 = VersionedTable.read(spark, t, Some(2))
+    assert(v2.count() == 10 &&
+      v2.where(col("s").isNull).count() == 2)
+    // incremental reads plan with the TO version's schema
+    assert(VersionedTable.readAppendsSince(spark, t, 0)
+      .columns.toSeq == Seq("id", "s", "lang"))
+    // a TYPE CHANGE refuses loudly
+    val bad = (10 until 11).map(i => (i.toLong, i.toDouble, "x"))
+      .toDF("id", "s", "lang")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.commit(bad, t, overwrite = false))
+    assert(e.getMessage.contains("changes column types"))
+    // ... but an OVERWRITE may reshape freely
+    val ov = VersionedTable.commit(bad, t, overwrite = true)
+    assert(VersionedTable.read(spark, t, Some(ov))
+      .schema("s").dataType.typeName == "double")
+    // deletes and merges carry the evolved schema forward
+    assert(VersionedTable.schemaOf(spark, t, 2).get.fieldNames.length == 3)
+  }
+
+  test("mergeInto: upsert as a versioned commit, touched files only") {
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions(col("id")),
+      t, overwrite = true, statsCols = Seq("id"))
+    val preFiles = VersionedTable.files(spark, t, 0).toSet
+    import spark.implicits._
+    // updates hit only the TOP quarter of the clustered key space;
+    // inserts are brand-new keys beyond every file's span
+    val source = ((80 until 100).map(i => (i.toLong, s"upd$i")) ++
+      (200 until 205).map(i => (i.toLong, s"new$i"))).toDF("id", "s")
+    val v = VersionedTable.mergeInto(spark, t, source, Seq("id"),
+      txnId = Some("m1"))
+    assert(v == 1)
+    val got = VersionedTable.read(spark, t).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 105)
+    assert((0 until 80).forall(i => got(i.toLong) == s"row$i"),
+      "unmatched target rows survive")
+    assert((80 until 100).forall(i => got(i.toLong) == s"upd$i"),
+      "matched rows are replaced")
+    assert((200 until 205).forall(i => got(i.toLong) == s"new$i"),
+      "unmatched source rows are inserted")
+    // only span-touched files rewritten; the low-key files carried
+    val carried = VersionedTable.files(spark, t, 1).toSet & preFiles
+    assert(carried.nonEmpty, "coarse span prune must carry files")
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 100,
+      "prior version still reads whole")
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "merge"))
+    // replay (same txnId) no-ops; duplicate source keys refuse
+    assert(VersionedTable.mergeInto(spark, t, source, Seq("id"),
+      txnId = Some("m1")) == 1)
+    assert(VersionedTable.versions(spark, t).size == 2)
+    intercept[IllegalArgumentException](VersionedTable.mergeInto(spark, t,
+      source.union(source.limit(1)), Seq("id")))
+    // empty source is a no-op at the current version
+    assert(VersionedTable.mergeInto(spark, t, source.limit(0),
+      Seq("id")) == 1)
+    // null-keyed source rows match nothing: pure inserts
+    val withNull = Seq((Option.empty[Long], "nullrow")).toDF("id", "s")
+    val v2 = VersionedTable.mergeInto(spark, t, withNull, Seq("id"))
+    assert(VersionedTable.read(spark, t, Some(v2))
+      .where(col("id").isNull).count() == 1)
+  }
+
+  test("pruning: IN-lists and multi-column conjunctions compose") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 4 files clustered on id; id2 scatters differently so the
+    // conjunction prunes strictly more than either column alone
+    val rows = (0 until 400).map(i => (i.toLong, (i % 100).toLong, s"v$i"))
+      .toDF("id", "id2", "s")
+    VersionedTable.commit(
+      rows.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id", "id2"))
+    val entries = VersionedTable.readEntries(spark, t, 0)
+    assert(entries.size == 4)
+    import VersionedTable.{InPred, RangePred}
+    // IN-list: values in one file's span keep only that file
+    val inKeep = VersionedTable.pruneEntriesWhere(entries,
+      Seq(InPred("id", Seq(120L, 130L))))
+    assert(inKeep.size == 1, s"IN-list must prune: ${inKeep.size}/4")
+    // conjunction: each pred alone keeps >= what both together keep
+    val a = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("id", 0L, 399L)))
+    val b = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("id2", 1000L, 2000L))) // empty span on id2
+    val both = VersionedTable.pruneEntriesWhere(entries,
+      Seq(RangePred("id", 0L, 399L), RangePred("id2", 1000L, 2000L)))
+    assert(a.size == 4 && b.isEmpty && both.isEmpty,
+      "conjunction is the intersection of the single-column keeps")
+    // result-invisible: pruned multi-pred read equals the plain filter
+    val got = VersionedTable.prunedReadWhere(spark, t,
+      Seq(RangePred("id", 100L, 199L), InPred("id2", Seq(5L, 7L))))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (100 until 200).filter(i => i % 100 == 5 || i % 100 == 7)
+      .map(_.toLong)
+    assert(got == want)
+    // empty IN-list refuses (ambiguous SQL semantics — be loud)
+    intercept[IllegalArgumentException](VersionedTable.prunedReadWhere(
+      spark, t, Seq(InPred("id", Seq.empty))))
+  }
+
+  test("expired watermark raises the re-baseline signal, not a crash") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    VersionedTable.commit(df(5 until 10), t, overwrite = false)
+    VersionedTable.commit(df(10 until 15), t, overwrite = false)
+    VersionedTable.expire(spark, t, keepLast = 1)
+    val e = intercept[VersionedTable.VersionExpiredException](
+      VersionedTable.readAppendsSince(spark, t, 0))
+    assert(e.getMessage.contains("re-baseline"))
+    // a never-committed FUTURE version is still the plain loud error
+    intercept[IllegalArgumentException](
+      VersionedTable.readAppendsSince(spark, t, 3, Some(99)))
+  }
+
+  test("txn checkpoint: O(1) idempotence probe over a long history") {
+    val t = tmpTable()
+    // 12 commits crosses the checkpoint interval (10)
+    (0 until 12).foreach(i => VersionedTable.commit(
+      df(i * 5 until (i + 1) * 5).coalesce(1), t, overwrite = false,
+      txnId = Some(s"b$i")))
+    val ckpt = new java.io.File(t, "_graft_log/_checkpoint")
+    assert(ckpt.exists(), "the 10th commit must write the checkpoint")
+    val lines = new String(
+      java.nio.file.Files.readAllBytes(ckpt.toPath)).split('\n')
+    assert(lines(0) == "graft-vt-ckpt-v1" && lines(1) == "latest:10")
+    // replays resolve through the checkpoint (old id) and the header
+    // scan (recent id) alike
+    assert(VersionedTable.commit(df(0 until 5), t, overwrite = false,
+      txnId = Some("b3")) == 3)
+    assert(VersionedTable.commit(df(0 until 5), t, overwrite = false,
+      txnId = Some("b11")) == 11)
+    assert(VersionedTable.versions(spark, t).size == 12)
+    // a corrupt/absent checkpoint falls back to the header scan
+    java.nio.file.Files.write(ckpt.toPath, "garbage\n".getBytes)
+    assert(VersionedTable.commit(df(0 until 5), t, overwrite = false,
+      txnId = Some("b3")) == 3)
+  }
+
   test("readAppendsSince: file-diff delta; loud across rewrites") {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 10), t, overwrite = true)

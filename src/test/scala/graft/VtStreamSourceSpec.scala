@@ -1,0 +1,137 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.VersionedTable
+
+/** CDC-out: the streaming source over a [[VersionedTable]] commit log
+  * (sources/VtStreamSource.scala) — snapshot-then-tail semantics,
+  * exactly-once across restarts, loud refusal across non-append
+  * commits, and the expired-watermark re-baseline signal. */
+class VtStreamSourceSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private val fmt = classOf[graft.sources.VtStreamSource].getName
+
+  private def tmpDir(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_vtsrc_").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  private def df(ids: Range) =
+    ids.map(i => (i.toLong, s"row$i")).toDF("id", "s")
+
+  /** Run the source to completion (AvailableNow), folding every
+    * micro-batch into `sink`. */
+  private def drain(table: String, ck: String,
+      sink: (DataFrame, Long) => Unit,
+      startingVersion: Option[Int] = None): Unit = {
+    val reader = spark.readStream.format(fmt).option("path", table)
+    val q = startingVersion.fold(reader)(v =>
+        reader.option("startingVersion", v.toString))
+      .load()
+      .writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("snapshot + tail: batches equal the table, exactly-once on restart") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 20), t, overwrite = false)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val sink = (b: DataFrame, id: Long) => {
+      b.select("id").collect().foreach(r => got.synchronized {
+        got += ((id, r.getLong(0))): Unit
+      })
+    }
+    drain(t, ck, sink)
+    // run 1: ONE batch = the full snapshot of the latest version
+    assert(got.map(_._2).sorted == (0L until 20L))
+    assert(got.map(_._1).distinct.size == 1, "initial snapshot is 1 batch")
+    // appends land while the stream is down; the restart consumes ONLY
+    // the delta (the checkpointed version offset is the watermark)
+    VersionedTable.commit(df(20 until 25), t, overwrite = false)
+    VersionedTable.commit(df(25 until 28), t, overwrite = false)
+    got.clear()
+    drain(t, ck, sink)
+    assert(got.map(_._2).sorted == (20L until 28L),
+      "restart delivers exactly the unseen appends, no replays")
+    // nothing new -> no batch at all
+    got.clear()
+    drain(t, ck, sink)
+    assert(got.isEmpty)
+  }
+
+  test("startingVersion tails appends only (no initial snapshot)") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 15), t, overwrite = false)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    drain(t, ck, (b: DataFrame, _: Long) =>
+      b.select("id").collect().foreach(r => got.synchronized {
+        got += r.getLong(0): Unit
+      }), startingVersion = Some(0))
+    assert(got.sorted == (10L until 15L),
+      "the consumer already holds v0 — only the appends arrive")
+  }
+
+  test("a non-append commit inside the tail window fails loudly") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    drain(t, ck, (_: DataFrame, _: Long) => ())
+    // OPTIMIZE (an overwrite) + an append land while the stream is down
+    VersionedTable.compact(spark, t, targetFileBytes = 1L << 30)
+    VersionedTable.commit(df(10 until 12), t, overwrite = false)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(t, ck, (_: DataFrame, _: Long) => ()))
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg.contains("non-append"),
+      s"the refusal must say WHY the diff is unsound: $msg")
+  }
+
+  test("an expired starting watermark raises the re-baseline signal") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    VersionedTable.commit(df(5 until 10), t, overwrite = false)
+    VersionedTable.commit(df(10 until 15), t, overwrite = false)
+    VersionedTable.expire(spark, t, keepLast = 1)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(t, ck, (_: DataFrame, _: Long) => (),
+        startingVersion = Some(0)))
+    def causes(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: causes(t.getCause))
+    assert(causes(e).exists(
+      _.isInstanceOf[VersionedTable.VersionExpiredException]),
+      "the distinguishable expired signal must surface through the stream")
+  }
+
+  test("schema resolves from the manifest; empty table refuses") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    VersionedTable.commit(df(0 until 3), t, overwrite = true)
+    val s = spark.readStream.format(fmt).option("path", t).load()
+    assert(s.schema.fieldNames.toSeq == Seq("id", "s"))
+    assert(s.isStreaming)
+    val t2 = new java.io.File(dir, "t2").getAbsolutePath
+    intercept[IllegalStateException](
+      spark.readStream.format(fmt).option("path", t2).load())
+    intercept[IllegalArgumentException](
+      spark.readStream.format(fmt).load())
+  }
+}
