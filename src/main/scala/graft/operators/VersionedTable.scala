@@ -348,14 +348,25 @@ object VersionedTable {
     * [[commit]], not mid-merge), and its key tuples must be UNIQUE
     * (checked; "last row wins" hides producer bugs). Null-keyed source
     * rows match nothing (SQL join semantics) and are inserted as-is.
-    * An empty source returns the current version untouched. */
+    * An empty source returns the current version untouched.
+    *
+    * `tombstoneCol` names an extra BOOLEAN column on `source` (NOT a
+    * table column) marking CDC DELETE records — WHEN MATCHED THEN
+    * DELETE: a tombstoned row removes its key from the table and is
+    * not inserted; a tombstone matching nothing is a no-op (the
+    * at-least-once CDC replay case). One feed, one commit, all three
+    * verbs — the Debezium-shaped apply loop. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], txnId: Option[String] = None,
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5, tombstoneCol: Option[String] = None): Int = {
     require(keys.nonEmpty, "mergeInto: no key columns")
     require(keys.forall(source.columns.contains),
       s"mergeInto: source lacks key columns " +
         s"${keys.filterNot(source.columns.contains).mkString(",")}")
+    require(tombstoneCol.forall(source.columns.contains),
+      s"mergeInto: source lacks tombstone column $tombstoneCol")
+    require(tombstoneCol.forall(c => !keys.contains(c)),
+      s"mergeInto: tombstone column $tombstoneCol cannot be a key")
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -383,12 +394,14 @@ object VersionedTable {
         throw new IllegalStateException(s"no committed versions at $path"))
       val header = readHeader(fs, root, v)
       val entries = readEntries(spark, path, v)
+      val srcDataCols = src.columns.filterNot(tombstoneCol.contains)
       val tableSchema = header.schemaJson.map(decodeSchema)
         .orElse(entries.headOption.map(e =>
           schemaRead(spark, None, Seq(s"$path/${e.name}")).schema))
-        .getOrElse(src.schema) // empty pre-v4 table: pure insert
-      require(src.columns.sorted.sameElements(tableSchema.fieldNames.sorted),
-        s"mergeInto: source columns ${src.columns.sorted.mkString(",")} " +
+        .getOrElse(StructType(src.schema.filter(f =>
+          srcDataCols.contains(f.name)))) // empty pre-v4 table: insert
+      require(srcDataCols.sorted.sameElements(tableSchema.fieldNames.sorted),
+        s"mergeInto: source columns ${srcDataCols.sorted.mkString(",")} " +
           s"!= table columns ${tableSchema.fieldNames.sorted.mkString(",")}")
       // coarse manifest prune: a file can hold a match only if its span
       // overlaps the source's [min, max] on EVERY key column
@@ -409,7 +422,11 @@ object VersionedTable {
           .select("__f").distinct()
           .collect().map(r => uriFileName(r.getString(0))).toSet
       val (rewrite, carried) = entries.partition(e => touched(e.name))
-      val ordered = src.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      // every matched target row leaves (update AND delete verbs);
+      // only non-tombstoned source rows come back
+      val upserts = tombstoneCol.map(c =>
+        src.where(!coalesce(col(c), lit(false)))).getOrElse(src)
+      val ordered = upserts.select(tableSchema.fieldNames.map(col).toSeq: _*)
       val newData =
         if (rewrite.isEmpty) ordered
         else schemaRead(spark, header.schemaJson,
@@ -545,19 +562,47 @@ object VersionedTable {
     }
 
   final case class VersionInfo(version: Int, mode: String,
-      txnId: Option[String], nFiles: Int)
+      txnId: Option[String], nFiles: Int, timestampMs: Long = -1L)
 
-  /** All committed versions, ascending, with mode, transaction id and
-    * file count — the audit listing (`DESCRIBE HISTORY` analog). Reads
-    * ONLY manifest headers (six lines each since v4) — never the file
-    * lists — so the listing stays cheap over a long history. */
+  /** All committed versions, ascending, with mode, transaction id,
+    * file count and commit timestamp — the audit listing (`DESCRIBE
+    * HISTORY` analog; `timestampMs` is −1 for pre-v4 manifests). Reads
+    * ONLY manifest headers (seven lines each since v4) — never the
+    * file lists — so the listing stays cheap over a long history. */
   def versions(spark: SparkSession, path: String): Seq[VersionInfo] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     listVersionNumbers(fs, root).map { v =>
       val h = readHeader(fs, root, v)
-      VersionInfo(v, h.mode, h.txnId, h.nFiles)
+      VersionInfo(v, h.mode, h.txnId, h.nFiles, h.timestampMs)
     }
+  }
+
+  /** The latest version committed AT OR BEFORE `timestampMs` — Delta's
+    * `timestampAsOf` resolution ("what did the table look like when
+    * the report ran?"). Commit timestamps are the WRITER's wall clock
+    * at the commit point (monotone per table up to clock skew between
+    * writers — the same caveat Delta documents); resolution fails
+    * loudly when the timestamp precedes the oldest live commit (the
+    * versions that could have answered are expired or never existed).
+    * Compose with [[read]]: `read(spark, path,
+    * Some(versionAsOf(spark, path, ts)))`. */
+  def versionAsOf(spark: SparkSession, path: String,
+      timestampMs: Long): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val nums = listVersionNumbers(fs, root)
+    if (nums.isEmpty)
+      throw new IllegalStateException(s"no committed versions at $path")
+    // scan NEWEST-first: time-travel targets are usually recent, and
+    // each probe is a seven-line header read
+    nums.reverseIterator
+      .find(v => readHeader(fs, root, v).timestampMs <= timestampMs)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no version at $path committed at or before $timestampMs " +
+          s"(oldest live commit: v${nums.head} at " +
+          s"${readHeader(fs, root, nums.head).timestampMs} — earlier " +
+          "history is expired or never existed)"))
   }
 
   /** Drop all but the last `keepLast` versions: delete their manifests
@@ -733,7 +778,7 @@ object VersionedTable {
     lines.headOption match {
       case Some(Header) =>
         val cols = statsColsOf(lines(3))
-        lines.drop(6).map(parseEntry(_, cols))
+        lines.drop(7).map(parseEntry(_, cols))
       case Some(HeaderV3) =>
         val cols = statsColsOf(lines(3))
         lines.drop(4).map(parseEntry(_, cols))
@@ -746,12 +791,12 @@ object VersionedTable {
   // ---- commit internals ----------------------------------------------
 
   /** Parsed manifest HEADER — everything version resolution needs,
-    * without the file list. v4 headers are six lines; pre-v4 headers
-    * lack `nFiles`/`schema` (nFiles falls back to a full line count —
-    * the legacy-compat path only). */
+    * without the file list. v4 headers are seven lines; pre-v4 headers
+    * lack `nFiles`/`schema`/`ts` (nFiles falls back to a full line
+    * count — the legacy-compat path only). */
   private final case class ManifestHeader(mode: String,
       txnId: Option[String], statsCols: Seq[String], nFiles: Int,
-      schemaJson: Option[String])
+      schemaJson: Option[String], timestampMs: Long)
 
   private def statsColsOf(line: String): Seq[String] =
     line.stripPrefix("stats:") match {
@@ -759,14 +804,14 @@ object VersionedTable {
       case s => s.split(',').toSeq
     }
 
-  /** Header-only manifest read: v4 reads exactly six lines and stops —
-    * the file list is never materialized. */
+  /** Header-only manifest read: v4 reads exactly seven lines and stops
+    * — the file list is never materialized. */
   private def readHeader(fs: FileSystem, root: Path,
       version: Int): ManifestHeader = {
     val mf = new Path(root, f"$LogDir/v$version%05d.manifest")
     require(fs.exists(mf),
       s"version $version was never committed (or expired) at $root")
-    val head = readHeadLines(fs, mf, 6)
+    val head = readHeadLines(fs, mf, 7)
     head.headOption match {
       case Some(Header) =>
         ManifestHeader(head(1),
@@ -774,16 +819,17 @@ object VersionedTable {
           statsColsOf(head(3)),
           head(4).stripPrefix("nfiles:").toInt,
           Option(head(5).stripPrefix("schema:")).filter(_ != "-")
-            .map(s => java.net.URLDecoder.decode(s, "UTF-8")))
+            .map(s => java.net.URLDecoder.decode(s, "UTF-8")),
+          head(6).stripPrefix("ts:").toLong)
       case Some(HeaderV3) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
           statsColsOf(head(3)),
-          readLines(fs, mf).size - 4, None)
+          readLines(fs, mf).size - 4, None, -1L)
       case Some(HeaderV2) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
-          Seq.empty, readLines(fs, mf).size - 3, None)
+          Seq.empty, readLines(fs, mf).size - 3, None, -1L)
       case _ => throw new IllegalStateException(s"bad manifest $mf")
     }
   }
@@ -1120,7 +1166,8 @@ object VersionedTable {
       s"stats:${if (cols.isEmpty) "-" else cols.mkString(",")}",
       s"nfiles:${entries.size}",
       s"schema:${schemaJson.map(j =>
-        java.net.URLEncoder.encode(j, "UTF-8")).getOrElse("-")}")
+        java.net.URLEncoder.encode(j, "UTF-8")).getOrElse("-")}",
+      s"ts:${System.currentTimeMillis()}")
       ++ entries.map(formatEntry(_, cols)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()

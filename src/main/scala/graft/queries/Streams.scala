@@ -505,6 +505,67 @@ object Streams {
     }
   }
 
+  /** STREAMING CDC APPLY onto a versioned table — the Debezium-shaped
+    * loop: each micro-batch is one CDC feed carrying all three verbs
+    * (tombstone column = WHEN MATCHED DELETE) and lands as ONE
+    * [[graft.operators.VersionedTable.mergeInto]] commit with a
+    * batchId txn, so a crash-replayed batch no-ops (exactly-once) and
+    * every batch boundary is time-travelable. Three chronological
+    * batches: 1998 prices doubled (updates), pre-1997 rows tombstoned
+    * (deletes), post-1998 rows at +7 (inserts). The oracle replays
+    * the final state in SQL — a replayed, dropped, or cross-ordered
+    * batch flips the hash. */
+  val stVtMerge: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvm_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val cdcDir = Sources.fixtureDir(s, "graft_stvm_cdc_")
+    VersionedTable.commit(
+      ords.where(col("__y") <= 1998).drop("__y")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, overwrite = true, statsCols = Seq("o_orderkey"))
+    val t0 = System.currentTimeMillis() - 180000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") === 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1996).drop("__y")
+        .withColumn("_deleted", lit(true)),
+      cdcDir, "b.parquet", t0 + 60000)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") + 7)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "c.parquet", t0 + 120000)
+    val schema = ords.drop("__y").withColumn("_deleted", lit(false)).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.mergeInto(s, table, batch, Seq("o_orderkey"),
+            txnId = Some(s"stvm_$batchId"),
+            tombstoneCol = Some("_deleted")): Unit
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = VersionedTable.versions(s, table)
+    require(hist.head.mode == "overwrite" &&
+      hist.tail.forall(_.mode == "merge"),
+      s"every CDC batch must land as a merge commit: $hist")
+    require(hist.tail.forall(_.txnId.exists(_.startsWith("stvm_"))),
+      "merge commits must carry their batch txn (replay no-op)")
+    VersionedTable.read(s, table)
+  }
+
   /** QUALITY-GATED streaming publish — the production composition of
     * the round's pieces: every micro-batch is audited
     * ([[graft.operators.QualityAudit]], one scan) and COMMITTED to the
@@ -658,6 +719,7 @@ object Streams {
     "st_incr_agg" -> stIncrAgg,
     "st_versioned_sink" -> stVersionedSink,
     "st_vt_source" -> stVtSource,
+    "st_vt_merge" -> stVtMerge,
     "st_quality_gate" -> stQualityGate,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
@@ -685,6 +747,18 @@ object Streams {
     // a duplicated or dropped micro-batch window flips the hash.
     "st_vt_source" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // The CDC final state: 1997 untouched, 1998 updated (doubled),
+    // pre-1997 deleted, post-1998 inserted (+7). A replayed, dropped,
+    // or reordered batch flips the hash.
+    "st_vt_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 7 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) > 1998""".stripMargin,
     // Only the clean batches publish: 1998 (the planted-violation
     // batch) must be wholly absent.
     "st_quality_gate" ->

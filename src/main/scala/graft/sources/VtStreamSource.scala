@@ -18,8 +18,9 @@ import graft.operators.VersionedTable
   * {{{
   *   spark.readStream
   *     .format(classOf[graft.sources.VtStreamSource].getName)
-  *     .option("path", table)            // required
-  *     .option("startingVersion", "3")   // optional: tail after v3
+  *     .option("path", table)                 // required
+  *     .option("startingVersion", "3")        // optional: tail after v3
+  *     .option("maxVersionsPerTrigger", "10") // optional: batch cap
   *     .load()
   * }}}
   *
@@ -84,17 +85,24 @@ final class VtStreamSource extends StreamSourceProvider
     val (_, resolved) =
       sourceSchema(sqlContext, schema, providerName, parameters)
     val startingVersion = parameters.get("startingVersion").map(_.toInt)
-    new VtSource(sqlContext.sparkSession, path, resolved, startingVersion)
+    val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    require(maxVersions.forall(_ >= 1),
+      s"maxVersionsPerTrigger must be >= 1: $maxVersions")
+    new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
+      maxVersions)
   }
 }
 
 private final class VtSource(spark: SparkSession, path: String,
     override val schema: StructType,
-    startingVersion: Option[Int]) extends Source
+    startingVersion: Option[Int],
+    maxVersionsPerTrigger: Option[Int]) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
-  private def versionOf(o: Offset): Int = o.json.trim.toInt
+  private def versionOf(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+    o.json.trim.toInt
 
   /** Trigger.AvailableNow: pin the end version at trigger start so the
     * run drains exactly the versions that existed then and stops —
@@ -115,14 +123,26 @@ private final class VtSource(spark: SparkSession, path: String,
   }
 
   /** Admission-control twin of [[getOffset]] (the engine calls this
-    * once a source declares AvailableNow support). Versions are not
-    * rate-limitable mid-manifest — a commit is the atomic unit — so
-    * read limits are advisory here, as for any snapshot-log source. */
+    * once a source declares AvailableNow support). A commit is the
+    * atomic admission unit — `maxVersionsPerTrigger` bounds how many
+    * of them one micro-batch may cover (the maxFilesPerTrigger
+    * analog), so a consumer catching up on a deep backlog processes
+    * bounded windows instead of one giant batch; AvailableNow then
+    * drains the backlog as a SEQUENCE of capped micro-batches. The
+    * initial snapshot (no start offset, no startingVersion) is one
+    * version's content and is never split. */
   override def latestOffset(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit):
       org.apache.spark.sql.connector.read.streaming.Offset =
-    getOffset.orNull
+    getOffset.map { o =>
+      val latest = versionOf(o)
+      val base = Option(start).map(versionOf).orElse(startingVersion)
+      (base, maxVersionsPerTrigger) match {
+        case (Some(b), Some(n)) => LongOffset(math.min(latest, b + n))
+        case _ => LongOffset(latest)
+      }
+    }.orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)

@@ -529,6 +529,40 @@ class VersionedTableSpec extends AnyFunSuite {
       .where(col("id").isNull).count() == 1)
   }
 
+  test("mergeInto tombstones: one CDC feed carries all three verbs") {
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 20).repartitionByRange(2, col("id"))
+        .sortWithinPartitions(col("id")),
+      t, overwrite = true, statsCols = Seq("id"))
+    import spark.implicits._
+    // one Debezium-shaped batch: update 3, delete 7, insert 100,
+    // plus a tombstone for a key that never existed (replay no-op)
+    val feed = Seq(
+      (3L, "upd3", false),
+      (7L, "whatever", true),
+      (100L, "new100", false),
+      (999L, "ghost", true)).toDF("id", "s", "_deleted")
+    val v = VersionedTable.mergeInto(spark, t, feed, Seq("id"),
+      txnId = Some("cdc1"), tombstoneCol = Some("_deleted"))
+    val got = VersionedTable.read(spark, t, Some(v)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 20, "20 - 1 delete + 1 insert")
+    assert(got(3L) == "upd3", "matched row updated")
+    assert(!got.contains(7L), "tombstoned key removed")
+    assert(got(100L) == "new100", "unmatched upsert inserted")
+    assert(!got.contains(999L), "unmatched tombstone is a no-op")
+    assert((0 until 20).filterNot(i => i == 3 || i == 7)
+      .forall(i => got(i.toLong) == s"row$i"), "the rest untouched")
+    // the schema never gains the tombstone column
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("id", "s"))
+    // a tombstone column that's missing, or named as a key, refuses
+    intercept[IllegalArgumentException](VersionedTable.mergeInto(spark,
+      t, feed.drop("_deleted"), Seq("id"), tombstoneCol = Some("_deleted")))
+    intercept[IllegalArgumentException](VersionedTable.mergeInto(spark,
+      t, feed, Seq("_deleted"), tombstoneCol = Some("_deleted")))
+  }
+
   test("pruning: IN-lists and multi-column conjunctions compose") {
     import spark.implicits._
     val t = tmpTable()
@@ -603,6 +637,28 @@ class VersionedTableSpec extends AnyFunSuite {
     java.nio.file.Files.write(ckpt.toPath, "garbage\n".getBytes)
     assert(VersionedTable.commit(df(0 until 5), t, overwrite = false,
       txnId = Some("b3")) == 3)
+  }
+
+  test("timestamp time travel: versionAsOf resolves the wall clock") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    Thread.sleep(5) // commit timestamps are ms-resolution
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.commit(df(5 until 9), t, overwrite = false)
+    val hist = VersionedTable.versions(spark, t)
+    assert(hist.map(_.timestampMs).forall(_ > 0))
+    assert(hist(0).timestampMs <= hist(1).timestampMs)
+    assert(VersionedTable.versionAsOf(spark, t, mid) == 0,
+      "mid-window timestamp resolves to the earlier commit")
+    assert(VersionedTable.versionAsOf(spark, t,
+      System.currentTimeMillis()) == 1)
+    assert(VersionedTable.read(spark, t,
+      Some(VersionedTable.versionAsOf(spark, t, mid))).count() == 5)
+    // a timestamp before the oldest live commit fails loudly
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.versionAsOf(spark, t, 1000L))
+    assert(e.getMessage.contains("expired or never existed"))
   }
 
   test("readAppendsSince: file-diff delta; loud across rewrites") {

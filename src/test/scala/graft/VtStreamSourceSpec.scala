@@ -121,6 +121,34 @@ class VtStreamSourceSpec extends AnyFunSuite {
       "the distinguishable expired signal must surface through the stream")
   }
 
+  test("maxVersionsPerTrigger bounds each micro-batch's window") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 2), t, overwrite = true)
+    (1 to 3).foreach(i => VersionedTable.commit(
+      df(i * 10 until i * 10 + 2), t, overwrite = false))
+    val batches =
+      new scala.collection.mutable.ArrayBuffer[Seq[Long]]()
+    val q = spark.readStream.format(fmt).option("path", t)
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load()
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val rows = b.select("id").collect().map(_.getLong(0)).sorted.toSeq
+        batches.synchronized { batches += rows: Unit }
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the 3-version backlog drains as THREE one-version batches, in
+    // commit order — bounded catch-up, not one giant window
+    assert(batches.toSeq == Seq(
+      Seq(10L, 11L), Seq(20L, 21L), Seq(30L, 31L)))
+  }
+
   test("schema resolves from the manifest; empty table refuses") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
