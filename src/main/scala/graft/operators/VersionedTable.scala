@@ -123,6 +123,12 @@ object VersionedTable {
     * headers. */
   private val CheckpointInterval = 10
 
+  /** [[mergeInto]] collects at most this many distinct source keys for
+    * the footer-bloom probe; a larger key set skips the bloom layer
+    * (the exact probe is then the cheaper plan anyway — a key set that
+    * big touches most files). */
+  private val BloomProbeMaxKeys = 10000
+
   /** Thrown when an incremental consumer's watermark version has been
     * [[expire]]d out of the log — distinguishable from "never
     * committed" so a poller can re-baseline instead of crashing. */
@@ -207,7 +213,13 @@ object VersionedTable {
       findTxn(fs, root, nums0, t).foreach(v => return v)
     }
     val v0 = nums0.lastOption.map(_ + 1).getOrElse(0)
-    val published = stageAndPublish(df, fs, root, v0)
+    // resolve the indexed columns BEFORE staging so the data files get
+    // their footer blooms (a lost-race retry keeps the files as-is —
+    // bloom presence is opportunistic, the manifest stats are re-
+    // resolved per attempt)
+    val cols0 = resolveStatsCols(
+      nums0.lastOption.map(l => readHeader(fs, root, l)), statsCols)
+    val published = stageAndPublish(df, fs, root, v0, cols0)
 
     // not @tailrec: the non-local txn-idempotence return blocks the
     // optimization; depth is bounded by maxRetries (tiny)
@@ -303,8 +315,8 @@ object VersionedTable {
         rewrite.map(e => s"$path/${e.name}"))
         .where(!coalesce(predicate, lit(false)))
       val v2 = v + 1
-      val published = stageAndPublish(survivors, fs, root, v2)
       val cols = resolveStatsCols(Some(header), Seq.empty)
+      val published = stageAndPublish(survivors, fs, root, v2, cols)
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
@@ -413,10 +425,23 @@ object VersionedTable {
       val candidates = pruneEntriesWhere(entries, preds)
       val srcKeys = src.select(keys.map(col): _*)
         .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
+      // bloom layer: when the (single-column) key set is delta-sized,
+      // footer blooms drop candidate files whose key chunks provably
+      // hold no source key — the span prune's blind spot (scattered
+      // keys span every file). Capped collect; past the cap the exact
+      // probe below carries the full load unchanged.
+      val probed =
+        if (keys.size != 1 || candidates.isEmpty) candidates
+        else {
+          val ks = srcKeys.limit(BloomProbeMaxKeys + 1).collect()
+          if (ks.length > BloomProbeMaxKeys) candidates
+          else bloomPrune(spark, path, candidates, keys.head,
+            ks.map(_.get(0)).toSeq)
+        }
       val touched =
-        if (candidates.isEmpty) Set.empty[String]
+        if (probed.isEmpty) Set.empty[String]
         else schemaRead(spark, header.schemaJson,
-            candidates.map(e => s"$path/${e.name}"))
+            probed.map(e => s"$path/${e.name}"))
           .select(keys.map(col) :+ input_file_name().as("__f"): _*)
           .join(srcKeys, keys, "left_semi")
           .select("__f").distinct()
@@ -434,8 +459,8 @@ object VersionedTable {
           .join(srcKeys, keys, "left_anti")
           .unionByName(ordered)
       val v2 = v + 1
-      val published = stageAndPublish(newData, fs, root, v2)
       val cols = resolveStatsCols(Some(header), Seq.empty)
+      val published = stageAndPublish(newData, fs, root, v2, cols)
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
@@ -560,6 +585,94 @@ object VersionedTable {
             cmp(v, mn).forall(_ >= 0) && cmp(v, mx).forall(_ <= 0))
       }
     }
+
+  /** Membership prune via parquet FOOTER BLOOM FILTERS (written for
+    * every indexed column by [[stageAndPublish]]): keep only the
+    * entries whose file MIGHT contain one of `values` in `column` —
+    * the layer between the manifest span prune (useless when keys are
+    * scattered, the common CDC shape) and the exact key probe (a full
+    * key-column scan of every candidate). A bloom is a few KB against
+    * a multi-MB column chunk, so at 100 TB this turns merge discovery
+    * from "read every candidate's key column" into "read every
+    * candidate's footer" — and the probe RUNS AS A SPARK JOB over the
+    * file list, never a driver loop over 100k footers. Conservative
+    * throughout: a missing bloom, an untestable value type, or any
+    * block reporting "maybe" keeps the file. */
+  private[graft] def bloomPrune(spark: SparkSession, path: String,
+      entries: Seq[FileEntry], column: String,
+      values: Seq[Any]): Seq[FileEntry] = {
+    if (entries.isEmpty || values.isEmpty) return entries
+    val conf = spark.sessionState.newHadoopConf()
+    import scala.jdk.CollectionConverters._
+    // Hadoop Configuration is not serializable; ship its entries and
+    // rebuild per partition (public-API equivalent of Spark's internal
+    // SerializableConfiguration).
+    val confEntries = conf.iterator().asScala
+      .map(e => (e.getKey, e.getValue)).toArray
+    val bcConf = spark.sparkContext.broadcast(confEntries)
+    val bcVals = spark.sparkContext.broadcast(values.toArray)
+    val names = entries.map(_.name)
+    val slices = math.max(1, math.min(names.size, 64))
+    val kept = spark.sparkContext.parallelize(names, slices)
+      .mapPartitions { it =>
+        val c = new Configuration(false)
+        bcConf.value.foreach { case (k, v) => c.set(k, v) }
+        val vals = bcVals.value
+        it.filter(n => fileMightContain(c, s"$path/$n", column, vals))
+      }.collect().toSet
+    entries.filter(e => kept(e.name))
+  }
+
+  /** Executor-side single-file bloom test: false ONLY when every row
+    * group carries a bloom for `column` and none reports "maybe" for
+    * any value. */
+  private def fileMightContain(conf: Configuration, file: String,
+      column: String, values: Array[Any]): Boolean = {
+    import scala.jdk.CollectionConverters._
+    val reader = try ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    catch { case _: java.io.IOException => return true } // conservative
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField(column) ||
+          !schema.getType(Seq(column): _*).isPrimitive)
+        return true
+      val prim = schema.getType(Seq(column): _*).asPrimitiveType
+        .getPrimitiveTypeName
+      reader.getFooter.getBlocks.asScala.exists { block =>
+        block.getColumns.asScala.find(_.getPath.toDotString == column) match {
+          case None => true // column absent in this block: keep
+          case Some(chunk) =>
+            val bf = try reader.getBloomFilterDataReader(block)
+              .readBloomFilter(chunk)
+            catch { case _: java.io.IOException => null }
+            if (bf == null) true // no bloom written: cannot prune
+            else values.exists { v =>
+              bloomHash(bf, prim, v) match {
+                case Some(h) => bf.findHash(h)
+                case None => true // untestable type: keep
+              }
+            }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Hash a caller value with the bloom's own hasher, coerced to the
+    * column's parquet physical type (the writer hashed physical
+    * values). None = type we cannot coerce soundly — conservative. */
+  private def bloomHash(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter,
+      prim: PrimitiveTypeName, v: Any): Option[Long] = (prim, v) match {
+    case (PrimitiveTypeName.INT64, n: Number) => Some(bf.hash(n.longValue))
+    case (PrimitiveTypeName.INT32, n: Number) => Some(bf.hash(n.intValue))
+    case (PrimitiveTypeName.DOUBLE, n: Number) =>
+      Some(bf.hash(n.doubleValue))
+    case (PrimitiveTypeName.FLOAT, n: Number) => Some(bf.hash(n.floatValue))
+    case (PrimitiveTypeName.BINARY, s: String) =>
+      Some(bf.hash(org.apache.parquet.io.api.Binary.fromString(s)))
+    case _ => None
+  }
 
   final case class VersionInfo(version: Int, mode: String,
       txnId: Option[String], nFiles: Int, timestampMs: Long = -1L)
@@ -909,12 +1022,26 @@ object VersionedTable {
 
   /** STAGE df via Spark's committer into a unique hidden sibling, then
     * PUBLISH each part under the `v<N>-` prefix in the table root.
-    * Returns the published names. */
+    * Returns the published names.
+    *
+    * `indexCols` (the table's resolved stats columns) additionally get
+    * a parquet BLOOM FILTER written into each file's footer
+    * (adaptive-sized — parquet observes the chunk's NDV), making the
+    * table's indexed columns point-lookupable from METADATA alone:
+    * manifest spans answer range predicates, footer blooms answer
+    * membership ([[mergeInto]]'s discovery uses both). Cost is a few
+    * KB per file per column at write time — the write path already
+    * buffers the values. */
   private def stageAndPublish(df: DataFrame, fs: FileSystem, root: Path,
-      v: Int): Seq[String] = {
+      v: Int, indexCols: Seq[String] = Seq.empty): Seq[String] = {
     val stage = new Path(root.getParent,
       s".${root.getName}__vt_stage_${java.util.UUID.randomUUID}")
-    df.write.mode("overwrite").parquet(stage.toString)
+    val writer = indexCols.foldLeft(df.write.mode("overwrite")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    (if (indexCols.isEmpty) writer
+     else writer.option("parquet.bloom.filter.adaptive.enabled", "true"))
+      .parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(_.isFile)
       .map(_.getPath).filterNot(p =>
         p.getName.startsWith("_") || p.getName.startsWith("."))

@@ -529,6 +529,44 @@ class VersionedTableSpec extends AnyFunSuite {
       .where(col("id").isNull).count() == 1)
   }
 
+  test("merge discovery: footer blooms prune what spans cannot") {
+    val t = tmpTable()
+    import spark.implicits._
+    // two single-file commits with INTERLEAVED ids: both files span
+    // ~[0,199], so the manifest span prune keeps both — the footer
+    // blooms (written for every stats column) tell evens from odds
+    val evens = (0 until 200 by 2).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s")
+    val odds = (1 until 200 by 2).map(i => (i.toLong, s"row$i"))
+      .toDF("id", "s")
+    VersionedTable.commit(evens.coalesce(1), t, overwrite = true,
+      statsCols = Seq("id"))
+    VersionedTable.commit(odds.coalesce(1), t, overwrite = false)
+    val entries = VersionedTable.readEntries(spark, t, 1)
+    assert(entries.size == 2)
+    assert(VersionedTable.pruneEntries(entries, "id", 2L, 5L).size == 2,
+      "interleaved spans: the range prune is blind here")
+    val kept = VersionedTable.bloomPrune(spark, t, entries, "id",
+      Seq(2L, 4L))
+    assert(kept.size == 1, s"blooms must single out the even file: $kept")
+    assert(VersionedTable.bloomPrune(spark, t, entries, "id",
+      Seq(100000L)).isEmpty,
+      "a key in no file prunes every candidate")
+    assert(VersionedTable.bloomPrune(spark, t, entries, "s",
+      Seq("zzz")).size == 2,
+      "no bloom for an unindexed column: conservative keep")
+    // end-to-end: an even-keys-only merge carries the odd file
+    val source = Seq((2L, "UPD2"), (4L, "UPD4")).toDF("id", "s")
+    val preFiles = VersionedTable.files(spark, t, 1).toSet
+    val v = VersionedTable.mergeInto(spark, t, source, Seq("id"))
+    assert((VersionedTable.files(spark, t, v).toSet & preFiles).size == 1,
+      "the odd file must carry by reference")
+    val got = VersionedTable.read(spark, t, Some(v)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 200 && got(2L) == "UPD2" && got(4L) == "UPD4" &&
+      got(3L) == "row3")
+  }
+
   test("mergeInto tombstones: one CDC feed carries all three verbs") {
     val t = tmpTable()
     VersionedTable.commit(
