@@ -829,6 +829,46 @@ object VersionedTable {
       added.map(n => s"$path/$n"))
   }
 
+  /** [[readAppendsSince]] that SKIPS non-append commits instead of
+    * refusing — Delta's `skipChangeCommits` posture for consumers that
+    * only want the append firehose and accept that a delete/merge/
+    * compaction's effects are invisible to them (rows they already
+    * received may since have been deleted or updated; rows a merge
+    * INSERTED are skipped too). The diff is computed PER VERSION STEP
+    * and only append steps contribute, so a compaction's rewritten
+    * files are never mistaken for new rows — the correctness trap of
+    * diffing across the whole window. Same expiry signal as the
+    * strict variant. */
+  def readAppendsSkippingChanges(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = listVersionNumbers(fs, root)
+    val to = toVersion.orElse(live.lastOption).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    require(to >= fromVersion,
+      s"toVersion $to precedes fromVersion $fromVersion")
+    if (!live.contains(fromVersion) && live.nonEmpty &&
+        fromVersion < live.head && fromVersion >= 0)
+      throw new VersionExpiredException(
+        s"version $fromVersion at $path has been expired from the log " +
+          s"(oldest live version is ${live.head}) — re-baseline from a " +
+          "full read of the current version")
+    val window = live.filter(v => v > fromVersion && v <= to)
+    var prev = files(spark, path, fromVersion).toSet
+    val added = Seq.newBuilder[String]
+    window.foreach { v =>
+      val cur = files(spark, path, v).toSet
+      if (readHeader(fs, root, v).mode == "append")
+        added ++= (cur -- prev)
+      prev = cur
+    }
+    val names = added.result()
+    if (names.isEmpty) read(spark, path, Some(to)).limit(0)
+    else schemaRead(spark, readHeader(fs, root, to).schemaJson,
+      names.map(n => s"$path/$n"))
+  }
+
   /** Delete debris no committed version references and older than
     * `ttlMs`: data files orphaned by a crash between PUBLISH and
     * COMMIT, and staging directories (`.<table>__vt_stage_*` siblings)
@@ -862,7 +902,20 @@ object VersionedTable {
       }.map { st =>
         fs.delete(st.getPath, true); st.getPath.getName
       }.toSeq
-    orphanFiles ++ orphanStages
+    // manifest/checkpoint temp files orphaned by a crash between their
+    // write and the (atomic) promote — losers delete their own tmp, a
+    // crash cannot
+    val log = new Path(root, LogDir)
+    val orphanTmps =
+      if (!fs.exists(log)) Seq.empty
+      else fs.listStatus(log).filter(_.isFile).filter { st =>
+        val n = st.getPath.getName
+        n.startsWith(".") && n.endsWith(".tmp") &&
+          now - st.getModificationTime > ttlMs
+      }.map { st =>
+        fs.delete(st.getPath, false); st.getPath.getName
+      }.toSeq
+    orphanFiles ++ orphanStages ++ orphanTmps
   }
 
   /** The latest committed version, if any — one directory listing,

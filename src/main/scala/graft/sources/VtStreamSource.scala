@@ -21,7 +21,8 @@ import graft.operators.VersionedTable
   *     .option("path", table)                 // required
   *     .option("startingVersion", "3")        // optional: tail after v3
   *     .option("maxVersionsPerTrigger", "10") // optional: batch cap
-  *     .load()
+  *     .option("skipChangeCommits", "true")   // optional: ride over
+  *     .load()                                //   deletes/compactions
   * }}}
   *
   * OFFSETS ARE VERSIONS. Each offset is the table version consumed
@@ -88,15 +89,18 @@ final class VtStreamSource extends StreamSourceProvider
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     require(maxVersions.forall(_ >= 1),
       s"maxVersionsPerTrigger must be >= 1: $maxVersions")
+    val skipChanges = parameters.get("skipChangeCommits")
+      .exists(_.toBoolean)
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
-      maxVersions)
+      maxVersions, skipChanges)
   }
 }
 
 private final class VtSource(spark: SparkSession, path: String,
     override val schema: StructType,
     startingVersion: Option[Int],
-    maxVersionsPerTrigger: Option[Int]) extends Source
+    maxVersionsPerTrigger: Option[Int],
+    skipChangeCommits: Boolean) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -150,6 +154,11 @@ private final class VtSource(spark: SparkSession, path: String,
       case Some(from) if from >= endV =>
         // replay alignment edge: nothing new in (from, endV]
         VersionedTable.read(spark, path, Some(endV)).limit(0)
+      case Some(from) if skipChangeCommits =>
+        // the Delta skipChangeCommits posture: ride over deletes/
+        // merges/compactions, emit only append steps' rows
+        VersionedTable.readAppendsSkippingChanges(spark, path, from,
+          Some(endV))
       case Some(from) =>
         VersionedTable.readAppendsSince(spark, path, from, Some(endV))
       case None =>

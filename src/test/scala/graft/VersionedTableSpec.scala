@@ -639,6 +639,47 @@ class VersionedTableSpec extends AnyFunSuite {
       spark, t, Seq(InPred("id", Seq.empty))))
   }
 
+  test("readAppendsSkippingChanges rides over non-append commits") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 20), t, overwrite = false) // append A
+    VersionedTable.deleteWhere(spark, t, col("id") < 3) // rewrites files
+    VersionedTable.commit(df(20 until 25), t, overwrite = false) // append B
+    VersionedTable.compact(spark, t, 1L << 30) // overwrite commit
+    VersionedTable.commit(df(25 until 28), t, overwrite = false) // append C
+    // the strict variant refuses; the skipping one emits A ∪ B ∪ C —
+    // the delete's rewritten files and the compaction's output are
+    // never mistaken for new rows (per-step diff, append steps only)
+    intercept[IllegalArgumentException](
+      VersionedTable.readAppendsSince(spark, t, 0))
+    val got = VersionedTable.readAppendsSkippingChanges(spark, t, 0)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (10L until 28L))
+    // windows and empty results behave like the strict variant
+    assert(VersionedTable.readAppendsSkippingChanges(spark, t, 0, Some(2))
+      .count() == 10)
+    assert(VersionedTable
+      .readAppendsSkippingChanges(spark, t, 5).count() == 0)
+    VersionedTable.expire(spark, t, keepLast = 1)
+    intercept[VersionedTable.VersionExpiredException](
+      VersionedTable.readAppendsSkippingChanges(spark, t, 0))
+  }
+
+  test("vacuum sweeps orphaned manifest tmp files past the TTL") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    val tmp = new java.io.File(t,
+      "_graft_log/.v00009.manifest.deadbeef.tmp")
+    java.nio.file.Files.write(tmp.toPath, "partial".getBytes)
+    assert(!VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L)
+      .contains(tmp.getName), "a fresh tmp is a writer mid-commit")
+    require(tmp.setLastModified(System.currentTimeMillis() - 7200000L))
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L)
+      .contains(tmp.getName))
+    assert(!tmp.exists())
+    assert(VersionedTable.read(spark, t).count() == 5)
+  }
+
   test("expired watermark raises the re-baseline signal, not a crash") {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 5), t, overwrite = true)
