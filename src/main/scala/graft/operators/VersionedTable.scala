@@ -425,18 +425,24 @@ object VersionedTable {
       val candidates = pruneEntriesWhere(entries, preds)
       val srcKeys = src.select(keys.map(col): _*)
         .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
-      // bloom layer: when the (single-column) key set is delta-sized,
-      // footer blooms drop candidate files whose key chunks provably
-      // hold no source key — the span prune's blind spot (scattered
-      // keys span every file). Capped collect; past the cap the exact
+      // bloom layer: when the key set is delta-sized, footer blooms
+      // drop candidate files whose key chunks provably hold no source
+      // key — the span prune's blind spot (scattered keys span every
+      // file). Composite keys prune per column: a file can hold a
+      // matching TUPLE only if every key column's bloom says "maybe"
+      // for some source value. Capped collect; past the cap the exact
       // probe below carries the full load unchanged.
       val probed =
-        if (keys.size != 1 || candidates.isEmpty) candidates
+        if (candidates.isEmpty) candidates
         else {
           val ks = srcKeys.limit(BloomProbeMaxKeys + 1).collect()
           if (ks.length > BloomProbeMaxKeys) candidates
-          else bloomPrune(spark, path, candidates, keys.head,
-            ks.map(_.get(0)).toSeq)
+          else keys.zipWithIndex.foldLeft(candidates) {
+            case (cand, (kc, i)) =>
+              if (cand.isEmpty) cand
+              else bloomPrune(spark, path, cand, kc,
+                ks.map(_.get(i)).distinct.toSeq)
+          }
         }
       val touched =
         if (probed.isEmpty) Set.empty[String]

@@ -190,6 +190,9 @@ class VtStreamSourceSpec extends AnyFunSuite {
     val s = spark.readStream.format(fmt).option("path", t).load()
     assert(s.schema.fieldNames.toSeq == Seq("id", "s"))
     assert(s.isStreaming)
+    // the short name resolves through META-INF/services too
+    assert(spark.readStream.format("graft-vt").option("path", t).load()
+      .schema.fieldNames.toSeq == Seq("id", "s"))
     val t2 = new java.io.File(dir, "t2").getAbsolutePath
     intercept[IllegalStateException](
       spark.readStream.format(fmt).option("path", t2).load())
