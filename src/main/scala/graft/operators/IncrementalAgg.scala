@@ -139,6 +139,56 @@ object IncrementalAgg {
     * the full history. */
   private val MaxTrackedTxns = 10000
 
+  /** Keep the rollup in LOCK-STEP with a [[VersionedTable]] — the
+    * materialized-view maintenance loop, one call: resolve the
+    * table's latest version, fold in exactly the rows that landed
+    * since the last sync (the manifest FILE DIFF — O(delta), never a
+    * history rescan), and record the advance. Returns the synced
+    * window `(fromVersion, toVersion)`, or None when already current.
+    *
+    * EXACTLY-ONCE WITHOUT A WATERMARK FILE: the watermark IS the txn
+    * record. Each sync applies with txnId `vtsync_<from>_<to>`, and
+    * the next sync derives its `from` as the max `<to>` across the
+    * applied-txn sidecar — which swaps ATOMICALLY with the state it
+    * describes, so no crash window can separate "state advanced" from
+    * "watermark advanced" (the bug every hand-rolled poller has). A
+    * replayed window no-ops through the normal txn check.
+    *
+    * First sync (no vtsync id yet) initializes from a FULL read of the
+    * current version; later syncs require the window to be append-only
+    * — a delete/merge/compaction in it refuses loudly via
+    * `readAppendsSince` (a rollup maintained by adds alone cannot
+    * absorb removals; rebuild the state from a fresh init instead),
+    * and an [[VersionedTable.expire]]d watermark raises the
+    * distinguishable re-baseline signal. */
+  def syncFromTable(spark: SparkSession, statePath: String,
+      tablePath: String, keys: Seq[String],
+      measures: Seq[String]): Option[(Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(statePath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val wm = appliedTxns(fs, src).filter(_.startsWith("vtsync_"))
+      .map(_.split('_')(2).toInt).maxOption
+    val latest = VersionedTable.latestVersion(spark, tablePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $tablePath"))
+    if (wm.exists(_ >= latest)) return None
+    // a state that exists but carries no sync record is FOREIGN (built
+    // by direct applyAtRest calls) — initializing on top of it would
+    // double-count; the guard is loud, not silent corruption
+    require(wm.nonEmpty || !fs.exists(src),
+      s"syncFromTable: $statePath holds state with no vtsync record — " +
+        "it was not built by syncFromTable; use a fresh statePath")
+    val from = wm.getOrElse(-1)
+    val delta =
+      if (from < 0) VersionedTable.read(spark, tablePath, Some(latest))
+      else VersionedTable.readAppendsSince(spark, tablePath, from,
+        Some(latest))
+    applyAtRest(spark, statePath, delta, keys, measures,
+      txnId = Some(s"vtsync_${from}_$latest"))
+    Some((from, latest))
+  }
+
   private def appliedTxns(fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir, TxnsName)

@@ -792,6 +792,41 @@ object Ops {
       s.read.parquet(path), Seq("o_totalprice"))
   }
 
+  // Materialized-view sync off the commit log (the hand-rolled
+  // watermark loop collapsed to one call): the rollup initializes from
+  // the table's first version, then ONE syncFromTable folds the whole
+  // two-append window as the manifest file diff — O(delta), no history
+  // rescan — and a replayed sync no-ops (the watermark IS the applied
+  // txn record, swapped atomically with the state). The oracle is the
+  // one-shot aggregate: maintenance must be result-invisible.
+  val opVtSyncAgg: Q = (s, d) => {
+    import graft.operators.{IncrementalAgg, VersionedTable}
+    val keys = Seq("o_orderpriority", "month")
+    val withMonth = orders(s, d).withColumn("month",
+      date_format(col("o_orderdate"), "yyyy-MM"))
+    val dir = Sources.fixtureDir(s, "graft_vtsync_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val state = s"${dir.getAbsolutePath}/state"
+    VersionedTable.commit(
+      withMonth.where(year(col("o_orderdate")) <= 1996),
+      table, overwrite = true)
+    require(IncrementalAgg.syncFromTable(s, state, table, keys,
+      Seq("o_totalprice")).contains((-1, 0)), "init syncs the snapshot")
+    VersionedTable.commit(
+      withMonth.where(year(col("o_orderdate")).between(1997, 1998)),
+      table, overwrite = false)
+    VersionedTable.commit(
+      withMonth.where(year(col("o_orderdate")) > 1998),
+      table, overwrite = false)
+    require(IncrementalAgg.syncFromTable(s, state, table, keys,
+      Seq("o_totalprice")).contains((0, 2)),
+      "one sync folds the whole append window")
+    require(IncrementalAgg.syncFromTable(s, state, table, keys,
+      Seq("o_totalprice")).isEmpty, "an up-to-date sync must no-op")
+    IncrementalAgg.withDerived(s.read.parquet(state), Seq("o_totalprice"))
+  }
+
   // Triangle counting over the part co-purchase graph via
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
@@ -1055,6 +1090,7 @@ object Ops {
     "op_sketch_union" -> opSketchUnion,
     "op_zonemap_prune" -> opZonemapPrune,
     "op_incr_agg" -> opIncrAgg,
+    "op_vt_sync_agg" -> opVtSyncAgg,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
     "op_meta_agg" -> opMetaAgg,
@@ -1286,6 +1322,17 @@ object Ops {
     // accumulate as DECIMAL(38,6) (the state's lane type) and the
     // derived mean replays the 1e-6 floor-round.
     "op_incr_agg" ->
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_o_totalprice,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    // Commit-log-driven MV sync must equal the same one-shot rollup —
+    // the op_incr_agg contract, maintained by syncFromTable instead of
+    // hand-fed deltas.
+    "op_vt_sync_agg" ->
       """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS month,
         |  count(*) AS n_rows,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)

@@ -138,6 +138,56 @@ class IncrementalAggSpec extends AnyFunSuite {
     }
   }
 
+  test("syncFromTable keeps the rollup in lock-step with the commit log") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_ia_sync_")
+    dir.toFile.deleteOnExit()
+    val table = s"$dir/table"
+    val state = s"$dir/state"
+    def batch(r: Range) = r.map(i => (s"k${i % 3}", i.toDouble))
+      .toDF("k", "v")
+    VersionedTable.commit(batch(0 until 10), table, overwrite = true)
+    // init: full snapshot of v0
+    assert(IncrementalAgg.syncFromTable(spark, state, table,
+      Seq("k"), Seq("v")) == Some((-1, 0)))
+    // already current -> None (and no state change)
+    assert(IncrementalAgg.syncFromTable(spark, state, table,
+      Seq("k"), Seq("v")).isEmpty)
+    // two appends land; ONE sync folds the whole window
+    VersionedTable.commit(batch(10 until 16), table, overwrite = false)
+    VersionedTable.commit(batch(16 until 20), table, overwrite = false)
+    assert(IncrementalAgg.syncFromTable(spark, state, table,
+      Seq("k"), Seq("v")) == Some((0, 2)))
+    // the state equals the one-shot aggregate over the table
+    val got = spark.read.parquet(state)
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    val want = VersionedTable.read(spark, table)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got == want, s"$got vs $want")
+    // a sync replayed against an unchanged table no-ops forever
+    assert(IncrementalAgg.syncFromTable(spark, state, table,
+      Seq("k"), Seq("v")).isEmpty)
+    // a compaction in the window refuses (adds-only state cannot
+    // absorb a rewrite); expire past the watermark says re-baseline
+    VersionedTable.commit(batch(20 until 22), table, overwrite = false)
+    VersionedTable.compact(spark, table, 1L << 30)
+    intercept[IllegalArgumentException](IncrementalAgg.syncFromTable(
+      spark, state, table, Seq("k"), Seq("v")))
+    VersionedTable.expire(spark, table, keepLast = 1)
+    intercept[VersionedTable.VersionExpiredException](
+      IncrementalAgg.syncFromTable(spark, state, table, Seq("k"), Seq("v")))
+    // a foreign (un-synced) state refuses loudly
+    val foreign = s"$dir/foreign"
+    IncrementalAgg.applyAtRest(spark, foreign, batch(0 until 3),
+      Seq("k"), Seq("v"))
+    intercept[IllegalArgumentException](IncrementalAgg.syncFromTable(
+      spark, foreign, table, Seq("k"), Seq("v")))
+  }
+
   test("a txn-less apply does not erase the applied-id sidecar") {
     // the r10 advisory's mixed-mode degradation: txn applies, then a
     // txn-LESS apply swaps in new state — the applied list must carry
