@@ -735,8 +735,37 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val all = listVersionNumbers(fs, root)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepLast))
+    expireVersions(spark, fs, root, path,
+      all.dropRight(keepLast))
+  }
+
+  /** TTL retention ([[expire]] by AGE): drop every version whose
+    * commit timestamp is older than `ttlMs`, always keeping at least
+    * the last `keepLast` regardless of age (the latest version never
+    * expires). Pre-v4 manifests carry no timestamp and are treated as
+    * infinitely old — they expire with the tail. The policy any
+    * "retain 7 days of history" deployment actually runs. */
+  def expireOlderThan(spark: SparkSession, path: String, ttlMs: Long,
+      keepLast: Int = 1): Unit = {
+    require(ttlMs >= 0 && keepLast >= 1, s"bad args: $ttlMs, $keepLast")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val all = listVersionNumbers(fs, root)
+    val cutoff = System.currentTimeMillis() - ttlMs
+    // drops must be a contiguous PREFIX of history: a dropped MIDDLE
+    // version would hide its commit mode from incremental readers'
+    // window checks (a vanished delete would silently corrupt a file
+    // diff). takeWhile stops at the first young-enough version, which
+    // also makes writer clock skew harmless here.
+    expireVersions(spark, fs, root, path,
+      all.dropRight(keepLast)
+        .takeWhile(v => readHeader(fs, root, v).timestampMs < cutoff))
+  }
+
+  private def expireVersions(spark: SparkSession, fs: FileSystem,
+      root: Path, path: String, drop: Seq[Int]): Unit = {
     if (drop.isEmpty) return
+    val keep = listVersionNumbers(fs, root).filterNot(drop.toSet)
     val retained = keep.flatMap(v => files(spark, path, v)).toSet
     val dead = drop.flatMap(v => files(spark, path, v)).toSet -- retained
     dead.foreach(n => fs.delete(new Path(root, n), false))
@@ -786,6 +815,55 @@ object VersionedTable {
           .sortWithinPartitions("__z")
           .drop("__z")
     commit(clustered, path, overwrite = true)
+  }
+
+  /** Incremental OPTIMIZE: rewrite ONLY the files smaller than
+    * `smallFileBytes` into ~`targetFileBytes` outputs and carry every
+    * already-right-sized file BY REFERENCE — Delta's bin-packing
+    * OPTIMIZE posture. After a day of streaming commits on a 100 TB
+    * table, [[compact]]'s full rewrite pays the whole table; this pays
+    * only the day's small-file debris, which is the entire point of
+    * periodic OPTIMIZE. Commits as mode `optimize` (non-append — its
+    * file diff is not row-level adds, so incremental readers refuse or
+    * skip it per their policy). Returns the new version, or the
+    * current one untouched when fewer than two small files exist
+    * (nothing worth packing). */
+  def compactSmall(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      smallFileBytes: Long = 32L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0 && smallFileBytes > 0,
+      s"bad sizes: $targetFileBytes, $smallFileBytes")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
+    val entries = readEntries(spark, path, v)
+    val sized = entries.map(e =>
+      e -> fs.getFileStatus(new Path(root, e.name)).getLen)
+    val (small, big) = sized.partition(_._2 < smallFileBytes)
+    if (small.size < 2) return v
+    val bytes = small.map(_._2).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val packed = schemaRead(spark, header.schemaJson,
+      small.map(se => s"$path/${se._1.name}")).repartition(nOut)
+    val v2 = v + 1
+    val cols = resolveStatsCols(Some(header), Seq.empty)
+    val published = stageAndPublish(packed, fs, root, v2, cols)
+    val newEntries = published.map(n =>
+      footerEntry(fs, conf, new Path(root, n), cols))
+    if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
+        header.schemaJson, big.map(_._1) ++ newEntries)) {
+      maybeCheckpoint(fs, root, v2)
+      v2
+    } else {
+      // racing writer won v2: drop our rewrites and let the caller's
+      // next OPTIMIZE pass pick the debris up — packing is advisory,
+      // never worth a retry loop against live commits
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      v
+    }
   }
 
   /** INCREMENTAL consumption: the rows ADDED after `fromVersion` (up

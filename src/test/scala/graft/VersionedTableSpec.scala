@@ -639,6 +639,71 @@ class VersionedTableSpec extends AnyFunSuite {
       spark, t, Seq(InPred("id", Seq.empty))))
   }
 
+  test("compactSmall packs only the small files; big ones carry") {
+    import spark.implicits._
+    val t = tmpTable()
+    // one BIG file (5k rows) + four tiny per-batch files
+    VersionedTable.commit(
+      (0 until 5000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+        .coalesce(1), t, overwrite = true, statsCols = Seq("id"))
+    (0 until 4).foreach(i => VersionedTable.commit(
+      df(5000 + i * 3 until 5000 + (i + 1) * 3).coalesce(1),
+      t, overwrite = false))
+    val v = 4
+    val sizes = VersionedTable.files(spark, t, v)
+      .map(n => n -> new java.io.File(t, n).length()).toMap
+    val bigName = sizes.maxBy(_._2)._1
+    val cv = VersionedTable.compactSmall(spark, t,
+      targetFileBytes = 1L << 30,
+      smallFileBytes = sizes(bigName)) // everything below the big one
+    assert(cv == v + 1)
+    val after = VersionedTable.files(spark, t, cv)
+    assert(after.contains(bigName),
+      "the right-sized file must carry BY REFERENCE")
+    assert(after.size == 2, s"4 small files pack into 1: $after")
+    // content-invisible, history intact, incremental readers see a
+    // non-append mode
+    assert(VersionedTable.read(spark, t, Some(cv)).count() == 5012)
+    assert(VersionedTable.read(spark, t, Some(v)).count() == 5012)
+    assert(VersionedTable.versions(spark, t).last.mode == "optimize")
+    intercept[IllegalArgumentException](
+      VersionedTable.readAppendsSince(spark, t, 0))
+    assert(VersionedTable.readAppendsSkippingChanges(spark, t, 0)
+      .count() == 12, "skip-change readers ride over the OPTIMIZE")
+    // nothing worth packing -> current version untouched
+    assert(VersionedTable.compactSmall(spark, t, 1L << 30,
+      smallFileBytes = 1L) == cv)
+  }
+
+  test("expireOlderThan drops an aged prefix, never the tail") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    VersionedTable.commit(df(5 until 10), t, overwrite = false)
+    VersionedTable.commit(df(10 until 15), t, overwrite = false)
+    // nothing is older than an hour: no-op
+    VersionedTable.expireOlderThan(spark, t, ttlMs = 3600 * 1000L)
+    assert(VersionedTable.versions(spark, t).size == 3)
+    // age the first two manifests artificially (header ts is what
+    // the policy reads — rewrite it)
+    (0 until 2).foreach { v =>
+      val mf = new java.io.File(t, f"_graft_log/v$v%05d.manifest")
+      val lines = new String(java.nio.file.Files.readAllBytes(mf.toPath))
+        .split('\n')
+      lines(6) = s"ts:${System.currentTimeMillis() - 7200 * 1000L}"
+      java.nio.file.Files.write(mf.toPath,
+        lines.mkString("", "\n", "\n").getBytes)
+    }
+    VersionedTable.expireOlderThan(spark, t, ttlMs = 3600 * 1000L)
+    assert(VersionedTable.versions(spark, t).map(_.version) == Seq(2),
+      "both aged versions expire; the latest survives at any age")
+    assert(VersionedTable.read(spark, t).count() == 15)
+    // keepLast floors the drop even when everything is ancient
+    val t2 = tmpTable()
+    VersionedTable.commit(df(0 until 3), t2, overwrite = true)
+    VersionedTable.expireOlderThan(spark, t2, ttlMs = 0L, keepLast = 1)
+    assert(VersionedTable.versions(spark, t2).size == 1)
+  }
+
   test("readAppendsSkippingChanges rides over non-append commits") {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 10), t, overwrite = true)
