@@ -22,7 +22,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -812,6 +812,63 @@ object ScaleProbe {
         lane("ow", 1000, 100, overwrite = true))
       time("vtlog append lane (300 versions — O(live files) manifest)")(
         lane("ap", 300, 50, overwrite = false))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Merge-discovery economics: keys SCATTERED over the keyspace (the
+    // common CDC shape) make every file's span overlap the source's
+    // [min,max] — the span prune keeps all 64 files — while the footer
+    // blooms keep only the files that really hold a source key. The
+    // probe measures the bloom layer's metadata pass against the exact
+    // key probe it spares, then the full merge.
+    if (stages("vtmerge")) {
+      import graft.operators.VersionedTable
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("probe_vtm_")
+      val t = s"$dir/t"
+      val n = 64 * 100000
+      // id i lands in file (i % 64): every file spans ~the whole range
+      val rows = spark.range(n.toLong)
+        .selectExpr("id", "cast(id as string) as s",
+          "cast(id % 64 as int) as __f")
+      VersionedTable.commit(
+        rows.repartition(64, col("__f")).drop("__f"),
+        t, overwrite = true, statsCols = Seq("id"))
+      val entries = VersionedTable.readEntries(spark, t, 0)
+      println(s"[probe] vtmerge: ${entries.size} files, $n rows")
+      // a CDC batch of 1,000 keys all congruent 7 mod 64: ONE file
+      // really holds them
+      val keys = (0 until 1000).map(i => 7L + 64L * i)
+      val spanKeep = VersionedTable.pruneEntries(entries, "id",
+        keys.min, keys.max)
+      println(s"[probe] vtmerge: span prune keeps ${spanKeep.size}/" +
+        s"${entries.size} (scattered keys: blind)")
+      val bloomKeep = time(
+        s"vtmerge: bloom metadata pass over ${entries.size} files")(
+        VersionedTable.bloomPrune(spark, t, entries, "id", keys))
+      println(s"[probe] vtmerge: blooms keep ${bloomKeep.size}/" +
+        s"${entries.size}")
+      // what the bloom pass spares: the exact key probe over ALL files
+      // vs over the bloom survivors
+      val srcKeys = keys.toDF("id")
+      def probeCost(es: Seq[VersionedTable.FileEntry]): Long = spark.read
+        .parquet(es.map(e => s"$t/${e.name}"): _*)
+        .select(col("id"), input_file_name().as("__f"))
+        .join(srcKeys, Seq("id"), "left_semi")
+        .select("__f").distinct().count()
+      time(s"vtmerge: exact probe, NO bloom layer (${entries.size} files)")(
+        probeCost(entries))
+      time("vtmerge: exact probe after blooms " +
+        s"(${bloomKeep.size} files)")(probeCost(bloomKeep))
+      // end-to-end: the merge rewrites O(touched files)
+      val src = spark.range(1000)
+        .selectExpr("7 + 64 * id as id", "'upd' as s")
+      val v = time("vtmerge: full mergeInto (1k scattered-congruent keys)")(
+        VersionedTable.mergeInto(spark, t, src, Seq("id")))
+      val carried = VersionedTable.files(spark, t, v).toSet
+        .intersect(VersionedTable.files(spark, t, 0).toSet)
+      println(s"[probe] vtmerge: ${carried.size}/${entries.size} files " +
+        "carried by reference through the merge")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     spark.stop()

@@ -124,10 +124,23 @@ object VersionedTable {
   private val CheckpointInterval = 10
 
   /** [[mergeInto]] collects at most this many distinct source keys for
-    * the footer-bloom probe; a larger key set skips the bloom layer
-    * (the exact probe is then the cheaper plan anyway — a key set that
-    * big touches most files). */
-  private val BloomProbeMaxKeys = 10000
+    * the footer-bloom probe; a larger key set skips the bloom layer.
+    * The cap is set by BLOOM MATH, not collect cost: probing K keys
+    * against a per-file bloom keeps the file with probability
+    * `1-(1-fpp)^K`, so at the written fpp of 1e-4 ([[BloomFpp]]) a
+    * 1,000-key probe false-keeps ~10% of untouched files — still a
+    * ~10× discovery cut — while K=10,000 would false-keep ~63% and
+    * the default parquet fpp of 1% would keep EVERYTHING past K≈100
+    * (measured in `ScaleProbe vtmerge`). */
+  private val BloomProbeMaxKeys = 1000
+
+  /** False-positive rate for the footer blooms [[stageAndPublish]]
+    * writes (parquet's default 1% is sized for single-key point
+    * lookups, not multi-key probes — see [[BloomProbeMaxKeys]]).
+    * ~19 bits/distinct-key: a 500k-NDV file costs ~1.2 MB of footer,
+    * and parquet's 1 MB bloom cap means files beyond that NDV degrade
+    * gracefully to "maybe" (conservative keep, never wrong). */
+  private val BloomFpp = "0.0001"
 
   /** Thrown when an incremental consumer's watermark version has been
     * [[expire]]d out of the log — distinguishable from "never
@@ -1175,6 +1188,7 @@ object VersionedTable {
       s".${root.getName}__vt_stage_${java.util.UUID.randomUUID}")
     val writer = indexCols.foldLeft(df.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.fpp#$c", BloomFpp)
     }
     (if (indexCols.isEmpty) writer
      else writer.option("parquet.bloom.filter.adaptive.enabled", "true"))
