@@ -393,6 +393,82 @@ class VersionedTableSpec extends AnyFunSuite {
       (100L to 150L))
   }
 
+  test("randomized merge/delete/append model check (seeded)") {
+    // a table driven by a random mix of upserts, tombstone merges,
+    // predicate deletes, appends, and packings must always agree with
+    // a trivial in-memory Map model — per live version (time travel
+    // included), not just the latest
+    import spark.implicits._
+    val rnd = new scala.util.Random(1337)
+    val t = tmpTable()
+    def kv(m: Map[Long, String]) = m.toSeq.toDF("id", "s")
+    var next = 0L
+    def freshKeys(n: Int): Seq[Long] = {
+      val ks = (next until next + n); next += n + rnd.nextInt(3); ks
+    }
+    var m = freshKeys(8).map(k => k -> s"v$k").toMap
+    VersionedTable.commit(kv(m), t, overwrite = true,
+      statsCols = Seq("id"))
+    var history = Map(0 -> m)
+    (1 to 15).foreach { i =>
+      val live = history.keys.toSeq.sorted
+      rnd.nextInt(5) match {
+        case 0 => // append fresh keys
+          val add = freshKeys(2 + rnd.nextInt(4)).map(k => k -> s"v$k")
+          val v = VersionedTable.commit(kv(add.toMap), t,
+            overwrite = false)
+          m = m ++ add; history += v -> m
+        case 1 => // plain upsert merge: some existing, some new
+          val upd = rnd.shuffle(m.keys.toSeq).take(rnd.nextInt(4))
+            .map(k => k -> s"u$i-$k")
+          val ins = freshKeys(1 + rnd.nextInt(2)).map(k => k -> s"n$i-$k")
+          val src = (upd ++ ins).toMap
+          if (src.nonEmpty) {
+            val v = VersionedTable.mergeInto(spark, t, kv(src), Seq("id"))
+            m = m ++ src; history += v -> m
+          }
+        case 2 => // tombstone merge: all three verbs in one feed
+          val upd = rnd.shuffle(m.keys.toSeq).take(rnd.nextInt(3))
+            .map(k => (k, s"u$i-$k", false))
+          val del = rnd.shuffle(m.keys.toSeq.diff(upd.map(_._1)))
+            .take(rnd.nextInt(3)).map(k => (k, "x", true))
+          val ghost = Seq((990000L + i, "x", true)) // matches nothing
+          val ins = freshKeys(1).map(k => (k, s"n$i-$k", false))
+          val feed = (upd ++ del ++ ghost ++ ins)
+            .toDF("id", "s", "_deleted")
+          val v = VersionedTable.mergeInto(spark, t, feed, Seq("id"),
+            tombstoneCol = Some("_deleted"))
+          m = m ++ upd.map(u => u._1 -> u._2) -- del.map(_._1) ++
+            ins.map(x => x._1 -> x._2)
+          history += v -> m
+        case 3 => // predicate delete on a key range
+          if (m.nonEmpty) {
+            val cut = m.keys.toSeq(rnd.nextInt(m.size))
+            val v = VersionedTable.deleteWhere(spark, t, col("id") <= cut)
+            val m2 = m.filter(_._1 > cut)
+            if (m2 != m || v > live.last) { m = m2; history += v -> m }
+          }
+        case 4 => // pack the small files (content-invisible new version)
+          val v = VersionedTable.compactSmall(spark, t, 1L << 30)
+          if (v > live.last) history += v -> m
+      }
+      // every live version reads back exactly its model snapshot
+      history.foreach { case (v, snap) =>
+        val got = VersionedTable.read(spark, t, Some(v))
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == snap, s"iter $i version $v diverged: " +
+          s"${got.size} vs ${snap.size}")
+      }
+      // occasionally expire the head and keep checking the tail
+      if (rnd.nextInt(4) == 0 && history.size > 3) {
+        val keep = 2 + rnd.nextInt(2)
+        VersionedTable.expire(spark, t, keepLast = keep)
+        history = history.toSeq.sortBy(_._1).takeRight(keep).toMap
+      }
+      VersionedTable.vacuumUnreferenced(spark, t, 0L): Unit
+    }
+  }
+
   test("commit point is atomic under a TRUE race (no serialized window)") {
     // Both writers fully stage, publish, and WRITE THEIR TEMP MANIFEST
     // for the same version, then hit the promote point simultaneously
