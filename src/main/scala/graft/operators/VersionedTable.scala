@@ -966,6 +966,102 @@ object VersionedTable {
       names.map(n => s"$path/$n"))
   }
 
+  /** ROW-LEVEL CHANGE FEED for one commit, DERIVED from the manifest
+    * diff — no change files are ever written (the commit path pays
+    * nothing; Delta's CDF writes sidecars at merge time instead):
+    * because data files are immutable and manifests are full
+    * snapshots, the rows a commit changed are exactly the multiset
+    * difference between the files ONLY the old version references and
+    * the files ONLY the new one does. Output: the table's columns
+    * plus `_change_type` ('insert' | 'delete'; an update appears as
+    * its delete/insert pair — classic diff semantics) and
+    * `_commit_version`.
+    *
+    * Cost is mode-aware and O(touched), never O(table) where the
+    * commit itself wasn't:
+    *   - append   → the added files, all 'insert' (no diff at all)
+    *   - delete/merge → `exceptAll` over rewritten-old vs replacement
+    *     files — the touched set the commit already bounded
+    *   - optimize → empty by invariant (content-invisible), zero I/O
+    *   - overwrite → full delete(v−1) ∪ insert(v), the honest cost of
+    *     asking "what changed" about a table replacement
+    *
+    * Requires `version − 1` to be live: an expired predecessor raises
+    * [[VersionExpiredException]] (the feed for that window is gone). */
+  def readChanges(spark: SparkSession, path: String,
+      version: Int): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = listVersionNumbers(fs, root)
+    require(live.contains(version),
+      s"version $version was never committed (or expired) at $path")
+    val header = readHeader(fs, root, version)
+    def tagged(df: DataFrame, tpe: String): DataFrame =
+      df.withColumn("_change_type", lit(tpe))
+        .withColumn("_commit_version", lit(version))
+    val cur = read(spark, path, Some(version))
+    if (!live.contains(version - 1)) {
+      // v0's whole content IS its insert set; any other missing
+      // predecessor was expired (the log only ever loses a prefix)
+      if (version == 0) return tagged(cur, "insert")
+      throw new VersionExpiredException(
+        s"version ${version - 1} at $path has been expired — the " +
+          s"change feed of v$version is unrecoverable; re-baseline")
+    }
+    header.mode match {
+      case "append" =>
+        val before = files(spark, path, version - 1).toSet
+        val added = files(spark, path, version).filterNot(before)
+        if (added.isEmpty) tagged(cur.limit(0), "insert")
+        else tagged(schemaRead(spark, header.schemaJson,
+          added.map(n => s"$path/$n")), "insert")
+      case "optimize" =>
+        // content-invisible by construction: no row changed
+        tagged(cur.limit(0), "insert")
+      case "overwrite" =>
+        tagged(read(spark, path, Some(version - 1)), "delete")
+          .unionByName(tagged(cur, "insert"))
+      case _ => // delete / merge: diff ONLY the touched files
+        val before = files(spark, path, version - 1).toSet
+        val after = files(spark, path, version).toSet
+        val oldOnly = (before -- after).toSeq.sorted
+        val newOnly = (after -- before).toSeq.sorted
+        val cols = schemaOf(spark, path, version)
+          .map(_.fieldNames.toSeq)
+          .getOrElse(cur.columns.toSeq)
+        def rd(names: Seq[String]) =
+          if (names.isEmpty) cur.limit(0).select(cols.map(col): _*)
+          else schemaRead(spark, header.schemaJson,
+            names.map(n => s"$path/$n")).select(cols.map(col): _*)
+        val removed = rd(oldOnly).exceptAll(rd(newOnly))
+        val added = rd(newOnly).exceptAll(rd(oldOnly))
+        tagged(removed, "delete").unionByName(tagged(added, "insert"))
+    }
+  }
+
+  /** [[readChanges]] over a half-open version window `(fromVersion,
+    * toVersion]` — what a CDC consumer polls ("every row change since
+    * my watermark"), one manifest-diff per commit, unioned. */
+  def readChangesRange(spark: SparkSession, path: String,
+      fromVersion: Int, toVersion: Option[Int] = None): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val live = listVersionNumbers(fs, root)
+    val to = toVersion.orElse(live.lastOption).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    require(to >= fromVersion,
+      s"toVersion $to precedes fromVersion $fromVersion")
+    if (!live.contains(fromVersion) && live.nonEmpty &&
+        fromVersion < live.head && fromVersion >= 0)
+      throw new VersionExpiredException(
+        s"version $fromVersion at $path has been expired — the change " +
+          "window is gone; re-baseline from a full read")
+    val window = live.filter(v => v > fromVersion && v <= to)
+    window.map(v => readChanges(spark, path, v))
+      .reduceOption(_ unionByName _)
+      .getOrElse(readChanges(spark, path, to).limit(0))
+  }
+
   /** Delete debris no committed version references and older than
     * `ttlMs`: data files orphaned by a crash between PUBLISH and
     * COMMIT, and staging directories (`.<table>__vt_stage_*` siblings)

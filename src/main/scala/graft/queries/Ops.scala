@@ -792,6 +792,42 @@ object Ops {
       s.read.parquet(path), Seq("o_totalprice"))
   }
 
+  // Row-level CHANGE FEED derived from manifest diffs — no change
+  // files are ever written: a delete commit's feed is exactly its
+  // removed rows (co-located survivors in the rewritten files must
+  // NOT appear — the exceptAll over touched files only), a merge's is
+  // the delete/insert pair per update plus the inserts. The oracle
+  // replays both commits' change sets in SQL; a leaked survivor, a
+  // missed removal, or a preimage-instead-of-postimage flips the hash.
+  val opVtChanges: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtch_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    val base = orders(s, d).where(year(col("o_orderdate")) <= 1998)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    VersionedTable.commit(
+      base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      t, overwrite = true, statsCols = Seq("o_orderkey"))
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val m = mx.getLong(0)
+      require(VersionedTable.deleteWhere(s, t,
+        col("o_orderkey") <= m / 4) == 1, "delete must commit v1")
+      val updates = base.where(col("o_orderkey") > m * 3 / 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = base.where(col("o_orderkey") > m * 3 / 4)
+        .select((col("o_orderkey") + m * 10).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      require(VersionedTable.mergeInto(s, t,
+        updates.unionByName(inserts), Seq("o_orderkey")) == 2,
+        "merge must commit v2")
+    }
+    VersionedTable.readChangesRange(s, t, 0)
+  }
+
   // Materialized-view sync off the commit log (the hand-rolled
   // watermark loop collapsed to one call): the rollup initializes from
   // the table's first version, then ONE syncFromTable folds the whole
@@ -1091,6 +1127,7 @@ object Ops {
     "op_zonemap_prune" -> opZonemapPrune,
     "op_incr_agg" -> opIncrAgg,
     "op_vt_sync_agg" -> opVtSyncAgg,
+    "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
     "op_meta_agg" -> opMetaAgg,
@@ -1291,6 +1328,29 @@ object Ops {
         |SELECT o_orderkey + shift AS o_orderkey, o_custkey,
         |  o_totalprice + 5 AS o_totalprice
         |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // The manifest-diff change feed replayed: v1's deletes are the
+    // low-quarter keys, v2's merge is the delete/insert pair per
+    // updated top-quarter key plus the shifted inserts. Survivors
+    // co-located in rewritten files must not appear on either side.
+    "op_vt_changes" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice
+        |  FROM orders WHERE year(o_orderdate) <= 1998),
+        |mx AS (SELECT max(o_orderkey) AS m FROM base)
+        |SELECT 'delete' AS _change_type, CAST(1 AS INTEGER)
+        |    AS _commit_version, o_orderkey, o_custkey, o_totalprice
+        |FROM base, mx WHERE o_orderkey <= m // 4
+        |UNION ALL
+        |SELECT 'delete', CAST(2 AS INTEGER),
+        |  o_orderkey, o_custkey, o_totalprice
+        |FROM base, mx WHERE o_orderkey > m * 3 // 4
+        |UNION ALL
+        |SELECT 'insert', CAST(2 AS INTEGER),
+        |  o_orderkey, o_custkey, o_totalprice * 2
+        |FROM base, mx WHERE o_orderkey > m * 3 // 4
+        |UNION ALL
+        |SELECT 'insert', CAST(2 AS INTEGER),
+        |  o_orderkey + m * 10, o_custkey, o_totalprice + 5
+        |FROM base, mx WHERE o_orderkey > m * 3 // 4""".stripMargin,
     // The evolved table: every doc, with the mid-life column present
     // only where the post-evolution (odd) half carried it.
     "op_vt_schema_evolution" ->

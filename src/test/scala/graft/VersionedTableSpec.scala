@@ -715,6 +715,57 @@ class VersionedTableSpec extends AnyFunSuite {
       spark, t, Seq(InPred("id", Seq.empty))))
   }
 
+  test("readChanges derives the row-level feed from manifest diffs") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 10).repartitionByRange(2, col("id"))
+        .sortWithinPartitions(col("id")),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.commit(df(10 until 14), t, overwrite = false)
+    VersionedTable.deleteWhere(spark, t, col("id") < 3)
+    VersionedTable.mergeInto(spark, t,
+      Seq((5L, "UPD5"), (100L, "NEW100")).toDF("id", "s"), Seq("id"))
+    val cv = VersionedTable.compactSmall(spark, t, 1L << 30)
+    def ch(v: Int) = VersionedTable.readChanges(spark, t, v)
+      .select("_change_type", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    // v0: the whole first commit is the insert set
+    assert(ch(0) == (0 until 10).map(i => ("insert", i.toLong)))
+    // v1 append: only the added rows, as inserts (no diff executed)
+    assert(ch(1) == (10 until 14).map(i => ("insert", i.toLong)))
+    // v2 delete: exactly the removed rows — the co-located survivors
+    // in the rewritten file must NOT appear
+    assert(ch(2) == (0 until 3).map(i => ("delete", i.toLong)))
+    // v3 merge: the update as its delete/insert pair + the new key
+    assert(ch(3) == Seq(("delete", 5L), ("insert", 5L),
+      ("insert", 100L)))
+    // the update's postimage (not preimage) is what the insert carries
+    assert(VersionedTable.readChanges(spark, t, 3)
+      .where(col("_change_type") === "insert" && col("id") === 5L)
+      .select("s").collect().map(_.getString(0)).toSeq == Seq("UPD5"))
+    // v4 optimize: content-invisible -> empty feed
+    assert(ch(cv).isEmpty)
+    // the windowed feed is the per-version union, tagged by version
+    val range = VersionedTable.readChangesRange(spark, t, 1)
+      .select("_commit_version", "_change_type", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    assert(range == Seq((2, "delete", 0L), (2, "delete", 1L),
+      (2, "delete", 2L), (3, "delete", 5L), (3, "insert", 5L),
+      (3, "insert", 100L)))
+    // an overwrite's feed is the full replacement, honestly priced
+    VersionedTable.commit(df(500 until 502), t, overwrite = true)
+    val ov = ch(cv + 1)
+    assert(ov.count(_._1 == "delete") == 12 &&
+      ov.filter(_._1 == "insert").map(_._2) == Seq(500L, 501L))
+    // expiring the predecessor makes the feed unrecoverable, loudly
+    VersionedTable.expire(spark, t, keepLast = 1)
+    intercept[VersionedTable.VersionExpiredException](
+      VersionedTable.readChanges(spark, t, cv + 1))
+    intercept[VersionedTable.VersionExpiredException](
+      VersionedTable.readChangesRange(spark, t, 0))
+  }
+
   test("compactSmall packs only the small files; big ones carry") {
     import spark.implicits._
     val t = tmpTable()
