@@ -566,6 +566,65 @@ object Streams {
     VersionedTable.read(s, table)
   }
 
+  /** STREAMING CHANGE FEED off the commit log — the
+    * `readChangeFeed=true` mode of [[graft.sources.VtStreamSource]]:
+    * each micro-batch carries the ROW-LEVEL changes of its version
+    * window, derived from manifest diffs (nothing stored at write
+    * time), so deletes and merges flow as typed delete/insert rows
+    * instead of refusing the stream. The fixture replays
+    * `op_vt_changes`' history (v1 range delete, v2 upsert merge); the
+    * consumer republishes the change rows exactly-once and the oracle
+    * is the same SQL change-set replay — a leaked co-located survivor
+    * or a dropped change row flips the hash. */
+  val stVtChanges: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_stvc_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val out = s"${dir.getAbsolutePath}/out"
+    val ck = s"${dir.getAbsolutePath}/ck"
+    val base = orders(s, d).where(year(col("o_orderdate")) <= 1998)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    VersionedTable.commit(
+      base.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, overwrite = true, statsCols = Seq("o_orderkey"))
+    val mx = base.agg(max(col("o_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val m = mx.getLong(0)
+      require(VersionedTable.deleteWhere(s, table,
+        col("o_orderkey") <= m / 4) == 1)
+      val updates = base.where(col("o_orderkey") > m * 3 / 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = base.where(col("o_orderkey") > m * 3 / 4)
+        .select((col("o_orderkey") + m * 10).as("o_orderkey"),
+          col("o_custkey"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      require(VersionedTable.mergeInto(s, table,
+        updates.unionByName(inserts), Seq("o_orderkey")) == 2)
+    }
+    val q = s.readStream
+      .format(classOf[graft.sources.VtStreamSource].getName)
+      .option("path", table)
+      .option("startingVersion", "0")
+      .option("readChangeFeed", "true")
+      .load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          VersionedTable.commit(batch, out, overwrite = false,
+            txnId = Some(s"stvc_$batchId")): Unit
+      }
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (VersionedTable.latestVersion(s, out).isEmpty)
+      base.limit(0).withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0))
+    else VersionedTable.read(s, out)
+  }
+
   /** QUALITY-GATED streaming publish — the production composition of
     * the round's pieces: every micro-batch is audited
     * ([[graft.operators.QualityAudit]], one scan) and COMMITTED to the
@@ -720,6 +779,7 @@ object Streams {
     "st_versioned_sink" -> stVersionedSink,
     "st_vt_source" -> stVtSource,
     "st_vt_merge" -> stVtMerge,
+    "st_vt_changes" -> stVtChanges,
     "st_quality_gate" -> stQualityGate,
     "st_join" -> stJoin,
     "st_neardup" -> stNearDup,
@@ -747,6 +807,9 @@ object Streams {
     // a duplicated or dropped micro-batch window flips the hash.
     "st_vt_source" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // The streamed change feed equals the batch change-set replay
+    // (same history as op_vt_changes).
+    "st_vt_changes" -> Ops.oracles("op_vt_changes"),
     // The CDC final state: 1997 untouched, 1998 updated (doubled),
     // pre-1997 deleted, post-1998 inserted (+7). A replayed, dropped,
     // or reordered batch flips the hash.

@@ -67,8 +67,12 @@ final class VtStreamSource extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val path = pathOf(parameters)
+    require(!(parameters.get("skipChangeCommits").exists(_.toBoolean) &&
+        parameters.get("readChangeFeed").exists(_.toBoolean)),
+      "skipChangeCommits and readChangeFeed are mutually exclusive " +
+        "postures (ignore change commits vs emit their row changes)")
     val spark = sqlContext.sparkSession
-    val resolved = schema.orElse {
+    val table = schema.orElse {
       VersionedTable.latestVersion(spark, path).map { v =>
         VersionedTable.schemaOf(spark, path, v)
           .getOrElse(VersionedTable.read(spark, path, Some(v)).schema)
@@ -76,6 +80,13 @@ final class VtStreamSource extends StreamSourceProvider
     }.getOrElse(throw new IllegalStateException(
       s"graft-vt source at $path: no committed versions and no " +
         "user-provided schema — commit version 0 first or pass .schema()"))
+    val resolved =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean)) table
+      else StructType(table.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
     (shortName(), resolved)
   }
 
@@ -91,8 +102,12 @@ final class VtStreamSource extends StreamSourceProvider
       s"maxVersionsPerTrigger must be >= 1: $maxVersions")
     val skipChanges = parameters.get("skipChangeCommits")
       .exists(_.toBoolean)
+    val changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
+    require(!(skipChanges && changeFeed),
+      "skipChangeCommits and readChangeFeed are mutually exclusive " +
+        "postures (ignore change commits vs emit their row changes)")
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
-      maxVersions, skipChanges)
+      maxVersions, skipChanges, changeFeed)
   }
 }
 
@@ -100,7 +115,8 @@ private final class VtSource(spark: SparkSession, path: String,
     override val schema: StructType,
     startingVersion: Option[Int],
     maxVersionsPerTrigger: Option[Int],
-    skipChangeCommits: Boolean) extends Source
+    skipChangeCommits: Boolean,
+    readChangeFeed: Boolean) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
@@ -150,22 +166,32 @@ private final class VtSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val endV = versionOf(end)
-    val batch = start.map(versionOf).orElse(startingVersion) match {
-      case Some(from) if from >= endV =>
+    val from = start.map(versionOf).orElse(startingVersion)
+    val batch =
+      if (from.exists(_ >= endV))
         // replay alignment edge: nothing new in (from, endV]
-        VersionedTable.read(spark, path, Some(endV)).limit(0)
-      case Some(from) if skipChangeCommits =>
-        // the Delta skipChangeCommits posture: ride over deletes/
-        // merges/compactions, emit only append steps' rows
-        VersionedTable.readAppendsSkippingChanges(spark, path, from,
+        (if (readChangeFeed)
+          VersionedTable.readChangesRange(spark, path, endV, Some(endV))
+        else VersionedTable.read(spark, path, Some(endV))).limit(0)
+      else if (readChangeFeed)
+        // full CDC: each version's row-level changes derived from its
+        // manifest diff (insert/delete typed), non-append commits
+        // included; from = -1 replays history from v0's insert set
+        VersionedTable.readChangesRange(spark, path, from.getOrElse(-1),
           Some(endV))
-      case Some(from) =>
-        VersionedTable.readAppendsSince(spark, path, from, Some(endV))
-      case None =>
-        // initial snapshot: the full content of the first offset's
-        // version (a snapshot needs no append-only window)
-        VersionedTable.read(spark, path, Some(endV))
-    }
+      else from match {
+        case Some(f) if skipChangeCommits =>
+          // the Delta skipChangeCommits posture: ride over deletes/
+          // merges/compactions, emit only append steps' rows
+          VersionedTable.readAppendsSkippingChanges(spark, path, f,
+            Some(endV))
+        case Some(f) =>
+          VersionedTable.readAppendsSince(spark, path, f, Some(endV))
+        case None =>
+          // initial snapshot: the full content of the first offset's
+          // version (a snapshot needs no append-only window)
+          VersionedTable.read(spark, path, Some(endV))
+      }
     Bridge.asStreamingFrame(batch)
   }
 

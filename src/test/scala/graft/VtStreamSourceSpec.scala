@@ -155,6 +155,47 @@ class VtStreamSourceSpec extends AnyFunSuite {
       s"only the append step's rows may flow: ${got.sorted}")
   }
 
+  test("readChangeFeed streams row-level changes across commit types") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    val got =
+      new scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", t)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select("_commit_version", "_change_type", "id").collect()
+            .foreach(r => got.synchronized {
+              got += ((r.getInt(0), r.getString(1), r.getLong(2))): Unit
+            })
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf() // history replay: v0's whole content as inserts
+    assert(got.sorted == (0 until 10).map(i => (0, "insert", i.toLong)))
+    // a DELETE and an append land while the stream is down: the CDF
+    // resume emits the delete's removed rows AND the append's inserts
+    // — where the plain source refuses and skipChangeCommits goes
+    // silent, this mode tells the truth row by row
+    VersionedTable.deleteWhere(spark, t, col("id") < 3)
+    VersionedTable.commit(df(10 until 12), t, overwrite = false)
+    got.clear()
+    drainCdf()
+    assert(got.sorted == Seq((1, "delete", 0L), (1, "delete", 1L),
+      (1, "delete", 2L), (2, "insert", 10L), (2, "insert", 11L)))
+    // the two change-commit postures are mutually exclusive
+    intercept[IllegalArgumentException](spark.readStream.format(fmt)
+      .option("path", t).option("readChangeFeed", "true")
+      .option("skipChangeCommits", "true").load())
+  }
+
   test("maxVersionsPerTrigger bounds each micro-batch's window") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
