@@ -29,6 +29,35 @@ class PlanSpec extends AnyFunSuite {
     assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
   }
 
+  test("versioned pruned reads keep predicate pushdown into the scan") {
+    import spark.implicits._
+    import graft.operators.VersionedTable
+    val d = java.nio.file.Files.createTempDirectory("graft_vtplan_")
+    d.toFile.deleteOnExit()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      (0 until 200).map(i => (i.toLong, (i % 7).toLong, s"v$i"))
+        .toDF("id", "k", "s")
+        .repartitionByRange(4, org.apache.spark.sql.functions.col("id")),
+      t, overwrite = true, statsCols = Seq("id"))
+    // manifest pruning composes WITH parquet pushdown, not instead of
+    // it: the re-applied exact predicates must reach the survivor scan
+    val p = plan(VersionedTable.prunedReadWhere(spark, t, Seq(
+      VersionedTable.RangePred("id", 10L, 50L),
+      VersionedTable.InPred("k", Seq(1L, 3L)))))
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(id,10)") &&
+      p.contains("LessThanOrEqual(id,50)"), p)
+    assert(p.contains("In(k, [1,3])") || p.contains("In(k,"), p)
+    // schema-planned reads (evolution path) keep pushdown too
+    VersionedTable.commit(
+      (200 until 210).map(i => (i.toLong, (i % 7).toLong, s"v$i", "x"))
+        .toDF("id", "k", "s", "extra"), t, overwrite = false)
+    val p2 = plan(VersionedTable.read(spark, t)
+      .where(org.apache.spark.sql.functions.col("id") > 100L))
+    assert(p2.contains("GreaterThan(id,100)"), p2)
+  }
+
   test("q3 joins broadcast the filtered customer dimension") {
     val p = plan(graft.queries.Relational.q3TopOrders(spark, sf))
     assert(p.contains("BroadcastHashJoin"), p)
