@@ -753,6 +753,20 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(range == Seq((2, "delete", 0L), (2, "delete", 1L),
       (2, "delete", 2L), (3, "delete", 5L), (3, "insert", 5L),
       (3, "insert", 100L)))
+    // the defining diff invariant: old snapshot + inserts − deletes
+    // (multiset algebra) reconstructs the new snapshot exactly
+    val changes = VersionedTable.readChangesRange(spark, t, 0, Some(cv))
+      .drop("_commit_version")
+    val rebuilt = VersionedTable.read(spark, t, Some(0))
+      .unionByName(changes.where(col("_change_type") === "insert")
+        .drop("_change_type"))
+      .exceptAll(changes.where(col("_change_type") === "delete")
+        .drop("_change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val actual = VersionedTable.read(spark, t, Some(cv))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rebuilt == actual,
+      "applying the feed to v0 must reconstruct the latest snapshot")
     // an overwrite's feed is the full replacement, honestly priced
     VersionedTable.commit(df(500 until 502), t, overwrite = true)
     val ov = ch(cv + 1)
