@@ -924,6 +924,74 @@ class VersionedTableSpec extends AnyFunSuite {
       txnId = Some("b3")) == 3)
   }
 
+  test("randomized pruning equivalence and bloom soundness (seeded)") {
+    import spark.implicits._
+    import VersionedTable.{InPred, RangePred}
+    val rnd = new scala.util.Random(99)
+    (0 until 3).foreach { round =>
+      val t = tmpTable()
+      // random layout: clustered, scattered, or interleaved commits
+      val n = 300 + rnd.nextInt(200)
+      val rows = (0 until n).map { i =>
+        val id = rnd.nextInt(1000).toLong
+        (id, (id * 31 % 97).toLong, s"s${id % 13}")
+      }
+      val df0 = rows.toDF("id", "k", "s")
+      val laidOut = rnd.nextInt(3) match {
+        case 0 => df0.repartitionByRange(4, col("id"))
+          .sortWithinPartitions("id")
+        case 1 => df0.repartition(4)
+        case _ => df0.repartition(4, col("k"))
+      }
+      VersionedTable.commit(laidOut, t, overwrite = true,
+        statsCols = Seq("id", "k", "s"))
+      VersionedTable.commit(df0.limit(40).coalesce(1), t,
+        overwrite = false)
+      val entries = VersionedTable.readEntries(spark, t, 1)
+      (0 until 6).foreach { _ =>
+        // random conjunction of ranges and IN-lists, in- and out-of-
+        // domain; pruning must be invisible vs the plain filter
+        val preds = Seq.newBuilder[VersionedTable.PrunePred]
+        if (rnd.nextBoolean()) {
+          val lo = rnd.nextInt(1200) - 100
+          preds += RangePred("id", lo.toLong,
+            (lo + rnd.nextInt(300)).toLong)
+        }
+        if (rnd.nextBoolean())
+          preds += InPred("k",
+            Seq.fill(1 + rnd.nextInt(4))(rnd.nextInt(120).toLong))
+        preds += InPred("s",
+          Seq.fill(1 + rnd.nextInt(3))(s"s${rnd.nextInt(16)}"))
+        val ps = preds.result()
+        val exact = ps.map {
+          case RangePred(c, lo, hi) =>
+            col(c).isNotNull && col(c) >= lit(lo) && col(c) <= lit(hi)
+          case InPred(c, vs) => col(c).isin(vs: _*)
+        }.reduce(_ && _)
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getString(2))
+        val pruned = VersionedTable.prunedReadWhere(spark, t, ps)
+          .collect().map(key).sorted.toSeq
+        val plain = VersionedTable.read(spark, t).where(exact)
+          .collect().map(key).sorted.toSeq
+        assert(pruned == plain,
+          s"round $round: pruning changed the result for $ps")
+      }
+      // bloom soundness: for a random key set, every file that truly
+      // holds one of the keys must survive the bloom prune
+      val keys = Seq.fill(5 + rnd.nextInt(10))(rnd.nextInt(1200).toLong)
+        .distinct
+      val kept = VersionedTable.bloomPrune(spark, t, entries, "id", keys)
+        .map(_.name).toSet
+      entries.foreach { e =>
+        val holds = spark.read.parquet(s"$t/${e.name}")
+          .where(col("id").isin(keys: _*)).limit(1).count() > 0
+        assert(!holds || kept(e.name),
+          s"round $round: bloom dropped ${e.name} which holds a key")
+      }
+    }
+  }
+
   test("timestamp time travel: versionAsOf resolves the wall clock") {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 5), t, overwrite = true)
