@@ -124,8 +124,16 @@ object IncrementalAgg {
       // let a later replay of an ALREADY-APPLIED id double-count (the
       // mixed txn/non-txn degradation). Bounded to the most recent ids —
       // foreachBatch replays only ever re-offer recent batchIds, so an
-      // unbounded one-line-per-batch sidecar is pure growth.
-      val forward = (applied ++ txnId).takeRight(MaxTrackedTxns)
+      // unbounded one-line-per-batch sidecar is pure growth. The most
+      // recent vtsync_* record survives the bound unconditionally: it
+      // IS [[syncFromTable]]'s watermark, and evicting it would brick
+      // the synced view (wm=None on existing state refuses).
+      val all = applied ++ txnId
+      val bounded = all.takeRight(MaxTrackedTxns)
+      val forward =
+        if (bounded.exists(_.startsWith("vtsync_")) ||
+            !all.exists(_.startsWith("vtsync_"))) bounded
+        else all.filter(_.startsWith("vtsync_")).last +: bounded
       if (forward.nonEmpty) writeTxns(fs, tmp, forward)
       require(fs.rename(src, bak), s"agg swap: $src -> $bak failed")
       require(fs.rename(tmp, src), s"agg swap: $tmp -> $src failed")

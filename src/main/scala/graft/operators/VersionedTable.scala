@@ -123,6 +123,12 @@ object VersionedTable {
     * headers. */
   private val CheckpointInterval = 10
 
+  /** Txn-dedup horizon of the `_checkpoint` index: ids older than the
+    * most recent this-many are forgotten (a replay that stale would
+    * re-commit). Keeps per-commit checkpoint I/O bounded at
+    * streaming-sink cadence. */
+  private val MaxCheckpointTxns = 10000
+
   /** [[mergeInto]] collects at most this many distinct source keys for
     * the footer-bloom probe; a larger key set skips the bloom layer.
     * The cap is set by BLOOM MATH, not collect cost: probing K keys
@@ -240,10 +246,14 @@ object VersionedTable {
         triesLeft: Int): Int = {
       val nums = listVersionNumbers(fs, root)
       // Idempotence must hold across the retry too: if the same txnId
-      // landed concurrently, our staged files are debris — drop them.
+      // landed concurrently, our staged files are debris — drop them
+      // (first attempt: the just-published names; retries: the
+      // reprefixed entries).
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach { w =>
-          entries.foreach(e => fs.delete(new Path(root, e.name), false))
+          val ours = if (entries.nonEmpty) entries.map(_.name)
+                     else published
+          ours.foreach(n => fs.delete(new Path(root, n), false))
           return w
         }
       }
@@ -403,7 +413,11 @@ object VersionedTable {
     if (src.isEmpty)
       return listVersionNumbers(fs, root).lastOption.getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
-    require(src.groupBy(keys.map(col): _*).count()
+    // uniqueness applies to MATCHABLE keys only: null-keyed rows match
+    // nothing (SQL join semantics) and are all inserted as-is, so two
+    // of them are not a conflict
+    require(src.where(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*).count()
         .where(col("count") > 1).isEmpty,
       s"mergeInto: source keys ${keys.mkString(",")} are not unique")
     val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"),
@@ -428,6 +442,21 @@ object VersionedTable {
       require(srcDataCols.sorted.sameElements(tableSchema.fieldNames.sorted),
         s"mergeInto: source columns ${srcDataCols.sorted.mkString(",")} " +
           s"!= table columns ${tableSchema.fieldNames.sorted.mkString(",")}")
+      // and TYPES, not just names: an insert-only batch bypasses the
+      // rewrite path, so a mismatched type would land physical files
+      // that contradict the manifest's recorded schema — bricking
+      // every later read. Refuse here, like commit()'s resolveSchema.
+      val typeConflicts = tableSchema.flatMap(f =>
+        src.schema.find(_.name == f.name)
+          .filter(sf => org.apache.spark.sql.graftbridge.Bridge
+            .asNullable(sf.dataType) != org.apache.spark.sql.graftbridge
+            .Bridge.asNullable(f.dataType))
+          .map(sf => s"${f.name}: ${f.dataType.simpleString} vs " +
+            s"${sf.dataType.simpleString}"))
+      require(typeConflicts.isEmpty,
+        s"mergeInto: source column types differ from the table's " +
+          s"(${typeConflicts.mkString("; ")}) — schema evolution " +
+          "composes via a prior commit, not mid-merge")
       // coarse manifest prune: a file can hold a match only if its span
       // overlaps the source's [min, max] on EVERY key column
       val preds = keys.flatMap { k =>
@@ -1019,8 +1048,10 @@ object VersionedTable {
         // content-invisible by construction: no row changed
         tagged(cur.limit(0), "insert")
       case "overwrite" =>
+        // the replacement may have RESHAPED the schema: align by name,
+        // null-filling columns either side lacks
         tagged(read(spark, path, Some(version - 1)), "delete")
-          .unionByName(tagged(cur, "insert"))
+          .unionByName(tagged(cur, "insert"), allowMissingColumns = true)
       case _ => // delete / merge: diff ONLY the touched files
         val before = files(spark, path, version - 1).toSet
         val after = files(spark, path, version).toSet
@@ -1057,9 +1088,18 @@ object VersionedTable {
         s"version $fromVersion at $path has been expired — the change " +
           "window is gone; re-baseline from a full read")
     val window = live.filter(v => v > fromVersion && v <= to)
+    // schema evolution inside the window is legal: align per-version
+    // feeds by name, null-filling columns the older versions lack
     window.map(v => readChanges(spark, path, v))
-      .reduceOption(_ unionByName _)
-      .getOrElse(readChanges(spark, path, to).limit(0))
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse {
+        // empty window: an up-to-date poller must get a schema-shaped
+        // empty feed, never a probe of `to`'s (possibly expired)
+        // predecessor
+        read(spark, path, Some(to)).limit(0)
+          .withColumn("_change_type", lit(""))
+          .withColumn("_commit_version", lit(to))
+      }
   }
 
   /** Delete debris no committed version references and older than
@@ -1251,12 +1291,19 @@ object VersionedTable {
     val nums = listVersionNumbers(fs, root).filter(n => n > after && n <= v)
     val fresh = nums.flatMap(n =>
       readHeader(fs, root, n).txnId.map(t => t -> n))
-    val txns = prev.map(_.txns).getOrElse(Map.empty) ++ fresh
+    // Bound the index: replays only ever re-offer RECENT batch ids
+    // (the foreachBatch crash window is one batch deep; the margin
+    // covers manual backfills), so the dedup horizon is the last
+    // [[MaxCheckpointTxns]] — without the bound, per-commit checkpoint
+    // I/O would grow linearly with total history again, just with a
+    // smaller constant (Delta bounds its txn retention the same way).
+    val txns = (prev.map(_.txns).getOrElse(Map.empty) ++ fresh)
+      .toSeq.sortBy(_._2).takeRight(MaxCheckpointTxns)
     val tmp = new Path(root,
       s"$LogDir/.$CkptName.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
     try out.write((Seq(CkptHeader, s"latest:$v") ++
-      txns.toSeq.sortBy(_._2).map { case (t, n) => s"$n:$t" })
+      txns.map { case (t, n) => s"$n:$t" })
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(root, s"$LogDir/$CkptName")

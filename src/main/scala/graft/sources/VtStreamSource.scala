@@ -103,9 +103,6 @@ final class VtStreamSource extends StreamSourceProvider
     val skipChanges = parameters.get("skipChangeCommits")
       .exists(_.toBoolean)
     val changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
-    require(!(skipChanges && changeFeed),
-      "skipChangeCommits and readChangeFeed are mutually exclusive " +
-        "postures (ignore change commits vs emit their row changes)")
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
       maxVersions, skipChanges, changeFeed)
   }
@@ -126,17 +123,21 @@ private final class VtSource(spark: SparkSession, path: String,
 
   /** Trigger.AvailableNow: pin the end version at trigger start so the
     * run drains exactly the versions that existed then and stops —
-    * commits landing mid-run wait for the next trigger. */
+    * commits landing mid-run wait for the next trigger. A table with
+    * no version yet pins to the -1 sentinel, so such a run emits
+    * nothing rather than chasing a producer that starts mid-run. */
   @volatile private var availableNowCap: Option[Int] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = VersionedTable.latestVersion(spark, path)
+    availableNowCap =
+      Some(VersionedTable.latestVersion(spark, path).getOrElse(-1))
 
   /** One directory listing; None until the table has a version past
     * the starting watermark (the engine then skips the trigger). */
   override def getOffset: Option[Offset] = {
     val latest = VersionedTable.latestVersion(spark, path)
-    availableNowCap.map(c => latest.map(_.min(c))).getOrElse(latest) match {
+    availableNowCap.map(c => latest.map(_.min(c)).filter(_ >= 0))
+      .getOrElse(latest) match {
       case Some(v) if startingVersion.forall(v > _) => Some(LongOffset(v))
       case _ => None
     }

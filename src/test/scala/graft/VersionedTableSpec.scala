@@ -556,6 +556,12 @@ class VersionedTableSpec extends AnyFunSuite {
       .schema("s").dataType.typeName == "double")
     // deletes and merges carry the evolved schema forward
     assert(VersionedTable.schemaOf(spark, t, 2).get.fieldNames.length == 3)
+    // the change feed crosses the evolution point: per-version feeds
+    // align by name, pre-evolution rows null-fill the added column
+    val feed = VersionedTable.readChangesRange(spark, t, -1, Some(2))
+    assert(feed.count() == 10 &&
+      feed.where(col("lang").isNull).count() == 4,
+      "evolved change windows must union by name, not crash")
   }
 
   test("mergeInto: upsert as a versioned commit, touched files only") {
@@ -598,11 +604,20 @@ class VersionedTableSpec extends AnyFunSuite {
     // empty source is a no-op at the current version
     assert(VersionedTable.mergeInto(spark, t, source.limit(0),
       Seq("id")) == 1)
-    // null-keyed source rows match nothing: pure inserts
-    val withNull = Seq((Option.empty[Long], "nullrow")).toDF("id", "s")
+    // null-keyed source rows match nothing: pure inserts — and TWO of
+    // them are not a key conflict (uniqueness is over matchable keys)
+    val withNull = Seq((Option.empty[Long], "nullrow"),
+      (Option.empty[Long], "nullrow2")).toDF("id", "s")
     val v2 = VersionedTable.mergeInto(spark, t, withNull, Seq("id"))
     assert(VersionedTable.read(spark, t, Some(v2))
-      .where(col("id").isNull).count() == 1)
+      .where(col("id").isNull).count() == 2)
+    // a type-mismatched source refuses BEFORE committing anything —
+    // even insert-only batches, which bypass the rewrite path and
+    // would otherwise land files contradicting the recorded schema
+    val badType = Seq((9999L, 1.5)).toDF("id", "s")
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, t, badType, Seq("id")))
+    assert(e2.getMessage.contains("types differ"))
   }
 
   test("merge discovery: footer blooms prune what spans cannot") {
@@ -778,6 +793,10 @@ class VersionedTableSpec extends AnyFunSuite {
       VersionedTable.readChanges(spark, t, cv + 1))
     intercept[VersionedTable.VersionExpiredException](
       VersionedTable.readChangesRange(spark, t, 0))
+    // ... but an UP-TO-DATE poller (empty window at the latest
+    // version) gets a schema-shaped empty feed, never a probe of the
+    // expired predecessor
+    assert(VersionedTable.readChangesRange(spark, t, cv + 1).count() == 0)
   }
 
   test("compactSmall packs only the small files; big ones carry") {
