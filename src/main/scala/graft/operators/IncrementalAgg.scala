@@ -96,7 +96,25 @@ object IncrementalAgg {
   def applyAtRest(
       spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], measures: Seq[String],
-      txnId: Option[String] = None): Unit = {
+      txnId: Option[String] = None): Unit =
+    applyPartialAtRest(spark, path,
+      () => partial(delta, keys, measures), keys, txnId,
+      dropZeroGroups = false)
+
+  /** The shared at-rest fold over an ALREADY state-shaped delta (lazy,
+    * so a replayed-txn no-op never builds the plan). `dropZeroGroups`
+    * removes groups whose count lane reaches exactly zero AFTER the
+    * combine — the signed ([[syncChangesFromTable]]) fold's way of
+    * retiring fully-deleted groups (a state group at count zero has
+    * exactly-zero decimal sums too). The DELTA itself is never
+    * filtered in the combine path: a signed window can net n_rows = 0
+    * for a group with a NONZERO sum delta — an update-only window's
+    * delete/insert pairs — and dropping it would silently lose the
+    * value change (caught by the sf0.01 oracle before it shipped). */
+  private def applyPartialAtRest(
+      spark: SparkSession, path: String, mkDelta: () => DataFrame,
+      keys: Seq[String], txnId: Option[String],
+      dropZeroGroups: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     require(txnId.forall(t => t.nonEmpty && !t.exists(_ <= ' ')),
       s"txnId must be non-empty with no whitespace: $txnId")
@@ -112,13 +130,19 @@ object IncrementalAgg {
     if (fs.exists(tmp)) fs.delete(tmp, true)
     val applied = appliedTxns(fs, src)
     if (txnId.exists(applied.contains)) return // replayed batch: no-op
-    val d = partial(delta, keys, measures)
+    val d = mkDelta()
     if (!fs.exists(src)) {
-      d.write.parquet(tmp.toString)
+      // init: the delta IS the state — here n_rows = 0 does imply
+      // zero sums (every insert the window later deleted canceled
+      // value-exactly), so the retirement filter is safe
+      (if (dropZeroGroups) d.where(col("n_rows") =!= 0L) else d)
+        .write.parquet(tmp.toString)
       txnId.foreach(t => writeTxns(fs, tmp, Seq(t)))
       require(fs.rename(tmp, src), s"agg init: $tmp -> $src failed")
     } else {
-      combine(spark.read.parquet(path), d, keys).write.parquet(tmp.toString)
+      val merged = combine(spark.read.parquet(path), d, keys)
+      (if (dropZeroGroups) merged.where(col("n_rows") =!= 0L)
+       else merged).write.parquet(tmp.toString)
       // The applied-id list ALWAYS carries forward into the new state,
       // even when this apply has no txnId of its own: dropping it would
       // let a later replay of an ALREADY-APPLIED id double-count (the
@@ -195,6 +219,61 @@ object IncrementalAgg {
     applyAtRest(spark, statePath, delta, keys, measures,
       txnId = Some(s"vtsync_${from}_$latest"))
     Some((from, latest))
+  }
+
+  /** [[syncFromTable]] driven by the CHANGE FEED instead of the
+    * appends diff — classic incremental view maintenance for
+    * distributive aggregates: count/sum lanes form a GROUP, not just a
+    * monoid, so a delete folds in as its NEGATION and the rollup
+    * follows the table through deletes, merges, and even overwrites —
+    * the windows [[syncFromTable]] must refuse. Inserts add (+1,
+    * +value), deletes subtract (−1, −value); an update contributes its
+    * delete/insert pair, netting the value change; a group whose count
+    * reaches zero is retired from the state (its exact-decimal sums
+    * are zero too). Cost is O(|changes in the window|) — the manifest
+    * diff, never a table rescan.
+    *
+    * Same watermark protocol and exactly-once story as
+    * [[syncFromTable]] (`vtsync_<from>_<to>` txn records, atomic with
+    * the state); the two flavors are interchangeable on one state —
+    * both fold exactly the window `(from, to]`. The only window it
+    * refuses is one whose change feed is itself unrecoverable (an
+    * expired predecessor — [[VersionedTable.VersionExpiredException]]). */
+  def syncChangesFromTable(spark: SparkSession, statePath: String,
+      tablePath: String, keys: Seq[String],
+      measures: Seq[String]): Option[(Int, Int)] = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(statePath)
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    val wm = appliedTxns(fs, src).filter(_.startsWith("vtsync_"))
+      .map(_.split('_')(2).toInt).maxOption
+    val latest = VersionedTable.latestVersion(spark, tablePath)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $tablePath"))
+    if (wm.exists(_ >= latest)) return None
+    require(wm.nonEmpty || !fs.exists(src),
+      s"syncChangesFromTable: $statePath holds state with no vtsync " +
+        "record — it was not built by a table sync; use a fresh statePath")
+    val from = wm.getOrElse(-1)
+    applyPartialAtRest(spark, statePath,
+      () => signedPartial(VersionedTable.readChangesRange(spark,
+        tablePath, from, Some(latest)), keys, measures),
+      keys, txnId = Some(s"vtsync_${from}_$latest"),
+      dropZeroGroups = true)
+    Some((from, latest))
+  }
+
+  /** State-shaped SIGNED aggregate of a change feed: deletes count −1
+    * and subtract their (exact decimal) measure values. Null measure
+    * values contribute nothing on either sign — matching [[partial]]'s
+    * null-skipping sums, so insert/delete pairs always cancel. */
+  private def signedPartial(changes: DataFrame, keys: Seq[String],
+      measures: Seq[String]): DataFrame = {
+    val del = col("_change_type") === "delete"
+    val aggs = sum(when(del, lit(-1L)).otherwise(lit(1L))).as("n_rows") +:
+      measures.map(c => sum(when(del, -col(c).cast("decimal(38,6)"))
+        .otherwise(col(c).cast("decimal(38,6)"))).as(s"sum_$c"))
+    changes.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   private def appliedTxns(fs: org.apache.hadoop.fs.FileSystem,

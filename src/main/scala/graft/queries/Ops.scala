@@ -863,6 +863,52 @@ object Ops {
     IncrementalAgg.withDerived(s.read.parquet(state), Seq("o_totalprice"))
   }
 
+  // Incremental VIEW maintenance through the CHANGE FEED: the rollup
+  // follows the table through a delete AND a merge — windows the
+  // appends-only sync must refuse — by folding each change with its
+  // sign (insert +1/+value, delete −1/−value; an update nets its
+  // delete/insert pair). One sync call folds the whole three-commit
+  // window; the oracle is the one-shot aggregate over the FINAL table
+  // rebuilt in SQL — signed maintenance must be result-invisible.
+  val opVtSyncChanges: Q = (s, d) => {
+    import graft.operators.{IncrementalAgg, VersionedTable}
+    val keys = Seq("o_orderpriority", "month")
+    val dir = Sources.fixtureDir(s, "graft_vtsc_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val state = s"${dir.getAbsolutePath}/state"
+    val ords = orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      col("o_totalprice"))
+    VersionedTable.commit(
+      ords.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, overwrite = true, statsCols = Seq("o_orderkey"))
+    require(IncrementalAgg.syncChangesFromTable(s, state, table, keys,
+      Seq("o_totalprice")).contains((-1, 0)), "init syncs the snapshot")
+    val mx = ords.agg(max(col("o_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val m = mx.getLong(0)
+      require(VersionedTable.deleteWhere(s, table,
+        col("o_orderkey") <= m / 4) == 1)
+      val updates = ords.where(col("o_orderkey") > m * 3 / 4)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val inserts = ords.where(col("o_orderkey") > m * 3 / 4)
+        .select((col("o_orderkey") + m * 10).as("o_orderkey"),
+          col("o_orderpriority"), col("month"),
+          (col("o_totalprice") + 5).as("o_totalprice"))
+      require(VersionedTable.mergeInto(s, table,
+        updates.unionByName(inserts), Seq("o_orderkey")) == 2)
+      require(IncrementalAgg.syncChangesFromTable(s, state, table, keys,
+        Seq("o_totalprice")).contains((0, 2)),
+        "one signed sync folds the delete + merge window")
+      require(IncrementalAgg.syncChangesFromTable(s, state, table, keys,
+        Seq("o_totalprice")).isEmpty, "an up-to-date sync must no-op")
+    }
+    IncrementalAgg.withDerived(s.read.parquet(state), Seq("o_totalprice"))
+  }
+
   // Triangle counting over the part co-purchase graph via
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
@@ -1127,6 +1173,7 @@ object Ops {
     "op_zonemap_prune" -> opZonemapPrune,
     "op_incr_agg" -> opIncrAgg,
     "op_vt_sync_agg" -> opVtSyncAgg,
+    "op_vt_sync_changes" -> opVtSyncChanges,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1389,6 +1436,31 @@ object Ops {
         |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
         |FROM orders GROUP BY 1, 2""".stripMargin,
+    // Signed IVM must equal the one-shot rollup over the FINAL table:
+    // untouched middle keys as-is, the deleted low quarter absent, the
+    // merged top quarter at its doubled postimage, the shifted inserts
+    // at +5. The same decimal-lane/rounding contract as op_incr_agg.
+    "op_vt_sync_changes" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |final AS (
+        |  SELECT o_orderpriority,
+        |    strftime(o_orderdate, '%Y-%m') AS month, o_totalprice
+        |  FROM orders, mx
+        |  WHERE o_orderkey > m // 4 AND o_orderkey <= m * 3 // 4
+        |  UNION ALL
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m'),
+        |    o_totalprice * 2
+        |  FROM orders, mx WHERE o_orderkey > m * 3 // 4
+        |  UNION ALL
+        |  SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m'),
+        |    o_totalprice + 5
+        |  FROM orders, mx WHERE o_orderkey > m * 3 // 4)
+        |SELECT o_orderpriority, month, count(*) AS n_rows,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS sum_o_totalprice,
+        |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+        |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
+        |FROM final GROUP BY 1, 2""".stripMargin,
     // Commit-log-driven MV sync must equal the same one-shot rollup —
     // the op_incr_agg contract, maintained by syncFromTable instead of
     // hand-fed deltas.

@@ -188,6 +188,60 @@ class IncrementalAggSpec extends AnyFunSuite {
       spark, foreign, table, Seq("k"), Seq("v")))
   }
 
+  test("syncChangesFromTable: IVM through deletes, merges, overwrites") {
+    import graft.operators.VersionedTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_ia_ivm_")
+    dir.toFile.deleteOnExit()
+    val table = s"$dir/table"
+    val state = s"$dir/state"
+    def rows(rs: (Long, String, Double)*) = rs.toDF("id", "k", "v")
+    def sync() = IncrementalAgg.syncChangesFromTable(
+      spark, state, table, Seq("k"), Seq("v"))
+    def snap() = spark.read.parquet(state)
+      .select(col("k"), col("n_rows"), col("sum_v").cast("double"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    def oneShot() = VersionedTable.read(spark, table)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    VersionedTable.commit(
+      rows((1, "a", 1.0), (2, "a", 2.0), (3, "b", 3.0)),
+      table, overwrite = true)
+    assert(sync() == Some((-1, 0)) && snap() == oneShot())
+    // an append, a predicate delete, and a three-verb merge land; ONE
+    // sync folds the whole window as signed changes
+    VersionedTable.commit(rows((4, "c", 10.0)), table, overwrite = false)
+    VersionedTable.deleteWhere(spark, table, col("v") === 2.0)
+    VersionedTable.mergeInto(spark, table,
+      Seq((1L, "a", 5.0, false), (3L, "b", 0.0, true),
+        (9L, "c", 7.0, false)).toDF("id", "k", "v", "_del"),
+      Seq("id"), tombstoneCol = Some("_del"))
+    assert(sync() == Some((0, 3)))
+    assert(snap() == oneShot(), "signed folds must equal the one-shot")
+    // group retirement: b lost its only row — absent, not a zero row
+    assert(!snap().exists(_._1 == "b"))
+    // replay + up-to-date no-op
+    assert(sync().isEmpty && snap() == oneShot())
+    // even an OVERWRITE (full replacement) folds through the feed —
+    // the window syncFromTable must refuse
+    VersionedTable.commit(rows((50, "z", 9.0), (51, "z", 1.0)),
+      table, overwrite = true)
+    VersionedTable.compact(spark, table, 1L << 30) // optimize: no-op feed
+    assert(sync() == Some((3, 5)))
+    assert(snap() == oneShot())
+    assert(snap().map(_._1) == Set("z"))
+    // the update-only window regression: delete/insert pairs net
+    // n_rows = 0 per group with a NONZERO sum delta — a delta-side
+    // zero filter would silently lose the value change
+    VersionedTable.mergeInto(spark, table,
+      Seq((50L, "z", 100.0), (51L, "z", 2.0)).toDF("id", "k", "v"),
+      Seq("id"))
+    assert(sync() == Some((5, 6)))
+    assert(snap() == oneShot() && snap() == Set(("z", 2L, 102.0)),
+      "an update-only window must fold its value change")
+  }
+
   test("a txn-less apply does not erase the applied-id sidecar") {
     // the r10 advisory's mixed-mode degradation: txn applies, then a
     // txn-LESS apply swaps in new state — the applied list must carry
