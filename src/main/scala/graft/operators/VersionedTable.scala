@@ -525,6 +525,164 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** RESTORE the table to the content of an earlier `version`, as a
+    * NEW commit — rollback without losing history (Delta's `RESTORE
+    * TABLE ... TO VERSION AS OF`). The restored state is METADATA-ONLY:
+    * the target version's file entries are carried by reference (zero
+    * data movement at any table size — immutable data files make
+    * rollback a manifest write), its recorded schema and stats columns
+    * become current again, and every intermediate version stays
+    * time-travelable until [[expire]] (whose unreferenced-file sweep
+    * sees the restore manifest and keeps its files alive). A restore
+    * to the CURRENT version is a no-op returning it; a restore to an
+    * expired version refuses loudly (its manifest — the only record of
+    * its file set — is gone). `txnId` gives replay idempotence as in
+    * [[commit]].
+    *
+    * Race posture: the restored content is pinned to `version`, so a
+    * manifest-race loss recomputes nothing — the restore just re-tries
+    * at the next number (the last writer's restore wins, which is the
+    * serializable order of two racing rollbacks). Commits as mode
+    * `restore` — non-append, so incremental append readers refuse (or
+    * skip) it and the change feed derives the exact row-level
+    * undo-diff from the touched files. */
+  def restoreTo(spark: SparkSession, path: String, version: Int,
+      txnId: Option[String] = None, maxRetries: Int = 5): Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var triesLeft = maxRetries
+    while (true) {
+      val nums = listVersionNumbers(fs, root)
+      txnId.foreach { t =>
+        findTxn(fs, root, nums, t).foreach(w => return w)
+      }
+      val latest = nums.lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+      require(version <= latest,
+        s"cannot restore $path to version $version: latest is $latest")
+      if (version == latest) return latest // already at that state
+      // throws "never committed (or expired)" when the target is gone
+      val target = readHeader(fs, root, version)
+      val entries = readEntries(spark, path, version)
+      val v2 = latest + 1
+      if (tryWriteManifest(fs, root, v2, "restore", txnId,
+          target.statsCols, target.schemaJson, entries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
+      triesLeft -= 1
+      if (triesLeft < 0) throw new IllegalStateException(
+        s"versioned restore at $path lost the manifest race " +
+          s"$maxRetries times — giving up")
+    }
+    -1 // unreachable
+  }
+
+  /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`): in
+    * ONE commit, remove every row where `predicate` is TRUE and insert
+    * `data` — the idempotent-backfill primitive (recompute a key range
+    * or date slice, swap it in, nothing else moves; a replay with the
+    * same inputs converges to the same table). Only the files holding
+    * a predicate-TRUE row are rewritten; every untouched file carries
+    * into the new version by reference, so a one-slice backfill on a
+    * 100 TB table rewrites O(slice), never the table. The prior
+    * version stays time-travelable; `txnId` replays no-op.
+    *
+    * Contract: every `data` row must itself satisfy `predicate`
+    * (checked loudly — a row outside the scope would not be removed by
+    * the operation's own next replay, so the "replace" would not be
+    * idempotent; Delta enforces the same constraint). `data` must
+    * carry exactly the table's columns (same types modulo nullability
+    * — schema evolution composes via a prior [[commit]]). Rows where
+    * `predicate` is NULL are KEPT (SQL WHERE-delete semantics). An
+    * empty `data` is a pure scoped delete; a predicate touching
+    * nothing with empty `data` returns the current version untouched.
+    *
+    * On a manifest-race loss the whole operation restarts against the
+    * winner's version (bounded by `maxRetries`): like [[deleteWhere]],
+    * its touched-file set depends on data a concurrent winner may have
+    * changed, so re-running discovery is the only serializable retry.
+    * Commits as mode `replace` — non-append, with the change feed
+    * deriving the row-level diff from the touched files. */
+  def replaceWhere(spark: SparkSession, path: String, predicate: Column,
+      data: DataFrame, txnId: Option[String] = None,
+      maxRetries: Int = 5): Int = {
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    // one stable snapshot: consumed by the constraint check, the
+    // rewrite, and possibly a retry
+    val src = data.localCheckpoint()
+    require(src.where(!coalesce(predicate, lit(false))).isEmpty,
+      "replaceWhere: every replacement row must satisfy the predicate " +
+        "— a row outside the replaced scope would survive its own " +
+        "replay (not a replacement); widen the predicate or drop the row")
+    var triesLeft = maxRetries
+    while (true) {
+      val nums = listVersionNumbers(fs, root)
+      txnId.foreach { t =>
+        findTxn(fs, root, nums, t).foreach(w => return w)
+      }
+      val v = nums.lastOption.getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+      val header = readHeader(fs, root, v)
+      val entries = readEntries(spark, path, v)
+      val tableSchema = header.schemaJson.map(decodeSchema)
+        .orElse(entries.headOption.map(e =>
+          schemaRead(spark, None, Seq(s"$path/${e.name}")).schema))
+        .getOrElse(src.schema) // empty pre-v4 table: src defines shape
+      require(src.columns.sorted
+          .sameElements(tableSchema.fieldNames.sorted),
+        s"replaceWhere: data columns ${src.columns.sorted.mkString(",")}" +
+          s" != table columns ${tableSchema.fieldNames.sorted.mkString(",")}")
+      val typeConflicts = tableSchema.flatMap(f =>
+        src.schema.find(_.name == f.name)
+          .filter(sf => org.apache.spark.sql.graftbridge.Bridge
+            .asNullable(sf.dataType) != org.apache.spark.sql.graftbridge
+            .Bridge.asNullable(f.dataType))
+          .map(sf => s"${f.name}: ${f.dataType.simpleString} vs " +
+            s"${sf.dataType.simpleString}"))
+      require(typeConflicts.isEmpty,
+        s"replaceWhere: data column types differ from the table's " +
+          s"(${typeConflicts.mkString("; ")}) — schema evolution " +
+          "composes via a prior commit, not mid-replace")
+      // discovery: one scan projecting only the predicate's columns
+      // (parquet footer stats + blooms prune it like any read)
+      val touched =
+        if (entries.isEmpty) Set.empty[String]
+        else schemaRead(spark, header.schemaJson,
+            entries.map(e => s"$path/${e.name}"))
+          .where(predicate)
+          .select(input_file_name().as("f"))
+          .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
+      val (rewrite, carried) = entries.partition(e => touched(e.name))
+      val ordered = src.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      if (touched.isEmpty && ordered.isEmpty) return v // scoped no-op
+      val survivors =
+        if (rewrite.isEmpty) ordered
+        else schemaRead(spark, header.schemaJson,
+            rewrite.map(e => s"$path/${e.name}"))
+          .where(!coalesce(predicate, lit(false)))
+          .unionByName(ordered)
+      val v2 = v + 1
+      val cols = resolveStatsCols(Some(header), Seq.empty)
+      val published = stageAndPublish(survivors, fs, root, v2, cols)
+      val newEntries = published.map(n =>
+        footerEntry(fs, conf, new Path(root, n), cols))
+      if (tryWriteManifest(fs, root, v2, "replace", txnId, cols,
+          header.schemaJson, carried ++ newEntries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      triesLeft -= 1
+      if (triesLeft < 0) throw new IllegalStateException(
+        s"versioned replaceWhere at $path lost the manifest race " +
+          s"$maxRetries times — giving up")
+    }
+    -1 // unreachable
+  }
+
   /** Read a version (default: latest). Fails loudly on a version that
     * was never committed — an uncommitted crash leaves no manifest.
     * Reads plan with the manifest's RECORDED schema (v4+): files

@@ -1061,4 +1061,120 @@ class VersionedTableSpec extends AnyFunSuite {
     // but a window that stops before the delete still works
     assert(got(0, Some(2)) == (10L until 30L))
   }
+
+  test("restoreTo: metadata-only rollback as a new commit") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(10 until 20), t, overwrite = false)
+    VersionedTable.deleteWhere(spark, t, col("id") < 5) // v2
+    val v1Files = VersionedTable.files(spark, t, 1).toSet
+    val r = VersionedTable.restoreTo(spark, t, 1)
+    assert(r == 3)
+    // zero data movement: the restore manifest IS v1's file list
+    assert(VersionedTable.files(spark, t, 3).toSet == v1Files)
+    def ids(v: Option[Int]) = VersionedTable.read(spark, t, v)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(None) == (0L until 20L), "restored content == v1")
+    assert(ids(Some(2)) == (5L until 20L),
+      "the rolled-back version stays time-travelable")
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "append", "delete", "restore"))
+    // restore to the current state is a no-op commit
+    assert(VersionedTable.restoreTo(spark, t, 3) == 3)
+    assert(VersionedTable.latestVersion(spark, t) == Some(3))
+    // replay idempotence via txnId
+    VersionedTable.deleteWhere(spark, t, col("id") >= 15) // v4
+    assert(VersionedTable.restoreTo(spark, t, 3, Some("rb_1")) == 5)
+    assert(VersionedTable.restoreTo(spark, t, 3, Some("rb_1")) == 5,
+      "a replayed restore (same txnId) must no-op")
+    // future version refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.restoreTo(spark, t, 99))
+    // the change feed of the restore commit is the exact undo-diff
+    val feed = VersionedTable.readChanges(spark, t, 5)
+      .groupBy("_change_type").agg(count(lit(1)).as("n"))
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(feed == Map("insert" -> 5L), "restoring the v4 delete of " +
+      "ids 15..19 re-inserts exactly those 5 rows")
+  }
+
+  test("restoreTo: expired target refuses; expire keeps restored files") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.commit(df(100 until 103), t, overwrite = true) // v1
+    VersionedTable.commit(df(103 until 105), t, overwrite = false) // v2
+    VersionedTable.restoreTo(spark, t, 0) // v3: references v0's files
+    VersionedTable.expire(spark, t, keepLast = 1) // drops v0..v2
+    // restored content survives the expire of the version it came from
+    assert(VersionedTable.read(spark, t).count() == 10)
+    intercept[IllegalArgumentException](
+      VersionedTable.restoreTo(spark, t, 1)) // manifest gone: loud
+  }
+
+  test("replaceWhere: scoped atomic overwrite, untouched files carried") {
+    val t = tmpTable()
+    import spark.implicits._
+    // cluster by id so the replaced slice touches a file subset
+    VersionedTable.commit(
+      df(0 until 100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val pre = VersionedTable.files(spark, t, 0).toSet
+    val repl = Seq((10L, "new10"), (11L, "new11")).toDF("id", "s")
+    val v = VersionedTable.replaceWhere(spark, t,
+      col("id") >= 10 && col("id") < 25, repl, txnId = Some("rw_1"))
+    assert(v == 1)
+    assert((VersionedTable.files(spark, t, 1).toSet & pre).nonEmpty,
+      "files outside the replaced slice must carry by reference")
+    val rows = VersionedTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet == ((0L until 10L) ++ (25L until 100L)).toSet
+      + 10L + 11L)
+    assert(rows(10L) == "new10" && rows(11L) == "new11")
+    assert(rows(5L) == "row5" && rows(50L) == "row50")
+    // prior version whole; replay no-ops
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 100)
+    assert(VersionedTable.replaceWhere(spark, t,
+      col("id") >= 10 && col("id") < 25, repl, txnId = Some("rw_1")) == 1)
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "replace"))
+  }
+
+  test("replaceWhere: contract refusals and edge shapes") {
+    val t = tmpTable()
+    import spark.implicits._
+    VersionedTable.commit(df(0 until 20), t, overwrite = true)
+    // a replacement row OUTSIDE the predicate scope refuses
+    val bad = Seq((99L, "out")).toDF("id", "s")
+    intercept[IllegalArgumentException](
+      VersionedTable.replaceWhere(spark, t, col("id") < 50, bad))
+    // wrong columns refuse
+    val cols = Seq((1L, 2L)).toDF("id", "other")
+    intercept[IllegalArgumentException](
+      VersionedTable.replaceWhere(spark, t, col("id") < 5, cols))
+    // wrong type refuses
+    val typed = Seq((1, "x")).toDF("id", "s") // id: int, table: long
+    intercept[IllegalArgumentException](
+      VersionedTable.replaceWhere(spark, t, col("id") < 5, typed))
+    // empty data = pure scoped delete
+    val empty = spark.createDataFrame(new java.util.ArrayList[
+      org.apache.spark.sql.Row](), df(0 until 1).schema)
+    val v = VersionedTable.replaceWhere(spark, t, col("id") < 5, empty)
+    assert(v == 1)
+    assert(VersionedTable.read(spark, t).count() == 15)
+    // scope touching nothing + empty data = no-op, no commit
+    assert(VersionedTable.replaceWhere(spark, t,
+      col("id") > 1000, empty) == 1)
+    assert(VersionedTable.latestVersion(spark, t) == Some(1))
+    // NULL predicate keeps the row (SQL WHERE-delete semantics)
+    val withNull = Seq((Some(100L), "a"), (None, "b"))
+      .toDF("id", "s")
+    VersionedTable.commit(withNull, t, overwrite = false) // v2
+    VersionedTable.replaceWhere(spark, t, col("id") >= 100,
+      Seq((200L, "c")).toDF("id", "s")) // v3
+    val ids = VersionedTable.read(spark, t).select("s")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(ids.contains("b"), "null-predicate row must survive")
+    assert(ids.contains("c") && !ids.contains("a"))
+  }
 }
