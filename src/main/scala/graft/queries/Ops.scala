@@ -693,6 +693,106 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // RESTORE as a versioned commit (Delta's RESTORE TABLE ... VERSION AS
+  // OF): v0 lands the full docs table, v1 deletes the low-id fifth,
+  // then restoreTo(0) rolls the content back as a NEW commit whose
+  // manifest carries v0's files BY REFERENCE — zero data movement at
+  // any table size (gated: the restore's file list IS v0's). The
+  // rolled-back delete stays time-travelable; a replayed restore (same
+  // txnId) no-ops; the restore commit's change feed is the exact
+  // undo-diff (pure inserts of the deleted rows). The oracle is the
+  // untouched source table — a rollback must be content-invisible.
+  val opVtRestore: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtr_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    val mx = docs.agg(max(col("doc_id"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val cut = mx.getLong(0) / 5
+      VersionedTable.deleteWhere(s, t, col("doc_id") <= cut) // v1
+      val v = VersionedTable.restoreTo(s, t, 0, txnId = Some("vtr_1"))
+      require(v == 2, s"restore must commit version 2, got $v")
+      require(VersionedTable.files(s, t, 2).toSet ==
+        VersionedTable.files(s, t, 0).toSet,
+        "a restore is metadata-only: v2's manifest must carry v0's " +
+          "files by reference, no data movement")
+      require(VersionedTable.read(s, t, Some(1)).count() < docs.count(),
+        "the rolled-back delete must stay time-travelable")
+      require(VersionedTable.restoreTo(s, t, 0, txnId = Some("vtr_1")) == v,
+        "a replayed restore (same txnId) must no-op")
+      // the restore's change feed is the exact undo-diff of the delete
+      val feed = VersionedTable.readChanges(s, t, 2)
+        .groupBy("_change_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(feed.getOrElse("delete", 0L) == 0L &&
+        feed.getOrElse("insert", 0L) ==
+          docs.where(col("doc_id") <= cut).count(),
+        s"restore feed must be pure re-inserts of the deleted rows: $feed")
+      require(VersionedTable.versions(s, t).map(_.mode) ==
+        Seq("overwrite", "delete", "restore"))
+    }
+    VersionedTable.read(s, t)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        col("source"))
+  }
+
+  // Predicate-scoped atomic overwrite (Delta's replaceWhere) — the
+  // idempotent-backfill primitive: v0 lands orders range-clustered on
+  // o_orderkey, then ONE commit swaps the top-quarter slice for its
+  // recomputed form (prices doubled). Only files whose span holds a
+  // slice row are rewritten; the low-key files carry BY REFERENCE
+  // (gated). The pre-backfill version stays whole; a replayed backfill
+  // (same txnId) no-ops; a replacement row OUTSIDE the predicate scope
+  // refuses loudly (checked: the operation must converge under its own
+  // replay). The oracle replays the slice swap in SQL.
+  val opVtReplaceWhere: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtrw_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    val ords = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    VersionedTable.commit(
+      ords.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      t, overwrite = true, statsCols = Seq("o_orderkey"))
+    val mx = ords.agg(max(col("o_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val cut = mx.getLong(0) * 3 / 4
+      val pred = col("o_orderkey") > cut
+      val recomputed = ords.where(pred)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      val preFiles = VersionedTable.files(s, t, 0).toSet
+      val v = VersionedTable.replaceWhere(s, t, pred, recomputed,
+        txnId = Some("vtrw_1"))
+      require(v == 1, s"replaceWhere must commit version 1, got $v")
+      require((VersionedTable.files(s, t, 1).toSet & preFiles).nonEmpty,
+        "files outside the replaced slice must carry by reference")
+      require(VersionedTable.read(s, t, Some(0)).count() == ords.count(),
+        "the pre-backfill version must stay whole")
+      require(VersionedTable.replaceWhere(s, t, pred, recomputed,
+        txnId = Some("vtrw_1")) == v,
+        "a replayed backfill (same txnId) must no-op")
+      val outOfScope =
+        try {
+          VersionedTable.replaceWhere(s, t, pred,
+            ords.where(col("o_orderkey") <= cut).limit(1)); false
+        } catch { case _: IllegalArgumentException => true }
+      require(outOfScope,
+        "a replacement row outside the predicate scope must refuse")
+      require(VersionedTable.versions(s, t).map(_.mode) ==
+        Seq("overwrite", "replace"))
+    }
+    VersionedTable.read(s, t)
+  }
+
   // Schema evolution across versioned commits (the src_schema_evolution
   // scenario lifted onto the commit log): v0 lands the even docs as
   // (doc_id, text), v1 appends the odd docs WITH A NEW COLUMN — the
@@ -1165,6 +1265,8 @@ object Ops {
     "op_vt_optimize_cluster" -> opVtOptimizeCluster,
     "op_vt_incr_read" -> opVtIncrRead,
     "op_vt_merge" -> opVtMerge,
+    "op_vt_restore" -> opVtRestore,
+    "op_vt_replace_where" -> opVtReplaceWhere,
     "op_vt_schema_evolution" -> opVtSchemaEvolution,
     "op_vt_pruned_multi" -> opVtPrunedMulti,
     "op_time_travel" -> opTimeTravel,
@@ -1374,6 +1476,22 @@ object Ops {
         |UNION ALL
         |SELECT o_orderkey + shift AS o_orderkey, o_custkey,
         |  o_totalprice + 5 AS o_totalprice
+        |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // A rollback must be content-invisible: the untouched source table
+    // (same projection as op_vt_delete, whose delete it undoes).
+    "op_vt_restore" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents""".stripMargin,
+    // The scoped backfill replayed in SQL: everything at or below the
+    // cut (or null-keyed) untouched, the top-quarter slice at its
+    // recomputed (doubled) postimage. The cut replays the engine's
+    // integer max*3/4.
+    "op_vt_replace_where" ->
+      """WITH mx AS (SELECT max(o_orderkey) * 3 // 4 AS cut FROM orders)
+        |SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders, mx WHERE o_orderkey IS NULL OR o_orderkey <= cut
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
     // The manifest-diff change feed replayed: v1's deletes are the
     // low-quarter keys, v2's merge is the delete/insert pair per
