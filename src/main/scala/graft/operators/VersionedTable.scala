@@ -117,6 +117,8 @@ object VersionedTable {
   private val HeaderV2 = "graft-vt-v2"
   private val CkptName = "_checkpoint"
   private val CkptHeader = "graft-vt-ckpt-v1"
+  private val ConstraintsName = "_constraints"
+  private val ConstraintsHeader = "graft-vt-constraints-v1"
 
   /** Every N-th commit refreshes `_graft_log/_checkpoint`; the txn
     * probe thus reads the checkpoint plus at most this many manifest
@@ -231,6 +233,10 @@ object VersionedTable {
     txnId.foreach { t =>
       findTxn(fs, root, nums0, t).foreach(v => return v)
     }
+    // CHECK constraints gate the batch BEFORE staging (and AFTER the
+    // txn probe above: a replayed batch that landed pre-constraint
+    // must still no-op, not refuse)
+    enforceConstraints(df, constraintsOf(fs, root), s"commit to $path")
     val v0 = nums0.lastOption.map(_ + 1).getOrElse(0)
     // resolve the indexed columns BEFORE staging so the data files get
     // their footer blooms (a lost-race retry keeps the files as-is —
@@ -424,10 +430,18 @@ object VersionedTable {
       max(col(k)).as(s"__mx_$k")))
     val bounds = src.agg(aggs.head, aggs.tail: _*).collect()(0)
     var triesLeft = maxRetries
+    var consChecked = false
     while (true) {
       val nums = listVersionNumbers(fs, root)
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(v => return v)
+      }
+      if (!consChecked) { // post-txn-probe: replays no-op, not refuse
+        enforceConstraints(
+          tombstoneCol.map(c => src.where(!coalesce(col(c), lit(false))))
+            .getOrElse(src),
+          constraintsOf(fs, root), s"mergeInto at $path")
+        consChecked = true
       }
       val v = nums.lastOption.getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
@@ -618,10 +632,16 @@ object VersionedTable {
         "— a row outside the replaced scope would survive its own " +
         "replay (not a replacement); widen the predicate or drop the row")
     var triesLeft = maxRetries
+    var consChecked = false
     while (true) {
       val nums = listVersionNumbers(fs, root)
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(w => return w)
+      }
+      if (!consChecked) { // post-txn-probe: replays no-op, not refuse
+        enforceConstraints(src, constraintsOf(fs, root),
+          s"replaceWhere at $path")
+        consChecked = true
       }
       val v = nums.lastOption.getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
@@ -681,6 +701,129 @@ object VersionedTable {
           s"$maxRetries times — giving up")
     }
     -1 // unreachable
+  }
+
+  /** Table-level CHECK constraints (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT` analog): named boolean SQL expressions every NEW row
+    * must satisfy, enforced as ONE fused aggregate scan of the
+    * incoming batch BEFORE staging in [[commit]], [[mergeInto]]
+    * (tombstone delete-records exempt — they carry no new data), and
+    * [[replaceWhere]] — a violating batch refuses loudly with per-
+    * constraint violation counts and nothing lands, not even debris.
+    * SQL CHECK semantics: a row passes when the expression is TRUE or
+    * NULL (guard nullable columns explicitly: `x IS NOT NULL AND x >
+    * 0`).
+    *
+    * Adding a constraint validates the CURRENT table content first
+    * (one scan) and refuses if existing rows violate — the Delta
+    * contract, so a reader can trust that every live row satisfies
+    * every listed constraint. Caveat (documented, matches Delta):
+    * [[restoreTo]] does not re-validate, so restoring past the point
+    * a constraint was added can resurrect pre-constraint rows.
+    *
+    * Enforcement is read-only on the data path and naturally
+    * concurrent; the constraint DDL itself (set/drop) is last-writer-
+    * wins over a single metadata file and meant for an admin, not for
+    * racing writers. A txn-replayed commit no-ops BEFORE enforcement,
+    * so a batch that landed before a constraint existed replays as a
+    * no-op instead of a refusal (idempotence is preserved). */
+  def setConstraint(spark: SparkSession, path: String, name: String,
+      exprSql: String): Unit = {
+    require(name.nonEmpty && !name.exists(c => c < ' ' || c == '\t'),
+      s"constraint name must be non-empty printable text: $name")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new Path(root, LogDir))
+    // validate against the current content when the table exists: the
+    // expression must analyze to BOOLEAN over the table schema and
+    // hold on every live row
+    if (listVersionNumbers(fs, root).nonEmpty) {
+      val cur = read(spark, path)
+      val dt = try cur.select(expr(exprSql)).schema.head.dataType
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"constraint $name does not analyze against the table " +
+            s"schema: ${e.getMessage}", e) }
+      require(dt == org.apache.spark.sql.types.BooleanType,
+        s"constraint $name must be a BOOLEAN expression, got " +
+          dt.simpleString)
+      enforceConstraints(cur, Seq(name -> exprSql),
+        s"existing rows of $path (ADD CONSTRAINT validates current " +
+          "content — fix or delete them first)")
+    }
+    val kept = constraintsOf(fs, root).filterNot(_._1 == name)
+    writeConstraints(fs, root, kept :+ (name -> exprSql))
+  }
+
+  /** Remove a CHECK constraint by name (unknown names no-op — drop is
+    * idempotent). */
+  def dropConstraint(spark: SparkSession, path: String,
+      name: String): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    writeConstraints(fs, root, constraintsOf(fs, root)
+      .filterNot(_._1 == name))
+  }
+
+  /** The table's CHECK constraints, in declaration order. */
+  def constraints(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val root = new Path(path)
+    constraintsOf(root.getFileSystem(
+      spark.sessionState.newHadoopConf()), root)
+  }
+
+  private def constraintsFile(root: Path): Path =
+    new Path(new Path(root, LogDir), ConstraintsName)
+
+  private def constraintsOf(fs: FileSystem,
+      root: Path): Seq[(String, String)] = {
+    val f = constraintsFile(root)
+    if (!fs.exists(f)) return Seq.empty
+    val lines = readLines(fs, f)
+    require(lines.headOption.contains(ConstraintsHeader),
+      s"unrecognized constraints file at $f: ${lines.headOption}")
+    lines.drop(1).filter(_.nonEmpty).map { l =>
+      val Array(n, e) = l.split("\t", 2)
+      n -> java.net.URLDecoder.decode(e, "UTF-8")
+    }
+  }
+
+  private def writeConstraints(fs: FileSystem, root: Path,
+      cons: Seq[(String, String)]): Unit = {
+    val dest = constraintsFile(root)
+    if (cons.isEmpty) { fs.delete(dest, false); return }
+    val tmp = new Path(dest.getParent,
+      s".${ConstraintsName}_tmp_${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write((ConstraintsHeader +: cons.map { case (n, e) =>
+        s"$n\t${java.net.URLEncoder.encode(e, "UTF-8")}" })
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // DDL is last-writer-wins by contract: replace, then promote
+    fs.delete(dest, false)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"could not publish constraints file at $dest")
+    }
+  }
+
+  /** One fused scan counting violations per constraint; refuses loudly
+    * when any row fails (expression errors — e.g. a column the batch
+    * lacks — refuse with the constraint named, never land data). */
+  private[graft] def enforceConstraints(df: DataFrame,
+      cons: Seq[(String, String)], what: String): Unit = {
+    if (cons.isEmpty) return
+    val aggs = cons.map { case (n, e) =>
+      sum(when(!coalesce(expr(e), lit(true)), 1L).otherwise(0L)).as(n) }
+    val row = try df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      catch { case ex: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint evaluation failed over $what " +
+          s"(${cons.map(_._1).mkString(",")}): ${ex.getMessage}", ex) }
+    val bad = cons.zipWithIndex.flatMap { case ((n, e), i) =>
+      val c = if (row.isNullAt(i)) 0L else row.getLong(i)
+      if (c > 0) Some(s"$n ($e): $c row(s)") else None }
+    if (bad.nonEmpty) throw new IllegalArgumentException(
+      s"CHECK constraint(s) violated by $what — ${bad.mkString("; ")}")
   }
 
   /** Read a version (default: latest). Fails loudly on a version that

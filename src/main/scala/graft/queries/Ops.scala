@@ -793,6 +793,44 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // CHECK constraints at the commit gate (Delta's ADD CONSTRAINT): the
+  // even-key half lands, a price-positivity constraint is added
+  // (validated against the live rows in one scan), the odd-key half
+  // appends THROUGH the gate, then a violating batch (negated prices)
+  // must refuse loudly BEFORE staging — no new version, no debris
+  // (gated). Enforcement is one fused aggregate scan of each incoming
+  // batch; a clean table is the only thing that can exist, so the
+  // oracle is the plain source table.
+  val opVtConstraints: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtc_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    val ords = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    VersionedTable.commit(ords.where(col("o_orderkey") % 2 === 0),
+      t, overwrite = true)
+    VersionedTable.setConstraint(s, t, "price_pos",
+      "o_totalprice IS NOT NULL AND o_totalprice > 0")
+    VersionedTable.commit(ords.where(col("o_orderkey") % 2 =!= 0),
+      t, overwrite = false) // valid rows pass the gate
+    if (ords.take(1).nonEmpty) {
+      val bad = ords.limit(5)
+        .withColumn("o_totalprice", -abs(col("o_totalprice")) - 1)
+      val refused =
+        try { VersionedTable.commit(bad, t, overwrite = false); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("price_pos") }
+      require(refused,
+        "a violating batch must refuse with the constraint named")
+      require(VersionedTable.latestVersion(s, t) == Some(1),
+        "a refused batch must not commit")
+      require(VersionedTable.constraints(s, t).map(_._1) ==
+        Seq("price_pos"))
+    }
+    VersionedTable.read(s, t)
+  }
+
   // Schema evolution across versioned commits (the src_schema_evolution
   // scenario lifted onto the commit log): v0 lands the even docs as
   // (doc_id, text), v1 appends the odd docs WITH A NEW COLUMN — the
@@ -1267,6 +1305,7 @@ object Ops {
     "op_vt_merge" -> opVtMerge,
     "op_vt_restore" -> opVtRestore,
     "op_vt_replace_where" -> opVtReplaceWhere,
+    "op_vt_constraints" -> opVtConstraints,
     "op_vt_schema_evolution" -> opVtSchemaEvolution,
     "op_vt_pruned_multi" -> opVtPrunedMulti,
     "op_time_travel" -> opTimeTravel,
@@ -1493,6 +1532,10 @@ object Ops {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // Constraint enforcement must be content-invisible on clean data
+    // (the violating batch never lands): the plain source table.
+    "op_vt_constraints" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders""",
     // The manifest-diff change feed replayed: v1's deletes are the
     // low-quarter keys, v2's merge is the delete/insert pair per
     // updated top-quarter key plus the shifted inserts. Survivors

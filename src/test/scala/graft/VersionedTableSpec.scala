@@ -1062,6 +1062,92 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got(0, Some(2)) == (10L until 30L))
   }
 
+  test("check constraints: gate every write path, tombstones exempt") {
+    val t = tmpTable()
+    import spark.implicits._
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    VersionedTable.setConstraint(spark, t, "id_pos", "id >= 0")
+    assert(VersionedTable.constraints(spark, t) ==
+      Seq("id_pos" -> "id >= 0"))
+    // valid append passes
+    assert(VersionedTable.commit(df(10 until 12), t, overwrite = false) == 1)
+    // violating append refuses with the name and count, nothing lands
+    val filesBefore = new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val bad = Seq((-1L, "neg"), (-2L, "neg2"), (50L, "ok"))
+      .toDF("id", "s")
+    val ex = intercept[IllegalArgumentException](
+      VersionedTable.commit(bad, t, overwrite = false))
+    assert(ex.getMessage.contains("id_pos") &&
+      ex.getMessage.contains("2 row(s)"))
+    assert(VersionedTable.latestVersion(spark, t) == Some(1))
+    assert(new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet")) == filesBefore,
+      "enforcement precedes staging: a refused batch leaves no debris")
+    // mergeInto: violating upsert refuses; tombstone deletes exempt
+    intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, t, bad, Seq("id")))
+    val feed = Seq((5L, "whatever", true)).toDF("id", "s", "_del")
+    assert(VersionedTable.mergeInto(spark, t, feed, Seq("id"),
+      tombstoneCol = Some("_del")) == 2,
+      "a delete record carries no new data — constraints must not block it")
+    // replaceWhere: violating replacement refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.replaceWhere(spark, t, col("id") < 0,
+        Seq((-9L, "x")).toDF("id", "s")))
+    // drop re-allows (and is idempotent)
+    VersionedTable.dropConstraint(spark, t, "id_pos")
+    VersionedTable.dropConstraint(spark, t, "id_pos")
+    assert(VersionedTable.constraints(spark, t).isEmpty)
+    assert(VersionedTable.commit(Seq((-1L, "neg")).toDF("id", "s"),
+      t, overwrite = false) == 3)
+  }
+
+  test("check constraints: ADD validates current content; NULL passes") {
+    val t = tmpTable()
+    import spark.implicits._
+    VersionedTable.commit(
+      Seq((Some(1L), "a"), (None, "b")).toDF("id", "s"),
+      t, overwrite = true)
+    // SQL CHECK: the null-id row passes `id >= 0` (NULL is not FALSE)
+    VersionedTable.setConstraint(spark, t, "id_pos", "id >= 0")
+    // but existing violating rows refuse the ADD itself
+    val ex = intercept[IllegalArgumentException](
+      VersionedTable.setConstraint(spark, t, "id_big", "id >= 100"))
+    assert(ex.getMessage.contains("id_big"))
+    assert(VersionedTable.constraints(spark, t).map(_._1) == Seq("id_pos"))
+    // non-boolean expression refuses; unknown column refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.setConstraint(spark, t, "not_bool", "s"))
+    intercept[IllegalArgumentException](
+      VersionedTable.setConstraint(spark, t, "ghost", "nope > 0"))
+    // a NULL-evaluating row still passes enforcement on new data
+    assert(VersionedTable.commit(
+      Seq((Option.empty[Long], "c")).toDF("id", "s"),
+      t, overwrite = false) == 1)
+    // re-setting the same name replaces, not duplicates
+    VersionedTable.setConstraint(spark, t, "id_pos", "id >= -5")
+    assert(VersionedTable.constraints(spark, t) ==
+      Seq("id_pos" -> "id >= -5"))
+  }
+
+  test("check constraints: txn replay no-ops instead of refusing") {
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 5), t, overwrite = true)
+    val v = VersionedTable.commit(df(5 until 8), t, overwrite = false,
+      txnId = Some("cx_1"))
+    // the batch lands, its rows get deleted, THEN the constraint
+    // arrives (current content satisfies it). A replay of the old
+    // batch must return its version, not refuse — idempotence outranks
+    // enforcement, the txn is already in the log
+    val dv = VersionedTable.deleteWhere(spark, t, col("id") >= 5)
+    VersionedTable.setConstraint(spark, t, "id_small", "id < 5")
+    assert(VersionedTable.commit(df(5 until 8), t, overwrite = false,
+      txnId = Some("cx_1")) == v)
+    assert(VersionedTable.latestVersion(spark, t) == Some(dv),
+      "the replay must not have committed anything new")
+  }
+
   test("restoreTo: metadata-only rollback as a new commit") {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 10), t, overwrite = true)
