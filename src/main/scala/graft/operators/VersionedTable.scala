@@ -592,6 +592,69 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Deep CLONE of a committed version into a fresh table at
+    * `dstPath` (Delta's `CREATE TABLE ... DEEP CLONE src VERSION AS OF
+    * v`): the data files are copied byte-for-byte by a DISTRIBUTED
+    * copy job — one task per file, so a 100 TB clone is a full-
+    * bandwidth parallel copy, never a driver loop — and the clone's
+    * v0 manifest carries the source version's entries verbatim:
+    * identical bytes mean the recorded row counts, stats spans,
+    * footer blooms, and schema all remain true with NO re-harvest and
+    * no data scan. CHECK constraints copy too (same invariants, same
+    * gate). The clone is then a fully independent table — its own
+    * log, its own history, diverging freely; the source is never
+    * touched (a time-traveled clone of yesterday's version is the
+    * standard dev/staging fork).
+    *
+    * The destination must not already be a versioned table (refused
+    * loudly — a clone is CREATE, not INSERT). Returns the clone's
+    * version (always 0). The clone commits as mode `clone`: v0 is the
+    * baseline every reader treats as its initial snapshot. */
+  def cloneTo(spark: SparkSession, srcPath: String, dstPath: String,
+      asOfVersion: Option[Int] = None): Int = {
+    val srcRoot = new Path(srcPath)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = srcRoot.getFileSystem(conf)
+    val v = asOfVersion.orElse(listVersionNumbers(fs, srcRoot).lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $srcPath"))
+    val header = readHeader(fs, srcRoot, v)
+    val entries = readEntries(spark, srcPath, v)
+    val dstRoot = new Path(dstPath)
+    val dfs = dstRoot.getFileSystem(conf)
+    require(listVersionNumbers(dfs, dstRoot).isEmpty,
+      s"cloneTo: $dstPath is already a versioned table — a clone " +
+        "creates, it never merges into existing history")
+    dfs.mkdirs(new Path(dstRoot, LogDir))
+    if (entries.nonEmpty) {
+      val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+      val srcStr = srcRoot.toString
+      val dstStr = dstRoot.toString
+      val slices = math.max(1, math.min(entries.size,
+        spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(entries.map(_.name), slices)
+        .foreach { n =>
+          val c = sconf.value
+          val from = new Path(srcStr, n)
+          val to = new Path(dstStr, n)
+          org.apache.hadoop.fs.FileUtil.copy(
+            from.getFileSystem(c), from, to.getFileSystem(c), to,
+            false /* deleteSource */, true /* overwrite: re-run safe */, c)
+        }
+    }
+    // same bytes ⇒ the source entries (rows, spans) are the truth for
+    // the copies too; constraints carry the table's invariants along
+    constraintsOf(fs, srcRoot) match {
+      case cs if cs.nonEmpty => writeConstraints(dfs, dstRoot, cs)
+      case _ => ()
+    }
+    if (!tryWriteManifest(dfs, dstRoot, 0, "clone", None,
+        header.statsCols, header.schemaJson, entries))
+      throw new IllegalStateException(
+        s"cloneTo: a concurrent writer created $dstPath mid-clone")
+    0
+  }
+
   /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`): in
     * ONE commit, remove every row where `predicate` is TRUE and insert
     * `data` — the idempotent-backfill primitive (recompute a key range

@@ -793,6 +793,42 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // Deep CLONE at a time-traveled version (Delta's DEEP CLONE ...
+  // VERSION AS OF): lineitem lands clustered, a delete advances the
+  // source, then the PRE-delete version forks into an independent
+  // table via a distributed byte-copy — the clone's v0 manifest
+  // carries the source entries VERBATIM (gated: same names/rows/spans,
+  // so pruning needs no re-harvest), and the source's later history is
+  // invisible to it (gated). The oracle is the full source table at
+  // the cloned version — a clone must be content-exact.
+  val opVtClone: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtcl_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val c = new java.io.File(dir, "li_fork").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val mx = li.agg(max(col("l_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0))
+      VersionedTable.deleteWhere(s, t, // source moves on past the fork
+        col("l_orderkey") <= mx.getLong(0) / 5)
+    require(VersionedTable.cloneTo(s, t, c, asOfVersion = Some(0)) == 0)
+    require(VersionedTable.readEntries(s, c, 0) ==
+      VersionedTable.readEntries(s, t, 0),
+      "clone entries must carry verbatim — stats without re-harvest")
+    if (!mx.isNullAt(0))
+      require(VersionedTable.read(s, c).count() == li.count() &&
+        VersionedTable.read(s, t).count() < li.count(),
+        "the clone forks the PRE-delete version; the source keeps its " +
+          "own history")
+    VersionedTable.read(s, c)
+  }
+
   // CHECK constraints at the commit gate (Delta's ADD CONSTRAINT): the
   // even-key half lands, a price-positivity constraint is added
   // (validated against the live rows in one scan), the odd-key half
@@ -1306,6 +1342,7 @@ object Ops {
     "op_vt_restore" -> opVtRestore,
     "op_vt_replace_where" -> opVtReplaceWhere,
     "op_vt_constraints" -> opVtConstraints,
+    "op_vt_clone" -> opVtClone,
     "op_vt_schema_evolution" -> opVtSchemaEvolution,
     "op_vt_pruned_multi" -> opVtPrunedMulti,
     "op_time_travel" -> opTimeTravel,
@@ -1532,6 +1569,10 @@ object Ops {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // A deep clone of the pre-delete version is content-exact: the
+    // full source table.
+    "op_vt_clone" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem""",
     // Constraint enforcement must be content-invisible on clean data
     // (the violating batch never lands): the plain source table.
     "op_vt_constraints" ->

@@ -1062,6 +1062,47 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got(0, Some(2)) == (10L until 30L))
   }
 
+  test("cloneTo: deep clone carries content, stats, and constraints") {
+    val t = tmpTable()
+    import spark.implicits._
+    // clustered commit so the stats-carry gate below is meaningful
+    VersionedTable.commit(
+      df(0 until 100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.commit(df(100 until 120), t, overwrite = false) // v1
+    VersionedTable.setConstraint(spark, t, "id_pos", "id >= 0")
+    VersionedTable.deleteWhere(spark, t, col("id") >= 100) // v2
+    val c = tmpTable()
+    // clone the MIDDLE version: time-traveled fork
+    assert(VersionedTable.cloneTo(spark, t, c, Some(1)) == 0)
+    def ids(p: String) = VersionedTable.read(spark, p, None)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(c) == (0L until 120L), "clone content == source v1")
+    // entries carry verbatim: same names, rows, spans — pruning works
+    // on the clone without any re-harvest
+    val se = VersionedTable.readEntries(spark, t, 1)
+    val ce = VersionedTable.readEntries(spark, c, 0)
+    assert(ce == se, "manifest entries must carry byte-identical")
+    assert(VersionedTable.pruneEntries(ce, "id", 10L, 20L).size <
+      ce.size, "carried spans must still prune")
+    // constraints carried: the clone's gate refuses violating rows
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(Seq((-1L, "neg")).toDF("id", "s"), c,
+        overwrite = false))
+    // independent evolution: append to the clone, source untouched
+    VersionedTable.commit(df(500 until 510), c, overwrite = false)
+    assert(ids(c).size == 130 &&
+      VersionedTable.read(spark, t).count() == 100)
+    assert(VersionedTable.versions(spark, c).map(_.mode) ==
+      Seq("clone", "append"))
+    // the clone's v0 change feed is its whole snapshot
+    assert(VersionedTable.readChanges(spark, c, 0).count() == 120)
+    // a populated destination refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.cloneTo(spark, t, c))
+  }
+
   test("check constraints: gate every write path, tombstones exempt") {
     val t = tmpTable()
     import spark.implicits._
