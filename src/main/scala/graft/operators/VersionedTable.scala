@@ -766,6 +766,61 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Metadata-only COUNT(*) (Delta's metadata-only query path): the
+    * manifest records per-file row counts, so the answer is ONE small
+    * manifest read — zero data files opened at any table size.
+    * Conservative by construction: `None` when any entry predates
+    * row-count recording (a pre-v3 carried file) — the caller falls
+    * back to a scan, never gets a wrong number. */
+  def countRows(spark: SparkSession, path: String,
+      asOfVersion: Option[Int] = None): Option[Long] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $path"))
+    val entries = readEntries(spark, path, v)
+    if (entries.exists(_.nRows < 0)) None
+    else Some(entries.map(_.nRows).sum)
+  }
+
+  /** Metadata-only MIN/MAX of a stats column, folded from the manifest
+    * spans — zero data files opened. Two-level result keeps "don't
+    * know" and "provably NULL" distinct:
+    *  - outer `None`: metadata insufficient (a row-bearing file never
+    *    collected stats for the column, or spans are incomparable) —
+    *    fall back to a scan;
+    *  - `Some(None)`: provably SQL NULL (zero rows, or the column is
+    *    entirely null in every file);
+    *  - `Some(Some((min, max)))`: the exact extrema, normalized to
+    *    Long / Double / String as recorded. NaN-valued extrema are
+    *    never recorded (see [[normalize]]), matching SQL min/max which
+    *    a scan would also never answer with NaN-dominated order. */
+  def statsSpan(spark: SparkSession, path: String, column: String,
+      asOfVersion: Option[Int] = None): Option[Option[(Any, Any)]] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $path"))
+    val entries = readEntries(spark, path, v)
+    // every file that MIGHT hold a row must carry collected stats
+    if (entries.exists(e => e.nRows != 0 && !e.stats.contains(column)))
+      return None
+    var acc: Option[(Any, Any)] = None
+    entries.flatMap(_.stats.get(column)).flatten.foreach { s =>
+      acc = acc match {
+        case None => Some(s)
+        case Some((lo, hi)) => (cmp(s._1, lo), cmp(s._2, hi)) match {
+          case (Some(cl), Some(ch)) =>
+            Some((if (cl < 0) s._1 else lo, if (ch > 0) s._2 else hi))
+          case _ => return None // incomparable span: rescan
+        }
+      }
+    }
+    Some(acc)
+  }
+
   /** Table-level CHECK constraints (Delta's `ALTER TABLE ... ADD
     * CONSTRAINT` analog): named boolean SQL expressions every NEW row
     * must satisfy, enforced as ONE fused aggregate scan of the

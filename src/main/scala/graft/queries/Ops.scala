@@ -829,6 +829,46 @@ object Ops {
     VersionedTable.read(s, c)
   }
 
+  // Metadata-only query answers (Delta's metadata-only COUNT path):
+  // COUNT(*) and MIN/MAX over the stats column fold from the
+  // manifest's per-file row counts and spans — one small manifest
+  // read, ZERO data files opened at any table size. A delete first
+  // advances the table so the numbers prove the manifest tracks
+  // rewrites, not just the original commit. The oracle recomputes all
+  // three the honest way — any drift between metadata and data flips
+  // the hash.
+  val opVtStats: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vts_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(li.repartition(8), t, overwrite = true,
+      statsCols = Seq("l_orderkey"))
+    val mx = li.agg(max(col("l_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) // rewritten files must re-harvest exactly
+      VersionedTable.deleteWhere(s, t,
+        col("l_orderkey") > mx.getLong(0) * 4 / 5)
+    val n = VersionedTable.countRows(s, t).getOrElse(
+      throw new IllegalStateException("manifest must carry row counts"))
+    val span = VersionedTable.statsSpan(s, t, "l_orderkey").getOrElse(
+      throw new IllegalStateException("manifest must carry spans"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_rows",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("min_key",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField("max_key",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val row = org.apache.spark.sql.Row(n,
+      span.map(x => java.lang.Long.valueOf(x._1.asInstanceOf[Long]))
+        .orNull,
+      span.map(x => java.lang.Long.valueOf(x._2.asInstanceOf[Long]))
+        .orNull)
+    s.createDataFrame(java.util.Arrays.asList(row), schema)
+  }
+
   // CHECK constraints at the commit gate (Delta's ADD CONSTRAINT): the
   // even-key half lands, a price-positivity constraint is added
   // (validated against the live rows in one scan), the odd-key half
@@ -1343,6 +1383,7 @@ object Ops {
     "op_vt_replace_where" -> opVtReplaceWhere,
     "op_vt_constraints" -> opVtConstraints,
     "op_vt_clone" -> opVtClone,
+    "op_vt_stats" -> opVtStats,
     "op_vt_schema_evolution" -> opVtSchemaEvolution,
     "op_vt_pruned_multi" -> opVtPrunedMulti,
     "op_time_travel" -> opTimeTravel,
@@ -1569,6 +1610,15 @@ object Ops {
         |UNION ALL
         |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
         |FROM orders, mx WHERE o_orderkey > cut""".stripMargin,
+    // The manifest-folded numbers recomputed the honest way over the
+    // post-delete table (the engine's integer max*4/5 cut replayed).
+    "op_vt_stats" ->
+      """WITH cut AS (SELECT max(l_orderkey) * 4 // 5 AS c FROM lineitem),
+        |kept AS (SELECT l_orderkey FROM lineitem, cut
+        |         WHERE l_orderkey IS NULL OR l_orderkey <= c)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_orderkey) AS min_key, max(l_orderkey) AS max_key
+        |FROM kept""".stripMargin,
     // A deep clone of the pre-delete version is content-exact: the
     // full source table.
     "op_vt_clone" ->

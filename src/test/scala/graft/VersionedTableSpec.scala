@@ -1062,6 +1062,39 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(got(0, Some(2)) == (10L until 30L))
   }
 
+  test("metadata-only count and span fold from the manifest") {
+    val t = tmpTable()
+    import spark.implicits._
+    VersionedTable.commit(df(0 until 50).repartition(4), t,
+      overwrite = true, statsCols = Seq("id"))
+    VersionedTable.commit(df(50 until 60), t, overwrite = false)
+    assert(VersionedTable.countRows(spark, t) == Some(60L))
+    assert(VersionedTable.statsSpan(spark, t, "id") ==
+      Some(Some((0L, 59L))))
+    // time travel reads the older manifest
+    assert(VersionedTable.countRows(spark, t, Some(0)) == Some(50L))
+    // a delete re-harvests the rewritten files: still exact
+    VersionedTable.deleteWhere(spark, t, col("id") < 10)
+    assert(VersionedTable.countRows(spark, t) == Some(50L))
+    assert(VersionedTable.statsSpan(spark, t, "id") ==
+      Some(Some((10L, 59L))))
+    // a column stats were never collected for: outer None (rescan),
+    // never a guess
+    assert(VersionedTable.statsSpan(spark, t, "s").isEmpty)
+    // all-null column: provably SQL NULL, distinct from "don't know"
+    val t2 = tmpTable()
+    VersionedTable.commit(
+      Seq((1L, Option.empty[Long]), (2L, None)).toDF("id", "v"),
+      t2, overwrite = true, statsCols = Seq("id", "v"))
+    assert(VersionedTable.statsSpan(spark, t2, "v") == Some(None))
+    // empty table: zero rows, NULL extrema
+    val t3 = tmpTable()
+    VersionedTable.commit(df(0 until 0), t3, overwrite = true,
+      statsCols = Seq("id"))
+    assert(VersionedTable.countRows(spark, t3) == Some(0L))
+    assert(VersionedTable.statsSpan(spark, t3, "id") == Some(None))
+  }
+
   test("cloneTo: deep clone carries content, stats, and constraints") {
     val t = tmpTable()
     import spark.implicits._
