@@ -1526,9 +1526,14 @@ object VersionedTable {
     * COMMIT, and staging directories (`.<table>__vt_stage_*` siblings)
     * orphaned by a crash DURING staging. TTL semantics as in
     * [[Vacuum]]: age is the only signal that no writer is coming
-    * back. Returns the deleted names. */
+    * back. Returns the deleted names.
+    *
+    * `dryRun=true` (Delta's `VACUUM ... DRY RUN`) lists exactly what a
+    * real run would delete — same listing, same TTL test — and
+    * touches nothing: the operator's look-before-you-leap check that a
+    * too-short TTL isn't about to eat a live committer's stage. */
   def vacuumUnreferenced(spark: SparkSession, path: String,
-      ttlMs: Long): Seq[String] = {
+      ttlMs: Long, dryRun: Boolean = false): Seq[String] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val referenced = listVersionNumbers(fs, root)
@@ -1539,7 +1544,8 @@ object VersionedTable {
       n.matches("v\\d{5}-.*") && !referenced.contains(n) &&
         now - st.getModificationTime > ttlMs
     }.map { st =>
-      fs.delete(st.getPath, false); st.getPath.getName
+      if (!dryRun) fs.delete(st.getPath, false)
+      st.getPath.getName
     }.toSeq
     // crash-orphaned staging dirs are SIBLINGS of the table root (so a
     // recursive table copy never drags half-written data along); sweep
@@ -1552,7 +1558,8 @@ object VersionedTable {
         st.getPath.getName.startsWith(stagePrefix) &&
           now - st.getModificationTime > ttlMs
       }.map { st =>
-        fs.delete(st.getPath, true); st.getPath.getName
+        if (!dryRun) fs.delete(st.getPath, true)
+        st.getPath.getName
       }.toSeq
     // manifest/checkpoint temp files orphaned by a crash between their
     // write and the (atomic) promote — losers delete their own tmp, a
@@ -1565,7 +1572,8 @@ object VersionedTable {
         n.startsWith(".") && n.endsWith(".tmp") &&
           now - st.getModificationTime > ttlMs
       }.map { st =>
-        fs.delete(st.getPath, false); st.getPath.getName
+        if (!dryRun) fs.delete(st.getPath, false)
+        st.getPath.getName
       }.toSeq
     orphanFiles ++ orphanStages ++ orphanTmps
   }

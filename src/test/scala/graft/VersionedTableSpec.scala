@@ -61,6 +61,10 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L).isEmpty,
       "fresh orphan kept (writer may still commit)")
     require(orphan.setLastModified(System.currentTimeMillis() - 7200000L))
+    // dry run: same listing, same TTL test, nothing touched
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L,
+      dryRun = true) == Seq("v00007-part-crashed.parquet"))
+    assert(orphan.exists(), "a dry run must delete nothing")
     assert(VersionedTable.vacuumUnreferenced(spark, t, 3600 * 1000L) ==
       Seq("v00007-part-crashed.parquet"))
     assert(!orphan.exists())
