@@ -444,6 +444,59 @@ object Streams {
     else graft.operators.VersionedTable.read(s, table)
   }
 
+  // The same CDC relay as [[stVersionedSink]] but through the FORMAT
+  // SINK — `.writeStream.format("graft-vt")` turns every micro-batch
+  // into one idempotent versioned commit (batchId txn) with ZERO glue
+  // code: the foreachBatch pattern promoted to a first-class sink.
+  // Gates: contiguous append-only history (one commit per batch),
+  // strict prefix property (exactly-once ordering), and the statsCols
+  // option reaching the manifest. Oracle: batch boundaries invisible —
+  // the plain source table.
+  val stVtSink: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvtf_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val cdcDir = Sources.fixtureDir(s, "graft_stvtf_cdc_")
+    val t0 = System.currentTimeMillis() - 120000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1997).drop("__y"), cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1997).drop("__y"), cdcDir, "b.parquet",
+      t0 + 60000)
+    val schema = ords.drop("__y").schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+      .writeStream
+      .format(classOf[graft.sources.VtStreamSource].getName)
+      .option("path", table)
+      .option("statsCols", "o_orderkey")
+      .option("txnPrefix", "stvtf")
+      .option("checkpointLocation", s"${dir.getAbsolutePath}/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = VersionedTable.versions(s, table)
+    require(hist.map(_.version) == (0 until hist.size),
+      s"non-contiguous version history: $hist")
+    require(hist.forall(_.mode == "append"),
+      s"the Append-mode sink must only append: $hist")
+    if (hist.nonEmpty && VersionedTable.read(s, table).count() > 0) {
+      if (hist.size >= 2)
+        require(VersionedTable.read(s, table, Some(0)).count() <
+          VersionedTable.read(s, table).count(),
+          "version 0 must be a strict prefix of the table")
+      require(VersionedTable.statsSpan(s, table, "o_orderkey")
+        .exists(_.nonEmpty),
+        "the statsCols option must reach the manifest")
+    }
+    if (hist.isEmpty) ords.drop("__y").limit(0)
+    else VersionedTable.read(s, table)
+  }
+
   /** CDC OUT of a versioned table — the consumer half of
     * [[stVersionedSink]]'s loop, through the engine's own streaming
     * SOURCE over the commit log ([[graft.sources.VtStreamSource]]:
@@ -777,6 +830,7 @@ object Streams {
     "st_merge_upsert" -> stMergeUpsert,
     "st_incr_agg" -> stIncrAgg,
     "st_versioned_sink" -> stVersionedSink,
+    "st_vt_sink" -> stVtSink,
     "st_vt_source" -> stVtSource,
     "st_vt_merge" -> stVtMerge,
     "st_vt_changes" -> stVtChanges,
@@ -802,6 +856,10 @@ object Streams {
     "st_incr_agg" -> Ops.oracles("op_incr_agg"),
     // Append commits union to the source: batch boundaries invisible.
     "st_versioned_sink" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // The format sink relays the same content: batch boundaries and
+    // the sink plumbing itself must both be invisible.
+    "st_vt_sink" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     // Snapshot + tailed appends relay the whole table exactly once:
     // a duplicated or dropped micro-batch window flips the hash.

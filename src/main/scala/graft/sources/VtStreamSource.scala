@@ -55,9 +55,67 @@ import graft.operators.VersionedTable
   * was appended, or the pipeline stops and says why.
   */
 final class VtStreamSource extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-vt"
+
+  /** The SINK half (`df.writeStream.format("graft-vt")`): every
+    * micro-batch becomes ONE versioned commit with a batchId-derived
+    * txnId, so delivery into the table is exactly-once under
+    * foreachBatch-style replays — the `st_versioned_sink` pattern as a
+    * first-class format instead of hand-rolled glue. CHECK constraints
+    * gate every batch for free (they live in the commit path).
+    *
+    *  - `OutputMode.Append` → append commit per batch;
+    *  - `OutputMode.Complete` → overwrite commit per batch (the
+    *    replace-the-result shape aggregation streams emit);
+    *  - `OutputMode.Update` + `.option("mergeKeys", "k1,k2")` →
+    *    [[VersionedTable.mergeInto]] per batch (upsert by key), with
+    *    optional `.option("tombstoneCol", c)` for CDC deletes; an
+    *    empty table bootstraps with a schema-only v0 so the first
+    *    merge has a target (idempotent via its own txnId).
+    *
+    * Options: `path` (required), `statsCols` (comma list — manifest
+    * spans + footer blooms for the table's index columns), `txnPrefix`
+    * (default `vtsink`; set it when DIFFERENT streams write one table,
+    * so their batchId spaces cannot collide). Hive-style
+    * `partitionBy` is refused — layout inside a versioned table is
+    * owned by clustering (`compact(clusterBy)`), not directory trees. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode):
+      org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathOf(parameters)
+    require(partitionColumns.isEmpty,
+      "graft-vt sink: partitionBy is not supported — cluster the " +
+        "table with compact(clusterBy) instead")
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val txnPrefix = parameters.getOrElse("txnPrefix", "vtsink")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val tombstoneCol = parameters.get("tombstoneCol")
+    require(tombstoneCol.isEmpty || mergeKeys.nonEmpty,
+      "graft-vt sink: tombstoneCol needs mergeKeys (deletes are " +
+        "matched by key)")
+    import org.apache.spark.sql.streaming.OutputMode
+    val overwrite = outputMode match {
+      case m if m == OutputMode.Complete() =>
+        require(mergeKeys.isEmpty, "graft-vt sink: mergeKeys is an " +
+          "Update-mode posture; Complete rewrites the whole result")
+        true
+      case m if m == OutputMode.Update() =>
+        require(mergeKeys.nonEmpty, "graft-vt sink: Update mode needs " +
+          ".option(\"mergeKeys\", ...) — updates are matched by key")
+        false
+      case _ => false // Append
+    }
+    new VtSink(sqlContext.sparkSession, path, statsCols, txnPrefix,
+      mergeKeys, tombstoneCol, overwrite)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
@@ -106,6 +164,38 @@ final class VtStreamSource extends StreamSourceProvider
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
       maxVersions, skipChanges, changeFeed)
   }
+}
+
+/** One micro-batch = one versioned commit (or merge). Exactly-once:
+  * the txnId is `<prefix>-<batchId>`, and the commit path no-ops on a
+  * replayed id — the crash window between "commit landed" and "Spark's
+  * offset log advanced" re-offers the same batchId harmlessly. */
+private final class VtSink(spark: SparkSession, path: String,
+    statsCols: Seq[String], txnPrefix: String, mergeKeys: Seq[String],
+    tombstoneCol: Option[String], overwrite: Boolean)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val batch = Bridge.asBatchFrame(data)
+    val txn = Some(s"$txnPrefix-$batchId")
+    if (mergeKeys.isEmpty) {
+      VersionedTable.commit(batch, path, overwrite = overwrite,
+        txnId = txn, statsCols = statsCols): Unit
+    } else {
+      // merge needs a committed target: an empty table bootstraps with
+      // a schema-only v0 (its own txnId — a replayed first batch
+      // re-enters here and both commits no-op)
+      if (VersionedTable.latestVersion(spark, path).isEmpty)
+        VersionedTable.commit(
+          tombstoneCol.foldLeft(batch.limit(0))(_ drop _), path,
+          overwrite = true, txnId = Some(s"$txnPrefix-init"),
+          statsCols = statsCols): Unit
+      VersionedTable.mergeInto(spark, path, batch, mergeKeys,
+        txnId = txn, tombstoneCol = tombstoneCol): Unit
+    }
+  }
+
+  override def toString: String = s"VtSink[$path]"
 }
 
 private final class VtSource(spark: SparkSession, path: String,

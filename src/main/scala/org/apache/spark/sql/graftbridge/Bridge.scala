@@ -56,6 +56,21 @@ object Bridge {
       ds.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse of [[asStreamingFrame]]: re-tag a streaming
+    * micro-batch Dataset as a BATCH frame — what a V1 `Sink.addBatch`
+    * needs before handing the rows to batch-side writers (the incoming
+    * Dataset's plan is streaming-tagged and refuses batch actions).
+    * Rows are copied per partition: the incremental execution reuses
+    * row buffers, and a downstream shuffle/collect would otherwise see
+    * the last row repeated. */
+  def asBatchFrame(df: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.mapPartitions(_.map(_.copy())),
+      df.schema, isStreaming = false)
+  }
+
   /** Dataset.ofRows for a custom LogicalPlan (private[sql] in classic) —
     * the output side: wraps an injected logical node back into the
     * public DataFrame API. */
