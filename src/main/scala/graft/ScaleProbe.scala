@@ -764,6 +764,22 @@ object ScaleProbe {
           .agg(sum("l_quantity")).collect()(0).getDouble(0))
       println(s"[probe] vtstats: delta sum over 200k rows vs full " +
         s"sum over ${n + 200000} rows")
+      // metadata-only answers vs the honest jobs: COUNT(*) and MIN/MAX
+      // folded from ONE manifest read — zero files opened — against a
+      // footer-resolved count() and a data-scanning min/max aggregate
+      val mN = time("vtstats: countRows (manifest only)")(
+        VersionedTable.countRows(spark, stats).get)
+      val mSpan = time("vtstats: statsSpan (manifest only)")(
+        VersionedTable.statsSpan(spark, stats, "l_orderkey").get.get)
+      val sN = time("vtstats: honest count() (per-file footers)")(
+        VersionedTable.read(spark, stats).count())
+      val sSpan = time("vtstats: honest min/max (data scan)") {
+        val r = VersionedTable.read(spark, stats)
+          .agg(min("l_orderkey"), max("l_orderkey")).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+      require(mN == sN && mSpan == sSpan,
+        s"metadata answers must be exact: $mN/$sN, $mSpan/$sSpan")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 
