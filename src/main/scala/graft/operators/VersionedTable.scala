@@ -966,6 +966,26 @@ object VersionedTable {
     else schemaRead(spark, header.schemaJson, fl.map(n => s"$path/$n"))
   }
 
+  /** A deterministic SLICE of a version's files — indices `[from,
+    * until)` of the manifest's entry order, planned with the version's
+    * recorded schema. The chunked-initial-snapshot primitive for the
+    * stream source: a manifest is immutable, so the same slice always
+    * yields the same rows (the replay-determinism contract), and a
+    * consumer can walk a 100 TB snapshot as bounded file windows
+    * instead of one giant batch. Out-of-range indices clamp; an empty
+    * slice returns the version's schema-shaped empty frame. */
+  def readFileSlice(spark: SparkSession, path: String, version: Int,
+      from: Int, until: Int): DataFrame = {
+    require(from >= 0 && until >= from,
+      s"bad file slice [$from, $until)")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val header = readHeader(fs, root, version)
+    val slice = files(spark, path, version).slice(from, until)
+    if (slice.isEmpty) read(spark, path, Some(version)).limit(0)
+    else schemaRead(spark, header.schemaJson, slice.map(n => s"$path/$n"))
+  }
+
   /** The recorded schema of a committed version (None for pre-v4
     * manifests, which predate schema tracking). */
   def schemaOf(spark: SparkSession, path: String,

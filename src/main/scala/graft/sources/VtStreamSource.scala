@@ -25,6 +25,15 @@ import graft.operators.VersionedTable
   *     .load()                                //   deletes/compactions
   * }}}
   *
+  * `snapshotFilesPerTrigger=N` chunks the INITIAL SNAPSHOT into
+  * bounded file windows (Delta's maxFilesPerTrigger-over-the-snapshot
+  * posture): the first offsets walk the pinned version's manifest
+  * `[0,N) [N,2N) …` — at 100 TB the snapshot arrives as many bounded
+  * micro-batches instead of one table-sized one, and a crash mid-walk
+  * resumes at the checkpointed FILE watermark (manifests are
+  * immutable, so a replayed slice re-reads identically). Tail windows
+  * after the snapshot are version-granular as before.
+  *
   * OFFSETS ARE VERSIONS. Each offset is the table version consumed
   * through (inclusive), so a micro-batch is exactly one
   * [[VersionedTable.readAppendsSince]] window — the file DIFF of two
@@ -161,8 +170,16 @@ final class VtStreamSource extends StreamSourceProvider
     val skipChanges = parameters.get("skipChangeCommits")
       .exists(_.toBoolean)
     val changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val snapshotFiles = parameters.get("snapshotFilesPerTrigger")
+      .map(_.toInt)
+    require(snapshotFiles.forall(_ >= 1),
+      s"snapshotFilesPerTrigger must be >= 1: $snapshotFiles")
+    require(snapshotFiles.isEmpty || !changeFeed,
+      "snapshotFilesPerTrigger chunks the initial snapshot; " +
+        "readChangeFeed replays history as change rows instead — the " +
+        "two postures are mutually exclusive")
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
-      maxVersions, skipChanges, changeFeed)
+      maxVersions, skipChanges, changeFeed, snapshotFiles)
   }
 }
 
@@ -198,18 +215,53 @@ private final class VtSink(spark: SparkSession, path: String,
   override def toString: String = s"VtSink[$path]"
 }
 
+/** Mid-snapshot offset: version `v` consumed through file index `f`
+  * (exclusive) of its manifest's entry order. Tail offsets stay plain
+  * `LongOffset(v)` — existing checkpoints parse unchanged. */
+private final case class VtSnapshotOffset(v: Int, f: Int)
+    extends Offset {
+  override def json: String = s"""{"v":$v,"f":$f}"""
+}
+
 private final class VtSource(spark: SparkSession, path: String,
     override val schema: StructType,
     startingVersion: Option[Int],
     maxVersionsPerTrigger: Option[Int],
     skipChangeCommits: Boolean,
-    readChangeFeed: Boolean) extends Source
+    readChangeFeed: Boolean,
+    snapshotFilesPerTrigger: Option[Int] = None) extends Source
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
 
+  /** (version, filesConsumed) — filesConsumed < 0 means the version is
+    * fully consumed (tail mode). Accepts plain-int tail offsets (the
+    * pre-chunking wire format) and `{"v":V,"f":K}` snapshot offsets. */
+  private def parseOffset(
+      o: org.apache.spark.sql.connector.read.streaming.Offset):
+      (Int, Int) = {
+    val s = o.json.trim
+    if (!s.startsWith("{")) (s.toInt, -1)
+    else {
+      val m = """\{"v":(-?\d+),"f":(-?\d+)\}""".r
+      s match {
+        case m(v, f) => (v.toInt, f.toInt)
+        case _ => throw new IllegalStateException(
+          s"unrecognized graft-vt offset: $s")
+      }
+    }
+  }
+
   private def versionOf(
       o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
-    o.json.trim.toInt
+    parseOffset(o)._1
+
+  /** File count of a version's manifest — cached per version (the
+    * manifest is immutable, so the count can never change). */
+  private val fileCounts =
+    new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+  private def nFiles(v: Int): Int =
+    fileCounts.computeIfAbsent(v,
+      _ => VersionedTable.files(spark, path, v).size)
 
   /** Trigger.AvailableNow: pin the end version at trigger start so the
     * run drains exactly the versions that existed then and stops —
@@ -248,41 +300,73 @@ private final class VtSource(spark: SparkSession, path: String,
       org.apache.spark.sql.connector.read.streaming.Offset =
     getOffset.map { o =>
       val latest = versionOf(o)
-      val base = Option(start).map(versionOf).orElse(startingVersion)
-      (base, maxVersionsPerTrigger) match {
-        case (Some(b), Some(n)) => LongOffset(math.min(latest, b + n))
-        case _ => LongOffset(latest)
+      val base = Option(start).map(parseOffset)
+        .orElse(startingVersion.map((_, -1)))
+      base match {
+        // mid-snapshot of version v: advance the FILE watermark; the
+        // snapshot pins v even if the table moved on — tail windows
+        // catch up afterwards
+        case Some((v, f)) if f >= 0 =>
+          val total = nFiles(v)
+          val k = snapshotFilesPerTrigger
+            .map(c => math.min(f + c, total)).getOrElse(total)
+          if (k >= total) LongOffset(v) else VtSnapshotOffset(v, k)
+        // fresh start with chunking: begin the snapshot of `latest`
+        // as bounded file windows (the 100 TB first-batch fix)
+        case None if snapshotFilesPerTrigger.isDefined =>
+          val total = nFiles(latest)
+          val k = math.min(snapshotFilesPerTrigger.get, total)
+          if (k >= total) LongOffset(latest)
+          else VtSnapshotOffset(latest, k)
+        // tail (or unchunked snapshot): version-granular admission
+        case _ =>
+          (base.map(_._1), maxVersionsPerTrigger) match {
+            case (Some(b), Some(n)) => LongOffset(math.min(latest, b + n))
+            case _ => LongOffset(latest)
+          }
       }
     }.orNull
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    val from = start.map(versionOf).orElse(startingVersion)
-    val batch =
-      if (from.exists(_ >= endV))
-        // replay alignment edge: nothing new in (from, endV]
-        (if (readChangeFeed)
-          VersionedTable.readChangesRange(spark, path, endV, Some(endV))
-        else VersionedTable.read(spark, path, Some(endV))).limit(0)
-      else if (readChangeFeed)
-        // full CDC: each version's row-level changes derived from its
-        // manifest diff (insert/delete typed), non-append commits
-        // included; from = -1 replays history from v0's insert set
-        VersionedTable.readChangesRange(spark, path, from.getOrElse(-1),
-          Some(endV))
-      else from match {
-        case Some(f) if skipChangeCommits =>
-          // the Delta skipChangeCommits posture: ride over deletes/
-          // merges/compactions, emit only append steps' rows
-          VersionedTable.readAppendsSkippingChanges(spark, path, f,
-            Some(endV))
-        case Some(f) =>
-          VersionedTable.readAppendsSince(spark, path, f, Some(endV))
-        case None =>
-          // initial snapshot: the full content of the first offset's
-          // version (a snapshot needs no append-only window)
-          VersionedTable.read(spark, path, Some(endV))
-      }
+    val (endV, endF) = parseOffset(end)
+    val from = start.map(parseOffset).orElse(startingVersion.map((_, -1)))
+    val batch = from match {
+      // first snapshot chunk: files [0, endF) of endV's manifest order
+      case None if endF >= 0 =>
+        VersionedTable.readFileSlice(spark, path, endV, 0, endF)
+      // snapshot continuation (or its crash-replay): files [f, hi) of
+      // the SAME pinned version — manifests are immutable, so the
+      // slice re-reads identically
+      case Some((v, f)) if f >= 0 =>
+        val hi = if (endF >= 0) endF else nFiles(v)
+        VersionedTable.readFileSlice(spark, path, v, f, hi)
+      case _ =>
+        val fromV = from.map(_._1)
+        if (fromV.exists(_ >= endV))
+          // replay alignment edge: nothing new in (from, endV]
+          (if (readChangeFeed)
+            VersionedTable.readChangesRange(spark, path, endV, Some(endV))
+          else VersionedTable.read(spark, path, Some(endV))).limit(0)
+        else if (readChangeFeed)
+          // full CDC: each version's row-level changes derived from its
+          // manifest diff (insert/delete typed), non-append commits
+          // included; from = -1 replays history from v0's insert set
+          VersionedTable.readChangesRange(spark, path,
+            fromV.getOrElse(-1), Some(endV))
+        else fromV match {
+          case Some(f) if skipChangeCommits =>
+            // the Delta skipChangeCommits posture: ride over deletes/
+            // merges/compactions, emit only append steps' rows
+            VersionedTable.readAppendsSkippingChanges(spark, path, f,
+              Some(endV))
+          case Some(f) =>
+            VersionedTable.readAppendsSince(spark, path, f, Some(endV))
+          case None =>
+            // initial snapshot: the full content of the first offset's
+            // version (a snapshot needs no append-only window)
+            VersionedTable.read(spark, path, Some(endV))
+        }
+    }
     Bridge.asStreamingFrame(batch)
   }
 

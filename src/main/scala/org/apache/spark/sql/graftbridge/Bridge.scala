@@ -66,9 +66,20 @@ object Bridge {
   def asBatchFrame(df: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
     val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
-    ds.sparkSession.internalCreateDataFrame(
-      ds.queryExecution.toRdd.mapPartitions(_.map(_.copy())),
-      df.schema, isStreaming = false)
+    ds.queryExecution.analyzed match {
+      // a frame [[asStreamingFrame]] built (a streaming-tagged
+      // LogicalRDD): executing it as a batch would trip the
+      // UnsupportedOperationChecker, so rewrap its row RDD directly
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.isStreaming =>
+        ds.sparkSession.internalCreateDataFrame(
+          lr.rdd.mapPartitions(_.map(_.copy())),
+          df.schema, isStreaming = false)
+      case _ =>
+        ds.sparkSession.internalCreateDataFrame(
+          ds.queryExecution.toRdd.mapPartitions(_.map(_.copy())),
+          df.schema, isStreaming = false)
+    }
   }
 
   /** Dataset.ofRows for a custom LogicalPlan (private[sql] in classic) —

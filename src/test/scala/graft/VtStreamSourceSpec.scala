@@ -72,6 +72,97 @@ class VtStreamSourceSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("chunked initial snapshot: bounded file windows, then tail") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 80).repartition(8), t,
+      overwrite = true)
+    assert(VersionedTable.files(spark, t, 0).size == 8)
+    val got = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", t)
+        .option("snapshotFilesPerTrigger", "3")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.select("id").collect().foreach(r => got.synchronized {
+            got += ((id, r.getLong(0))): Unit
+          })
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // 8 files / 3 per trigger -> 3 snapshot batches; union exact
+    assert(got.map(_._1).distinct.size == 3,
+      s"8 files at 3/trigger must arrive as 3 batches: " +
+        s"${got.map(_._1).distinct}")
+    assert(got.map(_._2).sorted == (0L until 80L),
+      "chunk union must be the exact snapshot — no dup, no loss")
+    // tail after the snapshot: appends arrive version-granular
+    VersionedTable.commit(df(80 until 85), t, overwrite = false)
+    got.clear()
+    run()
+    assert(got.map(_._2).sorted == (80L until 85L),
+      "post-snapshot windows are the plain append tail")
+  }
+
+  test("mid-snapshot restart resumes at the checkpointed file watermark") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+    import org.apache.spark.sql.graftbridge.Bridge
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    VersionedTable.commit(df(0 until 80).repartition(8), t,
+      overwrite = true)
+    def mkSource() = new graft.sources.VtStreamSource().createSource(
+      spark.sqlContext, new java.io.File(dir, "meta").getAbsolutePath,
+      None, fmt, Map("path" -> t, "snapshotFilesPerTrigger" -> "3"))
+    def ids(b: DataFrame) = Bridge.asBatchFrame(b)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val s1 = mkSource()
+    val o1 = s1.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .latestOffset(null, ReadLimit.allAvailable())
+    assert(o1.json == """{"v":0,"f":3}""", s"first window: ${o1.json}")
+    val b1 = ids(s1.getBatch(None, SerializedOffset(o1.json)))
+    assert(b1.nonEmpty && b1.size < 80, "a strict 3-of-8-file slice")
+    // CRASH: a fresh source instance sees only the serialized offset
+    val s2 = mkSource()
+    val o2 = s2.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .latestOffset(SerializedOffset(o1.json), ReadLimit.allAvailable())
+    assert(o2.json == """{"v":0,"f":6}""", s"resumed window: ${o2.json}")
+    val b2 = ids(s2.getBatch(Some(SerializedOffset(o1.json)),
+      SerializedOffset(o2.json)))
+    assert(b2.nonEmpty && b2.toSet.intersect(b1.toSet).isEmpty,
+      "the resumed slice continues, never replays delivered files")
+    // the walk completes into a plain tail offset
+    val o3 = s2.asInstanceOf[
+      org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl]
+      .latestOffset(SerializedOffset(o2.json), ReadLimit.allAvailable())
+    assert(o3.json.trim == "0", s"snapshot completion: ${o3.json}")
+    val b3 = ids(s2.getBatch(Some(SerializedOffset(o2.json)),
+      SerializedOffset(o3.json)))
+    assert((b1 ++ b2 ++ b3).sorted == (0L until 80L),
+      "the three slices reconstruct the snapshot exactly")
+    // a replayed slice (same offsets) re-reads identically
+    assert(ids(s2.getBatch(Some(SerializedOffset(o1.json)),
+      SerializedOffset(o2.json))).sorted == b2.sorted)
+    // option validation
+    intercept[IllegalArgumentException](
+      new graft.sources.VtStreamSource().createSource(spark.sqlContext,
+        "", None, fmt, Map("path" -> t,
+          "snapshotFilesPerTrigger" -> "3", "readChangeFeed" -> "true")))
+    intercept[IllegalArgumentException](
+      new graft.sources.VtStreamSource().createSource(spark.sqlContext,
+        "", None, fmt, Map("path" -> t,
+          "snapshotFilesPerTrigger" -> "0")))
+  }
+
   test("startingVersion tails appends only (no initial snapshot)") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
