@@ -558,6 +558,64 @@ object Streams {
     }
   }
 
+  // The CHUNKED initial snapshot (`snapshotFilesPerTrigger`): the
+  // producer lands a MULTI-FILE v0 plus an append; the consumer
+  // drains with a 2-files-per-trigger cap, so the snapshot must
+  // arrive as SEVERAL bounded micro-batches (gated) that relay into
+  // the output table exactly once — then a second run picks up a
+  // commit that landed while it was down. The oracle is the full
+  // source table: a duplicated, dropped, or overlapping file slice
+  // flips the hash.
+  val stVtSourceChunked: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvsc_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val outTable = s"${dir.getAbsolutePath}/out"
+    val ck = s"${dir.getAbsolutePath}/ck"
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(): Unit = {
+      val q = s.readStream
+        .format("graft-vt")
+        .option("path", table)
+        .option("snapshotFilesPerTrigger", "2")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            batches.incrementAndGet()
+            VersionedTable.commit(batch, outTable, overwrite = false,
+              txnId = Some(s"vtsc_$batchId")): Unit
+          }
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VersionedTable.commit(
+      ords.where(col("__y") <= 1998).drop("__y").repartition(6),
+      table, overwrite = true)
+    drain() // run 1: the v0 snapshot as ceil(6/2)=3 bounded windows
+    val snapshotBatches = batches.get()
+    VersionedTable.commit(ords.where(col("__y") > 1998).drop("__y"),
+      table, overwrite = false) // lands while the consumer is down
+    drain() // run 2: the tail delta from the checkpointed watermark
+    val nIn = VersionedTable.read(s, table).count()
+    if (nIn == 0) ords.drop("__y").limit(0)
+    else {
+      require(snapshotBatches >= 3,
+        s"a 6-file snapshot at 2 files/trigger must arrive as >= 3 " +
+          s"micro-batches, got $snapshotBatches")
+      val out = VersionedTable.read(s, outTable)
+      require(out.count() == nIn,
+        s"exactly-once chunked relay: ${out.count()} out vs $nIn in")
+      out
+    }
+  }
+
   /** STREAMING CDC APPLY onto a versioned table — the Debezium-shaped
     * loop: each micro-batch is one CDC feed carrying all three verbs
     * (tombstone column = WHEN MATCHED DELETE) and lands as ONE
@@ -831,6 +889,7 @@ object Streams {
     "st_incr_agg" -> stIncrAgg,
     "st_versioned_sink" -> stVersionedSink,
     "st_vt_sink" -> stVtSink,
+    "st_vt_source_chunked" -> stVtSourceChunked,
     "st_vt_source" -> stVtSource,
     "st_vt_merge" -> stVtMerge,
     "st_vt_changes" -> stVtChanges,
@@ -864,6 +923,10 @@ object Streams {
     // Snapshot + tailed appends relay the whole table exactly once:
     // a duplicated or dropped micro-batch window flips the hash.
     "st_vt_source" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
+    // The chunked snapshot walk + tail must relay the same content:
+    // an overlapping, duplicated, or dropped file slice flips the hash.
+    "st_vt_source_chunked" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders",
     // The streamed change feed equals the batch change-set replay
     // (same history as op_vt_changes).
