@@ -166,9 +166,9 @@ class VersionedTableSpec extends AnyFunSuite {
     VersionedTable.commit(df(0 until 5), t, overwrite = true)
     model += 0 -> (0L until 5L)
     nextBase = 100
-    (1 to 18).foreach { _ =>
+    (1 to 26).foreach { _ =>
       val live = model.keys.toSeq.sorted
-      rnd.nextInt(5) match {
+      rnd.nextInt(8) match {
         case 0 | 1 => // append a fresh chunk
           val ids = nextBase until nextBase + 3 + rnd.nextInt(5)
           nextBase = ids.end + 100
@@ -188,6 +188,27 @@ class VersionedTableSpec extends AnyFunSuite {
           val keep = 1 + rnd.nextInt(live.size - 1)
           VersionedTable.expire(spark, t, keepLast = keep)
           model = model.filter(kv => live.takeRight(keep).contains(kv._1))
+        case 5 => // delete a random id-threshold slice
+          val cur = model(live.last)
+          if (cur.nonEmpty) {
+            val cut = cur(rnd.nextInt(cur.size))
+            val v = VersionedTable.deleteWhere(spark, t, col("id") < cut)
+            model += v -> cur.filterNot(_ < cut)
+          }
+        case 6 => // RESTORE to a random live version (maybe current)
+          val target = live(rnd.nextInt(live.size))
+          val v = VersionedTable.restoreTo(spark, t, target)
+          model += v -> model(target)
+        case 7 => // replaceWhere a random id window with fresh rows
+          val cur = model(live.last)
+          val lo = if (cur.isEmpty) 0L else cur(rnd.nextInt(cur.size))
+          val hi = lo + 30 + rnd.nextInt(120)
+          val repl = (lo until math.min(lo + rnd.nextInt(4), hi))
+          val v = VersionedTable.replaceWhere(spark, t,
+            col("id") >= lo && col("id") < hi,
+            df(repl.start.toInt until repl.end.toInt))
+          model += v ->
+            (cur.filterNot(i => i >= lo && i < hi) ++ repl)
         case _ => ()
       }
       // invariant: every live version reads back exactly its model
