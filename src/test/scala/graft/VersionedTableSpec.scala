@@ -538,6 +538,47 @@ class VersionedTableSpec extends AnyFunSuite {
       "the retry reprefixed, never abandoned, its files")
   }
 
+  test("racing replaceWhere writers on disjoint slices both land") {
+    // No seams: two real threads released together. Whoever loses the
+    // manifest race must RESTART DISCOVERY against the winner's
+    // version (its touched-file set may have changed), so the final
+    // table carries BOTH backfills — the serializable outcome — and
+    // no staged debris survives.
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 100).repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    def task(lo: Int, hi: Int, txn: String) =
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          start.await()
+          VersionedTable.replaceWhere(spark, t,
+            col("id") >= lo && col("id") < hi,
+            df(lo until lo + 2), txnId = Some(txn))
+        }
+      })
+    val fa = task(10, 25, "rw_race_a")
+    val fb = task(50, 75, "rw_race_b")
+    start.countDown()
+    val va = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    val vb = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(Set(va, vb) == Set(1, 2), s"both must land: $va, $vb")
+    val got = VersionedTable.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = ((0L until 10L) ++ Seq(10L, 11L) ++ (25L until 50L) ++
+      Seq(50L, 51L) ++ (75L until 100L)).sorted
+    assert(got == want,
+      s"both disjoint backfills must survive the race: got ${got.size}")
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "replace", "replace"))
+    assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).isEmpty,
+      "the race loser must clean its abandoned staged files")
+  }
+
   test("schema evolution: added column back-fills null; types refuse") {
     import spark.implicits._
     val t = tmpTable()
