@@ -1347,6 +1347,70 @@ object VersionedTable {
     }
   }
 
+  /** SCOPED OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): re-cluster ONLY
+    * the files whose manifest spans might hold predicate-matching rows
+    * ([[pruneEntriesWhere]] — pure manifest set logic, no data read
+    * for discovery) and carry every other file BY REFERENCE. The
+    * operator's cost is O(selected span), so one hot partition of a
+    * 100 TB table re-clusters without paying the table —
+    * [[compact]]'s full rewrite is the degenerate whole-table case,
+    * [[compactSmall]] the size-scoped one, this the predicate-scoped
+    * one. Selection is FILE-level: every row of a selected file is
+    * rewritten (clustered on `clusterBy`), so the commit is
+    * content-invisible regardless of how conservatively the spans
+    * select. Commits as mode `optimize` (non-append; incremental
+    * readers refuse or skip per policy). Returns the current version
+    * untouched when fewer than two files are selected; a lost manifest
+    * race is an advisory no-op like [[compactSmall]] — never a retry
+    * loop against live commits. */
+  def compactWhere(spark: SparkSession, path: String,
+      preds: Seq[PrunePred],
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty): Int = {
+    require(preds.nonEmpty, "compactWhere: no predicates — use " +
+      "compact() for the whole-table rewrite")
+    require(targetFileBytes > 0, s"bad target: $targetFileBytes")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
+    val entries = readEntries(spark, path, v)
+    val selected = pruneEntriesWhere(entries, preds)
+    if (selected.size < 2) return v
+    val selNames = selected.map(_.name).toSet
+    val carried = entries.filterNot(e => selNames(e.name))
+    val bytes = selected
+      .map(e => fs.getFileStatus(new Path(root, e.name)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val base = schemaRead(spark, header.schemaJson,
+      selected.map(e => s"$path/${e.name}"))
+    val clustered =
+      if (clusterBy.isEmpty) base.repartition(nOut)
+      else if (clusterBy.size == 1)
+        base.repartitionByRange(nOut, col(clusterBy.head))
+          .sortWithinPartitions(clusterBy.head)
+      else
+        base.withColumn("__z", ZOrder.zValue(base, clusterBy, 256))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+    val v2 = v + 1
+    val cols = resolveStatsCols(Some(header), Seq.empty)
+    val published = stageAndPublish(clustered, fs, root, v2, cols)
+    val newEntries = published.map(n =>
+      footerEntry(fs, conf, new Path(root, n), cols))
+    if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
+        header.schemaJson, carried ++ newEntries)) {
+      maybeCheckpoint(fs, root, v2)
+      v2
+    } else {
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      v
+    }
+  }
+
   /** INCREMENTAL consumption: the rows ADDED after `fromVersion` (up
     * to `toVersion`, default latest) — resolved as the FILE DIFF of
     * the two manifests, so the read costs O(delta), never a rescan of

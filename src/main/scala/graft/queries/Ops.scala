@@ -607,6 +607,43 @@ object Ops {
     VersionedTable.prunedRead(s, t, "l_orderkey", 1000L, 3000L)
   }
 
+  // Predicate-scoped OPTIMIZE (Delta's OPTIMIZE ... WHERE): lineitem
+  // lands range-clustered, then ONLY the low-key span re-clusters —
+  // selection is pure manifest set logic (no data read for
+  // discovery), files outside the span carry BY REFERENCE (gated),
+  // and the commit is content-invisible: the oracle is the same plain
+  // range filter as the other optimize lanes.
+  val opVtOptimizeWhere: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtow_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val mx = li.agg(max(col("l_orderkey"))).collect()(0)
+    if (!mx.isNullAt(0)) {
+      val pred = Seq(VersionedTable.RangePred("l_orderkey",
+        0L, mx.getLong(0) / 4))
+      val pre = VersionedTable.files(s, t, 0)
+      val sel = VersionedTable.pruneEntriesWhere(
+        VersionedTable.readEntries(s, t, 0), pred)
+      val v = VersionedTable.compactWhere(s, t, pred,
+        targetFileBytes = 1L << 30,
+        clusterBy = Seq("l_orderkey"))
+      if (sel.size >= 2) {
+        require(v == 1, s"scoped optimize must commit version 1, got $v")
+        require((VersionedTable.files(s, t, 1).toSet & pre.toSet).size
+          == pre.size - sel.size,
+          "files outside the span must carry by reference")
+      }
+    }
+    VersionedTable.prunedRead(s, t, "l_orderkey", 1000L, 3000L)
+  }
+
   // Incremental consumption of a versioned table: three chronological
   // append commits, then readAppendsSince(v0) resolves the NEW rows as
   // the manifest FILE DIFF — the read costs O(delta) files, no rescan
@@ -1377,6 +1414,7 @@ object Ops {
     "op_vt_pruned_read" -> opVtPrunedRead,
     "op_vt_delete" -> opVtDelete,
     "op_vt_optimize_cluster" -> opVtOptimizeCluster,
+    "op_vt_optimize_where" -> opVtOptimizeWhere,
     "op_vt_incr_read" -> opVtIncrRead,
     "op_vt_merge" -> opVtMerge,
     "op_vt_restore" -> opVtRestore,
@@ -1569,6 +1607,11 @@ object Ops {
     // Clustered compaction must be result-invisible: the same plain
     // range filter as op_vt_pruned_read.
     "op_vt_optimize_cluster" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    // Scoped OPTIMIZE must also be result-invisible: same filter.
+    "op_vt_optimize_where" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000""".stripMargin,

@@ -538,6 +538,45 @@ class VersionedTableSpec extends AnyFunSuite {
       "the retry reprefixed, never abandoned, its files")
   }
 
+  test("compactWhere: predicate-scoped OPTIMIZE rewrites only the span") {
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 80).repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val pre = VersionedTable.files(spark, t, 0)
+    assert(pre.size == 8)
+    val pred = Seq(VersionedTable.RangePred("id", 0L, 19L))
+    val sel = VersionedTable.pruneEntriesWhere(
+      VersionedTable.readEntries(spark, t, 0), pred)
+    assert(sel.size >= 2 && sel.size < 8,
+      s"the span must select a strict file subset: ${sel.size}")
+    val v = VersionedTable.compactWhere(spark, t, pred,
+      targetFileBytes = 1L << 30)
+    assert(v == 1)
+    val post = VersionedTable.files(spark, t, 1)
+    assert(post.toSet.intersect(pre.toSet).size == 8 - sel.size,
+      "files outside the span must carry by reference")
+    assert(post.size == 8 - sel.size + 1,
+      "the selected span packs into one right-sized file")
+    // content-invisible, mode optimize, prior version whole
+    assert(VersionedTable.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 80L))
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "optimize"))
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 80)
+    // re-harvested spans still prune the re-clustered region
+    val kept = VersionedTable.pruneEntriesWhere(
+      VersionedTable.readEntries(spark, t, 1), pred)
+    assert(kept.size < post.size, "the packed span must stay prunable")
+    // a span selecting < 2 files is a no-op; empty predicates refuse
+    assert(VersionedTable.compactWhere(spark, t,
+      Seq(VersionedTable.RangePred("id", 5000L, 6000L))) == 1)
+    intercept[IllegalArgumentException](
+      VersionedTable.compactWhere(spark, t, Seq.empty))
+  }
+
   test("racing replaceWhere writers on disjoint slices both land") {
     // No seams: two real threads released together. Whoever loses the
     // manifest race must RESTART DISCOVERY against the winner's
