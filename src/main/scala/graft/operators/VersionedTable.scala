@@ -795,7 +795,14 @@ object VersionedTable {
     *  - `Some(Some((min, max)))`: the exact extrema, normalized to
     *    Long / Double / String as recorded. NaN-valued extrema are
     *    never recorded (see [[normalize]]), matching SQL min/max which
-    *    a scan would also never answer with NaN-dominated order. */
+    *    a scan would also never answer with NaN-dominated order.
+    *
+    * String exactness: parquet-mr DROPS oversized binary chunk stats
+    * rather than truncating them (and Spark leaves stats truncation
+    * off), so a recorded string span is the chunk's true min/max —
+    * present ⇒ exact, oversized ⇒ absent ⇒ the conservative outer
+    * `None` here. Truncated-prefix bounds (a column-INDEX feature)
+    * never reach [[footerEntry]]'s chunk-statistics harvest. */
   def statsSpan(spark: SparkSession, path: String, column: String,
       asOfVersion: Option[Int] = None): Option[Option[(Any, Any)]] = {
     val root = new Path(path)

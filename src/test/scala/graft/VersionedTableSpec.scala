@@ -1192,6 +1192,13 @@ class VersionedTableSpec extends AnyFunSuite {
       Seq((1L, Option.empty[Long]), (2L, None)).toDF("id", "v"),
       t2, overwrite = true, statsCols = Seq("id", "v"))
     assert(VersionedTable.statsSpan(spark, t2, "v") == Some(None))
+    // string stats columns: present ⇒ exact (parquet drops, never
+    // truncates, oversized binary chunk stats)
+    val ts = tmpTable()
+    VersionedTable.commit(df(0 until 10), ts, overwrite = true,
+      statsCols = Seq("s"))
+    assert(VersionedTable.statsSpan(spark, ts, "s") ==
+      Some(Some(("row0", "row9"))))
     // empty table: zero rows, NULL extrema
     val t3 = tmpTable()
     VersionedTable.commit(df(0 until 0), t3, overwrite = true,
