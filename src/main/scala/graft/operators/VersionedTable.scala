@@ -399,7 +399,8 @@ object VersionedTable {
     * verbs — the Debezium-shaped apply loop. */
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], txnId: Option[String] = None,
-      maxRetries: Int = 5, tombstoneCol: Option[String] = None): Int = {
+      maxRetries: Int = 5, tombstoneCol: Option[String] = None,
+      clusterBy: Seq[String] = Seq.empty): Int = {
     require(keys.nonEmpty, "mergeInto: no key columns")
     require(keys.forall(source.columns.contains),
       s"mergeInto: source lacks key columns " +
@@ -522,7 +523,12 @@ object VersionedTable {
           .unionByName(ordered)
       val v2 = v + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
-      val published = stageAndPublish(newData, fs, root, v2, cols)
+      // opt-in: keep the rewrite clustered so CDC traffic does not
+      // widen spans between OPTIMIZE runs; the rewritten-file count is
+      // the layout-preserving output target (insert-only: one file)
+      val published = stageAndPublish(
+        clusterOut(newData, clusterBy, math.max(1, rewrite.size)),
+        fs, root, v2, cols)
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
@@ -683,7 +689,7 @@ object VersionedTable {
     * deriving the row-level diff from the touched files. */
   def replaceWhere(spark: SparkSession, path: String, predicate: Column,
       data: DataFrame, txnId: Option[String] = None,
-      maxRetries: Int = 5): Int = {
+      maxRetries: Int = 5, clusterBy: Seq[String] = Seq.empty): Int = {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -749,7 +755,9 @@ object VersionedTable {
           .unionByName(ordered)
       val v2 = v + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
-      val published = stageAndPublish(survivors, fs, root, v2, cols)
+      val published = stageAndPublish(
+        clusterOut(survivors, clusterBy, math.max(1, rewrite.size)),
+        fs, root, v2, cols)
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "replace", txnId, cols,
@@ -1294,14 +1302,7 @@ object VersionedTable {
     val base = read(spark, path, Some(v))
     val clustered =
       if (clusterBy.isEmpty) base.repartition(nOut)
-      else if (clusterBy.size == 1)
-        base.repartitionByRange(nOut, col(clusterBy.head))
-          .sortWithinPartitions(clusterBy.head)
-      else
-        base.withColumn("__z", ZOrder.zValue(base, clusterBy, 256))
-          .repartitionByRange(nOut, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+      else clusterOut(base, clusterBy, nOut)
     commit(clustered, path, overwrite = true)
   }
 
@@ -1395,14 +1396,7 @@ object VersionedTable {
       selected.map(e => s"$path/${e.name}"))
     val clustered =
       if (clusterBy.isEmpty) base.repartition(nOut)
-      else if (clusterBy.size == 1)
-        base.repartitionByRange(nOut, col(clusterBy.head))
-          .sortWithinPartitions(clusterBy.head)
-      else
-        base.withColumn("__z", ZOrder.zValue(base, clusterBy, 256))
-          .repartitionByRange(nOut, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z")
+      else clusterOut(base, clusterBy, nOut)
     val v2 = v + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(clustered, fs, root, v2, cols)
@@ -1945,6 +1939,24 @@ object VersionedTable {
     * readable, never prunable. NaN bounds (legal in float/double
     * footers) are treated as not-collected too: NaN orders under no
     * range predicate. */
+  /** The shared clustering recipe: range-partition into `nOut` files
+    * sorted on the cluster keys (multi-key via the z-value curve) so
+    * the written files carry TIGHT footer spans. Used by [[compact]]/
+    * [[compactWhere]] for whole/scoped rewrites and, opt-in, by
+    * [[mergeInto]]/[[replaceWhere]] so steady CDC traffic does not
+    * decay a clustered layout between OPTIMIZE runs. */
+  private def clusterOut(df: DataFrame, clusterBy: Seq[String],
+      nOut: Int): DataFrame =
+    if (clusterBy.isEmpty) df
+    else if (clusterBy.size == 1)
+      df.repartitionByRange(nOut, col(clusterBy.head))
+        .sortWithinPartitions(clusterBy.head)
+    else
+      df.withColumn("__z", ZOrder.zValue(df, clusterBy, 256))
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
       cols: Seq[String]): FileEntry = {
     if (cols.isEmpty) {

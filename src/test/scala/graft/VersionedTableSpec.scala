@@ -538,6 +538,43 @@ class VersionedTableSpec extends AnyFunSuite {
       "the retry reprefixed, never abandoned, its files")
   }
 
+  test("clusterBy on merge keeps the rewritten files' spans tight") {
+    import spark.implicits._
+    def build(clusterBy: Seq[String]): (String, Int) = {
+      val t = tmpTable()
+      VersionedTable.commit(
+        df(0 until 400).repartitionByRange(4, col("id"))
+          .sortWithinPartitions("id"),
+        t, overwrite = true, statsCols = Seq("id"))
+      // CDC updates across the LOW HALF: touches 2 of the 4 files
+      val cdc = (0 until 200 by 2).map(i => (i.toLong, s"upd$i"))
+        .toDF("id", "s")
+      VersionedTable.mergeInto(spark, t, cdc, Seq("id"),
+        clusterBy = clusterBy)
+      // how many files does a narrow query open post-merge?
+      val kept = VersionedTable.pruneEntries(
+        VersionedTable.readEntries(spark, t, 1), "id", 0L, 40L)
+      (t, kept.size)
+    }
+    val (tc, keptClustered) = build(Seq("id"))
+    val (tu, keptUnclustered) = build(Seq.empty)
+    assert(keptClustered < keptUnclustered,
+      s"a clustered rewrite must keep narrow queries narrow: " +
+        s"$keptClustered vs $keptUnclustered files for id<=40")
+    // clustering is layout-only: both tables read identically
+    def rows(t: String) = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    assert(rows(tc) == rows(tu), "clusterBy must be result-invisible")
+    // and replaceWhere takes the same option
+    val v = VersionedTable.replaceWhere(spark, tc,
+      col("id") < 100,
+      (0 until 100 by 4).map(i => (i.toLong, s"rw$i")).toDF("id", "s"),
+      clusterBy = Seq("id"))
+    assert(v == 2)
+    assert(VersionedTable.read(spark, tc).count() ==
+      300 + 25, "scoped replace applied under clustering")
+  }
+
   test("compactWhere: predicate-scoped OPTIMIZE rewrites only the span") {
     val t = tmpTable()
     VersionedTable.commit(
