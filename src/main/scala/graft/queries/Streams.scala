@@ -677,6 +677,66 @@ object Streams {
     VersionedTable.read(s, table)
   }
 
+  // The same Debezium-shaped CDC apply as [[stVtMerge]] but through
+  // the FORMAT SINK in Update mode — `.writeStream.format("graft-vt")
+  // .outputMode(Update).option("mergeKeys", ...)` turns each
+  // micro-batch into ONE mergeInto commit (tombstone deletes included)
+  // with zero glue code, clustered rewrites via the clusterBy option.
+  // Gates mirror stVtMerge's history/txn checks; the oracle is the
+  // identical CDC final state.
+  val stVtSinkMerge: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvsm_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val cdcDir = Sources.fixtureDir(s, "graft_stvsm_cdc_")
+    VersionedTable.commit(
+      ords.where(col("__y") <= 1998).drop("__y")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, overwrite = true, statsCols = Seq("o_orderkey"))
+    val t0 = System.currentTimeMillis() - 180000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") === 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1996).drop("__y")
+        .withColumn("_deleted", lit(true)),
+      cdcDir, "b.parquet", t0 + 60000)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") + 7)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "c.parquet", t0 + 120000)
+    val schema = ords.drop("__y").withColumn("_deleted", lit(false)).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+      .writeStream
+      .format("graft-vt")
+      .option("path", table)
+      .option("mergeKeys", "o_orderkey")
+      .option("tombstoneCol", "_deleted")
+      .option("clusterBy", "o_orderkey")
+      .option("txnPrefix", "stvsm")
+      .option("checkpointLocation", s"${dir.getAbsolutePath}/ck")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = VersionedTable.versions(s, table)
+    require(hist.head.mode == "overwrite" &&
+      hist.tail.forall(_.mode == "merge"),
+      s"every CDC batch must land as one merge commit: $hist")
+    require(hist.tail.forall(_.txnId.exists(_.startsWith("stvsm-"))),
+      "merge commits must carry their batch txn (replay no-op)")
+    VersionedTable.read(s, table)
+  }
+
   /** STREAMING CHANGE FEED off the commit log — the
     * `readChangeFeed=true` mode of [[graft.sources.VtStreamSource]]:
     * each micro-batch carries the ROW-LEVEL changes of its version
@@ -890,6 +950,7 @@ object Streams {
     "st_versioned_sink" -> stVersionedSink,
     "st_vt_sink" -> stVtSink,
     "st_vt_source_chunked" -> stVtSourceChunked,
+    "st_vt_sink_merge" -> stVtSinkMerge,
     "st_vt_source" -> stVtSource,
     "st_vt_merge" -> stVtMerge,
     "st_vt_changes" -> stVtChanges,
@@ -935,6 +996,17 @@ object Streams {
     // pre-1997 deleted, post-1998 inserted (+7). A replayed, dropped,
     // or reordered batch flips the hash.
     "st_vt_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 7 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) > 1998""".stripMargin,
+    // The format-sink merge lane replays the identical CDC history:
+    // same final state, same hash sensitivity.
+    "st_vt_sink_merge" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE year(o_orderdate) = 1997
         |UNION ALL

@@ -110,6 +110,12 @@ final class VtStreamSource extends StreamSourceProvider
     require(tombstoneCol.isEmpty || mergeKeys.nonEmpty,
       "graft-vt sink: tombstoneCol needs mergeKeys (deletes are " +
         "matched by key)")
+    val sinkClusterBy = parameters.get("clusterBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(sinkClusterBy.isEmpty || mergeKeys.nonEmpty,
+      "graft-vt sink: clusterBy applies to merge-mode rewrites — " +
+        "append/complete layout belongs to the producer's partitioning")
     import org.apache.spark.sql.streaming.OutputMode
     val overwrite = outputMode match {
       case m if m == OutputMode.Complete() =>
@@ -123,7 +129,7 @@ final class VtStreamSource extends StreamSourceProvider
       case _ => false // Append
     }
     new VtSink(sqlContext.sparkSession, path, statsCols, txnPrefix,
-      mergeKeys, tombstoneCol, overwrite)
+      mergeKeys, tombstoneCol, overwrite, sinkClusterBy)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -189,7 +195,8 @@ final class VtStreamSource extends StreamSourceProvider
   * offset log advanced" re-offers the same batchId harmlessly. */
 private final class VtSink(spark: SparkSession, path: String,
     statsCols: Seq[String], txnPrefix: String, mergeKeys: Seq[String],
-    tombstoneCol: Option[String], overwrite: Boolean)
+    tombstoneCol: Option[String], overwrite: Boolean,
+    clusterBy: Seq[String] = Seq.empty)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -208,7 +215,8 @@ private final class VtSink(spark: SparkSession, path: String,
           overwrite = true, txnId = Some(s"$txnPrefix-init"),
           statsCols = statsCols): Unit
       VersionedTable.mergeInto(spark, path, batch, mergeKeys,
-        txnId = txn, tombstoneCol = tombstoneCol): Unit
+        txnId = txn, tombstoneCol = tombstoneCol,
+        clusterBy = clusterBy): Unit
     }
   }
 
