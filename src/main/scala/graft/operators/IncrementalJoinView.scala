@@ -1,0 +1,220 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of a MATERIALIZED EQUI-JOIN — the missing
+  * half of the engine's IVM story ([[IncrementalAgg]] maintains
+  * rollups; this maintains `L ⋈ R` itself), driven by the row-level
+  * CHANGE FEEDS of two [[VersionedTable]]s and materialized as a
+  * third, so downstream consumers can CDC off the view in turn
+  * (composable IVM chains: join view → synced rollup → stream source).
+  *
+  * THE DELTA RULE. With `L' = L + ΔL`, `R' = R + ΔR`:
+  *
+  * {{{  L' ⋈ R'  =  L ⋈ R  +  ΔL ⋈ R'  +  L ⋈ ΔR  }}}
+  *
+  * (expand the product; the ΔL ⋈ ΔR cross term is absorbed by giving
+  * the ΔL lane the NEW right snapshot). Each sync therefore computes
+  * two DELTA-SIZED joins — never a view rescan, never an L ⋈ R
+  * recompute:
+  *
+  *   - lane 1: ΔL ⋈ R@new — every changed-left pair, joined against
+  *     the final right state;
+  *   - lane 2: L@old ⋈ ΔR — every changed-right pair, joined against
+  *     the left state the PREVIOUS sync saw (so pairs both lanes
+  *     produce carry identical content, and lane 1 wins below).
+  *
+  * The snapshot side of each lane is PRUNED by the delta's join-key
+  * span through the manifest ([[VersionedTable.prunedReadWhere]]) —
+  * at 100 TB a small CDC batch reads a handful of the snapshot's
+  * files, and AQE broadcasts the delta side of both joins. Applying
+  * the result is a [[VersionedTable.mergeInto]] keyed by
+  * `leftPk ++ rightPk`, which rewrites only the view files whose
+  * spans/blooms can hold a touched pair.
+  *
+  * ROW SEMANTICS, not bag algebra: the view is keyed by the two
+  * tables' primary keys, so the signed multiset arithmetic above
+  * collapses to one ACTION per touched view key — the LAST event
+  * wins, ordered by (lane, commit version, delete &lt; insert):
+  *
+  *   - a view key whose final event is an insert upserts the joined
+  *     row (content: final left × final right for lane-1 keys; for
+  *     keys only lane 2 touched, the left side is unchanged by
+  *     definition of the window, so L@old content IS final);
+  *   - a view key whose final event is a delete tombstones the pair
+  *     (a tombstone for a pair the view never held no-ops through
+  *     mergeInto's delete-by-match);
+  *   - lane 1 outranks lane 2 per view key: when BOTH sides changed
+  *     in one window, only ΔL ⋈ R@new reflects both final states
+  *     (lane 2's left content is pre-window by construction).
+  *
+  * EXACTLY-ONCE like the agg sync: the watermark IS the view's commit
+  * txn — every sync commits with txnId `vtjsync_<lv>_<rv>`, recovered
+  * from the view's own version history, so "view advanced" and
+  * "watermark advanced" are one atomic manifest write, and a replayed
+  * window no-ops through the normal txn probe. Expired source
+  * watermarks raise the distinguishable
+  * [[VersionedTable.VersionExpiredException]] ("re-baseline"), never
+  * wrong rows.
+  *
+  * Requirements (checked loudly): the two tables' column names are
+  * disjoint (TPC-H-style prefixes; the view carries both sides'
+  * columns verbatim), `leftPk`/`rightPk` are the tables' unique keys,
+  * and the view table is OWNED by this operator (a view dir with
+  * commits but no `vtjsync` txn is refused, not silently absorbed).
+  */
+object IncrementalJoinView {
+
+  /** One maintenance step: fold every left/right commit since the
+    * last sync into the view. Returns the synced windows
+    * `((lvFrom, lvTo), (rvFrom, rvTo))`, or None when already
+    * current. First call (no view yet) materializes the full join of
+    * both CURRENT versions as view version 0.
+    *
+    * `on` is the equi-join condition as (leftCol, rightCol) pairs. */
+  def sync(spark: SparkSession, viewPath: String,
+      leftPath: String, rightPath: String,
+      on: Seq[(String, String)],
+      leftPk: Seq[String], rightPk: Seq[String]):
+      Option[((Int, Int), (Int, Int))] = {
+    require(on.nonEmpty, "IncrementalJoinView: no join columns")
+    require(leftPk.nonEmpty && rightPk.nonEmpty,
+      "IncrementalJoinView: both primary keys are required — the view " +
+        "is keyed by leftPk ++ rightPk")
+    val lt = VersionedTable.latestVersion(spark, leftPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed versions at $leftPath"))
+    val rt = VersionedTable.latestVersion(spark, rightPath).getOrElse(
+      throw new IllegalStateException(
+        s"no committed versions at $rightPath"))
+
+    val wm = watermark(spark, viewPath)
+    wm match {
+      case None =>
+        val l = VersionedTable.read(spark, leftPath, Some(lt))
+        val r = VersionedTable.read(spark, rightPath, Some(rt))
+        checkShapes(l, r, on, leftPk, rightPk)
+        VersionedTable.commit(l.join(r, cond(on), "inner"), viewPath,
+          overwrite = true, txnId = Some(s"vtjsync_${lt}_$rt"),
+          statsCols = (leftPk ++ rightPk).take(2)): Unit
+        Some(((-1, lt), (-1, rt)))
+
+      case Some((lv, rv)) =>
+        if (lv >= lt && rv >= rt) return None
+        val dl = VersionedTable.readChangesRange(spark, leftPath, lv,
+          Some(lt))
+        val dr = VersionedTable.readChangesRange(spark, rightPath, rv,
+          Some(rt))
+        checkShapes(
+          dl.drop("_change_type", "_commit_version"),
+          dr.drop("_change_type", "_commit_version"),
+          on, leftPk, rightPk)
+        // a side whose version did not move contributes no lane at
+        // all — the other snapshot is never even planned
+        val lanes = Seq(
+          // lane 1: ΔL ⋈ R@new (right snapshot pruned by ΔL's keys)
+          if (lt > lv) Some(laneJoin(spark, dl, rightPath, rt,
+            on, deltaIsLeft = true).withColumn("_lane", lit(1)))
+          else None,
+          // lane 2: L@old ⋈ ΔR (left snapshot at the PREVIOUS sync)
+          if (rt > rv) Some(laneJoin(spark, dr, leftPath, lv,
+            on.map(_.swap), deltaIsLeft = false)
+            .withColumn("_lane", lit(0)))
+          else None).flatten
+        val pk = (leftPk ++ rightPk).map(col)
+        val w = Window.partitionBy(pk: _*).orderBy(
+          col("_lane").desc, col("_cv").desc,
+          when(col("_ct") === "insert", 1).otherwise(0).desc)
+        val actions = lanes.reduce(_.unionByName(_))
+          .withColumn("_rn", row_number().over(w))
+          .where(col("_rn") === 1)
+          .withColumn("_vt_del", col("_ct") === "delete")
+          .drop("_rn", "_lane", "_cv", "_ct")
+        VersionedTable.mergeInto(spark, viewPath, actions,
+          keys = leftPk ++ rightPk,
+          txnId = Some(s"vtjsync_${lt}_$rt"),
+          tombstoneCol = Some("_vt_del")): Unit
+        Some(((lv, lt), (rv, rt)))
+    }
+  }
+
+  /** Delta ⋈ snapshot, the snapshot read span-pruned by the delta's
+    * join-key bounds (one 1-row aggregate on the delta, then a
+    * manifest-planned read — sound because rows outside the delta's
+    * key span cannot join). `on` is (deltaCol, snapshotCol) pairs. */
+  private def laneJoin(spark: SparkSession, delta: DataFrame,
+      snapPath: String, snapVersion: Int, on: Seq[(String, String)],
+      deltaIsLeft: Boolean): DataFrame = {
+    val d = delta
+      .withColumnRenamed("_change_type", "_ct")
+      .withColumnRenamed("_commit_version", "_cv")
+    val aggs = on.flatMap { case (dc, _) =>
+      Seq(min(col(dc)).as(s"__mn_$dc"), max(col(dc)).as(s"__mx_$dc")) }
+    val bounds = d.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val preds = on.flatMap { case (dc, sc) =>
+      val (mn, mx) = (bounds.get(bounds.fieldIndex(s"__mn_$dc")),
+        bounds.get(bounds.fieldIndex(s"__mx_$dc")))
+      if (mn == null || mx == null) None
+      else Some(VersionedTable.RangePred(sc, mn, mx))
+    }
+    val snap =
+      if (preds.nonEmpty)
+        VersionedTable.prunedReadWhere(spark, snapPath, preds,
+          Some(snapVersion))
+      // no key bounds: the delta is empty (or all-null-keyed, which
+      // joins nothing) — plan the snapshot's SHAPE, not its files
+      else if (d.where(on.map { case (dc, _) =>
+          col(dc).isNotNull }.reduce(_ || _)).isEmpty)
+        VersionedTable.read(spark, snapPath, Some(snapVersion)).limit(0)
+      else VersionedTable.read(spark, snapPath, Some(snapVersion))
+    val c = on.map { case (dc, sc) => col(dc) === col(sc) }
+      .reduce(_ && _)
+    if (deltaIsLeft) d.join(snap, c, "inner")
+    else snap.join(d, c, "inner")
+  }
+
+  private def cond(on: Seq[(String, String)]): Column =
+    on.map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
+
+  private def checkShapes(l: DataFrame, r: DataFrame,
+      on: Seq[(String, String)], leftPk: Seq[String],
+      rightPk: Seq[String]): Unit = {
+    val overlap = l.columns.toSet & r.columns.toSet
+    require(overlap.isEmpty,
+      s"IncrementalJoinView: column names must be disjoint, both " +
+        s"sides carry ${overlap.mkString(",")}")
+    val missing = on.collect {
+      case (lc, _) if !l.columns.contains(lc) => lc
+      case (_, rc) if !r.columns.contains(rc) => rc
+    } ++ leftPk.filterNot(l.columns.contains) ++
+      rightPk.filterNot(r.columns.contains)
+    require(missing.isEmpty,
+      s"IncrementalJoinView: missing columns ${missing.mkString(",")}")
+    val reserved = Seq("_vt_del", "_lane", "_cv", "_ct", "_rn")
+      .filter(c => l.columns.contains(c) || r.columns.contains(c))
+    require(reserved.isEmpty,
+      s"IncrementalJoinView: reserved column names ${reserved.mkString(",")}")
+  }
+
+  /** The last synced (leftVersion, rightVersion), recovered from the
+    * view's commit history: newest live version whose txnId is a
+    * `vtjsync` record. A view directory with commits but NO such
+    * record was not built by this operator — refuse rather than
+    * double-apply on top of foreign content. */
+  private def watermark(spark: SparkSession,
+      viewPath: String): Option[(Int, Int)] = {
+    if (VersionedTable.latestVersion(spark, viewPath).isEmpty)
+      return None
+    val syncs = VersionedTable.versions(spark, viewPath).reverseIterator
+      .flatMap(_.txnId)
+      .collectFirst { case Txn(lv, rv) => (lv.toInt, rv.toInt) }
+    require(syncs.nonEmpty,
+      s"IncrementalJoinView: $viewPath holds commits with no vtjsync " +
+        "record — it was not built by sync(); use a fresh viewPath")
+    syncs
+  }
+
+  private val Txn = """vtjsync_(\d+)_(\d+)""".r
+}

@@ -164,11 +164,11 @@ object VersionedTable {
     * range predicate); `Some((min, max))` → the span, normalized to
     * Long / Double / String. */
   final case class FileEntry(name: String, nRows: Long,
-      stats: Map[String, Option[(Any, Any)]])
+      stats: Map[String, Option[(Any, Any)]], size: Long = -1L)
 
   /** Manifest-side pruning predicates for [[prunedReadWhere]]: a
-    * conjunction of range and IN-list tests, each decidable from the
-    * per-file spans alone. */
+    * conjunction of range, one-sided-bound, IN-list, and not-null
+    * tests, each decidable from the per-file spans alone. */
   sealed trait PrunePred { def column: String }
   /** `column BETWEEN lo AND hi` (inclusive). */
   final case class RangePred(column: String, lo: Any, hi: Any)
@@ -177,6 +177,17 @@ object VersionedTable {
     * falls inside its span. */
   final case class InPred(column: String, values: Seq[Any])
     extends PrunePred
+  /** `column >= lo` — the open-above half of a range; also the sound
+    * file-level test for a strict `>` (a superset keep, with the exact
+    * comparison re-applied by the caller's residual filter). */
+  final case class GePred(column: String, lo: Any) extends PrunePred
+  /** `column <= hi` — the open-below half; likewise covers `<`. */
+  final case class LePred(column: String, hi: Any) extends PrunePred
+  /** `column IS NOT NULL` — drops only files whose recorded span says
+    * the column is entirely null. Spark conjoins an `IsNotNull` with
+    * every pushed comparison, so this is what lets the relation path
+    * skip all-null files before any value test runs. */
+  final case class NotNullPred(column: String) extends PrunePred
 
   /** Commit `df` as the next version. `overwrite=true` makes the new
     * version exactly `df`; `overwrite=false` appends to the previous
@@ -1047,6 +1058,9 @@ object VersionedTable {
       case RangePred(c, lo, hi) =>
         col(c).isNotNull && col(c) >= lit(lo) && col(c) <= lit(hi)
       case InPred(c, vs) => col(c).isin(vs: _*)
+      case GePred(c, lo) => col(c).isNotNull && col(c) >= lit(lo)
+      case LePred(c, hi) => col(c).isNotNull && col(c) <= lit(hi)
+      case NotNullPred(c) => col(c).isNotNull
     }.reduce(_ && _)
     val keep = pruneEntriesWhere(entries, preds)
     if (entries.isEmpty) read(spark, path, Some(v)).limit(0)
@@ -1085,6 +1099,9 @@ object VersionedTable {
         case InPred(_, vs) =>
           vs.exists(v =>
             cmp(v, mn).forall(_ >= 0) && cmp(v, mx).forall(_ <= 0))
+        case GePred(_, lo) => cmp(mx, lo).forall(_ >= 0)
+        case LePred(_, hi) => cmp(mn, hi).forall(_ <= 0)
+        case NotNullPred(_) => true // a span exists: non-null values do
       }
     }
 
@@ -1959,13 +1976,20 @@ object VersionedTable {
 
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
       cols: Seq[String]): FileEntry = {
+    // the byte length rides in the manifest so later PLANNING (the
+    // relation's FileIndex, compaction bin-packing) never has to stat
+    // or list anything — the Delta-log posture. HadoopInputFile
+    // already statted the file; no extra RPC.
     if (cols.isEmpty) {
       // row count still comes from the footer; skip column stats work
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-      try return FileEntry(p.getName, r.getRecordCount, Map.empty)
+      val inf = HadoopInputFile.fromPath(p, conf)
+      val r = ParquetFileReader.open(inf)
+      try return FileEntry(p.getName, r.getRecordCount, Map.empty,
+        inf.getLength)
       finally r.close()
     }
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    val inFile = HadoopInputFile.fromPath(p, conf)
+    val reader = ParquetFileReader.open(inFile)
     try {
       val footer = reader.getFooter
       val schema = footer.getFileMetaData.getSchema
@@ -2005,7 +2029,7 @@ object VersionedTable {
           }
         }
       }.toMap
-      FileEntry(p.getName, nRows, stats)
+      FileEntry(p.getName, nRows, stats, inFile.getLength)
     } finally reader.close()
   }
 
@@ -2072,7 +2096,9 @@ object VersionedTable {
 
   /** v3+/v4 entry line: `name TAB nRows TAB min1 TAB max1 ...` — two
     * fields per stats column; `- -` = not collected, `N N` = all-null
-    * column. */
+    * column. A trailing `z<bytes>` field (v5+) records the file's byte
+    * length, positioned AFTER all span fields so pre-v5 parsers (which
+    * index by stats-column count) simply never look at it. */
   private def formatEntry(e: FileEntry, cols: Seq[String]): String = {
     val fields = cols.flatMap { c =>
       e.stats.get(c) match {
@@ -2081,7 +2107,8 @@ object VersionedTable {
         case Some(Some((mn, mx))) => Seq(encode(mn), encode(mx))
       }
     }
-    (Seq(e.name, e.nRows.toString) ++ fields).mkString("\t")
+    val sz = if (e.size >= 0) Seq(s"z${e.size}") else Seq.empty
+    (Seq(e.name, e.nRows.toString) ++ fields ++ sz).mkString("\t")
   }
 
   private def parseEntry(line: String, cols: Seq[String]): FileEntry = {
@@ -2094,7 +2121,10 @@ object VersionedTable {
         case _ => None
       }
     }.toMap
-    FileEntry(f(0), f(1).toLong, stats)
+    val size = f.lift(2 + 2 * cols.size)
+      .filter(s => s.startsWith("z") && s.length > 1)
+      .map(_.drop(1).toLong).getOrElse(-1L)
+    FileEntry(f(0), f(1).toLong, stats, size)
   }
 
   /** Write the manifest to a temp name and PROMOTE it — the commit

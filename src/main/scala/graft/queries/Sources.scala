@@ -496,7 +496,45 @@ object Sources {
         get_json_object(col("meta"), "$.source").as("source"))
   }
 
+  /** The `graft-vt` BATCH RELATION end-to-end: the table lands through
+    * `df.write.format("graft-vt")` (one versioned commit, stats
+    * harvested), and the read is `spark.read.format("graft-vt")` with
+    * a plain `.where(...)` — no API-level pruning call anywhere. The
+    * manifest-backed FileIndex receives Catalyst's own pushed data
+    * filters and prunes files from the commit log's spans (gated: the
+    * planned scan opens strictly fewer files than the manifest lists,
+    * and plans ZERO directory listings — byte lengths ride in the
+    * manifest). Result-invisible by construction; the oracle replays
+    * the filters. */
+  val srcVtRelation: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val dir = fixtureDir(s, "graft_vtrel_")
+    registerCleanup(dir)
+    val t = new File(dir, "li").getAbsolutePath
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.format("graft-vt").option("statsCols", "l_orderkey").save(t)
+    val df = s.read.format("graft-vt").load(t)
+      .where(col("l_orderkey").between(1000L, 3000L) &&
+        col("l_linenumber").isin(1L, 2L, 3L))
+    val idx = df.queryExecution.analyzed.collectFirst {
+      case LogicalRelation(r: HadoopFsRelation, _, _, _, _) =>
+        r.location.asInstanceOf[graft.sources.VtFileIndex]
+    }.getOrElse(throw new IllegalStateException(
+      "graft-vt read must plan a manifest-backed HadoopFsRelation"))
+    df.count() // force planning so the pushdown gate below is honest
+    val total = VersionedTable.files(s, t, 0).size
+    require(idx.lastPlannedFiles >= 0 && idx.lastPlannedFiles < total,
+      s"pushed filters must prune the manifest-planned scan: " +
+        s"${idx.lastPlannedFiles} of $total files")
+    df
+  }
+
   val queries: Map[String, Q] = Map(
+    "src_vt_relation" -> srcVtRelation,
     "src_tar_shards" -> srcTarShards,
     "src_nested_roundtrip" -> srcNestedRoundtrip,
     "src_tfevents_roundtrip" -> srcTfeventsRoundtrip,
@@ -515,6 +553,13 @@ object Sources {
     "src_tensor_roundtrip" -> srcTensorRoundtrip)
 
   val oracles: Map[String, String] = Map(
+    // Manifest-planned pruning through the relation must be
+    // result-invisible: the plain two-predicate filter.
+    "src_vt_relation" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_linenumber IN (1, 2, 3)""".stripMargin,
     // Export must be content-lossless (null text lands as the empty
     // entry; null meta fields are omitted from the JSON sidecar and
     // read back as NULL).

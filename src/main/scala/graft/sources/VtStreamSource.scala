@@ -65,9 +65,101 @@ import graft.operators.VersionedTable
   */
 final class VtStreamSource extends StreamSourceProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft-vt"
+
+  /** BATCH READ (`spark.read.format("graft-vt").load(dir)`): a
+    * [[org.apache.spark.sql.execution.datasources.HadoopFsRelation]]
+    * over a manifest-backed [[VtFileIndex]], so `.where(...)` filters
+    * prune files from the COMMIT LOG'S SPANS inside normal Catalyst
+    * resolution — no API-level `prunedReadWhere` call needed — and the
+    * scan itself is the stock vectorized parquet path (column pruning,
+    * row-group pushdown, codegen all intact). Time travel via
+    * `.option("versionAsOf", v)` or `.option("timestampAsOf", ts)`
+    * (epoch millis, or `yyyy-MM-dd[ HH:mm:ss]` read as UTC). The
+    * recorded schema plans the read, so a scan spanning a column-add
+    * evolution point back-fills nulls exactly like
+    * [[VersionedTable.read]]. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]):
+      org.apache.spark.sql.sources.BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    require(!(parameters.contains("versionAsOf") &&
+        parameters.contains("timestampAsOf")),
+      "graft-vt: versionAsOf and timestampAsOf are mutually exclusive")
+    val v = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        VersionedTable.versionAsOf(spark, path, parseUtcMillis(ts))))
+      .orElse(VersionedTable.latestVersion(spark, path))
+      .getOrElse(throw new IllegalStateException(
+        s"graft-vt: no committed versions at $path"))
+    val entries = VersionedTable.readEntries(spark, path, v)
+    val dataSchema = VersionedTable.schemaOf(spark, path, v)
+      .getOrElse(VersionedTable.read(spark, path, Some(v)).schema)
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new VtFileIndex(spark, path, v, entries, dataSchema),
+      partitionSchema = StructType(Nil),
+      dataSchema = dataSchema,
+      bucketSpec = None,
+      fileFormat = new org.apache.spark.sql.execution.datasources
+        .parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+
+  /** BATCH WRITE (`df.write.format("graft-vt").mode(m).save(dir)`):
+    * one [[VersionedTable.commit]] per save — Append appends,
+    * Overwrite replaces, ErrorIfExists/Ignore follow their SaveMode
+    * contracts against "any version committed". Options: `statsCols`
+    * (comma list) and `txnId` (idempotent replay), both forwarded to
+    * the commit. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame):
+      org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val txnId = parameters.get("txnId")
+    val exists = VersionedTable.latestVersion(spark, path).nonEmpty
+    mode match {
+      case SaveMode.Append =>
+        VersionedTable.commit(data, path, overwrite = !exists,
+          txnId = txnId, statsCols = statsCols): Unit
+      case SaveMode.Overwrite =>
+        VersionedTable.commit(data, path, overwrite = true,
+          txnId = txnId, statsCols = statsCols): Unit
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-vt: $path already has committed versions " +
+            "(SaveMode.ErrorIfExists)")
+        VersionedTable.commit(data, path, overwrite = true,
+          txnId = txnId, statsCols = statsCols): Unit
+      case SaveMode.Ignore =>
+        if (!exists)
+          VersionedTable.commit(data, path, overwrite = true,
+            txnId = txnId, statsCols = statsCols): Unit
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** Epoch millis, or `yyyy-MM-dd[ HH:mm:ss]` interpreted as UTC (a
+    * fixed zone, so a timestamp-travel option means the same commit on
+    * every machine that runs the job). */
+  private def parseUtcMillis(s: String): Long =
+    if (s.forall(_.isDigit)) s.toLong
+    else {
+      val t = if (s.contains(' ')) s else s + " 00:00:00"
+      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    }
 
   /** The SINK half (`df.writeStream.format("graft-vt")`): every
     * micro-batch becomes ONE versioned commit with a batchId-derived
