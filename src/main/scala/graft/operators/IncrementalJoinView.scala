@@ -96,6 +96,7 @@ object IncrementalJoinView {
         val l = VersionedTable.read(spark, leftPath, Some(lt))
         val r = VersionedTable.read(spark, rightPath, Some(rt))
         checkShapes(l, r, on, leftPk, rightPk)
+        writeOwnerMarker(spark, viewPath)
         VersionedTable.commit(l.join(r, cond(on), "inner"), viewPath,
           overwrite = true, txnId = Some(s"vtjsync_${lt}_$rt"),
           statsCols = (leftPk ++ rightPk).take(2)): Unit
@@ -200,9 +201,18 @@ object IncrementalJoinView {
 
   /** The last synced (leftVersion, rightVersion), recovered from the
     * view's commit history: newest live version whose txnId is a
-    * `vtjsync` record. A view directory with commits but NO such
-    * record was not built by this operator — refuse rather than
-    * double-apply on top of foreign content. */
+    * `vtjsync` record. Two no-record cases are DISTINGUISHED by the
+    * ownership marker [[writeOwnerMarker]] leaves in the view dir
+    * (expire never touches non-log files):
+    *
+    *   - commits but no marker → a foreign directory this operator
+    *     did not build: REFUSE rather than double-apply on top of it;
+    *   - marker present but every vtjsync-tagged version was expired
+    *     (e.g. `expire(keepLast=1)` right after a compaction commit
+    *     left only an `optimize` version live) → the watermark is
+    *     gone but the view is OURS: log loudly and return None, so
+    *     sync() re-baselines with a full-join overwrite — expensive
+    *     but always correct, instead of bricking the pipeline. */
   private def watermark(spark: SparkSession,
       viewPath: String): Option[(Int, Int)] = {
     if (VersionedTable.latestVersion(spark, viewPath).isEmpty)
@@ -210,11 +220,44 @@ object IncrementalJoinView {
     val syncs = VersionedTable.versions(spark, viewPath).reverseIterator
       .flatMap(_.txnId)
       .collectFirst { case Txn(lv, rv) => (lv.toInt, rv.toInt) }
-    require(syncs.nonEmpty,
-      s"IncrementalJoinView: $viewPath holds commits with no vtjsync " +
-        "record — it was not built by sync(); use a fresh viewPath")
-    syncs
+    if (syncs.isEmpty) {
+      require(hasOwnerMarker(spark, viewPath),
+        s"IncrementalJoinView: $viewPath holds commits with no vtjsync " +
+          "record — it was not built by sync(); use a fresh viewPath")
+      System.err.println(
+        s"[graft] IncrementalJoinView: every vtjsync watermark at " +
+          s"$viewPath was expired (retention dropped all sync-tagged " +
+          "versions); RE-BASELINING with a full-join overwrite. Keep " +
+          "expire() retention on the view longer than the sync cadence " +
+          "to avoid this.")
+      None
+    } else syncs
   }
+
+  /** Ownership marker: a tiny `_graft_vtjsync_owner` file in the view
+    * dir, written before the first baseline commit. NOT part of the
+    * watermark protocol (the watermark stays the atomic vtjsync commit
+    * txn) — it only lets [[watermark]] tell "our view whose sync
+    * history was expired" apart from "a foreign table". */
+  private def writeOwnerMarker(spark: SparkSession,
+      viewPath: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(viewPath, MarkerName)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      try out.write("graft IncrementalJoinView owner marker\n"
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private def hasOwnerMarker(spark: SparkSession,
+      viewPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(viewPath, MarkerName)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private val MarkerName = "_graft_vtjsync_owner"
 
   private val Txn = """vtjsync_(\d+)_(\d+)""".r
 }

@@ -527,9 +527,18 @@ object Sources {
       "graft-vt read must plan a manifest-backed HadoopFsRelation"))
     df.count() // force planning so the pushdown gate below is honest
     val total = VersionedTable.files(s, t, 0).size
-    require(idx.lastPlannedFiles >= 0 && idx.lastPlannedFiles < total,
-      s"pushed filters must prune the manifest-planned scan: " +
-        s"${idx.lastPlannedFiles} of $total files")
+    // the strict < gate only holds when the table has >1 file AND the
+    // key range can exclude at least one of them — at a tiny scale
+    // factor lineitem may land in one file (or every span may overlap
+    // [1000,3000]), where "no pruning" is the CORRECT plan. Keep the
+    // observability hook exercised unconditionally; demand strict
+    // pruning only when it is provably possible.
+    require(idx.lastPlannedFiles >= 0,
+      "graft-vt planning must record lastPlannedFiles")
+    if (total > 1)
+      require(idx.lastPlannedFiles < total,
+        s"pushed filters must prune the manifest-planned scan: " +
+          s"${idx.lastPlannedFiles} of $total files")
     df
   }
 

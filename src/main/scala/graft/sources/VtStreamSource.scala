@@ -131,7 +131,15 @@ final class VtStreamSource extends StreamSourceProvider
     val exists = VersionedTable.latestVersion(spark, path).nonEmpty
     mode match {
       case SaveMode.Append =>
-        VersionedTable.commit(data, path, overwrite = !exists,
+        // ALWAYS overwrite=false: commitImpl handles append-on-empty
+        // (v0 base, carried files = empty), and flipping to overwrite
+        // when !exists is a check-then-act race — two concurrent first
+        // appends would both observe exists=false and the commit retry
+        // loop would land the loser as an overwrite that replaces the
+        // winner's rows. ErrorIfExists/Ignore below keep their
+        // inherent SaveMode-level TOCTOU (the contract itself is
+        // check-then-act); they are for single-writer bootstrap only.
+        VersionedTable.commit(data, path, overwrite = false,
           txnId = txnId, statsCols = statsCols): Unit
       case SaveMode.Overwrite =>
         VersionedTable.commit(data, path, overwrite = true,
@@ -150,16 +158,25 @@ final class VtStreamSource extends StreamSourceProvider
     createRelation(sqlContext, parameters)
   }
 
-  /** Epoch millis, or `yyyy-MM-dd[ HH:mm:ss]` interpreted as UTC (a
-    * fixed zone, so a timestamp-travel option means the same commit on
-    * every machine that runs the job). */
-  private def parseUtcMillis(s: String): Long =
-    if (s.forall(_.isDigit)) s.toLong
+  /** Epoch millis (negative allowed), or ISO-8601
+    * `yyyy-MM-dd[ HH:mm:ss]` / `yyyy-MM-ddTHH:mm:ss` interpreted as
+    * UTC (a fixed zone, so a timestamp-travel option means the same
+    * commit on every machine that runs the job). */
+  private def parseUtcMillis(s: String): Long = {
+    val isEpoch = s.nonEmpty && {
+      val digits = if (s.head == '-') s.tail else s
+      digits.nonEmpty && digits.forall(_.isDigit)
+    }
+    if (isEpoch) s.toLong
     else {
-      val t = if (s.contains(' ')) s else s + " 00:00:00"
-      java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+      val t =
+        if (s.contains('T')) s // already ISO 'T'-separated
+        else if (s.contains(' ')) s.replace(' ', 'T')
+        else s + "T00:00:00"
+      java.time.LocalDateTime.parse(t)
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
     }
+  }
 
   /** The SINK half (`df.writeStream.format("graft-vt")`): every
     * micro-batch becomes ONE versioned commit with a batchId-derived

@@ -143,6 +143,38 @@ class IncrementalJoinViewSpec extends AnyFunSuite {
     }
   }
 
+  test("expired VIEW watermark re-baselines instead of bricking") {
+    val d = tmpDir()
+    val (l, r, v) = (new java.io.File(d, "l").getAbsolutePath,
+      new java.io.File(d, "r").getAbsolutePath,
+      new java.io.File(d, "v").getAbsolutePath)
+    VersionedTable.commit(left(Seq((1L, 10L, "a"), (2L, 20L, "b"))), l,
+      overwrite = true)
+    VersionedTable.commit(right(Seq((10L, "alice"), (20L, "bob"))), r,
+      overwrite = true)
+    val on = Seq("o_cust" -> "c_id")
+    IncrementalJoinView.sync(spark, v, l, r, on, Seq("o_id"), Seq("c_id"))
+    // the failure shape from ADVICE r11: a maintenance commit on the
+    // VIEW (compact carries no vtjsync txn) followed by aggressive
+    // retention drops every sync-tagged version
+    VersionedTable.compact(spark, v)
+    VersionedTable.expire(spark, v, keepLast = 1)
+    assert(VersionedTable.versions(spark, v)
+      .forall(_.txnId.forall(!_.startsWith("vtjsync"))))
+    // new source data + sync: must NOT refuse — the ownership marker
+    // proves the view is ours, so sync re-baselines with a full join
+    VersionedTable.commit(left(Seq((3L, 20L, "c"))), l, overwrite = false)
+    val w = IncrementalJoinView.sync(spark, v, l, r, on,
+      Seq("o_id"), Seq("c_id"))
+    assert(w.nonEmpty)
+    assert(viewSet(v) == expected(l, r))
+    assert(viewSet(v).exists(_._1 == 3L))
+    // and incremental maintenance resumes normally afterwards
+    VersionedTable.deleteWhere(spark, r, col("c_id") === 10L)
+    IncrementalJoinView.sync(spark, v, l, r, on, Seq("o_id"), Seq("c_id"))
+    assert(viewSet(v) == expected(l, r))
+  }
+
   test("randomized differential: any verb mix equals the full recompute") {
     val rnd = new scala.util.Random(0x60 + 11)
     val d = tmpDir()
