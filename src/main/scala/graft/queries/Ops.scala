@@ -1160,6 +1160,73 @@ object Ops {
     IncrementalAgg.withDerived(s.read.parquet(state), Seq("o_totalprice"))
   }
 
+  // Incremental maintenance of a MATERIALIZED JOIN
+  // (operators/IncrementalJoinView.scala): the view tracks
+  // orders ⋈ customer through (1) a baseline full join, (2) ONE window
+  // where BOTH sides change — reassigned orders (ΔL) and renamed
+  // customers (ΔR), so the lane-1-wins conflict rule is exercised on
+  // every reassigned order whose OLD customer was also renamed —
+  // (3) a delete window that cascades pairs out of the view, and
+  // (4) a replayed sync that must no-op. Each sync computes only
+  // ΔL ⋈ R@new + L@old ⋈ ΔR with the snapshot side span-pruned through
+  // the manifest — never a view rescan. The oracle is the plain
+  // L ⋈ R SQL of the FINAL state: maintenance must be
+  // result-invisible.
+  val opVtJoinView: Q = (s, d) => {
+    import graft.operators.{IncrementalJoinView, VersionedTable}
+    val dir = Sources.fixtureDir(s, "graft_vtjv_")
+    Sources.registerCleanup(dir)
+    val l = s"${dir.getAbsolutePath}/orders"
+    val r = s"${dir.getAbsolutePath}/customer"
+    val v = s"${dir.getAbsolutePath}/view"
+    val ords = orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val cust = customer(s, d)
+      .select(col("c_custkey"), col("c_name"))
+    val m = ords.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    VersionedTable.commit(
+      ords.where(col("o_orderkey") <= m / 4)
+        .repartitionByRange(8, col("o_custkey"))
+        .sortWithinPartitions(col("o_custkey")),
+      l, overwrite = true, statsCols = Seq("o_custkey"))
+    VersionedTable.commit(
+      cust.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions(col("c_custkey")),
+      r, overwrite = true, statsCols = Seq("c_custkey"))
+    val on = Seq("o_custkey" -> "c_custkey")
+    val pk = (Seq("o_orderkey"), Seq("c_custkey"))
+    // (1) baseline
+    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+      .contains(((-1, 0), (-1, 0))), "init materializes the full join")
+    // (2) both sides in ONE window: reassign + reprice the low-key
+    // orders; rename the low-key customers the reassignment targets
+    VersionedTable.mergeInto(s, l,
+      ords.where(col("o_orderkey") <= m / 20)
+        .select(col("o_orderkey"),
+          (pmod(col("o_custkey"), lit(100L)) + 1L).as("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice")),
+      Seq("o_orderkey"))
+    VersionedTable.mergeInto(s, r,
+      cust.where(col("c_custkey") <= 100L)
+        .select(col("c_custkey"),
+          concat(lit("renamed_"), col("c_custkey")).as("c_name")),
+      Seq("c_custkey"))
+    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+      .contains(((0, 1), (0, 1))),
+      "one sync folds the both-sides window")
+    // (3) delete window: drop a customer band, cascading their orders
+    require(VersionedTable.deleteWhere(s, r,
+      col("c_custkey").between(101L, 150L)) >= 1)
+    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+      .contains(((1, 1), (1, 2))), "delete window syncs lane 2 only")
+    // (4) replay no-op
+    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+      .isEmpty, "an up-to-date sync must no-op")
+    VersionedTable.read(s, v)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("c_custkey"), col("c_name"))
+  }
+
   // Triangle counting over the part co-purchase graph via
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
@@ -1431,6 +1498,7 @@ object Ops {
     "op_incr_agg" -> opIncrAgg,
     "op_vt_sync_agg" -> opVtSyncAgg,
     "op_vt_sync_changes" -> opVtSyncChanges,
+    "op_vt_join_view" -> opVtJoinView,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1756,6 +1824,29 @@ object Ops {
         |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
         |FROM final GROUP BY 1, 2""".stripMargin,
+    // Join-IVM must equal the plain L ⋈ R of the FINAL state: the CTEs
+    // rebuild each side's end state (reassigned/repriced low-key
+    // orders, renamed low-key customers, the 101-150 customer band
+    // deleted) and join them one-shot — delta-rule maintenance and its
+    // lane-1 conflict resolution must be result-invisible.
+    "op_vt_join_view" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS m FROM orders),
+        |l AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= m // 20
+        |         THEN (o_custkey % 100) + 1 ELSE o_custkey END
+        |      AS o_custkey,
+        |    CASE WHEN o_orderkey <= m // 20
+        |         THEN o_totalprice * 2 ELSE o_totalprice END
+        |      AS o_totalprice
+        |  FROM orders, mx WHERE o_orderkey <= m // 4),
+        |r AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey <= 100
+        |         THEN 'renamed_' || c_custkey ELSE c_name END AS c_name
+        |  FROM customer WHERE c_custkey NOT BETWEEN 101 AND 150)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_name
+        |FROM l JOIN r ON l.o_custkey = r.c_custkey""".stripMargin,
     // Commit-log-driven MV sync must equal the same one-shot rollup —
     // the op_incr_agg contract, maintained by syncFromTable instead of
     // hand-fed deltas.
