@@ -708,23 +708,41 @@ object Dedup {
     * edits are adversarially spread — the dedup_winnow argument);
     * precision is exact. Output: (id_a, id_b, shared, dist).
     *
-    * The df cap is CORPUS-RELATIVE by default (`maxGramDfFrac` of the
-    * row count, one cheap count job): a gram is a stop-gram when a
-    * FRACTION of the corpus carries it, and that fraction is
-    * scale-invariant, whereas an absolute cap tuned at one size
-    * silently blocks EVERY gram at 10× (a duplicated gram's df grows
-    * with the corpus — measured in SCALE.md's round-8 probe). Pass
-    * `maxGramDf > 0` to pin an absolute cap instead (tests / probes
-    * that control the corpus). */
+    * The df cap is COMPOSITE by default:
+    * `min(maxGramDfFrac · N, maxGramDfCeil)`. The corpus-relative term
+    * (fraction of the row count, one cheap count job) keeps the cap
+    * from silently blocking EVERY gram at 10× — a duplicated gram's df
+    * grows with the corpus (measured in SCALE.md's round-8 probe). But
+    * fraction ALONE is a quadratic trap: pair fan-out per surviving
+    * gram is O(df²), so a 0.2·N-df gram yields 0.04·N² candidates —
+    * the cap itself would GROW the quadratic term with corpus size.
+    * The absolute ceiling bounds any single gram's fan-out at ceil²
+    * regardless of N (a gram carried by that many rows has no blocking
+    * selectivity left to lose — recall rests on the rarer grams, and a
+    * true near-pair needs only `minShared` survivors). When the
+    * ceiling binds (frac·N > ceil, i.e. N > ceil/frac) a LOUD stderr
+    * line says so, with the measured candidate growth at 10×/100× in
+    * SCALE.md (`fuzzycap` probe). Pass `maxGramDf > 0` to pin an
+    * absolute cap instead (tests / probes that control the corpus). */
   def fuzzyPairs(
       df: DataFrame, idCol: String, strCol: String,
       keyLen: Int = 80, gram: Int = 3, maxGramDf: Int = -1,
       minShared: Int = 4, maxDist: Int = 20,
-      maxGramDfFrac: Double = 0.2): DataFrame = {
+      maxGramDfFrac: Double = 0.2, maxGramDfCeil: Int = 10000): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val dfCap: Long =
       if (maxGramDf > 0) maxGramDf.toLong
-      else math.max(1L, math.ceil(maxGramDfFrac * df.count()).toLong)
+      else {
+        val frac = math.max(1L, math.ceil(maxGramDfFrac * df.count()).toLong)
+        if (frac > maxGramDfCeil)
+          System.err.println(
+            s"[graft] Dedup.fuzzyPairs: corpus-relative df cap $frac " +
+              s"exceeds the absolute ceiling $maxGramDfCeil — capping " +
+              s"there (bounds any gram's pair fan-out at ceil² " +
+              "instead of (frac·N)²; raise maxGramDfCeil only with a " +
+              "measured candidate budget)")
+        math.min(frac, maxGramDfCeil.toLong)
+      }
     val k = df.select(col(idCol).as("__id"),
         lower(substring(coalesce(col(strCol), lit("")), 1, keyLen)).as("__s"))
       .repartition(p).localCheckpoint() // 3 consumers: grams + 2 verifies

@@ -1341,7 +1341,8 @@ object Ext {
       |    greatest(len(s) - 2, 0) + 1)) AS i) r),
       |rare AS (SELECT gr FROM (
       |  SELECT gr, count(*) AS d FROM g GROUP BY 1)
-      |  WHERE d <= ceil(0.2 * (SELECT count(*) FROM documents))),
+      |  WHERE d <= least(
+      |    ceil(0.2 * (SELECT count(*) FROM documents)), 10000)),
       |gg AS (SELECT g.* FROM g JOIN rare USING (gr)),
       |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    count(*) AS shared
