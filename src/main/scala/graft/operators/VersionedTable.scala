@@ -57,10 +57,12 @@ import org.apache.spark.sql.types.StructType
   *     exists. No check-then-act window at all.
   *   - HDFS — `fs.rename` per the HDFS contract: rename onto an
   *     existing destination returns false atomically at the NameNode.
-  *   - Object stores without atomic no-overwrite (plain S3 et al.) are
-  *     NOT safe for multi-writer commits without a coordination layer
-  *     (DynamoDB-style lock or conditional put) — the same documented
-  *     restriction Delta Lake carries.
+  *   - Object stores without atomic no-overwrite (plain S3 et al.):
+  *     install a [[ConditionalPutCoordinator]] via
+  *     [[setCommitCoordinator]] — the promotion seam is pluggable
+  *     ([[CommitCoordinator]], Delta's `LogStore` posture), with the
+  *     conditional-put contract (S3 `If-None-Match`, GCS
+  *     generation-match) as the atomic point there.
   *
   * CONCURRENCY is optimistic (Delta's check-and-retry): a committer
   * that loses the commit-point race re-resolves the new latest
@@ -2158,34 +2160,31 @@ object VersionedTable {
     won
   }
 
-  /** Atomic no-overwrite promotion of `tmp` to `dest`. On `file:`
-    * filesystems POSIX `rename(2)` silently REPLACES an existing
-    * destination, so rename can never be the commit point there;
-    * `link(2)` fails with EEXIST atomically instead — two true racers
-    * resolve to exactly one winner with no check-then-act window. On
-    * HDFS, rename-onto-existing returns false atomically at the
-    * NameNode (the filesystem-contract no-overwrite rename), which is
-    * the commit point Delta relies on too. Anything else gets the
-    * HDFS-shaped path plus a best-effort exists guard — object stores
-    * without atomic no-overwrite need an external coordination layer
-    * for multi-writer use (documented in the class scaladoc). */
+  /** Atomic no-overwrite promotion of `tmp` to `dest`, delegated to
+    * the installed [[CommitCoordinator]] (the pluggable commit-point
+    * seam — see that trait's scaladoc for exactly which filesystem
+    * gets which implementation). The default [[FsCommitCoordinator]]
+    * is the historical behavior: `link(2)` EEXIST on `file:`,
+    * contract rename on HDFS. */
   private def atomicPromote(fs: FileSystem, tmp: Path, dest: Path): Boolean =
-    if ("file" == fs.getUri.getScheme) {
-      val src = java.nio.file.Paths.get(
-        fs.makeQualified(tmp).toUri.getPath)
-      val dst = java.nio.file.Paths.get(
-        fs.makeQualified(dest).toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(dst, src)
-        fs.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-      }
-    } else {
-      if (fs.exists(dest)) return false
-      fs.rename(tmp, dest)
-    }
+    coordinator.tryPublish(fs, tmp, dest)
+
+  @volatile private var coordinator: CommitCoordinator =
+    FsCommitCoordinator
+
+  /** Install the process-wide commit coordinator (a deployment-level
+    * knob set ONCE at startup — Delta's `logStore.class` posture).
+    * Default: [[FsCommitCoordinator]] (correct unconfigured on local
+    * FS and HDFS); object-store deployments install a
+    * [[ConditionalPutCoordinator]] backed by their store's
+    * conditional PUT. */
+  def setCommitCoordinator(c: CommitCoordinator): Unit = {
+    require(c != null, "null coordinator")
+    coordinator = c
+  }
+
+  /** The installed coordinator (spec/observability hook). */
+  def commitCoordinator: CommitCoordinator = coordinator
 
   /** Decoded file name of an `input_file_name()` value (URI-escaped —
     * the [[TargetedDelete]] discipline). */

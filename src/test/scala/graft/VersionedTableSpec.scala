@@ -494,14 +494,18 @@ class VersionedTableSpec extends AnyFunSuite {
     }
   }
 
-  test("commit point is atomic under a TRUE race (no serialized window)") {
-    // Both writers fully stage, publish, and WRITE THEIR TEMP MANIFEST
-    // for the same version, then hit the promote point simultaneously
-    // (CyclicBarrier inside the commit point, after the exists
-    // fast-path) — the exact interleave where exists-then-rename
-    // silently clobbers the first winner on POSIX. With link(2)
-    // promotion exactly one wins; the loser observes the loss and
-    // retries to the next version. No seam serializes the race.
+  // Both writers fully stage, publish, and WRITE THEIR TEMP MANIFEST
+  // for the same version, then hit the promote point simultaneously
+  // (CyclicBarrier inside the commit point, after the exists
+  // fast-path) — the exact interleave where exists-then-rename
+  // silently clobbers the first winner on POSIX. Exactly one must win;
+  // the loser observes the loss and retries to the next version. No
+  // seam serializes the race. Run through BOTH shipped coordinators:
+  // the fs-native default (link(2) EEXIST here) and the conditional-
+  // put model (reservation CAS is the atomic point) — the
+  // CommitCoordinator contract, not one implementation, is what the
+  // engine relies on.
+  private def trueRace(): Unit = {
     val t = tmpTable()
     VersionedTable.commit(df(0 until 5), t, overwrite = true)
     val barrier = new java.util.concurrent.CyclicBarrier(2)
@@ -523,8 +527,9 @@ class VersionedTableSpec extends AnyFunSuite {
     val va = fa.get(120, java.util.concurrent.TimeUnit.SECONDS)
     val vb = fb.get(120, java.util.concurrent.TimeUnit.SECONDS)
     pool.shutdown()
+    val coord = VersionedTable.commitCoordinator.name
     assert(Set(va, vb) == Set(1, 2),
-      s"exactly one winner at v1, loser lands at v2: got $va, $vb")
+      s"[$coord] exactly one winner at v1, loser lands at v2: got $va, $vb")
     def ids(v: Int) = VersionedTable.read(spark, t, Some(v))
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     // serializable appends: v2 = v0 rows + BOTH writers' rows, and the
@@ -533,9 +538,51 @@ class VersionedTableSpec extends AnyFunSuite {
       ((0L until 5L) ++ (100L until 104L) ++ (200L until 203L)).sorted)
     val v1Ids = ids(1)
     assert(v1Ids.size == 5 + (if (va == 1) 4 else 3),
-      s"v1 holds the winner's rows intact: $v1Ids")
+      s"[$coord] v1 holds the winner's rows intact: $v1Ids")
     assert(VersionedTable.vacuumUnreferenced(spark, t, 0L).isEmpty,
-      "the retry reprefixed, never abandoned, its files")
+      s"[$coord] the retry reprefixed, never abandoned, its files")
+  }
+
+  test("commit point is atomic under a TRUE race (no serialized window)") {
+    trueRace()
+  }
+
+  test("the same TRUE race through the conditional-put coordinator") {
+    val prev = VersionedTable.commitCoordinator
+    VersionedTable.setCommitCoordinator(
+      new graft.operators.ConditionalPutCoordinator)
+    try trueRace()
+    finally VersionedTable.setCommitCoordinator(prev)
+  }
+
+  test("conditional-put honors durable state and reserves exactly once") {
+    val c = new graft.operators.ConditionalPutCoordinator
+    val dir = java.nio.file.Files.createTempDirectory("graft_cpc_").toFile
+    dir.deleteOnExit()
+    val fs = new org.apache.hadoop.fs.Path(dir.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stage(n: String, content: String) = {
+      val p = new org.apache.hadoop.fs.Path(dir.getAbsolutePath, n)
+      val out = fs.create(p, true)
+      try out.write(content.getBytes("UTF-8")) finally out.close()
+      p
+    }
+    val dest = new org.apache.hadoop.fs.Path(dir.getAbsolutePath, "v1")
+    // first publish wins and consumes its temp
+    val t1 = stage("t1", "winner")
+    assert(c.tryPublish(fs, t1, dest))
+    assert(!fs.exists(t1) && fs.exists(dest))
+    // a second publish to the same key loses (reservation held)
+    val t2 = stage("t2", "loser")
+    assert(!c.tryPublish(fs, t2, dest))
+    assert(fs.exists(t2), "loser's temp is left for the caller")
+    // a FRESH coordinator (new process) still loses: durable state
+    // outranks its empty reservation table
+    val c2 = new graft.operators.ConditionalPutCoordinator
+    assert(!c2.tryPublish(fs, t2, dest))
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dest.toUri.getPath)), "UTF-8") == "winner",
+      "the winner's bytes were never clobbered")
   }
 
   test("clusterBy on merge keeps the rewritten files' spans tight") {
