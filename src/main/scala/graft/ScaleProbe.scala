@@ -927,6 +927,78 @@ object ScaleProbe {
         "carried by reference through the merge")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
+
+    // Driver-side manifest PLANNING at 100k files (VERDICT r11
+    // missing #3): a 100 TB table at ~1 GB/file is ~100k manifest
+    // entries, parsed on the driver per planned read. The probe
+    // handcrafts a v4 manifest with copies×10k synthetic entries
+    // (disjoint 1000-row id spans, recorded byte sizes — so
+    // VtFileIndex plans with ZERO getFileStatus calls) and times the
+    // three driver-side stages of a read: parse (readEntries), prune
+    // (pruneEntriesWhere), and Catalyst listing (VtFileIndex
+    // .listFiles with resolved data filters). The bar from the
+    // verdict: planning should stay ~1 s at 100k entries.
+    if (stages("vtplan")) {
+      import graft.operators.VersionedTable
+      val nFiles = copies * 10000
+      val dir = java.nio.file.Files.createTempDirectory("probe_vtplan_")
+      val log = new java.io.File(dir.toFile, "_graft_log")
+      require(log.mkdirs())
+      val w = new java.io.BufferedWriter(new java.io.FileWriter(
+        new java.io.File(log, "v00000.manifest")), 1 << 20)
+      w.write(s"graft-vt-v4\noverwrite\ntxn:-\nstats:id\n" +
+        s"nfiles:$nFiles\nschema:-\nts:${System.currentTimeMillis()}\n")
+      for (i <- 0 until nFiles) {
+        val lo = i.toLong * 1000
+        w.write(s"part-$i.parquet\t1000\tL$lo\tL${lo + 999}\tz134217728\n")
+      }
+      w.close()
+      val t = dir.toString
+      def timeMin3[T](lbl: String)(body: => T): T = {
+        var best = Double.MaxValue; var r: T = body
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime(); r = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        println(f"[probe] $lbl: $best%.3f s (min of 3)")
+        r
+      }
+      val entries = timeMin3(s"vtplan: readEntries ($nFiles entries)")(
+        VersionedTable.readEntries(spark, t, 0))
+      require(entries.size == nFiles)
+      val kept = timeMin3("vtplan: pruneEntriesWhere (narrow range)")(
+        VersionedTable.pruneEntries(entries, "id", 5000000L, 5100000L))
+      println(s"[probe] vtplan: prune keeps ${kept.size}/$nFiles")
+      import org.apache.spark.sql.catalyst.expressions.{
+        AttributeReference, GreaterThanOrEqual, LessThanOrEqual, Literal}
+      import org.apache.spark.sql.types.LongType
+      val idAttr = AttributeReference("id", LongType)()
+      val filters = Seq(
+        GreaterThanOrEqual(idAttr, Literal(5000000L)),
+        LessThanOrEqual(idAttr, Literal(5100000L)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", LongType)))
+      val idx = new graft.sources.VtFileIndex(spark, t, 0, entries, schema)
+      val listed = timeMin3("vtplan: VtFileIndex.listFiles (pruned)")(
+        idx.listFiles(Nil, filters))
+      println(s"[probe] vtplan: listFiles planned " +
+        s"${idx.lastPlannedFiles}/$nFiles files, " +
+        s"sizeInBytes=${idx.sizeInBytes / (1L << 30)} GiB")
+      require(listed.head.files.length == kept.size,
+        "FileIndex and direct prune must agree")
+      // the beyond-driver-scale path: parquet entry checkpoint, pruned
+      // as a Spark job that collects only survivors
+      val tc0 = System.nanoTime()
+      VersionedTable.checkpointEntries(spark, t, 0): Unit
+      println(f"[probe] vtplan: checkpointEntries (once per version): " +
+        f"${(System.nanoTime() - tc0) / 1e9}%.3f s")
+      val jobKept = timeMin3("vtplan: pruneEntriesJob (Spark job)")(
+        VersionedTable.pruneEntriesJob(spark, t, 0,
+          Seq(VersionedTable.RangePred("id", 5000000L, 5100000L))).get)
+      require(jobKept.toSet == kept.toSet,
+        "job prune must equal driver prune")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
     spark.stop()
   }
 }

@@ -8,7 +8,7 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, StructField, StructType}
 
 /** Versioned parquet table with a commit log and time-travel reads —
   * the manifest/transaction layer [[TargetedDelete]]'s scaladoc defers
@@ -1055,7 +1055,6 @@ object VersionedTable {
     val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
       .getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
-    val entries = readEntries(spark, path, v)
     val pred = preds.map {
       case RangePred(c, lo, hi) =>
         col(c).isNotNull && col(c) >= lit(lo) && col(c) <= lit(hi)
@@ -1064,15 +1063,22 @@ object VersionedTable {
       case LePred(c, hi) => col(c).isNotNull && col(c) <= lit(hi)
       case NotNullPred(c) => col(c).isNotNull
     }.reduce(_ && _)
-    val keep = pruneEntriesWhere(entries, preds)
-    if (entries.isEmpty) read(spark, path, Some(v)).limit(0)
+    // beyond driver-parse scale the header (a seven-line read) routes
+    // planning through the parquet entry checkpoint: pruning runs as a
+    // Spark job and only the SURVIVING entries ever reach the driver
+    val header = readHeader(fs, root, v)
+    val keep =
+      if (header.nFiles >= entryCheckpointThreshold) {
+        checkpointEntries(spark, path, v): Unit // once per version
+        pruneEntriesJob(spark, path, v, preds).getOrElse(
+          pruneEntriesWhere(readEntries(spark, path, v), preds))
+      } else pruneEntriesWhere(readEntries(spark, path, v), preds)
+    if (header.nFiles == 0) read(spark, path, Some(v)).limit(0)
     else if (keep.isEmpty)
       read(spark, path, Some(v)).where(pred).limit(0)
-    else {
-      val header = readHeader(fs, root, v)
+    else
       schemaRead(spark, header.schemaJson,
         keep.map(e => s"$path/${e.name}")).where(pred)
-    }
   }
 
   /** The manifest-side pruning decision of [[prunedRead]], exposed for
@@ -1089,6 +1095,106 @@ object VersionedTable {
   def pruneEntriesWhere(entries: Seq[FileEntry],
       preds: Seq[PrunePred]): Seq[FileEntry] =
     entries.filter(e => preds.forall(p => mightMatch(e, p)))
+
+  // ---- parquet entry checkpoint (planning beyond driver scale) -------
+
+  /** Above this many manifest entries, [[prunedReadWhere]] plans
+    * through the PARQUET ENTRY CHECKPOINT instead of a driver-side
+    * parse. Measured (`ScaleProbe vtplan`): the text parse is ~0.06 s
+    * at 100k entries but ~2.0 s at 1M — a 125 TB table at 128 MB
+    * files — while the checkpointed prune is a small Spark job that
+    * collects only the SURVIVORS. Delta's `checkpoint.parquet`
+    * posture, applied to the file list. Var (not val) only so specs
+    * can exercise the job path on small fixtures. */
+  private[graft] var entryCheckpointThreshold: Int = 200000
+
+  private def entryCkptDir(root: Path, v: Int): Path =
+    new Path(root, f"$LogDir/v$v%05d.entries.parquet")
+
+  private val ckptSchema = StructType(Seq(
+    StructField("name", StringType, nullable = false),
+    StructField("n_rows", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("stats", MapType(StringType, ArrayType(StringType)))))
+
+  /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
+    * manifest's file list as a columnar table readable as a Spark job
+    * (spans ride in their manifest field encoding). Content-
+    * deterministic and derived, so publication needs no manifest-grade
+    * commit point: write to a temp dir, rename into place, losers
+    * discard; readers require the `_SUCCESS` marker and fall back to
+    * the manifest text otherwise. Returns true when THIS call created
+    * it. Created lazily by [[prunedReadWhere]] on the first planned
+    * read past [[entryCheckpointThreshold]] — one parse per version,
+    * amortized over every later read. */
+  def checkpointEntries(spark: SparkSession, path: String,
+      version: Int): Boolean = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = entryCkptDir(root, version)
+    if (fs.exists(new Path(dest, "_SUCCESS"))) return false
+    val entries = readEntries(spark, path, version)
+    val rows = entries.map { e =>
+      org.apache.spark.sql.Row(e.name, e.nRows, e.size,
+        e.stats.map { case (c, s) =>
+          c -> (s match {
+            case None => Seq("N", "N")
+            case Some((mn, mx)) => Seq(encode(mn), encode(mx))
+          })
+        })
+    }
+    val slices = math.max(1, math.min(rows.size, 32))
+    val tmp = new Path(root,
+      f"$LogDir/.v$version%05d.entries.${java.util.UUID.randomUUID}.tmp")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, slices), ckptSchema)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dest) || !fs.rename(tmp, dest)) {
+      fs.delete(tmp, true) // lost a concurrent write of identical bytes
+      false
+    } else true
+  }
+
+  /** Manifest pruning AS A SPARK JOB over the entry checkpoint: the
+    * distributed equivalent of [[pruneEntriesWhere]] — same
+    * conservative `mightMatch` per entry, evaluated where the
+    * checkpoint rows live, collecting only the SURVIVORS to the
+    * driver (planning cost O(matching files), not O(table files)).
+    * None when no completed checkpoint exists for `version` (callers
+    * fall back to the driver-side parse). */
+  def pruneEntriesJob(spark: SparkSession, path: String, version: Int,
+      preds: Seq[PrunePred]): Option[Seq[FileEntry]] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dest = entryCkptDir(root, version)
+    if (!fs.exists(new Path(dest, "_SUCCESS"))) return None
+    val ps = preds // serializable case classes; captured by the udf
+    val keepUdf = udf { (stats: Map[String, Seq[String]]) =>
+      val e = FileEntry("", 0L, decodeCkptStats(stats))
+      ps.forall(p => mightMatch(e, p))
+    }
+    val survivors = spark.read.schema(ckptSchema).parquet(dest.toString)
+      .where(keepUdf(col("stats")))
+      .collect()
+      .map { r =>
+        FileEntry(r.getString(0), r.getLong(1),
+          decodeCkptStats(r.getAs[Map[String, Seq[String]]](3)),
+          r.getLong(2))
+      }.toSeq
+    Some(survivors)
+  }
+
+  private def decodeCkptStats(
+      stats: Map[String, scala.collection.Seq[String]])
+      : Map[String, Option[(Any, Any)]] =
+    if (stats == null) Map.empty
+    else stats.map { case (c, fields) =>
+      fields.toSeq match {
+        case Seq("N", _) => c -> None
+        case Seq(mn, mx) => c -> Some((decode(mn), decode(mx)))
+        case _ => c -> None
+      }
+    }
 
   private def mightMatch(e: FileEntry, p: PrunePred): Boolean =
     e.stats.get(p.column) match {
@@ -1284,8 +1390,11 @@ object VersionedTable {
     val retained = keep.flatMap(v => files(spark, path, v)).toSet
     val dead = drop.flatMap(v => files(spark, path, v)).toSet -- retained
     dead.foreach(n => fs.delete(new Path(root, n), false))
-    drop.foreach(v => fs.delete(
-      new Path(root, f"$LogDir/v$v%05d.manifest"), false))
+    drop.foreach { v =>
+      fs.delete(new Path(root, f"$LogDir/v$v%05d.manifest"), false)
+      // the version's derived entry checkpoint (if any) dies with it
+      fs.delete(entryCkptDir(root, v), true)
+    }
   }
 
   /** OPTIMIZE: rewrite the latest version's (typically many small,
@@ -1671,12 +1780,13 @@ object VersionedTable {
     val log = new Path(root, LogDir)
     val orphanTmps =
       if (!fs.exists(log)) Seq.empty
-      else fs.listStatus(log).filter(_.isFile).filter { st =>
+      else fs.listStatus(log).filter { st =>
+        // manifest/txn-ckpt tmp FILES and entry-checkpoint tmp DIRS
         val n = st.getPath.getName
         n.startsWith(".") && n.endsWith(".tmp") &&
           now - st.getModificationTime > ttlMs
       }.map { st =>
-        if (!dryRun) fs.delete(st.getPath, false)
+        if (!dryRun) fs.delete(st.getPath, st.isDirectory)
         st.getPath.getName
       }.toSeq
     orphanFiles ++ orphanStages ++ orphanTmps

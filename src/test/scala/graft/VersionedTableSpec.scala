@@ -547,6 +547,45 @@ class VersionedTableSpec extends AnyFunSuite {
     trueRace()
   }
 
+  test("entry checkpoint: job-pruned planning equals the driver parse") {
+    val t = tmpTable()
+    VersionedTable.commit(
+      df(0 until 400).repartitionByRange(8, col("id"))
+        .sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // first call creates it, second observes it
+    assert(VersionedTable.checkpointEntries(spark, t, 0))
+    assert(!VersionedTable.checkpointEntries(spark, t, 0))
+    val preds = Seq(VersionedTable.RangePred("id", 50L, 120L))
+    val driver = VersionedTable.pruneEntriesWhere(
+      VersionedTable.readEntries(spark, t, 0), preds)
+    val job = VersionedTable.pruneEntriesJob(spark, t, 0, preds)
+    assert(job.nonEmpty, "a completed checkpoint must be used")
+    assert(job.get.toSet == driver.toSet,
+      "job-side and driver-side pruning must select identical entries")
+    assert(driver.nonEmpty && driver.size < 8,
+      "the fixture must actually prune")
+    // end-to-end: prunedReadWhere routed through the checkpoint (the
+    // threshold var exists exactly for this spec) is value-identical
+    val expect = VersionedTable.prunedReadWhere(spark, t, preds)
+      .collect().map(_.toString).sorted.toSeq
+    val prev = VersionedTable.entryCheckpointThreshold
+    VersionedTable.entryCheckpointThreshold = 1
+    try {
+      val got = VersionedTable.prunedReadWhere(spark, t, preds)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect)
+    } finally VersionedTable.entryCheckpointThreshold = prev
+    // a version without a checkpoint routes through the fallback even
+    // when past the threshold (append -> v1, no checkpoint written)
+    VersionedTable.commit(df(400 until 420), t, overwrite = false)
+    assert(VersionedTable.pruneEntriesJob(spark, t, 1, preds).isEmpty)
+    // expire drops the expired version's checkpoint dir with it
+    VersionedTable.expire(spark, t, keepLast = 1)
+    val ckptDir = new java.io.File(t, "_graft_log/v00000.entries.parquet")
+    assert(!ckptDir.exists, "expired version's entry checkpoint swept")
+  }
+
   test("the same TRUE race through the conditional-put coordinator") {
     val prev = VersionedTable.commitCoordinator
     VersionedTable.setCommitCoordinator(
