@@ -1227,6 +1227,31 @@ object Ops {
         col("c_custkey"), col("c_name"))
   }
 
+  // SQL-surface time travel (sources/VtCatalog.scala): the whole query
+  // runs through spark.sql — `VERSION AS OF 0` against the pre-delete
+  // snapshot, anti-joined with the table's LATEST state, no Scala read
+  // API anywhere. The result is exactly the deleted band; the oracle
+  // replays the delete predicate over the source table. Null doc_ids
+  // survive the delete (SQL WHERE-delete semantics) and the null-safe
+  // anti join must therefore exclude them.
+  val opVtSqlTravel: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtsql_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    VersionedTable.commit(
+      documents(s, d).select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("h"), col("source")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    VersionedTable.deleteWhere(s, t, col("doc_id") % 10 === 0)
+    s.sql(
+      s"""SELECT v0.doc_id, v0.h, v0.source
+         |FROM graft.`$t` VERSION AS OF 0 AS v0
+         |LEFT ANTI JOIN graft.`$t` AS cur
+         |  ON v0.doc_id <=> cur.doc_id""".stripMargin)
+  }
+
   // Triangle counting over the part co-purchase graph via
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
@@ -1499,6 +1524,7 @@ object Ops {
     "op_vt_sync_agg" -> opVtSyncAgg,
     "op_vt_sync_changes" -> opVtSyncChanges,
     "op_vt_join_view" -> opVtJoinView,
+    "op_vt_sql_travel" -> opVtSqlTravel,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1824,6 +1850,13 @@ object Ops {
         |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
         |FROM final GROUP BY 1, 2""".stripMargin,
+    // SQL time travel must surface exactly the deleted band: the
+    // VERSION AS OF 0 snapshot minus the latest state = the rows the
+    // delete predicate removed (null doc_ids survive a WHERE-delete).
+    "op_vt_sql_travel" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id IS NOT NULL""".stripMargin,
     // Join-IVM must equal the plain L ⋈ R of the FINAL state: the CTEs
     // rebuild each side's end state (reassigned/repriced low-key
     // orders, renamed low-key customers, the 101-150 customer band

@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.VersionedTable
+
+/** SQL-surface time travel: `VERSION AS OF` / `TIMESTAMP AS OF` must
+  * resolve through the commit log with no Scala glue, read-only verbs
+  * must refuse loudly, and every travel answer must equal the Scala
+  * API's for the same version. */
+class VtCatalogSpec extends AnyFunSuite {
+  lazy val spark = SparkFixture.spark
+  import spark.implicits._
+
+  private def ensureCatalog(): Unit =
+    if (!spark.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+
+  private def tmpRoot(): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cat_").toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("VERSION AS OF and latest resolve through spark.sql only") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "t").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, s"v0_$i")).toDF("id", "s"), t,
+      overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") < 40L)
+    VersionedTable.commit(
+      (200L until 210L).map(i => (i, s"v2_$i")).toDF("id", "s"), t,
+      overwrite = false)
+
+    def ids(sql: String): Seq[Long] =
+      spark.sql(sql).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    assert(ids(s"SELECT id FROM graft.`$t` VERSION AS OF 0") ==
+      (0L until 100L))
+    assert(ids(s"SELECT id FROM graft.`$t` VERSION AS OF 1") ==
+      (40L until 100L))
+    assert(ids(s"SELECT id FROM graft.`$t`") ==
+      ((40L until 100L) ++ (200L until 210L)))
+    // and the SQL answer equals the Scala API's, version by version
+    for (v <- 0 to 2)
+      assert(ids(s"SELECT id FROM graft.`$t` VERSION AS OF $v") ==
+        VersionedTable.read(spark, t, Some(v)).select("id")
+          .as[Long].collect().sorted.toSeq)
+    // pushdown-friendly: a filtered travel query still answers right
+    assert(ids(s"SELECT id FROM graft.`$t` VERSION AS OF 0 " +
+      "WHERE id BETWEEN 10 AND 12") == Seq(10L, 11L, 12L))
+  }
+
+  test("TIMESTAMP AS OF resolves the commit wall clock") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "ts").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t,
+      overwrite = true)
+    Thread.sleep(30)
+    val between = java.time.Instant.now()
+    Thread.sleep(30)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), t,
+      overwrite = false)
+    val got = spark.sql(s"SELECT id FROM graft.`$t` TIMESTAMP AS OF " +
+        s"'${java.sql.Timestamp.from(between)}'")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L), s"the pre-append snapshot: $got")
+  }
+
+  test("relative names under root; SHOW TABLES; schema travels too") {
+    ensureCatalog()
+    val root = tmpRoot()
+    spark.conf.set("spark.sql.catalog.graftw", "graft.sources.VtCatalog")
+    spark.conf.set("spark.sql.catalog.graftw.root", root.getAbsolutePath)
+    val t = new java.io.File(root, "orders").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "s"), t,
+      overwrite = true)
+    // schema evolution: v1 adds a column; each version reads its shape
+    VersionedTable.commit(Seq((2L, "y", 9L)).toDF("id", "s", "extra"), t,
+      overwrite = false)
+    assert(spark.sql("SELECT * FROM graftw.orders VERSION AS OF 0")
+      .columns.toSeq == Seq("id", "s"))
+    assert(spark.sql("SELECT * FROM graftw.orders")
+      .columns.toSeq == Seq("id", "s", "extra"))
+    val listed = spark.sql("SHOW TABLES IN graftw").collect()
+      .map(_.getString(1)).toSeq
+    assert(listed == Seq("orders"), s"SHOW TABLES: $listed")
+  }
+
+  test("read-only: mutations refuse; missing tables error cleanly") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t`").collect()
+    }
+    assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    val t2 = new java.io.File(tmpRoot(), "ro").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t2,
+      overwrite = true)
+    val e2 = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$t2`")
+    }
+    assert(e2.getMessage.contains("read-only") ||
+      Option(e2.getCause).exists(_.getMessage.contains("read-only")),
+      e2.getMessage)
+  }
+}
