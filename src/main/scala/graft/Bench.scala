@@ -39,47 +39,79 @@ object Bench {
     // Optional comma-separated query filter (dev loop: A/B one family
     // without paying the full suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Load self-defense (VERDICT r11 "what's wrong" #2): a bench
+    // artifact must carry enough machine context to tell ambient
+    // contention from a code regression IN ONE READ. Two levers:
+    //  1. `/proc/loadavg` (1-min load + kernel-runnable count) is
+    //     sampled before every single run; each query reports the MAX
+    //     load its three runs saw, and the headline carries the
+    //     run-window envelope.
+    //  2. The three repeats are INTERLEAVED round-robin across the
+    //     whole query list (pass 1 of everything, then pass 2, then
+    //     pass 3) instead of back-to-back — sustained external load
+    //     now shows as uniform inflation across many queries' same-
+    //     numbered passes, not as a fake 5x regression of whichever
+    //     query owned those seconds.
+    def loadSig(): (Double, Int) =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg")
+        val s = try f.mkString.trim.split("\\s+") finally f.close()
+        (s(0).toDouble, s(3).split('/')(0).toInt)
+      } catch { case _: Throwable => (-1.0, -1) }
+    val (load0, run0) = loadSig()
+    val wall0 = System.currentTimeMillis()
+    val entries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times: Seq[Double] = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // Operator-internal caches must not leak into the next
-        // measurement (or accumulate heap pressure across 70+ queries).
-        spark.catalog.clearCache()
-        dt
-      }
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    val loadMax = scala.collection.mutable.Map.empty[String, Double]
+      .withDefaultValue(-1.0)
+    for (pass <- 1 to 3; (name, fn) <- entries) {
+      val (l, _) = loadSig()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      times(name) = times(name) :+ dt
+      loadMax(name) = math.max(loadMax(name), l)
+      // Operator-internal caches must not leak into the next
+      // measurement (or accumulate heap pressure across 70+ queries).
+      spark.catalog.clearCache()
       // Streaming queries leave their state-store providers (in-memory
       // version maps + a maintenance thread touching them) loaded in
       // the JVM-wide registry after the query stops; across 14 st_*
-      // entries × 3 runs that is standing heap the later t_* queries
-      // pay GC for. Unload is a no-op when nothing is loaded.
+      // entries that is standing heap the later t_* queries pay GC
+      // for. Unload is a no-op when nothing is loaded.
       org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
       // localCheckpoint blocks are freed by the ContextCleaner only on
       // GC; nudge between queries so checkpoint-heavy operators (dedup
       // connected components) don't tax later measurements' heap.
       System.gc()
-      name -> times
     }
+    val (load1, run1) = loadSig()
+    val results = entries.map { case (name, _) => name -> times(name) }
+    val env =
+      s"""{"load_start":$load0,"load_end":$load1,""" +
+        s""""runnable_start":$run0,"runnable_end":$run1,""" +
+        s""""wall_s":${(System.currentTimeMillis() - wall0) / 1000},""" +
+        s""""cpus":$cpus,"repeat_order":"round-robin"}"""
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }
       .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}"""
     println(line)
-    // Per-query {min, med} over the 3 repeats: this box's measured
-    // ambient dispersion is ±40-50% per query (SCALE.md r10 bisection),
-    // so a single number per query makes round-over-round deltas nearly
-    // uninterpretable — min is the steady-state estimate (headline +
-    // round comparisons), med shows how noisy that query's runs were.
+    // Per-query {min, med, load}: min is the steady-state estimate
+    // (headline + round comparisons; this box's measured ambient
+    // dispersion is ±40-50%, SCALE.md r10 bisection), med shows how
+    // noisy that query's runs were, load is the MAX 1-min loadavg
+    // sampled at its runs' starts — a query whose med/min spread is
+    // large under load>cpus indicts the box, not the code.
     val stats = results.map { case (k, ts) =>
       val med = ts.sorted.apply(ts.size / 2)
-      s"\"" + k + s"\":{\"min\":${ts.min},\"med\":$med}"
+      s"\"" + k + s"\":{\"min\":${ts.min},\"med\":$med,\"load\":${loadMax(k)}}"
     }.mkString("{", ",", "}")
     val statsLine =
-      s"""{"metric":"per_query_stats","queries":$stats,"sf":"$sfDir"}"""
+      s"""{"metric":"per_query_stats","queries":$stats,"sf":"$sfDir","env":$env}"""
     // The driver's BENCH_r{N}.json keeps only a truncated log tail (~90
     // of 158 per-query timings were invisible in r8); persist the full
     // lines so every timing survives for audit. Full runs land in-repo
