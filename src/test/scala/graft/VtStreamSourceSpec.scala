@@ -212,6 +212,66 @@ class VtStreamSourceSpec extends AnyFunSuite {
       "the distinguishable expired signal must surface through the stream")
   }
 
+  test("re-baseline recovery: expire -> signal -> fresh snapshot walk -> converged relay") {
+    // The OPERATIONAL recipe (VERDICT r11 #7), executable end-to-end:
+    // a relay stream falls behind, retention expires its checkpointed
+    // watermark, the stream fails with the DISTINGUISHABLE signal, and
+    // the operator re-baselines — a NEW checkpoint location + a fresh
+    // chunked snapshot walk — into the SAME downstream table. The sink
+    // is a keyed MERGE, so replaying the whole snapshot over rows the
+    // relay already holds is idempotent by construction; convergence
+    // is exact table equality with the source's latest version.
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val relay = new java.io.File(dir, "relay").getAbsolutePath
+    def mergeSink(gen: String) = (b: DataFrame, id: Long) =>
+      if (!b.isEmpty)
+        VersionedTable.mergeInto(b.sparkSession, relay, b, Seq("id"),
+          txnId = Some(s"relay_${gen}_$id")): Unit
+    // merge targets need a v0; bootstrap schema-only (the vt sink's
+    // own Update-merge bootstrap shape)
+    VersionedTable.commit(df(0 until 0), relay, overwrite = true)
+    // generation 1: snapshot + one tail window relayed normally
+    VersionedTable.commit(df(0 until 10).repartition(4), t,
+      overwrite = true)
+    val ck1 = new java.io.File(dir, "ck1").getAbsolutePath
+    drain(t, ck1, mergeSink("g1"))
+    VersionedTable.commit(df(10 until 20), t, overwrite = false)
+    drain(t, ck1, mergeSink("g1"))
+    def ids(p: String): Seq[Long] = VersionedTable.read(spark, p)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(relay) == (0L until 20L))
+    // the relay goes down; the source keeps committing AND compacting,
+    // then retention drops everything but the latest version
+    VersionedTable.commit(df(20 until 30), t, overwrite = false)
+    VersionedTable.compact(spark, t)
+    VersionedTable.expire(spark, t, keepLast = 1)
+    // the stalled checkpoint now raises the distinguishable signal
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(t, ck1, mergeSink("g1")))
+    def causes(x: Throwable): Seq[Throwable] =
+      Option(x).toSeq.flatMap(t => t +: causes(t.getCause))
+    assert(causes(e).exists(
+      _.isInstanceOf[VersionedTable.VersionExpiredException]))
+    // RE-BASELINE: new checkpoint, fresh snapshot walk in bounded
+    // chunks, same keyed-merge sink — replayed rows upsert to
+    // themselves, missed rows (20-29) arrive with the snapshot
+    val ck2 = new java.io.File(dir, "ck2").getAbsolutePath
+    val q = spark.readStream.format(fmt).option("path", t)
+      .option("snapshotFilesPerTrigger", "2")
+      .load()
+      .writeStream.foreachBatch(mergeSink("g2"))
+      .option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(ids(relay) == ids(t), "re-baselined relay converges exactly")
+    // and generation 2 tails incrementally from here on
+    VersionedTable.commit(df(30 until 33), t, overwrite = false)
+    drain(t, ck2, mergeSink("g2"))
+    assert(ids(relay) == (0L until 33L))
+  }
+
   test("skipChangeCommits rides over a compaction instead of failing") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
