@@ -115,6 +115,7 @@ object VersionedTable {
 
   private val LogDir = "_graft_log"
   private val Header = "graft-vt-v4"
+  private val HeaderV5 = "graft-vt-v5" // v4 + a `pending:<decision-uri>` line
   private val HeaderV3 = "graft-vt-v3"
   private val HeaderV2 = "graft-vt-v2"
   private val CkptName = "_checkpoint"
@@ -156,6 +157,18 @@ object VersionedTable {
     * [[expire]]d out of the log — distinguishable from "never
     * committed" so a poller can re-baseline instead of crashing. */
   final class VersionExpiredException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Thrown when a write (or an explicit read of the pending version)
+    * encounters an UNDECIDED multi-table transaction at the table's
+    * tail: the txn's pending manifest holds the next version slot and
+    * its fate is unknown, so proceeding could violate serializability
+    * either way. Wait for the coordinator to decide, or — if the
+    * coordinator crashed — resolve it with [[MultiTableTxn.abort]]
+    * (safe exactly because no commit decision exists). Readers are
+    * never blocked: a snapshot read simply resolves the latest
+    * DECIDED version. */
+  final class TxnInDoubtException(msg: String)
     extends IllegalStateException(msg)
 
   /** One manifest line: file name, row count (−1 when unknown — files
@@ -234,7 +247,8 @@ object VersionedTable {
   private[graft] def commitImpl(df: DataFrame, path: String,
       overwrite: Boolean, txnId: Option[String], statsCols: Seq[String],
       maxRetries: Int, onBeforeManifestCommit: () => Unit,
-      onBeforePromote: () => Unit = () => ()): Int = {
+      onBeforePromote: () => Unit = () => (),
+      pendingTxn: Option[String] = None): Int = {
     require(txnId.forall(t => t.nonEmpty && !t.exists(_ < ' ')),
       s"txnId must be non-empty printable text: $txnId")
     val spark = df.sparkSession
@@ -256,7 +270,8 @@ object VersionedTable {
     // bloom presence is opportunistic, the manifest stats are re-
     // resolved per attempt)
     val cols0 = resolveStatsCols(
-      nums0.lastOption.map(l => readHeader(fs, root, l)), statsCols)
+      latestVisible(fs, root, forWrite = true)
+        .map(l => readHeader(fs, root, l)), statsCols)
     val published = stageAndPublish(df, fs, root, v0, cols0)
 
     // not @tailrec: the non-local txn-idempotence return blocks the
@@ -276,7 +291,11 @@ object VersionedTable {
           return w
         }
       }
-      val latest = nums.lastOption
+      // carried/prev state comes from the latest DECIDED version; an
+      // undecided multi-table pending at the tail refuses loudly here
+      // (lost-update guard), and the slot computation below stays RAW
+      // so we never collide with a pending's occupied slot
+      val latest = latestVisible(fs, root, forWrite = true)
       val prevHeader = latest.map(l => readHeader(fs, root, l))
       val cols = resolveStatsCols(prevHeader, statsCols)
       val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
@@ -290,8 +309,11 @@ object VersionedTable {
       onBeforeManifestCommit()
       if (tryWriteManifest(fs, root, v,
           if (overwrite) "overwrite" else "append", txnId, cols,
-          Some(schemaJson), carried ++ fresh, onBeforePromote)) {
-        maybeCheckpoint(fs, root, v)
+          Some(schemaJson), carried ++ fresh, onBeforePromote,
+          pendingTxn = pendingTxn)) {
+        // a pending manifest is not (yet) a committed version — the
+        // checkpoint indexes it after its txn decides (watermark logic)
+        if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v)
         v
       } else if (triesLeft <= 0)
         throw new IllegalStateException(
@@ -341,7 +363,7 @@ object VersionedTable {
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(v => return v)
       }
-      val v = nums.lastOption.getOrElse(
+      val v = latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
       val entries = readEntries(spark, path, v)
       if (entries.isEmpty) return v
@@ -431,7 +453,7 @@ object VersionedTable {
     // deterministic source per consumer would un-serialize the merge.
     val src = source.localCheckpoint()
     if (src.isEmpty)
-      return listVersionNumbers(fs, root).lastOption.getOrElse(
+      return latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
     // uniqueness applies to MATCHABLE keys only: null-keyed rows match
     // nothing (SQL join semantics) and are all inserted as-is, so two
@@ -457,7 +479,7 @@ object VersionedTable {
           constraintsOf(fs, root), s"mergeInto at $path")
         consChecked = true
       }
-      val v = nums.lastOption.getOrElse(
+      val v = latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
       val header = readHeader(fs, root, v)
       val entries = readEntries(spark, path, v)
@@ -589,7 +611,7 @@ object VersionedTable {
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(w => return w)
       }
-      val latest = nums.lastOption.getOrElse(
+      val latest = latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
       require(version <= latest,
         s"cannot restore $path to version $version: latest is $latest")
@@ -634,7 +656,7 @@ object VersionedTable {
     val srcRoot = new Path(srcPath)
     val conf = spark.sessionState.newHadoopConf()
     val fs = srcRoot.getFileSystem(conf)
-    val v = asOfVersion.orElse(listVersionNumbers(fs, srcRoot).lastOption)
+    val v = asOfVersion.orElse(latestVisible(fs, srcRoot, forWrite = false))
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $srcPath"))
     val header = readHeader(fs, srcRoot, v)
@@ -725,7 +747,7 @@ object VersionedTable {
           s"replaceWhere at $path")
         consChecked = true
       }
-      val v = nums.lastOption.getOrElse(
+      val v = latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
       val header = readHeader(fs, root, v)
       val entries = readEntries(spark, path, v)
@@ -797,7 +819,7 @@ object VersionedTable {
       asOfVersion: Option[Int] = None): Option[Long] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $path"))
     val entries = readEntries(spark, path, v)
@@ -828,7 +850,7 @@ object VersionedTable {
       asOfVersion: Option[Int] = None): Option[Option[(Any, Any)]] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $path"))
     val entries = readEntries(spark, path, v)
@@ -981,10 +1003,11 @@ object VersionedTable {
       asOfVersion: Option[Int] = None): DataFrame = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
+    requireVisible(fs, path, v, header)
     val fl = files(spark, path, v)
     if (fl.isEmpty) header.schemaJson match {
       case Some(j) => spark.createDataFrame(
@@ -1009,6 +1032,7 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val header = readHeader(fs, root, version)
+    requireVisible(fs, path, version, header)
     val slice = files(spark, path, version).slice(from, until)
     if (slice.isEmpty) read(spark, path, Some(version)).limit(0)
     else schemaRead(spark, header.schemaJson, slice.map(n => s"$path/$n"))
@@ -1052,7 +1076,7 @@ object VersionedTable {
     }
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = asOfVersion.orElse(listVersionNumbers(fs, root).lastOption)
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
     val pred = preds.map {
@@ -1312,9 +1336,12 @@ object VersionedTable {
   def versions(spark: SparkSession, path: String): Seq[VersionInfo] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    listVersionNumbers(fs, root).map { v =>
+    listVersionNumbers(fs, root).flatMap { v =>
       val h = readHeader(fs, root, v)
-      VersionInfo(v, h.mode, h.txnId, h.nFiles, h.timestampMs)
+      // undecided/aborted multi-table pendings are not versions
+      if (isVisible(fs, h))
+        Some(VersionInfo(v, h.mode, h.txnId, h.nFiles, h.timestampMs))
+      else None
     }
   }
 
@@ -1337,7 +1364,10 @@ object VersionedTable {
     // scan NEWEST-first: time-travel targets are usually recent, and
     // each probe is a seven-line header read
     nums.reverseIterator
-      .find(v => readHeader(fs, root, v).timestampMs <= timestampMs)
+      .find { v =>
+        val h = readHeader(fs, root, v)
+        isVisible(fs, h) && h.timestampMs <= timestampMs
+      }
       .getOrElse(throw new IllegalArgumentException(
         s"no version at $path committed at or before $timestampMs " +
           s"(oldest live commit: v${nums.head} at " +
@@ -1384,7 +1414,15 @@ object VersionedTable {
   }
 
   private def expireVersions(spark: SparkSession, fs: FileSystem,
-      root: Path, path: String, drop: Seq[Int]): Unit = {
+      root: Path, path: String, drop0: Seq[Int]): Unit = {
+    // retention must never destroy an UNDECIDED multi-table pending —
+    // the txn could still commit, and its manifest is the only record
+    // of what it staged. Decided pendings expire like any version
+    // (aborted ones are pure cleanup). Trim the drop prefix there.
+    val drop = drop0.takeWhile { v =>
+      readHeader(fs, root, v).pendingTxn
+        .forall(uri => txnDecision(fs, uri).nonEmpty)
+    }
     if (drop.isEmpty) return
     val keep = listVersionNumbers(fs, root).filterNot(drop.toSet)
     val retained = keep.flatMap(v => files(spark, path, v)).toSet
@@ -1422,7 +1460,7 @@ object VersionedTable {
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
+    val v = latestVisible(fs, root, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val bytes = files(spark, path, v)
       .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
@@ -1453,7 +1491,7 @@ object VersionedTable {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
-    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
+    val v = latestVisible(fs, root, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
     val entries = readEntries(spark, path, v)
@@ -1509,7 +1547,7 @@ object VersionedTable {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
-    val v = listVersionNumbers(fs, root).lastOption.getOrElse(
+    val v = latestVisible(fs, root, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
     val entries = readEntries(spark, path, v)
@@ -1561,8 +1599,9 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = listVersionNumbers(fs, root)
-    val to = toVersion.orElse(live.lastOption).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $path"))
+    val to = toVersion.orElse(latestVisible(fs, root, forWrite = false))
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
     require(to >= fromVersion,
       s"toVersion $to precedes fromVersion $fromVersion")
     if (!live.contains(fromVersion) && live.nonEmpty &&
@@ -1572,8 +1611,13 @@ object VersionedTable {
           s"(oldest live version is ${live.head}) — the incremental " +
           "window is gone; re-baseline from a full read of the current " +
           "version")
+    // an explicit `to` may target a pending version: gate it; aborted
+    // holes inside the window are skipped (they never happened)
+    toVersion.foreach(t => requireVisible(fs, path, t,
+      readHeader(fs, root, t)))
     val window = live.filter(v => v > fromVersion && v <= to)
       .map(v => (v, readHeader(fs, root, v)))
+      .filter { case (_, h) => isVisible(fs, h) }
     val nonAppend = window.filterNot(_._2.mode == "append")
     require(nonAppend.isEmpty,
       s"readAppendsSince($fromVersion, $to) at $path crosses " +
@@ -1602,8 +1646,9 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = listVersionNumbers(fs, root)
-    val to = toVersion.orElse(live.lastOption).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $path"))
+    val to = toVersion.orElse(latestVisible(fs, root, forWrite = false))
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
     require(to >= fromVersion,
       s"toVersion $to precedes fromVersion $fromVersion")
     if (!live.contains(fromVersion) && live.nonEmpty &&
@@ -1612,12 +1657,16 @@ object VersionedTable {
         s"version $fromVersion at $path has been expired from the log " +
           s"(oldest live version is ${live.head}) — re-baseline from a " +
           "full read of the current version")
+    toVersion.foreach(t => requireVisible(fs, path, t,
+      readHeader(fs, root, t)))
     val window = live.filter(v => v > fromVersion && v <= to)
+      .map(v => (v, readHeader(fs, root, v)))
+      .filter { case (_, h) => isVisible(fs, h) }
     var prev = files(spark, path, fromVersion).toSet
     val added = Seq.newBuilder[String]
-    window.foreach { v =>
+    window.foreach { case (v, h) =>
       val cur = files(spark, path, v).toSet
-      if (readHeader(fs, root, v).mode == "append")
+      if (h.mode == "append")
         added ++= (cur -- prev)
       prev = cur
     }
@@ -1657,21 +1706,28 @@ object VersionedTable {
     require(live.contains(version),
       s"version $version was never committed (or expired) at $path")
     val header = readHeader(fs, root, version)
+    requireVisible(fs, path, version, header)
     def tagged(df: DataFrame, tpe: String): DataFrame =
       df.withColumn("_change_type", lit(tpe))
         .withColumn("_commit_version", lit(version))
     val cur = read(spark, path, Some(version))
-    if (!live.contains(version - 1)) {
-      // v0's whole content IS its insert set; any other missing
-      // predecessor was expired (the log only ever loses a prefix)
-      if (version == 0) return tagged(cur, "insert")
+    // the diff base is the previous VISIBLE version (an aborted
+    // multi-table pending is a hole, not a predecessor)
+    val prevV = prevVisible(fs, root, live, version)
+    if (prevV.isEmpty) {
+      // No visible predecessor. If the log truly begins here (v0, or
+      // every earlier live version is an aborted hole with v0 still
+      // live) the whole content IS the insert set; an EXPIRED earlier
+      // history is the unrecoverable case (the log only loses a
+      // prefix).
+      if (version == 0 || live.head == 0) return tagged(cur, "insert")
       throw new VersionExpiredException(
-        s"version ${version - 1} at $path has been expired — the " +
-          s"change feed of v$version is unrecoverable; re-baseline")
+        s"the visible predecessor of v$version at $path has been " +
+          "expired — the change feed is unrecoverable; re-baseline")
     }
     header.mode match {
       case "append" =>
-        val before = files(spark, path, version - 1).toSet
+        val before = files(spark, path, prevV.get).toSet
         val added = files(spark, path, version).filterNot(before)
         if (added.isEmpty) tagged(cur.limit(0), "insert")
         else tagged(schemaRead(spark, header.schemaJson,
@@ -1682,10 +1738,10 @@ object VersionedTable {
       case "overwrite" =>
         // the replacement may have RESHAPED the schema: align by name,
         // null-filling columns either side lacks
-        tagged(read(spark, path, Some(version - 1)), "delete")
+        tagged(read(spark, path, Some(prevV.get)), "delete")
           .unionByName(tagged(cur, "insert"), allowMissingColumns = true)
       case _ => // delete / merge: diff ONLY the touched files
-        val before = files(spark, path, version - 1).toSet
+        val before = files(spark, path, prevV.get).toSet
         val after = files(spark, path, version).toSet
         val oldOnly = (before -- after).toSeq.sorted
         val newOnly = (after -- before).toSeq.sorted
@@ -1710,8 +1766,9 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val live = listVersionNumbers(fs, root)
-    val to = toVersion.orElse(live.lastOption).getOrElse(
-      throw new IllegalStateException(s"no committed versions at $path"))
+    val to = toVersion.orElse(latestVisible(fs, root, forWrite = false))
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
     require(to >= fromVersion,
       s"toVersion $to precedes fromVersion $fromVersion")
     if (!live.contains(fromVersion) && live.nonEmpty &&
@@ -1719,7 +1776,10 @@ object VersionedTable {
       throw new VersionExpiredException(
         s"version $fromVersion at $path has been expired — the change " +
           "window is gone; re-baseline from a full read")
+    toVersion.foreach(t => requireVisible(fs, path, t,
+      readHeader(fs, root, t)))
     val window = live.filter(v => v > fromVersion && v <= to)
+      .filter(v => isVisible(fs, readHeader(fs, root, v)))
     // schema evolution inside the window is legal: align per-version
     // feeds by name, null-filling columns the older versions lack
     window.map(v => readChanges(spark, path, v))
@@ -1792,12 +1852,14 @@ object VersionedTable {
     orphanFiles ++ orphanStages ++ orphanTmps
   }
 
-  /** The latest committed version, if any — one directory listing,
-    * zero manifest reads (what a poll-based consumer calls per tick). */
+  /** The latest committed version, if any — one directory listing
+    * plus one header read (what a poll-based consumer calls per tick;
+    * multi-table pending manifests resolve through their decision,
+    * cached once decided). */
   def latestVersion(spark: SparkSession, path: String): Option[Int] = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    listVersionNumbers(fs, root).lastOption
+    latestVisible(fs, root, forWrite = false)
   }
 
   /** The exact file list of a committed version. */
@@ -1819,6 +1881,9 @@ object VersionedTable {
       case Some(Header) =>
         val cols = statsColsOf(lines(3))
         lines.drop(7).map(parseEntry(_, cols))
+      case Some(HeaderV5) =>
+        val cols = statsColsOf(lines(3))
+        lines.drop(8).map(parseEntry(_, cols))
       case Some(HeaderV3) =>
         val cols = statsColsOf(lines(3))
         lines.drop(4).map(parseEntry(_, cols))
@@ -1834,9 +1899,10 @@ object VersionedTable {
     * without the file list. v4 headers are seven lines; pre-v4 headers
     * lack `nFiles`/`schema`/`ts` (nFiles falls back to a full line
     * count — the legacy-compat path only). */
-  private final case class ManifestHeader(mode: String,
+  private[graft] final case class ManifestHeader(mode: String,
       txnId: Option[String], statsCols: Seq[String], nFiles: Int,
-      schemaJson: Option[String], timestampMs: Long)
+      schemaJson: Option[String], timestampMs: Long,
+      pendingTxn: Option[String] = None)
 
   private def statsColsOf(line: String): Seq[String] =
     line.stripPrefix("stats:") match {
@@ -1846,21 +1912,26 @@ object VersionedTable {
 
   /** Header-only manifest read: v4 reads exactly seven lines and stops
     * — the file list is never materialized. */
-  private def readHeader(fs: FileSystem, root: Path,
+  private[graft] def readHeader(fs: FileSystem, root: Path,
       version: Int): ManifestHeader = {
     val mf = new Path(root, f"$LogDir/v$version%05d.manifest")
     require(fs.exists(mf),
       s"version $version was never committed (or expired) at $root")
-    val head = readHeadLines(fs, mf, 7)
+    val head = readHeadLines(fs, mf, 8)
     head.headOption match {
-      case Some(Header) =>
+      case Some(Header) | Some(HeaderV5) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
           statsColsOf(head(3)),
           head(4).stripPrefix("nfiles:").toInt,
           Option(head(5).stripPrefix("schema:")).filter(_ != "-")
             .map(s => java.net.URLDecoder.decode(s, "UTF-8")),
-          head(6).stripPrefix("ts:").toLong)
+          head(6).stripPrefix("ts:").toLong,
+          pendingTxn =
+            if (head.headOption.contains(HeaderV5))
+              Option(head(7).stripPrefix("pending:")).filter(_ != "-")
+                .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
+            else None)
       case Some(HeaderV3) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
@@ -1885,6 +1956,100 @@ object VersionedTable {
       .sorted.toSeq
   }
 
+  /** Raw slot numbers, pendings included ([[MultiTableTxn]]'s
+    * roll-forward probe). */
+  private[graft] def versionsRaw(fs: FileSystem, root: Path): Seq[Int] =
+    listVersionNumbers(fs, root)
+
+  // ---- multi-table txn visibility ------------------------------------
+
+  /** The decision of the multi-table txn behind `decisionUri`:
+    * `Some(true)` committed, `Some(false)` aborted, `None` undecided.
+    * Decisions are immutable once made (one atomic promote of the
+    * decision file — see [[MultiTableTxn]]), so decided outcomes are
+    * cached process-wide and a resolved pending manifest costs a map
+    * hit, not an FS probe, on every later read. */
+  private val decisionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def txnDecision(fs: FileSystem,
+      decisionUri: String): Option[Boolean] = {
+    val cached = decisionCache.get(decisionUri)
+    if (cached != null) return Some(cached.booleanValue)
+    val p = new Path(decisionUri)
+    val dfs = p.getFileSystem(fs.getConf)
+    if (!dfs.exists(p)) return None
+    val outcome = readHeadLines(dfs, p, 1).headOption match {
+      case Some("commit") => true
+      case Some("abort") => false
+      case other => throw new IllegalStateException(
+        s"corrupt txn decision file $decisionUri: first line $other")
+    }
+    decisionCache.put(decisionUri, outcome)
+    Some(outcome)
+  }
+
+  /** Is this manifest VISIBLE — a real committed version? Normal
+    * manifests always are; a multi-table pending manifest is visible
+    * iff its txn's decision file says `commit`. Undecided or aborted
+    * pendings are not versions at all for readers. */
+  private def isVisible(fs: FileSystem, h: ManifestHeader): Boolean =
+    h.pendingTxn.forall(uri => txnDecision(fs, uri).contains(true))
+
+  /** Resolve "the latest version" the way every read/write verb must:
+    * newest manifest that is DECIDED-visible. Walks raw slots
+    * newest→oldest — ONE header read in the steady state (the newest
+    * manifest is normally a plain commit). `forWrite = true` turns an
+    * UNDECIDED pending into [[TxnInDoubtException]]: a writer basing
+    * its carried file list on the pre-txn state while the txn might
+    * still commit would silently drop the txn's rows (lost update);
+    * readers instead snapshot the latest decided state. INVARIANT
+    * (enforced by this very gate plus the slot-collision check in the
+    * commit point): an undecided pending is always the tail — every
+    * later writer refuses until it is decided — so walking past one
+    * never skips decided history. */
+  private[graft] def latestVisible(fs: FileSystem, root: Path,
+      forWrite: Boolean): Option[Int] = {
+    val nums = listVersionNumbers(fs, root)
+    nums.reverseIterator.foreach { v =>
+      val h = readHeader(fs, root, v)
+      h.pendingTxn match {
+        case None => return Some(v)
+        case Some(uri) => txnDecision(fs, uri) match {
+          case Some(true) => return Some(v)
+          case Some(false) => () // aborted: a hole, keep walking
+          case None =>
+            if (forWrite) throw new TxnInDoubtException(
+              s"table $root has an UNDECIDED multi-table txn at " +
+                s"v$v (decision: $uri) — wait for the coordinator " +
+                "or resolve it with MultiTableTxn.abort")
+        }
+      }
+    }
+    None
+  }
+
+  private def requireVisible(fs: FileSystem, path: String, v: Int,
+      h: ManifestHeader): Unit =
+    h.pendingTxn.foreach { uri =>
+      txnDecision(fs, uri) match {
+        case Some(true) => ()
+        case Some(false) => throw new IllegalStateException(
+          s"version $v at $path belongs to an ABORTED multi-table " +
+            "txn — it was never committed")
+        case None => throw new TxnInDoubtException(
+          s"version $v at $path belongs to an UNDECIDED multi-table " +
+            s"txn (decision: $uri) — wait or MultiTableTxn.abort")
+      }
+    }
+
+  /** The largest visible version strictly below `v` (change-feed
+    * predecessor resolution: aborted holes are not predecessors). */
+  private def prevVisible(fs: FileSystem, root: Path,
+      live: Seq[Int], v: Int): Option[Int] =
+    live.filter(_ < v).reverseIterator
+      .find(p => isVisible(fs, readHeader(fs, root, p)))
+
   // ---- txn checkpoint --------------------------------------------------
 
   private final case class Checkpoint(latest: Int, txns: Map[String, Int])
@@ -1899,8 +2064,10 @@ object VersionedTable {
     ck.flatMap(_.txns.get(txnId)).orElse {
       val after = ck.map(_.latest).getOrElse(-1)
       nums.filter(_ > after).reverseIterator
-        .map(v => (v, readHeader(fs, root, v).txnId))
-        .collectFirst { case (v, Some(t)) if t == txnId => v }
+        .map(v => (v, readHeader(fs, root, v)))
+        .collectFirst {
+          case (v, h) if h.txnId.contains(txnId) && isVisible(fs, h) => v
+        }
     }
   }
 
@@ -1929,9 +2096,25 @@ object VersionedTable {
     if (v % CheckpointInterval != 0 || v == 0) return
     val prev = readCheckpoint(fs, root)
     val after = prev.map(_.latest).getOrElse(-1)
-    val nums = listVersionNumbers(fs, root).filter(n => n > after && n <= v)
-    val fresh = nums.flatMap(n =>
-      readHeader(fs, root, n).txnId.map(t => t -> n))
+    // Never advance the watermark past an UNDECIDED pending (its txn
+    // id must stay header-scannable until decided), and never index an
+    // invisible manifest (an aborted txn's id must not no-op a later
+    // honest commit).
+    val candidates = listVersionNumbers(fs, root)
+      .filter(n => n > after && n <= v)
+      .map(n => (n, readHeader(fs, root, n)))
+    val decidedPrefix = candidates.takeWhile { case (_, h) =>
+      h.pendingTxn.forall(uri => txnDecision(fs, uri).nonEmpty) }
+    if (decidedPrefix.size != candidates.size && decidedPrefix.isEmpty)
+      return
+    val watermark =
+      if (decidedPrefix.size == candidates.size) v
+      else decidedPrefix.last._1
+    val nums = decidedPrefix.map(_._1)
+    val fresh = decidedPrefix.collect {
+      case (n, h) if h.txnId.nonEmpty && isVisible(fs, h) =>
+        h.txnId.get -> n
+    }
     // Bound the index: replays only ever re-offer RECENT batch ids
     // (the foreachBatch crash window is one batch deep; the margin
     // covers manual backfills), so the dedup horizon is the last
@@ -1943,7 +2126,7 @@ object VersionedTable {
     val tmp = new Path(root,
       s"$LogDir/.$CkptName.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((Seq(CkptHeader, s"latest:$v") ++
+    try out.write((Seq(CkptHeader, s"latest:$watermark") ++
       txns.map { case (t, n) => s"$n:$t" })
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
@@ -2249,19 +2432,25 @@ object VersionedTable {
   private def tryWriteManifest(fs: FileSystem, root: Path, v: Int,
       mode: String, txnId: Option[String], cols: Seq[String],
       schemaJson: Option[String], entries: Seq[FileEntry],
-      onBeforePromote: () => Unit = () => ()): Boolean = {
+      onBeforePromote: () => Unit = () => (),
+      pendingTxn: Option[String] = None): Boolean = {
     val dest = new Path(root, f"$LogDir/v$v%05d.manifest")
     if (fs.exists(dest)) return false // fast-path; the promote re-checks
+    val header =
+      if (pendingTxn.isEmpty) Seq(Header, mode)
+      else Seq(HeaderV5, mode)
+    val tail = pendingTxn.toSeq.map(u =>
+      s"pending:${java.net.URLEncoder.encode(u, "UTF-8")}")
     val tmp = new Path(root,
       f"$LogDir/.v$v%05d.manifest.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)
-    try out.write((Seq(Header, mode, s"txn:${txnId.getOrElse("-")}",
+    try out.write((header ++ Seq(s"txn:${txnId.getOrElse("-")}",
       s"stats:${if (cols.isEmpty) "-" else cols.mkString(",")}",
       s"nfiles:${entries.size}",
       s"schema:${schemaJson.map(j =>
         java.net.URLEncoder.encode(j, "UTF-8")).getOrElse("-")}",
       s"ts:${System.currentTimeMillis()}")
-      ++ entries.map(formatEntry(_, cols)))
+      ++ tail ++ entries.map(formatEntry(_, cols)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     onBeforePromote()

@@ -1183,7 +1183,8 @@ object Ops {
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
     val cust = customer(s, d)
       .select(col("c_custkey"), col("c_name"))
-    val m = ords.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val mx = ords.agg(max(col("o_orderkey"))).collect()(0)
+    val m = if (mx.isNullAt(0)) 0L else mx.getLong(0) // empty input: m=0
     VersionedTable.commit(
       ords.where(col("o_orderkey") <= m / 4)
         .repartitionByRange(8, col("o_custkey"))
@@ -1198,30 +1199,32 @@ object Ops {
     // (1) baseline
     require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
       .contains(((-1, 0), (-1, 0))), "init materializes the full join")
-    // (2) both sides in ONE window: reassign + reprice the low-key
-    // orders; rename the low-key customers the reassignment targets
-    VersionedTable.mergeInto(s, l,
-      ords.where(col("o_orderkey") <= m / 20)
-        .select(col("o_orderkey"),
-          (pmod(col("o_custkey"), lit(100L)) + 1L).as("o_custkey"),
-          (col("o_totalprice") * 2).as("o_totalprice")),
-      Seq("o_orderkey"))
-    VersionedTable.mergeInto(s, r,
-      cust.where(col("c_custkey") <= 100L)
-        .select(col("c_custkey"),
-          concat(lit("renamed_"), col("c_custkey")).as("c_name")),
-      Seq("c_custkey"))
-    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
-      .contains(((0, 1), (0, 1))),
-      "one sync folds the both-sides window")
-    // (3) delete window: drop a customer band, cascading their orders
-    require(VersionedTable.deleteWhere(s, r,
-      col("c_custkey").between(101L, 150L)) >= 1)
-    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
-      .contains(((1, 1), (1, 2))), "delete window syncs lane 2 only")
-    // (4) replay no-op
-    require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
-      .isEmpty, "an up-to-date sync must no-op")
+    if (m > 0) {
+      // (2) both sides in ONE window: reassign + reprice the low-key
+      // orders; rename the low-key customers the reassignment targets
+      VersionedTable.mergeInto(s, l,
+        ords.where(col("o_orderkey") <= m / 20)
+          .select(col("o_orderkey"),
+            (pmod(col("o_custkey"), lit(100L)) + 1L).as("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice")),
+        Seq("o_orderkey"))
+      VersionedTable.mergeInto(s, r,
+        cust.where(col("c_custkey") <= 100L)
+          .select(col("c_custkey"),
+            concat(lit("renamed_"), col("c_custkey")).as("c_name")),
+        Seq("c_custkey"))
+      require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+        .contains(((0, 1), (0, 1))),
+        "one sync folds the both-sides window")
+      // (3) delete window: drop a customer band, cascading their orders
+      require(VersionedTable.deleteWhere(s, r,
+        col("c_custkey").between(101L, 150L)) >= 1)
+      require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+        .contains(((1, 1), (1, 2))), "delete window syncs lane 2 only")
+      // (4) replay no-op
+      require(IncrementalJoinView.sync(s, v, l, r, on, pk._1, pk._2)
+        .isEmpty, "an up-to-date sync must no-op")
+    }
     VersionedTable.read(s, v)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         col("c_custkey"), col("c_name"))
