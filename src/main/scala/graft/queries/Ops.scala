@@ -1255,6 +1255,61 @@ object Ops {
          |  ON v0.doc_id <=> cur.doc_id""".stripMargin)
   }
 
+  // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
+  // classic two-table atomic move — split the documents corpus so the
+  // doc_id % 7 band MOVES from table A to table B in ONE commit
+  // (A-overwrite + B-overwrite, a single decision-file promote), after
+  // an ABORTED txn (staged on both tables, decision = abort) proves
+  // the all-or-nothing contract: the bogus move-everything txn leaves
+  // both tables bit-identical. The result is both tables' rows tagged
+  // by origin; the oracle replays the band split — any torn state
+  // (half-applied txn, leaked abort) flips the hash.
+  val opVtMultiTxn: Q = (s, d) => {
+    import graft.operators.{MultiTableTxn, VersionedTable}
+    import graft.operators.MultiTableTxn.TableWrite
+    val dir = Sources.fixtureDir(s, "graft_mtxn_")
+    Sources.registerCleanup(dir)
+    val (a, b, dec) = (s"${dir.getAbsolutePath}/a",
+      s"${dir.getAbsolutePath}/b", s"${dir.getAbsolutePath}/txns")
+    val docs = documents(s, d).where(col("doc_id").isNotNull)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+    VersionedTable.commit(docs, a, overwrite = true,
+      statsCols = Seq("doc_id"))
+    VersionedTable.commit(docs.limit(0), b, overwrite = true)
+    // an ABORTED txn first: stage a bogus move of EVERYTHING, decide
+    // abort — both tables must remain exactly as committed above
+    new java.io.File(dec).mkdirs()
+    val bogusUri = MultiTableTxn.decisionUri(dec, "bogus")
+    VersionedTable.commitImpl(docs.limit(0), a, overwrite = true,
+      txnId = Some("mtxn_bogus_0"), statsCols = Seq.empty,
+      maxRetries = 5, onBeforeManifestCommit = () => (),
+      pendingTxn = Some(bogusUri))
+    VersionedTable.commitImpl(docs, b, overwrite = true,
+      txnId = Some("mtxn_bogus_1"), statsCols = Seq.empty,
+      maxRetries = 5, onBeforeManifestCommit = () => (),
+      pendingTxn = Some(bogusUri))
+    require(MultiTableTxn.abort(s, dec, "bogus"))
+    require(VersionedTable.read(s, b).isEmpty,
+      "aborted txn must leave B empty")
+    // the REAL move, atomically across both tables
+    val vs = MultiTableTxn.commit(s, Seq(
+      TableWrite(docs.where(col("doc_id") % 7 =!= 0), a,
+        overwrite = true, statsCols = Seq("doc_id")),
+      TableWrite(docs.where(col("doc_id") % 7 === 0), b,
+        overwrite = true, statsCols = Seq("doc_id"))),
+      dec, "move7")
+    // replay (crash-after-decision recovery) must be a no-op
+    require(MultiTableTxn.commit(s, Seq(
+      TableWrite(docs.where(col("doc_id") % 7 =!= 0), a,
+        overwrite = true, statsCols = Seq("doc_id")),
+      TableWrite(docs.where(col("doc_id") % 7 === 0), b,
+        overwrite = true, statsCols = Seq("doc_id"))),
+      dec, "move7") == vs, "re-driven txn must resolve, not re-commit")
+    VersionedTable.read(s, a).withColumn("tbl", lit("a"))
+      .unionByName(VersionedTable.read(s, b).withColumn("tbl", lit("b")))
+      .select(col("tbl"), col("doc_id"), col("h"))
+  }
+
   // Triangle counting over the part co-purchase graph via
   // degree-ordered orientation (operators/Triangles.scala — wedges
   // only from the low-degree corner, O(|E|^1.5) candidates, no hub
@@ -1528,6 +1583,7 @@ object Ops {
     "op_vt_sync_changes" -> opVtSyncChanges,
     "op_vt_join_view" -> opVtJoinView,
     "op_vt_sql_travel" -> opVtSqlTravel,
+    "op_vt_multi_txn" -> opVtMultiTxn,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1853,6 +1909,13 @@ object Ops {
         |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
         |FROM final GROUP BY 1, 2""".stripMargin,
+    // The atomic two-table move must equal the band split — and the
+    // aborted move-everything txn must be invisible (a leaked abort
+    // would put every row in 'b').
+    "op_vt_multi_txn" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN 'b' ELSE 'a' END AS tbl,
+        |  doc_id, md5(coalesce(text, '')) AS h
+        |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // SQL time travel must surface exactly the deleted band: the
     // VERSION AS OF 0 snapshot minus the latest state = the rows the
     // delete predicate removed (null doc_ids survive a WHERE-delete).
