@@ -399,6 +399,106 @@ object VersionedTable {
     -1 // unreachable
   }
 
+  /** Row-level UPDATE ... SET ... WHERE as a versioned commit — the
+    * everyday mutation between [[deleteWhere]] (remove matching rows)
+    * and [[replaceWhere]] (replace a whole slice with new content):
+    * rows where `predicate` is TRUE get each `set` column replaced by
+    * its expression (evaluated against the row — `set("price",
+    * col("price") * 1.1)` composes), every other row — and every file
+    * holding no matching row — is untouched. Only files that CAN hold
+    * a match are rewritten (one discovery scan, footer-pruned like any
+    * read); everything else carries into the new version BY REFERENCE.
+    * The prior version stays time-travelable; `txnId` replays no-op;
+    * a lost manifest race restarts discovery (the serializable retry —
+    * the touched set depends on data a concurrent winner may have
+    * changed).
+    *
+    * Contract: `set` keys must be existing table columns and each
+    * expression must keep its column's recorded TYPE (an UPDATE that
+    * silently reshapes a 100 TB table's schema is how cross-type reads
+    * are born — evolution goes through [[commit]]); CHECK constraints
+    * are enforced on the POST-IMAGE of the touched rows before
+    * anything stages. Commits as mode `update` (non-append:
+    * append-only incremental readers refuse or skip per their policy;
+    * the row-level change feed derives its delete/insert pairs from
+    * the manifest diff as for any rewrite). `clusterBy` re-sorts the
+    * rewritten files so a clustered table's spans stay tight under
+    * UPDATE traffic — the same preventive lever [[mergeInto]] carries. */
+  def updateWhere(spark: SparkSession, path: String, predicate: Column,
+      set: Map[String, Column], txnId: Option[String] = None,
+      maxRetries: Int = 5, clusterBy: Seq[String] = Seq.empty): Int = {
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    var triesLeft = maxRetries
+    while (true) {
+      val nums = listVersionNumbers(fs, root)
+      txnId.foreach { t =>
+        findTxn(fs, root, nums, t).foreach(v => return v)
+      }
+      val v = latestVisible(fs, root, forWrite = true).getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+      val entries = readEntries(spark, path, v)
+      if (entries.isEmpty) return v
+      val header = readHeader(fs, root, v)
+      val tableCols = schemaOf(spark, path, v).map(_.fieldNames.toSeq)
+        .getOrElse(read(spark, path, Some(v)).columns.toSeq)
+      val missing = set.keys.filterNot(tableCols.contains)
+      require(missing.isEmpty,
+        s"updateWhere: SET targets non-existent column(s) " +
+          s"${missing.mkString(",")} — schema evolution goes through " +
+          "commit(), not UPDATE")
+      val all = entries.map(e => s"$path/${e.name}")
+      val touched = schemaRead(spark, header.schemaJson, all)
+        .where(predicate)
+        .select(input_file_name().as("f"))
+        .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
+      if (touched.isEmpty) return v
+      val (rewrite, carried) = entries.partition(e => touched(e.name))
+      val base = schemaRead(spark, header.schemaJson,
+        rewrite.map(e => s"$path/${e.name}"))
+      // post-image: SET applies exactly where the predicate is TRUE
+      // (SQL UPDATE semantics — a NULL predicate leaves the row alone)
+      val p = coalesce(predicate, lit(false))
+      val updated = tableCols.foldLeft(base) { (df, c) =>
+        set.get(c).fold(df)(e =>
+          df.withColumn(c, when(p, e).otherwise(col(c))))
+      }.select(tableCols.map(col): _*)
+      // type contract: the post-image must keep every column's type
+      header.schemaJson.map(decodeSchema).foreach { ts =>
+        val got = updated.schema.fields.map(f => f.name -> f.dataType).toMap
+        ts.fields.filter(f => set.contains(f.name)).foreach { f =>
+          require(got(f.name) == f.dataType,
+            s"updateWhere: SET changes ${f.name}'s type " +
+              s"${f.dataType.simpleString} -> " +
+              s"${got(f.name).simpleString} — refuse (evolution goes " +
+              "through commit())")
+        }
+      }
+      enforceConstraints(updated.where(p), constraintsOf(fs, root),
+        s"updateWhere post-image at $path")
+      val v2 = v + 1
+      val cols = resolveStatsCols(Some(header), Seq.empty)
+      val out = clusterOut(updated, clusterBy,
+        math.max(1, rewrite.size))
+      val published = stageAndPublish(out, fs, root, v2, cols)
+      val newEntries = published.map(n =>
+        footerEntry(fs, conf, new Path(root, n), cols))
+      if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
+          header.schemaJson, carried ++ newEntries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      triesLeft -= 1
+      if (triesLeft < 0) throw new IllegalStateException(
+        s"versioned update at $path lost the manifest race " +
+          s"$maxRetries times — giving up")
+    }
+    -1 // unreachable
+  }
+
   /** MERGE INTO (upsert) as a versioned commit — [[SnapshotMerge]]'s
     * semantics lifted onto the commit log the way [[deleteWhere]]
     * lifted [[TargetedDelete]]: target rows whose key tuple matches a

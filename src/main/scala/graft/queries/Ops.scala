@@ -1255,6 +1255,39 @@ object Ops {
          |  ON v0.doc_id <=> cur.doc_id""".stripMargin)
   }
 
+  // Row-level UPDATE ... SET ... WHERE as a versioned commit
+  // (VersionedTable.updateWhere): the everyday mutation verb — SET
+  // expressions evaluate against each matching row (quantity triples,
+  // +1), files that cannot hold a match carry BY REFERENCE (gated:
+  // v0 ∩ v1 file sets non-empty on the clustered layout), a replayed
+  // txnId no-ops. The oracle replays the update as a CASE expression
+  // over the source table — any stray write to a non-matching row, or
+  // a missed matching row, flips the hash.
+  val opVtUpdate: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtupd_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.format("graft-vt").option("statsCols", "l_orderkey").save(t)
+    val v1 = VersionedTable.updateWhere(s, t,
+      col("l_orderkey").between(1000L, 3000L),
+      Map("l_quantity" -> (col("l_quantity") * 3 + 1)),
+      txnId = Some("upd_band"))
+    require(v1 == 1, s"update commits v1: $v1")
+    require(VersionedTable.files(s, t, 1).toSet
+      .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
+      "files outside the band must carry by reference")
+    require(VersionedTable.updateWhere(s, t,
+      col("l_orderkey").between(1000L, 3000L),
+      Map("l_quantity" -> (col("l_quantity") * 3 + 1)),
+      txnId = Some("upd_band")) == 1, "replayed update must no-op")
+    VersionedTable.read(s, t)
+  }
+
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
   // classic two-table atomic move — split the documents corpus so the
   // doc_id % 7 band MOVES from table A to table B in ONE commit
@@ -1584,6 +1617,7 @@ object Ops {
     "op_vt_join_view" -> opVtJoinView,
     "op_vt_sql_travel" -> opVtSqlTravel,
     "op_vt_multi_txn" -> opVtMultiTxn,
+    "op_vt_update" -> opVtUpdate,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1909,6 +1943,13 @@ object Ops {
         |  floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
         |    / count(*) * 1000000 + 0.5) / 1000000 AS avg_o_totalprice
         |FROM final GROUP BY 1, 2""".stripMargin,
+    // UPDATE must equal the CASE replay: tripled+1 quantity exactly in
+    // the key band, untouched elsewhere.
+    "op_vt_update" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey BETWEEN 1000 AND 3000
+        |       THEN l_quantity * 3 + 1 ELSE l_quantity END AS l_quantity
+        |FROM lineitem""".stripMargin,
     // The atomic two-table move must equal the band split — and the
     // aborted move-everything txn must be invisible (a leaked abort
     // would put every row in 'b').

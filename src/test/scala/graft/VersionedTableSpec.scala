@@ -547,6 +547,63 @@ class VersionedTableSpec extends AnyFunSuite {
     trueRace()
   }
 
+  test("updateWhere: row-level SET, carried files, contracts") {
+    import spark.implicits._
+    val t = tmpTable()
+    val src = (0L until 400L).map(i => (i, s"s$i", i * 10.0))
+      .toDF("id", "s", "price")
+    VersionedTable.commit(
+      src.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // update the low band: expressions compose against the row
+    val v1 = VersionedTable.updateWhere(spark, t,
+      col("id") < 100L,
+      Map("price" -> (col("price") * 2 + 1),
+          "s" -> concat(lit("u_"), col("s"))),
+      txnId = Some("upd1"))
+    assert(v1 == 1)
+    val got = VersionedTable.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    val expect = (0L until 400L).map { i =>
+      if (i < 100) (i, s"u_s$i", i * 20.0 + 1) else (i, s"s$i", i * 10.0)
+    }.toSet
+    assert(got == expect)
+    // only the touched file(s) were rewritten
+    val carried = VersionedTable.files(spark, t, 1).toSet
+      .intersect(VersionedTable.files(spark, t, 0).toSet)
+    assert(carried.nonEmpty, "untouched files must carry by reference")
+    // replayed txn no-ops; no-match update commits nothing
+    assert(VersionedTable.updateWhere(spark, t, col("id") < 100L,
+      Map("price" -> lit(0.0)), txnId = Some("upd1")) == 1)
+    assert(VersionedTable.updateWhere(spark, t, col("id") < 0L,
+      Map("price" -> lit(0.0))) == 1)
+    // contracts: unknown column and type change refuse
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, col("id") === 1L,
+        Map("nope" -> lit(1)))
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, col("id") === 1L,
+        Map("price" -> lit("oops")))
+    }
+    // constraints gate the POST-image
+    VersionedTable.setConstraint(spark, t, "pos", "price >= 0")
+    intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, col("id") === 1L,
+        Map("price" -> lit(-5.0)))
+    }
+    // the change feed derives delete/insert pairs across the update
+    val feed = VersionedTable.readChanges(spark, t, 1)
+    val ups = feed.where(col("_change_type") === "insert" &&
+      col("id") < 100L).count()
+    assert(ups == 100L, s"100 post-image inserts in the feed: $ups")
+    // time travel still shows the pre-update state
+    assert(VersionedTable.read(spark, t, Some(0))
+      .where(col("id") === 1L).select("price")
+      .collect()(0).getDouble(0) == 10.0)
+  }
+
   test("entry checkpoint: job-pruned planning equals the driver parse") {
     val t = tmpTable()
     VersionedTable.commit(
