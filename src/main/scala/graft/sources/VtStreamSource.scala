@@ -199,7 +199,26 @@ final class VtStreamSource extends StreamSourceProvider
     * (default `vtsink`; set it when DIFFERENT streams write one table,
     * so their batchId spaces cannot collide). Hive-style
     * `partitionBy` is refused — layout inside a versioned table is
-    * owned by clustering (`compact(clusterBy)`), not directory trees. */
+    * owned by clustering (`compact(clusterBy)`), not directory trees.
+    *
+    * AUTO-MAINTENANCE (the long-running pipeline's two chores, run by
+    * the sink itself so nobody has to remember a cron):
+    *  - `compactSmallEvery=N` — every N-th batch, run
+    *    [[VersionedTable.compactSmall]] (pack only the per-batch small
+    *    files into ~128 MB ones; big files carry untouched). Repairs
+    *    the sink's natural failure mode — one small file per
+    *    micro-batch — as it happens. The compaction is an `optimize`
+    *    commit: an append-only DOWNSTREAM incremental consumer of this
+    *    table should read with `skipChangeCommits` (rides over it) —
+    *    the same posture any OPTIMIZE requires.
+    *  - `retainLast=K` — after each batch, [[VersionedTable.expire]]
+    *    all but the last K versions (bounded log + storage under an
+    *    infinite stream). A downstream consumer that falls more than K
+    *    batches behind gets the distinguishable re-baseline signal,
+    *    never wrong rows — size K to the consumer lag you tolerate.
+    * Both run AFTER the batch's own commit; a replayed batch re-runs
+    * them harmlessly (compactSmall no-ops under the threshold, expire
+    * of already-expired versions is empty). */
   override def createSink(sqlContext: SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode):
@@ -237,8 +256,15 @@ final class VtStreamSource extends StreamSourceProvider
         false
       case _ => false // Append
     }
+    val compactEvery = parameters.get("compactSmallEvery").map(_.toInt)
+    require(compactEvery.forall(_ >= 1),
+      s"compactSmallEvery must be >= 1: $compactEvery")
+    val retainLast = parameters.get("retainLast").map(_.toInt)
+    require(retainLast.forall(_ >= 1),
+      s"retainLast must be >= 1: $retainLast")
     new VtSink(sqlContext.sparkSession, path, statsCols, txnPrefix,
-      mergeKeys, tombstoneCol, overwrite, sinkClusterBy)
+      mergeKeys, tombstoneCol, overwrite, sinkClusterBy,
+      compactEvery, retainLast)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -305,7 +331,9 @@ final class VtStreamSource extends StreamSourceProvider
 private final class VtSink(spark: SparkSession, path: String,
     statsCols: Seq[String], txnPrefix: String, mergeKeys: Seq[String],
     tombstoneCol: Option[String], overwrite: Boolean,
-    clusterBy: Seq[String] = Seq.empty)
+    clusterBy: Seq[String] = Seq.empty,
+    compactSmallEvery: Option[Int] = None,
+    retainLast: Option[Int] = None)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -327,6 +355,12 @@ private final class VtSink(spark: SparkSession, path: String,
         txnId = txn, tombstoneCol = tombstoneCol,
         clusterBy = clusterBy): Unit
     }
+    // auto-maintenance AFTER the batch's commit (see createSink doc):
+    // batchId-keyed cadence is deterministic across replays, and both
+    // chores are no-ops when there is nothing to do
+    if (compactSmallEvery.exists(n => batchId % n == n - 1))
+      VersionedTable.compactSmall(spark, path): Unit
+    retainLast.foreach(k => VersionedTable.expire(spark, path, k))
   }
 
   override def toString: String = s"VtSink[$path]"

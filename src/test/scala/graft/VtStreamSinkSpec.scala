@@ -87,6 +87,43 @@ class VtStreamSinkSpec extends AnyFunSuite {
     assert(VersionedTable.latestVersion(spark, m) == before)
   }
 
+  test("auto-maintenance: compactSmallEvery packs, retainLast bounds the log") {
+    val dir = tmpDir()
+    // compactSmallEvery=3: after batches 2, 5, ... the per-batch small
+    // files pack into one; appends in between still land normally
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val sink = mkSink(t, OutputMode.Append(),
+      Map("compactSmallEvery" -> "3"))
+    sink.addBatch(0, df(0 until 10))
+    sink.addBatch(1, df(10 until 20))
+    sink.addBatch(2, df(20 until 30)) // triggers compactSmall
+    val modes = VersionedTable.versions(spark, t).map(_.mode)
+    assert(modes == Seq("append", "append", "append", "optimize"),
+      s"third batch triggers the pack: $modes")
+    assert(VersionedTable.files(spark, t,
+      VersionedTable.latestVersion(spark, t).get).size <
+      VersionedTable.files(spark, t, 2).size,
+      "packing must reduce the file count")
+    assert(VersionedTable.read(spark, t).select("id")
+      .as[Long].collect().sorted.toSeq == (0L until 30L),
+      "maintenance is content-invisible")
+    // a replayed maintenance batch no-ops (commit txn + packed files)
+    sink.addBatch(2, df(20 until 30))
+    assert(VersionedTable.read(spark, t).count() == 30)
+
+    // retainLast=2: the log never grows past 2 versions
+    val r = new java.io.File(dir, "r").getAbsolutePath
+    val sink2 = mkSink(r, OutputMode.Append(),
+      Map("retainLast" -> "2"))
+    sink2.addBatch(0, df(0 until 5))
+    sink2.addBatch(1, df(5 until 10))
+    sink2.addBatch(2, df(10 until 15))
+    assert(VersionedTable.versions(spark, r).size == 2,
+      "retention bounds the live history")
+    assert(VersionedTable.read(spark, r).count() == 15,
+      "content is never lost — only old manifests expire")
+  }
+
   test("end-to-end vt->vt relay through writeStream.format") {
     val dir = tmpDir()
     val src = new java.io.File(dir, "src").getAbsolutePath
