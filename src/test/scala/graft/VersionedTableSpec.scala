@@ -643,6 +643,72 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(!ckptDir.exists, "expired version's entry checkpoint swept")
   }
 
+  test("randomized CONCURRENT writers: mixed verbs serialize (seeded)") {
+    // Three writers race unsynchronized mixed-verb sequences (append /
+    // mergeInto / deleteWhere) against ONE table, each confined to its
+    // own key space so cross-thread operations COMMUTE — the final
+    // content is then the deterministic union of each thread's local
+    // model, whatever serial order the optimistic machinery settled
+    // on. Every verb's retry path (blind re-slot for appends, full
+    // discovery restart for delete/merge) gets exercised under real
+    // contention; any lost update, phantom row, or torn carried list
+    // diverges the model. Invariants checked after the storm: content
+    // == union of models, version numbers contiguous from 0, every
+    // live version time-travel readable.
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(df(0 until 0), t, overwrite = true)
+    val nThreads = 3
+    val opsPerThread = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val models = (0 until nThreads).map { tid =>
+      pool.submit(new java.util.concurrent.Callable[Map[Long, String]] {
+        def call(): Map[Long, String] = {
+          val rnd = new scala.util.Random(0xC0 + tid)
+          val base = 10000L * (tid + 1)
+          var model = Map.empty[Long, String]
+          var nextId = 0L
+          for (op <- 0 until opsPerThread) rnd.nextInt(3) match {
+            case 0 => // append a fresh range
+              val ids = (nextId until nextId + 3).map(base + _)
+              nextId += 3
+              val rows = ids.map(i => (i, s"t${tid}_a$op$i"))
+              VersionedTable.commit(rows.toDF("id", "s"), t,
+                overwrite = false, maxRetries = 30)
+              model ++= rows
+            case 1 => // merge: upsert half my live keys + one insert
+              val touch = model.keys.toSeq.sorted.take(2) :+
+                (base + 9000L + op)
+              val rows = touch.map(i => (i, s"t${tid}_m$op$i"))
+              VersionedTable.mergeInto(spark, t,
+                rows.toDF("id", "s"), Seq("id"), maxRetries = 30)
+              model ++= rows
+            case 2 => // delete one of my live keys (if any)
+              model.keys.toSeq.sorted.headOption.foreach { k =>
+                VersionedTable.deleteWhere(spark, t, col("id") === k,
+                  maxRetries = 30)
+                model -= k
+              }
+          }
+          model
+        }
+      })
+    }
+    val expect = models.map(
+      _.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      .reduce(_ ++ _)
+    pool.shutdown()
+    val got = VersionedTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == expect,
+      s"content diverged from the union of thread models: " +
+        s"extra=${(got.keySet -- expect.keySet).toSeq.sorted.take(5)} " +
+        s"missing=${(expect.keySet -- got.keySet).toSeq.sorted.take(5)}")
+    val vs = VersionedTable.versions(spark, t).map(_.version)
+    assert(vs == (0 to vs.max), s"contiguous versions: $vs")
+    vs.foreach(v => VersionedTable.read(spark, t, Some(v)).count())
+  }
+
   test("the same TRUE race through the conditional-put coordinator") {
     val prev = VersionedTable.commitCoordinator
     VersionedTable.setCommitCoordinator(
