@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** MULTI-TABLE TRANSACTIONS over [[VersionedTable]]s — several tables,
   * one all-or-nothing commit (the lakehouse-layer gap single-table
@@ -49,9 +49,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object MultiTableTxn {
 
-  /** One table's write inside the transaction. */
+  /** One table's operation inside the transaction. Delete/merge/update
+    * stage through their DELTA-SIZED verbs (touched files only) — at
+    * 100 TB an atomic "move rows from A to B" is a
+    * [[TableDelete]]+[[TableWrite]] pair rewriting O(touched) files,
+    * never an overwrite of either table. */
+  sealed trait TableOp { def path: String }
+  /** Append (`overwrite = false`) or replace the table's content. */
   final case class TableWrite(df: DataFrame, path: String,
       overwrite: Boolean, statsCols: Seq[String] = Seq.empty)
+    extends TableOp
+  /** [[VersionedTable.deleteWhere]] inside the txn. NOTE: a delete
+    * matching nothing commits nothing — the table simply isn't part
+    * of the txn (its returned version is the current one). */
+  final case class TableDelete(path: String, predicate: Column)
+    extends TableOp
+  /** [[VersionedTable.mergeInto]] (upsert / CDC apply) inside the txn. */
+  final case class TableMerge(path: String, source: DataFrame,
+      keys: Seq[String], tombstoneCol: Option[String] = None)
+    extends TableOp
+  /** [[VersionedTable.updateWhere]] inside the txn (same
+    * nothing-matched caveat as [[TableDelete]]). */
+  final case class TableUpdate(path: String, predicate: Column,
+      set: Map[String, Column]) extends TableOp
 
   def decisionUri(decisionDir: String, txnId: String): String =
     s"$decisionDir/$txnId.decision"
@@ -62,11 +82,11 @@ object MultiTableTxn {
     * reused, missing ones staged, and an existing commit decision
     * makes the whole call an idempotent no-op. Throws
     * `IllegalStateException` when the txn was already ABORTED. */
-  def commit(spark: SparkSession, writes: Seq[TableWrite],
+  def commit(spark: SparkSession, writes: Seq[TableOp],
       decisionDir: String, txnId: String): Seq[Int] = {
     require(writes.nonEmpty, "MultiTableTxn: no writes")
     require(writes.map(_.path).distinct.size == writes.size,
-      "MultiTableTxn: one write per table — combine frames first")
+      "MultiTableTxn: one operation per table — combine frames first")
     require(txnId.nonEmpty && !txnId.exists(c => c < ' ' || c == '/'),
       s"txnId must be printable and slash-free: $txnId")
     val uri = decisionUri(decisionDir, txnId)
@@ -78,12 +98,11 @@ object MultiTableTxn {
         s"multi-table txn $txnId was ABORTED — a new txnId is required")
       case Some(true) =>
         // replay after a completed commit: resolve the versions the
-        // txn landed (per-table txn records are visible now)
+        // txn landed (per-table txn records are visible now); −1 =
+        // that op committed nothing (empty delta) or its manifest was
+        // since expired
         return writes.zipWithIndex.map { case (w, i) =>
-          findStaged(spark, w.path, perTableTxn(txnId, i)).getOrElse(
-            throw new IllegalStateException(
-              s"txn $txnId is committed but table ${w.path} has no " +
-                s"manifest for it — was the table's history expired?"))
+          findStaged(spark, w.path, perTableTxn(txnId, i)).getOrElse(-1)
         }
       case None => ()
     }
@@ -92,11 +111,23 @@ object MultiTableTxn {
     val versions =
       try writes.zipWithIndex.map { case (w, i) =>
         val t = perTableTxn(txnId, i)
-        findStaged(spark, w.path, t).getOrElse(
-          VersionedTable.commitImpl(w.df, w.path, w.overwrite,
-            txnId = Some(t), statsCols = w.statsCols, maxRetries = 5,
-            onBeforeManifestCommit = () => (),
-            pendingTxn = Some(uri)))
+        findStaged(spark, w.path, t).getOrElse(w match {
+          case TableWrite(df, path, overwrite, statsCols) =>
+            VersionedTable.commitImpl(df, path, overwrite,
+              txnId = Some(t), statsCols = statsCols, maxRetries = 5,
+              onBeforeManifestCommit = () => (),
+              pendingTxn = Some(uri))
+          case TableDelete(path, predicate) =>
+            VersionedTable.deleteWhere(spark, path, predicate,
+              txnId = Some(t), pendingTxn = Some(uri))
+          case TableMerge(path, source, keys, tombstoneCol) =>
+            VersionedTable.mergeInto(spark, path, source, keys,
+              txnId = Some(t), tombstoneCol = tombstoneCol,
+              pendingTxn = Some(uri))
+          case TableUpdate(path, predicate, set) =>
+            VersionedTable.updateWhere(spark, path, predicate, set,
+              txnId = Some(t), pendingTxn = Some(uri))
+        })
       } catch {
         case e: Throwable =>
           try abort(spark, decisionDir, txnId) catch { case _: Throwable => () }

@@ -353,7 +353,8 @@ object VersionedTable {
     * data a concurrent winner may have changed, so re-running
     * discovery is the only serializable retry. */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
-      txnId: Option[String] = None, maxRetries: Int = 5): Int = {
+      txnId: Option[String] = None, maxRetries: Int = 5,
+      pendingTxn: Option[String] = None): Int = {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -384,8 +385,9 @@ object VersionedTable {
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
-          header.schemaJson, carried ++ newEntries)) {
-        maybeCheckpoint(fs, root, v2)
+          header.schemaJson, carried ++ newEntries,
+          pendingTxn = pendingTxn)) {
+        if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
         return v2
       }
       // lost the race: drop our rewrites (vacuum-class debris swept
@@ -426,7 +428,8 @@ object VersionedTable {
     * UPDATE traffic — the same preventive lever [[mergeInto]] carries. */
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
       set: Map[String, Column], txnId: Option[String] = None,
-      maxRetries: Int = 5, clusterBy: Seq[String] = Seq.empty): Int = {
+      maxRetries: Int = 5, clusterBy: Seq[String] = Seq.empty,
+      pendingTxn: Option[String] = None): Int = {
     require(set.nonEmpty, "updateWhere: empty SET clause")
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
@@ -486,8 +489,9 @@ object VersionedTable {
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
-          header.schemaJson, carried ++ newEntries)) {
-        maybeCheckpoint(fs, root, v2)
+          header.schemaJson, carried ++ newEntries,
+          pendingTxn = pendingTxn)) {
+        if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
         return v2
       }
       published.foreach(n => fs.delete(new Path(root, n), false))
@@ -535,7 +539,8 @@ object VersionedTable {
   def mergeInto(spark: SparkSession, path: String, source: DataFrame,
       keys: Seq[String], txnId: Option[String] = None,
       maxRetries: Int = 5, tombstoneCol: Option[String] = None,
-      clusterBy: Seq[String] = Seq.empty): Int = {
+      clusterBy: Seq[String] = Seq.empty,
+      pendingTxn: Option[String] = None): Int = {
     require(keys.nonEmpty, "mergeInto: no key columns")
     require(keys.forall(source.columns.contains),
       s"mergeInto: source lacks key columns " +
@@ -667,8 +672,9 @@ object VersionedTable {
       val newEntries = published.map(n =>
         footerEntry(fs, conf, new Path(root, n), cols))
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
-          header.schemaJson, carried ++ newEntries)) {
-        maybeCheckpoint(fs, root, v2)
+          header.schemaJson, carried ++ newEntries,
+          pendingTxn = pendingTxn)) {
+        if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
         return v2
       }
       published.foreach(n => fs.delete(new Path(root, n), false))

@@ -144,6 +144,56 @@ class MultiTableTxnSpec extends AnyFunSuite {
     }
   }
 
+  test("delta-sized txn verbs: atomic move via delete+append, merge+update") {
+    val d = tmp()
+    val (a, b, dec) = (s"$d/a", s"$d/b", s"$d/txns")
+    // A clustered so the delete's touched set is a file subset
+    VersionedTable.commit(
+      df(0 until 400, "a").repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"),
+      a, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.commit(df(1000 until 1003, "b"), b, overwrite = true)
+    // the classic MOVE: delete the low band from A, append it to B —
+    // one atomic commit, delete staged via the DELTA verb
+    val band = df(0 until 100, "a")
+    val vs = MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableDelete(a, col("id") < 100L),
+      MultiTableTxn.TableWrite(band, b, overwrite = false)),
+      dec, "mv")
+    assert(vs == Seq(1, 1))
+    assert(ids(a) == (100L until 400L))
+    assert(ids(b) == ((0L until 100L) ++ (1000L until 1003L)))
+    // the delete was delta-sized: untouched A files carried by reference
+    val carried = VersionedTable.files(spark, a, 1).toSet
+      .intersect(VersionedTable.files(spark, a, 0).toSet)
+    assert(carried.nonEmpty,
+      "txn delete must carry untouched files by reference")
+    // merge + update in one txn
+    val vs2 = MultiTableTxn.commit(spark, Seq(
+      MultiTableTxn.TableMerge(a,
+        df(200 until 202, "am"), Seq("id")),
+      MultiTableTxn.TableUpdate(b, col("id") < 50L,
+        Map("s" -> concat(lit("u_"), col("s"))))),
+      dec, "mu")
+    assert(vs2 == Seq(2, 2))
+    assert(VersionedTable.read(spark, a).where(col("id") === 200L)
+      .select("s").collect()(0).getString(0) == "am200")
+    assert(VersionedTable.read(spark, b).where(col("id") === 7L)
+      .select("s").collect()(0).getString(0) == "u_a7")
+    assert(VersionedTable.read(spark, b).where(col("id") === 99L)
+      .select("s").collect()(0).getString(0) == "a99")
+    // an ABORTED delete+append move leaves both tables untouched
+    val before = (ids(a), ids(b))
+    val uri = MultiTableTxn.decisionUri(dec, "mvX")
+    VersionedTable.deleteWhere(spark, a, col("id") >= 300L,
+      txnId = Some("mtxn_mvX_0"), pendingTxn = Some(uri))
+    assert(MultiTableTxn.abort(spark, dec, "mvX"))
+    assert((ids(a), ids(b)) == before, "aborted move must be invisible")
+    // and A accepts normal writes again
+    VersionedTable.commit(df(5000 until 5002, "a"), a, overwrite = false)
+    assert(ids(a).contains(5001L))
+  }
+
   test("expire never destroys an undecided pending; aborted ones expire") {
     val d = tmp()
     val (a, dec) = (s"$d/a", s"$d/txns")
