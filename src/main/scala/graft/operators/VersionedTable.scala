@@ -295,7 +295,7 @@ object VersionedTable {
       // undecided multi-table pending at the tail refuses loudly here
       // (lost-update guard), and the slot computation below stays RAW
       // so we never collide with a pending's occupied slot
-      val latest = latestVisible(fs, root, forWrite = true)
+      val latest = latestVisibleIn(fs, root, nums, forWrite = true)
       val prevHeader = latest.map(l => readHeader(fs, root, l))
       val cols = resolveStatsCols(prevHeader, statsCols)
       val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
@@ -364,8 +364,9 @@ object VersionedTable {
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(v => return v)
       }
-      val v = latestVisible(fs, root, forWrite = true).getOrElse(
-        throw new IllegalStateException(s"no committed versions at $path"))
+      val v = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(
+          throw new IllegalStateException(s"no committed versions at $path"))
       val entries = readEntries(spark, path, v)
       if (entries.isEmpty) return v
       val header = readHeader(fs, root, v)
@@ -379,7 +380,9 @@ object VersionedTable {
       val survivors = schemaRead(spark, header.schemaJson,
         rewrite.map(e => s"$path/${e.name}"))
         .where(!coalesce(predicate, lit(false)))
-      val v2 = v + 1
+      // slot from the SAME listing as the base (latestVisibleIn doc):
+      // holes between them are decided-aborted and can never revive
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val published = stageAndPublish(survivors, fs, root, v2, cols)
       val newEntries = published.map(n =>
@@ -440,8 +443,9 @@ object VersionedTable {
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(v => return v)
       }
-      val v = latestVisible(fs, root, forWrite = true).getOrElse(
-        throw new IllegalStateException(s"no committed versions at $path"))
+      val v = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(
+          throw new IllegalStateException(s"no committed versions at $path"))
       val entries = readEntries(spark, path, v)
       if (entries.isEmpty) return v
       val header = readHeader(fs, root, v)
@@ -481,7 +485,9 @@ object VersionedTable {
       }
       enforceConstraints(updated.where(p), constraintsOf(fs, root),
         s"updateWhere post-image at $path")
-      val v2 = v + 1
+      // slot from the SAME listing as the base (latestVisibleIn doc):
+      // holes between them are decided-aborted and can never revive
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val out = clusterOut(updated, clusterBy,
         math.max(1, rewrite.size))
@@ -584,8 +590,9 @@ object VersionedTable {
           constraintsOf(fs, root), s"mergeInto at $path")
         consChecked = true
       }
-      val v = latestVisible(fs, root, forWrite = true).getOrElse(
-        throw new IllegalStateException(s"no committed versions at $path"))
+      val v = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(
+          throw new IllegalStateException(s"no committed versions at $path"))
       val header = readHeader(fs, root, v)
       val entries = readEntries(spark, path, v)
       val srcDataCols = src.columns.filterNot(tombstoneCol.contains)
@@ -661,7 +668,9 @@ object VersionedTable {
             rewrite.map(e => s"$path/${e.name}"))
           .join(srcKeys, keys, "left_anti")
           .unionByName(ordered)
-      val v2 = v + 1
+      // slot from the SAME listing as the base (latestVisibleIn doc):
+      // holes between them are decided-aborted and can never revive
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
       // opt-in: keep the rewrite clustered so CDC traffic does not
       // widen spans between OPTIMIZE runs; the rewritten-file count is
@@ -717,15 +726,18 @@ object VersionedTable {
       txnId.foreach { t =>
         findTxn(fs, root, nums, t).foreach(w => return w)
       }
-      val latest = latestVisible(fs, root, forWrite = true).getOrElse(
-        throw new IllegalStateException(s"no committed versions at $path"))
+      val latest = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(
+          throw new IllegalStateException(s"no committed versions at $path"))
       require(version <= latest,
         s"cannot restore $path to version $version: latest is $latest")
       if (version == latest) return latest // already at that state
       // throws "never committed (or expired)" when the target is gone
       val target = readHeader(fs, root, version)
+      requireVisible(fs, path, version, target) // no restore to a hole
       val entries = readEntries(spark, path, version)
-      val v2 = latest + 1
+      // slot from the SAME listing as the base (latestVisibleIn doc)
+      val v2 = math.max(latest, nums.lastOption.getOrElse(-1)) + 1
       if (tryWriteManifest(fs, root, v2, "restore", txnId,
           target.statsCols, target.schemaJson, entries)) {
         maybeCheckpoint(fs, root, v2)
@@ -853,8 +865,9 @@ object VersionedTable {
           s"replaceWhere at $path")
         consChecked = true
       }
-      val v = latestVisible(fs, root, forWrite = true).getOrElse(
-        throw new IllegalStateException(s"no committed versions at $path"))
+      val v = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(
+          throw new IllegalStateException(s"no committed versions at $path"))
       val header = readHeader(fs, root, v)
       val entries = readEntries(spark, path, v)
       val tableSchema = header.schemaJson.map(decodeSchema)
@@ -894,7 +907,9 @@ object VersionedTable {
             rewrite.map(e => s"$path/${e.name}"))
           .where(!coalesce(predicate, lit(false)))
           .unionByName(ordered)
-      val v2 = v + 1
+      // slot from the SAME listing as the base (latestVisibleIn doc):
+      // holes between them are decided-aborted and can never revive
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val published = stageAndPublish(
         clusterOut(survivors, clusterBy, math.max(1, rewrite.size)),
@@ -1566,7 +1581,8 @@ object VersionedTable {
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val v = latestVisible(fs, root, forWrite = true).getOrElse(
+    val nums = listVersionNumbers(fs, root)
+    val v = latestVisibleIn(fs, root, nums, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val bytes = files(spark, path, v)
       .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
@@ -1597,7 +1613,8 @@ object VersionedTable {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
-    val v = latestVisible(fs, root, forWrite = true).getOrElse(
+    val nums = listVersionNumbers(fs, root)
+    val v = latestVisibleIn(fs, root, nums, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
     val entries = readEntries(spark, path, v)
@@ -1609,7 +1626,8 @@ object VersionedTable {
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val packed = schemaRead(spark, header.schemaJson,
       small.map(se => s"$path/${se._1.name}")).repartition(nOut)
-    val v2 = v + 1
+    // slot from the SAME listing as the base (latestVisibleIn doc)
+    val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(packed, fs, root, v2, cols)
     val newEntries = published.map(n =>
@@ -1653,7 +1671,8 @@ object VersionedTable {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
-    val v = latestVisible(fs, root, forWrite = true).getOrElse(
+    val nums = listVersionNumbers(fs, root)
+    val v = latestVisibleIn(fs, root, nums, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
     val entries = readEntries(spark, path, v)
@@ -1669,7 +1688,8 @@ object VersionedTable {
     val clustered =
       if (clusterBy.isEmpty) base.repartition(nOut)
       else clusterOut(base, clusterBy, nOut)
-    val v2 = v + 1
+    // slot from the SAME listing as the base (latestVisibleIn doc)
+    val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(clustered, fs, root, v2, cols)
     val newEntries = published.map(n =>
@@ -2115,8 +2135,22 @@ object VersionedTable {
     * later writer refuses until it is decided — so walking past one
     * never skips decided history. */
   private[graft] def latestVisible(fs: FileSystem, root: Path,
-      forWrite: Boolean): Option[Int] = {
-    val nums = listVersionNumbers(fs, root)
+      forWrite: Boolean): Option[Int] =
+    latestVisibleIn(fs, root, listVersionNumbers(fs, root), forWrite)
+
+  /** [[latestVisible]] against a CALLER-HELD listing. Writer verbs
+    * MUST resolve their base and their commit slot from ONE listing:
+    * base = latest visible IN `nums`, slot = `nums.last + 1`. Every
+    * slot between them is then a DECIDED-invisible (aborted) hole —
+    * the walk threw on undecided — and holes can never be re-occupied
+    * (their manifest files exist), so committing at the slot with
+    * content derived from the base discards nothing. A commit that
+    * lands AFTER the listing takes exactly the slot and turns the
+    * promote into a clean lost-race retry. Deriving the slot from a
+    * FRESHER listing than the base is the lost-update bug this
+    * comment exists to prevent. */
+  private[graft] def latestVisibleIn(fs: FileSystem, root: Path,
+      nums: Seq[Int], forWrite: Boolean): Option[Int] = {
     nums.reverseIterator.foreach { v =>
       val h = readHeader(fs, root, v)
       h.pendingTxn match {

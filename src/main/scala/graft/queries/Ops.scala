@@ -1289,34 +1289,35 @@ object Ops {
   }
 
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
-  // classic two-table atomic move — split the documents corpus so the
-  // doc_id % 7 band MOVES from table A to table B in ONE commit
-  // (A-overwrite + B-overwrite, a single decision-file promote), after
-  // an ABORTED txn (staged on both tables, decision = abort) proves
-  // the all-or-nothing contract: the bogus move-everything txn leaves
-  // both tables bit-identical. The result is both tables' rows tagged
-  // by origin; the oracle replays the band split — any torn state
-  // (half-applied txn, leaked abort) flips the hash.
+  // classic two-table atomic move — the doc_id < 100 band MOVES from
+  // table A to table B in ONE commit, staged through the DELTA-SIZED
+  // verbs (TableDelete rewrites only the files that can hold the band
+  // on the doc_id-clustered layout — carried-by-reference gated
+  // in-entry — plus one append; a single decision-file promote flips
+  // both), after an ABORTED txn (staged on both tables, decision =
+  // abort) proves the all-or-nothing contract. The result is both
+  // tables' rows tagged by origin; the oracle replays the band split —
+  // any torn state (half-applied txn, leaked abort) flips the hash.
   val opVtMultiTxn: Q = (s, d) => {
     import graft.operators.{MultiTableTxn, VersionedTable}
-    import graft.operators.MultiTableTxn.TableWrite
+    import graft.operators.MultiTableTxn.{TableDelete, TableWrite}
     val dir = Sources.fixtureDir(s, "graft_mtxn_")
     Sources.registerCleanup(dir)
     val (a, b, dec) = (s"${dir.getAbsolutePath}/a",
       s"${dir.getAbsolutePath}/b", s"${dir.getAbsolutePath}/txns")
     val docs = documents(s, d).where(col("doc_id").isNotNull)
       .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
-    VersionedTable.commit(docs, a, overwrite = true,
-      statsCols = Seq("doc_id"))
+    VersionedTable.commit(
+      docs.repartitionByRange(4, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      a, overwrite = true, statsCols = Seq("doc_id"))
     VersionedTable.commit(docs.limit(0), b, overwrite = true)
     // an ABORTED txn first: stage a bogus move of EVERYTHING, decide
     // abort — both tables must remain exactly as committed above
     new java.io.File(dec).mkdirs()
     val bogusUri = MultiTableTxn.decisionUri(dec, "bogus")
-    VersionedTable.commitImpl(docs.limit(0), a, overwrite = true,
-      txnId = Some("mtxn_bogus_0"), statsCols = Seq.empty,
-      maxRetries = 5, onBeforeManifestCommit = () => (),
-      pendingTxn = Some(bogusUri))
+    VersionedTable.deleteWhere(s, a, lit(true),
+      txnId = Some("mtxn_bogus_0"), pendingTxn = Some(bogusUri))
     VersionedTable.commitImpl(docs, b, overwrite = true,
       txnId = Some("mtxn_bogus_1"), statsCols = Seq.empty,
       maxRetries = 5, onBeforeManifestCommit = () => (),
@@ -1324,20 +1325,18 @@ object Ops {
     require(MultiTableTxn.abort(s, dec, "bogus"))
     require(VersionedTable.read(s, b).isEmpty,
       "aborted txn must leave B empty")
-    // the REAL move, atomically across both tables
-    val vs = MultiTableTxn.commit(s, Seq(
-      TableWrite(docs.where(col("doc_id") % 7 =!= 0), a,
-        overwrite = true, statsCols = Seq("doc_id")),
-      TableWrite(docs.where(col("doc_id") % 7 === 0), b,
-        overwrite = true, statsCols = Seq("doc_id"))),
-      dec, "move7")
+    // the REAL move, atomically across both tables, delta-sized on A
+    val ops = Seq(
+      TableDelete(a, col("doc_id") < 100L),
+      TableWrite(docs.where(col("doc_id") < 100L), b,
+        overwrite = false, statsCols = Seq("doc_id")))
+    val vs = MultiTableTxn.commit(s, ops, dec, "move_band")
+    require(VersionedTable.files(s, a, vs.head).toSet
+      .intersect(VersionedTable.files(s, a, 0).toSet).nonEmpty,
+      "the txn delete must carry A's untouched files by reference")
     // replay (crash-after-decision recovery) must be a no-op
-    require(MultiTableTxn.commit(s, Seq(
-      TableWrite(docs.where(col("doc_id") % 7 =!= 0), a,
-        overwrite = true, statsCols = Seq("doc_id")),
-      TableWrite(docs.where(col("doc_id") % 7 === 0), b,
-        overwrite = true, statsCols = Seq("doc_id"))),
-      dec, "move7") == vs, "re-driven txn must resolve, not re-commit")
+    require(MultiTableTxn.commit(s, ops, dec, "move_band") == vs,
+      "re-driven txn must resolve, not re-commit")
     VersionedTable.read(s, a).withColumn("tbl", lit("a"))
       .unionByName(VersionedTable.read(s, b).withColumn("tbl", lit("b")))
       .select(col("tbl"), col("doc_id"), col("h"))
@@ -1952,9 +1951,9 @@ object Ops {
         |FROM lineitem""".stripMargin,
     // The atomic two-table move must equal the band split — and the
     // aborted move-everything txn must be invisible (a leaked abort
-    // would put every row in 'b').
+    // would empty 'a' and double 'b').
     "op_vt_multi_txn" ->
-      """SELECT CASE WHEN doc_id % 7 = 0 THEN 'b' ELSE 'a' END AS tbl,
+      """SELECT CASE WHEN doc_id < 100 THEN 'b' ELSE 'a' END AS tbl,
         |  doc_id, md5(coalesce(text, '')) AS h
         |FROM documents WHERE doc_id IS NOT NULL""".stripMargin,
     // SQL time travel must surface exactly the deleted band: the
