@@ -1580,10 +1580,12 @@ object VersionedTable {
       clusterBy: Seq[String] = Seq.empty): Int = {
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
     val root = new Path(path)
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
     val nums = listVersionNumbers(fs, root)
     val v = latestVisibleIn(fs, root, nums, forWrite = true).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
     val bytes = files(spark, path, v)
       .map(n => fs.getFileStatus(new Path(root, n)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -1591,7 +1593,24 @@ object VersionedTable {
     val clustered =
       if (clusterBy.isEmpty) base.repartition(nOut)
       else clusterOut(base, clusterBy, nOut)
-    commit(clustered, path, overwrite = true)
+    // commit as mode `optimize` (content-invisible: the change feed of
+    // a compaction is EMPTY, not a full-table delete+insert storm) via
+    // the direct manifest path — a lost race is an advisory no-op like
+    // compactSmall/compactWhere, never a retry that could replace a
+    // concurrent writer's commit with pre-compaction content
+    val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
+    val cols = resolveStatsCols(Some(header), Seq.empty)
+    val published = stageAndPublish(clustered, fs, root, v2, cols)
+    val newEntries = published.map(n =>
+      footerEntry(fs, conf, new Path(root, n), cols))
+    if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
+        header.schemaJson, newEntries)) {
+      maybeCheckpoint(fs, root, v2)
+      v2
+    } else {
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      v // advisory: someone committed meanwhile — compact again later
+    }
   }
 
   /** Incremental OPTIMIZE: rewrite ONLY the files smaller than
