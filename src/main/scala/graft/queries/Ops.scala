@@ -1289,6 +1289,32 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // SQL INSERT surface (sources/VtCatalog.scala VtSqlTable): after the
+  // setup commit, BOTH the insert and the final read run through
+  // spark.sql only — INSERT INTO ... SELECT self-joins the catalog
+  // table, and the insert lands as ONE transactional append commit
+  // (gated in-entry: exactly versions [overwrite, append]). The oracle
+  // replays the union — a double-applied or torn insert flips rows.
+  val opVtSqlInsert: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtins_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    VersionedTable.commit(
+      documents(s, d).where(col("doc_id").isNotNull)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    s.sql(s"INSERT INTO graft.`$t` " +
+      s"SELECT doc_id + 1000000, h, source FROM graft.`$t` " +
+      "WHERE doc_id % 5 = 0")
+    require(VersionedTable.versions(s, t).map(_.mode) ==
+      Seq("overwrite", "append"),
+      "the INSERT must land as exactly one append commit")
+    s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+  }
+
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
   // classic two-table atomic move — the doc_id < 100 band MOVES from
   // table A to table B in ONE commit, staged through the DELTA-SIZED
@@ -1620,6 +1646,7 @@ object Ops {
     "op_vt_sql_travel" -> opVtSqlTravel,
     "op_vt_multi_txn" -> opVtMultiTxn,
     "op_vt_update" -> opVtUpdate,
+    "op_vt_sql_insert" -> opVtSqlInsert,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1952,6 +1979,14 @@ object Ops {
         |  CASE WHEN l_orderkey BETWEEN 1000 AND 3000
         |       THEN l_quantity * 3 + 1 ELSE l_quantity END AS l_quantity
         |FROM lineitem""".stripMargin,
+    // A SQL INSERT INTO ... SELECT must equal the plain union replay.
+    "op_vt_sql_insert" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents WHERE doc_id IS NOT NULL
+        |UNION ALL
+        |SELECT doc_id + 1000000, md5(coalesce(text, '')), source
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 5 = 0""".stripMargin,
     // The atomic two-table move must equal the band split — and the
     // aborted move-everything txn must be invisible (a leaked abort
     // would empty 'a' and double 'b').

@@ -31,12 +31,18 @@ import graft.operators.VersionedTable
   * and hands Spark a DSv2 parquet table over EXACTLY that version's
   * file list with the manifest's recorded schema — so a dropped or
   * added column reads with the shape its version committed, and SQL
-  * filter/column pushdown work as for any parquet scan. This surface
-  * is READ-ONLY by design: every mutation verb (commit, merge, delete,
-  * replaceWhere, restore, …) is a log-aware transaction that must go
-  * through [[VersionedTable]] or the `graft-vt` format sink, so
-  * `createTable`/`dropTable`/`alterTable`/`renameTable` refuse loudly
-  * rather than offering a second, weaker write path.
+  * filter/column pushdown work as for any parquet scan.
+  *
+  * `INSERT INTO graft.t SELECT ...` and `INSERT OVERWRITE` work on
+  * LATEST-version tables and route through [[VersionedTable.commit]]
+  * — the same transactional append/overwrite every writer uses (one
+  * versioned commit per INSERT, CHECK constraints enforced,
+  * optimistic retry), never a parallel write path. Everything else
+  * stays deliberately out of SQL reach: DDL
+  * (`createTable`/`dropTable`/`alterTable`/`renameTable`) and the
+  * row-level verbs (DELETE/UPDATE/MERGE) refuse loudly and point at
+  * the transactional Scala API, which carries contracts (discovery
+  * pruning, txn replay, clusterBy) SQL cannot express here.
   *
   * Scale note: the SQL path plans through Spark's file-listing index
   * over the version's file list (O(version's files) planning, still
@@ -72,17 +78,20 @@ final class VtCatalog extends TableCatalog {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def tableAt(ident: Identifier, version: Int): Table = {
+  private def tableAt(ident: Identifier, version: Int,
+      writable: Boolean = false): Table = {
     val path = pathOf(ident)
     val files = VersionedTable.files(spark, path, version)
       .map(n => s"$path/$n")
     val schema = VersionedTable.schemaOf(spark, path, version)
       .getOrElse(VersionedTable.read(spark, path, Some(version)).schema)
-    new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-      s"$catalogName.$ident@v$version", spark,
-      CaseInsensitiveStringMap.empty(), files, Some(schema),
-      classOf[org.apache.spark.sql.execution.datasources
-        .parquet.ParquetFileFormat])
+    val pq =
+      new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+        s"$catalogName.$ident@v$version", spark,
+        CaseInsensitiveStringMap.empty(), files, Some(schema),
+        classOf[org.apache.spark.sql.execution.datasources
+          .parquet.ParquetFileFormat])
+    if (writable) new VtSqlTable(pq, path) else pq
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -90,7 +99,7 @@ final class VtCatalog extends TableCatalog {
       throw new NoSuchTableException(ident))
 
   override def loadTable(ident: Identifier): Table =
-    tableAt(ident, latestOrThrow(ident))
+    tableAt(ident, latestOrThrow(ident), writable = true)
 
   /** `VERSION AS OF <v>` — an exact committed manifest. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -129,6 +138,47 @@ final class VtCatalog extends TableCatalog {
             new org.apache.hadoop.fs.Path(st.getPath, "_graft_log")))
           .map(st => Identifier.of(namespace, st.getPath.getName))
     }
+
+  /** The LATEST-version table handed to plain (non-travel) SQL reads:
+    * scans delegate to the inner DSv2 parquet table over the version's
+    * exact file list; `INSERT INTO` / `INSERT OVERWRITE` route through
+    * [[VersionedTable.commit]] via the V1 write fallback — the SAME
+    * transactional append/overwrite every other writer uses (one
+    * commit per INSERT, constraints enforced, optimistic slot retry),
+    * never a second write path. Time-travel tables stay read-only
+    * (inserting into the past is not a thing). */
+  private final class VtSqlTable(
+      inner: org.apache.spark.sql.execution.datasources.v2
+        .parquet.ParquetTable,
+      path: String) extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    override def name(): String = inner.name
+    override def schema(): org.apache.spark.sql.types.StructType =
+      inner.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      inner.newScanBuilder(options)
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+        org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): this.type = { overwrite = true; this }
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, ow: Boolean) =>
+                VersionedTable.commit(data, path,
+                  overwrite = overwrite || ow): Unit
+          }
+      }
+  }
 
   private def readOnly(verb: String): Nothing =
     throw new UnsupportedOperationException(

@@ -90,6 +90,37 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(listed == Seq("orders"), s"SHOW TABLES: $listed")
   }
 
+  test("INSERT INTO / OVERWRITE route through the transactional commit") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "ins").getAbsolutePath
+    VersionedTable.commit((0L until 5L).map(i => (i, s"v$i"))
+      .toDF("id", "s"), t, overwrite = true)
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (100, 'sql_a'), (101, 'sql_b')")
+    assert(VersionedTable.read(spark, t).count() == 7)
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "append"),
+      "INSERT INTO must be ONE append commit")
+    // INSERT with a SELECT body
+    spark.sql(s"INSERT INTO graft.`$t` " +
+      s"SELECT id + 200, concat('c_', s) FROM graft.`$t` WHERE id < 2")
+    assert(VersionedTable.read(spark, t).where(col("id") >= 200L)
+      .count() == 2)
+    // INSERT OVERWRITE replaces the content as ONE overwrite commit
+    spark.sql(s"INSERT OVERWRITE graft.`$t` VALUES (7, 'only')")
+    assert(VersionedTable.read(spark, t).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((7L, "only")))
+    assert(VersionedTable.versions(spark, t).last.mode == "overwrite")
+    // time travel still sees every pre-INSERT state
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 5)
+    // CHECK constraints gate SQL INSERTs like any commit
+    VersionedTable.setConstraint(spark, t, "pos", "id IS NOT NULL AND id > 0")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$t` VALUES (-1, 'bad')")
+    }
+    assert(VersionedTable.read(spark, t).count() == 1,
+      "a refused INSERT must land nothing")
+  }
+
   test("read-only: mutations refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
