@@ -1315,6 +1315,35 @@ object Ops {
     s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
   }
 
+  // SQL DELETE surface: `DELETE FROM graft.t WHERE ...` resolves
+  // through SupportsDelete onto VersionedTable.deleteWhere — ONE
+  // delta-sized delete commit (mode gated in-entry, untouched files
+  // carried by reference on the clustered layout), then the read runs
+  // through spark.sql too. The oracle is the anti-filter.
+  val opVtSqlDelete: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtdel_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    VersionedTable.commit(
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    s.sql(s"DELETE FROM graft.`$t` WHERE l_orderkey BETWEEN 1000 AND 3000")
+    val modes = VersionedTable.versions(s, t).map(_.mode)
+    require(modes == Seq("overwrite", "delete") ||
+      modes == Seq("overwrite"), // empty fixture: nothing matched
+      s"SQL DELETE must be one delta delete commit: $modes")
+    if (modes.size == 2)
+      require(VersionedTable.files(s, t, 1).toSet
+        .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
+        "untouched files must carry by reference")
+    s.sql(s"SELECT l_orderkey, l_linenumber, l_quantity FROM graft.`$t`")
+  }
+
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
   // classic two-table atomic move — the doc_id < 100 band MOVES from
   // table A to table B in ONE commit, staged through the DELTA-SIZED
@@ -1647,6 +1676,7 @@ object Ops {
     "op_vt_multi_txn" -> opVtMultiTxn,
     "op_vt_update" -> opVtUpdate,
     "op_vt_sql_insert" -> opVtSqlInsert,
+    "op_vt_sql_delete" -> opVtSqlDelete,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -1979,6 +2009,10 @@ object Ops {
         |  CASE WHEN l_orderkey BETWEEN 1000 AND 3000
         |       THEN l_quantity * 3 + 1 ELSE l_quantity END AS l_quantity
         |FROM lineitem""".stripMargin,
+    // A SQL DELETE must equal the anti-filter (keys are non-null).
+    "op_vt_sql_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey NOT BETWEEN 1000 AND 3000""".stripMargin,
     // A SQL INSERT INTO ... SELECT must equal the plain union replay.
     "op_vt_sql_insert" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source

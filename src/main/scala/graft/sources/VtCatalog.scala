@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -37,12 +37,16 @@ import graft.operators.VersionedTable
   * LATEST-version tables and route through [[VersionedTable.commit]]
   * — the same transactional append/overwrite every writer uses (one
   * versioned commit per INSERT, CHECK constraints enforced,
-  * optimistic retry), never a parallel write path. Everything else
+  * optimistic retry), never a parallel write path. `DELETE FROM
+  * graft.t WHERE ...` maps onto [[VersionedTable.deleteWhere]] — the
+  * transactional touched-files-only delete — whenever the predicate
+  * translates to pushed filters (otherwise Spark's standard
+  * cannot-delete-by-filter error, never a guess). Everything else
   * stays deliberately out of SQL reach: DDL
-  * (`createTable`/`dropTable`/`alterTable`/`renameTable`) and the
-  * row-level verbs (DELETE/UPDATE/MERGE) refuse loudly and point at
-  * the transactional Scala API, which carries contracts (discovery
-  * pruning, txn replay, clusterBy) SQL cannot express here.
+  * (`createTable`/`dropTable`/`alterTable`/`renameTable`) and
+  * UPDATE/MERGE refuse loudly and point at the transactional Scala
+  * API, which carries contracts (discovery pruning, txn replay,
+  * clusterBy) SQL cannot express here.
   *
   * Scale note: the SQL path plans through Spark's file-listing index
   * over the version's file list (O(version's files) planning, still
@@ -152,7 +156,8 @@ final class VtCatalog extends TableCatalog {
         .parquet.ParquetTable,
       path: String) extends Table
       with org.apache.spark.sql.connector.catalog.SupportsRead
-      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+      with org.apache.spark.sql.connector.catalog.SupportsWrite
+      with org.apache.spark.sql.connector.catalog.SupportsDelete {
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =
@@ -162,6 +167,51 @@ final class VtCatalog extends TableCatalog {
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       inner.newScanBuilder(options)
+
+    /** `DELETE FROM graft.t WHERE ...` → [[VersionedTable.deleteWhere]]
+      * (the transactional touched-files-only delete) when every pushed
+      * filter translates to a Column predicate; an untranslatable
+      * WHERE makes `canDeleteWhere` false and Spark raises its
+      * standard "cannot delete by filter" error instead of guessing. */
+    override def canDeleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+      filters.forall(filterToColumn(_).nonEmpty)
+
+    override def deleteWhere(
+        filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+      val pred = filters.flatMap(filterToColumn)
+        .reduceOption(_ && _)
+        .getOrElse(org.apache.spark.sql.functions.lit(true))
+      VersionedTable.deleteWhere(SparkSession.active, path, pred): Unit
+    }
+
+    private def filterToColumn(
+        f: org.apache.spark.sql.sources.Filter): Option[Column] = {
+      import org.apache.spark.sql.sources._
+      import org.apache.spark.sql.functions.{col, lit}
+      f match {
+        case EqualTo(a, v) => Some(col(a) === lit(v))
+        case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+        case GreaterThan(a, v) => Some(col(a) > lit(v))
+        case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+        case LessThan(a, v) => Some(col(a) < lit(v))
+        case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+        case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+        case IsNull(a) => Some(col(a).isNull)
+        case IsNotNull(a) => Some(col(a).isNotNull)
+        case And(l, r) => for (lc <- filterToColumn(l);
+          rc <- filterToColumn(r)) yield lc && rc
+        case Or(l, r) => for (lc <- filterToColumn(l);
+          rc <- filterToColumn(r)) yield lc || rc
+        case Not(c) => filterToColumn(c).map(!_)
+        case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+        case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+        case StringContains(a, v) => Some(col(a).contains(v))
+        case _: AlwaysTrue => Some(lit(true))
+        case _: AlwaysFalse => Some(lit(false))
+        case _ => None
+      }
+    }
     override def newWriteBuilder(
         info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
         org.apache.spark.sql.connector.write.WriteBuilder =

@@ -121,6 +121,27 @@ class VtCatalogSpec extends AnyFunSuite {
       "a refused INSERT must land nothing")
   }
 
+  test("DELETE FROM routes through the transactional touched-files delete") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "del").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id < 50 OR id IN (60, 61)")
+    val got = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(got == (50L until 200L).filterNot(Set(60L, 61L)))
+    // committed as ONE delta-sized delete version; untouched files carry
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "delete"))
+    assert(VersionedTable.files(spark, t, 1).toSet
+      .intersect(VersionedTable.files(spark, t, 0).toSet).nonEmpty,
+      "the SQL delete must carry untouched files by reference")
+    // time travel still answers pre-delete
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 200)
+  }
+
   test("read-only: mutations refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
