@@ -928,6 +928,40 @@ object ScaleProbe {
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 
+    // Multi-table txn OVERHEAD: the atomic path must cost its
+    // sequential equivalent plus one decision-file promote — never a
+    // second write of the data. 4 tables × (copies×10k)-row appends,
+    // sequential commits vs one MultiTableTxn; content equality
+    // asserted, wall times printed for the delta.
+    if (stages("vttxn")) {
+      import graft.operators.{MultiTableTxn, VersionedTable}
+      val dir = java.nio.file.Files.createTempDirectory("probe_vttxn_")
+      val rows = copies * 10000
+      def mk(tag: String): Seq[String] = (0 until 4).map { i =>
+        val t = s"$dir/$tag$i"
+        VersionedTable.commit(
+          spark.range(1000).selectExpr("id", "'base' as s"), t,
+          overwrite = true)
+        t
+      }
+      val delta = spark.range(rows)
+        .selectExpr("id + 1000000 as id", "'d' as s").localCheckpoint()
+      val seqT = mk("s")
+      time(s"vttxn: 4 sequential ${rows}-row append commits")(
+        seqT.foreach(t => VersionedTable.commit(delta, t,
+          overwrite = false)))
+      val txnT = mk("x")
+      time(s"vttxn: ONE atomic 4-table txn, same appends")(
+        MultiTableTxn.commit(spark, txnT.map(t =>
+          MultiTableTxn.TableWrite(delta, t, overwrite = false)),
+          s"$dir/txns", "probe"))
+      val a = seqT.map(t => VersionedTable.read(spark, t).count()).sum
+      val b = txnT.map(t => VersionedTable.read(spark, t).count()).sum
+      require(a == b, s"txn and sequential contents diverge: $a vs $b")
+      println(s"[probe] vttxn: $b rows across 4 tables, both paths equal")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
     // Driver-side manifest PLANNING at 100k files (VERDICT r11
     // missing #3): a 100 TB table at ~1 GB/file is ~100k manifest
     // entries, parsed on the driver per planned read. The probe

@@ -140,6 +140,11 @@ class VtCatalogSpec extends AnyFunSuite {
       "the SQL delete must carry untouched files by reference")
     // time travel still answers pre-delete
     assert(VersionedTable.read(spark, t, Some(0)).count() == 200)
+    // TRUNCATE TABLE = delete-all as one more versioned commit
+    spark.sql(s"TRUNCATE TABLE graft.`$t`")
+    assert(VersionedTable.read(spark, t).count() == 0)
+    assert(VersionedTable.read(spark, t, Some(1)).count() > 0,
+      "pre-truncate versions stay time-travelable")
   }
 
   test("read-only: mutations refuse; missing tables error cleanly") {
