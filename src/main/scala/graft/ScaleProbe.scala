@@ -933,6 +933,123 @@ object ScaleProbe {
     // second write of the data. 4 tables × (copies×10k)-row appends,
     // sequential commits vs one MultiTableTxn; content equality
     // asserted, wall times printed for the delta.
+    // Join-IVM asymptote: maintaining L ⋈ R through a SMALL CDC window
+    // must cost O(delta + pruned slices), not O(|L ⋈ R|). Build the
+    // view over copies× orders ⋈ customer, land a 1k-row merge on each
+    // side, then time ONE sync() against the full-join recompute of
+    // the same final state (value equality asserted via counts).
+    if (stages("ivjoin")) {
+      import graft.operators.{IncrementalJoinView, VersionedTable}
+      val dir = java.nio.file.Files.createTempDirectory("probe_ivj_")
+      val (l, r, v) = (s"$dir/l", s"$dir/r", s"$dir/v")
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigL = (0 until copies).map { c =>
+        ord.select((col("o_orderkey") + c * 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      }.reduce(_ union _)
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      VersionedTable.commit(bigL.repartitionByRange(32, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"), l,
+        overwrite = true, statsCols = Seq("o_custkey"))
+      VersionedTable.commit(cust.repartitionByRange(8, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"), r,
+        overwrite = true, statsCols = Seq("c_custkey"))
+      val on = Seq("o_custkey" -> "c_custkey")
+      println(s"[probe] ivjoin: |L| = ${copies}x orders")
+      time("ivjoin: INIT (full join materialization)")(
+        IncrementalJoinView.sync(spark, v, l, r, on,
+          Seq("o_orderkey"), Seq("c_custkey")))
+      // a small CDC window on BOTH sides
+      VersionedTable.mergeInto(spark, l,
+        bigL.limit(1000).withColumn("o_totalprice",
+          col("o_totalprice") * 2), Seq("o_orderkey"))
+      VersionedTable.mergeInto(spark, r,
+        cust.limit(50).withColumn("c_name",
+          concat(lit("u_"), col("c_name"))), Seq("c_custkey"))
+      time("ivjoin: ONE sync over the 1k+50-row window (delta-sized)")(
+        IncrementalJoinView.sync(spark, v, l, r, on,
+          Seq("o_orderkey"), Seq("c_custkey")))
+      val nView = time("ivjoin: view count")(
+        VersionedTable.read(spark, v).count())
+      // the honest alternative pays the full join AND the full view
+      // REWRITE (a materialized view must land somewhere)
+      val v2 = s"$dir/v2"
+      time("ivjoin: FULL recompute + overwrite materialization")(
+        VersionedTable.commit(
+          VersionedTable.read(spark, l)
+            .join(VersionedTable.read(spark, r),
+              col("o_custkey") === col("c_custkey")),
+          v2, overwrite = true))
+      val nFull = VersionedTable.read(spark, v2).count()
+      require(nView == nFull, s"IVM diverged: $nView vs $nFull")
+      println(s"[probe] ivjoin: $nView pairs, view == recompute")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Join-IVM sync cost × SOURCE LAYOUT (where the seconds actually
+    // go): the CDC merges by o_orderkey while the lane joins prune by
+    // o_custkey — clustering L on either single column leaves the
+    // other operation O(table) (off-cluster keys touch every file).
+    // Three layouts probed: custkey-clustered, orderkey-clustered,
+    // and Z-ORDER over both; per layout: the 1k-key merge, the change
+    // feed, and the full sync().
+    if (stages("ivjoinprof")) {
+      import graft.operators.{IncrementalJoinView, VersionedTable}
+      val ord = spark.read.parquet("/root/testdata/sf0.1/orders.parquet")
+      val bigL = (0 until copies).map { c =>
+        ord.select((col("o_orderkey") + c * 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      }.reduce(_ union _).localCheckpoint()
+      val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+        .select(col("c_custkey"), col("c_name"))
+      val cdcL = bigL.limit(1000).withColumn("o_totalprice",
+        col("o_totalprice") * 2).localCheckpoint()
+      for ((layoutName, layout) <- Seq(
+        "custkey-clustered" ->
+          ((df: org.apache.spark.sql.DataFrame) =>
+            df.repartitionByRange(32, col("o_custkey"))
+              .sortWithinPartitions("o_custkey")),
+        "orderkey-clustered" ->
+          ((df: org.apache.spark.sql.DataFrame) =>
+            df.repartitionByRange(32, col("o_orderkey"))
+              .sortWithinPartitions("o_orderkey")),
+        "z-ordered(order,cust)" ->
+          ((df: org.apache.spark.sql.DataFrame) => {
+            val z = graft.operators.ZOrder.zValue(df,
+              Seq("o_orderkey", "o_custkey"), 256)
+            df.withColumn("__z", z).repartitionByRange(32, col("__z"))
+              .sortWithinPartitions("__z").drop("__z")
+          }))) {
+        val dir = java.nio.file.Files.createTempDirectory("probe_ivjp_")
+        val (l, r, v) = (s"$dir/l", s"$dir/r", s"$dir/v")
+        VersionedTable.commit(layout(bigL), l, overwrite = true,
+          statsCols = Seq("o_custkey", "o_orderkey"))
+        VersionedTable.commit(cust.repartitionByRange(8, col("c_custkey"))
+          .sortWithinPartitions("c_custkey"), r,
+          overwrite = true, statsCols = Seq("c_custkey"))
+        IncrementalJoinView.sync(spark, v, l, r,
+          Seq("o_custkey" -> "c_custkey"),
+          Seq("o_orderkey"), Seq("c_custkey")): Unit
+        time(s"ivjoinprof[$layoutName]: L merge (1k keys)")(
+          VersionedTable.mergeInto(spark, l, cdcL, Seq("o_orderkey")))
+        VersionedTable.mergeInto(spark, r,
+          cust.limit(50).withColumn("c_name",
+            concat(lit("u_"), col("c_name"))), Seq("c_custkey")): Unit
+        val touched = VersionedTable.files(spark, l, 0).toSet
+          .diff(VersionedTable.files(spark, l, 1).toSet).size
+        println(s"[probe] ivjoinprof[$layoutName]: merge rewrote " +
+          s"$touched/32 files")
+        time(s"ivjoinprof[$layoutName]: readChangesRange(L)")(
+          VersionedTable.readChangesRange(spark, l, 0).count())
+        time(s"ivjoinprof[$layoutName]: whole sync()")(
+          IncrementalJoinView.sync(spark, v, l, r,
+            Seq("o_custkey" -> "c_custkey"),
+            Seq("o_orderkey"), Seq("c_custkey")))
+        org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      }
+    }
+
     if (stages("vttxn")) {
       import graft.operators.{MultiTableTxn, VersionedTable}
       val dir = java.nio.file.Files.createTempDirectory("probe_vttxn_")

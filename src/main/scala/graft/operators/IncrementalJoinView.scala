@@ -141,27 +141,49 @@ object IncrementalJoinView {
     }
   }
 
-  /** Delta ⋈ snapshot, the snapshot read span-pruned by the delta's
-    * join-key bounds (one 1-row aggregate on the delta, then a
-    * manifest-planned read — sound because rows outside the delta's
-    * key span cannot join). `on` is (deltaCol, snapshotCol) pairs. */
+  /** Largest delta key-set that routes through the MEMBERSHIP-pruned
+    * snapshot read ([[VersionedTable.prunedReadIn]]): scattered CDC
+    * keys make a min/max span cover the whole snapshot (pruning-
+    * blind), while an IN-span + footer-bloom probe opens O(|keys|)
+    * files on a clustered layout. Above the cap (or for multi-column
+    * keys) the span path applies — a huge delta's span is usually
+    * honest anyway. */
+  private val MaxInProbeKeys = 4096
+
+  /** Delta ⋈ snapshot, the snapshot read pruned by the delta's
+    * join keys: a BOUNDED single-column key set probes membership
+    * (IN-spans + footer blooms); otherwise the delta's min/max span
+    * plans the read (sound either way — rows outside the delta's keys
+    * cannot join). `on` is (deltaCol, snapshotCol) pairs. */
   private def laneJoin(spark: SparkSession, delta: DataFrame,
       snapPath: String, snapVersion: Int, on: Seq[(String, String)],
       deltaIsLeft: Boolean): DataFrame = {
     val d = delta
       .withColumnRenamed("_change_type", "_ct")
       .withColumnRenamed("_commit_version", "_cv")
+    // single-column key: try the bounded distinct-key probe first
+    val inKeys: Option[Seq[Any]] =
+      if (on.size != 1) None
+      else {
+        val dc = on.head._1
+        val ks = d.select(col(dc)).where(col(dc).isNotNull).distinct()
+          .limit(MaxInProbeKeys + 1).collect().map(_.get(0)).toSeq
+        if (ks.nonEmpty && ks.size <= MaxInProbeKeys) Some(ks) else None
+      }
     val aggs = on.flatMap { case (dc, _) =>
       Seq(min(col(dc)).as(s"__mn_$dc"), max(col(dc)).as(s"__mx_$dc")) }
-    val bounds = d.agg(aggs.head, aggs.tail: _*).collect()(0)
-    val preds = on.flatMap { case (dc, sc) =>
+    lazy val bounds = d.agg(aggs.head, aggs.tail: _*).collect()(0)
+    lazy val preds = on.flatMap { case (dc, sc) =>
       val (mn, mx) = (bounds.get(bounds.fieldIndex(s"__mn_$dc")),
         bounds.get(bounds.fieldIndex(s"__mx_$dc")))
       if (mn == null || mx == null) None
       else Some(VersionedTable.RangePred(sc, mn, mx))
     }
     val snap =
-      if (preds.nonEmpty)
+      if (inKeys.nonEmpty)
+        VersionedTable.prunedReadIn(spark, snapPath, on.head._2,
+          inKeys.get, Some(snapVersion))
+      else if (preds.nonEmpty)
         VersionedTable.prunedReadWhere(spark, snapPath, preds,
           Some(snapVersion))
       // no key bounds: the delta is empty (or all-null-keyed, which

@@ -1180,6 +1180,35 @@ object VersionedTable {
       lo: Any, hi: Any, asOfVersion: Option[Int] = None): DataFrame =
     prunedReadWhere(spark, path, Seq(RangePred(column, lo, hi)), asOfVersion)
 
+  /** MEMBERSHIP-pruned read for a BOUNDED key list — the
+    * merge-discovery metadata path exposed as a read: manifest
+    * IN-spans first (free), then footer BLOOM probes of the span
+    * survivors (a few KB per file, runs as a Spark job), then the
+    * exact IN filter on the opened files. This is the read a
+    * delta⋈snapshot join wants when the delta's keys are SCATTERED —
+    * a min/max span over scattered keys covers the whole table
+    * (pruning-blind), while blooms keep only the files that might
+    * hold one of the values: O(|keys|) files opened on a clustered
+    * layout, never O(table). Result-invisible; conservative wherever
+    * metadata is missing. */
+  def prunedReadIn(spark: SparkSession, path: String, column: String,
+      values: Seq[Any], asOfVersion: Option[Int] = None): DataFrame = {
+    require(values.nonEmpty, "prunedReadIn: empty key list")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
+      .getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
+    val entries = readEntries(spark, path, v)
+    val spanKeep = pruneEntriesWhere(entries, Seq(InPred(column, values)))
+    val keep = bloomPrune(spark, path, spanKeep, column, values)
+    val pred = col(column).isin(values: _*)
+    if (keep.isEmpty) read(spark, path, Some(v)).where(pred).limit(0)
+    else schemaRead(spark, header.schemaJson,
+      keep.map(e => s"$path/${e.name}")).where(pred)
+  }
+
   /** [[prunedRead]] generalized to a CONJUNCTION of range and IN-list
     * predicates: a file is opened only when EVERY predicate might
     * match its spans, so a two-column conjunction opens no more files
