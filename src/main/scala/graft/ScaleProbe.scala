@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.ScaleProbe [copies] [stages]
   * (stages: comma-separated from lsh,pipeline,pack,rank,winnow,range,
-  * contam,bm25,profile,quant,surprisal,curriculum; default ALL — pass
-  * a filter so a 100x run can probe one operator without paying the
-  * full suite.)
+  * contam,bm25,profile,quant,surprisal,curriculum,asofskew,ivfups,
+  * bpe,zorder,tdelete,asofnative,asofnativeskew,fuzzy,fuzzycap,
+  * zonemap,incragg,triangles,vtstats,vtlog,vtmerge,vtplan,vttxn,
+  * ivjoin,ivjoinprof; default = the r11 set — pass a filter so a
+  * 100x run can probe one operator without paying the full suite.
+  * Round-12 lanes (opt-in): fuzzycap (composite df-cap candidate
+  * growth), vtplan (manifest planning at 100k/1M entries + entry
+  * checkpoint), vttxn (multi-table txn overhead), ivjoin/ivjoinprof
+  * (join-IVM economics + layout sweep).)
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
