@@ -466,12 +466,18 @@ object VersionedTable {
       val base = schemaRead(spark, header.schemaJson,
         rewrite.map(e => s"$path/${e.name}"))
       // post-image: SET applies exactly where the predicate is TRUE
-      // (SQL UPDATE semantics — a NULL predicate leaves the row alone)
+      // (SQL UPDATE semantics — a NULL predicate leaves the row alone).
+      // ONE select computes every SET expression AND the touched flag
+      // against the PRE-IMAGE simultaneously: a chained withColumn
+      // would let `SET a=b+1, b=a+1` (or a predicate referencing a SET
+      // column) see another SET's post-image — torn updates.
       val p = coalesce(predicate, lit(false))
-      val updated = tableCols.foldLeft(base) { (df, c) =>
-        set.get(c).fold(df)(e =>
-          df.withColumn(c, when(p, e).otherwise(col(c))))
-      }.select(tableCols.map(col): _*)
+      val touchedFlag = "__graft_preimage_touched"
+      val projected = base.select(
+        tableCols.map { c =>
+          set.get(c).fold(col(c))(e => when(p, e).otherwise(col(c))).as(c)
+        } :+ p.as(touchedFlag): _*)
+      val updated = projected.select(tableCols.map(col): _*)
       // type contract: the post-image must keep every column's type
       header.schemaJson.map(decodeSchema).foreach { ts =>
         val got = updated.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -483,8 +489,13 @@ object VersionedTable {
               "through commit())")
         }
       }
-      enforceConstraints(updated.where(p), constraintsOf(fs, root),
-        s"updateWhere post-image at $path")
+      // CHECK gate on the PRE-IMAGE touched flag: re-evaluating the
+      // predicate on the post-image would skip a row whose update moves
+      // it out of the predicate (SET price=price*10 WHERE price<10
+      // under CHECK price<=50), letting the violation commit unchecked.
+      enforceConstraints(
+        projected.where(col(touchedFlag)).select(tableCols.map(col): _*),
+        constraintsOf(fs, root), s"updateWhere post-image at $path")
       // slot from the SAME listing as the base (latestVisibleIn doc):
       // holes between them are decided-aborted and can never revive
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
@@ -1200,6 +1211,9 @@ object VersionedTable {
       .getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
+    // an explicit version can name a pending multi-table manifest —
+    // gate it like read() does (latestVisible already filtered these)
+    asOfVersion.foreach(_ => requireVisible(fs, path, v, header))
     val entries = readEntries(spark, path, v)
     val spanKeep = pruneEntriesWhere(entries, Seq(InPred(column, values)))
     val keep = bloomPrune(spark, path, spanKeep, column, values)
@@ -1241,6 +1255,7 @@ object VersionedTable {
     // planning through the parquet entry checkpoint: pruning runs as a
     // Spark job and only the SURVIVING entries ever reach the driver
     val header = readHeader(fs, root, v)
+    asOfVersion.foreach(_ => requireVisible(fs, path, v, header))
     val keep =
       if (header.nFiles >= entryCheckpointThreshold) {
         checkpointEntries(spark, path, v): Unit // once per version
@@ -2039,6 +2054,19 @@ object VersionedTable {
   /** The exact file list of a committed version. */
   def files(spark: SparkSession, path: String, version: Int): Seq[String] =
     readEntries(spark, path, version).map(_.name)
+
+  /** Gate an EXPLICIT-version load on multi-table-txn visibility — the
+    * same check [[read]]/[[readFileSlice]] apply internally, exposed
+    * for callers that plan from [[files]]/[[schemaOf]] directly (the
+    * SQL catalog's `VERSION AS OF`): a raw manifest number can name an
+    * UNDECIDED or ABORTED pending manifest whose data must never leak
+    * to a reader. */
+  def requireVisibleVersion(spark: SparkSession, path: String,
+      version: Int): Unit = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    requireVisible(fs, path, version, readHeader(fs, root, version))
+  }
 
   /** The file entries (names + row counts + stats spans) of a
     * committed version. Pre-v3 manifests yield entries with unknown

@@ -85,6 +85,9 @@ final class VtCatalog extends TableCatalog {
   private def tableAt(ident: Identifier, version: Int,
       writable: Boolean = false): Table = {
     val path = pathOf(ident)
+    // SQL time travel must not read an UNDECIDED/ABORTED multi-table
+    // pending manifest the Scala read() path would refuse
+    VersionedTable.requireVisibleVersion(spark, path, version)
     val files = VersionedTable.files(spark, path, version)
       .map(n => s"$path/$n")
     val schema = VersionedTable.schemaOf(spark, path, version)
