@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Opt-in approximate-query rewrite (inert without the conf flag):
     // count(DISTINCT x) -> HLL++ sketch, fleet-wide, no query-text edit.
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite)
+    // SQL UPDATE / MERGE INTO for versioned catalog tables — lowers
+    // the resolved commands onto the transactional Scala verbs.
+    ext.injectPlannerStrategy(_ => graft.plans.VtDmlStrategy)
   }
 }
 
@@ -62,6 +65,7 @@ object GraftExtensions {
     Bridge.registerFunction(spark, "array_norm", cs => ArrayNorm(cs.head))
     Bridge.registerFunction(spark, "array_cosine", cosineBuilder)
     registerTextSql(spark)
+    graft.plans.VtDml.ensureRegistered(spark)
     // Runtime twin of injectOptimizerRule: the experimental batch runs
     // at the end of logical optimization — single-distinct aggregates
     // are still un-rewritten there (their planning happens physical-

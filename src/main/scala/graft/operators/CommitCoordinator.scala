@@ -105,10 +105,18 @@ final class ConditionalPutCoordinator extends CommitCoordinator {
     // one conditional PUT (If-None-Match: *).
     if (!reserved.add(key)) return false
     // upload under the reservation: no contender can reach this line
-    // for the same key, so a plain rename cannot clobber anyone
-    if (!fs.rename(tmp, dest))
+    // for the same key, so a plain rename cannot clobber anyone. A
+    // FAILED upload must release the reservation — holding it would
+    // wedge the destination key until process restart (no retry, by
+    // this caller or any other, could ever publish it again).
+    val uploaded =
+      try fs.rename(tmp, dest)
+      catch { case e: Throwable => reserved.remove(key); throw e }
+    if (!uploaded) {
+      reserved.remove(key)
       throw new java.io.IOException(
-        s"conditional-put upload failed for $dest (reservation held)")
+        s"conditional-put upload failed for $dest (reservation released)")
+    }
     true
   }
 }

@@ -98,11 +98,15 @@ object MultiTableTxn {
         s"multi-table txn $txnId was ABORTED — a new txnId is required")
       case Some(true) =>
         // replay after a completed commit: resolve the versions the
-        // txn landed (per-table txn records are visible now); −1 =
-        // that op committed nothing (empty delta) or its manifest was
-        // since expired
+        // txn landed through the FULL-HISTORY txn lookup (checkpoint
+        // index + header scan) — the tail walk findStaged uses for
+        // roll-forward stops at the latest visible version, so any
+        // commit landing AFTER this txn would hide its manifests from
+        // it. −1 = that op committed nothing (empty delta) or its
+        // manifest was since expired.
         return writes.zipWithIndex.map { case (w, i) =>
-          findStaged(spark, w.path, perTableTxn(txnId, i)).getOrElse(-1)
+          VersionedTable.findCommittedTxn(spark, w.path,
+            perTableTxn(txnId, i)).getOrElse(-1)
         }
       case None => ()
     }

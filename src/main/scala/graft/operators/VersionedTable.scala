@@ -472,7 +472,13 @@ object VersionedTable {
       // would let `SET a=b+1, b=a+1` (or a predicate referencing a SET
       // column) see another SET's post-image — torn updates.
       val p = coalesce(predicate, lit(false))
-      val touchedFlag = "__graft_preimage_touched"
+      // the flag column must not collide with a real table column of
+      // the same name (col() would be ambiguous and the whole update
+      // would fail loudly) — suffix until free
+      val touchedFlag = Iterator.from(0)
+        .map(i => if (i == 0) "__graft_preimage_touched"
+                  else s"__graft_preimage_touched_$i")
+        .find(n => !tableCols.contains(n)).get
       val projected = base.select(
         tableCols.map { c =>
           set.get(c).fold(col(c))(e => when(p, e).otherwise(col(c))).as(c)
@@ -789,6 +795,10 @@ object VersionedTable {
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $srcPath"))
     val header = readHeader(fs, srcRoot, v)
+    // an explicit version can name an UNDECIDED/ABORTED multi-table
+    // pending manifest — cloning it would fork never-committed data
+    // into an independent table (latestVisible already filtered these)
+    asOfVersion.foreach(_ => requireVisible(fs, srcPath, v, header))
     val entries = readEntries(spark, srcPath, v)
     val dstRoot = new Path(dstPath)
     val dfs = dstRoot.getFileSystem(conf)
@@ -954,6 +964,9 @@ object VersionedTable {
     val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $path"))
+    // metadata leaks too: a pending manifest's row count is uncommitted
+    asOfVersion.foreach(_ =>
+      requireVisible(fs, path, v, readHeader(fs, root, v)))
     val entries = readEntries(spark, path, v)
     if (entries.exists(_.nRows < 0)) None
     else Some(entries.map(_.nRows).sum)
@@ -985,6 +998,9 @@ object VersionedTable {
     val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(throw new IllegalStateException(
         s"no committed versions at $path"))
+    // min/max of uncommitted data must not leak through metadata either
+    asOfVersion.foreach(_ =>
+      requireVisible(fs, path, v, readHeader(fs, root, v)))
     val entries = readEntries(spark, path, v)
     // every file that MIGHT hold a row must carry collected stats
     if (entries.exists(e => e.nRows != 0 && !e.stats.contains(column)))
@@ -2162,6 +2178,20 @@ object VersionedTable {
     * roll-forward probe). */
   private[graft] def versionsRaw(fs: FileSystem, root: Path): Seq[Int] =
     listVersionNumbers(fs, root)
+
+  /** Full-history resolution of the version that COMMITTED `txnId`
+    * (checkpoint txn index + header scan above its watermark — the
+    * same O(1)-in-history probe every commit verb runs). What
+    * [[MultiTableTxn]]'s replay-after-commit branch must use: its
+    * tail walk stops at the latest visible version, so a txn manifest
+    * with any LATER commit on the table would resolve to "not found"
+    * even though it committed. */
+  private[graft] def findCommittedTxn(spark: SparkSession, path: String,
+      txnId: String): Option[Int] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    findTxn(fs, root, listVersionNumbers(fs, root), txnId)
+  }
 
   // ---- multi-table txn visibility ------------------------------------
 

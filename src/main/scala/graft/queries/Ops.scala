@@ -1289,6 +1289,44 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // Torn-update regression (r13 fix, now oracled): a MULTI-SET swap
+  // whose predicate references a SET column. Every SET expression AND
+  // the predicate must evaluate against the row's PRE-image in ONE
+  // projection — a chained evaluation would compute l_extendedprice
+  // from l_quantity's post-image (torn swap) and/or re-select rows on
+  // half-updated values. The oracle replays the swap as CASE
+  // expressions over the pre-image, which is exactly SQL UPDATE
+  // semantics; +1 on doubles is bit-exact in both engines.
+  val opVtUpdateMultiset: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtupm_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val pred = col("l_quantity") < 10.0 &&
+      col("l_orderkey").between(1000L, 3000L)
+    val v1 = VersionedTable.updateWhere(s, t, pred, Map(
+      "l_quantity" -> (col("l_extendedprice") + 1.0),
+      "l_extendedprice" -> (col("l_quantity") + 1.0)),
+      txnId = Some("upd_swap"))
+    if (v1 == 1) {
+      require(VersionedTable.files(s, t, 1).toSet
+        .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
+        "files outside the band must carry by reference")
+      require(VersionedTable.updateWhere(s, t, pred, Map(
+        "l_quantity" -> (col("l_extendedprice") + 1.0),
+        "l_extendedprice" -> (col("l_quantity") + 1.0)),
+        txnId = Some("upd_swap")) == 1,
+        "replayed multi-SET update must no-op")
+    } else require(v1 == 0, s"unexpected update version: $v1")
+    VersionedTable.read(s, t)
+  }
+
   // SQL INSERT surface (sources/VtCatalog.scala VtSqlTable): after the
   // setup commit, BOTH the insert and the final read run through
   // spark.sql only — INSERT INTO ... SELECT self-joins the catalog
@@ -1675,6 +1713,7 @@ object Ops {
     "op_vt_sql_travel" -> opVtSqlTravel,
     "op_vt_multi_txn" -> opVtMultiTxn,
     "op_vt_update" -> opVtUpdate,
+    "op_vt_update_multiset" -> opVtUpdateMultiset,
     "op_vt_sql_insert" -> opVtSqlInsert,
     "op_vt_sql_delete" -> opVtSqlDelete,
     "op_vt_changes" -> opVtChanges,
@@ -2008,6 +2047,16 @@ object Ops {
       """SELECT l_orderkey, l_linenumber,
         |  CASE WHEN l_orderkey BETWEEN 1000 AND 3000
         |       THEN l_quantity * 3 + 1 ELSE l_quantity END AS l_quantity
+        |FROM lineitem""".stripMargin,
+    // The multi-SET swap must equal the pre-image CASE replay: both
+    // CASE branches read the ORIGINAL columns — SQL UPDATE semantics.
+    "op_vt_update_multiset" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 AND l_orderkey BETWEEN 1000 AND 3000
+        |       THEN l_extendedprice + 1 ELSE l_quantity END AS l_quantity,
+        |  CASE WHEN l_quantity < 10 AND l_orderkey BETWEEN 1000 AND 3000
+        |       THEN l_quantity + 1 ELSE l_extendedprice
+        |       END AS l_extendedprice
         |FROM lineitem""".stripMargin,
     // A SQL DELETE must equal the anti-filter (keys are non-null).
     "op_vt_sql_delete" ->

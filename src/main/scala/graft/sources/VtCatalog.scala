@@ -158,9 +158,11 @@ final class VtCatalog extends TableCatalog {
       inner: org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,
       path: String) extends Table
+      with VtWritableTable
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    override def vtPath: String = path
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =

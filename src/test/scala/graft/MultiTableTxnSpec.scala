@@ -217,4 +217,28 @@ class MultiTableTxnSpec extends AnyFunSuite {
       dec, "tx5")
     assert(ids(a).containsSlice(Seq(100L, 101L)))
   }
+
+  test("replay still resolves the txn's versions after LATER commits") {
+    val d = tmp()
+    val (a, b, dec) = (s"$d/a", s"$d/b", s"$d/txns")
+    VersionedTable.commit(df(0 until 5, "a"), a, overwrite = true)
+    VersionedTable.commit(df(0 until 3, "b"), b, overwrite = true)
+    val writes = Seq(
+      TableWrite(df(100 until 104, "a"), a, overwrite = false),
+      TableWrite(df(200 until 202, "b"), b, overwrite = false))
+    assert(MultiTableTxn.commit(spark, writes, dec, "tx6") == Seq(1, 1))
+    // single-table life moves on: LATER commits land on both tables,
+    // pushing the txn's manifests below the latest visible version
+    VersionedTable.commit(df(300 until 302, "a"), a, overwrite = false)
+    VersionedTable.commit(df(400 until 402, "b"), b, overwrite = false)
+    // the re-driven txn (crash-after-decision recovery) must resolve
+    // the versions it COMMITTED — a tail-walk lookup stops at the new
+    // latest and would report −1, contradicting the documented
+    // "replay returns the landed versions" contract
+    assert(MultiTableTxn.commit(spark, writes, dec, "tx6") == Seq(1, 1),
+      "replay must resolve through full history, not the tail walk")
+    // and nothing new landed: the replay is a pure no-op
+    assert(VersionedTable.latestVersion(spark, a).contains(2))
+    assert(VersionedTable.latestVersion(spark, b).contains(2))
+  }
 }

@@ -1695,4 +1695,127 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids.contains("b"), "null-predicate row must survive")
     assert(ids.contains("c") && !ids.contains("a"))
   }
+
+  test("updateWhere: multi-SET and the predicate see the PRE-image") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      Seq((1L, 10L, 100L), (2L, 20L, 200L), (3L, 30L, 300L))
+        .toDF("id", "a", "b"),
+      t, overwrite = true)
+    // SET a=b+1, b=a+1 WHERE a+b < 250: every expression — including
+    // the predicate — must evaluate against the row's pre-image. A
+    // chained evaluation would compute b from a's POST-image (torn
+    // swap), or skip/include rows based on half-updated values.
+    VersionedTable.updateWhere(spark, t,
+      col("a") + col("b") < 250L,
+      Map("a" -> (col("b") + 1L), "b" -> (col("a") + 1L)))
+    val rows = VersionedTable.read(spark, t)
+      .select("id", "a", "b").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      (1L, 101L, 11L),  // swapped from pre-image (10, 100)
+      (2L, 201L, 21L),  // swapped from pre-image (20, 200)
+      (3L, 30L, 300L))) // 330 >= 250: untouched
+  }
+
+  test("updateWhere CHECK gates the rows the PRE-image predicate touched") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      Seq((1L, 5.0), (2L, 8.0), (3L, 40.0)).toDF("id", "price"),
+      t, overwrite = true)
+    VersionedTable.setConstraint(spark, t, "price_cap", "price <= 50")
+    // SET price=price*10 WHERE price<10: row 2's post-image (80) moves
+    // OUT of the predicate — re-evaluating the predicate on the
+    // post-image would exempt it from the CHECK and commit a violation
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.updateWhere(spark, t, col("price") < 10.0,
+        Map("price" -> (col("price") * 10.0)))
+    }
+    assert(e.getMessage.contains("price_cap"), e.getMessage)
+    // nothing landed — the table is unchanged at version 0
+    assert(VersionedTable.latestVersion(spark, t).contains(0))
+    assert(VersionedTable.read(spark, t).agg(sum("price"))
+      .collect()(0).getDouble(0) == 53.0)
+  }
+
+  test("updateWhere works on a table that uses the flag column's name") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      Seq((1L, 10L, true), (2L, 20L, false))
+        .toDF("id", "a", "__graft_preimage_touched"),
+      t, overwrite = true)
+    VersionedTable.updateWhere(spark, t, col("id") === 1L,
+      Map("a" -> (col("a") + 1L)))
+    val rows = VersionedTable.read(spark, t)
+      .select("id", "a", "__graft_preimage_touched")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, 11L, true), (2L, 20L, false)),
+      "the internal flag name must never shadow a real column")
+  }
+
+  test("explicit-version metadata paths refuse pending manifests") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_vtvis_").toFile
+    d.deleteOnExit()
+    val t = s"$d/t"
+    VersionedTable.commit(Seq((1L, 2L)).toDF("id", "x"), t,
+      overwrite = true, statsCols = Seq("x"))
+    // stage an UNDECIDED multi-table pending at v1 holding secret data
+    val uri = s"$d/txns/vis.decision"
+    VersionedTable.commitImpl(
+      Seq((99L, 999L)).toDF("id", "x"), t, overwrite = false,
+      txnId = Some("vis_0"), statsCols = Seq.empty, maxRetries = 5,
+      onBeforeManifestCommit = () => (), pendingTxn = Some(uri))
+    // countRows/statsSpan at the pending version would leak the
+    // uncommitted row count and extrema; cloneTo would fork the data
+    intercept[VersionedTable.TxnInDoubtException] {
+      VersionedTable.countRows(spark, t, asOfVersion = Some(1))
+    }
+    intercept[VersionedTable.TxnInDoubtException] {
+      VersionedTable.statsSpan(spark, t, "x", asOfVersion = Some(1))
+    }
+    intercept[VersionedTable.TxnInDoubtException] {
+      VersionedTable.cloneTo(spark, t, s"$d/leak", asOfVersion = Some(1))
+    }
+    assert(!new java.io.File(s"$d/leak").exists,
+      "a refused clone must not leave a table behind")
+    // after an ABORT the same calls refuse as 'aborted', still no leak
+    graft.operators.MultiTableTxn.abort(spark, s"$d/txns", "vis")
+    intercept[IllegalStateException] {
+      VersionedTable.countRows(spark, t, asOfVersion = Some(1))
+    }
+    intercept[IllegalStateException] {
+      VersionedTable.cloneTo(spark, t, s"$d/leak2", asOfVersion = Some(1))
+    }
+    // the latest-version paths still answer from v0
+    assert(VersionedTable.countRows(spark, t).contains(1L))
+    assert(VersionedTable.statsSpan(spark, t, "x") == Some(Some((2L, 2L))))
+  }
+
+  test("conditional-put releases its reservation when the upload fails") {
+    import graft.operators.{CommitCoordinator, ConditionalPutCoordinator}
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    val d = java.nio.file.Files.createTempDirectory("graft_cpc_").toFile
+    d.deleteOnExit()
+    val fs = new Path(d.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val coord = new ConditionalPutCoordinator
+    val dest = new Path(s"$d/m.manifest")
+    // attempt 1: the tmp file does not exist, so the rename fails AFTER
+    // the reservation is taken — the key must be released, not wedged
+    intercept[java.io.IOException] {
+      coord.tryPublish(fs, new Path(s"$d/.nope.tmp"), dest)
+    }
+    // attempt 2 (the retry): a real tmp file now publishes cleanly —
+    // with a leaked reservation this would return false forever
+    val tmp = new Path(s"$d/.real.tmp")
+    val out = fs.create(tmp, true)
+    try out.write("graft-vt-v4\n".getBytes("UTF-8")) finally out.close()
+    assert(coord.tryPublish(fs, tmp, dest),
+      "a failed upload must not permanently wedge the destination key")
+    assert(fs.exists(dest))
+  }
 }

@@ -147,6 +147,38 @@ class VtCatalogSpec extends AnyFunSuite {
       "pre-truncate versions stay time-travelable")
   }
 
+  test("VERSION AS OF a pending/aborted multi-table manifest refuses") {
+    ensureCatalog()
+    val root = tmpRoot()
+    val t = new java.io.File(root, "pend").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t,
+      overwrite = true)
+    // stage an UNDECIDED multi-table pending at v1: SQL time travel
+    // naming that raw manifest number must refuse, never leak the rows
+    val uri = s"$root/txns/sqlvis.decision"
+    VersionedTable.commitImpl(
+      Seq((99L, "secret")).toDF("id", "s"), t, overwrite = false,
+      txnId = Some("sqlvis_0"), statsCols = Seq.empty, maxRetries = 5,
+      onBeforeManifestCommit = () => (), pendingTxn = Some(uri))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("UNDECIDED") ||
+      Option(e.getCause).exists(_.getMessage.contains("UNDECIDED")),
+      e.getMessage)
+    // plain (latest) SQL reads keep answering from the decided v0
+    assert(spark.sql(s"SELECT id FROM graft.`$t`")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // after ABORT the refusal flips to 'aborted' — still never data
+    graft.operators.MultiTableTxn.abort(spark, s"$root/txns", "sqlvis")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").collect()
+    }
+    assert(e2.getMessage.contains("ABORTED") ||
+      Option(e2.getCause).exists(_.getMessage.contains("ABORTED")),
+      e2.getMessage)
+  }
+
   test("read-only: mutations refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
