@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, Unresol
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, Expression, Not, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.BooleanType
 
@@ -67,23 +67,32 @@ object VtDmlStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case u: UpdateTable =>
-      target(u.table).map { case (rel, path) =>
-        planUpdate(u, rel, path) :: Nil
+      target(u.table).map { case (out, path) =>
+        planUpdate(u, out, path) :: Nil
       }.getOrElse(Nil)
     case m: MergeIntoTable =>
-      target(m.targetTable).map { case (rel, path) =>
-        planMerge(m, rel, path) :: Nil
+      target(m.targetTable).map { case (out, path) =>
+        planMerge(m, out, path) :: Nil
       }.getOrElse(Nil)
     case _ => Nil
   }
 
   /** The versioned-table relation behind an UPDATE/MERGE target, if it
-    * is one of ours (alias-stripped — the parser wraps the target). */
+    * is one of ours: its output attributes + table path. Alias-stripped
+    * (the parser wraps the target), and matched in both the analyzed
+    * form (DataSourceV2Relation) and the optimized one (the optimizer's
+    * V2 pushdown rewrites the target to DataSourceV2ScanRelation before
+    * planning). */
   private def target(table: LogicalPlan)
-      : Option[(DataSourceV2Relation, String)] =
+      : Option[(Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+                String)] =
     EliminateSubqueryAliases(table) match {
       case r: DataSourceV2Relation => r.table match {
-        case w: VtWritableTable => Some((r, w.vtPath))
+        case w: VtWritableTable => Some((r.output, w.vtPath))
+        case _ => None
+      }
+      case s: DataSourceV2ScanRelation => s.relation.table match {
+        case w: VtWritableTable => Some((s.output, w.vtPath))
         case _ => None
       }
       case _ => None
@@ -106,22 +115,25 @@ object VtDmlStrategy extends SparkStrategy {
     }
   }
 
-  private def planUpdate(u: UpdateTable, rel: DataSourceV2Relation,
+  private def planUpdate(u: UpdateTable,
+      tgtOut: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       path: String): SparkPlan = {
+    val tgtSet = org.apache.spark.sql.catalyst.expressions
+      .AttributeSet(tgtOut)
     val sets = u.assignments.map { case Assignment(key, value) =>
       val name = key match {
         case a: AttributeReference => a.name
         case other => refuse("UPDATE",
           s"SET on a nested field (${other.sql}) is not supported")
       }
-      if (!value.references.subsetOf(rel.outputSet))
+      if (!value.references.subsetOf(tgtSet))
         refuse("UPDATE", s"SET $name reads columns outside the table")
       name -> Bridge.column(byName("UPDATE", value))
     }
     if (sets.map(_._1).distinct.size != sets.size)
       refuse("UPDATE", "duplicate SET targets")
     u.condition.foreach { c =>
-      if (!c.references.subsetOf(rel.outputSet))
+      if (!c.references.subsetOf(tgtSet))
         refuse("UPDATE", "WHERE reads columns outside the table")
     }
     val pred = u.condition.map(c => Bridge.column(byName("UPDATE", c)))
@@ -137,8 +149,11 @@ object VtDmlStrategy extends SparkStrategy {
     case other => Seq(other)
   }
 
-  private def planMerge(m: MergeIntoTable, rel: DataSourceV2Relation,
+  private def planMerge(m: MergeIntoTable,
+      tgtOut: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
       path: String): SparkPlan = {
+    val tgtSet = org.apache.spark.sql.catalyst.expressions
+      .AttributeSet(tgtOut)
     if (m.notMatchedBySourceActions.nonEmpty)
       refuse("MERGE", "WHEN NOT MATCHED BY SOURCE is not supported")
     val srcPlan = m.sourceTable
@@ -150,19 +165,20 @@ object VtDmlStrategy extends SparkStrategy {
     val keys: Seq[(String, Expression)] =
       splitAnd(m.mergeCondition).map {
         case EqualTo(l: AttributeReference, r)
-            if rel.outputSet.contains(l) && r.references.subsetOf(srcOut) =>
+            if tgtSet.contains(l) && r.references.subsetOf(srcOut) =>
           l.name -> r
         case EqualTo(l, r: AttributeReference)
-            if rel.outputSet.contains(r) && l.references.subsetOf(srcOut) =>
+            if tgtSet.contains(r) && l.references.subsetOf(srcOut) =>
           r.name -> l
         case other => refuse("MERGE",
           s"ON must be a conjunction of target-column = source-" +
             s"expression equalities, got ${other.sql}")
       }
     // matched: optional leading tombstone DELETE, then the full UPDATE
-    val (tombstone, updAssigns) = m.matchedActions match {
-      case Seq(UpdateAction(None, as)) => (None, as)
-      case Seq(DeleteAction(Some(dc)), UpdateAction(None, as)) =>
+    val (tombstone: Option[Expression], updAssigns: Seq[Assignment]) =
+      m.matchedActions match {
+      case Seq(UpdateAction(None, as, _)) => (None, as)
+      case Seq(DeleteAction(Some(dc)), UpdateAction(None, as, _)) =>
         (Some(dc), as)
       case other => refuse("MERGE",
         s"matched actions must be [UPDATE SET *] or " +
@@ -212,7 +228,7 @@ object VtDmlStrategy extends SparkStrategy {
           refuse("MERGE", s"$verb $name carries a subquery")
         name -> value
       }
-      val tgt = rel.output.map(_.name).toSet
+      val tgt = tgtOut.map(_.name).toSet
       if (named.map(_._1).toSet != tgt || named.size != tgt.size)
         refuse("MERGE", s"$verb must assign every table column " +
           s"exactly once (UPDATE SET * / INSERT *): got " +
@@ -222,7 +238,7 @@ object VtDmlStrategy extends SparkStrategy {
     }
     val upd = assignMap("UPDATE SET", updAssigns)
     val ins = assignMap("INSERT", insAssigns)
-    rel.output.map(_.name).foreach { c =>
+    tgtOut.map(_.name).foreach { c =>
       if (!upd(c).semanticEquals(ins(c)))
         refuse("MERGE", s"UPDATE and INSERT disagree on column $c " +
           s"(${upd(c).sql} vs ${ins(c).sql}) — mergeInto applies ONE " +
@@ -238,7 +254,7 @@ object VtDmlStrategy extends SparkStrategy {
         refuse("MERGE", s"ON key $k joins on ${srcExpr.sql} but the " +
           s"assignments write ${v.sql} into it")
     }
-    val tgtCols = rel.output.map(_.name)
+    val tgtCols = tgtOut.map(_.name)
     VtDmlExec("merge", path, () => {
       val spark = SparkSession.active
       val srcDf = Bridge.ofRows(spark, srcPlan)

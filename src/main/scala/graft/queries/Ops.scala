@@ -1382,6 +1382,92 @@ object Ops {
     s.sql(s"SELECT l_orderkey, l_linenumber, l_quantity FROM graft.`$t`")
   }
 
+  // SQL UPDATE surface (plans/VtDml.scala): the multi-SET swap runs as
+  // SQL TEXT through the catalog — the strategy lowers the resolved
+  // UpdateTable onto VersionedTable.updateWhere, so SQL users get the
+  // same pre-image semantics, CHECK gates, and touched-files-only
+  // rewrite (both gated in-entry). Same oracle as the Scala-API twin
+  // op_vt_update_multiset: the two surfaces must be value-identical.
+  val opVtSqlUpdate: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtDml.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtsqlu_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    s.sql(s"UPDATE graft.`$t` SET " +
+      "l_quantity = l_extendedprice + 1, " +
+      "l_extendedprice = l_quantity + 1 " +
+      "WHERE l_quantity < 10 AND l_orderkey BETWEEN 1000 AND 3000")
+    val modes = VersionedTable.versions(s, t).map(_.mode)
+    require(modes == Seq("overwrite", "update") ||
+      modes == Seq("overwrite"), // empty fixture: nothing matched
+      s"SQL UPDATE must be one delta update commit: $modes")
+    if (modes.size == 2)
+      require(VersionedTable.files(s, t, 1).toSet
+        .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
+        "files outside the band must carry by reference")
+    s.sql(s"SELECT l_orderkey, l_linenumber, l_quantity, " +
+      s"l_extendedprice FROM graft.`$t`")
+  }
+
+  // SQL MERGE INTO surface (plans/VtDml.scala): ONE SQL statement
+  // carries all three CDC verbs — WHEN MATCHED AND s.del THEN DELETE,
+  // WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED AND NOT s.del
+  // THEN INSERT * — lowered onto VersionedTable.mergeInto's tombstone
+  // contract (delta-sized discovery, one commit, gated in-entry). The
+  // oracle replays the delete/update/insert split directly.
+  val opVtSqlMerge: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtDml.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtsqlm_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    val docs = documents(s, d).where(col("doc_id").isNotNull)
+    VersionedTable.commit(
+      docs.select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    // CDC feed over the LOW doc_id band (a clustered CDC batch — the
+    // shape where delta-sized discovery carries files): even band keys
+    // tombstone, odd band keys re-hash; %11 keys insert under shifted
+    // ids (never matching — ids are band-shifted past the max)
+    val mx = docs.agg(max(col("doc_id"))).collect()(0)
+    val cut = if (mx.isNullAt(0)) 0L else mx.getLong(0) / 5
+    docs.where(col("doc_id") <= cut)
+      .select(col("doc_id"),
+        md5(concat(coalesce(col("text"), lit("")), lit("u"))).as("h"),
+        col("source"), (col("doc_id") % 2 === 0).as("del"))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source"),
+          lit(false).as("del")))
+      .createOrReplaceTempView("graft_sqlmerge_src")
+    s.sql(s"MERGE INTO graft.`$t` AS t USING graft_sqlmerge_src AS s " +
+      "ON t.doc_id = s.doc_id " +
+      "WHEN MATCHED AND s.del THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND NOT s.del THEN INSERT *")
+    val modes = VersionedTable.versions(s, t).map(_.mode)
+    require(modes == Seq("overwrite", "merge") ||
+      modes == Seq("overwrite"), // empty fixture
+      s"SQL MERGE must be one delta merge commit: $modes")
+    if (modes.size == 2)
+      require(VersionedTable.files(s, t, 1).toSet
+        .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
+        "files outside the touched key range must carry by reference")
+    s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+  }
+
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
   // classic two-table atomic move — the doc_id < 100 band MOVES from
   // table A to table B in ONE commit, staged through the DELTA-SIZED
@@ -1716,6 +1802,8 @@ object Ops {
     "op_vt_update_multiset" -> opVtUpdateMultiset,
     "op_vt_sql_insert" -> opVtSqlInsert,
     "op_vt_sql_delete" -> opVtSqlDelete,
+    "op_vt_sql_update" -> opVtSqlUpdate,
+    "op_vt_sql_merge" -> opVtSqlMerge,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -2062,6 +2150,33 @@ object Ops {
     "op_vt_sql_delete" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey NOT BETWEEN 1000 AND 3000""".stripMargin,
+    // The SQL UPDATE surface must equal the Scala twin's oracle: the
+    // pre-image CASE replay of the multi-SET swap.
+    "op_vt_sql_update" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 AND l_orderkey BETWEEN 1000 AND 3000
+        |       THEN l_extendedprice + 1 ELSE l_quantity END AS l_quantity,
+        |  CASE WHEN l_quantity < 10 AND l_orderkey BETWEEN 1000 AND 3000
+        |       THEN l_quantity + 1 ELSE l_extendedprice
+        |       END AS l_extendedprice
+        |FROM lineitem""".stripMargin,
+    // The SQL MERGE must equal the three-verb replay: even low-band
+    // keys gone, odd low-band keys re-hashed, %11 keys re-inserted
+    // band-shifted. The cut replays the engine's integer max/5.
+    "op_vt_sql_merge" ->
+      """WITH mx AS (SELECT max(doc_id) // 5 AS cut FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id <= (SELECT cut FROM mx)
+        |       THEN md5(concat(coalesce(text, ''), 'u'))
+        |       ELSE md5(coalesce(text, '')) END AS h,
+        |  source
+        |FROM documents
+        |WHERE doc_id IS NOT NULL
+        |  AND NOT (doc_id <= (SELECT cut FROM mx) AND doc_id % 2 = 0)
+        |UNION ALL
+        |SELECT doc_id + 2000000, md5(coalesce(text, '')), source
+        |FROM documents
+        |WHERE doc_id IS NOT NULL AND doc_id % 11 = 0""".stripMargin,
     // A SQL INSERT INTO ... SELECT must equal the plain union replay.
     "op_vt_sql_insert" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source

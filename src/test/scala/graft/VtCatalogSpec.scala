@@ -179,6 +179,89 @@ class VtCatalogSpec extends AnyFunSuite {
       e2.getMessage)
   }
 
+  test("SQL UPDATE lowers onto updateWhere: pre-image, delta-sized") {
+    ensureCatalog()
+    graft.plans.VtDml.ensureRegistered(spark)
+    val t = new java.io.File(tmpRoot(), "upd").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, i * 10L, i * 100L)).toDF("id", "a", "b")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // the multi-SET swap through SQL text only — pre-image semantics
+    spark.sql(s"UPDATE graft.`$t` SET a = b + 1, b = a + 1 " +
+      "WHERE id BETWEEN 10 AND 19")
+    val got = spark.sql(s"SELECT a, b FROM graft.`$t` WHERE id = 15")
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == (1501L, 151L),
+      s"pre-image swap expected, got $got")
+    assert(spark.sql(s"SELECT a FROM graft.`$t` WHERE id = 100")
+      .collect()(0).getLong(0) == 1000L, "untouched rows stay")
+    // ONE update commit, untouched files carried by reference
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "update"))
+    assert(VersionedTable.files(spark, t, 1).toSet
+      .intersect(VersionedTable.files(spark, t, 0).toSet).nonEmpty,
+      "files outside the id band must carry by reference")
+    // out-of-contract shapes refuse loudly, nothing half-applies
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.`$t` SET a = " +
+        s"(SELECT max(a) FROM graft.`$t`) WHERE id = 0").collect()
+    }
+    assert(e.getMessage.contains("graft SQL UPDATE") ||
+      e.getMessage.toLowerCase.contains("subquer"), e.getMessage)
+    assert(VersionedTable.latestVersion(spark, t).contains(1))
+  }
+
+  test("SQL MERGE INTO lowers onto mergeInto: upsert and CDC tombstones") {
+    ensureCatalog()
+    graft.plans.VtDml.ensureRegistered(spark)
+    val root = tmpRoot()
+    val t = new java.io.File(root, "mrg").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, s"v0_$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // plain upsert: UPDATE SET * / INSERT * over a source view
+    (90L until 110L).map(i => (i, s"new_$i")).toDF("id", "s")
+      .createOrReplaceTempView("mrg_src")
+    spark.sql(s"MERGE INTO graft.`$t` AS t USING mrg_src AS s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val rows = spark.sql(s"SELECT id, s FROM graft.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.size == 110)
+    assert(rows(95L) == "new_95" && rows(105L) == "new_105" &&
+      rows(10L) == "v0_10")
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "merge"))
+    assert(VersionedTable.files(spark, t, 1).toSet
+      .intersect(VersionedTable.files(spark, t, 0).toSet).nonEmpty,
+      "files below the merge band must carry by reference")
+    // CDC apply: tombstoned keys delete, others upsert — one statement
+    Seq((105L, "upd_105", false), (10L, "x", true), (500L, "ins_500", false),
+      (600L, "dead", true))
+      .toDF("id", "s", "del").createOrReplaceTempView("mrg_cdc")
+    spark.sql(s"MERGE INTO graft.`$t` AS t USING mrg_cdc AS s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED AND s.del THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED AND NOT s.del THEN INSERT *")
+    val rows2 = spark.sql(s"SELECT id, s FROM graft.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows2.size == 110, s"110 = 110 - del(10) + ins(500): ${rows2.size}")
+    assert(!rows2.contains(10L) && rows2(105L) == "upd_105" &&
+      rows2(500L) == "ins_500" && !rows2.contains(600L))
+    // out-of-contract: NOT MATCHED BY SOURCE refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"MERGE INTO graft.`$t` AS t USING mrg_cdc AS s " +
+        "ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE").collect()
+    }
+    assert(e.getMessage.contains("graft SQL MERGE"), e.getMessage)
+  }
+
   test("read-only: mutations refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
