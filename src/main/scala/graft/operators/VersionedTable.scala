@@ -177,9 +177,24 @@ object VersionedTable {
     * (the file can never be pruned on it); `None` → collected and the
     * column is entirely null in the file (provably excluded from any
     * range predicate); `Some((min, max))` → the span, normalized to
-    * Long / Double / String. */
+    * Long / Double / String.
+    *
+    * `nRows` is always the file's PHYSICAL row count (the footer's);
+    * `dv = Some((sidecar, nDeleted))` marks a DELETION VECTOR — the
+    * sidecar parquet (columns `file`,`pos`) lists `nDeleted` row
+    * positions of this file that are deleted in this version. Live
+    * rows = `nRows - nDeleted`; readers mask the positions out
+    * ([[deleteWhere]]'s `deletionVectors = true` path). Spans stay
+    * the PHYSICAL file's — conservative for pruning (a masked row can
+    * only narrow the true span), which is exactly what file skipping
+    * needs. */
   final case class FileEntry(name: String, nRows: Long,
-      stats: Map[String, Option[(Any, Any)]], size: Long = -1L)
+      stats: Map[String, Option[(Any, Any)]], size: Long = -1L,
+      dv: Option[(String, Long)] = None) {
+    /** Rows a reader actually sees from this file. */
+    def liveRows: Long = if (nRows < 0) nRows
+      else nRows - dv.map(_._2).getOrElse(0L)
+  }
 
   /** Manifest-side pruning predicates for [[prunedReadWhere]]: a
     * conjunction of range, one-sided-bound, IN-list, and not-null
@@ -351,10 +366,29 @@ object VersionedTable {
     * On a manifest-race loss the whole delete restarts (bounded):
     * unlike a blind append, its carried set and rewrites depend on
     * data a concurrent winner may have changed, so re-running
-    * discovery is the only serializable retry. */
+    * discovery is the only serializable retry.
+    *
+    * `deletionVectors = true` commits the delete as DV SIDECARS
+    * instead of rewriting: every touched file carries forward BY NAME
+    * with a deletion-vector entry masking exactly the predicate-hit
+    * row positions (one delta-sized sidecar parquet per commit — the
+    * only bytes written), so an OFF-CLUSTER delete that would rewrite
+    * every file costs O(deleted rows), not O(touched bytes) — the
+    * write-amplification fix Delta ships as deletion vectors. A file
+    * whose rows are ALL dead drops from the manifest outright. Reads
+    * (time travel, pruned reads, the change feed, every rewrite base)
+    * mask exactly; [[compact]]/[[compactSmall]] MATERIALIZE vectors —
+    * their rewrites read masked, so the outputs are vector-free and
+    * the sidecars age out with [[expire]]. Trade-offs, documented:
+    * metadata [[statsSpan]] turns conservative (spans are the physical
+    * file's), and the `graft-vt` relation / SQL catalog scan surfaces
+    * REFUSE DV-carrying versions (a FileIndex cannot mask) until a
+    * compaction materializes them — the Scala read surface is exact
+    * throughout. */
   def deleteWhere(spark: SparkSession, path: String, predicate: Column,
       txnId: Option[String] = None, maxRetries: Int = 5,
-      pendingTxn: Option[String] = None): Int = {
+      pendingTxn: Option[String] = None,
+      deletionVectors: Boolean = false): Int = {
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = root.getFileSystem(conf)
@@ -370,30 +404,76 @@ object VersionedTable {
       val entries = readEntries(spark, path, v)
       if (entries.isEmpty) return v
       val header = readHeader(fs, root, v)
-      val all = entries.map(e => s"$path/${e.name}")
-      val touched = schemaRead(spark, header.schemaJson, all)
-        .where(predicate)
-        .select(input_file_name().as("f"))
-        .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
-      if (touched.isEmpty) return v
-      val (rewrite, carried) = entries.partition(e => touched(e.name))
-      val survivors = schemaRead(spark, header.schemaJson,
-        rewrite.map(e => s"$path/${e.name}"))
-        .where(!coalesce(predicate, lit(false)))
-      // slot from the SAME listing as the base (latestVisibleIn doc):
-      // holes between them are decided-aborted and can never revive
+      // discovery reads MASKED with (file, pos) identity: a row an
+      // earlier vector already deleted can be neither touched nor
+      // re-deleted
+      val (probe, fileC, posC) =
+        maskedReadWithPos(spark, header.schemaJson, path, entries)
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
-      val published = stageAndPublish(survivors, fs, root, v2, cols)
-      val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols))
-      if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
-          header.schemaJson, carried ++ newEntries,
-          pendingTxn = pendingTxn)) {
-        if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
-        return v2
-      }
-      // lost the race: drop our rewrites (vacuum-class debris swept
+      val published: Seq[String] =
+        if (deletionVectors) {
+          // one scan finds the hit positions; localCheckpoint pins the
+          // delta-sized hit set so the count-aggregate and the sidecar
+          // write don't re-scan the table (and can't diverge)
+          val hits = probe.where(predicate)
+            .select(col(fileC), col(posC)).localCheckpoint()
+          val perFile = hits.groupBy(fileC).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          if (perFile.isEmpty) return v
+          // prior vectors of re-touched files ride into the new
+          // sidecar, so each entry references exactly ONE sidecar
+          val prior = entries.filter(e =>
+            perFile.contains(e.name) && e.dv.nonEmpty)
+          val allPos =
+            if (prior.isEmpty) hits
+            else hits.unionByName(dvMask(spark, path, prior, fileC, posC))
+          val side = stageAndPublish(
+            allPos.select(col(fileC).as("file"), col(posC).as("pos"))
+              .coalesce(1), fs, root, v2)
+          val sidecar = side match {
+            case Seq(one) => one
+            case more => throw new IllegalStateException(
+              s"DV sidecar must be one file, got $more")
+          }
+          val newEntries = entries.flatMap { e =>
+            perFile.get(e.name) match {
+              case None => Some(e) // untouched: carried verbatim
+              case Some(n) =>
+                val total = e.dv.map(_._2).getOrElse(0L) + n
+                if (e.nRows >= 0 && total >= e.nRows) None // fully dead
+                else Some(e.copy(dv = Some((sidecar, total))))
+            }
+          }
+          if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
+              header.schemaJson, newEntries, pendingTxn = pendingTxn)) {
+            if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
+            return v2
+          }
+          side
+        } else {
+          val touched = probe.where(predicate)
+            .select(col(fileC)).distinct()
+            .collect().map(_.getString(0)).toSet
+          if (touched.isEmpty) return v
+          val (rewrite, carried) = entries.partition(e => touched(e.name))
+          val survivors =
+            maskedRead(spark, header.schemaJson, path, rewrite)
+              .where(!coalesce(predicate, lit(false)))
+          // slot from the SAME listing as the base (latestVisibleIn
+          // doc): holes between them are decided-aborted, never revive
+          val pub = stageAndPublish(survivors, fs, root, v2, cols)
+          val newEntries = pub.map(n =>
+            footerEntry(fs, conf, new Path(root, n), cols))
+          if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
+              header.schemaJson, carried ++ newEntries,
+              pendingTxn = pendingTxn)) {
+            if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
+            return v2
+          }
+          pub
+        }
+      // lost the race: drop our writes (vacuum-class debris swept
       // eagerly) and re-run discovery against the winner's version
       published.foreach(n => fs.delete(new Path(root, n), false))
       triesLeft -= 1
@@ -456,15 +536,16 @@ object VersionedTable {
         s"updateWhere: SET targets non-existent column(s) " +
           s"${missing.mkString(",")} — schema evolution goes through " +
           "commit(), not UPDATE")
-      val all = entries.map(e => s"$path/${e.name}")
-      val touched = schemaRead(spark, header.schemaJson, all)
-        .where(predicate)
-        .select(input_file_name().as("f"))
-        .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
+      // masked discovery + masked rewrite base: a DV-deleted row can
+      // neither touch a file nor be resurrected by the rewrite
+      val (probe, probeFileC, _) =
+        maskedReadWithPos(spark, header.schemaJson, path, entries)
+      val touched = probe.where(predicate)
+        .select(col(probeFileC)).distinct()
+        .collect().map(_.getString(0)).toSet
       if (touched.isEmpty) return v
       val (rewrite, carried) = entries.partition(e => touched(e.name))
-      val base = schemaRead(spark, header.schemaJson,
-        rewrite.map(e => s"$path/${e.name}"))
+      val base = maskedRead(spark, header.schemaJson, path, rewrite)
       // post-image: SET applies exactly where the predicate is TRUE
       // (SQL UPDATE semantics — a NULL predicate leaves the row alone).
       // ONE select computes every SET expression AND the touched flag
@@ -667,12 +748,16 @@ object VersionedTable {
         }
       val touched =
         if (probed.isEmpty) Set.empty[String]
-        else schemaRead(spark, header.schemaJson,
-            probed.map(e => s"$path/${e.name}"))
-          .select(keys.map(col) :+ input_file_name().as("__f"): _*)
-          .join(srcKeys, keys, "left_semi")
-          .select("__f").distinct()
-          .collect().map(r => uriFileName(r.getString(0))).toSet
+        else {
+          // masked probe: a key whose only rows are DV-deleted must
+          // not drag its file into the rewrite
+          val (kprobe, kFileC, _) =
+            maskedReadWithPos(spark, header.schemaJson, path, probed)
+          kprobe.select(keys.map(col) :+ col(kFileC): _*)
+            .join(srcKeys, keys, "left_semi")
+            .select(kFileC).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
       val (rewrite, carried) = entries.partition(e => touched(e.name))
       // every matched target row leaves (update AND delete verbs);
       // only non-tombstoned source rows come back
@@ -681,8 +766,7 @@ object VersionedTable {
       val ordered = upserts.select(tableSchema.fieldNames.map(col).toSeq: _*)
       val newData =
         if (rewrite.isEmpty) ordered
-        else schemaRead(spark, header.schemaJson,
-            rewrite.map(e => s"$path/${e.name}"))
+        else maskedRead(spark, header.schemaJson, path, rewrite)
           .join(srcKeys, keys, "left_anti")
           .unionByName(ordered)
       // slot from the SAME listing as the base (latestVisibleIn doc):
@@ -810,9 +894,12 @@ object VersionedTable {
       val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
       val srcStr = srcRoot.toString
       val dstStr = dstRoot.toString
-      val slices = math.max(1, math.min(entries.size,
+      // data files AND any DV sidecars: identical bytes keep the
+      // entries' dv references true in the clone
+      val toCopy = artifactNames(entries)
+      val slices = math.max(1, math.min(toCopy.size,
         spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(entries.map(_.name), slices)
+      spark.sparkContext.parallelize(toCopy, slices)
         .foreach { n =>
           val c = sconf.value
           val from = new Path(srcStr, n)
@@ -910,22 +997,23 @@ object VersionedTable {
         s"replaceWhere: data column types differ from the table's " +
           s"(${typeConflicts.mkString("; ")}) — schema evolution " +
           "composes via a prior commit, not mid-replace")
-      // discovery: one scan projecting only the predicate's columns
-      // (parquet footer stats + blooms prune it like any read)
+      // discovery: one MASKED scan projecting only the predicate's
+      // columns (parquet footer stats + blooms prune it like any read)
       val touched =
         if (entries.isEmpty) Set.empty[String]
-        else schemaRead(spark, header.schemaJson,
-            entries.map(e => s"$path/${e.name}"))
-          .where(predicate)
-          .select(input_file_name().as("f"))
-          .distinct().collect().map(r => uriFileName(r.getString(0))).toSet
+        else {
+          val (probe, fileC, _) =
+            maskedReadWithPos(spark, header.schemaJson, path, entries)
+          probe.where(predicate)
+            .select(col(fileC)).distinct()
+            .collect().map(_.getString(0)).toSet
+        }
       val (rewrite, carried) = entries.partition(e => touched(e.name))
       val ordered = src.select(tableSchema.fieldNames.map(col).toSeq: _*)
       if (touched.isEmpty && ordered.isEmpty) return v // scoped no-op
       val survivors =
         if (rewrite.isEmpty) ordered
-        else schemaRead(spark, header.schemaJson,
-            rewrite.map(e => s"$path/${e.name}"))
+        else maskedRead(spark, header.schemaJson, path, rewrite)
           .where(!coalesce(predicate, lit(false)))
           .unionByName(ordered)
       // slot from the SAME listing as the base (latestVisibleIn doc):
@@ -969,7 +1057,7 @@ object VersionedTable {
       requireVisible(fs, path, v, readHeader(fs, root, v)))
     val entries = readEntries(spark, path, v)
     if (entries.exists(_.nRows < 0)) None
-    else Some(entries.map(_.nRows).sum)
+    else Some(entries.map(_.liveRows).sum)
   }
 
   /** Metadata-only MIN/MAX of a stats column, folded from the manifest
@@ -1002,7 +1090,12 @@ object VersionedTable {
     asOfVersion.foreach(_ =>
       requireVisible(fs, path, v, readHeader(fs, root, v)))
     val entries = readEntries(spark, path, v)
-    // every file that MIGHT hold a row must carry collected stats
+    // every file that MIGHT hold a row must carry collected stats; a
+    // deletion vector makes the recorded span merely CONSERVATIVE (the
+    // masked rows may have held the extrema) — exactness demands a
+    // rescan, so answer "don't know", never a stale bound
+    if (entries.exists(e => e.dv.exists(_._2 > 0)))
+      return None
     if (entries.exists(e => e.nRows != 0 && !e.stats.contains(column)))
       return None
     var acc: Option[(Any, Any)] = None
@@ -1156,13 +1249,13 @@ object VersionedTable {
         throw new IllegalStateException(s"no committed versions at $path"))
     val header = readHeader(fs, root, v)
     requireVisible(fs, path, v, header)
-    val fl = files(spark, path, v)
-    if (fl.isEmpty) header.schemaJson match {
+    val entries = readEntries(spark, path, v)
+    if (entries.isEmpty) header.schemaJson match {
       case Some(j) => spark.createDataFrame(
         new java.util.ArrayList[Row](), decodeSchema(j))
       case None => spark.emptyDataFrame
     }
-    else schemaRead(spark, header.schemaJson, fl.map(n => s"$path/$n"))
+    else maskedRead(spark, header.schemaJson, path, entries)
   }
 
   /** A deterministic SLICE of a version's files — indices `[from,
@@ -1181,9 +1274,9 @@ object VersionedTable {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val header = readHeader(fs, root, version)
     requireVisible(fs, path, version, header)
-    val slice = files(spark, path, version).slice(from, until)
+    val slice = readEntries(spark, path, version).slice(from, until)
     if (slice.isEmpty) read(spark, path, Some(version)).limit(0)
-    else schemaRead(spark, header.schemaJson, slice.map(n => s"$path/$n"))
+    else maskedRead(spark, header.schemaJson, path, slice)
   }
 
   /** The recorded schema of a committed version (None for pre-v4
@@ -1235,8 +1328,7 @@ object VersionedTable {
     val keep = bloomPrune(spark, path, spanKeep, column, values)
     val pred = col(column).isin(values: _*)
     if (keep.isEmpty) read(spark, path, Some(v)).where(pred).limit(0)
-    else schemaRead(spark, header.schemaJson,
-      keep.map(e => s"$path/${e.name}")).where(pred)
+    else maskedRead(spark, header.schemaJson, path, keep).where(pred)
   }
 
   /** [[prunedRead]] generalized to a CONJUNCTION of range and IN-list
@@ -1282,8 +1374,7 @@ object VersionedTable {
     else if (keep.isEmpty)
       read(spark, path, Some(v)).where(pred).limit(0)
     else
-      schemaRead(spark, header.schemaJson,
-        keep.map(e => s"$path/${e.name}")).where(pred)
+      maskedRead(spark, header.schemaJson, path, keep).where(pred)
   }
 
   /** The manifest-side pruning decision of [[prunedRead]], exposed for
@@ -1320,7 +1411,12 @@ object VersionedTable {
     StructField("name", StringType, nullable = false),
     StructField("n_rows", LongType, nullable = false),
     StructField("size", LongType, nullable = false),
-    StructField("stats", MapType(StringType, ArrayType(StringType)))))
+    StructField("stats", MapType(StringType, ArrayType(StringType))),
+    // deletion vector (null = none); old checkpoints lack the columns
+    // and read as null through the explicit schema — correct, they
+    // predate DVs
+    StructField("dv_file", StringType, nullable = true),
+    StructField("dv_n", LongType, nullable = true)))
 
   /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
     * manifest's file list as a columnar table readable as a Spark job
@@ -1346,7 +1442,9 @@ object VersionedTable {
             case None => Seq("N", "N")
             case Some((mn, mx)) => Seq(encode(mn), encode(mx))
           })
-        })
+        },
+        e.dv.map(_._1).orNull,
+        e.dv.map(d => java.lang.Long.valueOf(d._2)).orNull)
     }
     val slices = math.max(1, math.min(rows.size, 32))
     val tmp = new Path(root,
@@ -1384,7 +1482,9 @@ object VersionedTable {
       .map { r =>
         FileEntry(r.getString(0), r.getLong(1),
           decodeCkptStats(r.getAs[Map[String, Seq[String]]](3)),
-          r.getLong(2))
+          r.getLong(2),
+          dv = if (r.isNullAt(4)) None
+               else Some((r.getString(4), r.getLong(5))))
       }.toSeq
     Some(survivors)
   }
@@ -1606,8 +1706,12 @@ object VersionedTable {
     }
     if (drop.isEmpty) return
     val keep = listVersionNumbers(fs, root).filterNot(drop.toSet)
-    val retained = keep.flatMap(v => files(spark, path, v)).toSet
-    val dead = drop.flatMap(v => files(spark, path, v)).toSet -- retained
+    // artifacts = data files + DV sidecars: a sidecar lives exactly as
+    // long as a retained manifest references it
+    val retained = keep.flatMap(v =>
+      artifactNames(readEntries(spark, path, v))).toSet
+    val dead = drop.flatMap(v =>
+      artifactNames(readEntries(spark, path, v))).toSet -- retained
     dead.foreach(n => fs.delete(new Path(root, n), false))
     drop.foreach { v =>
       fs.delete(new Path(root, f"$LogDir/v$v%05d.manifest"), false)
@@ -1703,8 +1807,9 @@ object VersionedTable {
     if (small.size < 2) return v
     val bytes = small.map(_._2).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val packed = schemaRead(spark, header.schemaJson,
-      small.map(se => s"$path/${se._1.name}")).repartition(nOut)
+    // masked: packing a DV-carrying small file MATERIALIZES its vector
+    val packed = maskedRead(spark, header.schemaJson, path,
+      small.map(_._1)).repartition(nOut)
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
@@ -1762,8 +1867,8 @@ object VersionedTable {
     val bytes = selected
       .map(e => fs.getFileStatus(new Path(root, e.name)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val base = schemaRead(spark, header.schemaJson,
-      selected.map(e => s"$path/${e.name}"))
+    // masked: a scoped compaction materializes the span's vectors too
+    val base = maskedRead(spark, header.schemaJson, path, selected)
     val clustered =
       if (clusterBy.isEmpty) base.repartition(nOut)
       else clusterOut(base, clusterBy, nOut)
@@ -1945,21 +2050,58 @@ object VersionedTable {
         // null-filling columns either side lacks
         tagged(read(spark, path, Some(prevV.get)), "delete")
           .unionByName(tagged(cur, "insert"), allowMissingColumns = true)
-      case _ => // delete / merge: diff ONLY the touched files
-        val before = files(spark, path, prevV.get).toSet
-        val after = files(spark, path, version).toSet
-        val oldOnly = (before -- after).toSeq.sorted
-        val newOnly = (after -- before).toSeq.sorted
+      case _ => // delete / merge: diff ONLY the touched entries
+        val beforeE = readEntries(spark, path, prevV.get)
+        val afterE = readEntries(spark, path, version)
+        val beforeM = beforeE.map(e => e.name -> e).toMap
+        val afterM = afterE.map(e => e.name -> e).toMap
+        // name-level rewrites (file replaced or dropped outright),
+        // masked under each side's own vectors
+        val oldOnly = beforeE.filterNot(e => afterM.contains(e.name))
+        val newOnly = afterE.filterNot(e => beforeM.contains(e.name))
         val cols = schemaOf(spark, path, version)
           .map(_.fieldNames.toSeq)
           .getOrElse(cur.columns.toSeq)
-        def rd(names: Seq[String]) =
-          if (names.isEmpty) cur.limit(0).select(cols.map(col): _*)
-          else schemaRead(spark, header.schemaJson,
-            names.map(n => s"$path/$n")).select(cols.map(col): _*)
+        def rd(es: Seq[FileEntry]) =
+          if (es.isEmpty) cur.limit(0).select(cols.map(col): _*)
+          else maskedRead(spark, header.schemaJson, path, es)
+            .select(cols.map(col): _*)
         val removed = rd(oldOnly).exceptAll(rd(newOnly))
         val added = rd(newOnly).exceptAll(rd(oldOnly))
-        tagged(removed, "delete").unionByName(tagged(added, "insert"))
+        // DV transitions on files present in BOTH versions: positions
+        // the new vector added are row deletes; positions it dropped
+        // (a restore) are row inserts — read ONLY those rows, by
+        // coordinate, never a content diff
+        val dvChanged = afterE.filter(e =>
+          beforeM.get(e.name).exists(b => b.dv != e.dv))
+        val (dvRemoved, dvAdded) =
+          if (dvChanged.isEmpty)
+            (rd(Seq.empty), rd(Seq.empty))
+          else {
+            val base0 = schemaRead(spark, header.schemaJson,
+              dvChanged.map(e => s"$path/${e.name}"))
+            val Seq(fileC, posC) = freshCols(base0.columns.toSeq,
+              Seq("__graft_dv_file", "__graft_dv_pos"))
+            val base = base0
+              .withColumn(fileC,
+                substring_index(col("_metadata.file_path"), "/", -1))
+              .withColumn(posC, col("_metadata.row_index"))
+            def mask(es: Seq[FileEntry]) = {
+              val dved = es.filter(_.dv.nonEmpty)
+              if (dved.isEmpty)
+                base.limit(0).select(col(fileC), col(posC))
+              else dvMask(spark, path, dved, fileC, posC)
+            }
+            val prevMask = mask(dvChanged.map(e => beforeM(e.name)))
+            val curMask = mask(dvChanged)
+            def at(pos: DataFrame) =
+              base.join(pos, Seq(fileC, posC), "left_semi")
+                .select(cols.map(col): _*)
+            (at(curMask.exceptAll(prevMask)),
+              at(prevMask.exceptAll(curMask)))
+          }
+        tagged(removed.unionByName(dvRemoved), "delete")
+          .unionByName(tagged(added.unionByName(dvAdded), "insert"))
     }
   }
 
@@ -2015,7 +2157,7 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val referenced = listVersionNumbers(fs, root)
-      .flatMap(v => files(spark, path, v)).toSet
+      .flatMap(v => artifactNames(readEntries(spark, path, v))).toSet
     val now = System.currentTimeMillis()
     val orphanFiles = fs.listStatus(root).filter(_.isFile).filter { st =>
       val n = st.getPath.getName
@@ -2488,6 +2630,92 @@ object VersionedTable {
     case None => spark.read.parquet(paths: _*)
   }
 
+  // ---- deletion vectors ------------------------------------------------
+
+  /** Internal column names the DV machinery adds while masking —
+    * suffixed past any real table column of the same name. */
+  private def freshCols(existing: Seq[String],
+      wanted: Seq[String]): Seq[String] =
+    wanted.map { w =>
+      Iterator.from(0).map(i => if (i == 0) w else s"${w}_$i")
+        .find(n => !existing.contains(n)).get
+    }
+
+  /** The deleted (file, pos) pairs of `dved`'s deletion vectors, as a
+    * frame keyed by the caller's column names. Sidecars are ordinary
+    * delta-sized parquet — the anti-join below auto-broadcasts off
+    * their file-source size stats, and a pathologically large vector
+    * (delete-most-of-the-table, which should have been a rewrite)
+    * degrades to a shuffle join, never a wrong answer. */
+  private def dvMask(spark: SparkSession, path: String,
+      dved: Seq[FileEntry], fileC: String, posC: String): DataFrame =
+    spark.read.parquet(dved.flatMap(_.dv.map(_._1)).distinct
+        .map(n => s"$path/$n"): _*)
+      .where(col("file").isin(dved.map(_.name): _*))
+      .select(col("file").as(fileC), col("pos").as(posC))
+
+  /** [[schemaRead]] over manifest ENTRIES with DELETION VECTORS
+    * applied: files without a DV scan on the stock vectorized parquet
+    * path untouched (the fast path is byte-identical to a plain read);
+    * files WITH one read alongside their `_metadata.row_index` and
+    * anti-join the mask out. All the VersionedTable read verbs route
+    * here, so time travel, pruned reads, file slices, the change feed,
+    * compaction, and every rewrite base observe DV deletes exactly. */
+  private[graft] def maskedRead(spark: SparkSession,
+      schemaJson: Option[String], path: String,
+      entries: Seq[FileEntry]): DataFrame = {
+    if (entries.forall(_.dv.isEmpty))
+      return schemaRead(spark, schemaJson,
+        entries.map(e => s"$path/${e.name}"))
+    val (dved, plain) = entries.partition(_.dv.nonEmpty)
+    val base0 = schemaRead(spark, schemaJson,
+      dved.map(e => s"$path/${e.name}"))
+    val dataCols = base0.columns.toSeq
+    val Seq(fileC, posC) = freshCols(dataCols,
+      Seq("__graft_dv_file", "__graft_dv_pos"))
+    val masked = base0
+      .withColumn(fileC,
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn(posC, col("_metadata.row_index"))
+      .join(dvMask(spark, path, dved, fileC, posC),
+        Seq(fileC, posC), "left_anti")
+      .select(dataCols.map(col): _*)
+    if (plain.isEmpty) masked
+    else masked.unionByName(schemaRead(spark, schemaJson,
+      plain.map(e => s"$path/${e.name}")))
+  }
+
+  /** [[maskedRead]] keeping the (file, pos) identity columns (returned
+    * with the frame, minted collision-free) — what DV WRITING and
+    * rewrite DISCOVERY need: positions/file hits are harvested from
+    * exactly the coordinates the read-time mask uses, so the two sides
+    * can never disagree on what a position means, and a row already
+    * masked by an earlier vector can never be "discovered" again. */
+  private def maskedReadWithPos(spark: SparkSession,
+      schemaJson: Option[String], path: String, entries: Seq[FileEntry])
+      : (DataFrame, String, String) = {
+    val base0 = schemaRead(spark, schemaJson,
+      entries.map(e => s"$path/${e.name}"))
+    val Seq(fileC, posC) = freshCols(base0.columns.toSeq,
+      Seq("__graft_dv_file", "__graft_dv_pos"))
+    val base = base0
+      .withColumn(fileC,
+        substring_index(col("_metadata.file_path"), "/", -1))
+      .withColumn(posC, col("_metadata.row_index"))
+    val dved = entries.filter(_.dv.nonEmpty)
+    val df = if (dved.isEmpty) base
+      else base.join(dvMask(spark, path, dved, fileC, posC),
+        Seq(fileC, posC), "left_anti")
+    (df, fileC, posC)
+  }
+
+  /** Every on-disk artifact a version's entries reference: the data
+    * files plus any DV sidecars — the unit [[expire]], [[vacuumUnreferenced]]
+    * and [[cloneTo]] must reason in (a sidecar's life is bound to the
+    * manifests that reference it, exactly like a data file's). */
+  private def artifactNames(entries: Seq[FileEntry]): Seq[String] =
+    entries.flatMap(e => e.name +: e.dv.map(_._1).toSeq).distinct
+
   /** Build a [[FileEntry]] from the parquet FOOTER of a just-published
     * file: row count plus min/max per stats column, merged across row
     * groups. Metadata-only — the footer is read, never the data (the
@@ -2637,9 +2865,12 @@ object VersionedTable {
 
   /** v3+/v4 entry line: `name TAB nRows TAB min1 TAB max1 ...` — two
     * fields per stats column; `- -` = not collected, `N N` = all-null
-    * column. A trailing `z<bytes>` field (v5+) records the file's byte
-    * length, positioned AFTER all span fields so pre-v5 parsers (which
-    * index by stats-column count) simply never look at it. */
+    * column. TRAILING TAGGED FIELDS follow the span fields, each
+    * self-identified by its first character so parsers skip what they
+    * do not know: `z<bytes>` (v5+) the file's byte length,
+    * `d<nDeleted>:<url-encoded-sidecar>` a deletion vector. Positioned
+    * AFTER all span fields so pre-v5 parsers (which index by
+    * stats-column count) simply never look at them. */
   private def formatEntry(e: FileEntry, cols: Seq[String]): String = {
     val fields = cols.flatMap { c =>
       e.stats.get(c) match {
@@ -2649,7 +2880,9 @@ object VersionedTable {
       }
     }
     val sz = if (e.size >= 0) Seq(s"z${e.size}") else Seq.empty
-    (Seq(e.name, e.nRows.toString) ++ fields ++ sz).mkString("\t")
+    val dv = e.dv.toSeq.map { case (sidecar, n) =>
+      s"d$n:${java.net.URLEncoder.encode(sidecar, "UTF-8")}" }
+    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv).mkString("\t")
   }
 
   private def parseEntry(line: String, cols: Seq[String]): FileEntry = {
@@ -2662,10 +2895,16 @@ object VersionedTable {
         case _ => None
       }
     }.toMap
-    val size = f.lift(2 + 2 * cols.size)
-      .filter(s => s.startsWith("z") && s.length > 1)
+    val trailing = f.drop(2 + 2 * cols.size)
+    val size = trailing.find(s => s.startsWith("z") && s.length > 1)
       .map(_.drop(1).toLong).getOrElse(-1L)
-    FileEntry(f(0), f(1).toLong, stats, size)
+    val dv = trailing.find(s => s.startsWith("d") && s.contains(':'))
+      .map { s =>
+        val i = s.indexOf(':')
+        (java.net.URLDecoder.decode(s.substring(i + 1), "UTF-8"),
+          s.substring(1, i).toLong)
+      }
+    FileEntry(f(0), f(1).toLong, stats, size, dv)
   }
 
   /** Write the manifest to a temp name and PROMOTE it — the commit

@@ -571,6 +571,68 @@ object Ops {
         col("source"))
   }
 
+  // DELETION-VECTOR delete (the write-amplification fix): the same
+  // table as op_vt_delete, but the predicate is OFF-CLUSTER (doc_id %
+  // 3 — every range-clustered file holds matches, the shape where a
+  // rewrite delete rewrites the WHOLE table) and the delete commits as
+  // ONE delta-sized sidecar instead: every data file carries BY NAME
+  // (gated), the sidecar is ≥10× smaller than the bytes a rewrite
+  // would have written (gated), metadata COUNT stays exact, reads and
+  // time travel mask exactly, and compact() materializes the vectors
+  // away (gated: no dv entries after). The oracle is the anti-filter —
+  // a DV delete must be value-identical to a rewrite delete.
+  val opVtDeleteDv: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtdv_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    VersionedTable.commit(
+      docs.repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    val pred = col("doc_id") % 3 === 0
+    val dataBytes = VersionedTable.readEntries(s, t, 0)
+      .map(_.size).filter(_ > 0).sum
+    val v = VersionedTable.deleteWhere(s, t, pred,
+      txnId = Some("vtdv_del1"), deletionVectors = true)
+    if (v == 1) {
+      require(VersionedTable.files(s, t, 1).toSet ==
+        VersionedTable.files(s, t, 0).toSet,
+        "a DV delete must not rewrite or drop any data file")
+      val e1 = VersionedTable.readEntries(s, t, 1)
+      val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+        s.sessionState.newHadoopConf())
+      val sidecarBytes = e1.flatMap(_.dv.map(_._1)).distinct
+        .map(n => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$t/$n")).getLen).sum
+      // the whole point: bytes written collapse vs the rewrite the
+      // off-cluster predicate would have forced (guarded: only when
+      // the fixture is big enough for file overheads to amortize)
+      require(dataBytes < 50000 || sidecarBytes * 10 <= dataBytes,
+        s"DV delete must write >=10x less: sidecar $sidecarBytes vs " +
+          s"data $dataBytes")
+      // metadata-only count is still exact over the mask
+      val live = VersionedTable.countRows(s, t)
+      require(live.contains(VersionedTable.read(s, t).count()),
+        s"countRows must subtract the mask: $live")
+      require(VersionedTable.read(s, t, Some(0)).count() == docs.count(),
+        "the pre-delete version must stay whole")
+      require(VersionedTable.deleteWhere(s, t, pred,
+        txnId = Some("vtdv_del1"), deletionVectors = true) == 1,
+        "a replayed DV delete (same txnId) must no-op")
+      // OPTIMIZE materializes the vectors away
+      val cv = VersionedTable.compact(s, t,
+        targetFileBytes = 64L * 1024)
+      require(VersionedTable.readEntries(s, t, cv).forall(_.dv.isEmpty),
+        "compact must materialize deletion vectors")
+    }
+    VersionedTable.read(s, t)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"),
+        col("source"))
+  }
+
   // OPTIMIZE ... CLUSTER BY as a versioned commit: v0 lands lineitem
   // in a hash-SCATTERED layout (every file spans the whole key range —
   // the manifest stats prove pruning is impossible), then a clustered
@@ -1777,6 +1839,7 @@ object Ops {
     "op_vt_compact" -> opVtCompact,
     "op_vt_pruned_read" -> opVtPrunedRead,
     "op_vt_delete" -> opVtDelete,
+    "op_vt_delete_dv" -> opVtDeleteDv,
     "op_vt_optimize_cluster" -> opVtOptimizeCluster,
     "op_vt_optimize_where" -> opVtOptimizeWhere,
     "op_vt_incr_read" -> opVtIncrRead,
@@ -2088,6 +2151,13 @@ object Ops {
         |FROM documents
         |WHERE doc_id IS NULL
         |   OR doc_id > (SELECT max(doc_id) // 5 FROM documents)""".stripMargin,
+    // A deletion-vector delete must equal the anti-filter exactly —
+    // value-identical to a rewrite delete (nulls kept: SQL WHERE
+    // semantics; the mask is invisible to every reader).
+    "op_vt_delete_dv" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents
+        |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
     // Zone-map planning must be result-invisible: plain range filter.
     "op_zonemap_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

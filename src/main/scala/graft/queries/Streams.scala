@@ -763,8 +763,18 @@ object Streams {
     val mx = base.agg(max(col("o_orderkey"))).collect()(0)
     if (!mx.isNullAt(0)) {
       val m = mx.getLong(0)
+      // the delete commits as DELETION VECTORS: the streamed change
+      // feed must be value-identical to a rewrite delete's (the shared
+      // op_vt_changes oracle is the cross-check), with zero data files
+      // rewritten (gated here)
       require(VersionedTable.deleteWhere(s, table,
-        col("o_orderkey") <= m / 4) == 1)
+        col("o_orderkey") <= m / 4, deletionVectors = true) == 1)
+      // fully-dead files DROP from the manifest (the low band lives in
+      // whole files on this clustered layout); everything else carries
+      // by name and no data file is ever written
+      require(VersionedTable.files(s, table, 1).toSet
+        .subsetOf(VersionedTable.files(s, table, 0).toSet),
+        "the DV delete must write no data file")
       val updates = base.where(col("o_orderkey") > m * 3 / 4)
         .withColumn("o_totalprice", col("o_totalprice") * 2)
       val inserts = base.where(col("o_orderkey") > m * 3 / 4)
@@ -817,14 +827,19 @@ object Streams {
     Sources.registerCleanup(dir)
     val table = s"${dir.getAbsolutePath}/table"
     val quarantine = s"${dir.getAbsolutePath}/quarantine"
+    val txns = s"${dir.getAbsolutePath}/txns"
     val cdcDir = Sources.fixtureDir(s, "graft_stqg_cdc_")
     val t0 = System.currentTimeMillis() - 180000
     Sources.writeOrderedPart(
       ords.where(col("__y") <= 1997).drop("__y"), cdcDir, "a.parquet", t0)
-    // the BAD batch: 1998's prices negated — violates price_positive
+    // the MIXED batch: 1998's ODD-key prices negated — the batch must
+    // SPLIT row-level, clean evens to the table, violating odds to
+    // quarantine, in ONE atomic multi-table commit
     Sources.writeOrderedPart(
       ords.where(col("__y") === 1998).drop("__y")
-        .withColumn("o_totalprice", -col("o_totalprice")),
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 2 === 1, -col("o_totalprice"))
+            .otherwise(col("o_totalprice"))),
       cdcDir, "b.parquet", t0 + 60000)
     Sources.writeOrderedPart(
       ords.where(col("__y") > 1998).drop("__y"), cdcDir, "c.parquet",
@@ -836,19 +851,39 @@ object Streams {
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val report = graft.operators.QualityAudit.audit(batch, Seq(
-            "key_not_null" -> col("o_orderkey").isNotNull,
-            "price_positive" -> (col("o_totalprice") > 0)))
-          if (report.where(!col("pass")).isEmpty)
-            graft.operators.VersionedTable.commit(batch, table,
+          import graft.operators.{MultiTableTxn, VersionedTable}
+          val rules = Seq(
+            col("o_orderkey").isNotNull,
+            col("o_totalprice") > 0)
+          val pass = coalesce(rules.reduce(_ && _), lit(false))
+          // pin the batch: both lanes and the emptiness probes must
+          // see ONE evaluation (a foreachBatch frame re-executes its
+          // plan per action)
+          val pinned = batch.localCheckpoint()
+          val clean = pinned.where(pass)
+          val bad = pinned.where(!pass)
+          val (hasClean, hasBad) = (!clean.isEmpty, !bad.isEmpty)
+          if (hasClean && hasBad)
+            // the SPLIT batch: clean + quarantine lanes land as ONE
+            // multi-table transaction — a crash between the lanes can
+            // never publish half a batch, and a checkpoint-lagged
+            // replay no-ops on the decision file (exactly-once both
+            // lanes, together)
+            MultiTableTxn.commit(s, Seq(
+              MultiTableTxn.TableWrite(clean, table, overwrite = false),
+              MultiTableTxn.TableWrite(bad, quarantine,
+                overwrite = false)),
+              txns, s"qg_split_$batchId"): Unit
+          else if (hasClean)
+            VersionedTable.commit(clean, table,
               overwrite = false, txnId = Some(s"qg_$batchId")): Unit
-          else
+          else if (hasBad)
             // Dead-letter through the SAME idempotent commit protocol
             // as the table side: a bare append would double-write the
             // bad batch when a replay follows a crash after the write
             // but before the checkpoint advances. With a txnId the
             // replay no-ops and the quarantine is exactly-once too.
-            graft.operators.VersionedTable.commit(batch, quarantine,
+            VersionedTable.commit(bad, quarantine,
               overwrite = false, txnId = Some(s"qg_bad_$batchId")): Unit
         }
       }
@@ -856,15 +891,27 @@ object Streams {
       .start()
     q.awaitTermination()
     val hist = graft.operators.VersionedTable.versions(s, table)
-    val nBad = ords.where(col("__y") === 1998).count()
+    val nBad = ords.where(col("__y") === 1998 &&
+      col("o_orderkey") % 2 === 1).count()
     if (nBad > 0) {
       require(graft.operators.VersionedTable.read(s, quarantine)
           .count() == nBad,
-        "the bad batch must land whole in quarantine")
-      require(hist.size + 1 >= 2, s"clean batches must commit: $hist")
+        "exactly the violating rows must land in quarantine")
       require(graft.operators.VersionedTable.read(s, table)
         .where(col("o_totalprice") <= 0).count() == 0,
         "no violating row may reach the published table")
+      // TORN-STATE gate: every input row landed in exactly one lane —
+      // a half-applied split (one lane committed, the other lost)
+      // breaks the count identity
+      require(graft.operators.VersionedTable.read(s, table).count() +
+          graft.operators.VersionedTable.read(s, quarantine).count() ==
+          ords.count(),
+        "split lanes must be all-or-nothing: row counts must add up")
+      // and the split batch really went through the ONE-decision txn
+      require(new java.io.File(txns).listFiles() != null &&
+        new java.io.File(txns).listFiles()
+          .exists(_.getName.endsWith(".decision")),
+        "the mixed batch must commit through one MultiTableTxn decision")
     }
     if (hist.isEmpty) ords.drop("__y").limit(0)
     else graft.operators.VersionedTable.read(s, table)
@@ -1017,9 +1064,12 @@ object Streams {
         |FROM orders WHERE year(o_orderdate) > 1998""".stripMargin,
     // Only the clean batches publish: 1998 (the planted-violation
     // batch) must be wholly absent.
+    // Row-level gate: 1998's odd keys were negated (violations →
+    // quarantine); its clean evens MUST publish — atomically with the
+    // quarantine lane, in one multi-table txn per micro-batch.
     "st_quality_gate" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE year(o_orderdate) <> 1998""".stripMargin,
+        |WHERE year(o_orderdate) <> 1998 OR o_orderkey % 2 = 0""".stripMargin,
     // ev_anomaly's exact-moment z arithmetic + st_hourly's append
     // emission rule (window end + 1h watermark <= ms-trunc(max ts)).
     "st_anomaly" ->

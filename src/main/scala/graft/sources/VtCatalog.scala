@@ -88,8 +88,14 @@ final class VtCatalog extends TableCatalog {
     // SQL time travel must not read an UNDECIDED/ABORTED multi-table
     // pending manifest the Scala read() path would refuse
     VersionedTable.requireVisibleVersion(spark, path, version)
-    val files = VersionedTable.files(spark, path, version)
-      .map(n => s"$path/$n")
+    val entries = VersionedTable.readEntries(spark, path, version)
+    // the SQL scan is a plain file list — it cannot mask deletion
+    // vectors; refuse rather than resurrect deleted rows
+    require(entries.forall(_.dv.isEmpty),
+      s"version $version of $path carries deletion vectors — the SQL " +
+        "scan surface cannot mask them; read via VersionedTable.read " +
+        "or materialize with compact()")
+    val files = entries.map(e => s"$path/${e.name}")
     val schema = VersionedTable.schemaOf(spark, path, version)
       .getOrElse(VersionedTable.read(spark, path, Some(version)).schema)
     val pq =

@@ -39,6 +39,15 @@ final class VtFileIndex(spark: SparkSession, tablePath: String,
     val version: Int, entries: Seq[FileEntry], schema: StructType)
     extends FileIndex {
 
+  // A FileIndex can only LIST — it has no seam to anti-join a deletion
+  // vector's positions out, so handing Spark a DV-carrying file list
+  // would resurrect deleted rows. Refuse loudly; the Scala read
+  // surface masks exactly, and compact() materializes the vectors.
+  require(entries.forall(_.dv.isEmpty),
+    s"version $version of $tablePath carries deletion vectors — the " +
+      "graft-vt relation / SQL scan surface cannot mask them; read via " +
+      "VersionedTable.read(...) or materialize with compact()")
+
   private val root = new Path(tablePath)
 
   /** Files listed by the most recent [[listFiles]] call — the

@@ -1795,6 +1795,141 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.statsSpan(spark, t, "x") == Some(Some((2L, 2L))))
   }
 
+  test("deletion vectors: off-cluster delete writes a sidecar, not files") {
+    import spark.implicits._
+    val t = tmpTable()
+    // 4 range-clustered files; id % 3 == 0 is OFF-cluster — every file
+    // holds matches, so a rewrite delete would rewrite the whole table
+    VersionedTable.commit(
+      (0L until 400L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val v0Files = VersionedTable.files(spark, t, 0).toSet
+    val v = VersionedTable.deleteWhere(spark, t, col("id") % 3 === 0,
+      txnId = Some("dv1"), deletionVectors = true)
+    assert(v == 1)
+    // every data file carried BY NAME — zero data bytes rewritten
+    assert(VersionedTable.files(spark, t, 1).toSet == v0Files,
+      "a DV delete must not rewrite or drop any data file")
+    val e1 = VersionedTable.readEntries(spark, t, 1)
+    assert(e1.forall(_.dv.nonEmpty), "every touched file carries a DV")
+    val sidecars = e1.flatMap(_.dv.map(_._1)).distinct
+    assert(sidecars.size == 1, s"one sidecar per commit: $sidecars")
+    // reads mask exactly; time travel to v0 is whole
+    val ids = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids == (0L until 400L).filter(_ % 3 != 0))
+    assert(VersionedTable.read(spark, t, Some(0)).count() == 400)
+    // metadata-only count stays exact; spans turn conservative
+    assert(VersionedTable.countRows(spark, t).contains(
+      (0L until 400L).count(_ % 3 != 0).toLong))
+    assert(VersionedTable.statsSpan(spark, t, "id").isEmpty,
+      "a DV'd version must not answer exact extrema from stale spans")
+    // replay no-ops; a SECOND DV delete unions into the mask
+    assert(VersionedTable.deleteWhere(spark, t, col("id") % 3 === 0,
+      txnId = Some("dv1"), deletionVectors = true) == 1)
+    val v2 = VersionedTable.deleteWhere(spark, t, col("id") % 5 === 0,
+      deletionVectors = true)
+    assert(v2 == 2)
+    val ids2 = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    assert(ids2 == (0L until 400L).filter(i => i % 3 != 0 && i % 5 != 0))
+    // change feed: the second commit's feed is exactly the %5 rows
+    // that were still live (not the %15 ones the first delete took)
+    val feed = VersionedTable.readChanges(spark, t, 2)
+    assert(feed.where(col("_change_type") === "insert").isEmpty)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 400L).filter(i => i % 5 == 0 && i % 3 != 0))
+    // pruned reads mask too
+    assert(VersionedTable.prunedRead(spark, t, "id", 0L, 30L)
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L to 30L).filter(i => i % 3 != 0 && i % 5 != 0))
+    // the relation/SQL scan surfaces refuse rather than resurrect
+    val err = intercept[Exception] {
+      spark.read.format("graft-vt").load(t).count()
+    }
+    assert(err.getMessage.contains("deletion vectors"), err.getMessage)
+    // compact MATERIALIZES: vectors gone, content identical, SQL back
+    val cv = VersionedTable.compact(spark, t)
+    assert(VersionedTable.readEntries(spark, t, cv).forall(_.dv.isEmpty))
+    assert(spark.read.format("graft-vt").load(t)
+      .select("id").as[Long].collect().sorted.toSeq == ids2)
+    // retention: after expire+vacuum the old sidecars die with their
+    // manifests, and only the compacted version's files remain
+    VersionedTable.expire(spark, t, keepLast = 1)
+    VersionedTable.vacuumUnreferenced(spark, t, 0L)
+    val live = VersionedTable.files(spark, t, cv).toSet
+    val onDisk = new java.io.File(t).listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(onDisk == live, s"sidecars must vacuum: $onDisk vs $live")
+  }
+
+  test("deletion vectors: fully-dead files drop; rewrites never resurrect") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 300L).map(i => (i, i * 2L)).toDF("id", "x")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // kill one whole file's range with a DV: its entry must DROP
+    val nFiles0 = VersionedTable.files(spark, t, 0).size
+    val v1 = VersionedTable.deleteWhere(spark, t, col("id") < 100L,
+      deletionVectors = true)
+    val e1 = VersionedTable.readEntries(spark, t, v1)
+    assert(e1.size < nFiles0 || e1.exists(_.dv.nonEmpty))
+    assert(VersionedTable.read(spark, t).count() == 200)
+    // sprinkle a second, off-cluster DV
+    VersionedTable.deleteWhere(spark, t, col("id") % 10 === 7L,
+      deletionVectors = true)
+    val expectLive = (100L until 300L).filterNot(_ % 10 == 7)
+    // a REWRITE delete on a DV-carrying table must not resurrect the
+    // masked rows of the files it rewrites
+    val v3 = VersionedTable.deleteWhere(spark, t,
+      col("id").between(150L, 160L))
+    assert(VersionedTable.read(spark, t, Some(v3))
+      .select("id").as[Long].collect().sorted.toSeq ==
+      expectLive.filterNot(i => i >= 150L && i <= 160L))
+    // updateWhere on the remaining DV files: masked rows stay gone
+    VersionedTable.updateWhere(spark, t, col("id") >= 290L,
+      Map("x" -> (col("x") + 1L)))
+    val got = VersionedTable.read(spark, t)
+      .select("id", "x").as[(Long, Long)].collect().toMap
+    assert(!got.contains(107L) && !got.contains(155L))
+    assert(got(290L) == 581L && got(149L) == 298L)
+    // mergeInto with keys hitting DV'd files: no resurrection either
+    val src = Seq((292L, 0L), (999L, 1L)).toDF("id", "x")
+    VersionedTable.mergeInto(spark, t, src, Seq("id"))
+    val got2 = VersionedTable.read(spark, t)
+      .select("id", "x").as[(Long, Long)].collect().toMap
+    assert(got2(292L) == 0L && got2(999L) == 1L && !got2.contains(157L))
+  }
+
+  test("deletion vectors: restore across a DV delete; clone carries them") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 4 === 1L,
+      deletionVectors = true)
+    // clone of the DV version: sidecars copy, mask holds independently
+    val c = tmpTable()
+    VersionedTable.cloneTo(spark, t, c, asOfVersion = Some(1))
+    assert(VersionedTable.read(spark, c).select("id").as[Long]
+      .collect().sorted.toSeq == (0L until 100L).filterNot(_ % 4 == 1))
+    // restore to v0: the change feed of the restore is pure inserts of
+    // the masked rows (DV shrink = resurrection, coordinate-exact)
+    val rv = VersionedTable.restoreTo(spark, t, 0)
+    assert(VersionedTable.read(spark, t).count() == 100)
+    val feed = VersionedTable.readChanges(spark, t, rv)
+    assert(feed.where(col("_change_type") === "delete").isEmpty)
+    assert(feed.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filter(_ % 4 == 1))
+  }
+
   test("conditional-put releases its reservation when the upload fails") {
     import graft.operators.{CommitCoordinator, ConditionalPutCoordinator}
     import org.apache.hadoop.fs.{FileSystem, Path}
