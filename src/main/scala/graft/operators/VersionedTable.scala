@@ -284,10 +284,19 @@ object VersionedTable {
     // their footer blooms (a lost-race retry keeps the files as-is —
     // bloom presence is opportunistic, the manifest stats are re-
     // resolved per attempt)
-    val cols0 = resolveStatsCols(
-      latestVisible(fs, root, forWrite = true)
-        .map(l => readHeader(fs, root, l)), statsCols)
-    val published = stageAndPublish(df, fs, root, v0, cols0)
+    val prevHeader0 = latestVisible(fs, root, forWrite = true)
+      .map(l => readHeader(fs, root, l))
+    val cols0 = resolveStatsCols(prevHeader0, statsCols)
+    // appends stage under the table's PHYSICAL column names (column
+    // mapping); an overwrite replaces the table and resets the mapping.
+    // Validate the evolution contract BEFORE staging: a refusal (type
+    // change, physical-history collision) must not leave staged debris
+    // or hit the physicalizing select with a colliding name.
+    if (!overwrite)
+      resolveSchema(df.schema, prevHeader0, overwrite, path): Unit
+    val stageSchema =
+      if (overwrite) None else prevHeader0.flatMap(_.schemaJson)
+    val published = stageAndPublish(df, fs, root, v0, cols0, stageSchema)
 
     // not @tailrec: the non-local txn-idempotence return blocks the
     // optimization; depth is bounded by maxRetries (tiny)
@@ -316,7 +325,9 @@ object VersionedTable {
       val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
       val fresh =
         if (entries.nonEmpty) entries
-        else published.map(n => footerEntry(fs, conf, new Path(root, n), cols))
+        else published.map(n => footerEntry(fs, conf, new Path(root, n),
+          cols, physicalOf(
+            if (overwrite) None else prevHeader.flatMap(_.schemaJson))))
       val carried =
         if (overwrite) Seq.empty
         else if (cached.nonEmpty) cached
@@ -462,9 +473,11 @@ object VersionedTable {
               .where(!coalesce(predicate, lit(false)))
           // slot from the SAME listing as the base (latestVisibleIn
           // doc): holes between them are decided-aborted, never revive
-          val pub = stageAndPublish(survivors, fs, root, v2, cols)
+          val pub = stageAndPublish(survivors, fs, root, v2, cols,
+            header.schemaJson)
           val newEntries = pub.map(n =>
-            footerEntry(fs, conf, new Path(root, n), cols))
+            footerEntry(fs, conf, new Path(root, n), cols,
+              physicalOf(header.schemaJson)))
           if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
               header.schemaJson, carried ++ newEntries,
               pendingTxn = pendingTxn)) {
@@ -589,9 +602,11 @@ object VersionedTable {
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val out = clusterOut(updated, clusterBy,
         math.max(1, rewrite.size))
-      val published = stageAndPublish(out, fs, root, v2, cols)
+      val published = stageAndPublish(out, fs, root, v2, cols,
+        header.schemaJson)
       val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols))
+        footerEntry(fs, conf, new Path(root, n), cols,
+          physicalOf(header.schemaJson)))
       if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -742,7 +757,8 @@ object VersionedTable {
           else keys.zipWithIndex.foldLeft(candidates) {
             case (cand, (kc, i)) =>
               if (cand.isEmpty) cand
-              else bloomPrune(spark, path, cand, kc,
+              else bloomPrune(spark, path, cand,
+                physicalOf(header.schemaJson).getOrElse(kc, kc),
                 ks.map(_.get(i)).distinct.toSeq)
           }
         }
@@ -778,9 +794,10 @@ object VersionedTable {
       // the layout-preserving output target (insert-only: one file)
       val published = stageAndPublish(
         clusterOut(newData, clusterBy, math.max(1, rewrite.size)),
-        fs, root, v2, cols)
+        fs, root, v2, cols, header.schemaJson)
       val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols))
+        footerEntry(fs, conf, new Path(root, n), cols,
+          physicalOf(header.schemaJson)))
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -922,6 +939,128 @@ object VersionedTable {
     0
   }
 
+  /** RENAME a column WITHOUT rewriting a byte of data (Delta's column
+    * mapping): one metadata-only `alter` commit records the new
+    * LOGICAL name while the field keeps its immutable PHYSICAL name
+    * (the name the parquet files carry — rides in field metadata).
+    * Reads alias physical→logical at plan time; appends stage under
+    * physical names; footer stats/blooms keep working (harvest and
+    * probes translate); manifest span stats re-key to the new name in
+    * the same commit, so [[prunedRead]] on the new name prunes
+    * exactly as before. Every earlier version time-travels with ITS
+    * OWN names. The old name's physical slot stays occupied: re-adding
+    * a column under it refuses (see [[resolveSchema]]) until an
+    * overwrite commit rewrites the table.
+    *
+    * Refuses when a CHECK constraint references the old name (the
+    * constraint would silently stop analyzing — drop or re-add it
+    * first), when `to` already exists, or on a pre-v4 table (no
+    * recorded schema to alter). The `graft-vt` relation / SQL catalog
+    * scan surfaces refuse mapped versions (a plain file scan cannot
+    * alias) — `commit(read(spark, path), path, overwrite = true)`
+    * materializes the mapping away. */
+  def renameColumn(spark: SparkSession, path: String, from: String,
+      to: String, maxRetries: Int = 5): Int = {
+    require(from != to, s"renameColumn: $from -> $to is a no-op")
+    alterColumns(spark, path, maxRetries, s"rename $from -> $to") {
+      (st, retired, statsCols) =>
+        val f = st.fields.find(_.name == from).getOrElse(
+          throw new IllegalArgumentException(
+            s"renameColumn: no column $from at $path (columns: " +
+              s"${st.fieldNames.mkString(",")})"))
+        require(!st.fields.exists(_.name == to),
+          s"renameColumn: column $to already exists at $path")
+        val nf = f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalKey, physicalNameOf(f)).build())
+        (StructType(st.fields.map(x => if (x.name == from) nf else x)),
+          retired,
+          statsCols.map(c => if (c == from) to else c),
+          stats => stats.map { case (k, v) =>
+            (if (k == from) to else k) -> v })
+    }
+  }
+
+  /** DROP a column without rewriting data: a metadata-only `alter`
+    * commit removes the field from the recorded schema — reads plan
+    * the remaining columns only (the physical data stays in the files,
+    * invisible), the column's span stats leave the manifest, and its
+    * PHYSICAL name is recorded as RETIRED so a later append can never
+    * re-bind it to the stale bytes ([[resolveSchema]] refuses; an
+    * overwrite commit frees the name). Earlier versions time-travel
+    * with the column intact. Refuses on the last column and when a
+    * CHECK constraint references it. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Int =
+    alterColumns(spark, path, maxRetries, s"drop $name") {
+      (st, retired, statsCols) =>
+        val f = st.fields.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(
+            s"dropColumn: no column $name at $path (columns: " +
+              s"${st.fieldNames.mkString(",")})"))
+        require(st.fields.length > 1,
+          s"dropColumn: $name is the last column of $path")
+        (StructType(st.fields.filterNot(_.name == name)),
+          retired :+ physicalNameOf(f),
+          statsCols.filterNot(_ == name),
+          stats => stats - name)
+    }
+
+  /** Shared machinery of the metadata-only column DDL: resolve the
+    * latest schema, transform (schema, retired, statsCols, and an
+    * entry-stats re-keyer), validate constraints still analyze, and
+    * commit the SAME file entries under mode `alter` — zero data
+    * movement, optimistic slot retry like every other verb. */
+  private def alterColumns(spark: SparkSession, path: String,
+      maxRetries: Int, what: String)(
+      xform: (StructType, Seq[String], Seq[String]) =>
+        (StructType, Seq[String], Seq[String],
+         Map[String, Option[(Any, Any)]] => Map[String, Option[(Any, Any)]]))
+      : Int = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    var triesLeft = maxRetries
+    while (true) {
+      val nums = listVersionNumbers(fs, root)
+      val v = latestVisibleIn(fs, root, nums, forWrite = true)
+        .getOrElse(throw new IllegalStateException(
+          s"no committed versions at $path"))
+      val header = readHeader(fs, root, v)
+      val json = header.schemaJson.getOrElse(
+        throw new IllegalStateException(
+          s"column DDL ($what) needs a recorded schema — $path has a " +
+            "pre-v4 manifest; commit once to upgrade it"))
+      val (st, retired) = decodeSchemaFull(json)
+      val (st2, retired2, cols2, rekey) = xform(st, retired,
+        header.statsCols)
+      // CHECK constraints are SQL text over logical names: one that no
+      // longer analyzes against the new shape would silently stop
+      // guarding writes — refuse the DDL instead
+      constraintsOf(fs, root).foreach { case (n, e) =>
+        val probe = spark.createDataFrame(
+          new java.util.ArrayList[Row](), st2)
+        try probe.select(expr(e)).schema
+        catch { case ex: Exception => throw new IllegalArgumentException(
+          s"$what at $path breaks CHECK constraint $n ($e) — drop or " +
+            s"re-add the constraint first: ${ex.getMessage}", ex) }
+      }
+      val entries = readEntries(spark, path, v)
+        .map(e => e.copy(stats = rekey(e.stats)))
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
+      if (tryWriteManifest(fs, root, v2, "alter", None, cols2,
+          Some(encodeSchemaFull(st2, retired2)), entries)) {
+        maybeCheckpoint(fs, root, v2)
+        return v2
+      }
+      triesLeft -= 1
+      if (triesLeft < 0) throw new IllegalStateException(
+        s"column DDL ($what) at $path lost the manifest race " +
+          s"$maxRetries times — giving up")
+    }
+    -1 // unreachable
+  }
+
   /** Predicate-scoped atomic OVERWRITE (Delta's `replaceWhere`): in
     * ONE commit, remove every row where `predicate` is TRUE and insert
     * `data` — the idempotent-backfill primitive (recompute a key range
@@ -1022,9 +1161,10 @@ object VersionedTable {
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val published = stageAndPublish(
         clusterOut(survivors, clusterBy, math.max(1, rewrite.size)),
-        fs, root, v2, cols)
+        fs, root, v2, cols, header.schemaJson)
       val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols))
+        footerEntry(fs, conf, new Path(root, n), cols,
+          physicalOf(header.schemaJson)))
       if (tryWriteManifest(fs, root, v2, "replace", txnId, cols,
           header.schemaJson, carried ++ newEntries)) {
         maybeCheckpoint(fs, root, v2)
@@ -1325,7 +1465,10 @@ object VersionedTable {
     asOfVersion.foreach(_ => requireVisible(fs, path, v, header))
     val entries = readEntries(spark, path, v)
     val spanKeep = pruneEntriesWhere(entries, Seq(InPred(column, values)))
-    val keep = bloomPrune(spark, path, spanKeep, column, values)
+    // manifest spans are keyed LOGICAL; footer blooms live under the
+    // PHYSICAL chunk name (column mapping)
+    val keep = bloomPrune(spark, path, spanKeep,
+      physicalOf(header.schemaJson).getOrElse(column, column), values)
     val pred = col(column).isin(values: _*)
     if (keep.isEmpty) read(spark, path, Some(v)).where(pred).limit(0)
     else maskedRead(spark, header.schemaJson, path, keep).where(pred)
@@ -1764,9 +1907,11 @@ object VersionedTable {
     // concurrent writer's commit with pre-compaction content
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(clustered, fs, root, v2, cols)
+    val published = stageAndPublish(clustered, fs, root, v2, cols,
+      header.schemaJson)
     val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols))
+      footerEntry(fs, conf, new Path(root, n), cols,
+        physicalOf(header.schemaJson)))
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -1813,9 +1958,11 @@ object VersionedTable {
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(packed, fs, root, v2, cols)
+    val published = stageAndPublish(packed, fs, root, v2, cols,
+      header.schemaJson)
     val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols))
+      footerEntry(fs, conf, new Path(root, n), cols,
+        physicalOf(header.schemaJson)))
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, big.map(_._1) ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -1875,9 +2022,11 @@ object VersionedTable {
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(clustered, fs, root, v2, cols)
+    val published = stageAndPublish(clustered, fs, root, v2, cols,
+      header.schemaJson)
     val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols))
+      footerEntry(fs, conf, new Path(root, n), cols,
+        physicalOf(header.schemaJson)))
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2042,8 +2191,10 @@ object VersionedTable {
         if (added.isEmpty) tagged(cur.limit(0), "insert")
         else tagged(schemaRead(spark, header.schemaJson,
           added.map(n => s"$path/$n")), "insert")
-      case "optimize" =>
-        // content-invisible by construction: no row changed
+      case "optimize" | "alter" =>
+        // content-invisible by construction: no row changed (a column
+        // DDL reshapes the schema, not the rows — consumers pick the
+        // new shape up from the version's recorded schema)
         tagged(cur.limit(0), "insert")
       case "overwrite" =>
         // the replacement may have RESHAPED the schema: align by name,
@@ -2538,14 +2689,24 @@ object VersionedTable {
     * KB per file per column at write time — the write path already
     * buffers the values. */
   private def stageAndPublish(df: DataFrame, fs: FileSystem, root: Path,
-      v: Int, indexCols: Seq[String] = Seq.empty): Seq[String] = {
+      v: Int, indexCols: Seq[String] = Seq.empty,
+      schemaJson: Option[String] = None): Seq[String] = {
     val stage = new Path(root.getParent,
       s".${root.getName}__vt_stage_${java.util.UUID.randomUUID}")
-    val writer = indexCols.foldLeft(df.write.mode("overwrite")) {
+    // column mapping: files always carry PHYSICAL names, so a renamed
+    // column's new files line up with the old ones with no rewrite;
+    // blooms index the physical chunk (what fileMightContain reads)
+    val mapping = physicalOf(schemaJson).filter { case (l, p) => l != p }
+    val physDf =
+      if (mapping.isEmpty) df
+      else df.select(df.columns.map(c =>
+        col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
+    val physIdx = indexCols.map(c => mapping.getOrElse(c, c))
+    val writer = physIdx.foldLeft(physDf.write.mode("overwrite")) {
       (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
         .option(s"parquet.bloom.filter.fpp#$c", BloomFpp)
     }
-    (if (indexCols.isEmpty) writer
+    (if (physIdx.isEmpty) writer
      else writer.option("parquet.bloom.filter.adaptive.enabled", "true"))
       .parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(_.isFile)
@@ -2595,40 +2756,138 @@ object VersionedTable {
   private def resolveSchema(dfSchema: StructType,
       prev: Option[ManifestHeader], overwrite: Boolean,
       path: String): String = {
+    // strip any column-mapping metadata riding on the INCOMING frame
+    // (a read() of a mapped table aliases physical→logical, and the
+    // alias carries the source field's metadata — recording it would
+    // claim the freshly-staged logical-named files hold physical
+    // names): incoming fields always describe what the batch STAGED
     val incoming = StructType(dfSchema.map(f =>
       f.copy(dataType = org.apache.spark.sql.graftbridge.Bridge
-        .asNullable(f.dataType), nullable = true)))
-    val merged =
-      if (overwrite) incoming
-      else prev.flatMap(_.schemaJson).map(decodeSchema) match {
-        case None => incoming
-        case Some(old) =>
-          val conflicts = incoming.flatMap(f =>
-            old.find(_.name == f.name).filter(_.dataType != f.dataType)
-              .map(o => s"${f.name}: ${o.dataType.simpleString} -> " +
-                s"${f.dataType.simpleString}"))
-          require(conflicts.isEmpty,
-            s"versioned append at $path changes column types " +
-              s"(${conflicts.mkString("; ")}) — incompatible schema " +
-              "evolution; rewrite via an overwrite commit instead")
-          StructType(old ++ incoming.filterNot(f =>
-            old.exists(_.name == f.name)))
-      }
-    merged.json
+        .asNullable(f.dataType), nullable = true,
+        metadata =
+          if (!f.metadata.contains(PhysicalKey)) f.metadata
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(PhysicalKey).build())))
+    // an overwrite replaces the table: mapping and retired names reset
+    if (overwrite) return incoming.json
+    prev.flatMap(_.schemaJson).map(decodeSchemaFull) match {
+      case None => incoming.json
+      case Some((old, retired)) =>
+        val conflicts = incoming.flatMap(f =>
+          old.find(_.name == f.name).filter(_.dataType != f.dataType)
+            .map(o => s"${f.name}: ${o.dataType.simpleString} -> " +
+              s"${f.dataType.simpleString}"))
+        require(conflicts.isEmpty,
+          s"versioned append at $path changes column types " +
+            s"(${conflicts.mkString("; ")}) — incompatible schema " +
+            "evolution; rewrite via an overwrite commit instead")
+        val added = incoming.filterNot(f => old.exists(_.name == f.name))
+        // column mapping: a NEW column keeps its own name as physical,
+        // so it must not collide with a physical name already living
+        // in old files — an in-use one (some column was renamed away
+        // from it) or a retired one (dropColumn): the old files' stale
+        // physical data would silently resurrect under the new column
+        val usedPhysical = old.fields.map(physicalNameOf).toSet ++ retired
+        val collide = added.map(_.name).filter(usedPhysical.contains)
+        require(collide.isEmpty,
+          s"versioned append at $path re-adds column(s) " +
+            s"${collide.mkString(",")} whose name(s) carry physical " +
+            "history (renamed or dropped) — old files still hold that " +
+            "physical data; rewrite via an overwrite commit to reuse " +
+            "the name")
+        encodeSchemaFull(StructType(old ++ added), retired)
+    }
   }
+
+  // ---- column mapping (rename/drop without rewrite) -------------------
+
+  /** Field-metadata key holding a column's PHYSICAL name — the name
+    * the parquet files carry — when a [[renameColumn]] made it diverge
+    * from the logical one. Physical names are IMMUTABLE once assigned
+    * (a rename changes only the logical name), which is what makes
+    * staging, blooms, and footer stats stable across renames. */
+  private[graft] val PhysicalKey = "graft.physical"
+
+  private[graft] def physicalNameOf(f: StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey)
+    else f.name
+
+  private[graft] def schemaHasMapping(st: StructType): Boolean =
+    st.fields.exists(f => physicalNameOf(f) != f.name)
+
+  /** logical → physical column map of a recorded schema (identity
+    * entries omitted-equivalent: lookups default to the key). */
+  private def physicalOf(schemaJson: Option[String]): Map[String, String] =
+    schemaJson.map(decodeSchema).map(st =>
+      st.fields.map(f => f.name -> physicalNameOf(f)).toMap)
+      .getOrElse(Map.empty)
+
+  /** Manifest schema record codec. Plain `StructType.json` (mapping
+    * rides in field metadata, which the json carries natively) unless
+    * RETIRED physical names exist — names a [[dropColumn]] freed,
+    * which must never be silently re-bound (old files still hold their
+    * stale data): then a tagged wrapper
+    * `graft-cm1 TAB retired-csv TAB structjson`. */
+  private val CmPrefix = "graft-cm1\t"
+
+  private[graft] def decodeSchemaFull(s: String): (StructType, Seq[String]) =
+    if (s.startsWith(CmPrefix)) {
+      val rest = s.substring(CmPrefix.length)
+      val i = rest.indexOf('\t')
+      val retired = rest.substring(0, i).split(',').toSeq
+        .filter(_.nonEmpty)
+        .map(r => java.net.URLDecoder.decode(r, "UTF-8"))
+      (org.apache.spark.sql.types.DataType.fromJson(rest.substring(i + 1))
+        .asInstanceOf[StructType], retired)
+    } else
+      (org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[StructType], Seq.empty)
+
+  private def encodeSchemaFull(st: StructType,
+      retired: Seq[String]): String =
+    if (retired.isEmpty) st.json
+    else CmPrefix + retired.map(r =>
+      java.net.URLEncoder.encode(r, "UTF-8")).mkString(",") +
+      "\t" + st.json
 
   private def decodeSchema(json: String): StructType =
-    org.apache.spark.sql.types.DataType.fromJson(json)
-      .asInstanceOf[StructType]
+    decodeSchemaFull(json)._1
 
-  /** Parquet scan of `paths` planned with the manifest's recorded
-    * schema when present: files predating a column addition back-fill
-    * it with null (the mergeSchema result, without footer merging). */
-  private def schemaRead(spark: SparkSession, schemaJson: Option[String],
+  /** PHYSICAL parquet scan of `paths` planned with the manifest's
+    * recorded schema when present: files predating a column addition
+    * back-fill it with null (the mergeSchema result, without footer
+    * merging). Columns come back under their PHYSICAL names — the
+    * masking/position machinery needs the raw relation (metadata
+    * columns don't survive a projection); [[logicalize]] restores the
+    * logical shape on top. */
+  private def physicalScan(spark: SparkSession, schemaJson: Option[String],
       paths: Seq[String]): DataFrame = schemaJson match {
-    case Some(j) => spark.read.schema(decodeSchema(j)).parquet(paths: _*)
+    case Some(j) =>
+      val st = decodeSchema(j)
+      val phys = if (!schemaHasMapping(st)) st
+        else StructType(st.fields.map(f => f.copy(name = physicalNameOf(f))))
+      spark.read.schema(phys).parquet(paths: _*)
     case None => spark.read.parquet(paths: _*)
   }
+
+  /** The logical projection over a physical frame: alias every mapped
+    * column back to its logical name (identity when no mapping —
+    * returns `df` unchanged, plan-identical to the pre-mapping path).
+    * Extra non-schema columns (the DV file/pos identities) survive
+    * only via `keep`. */
+  private def logicalize(df: DataFrame, schemaJson: Option[String],
+      keep: Seq[String] = Seq.empty): DataFrame =
+    schemaJson.map(decodeSchema).filter(schemaHasMapping) match {
+      case None => df
+      case Some(st) => df.select(
+        st.fields.map(f => col(physicalNameOf(f)).as(f.name)).toSeq ++
+          keep.map(col): _*)
+    }
+
+  /** Parquet scan of `paths` in the schema's LOGICAL shape. */
+  private def schemaRead(spark: SparkSession, schemaJson: Option[String],
+      paths: Seq[String]): DataFrame =
+    logicalize(physicalScan(spark, schemaJson, paths), schemaJson)
 
   // ---- deletion vectors ------------------------------------------------
 
@@ -2668,18 +2927,20 @@ object VersionedTable {
       return schemaRead(spark, schemaJson,
         entries.map(e => s"$path/${e.name}"))
     val (dved, plain) = entries.partition(_.dv.nonEmpty)
-    val base0 = schemaRead(spark, schemaJson,
+    val base0 = physicalScan(spark, schemaJson,
       dved.map(e => s"$path/${e.name}"))
-    val dataCols = base0.columns.toSeq
-    val Seq(fileC, posC) = freshCols(dataCols,
+    val physCols = base0.columns.toSeq
+    val Seq(fileC, posC) = freshCols(
+      physCols ++ schemaJson.map(decodeSchema(_).fieldNames.toSeq)
+        .getOrElse(Seq.empty),
       Seq("__graft_dv_file", "__graft_dv_pos"))
-    val masked = base0
+    val masked = logicalize(base0
       .withColumn(fileC,
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(posC, col("_metadata.row_index"))
       .join(dvMask(spark, path, dved, fileC, posC),
         Seq(fileC, posC), "left_anti")
-      .select(dataCols.map(col): _*)
+      .select(physCols.map(col): _*), schemaJson)
     if (plain.isEmpty) masked
     else masked.unionByName(schemaRead(spark, schemaJson,
       plain.map(e => s"$path/${e.name}")))
@@ -2694,9 +2955,11 @@ object VersionedTable {
   private def maskedReadWithPos(spark: SparkSession,
       schemaJson: Option[String], path: String, entries: Seq[FileEntry])
       : (DataFrame, String, String) = {
-    val base0 = schemaRead(spark, schemaJson,
+    val base0 = physicalScan(spark, schemaJson,
       entries.map(e => s"$path/${e.name}"))
-    val Seq(fileC, posC) = freshCols(base0.columns.toSeq,
+    val Seq(fileC, posC) = freshCols(
+      base0.columns.toSeq ++ schemaJson
+        .map(decodeSchema(_).fieldNames.toSeq).getOrElse(Seq.empty),
       Seq("__graft_dv_file", "__graft_dv_pos"))
     val base = base0
       .withColumn(fileC,
@@ -2706,7 +2969,7 @@ object VersionedTable {
     val df = if (dved.isEmpty) base
       else base.join(dvMask(spark, path, dved, fileC, posC),
         Seq(fileC, posC), "left_anti")
-    (df, fileC, posC)
+    (logicalize(df, schemaJson, keep = Seq(fileC, posC)), fileC, posC)
   }
 
   /** Every on-disk artifact a version's entries reference: the data
@@ -2744,7 +3007,11 @@ object VersionedTable {
         .drop("__z")
 
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
-      cols: Seq[String]): FileEntry = {
+      cols0: Seq[String], phys: Map[String, String] = Map.empty)
+      : FileEntry = {
+    // stats columns are LOGICAL in the manifest; the footer's chunks
+    // are PHYSICAL — harvest under the physical name, record logical
+    val cols = cols0
     // the byte length rides in the manifest so later PLANNING (the
     // relation's FileIndex, compaction bin-packing) never has to stat
     // or list anything — the Delta-log posture. HadoopInputFile
@@ -2766,13 +3033,14 @@ object VersionedTable {
       import scala.jdk.CollectionConverters._
       val nRows = blocks.asScala.map(_.getRowCount).sum
       val stats = cols.flatMap { c =>
-        if (!schema.containsField(c) ||
-            !schema.getType(Seq(c): _*).isPrimitive)
+        val pc = phys.getOrElse(c, c) // physical chunk, logical key
+        if (!schema.containsField(pc) ||
+            !schema.getType(Seq(pc): _*).isPrimitive)
           None
         else {
-          val prim = schema.getType(Seq(c): _*).asPrimitiveType
+          val prim = schema.getType(Seq(pc): _*).asPrimitiveType
           val chunks = blocks.asScala.map(_.getColumns.asScala
-            .find(_.getPath.toDotString == c))
+            .find(_.getPath.toDotString == pc))
           if (chunks.exists(_.isEmpty)) None
           else {
             val sts = chunks.map(_.get.getStatistics)

@@ -1351,6 +1351,54 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // COLUMN MAPPING (rename without rewrite): half of lineitem commits
+  // under the original name, the column renames mid-history as a
+  // METADATA-ONLY commit (file list identical — gated), the other half
+  // appends under the NEW name (staged physically under the OLD name —
+  // gated via the raw parquet footer), and both pruning AND time
+  // travel keep working (v0 reads with its own names). The oracle is
+  // the whole table under the renamed projection: mapping must be
+  // value-invisible.
+  val opVtRename: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtrn_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(
+      li.where(col("l_linenumber") <= 4)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey", "l_quantity"))
+    val rv = VersionedTable.renameColumn(s, t, "l_quantity", "qty")
+    require(rv == 1 &&
+      VersionedTable.files(s, t, 1) == VersionedTable.files(s, t, 0),
+      "rename must be metadata-only: identical file list")
+    require(VersionedTable.read(s, t, Some(0)).columns
+      .contains("l_quantity"),
+      "time travel must return the version's own names")
+    // append under the NEW logical name; files stage PHYSICAL
+    VersionedTable.commit(
+      li.where(col("l_linenumber") >= 5)
+        .withColumnRenamed("l_quantity", "qty")
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = false)
+    val newFiles = VersionedTable.files(s, t, 2).toSet --
+      VersionedTable.files(s, t, 1).toSet
+    require(newFiles.isEmpty || s.read.parquet(
+        newFiles.map(n => s"$t/$n").toSeq: _*)
+      .columns.contains("l_quantity"),
+      "appended files must carry the physical column name")
+    // manifest spans re-keyed: pruning on the NEW name still cuts
+    val e2 = VersionedTable.readEntries(s, t, 2)
+    require(e2.size < 2 || VersionedTable.pruneEntries(
+        e2, "l_orderkey", 1000L, 3000L).size < e2.size,
+      "pruning must keep cutting after the rename")
+    VersionedTable.read(s, t)
+  }
+
   // Torn-update regression (r13 fix, now oracled): a MULTI-SET swap
   // whose predicate references a SET column. Every SET expression AND
   // the predicate must evaluate against the row's PRE-image in ONE
@@ -1528,6 +1576,41 @@ object Ops {
         .intersect(VersionedTable.files(s, t, 0).toSet).nonEmpty,
         "files outside the touched key range must carry by reference")
     s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+  }
+
+  // SQL maintenance verbs (sources/VtProcedures.scala, Spark 4 stored
+  // procedures): five small per-batch commits, then `CALL
+  // graft.optimize` bin-packs them (gated: fewer files, prior version
+  // still time-travels), `CALL graft.history` lists the audit rows
+  // (gated: one per commit, newest first), and the final read runs
+  // through SQL. The oracle is the plain projection — maintenance
+  // must be value-invisible.
+  val opVtSqlOptimize: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtsqlo_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    for (b <- 1 to 5)
+      VersionedTable.commit(li.where(col("l_linenumber") === b),
+        t, overwrite = b == 1, statsCols = Seq("l_orderkey"))
+    VersionedTable.commit(li.where(col("l_linenumber") > 5),
+      t, overwrite = false)
+    val hist = s.sql(s"CALL graft.history(table => '$t')").collect()
+    require(hist.length == 6 && hist.head.getInt(0) == 5,
+      s"history must list every commit newest-first: ${hist.length}")
+    val before = VersionedTable.files(s, t, 5).size
+    val opt = s.sql(s"CALL graft.optimize(table => '$t')").collect()
+    require(opt.head.getInt(0) == 6,
+      "optimize must commit the next version")
+    require(before < 2 || opt.head.getInt(1) < before,
+      s"bin-packing must reduce files: $before -> ${opt.head.getInt(1)}")
+    require(VersionedTable.read(s, t, Some(5)).count() ==
+      VersionedTable.read(s, t).count(),
+      "the pre-optimize version must stay time-travelable")
+    s.sql(s"SELECT l_orderkey, l_linenumber, l_quantity FROM graft.`$t`")
   }
 
   // MULTI-TABLE TRANSACTION (operators/MultiTableTxn.scala): the
@@ -1863,10 +1946,12 @@ object Ops {
     "op_vt_multi_txn" -> opVtMultiTxn,
     "op_vt_update" -> opVtUpdate,
     "op_vt_update_multiset" -> opVtUpdateMultiset,
+    "op_vt_rename" -> opVtRename,
     "op_vt_sql_insert" -> opVtSqlInsert,
     "op_vt_sql_delete" -> opVtSqlDelete,
     "op_vt_sql_update" -> opVtSqlUpdate,
     "op_vt_sql_merge" -> opVtSqlMerge,
+    "op_vt_sql_optimize" -> opVtSqlOptimize,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -2206,6 +2291,11 @@ object Ops {
         |  CASE WHEN l_orderkey BETWEEN 1000 AND 3000
         |       THEN l_quantity * 3 + 1 ELSE l_quantity END AS l_quantity
         |FROM lineitem""".stripMargin,
+    // A rename must be value-invisible: the whole table under the new
+    // projection, whichever side of the rename each row landed on.
+    "op_vt_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty
+        |FROM lineitem""".stripMargin,
     // The multi-SET swap must equal the pre-image CASE replay: both
     // CASE branches read the ORIGINAL columns — SQL UPDATE semantics.
     "op_vt_update_multiset" ->
@@ -2247,6 +2337,10 @@ object Ops {
         |SELECT doc_id + 2000000, md5(coalesce(text, '')), source
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id % 11 = 0""".stripMargin,
+    // CALL-verb maintenance must be value-invisible: the plain table.
+    "op_vt_sql_optimize" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem""".stripMargin,
     // A SQL INSERT INTO ... SELECT must equal the plain union replay.
     "op_vt_sql_insert" ->
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source

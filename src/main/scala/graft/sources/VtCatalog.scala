@@ -54,7 +54,8 @@ import graft.operators.VersionedTable
   * ([[VtFileIndex]], the entry checkpoint) stays on the Scala/
   * `graft-vt` read surface.
   */
-final class VtCatalog extends TableCatalog {
+final class VtCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
   private var root: Option[String] = None
@@ -98,6 +99,10 @@ final class VtCatalog extends TableCatalog {
     val files = entries.map(e => s"$path/${e.name}")
     val schema = VersionedTable.schemaOf(spark, path, version)
       .getOrElse(VersionedTable.read(spark, path, Some(version)).schema)
+    require(!VersionedTable.schemaHasMapping(schema),
+      s"version $version of $path maps renamed columns — the SQL scan " +
+        "surface cannot alias them; read via VersionedTable.read or " +
+        "rewrite with an overwrite commit")
     val pq =
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"$catalogName.$ident@v$version", spark,
@@ -240,6 +245,24 @@ final class VtCatalog extends TableCatalog {
           }
       }
   }
+
+  /** Maintenance verbs as Spark 4 stored procedures — `CALL
+    * graft.optimize(table => '/t')` etc.; see [[VtProcedures]]. The
+    * `table` argument resolves exactly like a table identifier:
+    * absolute path, or a name under the catalog's `root`. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    VtProcedures.load(ident.name, arg =>
+      if (arg.startsWith("/")) arg
+      else root match {
+        case Some(r) => s"$r/$arg"
+        case None => throw new IllegalArgumentException(
+          s"$catalogName: relative table '$arg' needs the catalog " +
+            s"option spark.sql.catalog.$catalogName.root")
+      })
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    VtProcedures.names.map(n => Identifier.of(namespace, n))
 
   private def readOnly(verb: String): Nothing =
     throw new UnsupportedOperationException(

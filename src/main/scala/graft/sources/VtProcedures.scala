@@ -1,0 +1,176 @@
+package graft.sources
+
+import java.util.Collections
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.VersionedTable
+
+/** SQL MAINTENANCE VERBS for versioned tables, as Spark 4 stored
+  * procedures (the Iceberg/Delta posture — `CALL` reaches a live
+  * session with no parser injection, unlike a custom `OPTIMIZE`
+  * grammar):
+  *
+  * {{{
+  *   CALL graft.optimize(table => '/data/events')           -- bin-pack
+  *   CALL graft.optimize(table => '/t', full => true,
+  *                       cluster_by => 'k1,k2')             -- ZORDER
+  *   CALL graft.vacuum(table => '/t', retain_hours => 168)  -- sweep
+  *   CALL graft.vacuum(table => '/t', dry_run => true)      -- look first
+  *   CALL graft.history(table => '/t')                      -- audit log
+  *   CALL graft.expire(table => '/t', keep_last => 10)      -- retention
+  * }}}
+  *
+  * Each verb routes through the SAME transactional Scala call every
+  * other writer uses ([[VersionedTable.compactSmall]]/[[VersionedTable.compact]],
+  * [[VersionedTable.vacuumUnreferenced]], [[VersionedTable.versions]],
+  * [[VersionedTable.expire]]) — never a parallel code path — and
+  * returns its outcome as rows. `table` takes an absolute path or a
+  * name resolved under the catalog's `root` option, exactly like table
+  * identifiers. */
+private[sources] object VtProcedures {
+
+  def load(name: String, resolvePath: String => String): UnboundProcedure =
+    name.toLowerCase match {
+      case "optimize" => new OptimizeProc(resolvePath)
+      case "vacuum" => new VacuumProc(resolvePath)
+      case "history" | "describe_history" => new HistoryProc(resolvePath)
+      case "expire" => new ExpireProc(resolvePath)
+      case other => throw new IllegalArgumentException(
+        s"unknown graft procedure $other — available: optimize, " +
+          "vacuum, history, expire")
+    }
+
+  val names: Array[String] = Array("optimize", "vacuum", "history", "expire")
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def str(r: InternalRow, i: Int): String =
+    r.getUTF8String(i).toString
+
+  private final class RowsScan(schema: StructType,
+      rs: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = rs
+    override def readSchema(): StructType = schema
+  }
+
+  private def result(schema: StructType,
+      rs: Seq[InternalRow]): java.util.Iterator[Scan] =
+    Collections.singletonList(
+      new RowsScan(schema, rs.toArray): Scan).iterator()
+
+  private abstract class Proc(procName: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  /** `optimize(table, target_file_mb = 128, small_file_mb = 32,
+    * cluster_by = '', full = false)` → (version, n_files). Default:
+    * incremental bin-packing of small files ([[VersionedTable.compactSmall]]);
+    * `full => true` or a `cluster_by` list re-clusters the whole table
+    * ([[VersionedTable.compact]] — OPTIMIZE ... ZORDER BY when 2+
+    * columns). */
+  private final class OptimizeProc(resolve: String => String)
+      extends Proc("optimize") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_file_mb", IntegerType)
+        .defaultValue("128").build(),
+      ProcedureParameter.in("small_file_mb", IntegerType)
+        .defaultValue("32").build(),
+      ProcedureParameter.in("cluster_by", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("full", BooleanType)
+        .defaultValue("false").build())
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val target = input.getInt(1).toLong << 20
+      val small = input.getInt(2).toLong << 20
+      val clusterBy = str(input, 3).split(',').map(_.trim)
+        .filter(_.nonEmpty).toSeq
+      val full = input.getBoolean(4)
+      val v =
+        if (full || clusterBy.nonEmpty)
+          VersionedTable.compact(spark, path, target, clusterBy)
+        else VersionedTable.compactSmall(spark, path, target, small)
+      result(outSchema, Seq(new GenericInternalRow(Array[Any](
+        v, VersionedTable.files(spark, path, v).size))))
+    }
+  }
+
+  /** `vacuum(table, retain_hours = 168, dry_run = false)` → one row
+    * per swept (or would-be-swept) orphan. */
+  private final class VacuumProc(resolve: String => String)
+      extends Proc("vacuum") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("retain_hours", DoubleType)
+        .defaultValue("168.0").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false").build())
+    private val outSchema = StructType(Seq(
+      StructField("removed", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val ttlMs = (input.getDouble(1) * 3600 * 1000).toLong
+      val removed = VersionedTable.vacuumUnreferenced(spark, path,
+        ttlMs, dryRun = input.getBoolean(2))
+      result(outSchema, removed.map(n => new GenericInternalRow(
+        Array[Any](UTF8String.fromString(n)))))
+    }
+  }
+
+  /** `history(table)` → the audit listing, newest first (DESCRIBE
+    * HISTORY). */
+  private final class HistoryProc(resolve: String => String)
+      extends Proc("history") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("mode", StringType, nullable = false),
+      StructField("txn_id", StringType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val rows = VersionedTable.versions(spark, path).reverse.map { v =>
+        new GenericInternalRow(Array[Any](
+          v.version, UTF8String.fromString(v.mode),
+          v.txnId.map(UTF8String.fromString).orNull,
+          v.nFiles, v.timestampMs))
+      }
+      result(outSchema, rows)
+    }
+  }
+
+  /** `expire(table, keep_last)` → (oldest_live, latest). */
+  private final class ExpireProc(resolve: String => String)
+      extends Proc("expire") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_last", IntegerType).build())
+    private val outSchema = StructType(Seq(
+      StructField("oldest_live", IntegerType, nullable = false),
+      StructField("latest", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      VersionedTable.expire(spark, path, input.getInt(1))
+      val vs = VersionedTable.versions(spark, path).map(_.version)
+      result(outSchema, Seq(new GenericInternalRow(
+        Array[Any](vs.min, vs.max))))
+    }
+  }
+}

@@ -47,6 +47,14 @@ final class VtFileIndex(spark: SparkSession, tablePath: String,
     s"version $version of $tablePath carries deletion vectors — the " +
       "graft-vt relation / SQL scan surface cannot mask them; read via " +
       "VersionedTable.read(...) or materialize with compact()")
+  // Same posture for COLUMN MAPPING: a plain file scan reads physical
+  // names, so a renamed column would come back null under its logical
+  // name. The Scala read surface aliases exactly; an overwrite commit
+  // (commit(read(path), path, overwrite = true)) materializes.
+  require(!VersionedTable.schemaHasMapping(schema),
+    s"version $version of $tablePath maps renamed columns — the " +
+      "graft-vt relation / SQL scan surface cannot alias them; read " +
+      "via VersionedTable.read(...) or rewrite with an overwrite commit")
 
   private val root = new Path(tablePath)
 

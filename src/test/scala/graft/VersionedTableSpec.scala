@@ -1930,6 +1930,139 @@ class VersionedTableSpec extends AnyFunSuite {
       (0L until 100L).filter(_ % 4 == 1))
   }
 
+  test("column mapping: rename is metadata-only; every surface follows") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, i * 2L, s"s$i")).toDF("id", "qty", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id", "qty"))
+    val v0Files = VersionedTable.files(spark, t, 0)
+    val rv = VersionedTable.renameColumn(spark, t, "qty", "quantity")
+    assert(rv == 1)
+    // ZERO data movement: identical file list, mode `alter`
+    assert(VersionedTable.files(spark, t, 1) == v0Files)
+    assert(VersionedTable.versions(spark, t).map(_.mode) ==
+      Seq("overwrite", "alter"))
+    // reads alias to the new logical name; values intact
+    val cur = VersionedTable.read(spark, t)
+    assert(cur.columns.toSeq == Seq("id", "quantity", "s"))
+    assert(cur.where(col("id") === 7L).select("quantity")
+      .as[Long].collect().head == 14L)
+    // time travel returns each version's OWN names
+    assert(VersionedTable.read(spark, t, Some(0)).columns.toSeq ==
+      Seq("id", "qty", "s"))
+    // manifest span stats re-keyed: pruning on the NEW name still cuts
+    val e1 = VersionedTable.readEntries(spark, t, 1)
+    assert(VersionedTable.pruneEntries(e1, "quantity", 0L, 50L).size <
+      e1.size, "re-keyed spans must prune on the new name")
+    assert(VersionedTable.prunedRead(spark, t, "quantity", 0L, 50L)
+      .count() == 26)
+    // appends keep staging under the PHYSICAL name: the new file's
+    // parquet schema carries `qty`, and reads still alias
+    VersionedTable.commit(
+      Seq((500L, 1000L, "s500")).toDF("id", "quantity", "s"),
+      t, overwrite = false)
+    val newFile = (VersionedTable.files(spark, t, 2).toSet --
+      VersionedTable.files(spark, t, 1).toSet).head
+    assert(spark.read.parquet(s"$t/$newFile").columns.contains("qty"),
+      "appended files must carry the physical column name")
+    assert(VersionedTable.read(spark, t).where(col("id") === 500L)
+      .select("quantity").as[Long].collect().head == 1000L)
+    // membership probe (footer blooms under the physical name) works
+    assert(VersionedTable.prunedReadIn(spark, t, "quantity",
+      Seq(14L, 1000L)).select("id").as[Long].collect().sorted.toSeq ==
+      Seq(7L, 500L))
+    // mutation verbs speak logical names
+    VersionedTable.updateWhere(spark, t, col("id") === 7L,
+      Map("quantity" -> (col("quantity") + 1L)))
+    assert(VersionedTable.read(spark, t).where(col("id") === 7L)
+      .select("quantity").as[Long].collect().head == 15L)
+    // the plain-scan surfaces refuse a mapped version loudly...
+    val err = intercept[Exception] {
+      spark.read.format("graft-vt").load(t).count()
+    }
+    assert(err.getMessage.contains("renamed columns"), err.getMessage)
+    // ...and an overwrite commit materializes the mapping away
+    VersionedTable.commit(VersionedTable.read(spark, t), t,
+      overwrite = true, statsCols = Seq("id", "quantity"))
+    assert(spark.read.format("graft-vt").load(t)
+      .where(col("id") === 7L).select("quantity")
+      .as[Long].collect().head == 15L)
+  }
+
+  test("column mapping: drop retires the physical name; re-add refuses") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 50L).map(i => (i, i * 3L, s"x$i")).toDF("id", "v", "s"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val dv = VersionedTable.dropColumn(spark, t, "v")
+    assert(VersionedTable.read(spark, t).columns.toSeq == Seq("id", "s"))
+    assert(VersionedTable.read(spark, t, Some(0)).columns.toSeq ==
+      Seq("id", "v", "s"), "time travel keeps the dropped column")
+    assert(VersionedTable.files(spark, t, dv) ==
+      VersionedTable.files(spark, t, 0), "drop moves no data")
+    // re-adding `v` would resurrect the stale physical bytes — refuse
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((100L, 9L, "y")).toDF("id", "v", "s"), t, overwrite = false)
+    }
+    assert(e.getMessage.contains("physical history"), e.getMessage)
+    // rename freeing a logical name has the same protection
+    VersionedTable.renameColumn(spark, t, "s", "s2")
+    val e2 = intercept[IllegalArgumentException] {
+      VersionedTable.commit(
+        Seq((100L, "y", "z")).toDF("id", "s", "s2"), t, overwrite = false)
+    }
+    assert(e2.getMessage.contains("physical history"), e2.getMessage)
+    // appends of genuinely new names still evolve fine
+    VersionedTable.commit(
+      Seq((100L, "z", 1.5)).toDF("id", "s2", "w"), t, overwrite = false)
+    val got = VersionedTable.read(spark, t)
+    assert(got.columns.toSeq == Seq("id", "s2", "w"))
+    assert(got.where(col("id") === 3L).select("s2")
+      .as[String].collect().head == "x3")
+    // a CHECK constraint naming a column blocks its rename/drop
+    VersionedTable.setConstraint(spark, t, "w_pos",
+      "w IS NULL OR w > 0")
+    val e3 = intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "w", "weight")
+    }
+    assert(e3.getMessage.contains("w_pos"), e3.getMessage)
+    VersionedTable.dropConstraint(spark, t, "w_pos")
+    assert(VersionedTable.renameColumn(spark, t, "w", "weight") > 0)
+  }
+
+  test("column mapping composes with deletion vectors and the feed") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, i * 2L)).toDF("id", "a")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 4 === 0,
+      deletionVectors = true)
+    VersionedTable.renameColumn(spark, t, "a", "b")
+    // masked + aliased read
+    val rows = VersionedTable.read(spark, t).select("id", "b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows.map(_._1) == (0L until 100L).filter(_ % 4 != 0))
+    assert(rows.forall { case (i, b) => b == i * 2 })
+    // the rename's change feed is empty; the DV delete's is exact
+    assert(VersionedTable.readChanges(spark, t, 2).isEmpty)
+    assert(VersionedTable.readChanges(spark, t, 1)
+      .where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filter(_ % 4 == 0))
+    // a DV delete AFTER the rename speaks the new name end-to-end
+    VersionedTable.deleteWhere(spark, t, col("b") > 150L,
+      deletionVectors = true)
+    assert(VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      (0L until 100L).filter(i => i % 4 != 0 && i * 2 <= 150))
+  }
+
   test("conditional-put releases its reservation when the upload fails") {
     import graft.operators.{CommitCoordinator, ConditionalPutCoordinator}
     import org.apache.hadoop.fs.{FileSystem, Path}

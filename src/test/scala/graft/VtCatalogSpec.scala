@@ -262,6 +262,48 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft SQL MERGE"), e.getMessage)
   }
 
+  test("CALL procedures: optimize / history / expire / vacuum via SQL") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "maint").getAbsolutePath
+    // 5 small per-batch commits — the streaming-sink debris shape
+    for (b <- 0 until 5)
+      VersionedTable.commit(
+        (b * 20L until b * 20L + 20L).map(i => (i, s"r$i")).toDF("id", "s"),
+        t, overwrite = b == 0, statsCols = Seq("id"))
+    // DESCRIBE HISTORY analog: newest-first audit rows
+    val hist = spark.sql(s"CALL graft.history(table => '$t')").collect()
+    assert(hist.length == 5 && hist.head.getInt(0) == 4 &&
+      hist.last.getInt(0) == 0)
+    assert(hist.map(_.getString(1)).toSet == Set("overwrite", "append"))
+    // OPTIMIZE: bin-pack the 5 small files into fewer, as a new commit
+    val opt = spark.sql(s"CALL graft.optimize(table => '$t')").collect()
+    assert(opt.head.getInt(0) == 5, "optimize commits the next version")
+    assert(opt.head.getInt(1) < 5, "bin-packing must reduce file count")
+    assert(VersionedTable.read(spark, t).count() == 100)
+    assert(VersionedTable.read(spark, t, Some(4)).count() == 100,
+      "pre-optimize version stays time-travelable")
+    // full + clustered: OPTIMIZE ... ZORDER posture
+    spark.sql(s"CALL graft.optimize(table => '$t', full => true, " +
+      "cluster_by => 'id')").collect()
+    // EXPIRE retention, then VACUUM dry-run lists without deleting
+    val exp = spark.sql(
+      s"CALL graft.expire(table => '$t', keep_last => 1)").collect()
+    assert(exp.head.getInt(0) == exp.head.getInt(1))
+    val n0 = new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val dry = spark.sql(s"CALL graft.vacuum(table => '$t', " +
+      "retain_hours => 0.0, dry_run => true)").collect()
+    assert(new java.io.File(t).listFiles()
+      .count(_.getName.endsWith(".parquet")) == n0,
+      "dry run must delete nothing")
+    val swept = spark.sql(s"CALL graft.vacuum(table => '$t', " +
+      "retain_hours => 0.0)").collect()
+    assert(swept.map(_.getString(0)).toSet ==
+      dry.map(_.getString(0)).toSet,
+      "the real sweep must remove exactly what the dry run listed")
+    assert(VersionedTable.read(spark, t).count() == 100)
+  }
+
   test("read-only: mutations refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
