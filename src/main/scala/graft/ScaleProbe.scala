@@ -28,7 +28,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -931,6 +931,69 @@ object ScaleProbe {
         .intersect(VersionedTable.files(spark, t, 0).toSet)
       println(s"[probe] vtmerge: ${carried.size}/${entries.size} files " +
         "carried by reference through the merge")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // DELETION VECTORS vs rewrite on the WORST layout: ids scattered
+    // mod 64, so an off-cluster predicate/key set touches EVERY file.
+    // Measures wall time and BYTES WRITTEN for (a) rewrite delete vs
+    // DV delete, (b) rewrite merge vs DV merge, plus the masked-read
+    // overhead a DV'd table pays per full scan.
+    if (stages("dv")) {
+      import graft.operators.VersionedTable
+      val dir = java.nio.file.Files.createTempDirectory("probe_dv_")
+      val n = 64 * 100000
+      def freshTable(name: String): String = {
+        val t = s"$dir/$name"
+        val rows = spark.range(n.toLong)
+          .selectExpr("id", "cast(id as string) as s",
+            "cast(id % 64 as int) as __f")
+        VersionedTable.commit(
+          rows.repartition(64, col("__f")).drop("__f"),
+          t, overwrite = true, statsCols = Seq("id"))
+        t
+      }
+      def newBytes(t: String, v: Int): Long = {
+        val fs = new org.apache.hadoop.fs.Path(t).getFileSystem(
+          spark.sessionState.newHadoopConf())
+        val before = VersionedTable.files(spark, t, v - 1).toSet
+        val fresh = (VersionedTable.files(spark, t, v).toSet -- before) ++
+          VersionedTable.readEntries(spark, t, v)
+            .flatMap(_.dv.map(_._1)).toSet
+        fresh.toSeq.map(nm => fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$t/$nm")).getLen).sum
+      }
+      val pred = col("id") % 97 === 0 // off-cluster: every file matches
+      val (ta, tb) = (freshTable("rw"), freshTable("dv"))
+      val va = time("dv: REWRITE delete (id%97, 64/64 files touched)")(
+        VersionedTable.deleteWhere(spark, ta, pred))
+      println(f"[probe] dv: rewrite delete wrote ${newBytes(ta, va) / 1e6}%.1f MB")
+      val vb = time("dv: DV delete (same predicate)")(
+        VersionedTable.deleteWhere(spark, tb, pred,
+          deletionVectors = true))
+      println(f"[probe] dv: DV delete wrote ${newBytes(tb, vb) / 1e6}%.3f MB")
+      time("dv: full masked count after the DV delete")(
+        VersionedTable.read(spark, tb).count())
+      time("dv: full count on the rewritten twin (baseline)")(
+        VersionedTable.read(spark, ta).count())
+      // merge: 1k keys stepping by 97 (coprime to the 64-way layout —
+      // the residues sweep every file, the true off-cluster CDC shape)
+      val src = spark.range(1000).selectExpr("7 + 97 * id as id",
+        "'upd' as s")
+      val vm = time("dv: REWRITE merge (1k scattered keys)")(
+        VersionedTable.mergeInto(spark, ta, src, Seq("id")))
+      println(f"[probe] dv: rewrite merge wrote ${newBytes(ta, vm) / 1e6}%.1f MB")
+      val vn = time("dv: DV merge (same keys)")(
+        VersionedTable.mergeInto(spark, tb, src, Seq("id"),
+          deletionVectors = true))
+      println(f"[probe] dv: DV merge wrote ${newBytes(tb, vn) / 1e6}%.3f MB")
+      // value identity of the two lanes
+      val a = VersionedTable.read(spark, ta)
+      val b = VersionedTable.read(spark, tb)
+      require(a.count() == b.count() &&
+        a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        "DV lane must be value-identical to the rewrite lane")
+      println("[probe] dv: DV content == rewrite content (verified)")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 

@@ -428,34 +428,13 @@ object VersionedTable {
           // delta-sized hit set so the count-aggregate and the sidecar
           // write don't re-scan the table (and can't diverge)
           val hits = probe.where(predicate)
-            .select(col(fileC), col(posC)).localCheckpoint()
-          val perFile = hits.groupBy(fileC).count().collect()
+            .select(col(fileC).as("file"), col(posC).as("pos"))
+            .localCheckpoint()
+          val perFile = hits.groupBy("file").count().collect()
             .map(r => r.getString(0) -> r.getLong(1)).toMap
           if (perFile.isEmpty) return v
-          // prior vectors of re-touched files ride into the new
-          // sidecar, so each entry references exactly ONE sidecar
-          val prior = entries.filter(e =>
-            perFile.contains(e.name) && e.dv.nonEmpty)
-          val allPos =
-            if (prior.isEmpty) hits
-            else hits.unionByName(dvMask(spark, path, prior, fileC, posC))
-          val side = stageAndPublish(
-            allPos.select(col(fileC).as("file"), col(posC).as("pos"))
-              .coalesce(1), fs, root, v2)
-          val sidecar = side match {
-            case Seq(one) => one
-            case more => throw new IllegalStateException(
-              s"DV sidecar must be one file, got $more")
-          }
-          val newEntries = entries.flatMap { e =>
-            perFile.get(e.name) match {
-              case None => Some(e) // untouched: carried verbatim
-              case Some(n) =>
-                val total = e.dv.map(_._2).getOrElse(0L) + n
-                if (e.nRows >= 0 && total >= e.nRows) None // fully dead
-                else Some(e.copy(dv = Some((sidecar, total))))
-            }
-          }
+          val (newEntries, side) = applyDvPositions(spark, fs, root,
+            path, entries, hits, perFile, v2)
           if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
               header.schemaJson, newEntries, pendingTxn = pendingTxn)) {
             if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
@@ -525,7 +504,8 @@ object VersionedTable {
   def updateWhere(spark: SparkSession, path: String, predicate: Column,
       set: Map[String, Column], txnId: Option[String] = None,
       maxRetries: Int = 5, clusterBy: Seq[String] = Seq.empty,
-      pendingTxn: Option[String] = None): Int = {
+      pendingTxn: Option[String] = None,
+      deletionVectors: Boolean = false): Int = {
     require(set.nonEmpty, "updateWhere: empty SET clause")
     val root = new Path(path)
     val conf = spark.sessionState.newHadoopConf()
@@ -551,8 +531,56 @@ object VersionedTable {
           "commit(), not UPDATE")
       // masked discovery + masked rewrite base: a DV-deleted row can
       // neither touch a file nor be resurrected by the rewrite
-      val (probe, probeFileC, _) =
+      val (probe, probeFileC, probePosC) =
         maskedReadWithPos(spark, header.schemaJson, path, entries)
+      if (deletionVectors) {
+        // DV update = mask the pre-images, APPEND the post-images: an
+        // off-cluster UPDATE writes O(updated rows), never O(touched
+        // bytes). One matched-row checkpoint feeds the position count,
+        // the sidecar, and the post-image — they can't diverge.
+        val hits = probe.where(predicate).localCheckpoint()
+        val perFile = hits.groupBy(col(probeFileC)).count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        if (perFile.isEmpty) return v
+        // post-image in ONE select over the PRE-image (every hit row
+        // satisfies the predicate, so SET applies unconditionally)
+        val post = hits.select(tableCols.map(c =>
+          set.get(c).fold(col(c))(e => e.as(c))): _*)
+        header.schemaJson.map(decodeSchema).foreach { ts =>
+          val got = post.schema.fields.map(f => f.name -> f.dataType).toMap
+          ts.fields.filter(f => set.contains(f.name)).foreach { f =>
+            require(got(f.name) == f.dataType,
+              s"updateWhere: SET changes ${f.name}'s type " +
+                s"${f.dataType.simpleString} -> " +
+                s"${got(f.name).simpleString} — refuse (evolution goes " +
+                "through commit())")
+          }
+        }
+        enforceConstraints(post, constraintsOf(fs, root),
+          s"updateWhere post-image at $path")
+        val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
+        val cols = resolveStatsCols(Some(header), Seq.empty)
+        val (masked, side) = applyDvPositions(spark, fs, root, path,
+          entries,
+          hits.select(col(probeFileC).as("file"), col(probePosC).as("pos")),
+          perFile, v2)
+        val pub = stageAndPublish(clusterOut(post, clusterBy, 1),
+          fs, root, v2, cols, header.schemaJson)
+        val newEntries = pub.map(n =>
+          footerEntry(fs, conf, new Path(root, n), cols,
+            physicalOf(header.schemaJson)))
+        if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
+            header.schemaJson, masked ++ newEntries,
+            pendingTxn = pendingTxn)) {
+          if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
+          return v2
+        }
+        (side ++ pub).foreach(n => fs.delete(new Path(root, n), false))
+        triesLeft -= 1
+        if (triesLeft < 0) throw new IllegalStateException(
+          s"versioned update at $path lost the manifest race " +
+            s"$maxRetries times — giving up")
+      } else {
       val touched = probe.where(predicate)
         .select(col(probeFileC)).distinct()
         .collect().map(_.getString(0)).toSet
@@ -618,6 +646,7 @@ object VersionedTable {
       if (triesLeft < 0) throw new IllegalStateException(
         s"versioned update at $path lost the manifest race " +
           s"$maxRetries times — giving up")
+      } // deletionVectors branch
     }
     -1 // unreachable
   }
@@ -659,7 +688,8 @@ object VersionedTable {
       keys: Seq[String], txnId: Option[String] = None,
       maxRetries: Int = 5, tombstoneCol: Option[String] = None,
       clusterBy: Seq[String] = Seq.empty,
-      pendingTxn: Option[String] = None): Int = {
+      pendingTxn: Option[String] = None,
+      deletionVectors: Boolean = false): Int = {
     require(keys.nonEmpty, "mergeInto: no key columns")
     require(keys.forall(source.columns.contains),
       s"mergeInto: source lacks key columns " +
@@ -762,6 +792,54 @@ object VersionedTable {
                 ks.map(_.get(i)).distinct.toSeq)
           }
         }
+      // every matched target row leaves (update AND delete verbs);
+      // only non-tombstoned source rows come back
+      val upserts = tombstoneCol.map(c =>
+        src.where(!coalesce(col(c), lit(false)))).getOrElse(src)
+      val ordered = upserts.select(tableSchema.fieldNames.map(col).toSeq: _*)
+      // slot from the SAME listing as the base (latestVisibleIn doc):
+      // holes between them are decided-aborted and can never revive
+      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
+      val cols = resolveStatsCols(Some(header), Seq.empty)
+      if (deletionVectors) {
+        // DV merge = mask the matched pre-images, APPEND the upserts:
+        // a scattered CDC batch writes O(|batch|) bytes + one sidecar,
+        // never a rewrite of every touched file
+        val matchedPos =
+          if (probed.isEmpty) None
+          else {
+            val (kprobe, kFileC, kPosC) =
+              maskedReadWithPos(spark, header.schemaJson, path, probed)
+            Some(kprobe
+              .select(keys.map(col) :+ col(kFileC) :+ col(kPosC): _*)
+              .join(srcKeys, keys, "left_semi")
+              .select(col(kFileC).as("file"), col(kPosC).as("pos"))
+              .localCheckpoint())
+          }
+        val perFile = matchedPos.map(_.groupBy("file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+          .getOrElse(Map.empty[String, Long])
+        val (masked, side) =
+          if (perFile.isEmpty) (entries, Seq.empty[String])
+          else applyDvPositions(spark, fs, root, path, entries,
+            matchedPos.get, perFile, v2)
+        val pub = stageAndPublish(clusterOut(ordered, clusterBy, 1),
+          fs, root, v2, cols, header.schemaJson)
+        val newEntries = pub.map(n =>
+          footerEntry(fs, conf, new Path(root, n), cols,
+            physicalOf(header.schemaJson)))
+        if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
+            header.schemaJson, masked ++ newEntries,
+            pendingTxn = pendingTxn)) {
+          if (pendingTxn.isEmpty) maybeCheckpoint(fs, root, v2)
+          return v2
+        }
+        (side ++ pub).foreach(n => fs.delete(new Path(root, n), false))
+        triesLeft -= 1
+        if (triesLeft < 0) throw new IllegalStateException(
+          s"versioned merge at $path lost the manifest race " +
+            s"$maxRetries times — giving up")
+      } else {
       val touched =
         if (probed.isEmpty) Set.empty[String]
         else {
@@ -775,20 +853,11 @@ object VersionedTable {
             .collect().map(_.getString(0)).toSet
         }
       val (rewrite, carried) = entries.partition(e => touched(e.name))
-      // every matched target row leaves (update AND delete verbs);
-      // only non-tombstoned source rows come back
-      val upserts = tombstoneCol.map(c =>
-        src.where(!coalesce(col(c), lit(false)))).getOrElse(src)
-      val ordered = upserts.select(tableSchema.fieldNames.map(col).toSeq: _*)
       val newData =
         if (rewrite.isEmpty) ordered
         else maskedRead(spark, header.schemaJson, path, rewrite)
           .join(srcKeys, keys, "left_anti")
           .unionByName(ordered)
-      // slot from the SAME listing as the base (latestVisibleIn doc):
-      // holes between them are decided-aborted and can never revive
-      val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
-      val cols = resolveStatsCols(Some(header), Seq.empty)
       // opt-in: keep the rewrite clustered so CDC traffic does not
       // widen spans between OPTIMIZE runs; the rewritten-file count is
       // the layout-preserving output target (insert-only: one file)
@@ -809,6 +878,7 @@ object VersionedTable {
       if (triesLeft < 0) throw new IllegalStateException(
         s"versioned merge at $path lost the manifest race " +
           s"$maxRetries times — giving up")
+      } // deletionVectors branch
     }
     -1 // unreachable
   }
@@ -2970,6 +3040,39 @@ object VersionedTable {
       else base.join(dvMask(spark, path, dved, fileC, posC),
         Seq(fileC, posC), "left_anti")
     (logicalize(df, schemaJson, keep = Seq(fileC, posC)), fileC, posC)
+  }
+
+  /** Shared DV-WRITE step of the mutating verbs: union the new
+    * deleted positions (`hits`, columns `file`,`pos`) with the
+    * re-touched files' PRIOR vectors, publish ONE sidecar under the
+    * `v2` prefix, and return the entry list with touched files
+    * re-pointed at it (untouched verbatim, fully-dead dropped) plus
+    * everything published (for lost-race cleanup). */
+  private def applyDvPositions(spark: SparkSession, fs: FileSystem,
+      root: Path, path: String, entries: Seq[FileEntry], hits: DataFrame,
+      perFile: Map[String, Long], v2: Int)
+      : (Seq[FileEntry], Seq[String]) = {
+    val prior = entries.filter(e =>
+      perFile.contains(e.name) && e.dv.nonEmpty)
+    val allPos =
+      if (prior.isEmpty) hits
+      else hits.unionByName(dvMask(spark, path, prior, "file", "pos"))
+    val side = stageAndPublish(allPos.coalesce(1), fs, root, v2)
+    val sidecar = side match {
+      case Seq(one) => one
+      case more => throw new IllegalStateException(
+        s"DV sidecar must be one file, got $more")
+    }
+    val out = entries.flatMap { e =>
+      perFile.get(e.name) match {
+        case None => Some(e) // untouched: carried verbatim
+        case Some(n) =>
+          val total = e.dv.map(_._2).getOrElse(0L) + n
+          if (e.nRows >= 0 && total >= e.nRows) None // fully dead
+          else Some(e.copy(dv = Some((sidecar, total))))
+      }
+    }
+    (out, side)
   }
 
   /** Every on-disk artifact a version's entries reference: the data

@@ -633,6 +633,61 @@ object Ops {
         col("source"))
   }
 
+  // DELETION-VECTOR UPDATE + MERGE (the write-amplification fix for
+  // the remaining mutation verbs): both predicates/keys are
+  // OFF-CLUSTER (every range-clustered file holds matches), yet
+  // NEITHER commit rewrites or drops a data file (gated: the file set
+  // only grows) — pre-images mask via one sidecar, post-images/upserts
+  // append as new delta-sized files. The oracle replays update CASE →
+  // merge CASE + tombstone anti-filter; DV mutations must be
+  // value-identical to rewrites.
+  val opVtDmlDv: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtdmldv_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    // unique (orderkey, linenumber) keys via a deterministic MIN (the
+    // fixture's lineitem is not PK-unique on the TPC-H pair)
+    val li = lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(min(col("l_quantity")).as("l_quantity"))
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val v1 = VersionedTable.updateWhere(s, t, col("l_orderkey") % 7 === 0,
+      Map("l_quantity" -> (col("l_quantity") * 2 + 1)),
+      txnId = Some("dvupd"), deletionVectors = true)
+    if (v1 == 1) {
+      require(VersionedTable.files(s, t, 0).toSet
+        .subsetOf(VersionedTable.files(s, t, 1).toSet),
+        "a DV update must keep every data file")
+      require(VersionedTable.updateWhere(s, t,
+        col("l_orderkey") % 7 === 0,
+        Map("l_quantity" -> (col("l_quantity") * 2 + 1)),
+        txnId = Some("dvupd"), deletionVectors = true) == 1,
+        "replayed DV update must no-op")
+      // CDC merge over the POST-update state: %22 keys tombstone,
+      // other %11 keys pin quantity to -5
+      val src = VersionedTable.read(s, t)
+        .where(col("l_orderkey") % 11 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lit(-5.0).as("l_quantity"),
+          (col("l_orderkey") % 22 === 0).as("del"))
+      val v2 = VersionedTable.mergeInto(s, t, src,
+        Seq("l_orderkey", "l_linenumber"), tombstoneCol = Some("del"),
+        deletionVectors = true)
+      require(VersionedTable.files(s, t, 1).toSet
+        .subsetOf(VersionedTable.files(s, t, v2).toSet),
+        "a DV merge must keep every data file")
+      // metadata COUNT stays exact over stacked masks
+      require(VersionedTable.countRows(s, t)
+        .contains(VersionedTable.read(s, t).count()),
+        "countRows must subtract stacked masks exactly")
+    }
+    VersionedTable.read(s, t)
+  }
+
   // OPTIMIZE ... CLUSTER BY as a versioned commit: v0 lands lineitem
   // in a hash-SCATTERED layout (every file spans the whole key range —
   // the manifest stats prove pruning is impossible), then a clustered
@@ -1923,6 +1978,7 @@ object Ops {
     "op_vt_pruned_read" -> opVtPrunedRead,
     "op_vt_delete" -> opVtDelete,
     "op_vt_delete_dv" -> opVtDeleteDv,
+    "op_vt_dml_dv" -> opVtDmlDv,
     "op_vt_optimize_cluster" -> opVtOptimizeCluster,
     "op_vt_optimize_where" -> opVtOptimizeWhere,
     "op_vt_incr_read" -> opVtIncrRead,
@@ -2243,6 +2299,23 @@ object Ops {
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source
         |FROM documents
         |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
+    // DV update→merge must equal the sequential replay: doubled+1 in
+    // the %7 band, then -5 for surviving %11 keys, %22 keys gone.
+    "op_vt_dml_dv" ->
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    min(l_quantity) AS l_quantity
+        |  FROM lineitem GROUP BY 1, 2),
+        |upd AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 7 = 0 THEN l_quantity * 2 + 1
+        |         ELSE l_quantity END AS l_quantity
+        |  FROM base)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_orderkey % 11 = 0 THEN -5.0
+        |       ELSE l_quantity END AS l_quantity
+        |FROM upd
+        |WHERE l_orderkey % 22 <> 0""".stripMargin,
     // Zone-map planning must be result-invisible: plain range filter.
     "op_zonemap_prune" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

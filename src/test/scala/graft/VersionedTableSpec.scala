@@ -1930,6 +1930,71 @@ class VersionedTableSpec extends AnyFunSuite {
       (0L until 100L).filter(_ % 4 == 1))
   }
 
+  test("deletion vectors: UPDATE and MERGE mask pre-images, append post") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 300L).map(i => (i, i * 10L)).toDF("id", "x")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val v0Files = VersionedTable.files(spark, t, 0).toSet
+    // OFF-cluster DV update: every file holds matches; no data file
+    // may be rewritten or dropped — post-images arrive as NEW files
+    val v1 = VersionedTable.updateWhere(spark, t, col("id") % 10 === 3,
+      Map("x" -> (col("x") + 1L)), deletionVectors = true)
+    assert(v1 == 1)
+    val f1 = VersionedTable.files(spark, t, 1).toSet
+    assert(v0Files.subsetOf(f1), "DV update must keep every data file")
+    assert((f1 -- v0Files).nonEmpty, "post-images land as new files")
+    val got = VersionedTable.read(spark, t)
+      .select("id", "x").as[(Long, Long)].collect().toMap
+    assert(got.size == 300)
+    assert(got(13L) == 131L && got(12L) == 120L)
+    // pre-image discipline under DV too: a swap-with-predicate update
+    VersionedTable.commit(
+      (0L until 10L).map(i => (i, i + 100L, i + 200L)).toDF("id", "a", "b"),
+      s"${t}_swap", overwrite = true)
+    VersionedTable.updateWhere(spark, s"${t}_swap",
+      col("a") + col("b") < 305L,
+      Map("a" -> (col("b") + 1L), "b" -> (col("a") + 1L)),
+      deletionVectors = true)
+    val sw = VersionedTable.read(spark, s"${t}_swap")
+      .select("id", "a", "b").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(sw.take(3) == Seq((0L, 201L, 101L), (1L, 202L, 102L),
+      (2L, 203L, 103L)))
+    assert(sw.last == (9L, 109L, 209L), "row 9 (sum 318) untouched")
+    // DV MERGE: scattered CDC keys mask their pre-images; upserts +
+    // inserts append; tombstones just mask
+    val cdc = Seq((13L, 0L, false), (250L, 1L, false), (900L, 2L, false),
+      (20L, -1L, true)).toDF("id", "x", "del")
+    val v2 = VersionedTable.mergeInto(spark, t, cdc, Seq("id"),
+      tombstoneCol = Some("del"), deletionVectors = true)
+    val f2 = VersionedTable.files(spark, t, v2).toSet
+    assert(f1.subsetOf(f2), "DV merge must keep every data file")
+    val got2 = VersionedTable.read(spark, t)
+      .select("id", "x").as[(Long, Long)].collect().toMap
+    assert(got2(13L) == 0L && got2(250L) == 1L && got2(900L) == 2L)
+    assert(!got2.contains(20L), "tombstone must mask its key")
+    assert(got2.size == 300) // -1 tombstone +1 insert
+    // change feed of the DV merge: deletes = the matched pre-images,
+    // inserts = the upsert rows (coordinate-derived, no content diff)
+    val feed = VersionedTable.readChanges(spark, t, v2)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(13L, 20L, 250L))
+    assert(feed.where(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      Seq(13L, 250L, 900L))
+    // replay no-ops (txn idempotence carries to the DV paths)
+    val v3 = VersionedTable.mergeInto(spark, t, cdc, Seq("id"),
+      tombstoneCol = Some("del"), txnId = Some("dvm1"),
+      deletionVectors = true)
+    assert(VersionedTable.mergeInto(spark, t, cdc, Seq("id"),
+      tombstoneCol = Some("del"), txnId = Some("dvm1"),
+      deletionVectors = true) == v3)
+  }
+
   test("column mapping: rename is metadata-only; every surface follows") {
     import spark.implicits._
     val t = tmpTable()
