@@ -2107,6 +2107,78 @@ object VersionedTable {
     }
   }
 
+  /** CLUSTERING-DECAY metric of a stats column, computed from the
+    * MANIFEST ALONE (one small read, zero data I/O at any table size):
+    * the expected number of files a uniformly-random point predicate
+    * on `column` must open — `sum(per-file span width) / global span
+    * width` for numeric spans. A perfectly range-clustered layout
+    * scores ~1.0 (each point hits one file); a fully scattered one
+    * scores ~nFiles (every file spans everything, pruning is blind).
+    * This is the number steady append/CDC traffic silently degrades
+    * between OPTIMIZE runs.
+    *
+    * `None` when the metric is undecidable from metadata: no files, a
+    * zero-width global span, a string-typed column (widths are not
+    * defined), or any row-bearing file without collected stats. */
+  def clusteringDecay(spark: SparkSession, path: String,
+      column: String, asOfVersion: Option[Int] = None): Option[Double] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
+      .getOrElse(throw new IllegalStateException(
+        s"no committed versions at $path"))
+    asOfVersion.foreach(_ =>
+      requireVisible(fs, path, v, readHeader(fs, root, v)))
+    val entries = readEntries(spark, path, v).filter(_.nRows != 0)
+    if (entries.isEmpty) return None
+    def num(a: Any): Option[Double] = a match {
+      case l: Long => Some(l.toDouble)
+      case d: Double => Some(d)
+      case _ => None
+    }
+    val spans = entries.map(_.stats.get(column) match {
+      case Some(Some((mn, mx))) =>
+        for (a <- num(mn); b <- num(mx)) yield (a, b)
+      case _ => None
+    })
+    if (spans.exists(_.isEmpty)) return None
+    val widths = spans.flatten
+    val lo = widths.map(_._1).min
+    val hi = widths.map(_._2).max
+    if (hi <= lo) return None // degenerate global span
+    Some(widths.map { case (a, b) => (b - a) / (hi - lo) }.sum)
+  }
+
+  /** RECLUSTER POLICY: re-cluster the table on `column` IFF its
+    * measured [[clusteringDecay]] exceeds `maxDecayPerFile × nFiles`
+    * — the maintenance loop a CDC-fed table needs so steady merge
+    * traffic cannot silently rot [[prunedRead]]'s file skipping. The
+    * decision costs one manifest read; the repair is a [[compact]]
+    * with `clusterBy` (a rollback-able versioned commit that also
+    * MATERIALIZES any deletion vectors). Undecidable decay (no stats)
+    * triggers when `reclusterOnUnknown` (a table that cannot prune is
+    * exactly the one to repair). Returns Some(newVersion) when it
+    * re-clustered, None when the layout was still healthy. */
+  def maintainClustering(spark: SparkSession, path: String,
+      column: String, maxDecayPerFile: Double = 0.3,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      reclusterOnUnknown: Boolean = false): Option[Int] = {
+    require(maxDecayPerFile > 0 && maxDecayPerFile <= 1,
+      s"maxDecayPerFile must be in (0, 1]: $maxDecayPerFile")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val v = latestVisible(fs, root, forWrite = false).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    val nFiles = readHeader(fs, root, v).nFiles
+    if (nFiles < 2) return None // one file prunes as well as it ever will
+    val decayed = clusteringDecay(spark, path, column, Some(v)) match {
+      case Some(d) => d > maxDecayPerFile * nFiles
+      case None => reclusterOnUnknown
+    }
+    if (!decayed) None
+    else Some(compact(spark, path, targetFileBytes, Seq(column)))
+  }
+
   /** INCREMENTAL consumption: the rows ADDED after `fromVersion` (up
     * to `toVersion`, default latest) — resolved as the FILE DIFF of
     * the two manifests, so the read costs O(delta), never a rescan of

@@ -1633,6 +1633,49 @@ object Ops {
     s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
   }
 
+  // RECLUSTER POLICY (the measure→decide→repair maintenance loop):
+  // lineitem commits range-clustered, then three WHOLE-RANGE appends
+  // (the shape steady CDC traffic produces) rot the layout — the
+  // manifest-only decay metric must see it (gated: decay rises by >2
+  // expected files), maintainClustering must repair it in one
+  // rollback-able optimize commit (gated: decay back to ~1, healthy
+  // layout no-ops), and the whole loop must be value-invisible: the
+  // oracle is the plain union replay.
+  val opVtRecluster: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtrc_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(
+      li.where(col("l_linenumber") <= 4)
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val d0 = VersionedTable.clusteringDecay(s, t, "l_orderkey")
+    require(VersionedTable.maintainClustering(s, t, "l_orderkey").isEmpty,
+      "a freshly clustered layout must not trigger a rewrite")
+    for (b <- 5 to 7)
+      VersionedTable.commit(
+        li.where(col("l_linenumber") === b).coalesce(1),
+        t, overwrite = false)
+    val d1 = VersionedTable.clusteringDecay(s, t, "l_orderkey")
+    require(d0.isEmpty || d1.isEmpty || d1.get > d0.get + 2.0,
+      s"whole-range appends must register as decay: $d0 -> $d1")
+    val rv = VersionedTable.maintainClustering(s, t, "l_orderkey",
+      targetFileBytes = 64L * 1024)
+    if (d1.exists(_ > 2.0)) {
+      require(rv.nonEmpty, s"decay $d1 must trigger the repair")
+      val d2 = VersionedTable.clusteringDecay(s, t, "l_orderkey")
+      require(d2.exists(_ < 2.0),
+        s"the repair must restore near-1 point cost: $d1 -> $d2")
+      require(VersionedTable.maintainClustering(s, t, "l_orderkey").isEmpty,
+        "maintenance must no-op until decay returns")
+    }
+    VersionedTable.read(s, t)
+  }
+
   // SQL maintenance verbs (sources/VtProcedures.scala, Spark 4 stored
   // procedures): five small per-batch commits, then `CALL
   // graft.optimize` bin-packs them (gated: fewer files, prior version
@@ -2008,6 +2051,7 @@ object Ops {
     "op_vt_sql_update" -> opVtSqlUpdate,
     "op_vt_sql_merge" -> opVtSqlMerge,
     "op_vt_sql_optimize" -> opVtSqlOptimize,
+    "op_vt_recluster" -> opVtRecluster,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -2410,6 +2454,10 @@ object Ops {
         |SELECT doc_id + 2000000, md5(coalesce(text, '')), source
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id % 11 = 0""".stripMargin,
+    // The recluster loop must be value-invisible: the whole table.
+    "op_vt_recluster" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem""".stripMargin,
     // CALL-verb maintenance must be value-invisible: the plain table.
     "op_vt_sql_optimize" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

@@ -2128,6 +2128,45 @@ class VersionedTableSpec extends AnyFunSuite {
       (0L until 100L).filter(i => i % 4 != 0 && i * 2 <= 150))
   }
 
+  test("recluster policy: manifest-only decay metric drives the repair") {
+    import spark.implicits._
+    val t = tmpTable()
+    // clustered start: decay ~1 per the metric, policy leaves it alone
+    VersionedTable.commit(
+      (0L until 4000L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val d0 = VersionedTable.clusteringDecay(spark, t, "id").get
+    assert(d0 < 1.5, s"clustered layout must score ~1 file: $d0")
+    assert(VersionedTable.maintainClustering(spark, t, "id").isEmpty,
+      "a healthy layout must not trigger a rewrite")
+    // CDC-style decay: append whole-range slices (each new file spans
+    // everything — the silent skew steady merge traffic produces)
+    for (k <- 0 until 4)
+      VersionedTable.commit(
+        (0L until 4000L by 4L).map(i => (i + k, s"u$i")).toDF("id", "s")
+          .coalesce(1),
+        t, overwrite = false)
+    val nFiles = VersionedTable.readEntries(spark, t,
+      VersionedTable.latestVersion(spark, t).get).size
+    val d1 = VersionedTable.clusteringDecay(spark, t, "id").get
+    assert(d1 > d0 + 3.0,
+      s"whole-range appends must show as decay: $d0 -> $d1")
+    // the policy measures, decides, and repairs in one call
+    val rv = VersionedTable.maintainClustering(spark, t, "id",
+      targetFileBytes = 16L * 1024)
+    assert(rv.nonEmpty, s"decay $d1 over $nFiles files must trigger")
+    val d2 = VersionedTable.clusteringDecay(spark, t, "id").get
+    assert(d2 < 1.5, s"repair must restore ~1-file point cost: $d2")
+    // content invisible + pruning restored
+    assert(VersionedTable.read(spark, t).count() == 8000)
+    val e2 = VersionedTable.readEntries(spark, t, rv.get)
+    assert(VersionedTable.pruneEntries(e2, "id", 0L, 100L).size <
+      e2.size || e2.size < 2)
+    // repeated maintenance is a no-op until decay returns
+    assert(VersionedTable.maintainClustering(spark, t, "id").isEmpty)
+  }
+
   test("conditional-put releases its reservation when the upload fails") {
     import graft.operators.{CommitCoordinator, ConditionalPutCoordinator}
     import org.apache.hadoop.fs.{FileSystem, Path}
