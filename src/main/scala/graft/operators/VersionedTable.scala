@@ -3047,13 +3047,31 @@ object VersionedTable {
     * delta-sized parquet — the anti-join below auto-broadcasts off
     * their file-source size stats, and a pathologically large vector
     * (delete-most-of-the-table, which should have been a rewrite)
-    * degrades to a shuffle join, never a wrong answer. */
+    * degrades to a shuffle join, never a wrong answer.
+    *
+    * The mask is ALWAYS restricted to exactly `dved`'s names — a
+    * sidecar can carry positions of files outside the requested set
+    * (absorbed priors, since-rewritten files), and the change feed's
+    * multiset diff needs each file's positions to appear exactly once.
+    * A bounded set restricts via an IN-literal (codegen-able); past
+    * that the IN-expression itself would be the scale problem
+    * (O(#files) plan size), so it flips to a broadcast semi-join on a
+    * names frame — O(1) plan, same semantics. */
   private def dvMask(spark: SparkSession, path: String,
-      dved: Seq[FileEntry], fileC: String, posC: String): DataFrame =
-    spark.read.parquet(dved.flatMap(_.dv.map(_._1)).distinct
-        .map(n => s"$path/$n"): _*)
-      .where(col("file").isin(dved.map(_.name): _*))
-      .select(col("file").as(fileC), col("pos").as(posC))
+      dved: Seq[FileEntry], fileC: String, posC: String): DataFrame = {
+    val base = spark.read.parquet(dved.flatMap(_.dv.map(_._1)).distinct
+      .map(n => s"$path/$n"): _*)
+    val filtered =
+      if (dved.size <= 1000)
+        base.where(col("file").isin(dved.map(_.name): _*))
+      else {
+        import spark.implicits._
+        base.join(
+          broadcast(dved.map(_.name).toDF("file")), Seq("file"),
+          "left_semi")
+      }
+    filtered.select(col("file").as(fileC), col("pos").as(posC))
+  }
 
   /** [[schemaRead]] over manifest ENTRIES with DELETION VECTORS
     * applied: files without a DV scan on the stock vectorized parquet

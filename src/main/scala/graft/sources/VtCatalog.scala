@@ -90,26 +90,36 @@ final class VtCatalog extends TableCatalog
     // pending manifest the Scala read() path would refuse
     VersionedTable.requireVisibleVersion(spark, path, version)
     val entries = VersionedTable.readEntries(spark, path, version)
-    // the SQL scan is a plain file list — it cannot mask deletion
-    // vectors; refuse rather than resurrect deleted rows
-    require(entries.forall(_.dv.isEmpty),
-      s"version $version of $path carries deletion vectors — the SQL " +
-        "scan surface cannot mask them; read via VersionedTable.read " +
-        "or materialize with compact()")
-    val files = entries.map(e => s"$path/${e.name}")
     val schema = VersionedTable.schemaOf(spark, path, version)
       .getOrElse(VersionedTable.read(spark, path, Some(version)).schema)
-    require(!VersionedTable.schemaHasMapping(schema),
-      s"version $version of $path maps renamed columns — the SQL scan " +
-        "surface cannot alias them; read via VersionedTable.read or " +
-        "rewrite with an overwrite commit")
+    // the SQL SCAN is a plain file list — it can neither mask deletion
+    // vectors nor alias mapped columns; refuse AT SCAN TIME rather
+    // than resurrect/null rows. DML statements never scan the target
+    // (UPDATE/MERGE/DELETE/INSERT lower onto the transactional verbs,
+    // which mask and alias exactly), so mutating a DV'd or renamed
+    // table through SQL keeps working — only SELECT refuses until a
+    // compaction/overwrite materializes.
+    val scanRefusal =
+      if (entries.exists(_.dv.nonEmpty))
+        Some(s"version $version of $path carries deletion vectors — " +
+          "the SQL scan surface cannot mask them; read via " +
+          "VersionedTable.read or materialize with compact()")
+      else if (VersionedTable.schemaHasMapping(schema))
+        Some(s"version $version of $path maps renamed columns — the " +
+          "SQL scan surface cannot alias them; read via " +
+          "VersionedTable.read or rewrite with an overwrite commit")
+      else None
+    // a time-travel load exists only to be scanned: refuse at load
+    if (!writable) scanRefusal.foreach(m =>
+      throw new IllegalArgumentException(m))
+    val files = entries.map(e => s"$path/${e.name}")
     val pq =
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
         s"$catalogName.$ident@v$version", spark,
         CaseInsensitiveStringMap.empty(), files, Some(schema),
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
-    if (writable) new VtSqlTable(pq, path) else pq
+    if (writable) new VtSqlTable(pq, path, scanRefusal) else pq
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -168,7 +178,8 @@ final class VtCatalog extends TableCatalog
   private final class VtSqlTable(
       inner: org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,
-      path: String) extends Table
+      path: String,
+      scanRefusal: Option[String] = None) extends Table
       with VtWritableTable
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -181,8 +192,19 @@ final class VtCatalog extends TableCatalog
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+    /** The refusal must fire when a scan would actually EXECUTE, not
+      * when one is merely planned: the optimizer's V2 pushdown calls
+      * `newScanBuilder`/`build` on the target relation of an UPDATE/
+      * MERGE/DELETE plan too, and those commands never run the scan —
+      * they lower onto the masking transactional verbs. A dynamic
+      * proxy keeps every pushdown mixin of the real builder/scan
+      * intact and intercepts only the batch-materialization calls. */
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
-      inner.newScanBuilder(options)
+      scanRefusal match {
+        case None => inner.newScanBuilder(options)
+        case Some(msg) => VtScanGuard.guardBuilder(
+          inner.newScanBuilder(options), msg)
+      }
 
     /** `DELETE FROM graft.t WHERE ...` → [[VersionedTable.deleteWhere]]
       * (the transactional touched-files-only delete) when every pushed

@@ -262,6 +262,51 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("graft SQL MERGE"), e.getMessage)
   }
 
+  test("SQL DML keeps working on a DV'd table; only the SCAN refuses") {
+    ensureCatalog()
+    graft.plans.VtDml.ensureRegistered(spark)
+    val t = new java.io.File(tmpRoot(), "dvdml").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, i * 10L)).toDF("id", "a")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 5 === 0,
+      deletionVectors = true)
+    // the plain SELECT refuses (a file scan cannot mask)...
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t`").collect()
+    }
+    assert(e.getMessage.contains("deletion vectors") ||
+      Option(e.getCause).exists(_.getMessage.contains("deletion vectors")),
+      e.getMessage)
+    // ...but every DML verb still lowers onto the masking Scala verbs
+    spark.sql(s"UPDATE graft.`$t` SET a = a + 1 WHERE id = 1")
+    spark.sql(s"DELETE FROM graft.`$t` WHERE id = 2")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1000, 1)")
+    // OPTIMIZE materializes the vectors; the scan comes back
+    spark.sql(s"CALL graft.optimize(table => '$t', full => true)")
+    val rows = spark.sql(s"SELECT id, a FROM graft.`$t`")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!rows.contains(5L) && !rows.contains(2L),
+      "DV-masked and SQL-deleted rows stay gone")
+    assert(rows(1L) == 11L, "the SQL UPDATE applied on the masked view")
+    assert(rows(1000L) == 1L, "the SQL INSERT landed")
+    assert(rows.size == 80 - 1 + 1)
+    // same posture for COLUMN MAPPING: after a rename, the SCAN
+    // refuses (cannot alias) but DML keeps flowing under logical names
+    VersionedTable.renameColumn(spark, t, "a", "amount")
+    val e2 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft.`$t`").collect()
+    }
+    assert(e2.getMessage.contains("renamed columns") ||
+      Option(e2.getCause).exists(_.getMessage.contains("renamed columns")),
+      e2.getMessage)
+    spark.sql(s"UPDATE graft.`$t` SET amount = amount + 5 WHERE id = 1")
+    assert(VersionedTable.read(spark, t).where(col("id") === 1L)
+      .select("amount").as[Long].collect().head == 16L,
+      "SQL UPDATE must keep working on a mapped table")
+  }
+
   test("CALL procedures: optimize / history / expire / vacuum via SQL") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "maint").getAbsolutePath
