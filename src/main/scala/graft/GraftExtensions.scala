@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO for versioned catalog tables — lowers
     // the resolved commands onto the transactional Scala verbs.
     ext.injectPlannerStrategy(_ => graft.plans.VtDmlStrategy)
+    // SQL SELECT over deletion-vector'd / column-mapped versions —
+    // swaps the relation for the masking read plan pre-pushdown.
+    ext.injectOptimizerRule(_ => graft.plans.VtMaskedScanRewrite)
   }
 }
 
@@ -66,6 +69,7 @@ object GraftExtensions {
     Bridge.registerFunction(spark, "array_cosine", cosineBuilder)
     registerTextSql(spark)
     graft.plans.VtDml.ensureRegistered(spark)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
     // Runtime twin of injectOptimizerRule: the experimental batch runs
     // at the end of logical optimization — single-distinct aggregates
     // are still un-rewritten there (their planning happens physical-

@@ -1,0 +1,98 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, DataSourceV2ScanRelation}
+import org.apache.spark.sql.graftbridge.Bridge
+
+import graft.operators.VersionedTable
+import graft.sources.VtWritableTable
+
+/** SQL SELECT over DELETION-VECTOR'd / COLUMN-MAPPED versions: an
+  * optimizer rule that swaps the catalog relation for the engine's
+  * own masking/aliasing read plan, so a plain `SELECT * FROM graft.t`
+  * answers exactly even while the table carries vectors or renamed
+  * columns — no compaction required to read.
+  *
+  * Placement: Spark's "User Provided Optimizers" batch runs BEFORE
+  * the appended V2 scan pushdown batch, so the rule sees the original
+  * `DataSourceV2Relation` and replaces it with [[VersionedTable.read]]'s
+  * logical plan — a union of plain parquet scans, an anti-join against
+  * the delta-sized mask, and physical→logical aliases. Everything
+  * downstream (filter pushdown into the parquet scans, column pruning,
+  * AQE) then optimizes the ordinary plan; the version is PINNED to the
+  * one the relation loaded, so the swap can never read a different
+  * snapshot than the analyzer resolved.
+  *
+  * Attribute identity: the replacement is wrapped in a Project that
+  * re-aliases the masked plan's columns onto the ORIGINAL relation
+  * output's exprIds — references held by enclosing operators keep
+  * resolving. A fresh read per occurrence keeps self-joins conflict-
+  * free (distinct exprIds per subtree).
+  *
+  * DML plans are left alone (their root is a Command): the target
+  * relation of UPDATE/MERGE/DELETE must stay a relation for
+  * [[VtDmlStrategy]]/`SupportsDelete` to lower, and those paths mask
+  * through the transactional verbs already. Healthy versions
+  * (`vtScanRefusal == None`) are never rewritten — the stock scan is
+  * already exact and strictly cheaper. Sessions without this rule
+  * fall back to [[graft.sources.VtScanGuard]]'s loud refusal, never a
+  * wrong answer. */
+object VtMaskedScanRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    // DML TARGETS must stay relations for the lowering strategies —
+    // but only the targets: a MERGE's source query, or any query
+    // under a WRITE command (INSERT ... SELECT, a sink write of a
+    // SELECT), rewrites like any read
+    case u: UpdateTable => u
+    case d: DeleteFromTable => d
+    case m: MergeIntoTable =>
+      val src = apply(m.sourceTable)
+      if (src eq m.sourceTable) m else m.copy(sourceTable = src)
+    case _ => plan.transform {
+      // pre-pushdown shape AND the post-pushdown ScanRelation (batch
+      // order differs across rule-injection points; handle both — the
+      // pruned ScanRelation output is a name-subset the masked plan
+      // always covers, and its pushed filters remain as the Filter
+      // node above, re-applied over the rewrite)
+      case rel: DataSourceV2Relation if needsMask(rel.table) =>
+        remask(rel.table.asInstanceOf[VtWritableTable], rel.output)
+      case s: DataSourceV2ScanRelation if needsMask(s.relation.table) =>
+        remask(s.relation.table.asInstanceOf[VtWritableTable], s.output)
+    }
+  }
+
+  private def remask(t: VtWritableTable,
+      out: Seq[Attribute]): LogicalPlan = {
+    val masked = Bridge.logicalPlan(
+      VersionedTable.read(SparkSession.active, t.vtPath,
+        Some(t.vtVersion)))
+    val byName = masked.output.map(a => a.name -> a).toMap
+    val cols: Seq[NamedExpression] = out.map { a =>
+      val src = byName.getOrElse(a.name,
+        throw new IllegalStateException(
+          s"masked read of ${t.vtPath}@v${t.vtVersion} lacks " +
+            s"column ${a.name} the relation carries"))
+      Alias(src, a.name)(exprId = a.exprId)
+    }
+    Project(cols, masked)
+  }
+
+  private def needsMask(
+      table: org.apache.spark.sql.connector.catalog.Table): Boolean =
+    table match {
+      case w: VtWritableTable => w.vtScanRefusal.nonEmpty
+      case _ => false
+    }
+
+  /** Idempotently add the rewrite to a LIVE session (construction-time
+    * sessions get it via [[graft.GraftExtensions]]). */
+  def ensureRegistered(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+}

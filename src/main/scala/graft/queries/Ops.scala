@@ -1633,6 +1633,39 @@ object Ops {
     s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
   }
 
+  // SQL SELECT over a DV'd + RENAMED table (plans/VtMaskedScan.scala):
+  // the optimizer rewrite swaps the catalog relation for the masking/
+  // aliasing read plan, so plain SQL answers exactly with NO
+  // compaction — gated in-entry that the version really carries a
+  // vector and a mapping, and that zero data files were written. The
+  // oracle is the anti-filter under the new column name.
+  val opVtSqlDvSelect: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtdvsel_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    VersionedTable.commit(
+      documents(s, d).select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    val v1 = VersionedTable.deleteWhere(s, t, col("doc_id") % 3 === 0,
+      deletionVectors = true)
+    VersionedTable.renameColumn(s, t, "h", "digest")
+    if (v1 == 1) {
+      val vN = VersionedTable.latestVersion(s, t).get
+      require(VersionedTable.readEntries(s, t, vN).exists(_.dv.nonEmpty),
+        "the served version must actually carry a deletion vector")
+      require(VersionedTable.files(s, t, vN).toSet
+        .subsetOf(VersionedTable.files(s, t, 0).toSet),
+        "no data file may be written for the masked SQL read")
+    }
+    s.sql(s"SELECT doc_id, digest, source FROM graft.`$t`")
+  }
+
   // RECLUSTER POLICY (the measure→decide→repair maintenance loop):
   // lineitem commits range-clustered, then three WHOLE-RANGE appends
   // (the shape steady CDC traffic produces) rot the layout — the
@@ -2052,6 +2085,7 @@ object Ops {
     "op_vt_sql_merge" -> opVtSqlMerge,
     "op_vt_sql_optimize" -> opVtSqlOptimize,
     "op_vt_recluster" -> opVtRecluster,
+    "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -2454,6 +2488,12 @@ object Ops {
         |SELECT doc_id + 2000000, md5(coalesce(text, '')), source
         |FROM documents
         |WHERE doc_id IS NOT NULL AND doc_id % 11 = 0""".stripMargin,
+    // SQL over the masked+aliased table must equal the anti-filter
+    // under the renamed column — no compaction in between.
+    "op_vt_sql_dv_select" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS digest, source
+        |FROM documents
+        |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
     // The recluster loop must be value-invisible: the whole table.
     "op_vt_recluster" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

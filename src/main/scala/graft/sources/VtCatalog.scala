@@ -119,7 +119,7 @@ final class VtCatalog extends TableCatalog
         CaseInsensitiveStringMap.empty(), files, Some(schema),
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
-    if (writable) new VtSqlTable(pq, path, scanRefusal) else pq
+    if (writable) new VtSqlTable(pq, path, version, scanRefusal) else pq
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -179,12 +179,15 @@ final class VtCatalog extends TableCatalog
       inner: org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,
       path: String,
+      version: Int,
       scanRefusal: Option[String] = None) extends Table
       with VtWritableTable
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
     override def vtPath: String = path
+    override def vtVersion: Int = version
+    override def vtScanRefusal: Option[String] = scanRefusal
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =

@@ -8,4 +8,15 @@ package graft.sources
   * (time-travel tables stay read-only and never carry this trait). */
 trait VtWritableTable {
   def vtPath: String
+
+  /** The committed version this table object resolved at load. */
+  def vtVersion: Int
+
+  /** Why this version's PLAIN file scan would lie (deletion vectors
+    * to mask / mapped columns to alias), or None when a plain scan is
+    * exact. When set, [[graft.plans.VtMaskedScanRewrite]] rewrites the
+    * relation onto the masking logical plan so SQL SELECT stays
+    * correct; without the rule the scan refuses at materialization
+    * ([[VtScanGuard]]). */
+  def vtScanRefusal: Option[String]
 }

@@ -265,6 +265,16 @@ class VtCatalogSpec extends AnyFunSuite {
   test("SQL DML keeps working on a DV'd table; only the SCAN refuses") {
     ensureCatalog()
     graft.plans.VtDml.ensureRegistered(spark)
+    // this test pins the FALLBACK behavior (no masked-scan rewrite in
+    // the session): detach the rule for its duration
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.VtMaskedScanRewrite)
+    try dmlOnDvBody()
+    finally spark.experimental.extraOptimizations = saved
+  }
+
+  private def dmlOnDvBody(): Unit = {
     val t = new java.io.File(tmpRoot(), "dvdml").getAbsolutePath
     VersionedTable.commit(
       (0L until 100L).map(i => (i, i * 10L)).toDF("id", "a")
@@ -305,6 +315,43 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).where(col("id") === 1L)
       .select("amount").as[Long].collect().head == 16L,
       "SQL UPDATE must keep working on a mapped table")
+  }
+
+  test("masked-scan rewrite: SQL SELECT answers over DV'd+mapped tables") {
+    ensureCatalog()
+    graft.plans.VtDml.ensureRegistered(spark)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val t = new java.io.File(tmpRoot(), "dvsel").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, i * 10L)).toDF("id", "a")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 5 === 0,
+      deletionVectors = true)
+    VersionedTable.renameColumn(spark, t, "a", "amount")
+    // plain SELECT: masked AND aliased, no compaction needed
+    val rows = spark.sql(
+      s"SELECT id, amount FROM graft.`$t` WHERE id < 20")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == (0L until 20L).filterNot(_ % 5 == 0).toSet,
+      s"mask must apply through SQL: ${rows.keySet.toSeq.sorted}")
+    assert(rows(7L) == 70L)
+    // aggregates, filters, self-joins ride the rewritten plan
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 80L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` x JOIN graft.`$t` y " +
+        "ON x.id = y.id").collect()(0).getLong(0) == 80L,
+      "self-join: each occurrence rewrites with fresh ids")
+    // DML on the same table still lowers onto the verbs (root Command
+    // plans are exempt from the rewrite)
+    spark.sql(s"UPDATE graft.`$t` SET amount = 0 WHERE id = 7")
+    assert(spark.sql(s"SELECT amount FROM graft.`$t` WHERE id = 7")
+      .collect()(0).getLong(0) == 0L)
+    // healthy tables never rewrite: after OPTIMIZE the stock scan runs
+    spark.sql(s"CALL graft.optimize(table => '$t', full => true)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 80L)
   }
 
   test("CALL procedures: optimize / history / expire / vacuum via SQL") {
