@@ -42,12 +42,15 @@ private[sources] object VtProcedures {
       case "vacuum" => new VacuumProc(resolvePath)
       case "history" | "describe_history" => new HistoryProc(resolvePath)
       case "expire" => new ExpireProc(resolvePath)
+      case "recluster" => new ReclusterProc(resolvePath)
+      case "restore" => new RestoreProc(resolvePath)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other — available: optimize, " +
-          "vacuum, history, expire")
+          "vacuum, history, expire, recluster, restore")
     }
 
-  val names: Array[String] = Array("optimize", "vacuum", "history", "expire")
+  val names: Array[String] = Array("optimize", "vacuum", "history",
+    "expire", "recluster", "restore")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -153,6 +156,56 @@ private[sources] object VtProcedures {
           v.nFiles, v.timestampMs))
       }
       result(outSchema, rows)
+    }
+  }
+
+  /** `recluster(table, column, max_decay_per_file = 0.3,
+    * target_file_mb = 128)` → (decay, triggered, version) — the
+    * measure→decide→repair loop ([[VersionedTable.maintainClustering]])
+    * from SQL: one row reporting the measured [[VersionedTable.clusteringDecay]]
+    * (NaN when undecidable), whether it triggered, and the repair
+    * commit (−1 when the layout was healthy). */
+  private final class ReclusterProc(resolve: String => String)
+      extends Proc("recluster") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("column", StringType).build(),
+      ProcedureParameter.in("max_decay_per_file", DoubleType)
+        .defaultValue("0.3").build(),
+      ProcedureParameter.in("target_file_mb", IntegerType)
+        .defaultValue("128").build())
+    private val outSchema = StructType(Seq(
+      StructField("decay", DoubleType, nullable = false),
+      StructField("triggered", BooleanType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val column = str(input, 1)
+      val decay = VersionedTable.clusteringDecay(spark, path, column)
+      val v = VersionedTable.maintainClustering(spark, path, column,
+        maxDecayPerFile = input.getDouble(2),
+        targetFileBytes = input.getInt(3).toLong << 20)
+      result(outSchema, Seq(new GenericInternalRow(Array[Any](
+        decay.getOrElse(Double.NaN), v.nonEmpty, v.getOrElse(-1)))))
+    }
+  }
+
+  /** `restore(table, version)` → (restored_from, new_version) — the
+    * metadata-only rollback ([[VersionedTable.restoreTo]]). */
+  private final class RestoreProc(resolve: String => String)
+      extends Proc("restore") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", IntegerType).build())
+    private val outSchema = StructType(Seq(
+      StructField("restored_from", IntegerType, nullable = false),
+      StructField("new_version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val target = input.getInt(1)
+      val v = VersionedTable.restoreTo(spark, path, target)
+      result(outSchema, Seq(new GenericInternalRow(
+        Array[Any](target, v))))
     }
   }
 

@@ -394,6 +394,28 @@ class VtCatalogSpec extends AnyFunSuite {
       dry.map(_.getString(0)).toSet,
       "the real sweep must remove exactly what the dry run listed")
     assert(VersionedTable.read(spark, t).count() == 100)
+    // RECLUSTER: healthy (just z-ordered) -> no trigger; decayed by a
+    // whole-range append -> measured, triggered, repaired
+    val r0 = spark.sql(s"CALL graft.recluster(table => '$t', " +
+      "column => 'id')").collect()(0)
+    assert(!r0.getBoolean(1) && r0.getInt(2) == -1,
+      s"healthy layout must not trigger: $r0")
+    VersionedTable.commit(
+      (0L until 100L by 7L).map(i => (i, "w")).toDF("id", "s")
+        .coalesce(1), t, overwrite = false)
+    VersionedTable.commit(
+      (3L until 100L by 7L).map(i => (i, "w")).toDF("id", "s")
+        .coalesce(1), t, overwrite = false)
+    val r1 = spark.sql(s"CALL graft.recluster(table => '$t', " +
+      "column => 'id', target_file_mb => 1)").collect()(0)
+    assert(r1.getBoolean(1) && r1.getInt(2) > 0,
+      s"decayed layout must trigger the repair: $r1")
+    // RESTORE: roll back to the pre-recluster version as a new commit
+    val latest = VersionedTable.latestVersion(spark, t).get
+    val res = spark.sql(s"CALL graft.restore(table => '$t', " +
+      s"version => ${latest - 1})").collect()(0)
+    assert(res.getInt(1) == latest + 1)
+    assert(VersionedTable.versions(spark, t).last.mode == "restore")
   }
 
   test("read-only: mutations refuse; missing tables error cleanly") {

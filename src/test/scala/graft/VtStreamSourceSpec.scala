@@ -42,6 +42,26 @@ class VtStreamSourceSpec extends AnyFunSuite {
     q.awaitTermination()
   }
 
+  test("initial snapshot over a DV-backed version streams masked rows") {
+    val d = tmpDir()
+    val t = s"$d/t"
+    VersionedTable.commit(
+      df(0 until 200).repartitionByRange(4, org.apache.spark.sql
+        .functions.col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark,
+      t, org.apache.spark.sql.functions.col("id") % 3 === 0,
+      deletionVectors = true)
+    // then an ordinary append lands on the DV'd table
+    VersionedTable.commit(df(500 until 510), t, overwrite = false)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    drain(t, s"$d/ck", (b, _) =>
+      got ++= b.select("id").collect().map(_.getLong(0)))
+    val expect = (0L until 200L).filter(_ % 3 != 0) ++ (500L until 510L)
+    assert(got.sorted.toSeq == expect,
+      "the snapshot must mask the deletion vector; the tail appends ride")
+  }
+
   test("snapshot + tail: batches equal the table, exactly-once on restart") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
