@@ -53,17 +53,40 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
     case m: MergeIntoTable =>
       val src = apply(m.sourceTable)
       if (src eq m.sourceTable) m else m.copy(sourceTable = src)
-    case _ => plan.transform {
-      // pre-pushdown shape AND the post-pushdown ScanRelation (batch
-      // order differs across rule-injection points; handle both — the
-      // pruned ScanRelation output is a name-subset the masked plan
-      // always covers, and its pushed filters remain as the Filter
-      // node above, re-applied over the rewrite)
-      case rel: DataSourceV2Relation if needsMask(rel.table) =>
-        remask(rel.table.asInstanceOf[VtWritableTable], rel.output)
-      case s: DataSourceV2ScanRelation if needsMask(s.relation.table) =>
-        remask(s.relation.table.asInstanceOf[VtWritableTable], s.output)
-    }
+    case _ =>
+      var rewrote = false
+      val out = plan.transform {
+        // pre-pushdown shape AND the post-pushdown ScanRelation (batch
+        // order differs across rule-injection points; handle both —
+        // the pruned ScanRelation output is a name-subset the masked
+        // plan always covers, and its pushed filters remain as the
+        // Filter node above, re-applied over the rewrite)
+        case rel: DataSourceV2Relation if needsMask(rel.table) =>
+          rewrote = true
+          remask(rel.table.asInstanceOf[VtWritableTable], rel.output)
+        case s: DataSourceV2ScanRelation if needsMask(s.relation.table) =>
+          rewrote = true
+          remask(s.relation.table.asInstanceOf[VtWritableTable], s.output)
+      }
+      // the rewrite lands AFTER the main filter/pruning batches ran,
+      // so the query's predicates sit stranded above the masked
+      // union/anti-join — re-run the standard passes over the result
+      // (bounded fixed point) so they migrate into the fresh parquet
+      // scans and FileSourceStrategy pushes them into the footers.
+      // Only rewritten plans pay this; every other query is untouched.
+      if (!rewrote) out
+      else {
+        var p = out
+        var prev: LogicalPlan = null
+        var i = 0
+        while (i < 10 && !p.fastEquals(prev)) {
+          prev = p
+          p = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(
+            org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(p))
+          i += 1
+        }
+        p
+      }
   }
 
   private def remask(t: VtWritableTable,

@@ -343,6 +343,15 @@ class VtCatalogSpec extends AnyFunSuite {
       s"SELECT count(*) AS n FROM graft.`$t` x JOIN graft.`$t` y " +
         "ON x.id = y.id").collect()(0).getLong(0) == 80L,
       "self-join: each occurrence rewrites with fresh ids")
+    // the rewrite must stay PLAN-EFFICIENT: the predicate reaches the
+    // parquet scans of the masked plan as pushed filters (the rewrite
+    // happens pre-planning, so V1 FileSourceStrategy pushdown applies)
+    val plan = spark.sql(
+      s"SELECT id, amount FROM graft.`$t` WHERE id < 20")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("LessThan(id,20)"),
+      s"filters must push into the rewritten scans:\n$plan")
     // DML on the same table still lowers onto the verbs (root Command
     // plans are exempt from the rewrite)
     spark.sql(s"UPDATE graft.`$t` SET amount = 0 WHERE id = 7")
