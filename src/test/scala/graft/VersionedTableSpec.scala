@@ -676,17 +676,21 @@ class VersionedTableSpec extends AnyFunSuite {
               VersionedTable.commit(rows.toDF("id", "s"), t,
                 overwrite = false, maxRetries = 30)
               model ++= rows
-            case 1 => // merge: upsert half my live keys + one insert
+            case 1 => // merge: upsert half my live keys + one insert —
+              // randomly through the REWRITE or the DELETION-VECTOR
+              // lane (same model either way; the DV lane's lost-race
+              // sidecar cleanup races for real here)
               val touch = model.keys.toSeq.sorted.take(2) :+
                 (base + 9000L + op)
               val rows = touch.map(i => (i, s"t${tid}_m$op$i"))
               VersionedTable.mergeInto(spark, t,
-                rows.toDF("id", "s"), Seq("id"), maxRetries = 30)
+                rows.toDF("id", "s"), Seq("id"), maxRetries = 30,
+                deletionVectors = rnd.nextBoolean())
               model ++= rows
-            case 2 => // delete one of my live keys (if any)
+            case 2 => // delete one of my live keys (if any), either lane
               model.keys.toSeq.sorted.headOption.foreach { k =>
                 VersionedTable.deleteWhere(spark, t, col("id") === k,
-                  maxRetries = 30)
+                  maxRetries = 30, deletionVectors = rnd.nextBoolean())
                 model -= k
               }
           }
