@@ -116,6 +116,19 @@ object VersionedTable {
   private val LogDir = "_graft_log"
   private val Header = "graft-vt-v4"
   private val HeaderV5 = "graft-vt-v5" // v4 + a `pending:<decision-uri>` line
+  /** v5 layout (the `pending:` line always present, `-` when none),
+    * written INSTEAD of v4/v5 whenever the version carries a reader-
+    * affecting table feature: a deletion-vector entry, or a schema
+    * with column mapping / retired names. The bits themselves are
+    * additive — a pre-feature reader would parse them cleanly and
+    * answer WRONG (resurrect DV-deleted rows; scan logical names over
+    * physical files and return nulls) — so the header bump exists
+    * purely to make such readers refuse loudly (the Delta reader-
+    * protocol-version posture). Feature-free versions keep committing
+    * v4/v5: old readers stay compatible with tables that never used
+    * the features, and a compact/overwrite that materializes them
+    * away DOWNGRADES the table back to v4. */
+  private val HeaderV6 = "graft-vt-v6"
   private val HeaderV3 = "graft-vt-v3"
   private val HeaderV2 = "graft-vt-v2"
   private val CkptName = "_checkpoint"
@@ -2162,7 +2175,20 @@ object VersionedTable {
   def maintainClustering(spark: SparkSession, path: String,
       column: String, maxDecayPerFile: Double = 0.3,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      reclusterOnUnknown: Boolean = false): Option[Int] = {
+      reclusterOnUnknown: Boolean = false): Option[Int] =
+    maintainClusteringMeasured(spark, path, column, maxDecayPerFile,
+      targetFileBytes, reclusterOnUnknown)._2
+
+  /** [[maintainClustering]] also returning the [[clusteringDecay]] the
+    * decision was actually made on — ONE manifest read serves both, and
+    * a reporter (`CALL graft.recluster`) can never pair a re-measured
+    * decay with a decision taken on different data under concurrent
+    * commits. */
+  def maintainClusteringMeasured(spark: SparkSession, path: String,
+      column: String, maxDecayPerFile: Double = 0.3,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      reclusterOnUnknown: Boolean = false)
+      : (Option[Double], Option[Int]) = {
     require(maxDecayPerFile > 0 && maxDecayPerFile <= 1,
       s"maxDecayPerFile must be in (0, 1]: $maxDecayPerFile")
     val root = new Path(path)
@@ -2170,13 +2196,16 @@ object VersionedTable {
     val v = latestVisible(fs, root, forWrite = false).getOrElse(
       throw new IllegalStateException(s"no committed versions at $path"))
     val nFiles = readHeader(fs, root, v).nFiles
-    if (nFiles < 2) return None // one file prunes as well as it ever will
-    val decayed = clusteringDecay(spark, path, column, Some(v)) match {
+    val decay = clusteringDecay(spark, path, column, Some(v))
+    if (nFiles < 2) // one file prunes as well as it ever will
+      return (decay, None)
+    val decayed = decay match {
       case Some(d) => d > maxDecayPerFile * nFiles
       case None => reclusterOnUnknown
     }
-    if (!decayed) None
-    else Some(compact(spark, path, targetFileBytes, Seq(column)))
+    (decay,
+      if (!decayed) None
+      else Some(compact(spark, path, targetFileBytes, Seq(column))))
   }
 
   /** INCREMENTAL consumption: the rows ADDED after `fromVersion` (up
@@ -2371,19 +2400,31 @@ object VersionedTable {
           if (dvChanged.isEmpty)
             (rd(Seq.empty), rd(Seq.empty))
           else {
-            val base0 = schemaRead(spark, header.schemaJson,
+            // positions ride the raw PHYSICAL scan (metadata columns
+            // do not survive logicalize's projection over a
+            // column-mapped schema — the maskedReadWithPos discipline),
+            // then the frame is aliased back to logical names with the
+            // identity columns kept.
+            val base0 = physicalScan(spark, header.schemaJson,
               dvChanged.map(e => s"$path/${e.name}"))
-            val Seq(fileC, posC) = freshCols(base0.columns.toSeq,
+            val Seq(fileC, posC) = freshCols(
+              base0.columns.toSeq ++ cols,
               Seq("__graft_dv_file", "__graft_dv_pos"))
-            val base = base0
+            val base = logicalize(base0
               .withColumn(fileC,
                 substring_index(col("_metadata.file_path"), "/", -1))
-              .withColumn(posC, col("_metadata.row_index"))
+              .withColumn(posC, col("_metadata.row_index")),
+              header.schemaJson, keep = Seq(fileC, posC))
+            // dropDuplicates: the exceptAll below is a MULTISET diff —
+            // a pre-fix sidecar carrying a (file, pos) twice must not
+            // make multiplicities diverge between the two masks and
+            // re-emit long-dead rows as phantom CDC events.
             def mask(es: Seq[FileEntry]) = {
               val dved = es.filter(_.dv.nonEmpty)
               if (dved.isEmpty)
                 base.limit(0).select(col(fileC), col(posC))
               else dvMask(spark, path, dved, fileC, posC)
+                .dropDuplicates(fileC, posC)
             }
             val prevMask = mask(dvChanged.map(e => beforeM(e.name)))
             val curMask = mask(dvChanged)
@@ -2534,7 +2575,7 @@ object VersionedTable {
       case Some(Header) =>
         val cols = statsColsOf(lines(3))
         lines.drop(7).map(parseEntry(_, cols))
-      case Some(HeaderV5) =>
+      case Some(HeaderV5) | Some(HeaderV6) =>
         val cols = statsColsOf(lines(3))
         lines.drop(8).map(parseEntry(_, cols))
       case Some(HeaderV3) =>
@@ -2572,7 +2613,7 @@ object VersionedTable {
       s"version $version was never committed (or expired) at $root")
     val head = readHeadLines(fs, mf, 8)
     head.headOption match {
-      case Some(Header) | Some(HeaderV5) =>
+      case Some(Header) | Some(HeaderV5) | Some(HeaderV6) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
           statsColsOf(head(3)),
@@ -2581,7 +2622,7 @@ object VersionedTable {
             .map(s => java.net.URLDecoder.decode(s, "UTF-8")),
           head(6).stripPrefix("ts:").toLong,
           pendingTxn =
-            if (head.headOption.contains(HeaderV5))
+            if (!head.headOption.contains(Header))
               Option(head(7).stripPrefix("pending:")).filter(_ != "-")
                 .map(s => java.net.URLDecoder.decode(s, "UTF-8"))
             else None)
@@ -3049,28 +3090,32 @@ object VersionedTable {
     * (delete-most-of-the-table, which should have been a rewrite)
     * degrades to a shuffle join, never a wrong answer.
     *
-    * The mask is ALWAYS restricted to exactly `dved`'s names — a
-    * sidecar can carry positions of files outside the requested set
-    * (absorbed priors, since-rewritten files), and the change feed's
-    * multiset diff needs each file's positions to appear exactly once.
-    * A bounded set restricts via an IN-literal (codegen-able); past
-    * that the IN-expression itself would be the scale problem
-    * (O(#files) plan size), so it flips to a broadcast semi-join on a
-    * names frame — O(1) plan, same semantics. */
+    * Each file's positions are read from EXACTLY the sidecar its
+    * entry references — never a name filter over the UNION of all
+    * requested sidecars. A sidecar can carry positions of files that
+    * have since re-pointed at a NEWER sidecar (absorbed priors), so
+    * the union form would emit those (file, pos) pairs once per
+    * carrying sidecar: reads stay right (the anti-join dedupes) but
+    * the change feed's multiset diff and [[applyDvPositions]]'s
+    * absorb-forward union need each pair to appear exactly once.
+    * Within each sidecar group, a bounded name set restricts via an
+    * IN-literal (codegen-able); past that the IN-expression itself
+    * would be the scale problem (O(#files) plan size), so it flips to
+    * a broadcast semi-join on a names frame — O(1) plan, same
+    * semantics. */
   private def dvMask(spark: SparkSession, path: String,
       dved: Seq[FileEntry], fileC: String, posC: String): DataFrame = {
-    val base = spark.read.parquet(dved.flatMap(_.dv.map(_._1)).distinct
-      .map(n => s"$path/$n"): _*)
-    val filtered =
-      if (dved.size <= 1000)
-        base.where(col("file").isin(dved.map(_.name): _*))
-      else {
-        import spark.implicits._
-        base.join(
-          broadcast(dved.map(_.name).toDF("file")), Seq("file"),
-          "left_semi")
-      }
-    filtered.select(col("file").as(fileC), col("pos").as(posC))
+    import spark.implicits._
+    dved.groupBy(_.dv.get._1).toSeq.sortBy(_._1).map {
+      case (sidecar, es) =>
+        val base = spark.read.parquet(s"$path/$sidecar")
+        if (es.size <= 1000)
+          base.where(col("file").isin(es.map(_.name): _*))
+        else
+          base.join(broadcast(es.map(_.name).toDF("file")), Seq("file"),
+            "left_semi")
+    }.reduce(_.unionByName(_))
+      .select(col("file").as(fileC), col("pos").as(posC))
   }
 
   /** [[schemaRead]] over manifest ENTRIES with DELETION VECTORS
@@ -3144,9 +3189,16 @@ object VersionedTable {
       : (Seq[FileEntry], Seq[String]) = {
     val prior = entries.filter(e =>
       perFile.contains(e.name) && e.dv.nonEmpty)
+    // dropDuplicates keeps every published sidecar an exact SET of
+    // (file, pos): hits are disjoint from the prior mask by
+    // construction (maskedReadWithPos can never re-discover a masked
+    // row), but a sidecar written before dvMask read per-referencing-
+    // entry could carry a pair twice — absorbing it forward must not
+    // propagate the duplicate into the change feed's multiset diff.
     val allPos =
       if (prior.isEmpty) hits
       else hits.unionByName(dvMask(spark, path, prior, "file", "pos"))
+        .dropDuplicates("file", "pos")
     val side = stageAndPublish(allPos.coalesce(1), fs, root, v2)
     val sidecar = side match {
       case Seq(one) => one
@@ -3382,11 +3434,24 @@ object VersionedTable {
       pendingTxn: Option[String] = None): Boolean = {
     val dest = new Path(root, f"$LogDir/v$v%05d.manifest")
     if (fs.exists(dest)) return false // fast-path; the promote re-checks
+    // reader-affecting features force the v6 header so pre-feature
+    // readers refuse loudly instead of silently resurrecting
+    // DV-deleted rows or scanning logical names over physical files
+    val features = entries.exists(_.dv.nonEmpty) ||
+      schemaJson.exists { j =>
+        val (st, retired) = decodeSchemaFull(j)
+        retired.nonEmpty || schemaHasMapping(st)
+      }
     val header =
-      if (pendingTxn.isEmpty) Seq(Header, mode)
+      if (features) Seq(HeaderV6, mode)
+      else if (pendingTxn.isEmpty) Seq(Header, mode)
       else Seq(HeaderV5, mode)
-    val tail = pendingTxn.toSeq.map(u =>
-      s"pending:${java.net.URLEncoder.encode(u, "UTF-8")}")
+    val tail =
+      if (features)
+        Seq("pending:" + pendingTxn.map(u =>
+          java.net.URLEncoder.encode(u, "UTF-8")).getOrElse("-"))
+      else pendingTxn.toSeq.map(u =>
+        s"pending:${java.net.URLEncoder.encode(u, "UTF-8")}")
     val tmp = new Path(root,
       f"$LogDir/.v$v%05d.manifest.${java.util.UUID.randomUUID}.tmp")
     val out = fs.create(tmp, true)

@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.datasources.v2.{DataSourceV2Relation, Data
 import org.apache.spark.sql.graftbridge.Bridge
 
 import graft.operators.VersionedTable
-import graft.sources.VtWritableTable
+import graft.sources.VtTable
 
 /** SQL SELECT over DELETION-VECTOR'd / COLUMN-MAPPED versions: an
   * optimizer rule that swaps the catalog relation for the engine's
@@ -63,10 +63,10 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
         // Filter node above, re-applied over the rewrite)
         case rel: DataSourceV2Relation if needsMask(rel.table) =>
           rewrote = true
-          remask(rel.table.asInstanceOf[VtWritableTable], rel.output)
+          remask(rel.table.asInstanceOf[VtTable], rel.output)
         case s: DataSourceV2ScanRelation if needsMask(s.relation.table) =>
           rewrote = true
-          remask(s.relation.table.asInstanceOf[VtWritableTable], s.output)
+          remask(s.relation.table.asInstanceOf[VtTable], s.output)
       }
       // the rewrite lands AFTER the main filter/pruning batches ran,
       // so the query's predicates sit stranded above the masked
@@ -89,7 +89,7 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
       }
   }
 
-  private def remask(t: VtWritableTable,
+  private def remask(t: VtTable,
       out: Seq[Attribute]): LogicalPlan = {
     val masked = Bridge.logicalPlan(
       VersionedTable.read(SparkSession.active, t.vtPath,
@@ -108,7 +108,7 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
   private def needsMask(
       table: org.apache.spark.sql.connector.catalog.Table): Boolean =
     table match {
-      case w: VtWritableTable => w.vtScanRefusal.nonEmpty
+      case w: VtTable => w.vtScanRefusal.nonEmpty
       case _ => false
     }
 

@@ -92,26 +92,28 @@ final class VtCatalog extends TableCatalog
     val entries = VersionedTable.readEntries(spark, path, version)
     val schema = VersionedTable.schemaOf(spark, path, version)
       .getOrElse(VersionedTable.read(spark, path, Some(version)).schema)
-    // the SQL SCAN is a plain file list — it can neither mask deletion
-    // vectors nor alias mapped columns; refuse AT SCAN TIME rather
-    // than resurrect/null rows. DML statements never scan the target
+    // the PLAIN SQL scan is a bare file list — it can neither mask
+    // deletion vectors nor alias mapped columns. Such versions hand
+    // back a table carrying `vtScanRefusal`, and the registered
+    // [[graft.plans.VtMaskedScanRewrite]] swaps a SELECT's relation
+    // onto the masking/aliasing read plan (version-pinned) — the same
+    // lane latest-version tables ride; a session WITHOUT the rule
+    // refuses loudly at scan materialization ([[VtScanGuard]]), never
+    // a wrong answer. DML statements never scan the target
     // (UPDATE/MERGE/DELETE/INSERT lower onto the transactional verbs,
-    // which mask and alias exactly), so mutating a DV'd or renamed
-    // table through SQL keeps working — only SELECT refuses until a
-    // compaction/overwrite materializes.
+    // which mask and alias exactly).
     val scanRefusal =
       if (entries.exists(_.dv.nonEmpty))
         Some(s"version $version of $path carries deletion vectors — " +
-          "the SQL scan surface cannot mask them; read via " +
-          "VersionedTable.read or materialize with compact()")
+          "the plain SQL scan cannot mask them; register " +
+          "GraftExtensions/VtMaskedScanRewrite, read via " +
+          "VersionedTable.read, or materialize with compact()")
       else if (VersionedTable.schemaHasMapping(schema))
         Some(s"version $version of $path maps renamed columns — the " +
-          "SQL scan surface cannot alias them; read via " +
-          "VersionedTable.read or rewrite with an overwrite commit")
+          "plain SQL scan cannot alias them; register " +
+          "GraftExtensions/VtMaskedScanRewrite, read via " +
+          "VersionedTable.read, or rewrite with an overwrite commit")
       else None
-    // a time-travel load exists only to be scanned: refuse at load
-    if (!writable) scanRefusal.foreach(m =>
-      throw new IllegalArgumentException(m))
     val files = entries.map(e => s"$path/${e.name}")
     val pq =
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -119,7 +121,10 @@ final class VtCatalog extends TableCatalog
         CaseInsensitiveStringMap.empty(), files, Some(schema),
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
-    if (writable) new VtSqlTable(pq, path, version, scanRefusal) else pq
+    if (writable) new VtSqlTable(pq, path, version, scanRefusal)
+    else if (scanRefusal.nonEmpty)
+      new VtTimeTravelTable(pq, path, version, scanRefusal)
+    else pq
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -268,6 +273,39 @@ final class VtCatalog extends TableCatalog
                 VersionedTable.commit(data, path,
                   overwrite = overwrite || ow): Unit
           }
+      }
+  }
+
+  /** A TIME-TRAVEL table over a DV'd or column-mapped version:
+    * read-only (it deliberately carries [[VtTable]], NOT
+    * [[VtWritableTable]] — mutating the past is not a thing, and the
+    * DML strategy must never match it), with the scan guarded exactly
+    * like [[VtSqlTable]]'s: the masked-scan rewrite serves the SELECT
+    * when registered; otherwise the guard refuses at materialization.
+    * Healthy time-travel versions never construct this — they stay
+    * the bare DSv2 parquet table (zero overhead). */
+  private final class VtTimeTravelTable(
+      inner: org.apache.spark.sql.execution.datasources.v2
+        .parquet.ParquetTable,
+      path: String,
+      version: Int,
+      scanRefusal: Option[String]) extends Table
+      with VtTable
+      with org.apache.spark.sql.connector.catalog.SupportsRead {
+    override def vtPath: String = path
+    override def vtVersion: Int = version
+    override def vtScanRefusal: Option[String] = scanRefusal
+    import org.apache.spark.sql.connector.catalog.TableCapability
+    override def name(): String = inner.name
+    override def schema(): org.apache.spark.sql.types.StructType =
+      inner.schema
+    override def capabilities(): java.util.Set[TableCapability] =
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      scanRefusal match {
+        case None => inner.newScanBuilder(options)
+        case Some(msg) => VtScanGuard.guardBuilder(
+          inner.newScanBuilder(options), msg)
       }
   }
 

@@ -181,8 +181,11 @@ private[sources] object VtProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = resolve(str(input, 0))
       val column = str(input, 1)
-      val decay = VersionedTable.clusteringDecay(spark, path, column)
-      val v = VersionedTable.maintainClustering(spark, path, column,
+      // ONE measure serves both the decision and the report — a
+      // separate clusteringDecay call could race a concurrent commit
+      // and report a decay the decision never saw
+      val (decay, v) = VersionedTable.maintainClusteringMeasured(
+        spark, path, column,
         maxDecayPerFile = input.getDouble(2),
         targetFileBytes = input.getInt(3).toLong << 20)
       result(outSchema, Seq(new GenericInternalRow(Array[Any](

@@ -1,12 +1,14 @@
 package graft.sources
 
-/** Marker the SQL DML planner strategy ([[graft.plans.VtDml]]) keys
-  * on: a catalog [[org.apache.spark.sql.connector.catalog.Table]]
-  * whose mutations route through [[graft.operators.VersionedTable]]'s
-  * transactional verbs. `vtPath` is the versioned-table root the verbs
-  * operate on. Implemented by [[VtCatalog]]'s latest-version table
-  * (time-travel tables stay read-only and never carry this trait). */
-trait VtWritableTable {
+/** Marker the masked-scan rewrite ([[graft.plans.VtMaskedScanRewrite]])
+  * keys on: a catalog [[org.apache.spark.sql.connector.catalog.Table]]
+  * backed by a [[graft.operators.VersionedTable]] commit-log version.
+  * Carried by BOTH [[VtCatalog]]'s latest-version (writable) table and
+  * its time-travel (read-only) tables — SELECT over a DV'd or
+  * column-mapped version rewrites onto the masking read plan either
+  * way, version-pinned via `vtVersion`. */
+trait VtTable {
+  /** The versioned-table root directory. */
   def vtPath: String
 
   /** The committed version this table object resolved at load. */
@@ -20,3 +22,12 @@ trait VtWritableTable {
     * ([[VtScanGuard]]). */
   def vtScanRefusal: Option[String]
 }
+
+/** The WRITABLE refinement the SQL DML planner strategy
+  * ([[graft.plans.VtDml]]) keys on: mutations route through
+  * [[graft.operators.VersionedTable]]'s transactional verbs at
+  * `vtPath`. Implemented ONLY by [[VtCatalog]]'s latest-version table
+  * — time-travel tables carry the read-only [[VtTable]] parent, so
+  * `UPDATE ... VERSION AS OF` can never match the DML strategy and
+  * fails with Spark's standard unsupported error. */
+trait VtWritableTable extends VtTable

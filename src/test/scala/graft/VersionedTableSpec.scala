@@ -2130,6 +2130,99 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(VersionedTable.read(spark, t).select("id").as[Long]
       .collect().sorted.toSeq ==
       (0L until 100L).filter(i => i % 4 != 0 && i * 2 <= 150))
+    // ...and its change feed resolves positions over the MAPPED schema
+    // (metadata columns ride the raw physical scan, logical names on
+    // top — a feed built over the logicalized projection cannot
+    // resolve _metadata and fails loudly)
+    val feed3 = VersionedTable.readChanges(spark, t, 3)
+    assert(feed3.where(col("_change_type") === "insert").isEmpty)
+    assert(feed3.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 100L).filter(i => i % 4 != 0 && i * 2 > 150),
+      "the DV-transition feed must speak logical names over a mapped schema")
+  }
+
+  test("deletion vectors: a shared sidecar absorbs forward without dups") {
+    import spark.implicits._
+    val t = tmpTable()
+    // two files D (ids 0-99) and F (ids 100-199)
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // v1 touches BOTH files → ONE sidecar carries D's and F's positions
+    VersionedTable.deleteWhere(spark, t, col("id").isin(10L, 110L),
+      deletionVectors = true)
+    // v2 touches F only → F re-points at a sidecar that absorbed its
+    // v1 positions; D still references the SHARED v1 sidecar, which
+    // carries F's v1 positions too
+    VersionedTable.deleteWhere(spark, t, col("id") === 120L,
+      deletionVectors = true)
+    // v3 touches both again: the write-side union reads D's prior from
+    // the shared sidecar and F's from its own — F's v1 positions must
+    // come in exactly ONCE (a name-filtered union over both sidecars
+    // would absorb them twice)
+    VersionedTable.deleteWhere(spark, t, col("id").isin(20L, 130L),
+      deletionVectors = true)
+    val e3 = VersionedTable.readEntries(spark, t, 3)
+    val sidecars3 = e3.flatMap(_.dv.map(_._1)).distinct
+    assert(sidecars3.size == 1, s"one sidecar per commit: $sidecars3")
+    val coords = spark.read.parquet(s"$t/${sidecars3.head}")
+      .select("file", "pos").as[(String, Long)].collect().toSeq
+    assert(coords.size == coords.distinct.size,
+      s"a sidecar must be an exact SET of (file, pos): $coords")
+    // nDeleted bookkeeping stays exact under the absorb
+    assert(e3.map(_.dv.map(_._2).getOrElse(0L)).sum == 5L,
+      "five rows are dead in total across both files")
+    // the v2→v3 feed is exactly v3's rows — a duplicated coordinate
+    // would diverge the multiset diff and re-emit v1's deletes as
+    // phantom CDC events
+    val feed = VersionedTable.readChanges(spark, t, 3)
+    assert(feed.where(col("_change_type") === "insert").isEmpty)
+    assert(feed.where(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(20L, 130L),
+      "the feed must emit ONLY v3's deletes, never absorbed history")
+    // reads stay exact throughout
+    assert(VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq ==
+      (0L until 200L).filterNot(Set(10L, 110L, 120L, 20L, 130L)))
+  }
+
+  test("manifest protocol: feature-bearing versions commit the v6 header") {
+    import spark.implicits._
+    val t = tmpTable()
+    def headerLine(v: Int): String = {
+      val src = scala.io.Source.fromFile(
+        f"$t/_graft_log/v$v%05d.manifest")
+      try src.getLines().next() finally src.close()
+    }
+    VersionedTable.commit(
+      (0L until 40L).map(i => (i, s"r$i")).toDF("id", "s"),
+      t, overwrite = true, statsCols = Seq("id"))
+    assert(headerLine(0) == "graft-vt-v4",
+      "feature-free versions keep the pre-feature header")
+    // a deletion-vector entry is reader-affecting: a pre-DV reader
+    // would parse the manifest cleanly and resurrect the deleted rows
+    // — the header bump makes it refuse loudly instead
+    VersionedTable.deleteWhere(spark, t, col("id") === 3L,
+      deletionVectors = true)
+    assert(headerLine(1) == "graft-vt-v6",
+      "a DV version must bump the reader protocol")
+    // column mapping likewise (logical names over physical files)
+    VersionedTable.renameColumn(spark, t, "s", "txt")
+    assert(headerLine(2) == "graft-vt-v6",
+      "a mapped schema must bump the reader protocol")
+    // current readers parse v6 everywhere
+    assert(VersionedTable.read(spark, t).count() == 39)
+    assert(VersionedTable.versions(spark, t).size == 3)
+    // compaction materializes the vectors but the mapping persists
+    val cv = VersionedTable.compact(spark, t)
+    assert(headerLine(cv) == "graft-vt-v6")
+    // an overwrite resets schema and vectors: the table DOWNGRADES
+    // back to v4 and pre-feature readers regain it
+    VersionedTable.commit((0L to 5L).toDF("id"), t, overwrite = true)
+    assert(headerLine(cv + 1) == "graft-vt-v4",
+      "feature-free versions downgrade to the widely-readable header")
   }
 
   test("recluster policy: manifest-only decay metric drives the repair") {

@@ -363,6 +363,53 @@ class VtCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 80L)
   }
 
+  test("time travel over DV'd/mapped versions rides the masked rewrite") {
+    ensureCatalog()
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val t = new java.io.File(tmpRoot(), "dvtravel").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, i * 10L)).toDF("id", "a")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 5 === 0,
+      deletionVectors = true) // v1: DV'd
+    VersionedTable.renameColumn(spark, t, "a", "amount") // v2: mapped
+    VersionedTable.deleteWhere(spark, t, col("id") === 7L,
+      deletionVectors = true) // v3: latest diverges from v1/v2
+    // VERSION AS OF a DV'd version: masked, under that version's names
+    val r1 = spark.sql(
+      s"SELECT id, a FROM graft.`$t` VERSION AS OF 1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == (0L until 100L).filterNot(_ % 5 == 0).toSet,
+      "time travel to a DV'd version must mask, not resurrect")
+    assert(r1(7L) == 70L)
+    // VERSION AS OF the mapped version: masked AND aliased
+    val r2 = spark.sql(
+      s"SELECT id, amount FROM graft.`$t` VERSION AS OF 2")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(r2 == (0L until 100L).filterNot(_ % 5 == 0))
+    // latest sees v3's extra delete; v1/v2 answers above did not
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 79L)
+    // a healthy version travels on the stock scan (no rewrite needed)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 0")
+      .collect()(0).getLong(0) == 100L)
+    // without the rule the travel scan refuses at materialization —
+    // loud, never a wrong answer
+    val saved = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      saved.filterNot(_ == graft.plans.VtMaskedScanRewrite)
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.contains("deletion vectors") ||
+        Option(e.getCause).exists(
+          _.getMessage.contains("deletion vectors")), e.getMessage)
+    } finally spark.experimental.extraOptimizations = saved
+  }
+
   test("CALL procedures: optimize / history / expire / vacuum via SQL") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "maint").getAbsolutePath
