@@ -1065,6 +1065,35 @@ object VersionedTable {
     }
   }
 
+  /** ADD a column without rewriting data: a metadata-only `alter`
+    * commit extends the recorded schema — every existing file
+    * back-fills the new column with null at read time (the same
+    * planned-merge the append evolution path uses), later appends
+    * populate it. The column must be NULLABLE by construction (the
+    * history cannot conjure values), and its name must not carry
+    * PHYSICAL history — a name some column was renamed away from, or
+    * one a [[dropColumn]] retired — because old files still hold that
+    * physical data and would silently resurrect it (the exact check
+    * the append path enforces in [[resolveSchema]]). Earlier versions
+    * time-travel without the column. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      maxRetries: Int = 5): Int =
+    alterColumns(spark, path, maxRetries, s"add $name") {
+      (st, retired, statsCols) =>
+        require(!st.fields.exists(_.name == name),
+          s"addColumn: column $name already exists at $path")
+        val usedPhysical = st.fields.map(physicalNameOf).toSet ++ retired
+        require(!usedPhysical.contains(name),
+          s"addColumn: $name carries physical history at $path " +
+            "(renamed or dropped) — old files still hold that " +
+            "physical data; pick another name or rewrite via an " +
+            "overwrite commit")
+        (StructType(st.fields :+ org.apache.spark.sql.types.StructField(
+          name, dataType, nullable = true)),
+          retired, statsCols, identity)
+    }
+
   /** DROP a column without rewriting data: a metadata-only `alter`
     * commit removes the field from the recorded schema — reads plan
     * the remaining columns only (the physical data stays in the files,

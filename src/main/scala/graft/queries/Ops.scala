@@ -1666,6 +1666,49 @@ object Ops {
     s.sql(s"SELECT doc_id, digest, source FROM graft.`$t`")
   }
 
+  // SQL DDL end-to-end (sources/VtCatalog.scala createTable/alterTable
+  // onto the metadata-only verbs): CTAS seeds the even half, ALTER ADD
+  // extends the schema with zero data movement (old files back-fill
+  // null), the odd half arrives with the new column populated, ALTER
+  // RENAME maps source→origin without rewriting — gated in-entry that
+  // neither DDL wrote a data file and that each version time-travels
+  // with its own column names. Oracle: the union replay under the
+  // final names.
+  val opVtSqlDdl: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtddl_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    documents(s, d).createOrReplaceTempView("vtddl_src")
+    s.sql(s"CREATE TABLE graft.`$t` " +
+      "TBLPROPERTIES ('stats_cols' = 'doc_id') AS " +
+      "SELECT doc_id, source, n_chars FROM vtddl_src WHERE doc_id % 2 = 0")
+    val v1 = VersionedTable.latestVersion(s, t).get
+    val f1 = VersionedTable.files(s, t, v1).toSet
+    s.sql(s"ALTER TABLE graft.`$t` ADD COLUMN flag BIGINT")
+    val v2 = VersionedTable.latestVersion(s, t).get
+    require(VersionedTable.files(s, t, v2).toSet == f1,
+      "ADD COLUMN must write zero data files")
+    s.sql(s"INSERT INTO graft.`$t` " +
+      "SELECT doc_id, source, n_chars, doc_id % 7 " +
+      "FROM vtddl_src WHERE doc_id % 2 = 1")
+    val v3 = VersionedTable.latestVersion(s, t).get
+    val f3 = VersionedTable.files(s, t, v3).toSet
+    s.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN source TO origin")
+    val v4 = VersionedTable.latestVersion(s, t).get
+    require(VersionedTable.files(s, t, v4).toSet == f3,
+      "RENAME COLUMN must write zero data files")
+    require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF $v1")
+      .columns.toSeq == Seq("doc_id", "source", "n_chars"),
+      "the pre-DDL version must time-travel with its own shape")
+    require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF $v4")
+      .columns.toSeq == Seq("doc_id", "origin", "n_chars", "flag"),
+      "the post-DDL version must carry the evolved shape")
+    s.sql(s"SELECT doc_id, origin, n_chars, flag FROM graft.`$t`")
+  }
+
   // RECLUSTER POLICY (the measure→decide→repair maintenance loop):
   // lineitem commits range-clustered, then three WHOLE-RANGE appends
   // (the shape steady CDC traffic produces) rot the layout — the
@@ -2086,6 +2129,7 @@ object Ops {
     "op_vt_sql_optimize" -> opVtSqlOptimize,
     "op_vt_recluster" -> opVtRecluster,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
+    "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
     "op_triangles" -> opTriangles,
     "op_pagerank" -> opPagerank,
@@ -2494,6 +2538,16 @@ object Ops {
       """SELECT doc_id, md5(coalesce(text, '')) AS digest, source
         |FROM documents
         |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
+    // The DDL walk must equal the union replay under the final names:
+    // the CTAS half never saw the added column (null), the post-ADD
+    // half carries it, and the rename is value-invisible.
+    "op_vt_sql_ddl" ->
+      """SELECT doc_id, source AS origin, n_chars,
+        |  CAST(NULL AS BIGINT) AS flag
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, source, n_chars, doc_id % 7
+        |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
     // The recluster loop must be value-invisible: the whole table.
     "op_vt_recluster" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

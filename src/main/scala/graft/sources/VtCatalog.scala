@@ -33,20 +33,19 @@ import graft.operators.VersionedTable
   * added column reads with the shape its version committed, and SQL
   * filter/column pushdown work as for any parquet scan.
   *
-  * `INSERT INTO graft.t SELECT ...` and `INSERT OVERWRITE` work on
-  * LATEST-version tables and route through [[VersionedTable.commit]]
-  * — the same transactional append/overwrite every writer uses (one
-  * versioned commit per INSERT, CHECK constraints enforced,
-  * optimistic retry), never a parallel write path. `DELETE FROM
-  * graft.t WHERE ...` maps onto [[VersionedTable.deleteWhere]] — the
-  * transactional touched-files-only delete — whenever the predicate
-  * translates to pushed filters (otherwise Spark's standard
-  * cannot-delete-by-filter error, never a guess). Everything else
-  * stays deliberately out of SQL reach: DDL
-  * (`createTable`/`dropTable`/`alterTable`/`renameTable`) and
-  * UPDATE/MERGE refuse loudly and point at the transactional Scala
-  * API, which carries contracts (discovery pruning, txn replay,
-  * clusterBy) SQL cannot express here.
+  * The FULL SQL verb surface lowers onto the same transactional
+  * verbs every Scala writer uses — never a parallel write path:
+  * `INSERT INTO` / `INSERT OVERWRITE` → [[VersionedTable.commit]];
+  * `DELETE FROM ... WHERE` → [[VersionedTable.deleteWhere]] (when the
+  * predicate translates to pushed filters; otherwise Spark's standard
+  * cannot-delete-by-filter error, never a guess); `UPDATE` / `MERGE
+  * INTO` → [[graft.plans.VtDml]]'s planner lowering onto
+  * `updateWhere`/`mergeInto`; `CREATE TABLE` / CTAS / `ALTER TABLE
+  * ADD|RENAME|DROP COLUMN` / guarded `DROP TABLE` → the DDL overrides
+  * below; maintenance → `CALL graft.optimize(...)` etc
+  * ([[VtProcedures]]). Shapes the verbs cannot express (nested column
+  * DDL, type changes, RENAME TABLE) refuse loudly and point at the
+  * Scala API.
   *
   * Scale note: the SQL path plans through Spark's file-listing index
   * over the version's file list (O(version's files) planning, still
@@ -327,22 +326,127 @@ final class VtCatalog extends TableCatalog
   override def listProcedures(namespace: Array[String]): Array[Identifier] =
     VtProcedures.names.map(n => Identifier.of(namespace, n))
 
-  private def readOnly(verb: String): Nothing =
-    throw new UnsupportedOperationException(
-      s"$catalogName is a read-only SQL surface; $verb goes through " +
-        "the VersionedTable API or the graft-vt format sink (every " +
-        "mutation is a commit-logged transaction)")
-
+  /** `CREATE TABLE` / CTAS: commit version 0 as the (possibly empty)
+    * overwrite every other writer would make — the table IS its commit
+    * log, so creation is just the first commit. CTAS rides Spark's
+    * non-atomic V2 path: this createTable commits the empty v0, then
+    * the returned writable table's V1 write appends the SELECT as v1
+    * (both transactional commits; a crashed CTAS leaves an empty
+    * table, never torn data). `TBLPROPERTIES('stats_cols'='a,b')`
+    * declares the manifest span/bloom index once at creation —
+    * inherited by every later commit. PARTITIONED BY refuses: layout
+    * is the engine's job (`clusterBy` at commit/OPTIMIZE time), not a
+    * directory scheme frozen at CREATE. */
   override def createTable(ident: Identifier,
       schema: org.apache.spark.sql.types.StructType,
       partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-      properties: util.Map[String, String]): Table = readOnly("CREATE")
+      properties: util.Map[String, String]): Table = {
+    val path = pathOf(ident)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: PARTITIONED BY is not supported — graft-vt " +
+        "tables cluster by sort order (commit/OPTIMIZE clusterBy + " +
+        "manifest span pruning), not by directory layout; declare " +
+        "TBLPROPERTIES('stats_cols'='...') instead")
+    if (properties.containsKey(TableCatalog.PROP_LOCATION))
+      throw new UnsupportedOperationException(
+        s"$catalogName: LOCATION is not supported — the table " +
+          "identifier IS the location (an absolute backticked path, " +
+          "or a name under the catalog root)")
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(ident)
+    val statsCols = Option(properties.get("stats_cols")).toSeq
+      .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    VersionedTable.commit(
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      path, overwrite = true, statsCols = statsCols)
+    loadTable(ident)
+  }
 
+  /** `ALTER TABLE`: each change lowers onto the matching
+    * transactional metadata-only verb — ADD COLUMN →
+    * [[VersionedTable.addColumn]] (old files back-fill null), RENAME
+    * COLUMN → [[VersionedTable.renameColumn]] (column mapping, zero
+    * rewrite), DROP COLUMN → [[VersionedTable.dropColumn]] (physical
+    * name retired). Every change is its own `alter` commit; earlier
+    * versions time-travel with their own shapes. Shapes the verbs
+    * cannot express (nested fields, positions, defaults, type
+    * changes, properties) refuse loudly. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = readOnly("ALTER")
+      changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    latestOrThrow(ident): Unit
+    def single(what: String, fieldNames: Array[String]): String = {
+      if (fieldNames.length != 1) throw new UnsupportedOperationException(
+        s"$catalogName: ALTER TABLE $what on a NESTED field " +
+          s"(${fieldNames.mkString(".")}) is not supported — the " +
+          "column DDL verbs operate on top-level columns")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        val name = single("ADD COLUMN", a.fieldNames)
+        if (a.position != null) throw new UnsupportedOperationException(
+          s"$catalogName: ADD COLUMN FIRST/AFTER is not supported — " +
+            "columns append at the end of the schema")
+        if (a.defaultValue != null) throw new UnsupportedOperationException(
+          s"$catalogName: ADD COLUMN DEFAULT is not supported — old " +
+            "files back-fill null; backfill values with UPDATE")
+        if (!a.isNullable) throw new UnsupportedOperationException(
+          s"$catalogName: an added column must be nullable — " +
+            "existing rows cannot conjure values")
+        VersionedTable.addColumn(spark, path, name, a.dataType): Unit
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, path,
+          single("RENAME COLUMN", r.fieldNames), r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        val name = single("DROP COLUMN", d.fieldNames)
+        val absent = !VersionedTable.latestVersion(spark, path)
+          .flatMap(v => VersionedTable.schemaOf(spark, path, v))
+          .exists(_.fieldNames.contains(name))
+        if (absent && java.lang.Boolean.TRUE == d.ifExists()) ()
+        else VersionedTable.dropColumn(spark, path, name): Unit
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: ALTER TABLE change ${other.getClass.getSimpleName} " +
+          "is not supported — supported: ADD COLUMN, RENAME COLUMN, " +
+          "DROP COLUMN (type changes need an overwrite rewrite; " +
+          "properties are fixed at CREATE)")
+    }
+    loadTable(ident)
+  }
 
-  override def dropTable(ident: Identifier): Boolean = readOnly("DROP")
+  /** `DROP TABLE` is GUARDED: it refuses unless the table is provably
+    * EMPTY (metadata-only zero row count) — one statement must not be
+    * able to delete 100 TB. `DROP TABLE ... PURGE` ([[purgeTable]])
+    * is the explicit force. */
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val path = pathOf(ident)
+    val rows = VersionedTable.countRows(spark, path)
+    if (!rows.contains(0L)) throw new UnsupportedOperationException(
+      s"$catalogName: DROP TABLE refuses — $path holds " +
+        s"${rows.map(_.toString).getOrElse("an unknown number of")} " +
+        "rows and dropping deletes every version's data; use " +
+        "DROP TABLE ... PURGE to force, or expire()/vacuum for " +
+        "retention")
+    purgeTable(ident)
+  }
+
+  /** `DROP TABLE ... PURGE`: delete the table root — data files,
+    * sidecars, and the whole commit log. The explicit, spelled-out
+    * destructive verb. */
+  override def purgeTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
+    val root = new org.apache.hadoop.fs.Path(pathOf(ident))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(root, true)
+  }
 
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = readOnly("RENAME")
+      newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catalogName: RENAME TABLE is not supported — a graft-vt " +
+        "table is addressed by its path; cloneTo copies a version to " +
+        "a new root transactionally")
 }

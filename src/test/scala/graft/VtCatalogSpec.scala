@@ -363,6 +363,96 @@ class VtCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 80L)
   }
 
+  test("SQL DDL: CREATE/CTAS/ALTER/DROP lower onto the metadata verbs") {
+    ensureCatalog()
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val dir = tmpRoot()
+    val t = new java.io.File(dir, "ddl").getAbsolutePath
+    // CREATE TABLE = the empty v0 overwrite, stats index declared once
+    spark.sql(s"CREATE TABLE graft.`$t` (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('stats_cols' = 'id')")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").count() == 0)
+    assert(VersionedTable.versions(spark, t).map(_.mode) == Seq("overwrite"))
+    intercept[Exception] { // double-create refuses as the standard error
+      spark.sql(s"CREATE TABLE graft.`$t` (x INT)")
+    }
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (1, 'a'), (2, 'b')")
+    // the CREATE-time stats index is inherited by the INSERT commit
+    assert(VersionedTable.statsSpan(spark, t, "id")
+      .contains(Some((1L, 2L))), "stats_cols must carry to appends")
+    // ADD COLUMN: metadata-only alter commit, old rows back-fill null
+    val before = VersionedTable.files(spark, t,
+      VersionedTable.latestVersion(spark, t).get).toSet
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN score DOUBLE")
+    assert(VersionedTable.files(spark, t,
+      VersionedTable.latestVersion(spark, t).get).toSet == before,
+      "ADD COLUMN must write zero data files")
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (3, 'c', 9.5D)")
+    // RENAME COLUMN: column mapping, zero data files
+    spark.sql(s"ALTER TABLE graft.`$t` RENAME COLUMN s TO label")
+    assert(VersionedTable.files(spark, t,
+      VersionedTable.latestVersion(spark, t).get).toSet != before,
+      "the insert added a file") // sanity on the gate above
+    val got = spark.sql(s"SELECT id, label, score FROM graft.`$t`")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)))).sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(9.5))),
+      s"added column back-fills null; rename aliases: $got")
+    // DROP COLUMN: physical name retired, shape shrinks
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN score")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("id", "label"))
+    spark.sql(s"ALTER TABLE graft.`$t` DROP COLUMN IF EXISTS score")
+    // each version time-travels with its own shape
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "s"))
+    assert(spark.sql(s"SELECT * FROM graft.`$t` VERSION AS OF 2")
+      .columns.toSeq == Seq("id", "s", "score"))
+    // CTAS: empty v0 + the SELECT as the v1 append
+    val t2 = new java.io.File(dir, "ddl_ctas").getAbsolutePath
+    spark.sql(s"CREATE TABLE graft.`$t2` AS " +
+      s"SELECT id, label FROM graft.`$t` WHERE id <= 2")
+    assert(spark.sql(s"SELECT id, label FROM graft.`$t2`")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    assert(VersionedTable.versions(spark, t2).map(_.mode) ==
+      Seq("overwrite", "append"))
+    // DROP TABLE guards: a non-empty table refuses, PURGE forces
+    val e = intercept[Exception] {
+      spark.sql(s"DROP TABLE graft.`$t2`")
+    }
+    assert(e.getMessage.contains("PURGE"), e.getMessage)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t2`")
+      .collect()(0).getLong(0) == 2L, "a refused DROP must not damage")
+    spark.sql(s"DROP TABLE graft.`$t2` PURGE")
+    assert(!new java.io.File(t2).exists())
+    // an empty table drops without PURGE
+    val t3 = new java.io.File(dir, "ddl_empty").getAbsolutePath
+    spark.sql(s"CREATE TABLE graft.`$t3` (x INT)")
+    spark.sql(s"DROP TABLE graft.`$t3`")
+    assert(!new java.io.File(t3).exists())
+    // out-of-contract shapes refuse loudly
+    val p = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`${dir.getAbsolutePath}/ddl_p` " +
+        "(x INT, y INT) PARTITIONED BY (y)")
+    }
+    assert(p.getMessage.contains("PARTITIONED BY"), p.getMessage)
+    val tc = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ALTER COLUMN id TYPE INT")
+    }
+    assert(tc.getMessage.contains("not supported") ||
+      tc.getMessage.contains("ALTER"), tc.getMessage)
+    val rn = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN label STRING")
+    }
+    assert(rn.getMessage.contains("already exists"), rn.getMessage)
+    // a retired physical name can never silently re-bind
+    val rr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMN score DOUBLE")
+    }
+    assert(rr.getMessage.contains("physical history"), rr.getMessage)
+  }
+
   test("time travel over DV'd/mapped versions rides the masked rewrite") {
     ensureCatalog()
     graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
@@ -474,7 +564,7 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, t).last.mode == "restore")
   }
 
-  test("read-only: mutations refuse; missing tables error cleanly") {
+  test("out-of-surface verbs refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath
     val e = intercept[Exception] {
@@ -482,14 +572,20 @@ class VtCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
       e.getMessage.toLowerCase.contains("not found"), e.getMessage)
+    assert(!new java.io.File(t).exists(),
+      "a failed lookup must not create debris")
+    // DROP of a missing table errors as the standard analysis error
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$t`") }
+    // RENAME TABLE stays out of the surface (a table is its path)
     val t2 = new java.io.File(tmpRoot(), "ro").getAbsolutePath
     VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t2,
       overwrite = true)
     val e2 = intercept[Exception] {
-      spark.sql(s"DROP TABLE graft.`$t2`")
+      spark.sql(s"ALTER TABLE graft.`$t2` RENAME TO graft.`${t2}_x`")
     }
-    assert(e2.getMessage.contains("read-only") ||
-      Option(e2.getCause).exists(_.getMessage.contains("read-only")),
+    assert(e2.getMessage.contains("RENAME TABLE is not supported") ||
+      Option(e2.getCause).exists(
+        _.getMessage.contains("RENAME TABLE is not supported")),
       e2.getMessage)
   }
 }
