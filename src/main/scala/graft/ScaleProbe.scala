@@ -976,6 +976,16 @@ object ScaleProbe {
         VersionedTable.read(spark, tb).count())
       time("dv: full count on the rewritten twin (baseline)")(
         VersionedTable.read(spark, ta).count())
+      // counts under-report the masking overhead (a bare count reads
+      // row-group metadata, not pages) — a data-reading aggregate is
+      // the honest per-scan cost; second masked run rides the cached
+      // broadcast mask (no sidecar collect job)
+      time("dv: masked sum(id) (data-reading scan)")(
+        VersionedTable.read(spark, tb).agg(sum("id")).collect())
+      time("dv: masked sum(id), cached mask")(
+        VersionedTable.read(spark, tb).agg(sum("id")).collect())
+      time("dv: clean sum(id) on the rewritten twin")(
+        VersionedTable.read(spark, ta).agg(sum("id")).collect())
       // merge: 1k keys stepping by 97 (coprime to the 64-way layout —
       // the residues sweep every file, the true off-cluster CDC shape)
       val src = spark.range(1000).selectExpr("7 + 97 * id as id",

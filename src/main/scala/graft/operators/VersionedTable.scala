@@ -3147,13 +3147,78 @@ object VersionedTable {
       .select(col("file").as(fileC), col("pos").as(posC))
   }
 
+  /** Positions cap for the BROADCAST mask lane of [[maskedRead]]:
+    * masks whose total deleted-position count fits load driver-side
+    * into per-file sorted arrays and filter MAP-SIDE inside the scan's
+    * whole-stage loop ([[graft.functions.DvSurvives]]) — no join
+    * operator, no name-extraction per row; ~8 bytes/position of
+    * broadcast (4M ≈ 32 MB, one copy per executor). Beyond the cap the
+    * read falls back to the delta-sized anti-join, which scales to any
+    * mask (a delete that large should have been a rewrite — and
+    * OPTIMIZE materializes it away). Tunable per session via
+    * `spark.graft.dv.broadcastMaxPositions`. */
+  private def dvBroadcastMaxPositions(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.dv.broadcastMaxPositions")
+      .map(_.toLong).getOrElse(4000000L)
+
+  /** Driver-side mask for the broadcast lane: bare file name → sorted
+    * deleted positions. Same per-referencing-entry sidecar restriction
+    * as [[dvMask]]; in-sidecar duplicates (pre-fix history) collapse
+    * via the distinct. */
+  private def collectDvMasks(spark: SparkSession, path: String,
+      dved: Seq[FileEntry]): Map[String, Array[Long]] =
+    dved.groupBy(_.dv.get._1).toSeq.sortBy(_._1)
+      .flatMap { case (sidecar, es) =>
+        val names = es.map(_.name).toSet
+        spark.read.parquet(s"$path/$sidecar").select("file", "pos")
+          .collect().iterator
+          .map(r => (r.getString(0), r.getLong(1)))
+          .filter(t => names.contains(t._1))
+          .toSeq
+      }
+      .groupBy(_._1)
+      .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }
+
+  /** Broadcast masks cached per (context, path, sidecar→names set):
+    * a sidecar is IMMUTABLE once published (vacuum deletes it only
+    * when no live manifest references it), so the same requested mask
+    * resolves to the same positions forever — repeated reads of a
+    * DV'd version (interactive sessions, streaming polls) skip the
+    * sidecar collect job entirely. Bounded: cleared wholesale past 64
+    * entries (the dropped Broadcasts are GC'd by Spark's
+    * ContextCleaner once unreferenced). */
+  private val dvMaskCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.broadcast.Broadcast[Map[String, Array[Long]]]]()
+
+  /** The broadcast-mask filter Column over a physical scan: TRUE for
+    * rows whose `(_metadata.file_path, _metadata.row_index)` is not
+    * deleted. */
+  private def dvSurvivesCol(spark: SparkSession, path: String,
+      dved: Seq[FileEntry]): Column = {
+    val key = spark.sparkContext.applicationId + "@" +
+      spark.sparkContext.startTime + "|" + path + "|" +
+      dved.groupBy(_.dv.get._1).toSeq.sortBy(_._1).map { case (sc, es) =>
+        sc + ":" + es.map(_.name).sorted.mkString(",")
+      }.mkString(";")
+    if (dvMaskCache.size > 64) dvMaskCache.clear()
+    val bc = dvMaskCache.computeIfAbsent(key, _ =>
+      spark.sparkContext.broadcast(collectDvMasks(spark, path, dved)))
+    val B = org.apache.spark.sql.graftbridge.Bridge
+    B.column(graft.functions.DvSurvives(
+      B.expression(col("_metadata.file_path")),
+      B.expression(col("_metadata.row_index")), bc))
+  }
+
   /** [[schemaRead]] over manifest ENTRIES with DELETION VECTORS
     * applied: files without a DV scan on the stock vectorized parquet
     * path untouched (the fast path is byte-identical to a plain read);
-    * files WITH one read alongside their `_metadata.row_index` and
-    * anti-join the mask out. All the VersionedTable read verbs route
-    * here, so time travel, pruned reads, file slices, the change feed,
-    * compaction, and every rewrite base observe DV deletes exactly. */
+    * files WITH one filter their deleted `_metadata.row_index`
+    * positions out — map-side against the broadcast mask when it fits
+    * ([[dvBroadcastMaxPositions]]), an anti-join against the
+    * delta-sized sidecar scan beyond that. All the VersionedTable read
+    * verbs route here, so time travel, pruned reads, file slices, the
+    * change feed, compaction, and every rewrite base observe DV
+    * deletes exactly. */
   private[graft] def maskedRead(spark: SparkSession,
       schemaJson: Option[String], path: String,
       entries: Seq[FileEntry]): DataFrame = {
@@ -3164,17 +3229,25 @@ object VersionedTable {
     val base0 = physicalScan(spark, schemaJson,
       dved.map(e => s"$path/${e.name}"))
     val physCols = base0.columns.toSeq
-    val Seq(fileC, posC) = freshCols(
-      physCols ++ schemaJson.map(decodeSchema(_).fieldNames.toSeq)
-        .getOrElse(Seq.empty),
-      Seq("__graft_dv_file", "__graft_dv_pos"))
-    val masked = logicalize(base0
-      .withColumn(fileC,
-        substring_index(col("_metadata.file_path"), "/", -1))
-      .withColumn(posC, col("_metadata.row_index"))
-      .join(dvMask(spark, path, dved, fileC, posC),
-        Seq(fileC, posC), "left_anti")
-      .select(physCols.map(col): _*), schemaJson)
+    val totalDeleted = dved.map(e => math.max(e.dv.get._2, 0L)).sum
+    val maskedPhys =
+      if (totalDeleted <= dvBroadcastMaxPositions(spark))
+        base0.where(dvSurvivesCol(spark, path, dved))
+          .select(physCols.map(col): _*)
+      else {
+        val Seq(fileC, posC) = freshCols(
+          physCols ++ schemaJson.map(decodeSchema(_).fieldNames.toSeq)
+            .getOrElse(Seq.empty),
+          Seq("__graft_dv_file", "__graft_dv_pos"))
+        base0
+          .withColumn(fileC,
+            substring_index(col("_metadata.file_path"), "/", -1))
+          .withColumn(posC, col("_metadata.row_index"))
+          .join(dvMask(spark, path, dved, fileC, posC),
+            Seq(fileC, posC), "left_anti")
+          .select(physCols.map(col): _*)
+      }
+    val masked = logicalize(maskedPhys, schemaJson)
     if (plain.isEmpty) masked
     else masked.unionByName(schemaRead(spark, schemaJson,
       plain.map(e => s"$path/${e.name}")))
@@ -3195,12 +3268,22 @@ object VersionedTable {
       base0.columns.toSeq ++ schemaJson
         .map(decodeSchema(_).fieldNames.toSeq).getOrElse(Seq.empty),
       Seq("__graft_dv_file", "__graft_dv_pos"))
-    val base = base0
+    val dved = entries.filter(_.dv.nonEmpty)
+    val totalDeleted = dved.map(e => math.max(e.dv.get._2, 0L)).sum
+    // the prior-mask filter rides the broadcast lane when it fits —
+    // same policy as maskedRead, applied before the identity columns
+    val filtered =
+      if (dved.isEmpty) base0
+      else if (totalDeleted <= dvBroadcastMaxPositions(spark))
+        base0.where(dvSurvivesCol(spark, path, dved))
+      else base0
+    val base = filtered
       .withColumn(fileC,
         substring_index(col("_metadata.file_path"), "/", -1))
       .withColumn(posC, col("_metadata.row_index"))
-    val dved = entries.filter(_.dv.nonEmpty)
-    val df = if (dved.isEmpty) base
+    val df =
+      if (dved.isEmpty || totalDeleted <= dvBroadcastMaxPositions(spark))
+        base
       else base.join(dvMask(spark, path, dved, fileC, posC),
         Seq(fileC, posC), "left_anti")
     (logicalize(df, schemaJson, keep = Seq(fileC, posC)), fileC, posC)

@@ -2188,6 +2188,46 @@ class VersionedTableSpec extends AnyFunSuite {
       (0L until 200L).filterNot(Set(10L, 110L, 120L, 20L, 130L)))
   }
 
+  test("deletion vectors: broadcast mask lane equals the anti-join lane") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 300L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 3 === 0,
+      deletionVectors = true)
+    VersionedTable.deleteWhere(spark, t, col("id") === 7L,
+      deletionVectors = true)
+    val want = (0L until 300L).filter(i => i % 3 != 0 && i != 7L)
+    def ids() = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    // default: the broadcast map-side filter — NO join operator in
+    // the plan, the mask test rides inside the scan's codegen stage
+    val plan = VersionedTable.read(spark, t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("dv_survives"),
+      s"the mask must be the map-side filter expression:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"the broadcast lane must not plan a join:\n$plan")
+    assert(ids() == want)
+    // the oversized-mask fallback: force the anti-join lane and
+    // compare — same rows, join present
+    spark.conf.set("spark.graft.dv.broadcastMaxPositions", "0")
+    try {
+      val plan2 = VersionedTable.read(spark, t)
+        .queryExecution.executedPlan.toString
+      assert(plan2.toLowerCase.contains("join"),
+        s"past the cap the mask must anti-join:\n$plan2")
+      assert(ids() == want, "both lanes must answer identically")
+    } finally spark.conf.unset("spark.graft.dv.broadcastMaxPositions")
+    // DML discovery rides the same lane: a further DV delete over the
+    // broadcast-masked base must not re-discover masked rows
+    VersionedTable.deleteWhere(spark, t, col("id") % 5 === 0,
+      deletionVectors = true)
+    assert(ids() == want.filter(_ % 5 != 0))
+  }
+
   test("manifest protocol: feature-bearing versions commit the v6 header") {
     import spark.implicits._
     val t = tmpTable()
