@@ -737,6 +737,80 @@ object Streams {
     VersionedTable.read(s, table)
   }
 
+  // The DELETION-VECTOR lane of the format sink: the same CDC replay
+  // as [[stVtSinkMerge]] with `.option("deletionVectors", "true")` —
+  // each micro-batch's matched pre-images mask via a delta-sized
+  // sidecar instead of rewriting the touched files. Gated in-entry
+  // that NO v0 data file is ever rewritten or dropped across the
+  // whole stream (every merge carries them by reference) and that the
+  // merges really produced vectors; the oracle is the identical CDC
+  // final state — the lane must be value-invisible.
+  val stVtSinkDv: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), year(col("o_orderdate")).as("__y"))
+    val dir = Sources.fixtureDir(s, "graft_stvdv_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val cdcDir = Sources.fixtureDir(s, "graft_stvdv_cdc_")
+    VersionedTable.commit(
+      ords.where(col("__y") <= 1998).drop("__y")
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey")),
+      table, overwrite = true, statsCols = Seq("o_orderkey"))
+    val v0Files = VersionedTable.files(s, table, 0).toSet
+    val t0 = System.currentTimeMillis() - 180000
+    Sources.writeOrderedPart(
+      ords.where(col("__y") === 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "a.parquet", t0)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") <= 1996).drop("__y")
+        .withColumn("_deleted", lit(true)),
+      cdcDir, "b.parquet", t0 + 60000)
+    Sources.writeOrderedPart(
+      ords.where(col("__y") > 1998).drop("__y")
+        .withColumn("o_totalprice", col("o_totalprice") + 7)
+        .withColumn("_deleted", lit(false)),
+      cdcDir, "c.parquet", t0 + 120000)
+    val schema = ords.drop("__y").withColumn("_deleted", lit(false)).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"${cdcDir.getAbsolutePath}/*.parquet")
+      .writeStream
+      .format("graft-vt")
+      .option("path", table)
+      .option("mergeKeys", "o_orderkey")
+      .option("tombstoneCol", "_deleted")
+      .option("deletionVectors", "true")
+      .option("txnPrefix", "stvdv")
+      .option("checkpointLocation", s"${dir.getAbsolutePath}/ck")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val hist = VersionedTable.versions(s, table)
+    require(hist.head.mode == "overwrite" &&
+      hist.tail.forall(_.mode == "merge"),
+      s"every CDC batch must land as one merge commit: $hist")
+    require(hist.tail.forall(_.txnId.exists(_.startsWith("stvdv-"))),
+      "merge commits must carry their batch txn (replay no-op)")
+    // the DV lane's whole point: the base files survive every batch
+    // by reference — scattered CDC never rewrites them
+    hist.foreach { v =>
+      require(v0Files.subsetOf(
+        VersionedTable.files(s, table, v.version).toSet),
+        s"v${v.version} rewrote or dropped a base file — the DV lane " +
+          "must carry untouched files by reference")
+    }
+    val lastV = hist.map(_.version).max
+    require(VersionedTable.readEntries(s, table, lastV)
+      .exists(_.dv.nonEmpty),
+      "the CDC masking must have produced deletion vectors")
+    VersionedTable.read(s, table)
+  }
+
   /** STREAMING CHANGE FEED off the commit log — the
     * `readChangeFeed=true` mode of [[graft.sources.VtStreamSource]]:
     * each micro-batch carries the ROW-LEVEL changes of its version
@@ -998,6 +1072,7 @@ object Streams {
     "st_vt_sink" -> stVtSink,
     "st_vt_source_chunked" -> stVtSourceChunked,
     "st_vt_sink_merge" -> stVtSinkMerge,
+    "st_vt_sink_dv" -> stVtSinkDv,
     "st_vt_source" -> stVtSource,
     "st_vt_merge" -> stVtMerge,
     "st_vt_changes" -> stVtChanges,
@@ -1054,6 +1129,17 @@ object Streams {
     // The format-sink merge lane replays the identical CDC history:
     // same final state, same hash sensitivity.
     "st_vt_sink_merge" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE year(o_orderdate) = 1997
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) = 1998
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_totalprice + 7 AS o_totalprice
+        |FROM orders WHERE year(o_orderdate) > 1998""".stripMargin,
+    // The DV sink lane replays the identical CDC history with zero
+    // file rewrites: same final state, same hash sensitivity.
+    "st_vt_sink_dv" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE year(o_orderdate) = 1997
         |UNION ALL

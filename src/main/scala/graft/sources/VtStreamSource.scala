@@ -197,7 +197,13 @@ final class VtStreamSource extends StreamSourceProvider
     * Options: `path` (required), `statsCols` (comma list — manifest
     * spans + footer blooms for the table's index columns), `txnPrefix`
     * (default `vtsink`; set it when DIFFERENT streams write one table,
-    * so their batchId spaces cannot collide). Hive-style
+    * so their batchId spaces cannot collide),
+    * `deletionVectors=true` (merge mode only) — each micro-batch's
+    * matched pre-images mask via a delta-sized sidecar instead of
+    * rewriting the touched files, so steady scattered CDC traffic
+    * writes O(batch) bytes per trigger instead of O(touched files);
+    * pair it with `compactSmallEvery`, whose packing pass MATERIALIZES
+    * the accumulated vectors of the files it rewrites. Hive-style
     * `partitionBy` is refused — layout inside a versioned table is
     * owned by clustering (`compact(clusterBy)`), not directory trees.
     *
@@ -256,6 +262,11 @@ final class VtStreamSource extends StreamSourceProvider
         false
       case _ => false // Append
     }
+    val deletionVectors = parameters.get("deletionVectors")
+      .exists(_.toBoolean)
+    require(!deletionVectors || mergeKeys.nonEmpty,
+      "graft-vt sink: deletionVectors applies to merge-mode scattered " +
+        "DML (appends delete nothing; Complete replaces the table)")
     val compactEvery = parameters.get("compactSmallEvery").map(_.toInt)
     require(compactEvery.forall(_ >= 1),
       s"compactSmallEvery must be >= 1: $compactEvery")
@@ -264,7 +275,7 @@ final class VtStreamSource extends StreamSourceProvider
       s"retainLast must be >= 1: $retainLast")
     new VtSink(sqlContext.sparkSession, path, statsCols, txnPrefix,
       mergeKeys, tombstoneCol, overwrite, sinkClusterBy,
-      compactEvery, retainLast)
+      compactEvery, retainLast, deletionVectors)
   }
 
   private def pathOf(parameters: Map[String, String]): String =
@@ -333,7 +344,8 @@ private final class VtSink(spark: SparkSession, path: String,
     tombstoneCol: Option[String], overwrite: Boolean,
     clusterBy: Seq[String] = Seq.empty,
     compactSmallEvery: Option[Int] = None,
-    retainLast: Option[Int] = None)
+    retainLast: Option[Int] = None,
+    deletionVectors: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -353,7 +365,7 @@ private final class VtSink(spark: SparkSession, path: String,
           statsCols = statsCols): Unit
       VersionedTable.mergeInto(spark, path, batch, mergeKeys,
         txnId = txn, tombstoneCol = tombstoneCol,
-        clusterBy = clusterBy): Unit
+        clusterBy = clusterBy, deletionVectors = deletionVectors): Unit
     }
     // auto-maintenance AFTER the batch's commit (see createSink doc):
     // batchId-keyed cadence is deterministic across replays, and both

@@ -124,6 +124,44 @@ class VtStreamSinkSpec extends AnyFunSuite {
       "content is never lost — only old manifests expire")
   }
 
+  test("deletionVectors sink: CDC merges mask, compactSmall materializes") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "dv").getAbsolutePath
+    // the option is a merge-mode posture
+    intercept[IllegalArgumentException](
+      mkSink(t, OutputMode.Append(), Map("deletionVectors" -> "true")))
+    // every 3rd batch packs the per-batch small files — and with them
+    // MATERIALIZES the vectors the DV merges accumulated
+    val sink = mkSink(t, OutputMode.Update(), Map(
+      "mergeKeys" -> "id", "tombstoneCol" -> "_del",
+      "deletionVectors" -> "true", "compactSmallEvery" -> "3",
+      "statsCols" -> "id"))
+    sink.addBatch(0, df(0 until 100).withColumn("_del", lit(false)))
+    val v0Files = VersionedTable.files(spark, t,
+      VersionedTable.latestVersion(spark, t).get).toSet
+    sink.addBatch(1, Seq((7L, "seven-v2", false), (8L, "x", true))
+      .toDF("id", "s", "_del"))
+    // the DV lane: batch 1's merge touched no base file
+    val v1 = VersionedTable.latestVersion(spark, t).get
+    assert(v0Files.subsetOf(VersionedTable.files(spark, t, v1).toSet),
+      "a DV merge must carry the base files by reference")
+    assert(VersionedTable.readEntries(spark, t, v1).exists(_.dv.nonEmpty),
+      "the merge's pre-images must mask via a vector")
+    sink.addBatch(2, Seq((9L, "nine-v2", false)).toDF("id", "s", "_del"))
+    // batch 2 triggered compactSmall: the packed result carries no
+    // vectors (materialized away) and the content is the CDC state
+    val vN = VersionedTable.latestVersion(spark, t).get
+    assert(VersionedTable.versions(spark, t).map(_.mode).last ==
+      "optimize", "the third batch must trigger the pack")
+    assert(VersionedTable.readEntries(spark, t, vN).forall(_.dv.isEmpty),
+      "compactSmall must materialize the accumulated vectors")
+    val got = VersionedTable.read(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == 99 && !got.contains(8L) &&
+      got(7L) == "seven-v2" && got(9L) == "nine-v2" &&
+      got(0L) == "row0", s"CDC state after materialization: $got")
+  }
+
   test("end-to-end vt->vt relay through writeStream.format") {
     val dir = tmpDir()
     val src = new java.io.File(dir, "src").getAbsolutePath
