@@ -2149,6 +2149,67 @@ object VersionedTable {
     }
   }
 
+  /** DV-DECAY POLICY: materialize the deletion vectors of ONLY the
+    * files whose MASKED FRACTION (`nDeleted / nRows`, read from the
+    * manifest alone — no data touched for the decision) exceeds
+    * `maxMaskedFraction`. A heavily-masked file pays its mask on every
+    * scan and its dead bytes on every read, so steady DV traffic
+    * (deletes, CDC merges) needs this bound the same way steady
+    * appends need [[compactSmall]]; lightly-masked files keep their
+    * delta-sized vectors — rewriting them would cost more than the
+    * masks ever will. The repair is a scoped rewrite exactly like
+    * [[compactWhere]]'s: decayed files re-pack masked (vectors gone),
+    * every healthy file carries BY REFERENCE, one rollback-able
+    * `optimize` commit. Returns `Some(newVersion)` when it rewrote,
+    * `None` when every mask is under the bound (or a concurrent
+    * commit won the slot — advisory maintenance never retry-loops
+    * against live writers). Files with unknown row counts (pre-v3
+    * manifests) never carry vectors, so the fraction is always
+    * decidable. */
+  def materializeDvAbove(spark: SparkSession, path: String,
+      maxMaskedFraction: Double = 0.3,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty): Option[Int] = {
+    require(maxMaskedFraction > 0 && maxMaskedFraction <= 1,
+      s"maxMaskedFraction must be in (0, 1]: $maxMaskedFraction")
+    require(targetFileBytes > 0, s"bad target: $targetFileBytes")
+    val root = new Path(path)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = root.getFileSystem(conf)
+    val nums = listVersionNumbers(fs, root)
+    val v = latestVisibleIn(fs, root, nums, forWrite = true).getOrElse(
+      throw new IllegalStateException(s"no committed versions at $path"))
+    val header = readHeader(fs, root, v)
+    val entries = readEntries(spark, path, v)
+    val (decayed, carried) = entries.partition(e =>
+      e.dv.exists(d => e.nRows > 0 &&
+        d._2.toDouble / e.nRows > maxMaskedFraction))
+    if (decayed.isEmpty) return None
+    val bytes = decayed
+      .map(e => fs.getFileStatus(new Path(root, e.name)).getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val base = maskedRead(spark, header.schemaJson, path, decayed)
+    val packed =
+      if (clusterBy.isEmpty) base.repartition(nOut)
+      else clusterOut(base, clusterBy, nOut)
+    // slot from the SAME listing as the base (latestVisibleIn doc)
+    val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
+    val cols = resolveStatsCols(Some(header), Seq.empty)
+    val published = stageAndPublish(packed, fs, root, v2, cols,
+      header.schemaJson)
+    val newEntries = published.map(n =>
+      footerEntry(fs, conf, new Path(root, n), cols,
+        physicalOf(header.schemaJson)))
+    if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
+        header.schemaJson, carried ++ newEntries)) {
+      maybeCheckpoint(fs, root, v2)
+      Some(v2)
+    } else {
+      published.foreach(n => fs.delete(new Path(root, n), false))
+      None
+    }
+  }
+
   /** CLUSTERING-DECAY metric of a stats column, computed from the
     * MANIFEST ALONE (one small read, zero data I/O at any table size):
     * the expected number of files a uniformly-random point predicate

@@ -1752,6 +1752,55 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // DV-DECAY POLICY (the masked-fraction bound,
+  // VersionedTable.materializeDvAbove + CALL graft.materialize_dv):
+  // lineitem lands range-clustered on l_orderkey, then two stacked DV
+  // deletes mask ~4/7 of the LOW key band — the manifest-only policy
+  // must rewrite exactly the decayed files (gated: every healthy file
+  // carries by reference, no file stays past the bound, a second call
+  // no-ops) and the loop is value-invisible: the oracle is the
+  // anti-filter replay.
+  val opVtDvDecay: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtdvd_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val cut = li.agg(max("l_orderkey")).head.getLong(0) / 4
+    VersionedTable.deleteWhere(s, t,
+      col("l_orderkey") <= cut && col("l_linenumber") % 2 === 0,
+      deletionVectors = true)
+    VersionedTable.deleteWhere(s, t,
+      col("l_orderkey") <= cut && col("l_linenumber") % 3 === 0,
+      deletionVectors = true)
+    def over(e: VersionedTable.FileEntry): Boolean =
+      e.dv.exists(dd => e.nRows > 0 && dd._2.toDouble / e.nRows > 0.3)
+    val v2 = VersionedTable.latestVersion(s, t).get
+    val entries2 = VersionedTable.readEntries(s, t, v2)
+    require(entries2.exists(over),
+      "the stacked deletes must decay at least one file past the bound")
+    val healthy = entries2.filterNot(over).map(_.name).toSet
+    require(healthy.nonEmpty, "the high band must stay healthy")
+    val row = s.sql(
+      s"CALL graft.materialize_dv(table => '$t')").collect()(0)
+    require(row.getInt(0) > 0 && row.getBoolean(1),
+      s"the policy must trigger on the decayed band: $row")
+    val after = VersionedTable.readEntries(s, t, row.getInt(2))
+    require(healthy.subsetOf(after.map(_.name).toSet),
+      "healthy files must carry by reference through the repair")
+    require(!after.exists(over),
+      "no file may stay past the bound after the repair")
+    require(VersionedTable.materializeDvAbove(s, t).isEmpty,
+      "the policy must no-op until decay returns")
+    VersionedTable.read(s, t)
+  }
+
   // SQL maintenance verbs (sources/VtProcedures.scala, Spark 4 stored
   // procedures): five small per-batch commits, then `CALL
   // graft.optimize` bin-packs them (gated: fewer files, prior version
@@ -2128,6 +2177,7 @@ object Ops {
     "op_vt_sql_merge" -> opVtSqlMerge,
     "op_vt_sql_optimize" -> opVtSqlOptimize,
     "op_vt_recluster" -> opVtRecluster,
+    "op_vt_dv_decay" -> opVtDvDecay,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2548,6 +2598,13 @@ object Ops {
         |UNION ALL
         |SELECT doc_id, source, n_chars, doc_id % 7
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // The DV-decay repair must be value-invisible: the anti-filter
+    // replay of the two stacked masks over the low key band.
+    "op_vt_dv_decay" ->
+      """WITH mx AS (SELECT max(l_orderkey) // 4 AS cut FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE NOT (l_orderkey <= (SELECT cut FROM mx)
+        |  AND (l_linenumber % 2 = 0 OR l_linenumber % 3 = 0))""".stripMargin,
     // The recluster loop must be value-invisible: the whole table.
     "op_vt_recluster" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

@@ -44,13 +44,14 @@ private[sources] object VtProcedures {
       case "expire" => new ExpireProc(resolvePath)
       case "recluster" => new ReclusterProc(resolvePath)
       case "restore" => new RestoreProc(resolvePath)
+      case "materialize_dv" => new MaterializeDvProc(resolvePath)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other — available: optimize, " +
-          "vacuum, history, expire, recluster, restore")
+          "vacuum, history, expire, recluster, restore, materialize_dv")
     }
 
   val names: Array[String] = Array("optimize", "vacuum", "history",
-    "expire", "recluster", "restore")
+    "expire", "recluster", "restore", "materialize_dv")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -190,6 +191,44 @@ private[sources] object VtProcedures {
         targetFileBytes = input.getInt(3).toLong << 20)
       result(outSchema, Seq(new GenericInternalRow(Array[Any](
         decay.getOrElse(Double.NaN), v.nonEmpty, v.getOrElse(-1)))))
+    }
+  }
+
+  /** `materialize_dv(table, max_masked_fraction = 0.3,
+    * target_file_mb = 128)` → (n_decayed, triggered, version) — the
+    * DV-decay bound ([[VersionedTable.materializeDvAbove]]) from SQL:
+    * rewrite ONLY the files whose manifest-recorded masked fraction
+    * exceeds the bound, carrying every healthy file by reference.
+    * `n_decayed` is the file count the policy selected (0 = nothing
+    * over the bound), `version` the repair commit (-1 when it did not
+    * trigger or lost an advisory race). */
+  private final class MaterializeDvProc(resolve: String => String)
+      extends Proc("materialize_dv") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_masked_fraction", DoubleType)
+        .defaultValue("0.3").build(),
+      ProcedureParameter.in("target_file_mb", IntegerType)
+        .defaultValue("128").build())
+    private val outSchema = StructType(Seq(
+      StructField("n_decayed", IntegerType, nullable = false),
+      StructField("triggered", BooleanType, nullable = false),
+      StructField("version", IntegerType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val bound = input.getDouble(1)
+      // count what the policy will see from the SAME latest manifest
+      // family it decides on: the count is advisory reporting; the
+      // decision itself re-reads inside the verb's own forWrite resolve
+      val nDecayed = VersionedTable.latestVersion(spark, path)
+        .map(v => VersionedTable.readEntries(spark, path, v).count(e =>
+          e.dv.exists(d => e.nRows > 0 &&
+            d._2.toDouble / e.nRows > bound))).getOrElse(0)
+      val v = VersionedTable.materializeDvAbove(spark, path,
+        maxMaskedFraction = bound,
+        targetFileBytes = input.getInt(2).toLong << 20)
+      result(outSchema, Seq(new GenericInternalRow(Array[Any](
+        nDecayed, v.nonEmpty, v.getOrElse(-1)))))
     }
   }
 

@@ -2228,6 +2228,40 @@ class VersionedTableSpec extends AnyFunSuite {
     assert(ids() == want.filter(_ % 5 != 0))
   }
 
+  test("materializeDvAbove: partial repair keeps shared-sidecar masks") {
+    import spark.implicits._
+    val t = tmpTable()
+    VersionedTable.commit(
+      (0L until 200L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    // ONE delete, ONE sidecar shared by both files: D masked 60%,
+    // F masked 2% — only D is past the bound
+    VersionedTable.deleteWhere(spark, t,
+      col("id") < 60 || col("id").isin(110L, 111L),
+      deletionVectors = true)
+    val want = (0L until 200L)
+      .filterNot(i => i < 60 || i == 110L || i == 111L)
+    def ids() = VersionedTable.read(spark, t).select("id").as[Long]
+      .collect().sorted.toSeq
+    val v = VersionedTable.materializeDvAbove(spark, t, 0.3)
+    assert(v.nonEmpty, "60% masked must trigger at bound 0.3")
+    val after = VersionedTable.readEntries(spark, t, v.get)
+    // F carries BY REFERENCE with its vector intact (2% is healthy);
+    // the rewritten replacement of D is vector-free
+    assert(after.count(_.dv.nonEmpty) == 1,
+      s"only the healthy file keeps its delta-sized mask: $after")
+    assert(after.exists(e => e.dv.exists(_._2 == 2L)))
+    assert(ids() == want, "the partial repair is value-invisible")
+    // retention: the shared sidecar survives while F references it
+    VersionedTable.expire(spark, t, keepLast = 1)
+    VersionedTable.vacuumUnreferenced(spark, t, 0L)
+    assert(ids() == want,
+      "vacuum must keep a sidecar any live entry references")
+    // under the bound everywhere: the policy no-ops
+    assert(VersionedTable.materializeDvAbove(spark, t, 0.3).isEmpty)
+  }
+
   test("manifest protocol: feature-bearing versions commit the v6 header") {
     import spark.implicits._
     val t = tmpTable()
