@@ -1752,6 +1752,69 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // COMBINED TIME-TRAVEL WALK: one history interleaving every
+  // metadata feature — DV delete → column rename → restore → compact —
+  // read back version BY VERSION through `TIMESTAMP AS OF` on the SQL
+  // catalog (the masked rewrite serving DV'd and mapped snapshots).
+  // Gated per version: v0 whole under the original names, v1 masked,
+  // v2 masked under the renamed column (value-identical to v1), v3
+  // (the restore) back to v1's names and rows, v4 (compact) vector-
+  // free and value-identical. The oracle is the anti-filter replay of
+  // the one real delete.
+  val opVtHistoryWalk: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vthw_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/docs"
+    def pause(): Unit = Thread.sleep(10) // distinct commit wall-clocks
+    VersionedTable.commit(
+      documents(s, d).select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+        .repartitionByRange(8, col("doc_id"))
+        .sortWithinPartitions(col("doc_id")),
+      t, overwrite = true, statsCols = Seq("doc_id"))
+    pause()
+    VersionedTable.deleteWhere(s, t, col("doc_id") % 3 === 0,
+      deletionVectors = true)
+    pause()
+    VersionedTable.renameColumn(s, t, "h", "digest")
+    pause()
+    VersionedTable.restoreTo(s, t, 1)
+    pause()
+    VersionedTable.compact(s, t)
+    val hist = VersionedTable.versions(s, t)
+    require(hist.map(_.version) == Seq(0, 1, 2, 3, 4),
+      s"the walk expects exactly five versions: $hist")
+    require(hist.map(_.timestampMs) == hist.map(_.timestampMs).sorted &&
+      hist.map(_.timestampMs).distinct.size == 5,
+      "commit wall-clocks must be strictly increasing for the walk")
+    def atTs(v: Int) = s.sql(s"SELECT * FROM graft.`$t` " +
+      s"TIMESTAMP AS OF '${new java.sql.Timestamp(
+        hist.find(_.version == v).get.timestampMs)}'")
+    val total = atTs(0).count()
+    require(atTs(0).columns.toSeq == Seq("doc_id", "h", "source"),
+      "v0 travels under the original names")
+    val masked = atTs(1).count()
+    require(masked < total,
+      s"v1 must mask the DV-deleted band: $masked vs $total")
+    require(atTs(2).columns.toSeq == Seq("doc_id", "digest", "source"),
+      "v2 travels under the renamed column")
+    require(atTs(2).select(col("doc_id"), col("digest").as("h"),
+        col("source"))
+      .exceptAll(atTs(1)).isEmpty,
+      "the rename must be value-invisible under time travel")
+    require(atTs(3).columns.toSeq == Seq("doc_id", "h", "source") &&
+      atTs(3).count() == masked,
+      "the restore travels with v1's names and rows")
+    require(VersionedTable.readEntries(s, t, 4).forall(_.dv.isEmpty),
+      "the compact must materialize every vector")
+    require(atTs(4).count() == masked,
+      "the compact is value-invisible")
+    s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+  }
+
   // DV-DECAY POLICY (the masked-fraction bound,
   // VersionedTable.materializeDvAbove + CALL graft.materialize_dv):
   // lineitem lands range-clustered on l_orderkey, then two stacked DV
@@ -2178,6 +2241,7 @@ object Ops {
     "op_vt_sql_optimize" -> opVtSqlOptimize,
     "op_vt_recluster" -> opVtRecluster,
     "op_vt_dv_decay" -> opVtDvDecay,
+    "op_vt_history_walk" -> opVtHistoryWalk,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2598,6 +2662,12 @@ object Ops {
         |UNION ALL
         |SELECT doc_id, source, n_chars, doc_id % 7
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // The interleaved walk ends restored-to-v1 then compacted: the
+    // one real delete's anti-filter, under the original names.
+    "op_vt_history_walk" ->
+      """SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents
+        |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
     // The DV-decay repair must be value-invisible: the anti-filter
     // replay of the two stacked masks over the low key band.
     "op_vt_dv_decay" ->
