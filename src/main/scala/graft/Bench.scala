@@ -127,18 +127,24 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","env":$env}"""
     println(line)
-    // Per-query {min, med, load}: min is the steady-state estimate
-    // (headline + round comparisons; this box's measured ambient
-    // dispersion is ±40-50%, SCALE.md r10 bisection), med shows how
-    // noisy that query's runs were, load is the MAX 1-min loadavg
-    // sampled at its runs' starts — a query whose med/min spread is
-    // large under load>cpus indicts the box, not the code.
+    // Per-query {min, med, spread, load}: min is the steady-state
+    // estimate (headline + round comparisons; this box's measured
+    // ambient dispersion is ±40-50%, SCALE.md r10 bisection), med the
+    // noise-robust central tendency for round-over-round tables,
+    // spread = max - min the dispersion of that query's three runs,
+    // load the MAX 1-min loadavg sampled at its runs' starts — a
+    // query whose spread is large under load>cpus indicts the box,
+    // not the code. Printed to stdout too, so the driver's truncated
+    // round artifact carries the stats alongside the headline.
     val stats = results.map { case (k, ts) =>
       val med = ts.sorted.apply(ts.size / 2)
-      s"\"" + k + s"\":{\"min\":${ts.min},\"med\":$med,\"load\":${loadMax(k)}}"
+      val spread = ts.max - ts.min
+      s"\"" + k + s"\":{\"min\":${ts.min},\"med\":$med," +
+        s"\"spread\":$spread,\"load\":${loadMax(k)}}"
     }.mkString("{", ",", "}")
     val statsLine =
       s"""{"metric":"per_query_stats","queries":$stats,"sf":"$sfDir","env":$env}"""
+    println(statsLine)
     // The driver's BENCH_r{N}.json keeps only a truncated log tail (~90
     // of 158 per-query timings were invisible in r8); persist the full
     // lines so every timing survives for audit. Full runs land in-repo

@@ -2169,7 +2169,19 @@ object VersionedTable {
   def materializeDvAbove(spark: SparkSession, path: String,
       maxMaskedFraction: Double = 0.3,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Seq.empty): Option[Int] = {
+      clusterBy: Seq[String] = Seq.empty): Option[Int] =
+    materializeDvAboveMeasured(spark, path, maxMaskedFraction,
+      targetFileBytes, clusterBy)._2
+
+  /** [[materializeDvAbove]] also returning the decayed-file count the
+    * decision was actually made on — ONE manifest read serves both, so
+    * a reporter (`CALL graft.materialize_dv`) can never pair a
+    * re-measured count with a decision taken on different data under
+    * concurrent commits. */
+  def materializeDvAboveMeasured(spark: SparkSession, path: String,
+      maxMaskedFraction: Double = 0.3,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Seq.empty): (Int, Option[Int]) = {
     require(maxMaskedFraction > 0 && maxMaskedFraction <= 1,
       s"maxMaskedFraction must be in (0, 1]: $maxMaskedFraction")
     require(targetFileBytes > 0, s"bad target: $targetFileBytes")
@@ -2184,7 +2196,7 @@ object VersionedTable {
     val (decayed, carried) = entries.partition(e =>
       e.dv.exists(d => e.nRows > 0 &&
         d._2.toDouble / e.nRows > maxMaskedFraction))
-    if (decayed.isEmpty) return None
+    if (decayed.isEmpty) return (0, None)
     val bytes = decayed
       .map(e => fs.getFileStatus(new Path(root, e.name)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
@@ -2203,10 +2215,10 @@ object VersionedTable {
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
-      Some(v2)
+      (decayed.size, Some(v2))
     } else {
       published.foreach(n => fs.delete(new Path(root, n), false))
-      None
+      (decayed.size, None)
     }
   }
 
@@ -3372,6 +3384,16 @@ object VersionedTable {
       if (prior.isEmpty) hits
       else hits.unionByName(dvMask(spark, path, prior, "file", "pos"))
         .dropDuplicates("file", "pos")
+    // when priors absorb, per-file totals come from the DEDUPED frame
+    // itself, never `recorded + new` arithmetic: a historically
+    // duplicated prior would overstate nDeleted, and an overstated
+    // total can cross the fully-dead bound and DROP a file that still
+    // holds live rows. One delta-sized aggregation, only on the
+    // absorb path.
+    val exactTotals: Map[String, Long] =
+      if (prior.isEmpty) Map.empty
+      else allPos.groupBy("file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
     val side = stageAndPublish(allPos.coalesce(1), fs, root, v2)
     val sidecar = side match {
       case Seq(one) => one
@@ -3382,7 +3404,8 @@ object VersionedTable {
       perFile.get(e.name) match {
         case None => Some(e) // untouched: carried verbatim
         case Some(n) =>
-          val total = e.dv.map(_._2).getOrElse(0L) + n
+          val total = exactTotals.getOrElse(e.name,
+            e.dv.map(_._2).getOrElse(0L) + n)
           if (e.nRows >= 0 && total >= e.nRows) None // fully dead
           else Some(e.copy(dv = Some((sidecar, total))))
       }

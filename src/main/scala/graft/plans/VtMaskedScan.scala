@@ -55,7 +55,11 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
       if (src eq m.sourceTable) m else m.copy(sourceTable = src)
     case _ =>
       var rewrote = false
-      val out = plan.transform {
+      // transformWithSubqueries: a DV'd/mapped relation inside a
+      // subquery expression (IN/EXISTS/scalar) must rewrite too —
+      // plain transform never descends into expression-held plans and
+      // the query would refuse at the guard instead of answering
+      val out = plan.transformWithSubqueries {
         // pre-pushdown shape AND the post-pushdown ScanRelation (batch
         // order differs across rule-injection points; handle both —
         // the pruned ScanRelation output is a name-subset the masked

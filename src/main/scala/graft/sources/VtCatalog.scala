@@ -357,10 +357,18 @@ final class VtCatalog extends TableCatalog
         .TableAlreadyExistsException(ident)
     val statsCols = Option(properties.get("stats_cols")).toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    VersionedTable.commit(
+    // maxRetries = 0: a lost slot-0 race means ANOTHER creator won —
+    // the overwrite retry loop would silently replace their table, so
+    // surface the standard already-exists error instead
+    try VersionedTable.commit(
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-      path, overwrite = true, statsCols = statsCols)
+      path, overwrite = true, statsCols = statsCols, maxRetries = 0): Unit
+    catch {
+      case e: IllegalStateException if e.getMessage.contains("race") =>
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(ident)
+    }
     loadTable(ident)
   }
 

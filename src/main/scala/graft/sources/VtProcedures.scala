@@ -216,16 +216,11 @@ private[sources] object VtProcedures {
       StructField("version", IntegerType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = resolve(str(input, 0))
-      val bound = input.getDouble(1)
-      // count what the policy will see from the SAME latest manifest
-      // family it decides on: the count is advisory reporting; the
-      // decision itself re-reads inside the verb's own forWrite resolve
-      val nDecayed = VersionedTable.latestVersion(spark, path)
-        .map(v => VersionedTable.readEntries(spark, path, v).count(e =>
-          e.dv.exists(d => e.nRows > 0 &&
-            d._2.toDouble / e.nRows > bound))).getOrElse(0)
-      val v = VersionedTable.materializeDvAbove(spark, path,
-        maxMaskedFraction = bound,
+      // ONE measure serves both the decision and the report — a
+      // separate entries read could race a concurrent commit and
+      // report a count the decision never saw
+      val (nDecayed, v) = VersionedTable.materializeDvAboveMeasured(
+        spark, path, maxMaskedFraction = input.getDouble(1),
         targetFileBytes = input.getInt(2).toLong << 20)
       result(outSchema, Seq(new GenericInternalRow(Array[Any](
         nDecayed, v.nonEmpty, v.getOrElse(-1)))))

@@ -357,6 +357,13 @@ class VtCatalogSpec extends AnyFunSuite {
     spark.sql(s"UPDATE graft.`$t` SET amount = 0 WHERE id = 7")
     assert(spark.sql(s"SELECT amount FROM graft.`$t` WHERE id = 7")
       .collect()(0).getLong(0) == 0L)
+    // the masked relation rewrites inside SUBQUERY EXPRESSIONS too —
+    // plain transform never descends into expression-held plans
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE id IN " +
+        s"(SELECT id FROM graft.`$t` WHERE amount = 0)")
+      .collect()(0).getLong(0) == 1L,
+      "an IN-subquery over the DV'd+mapped table must answer")
     // healthy tables never rewrite: after OPTIMIZE the stock scan runs
     spark.sql(s"CALL graft.optimize(table => '$t', full => true)")
     assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$t`")
