@@ -1775,6 +1775,11 @@ object Ops {
         .repartitionByRange(8, col("doc_id"))
         .sortWithinPartitions(col("doc_id")),
       t, overwrite = true, statsCols = Seq("doc_id"))
+    if (VersionedTable.countRows(s, t).contains(0L))
+      // empty input: nothing to delete/restore — the walk's gates
+      // assume data; return the schema-shaped empty result
+      s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+    else {
     pause()
     VersionedTable.deleteWhere(s, t, col("doc_id") % 3 === 0,
       deletionVectors = true)
@@ -1813,6 +1818,7 @@ object Ops {
     require(atTs(4).count() == masked,
       "the compact is value-invisible")
     s.sql(s"SELECT doc_id, h, source FROM graft.`$t`")
+    }
   }
 
   // DV-DECAY POLICY (the masked-fraction bound,
@@ -1835,7 +1841,10 @@ object Ops {
       li.repartitionByRange(8, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey"),
       t, overwrite = true, statsCols = Seq("l_orderkey"))
-    val cut = li.agg(max("l_orderkey")).head.getLong(0) / 4
+    val mxRow = li.agg(max("l_orderkey")).head
+    if (mxRow.isNullAt(0)) VersionedTable.read(s, t) // empty input
+    else {
+    val cut = mxRow.getLong(0) / 4
     VersionedTable.deleteWhere(s, t,
       col("l_orderkey") <= cut && col("l_linenumber") % 2 === 0,
       deletionVectors = true)
@@ -1862,6 +1871,7 @@ object Ops {
     require(VersionedTable.materializeDvAbove(s, t).isEmpty,
       "the policy must no-op until decay returns")
     VersionedTable.read(s, t)
+    }
   }
 
   // SQL maintenance verbs (sources/VtProcedures.scala, Spark 4 stored

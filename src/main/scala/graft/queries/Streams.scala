@@ -805,9 +805,10 @@ object Streams {
           "must carry untouched files by reference")
     }
     val lastV = hist.map(_.version).max
-    require(VersionedTable.readEntries(s, table, lastV)
-      .exists(_.dv.nonEmpty),
-      "the CDC masking must have produced deletion vectors")
+    if (!VersionedTable.countRows(s, table, Some(0)).contains(0L))
+      require(VersionedTable.readEntries(s, table, lastV)
+        .exists(_.dv.nonEmpty),
+        "the CDC masking must have produced deletion vectors")
     VersionedTable.read(s, table)
   }
 
