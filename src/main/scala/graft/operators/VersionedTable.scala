@@ -1094,6 +1094,31 @@ object VersionedTable {
           retired, statsCols, identity)
     }
 
+  /** Re-declare the table's STATS/INDEX columns without rewriting
+    * data: a metadata-only `alter` commit re-records which columns get
+    * manifest spans + footer blooms. Files written AFTER the change
+    * collect for the new set; existing files keep whatever they
+    * collected — a newly-indexed column reads fine everywhere but
+    * prunes only the files that recorded it (OPTIMIZE rewrites them
+    * with full stats). The operational shape: you discover mid-life
+    * that a 100 TB table needs an index on another column, and the
+    * declaration must not cost a table rewrite. */
+  def setStatsCols(spark: SparkSession, path: String, cols: Seq[String],
+      maxRetries: Int = 5): Int = {
+    require(cols.forall(c => c.nonEmpty &&
+        !c.exists(ch => ch == ',' || ch == '\t' || ch < ' ')),
+      s"bad stats column names: $cols")
+    alterColumns(spark, path, maxRetries,
+      s"set stats_cols ${cols.mkString(",")}") {
+      (st, retired, _) =>
+        val missing = cols.filterNot(st.fieldNames.contains)
+        require(missing.isEmpty,
+          s"setStatsCols: no column(s) ${missing.mkString(",")} at " +
+            s"$path (columns: ${st.fieldNames.mkString(",")})")
+        (st, retired, cols, identity)
+    }
+  }
+
   /** DROP a column without rewriting data: a metadata-only `alter`
     * commit removes the field from the recorded schema — reads plan
     * the remaining columns only (the physical data stays in the files,
@@ -2147,6 +2172,44 @@ object VersionedTable {
       published.foreach(n => fs.delete(new Path(root, n), false))
       v
     }
+  }
+
+  /** One row of operational metadata for [[describeDetail]] — what a
+    * maintenance operator sizes vacuum/optimize/decay decisions on. */
+  final case class TableDetail(nFiles: Int, liveRows: Option[Long],
+      totalBytes: Long, dvFiles: Int, maskedRows: Long,
+      columnMapping: Boolean, retiredColumns: Int,
+      statsCols: Seq[String], timestampMs: Long)
+
+  /** DESCRIBE DETAIL of one committed version: file/row/byte totals
+    * and the deletion-vector / column-mapping feature state, read from
+    * the manifest alone (byte totals fall back to one file-status
+    * sweep only for entries predating the size field). `liveRows` is
+    * None when any file predates row-count recording. */
+  def describeDetail(spark: SparkSession, path: String,
+      version: Int): TableDetail = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val header = readHeader(fs, root, version)
+    requireVisible(fs, path, version, header)
+    val entries = readEntries(spark, path, version)
+    val (_, retired) = header.schemaJson.map(decodeSchemaFull)
+      .getOrElse((new StructType(), Seq.empty[String]))
+    TableDetail(
+      nFiles = entries.size,
+      liveRows =
+        if (entries.exists(_.nRows < 0)) None
+        else Some(entries.map(_.liveRows).sum),
+      totalBytes = entries.map(e =>
+        if (e.size >= 0) e.size
+        else fs.getFileStatus(new Path(root, e.name)).getLen).sum,
+      dvFiles = entries.count(_.dv.nonEmpty),
+      maskedRows = entries.flatMap(_.dv.map(_._2)).sum,
+      columnMapping = header.schemaJson.exists(j =>
+        schemaHasMapping(decodeSchema(j))),
+      retiredColumns = retired.size,
+      statsCols = header.statsCols,
+      timestampMs = header.timestampMs)
   }
 
   /** DV-DECAY POLICY: materialize the deletion vectors of ONLY the

@@ -415,11 +415,16 @@ final class VtCatalog extends TableCatalog
           .exists(_.fieldNames.contains(name))
         if (absent && java.lang.Boolean.TRUE == d.ifExists()) ()
         else VersionedTable.dropColumn(spark, path, name): Unit
+      case p: TableChange.SetProperty if p.property == "stats_cols" =>
+        // re-declare the span/bloom index without a rewrite: new files
+        // collect for the new set, old files prune on what they have
+        VersionedTable.setStatsCols(spark, path,
+          p.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)): Unit
       case other => throw new UnsupportedOperationException(
         s"$catalogName: ALTER TABLE change ${other.getClass.getSimpleName} " +
           "is not supported — supported: ADD COLUMN, RENAME COLUMN, " +
-          "DROP COLUMN (type changes need an overwrite rewrite; " +
-          "properties are fixed at CREATE)")
+          "DROP COLUMN, SET TBLPROPERTIES ('stats_cols' = ...) " +
+          "(type changes need an overwrite rewrite)")
     }
     loadTable(ident)
   }

@@ -45,13 +45,15 @@ private[sources] object VtProcedures {
       case "recluster" => new ReclusterProc(resolvePath)
       case "restore" => new RestoreProc(resolvePath)
       case "materialize_dv" => new MaterializeDvProc(resolvePath)
+      case "detail" | "describe_detail" => new DetailProc(resolvePath)
       case other => throw new IllegalArgumentException(
         s"unknown graft procedure $other — available: optimize, " +
-          "vacuum, history, expire, recluster, restore, materialize_dv")
+          "vacuum, history, expire, recluster, restore, " +
+          "materialize_dv, detail")
     }
 
   val names: Array[String] = Array("optimize", "vacuum", "history",
-    "expire", "recluster", "restore", "materialize_dv")
+    "expire", "recluster", "restore", "materialize_dv", "detail")
 
   private def spark: SparkSession = SparkSession.active
 
@@ -191,6 +193,43 @@ private[sources] object VtProcedures {
         targetFileBytes = input.getInt(3).toLong << 20)
       result(outSchema, Seq(new GenericInternalRow(Array[Any](
         decay.getOrElse(Double.NaN), v.nonEmpty, v.getOrElse(-1)))))
+    }
+  }
+
+  /** `detail(table)` → ONE metadata row (DESCRIBE DETAIL): latest
+    * version, file/row/byte totals, deletion-vector and column-mapping
+    * feature state, and the declared stats index — everything an
+    * operator needs to size maintenance, read from the manifest alone
+    * (plus one file-status sweep for byte totals when a pre-size-field
+    * manifest lacks them). `live_rows` is NULL when any file predates
+    * row-count recording. */
+  private final class DetailProc(resolve: String => String)
+      extends Proc("detail") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build())
+    private val outSchema = StructType(Seq(
+      StructField("version", IntegerType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("live_rows", LongType, nullable = true),
+      StructField("total_bytes", LongType, nullable = false),
+      StructField("dv_files", IntegerType, nullable = false),
+      StructField("masked_rows", LongType, nullable = false),
+      StructField("column_mapping", BooleanType, nullable = false),
+      StructField("retired_columns", IntegerType, nullable = false),
+      StructField("stats_cols", StringType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = resolve(str(input, 0))
+      val spk = spark
+      val v = VersionedTable.latestVersion(spk, path).getOrElse(
+        throw new IllegalStateException(s"no committed versions at $path"))
+      val d = VersionedTable.describeDetail(spk, path, v)
+      result(outSchema, Seq(new GenericInternalRow(Array[Any](
+        v, d.nFiles,
+        d.liveRows.map(java.lang.Long.valueOf).orNull,
+        d.totalBytes, d.dvFiles, d.maskedRows, d.columnMapping,
+        d.retiredColumns, UTF8String.fromString(
+          d.statsCols.mkString(",")), d.timestampMs))))
     }
   }
 

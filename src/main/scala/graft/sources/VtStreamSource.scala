@@ -315,7 +315,21 @@ final class VtStreamSource extends StreamSourceProvider
     val path = pathOf(parameters)
     val (_, resolved) =
       sourceSchema(sqlContext, schema, providerName, parameters)
-    val startingVersion = parameters.get("startingVersion").map(_.toInt)
+    // startingTimestamp: the wall-clock twin of startingVersion —
+    // resolve against the commit log's recorded timestamps ONCE at
+    // source creation (epoch millis, or a 'yyyy-mm-dd hh:mm:ss'
+    // literal in the JVM zone), then tail exactly like a version start
+    val startingTs = parameters.get("startingTimestamp").map { s =>
+      val ms =
+        if (s.forall(_.isDigit)) s.toLong
+        else java.sql.Timestamp.valueOf(s).getTime
+      VersionedTable.versionAsOf(sqlContext.sparkSession, path, ms)
+    }
+    require(startingTs.isEmpty || !parameters.contains("startingVersion"),
+      "graft-vt source: startingVersion and startingTimestamp are " +
+        "mutually exclusive — pick one start coordinate")
+    val startingVersion =
+      startingTs.orElse(parameters.get("startingVersion").map(_.toInt))
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     require(maxVersions.forall(_ >= 1),
       s"maxVersionsPerTrigger must be >= 1: $maxVersions")

@@ -668,7 +668,7 @@ class VersionedTableSpec extends AnyFunSuite {
           val base = 10000L * (tid + 1)
           var model = Map.empty[Long, String]
           var nextId = 0L
-          for (op <- 0 until opsPerThread) rnd.nextInt(3) match {
+          for (op <- 0 until opsPerThread) rnd.nextInt(4) match {
             case 0 => // append a fresh range
               val ids = (nextId until nextId + 3).map(base + _)
               nextId += 3
@@ -693,6 +693,12 @@ class VersionedTableSpec extends AnyFunSuite {
                   maxRetries = 30, deletionVectors = rnd.nextBoolean())
                 model -= k
               }
+            case 3 => // MAINTENANCE racing the DML: the decay rewrite
+              // is content-invisible (the model is untouched) and
+              // advisory — a lost slot race must clean its debris and
+              // no-op, never corrupt a racer's carried list
+              VersionedTable.materializeDvAbove(spark, t,
+                maxMaskedFraction = 0.01): Unit
           }
           model
         }

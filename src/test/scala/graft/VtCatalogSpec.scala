@@ -571,6 +571,70 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, t).last.mode == "restore")
   }
 
+  test("CALL graft.detail reports the feature state from metadata") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "det").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, t, col("id") < 10L,
+      deletionVectors = true)
+    VersionedTable.renameColumn(spark, t, "s", "txt")
+    val r = spark.sql(s"CALL graft.detail(table => '$t')").collect()(0)
+    assert(r.getInt(0) == 2, "latest version")
+    assert(r.getInt(1) == 2, "two data files")
+    assert(r.getLong(2) == 90L, "live rows = 100 - 10 masked")
+    assert(r.getLong(3) > 0L, "byte totals from the manifest")
+    assert(r.getInt(4) == 1 && r.getLong(5) == 10L,
+      "one DV'd file masking ten rows")
+    assert(r.getBoolean(6), "column mapping present after the rename")
+    assert(r.getInt(7) == 0, "nothing retired yet")
+    assert(r.getString(8) == "id", "the declared stats index")
+    // drop retires; optimize materializes — the row follows
+    VersionedTable.dropColumn(spark, t, "txt")
+    spark.sql(s"CALL graft.optimize(table => '$t', full => true)")
+    val r2 = spark.sql(s"CALL graft.detail(table => '$t')").collect()(0)
+    assert(r2.getInt(4) == 0 && r2.getLong(5) == 0L,
+      "vectors materialized away")
+    assert(r2.getInt(7) == 1, "one retired physical name")
+    assert(r2.getLong(2) == 90L, "content unchanged")
+  }
+
+  test("SET TBLPROPERTIES stats_cols re-declares the index, no rewrite") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "ssc").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 100L).map(i => (i, i * 2L)).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val before = VersionedTable.files(spark, t, 0).toSet
+    spark.sql(s"ALTER TABLE graft.`$t` " +
+      "SET TBLPROPERTIES ('stats_cols' = 'id,v')")
+    assert(VersionedTable.files(spark, t, 1).toSet == before,
+      "re-declaring the index must write zero data files")
+    // old files never collected v: the metadata span stays undecidable
+    // (conservative), never wrong
+    assert(VersionedTable.statsSpan(spark, t, "v").isEmpty)
+    // new files collect for the new set; a full rewrite covers all
+    spark.sql(s"CALL graft.optimize(table => '$t', full => true)")
+    assert(VersionedTable.statsSpan(spark, t, "v")
+      .contains(Some((0L, 198L))),
+      "after the rewrite every file carries the new column's span")
+    // unknown columns refuse
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` " +
+        "SET TBLPROPERTIES ('stats_cols' = 'nope')")
+    }
+    assert(e.getMessage.contains("no column"), e.getMessage)
+    // other properties stay out of the surface
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` " +
+        "SET TBLPROPERTIES ('owner' = 'me')")
+    }
+    assert(e2.getMessage.contains("not supported"), e2.getMessage)
+  }
+
   test("out-of-surface verbs refuse; missing tables error cleanly") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "nope").getAbsolutePath

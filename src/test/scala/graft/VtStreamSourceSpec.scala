@@ -198,6 +198,44 @@ class VtStreamSourceSpec extends AnyFunSuite {
       "the consumer already holds v0 — only the appends arrive")
   }
 
+  test("startingTimestamp resolves the wall clock to a version start") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    VersionedTable.commit(df(0 until 10), t, overwrite = true)
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    VersionedTable.commit(df(10 until 15), t, overwrite = false)
+    val got = new scala.collection.mutable.ArrayBuffer[Long]()
+    val q = spark.readStream.format(fmt).option("path", t)
+      .option("startingTimestamp", between.toString)
+      .load().writeStream
+      .foreachBatch((b: DataFrame, _: Long) =>
+        b.select("id").collect().foreach(r => got.synchronized {
+          got += r.getLong(0): Unit
+        }))
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(got.sorted == (10L until 15L),
+      "a timestamp between v0 and v1 tails from after v0")
+    // both start coordinates at once refuse loudly
+    val e = intercept[Exception] {
+      spark.readStream.format(fmt).option("path", t)
+        .option("startingTimestamp", between.toString)
+        .option("startingVersion", "0").load()
+        .writeStream.foreachBatch((_: DataFrame, _: Long) => ())
+        .option("checkpointLocation", s"$dir/ck2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t =>
+        Option(t.getMessage).toSeq ++ msgs(t.getCause))
+    assert(msgs(e).exists(_.contains("mutually exclusive")), e.getMessage)
+  }
+
   test("a non-append commit inside the tail window fails loudly") {
     val dir = tmpDir()
     val t = new java.io.File(dir, "t").getAbsolutePath
