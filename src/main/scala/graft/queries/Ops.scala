@@ -1752,6 +1752,42 @@ object Ops {
     VersionedTable.read(s, t)
   }
 
+  // LIVE INDEX RE-DECLARATION (VersionedTable.setStatsCols via ALTER
+  // TABLE SET TBLPROPERTIES): mid-life the table re-declares its
+  // span/bloom index to include l_quantity with zero data movement —
+  // gated that no data file is written, the new column's metadata
+  // span stays undecidable (conservative, never wrong) until OPTIMIZE
+  // rewrites, then answers exactly. Value-invisible: the plain-table
+  // oracle.
+  val opVtStatsRedeclare: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val dir = Sources.fixtureDir(s, "graft_vtsr_")
+    Sources.registerCleanup(dir)
+    val t = s"${dir.getAbsolutePath}/li"
+    VersionedTable.commit(
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val f0 = VersionedTable.files(s, t, 0).toSet
+    s.sql(s"ALTER TABLE graft.`$t` SET TBLPROPERTIES " +
+      "('stats_cols' = 'l_orderkey,l_quantity')")
+    val v1 = VersionedTable.latestVersion(s, t).get
+    require(VersionedTable.files(s, t, v1).toSet == f0,
+      "re-declaring the index must write zero data files")
+    require(VersionedTable.statsSpan(s, t, "l_quantity").isEmpty,
+      "files predating the declaration must stay conservative")
+    s.sql(s"CALL graft.optimize(table => '$t', full => true)")
+    require(VersionedTable.statsSpan(s, t, "l_quantity").exists(_.nonEmpty),
+      "after the rewrite the new index answers exact metadata spans")
+    require(VersionedTable.countRows(s, t).nonEmpty &&
+      VersionedTable.countRows(s, t) == VersionedTable.countRows(s, t, Some(0)),
+      "the whole walk is content-invisible")
+    VersionedTable.read(s, t)
+  }
+
   // COMBINED TIME-TRAVEL WALK: one history interleaving every
   // metadata feature — DV delete → column rename → restore → compact —
   // read back version BY VERSION through `TIMESTAMP AS OF` on the SQL
@@ -2252,6 +2288,7 @@ object Ops {
     "op_vt_recluster" -> opVtRecluster,
     "op_vt_dv_decay" -> opVtDvDecay,
     "op_vt_history_walk" -> opVtHistoryWalk,
+    "op_vt_stats_redeclare" -> opVtStatsRedeclare,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2672,6 +2709,10 @@ object Ops {
         |UNION ALL
         |SELECT doc_id, source, n_chars, doc_id % 7
         |FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+    // Index re-declaration + rewrite must be value-invisible.
+    "op_vt_stats_redeclare" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem""".stripMargin,
     // The interleaved walk ends restored-to-v1 then compacted: the
     // one real delete's anti-filter, under the original names.
     "op_vt_history_walk" ->
