@@ -261,8 +261,9 @@ object VersionedTable {
     * reshape the schema freely (the table is replaced). */
   def commit(df: DataFrame, path: String, overwrite: Boolean,
       txnId: Option[String] = None, statsCols: Seq[String] = Seq.empty,
-      maxRetries: Int = 5): Int =
-    commitImpl(df, path, overwrite, txnId, statsCols, maxRetries, () => ())
+      maxRetries: Int = 5, expectVersion: Option[Int] = None): Int =
+    commitImpl(df, path, overwrite, txnId, statsCols, maxRetries, () => (),
+      expectVersion = expectVersion)
 
   /** [[commit]] with fault-injection seams: `onBeforeManifestCommit`
     * runs between PUBLISH and COMMIT (the window where a concurrent
@@ -276,7 +277,8 @@ object VersionedTable {
       overwrite: Boolean, txnId: Option[String], statsCols: Seq[String],
       maxRetries: Int, onBeforeManifestCommit: () => Unit,
       onBeforePromote: () => Unit = () => (),
-      pendingTxn: Option[String] = None): Int = {
+      pendingTxn: Option[String] = None,
+      expectVersion: Option[Int] = None): Int = {
     require(txnId.forall(t => t.nonEmpty && !t.exists(_ < ' ')),
       s"txnId must be non-empty printable text: $txnId")
     val spark = df.sparkSession
@@ -293,6 +295,14 @@ object VersionedTable {
     // must still no-op, not refuse)
     enforceConstraints(df, constraintsOf(fs, root), s"commit to $path")
     val v0 = nums0.lastOption.map(_ + 1).getOrElse(0)
+    // slot pinning (CREATE TABLE): a commit whose whole meaning is
+    // "version N or nothing" must refuse when the slot moved between
+    // the caller's existence probe and this listing — retrying at a
+    // later slot would silently replace another creator's table
+    expectVersion.foreach(ev => if (v0 != ev)
+      throw new IllegalStateException(
+        s"versioned commit at $path lost the slot-$ev race " +
+          s"(next slot is $v0) — giving up"))
     // resolve the indexed columns BEFORE staging so the data files get
     // their footer blooms (a lost-race retry keeps the files as-is —
     // bloom presence is opportunistic, the manifest stats are re-
@@ -1051,7 +1061,8 @@ object VersionedTable {
           throw new IllegalArgumentException(
             s"renameColumn: no column $from at $path (columns: " +
               s"${st.fieldNames.mkString(",")})"))
-        require(!st.fields.exists(_.name == to),
+        require(!st.fields.exists(f =>
+            f.name.equalsIgnoreCase(to) && f.name != from),
           s"renameColumn: column $to already exists at $path")
         val nf = f.copy(name = to,
           metadata = new org.apache.spark.sql.types.MetadataBuilder()
@@ -1081,10 +1092,15 @@ object VersionedTable {
       maxRetries: Int = 5): Int =
     alterColumns(spark, path, maxRetries, s"add $name") {
       (st, retired, statsCols) =>
-        require(!st.fields.exists(_.name == name),
+        // CASE-INSENSITIVE collision checks: Spark SQL resolves
+        // case-insensitively by default, so a case-variant twin would
+        // commit fine and then wedge every SQL read on
+        // AMBIGUOUS_REFERENCE
+        require(!st.fields.exists(_.name.equalsIgnoreCase(name)),
           s"addColumn: column $name already exists at $path")
-        val usedPhysical = st.fields.map(physicalNameOf).toSet ++ retired
-        require(!usedPhysical.contains(name),
+        val usedPhysical = (st.fields.map(physicalNameOf).toSeq ++
+          retired).map(_.toLowerCase).toSet
+        require(!usedPhysical.contains(name.toLowerCase),
           s"addColumn: $name carries physical history at $path " +
             "(renamed or dropped) — old files still hold that " +
             "physical data; pick another name or rewrite via an " +
@@ -2260,8 +2276,11 @@ object VersionedTable {
       e.dv.exists(d => e.nRows > 0 &&
         d._2.toDouble / e.nRows > maxMaskedFraction))
     if (decayed.isEmpty) return (0, None)
-    val bytes = decayed
-      .map(e => fs.getFileStatus(new Path(root, e.name)).getLen).sum
+    // manifest sizes first — one metadata RPC per file only for
+    // entries predating the size field
+    val bytes = decayed.map(e =>
+      if (e.size >= 0) e.size
+      else fs.getFileStatus(new Path(root, e.name)).getLen).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val base = maskedRead(spark, header.schemaJson, path, decayed)
     val packed =
@@ -3305,12 +3324,23 @@ object VersionedTable {
       dved: Seq[FileEntry]): Map[String, Array[Long]] =
     dved.groupBy(_.dv.get._1).toSeq.sortBy(_._1)
       .flatMap { case (sidecar, es) =>
-        val names = es.map(_.name).toSet
-        spark.read.parquet(s"$path/$sidecar").select("file", "pos")
-          .collect().iterator
-          .map(r => (r.getString(0), r.getLong(1)))
-          .filter(t => names.contains(t._1))
-          .toSeq
+        // restrict IN-QUERY, before the collect: a shared sidecar can
+        // carry another (since-rewritten, possibly huge) file's
+        // positions, and the positions cap bounds only what the
+        // REQUESTED entries mask — collecting the whole sidecar first
+        // would let an unrequested tenant blow the driver
+        val names = es.map(_.name)
+        val base = spark.read.parquet(s"$path/$sidecar")
+          .select("file", "pos")
+        val mine =
+          if (names.size <= 1000) base.where(col("file").isin(names: _*))
+          else {
+            import spark.implicits._
+            base.join(broadcast(names.toDF("file")), Seq("file"),
+              "left_semi")
+          }
+        mine.collect().iterator
+          .map(r => (r.getString(0), r.getLong(1))).toSeq
       }
       .groupBy(_._1)
       .map { case (f, ps) => f -> ps.map(_._2).distinct.sorted.toArray }

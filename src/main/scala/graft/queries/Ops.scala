@@ -1831,9 +1831,18 @@ object Ops {
     require(hist.map(_.timestampMs) == hist.map(_.timestampMs).sorted &&
       hist.map(_.timestampMs).distinct.size == 5,
       "commit wall-clocks must be strictly increasing for the walk")
-    def atTs(v: Int) = s.sql(s"SELECT * FROM graft.`$t` " +
-      s"TIMESTAMP AS OF '${new java.sql.Timestamp(
-        hist.find(_.version == v).get.timestampMs)}'")
+    // render the literal in the SESSION zone (Spark parses timestamp
+    // literals there, NOT in the JVM default zone — a
+    // java.sql.Timestamp.toString would mis-resolve on non-UTC hosts)
+    val zone = java.time.ZoneId.of(s.conf.get(
+      "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    def atTs(v: Int) = {
+      val ms = hist.find(_.version == v).get.timestampMs
+      val lit = java.time.Instant.ofEpochMilli(ms).atZone(zone)
+        .toLocalDateTime.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      s.sql(s"SELECT * FROM graft.`$t` TIMESTAMP AS OF '$lit'")
+    }
     val total = atTs(0).count()
     require(atTs(0).columns.toSeq == Seq("doc_id", "h", "source"),
       "v0 travels under the original names")

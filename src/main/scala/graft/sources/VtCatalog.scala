@@ -352,18 +352,34 @@ final class VtCatalog extends TableCatalog
         s"$catalogName: LOCATION is not supported — the table " +
           "identifier IS the location (an absolute backticked path, " +
           "or a name under the catalog root)")
+    // refuse unknown user properties LOUDLY (a typo'd 'stats_cols'
+    // silently losing the index declaration is the failure mode);
+    // Spark injects its own bookkeeping keys — those pass
+    val sparkManaged = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+      TableCatalog.PROP_EXTERNAL, "stats_cols")
+    val unknown = properties.keySet.toArray.map(_.toString)
+      .filterNot(k => sparkManaged.contains(k) || k.startsWith("option."))
+    if (unknown.nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: unknown TBLPROPERTIES ${unknown.mkString(",")} — " +
+        "supported: 'stats_cols' (comma list of span/bloom index " +
+        "columns)")
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
     val statsCols = Option(properties.get("stats_cols")).toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-    // maxRetries = 0: a lost slot-0 race means ANOTHER creator won —
-    // the overwrite retry loop would silently replace their table, so
-    // surface the standard already-exists error instead
+    // expectVersion = 0 pins creation to slot 0 and maxRetries = 0
+    // forbids re-slotting: whether another creator fully landed
+    // between our existence probe and the listing, or we lose the
+    // true slot-0 promote race, the overwrite must NEVER retry at a
+    // later slot (that would silently replace their table) — both
+    // paths surface the standard already-exists error
     try VersionedTable.commit(
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
-      path, overwrite = true, statsCols = statsCols, maxRetries = 0): Unit
+      path, overwrite = true, statsCols = statsCols, maxRetries = 0,
+      expectVersion = Some(0)): Unit
     catch {
       case e: IllegalStateException if e.getMessage.contains("race") =>
         throw new org.apache.spark.sql.catalyst.analysis
@@ -392,9 +408,14 @@ final class VtCatalog extends TableCatalog
           "column DDL verbs operate on top-level columns")
       fieldNames(0)
     }
-    changes.foreach {
+    // VALIDATE every change's SHAPE before applying any: each change
+    // is its own commit (documented), so an unsupported second change
+    // must refuse the whole statement up front, not leave the first
+    // half-applied. (Table-state validation — exists/collides — still
+    // happens per-commit inside the verbs.)
+    def shapeCheck(c: TableChange): Unit = c match {
       case a: TableChange.AddColumn =>
-        val name = single("ADD COLUMN", a.fieldNames)
+        single("ADD COLUMN", a.fieldNames): Unit
         if (a.position != null) throw new UnsupportedOperationException(
           s"$catalogName: ADD COLUMN FIRST/AFTER is not supported — " +
             "columns append at the end of the schema")
@@ -404,45 +425,65 @@ final class VtCatalog extends TableCatalog
         if (!a.isNullable) throw new UnsupportedOperationException(
           s"$catalogName: an added column must be nullable — " +
             "existing rows cannot conjure values")
-        VersionedTable.addColumn(spark, path, name, a.dataType): Unit
       case r: TableChange.RenameColumn =>
-        VersionedTable.renameColumn(spark, path,
-          single("RENAME COLUMN", r.fieldNames), r.newName): Unit
+        single("RENAME COLUMN", r.fieldNames): Unit
       case d: TableChange.DeleteColumn =>
-        val name = single("DROP COLUMN", d.fieldNames)
-        val absent = !VersionedTable.latestVersion(spark, path)
-          .flatMap(v => VersionedTable.schemaOf(spark, path, v))
-          .exists(_.fieldNames.contains(name))
-        if (absent && java.lang.Boolean.TRUE == d.ifExists()) ()
-        else VersionedTable.dropColumn(spark, path, name): Unit
-      case p: TableChange.SetProperty if p.property == "stats_cols" =>
-        // re-declare the span/bloom index without a rewrite: new files
-        // collect for the new set, old files prune on what they have
-        VersionedTable.setStatsCols(spark, path,
-          p.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)): Unit
+        single("DROP COLUMN", d.fieldNames): Unit
+      case p: TableChange.SetProperty if p.property == "stats_cols" => ()
       case other => throw new UnsupportedOperationException(
         s"$catalogName: ALTER TABLE change ${other.getClass.getSimpleName} " +
           "is not supported — supported: ADD COLUMN, RENAME COLUMN, " +
           "DROP COLUMN, SET TBLPROPERTIES ('stats_cols' = ...) " +
           "(type changes need an overwrite rewrite)")
     }
+    changes.foreach(shapeCheck)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        VersionedTable.addColumn(spark, path, a.fieldNames()(0),
+          a.dataType): Unit
+      case r: TableChange.RenameColumn =>
+        VersionedTable.renameColumn(spark, path, r.fieldNames()(0),
+          r.newName): Unit
+      case d: TableChange.DeleteColumn =>
+        val name = d.fieldNames()(0)
+        val absent = !VersionedTable.latestVersion(spark, path)
+          .flatMap(v => VersionedTable.schemaOf(spark, path, v))
+          .exists(_.fieldNames.contains(name))
+        if (absent && java.lang.Boolean.TRUE == d.ifExists()) ()
+        else VersionedTable.dropColumn(spark, path, name): Unit
+      case p: TableChange.SetProperty =>
+        // re-declare the span/bloom index without a rewrite: new files
+        // collect for the new set, old files prune on what they have
+        VersionedTable.setStatsCols(spark, path,
+          p.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)): Unit
+      case other => throw new IllegalStateException(
+        s"unreachable: $other passed shapeCheck")
+    }
     loadTable(ident)
   }
 
-  /** `DROP TABLE` is GUARDED: it refuses unless the table is provably
-    * EMPTY (metadata-only zero row count) — one statement must not be
-    * able to delete 100 TB. `DROP TABLE ... PURGE` ([[purgeTable]])
-    * is the explicit force. */
+  /** `DROP TABLE` is GUARDED: it refuses unless EVERY live version is
+    * provably empty (metadata-only zero row counts) — one statement
+    * must not be able to delete 100 TB, and "the latest version is
+    * empty" is not "the table holds nothing": a TRUNCATE/DELETE-all
+    * leaves every prior version's data time-travelable. `DROP TABLE
+    * ... PURGE` ([[purgeTable]]) is the explicit force. */
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val path = pathOf(ident)
-    val rows = VersionedTable.countRows(spark, path)
-    if (!rows.contains(0L)) throw new UnsupportedOperationException(
-      s"$catalogName: DROP TABLE refuses — $path holds " +
-        s"${rows.map(_.toString).getOrElse("an unknown number of")} " +
-        "rows and dropping deletes every version's data; use " +
-        "DROP TABLE ... PURGE to force, or expire()/vacuum for " +
-        "retention")
+    val holding = VersionedTable.versions(spark, path).find { v =>
+      !VersionedTable.countRows(spark, path, Some(v.version))
+        .contains(0L)
+    }
+    holding.foreach { v =>
+      val rows = VersionedTable.countRows(spark, path, Some(v.version))
+      throw new UnsupportedOperationException(
+        s"$catalogName: DROP TABLE refuses — version ${v.version} of " +
+          s"$path holds ${rows.map(_.toString)
+            .getOrElse("an unknown number of")} rows and dropping " +
+          "deletes every version's data; use DROP TABLE ... PURGE to " +
+          "force, or expire()/vacuum for retention")
+    }
     purgeTable(ident)
   }
 

@@ -51,6 +51,11 @@ import graft.operators.VersionedTable
   * snapshot semantics) and the stream tails appends from there. With
   * `startingVersion=N`, the stream delivers only appends AFTER
   * version N — the consumer already holds N (its saved watermark).
+  * `startingTimestamp=T` (epoch millis or a timestamp literal) is the
+  * wall-clock twin, INCLUSIVE: commits at-or-after T deliver; a T
+  * predating the whole table degrades to the full snapshot + tail
+  * ("everything since T" when the table is younger than T), never an
+  * error. Mutually exclusive with `startingVersion`.
   *
   * REFUSALS ARE LOUD, never wrong rows: a non-append commit
   * (overwrite / delete / merge / OPTIMIZE) inside a tail window makes
@@ -318,16 +323,22 @@ final class VtStreamSource extends StreamSourceProvider
     // startingTimestamp: the wall-clock twin of startingVersion —
     // resolve against the commit log's recorded timestamps ONCE at
     // source creation (epoch millis, or a 'yyyy-mm-dd hh:mm:ss'
-    // literal in the JVM zone), then tail exactly like a version start
-    val startingTs = parameters.get("startingTimestamp").map { s =>
+    // literal in the JVM zone). INCLUSIVE: commits at-or-after the
+    // timestamp DELIVER, so the consumer's held state is the latest
+    // version strictly BEFORE it; a timestamp predating the whole
+    // table means "everything" and falls back to the ordinary full
+    // snapshot + tail (never an error).
+    require(!(parameters.contains("startingTimestamp") &&
+        parameters.contains("startingVersion")),
+      "graft-vt source: startingVersion and startingTimestamp are " +
+        "mutually exclusive — pick one start coordinate")
+    val startingTs = parameters.get("startingTimestamp").flatMap { s =>
       val ms =
         if (s.forall(_.isDigit)) s.toLong
         else java.sql.Timestamp.valueOf(s).getTime
-      VersionedTable.versionAsOf(sqlContext.sparkSession, path, ms)
+      VersionedTable.versions(sqlContext.sparkSession, path)
+        .takeWhile(_.timestampMs < ms).lastOption.map(_.version)
     }
-    require(startingTs.isEmpty || !parameters.contains("startingVersion"),
-      "graft-vt source: startingVersion and startingTimestamp are " +
-        "mutually exclusive — pick one start coordinate")
     val startingVersion =
       startingTs.orElse(parameters.get("startingVersion").map(_.toInt))
     val maxVersions = parameters.get("maxVersionsPerTrigger").map(_.toInt)
