@@ -1053,28 +1053,9 @@ object VersionedTable {
     * alias) — `commit(read(spark, path), path, overwrite = true)`
     * materializes the mapping away. */
   def renameColumn(spark: SparkSession, path: String, from: String,
-      to: String, maxRetries: Int = 5): Int = {
-    require(from != to, s"renameColumn: $from -> $to is a no-op")
-    alterColumns(spark, path, maxRetries, s"rename $from -> $to") {
-      (st, retired, statsCols) =>
-        val f = st.fields.find(_.name == from).getOrElse(
-          throw new IllegalArgumentException(
-            s"renameColumn: no column $from at $path (columns: " +
-              s"${st.fieldNames.mkString(",")})"))
-        require(!st.fields.exists(f =>
-            f.name.equalsIgnoreCase(to) && f.name != from),
-          s"renameColumn: column $to already exists at $path")
-        val nf = f.copy(name = to,
-          metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putString(PhysicalKey, physicalNameOf(f)).build())
-        (StructType(st.fields.map(x => if (x.name == from) nf else x)),
-          retired,
-          statsCols.map(c => if (c == from) to else c),
-          stats => stats.map { case (k, v) =>
-            (if (k == from) to else k) -> v })
-    }
-  }
+      to: String, maxRetries: Int = 5): Int =
+    alterColumnsBatch(spark, path,
+      Seq(ColumnChange.Rename(from, to)), maxRetries)
 
   /** ADD a column without rewriting data: a metadata-only `alter`
     * commit extends the recorded schema — every existing file
@@ -1090,8 +1071,59 @@ object VersionedTable {
   def addColumn(spark: SparkSession, path: String, name: String,
       dataType: org.apache.spark.sql.types.DataType,
       maxRetries: Int = 5): Int =
-    alterColumns(spark, path, maxRetries, s"add $name") {
-      (st, retired, statsCols) =>
+    alterColumnsBatch(spark, path,
+      Seq(ColumnChange.Add(name, dataType)), maxRetries)
+
+  /** Re-declare the table's STATS/INDEX columns without rewriting
+    * data: a metadata-only `alter` commit re-records which columns get
+    * manifest spans + footer blooms. Files written AFTER the change
+    * collect for the new set; existing files keep whatever they
+    * collected — a newly-indexed column reads fine everywhere but
+    * prunes only the files that recorded it (OPTIMIZE rewrites them
+    * with full stats). The operational shape: you discover mid-life
+    * that a 100 TB table needs an index on another column, and the
+    * declaration must not cost a table rewrite. */
+  def setStatsCols(spark: SparkSession, path: String, cols: Seq[String],
+      maxRetries: Int = 5): Int =
+    alterColumnsBatch(spark, path,
+      Seq(ColumnChange.SetStats(cols)), maxRetries)
+
+  /** DROP a column without rewriting data: a metadata-only `alter`
+    * commit removes the field from the recorded schema — reads plan
+    * the remaining columns only (the physical data stays in the files,
+    * invisible), the column's span stats leave the manifest, and its
+    * PHYSICAL name is recorded as RETIRED so a later append can never
+    * re-bind it to the stale bytes ([[resolveSchema]] refuses; an
+    * overwrite commit frees the name). Earlier versions time-travel
+    * with the column intact. Refuses on the last column and when a
+    * CHECK constraint references it. */
+  def dropColumn(spark: SparkSession, path: String, name: String,
+      maxRetries: Int = 5): Int =
+    alterColumnsBatch(spark, path,
+      Seq(ColumnChange.Drop(name)), maxRetries)
+
+  /** One metadata-only column DDL step, for [[alterColumnsBatch]] —
+    * the vocabulary a multi-change `ALTER TABLE` statement composes
+    * into ONE atomic commit. */
+  sealed trait ColumnChange
+  object ColumnChange {
+    final case class Add(name: String,
+        dataType: org.apache.spark.sql.types.DataType) extends ColumnChange
+    final case class Rename(from: String, to: String) extends ColumnChange
+    final case class Drop(name: String) extends ColumnChange
+    final case class SetStats(cols: Seq[String]) extends ColumnChange
+  }
+
+  /** Evolving (schema, retired physical names, stats cols, entry-stats
+    * re-keyer) state threaded through a change sequence. */
+  private type AlterState = (StructType, Seq[String], Seq[String],
+    Map[String, Option[(Any, Any)]] => Map[String, Option[(Any, Any)]])
+
+  private def applyColumnChange(path: String, state: AlterState,
+      change: ColumnChange): AlterState = {
+    val (st, retired, statsCols, rekey) = state
+    change match {
+      case ColumnChange.Add(name, dataType) =>
         // CASE-INSENSITIVE collision checks: Spark SQL resolves
         // case-insensitively by default, so a case-variant twin would
         // commit fine and then wedge every SQL read on
@@ -1107,47 +1139,26 @@ object VersionedTable {
             "overwrite commit")
         (StructType(st.fields :+ org.apache.spark.sql.types.StructField(
           name, dataType, nullable = true)),
-          retired, statsCols, identity)
-    }
-
-  /** Re-declare the table's STATS/INDEX columns without rewriting
-    * data: a metadata-only `alter` commit re-records which columns get
-    * manifest spans + footer blooms. Files written AFTER the change
-    * collect for the new set; existing files keep whatever they
-    * collected — a newly-indexed column reads fine everywhere but
-    * prunes only the files that recorded it (OPTIMIZE rewrites them
-    * with full stats). The operational shape: you discover mid-life
-    * that a 100 TB table needs an index on another column, and the
-    * declaration must not cost a table rewrite. */
-  def setStatsCols(spark: SparkSession, path: String, cols: Seq[String],
-      maxRetries: Int = 5): Int = {
-    require(cols.forall(c => c.nonEmpty &&
-        !c.exists(ch => ch == ',' || ch == '\t' || ch < ' ')),
-      s"bad stats column names: $cols")
-    alterColumns(spark, path, maxRetries,
-      s"set stats_cols ${cols.mkString(",")}") {
-      (st, retired, _) =>
-        val missing = cols.filterNot(st.fieldNames.contains)
-        require(missing.isEmpty,
-          s"setStatsCols: no column(s) ${missing.mkString(",")} at " +
-            s"$path (columns: ${st.fieldNames.mkString(",")})")
-        (st, retired, cols, identity)
-    }
-  }
-
-  /** DROP a column without rewriting data: a metadata-only `alter`
-    * commit removes the field from the recorded schema — reads plan
-    * the remaining columns only (the physical data stays in the files,
-    * invisible), the column's span stats leave the manifest, and its
-    * PHYSICAL name is recorded as RETIRED so a later append can never
-    * re-bind it to the stale bytes ([[resolveSchema]] refuses; an
-    * overwrite commit frees the name). Earlier versions time-travel
-    * with the column intact. Refuses on the last column and when a
-    * CHECK constraint references it. */
-  def dropColumn(spark: SparkSession, path: String, name: String,
-      maxRetries: Int = 5): Int =
-    alterColumns(spark, path, maxRetries, s"drop $name") {
-      (st, retired, statsCols) =>
+          retired, statsCols, rekey)
+      case ColumnChange.Rename(from, to) =>
+        require(from != to, s"renameColumn: $from -> $to is a no-op")
+        val f = st.fields.find(_.name == from).getOrElse(
+          throw new IllegalArgumentException(
+            s"renameColumn: no column $from at $path (columns: " +
+              s"${st.fieldNames.mkString(",")})"))
+        require(!st.fields.exists(f =>
+            f.name.equalsIgnoreCase(to) && f.name != from),
+          s"renameColumn: column $to already exists at $path")
+        val nf = f.copy(name = to,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(PhysicalKey, physicalNameOf(f)).build())
+        (StructType(st.fields.map(x => if (x.name == from) nf else x)),
+          retired,
+          statsCols.map(c => if (c == from) to else c),
+          rekey.andThen(stats => stats.map { case (k, v) =>
+            (if (k == from) to else k) -> v }))
+      case ColumnChange.Drop(name) =>
         val f = st.fields.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
             s"dropColumn: no column $name at $path (columns: " +
@@ -1157,8 +1168,37 @@ object VersionedTable {
         (StructType(st.fields.filterNot(_.name == name)),
           retired :+ physicalNameOf(f),
           statsCols.filterNot(_ == name),
-          stats => stats - name)
+          rekey.andThen(stats => stats - name))
+      case ColumnChange.SetStats(cols) =>
+        require(cols.forall(c => c.nonEmpty &&
+            !c.exists(ch => ch == ',' || ch == '\t' || ch < ' ')),
+          s"bad stats column names: $cols")
+        val missing = cols.filterNot(st.fieldNames.contains)
+        require(missing.isEmpty,
+          s"setStatsCols: no column(s) ${missing.mkString(",")} at " +
+            s"$path (columns: ${st.fieldNames.mkString(",")})")
+        (st, retired, cols, rekey)
     }
+  }
+
+  /** Apply a SEQUENCE of column DDL changes as ONE atomic `alter`
+    * commit — what a multi-change `ALTER TABLE` statement needs:
+    * either every change lands (one new version) or none does, and
+    * the changes compose left-to-right against the evolving schema
+    * (an added column can be renamed in the same statement). The
+    * single-change verbs ([[addColumn]]/[[renameColumn]]/
+    * [[dropColumn]]/[[setStatsCols]]) are each a batch of one. */
+  def alterColumnsBatch(spark: SparkSession, path: String,
+      changes: Seq[ColumnChange], maxRetries: Int = 5): Int = {
+    require(changes.nonEmpty, "alterColumnsBatch: no changes")
+    alterColumns(spark, path, maxRetries, changes.mkString("; ")) {
+      (st, retired, statsCols) =>
+        changes.foldLeft(
+          (st, retired, statsCols,
+            identity[Map[String, Option[(Any, Any)]]] _): AlterState)(
+          applyColumnChange(path, _, _))
+    }
+  }
 
   /** Shared machinery of the metadata-only column DDL: resolve the
     * latest schema, transform (schema, retired, statsCols, and an

@@ -393,10 +393,13 @@ final class VtCatalog extends TableCatalog
     * [[VersionedTable.addColumn]] (old files back-fill null), RENAME
     * COLUMN → [[VersionedTable.renameColumn]] (column mapping, zero
     * rewrite), DROP COLUMN → [[VersionedTable.dropColumn]] (physical
-    * name retired). Every change is its own `alter` commit; earlier
-    * versions time-travel with their own shapes. Shapes the verbs
-    * cannot express (nested fields, positions, defaults, type
-    * changes, properties) refuse loudly. */
+    * name retired), SET TBLPROPERTIES('stats_cols') →
+    * [[VersionedTable.setStatsCols]]. The WHOLE statement lowers onto
+    * ONE atomic `alter` commit ([[VersionedTable.alterColumnsBatch]]):
+    * either every change lands or none does. Earlier versions
+    * time-travel with their own shapes. Shapes the verbs cannot
+    * express (nested fields, positions, defaults, type changes,
+    * other properties) refuse loudly. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val path = pathOf(ident)
@@ -408,11 +411,9 @@ final class VtCatalog extends TableCatalog
           "column DDL verbs operate on top-level columns")
       fieldNames(0)
     }
-    // VALIDATE every change's SHAPE before applying any: each change
-    // is its own commit (documented), so an unsupported second change
-    // must refuse the whole statement up front, not leave the first
-    // half-applied. (Table-state validation — exists/collides — still
-    // happens per-commit inside the verbs.)
+    // VALIDATE every change's SHAPE first, then lower the WHOLE
+    // statement onto ONE atomic alter commit — either every change
+    // lands (one new version) or none does.
     def shapeCheck(c: TableChange): Unit = c match {
       case a: TableChange.AddColumn =>
         single("ADD COLUMN", a.fieldNames): Unit
@@ -437,28 +438,30 @@ final class VtCatalog extends TableCatalog
           "(type changes need an overwrite rewrite)")
     }
     changes.foreach(shapeCheck)
-    changes.foreach {
+    val lowered = changes.flatMap {
       case a: TableChange.AddColumn =>
-        VersionedTable.addColumn(spark, path, a.fieldNames()(0),
-          a.dataType): Unit
+        Some(VersionedTable.ColumnChange.Add(a.fieldNames()(0),
+          a.dataType))
       case r: TableChange.RenameColumn =>
-        VersionedTable.renameColumn(spark, path, r.fieldNames()(0),
-          r.newName): Unit
+        Some(VersionedTable.ColumnChange.Rename(r.fieldNames()(0),
+          r.newName))
       case d: TableChange.DeleteColumn =>
         val name = d.fieldNames()(0)
         val absent = !VersionedTable.latestVersion(spark, path)
           .flatMap(v => VersionedTable.schemaOf(spark, path, v))
           .exists(_.fieldNames.contains(name))
-        if (absent && java.lang.Boolean.TRUE == d.ifExists()) ()
-        else VersionedTable.dropColumn(spark, path, name): Unit
+        if (absent && java.lang.Boolean.TRUE == d.ifExists()) None
+        else Some(VersionedTable.ColumnChange.Drop(name))
       case p: TableChange.SetProperty =>
         // re-declare the span/bloom index without a rewrite: new files
         // collect for the new set, old files prune on what they have
-        VersionedTable.setStatsCols(spark, path,
-          p.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)): Unit
+        Some(VersionedTable.ColumnChange.SetStats(
+          p.value.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
       case other => throw new IllegalStateException(
         s"unreachable: $other passed shapeCheck")
     }
+    if (lowered.nonEmpty)
+      VersionedTable.alterColumnsBatch(spark, path, lowered): Unit
     loadTable(ident)
   }
 

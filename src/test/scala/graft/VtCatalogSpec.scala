@@ -571,6 +571,34 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, t).last.mode == "restore")
   }
 
+  test("multi-change ALTER TABLE is one atomic commit") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "multi").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t,
+      overwrite = true)
+    // two adds arrive as one statement → ONE new version, both present
+    spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (x BIGINT, y STRING)")
+    assert(VersionedTable.latestVersion(spark, t).contains(1),
+      "the whole statement is one alter commit")
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("id", "s", "x", "y"))
+    // a failing change anywhere refuses the WHOLE statement: nothing
+    // lands, no version is consumed
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$t` ADD COLUMNS (z BIGINT, x INT)")
+    }
+    assert(VersionedTable.latestVersion(spark, t).contains(1),
+      "a refused statement must leave no partial commit")
+    assert(!spark.sql(s"SELECT * FROM graft.`$t`").columns.contains("z"))
+    // changes compose left-to-right against the evolving schema
+    VersionedTable.alterColumnsBatch(spark, t, Seq(
+      VersionedTable.ColumnChange.Add("w", org.apache.spark.sql.types
+        .LongType),
+      VersionedTable.ColumnChange.Rename("w", "width")))
+    assert(spark.sql(s"SELECT * FROM graft.`$t`").columns.toSeq ==
+      Seq("id", "s", "x", "y", "width"))
+  }
+
   test("CALL graft.detail reports the feature state from metadata") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "det").getAbsolutePath
