@@ -80,17 +80,33 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
       // Only rewritten plans pay this; every other query is untouched.
       if (!rewrote) out
       else {
-        var p = out
-        var prev: LogicalPlan = null
-        var i = 0
-        while (i < 10 && !p.fastEquals(prev)) {
-          prev = p
-          p = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(
-            org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(p))
-          i += 1
+        // subquery plans re-optimize too: a rewrite inside an
+        // IN/EXISTS/scalar subquery leaves that subquery's own
+        // predicates stranded above the masked union otherwise (the
+        // direct rule application below never descends into
+        // expression-held plans)
+        fixedPointPushdown(out).transformAllExpressionsWithSubqueries {
+          case sub: org.apache.spark.sql.catalyst.expressions
+              .SubqueryExpression =>
+            sub.withNewPlan(fixedPointPushdown(sub.plan))
         }
-        p
       }
+  }
+
+  /** Bounded fixed point of the standard pushdown/pruning passes —
+    * what the rewrite must re-run itself, because the "User Provided
+    * Optimizers" batch fires after Spark's own filter batches. */
+  private def fixedPointPushdown(plan: LogicalPlan): LogicalPlan = {
+    var p = plan
+    var prev: LogicalPlan = null
+    var i = 0
+    while (i < 10 && !p.fastEquals(prev)) {
+      prev = p
+      p = org.apache.spark.sql.catalyst.optimizer.ColumnPruning(
+        org.apache.spark.sql.catalyst.optimizer.PushDownPredicates(p))
+      i += 1
+    }
+    p
   }
 
   private def remask(t: VtTable,
