@@ -2863,13 +2863,45 @@ object VersionedTable {
     }
   }
 
+  /** DROP tombstone: present in `_graft_log` from the moment a DROP
+    * decides to proceed until the purge removes the directory. Every
+    * verb that lists versions refuses while it exists — the window
+    * where a concurrent commit could land into a table being deleted
+    * closes to the promote-time check in [[tryWriteManifest]]. */
+  private val DroppedName = "_dropped"
+
+  /** Write the DROP tombstone (idempotent). After this, every
+    * commit/read verb refuses loudly until the purge finishes — or
+    * [[unmarkDropped]] aborts the drop. */
+  private[graft] def markDropped(fs: FileSystem, root: Path): Unit = {
+    val p = new Path(root, s"$LogDir/$DroppedName")
+    if (!fs.exists(p)) { val out = fs.create(p, true); out.close() }
+  }
+
+  private[graft] def unmarkDropped(fs: FileSystem, root: Path): Unit =
+    fs.delete(new Path(root, s"$LogDir/$DroppedName"), false): Unit
+
+  private[graft] def isDropped(fs: FileSystem, root: Path): Boolean =
+    fs.exists(new Path(root, s"$LogDir/$DroppedName"))
+
   /** The committed version numbers, ascending — ONE directory listing,
-    * no manifest reads. */
-  private def listVersionNumbers(fs: FileSystem, root: Path): Seq[Int] = {
+    * no manifest reads. Refuses while a DROP tombstone is present
+    * (detected from the SAME listing — no extra RPC): a dropped
+    * table's remains must never answer as a table. */
+  private def listVersionNumbers(fs: FileSystem, root: Path): Seq[Int] =
+    listVersionNumbersRaw(fs, root, ignoreDropped = false)
+
+  private[graft] def listVersionNumbersRaw(fs: FileSystem, root: Path,
+      ignoreDropped: Boolean): Seq[Int] = {
     val log = new Path(root, LogDir)
     if (!fs.exists(log)) return Seq.empty
-    fs.listStatus(log).map(_.getPath.getName)
-      .filter(_.matches("v\\d{5}\\.manifest"))
+    val names = fs.listStatus(log).map(_.getPath.getName)
+    if (!ignoreDropped && names.contains(DroppedName))
+      throw new IllegalStateException(
+        s"table $root is DROPPED (a DROP TABLE tombstone is present) " +
+          "— re-run DROP TABLE ... PURGE to finish the removal, or " +
+          s"delete $LogDir/$DroppedName to abort it")
+    names.filter(_.matches("v\\d{5}\\.manifest"))
       .map(_.stripPrefix("v").stripSuffix(".manifest").toInt)
       .sorted.toSeq
   }
@@ -3794,6 +3826,17 @@ object VersionedTable {
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     onBeforePromote()
+    // last-moment DROP check: a commit whose listing predates the
+    // tombstone must not land into a table being purged (the residual
+    // — tombstone AND directory gone between this check and the
+    // promote — leaves only LOUD failures: a resurrected root whose
+    // carried files are missing can never answer a query)
+    if (isDropped(fs, root)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"table $root is DROPPED — refusing to commit into a table " +
+          "being purged")
+    }
     val won = atomicPromote(fs, tmp, dest)
     if (!won) fs.delete(tmp, false)
     won

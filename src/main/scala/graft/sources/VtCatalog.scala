@@ -154,7 +154,13 @@ final class VtCatalog extends TableCatalog
 
   override def tableExists(ident: Identifier): Boolean =
     try VersionedTable.latestVersion(spark, pathOf(ident)).nonEmpty
-    catch { case _: IllegalArgumentException => false }
+    catch {
+      case _: IllegalArgumentException => false
+      // a crashed drop's tombstone: the remains exist (so DROP ...
+      // PURGE can reach purgeTable and finish), reads keep refusing
+      case e: IllegalStateException
+          if e.getMessage.contains("DROPPED") => true
+    }
 
   /** Directories under `root`/namespace holding a `_graft_log`. */
   override def listTables(namespace: Array[String]): Array[Identifier] =
@@ -474,29 +480,48 @@ final class VtCatalog extends TableCatalog
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val path = pathOf(ident)
-    val holding = VersionedTable.versions(spark, path).find { v =>
-      !VersionedTable.countRows(spark, path, Some(v.version))
-        .contains(0L)
-    }
-    holding.foreach { v =>
-      val rows = VersionedTable.countRows(spark, path, Some(v.version))
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    def sweep(): Option[(Int, Option[Long])] =
+      VersionedTable.versions(spark, path).iterator.map(v =>
+        (v.version, VersionedTable.countRows(spark, path,
+          Some(v.version)))).find(!_._2.contains(0L))
+    def refuse(v: Int, rows: Option[Long]): Nothing =
       throw new UnsupportedOperationException(
-        s"$catalogName: DROP TABLE refuses — version ${v.version} of " +
-          s"$path holds ${rows.map(_.toString)
+        s"$catalogName: DROP TABLE refuses — version $v of $path " +
+          s"holds ${rows.map(_.toString)
             .getOrElse("an unknown number of")} rows and dropping " +
           "deletes every version's data; use DROP TABLE ... PURGE to " +
           "force, or expire()/vacuum for retention")
+    sweep().foreach((refuse _).tupled)
+    // TOMBSTONE-then-resweep closes the check-then-act window: the
+    // tombstone blocks every new commit (listing + promote-time
+    // checks), and the second sweep catches any commit that landed
+    // between the first sweep and the tombstone — refusing aborts the
+    // drop cleanly
+    VersionedTable.markDropped(fs, root)
+    val late = VersionedTable.listVersionNumbersRaw(fs, root,
+      ignoreDropped = true).iterator.map(v =>
+        (v, VersionedTable.countRows(spark, path, Some(v))))
+      .find(!_._2.contains(0L))
+    late.foreach { case (v, rows) =>
+      VersionedTable.unmarkDropped(fs, root)
+      refuse(v, rows)
     }
-    purgeTable(ident)
+    fs.delete(root, true)
   }
 
   /** `DROP TABLE ... PURGE`: delete the table root — data files,
     * sidecars, and the whole commit log. The explicit, spelled-out
-    * destructive verb. */
+    * destructive verb; tombstones first so concurrent commits refuse
+    * loudly instead of landing into the purge. Also finishes a drop
+    * that crashed between its tombstone and the delete. */
   override def purgeTable(ident: Identifier): Boolean = {
-    if (!tableExists(ident)) return false
     val root = new org.apache.hadoop.fs.Path(pathOf(ident))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_graft_log")))
+      return false
+    VersionedTable.markDropped(fs, root)
     fs.delete(root, true)
   }
 

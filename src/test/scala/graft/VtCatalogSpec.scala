@@ -571,6 +571,43 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(VersionedTable.versions(spark, t).last.mode == "restore")
   }
 
+  test("DROP tombstone blocks commits and reads; crashed drops finish") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "tomb").getAbsolutePath
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), t,
+      overwrite = true)
+    val root = new org.apache.hadoop.fs.Path(t)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // the mid-drop state: tombstone written, purge not yet run —
+    // every verb refuses loudly with the recovery instruction
+    VersionedTable.markDropped(fs, root)
+    val e1 = intercept[IllegalStateException] {
+      VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), t,
+        overwrite = false)
+    }
+    assert(e1.getMessage.contains("DROPPED"), e1.getMessage)
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.read(spark, t).count()
+    }
+    assert(e2.getMessage.contains("DROPPED"), e2.getMessage)
+    // aborting the drop restores the table whole
+    VersionedTable.unmarkDropped(fs, root)
+    assert(VersionedTable.read(spark, t).count() == 1)
+    // a commit in flight when the tombstone lands refuses at the
+    // commit point (the promote-time check), never lands into a purge
+    val e3 = intercept[IllegalStateException] {
+      VersionedTable.commitImpl(
+        Seq((3L, "c")).toDF("id", "s"), t, overwrite = false,
+        txnId = None, statsCols = Seq.empty, maxRetries = 0,
+        onBeforeManifestCommit = () =>
+          VersionedTable.markDropped(fs, root))
+    }
+    assert(e3.getMessage.contains("DROPPED"), e3.getMessage)
+    // a drop that crashed between tombstone and purge: PURGE finishes
+    spark.sql(s"DROP TABLE graft.`$t` PURGE")
+    assert(!new java.io.File(t).exists())
+  }
+
   test("multi-change ALTER TABLE is one atomic commit") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "multi").getAbsolutePath
