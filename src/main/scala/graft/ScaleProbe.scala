@@ -28,7 +28,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv", "vtseg")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -874,6 +874,62 @@ object ScaleProbe {
         lane("ow", 1000, 100, overwrite = true))
       time("vtlog append lane (300 versions — O(live files) manifest)")(
         lane("ap", 300, 50, overwrite = false))
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Segmented-manifest economics: the append lane above is honest
+    // about the inline layout's O(live files) manifest rewrite per
+    // commit — this lane quantifies what the v7 segmented layout does
+    // to it. A 512-file base table takes 60 single-file appends under
+    // each layout; per-commit METADATA BYTES WRITTEN (log-dir growth:
+    // manifest + fresh segments + checkpoints) and per-commit ms are
+    // the comparison. At 100 TB (~800k files, ~100 B/entry ⇒ ~80 MB
+    // inline manifest) the inline lane's per-commit write IS the
+    // commit cost at streaming cadence; segmented writes the delta.
+    if (stages("vtseg")) {
+      import graft.operators.VersionedTable
+      val dir = java.nio.file.Files.createTempDirectory("probe_vtseg_")
+      val base = spark.range(512L * 100)
+        .selectExpr("id", "cast(id as string) as s")
+        .repartition(512).localCheckpoint()
+      val one = spark.range(1)
+        .selectExpr("id + 1000000 as id", "cast(id as string) as s")
+        .coalesce(1).localCheckpoint()
+      def logBytes(t: String): Long = {
+        val d = new java.io.File(t, "_graft_log")
+        if (!d.exists()) 0L else d.listFiles().map(_.length()).sum
+      }
+      def lane(name: String, threshold: Int): (Double, Double) = {
+        val prev = VersionedTable.segmentThreshold
+        VersionedTable.setSegmentThreshold(threshold)
+        try {
+          val t = s"$dir/$name"
+          VersionedTable.commit(base, t, overwrite = true,
+            statsCols = Seq("id"))
+          val bytes = new scala.collection.mutable.ArrayBuffer[Long]()
+          val t0 = System.nanoTime()
+          (0 until 60).foreach { i =>
+            val before = logBytes(t)
+            VersionedTable.commit(one, t, overwrite = false,
+              txnId = Some(s"${name}_$i"))
+            bytes += logBytes(t) - before
+          }
+          val ms = (System.nanoTime() - t0) / 1e6 / 60
+          val mb = bytes.sum / 60.0 / 1024 / 1024
+          println(f"[probe] vtseg/$name: ${ms}%.1f ms/commit, " +
+            f"${mb}%.3f MB metadata written/commit " +
+            f"(min ${bytes.min / 1024}%d KB, max ${bytes.max / 1024}%d KB)")
+          require(VersionedTable.read(spark, t).count() == 512L * 100 + 60,
+            "both lanes must agree on content")
+          (ms, mb)
+        } finally VersionedTable.setSegmentThreshold(prev)
+      }
+      val (_, inlineMb) = time("vtseg inline lane (512-file base, 60 appends)")(
+        lane("inline", Int.MaxValue))
+      val (_, segMb) = time("vtseg segmented lane (same shape)")(
+        lane("seg", 1))
+      println(f"[probe] vtseg: metadata write ratio inline/segmented = " +
+        f"${inlineMb / segMb}%.1f x")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 

@@ -633,6 +633,84 @@ object Ops {
         col("source"))
   }
 
+  // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
+  // the inline layout rewrites the full O(live files) entry list per
+  // commit (~80 MB per commit at ~800k files), so at streaming
+  // cadence the manifest write IS the commit cost. The v7 layout
+  // stores entries in immutable uuid-named segment files and each
+  // manifest just references them: an append carries every previous
+  // segment BY REFERENCE and writes one delta-sized segment (gated),
+  // a delete rewrites only the segments it touches (gated: the
+  // untouched half's segment survives verbatim), and expire+vacuum
+  // retire segments exactly when no retained version references them
+  // (gated). The whole layout must be value-invisible: the oracle is
+  // the plain anti-filter over documents.
+  val opVtSegmented: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    val dir = Sources.fixtureDir(s, "graft_vtseg_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "docs").getAbsolutePath
+    val prevThreshold = VersionedTable.segmentThreshold
+    VersionedTable.setSegmentThreshold(2)
+    try {
+      val docs = documents(s, d).where(col("doc_id").isNotNull)
+        .select(col("doc_id"), col("text"), col("source"))
+      // zero-row fixture: nothing to segment — commit the empty table
+      // and return the schema-shaped empty result (no gates to assert)
+      val maxRow = docs.agg(max(col("doc_id"))).collect()(0)
+      val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+      val half = (maxId + 1) / 2
+      val q3 = (3L * (maxId + 1)) / 4
+      def clustered(df: org.apache.spark.sql.DataFrame) =
+        df.repartitionByRange(4, col("doc_id"))
+          .sortWithinPartitions(col("doc_id"))
+      VersionedTable.commit(clustered(docs.where(col("doc_id") < half)),
+        t, overwrite = true, statsCols = Seq("doc_id"))
+      val segs0 = VersionedTable.segmentNames(s, t, 0)
+      require(maxId < 0 || segs0.nonEmpty,
+        "the base commit must be segmented (v7)")
+      val v1 = VersionedTable.commit(
+        clustered(docs.where(col("doc_id") >= half)),
+        t, overwrite = false, txnId = Some("vtseg_append"))
+      if (v1 == 1 && maxId >= 0) {
+        val segs1 = VersionedTable.segmentNames(s, t, 1)
+        require(segs0.toSet.subsetOf(segs1.toSet),
+          "an append must carry every previous segment by reference")
+        require((segs1.toSet -- segs0.toSet).size == 1,
+          "an append writes exactly one delta-sized segment")
+        val mfBytes = new java.io.File(t,
+          "_graft_log/v00001.manifest").length()
+        require(mfBytes < 2048,
+          s"a segmented manifest is ref lines, not entries: ${mfBytes}B")
+        // the delete predicate hits only the appended half's files
+        // (range-clustered: the base half's spans exclude it), so the
+        // base segment must carry by reference through the delete
+        val v2 = VersionedTable.deleteWhere(s, t, col("doc_id") >= q3,
+          txnId = Some("vtseg_del"))
+        val segs2 = VersionedTable.segmentNames(s, t, v2).toSet
+        require(segs0.toSet.subsetOf(segs2),
+          "a delete must not rewrite segments it provably cannot touch")
+        require((segs1.toSet -- segs2).nonEmpty,
+          "the touched segment must be replaced")
+        require(VersionedTable.deleteWhere(s, t, col("doc_id") >= q3,
+          txnId = Some("vtseg_del")) == v2,
+          "a replayed delete (same txnId) must no-op")
+        // retention: segments die exactly with their last referencing
+        // version
+        VersionedTable.expire(s, t, keepLast = 1)
+        VersionedTable.vacuumUnreferenced(s, t, 0L)
+        val onDisk = new java.io.File(t, "_graft_log").listFiles()
+          .map(_.getName).filter(_.endsWith(".segment")).toSet
+        require(onDisk == segs2,
+          s"after expire+vacuum only v$v2's segments remain: " +
+            s"$onDisk vs $segs2")
+      }
+      VersionedTable.read(s, t)
+        .select(col("doc_id"),
+          md5(coalesce(col("text"), lit(""))).as("h"), col("source"))
+    } finally VersionedTable.setSegmentThreshold(prevThreshold)
+  }
+
   // DELETION-VECTOR UPDATE + MERGE (the write-amplification fix for
   // the remaining mutation verbs): both predicates/keys are
   // OFF-CLUSTER (every range-clustered file holds matches), yet
@@ -2304,6 +2382,7 @@ object Ops {
     "op_vt_dv_decay" -> opVtDvDecay,
     "op_vt_history_walk" -> opVtHistoryWalk,
     "op_vt_stats_redeclare" -> opVtStatsRedeclare,
+    "op_vt_segmented" -> opVtSegmented,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2734,6 +2813,15 @@ object Ops {
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source
         |FROM documents
         |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
+    // The segmented (v7) manifest layout must be value-invisible:
+    // base half ∪ appended half, minus the top-quartile delete.
+    "op_vt_segmented" ->
+      """WITH mx AS (SELECT (3 * (max(doc_id) + 1)) // 4 AS q3
+        |           FROM documents WHERE doc_id IS NOT NULL)
+        |SELECT doc_id, md5(coalesce(text, '')) AS h, source
+        |FROM documents
+        |WHERE doc_id IS NOT NULL
+        |  AND doc_id < (SELECT q3 FROM mx)""".stripMargin,
     // The DV-decay repair must be value-invisible: the anti-filter
     // replay of the two stacked masks over the low key band.
     "op_vt_dv_decay" ->
