@@ -44,6 +44,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL UPDATE / MERGE INTO for versioned catalog tables — lowers
     // the resolved commands onto the transactional Scala verbs.
     ext.injectPlannerStrategy(_ => graft.plans.VtDmlStrategy)
+    // Whole-table count/min/max over versioned tables fold to the
+    // manifest's exact metadata — zero data files opened. MUST run
+    // before the masked-scan rewrite (a DV'd table's count answers
+    // from live-row metadata instead of planning the masking read).
+    ext.injectOptimizerRule(_ => graft.plans.VtMetadataAgg)
     // SQL SELECT over deletion-vector'd / column-mapped versions —
     // swaps the relation for the masking read plan pre-pushdown.
     ext.injectOptimizerRule(_ => graft.plans.VtMaskedScanRewrite)
@@ -70,6 +75,8 @@ object GraftExtensions {
     registerTextSql(spark)
     graft.plans.VtDml.ensureRegistered(spark)
     graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    // prepends itself, so it stays ahead of the masked rewrite
+    graft.plans.VtMetadataAgg.ensureRegistered(spark)
     // Runtime twin of injectOptimizerRule: the experimental batch runs
     // at the end of logical optimization — single-distinct aggregates
     // are still un-rewritten there (their planning happens physical-

@@ -633,6 +633,59 @@ object Ops {
         col("source"))
   }
 
+  // METADATA-ONLY AGGREGATES (the Delta/Iceberg metadata-query
+  // posture): a whole-table SQL count/min/max over a versioned
+  // catalog table folds to a LocalRelation computed from the
+  // manifest's exact row counts and footer-harvested spans — ZERO
+  // data files opened (gated: the optimized plan's only leaves are
+  // LocalRelations). At 100 TB that turns a multi-minute 800k-file
+  // scan into a milliseconds manifest read. Exact-or-untouched:
+  // count stays foldable on DV'd versions (live = physical − masked,
+  // gated), min/max refuse there (a masked row could have held the
+  // extremum) and on un-indexed columns. The oracle recomputes all
+  // four values by full scan in DuckDB.
+  val opVtMetaAgg: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtmeta_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    VersionedTable.deleteWhere(s, t, col("l_orderkey") % 4 === 0,
+      txnId = Some("vtmeta_del"), deletionVectors = true)
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val meta = s.sql(
+      s"SELECT count(*) AS n0, min(l_orderkey) AS lo, " +
+        s"max(l_orderkey) AS hi FROM graft.`$t` VERSION AS OF 0")
+    require(foldsToLocal(meta),
+      "whole-table count/min/max must fold to manifest metadata")
+    val after = s.sql(s"SELECT count(*) AS n1 FROM graft.`$t`")
+    require(foldsToLocal(after),
+      "count over the DV'd version must fold (live = physical - masked)")
+    // zero-row fixture: the delete masks nothing, so the exactness
+    // refusal below has no DV to refuse on — gate only when one exists
+    val hasDv = VersionedTable.latestVersion(s, t).exists(v =>
+      VersionedTable.readEntries(s, t, v).exists(_.dv.nonEmpty))
+    if (hasDv) {
+      val mx = s.sql(s"SELECT max(l_orderkey) AS hi FROM graft.`$t`")
+      require(!foldsToLocal(mx),
+        "max over a DV'd version must rescan — a masked row could " +
+          "have held the extremum")
+    }
+    meta.crossJoin(after)
+  }
+
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
   // the inline layout rewrites the full O(live files) entry list per
   // commit (~80 MB per commit at ~800k files), so at streaming
@@ -2383,6 +2436,7 @@ object Ops {
     "op_vt_history_walk" -> opVtHistoryWalk,
     "op_vt_stats_redeclare" -> opVtStatsRedeclare,
     "op_vt_segmented" -> opVtSegmented,
+    "op_vt_meta_agg" -> opVtMetaAgg,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2813,6 +2867,15 @@ object Ops {
       """SELECT doc_id, md5(coalesce(text, '')) AS h, source
         |FROM documents
         |WHERE doc_id IS NULL OR doc_id % 3 <> 0""".stripMargin,
+    // Metadata-folded aggregates must equal the full scan DuckDB runs:
+    // whole-table count/min/max of version 0, plus the live count
+    // after the DV delete of the l_orderkey % 4 = 0 band.
+    "op_vt_meta_agg" ->
+      """SELECT (SELECT count(*) FROM lineitem) AS n0,
+        |       (SELECT min(l_orderkey) FROM lineitem) AS lo,
+        |       (SELECT max(l_orderkey) FROM lineitem) AS hi,
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey IS NULL OR l_orderkey % 4 <> 0) AS n1""".stripMargin,
     // The segmented (v7) manifest layout must be value-invisible:
     // base half ∪ appended half, minus the top-quartile delete.
     "op_vt_segmented" ->

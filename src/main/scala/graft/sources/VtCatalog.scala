@@ -121,9 +121,7 @@ final class VtCatalog extends TableCatalog
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
     if (writable) new VtSqlTable(pq, path, version, scanRefusal)
-    else if (scanRefusal.nonEmpty)
-      new VtTimeTravelTable(pq, path, version, scanRefusal)
-    else pq
+    else new VtTimeTravelTable(pq, path, version, scanRefusal)
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -287,8 +285,11 @@ final class VtCatalog extends TableCatalog
     * DML strategy must never match it), with the scan guarded exactly
     * like [[VtSqlTable]]'s: the masked-scan rewrite serves the SELECT
     * when registered; otherwise the guard refuses at materialization.
-    * Healthy time-travel versions never construct this — they stay
-    * the bare DSv2 parquet table (zero overhead). */
+    * Healthy time-travel versions carry it too (with no refusal the
+    * scan passes straight through — zero overhead): the [[VtTable]]
+    * marker is what lets [[graft.plans.VtMetadataAgg]] fold a
+    * whole-table count/min/max of ANY pinned version from its
+    * manifest. */
   private final class VtTimeTravelTable(
       inner: org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,

@@ -34,10 +34,11 @@ private[sources] object VtScanGuard {
   }
 
   private def proxyOf(target: AnyRef,
-      intercept: (Method, Array[AnyRef]) => Option[AnyRef]): AnyRef =
+      intercept: (Method, Array[AnyRef]) => Option[AnyRef],
+      extraInterfaces: Array[Class[_]] = Array.empty): AnyRef =
     Proxy.newProxyInstance(
       target.getClass.getClassLoader,
-      allInterfaces(target.getClass),
+      allInterfaces(target.getClass) ++ extraInterfaces,
       new InvocationHandler {
         override def invoke(p: AnyRef, method: Method,
             args: Array[AnyRef]): AnyRef =
@@ -62,5 +63,17 @@ private[sources] object VtScanGuard {
     proxyOf(scan, (m, _) =>
       if (materializers(m.getName))
         throw new IllegalArgumentException(refusal)
-      else None)
+      else if (m.getName == "vtUnderlying" && m.getParameterCount == 0)
+        Some(scan)
+      else None,
+      extraInterfaces = Array(classOf[VtGuardedScan]))
+}
+
+/** Marker every guarded scan proxy implements: plan-analysis code
+  * (e.g. [[graft.plans.VtMetadataAgg]], which must see the REAL
+  * parquet scan's pushed-filter state before folding an aggregate to
+  * manifest metadata) unwraps through it. The guard itself is
+  * untouched — materialization still refuses. */
+trait VtGuardedScan {
+  def vtUnderlying(): AnyRef
 }
