@@ -376,6 +376,15 @@ final class VtCatalog extends TableCatalog
         .TableAlreadyExistsException(ident)
     val statsCols = Option(properties.get("stats_cols")).toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+    // the VALUE gets the same typo protection as the key: a declared
+    // index column must exist in the schema (case-insensitively, as
+    // SQL resolves), or the table is born with a silently-dead index
+    val known = schema.fieldNames.map(_.toLowerCase).toSet
+    val missing = statsCols.filterNot(c => known.contains(c.toLowerCase))
+    if (missing.nonEmpty) throw new UnsupportedOperationException(
+      s"$catalogName: stats_cols name columns the schema lacks: " +
+        s"${missing.mkString(",")} (schema: " +
+        s"${schema.fieldNames.mkString(",")})")
     // expectVersion = 0 pins creation to slot 0 and maxRetries = 0
     // forbids re-slotting: whether another creator fully landed
     // between our existence probe and the listing, or we lose the
@@ -501,10 +510,34 @@ final class VtCatalog extends TableCatalog
     // between the first sweep and the tombstone — refusing aborts the
     // drop cleanly
     VersionedTable.markDropped(fs, root)
-    val late = VersionedTable.listVersionNumbersRaw(fs, root,
-      ignoreDropped = true).iterator.map(v =>
-        (v, VersionedTable.countRows(spark, path, Some(v))))
-      .find(!_._2.contains(0L))
+    // The late sweep walks RAW slots (pendings included) — any refusal
+    // or unexpected failure here must UNMARK before surfacing, or the
+    // leaked tombstone bricks a table that was never deleted. Slot
+    // classification: an ABORTED multi-table pending holds no
+    // committed data (skip); an UNDECIDED one could still commit
+    // (refuse the drop); anything else non-empty refuses as before.
+    val late =
+      try VersionedTable.listVersionNumbersRaw(fs, root,
+        ignoreDropped = true).iterator.map { v =>
+          val rows =
+            try VersionedTable.countRows(spark, path, Some(v))
+            catch {
+              case _: VersionedTable.TxnInDoubtException =>
+                throw new UnsupportedOperationException(
+                  s"$catalogName: DROP TABLE refuses — version $v of " +
+                    s"$path belongs to an UNDECIDED multi-table txn " +
+                    "that could still commit; decide it first")
+              case e: IllegalStateException
+                  if Option(e.getMessage).exists(_.contains("ABORTED")) =>
+                Some(0L) // aborted pending: no committed data in it
+            }
+          (v, rows)
+        }.find(!_._2.contains(0L))
+      catch {
+        case t: Throwable =>
+          VersionedTable.unmarkDropped(fs, root)
+          throw t
+      }
     late.foreach { case (v, rows) =>
       VersionedTable.unmarkDropped(fs, root)
       refuse(v, rows)

@@ -37,7 +37,12 @@ private[sources] object VtScanGuard {
       intercept: (Method, Array[AnyRef]) => Option[AnyRef],
       extraInterfaces: Array[Class[_]] = Array.empty): AnyRef =
     Proxy.newProxyInstance(
-      target.getClass.getClassLoader,
+      // graft's own loader: it sees both the Spark interfaces (its
+      // parent) and the graft-defined ones (VtGuardedScan). The
+      // target's loader would be Spark's system classpath under a
+      // --jars deployment, which cannot load graft classes — the
+      // proxy construction itself would throw on every guarded scan.
+      classOf[VtGuardedScan].getClassLoader,
       allInterfaces(target.getClass) ++ extraInterfaces,
       new InvocationHandler {
         override def invoke(p: AnyRef, method: Method,

@@ -724,4 +724,55 @@ class VtCatalogSpec extends AnyFunSuite {
         _.getMessage.contains("RENAME TABLE is not supported")),
       e2.getMessage)
   }
+
+  test("CREATE TABLE refuses stats_cols naming columns the schema lacks") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "typo").getAbsolutePath
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$t` (doc_id BIGINT, s STRING) " +
+        "TBLPROPERTIES ('stats_cols' = 'doc_idd')")
+    }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(e).exists(_.contains("schema lacks")), e.getMessage)
+    assert(!new java.io.File(t, "_graft_log").exists(),
+      "a refused CREATE must not commit")
+    // case-variant declarations resolve like SQL does
+    spark.sql(s"CREATE TABLE graft.`$t` (doc_id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('stats_cols' = 'DOC_ID')")
+    assert(new java.io.File(t, "_graft_log").exists())
+  }
+
+  test("DROP TABLE never leaks its tombstone over pending manifests") {
+    ensureCatalog()
+    import graft.operators.MultiTableTxn
+    val root = tmpRoot()
+    val t = new java.io.File(root, "p").getAbsolutePath
+    val dec = new java.io.File(root, "txns").getAbsolutePath
+    new java.io.File(dec).mkdirs()
+    // one provably-empty visible version + an UNDECIDED pending slot
+    VersionedTable.commit(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType)))),
+      t, overwrite = true)
+    val uri = MultiTableTxn.decisionUri(dec, "dtx")
+    VersionedTable.commitImpl(Seq(1L).toDF("id"), t,
+      overwrite = false, txnId = Some("mtxn_dtx_0"), statsCols = Nil,
+      maxRetries = 5, onBeforeManifestCommit = () => (),
+      pendingTxn = Some(uri))
+    // the undecided txn could still commit: DROP refuses — and must
+    // UNMARK, or the table is bricked without having been deleted
+    val e = intercept[Exception] { spark.sql(s"DROP TABLE graft.`$t`") }
+    def msgs(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(e).exists(_.contains("UNDECIDED")), e.getMessage)
+    assert(VersionedTable.read(spark, t).count() == 0,
+      "the refused DROP must leave the table readable (no tombstone)")
+    // decided-abort = no committed data: the drop proceeds
+    assert(MultiTableTxn.abort(spark, dec, "dtx"))
+    spark.sql(s"DROP TABLE graft.`$t`")
+    assert(!new java.io.File(t).exists())
+  }
 }
