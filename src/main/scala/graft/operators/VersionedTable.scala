@@ -277,7 +277,8 @@ object VersionedTable {
     * needs. */
   final case class FileEntry(name: String, nRows: Long,
       stats: Map[String, Option[(Any, Any)]], size: Long = -1L,
-      dv: Option[(String, Long)] = None) {
+      dv: Option[(String, Long)] = None,
+      nulls: Map[String, Long] = Map.empty) {
     /** Rows a reader actually sees from this file. */
     def liveRows: Long = if (nRows < 0) nRows
       else nRows - dv.map(_._2).getOrElse(0L)
@@ -1462,10 +1463,14 @@ object VersionedTable {
     // metadata leaks too: a pending manifest's row count is uncommitted
     asOfVersion.foreach(_ =>
       requireVisible(fs, path, v, readHeader(fs, root, v)))
-    val entries = readEntries(spark, path, v)
+    countRowsOf(readEntries(spark, path, v))
+  }
+
+  /** [[countRows]] from pre-read entries (one manifest read can serve
+    * several metadata answers — [[graft.plans.VtMetadataAgg]]). */
+  private[graft] def countRowsOf(entries: Seq[FileEntry]): Option[Long] =
     if (entries.exists(_.nRows < 0)) None
     else Some(entries.map(_.liveRows).sum)
-  }
 
   /** Metadata-only MIN/MAX of a stats column, folded from the manifest
     * spans — zero data files opened. Two-level result keeps "don't
@@ -1496,7 +1501,38 @@ object VersionedTable {
     // min/max of uncommitted data must not leak through metadata either
     asOfVersion.foreach(_ =>
       requireVisible(fs, path, v, readHeader(fs, root, v)))
-    val entries = readEntries(spark, path, v)
+    statsSpanOf(readEntries(spark, path, v), column)
+  }
+
+  /** Is an EXACT order decision safe for this value pair? Numeric
+    * pairs yes — cmp's BigDecimal path mirrors SQL numeric order, and
+    * NaN never hides behind a recorded span: parquet-mr (which writes
+    * every file this engine commits) OMITS double/float bounds for
+    * any chunk containing NaN (measured in VtMetadataAggSpec's NaN
+    * regression), so "span present" proves "no NaN in the file" and
+    * footerEntry refuses the all-null shortcut unless null counts
+    * prove it. STRING pairs only when BOTH are pure ASCII: Java's
+    * UTF-16 ordering and Spark/parquet's unsigned-byte ordering agree
+    * there and can disagree beyond (supplementary characters vs
+    * U+E000..U+FFFF). Conservative pruning never needed this — a
+    * superset keep re-filters exactly — but metadata answers returned
+    * AS the result must refuse the ambiguity. */
+  private def exactOrderSafe(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: String, y: String) =>
+      x.forall(_ < 0x80) && y.forall(_ < 0x80)
+    case _ => true
+  }
+
+  /** [[cmp]] restricted to pairs whose exact order matches SQL's —
+    * the comparator for metadata ANSWERS (vs pruning's conservative
+    * [[cmp]]). */
+  private def cmpExact(a: Any, b: Any): Option[Int] =
+    if (!exactOrderSafe(a, b)) None else cmp(a, b)
+
+  /** [[statsSpan]] from pre-read entries (shared manifest read —
+    * [[graft.plans.VtMetadataAgg]]). */
+  private[graft] def statsSpanOf(entries: Seq[FileEntry],
+      column: String): Option[Option[(Any, Any)]] = {
     // every file that MIGHT hold a row must carry collected stats; a
     // deletion vector makes the recorded span merely CONSERVATIVE (the
     // masked rows may have held the extrema) — exactness demands a
@@ -1509,14 +1545,124 @@ object VersionedTable {
     entries.flatMap(_.stats.get(column)).flatten.foreach { s =>
       acc = acc match {
         case None => Some(s)
-        case Some((lo, hi)) => (cmp(s._1, lo), cmp(s._2, hi)) match {
-          case (Some(cl), Some(ch)) =>
-            Some((if (cl < 0) s._1 else lo, if (ch > 0) s._2 else hi))
-          case _ => return None // incomparable span: rescan
-        }
+        case Some((lo, hi)) =>
+          // the cross-file reduce PICKS the answer, so its order must
+          // be SQL's exactly — cmpExact declines non-ASCII strings
+          (cmpExact(s._1, lo), cmpExact(s._2, hi)) match {
+            case (Some(cl), Some(ch)) =>
+              Some((if (cl < 0) s._1 else lo, if (ch > 0) s._2 else hi))
+            case _ => return None // order not provably SQL's: rescan
+          }
       }
     }
     Some(acc)
+  }
+
+  // ---- predicate-bounded metadata counts -----------------------------
+
+  /** EXACT file-level predicate shapes for [[countWhereParts]] — what
+    * a conjunct of a SQL WHERE translates to when every part of it is
+    * decidable from per-file spans + null counts. Unlike [[PrunePred]]
+    * (conservative supersets, re-filtered by the scan), these drive
+    * metadata ANSWERS, so bounds keep their strictness. */
+  sealed trait ExactPred { def column: String }
+  /** `lo/hi = (bound, inclusive)`; either side open. Equality is
+    * `(v,true)..(v,true)`. Null-rejecting, like every comparison. */
+  final case class ExactRange(column: String,
+      lo: Option[(Any, Boolean)], hi: Option[(Any, Boolean)])
+    extends ExactPred
+  /** `column IN (values)` — empty values = provably no row. */
+  final case class ExactIn(column: String, values: Seq[Any])
+    extends ExactPred
+  final case class ExactNotNull(column: String) extends ExactPred
+
+  /** Classify one file against one predicate: `Some(true)` = EVERY
+    * live row matches, `Some(false)` = NO row matches, `None` =
+    * undecidable (the file must be scanned). Exactness notes: spans
+    * never include NaN (parquet omits stats on NaN-bearing chunks),
+    * string orders are only trusted for ASCII ([[cmpExact]]), and
+    * all-in demands a recorded ZERO null count (comparisons are
+    * null-rejecting; a null row would be wrongly counted). */
+  private def classifyEntry(e: FileEntry, p: ExactPred): Option[Boolean] = {
+    if (e.nRows == 0) return Some(false) // no rows: vacuously out
+    p match { // a provably-empty predicate needs no stats at all
+      case ExactIn(_, vs) if vs.isEmpty => return Some(false)
+      case _ => ()
+    }
+    val span = e.stats.get(p.column)
+    val noNulls = e.nulls.get(p.column).contains(0L)
+    span match {
+      case None => None // stats never collected for the column
+      case Some(None) => Some(false) // entirely null: nothing matches
+      case Some(Some((mn, mx))) => p match {
+        case ExactRange(_, lo, hi) =>
+          val outLow = lo.exists { case (v, incl) =>
+            cmpExact(mx, v).exists(c => c < 0 || (c == 0 && !incl)) }
+          val outHigh = hi.exists { case (v, incl) =>
+            cmpExact(mn, v).exists(c => c > 0 || (c == 0 && !incl)) }
+          if (outLow || outHigh) Some(false)
+          else {
+            val inLow = lo.forall { case (v, incl) =>
+              cmpExact(mn, v).exists(c => c > 0 || (c == 0 && incl)) }
+            val inHigh = hi.forall { case (v, incl) =>
+              cmpExact(mx, v).exists(c => c < 0 || (c == 0 && incl)) }
+            if (noNulls && inLow && inHigh) Some(true) else None
+          }
+        case ExactIn(_, vs) =>
+          if (vs.isEmpty) Some(false)
+          else {
+            val allOut = vs.forall(v =>
+              cmpExact(v, mn).exists(_ < 0) ||
+                cmpExact(v, mx).exists(_ > 0))
+            if (allOut) Some(false)
+            else if (noNulls && cmpExact(mn, mx).contains(0) &&
+                vs.exists(v => cmpExact(v, mn).contains(0)))
+              Some(true)
+            else None
+          }
+        case ExactNotNull(_) =>
+          if (noNulls) Some(true) else None
+      }
+    }
+  }
+
+  /** Split a version's files for `count(*) WHERE <conjuncts>`:
+    * `(metaSum, boundary)` where `metaSum` is the exact live-row
+    * count of files EVERY conjunct provably matches in full (a
+    * deletion vector only removes rows that also matched — live rows
+    * stay exact), all-out files contribute nothing, and `boundary`
+    * names the files metadata cannot decide — the only ones a caller
+    * needs to scan. The caller re-applies the ORIGINAL predicate over
+    * the boundary scan, so an undecidable file is never a wrong
+    * answer, only a narrower win. */
+  private[graft] def countWhereParts(entries: Seq[FileEntry],
+      preds: Seq[ExactPred]): (Long, Seq[String]) = {
+    var metaSum = 0L
+    val boundary = Seq.newBuilder[String]
+    entries.foreach { e =>
+      val verdicts = preds.map(classifyEntry(e, _))
+      if (verdicts.contains(Some(false))) () // provably out
+      else if (verdicts.forall(_.contains(true)) && e.nRows >= 0)
+        metaSum += e.liveRows
+      else boundary += e.name
+    }
+    (metaSum, boundary.result())
+  }
+
+  /** Masked/aliased read of a NAMED SUBSET of a version's files — the
+    * boundary-file scan of a predicate-bounded metadata count. Same
+    * read discipline as [[read]]/[[readFileSlice]] (deletion vectors
+    * masked, mapped columns aliased), restricted to `names`. */
+  private[graft] def readEntrySubset(spark: SparkSession, path: String,
+      version: Int, names: Set[String]): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val header = readHeader(fs, root, version)
+    requireVisible(fs, path, version, header)
+    val keep = readEntries(spark, path, version)
+      .filter(e => names.contains(e.name))
+    if (keep.isEmpty) read(spark, path, Some(version)).limit(0)
+    else maskedRead(spark, header.schemaJson, path, keep)
   }
 
   /** Table-level CHECK constraints (Delta's `ALTER TABLE ... ADD
@@ -1826,7 +1972,12 @@ object VersionedTable {
     // and read as null through the explicit schema — correct, they
     // predate DVs
     StructField("dv_file", StringType, nullable = true),
-    StructField("dv_n", LongType, nullable = true)))
+    StructField("dv_n", LongType, nullable = true),
+    // per-column null counts (null = written before the field / none
+    // known) — must round-trip, or job-pruned planning would lose the
+    // all-in proofs the metadata count needs
+    StructField("nulls", MapType(StringType, LongType),
+      nullable = true)))
 
   /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
     * manifest's file list as a columnar table readable as a Spark job
@@ -1854,7 +2005,8 @@ object VersionedTable {
           })
         },
         e.dv.map(_._1).orNull,
-        e.dv.map(d => java.lang.Long.valueOf(d._2)).orNull)
+        e.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
+        if (e.nulls.isEmpty) null else e.nulls)
     }
     val slices = math.max(1, math.min(rows.size, 32))
     val tmp = new Path(root,
@@ -1894,7 +2046,9 @@ object VersionedTable {
           decodeCkptStats(r.getAs[Map[String, Seq[String]]](3)),
           r.getLong(2),
           dv = if (r.isNullAt(4)) None
-               else Some((r.getString(4), r.getLong(5))))
+               else Some((r.getString(4), r.getLong(5))),
+          nulls = if (r.isNullAt(6)) Map.empty
+            else r.getAs[Map[String, Long]](6))
       }.toSeq
     Some(survivors)
   }
@@ -3772,10 +3926,21 @@ object VersionedTable {
                   mx <- normalize(prim, s.genericGetMax.asInstanceOf[AnyRef])
                 } yield (mn, mx)
               }
+              // "no recorded bounds" is ALL-NULL only when the null
+              // counts PROVE it — parquet also omits double/float
+              // bounds when a chunk contains NaN (PARQUET-1222), and
+              // recording that as all-null would let pruning drop
+              // files holding live matching rows
+              val provablyAllNull = chunks.zip(blocks.asScala).forall {
+                case (ch, b) =>
+                  val s = ch.get.getStatistics
+                  s.isNumNullsSet && s.getNumNulls == b.getRowCount
+              }
               if (sts.exists(s => s.hasNonNullValue) &&
                   spans.size != sts.count(_.hasNonNullValue))
                 None // some chunk's bound we cannot normalize (or NaN)
-              else if (spans.isEmpty) Some(c -> None) // all-null column
+              else if (spans.isEmpty)
+                (if (provablyAllNull) Some(c -> None) else None)
               else Some(c -> Some((
                 spans.map(_._1).reduce((a, b) =>
                   if (cmp(a, b).exists(_ <= 0)) a else b),
@@ -3785,7 +3950,25 @@ object VersionedTable {
           }
         }
       }.toMap
-      FileEntry(p.getName, nRows, stats, inFile.getLength)
+      // per-column NULL COUNTS (exact when every chunk recorded one) —
+      // the all-rows-match proof [[graft.plans.VtMetadataAgg]] needs
+      // for null-rejecting predicates; same footer, no extra I/O
+      val nulls = cols.flatMap { c =>
+        val pc = phys.getOrElse(c, c)
+        if (!schema.containsField(pc) ||
+            !schema.getType(Seq(pc): _*).isPrimitive) None
+        else {
+          val chunks = blocks.asScala.map(_.getColumns.asScala
+            .find(_.getPath.toDotString == pc))
+          if (chunks.exists(_.isEmpty)) None
+          else {
+            val sts = chunks.map(_.get.getStatistics)
+            if (sts.exists(s => s == null || !s.isNumNullsSet)) None
+            else Some(c -> sts.map(_.getNumNulls).sum)
+          }
+        }
+      }.toMap
+      FileEntry(p.getName, nRows, stats, inFile.getLength, nulls = nulls)
     } finally reader.close()
   }
 
@@ -3857,7 +4040,12 @@ object VersionedTable {
     * do not know: `z<bytes>` (v5+) the file's byte length,
     * `d<nDeleted>:<url-encoded-sidecar>` a deletion vector. Positioned
     * AFTER all span fields so pre-v5 parsers (which index by
-    * stats-column count) simply never look at them. */
+    * stats-column count) simply never look at them. `u<n1>,<n2>,...`
+    * records per-stats-column NULL COUNTS, aligned with the cols
+    * order (`-` = unknown) — what lets [[graft.plans.VtMetadataAgg]]
+    * prove a file ALL-IN for a null-rejecting predicate; entries
+    * harvested before the field existed parse to unknown and simply
+    * fall back to being scanned. */
   private def formatEntry(e: FileEntry, cols: Seq[String]): String = {
     val fields = cols.flatMap { c =>
       e.stats.get(c) match {
@@ -3869,7 +4057,12 @@ object VersionedTable {
     val sz = if (e.size >= 0) Seq(s"z${e.size}") else Seq.empty
     val dv = e.dv.toSeq.map { case (sidecar, n) =>
       s"d$n:${java.net.URLEncoder.encode(sidecar, "UTF-8")}" }
-    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv).mkString("\t")
+    val nu =
+      if (cols.isEmpty || cols.forall(c => !e.nulls.contains(c))) Seq.empty
+      else Seq("u" + cols.map(c =>
+        e.nulls.get(c).map(_.toString).getOrElse("-")).mkString(","))
+    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu)
+      .mkString("\t")
   }
 
   private def parseEntry(line: String, cols: Seq[String]): FileEntry = {
@@ -3891,7 +4084,13 @@ object VersionedTable {
         (java.net.URLDecoder.decode(s.substring(i + 1), "UTF-8"),
           s.substring(1, i).toLong)
       }
-    FileEntry(f(0), f(1).toLong, stats, size, dv)
+    val nulls = trailing.find(s => s.startsWith("u") && s.length > 1)
+      .map(_.drop(1).split(',')).map { parts =>
+        cols.zip(parts.toSeq).collect {
+          case (c, p) if p != "-" => c -> p.toLong
+        }.toMap
+      }.getOrElse(Map.empty[String, Long])
+    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls)
   }
 
   // ---- segmented (v7) manifest internals ------------------------------

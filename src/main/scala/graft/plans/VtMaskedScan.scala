@@ -95,8 +95,9 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
 
   /** Bounded fixed point of the standard pushdown/pruning passes —
     * what the rewrite must re-run itself, because the "User Provided
-    * Optimizers" batch fires after Spark's own filter batches. */
-  private def fixedPointPushdown(plan: LogicalPlan): LogicalPlan = {
+    * Optimizers" batch fires after Spark's own filter batches.
+    * Shared with [[VtMetadataAgg]]'s boundary-scan plans. */
+  private[plans] def fixedPointPushdown(plan: LogicalPlan): LogicalPlan = {
     var p = plan
     var prev: LogicalPlan = null
     var i = 0

@@ -2,15 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
+import graft.operators.VersionedTable.{ExactIn, ExactNotNull, ExactPred, ExactRange}
 import graft.sources.VtTable
 
 /** METADATA-ONLY AGGREGATES over versioned catalog tables: a whole-
@@ -55,28 +57,51 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case agg @ Aggregate(Nil, aggExprs, child, _)
           if aggExprs.nonEmpty =>
         stripToVt(child) match {
-          case Some(t) =>
-            foldAll(agg, aggExprs, t) match {
+          case Some((t, relOut)) =>
+            foldAll(aggExprs, t, relOut) match {
               case Some(rows) => LocalRelation(agg.output, rows)
               case None => agg
             }
-          case None => agg
+          case None => stripToFilteredVt(child) match {
+            case Some((cond, t, relOut)) =>
+              foldCountWhere(agg, aggExprs, cond, t, relOut)
+                .getOrElse(agg)
+            case None => agg
+          }
         }
     }
 
   /** The relation beneath row-count-preserving wrappers, when it is a
-    * versioned catalog table. Handles both the pre-pushdown
+    * versioned catalog table — plus the RELATION's own output
+    * attributes, so min/max folds can anchor their column by exprId
+    * (a surviving Project may alias an arbitrary expression under a
+    * stats column's NAME; folding by name alone would answer the
+    * wrong column's span). Handles both the pre-pushdown
     * [[DataSourceV2Relation]] (construction-time rule injection) and
     * the post-pushdown [[DataSourceV2ScanRelation]] (runtime
     * `extraOptimizations` fire after V2 pushdown) — the latter ONLY
     * when its parquet scan provably carries no pushed/partition/data
     * filters (a pushed predicate would make the manifest count an
     * over-count). */
-  private def stripToVt(p: LogicalPlan): Option[VtTable] = p match {
-    case Project(_, c) => stripToVt(c)
-    case SubqueryAlias(_, c) => stripToVt(c)
+  private def stripToVt(p: LogicalPlan)
+      : Option[(VtTable, Seq[Attribute])] =
+    stripToVtImpl(p, allowPushedData = false)
+
+  /** `allowPushedData`: the filtered-count shape keeps the FULL
+    * predicate as the Filter node above (file sources report every
+    * data filter as post-scan — parquet row-group filtering is
+    * best-effort, so Spark never removes a conjunct it pushed), and
+    * the fold recomputes from the manifest + that Filter — whatever
+    * the scan would have skipped is irrelevant. The WHOLE-TABLE fold
+    * (no Filter above) must instead insist on a provably unfiltered
+    * scan: a pushed predicate there means the relation does not
+    * represent all rows. */
+  private def stripToVtImpl(p: LogicalPlan, allowPushedData: Boolean)
+      : Option[(VtTable, Seq[Attribute])] = p match {
+    case Project(_, c) => stripToVtImpl(c, allowPushedData)
+    case SubqueryAlias(_, c) => stripToVtImpl(c, allowPushedData)
     case r: DataSourceV2Relation => r.table match {
-      case t: VtTable => Some(t)
+      case t: VtTable => Some((t, r.output))
       case _ => None
     }
     case s: org.apache.spark.sql.execution.datasources.v2
@@ -89,56 +114,220 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         case g: graft.sources.VtGuardedScan => g.vtUnderlying()
         case other => other
       }
-      val unfiltered = real match {
+      val acceptable = real match {
         case p: org.apache.spark.sql.execution.datasources.v2
             .parquet.ParquetScan =>
-          p.pushedFilters.isEmpty && p.partitionFilters.isEmpty &&
-            p.dataFilters.isEmpty
+          p.partitionFilters.isEmpty && (allowPushedData ||
+            (p.pushedFilters.isEmpty && p.dataFilters.isEmpty))
         case _ => false
       }
-      if (!unfiltered) None
+      if (!acceptable) None
       else s.relation.table match {
-        case t: VtTable => Some(t)
+        case t: VtTable => Some((t, s.output))
         case _ => None
       }
     case _ => None
   }
 
   /** Fold every aggregate expression from the manifest, or None if
-    * ANY of them is not provably answerable from metadata. */
-  private def foldAll(agg: Aggregate, aggExprs: Seq[NamedExpression],
-      t: VtTable): Option[Seq[InternalRow]] = {
-    val spark = SparkSession.active
-    // one manifest read answers every expression (segment-cached)
-    lazy val count: Option[Long] =
-      try VersionedTable.countRows(spark, t.vtPath, Some(t.vtVersion))
-      catch { case scala.util.control.NonFatal(_) => None }
-    def span(col: String): Option[Option[(Any, Any)]] =
-      if (t.vtScanRefusal.nonEmpty) None
-      else try VersionedTable.statsSpan(spark, t.vtPath, col,
-        Some(t.vtVersion))
-      catch { case scala.util.control.NonFatal(_) => None }
-    val values = aggExprs.map {
+    * ANY of them is not provably answerable from metadata. The match
+    * runs FIRST (pure, no I/O); the manifest is read once only when
+    * every expression has a foldable shape. */
+  private def foldAll(aggExprs: Seq[NamedExpression], t: VtTable,
+      relOut: Seq[Attribute]): Option[Seq[InternalRow]] = {
+    val relIds = relOut.map(_.exprId).toSet
+    sealed trait Fold
+    case object CountAll extends Fold
+    final case class Span(a: AttributeReference, lo: Boolean) extends Fold
+    val shapes: Seq[Option[Fold]] = aggExprs.map {
+      // count(*) / count(<non-null literal>) — count(NULL) is 0 by
+      // SQL null semantics, never the row count; leave it to the scan
       case Alias(AggregateExpression(
-          Count(Seq(Literal(_, _))), Complete, false, None, _), _) =>
-        count.map(n => n: Any)
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _)
+          if v != null =>
+        Some(CountAll)
       case Alias(AggregateExpression(
           Min(a: AttributeReference), Complete, false, None, _), _)
-          if spanType(a) =>
-        span(a.name).map(_.map(s => toCatalyst(s._1, a)).orNull)
+          if spanType(a) && relIds.contains(a.exprId) =>
+        Some(Span(a, lo = true))
       case Alias(AggregateExpression(
           Max(a: AttributeReference), Complete, false, None, _), _)
-          if spanType(a) =>
-        span(a.name).map(_.map(s => toCatalyst(s._2, a)).orNull)
+          if spanType(a) && relIds.contains(a.exprId) =>
+        Some(Span(a, lo = false))
       case _ => None
+    }
+    if (shapes.exists(_.isEmpty)) return None
+    if (shapes.exists {
+        case Some(_: Span) => t.vtScanRefusal.nonEmpty
+        case _ => false
+      }) return None // mapped names would misalign against stats keys
+    // ONE manifest read (segment-cached) answers every expression
+    val entries =
+      try {
+        VersionedTable.requireVisibleVersion(SparkSession.active,
+          t.vtPath, t.vtVersion)
+        VersionedTable.readEntries(SparkSession.active, t.vtPath,
+          t.vtVersion)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    lazy val count: Option[Long] = VersionedTable.countRowsOf(entries)
+    val spanCache = scala.collection.mutable.Map
+      .empty[String, Option[Option[(Any, Any)]]]
+    def span(col: String): Option[Option[(Any, Any)]] =
+      spanCache.getOrElseUpdate(col,
+        VersionedTable.statsSpanOf(entries, col))
+    val values = shapes.map {
+      case Some(CountAll) => count.map(n => n: Any)
+      case Some(Span(a, isLo)) =>
+        span(a.name).map(_.map(s =>
+          toCatalyst(if (isLo) s._1 else s._2, a)).orNull)
+      case None => None // unreachable: shape gate above
     }
     if (values.exists(_.isEmpty)) None
     else Some(Seq(InternalRow.fromSeq(values.map(_.get))))
   }
 
+  /** [[stripToVt]] through exactly one [[Filter]] — the
+    * `count(*) WHERE <pred>` shape. Projects may sit above the
+    * Filter; after PushDownPredicates the Filter sits on the
+    * relation, so nothing row-changing hides below it. */
+  private def stripToFilteredVt(p: LogicalPlan)
+      : Option[(Expression, VtTable, Seq[Attribute])] = p match {
+    case Project(_, c) => stripToFilteredVt(c)
+    case SubqueryAlias(_, c) => stripToFilteredVt(c)
+    case Filter(cond, c) =>
+      stripToVtImpl(c, allowPushedData = true)
+        .map { case (t, out) => (cond, t, out) }
+    case _ => None
+  }
+
+  /** `count(*) WHERE <conjuncts>` from metadata + a BOUNDARY-ONLY
+    * scan: files every conjunct provably matches in full count from
+    * the manifest (exact — null counts prove no null row hides in an
+    * all-in file), provably-out files contribute nothing, and only
+    * the undecidable boundary files are scanned (masked/aliased, with
+    * the ORIGINAL predicate re-applied). A time-range count over a
+    * clustered 100 TB table reads two boundary files instead of the
+    * whole overlap. Declines (plan untouched) unless every aggregate
+    * is a plain count, every conjunct translates exactly, and
+    * metadata actually decided at least one file. */
+  private def foldCountWhere(agg: Aggregate,
+      aggExprs: Seq[NamedExpression], cond: Expression, t: VtTable,
+      relOut: Seq[Attribute]): Option[LogicalPlan] = {
+    val countsOnly = aggExprs.forall {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _) =>
+        v != null
+      case _ => false
+    }
+    if (!countsOnly) return None
+    val relIds = relOut.map(_.exprId).toSet
+    val preds = toExactPreds(cond, relIds).getOrElse(return None)
+    val spark = SparkSession.active
+    val entries =
+      try {
+        VersionedTable.requireVisibleVersion(spark, t.vtPath, t.vtVersion)
+        VersionedTable.readEntries(spark, t.vtPath, t.vtVersion)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    val (metaSum, boundary) = VersionedTable.countWhereParts(entries, preds)
+    if (boundary.size >= entries.size && entries.nonEmpty)
+      return None // metadata decided nothing: the plain scan is better
+    if (boundary.isEmpty)
+      return Some(LocalRelation(agg.output,
+        Seq(InternalRow.fromSeq(aggExprs.map(_ => metaSum: Any)))))
+    // boundary files: one masked/aliased subset scan, original
+    // predicate re-applied, count added to the metadata sum
+    val slice = Bridge.logicalPlan(
+      VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion,
+        boundary.toSet))
+    val byName = slice.output.map(a => a.name -> a).toMap
+    if (!relOut.forall(a => byName.contains(a.name))) return None
+    val remap = Project(relOut.map(a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId)), slice)
+    val cnt = Alias(AggregateExpression(
+      Count(Seq(Literal(1))), Complete, isDistinct = false),
+      "graft_boundary_count")()
+    val inner = Aggregate(Nil, Seq(cnt), Filter(cond, remap))
+    val outs = aggExprs.zip(agg.output).map { case (_, o) =>
+      Alias(Add(cnt.toAttribute, Literal(metaSum)), o.name)(
+        exprId = o.exprId)
+    }
+    Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
+  }
+
+  /** Translate a WHERE into exact file-level predicates — EVERY
+    * conjunct must translate, or the fold declines (a dropped
+    * conjunct would over-count; this is the opposite posture from
+    * [[graft.sources.VtPushdown]]'s conservative pruning). */
+  private def toExactPreds(cond: Expression,
+      relIds: Set[ExprId]): Option[Seq[ExactPred]] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def v(l: Literal): Any = l.value match {
+      case u: UTF8String => u.toString
+      case other => other
+    }
+    def ok(a: AttributeReference): Boolean = relIds.contains(a.exprId)
+    val out = conjuncts(cond).map {
+      case Literal(true, BooleanType) => Some(Nil)
+      case Literal(false, BooleanType) | Literal(null, _) =>
+        Some(Seq(ExactIn("", Seq.empty))) // provably empty everywhere
+      case EqualTo(a: AttributeReference, l: Literal) if ok(a) =>
+        if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactRange(a.name,
+          Some((v(l), true)), Some((v(l), true)))))
+      case EqualTo(l: Literal, a: AttributeReference) if ok(a) =>
+        if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactRange(a.name,
+          Some((v(l), true)), Some((v(l), true)))))
+      case GreaterThan(a: AttributeReference, l: Literal)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, Some((v(l), false)), None)))
+      case GreaterThan(l: Literal, a: AttributeReference)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, None, Some((v(l), false)))))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, Some((v(l), true)), None)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, None, Some((v(l), true)))))
+      case LessThan(a: AttributeReference, l: Literal)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, None, Some((v(l), false)))))
+      case LessThan(l: Literal, a: AttributeReference)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, Some((v(l), false)), None)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, None, Some((v(l), true)))))
+      case LessThanOrEqual(l: Literal, a: AttributeReference)
+          if ok(a) && l.value != null =>
+        Some(Seq(ExactRange(a.name, Some((v(l), true)), None)))
+      case In(a: AttributeReference, vs) if ok(a) &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some(Seq(ExactIn(a.name, vs.collect {
+          case l: Literal if l.value != null => v(l) })))
+      case InSet(a: AttributeReference, vs) if ok(a) =>
+        Some(Seq(ExactIn(a.name, vs.toSeq.filter(_ != null).map {
+          case u: UTF8String => u.toString
+          case other => other
+        })))
+      case IsNotNull(a: AttributeReference) if ok(a) =>
+        Some(Seq(ExactNotNull(a.name)))
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some(out.flatMap(_.get))
+  }
+
   /** Span values are normalized to Long/Double/String in the
     * manifest; only columns whose Catalyst type maps back identically
-    * are foldable. */
+    * are foldable. Doubles are safe: a RECORDED span proves the file
+    * holds no NaN (parquet-mr omits bounds for NaN-bearing chunks —
+    * the engine writes every file through it), and NaN-bearing files
+    * simply carry no span and block the fold. */
   private def spanType(a: Attribute): Boolean = a.dataType match {
     case LongType | DoubleType | StringType => true
     case _ => false

@@ -686,6 +686,58 @@ object Ops {
     meta.crossJoin(after)
   }
 
+  // PREDICATE-BOUNDED METADATA COUNT: `count(*) WHERE <range>` over a
+  // clustered versioned table answers interior files from the
+  // manifest (exact row counts + null counts prove every row matches)
+  // and scans ONLY the boundary files — at 100 TB a time-range count
+  // reads two files instead of the whole overlap. Gated: the
+  // middle-half range scans at most a few of the 8 clustered files
+  // (df.inputFiles), and a full-range predicate folds to a
+  // LocalRelation with no scan at all. The oracle recomputes the
+  // count by full scan in DuckDB.
+  val opVtCountWhere: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtcw_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val maxRow = lineitem(s, d).agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val lo = (maxId + 1) / 4
+    val hi = (3L * (maxId + 1)) / 4
+    val q = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+      s"WHERE l_orderkey >= $lo AND l_orderkey < $hi")
+    if (VersionedTable.readEntries(s, t, 0).size >= 8) {
+      val read = q.inputFiles.length
+      require(read < 8,
+        s"interior files must answer from the manifest, scanned $read/8")
+      // an all-covering range on the clustered key folds scan-free —
+      // provable only when the key is null-free (all-in demands a
+      // zero null count; comparisons are null-rejecting)
+      val hasNull = lineitem(s, d)
+        .where(col("l_orderkey").isNull).limit(1).count() > 0
+      if (!hasNull) {
+        val aligned = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+          s"WHERE l_orderkey >= ${Long.MinValue}")
+        require(aligned.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+          "an all-in predicate must fold with no scan")
+        require(aligned.collect()(0).getLong(0) ==
+          VersionedTable.read(s, t).count(), "sanity: folded full count")
+      }
+    }
+    q
+  }
+
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
   // the inline layout rewrites the full O(live files) entry list per
   // commit (~80 MB per commit at ~800k files), so at streaming
@@ -720,12 +772,16 @@ object Ops {
       VersionedTable.commit(clustered(docs.where(col("doc_id") < half)),
         t, overwrite = true, statsCols = Seq("doc_id"))
       val segs0 = VersionedTable.segmentNames(s, t, 0)
-      require(maxId < 0 || segs0.nonEmpty,
+      // a near-empty fixture's base half can fall below the threshold
+      // (inline manifest — deliberate downgrade, not a failure); gate
+      // segmentation only when the commit actually crossed it
+      require(VersionedTable.readEntries(s, t, 0).size < 2 ||
+          segs0.nonEmpty,
         "the base commit must be segmented (v7)")
       val v1 = VersionedTable.commit(
         clustered(docs.where(col("doc_id") >= half)),
         t, overwrite = false, txnId = Some("vtseg_append"))
-      if (v1 == 1 && maxId >= 0) {
+      if (v1 == 1 && segs0.nonEmpty) {
         val segs1 = VersionedTable.segmentNames(s, t, 1)
         require(segs0.toSet.subsetOf(segs1.toSet),
           "an append must carry every previous segment by reference")
@@ -2437,6 +2493,7 @@ object Ops {
     "op_vt_stats_redeclare" -> opVtStatsRedeclare,
     "op_vt_segmented" -> opVtSegmented,
     "op_vt_meta_agg" -> opVtMetaAgg,
+    "op_vt_count_where" -> opVtCountWhere,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2876,6 +2933,13 @@ object Ops {
         |       (SELECT max(l_orderkey) FROM lineitem) AS hi,
         |       (SELECT count(*) FROM lineitem
         |        WHERE l_orderkey IS NULL OR l_orderkey % 4 <> 0) AS n1""".stripMargin,
+    // The predicate-bounded count must equal DuckDB's full scan of
+    // the same middle-half range.
+    "op_vt_count_where" ->
+      """WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem)
+        |SELECT count(*) AS n FROM lineitem
+        |WHERE l_orderkey >= (SELECT m FROM mx) // 4
+        |  AND l_orderkey < (3 * (SELECT m FROM mx)) // 4""".stripMargin,
     // The segmented (v7) manifest layout must be value-invisible:
     // base half ∪ appended half, minus the top-quartile delete.
     "op_vt_segmented" ->

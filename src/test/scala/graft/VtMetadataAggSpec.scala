@@ -107,6 +107,178 @@ class VtMetadataAggSpec extends AnyFunSuite {
     assert((r1.getLong(0), r1.getLong(1)) == (30L, 29L))
   }
 
+  test("count WHERE: all-in files fold, only boundary files scan") {
+    setup()
+    val t = tmpTable("cw")
+    // 4 range-clustered files over id 0..999: file spans ~[0,250)...
+    VersionedTable.commit(
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val q = s"SELECT count(*) AS n FROM graft.`$t` WHERE id >= 100 AND id < 900"
+    val df = spark.sql(q)
+    assert(df.collect()(0).getLong(0) == 800L)
+    // interior files answered from the manifest: the plan reads only
+    // the two boundary files, not the full overlap
+    val scanned = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.inputRDDs() // force
+        f.relation.location.inputFiles.length
+    }
+    val read = df.inputFiles.length
+    assert(read > 0 && read <= 2,
+      s"only boundary files may be scanned, got $read (exec=$scanned)")
+    // a fully-aligned predicate folds with no scan at all
+    val full = s"SELECT count(*) AS n FROM graft.`$t` WHERE id >= 0"
+    assert(spark.sql(full).collect()(0).getLong(0) == 1000L)
+    assert(foldsToLocal(full), "an all-in predicate must fold whole")
+    // equality on a clustered key: one boundary file at most
+    val eq = s"SELECT count(*) AS n FROM graft.`$t` WHERE id = 17"
+    assert(spark.sql(eq).collect()(0).getLong(0) == 1L)
+    assert(spark.sql(eq).inputFiles.length <= 1)
+  }
+
+  test("count WHERE stays exact over nulls, DVs, and strings") {
+    setup()
+    val t = tmpTable("cwn")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = (0L until 100L).map(i =>
+      Row(if (i % 10 == 0) null else java.lang.Long.valueOf(i), s"k$i"))
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType)))
+    VersionedTable.commit(
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), schema).coalesce(1),
+      t, overwrite = true, statsCols = Seq("id"))
+    // the single file spans [1,99] and pred id >= 0 looks all-in by
+    // span — but 10 NULL rows don't match; null counts must force the
+    // exact answer (90, not 100)
+    val q = s"SELECT count(*) AS n FROM graft.`$t` WHERE id >= 0"
+    assert(spark.sql(q).collect()(0).getLong(0) == 90L)
+    // DV delete composes: masked rows leave live counts exact
+    VersionedTable.deleteWhere(spark, t, col("id") === 7L,
+      deletionVectors = true)
+    assert(spark.sql(q).collect()(0).getLong(0) == 89L)
+    val all = s"SELECT count(*) AS n FROM graft.`$t`"
+    assert(spark.sql(all).collect()(0).getLong(0) == 99L)
+  }
+
+  private implicit class SeqAsJava[A](s: Seq[A]) {
+    def asJava: java.util.List[A] = {
+      val l = new java.util.ArrayList[A](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  test("NaN-bearing double chunks never record a lying all-null span") {
+    // parquet omits double min/max when a chunk holds NaN (keeping
+    // null counts); recording that as "provably all-null" let span
+    // pruning DROP files with live matching rows — found by this
+    // suite's differential test, fixed in footerEntry
+    val t = tmpTable("nan")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(Row(1L, 2.0), Row(2L, Double.NaN), Row(3L, 4.0))
+    VersionedTable.commit(
+      spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+        StructType(Seq(StructField("id", LongType),
+          StructField("d", DoubleType)))).coalesce(1),
+      t, overwrite = true, statsCols = Seq("id", "d"))
+    val e = VersionedTable.readEntries(spark, t, 0)
+    assert(!e.exists(_.stats.get("d").contains(None)),
+      "a NaN-blind span must record NO stats, never all-null")
+    val pruned = VersionedTable.prunedRead(spark, t, "d", 1.0, 5.0)
+    assert(pruned.where(col("d") >= 1.0 && col("d") <= 5.0).count() == 2L,
+      "pruned reads must never drop the NaN-bearing file")
+    // the span-less NaN file blocks metadata min/max (exact-or-scan)
+    assert(VersionedTable.statsSpan(spark, t, "d").isEmpty)
+    // a NaN-FREE double file carries a span that answers exactly
+    val tc = tmpTable("nanfree")
+    VersionedTable.commit(
+      spark.createDataFrame(new java.util.ArrayList[Row](
+        Seq(Row(1L, 2.5), Row(2L, 7.25)).asJava),
+        StructType(Seq(StructField("id", LongType),
+          StructField("d", DoubleType)))).coalesce(1),
+      tc, overwrite = true, statsCols = Seq("d"))
+    assert(VersionedTable.statsSpan(spark, tc, "d")
+      == Some(Some((2.5, 7.25))))
+  }
+
+  test("differential: folded counts equal scan counts on hostile data") {
+    setup()
+    val t = tmpTable("diff")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // hostile mix: nulls in every column, NaN/±0.0 doubles, non-ASCII
+    // strings — everything the exact-or-scan contract must survive
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 300L).map { i =>
+      val id = if (i % 13 == 0) null else java.lang.Long.valueOf(i)
+      val d = i % 17 match {
+        case 0 => null
+        case 1 => java.lang.Double.valueOf(Double.NaN)
+        case 2 => java.lang.Double.valueOf(-0.0)
+        case _ => java.lang.Double.valueOf(i / 7.0)
+      }
+      val s = i % 11 match {
+        case 0 => null
+        case 1 => s"z�${i}" // non-ASCII: exact order must refuse
+        case _ => f"k$i%03d"
+      }
+      Row(id, d, s)
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("d", DoubleType), StructField("s", StringType)))
+    VersionedTable.commit(
+      spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+        schema).repartitionByRange(3, col("id"))
+        .sortWithinPartitions(col("id")),
+      t, overwrite = true, statsCols = Seq("id", "d", "s"))
+    VersionedTable.deleteWhere(spark, t, col("id") % 29 === 0,
+      deletionVectors = true)
+    val trusted = VersionedTable.read(spark, t) // never sees the rule
+    val preds = Seq(
+      "id >= 100", "id < 50", "id = 26", "id >= 0 AND id < 300",
+      "id IN (1, 2, 250, 999)", "id IS NOT NULL",
+      "d >= 10.0", "d < 20.0", "d = 3.0", "d IS NOT NULL",
+      "s >= 'k100'", "s < 'k200'", "s = 'k150'", "s IS NOT NULL",
+      "s >= 'z'", "id >= 50 AND d < 30.0 AND s IS NOT NULL"
+    ) ++ (0 until 20).map { _ =>
+      val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
+      s"id >= $lo AND id < $hi"
+    }
+    preds.foreach { p =>
+      val folded = spark.sql(
+        s"SELECT count(*) AS n FROM graft.`$t` WHERE $p")
+        .collect()(0).getLong(0)
+      val scanned = trusted.where(p).count()
+      assert(folded == scanned,
+        s"pred [$p]: folded $folded != scanned $scanned")
+    }
+  }
+
+  test("count(NULL) and alias-shadowed columns never fold wrong") {
+    setup()
+    val t = tmpTable("shadow")
+    VersionedTable.commit(
+      (0L until 50L).map(i => (i, i + 1000L)).toDF("id", "v")
+        .coalesce(1), t, overwrite = true, statsCols = Seq("id"))
+    // count(NULL) is 0 by SQL null semantics — folding it as the
+    // table count would answer 50
+    val cn = s"SELECT count(NULL) AS n FROM graft.`$t`"
+    assert(!foldsToLocal(cn), "count(NULL) must not fold")
+    assert(spark.sql(cn).collect()(0).getLong(0) == 0L)
+    // a surviving Project can alias a DIFFERENT expression under a
+    // stats column's name — the fold must anchor by exprId, not name
+    // (folding by name would answer min(id) = 0, not min(v+0) = 1000)
+    val sh = s"SELECT min(id) AS lo " +
+      s"FROM (SELECT v + 0 AS id, v FROM graft.`$t`)"
+    assert(spark.sql(sh).collect()(0).getLong(0) == 1000L,
+      "an alias shadowing a stats column must answer the alias")
+  }
+
   test("distinct and expression aggregates never fold") {
     setup()
     val t = tmpTable("d")
