@@ -255,6 +255,13 @@ object VersionedTable {
     * (safe exactly because no commit decision exists). Readers are
     * never blocked: a snapshot read simply resolves the latest
     * DECIDED version. */
+  /** An explicit version resolves to a DECIDED-ABORTED multi-table
+    * pending: the slot holds no committed data (typed so callers like
+    * DROP TABLE's emptiness sweep can classify it without matching
+    * message text). */
+  final class TxnAbortedSlotException(msg: String)
+    extends IllegalStateException(msg)
+
   final class TxnInDoubtException(msg: String)
     extends IllegalStateException(msg)
 
@@ -1189,10 +1196,18 @@ object VersionedTable {
     final case class SetStats(cols: Seq[String]) extends ColumnChange
   }
 
-  /** Evolving (schema, retired physical names, stats cols, entry-stats
-    * re-keyer) state threaded through a change sequence. */
+  /** Evolving (schema, retired physical names, stats cols, entry-key
+    * re-mapper) state threaded through a change sequence. The mapper
+    * renames/drops STAT KEYS and applies to every per-column entry
+    * map — spans AND null counts (a rename that forgot the null
+    * counts would silently retire the all-in proofs the metadata
+    * count relies on). */
   private type AlterState = (StructType, Seq[String], Seq[String],
-    Map[String, Option[(Any, Any)]] => Map[String, Option[(Any, Any)]])
+    String => Option[String])
+
+  private def rekeyMap[V](rekey: String => Option[String],
+      m: Map[String, V]): Map[String, V] =
+    m.flatMap { case (k, v) => rekey(k).map(_ -> v) }
 
   private def applyColumnChange(path: String, state: AlterState,
       change: ColumnChange): AlterState = {
@@ -1231,8 +1246,7 @@ object VersionedTable {
         (StructType(st.fields.map(x => if (x.name == from) nf else x)),
           retired,
           statsCols.map(c => if (c == from) to else c),
-          rekey.andThen(stats => stats.map { case (k, v) =>
-            (if (k == from) to else k) -> v }))
+          (k: String) => rekey(k).map(k2 => if (k2 == from) to else k2))
       case ColumnChange.Drop(name) =>
         val f = st.fields.find(_.name == name).getOrElse(
           throw new IllegalArgumentException(
@@ -1243,7 +1257,7 @@ object VersionedTable {
         (StructType(st.fields.filterNot(_.name == name)),
           retired :+ physicalNameOf(f),
           statsCols.filterNot(_ == name),
-          rekey.andThen(stats => stats - name))
+          (k: String) => rekey(k).filter(_ != name))
       case ColumnChange.SetStats(cols) =>
         require(cols.forall(c => c.nonEmpty &&
             !c.exists(ch => ch == ',' || ch == '\t' || ch < ' ')),
@@ -1270,7 +1284,7 @@ object VersionedTable {
       (st, retired, statsCols) =>
         changes.foldLeft(
           (st, retired, statsCols,
-            identity[Map[String, Option[(Any, Any)]]] _): AlterState)(
+            (k: String) => Some(k): Option[String]): AlterState)(
           applyColumnChange(path, _, _))
     }
   }
@@ -1282,9 +1296,7 @@ object VersionedTable {
     * movement, optimistic slot retry like every other verb. */
   private def alterColumns(spark: SparkSession, path: String,
       maxRetries: Int, what: String)(
-      xform: (StructType, Seq[String], Seq[String]) =>
-        (StructType, Seq[String], Seq[String],
-         Map[String, Option[(Any, Any)]] => Map[String, Option[(Any, Any)]]))
+      xform: (StructType, Seq[String], Seq[String]) => AlterState)
       : Int = {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
@@ -1314,7 +1326,8 @@ object VersionedTable {
             s"re-add the constraint first: ${ex.getMessage}", ex) }
       }
       val entries = readEntries(spark, path, v)
-        .map(e => e.copy(stats = rekey(e.stats)))
+        .map(e => e.copy(stats = rekeyMap(rekey, e.stats),
+          nulls = rekeyMap(rekey, e.nulls)))
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       if (tryWriteManifest(fs, root, v2, "alter", None, cols2,
           Some(encodeSchemaFull(st2, retired2)), entries)) {
@@ -1504,30 +1517,16 @@ object VersionedTable {
     statsSpanOf(readEntries(spark, path, v), column)
   }
 
-  /** Is an EXACT order decision safe for this value pair? Numeric
-    * pairs yes — cmp's BigDecimal path mirrors SQL numeric order, and
-    * NaN never hides behind a recorded span: parquet-mr (which writes
-    * every file this engine commits) OMITS double/float bounds for
-    * any chunk containing NaN (measured in VtMetadataAggSpec's NaN
-    * regression), so "span present" proves "no NaN in the file" and
-    * footerEntry refuses the all-null shortcut unless null counts
-    * prove it. STRING pairs only when BOTH are pure ASCII: Java's
-    * UTF-16 ordering and Spark/parquet's unsigned-byte ordering agree
-    * there and can disagree beyond (supplementary characters vs
-    * U+E000..U+FFFF). Conservative pruning never needed this — a
-    * superset keep re-filters exactly — but metadata answers returned
-    * AS the result must refuse the ambiguity. */
-  private def exactOrderSafe(a: Any, b: Any): Boolean = (a, b) match {
-    case (x: String, y: String) =>
-      x.forall(_ < 0x80) && y.forall(_ < 0x80)
-    case _ => true
-  }
-
-  /** [[cmp]] restricted to pairs whose exact order matches SQL's —
-    * the comparator for metadata ANSWERS (vs pruning's conservative
-    * [[cmp]]). */
-  private def cmpExact(a: Any, b: Any): Option[Int] =
-    if (!exactOrderSafe(a, b)) None else cmp(a, b)
+  /** [[cmp]] IS SQL's exact order for every comparable pair: numerics
+    * through BigDecimal (NaN never hides behind a recorded span —
+    * parquet-mr, which writes every file this engine commits, omits
+    * double/float bounds for any chunk containing NaN, measured in
+    * VtMetadataAggSpec's NaN regression — and footerEntry refuses the
+    * all-null shortcut unless null counts prove it), strings through
+    * UTF8String's unsigned-byte order (what Spark's default
+    * UTF8_BINARY collation and parquet's binary stats both use). So
+    * metadata ANSWERS may use the same comparator pruning does. */
+  private def cmpExact(a: Any, b: Any): Option[Int] = cmp(a, b)
 
   /** [[statsSpan]] from pre-read entries (shared manifest read —
     * [[graft.plans.VtMetadataAgg]]). */
@@ -1547,7 +1546,7 @@ object VersionedTable {
         case None => Some(s)
         case Some((lo, hi)) =>
           // the cross-file reduce PICKS the answer, so its order must
-          // be SQL's exactly — cmpExact declines non-ASCII strings
+          // be SQL's exactly (byte-order strings — see cmpExact)
           (cmpExact(s._1, lo), cmpExact(s._2, hi)) match {
             case (Some(cl), Some(ch)) =>
               Some((if (cl < 0) s._1 else lo, if (ch > 0) s._2 else hi))
@@ -1580,7 +1579,7 @@ object VersionedTable {
     * live row matches, `Some(false)` = NO row matches, `None` =
     * undecidable (the file must be scanned). Exactness notes: spans
     * never include NaN (parquet omits stats on NaN-bearing chunks),
-    * string orders are only trusted for ASCII ([[cmpExact]]), and
+    * string orders are exact byte orders ([[cmpExact]]), and
     * all-in demands a recorded ZERO null count (comparisons are
     * null-rejecting; a null row would be wrongly counted). */
   private def classifyEntry(e: FileEntry, p: ExactPred): Option[Boolean] = {
@@ -1608,18 +1607,15 @@ object VersionedTable {
               cmpExact(mx, v).exists(c => c < 0 || (c == 0 && incl)) }
             if (noNulls && inLow && inHigh) Some(true) else None
           }
-        case ExactIn(_, vs) =>
-          if (vs.isEmpty) Some(false)
-          else {
-            val allOut = vs.forall(v =>
-              cmpExact(v, mn).exists(_ < 0) ||
-                cmpExact(v, mx).exists(_ > 0))
-            if (allOut) Some(false)
-            else if (noNulls && cmpExact(mn, mx).contains(0) &&
-                vs.exists(v => cmpExact(v, mn).contains(0)))
-              Some(true)
-            else None
-          }
+        case ExactIn(_, vs) => // vs nonEmpty: the early guard above
+          val allOut = vs.forall(v =>
+            cmpExact(v, mn).exists(_ < 0) ||
+              cmpExact(v, mx).exists(_ > 0))
+          if (allOut) Some(false)
+          else if (noNulls && cmpExact(mn, mx).contains(0) &&
+              vs.exists(v => cmpExact(v, mn).contains(0)))
+            Some(true)
+          else None
         case ExactNotNull(_) =>
           if (noNulls) Some(true) else None
       }
@@ -3279,7 +3275,7 @@ object VersionedTable {
     h.pendingTxn.foreach { uri =>
       txnDecision(fs, uri) match {
         case Some(true) => ()
-        case Some(false) => throw new IllegalStateException(
+        case Some(false) => throw new TxnAbortedSlotException(
           s"version $v at $path belongs to an ABORTED multi-table " +
             "txn — it was never committed")
         case None => throw new TxnInDoubtException(
@@ -3905,19 +3901,26 @@ object VersionedTable {
       val blocks = footer.getBlocks
       import scala.jdk.CollectionConverters._
       val nRows = blocks.asScala.map(_.getRowCount).sum
-      val stats = cols.flatMap { c =>
+      val harvested = cols.map { c =>
         val pc = phys.getOrElse(c, c) // physical chunk, logical key
         if (!schema.containsField(pc) ||
             !schema.getType(Seq(pc): _*).isPrimitive)
-          None
+          (None, None)
         else {
           val prim = schema.getType(Seq(pc): _*).asPrimitiveType
           val chunks = blocks.asScala.map(_.getColumns.asScala
             .find(_.getPath.toDotString == pc))
-          if (chunks.exists(_.isEmpty)) None
+          if (chunks.exists(_.isEmpty)) (None, None)
           else {
             val sts = chunks.map(_.get.getStatistics)
-            if (sts.exists(s => s == null ||
+            // per-column NULL COUNT (exact when every chunk recorded
+            // one) — the all-rows-match proof
+            // [[graft.plans.VtMetadataAgg]] needs for null-rejecting
+            // predicates; same pass, same footer
+            val nullCount =
+              if (sts.exists(s => s == null || !s.isNumNullsSet)) None
+              else Some(c -> sts.map(_.getNumNulls).sum)
+            val span = if (sts.exists(s => s == null ||
                 (!s.hasNonNullValue && !s.isNumNullsSet))) None
             else {
               val spans = sts.filter(_.hasNonNullValue).flatMap { s =>
@@ -3931,9 +3934,8 @@ object VersionedTable {
               // bounds when a chunk contains NaN (PARQUET-1222), and
               // recording that as all-null would let pruning drop
               // files holding live matching rows
-              val provablyAllNull = chunks.zip(blocks.asScala).forall {
-                case (ch, b) =>
-                  val s = ch.get.getStatistics
+              val provablyAllNull = sts.zip(blocks.asScala).forall {
+                case (s, b) =>
                   s.isNumNullsSet && s.getNumNulls == b.getRowCount
               }
               if (sts.exists(s => s.hasNonNullValue) &&
@@ -3947,27 +3949,12 @@ object VersionedTable {
                 spans.map(_._2).reduce((a, b) =>
                   if (cmp(a, b).exists(_ >= 0)) a else b))))
             }
+            (span, nullCount)
           }
         }
-      }.toMap
-      // per-column NULL COUNTS (exact when every chunk recorded one) —
-      // the all-rows-match proof [[graft.plans.VtMetadataAgg]] needs
-      // for null-rejecting predicates; same footer, no extra I/O
-      val nulls = cols.flatMap { c =>
-        val pc = phys.getOrElse(c, c)
-        if (!schema.containsField(pc) ||
-            !schema.getType(Seq(pc): _*).isPrimitive) None
-        else {
-          val chunks = blocks.asScala.map(_.getColumns.asScala
-            .find(_.getPath.toDotString == pc))
-          if (chunks.exists(_.isEmpty)) None
-          else {
-            val sts = chunks.map(_.get.getStatistics)
-            if (sts.exists(s => s == null || !s.isNumNullsSet)) None
-            else Some(c -> sts.map(_.getNumNulls).sum)
-          }
-        }
-      }.toMap
+      }
+      val stats = harvested.flatMap(_._1).toMap
+      val nulls = harvested.flatMap(_._2).toMap
       FileEntry(p.getName, nRows, stats, inFile.getLength, nulls = nulls)
     } finally reader.close()
   }
@@ -4005,7 +3992,15 @@ object VersionedTable {
     * BigDecimal) compares as a double, and NaN on either side is
     * incomparable — the conservative keep, never a crash. */
   private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: String, y: String) => Some(x.compareTo(y))
+    // UNSIGNED-BYTE order, not String.compareTo: parquet records
+    // binary min/max and Spark (UTF8_BINARY) compares bytes, while
+    // Java's UTF-16 order disagrees beyond ASCII (supplementary
+    // characters vs U+E000..U+FFFF) — a UTF-16 reduce would record or
+    // answer the wrong extremum for non-ASCII strings
+    case (x: String, y: String) => Some(
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(y)))
     case (x: Number, y: Number) =>
       val (dx, dy) = (x.doubleValue, y.doubleValue)
       if (dx.isNaN || dy.isNaN) None

@@ -268,7 +268,17 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case u: UTF8String => u.toString
       case other => other
     }
-    def ok(a: AttributeReference): Boolean = relIds.contains(a.exprId)
+    // timestamps decline: manifest spans hold the parquet PHYSICAL
+    // value (epoch millis or micros per the writer's
+    // outputTimestampType conf) while Catalyst literals are always
+    // micros — a unit mismatch would classify every file wrong, not
+    // conservatively. Dates are safe (days on both sides).
+    def ok(a: AttributeReference): Boolean =
+      relIds.contains(a.exprId) && (a.dataType match {
+        case _: org.apache.spark.sql.types.TimestampType => false
+        case _: org.apache.spark.sql.types.TimestampNTZType => false
+        case _ => true
+      })
     val out = conjuncts(cond).map {
       case Literal(true, BooleanType) => Some(Nil)
       case Literal(false, BooleanType) | Literal(null, _) =>

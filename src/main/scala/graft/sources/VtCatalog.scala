@@ -374,17 +374,21 @@ final class VtCatalog extends TableCatalog
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(ident)
-    val statsCols = Option(properties.get("stats_cols")).toSeq
+    val declared = Option(properties.get("stats_cols")).toSeq
       .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     // the VALUE gets the same typo protection as the key: a declared
     // index column must exist in the schema (case-insensitively, as
     // SQL resolves), or the table is born with a silently-dead index
-    val known = schema.fieldNames.map(_.toLowerCase).toSet
-    val missing = statsCols.filterNot(c => known.contains(c.toLowerCase))
+    val canonical = schema.fieldNames.map(f => f.toLowerCase -> f).toMap
+    val missing = declared.filterNot(c => canonical.contains(c.toLowerCase))
     if (missing.nonEmpty) throw new UnsupportedOperationException(
       s"$catalogName: stats_cols name columns the schema lacks: " +
         s"${missing.mkString(",")} (schema: " +
         s"${schema.fieldNames.mkString(",")})")
+    // commit the SCHEMA's case, not the declaration's: the footer
+    // harvest matches chunk paths case-sensitively, so a case-variant
+    // declaration would be the same silently-dead index
+    val statsCols = declared.map(c => canonical(c.toLowerCase))
     // expectVersion = 0 pins creation to slot 0 and maxRetries = 0
     // forbids re-slotting: whether another creator fully landed
     // between our existence probe and the listing, or we lose the
@@ -527,8 +531,7 @@ final class VtCatalog extends TableCatalog
                   s"$catalogName: DROP TABLE refuses — version $v of " +
                     s"$path belongs to an UNDECIDED multi-table txn " +
                     "that could still commit; decide it first")
-              case e: IllegalStateException
-                  if Option(e.getMessage).exists(_.contains("ABORTED")) =>
+              case _: VersionedTable.TxnAbortedSlotException =>
                 Some(0L) // aborted pending: no committed data in it
             }
           (v, rows)

@@ -737,10 +737,16 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("schema lacks")), e.getMessage)
     assert(!new java.io.File(t, "_graft_log").exists(),
       "a refused CREATE must not commit")
-    // case-variant declarations resolve like SQL does
+    // case-variant declarations resolve like SQL does — and commit
+    // the SCHEMA's case, so the footer harvest actually collects
+    // (a verbatim 'DOC_ID' would be a silently-dead index: chunk
+    // paths match case-sensitively)
     spark.sql(s"CREATE TABLE graft.`$t` (doc_id BIGINT, s STRING) " +
       "TBLPROPERTIES ('stats_cols' = 'DOC_ID')")
-    assert(new java.io.File(t, "_graft_log").exists())
+    spark.sql(s"INSERT INTO graft.`$t` VALUES (7, 'a'), (9, 'b')")
+    assert(VersionedTable.statsSpan(spark, t, "doc_id")
+      == Some(Some((7L, 9L))),
+      "the canonical-case index must collect spans")
   }
 
   test("DROP TABLE never leaks its tombstone over pending manifests") {

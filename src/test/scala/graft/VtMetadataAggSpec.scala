@@ -3,6 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import scala.jdk.CollectionConverters._
 import graft.operators.VersionedTable
 
 /** Metadata-only aggregates: whole-table count/min/max over a
@@ -164,14 +165,6 @@ class VtMetadataAggSpec extends AnyFunSuite {
     assert(spark.sql(all).collect()(0).getLong(0) == 99L)
   }
 
-  private implicit class SeqAsJava[A](s: Seq[A]) {
-    def asJava: java.util.List[A] = {
-      val l = new java.util.ArrayList[A](s.size)
-      s.foreach(l.add)
-      l
-    }
-  }
-
   test("NaN-bearing double chunks never record a lying all-null span") {
     // parquet omits double min/max when a chunk holds NaN (keeping
     // null counts); recording that as "provably all-null" let span
@@ -244,7 +237,8 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "id IN (1, 2, 250, 999)", "id IS NOT NULL",
       "d >= 10.0", "d < 20.0", "d = 3.0", "d IS NOT NULL",
       "s >= 'k100'", "s < 'k200'", "s = 'k150'", "s IS NOT NULL",
-      "s >= 'z'", "id >= 50 AND d < 30.0 AND s IS NOT NULL"
+      "s >= 'z'", "s >= 'z\u99ac150'", "s = 'z\u99ac155'",
+      "id >= 50 AND d < 30.0 AND s IS NOT NULL"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
