@@ -1632,18 +1632,24 @@ object VersionedTable {
     * the boundary scan, so an undecidable file is never a wrong
     * answer, only a narrower win. */
   private[graft] def countWhereParts(entries: Seq[FileEntry],
-      preds: Seq[ExactPred]): (Long, Seq[String]) = {
+      preds: Seq[ExactPred]): (Long, Seq[FileEntry], Seq[String]) = {
     var metaSum = 0L
+    val allIn = Seq.newBuilder[FileEntry]
     val boundary = Seq.newBuilder[String]
     entries.foreach { e =>
       val verdicts = preds.map(classifyEntry(e, _))
       if (verdicts.contains(Some(false))) () // provably out
-      else if (verdicts.forall(_.contains(true)) && e.nRows >= 0)
+      else if (verdicts.forall(_.contains(true)) && e.nRows >= 0) {
         metaSum += e.liveRows
-      else boundary += e.name
+        allIn += e
+      } else boundary += e.name
     }
-    (metaSum, boundary.result())
+    (metaSum, allIn.result(), boundary.result())
   }
+
+  /** [[cmpExact]] for plan-side callers (the metadata-aggregate rule
+    * reduces all-in files' span extrema with SQL's exact order). */
+  private[graft] def cmpMeta(a: Any, b: Any): Option[Int] = cmpExact(a, b)
 
   /** Masked/aliased read of a NAMED SUBSET of a version's files — the
     * boundary-file scan of a predicate-bounded metadata count. Same

@@ -200,27 +200,47 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** `count(*) WHERE <conjuncts>` from metadata + a BOUNDARY-ONLY
-    * scan: files every conjunct provably matches in full count from
-    * the manifest (exact — null counts prove no null row hides in an
-    * all-in file), provably-out files contribute nothing, and only
-    * the undecidable boundary files are scanned (masked/aliased, with
-    * the ORIGINAL predicate re-applied). A time-range count over a
-    * clustered 100 TB table reads two boundary files instead of the
-    * whole overlap. Declines (plan untouched) unless every aggregate
-    * is a plain count, every conjunct translates exactly, and
-    * metadata actually decided at least one file. */
+  /** `count(*)` / `min` / `max` `WHERE <conjuncts>` from metadata + a
+    * BOUNDARY-ONLY scan: files every conjunct provably matches in
+    * full answer from the manifest (exact — null counts prove no null
+    * row hides in an all-in file; for min/max the all-in file's span
+    * extrema ARE its matching rows' extrema, since every row
+    * matches), provably-out files contribute nothing, and only the
+    * undecidable boundary files are scanned (masked/aliased, with the
+    * ORIGINAL predicate re-applied; their partial aggregates combine
+    * with the metadata side via Add/Least/Greatest). A time-range
+    * count over a clustered 100 TB table reads two boundary files
+    * instead of the whole overlap. For span shapes an all-in file
+    * that carries a deletion vector (a masked row could have held the
+    * extremum) or no recorded span demotes to the boundary scan.
+    * Declines (plan untouched) unless every aggregate is a plain
+    * count/min/max, every conjunct translates exactly, and metadata
+    * actually decided at least one file. */
   private def foldCountWhere(agg: Aggregate,
       aggExprs: Seq[NamedExpression], cond: Expression, t: VtTable,
       relOut: Seq[Attribute]): Option[LogicalPlan] = {
-    val countsOnly = aggExprs.forall {
-      case Alias(AggregateExpression(
-          Count(Seq(Literal(v, _))), Complete, false, None, _), _) =>
-        v != null
-      case _ => false
-    }
-    if (!countsOnly) return None
     val relIds = relOut.map(_.exprId).toSet
+    sealed trait Shape
+    case object CountAll extends Shape
+    final case class SpanAgg(a: AttributeReference, lo: Boolean)
+      extends Shape
+    val shapes: Seq[Shape] = aggExprs.map {
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _)
+          if v != null => CountAll
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), Complete, false, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) &&
+            t.vtScanRefusal.isEmpty =>
+        SpanAgg(a, lo = true)
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), Complete, false, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) &&
+            t.vtScanRefusal.isEmpty =>
+        SpanAgg(a, lo = false)
+      case _ => return None
+    }
+    val spanCols = shapes.collect { case SpanAgg(a, _) => a.name }.distinct
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -228,14 +248,55 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         VersionedTable.requireVisibleVersion(spark, t.vtPath, t.vtVersion)
         VersionedTable.readEntries(spark, t.vtPath, t.vtVersion)
       } catch { case scala.util.control.NonFatal(_) => return None }
-    val (metaSum, boundary) = VersionedTable.countWhereParts(entries, preds)
+    val (metaSum0, allIn0, boundary0) =
+      VersionedTable.countWhereParts(entries, preds)
+    // span shapes need each all-in file's extrema to be trustworthy:
+    // a DV could mask the extremum, and a missing span (all-null is
+    // fine — contributes nothing to min/max) means scan that file
+    val demote =
+      if (spanCols.isEmpty) Seq.empty
+      else allIn0.filter(e => e.dv.exists(_._2 > 0) ||
+        spanCols.exists(c => !e.stats.contains(c)))
+    val metaSum = metaSum0 - demote.map(_.liveRows).sum
+    val allIn = allIn0.filterNot(demote.contains)
+    val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
+    // per-span-column extrema over the all-in files (byte-order/SQL
+    // exact — incomparable pairs decline the whole fold)
+    val metaSpan: Map[String, Option[(Any, Any)]] =
+      spanCols.map { c =>
+        var acc: Option[(Any, Any)] = None
+        allIn.flatMap(_.stats.get(c)).flatten.foreach { s =>
+          acc = acc match {
+            case None => Some(s)
+            case Some((lo, hi)) =>
+              (VersionedTable.cmpMeta(s._1, lo),
+                VersionedTable.cmpMeta(s._2, hi)) match {
+                case (Some(cl), Some(ch)) =>
+                  Some((if (cl < 0) s._1 else lo,
+                    if (ch > 0) s._2 else hi))
+                case _ => return None
+              }
+          }
+        }
+        c -> acc
+      }.toMap
+    def metaLit(a: AttributeReference, lo: Boolean): Literal =
+      metaSpan(a.name) match {
+        case Some((mn, mx)) =>
+          Literal(toCatalyst(if (lo) mn else mx, a), a.dataType)
+        case None => Literal(null, a.dataType)
+      }
     if (boundary.isEmpty)
       return Some(LocalRelation(agg.output,
-        Seq(InternalRow.fromSeq(aggExprs.map(_ => metaSum: Any)))))
+        Seq(InternalRow.fromSeq(shapes.map {
+          case CountAll => metaSum: Any
+          case SpanAgg(a, lo) => metaLit(a, lo).value
+        }))))
     // boundary files: one masked/aliased subset scan, original
-    // predicate re-applied, count added to the metadata sum
+    // predicate re-applied, partial aggregates combined with the
+    // metadata side
     val slice = Bridge.logicalPlan(
       VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion,
         boundary.toSet))
@@ -246,10 +307,27 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val cnt = Alias(AggregateExpression(
       Count(Seq(Literal(1))), Complete, isDistinct = false),
       "graft_boundary_count")()
-    val inner = Aggregate(Nil, Seq(cnt), Filter(cond, remap))
-    val outs = aggExprs.zip(agg.output).map { case (_, o) =>
-      Alias(Add(cnt.toAttribute, Literal(metaSum)), o.name)(
-        exprId = o.exprId)
+    val spanAggs: Map[(String, Boolean), Alias] =
+      shapes.collect { case SpanAgg(a, lo) => (a, lo) }.distinct.map {
+        case (a, lo) =>
+          (a.name, lo) -> Alias(AggregateExpression(
+            if (lo) Min(a) else Max(a), Complete, isDistinct = false),
+            s"graft_boundary_${if (lo) "min" else "max"}_${a.name}")()
+      }.toMap
+    val inner = Aggregate(Nil, cnt +: spanAggs.values.toSeq,
+      Filter(cond, remap))
+    val outs = shapes.zip(agg.output).map {
+      case (CountAll, o) =>
+        Alias(Add(cnt.toAttribute, Literal(metaSum)), o.name)(
+          exprId = o.exprId)
+      case (SpanAgg(a, lo), o) =>
+        // Least/Greatest skip nulls, matching min/max combination
+        val parts = Seq(spanAggs((a.name, lo)).toAttribute,
+          metaLit(a, lo))
+        Alias(if (lo) org.apache.spark.sql.catalyst.expressions
+            .Least(parts)
+          else org.apache.spark.sql.catalyst.expressions
+            .Greatest(parts), o.name)(exprId = o.exprId)
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
   }

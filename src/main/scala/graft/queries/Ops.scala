@@ -713,7 +713,8 @@ object Ops {
     val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val lo = (maxId + 1) / 4
     val hi = (3L * (maxId + 1)) / 4
-    val q = s.sql(s"SELECT count(*) AS n FROM graft.`$t` " +
+    val q = s.sql(s"SELECT count(*) AS n, min(l_orderkey) AS klo, " +
+      s"max(l_orderkey) AS khi FROM graft.`$t` " +
       s"WHERE l_orderkey >= $lo AND l_orderkey < $hi")
     if (VersionedTable.readEntries(s, t, 0).size >= 8) {
       val read = q.inputFiles.length
@@ -2937,7 +2938,9 @@ object Ops {
     // the same middle-half range.
     "op_vt_count_where" ->
       """WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem)
-        |SELECT count(*) AS n FROM lineitem
+        |SELECT count(*) AS n, min(l_orderkey) AS klo,
+        |       max(l_orderkey) AS khi
+        |FROM lineitem
         |WHERE l_orderkey >= (SELECT m FROM mx) // 4
         |  AND l_orderkey < (3 * (SELECT m FROM mx)) // 4""".stripMargin,
     // The segmented (v7) manifest layout must be value-invisible:

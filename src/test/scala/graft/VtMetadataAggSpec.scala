@@ -245,9 +245,12 @@ class VtMetadataAggSpec extends AnyFunSuite {
     }
     preds.foreach { p =>
       val folded = spark.sql(
-        s"SELECT count(*) AS n FROM graft.`$t` WHERE $p")
-        .collect()(0).getLong(0)
-      val scanned = trusted.where(p).count()
+        s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi, " +
+          s"min(s) AS smn, max(s) AS smx FROM graft.`$t` WHERE $p")
+        .collect()(0).toSeq
+      val scanned = trusted.where(p).selectExpr("count(*) AS n",
+        "min(id) AS lo", "max(id) AS hi", "min(s) AS smn",
+        "max(s) AS smx").collect()(0).toSeq
       assert(folded == scanned,
         s"pred [$p]: folded $folded != scanned $scanned")
     }
