@@ -257,8 +257,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       if (spanCols.isEmpty) Seq.empty
       else allIn0.filter(e => e.dv.exists(_._2 > 0) ||
         spanCols.exists(c => !e.stats.contains(c)))
+    val demoted = demote.iterator.map(_.name).toSet
     val metaSum = metaSum0 - demote.map(_.liveRows).sum
-    val allIn = allIn0.filterNot(demote.contains)
+    val allIn = allIn0.filterNot(e => demoted.contains(e.name))
     val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
