@@ -404,23 +404,33 @@ object Dedup {
     * union-find oracle. */
   def connectedComponents(
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
-      maxIters: Int = 30, propagationRounds: Int = 6): DataFrame = {
+      maxIters: Int = 30, propagationRounds: Int = 6,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Per-round lineage truncation. Default localCheckpoint stores
+    // blocks on EXECUTORS ONLY — fastest, but not recoverable: on a
+    // real cluster one lost/preempted executor fails the job mid-
+    // iteration. Pass `checkpointDir` (HDFS/object-store path) to
+    // route through reliable checkpoint() instead — each round then
+    // pays a distributed write, and the job survives executor loss.
+    // Value-identical either way (spec-locked in TextDedupSpec).
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Materialize the narrow (src, dst) projection ONCE: the input
     // pairs frame usually carries an expensive lineage (LSH candidate
     // joins, shingle kernels, verification), and both the edge set and
     // the node set need it — deriving either straight from `pairs`
     // would re-execute that whole lineage a second time.
-    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint()
+    val p0 = ckpt(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
     // Symmetrized edges for phase 1; nodes covers self-pairs too.
-    val symEdges = p0
+    val symEdges = ckpt(p0
       .union(p0.select(col("dst").as("src"), col("src").as("dst")))
       .where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
-    val nodes = p0.select(col("src").as("id"))
+      .distinct())
+    val nodes = ckpt(p0.select(col("src").as("id"))
       .union(p0.select(col("dst").as("id")))
-      .distinct().localCheckpoint()
-    var labels = nodes.withColumn("cluster_id", col("id")).localCheckpoint()
+      .distinct())
+    var labels = ckpt(nodes.withColumn("cluster_id", col("id")))
     var converged = symEdges.isEmpty
     var iter = 0
     while (!converged && iter < propagationRounds) {
@@ -432,12 +442,11 @@ object Dedup {
       // is then a filter-isEmpty over the materialized blocks.
       // localCheckpoint also truncates lineage, which otherwise doubles
       // per round (an analyzer-blowup hazard past ~15 rounds).
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = ckpt(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster_id"), coalesce(col("__nbr"), col("cluster_id")))
             .as("cluster_id"),
-          (col("__nbr") < col("cluster_id")).as("__changed"))
-        .localCheckpoint()
+          (col("__nbr") < col("cluster_id")).as("__changed")))
       converged = next.where(col("__changed")).isEmpty
       labels = next.drop("__changed")
       iter += 1
@@ -451,10 +460,11 @@ object Dedup {
       .select(greatest(col("src"), col("dst")).as("src"),
         least(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
-      .distinct().localCheckpoint()
+      .distinct()
+    edges = ckpt(edges)
     iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = ckpt(smallStar(largeStar(edges)))
       converged = next.union(edges)
         .groupBy("src", "dst").agg(count(lit(1)).as("__n"))
         .where(col("__n") =!= 2).isEmpty

@@ -39,10 +39,23 @@ object PageRank {
 
   /** @param edges DataFrame with long columns `src`, `dst` (made
     *              distinct here; self-loops are the caller's choice)
+    * @param checkpointDir reliable-checkpoint path (HDFS/object
+    *              store). Default `None` truncates per-iteration
+    *              lineage with `localCheckpoint` — executor-local
+    *              blocks, fastest, but NOT recoverable: one lost or
+    *              preempted executor fails the job mid-iteration.
+    *              Set on real clusters to pay a distributed write
+    *              per iteration and survive executor loss. Value-
+    *              identical either way (spec-locked).
     * @return (node: long, r: long) — fixed-point rank at `scale` */
   def run(edges: DataFrame, iterations: Int,
-          scale: Long = 1000000000000L): DataFrame = {
+          scale: Long = 1000000000000L,
+          checkpointDir: Option[String] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    checkpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
@@ -63,7 +76,7 @@ object PageRank {
         .agg(sum(col("c")).as("insum"))
         .select(col("dst").as("node"),
           (lit(base) + expr("(85 * insum) div 100")).as("r"))
-        .localCheckpoint()
+      ranks = ckpt(ranks)
     }
     e2.unpersist()
     ranks

@@ -203,6 +203,11 @@ object VersionedTable {
   private val segmentCacheEntries = new java.util.concurrent.atomic.AtomicLong(0)
   private val segmentCacheHitsVar = new java.util.concurrent.atomic.AtomicLong(0)
   private val SegmentCacheMaxEntries = 8L * 1000 * 1000
+  /** Segment-count threshold past which [[readEntries]] fetches a v7
+    * manifest's segments with bounded parallel IO (16 threads) instead
+    * of a sequential loop. Var only so specs can force the parallel
+    * path on small fixtures. */
+  private[graft] var parallelSegmentThreshold: Int = 16
   /** Observability hook for specs: cumulative segment-cache hits. */
   def segmentCacheHits: Long = segmentCacheHitsVar.get
   private val CkptName = "_checkpoint"
@@ -313,6 +318,15 @@ object VersionedTable {
     * every pushed comparison, so this is what lets the relation path
     * skip all-null files before any value test runs. */
   final case class NotNullPred(column: String) extends PrunePred
+  /** A DISJUNCTION of conjunctions (`a OR b [OR …]`, each side itself
+    * a pruning conjunction): a file survives when ANY alternative
+    * might match it. Everyday shape (`year = 1995 OR year = 1997`)
+    * that a conjunct-only walk had to keep un-pruned. `alts` must be
+    * non-empty and each alternative non-empty — an untranslatable
+    * side makes the whole disjunction un-prunable at the caller. */
+  final case class OrPred(alts: Seq[Seq[PrunePred]]) extends PrunePred {
+    override def column: String = "" // spans multiple columns
+  }
 
   /** Commit `df` as the next version. `overwrite=true` makes the new
     * version exactly `df`; `overwrite=false` appends to the previous
@@ -1574,6 +1588,16 @@ object VersionedTable {
   final case class ExactIn(column: String, values: Seq[Any])
     extends ExactPred
   final case class ExactNotNull(column: String) extends ExactPred
+  /** A DISJUNCTION of conjunctions (`a OR b`, each side a conjunction
+    * of exact predicates — nested ORs nest here). A file is all-in
+    * when SOME alternative provably matches its every row, all-out
+    * when EVERY alternative provably matches none; a file whose rows
+    * merely split across alternatives (span [1995,1997] under
+    * `year = 1995 OR year = 1997`) is undecidable and scans — exact,
+    * never approximate. */
+  final case class ExactOr(alts: Seq[Seq[ExactPred]]) extends ExactPred {
+    override def column: String = "" // spans multiple columns
+  }
 
   /** Classify one file against one predicate: `Some(true)` = EVERY
     * live row matches, `Some(false)` = NO row matches, `None` =
@@ -1586,6 +1610,20 @@ object VersionedTable {
     if (e.nRows == 0) return Some(false) // no rows: vacuously out
     p match { // a provably-empty predicate needs no stats at all
       case ExactIn(_, vs) if vs.isEmpty => return Some(false)
+      case ExactOr(alts) =>
+        // classify each alternative as its own conjunction; all-in
+        // when some alternative covers every row, all-out when every
+        // alternative excludes every row — anything else scans
+        val verdicts = alts.map { conj =>
+          val vs = conj.map(classifyEntry(e, _))
+          if (vs.contains(Some(false))) Some(false)
+          else if (vs.forall(_.contains(true))) Some(true)
+          else None
+        }
+        return (
+          if (verdicts.contains(Some(true))) Some(true)
+          else if (verdicts.forall(_.contains(false))) Some(false)
+          else None)
       case _ => ()
     }
     val span = e.stats.get(p.column)
@@ -1618,9 +1656,27 @@ object VersionedTable {
           else None
         case ExactNotNull(_) =>
           if (noNulls) Some(true) else None
+        case _: ExactOr => None // unreachable: dispatched above
       }
     }
   }
+
+  /** Exact NON-NULL live-row count of one file's `col`, from the
+    * manifest's per-column null counts — what `count(col)` folds
+    * from. `None` = not provable: no recorded null count, or the file
+    * carries a deletion vector alongside nulls (a masked row might
+    * have been null or not — only a ZERO null count survives masking,
+    * since then every masked row was provably non-null). */
+  private[graft] def nonNullRowsOf(e: FileEntry,
+      col: String): Option[Long] =
+    if (e.nRows == 0) Some(0L)
+    else if (e.nRows < 0) None
+    else e.nulls.get(col) match {
+      case Some(0L) => Some(e.liveRows)
+      case Some(n) =>
+        if (e.dv.exists(_._2 > 0)) None else Some(e.nRows - n)
+      case None => None
+    }
 
   /** Split a version's files for `count(*) WHERE <conjuncts>`:
     * `(metaSum, boundary)` where `metaSum` is the exact live-row
@@ -1909,14 +1965,17 @@ object VersionedTable {
     val v = asOfVersion.orElse(latestVisible(fs, root, forWrite = false))
       .getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
-    val pred = preds.map {
+    def toColumn(p: PrunePred): Column = p match {
       case RangePred(c, lo, hi) =>
         col(c).isNotNull && col(c) >= lit(lo) && col(c) <= lit(hi)
       case InPred(c, vs) => col(c).isin(vs: _*)
       case GePred(c, lo) => col(c).isNotNull && col(c) >= lit(lo)
       case LePred(c, hi) => col(c).isNotNull && col(c) <= lit(hi)
       case NotNullPred(c) => col(c).isNotNull
-    }.reduce(_ && _)
+      case OrPred(alts) =>
+        alts.map(_.map(toColumn).reduce(_ && _)).reduce(_ || _)
+    }
+    val pred = preds.map(toColumn).reduce(_ && _)
     // beyond driver-parse scale the header (a seven-line read) routes
     // planning through the parquet entry checkpoint: pruning runs as a
     // Spark job and only the SURVIVING entries ever reach the driver
@@ -2067,7 +2126,15 @@ object VersionedTable {
       }
     }
 
-  private def mightMatch(e: FileEntry, p: PrunePred): Boolean =
+  private def mightMatch(e: FileEntry, p: PrunePred): Boolean = p match {
+    // a file survives an OR when any alternative (a conjunction)
+    // might match it — evaluated BEFORE the span lookup, since the
+    // disjunction has no single anchor column
+    case OrPred(alts) => alts.exists(_.forall(mightMatch(e, _)))
+    case _ => mightMatchLeaf(e, p)
+  }
+
+  private def mightMatchLeaf(e: FileEntry, p: PrunePred): Boolean =
     e.stats.get(p.column) match {
       case None => true // stats never collected: cannot prune
       case Some(None) => false // all-null column: no value test matches
@@ -2081,6 +2148,7 @@ object VersionedTable {
         case GePred(_, lo) => cmp(mx, lo).forall(_ >= 0)
         case LePred(_, hi) => cmp(mn, hi).forall(_ <= 0)
         case NotNullPred(_) => true // a span exists: non-null values do
+        case _: OrPred => true // unreachable: dispatched in mightMatch
       }
     }
 
@@ -3056,8 +3124,31 @@ object VersionedTable {
         lines.drop(8).map(parseEntry(_, cols))
       case Some(HeaderV7) =>
         val cols = statsColsOf(lines(3))
-        val out = lines.drop(8).map(parseSegRef).flatMap { ref =>
-          val seg = readSegmentCached(fs, root, ref.name, cols)
+        val refs = lines.drop(8).map(parseSegRef)
+        // segments are independent immutable files: past a handful,
+        // fetch them with BOUNDED PARALLEL IO instead of a sequential
+        // driver loop — on an object store each read is latency-bound
+        // (~10-100 ms), so a 128-segment manifest (a ~1M-file table)
+        // opens in ~one round-trip instead of ~128. Order preserved;
+        // the segment cache is concurrent (putIfAbsent) so racers are
+        // benign.
+        val fetched: Seq[(SegRef, Seq[FileEntry])] =
+          if (refs.size < parallelSegmentThreshold)
+            refs.map(r => r -> readSegmentCached(fs, root, r.name, cols))
+          else {
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(
+              math.min(refs.size, 16))
+            try {
+              import scala.jdk.CollectionConverters._
+              pool.invokeAll(refs.map { r =>
+                new java.util.concurrent.Callable[(SegRef, Seq[FileEntry])] {
+                  override def call() =
+                    r -> readSegmentCached(fs, root, r.name, cols)
+                }
+              }.asJava).asScala.toSeq.map(_.get())
+            } finally pool.shutdown()
+          }
+        val out = fetched.flatMap { case (ref, seg) =>
           require(seg.size == ref.n,
             s"segment ${ref.name} of $mf holds ${seg.size} entries, " +
               s"manifest recorded ${ref.n}")
@@ -3926,8 +4017,18 @@ object VersionedTable {
             val nullCount =
               if (sts.exists(s => s == null || !s.isNumNullsSet)) None
               else Some(c -> sts.map(_.getNumNulls).sum)
-            val span = if (sts.exists(s => s == null ||
-                (!s.hasNonNullValue && !s.isNumNullsSet))) None
+            // a chunk with NO recorded bounds is tolerable only when
+            // its null count PROVES the chunk all-null. Parquet also
+            // omits double/float bounds when a chunk contains NaN
+            // (PARQUET-1222) while still setting numNulls — that
+            // chunk's non-NaN values (and NaN itself) would fall
+            // OUTSIDE a span reduced from its sibling chunks, so the
+            // whole file's span is unknowable: "a recorded span
+            // proves no NaN" holds per-CHUNK, never per-file.
+            val span = if (sts.zip(blocks.asScala).exists {
+                case (s, b) => s == null || (!s.hasNonNullValue &&
+                  !(s.isNumNullsSet && s.getNumNulls == b.getRowCount))
+              }) None
             else {
               val spans = sts.filter(_.hasNonNullValue).flatMap { s =>
                 for {
@@ -3935,20 +4036,12 @@ object VersionedTable {
                   mx <- normalize(prim, s.genericGetMax.asInstanceOf[AnyRef])
                 } yield (mn, mx)
               }
-              // "no recorded bounds" is ALL-NULL only when the null
-              // counts PROVE it — parquet also omits double/float
-              // bounds when a chunk contains NaN (PARQUET-1222), and
-              // recording that as all-null would let pruning drop
-              // files holding live matching rows
-              val provablyAllNull = sts.zip(blocks.asScala).forall {
-                case (s, b) =>
-                  s.isNumNullsSet && s.getNumNulls == b.getRowCount
-              }
-              if (sts.exists(s => s.hasNonNullValue) &&
-                  spans.size != sts.count(_.hasNonNullValue))
+              if (spans.size != sts.count(_.hasNonNullValue))
                 None // some chunk's bound we cannot normalize (or NaN)
               else if (spans.isEmpty)
-                (if (provablyAllNull) Some(c -> None) else None)
+                // every chunk boundless ⇒ (guard above) every chunk
+                // provably all-null ⇒ the column is all-null
+                Some(c -> None)
               else Some(c -> Some((
                 spans.map(_._1).reduce((a, b) =>
                   if (cmp(a, b).exists(_ <= 0)) a else b),
@@ -4012,9 +4105,23 @@ object VersionedTable {
       if (dx.isNaN || dy.isNaN) None
       else if (dx.isInfinite || dy.isInfinite)
         Some(java.lang.Double.compare(dx, dy))
-      else try Some(new java.math.BigDecimal(x.toString)
-        .compareTo(new java.math.BigDecimal(y.toString)))
-      catch { case _: NumberFormatException => None }
+      else try {
+        // float/double sides compare through their EXACT binary
+        // value: Float widens to double exactly, and BigDecimal(d:
+        // Double) is d's exact expansion. The toString route would
+        // read a FloatType literal 0.1f as decimal "0.1" — a value
+        // the float never equals — and misclassify files whose rows
+        // equal the literal (spans store floats widened to double,
+        // toString "0.10000000149011612"). Integral sides keep the
+        // decimal-string path, exact beyond 2^53 where a double
+        // round-trip is not.
+        def bd(n: Number): java.math.BigDecimal = n match {
+          case _: java.lang.Float | _: java.lang.Double =>
+            new java.math.BigDecimal(n.doubleValue)
+          case _ => new java.math.BigDecimal(n.toString)
+        }
+        Some(bd(x).compareTo(bd(y)))
+      } catch { case _: NumberFormatException => None }
     case _ => None
   }
 
@@ -4124,15 +4231,23 @@ object VersionedTable {
 
   private def readSegmentCached(fs: FileSystem, root: Path, name: String,
       cols: Seq[String]): Seq[FileEntry] = {
-    val key = new Path(root, s"$LogDir/$name").toString
+    // the key carries the declared stats columns, so a (corrupt)
+    // manifest declaring different cols can never parse a stale hit
+    // keyed under the other layout — every hit has passed the cold
+    // path's stats-cols agreement check for ITS cols
+    val key = new Path(root, s"$LogDir/$name").toString +
+      " " + cols.mkString(",")
     val cached = segmentCache.get(key)
     if (cached != null) { segmentCacheHitsVar.incrementAndGet(); return cached }
     val parsed = readSegment(fs, root, name, cols)
-    if (segmentCacheEntries.addAndGet(parsed.size) > SegmentCacheMaxEntries) {
+    // single-shot accounting: only the thread whose put landed counts
+    // the entries toward the clear threshold (two racers would
+    // otherwise both add while the map stores one copy)
+    if (segmentCache.putIfAbsent(key, parsed) == null &&
+        segmentCacheEntries.addAndGet(parsed.size) > SegmentCacheMaxEntries) {
       segmentCache.clear()
-      segmentCacheEntries.set(parsed.size)
+      segmentCacheEntries.set(0L)
     }
-    segmentCache.put(key, parsed)
     parsed
   }
 

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
-import graft.operators.VersionedTable.{ExactIn, ExactNotNull, ExactPred, ExactRange}
+import graft.operators.VersionedTable.{ExactIn, ExactNotNull, ExactOr, ExactPred, ExactRange}
 import graft.sources.VtTable
 
 /** METADATA-ONLY AGGREGATES over versioned catalog tables: a whole-
@@ -60,7 +60,15 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           case Some((t, relOut)) =>
             foldAll(aggExprs, t, relOut) match {
               case Some(rows) => LocalRelation(agg.output, rows)
-              case None => agg
+              case None =>
+                // pure-metadata fold declined (a DV could hide a
+                // min/max extremum, a null count is missing, a file
+                // predates row counts): try the HYBRID under a
+                // vacuous WHERE — fold what metadata proves, scan
+                // only the files it cannot decide
+                foldCountWhere(agg, aggExprs,
+                  Literal(true, BooleanType), t, relOut)
+                  .getOrElse(agg)
             }
           case None => stripToFilteredVt(child) match {
             case Some((cond, t, relOut)) =>
@@ -138,6 +146,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val relIds = relOut.map(_.exprId).toSet
     sealed trait Fold
     case object CountAll extends Fold
+    final case class CountCol(a: AttributeReference) extends Fold
     final case class Span(a: AttributeReference, lo: Boolean) extends Fold
     val shapes: Seq[Option[Fold]] = aggExprs.map {
       // count(*) / count(<non-null literal>) — count(NULL) is 0 by
@@ -146,6 +155,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Count(Seq(Literal(v, _))), Complete, false, None, _), _)
           if v != null =>
         Some(CountAll)
+      // count(col) = Σ per file (rows − nulls), from the manifest's
+      // per-column null counts — the most common profiling aggregate
+      // after count(*), answered with zero data files opened
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if relIds.contains(a.exprId) =>
+        Some(CountCol(a))
       case Alias(AggregateExpression(
           Min(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) =>
@@ -158,7 +174,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     }
     if (shapes.exists(_.isEmpty)) return None
     if (shapes.exists {
-        case Some(_: Span) => t.vtScanRefusal.nonEmpty
+        case Some(_: Span) | Some(_: CountCol) => t.vtHasMapping
         case _ => false
       }) return None // mapped names would misalign against stats keys
     // ONE manifest read (segment-cached) answers every expression
@@ -177,6 +193,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         VersionedTable.statsSpanOf(entries, col))
     val values = shapes.map {
       case Some(CountAll) => count.map(n => n: Any)
+      case Some(CountCol(a)) =>
+        val parts = entries.map(VersionedTable.nonNullRowsOf(_, a.name))
+        if (parts.exists(_.isEmpty)) None
+        else Some(parts.map(_.get).sum: Any)
       case Some(Span(a, isLo)) =>
         span(a.name).map(_.map(s =>
           toCatalyst(if (isLo) s._1 else s._2, a)).orNull)
@@ -222,6 +242,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val relIds = relOut.map(_.exprId).toSet
     sealed trait Shape
     case object CountAll extends Shape
+    final case class CountColAgg(a: AttributeReference) extends Shape
     final case class SpanAgg(a: AttributeReference, lo: Boolean)
       extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
@@ -229,18 +250,25 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Count(Seq(Literal(v, _))), Complete, false, None, _), _)
           if v != null => CountAll
       case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if relIds.contains(a.exprId) && !t.vtHasMapping =>
+        CountColAgg(a)
+      case Alias(AggregateExpression(
           Min(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) &&
-            t.vtScanRefusal.isEmpty =>
+            !t.vtHasMapping =>
         SpanAgg(a, lo = true)
       case Alias(AggregateExpression(
           Max(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) &&
-            t.vtScanRefusal.isEmpty =>
+            !t.vtHasMapping =>
         SpanAgg(a, lo = false)
       case _ => return None
     }
     val spanCols = shapes.collect { case SpanAgg(a, _) => a.name }.distinct
+    val countColAttrs = shapes.collect { case CountColAgg(a) => a }
+      .distinctBy(_.name)
+    val countCols = countColAttrs.map(_.name)
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -248,18 +276,76 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         VersionedTable.requireVisibleVersion(spark, t.vtPath, t.vtVersion)
         VersionedTable.readEntries(spark, t.vtPath, t.vtVersion)
       } catch { case scala.util.control.NonFatal(_) => return None }
-    val (metaSum0, allIn0, boundary0) =
+    val (_, allIn0, boundary0) =
       VersionedTable.countWhereParts(entries, preds)
-    // span shapes need each all-in file's extrema to be trustworthy:
-    // a DV could mask the extremum, and a missing span (all-null is
-    // fine — contributes nothing to min/max) means scan that file
-    val demote =
+    // DEMOTE an all-in file to the boundary scan when its metadata
+    // cannot answer a requested shape:
+    //  (a) a span col's stats were never collected (all-null is fine
+    //      — contributes nothing to min/max), or a count col's
+    //      non-null rows are unprovable (no recorded null count, or
+    //      a DV over a file WITH nulls — a masked row might have
+    //      been either);
+    //  (b) a DV'd file whose recorded span could EXTEND some span
+    //      col's extremum past the CLEAN-file baseline — only those
+    //      can hide a min/max behind the mask, so a 100 TB table
+    //      with scattered DVs rescans a handful of extremum-touching
+    //      files, not every masked one.
+    def dvOf(e: graft.operators.VersionedTable.FileEntry): Boolean =
+      e.dv.exists(_._2 > 0)
+    val missing = allIn0.filter(e =>
+      spanCols.exists(c => !e.stats.contains(c)) ||
+        countCols.exists(c =>
+          VersionedTable.nonNullRowsOf(e, c).isEmpty))
+    val missingSet = missing.iterator.map(_.name).toSet
+    val dvDemote =
       if (spanCols.isEmpty) Seq.empty
-      else allIn0.filter(e => e.dv.exists(_._2 > 0) ||
-        spanCols.exists(c => !e.stats.contains(c)))
+      else {
+        val clean = allIn0.filter(e =>
+          !dvOf(e) && !missingSet.contains(e.name))
+        // clean-file baseline extrema; an incomparable reduce leaves
+        // no baseline (conservative — and the metaSpan reduce below
+        // will decline the whole fold on the same pair anyway)
+        val base: Map[String, Option[(Any, Any)]] = spanCols.map { c =>
+          var acc: Option[(Any, Any)] = None
+          var bad = false
+          clean.flatMap(_.stats.get(c)).flatten.foreach { s =>
+            acc = acc match {
+              case None => Some(s)
+              case prev @ Some((lo, hi)) =>
+                (VersionedTable.cmpMeta(s._1, lo),
+                  VersionedTable.cmpMeta(s._2, hi)) match {
+                  case (Some(cl), Some(ch)) =>
+                    Some((if (cl < 0) s._1 else lo,
+                      if (ch > 0) s._2 else hi))
+                  case _ => bad = true; prev
+                }
+            }
+          }
+          c -> (if (bad) None else acc)
+        }.toMap
+        allIn0.filter(e => dvOf(e) && !missingSet.contains(e.name) &&
+          spanCols.exists { c =>
+            e.stats.get(c).flatten match {
+              case None => false // all-null stays all-null under a mask
+              case Some((mn, mx)) => base(c) match {
+                case None => true // nothing clean bounds it: rescan
+                case Some((blo, bhi)) =>
+                  // live min ≥ recorded min, so only a recorded span
+                  // STRICTLY outside the baseline can move an answer;
+                  // incomparable pairs demote (conservative)
+                  VersionedTable.cmpMeta(mn, blo).forall(_ < 0) ||
+                    VersionedTable.cmpMeta(mx, bhi).forall(_ > 0)
+              }
+            }
+          })
+      }
+    val demote = missing ++ dvDemote
     val demoted = demote.iterator.map(_.name).toSet
-    val metaSum = metaSum0 - demote.map(_.liveRows).sum
     val allIn = allIn0.filterNot(e => demoted.contains(e.name))
+    val metaSum = allIn.map(_.liveRows).sum
+    val metaNonNull: Map[String, Long] = countCols.map { c =>
+      c -> allIn.map(e => VersionedTable.nonNullRowsOf(e, c).get).sum
+    }.toMap
     val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
@@ -293,6 +379,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       return Some(LocalRelation(agg.output,
         Seq(InternalRow.fromSeq(shapes.map {
           case CountAll => metaSum: Any
+          case CountColAgg(a) => metaNonNull(a.name): Any
           case SpanAgg(a, lo) => metaLit(a, lo).value
         }))))
     // boundary files: one masked/aliased subset scan, original
@@ -308,6 +395,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val cnt = Alias(AggregateExpression(
       Count(Seq(Literal(1))), Complete, isDistinct = false),
       "graft_boundary_count")()
+    val cntColAggs: Map[String, Alias] = countColAttrs.map { a =>
+      a.name -> Alias(AggregateExpression(
+        Count(Seq(a)), Complete, isDistinct = false),
+        s"graft_boundary_cnt_${a.name}")()
+    }.toMap
     val spanAggs: Map[(String, Boolean), Alias] =
       shapes.collect { case SpanAgg(a, lo) => (a, lo) }.distinct.map {
         case (a, lo) =>
@@ -315,12 +407,16 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             if (lo) Min(a) else Max(a), Complete, isDistinct = false),
             s"graft_boundary_${if (lo) "min" else "max"}_${a.name}")()
       }.toMap
-    val inner = Aggregate(Nil, cnt +: spanAggs.values.toSeq,
+    val inner = Aggregate(Nil,
+      cnt +: (cntColAggs.values.toSeq ++ spanAggs.values.toSeq),
       Filter(cond, remap))
     val outs = shapes.zip(agg.output).map {
       case (CountAll, o) =>
         Alias(Add(cnt.toAttribute, Literal(metaSum)), o.name)(
           exprId = o.exprId)
+      case (CountColAgg(a), o) =>
+        Alias(Add(cntColAggs(a.name).toAttribute,
+          Literal(metaNonNull(a.name))), o.name)(exprId = o.exprId)
       case (SpanAgg(a, lo), o) =>
         // Least/Greatest skip nulls, matching min/max combination
         val parts = Seq(spanAggs((a.name, lo)).toAttribute,
@@ -356,9 +452,30 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       relIds.contains(a.exprId) && (a.dataType match {
         case _: org.apache.spark.sql.types.TimestampType => false
         case _: org.apache.spark.sql.types.TimestampNTZType => false
+        // non-default collations (Spark 4 StringType(collationId))
+        // compare under ICU rules — e.g. UTF8_LCASE `= 'abc'` must
+        // match 'ABC' — while span classification compares unsigned
+        // bytes; only UTF8_BINARY's order IS byte order, so collated
+        // columns decline to the plain scan
+        case s: org.apache.spark.sql.types.StringType =>
+          s == org.apache.spark.sql.types.StringType
         case _ => true
       })
     val out = conjuncts(cond).map {
+      // OR keeps its tree shape (no DNF expansion): each disjunct
+      // translates as its own conjunction, and classification runs
+      // per-alternative — `year = 1995 OR year = 1997`, the everyday
+      // shape a conjunct-only walk sent to a full scan. EVERY
+      // disjunct must translate or the whole WHERE declines (a
+      // dropped disjunct would under-count; a widened one over-count)
+      case o: Or =>
+        def disjuncts(x: Expression): Seq[Expression] = x match {
+          case Or(l, r) => disjuncts(l) ++ disjuncts(r)
+          case y => Seq(y)
+        }
+        val alts = disjuncts(o).map(d => toExactPreds(d, relIds))
+        if (alts.exists(_.isEmpty)) None
+        else Some(Seq(ExactOr(alts.map(_.get))))
       case Literal(true, BooleanType) => Some(Nil)
       case Literal(false, BooleanType) | Literal(null, _) =>
         Some(Seq(ExactIn("", Seq.empty))) // provably empty everywhere

@@ -658,32 +658,30 @@ object Ops {
       lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
         .repartitionByRange(4, col("l_orderkey"))
         .sortWithinPartitions(col("l_orderkey")),
-      t, overwrite = true, statsCols = Seq("l_orderkey"))
+      t, overwrite = true, statsCols = Seq("l_orderkey", "l_quantity"))
     VersionedTable.deleteWhere(s, t, col("l_orderkey") % 4 === 0,
       txnId = Some("vtmeta_del"), deletionVectors = true)
     def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collectLeaves()
         .forall(_.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // count(col) = Σ(rows − nulls) folds from the manifest's per-
+    // column null counts — the most common profiling aggregate after
+    // count(*), likewise zero data files opened
     val meta = s.sql(
       s"SELECT count(*) AS n0, min(l_orderkey) AS lo, " +
-        s"max(l_orderkey) AS hi FROM graft.`$t` VERSION AS OF 0")
+        s"max(l_orderkey) AS hi, count(l_quantity) AS cq " +
+        s"FROM graft.`$t` VERSION AS OF 0")
     require(foldsToLocal(meta),
-      "whole-table count/min/max must fold to manifest metadata")
+      "whole-table count/count(col)/min/max must fold to metadata")
     val after = s.sql(s"SELECT count(*) AS n1 FROM graft.`$t`")
     require(foldsToLocal(after),
       "count over the DV'd version must fold (live = physical - masked)")
-    // zero-row fixture: the delete masks nothing, so the exactness
-    // refusal below has no DV to refuse on — gate only when one exists
-    val hasDv = VersionedTable.latestVersion(s, t).exists(v =>
-      VersionedTable.readEntries(s, t, v).exists(_.dv.nonEmpty))
-    if (hasDv) {
-      val mx = s.sql(s"SELECT max(l_orderkey) AS hi FROM graft.`$t`")
-      require(!foldsToLocal(mx),
-        "max over a DV'd version must rescan — a masked row could " +
-          "have held the extremum")
-    }
-    meta.crossJoin(after)
+    // min/max over the DV'd version: the %4 mask touches every file,
+    // so metadata alone cannot bound the extrema — but the HYBRID
+    // still answers exactly (boundary rescan), matching the oracle
+    val mx = s.sql(s"SELECT max(l_orderkey) AS hi1 FROM graft.`$t`")
+    meta.crossJoin(after).crossJoin(mx)
   }
 
   // PREDICATE-BOUNDED METADATA COUNT: `count(*) WHERE <range>` over a
@@ -735,6 +733,106 @@ object Ops {
         require(aligned.collect()(0).getLong(0) ==
           VersionedTable.read(s, t).count(), "sanity: folded full count")
       }
+    }
+    q
+  }
+
+  // OR-DISJUNCTION METADATA COUNT: `count(*) WHERE a OR b` — the
+  // everyday multi-band shape (`year = 1995 OR year = 1997`) — now
+  // classifies per disjunct: a file is all-in when SOME disjunct
+  // provably covers its every row, all-out when EVERY disjunct
+  // excludes it, and only straddling files scan. Gated: the two
+  // outer-quartile bands open at most the straddling boundary files
+  // of 8 clustered ones. The oracle recomputes in DuckDB.
+  val opVtCountOr: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtor_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val maxRow = lineitem(s, d).agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val q1 = (maxId + 1) / 4
+    val q3 = (3L * (maxId + 1)) / 4
+    val q = s.sql(s"SELECT count(*) AS n, min(l_orderkey) AS klo, " +
+      s"max(l_orderkey) AS khi FROM graft.`$t` " +
+      s"WHERE l_orderkey < $q1 OR l_orderkey >= $q3")
+    if (VersionedTable.readEntries(s, t, 0).size >= 8) {
+      val read = q.inputFiles.length
+      require(read < 4,
+        s"all-in band files must answer from the manifest, " +
+          s"scanned $read/8")
+    }
+    q
+  }
+
+  // DV'D MIN/MAX FROM METADATA + EXTREMUM-ONLY RESCAN: a deletion
+  // vector can hide an extremum ONLY in files whose recorded span
+  // could extend past the clean-file baseline. An interior mask
+  // therefore folds min/max pure-metadata (gated: LocalRelation-only
+  // plan), and masking the global max rescans just the extremum-
+  // touching file(s) (gated: ≤2 files opened of 8) — at 100 TB every
+  // min/max on a lightly-masked table stops paying a full column
+  // scan. The oracle replays both masks in DuckDB.
+  val opVtDvMinmax: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtdvmm_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val maxRow = lineitem(s, d).agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val mid = maxId / 2
+    VersionedTable.deleteWhere(s, t, col("l_orderkey") === mid,
+      txnId = Some("vtdvmm_mid"), deletionVectors = true)
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val sel = s"SELECT count(*) AS n, count(l_orderkey) AS nk, " +
+      s"min(l_orderkey) AS lo, max(l_orderkey) AS hi FROM graft.`$t`"
+    // gate the pure fold only when the masked file really is interior
+    // (its span strictly inside the clean-file baseline) — tiny or
+    // hostile fixtures may mask a boundary file, where a rescan is
+    // the CORRECT plan
+    val e1 = VersionedTable.readEntries(s, t,
+      VersionedTable.latestVersion(s, t).getOrElse(0))
+    def spanOf(e: VersionedTable.FileEntry): Option[(Long, Long)] =
+      e.stats.get("l_orderkey").flatten.collect {
+        case (a: Long, b: Long) => (a, b) }
+    val dvd = e1.filter(_.dv.exists(_._2 > 0))
+    val clean = e1.filterNot(_.dv.exists(_._2 > 0)).flatMap(spanOf)
+    val interiorOnly = dvd.nonEmpty && clean.nonEmpty &&
+      dvd.forall(e => spanOf(e).exists { case (a, b) =>
+        a > clean.map(_._1).min && b < clean.map(_._2).max })
+    if (interiorOnly)
+      require(foldsToLocal(s.sql(sel)),
+        "an interior DV must not force any scan for min/max")
+    // mask the global max: only extremum-touching files may rescan
+    VersionedTable.deleteWhere(s, t, col("l_orderkey") === maxId,
+      txnId = Some("vtdvmm_max"), deletionVectors = true)
+    val q = s.sql(sel)
+    if (interiorOnly && e1.size >= 8) {
+      val read = q.inputFiles.length
+      require(read <= 2,
+        s"only extremum-touching DV'd files may rescan, got $read/8")
     }
     q
   }
@@ -2495,6 +2593,8 @@ object Ops {
     "op_vt_segmented" -> opVtSegmented,
     "op_vt_meta_agg" -> opVtMetaAgg,
     "op_vt_count_where" -> opVtCountWhere,
+    "op_vt_count_or" -> opVtCountOr,
+    "op_vt_dv_minmax" -> opVtDvMinmax,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -2932,8 +3032,11 @@ object Ops {
       """SELECT (SELECT count(*) FROM lineitem) AS n0,
         |       (SELECT min(l_orderkey) FROM lineitem) AS lo,
         |       (SELECT max(l_orderkey) FROM lineitem) AS hi,
+        |       (SELECT count(l_quantity) FROM lineitem) AS cq,
         |       (SELECT count(*) FROM lineitem
-        |        WHERE l_orderkey IS NULL OR l_orderkey % 4 <> 0) AS n1""".stripMargin,
+        |        WHERE l_orderkey IS NULL OR l_orderkey % 4 <> 0) AS n1,
+        |       (SELECT max(l_orderkey) FROM lineitem
+        |        WHERE l_orderkey IS NULL OR l_orderkey % 4 <> 0) AS hi1""".stripMargin,
     // The predicate-bounded count must equal DuckDB's full scan of
     // the same middle-half range.
     "op_vt_count_where" ->
@@ -2943,6 +3046,26 @@ object Ops {
         |FROM lineitem
         |WHERE l_orderkey >= (SELECT m FROM mx) // 4
         |  AND l_orderkey < (3 * (SELECT m FROM mx)) // 4""".stripMargin,
+    // The OR-banded metadata count must equal DuckDB's full scan of
+    // the same two outer-quartile bands.
+    "op_vt_count_or" ->
+      """WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem)
+        |SELECT count(*) AS n, min(l_orderkey) AS klo,
+        |       max(l_orderkey) AS khi
+        |FROM lineitem
+        |WHERE l_orderkey < (SELECT m FROM mx) // 4
+        |   OR l_orderkey >= (3 * (SELECT m FROM mx)) // 4""".stripMargin,
+    // The hybrid DV'd min/max must equal DuckDB's replay of both
+    // masks (interior mid-key row, then the global-max row).
+    "op_vt_dv_minmax" ->
+      """WITH mx AS (SELECT max(l_orderkey) AS m FROM lineitem),
+        |     live AS (SELECT l_orderkey FROM lineitem
+        |              WHERE l_orderkey IS NULL OR
+        |                    (l_orderkey <> (SELECT m FROM mx) // 2
+        |                     AND l_orderkey <> (SELECT m FROM mx)))
+        |SELECT count(*) AS n, count(l_orderkey) AS nk,
+        |       min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |FROM live""".stripMargin,
     // The segmented (v7) manifest layout must be value-invisible:
     // base half ∪ appended half, minus the top-quartile delete.
     "op_vt_segmented" ->

@@ -616,6 +616,91 @@ object Streams {
     }
   }
 
+  // SNAPSHOT-THEN-CDF COMPOSITION (`snapshotFilesPerTrigger` +
+  // `readChangeFeed`, Delta's initial-snapshot CDF posture): ONE
+  // stream bootstraps a downstream replica from the pinned version's
+  // CHUNKED `insert` rows (gated: >=3 bounded snapshot batches for 6
+  // files at 2/trigger, every snapshot row insert-typed) and then
+  // keeps it maintained from typed change rows for commits that
+  // landed while the consumer was down (an append + a delete). Each
+  // micro-batch applies as ONE mergeInto with a batchId txn
+  // (exactly-once; the tombstone column carries the delete verb). At
+  // 100 TB this is the bootstrap-a-view shape: no history replay, no
+  // separate backfill job. The oracle replays snapshot ∪ changes'
+  // final state in SQL — a duplicated chunk, dropped change, or
+  // insert/delete misorder flips the hash.
+  val stVtSourceCdf: Q = (s, d) => withStreamPartitions(s, 4) {
+    import graft.operators.VersionedTable
+    val ords = orders(s, d).where(col("o_orderkey").isNotNull)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        year(col("o_orderdate")).as("o_year"))
+    val dir = Sources.fixtureDir(s, "graft_stvcdf_")
+    Sources.registerCleanup(dir)
+    val table = s"${dir.getAbsolutePath}/table"
+    val out = s"${dir.getAbsolutePath}/out"
+    val ck = s"${dir.getAbsolutePath}/ck"
+    val snapBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val badRows = new java.util.concurrent.atomic.AtomicInteger(0)
+    def drain(expectSnapshot: Boolean): Unit = {
+      val q = s.readStream.format("graft-vt").option("path", table)
+        .option("snapshotFilesPerTrigger", "2")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          if (!batch.isEmpty) {
+            if (expectSnapshot) {
+              snapBatches.incrementAndGet()
+              badRows.addAndGet(batch.where(
+                col("_change_type") =!= "insert").count().toInt): Unit
+            }
+            val src = batch
+              .withColumn("__del", col("_change_type") === "delete")
+              .drop("_change_type", "_commit_version")
+            if (VersionedTable.latestVersion(s, out).isEmpty)
+              // bootstrap: the first (snapshot) batch creates the
+              // replica — inserts only, same batchId idempotence
+              VersionedTable.commit(
+                src.where(!col("__del")).drop("__del"), out,
+                overwrite = false, txnId = Some(s"vtcdf_$batchId")): Unit
+            else
+              VersionedTable.mergeInto(s, out, src,
+                keys = Seq("o_orderkey"), tombstoneCol = Some("__del"),
+                txnId = Some(s"vtcdf_$batchId")): Unit
+          }
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    VersionedTable.commit(
+      ords.where(col("o_year") <= 1997).repartition(6),
+      table, overwrite = true)
+    drain(expectSnapshot = true) // chunked snapshot as insert changes
+    // while the consumer is down: an append and a delete land — the
+    // delete is restricted to pre-append keys so one merge batch
+    // never carries the same key twice
+    VersionedTable.commit(ords.where(col("o_year") === 1998),
+      table, overwrite = false)
+    VersionedTable.deleteWhere(s, table,
+      col("o_year") <= 1997 && col("o_orderkey") % 7 === 0)
+    drain(expectSnapshot = false) // typed changes: inserts + deletes
+    val nIn = VersionedTable.read(s, table).count()
+    if (nIn == 0) ords.limit(0)
+    else {
+      require(snapBatches.get() >= 3,
+        s"6 snapshot files at 2/trigger must arrive as >= 3 " +
+          s"batches, got ${snapBatches.get()}")
+      require(badRows.get() == 0,
+        "snapshot rows must all be insert-typed at the pinned version")
+      val got = VersionedTable.read(s, out)
+      require(got.count() == nIn,
+        s"replica must converge: ${got.count()} vs $nIn")
+      got
+    }
+  }
+
   /** STREAMING CDC APPLY onto a versioned table — the Debezium-shaped
     * loop: each micro-batch is one CDC feed carrying all three verbs
     * (tombstone column = WHEN MATCHED DELETE) and lands as ONE
@@ -1072,6 +1157,7 @@ object Streams {
     "st_versioned_sink" -> stVersionedSink,
     "st_vt_sink" -> stVtSink,
     "st_vt_source_chunked" -> stVtSourceChunked,
+    "st_vt_source_cdf" -> stVtSourceCdf,
     "st_vt_sink_merge" -> stVtSinkMerge,
     "st_vt_sink_dv" -> stVtSinkDv,
     "st_vt_source" -> stVtSource,
@@ -1115,6 +1201,17 @@ object Streams {
     // The streamed change feed equals the batch change-set replay
     // (same history as op_vt_changes).
     "st_vt_changes" -> Ops.oracles("op_vt_changes"),
+    // Snapshot-then-CDF: the replica's final state is snapshot
+    // (≤1997) ∪ appended changes (1998) minus the delete of the
+    // pre-append %7 keys — replayed here by full scan.
+    "st_vt_source_cdf" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |       year(o_orderdate) AS o_year
+        |FROM orders
+        |WHERE o_orderkey IS NOT NULL
+        |  AND year(o_orderdate) <= 1998
+        |  AND NOT (year(o_orderdate) <= 1997
+        |           AND o_orderkey % 7 = 0)""".stripMargin,
     // The CDC final state: 1997 untouched, 1998 updated (doubled),
     // pre-1997 deleted, post-1998 inserted (+7). A replayed, dropped,
     // or reordered batch flips the hash.

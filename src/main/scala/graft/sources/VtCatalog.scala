@@ -120,8 +120,11 @@ final class VtCatalog extends TableCatalog
         CaseInsensitiveStringMap.empty(), files, Some(schema),
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
-    if (writable) new VtSqlTable(pq, path, version, scanRefusal)
-    else new VtTimeTravelTable(pq, path, version, scanRefusal)
+    val hasMapping = VersionedTable.schemaHasMapping(schema)
+    if (writable)
+      new VtSqlTable(pq, path, version, scanRefusal, hasMapping)
+    else
+      new VtTimeTravelTable(pq, path, version, scanRefusal, hasMapping)
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -188,7 +191,8 @@ final class VtCatalog extends TableCatalog
         .parquet.ParquetTable,
       path: String,
       version: Int,
-      scanRefusal: Option[String] = None) extends Table
+      scanRefusal: Option[String] = None,
+      hasMapping: Boolean = false) extends Table
       with VtWritableTable
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -196,6 +200,7 @@ final class VtCatalog extends TableCatalog
     override def vtPath: String = path
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
+    override def vtHasMapping: Boolean = hasMapping
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =
@@ -295,12 +300,14 @@ final class VtCatalog extends TableCatalog
         .parquet.ParquetTable,
       path: String,
       version: Int,
-      scanRefusal: Option[String]) extends Table
+      scanRefusal: Option[String],
+      hasMapping: Boolean = false) extends Table
       with VtTable
       with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def vtPath: String = path
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
+    override def vtHasMapping: Boolean = hasMapping
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =

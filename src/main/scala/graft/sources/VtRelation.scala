@@ -3,13 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
-import graft.operators.VersionedTable.{FileEntry, GePred, InPred, LePred, NotNullPred, PrunePred, RangePred}
+import graft.operators.VersionedTable.{FileEntry, GePred, InPred, LePred, NotNullPred, OrPred, PrunePred, RangePred}
 
 /** Manifest-backed [[FileIndex]] for one committed version of a
   * [[VersionedTable]] — the piece that makes
@@ -110,6 +110,14 @@ object VtPushdown {
 
   def toPrunePreds(e: Expression): Seq[PrunePred] = e match {
     case And(l, r) => toPrunePreds(l) ++ toPrunePreds(r)
+    // each OR side prunes as its own conjunction; a side that
+    // translates to nothing means "might match anything", which
+    // makes the whole disjunction un-prunable (returning just the
+    // other side would wrongly narrow the keep-set)
+    case Or(l, r) =>
+      val (lp, rp) = (toPrunePreds(l), toPrunePreds(r))
+      if (lp.isEmpty || rp.isEmpty) Seq.empty
+      else Seq(OrPred(Seq(lp, rp)))
     case EqualTo(a: AttributeReference, l: Literal) => eq(a, l)
     case EqualTo(l: Literal, a: AttributeReference) => eq(a, l)
     case EqualNullSafe(a: AttributeReference, l: Literal)

@@ -34,6 +34,14 @@ import graft.operators.VersionedTable
   * immutable, so a replayed slice re-reads identically). Tail windows
   * after the snapshot are version-granular as before.
   *
+  * `snapshotFilesPerTrigger` COMPOSES with `readChangeFeed` (Delta's
+  * initial-snapshot CDF posture): the pinned latest version arrives
+  * first as chunked `_change_type='insert'` rows stamped with its
+  * `_commit_version`, then every later commit delivers as typed
+  * change rows — one stream bootstraps a downstream view AND keeps it
+  * incrementally maintained. Plain `readChangeFeed` (no snapshot
+  * option) still replays full history from v0's insert set.
+  *
   * OFFSETS ARE VERSIONS. Each offset is the table version consumed
   * through (inclusive), so a micro-batch is exactly one
   * [[VersionedTable.readAppendsSince]] window — the file DIFF of two
@@ -351,10 +359,12 @@ final class VtStreamSource extends StreamSourceProvider
       .map(_.toInt)
     require(snapshotFiles.forall(_ >= 1),
       s"snapshotFilesPerTrigger must be >= 1: $snapshotFiles")
-    require(snapshotFiles.isEmpty || !changeFeed,
-      "snapshotFilesPerTrigger chunks the initial snapshot; " +
-        "readChangeFeed replays history as change rows instead — the " +
-        "two postures are mutually exclusive")
+    // snapshotFilesPerTrigger + readChangeFeed COMPOSE (Delta's
+    // initial-snapshot CDF posture): the pinned latest version
+    // arrives first as chunked `insert` change rows, then versions
+    // after it deliver as typed changes — a 100 TB consumer
+    // bootstrapping a downstream view needs exactly this (plain
+    // readChangeFeed instead replays history from v0).
     new VtSource(sqlContext.sparkSession, path, resolved, startingVersion,
       maxVersions, skipChanges, changeFeed, snapshotFiles)
   }
@@ -515,19 +525,31 @@ private final class VtSource(spark: SparkSession, path: String,
       }
     }.orNull
 
+  /** Snapshot rows in CDF dress: the pinned version's content typed
+    * as `insert` at its commit version — what a composed
+    * snapshot+change-feed stream emits before tailing real changes
+    * (Delta's initial-snapshot CDF shape). */
+  private def asInsertChanges(df: DataFrame, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    df.withColumn("_change_type", lit("insert"))
+      .withColumn("_commit_version", lit(v))
+  }
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val (endV, endF) = parseOffset(end)
     val from = start.map(parseOffset).orElse(startingVersion.map((_, -1)))
     val batch = from match {
       // first snapshot chunk: files [0, endF) of endV's manifest order
       case None if endF >= 0 =>
-        VersionedTable.readFileSlice(spark, path, endV, 0, endF)
+        val slice = VersionedTable.readFileSlice(spark, path, endV, 0, endF)
+        if (readChangeFeed) asInsertChanges(slice, endV) else slice
       // snapshot continuation (or its crash-replay): files [f, hi) of
       // the SAME pinned version — manifests are immutable, so the
       // slice re-reads identically
       case Some((v, f)) if f >= 0 =>
         val hi = if (endF >= 0) endF else nFiles(v)
-        VersionedTable.readFileSlice(spark, path, v, f, hi)
+        val slice = VersionedTable.readFileSlice(spark, path, v, f, hi)
+        if (readChangeFeed) asInsertChanges(slice, v) else slice
       case _ =>
         val fromV = from.map(_._1)
         if (fromV.exists(_ >= endV))
@@ -535,6 +557,12 @@ private final class VtSource(spark: SparkSession, path: String,
           (if (readChangeFeed)
             VersionedTable.readChangesRange(spark, path, endV, Some(endV))
           else VersionedTable.read(spark, path, Some(endV))).limit(0)
+        else if (readChangeFeed && snapshotFilesPerTrigger.isDefined &&
+            from.isEmpty)
+          // composed snapshot+CDF whose snapshot fit one window: the
+          // pinned version's content as inserts, NOT a history replay
+          asInsertChanges(
+            VersionedTable.read(spark, path, Some(endV)), endV)
         else if (readChangeFeed)
           // full CDC: each version's row-level changes derived from its
           // manifest diff (insert/delete typed), non-append commits

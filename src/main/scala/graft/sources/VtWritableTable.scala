@@ -21,6 +21,15 @@ trait VtTable {
     * correct; without the rule the scan refuses at materialization
     * ([[VtScanGuard]]). */
   def vtScanRefusal: Option[String]
+
+  /** True when the version's schema MAPS renamed columns — logical
+    * names then misalign against the manifest's physical stats keys,
+    * so metadata folds over named columns must decline. Distinct from
+    * [[vtScanRefusal]]: a deletion vector also refuses the plain scan
+    * but leaves stats keys perfectly aligned, and
+    * [[graft.plans.VtMetadataAgg]]'s demote machinery answers DV'd
+    * versions exactly from metadata + a boundary rescan. */
+  def vtHasMapping: Boolean
 }
 
 /** The WRITABLE refinement the SQL DML planner strategy

@@ -238,22 +238,40 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "d >= 10.0", "d < 20.0", "d = 3.0", "d IS NOT NULL",
       "s >= 'k100'", "s < 'k200'", "s = 'k150'", "s IS NOT NULL",
       "s >= 'z'", "s >= 'z\u99ac150'", "s = 'z\u99ac155'",
-      "id >= 50 AND d < 30.0 AND s IS NOT NULL"
+      "id >= 50 AND d < 30.0 AND s IS NOT NULL",
+      // disjunctions: whole-file, straddling, nested, cross-column,
+      // and with untranslatable / provably-empty sides
+      "id < 50 OR id >= 250", "id = 26 OR id = 261",
+      "id < 20 OR (d >= 10.0 AND d < 20.0)",
+      "(id < 50 AND s IS NOT NULL) OR s = 'k150'",
+      "d = 3.0 OR s >= 'z'", "id < 10 OR FALSE", "id < 10 OR TRUE",
+      "id IN (1, 2) OR id IN (298, 299)"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
+    } ++ (0 until 10).map { _ =>
+      val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(60)
+      s"id < $lo OR id >= $hi"
     }
+    val aggList = Seq("count(*) AS n", "count(id) AS nid",
+      "count(s) AS ns", "min(id) AS lo", "max(id) AS hi",
+      "min(s) AS smn", "max(s) AS smx")
     preds.foreach { p =>
       val folded = spark.sql(
-        s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi, " +
-          s"min(s) AS smn, max(s) AS smx FROM graft.`$t` WHERE $p")
+        s"SELECT ${aggList.mkString(", ")} FROM graft.`$t` WHERE $p")
         .collect()(0).toSeq
-      val scanned = trusted.where(p).selectExpr("count(*) AS n",
-        "min(id) AS lo", "max(id) AS hi", "min(s) AS smn",
-        "max(s) AS smx").collect()(0).toSeq
+      val scanned = trusted.where(p)
+        .selectExpr(aggList: _*).collect()(0).toSeq
       assert(folded == scanned,
         s"pred [$p]: folded $folded != scanned $scanned")
     }
+    // whole-table hybrid on the DV'd version (no WHERE): the interior
+    // masks fold, the extremum-touching files rescan \u2014 exact either way
+    val wfold = spark.sql(
+      s"SELECT ${aggList.mkString(", ")} FROM graft.`$t`")
+      .collect()(0).toSeq
+    val wscan = trusted.selectExpr(aggList: _*).collect()(0).toSeq
+    assert(wfold == wscan, s"whole-table: $wfold != $wscan")
   }
 
   test("count(NULL) and alias-shadowed columns never fold wrong") {
@@ -274,6 +292,161 @@ class VtMetadataAggSpec extends AnyFunSuite {
       s"FROM (SELECT v + 0 AS id, v FROM graft.`$t`)"
     assert(spark.sql(sh).collect()(0).getLong(0) == 1000L,
       "an alias shadowing a stats column must answer the alias")
+  }
+
+  test("OR predicates and count(col) fold from metadata") {
+    setup()
+    val t = tmpTable("or")
+    // year-clustered files: each file holds one year, s null often
+    VersionedTable.commit(
+      (0L until 1000L).map(i => (i, if (i % 5 == 0) null else s"r$i",
+        1995L + (i % 4))).toDF("id", "s", "year")
+        .repartitionByRange(4, col("year")).sortWithinPartitions("year"),
+      t, overwrite = true, statsCols = Seq("id", "s", "year"))
+    // the everyday disjunction: whole files are all-in per disjunct
+    val q = s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE year = 1995 OR year = 1997"
+    assert(foldsToLocal(q), "year-OR over year-clustered files folds")
+    assert(spark.sql(q).collect()(0).getLong(0) == 500L)
+    // count(col) = Σ(rows − nulls) from the manifest null counts
+    val qc = s"SELECT count(s) AS n, count(id) AS m FROM graft.`$t`"
+    assert(foldsToLocal(qc), "count(col) folds from null counts")
+    assert(spark.sql(qc).collect()(0).toSeq == Seq(800L, 1000L))
+    // composed: count(col) under an OR WHERE, still zero data files
+    val qq = s"SELECT count(s) AS n FROM graft.`$t` " +
+      "WHERE year = 1995 OR year = 1997"
+    assert(foldsToLocal(qq))
+    assert(spark.sql(qq).collect()(0).getLong(0) == 400L)
+    // a disjunct that cannot translate blocks the fold — and scans
+    val qx = s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE year = 1995 OR s LIKE 'r1%'"
+    assert(!foldsToLocal(qx))
+    assert(spark.sql(qx).collect()(0).getLong(0) ==
+      VersionedTable.read(spark, t)
+        .where("year = 1995 OR s LIKE 'r1%'").count())
+  }
+
+  test("DV'd min/max: rescan only files that can touch an extremum") {
+    setup()
+    val t = tmpTable("dvmm")
+    VersionedTable.commit(
+      (0L until 1000L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    val q = s"SELECT count(*) AS n, min(id) AS lo, max(id) AS hi " +
+      s"FROM graft.`$t`"
+    // a DV strictly INSIDE the global span cannot move any extremum:
+    // the fold stays pure metadata even though the version is masked
+    VersionedTable.deleteWhere(spark, t, col("id") === 500L,
+      deletionVectors = true)
+    assert(foldsToLocal(q),
+      "an interior DV must not force any scan for min/max")
+    assert(spark.sql(q).collect()(0).toSeq == Seq(999L, 0L, 999L))
+    // masking the global max demotes ONLY extremum-touching files to
+    // a boundary scan; the answer stays exact
+    VersionedTable.deleteWhere(spark, t, col("id") === 999L,
+      deletionVectors = true)
+    assert(!foldsToLocal(q), "the masked extremum file must rescan")
+    assert(spark.sql(q).collect()(0).toSeq == Seq(998L, 0L, 998L))
+    // count(col) on a DV'd version: provable only via zero null
+    // counts (s has none) — exact under masking
+    assert(spark.sql(s"SELECT count(s) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 998L)
+  }
+
+  test("multi-row-group files: a NaN chunk poisons the whole span") {
+    setup()
+    // parquet-mr omits float/double bounds for a NaN-bearing CHUNK
+    // while still setting its numNulls (PARQUET-1222). A span reduced
+    // from the file's OTHER chunks would hide the NaN chunk's values
+    // — and Spark orders NaN above every double, so max(d) is NaN and
+    // `d > 200` matches the NaN row. Force one row group PER ROW so
+    // the NaN chunk sits beside clean chunks in the same file.
+    val t = tmpTable("nanrg")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("parquet.block.size", 64)
+    hc.setInt("parquet.page.size.row.check.min", 1)
+    try {
+      val rows = Seq(Row(1L, 1.0), Row(2L, 2.0), Row(3L, Double.NaN),
+        Row(4L, 100.0), Row(5L, 3.0))
+      VersionedTable.commit(
+        spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
+          StructType(Seq(StructField("id", LongType),
+            StructField("d", DoubleType)))).coalesce(1),
+        t, overwrite = true, statsCols = Seq("id", "d"))
+    } finally {
+      hc.unset("parquet.block.size")
+      hc.unset("parquet.page.size.row.check.min")
+    }
+    // sanity: the tiny block size really split row groups — a single-
+    // chunk file would pass the assertions below without proving the
+    // per-chunk poisoning
+    val dataFile = new java.io.File(t).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(dataFile.length == 1)
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile(0).getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    val nGroups = try rdr.getFooter.getBlocks.size finally rdr.close()
+    assert(nGroups > 1, s"expected multiple row groups, got $nGroups")
+    val e = VersionedTable.readEntries(spark, t, 0)
+    assert(e.size == 1 && e.head.stats.get("d").isEmpty,
+      "a NaN-bearing chunk must poison the file's whole d-span")
+    assert(spark.sql(s"SELECT max(d) AS m FROM graft.`$t`")
+      .collect()(0).getDouble(0).isNaN, "max(d) must be NaN")
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE d > 200")
+      .collect()(0).getLong(0) == 1L,
+      "d > 200 matches the NaN row (Spark orders NaN greatest)")
+  }
+
+  test("float literals classify through exact binary values") {
+    setup()
+    val t = tmpTable("flit")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // a FloatType literal 0.1f never equals decimal "0.1" — a
+    // toString-BigDecimal compare would prove the file holding
+    // exactly 0.1f rows all-out and fold the count to 0
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("f", FloatType)))
+    def mk(rows: Seq[Row]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema).coalesce(1)
+    VersionedTable.commit(mk(Seq(Row(1L, 0.1f), Row(2L, 0.1f))),
+      t, overwrite = true, statsCols = Seq("f"))
+    VersionedTable.commit(mk(Seq(Row(3L, 7.5f))),
+      t, overwrite = false, statsCols = Seq("f"))
+    val q = s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE f = CAST(0.1 AS FLOAT)"
+    assert(foldsToLocal(q), "both files decide from metadata")
+    assert(spark.sql(q).collect()(0).getLong(0) == 2L)
+    assert(VersionedTable.read(spark, t)
+      .where("f = CAST(0.1 AS FLOAT)").count() == 2L)
+  }
+
+  test("collated string predicates never classify by byte order") {
+    setup()
+    val t = tmpTable("coll")
+    // UTF8_LCASE: 'abc' = 'ABC'; unsigned-byte classification would
+    // prove a file spanning only uppercase all-out and under-count
+    val df = spark.sql(
+      "SELECT * FROM VALUES (1, collate('ABC', 'UTF8_LCASE')), " +
+        "(2, collate('xyz', 'UTF8_LCASE')) AS v(id, s)")
+    VersionedTable.commit(df.coalesce(1), t, overwrite = true,
+      statsCols = Seq("s"))
+    val trusted = VersionedTable.read(spark, t)
+    val folded = spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE s = 'abc'")
+      .collect()(0).getLong(0)
+    assert(folded == trusted.where("s = 'abc'").count(),
+      "folded count must equal the scan under the column's collation")
+    // when the collation survives the round trip, 'abc' matches 'ABC'
+    if (trusted.schema("s").dataType !=
+        org.apache.spark.sql.types.StringType)
+      assert(folded == 1L)
   }
 
   test("distinct and expression aggregates never fold") {

@@ -97,6 +97,27 @@ class VtRelationSpec extends AnyFunSuite {
       "no stats on x: pruning must be conservative")
   }
 
+  test("OR predicates prune to the union of their sides' files") {
+    val t = tmpTable()
+    clustered(4000).write.format("graft-vt")
+      .option("statsCols", "id").save(t)
+    val total = VersionedTable.files(spark, t, 0).size
+    val orq = spark.read.format("graft-vt").load(t)
+      .where(col("id").between(0, 100) || col("id") > 3900)
+    val idx = index(orq)
+    assert(orq.count() == 200)
+    assert(idx.lastPlannedFiles > 0 && idx.lastPlannedFiles < total,
+      s"OR must prune: ${idx.lastPlannedFiles} of $total")
+    // an untranslatable disjunct (no stats on x) poisons the whole
+    // OR — returning the other side alone would narrow the keep-set
+    val orx = spark.read.format("graft-vt").load(t)
+      .where(col("id") < 5 || col("x") <= 1.0)
+    val idx2 = index(orx)
+    orx.collect()
+    assert(idx2.lastPlannedFiles == total,
+      "an un-prunable OR side keeps every file")
+  }
+
   test("time travel options and schema evolution through the relation") {
     val t = tmpTable()
     import spark.implicits._

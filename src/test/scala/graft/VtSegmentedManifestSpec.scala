@@ -267,6 +267,36 @@ class VtSegmentedManifestSpec extends AnyFunSuite {
     }
   }
 
+  test("parallel segment fetch: many-segment manifests read identically") {
+    withThreshold(2) {
+      val t = tmpTable()
+      // each append writes its own delta segment: 8 commits → a
+      // multi-segment manifest; dropping the parallel threshold to 1
+      // then forces the bounded-pool fetch path on every read
+      VersionedTable.commit(df(0 until 32, 2), t, overwrite = true,
+        statsCols = Seq("id"))
+      (1 until 8).foreach(k => VersionedTable.commit(
+        df(k * 32 until (k + 1) * 32, 2), t, overwrite = false))
+      val v = VersionedTable.latestVersion(spark, t).get
+      assert(VersionedTable.segmentNames(spark, t, v).size > 1)
+      val prev = VersionedTable.parallelSegmentThreshold
+      val sequential =
+        try { VersionedTable.parallelSegmentThreshold = 1000; ids(t) }
+        finally VersionedTable.parallelSegmentThreshold = prev
+      val seqNames =
+        try { VersionedTable.parallelSegmentThreshold = 1000
+          VersionedTable.readEntries(spark, t, v).map(_.name) }
+        finally VersionedTable.parallelSegmentThreshold = prev
+      VersionedTable.parallelSegmentThreshold = 1
+      try {
+        assert(ids(t) == sequential,
+          "parallel fetch must read the same entries")
+        assert(VersionedTable.readEntries(spark, t, v).map(_.name) ==
+          seqNames, "entry ORDER must be ref-order either way")
+      } finally VersionedTable.parallelSegmentThreshold = prev
+    }
+  }
+
   test("segment cache serves immutable re-reads") {
     withThreshold(2) {
       val t = tmpTable()

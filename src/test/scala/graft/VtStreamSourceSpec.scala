@@ -176,11 +176,59 @@ class VtStreamSourceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       new graft.sources.VtStreamSource().createSource(spark.sqlContext,
         "", None, fmt, Map("path" -> t,
-          "snapshotFilesPerTrigger" -> "3", "readChangeFeed" -> "true")))
-    intercept[IllegalArgumentException](
-      new graft.sources.VtStreamSource().createSource(spark.sqlContext,
-        "", None, fmt, Map("path" -> t,
           "snapshotFilesPerTrigger" -> "0")))
+  }
+
+  test("snapshot-then-CDF: chunked insert snapshot, then typed changes") {
+    val dir = tmpDir()
+    val t = new java.io.File(dir, "t").getAbsolutePath
+    val ck = new java.io.File(dir, "ck").getAbsolutePath
+    // history BEFORE the stream starts: commit, append, DV delete —
+    // the snapshot must be the CONSOLIDATED latest state (v2), never
+    // a history replay
+    VersionedTable.commit(df(0 until 80).repartition(8), t,
+      overwrite = true)
+    VersionedTable.commit(df(80 until 90), t, overwrite = false)
+    VersionedTable.deleteWhere(spark, t, col("id") < 5,
+      deletionVectors = true)
+    val got = new scala.collection.mutable
+      .ArrayBuffer[(Long, Int, String, Long)]()
+    def drainCdf(): Unit = {
+      val q = spark.readStream.format(fmt).option("path", t)
+        .option("snapshotFilesPerTrigger", "3")
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          b.select("_commit_version", "_change_type", "id").collect()
+            .foreach(r => got.synchronized {
+              got += ((id, r.getInt(0), r.getString(1),
+                r.getLong(2))): Unit
+            })
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drainCdf()
+    // the snapshot arrives chunked (9 files / 3 per trigger), every
+    // row an insert at the pinned version, masked rows absent
+    assert(got.map(_._1).distinct.size >= 3,
+      s"chunked snapshot: ${got.map(_._1).distinct}")
+    assert(got.forall(r => r._3 == "insert" && r._2 == 2),
+      "snapshot rows are inserts stamped with the pinned version")
+    assert(got.map(_._4).sorted.toSeq == (5L until 90L),
+      "the snapshot is the consolidated DV-masked state")
+    // commits AFTER the snapshot deliver as typed changes
+    VersionedTable.commit(df(100 until 103), t, overwrite = false)
+    VersionedTable.deleteWhere(spark, t, col("id") === 100L)
+    got.clear()
+    drainCdf()
+    assert(got.map(r => (r._2, r._3, r._4)).sorted == Seq(
+      (3, "insert", 100L), (3, "insert", 101L), (3, "insert", 102L),
+      (4, "delete", 100L)),
+      s"post-snapshot commits are typed changes: $got")
   }
 
   test("startingVersion tails appends only (no initial snapshot)") {
