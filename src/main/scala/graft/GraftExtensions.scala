@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SQL SELECT over deletion-vector'd / column-mapped versions —
     // swaps the relation for the masking read plan pre-pushdown.
     ext.injectOptimizerRule(_ => graft.plans.VtMaskedScanRewrite)
+    // DESCRIBE HISTORY / DESCRIBE DETAIL — the standard audit forms,
+    // lowered onto the catalog procedures (construction-time only:
+    // Spark builds the session parser once).
+    ext.injectParser((_, delegate) =>
+      new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -1992,6 +1992,25 @@ object Ops {
     require(s.sql(s"SELECT * FROM graft.`$t` VERSION AS OF $v4")
       .columns.toSeq == Seq("doc_id", "origin", "n_chars", "flag"),
       "the post-DDL version must carry the evolved shape")
+    // the standard audit forms: SHOW TBLPROPERTIES rides the live
+    // session (stock V2 surface); DESCRIBE HISTORY needs the injected
+    // parser — construction-time only, so a sibling session on the
+    // same context exercises it (SQL-only users get it by setting
+    // spark.sql.extensions=graft.GraftExtensions)
+    val tprops = s.sql(s"SHOW TBLPROPERTIES graft.`$t`").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    require(tprops.get("format").contains("graft-vt") &&
+      tprops.get("version").contains(v4.toString), s"props: $tprops")
+    val s2 = org.apache.spark.sql.graftbridge.Bridge
+      .sessionWithExtensions(s.sparkContext,
+        new graft.GraftExtensions().apply)
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val hist = s2.sql(s"DESCRIBE HISTORY graft.`$t`")
+      .select("version").collect().map(_.getInt(0)).toSeq
+    require(hist == (v4 to 0 by -1),
+      s"DESCRIBE HISTORY must list every commit newest-first: $hist")
+    require(s2.sql(s"DESCRIBE DETAIL graft.`$t`").count() == 1,
+      "DESCRIBE DETAIL answers one metadata row")
     s.sql(s"SELECT doc_id, origin, n_chars, flag FROM graft.`$t`")
   }
 

@@ -121,10 +121,25 @@ final class VtCatalog extends TableCatalog
         classOf[org.apache.spark.sql.execution.datasources
           .parquet.ParquetFileFormat])
     val hasMapping = VersionedTable.schemaHasMapping(schema)
+    // SHOW TBLPROPERTIES surface — all derived from state tableAt
+    // already read, no extra IO
+    val props = {
+      val m = new java.util.HashMap[String, String]()
+      m.put("format", "graft-vt")
+      m.put("path", path)
+      m.put("version", version.toString)
+      m.put("n_files", entries.size.toString)
+      val sc = entries.flatMap(_.stats.keys).distinct.sorted
+      if (sc.nonEmpty) m.put("stats_cols", sc.mkString(","))
+      if (entries.exists(_.dv.nonEmpty)) m.put("deletion_vectors", "true")
+      if (hasMapping) m.put("column_mapping", "true")
+      java.util.Collections.unmodifiableMap(m)
+    }
     if (writable)
-      new VtSqlTable(pq, path, version, scanRefusal, hasMapping)
+      new VtSqlTable(pq, path, version, scanRefusal, hasMapping, props)
     else
-      new VtTimeTravelTable(pq, path, version, scanRefusal, hasMapping)
+      new VtTimeTravelTable(pq, path, version, scanRefusal, hasMapping,
+        props)
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -192,7 +207,9 @@ final class VtCatalog extends TableCatalog
       path: String,
       version: Int,
       scanRefusal: Option[String] = None,
-      hasMapping: Boolean = false) extends Table
+      hasMapping: Boolean = false,
+      props: java.util.Map[String, String] =
+        java.util.Collections.emptyMap()) extends Table
       with VtWritableTable
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
@@ -201,6 +218,7 @@ final class VtCatalog extends TableCatalog
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
     override def vtHasMapping: Boolean = hasMapping
+    override def properties(): java.util.Map[String, String] = props
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =
@@ -301,13 +319,16 @@ final class VtCatalog extends TableCatalog
       path: String,
       version: Int,
       scanRefusal: Option[String],
-      hasMapping: Boolean = false) extends Table
+      hasMapping: Boolean = false,
+      props: java.util.Map[String, String] =
+        java.util.Collections.emptyMap()) extends Table
       with VtTable
       with org.apache.spark.sql.connector.catalog.SupportsRead {
     override def vtPath: String = path
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
     override def vtHasMapping: Boolean = hasMapping
+    override def properties(): java.util.Map[String, String] = props
     import org.apache.spark.sql.connector.catalog.TableCapability
     override def name(): String = inner.name
     override def schema(): org.apache.spark.sql.types.StructType =

@@ -91,4 +91,29 @@ object Bridge {
       org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A SECOND SparkSession on the same SparkContext with its own
+    * [[org.apache.spark.sql.SparkSessionExtensions]] — what specs and
+    * driver entries use to exercise construction-time-only injections
+    * (a custom parser cannot be added to a live session; Spark builds
+    * the session parser once). The classic constructor is
+    * private[sql]; this bridge is the supported seam. */
+  def sessionWithExtensions(
+      sc: org.apache.spark.SparkContext,
+      configure: org.apache.spark.sql.SparkSessionExtensions => Unit):
+      org.apache.spark.sql.SparkSession = {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    configure(ext)
+    // the 6-arg constructor is class-private; reflection is the one
+    // stable seam (same arity since 3.x: sc, sharedState,
+    // parentSessionState, extensions, initialOptions, managedJobTags)
+    val ctor = classOf[org.apache.spark.sql.classic.SparkSession]
+      .getDeclaredConstructors.find(_.getParameterCount == 6)
+      .getOrElse(throw new IllegalStateException(
+        "classic.SparkSession: no 6-arg constructor"))
+    ctor.setAccessible(true)
+    ctor.newInstance(sc, None, None, ext,
+      Map.empty[String, String], Map.empty[String, String])
+      .asInstanceOf[org.apache.spark.sql.SparkSession]
+  }
 }

@@ -781,4 +781,40 @@ class VtCatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE graft.`$t`")
     assert(!new java.io.File(t).exists())
   }
+
+  test("DESCRIBE HISTORY/DETAIL and SHOW TBLPROPERTIES from plain SQL") {
+    ensureCatalog()
+    val t = new java.io.File(tmpRoot(), "t").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 50L).map(i => (i, s"r$i")).toDF("id", "s"), t,
+      overwrite = true, statsCols = Seq("id"))
+    VersionedTable.commit(
+      (50L until 60L).map(i => (i, s"r$i")).toDF("id", "s"), t,
+      overwrite = false, txnId = Some("cat_hist_append"))
+    // SHOW TBLPROPERTIES rides the live session (table properties are
+    // a stock V2 surface)
+    val props = spark.sql(s"SHOW TBLPROPERTIES graft.`$t`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("format").contains("graft-vt"), props.toString)
+    assert(props.get("version").contains("1"))
+    assert(props.get("stats_cols").contains("id"))
+    // DESCRIBE HISTORY needs the injected parser — construction-time
+    // only, so exercise it on a sibling session sharing the context
+    val s2 = org.apache.spark.sql.graftbridge.Bridge
+      .sessionWithExtensions(spark.sparkContext,
+        new graft.GraftExtensions().apply)
+    s2.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    val hist = s2.sql(s"DESCRIBE HISTORY graft.`$t`")
+      .select("version", "mode", "txn_id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+    assert(hist.toSeq == Seq((1, "append", "cat_hist_append"),
+      (0, "overwrite", null)), hist.mkString(","))
+    val detail = s2.sql(s"DESC DETAIL graft.`$t`")
+    assert(detail.columns.contains("n_files"))
+    assert(detail.count() == 1)
+    // pass-through: ordinary DESCRIBE forms keep working on s2
+    assert(s2.sql(s"DESCRIBE TABLE graft.`$t`").count() >= 2)
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 60L)
+  }
 }
