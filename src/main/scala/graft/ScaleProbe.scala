@@ -930,6 +930,34 @@ object ScaleProbe {
         lane("seg", 1))
       println(f"[probe] vtseg: metadata write ratio inline/segmented = " +
         f"${inlineMb / segMb}%.1f x")
+      // READ lane: the 60-append segmented manifest (many segments —
+      // ref-compaction bounds the count) must parse ~flat as segment
+      // count grows. Cold reads (cache cleared) compare the
+      // sequential loop against the bounded-parallel fetch; local
+      // disk understates the win — each segment open is ~10-100 ms
+      // on an object store, where parallel IO is the whole game.
+      val segT = s"$dir/seg"
+      val segV = VersionedTable.latestVersion(spark, segT).get
+      val nSegs = VersionedTable.segmentNames(spark, segT, segV).size
+      def readLane(name: String, threshold: Int): Double = {
+        val prev = VersionedTable.parallelSegmentThreshold
+        VersionedTable.parallelSegmentThreshold = threshold
+        try {
+          val runs = (0 until 5).map { _ =>
+            VersionedTable.clearSegmentCache()
+            val t0 = System.nanoTime()
+            VersionedTable.readEntries(spark, segT, segV)
+            (System.nanoTime() - t0) / 1e6
+          }
+          println(f"[probe] vtseg/read-$name: $nSegs%d segments, " +
+            f"${runs.min}%.1f ms cold (min of 5)")
+          runs.min
+        } finally VersionedTable.parallelSegmentThreshold = prev
+      }
+      val seqMs = readLane("sequential", Int.MaxValue)
+      val parMs = readLane("parallel", 1)
+      println(f"[probe] vtseg: cold manifest read sequential/parallel " +
+        f"= ${seqMs / parMs}%.1f x")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 

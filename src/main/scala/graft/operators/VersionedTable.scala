@@ -210,6 +210,11 @@ object VersionedTable {
   private[graft] var parallelSegmentThreshold: Int = 16
   /** Observability hook for specs: cumulative segment-cache hits. */
   def segmentCacheHits: Long = segmentCacheHitsVar.get
+  /** Probe/spec hook: drop the segment cache so the next read is cold. */
+  private[graft] def clearSegmentCache(): Unit = {
+    segmentCache.clear()
+    segmentCacheEntries.set(0L)
+  }
   private val CkptName = "_checkpoint"
   private val CkptHeader = "graft-vt-ckpt-v1"
   private val ConstraintsName = "_constraints"
