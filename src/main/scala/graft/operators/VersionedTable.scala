@@ -3693,6 +3693,39 @@ object VersionedTable {
       paths: Seq[String]): DataFrame =
     logicalize(physicalScan(spark, schemaJson, paths), schemaJson)
 
+  /** [[schemaRead]] through a manifest-backed
+    * [[graft.sources.VtFileIndex]] when the entries allow it (no DVs
+    * in this subset, no column mapping, schema recorded): Spark's
+    * FileSourceStrategy then hands pushed data filters to the index,
+    * and files whose recorded spans provably exclude the predicate
+    * are never planned — `read(...).where(...)` auto-prunes like the
+    * `format("graft-vt")` relation, with no explicit
+    * [[prunedReadWhere]] call. At 100 TB this is the difference
+    * between planning two span-matching files and planning the
+    * version's 800k. Falls back to the plain path-list scan otherwise
+    * (mapped schemas scan physical names the filters would not match;
+    * pre-v4 manifests recorded no schema). */
+  private def indexedRead(spark: SparkSession, schemaJson: Option[String],
+      path: String, entries: Seq[FileEntry]): DataFrame = {
+    val schema = schemaJson.map(decodeSchema)
+    if (entries.isEmpty || schema.isEmpty ||
+        schemaHasMapping(schema.get) || entries.exists(_.dv.nonEmpty))
+      schemaRead(spark, schemaJson, entries.map(e => s"$path/${e.name}"))
+    else {
+      val rel = org.apache.spark.sql.execution.datasources
+        .HadoopFsRelation(
+          new graft.sources.VtFileIndex(spark, path, -1, entries,
+            schema.get),
+          partitionSchema = StructType(Nil),
+          dataSchema = schema.get,
+          bucketSpec = None,
+          fileFormat = new org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat,
+          options = Map.empty)(spark)
+      spark.sqlContext.baseRelationToDataFrame(rel)
+    }
+  }
+
   // ---- deletion vectors ------------------------------------------------
 
   /** Internal column names the DV machinery adds while masking —
@@ -3826,8 +3859,7 @@ object VersionedTable {
       schemaJson: Option[String], path: String,
       entries: Seq[FileEntry]): DataFrame = {
     if (entries.forall(_.dv.isEmpty))
-      return schemaRead(spark, schemaJson,
-        entries.map(e => s"$path/${e.name}"))
+      return indexedRead(spark, schemaJson, path, entries)
     val (dved, plain) = entries.partition(_.dv.nonEmpty)
     val base0 = physicalScan(spark, schemaJson,
       dved.map(e => s"$path/${e.name}"))
@@ -3852,8 +3884,8 @@ object VersionedTable {
       }
     val masked = logicalize(maskedPhys, schemaJson)
     if (plain.isEmpty) masked
-    else masked.unionByName(schemaRead(spark, schemaJson,
-      plain.map(e => s"$path/${e.name}")))
+    else masked.unionByName(
+      indexedRead(spark, schemaJson, path, plain))
   }
 
   /** [[maskedRead]] keeping the (file, pos) identity columns (returned

@@ -37,10 +37,15 @@ import graft.sources.VtTable
   * relation of UPDATE/MERGE/DELETE must stay a relation for
   * [[VtDmlStrategy]]/`SupportsDelete` to lower, and those paths mask
   * through the transactional verbs already. Healthy versions
-  * (`vtScanRefusal == None`) are never rewritten — the stock scan is
-  * already exact and strictly cheaper. Sessions without this rule
-  * fall back to [[graft.sources.VtScanGuard]]'s loud refusal, never a
-  * wrong answer. */
+  * (`vtScanRefusal == None`) rewrite too — onto the manifest-backed
+  * V1 relation, whose [[graft.sources.VtFileIndex]] prunes files
+  * from the commit log's spans at plan time (the stock V2
+  * ParquetTable scan plans every file of the version; at 100 TB a
+  * selective SQL WHERE would open 800k files instead of its few
+  * span-matching ones). Sessions without this rule fall back to the
+  * exact-but-unpruned stock scan on clean versions and
+  * [[graft.sources.VtScanGuard]]'s loud refusal on masked ones,
+  * never a wrong answer. */
 object VtMaskedScanRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -65,10 +70,10 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
         // the pruned ScanRelation output is a name-subset the masked
         // plan always covers, and its pushed filters remain as the
         // Filter node above, re-applied over the rewrite)
-        case rel: DataSourceV2Relation if needsMask(rel.table) =>
+        case rel: DataSourceV2Relation if rewrites(rel.table) =>
           rewrote = true
           remask(rel.table.asInstanceOf[VtTable], rel.output)
-        case s: DataSourceV2ScanRelation if needsMask(s.relation.table) =>
+        case s: DataSourceV2ScanRelation if rewrites(s.relation.table) =>
           rewrote = true
           remask(s.relation.table.asInstanceOf[VtTable], s.output)
       }
@@ -112,6 +117,13 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
 
   private def remask(t: VtTable,
       out: Seq[Attribute]): LogicalPlan = {
+    // one replacement for every version shape: read() masks DV'd
+    // versions, aliases mapped ones, and plans CLEAN (sub)sets
+    // through the manifest-backed VtFileIndex — pushed data filters
+    // then PRUNE FILES at plan time, where the stock V2 ParquetTable
+    // scan plans every file of the version and leaves skipping to
+    // per-file footer reads (at 100 TB: 800k opened files for a
+    // two-file time-range query). Version pinned to the analyzed one.
     val masked = Bridge.logicalPlan(
       VersionedTable.read(SparkSession.active, t.vtPath,
         Some(t.vtVersion)))
@@ -126,12 +138,12 @@ object VtMaskedScanRewrite extends Rule[LogicalPlan] {
     Project(cols, masked)
   }
 
-  private def needsMask(
+  /** EVERY versioned catalog relation rewrites: DV'd/mapped versions
+    * onto the masking plan (correctness), clean versions onto the
+    * manifest-pruning V1 relation (scale — see [[remask]]). */
+  private def rewrites(
       table: org.apache.spark.sql.connector.catalog.Table): Boolean =
-    table match {
-      case w: VtTable => w.vtScanRefusal.nonEmpty
-      case _ => false
-    }
+    table.isInstanceOf[VtTable]
 
   /** Idempotently add the rewrite to a LIVE session (construction-time
     * sessions get it via [[graft.GraftExtensions]]). */

@@ -27,25 +27,32 @@ import graft.sources.VtTable
   *
   * STRICTLY EXACT-OR-UNTOUCHED:
   *   - only a no-grouping [[Aggregate]] whose every output is a
-  *     non-distinct, unfiltered `count(1)`/`count(*)`, or a
-  *     `min`/`max` of a plain relation column, over (Projects of)
-  *     the bare relation — any Filter/join/expression in between
-  *     blocks the rewrite (a Project never changes row counts);
-  *   - `count` answers via [[VersionedTable.countRows]]: exact on
-  *     DV'd versions too (live rows = physical − masked), `None`
-  *     (pre-v3 unknown row counts) leaves the plan alone;
-  *   - `min`/`max` answer via [[VersionedTable.statsSpan]], which
-  *     returns a span only when EVERY row-bearing file recorded
-  *     comparable stats for the column and no deletion vector could
-  *     hide an extremum — otherwise the scan runs; restricted to
-  *     Long/Double/String columns (the manifest's normalized span
-  *     types — an identity mapping back into the Catalyst type) on
-  *     versions with no scan refusal (column mapping renames would
-  *     misalign logical names against physical stats keys; the
-  *     lookup would miss and answer None anyway — the guard makes
-  *     the contract explicit);
-  *   - post-pushdown `DataSourceV2ScanRelation`s are never matched:
-  *     a scan may carry pushed predicates this rule cannot see.
+  *     non-distinct, unfiltered `count(1)`/`count(*)`, `count(col)`
+  *     (= Σ per file rows − nulls, from the manifest's null counts),
+  *     or a `min`/`max` of a plain relation column, over (Projects
+  *     of) the bare relation or exactly one Filter above it — any
+  *     join/expression in between blocks the rewrite (a Project
+  *     never changes row counts);
+  *   - a WHERE folds when EVERY conjunct translates to exact
+  *     file-level predicates — ranges, IN, IS NOT NULL, and
+  *     DISJUNCTIONS of those ([[VersionedTable.ExactOr]]: a file is
+  *     all-in when some OR-alternative provably covers its every
+  *     row) — all-in files answer from metadata, all-out contribute
+  *     nothing, and only undecidable BOUNDARY files scan (masked,
+  *     original predicate re-applied, partials combined via
+  *     Add/Least/Greatest);
+  *   - DELETION VECTORS: counts stay exact everywhere (live rows =
+  *     physical − masked; count(col) additionally needs a zero null
+  *     count under a DV). min/max use the same hybrid — only DV'd
+  *     files whose recorded span could EXTEND past the clean-file
+  *     baseline (or with missing spans) rescan, so an interior mask
+  *     stays pure metadata and a masked extremum rescans one file;
+  *   - column-mapped versions decline named-column folds (logical
+  *     names would misalign against physical stats keys), collated
+  *     strings and timestamps decline predicate classification
+  *     (byte-order / physical-unit hazards), and a post-pushdown
+  *     scan folds only when its pushed-filter state is provably
+  *     consistent with the matched shape.
   *
   * Registered BEFORE [[VtMaskedScanRewrite]] so a DV'd version's
   * whole-table count folds from metadata instead of planning the

@@ -782,6 +782,40 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(!new java.io.File(t).exists())
   }
 
+  test("SQL scans prune files from the manifest spans") {
+    ensureCatalog()
+    graft.plans.VtMetadataAgg.ensureRegistered(spark)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val t = new java.io.File(tmpRoot(), "t").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 4000L).map(i => (i, s"r$i")).toDF("id", "s")
+        .repartitionByRange(8, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value.toInt
+      }.sum
+    }
+    // a clean catalog SELECT rides the manifest-pruning V1 relation:
+    // a selective WHERE opens only its span-matching files (the stock
+    // V2 scan would plan all 8 — at 100 TB, 800k)
+    val q = spark.sql(s"SELECT * FROM graft.`$t` WHERE id < 100")
+    assert(scanned(q) == 1, s"selective WHERE must open 1 file")
+    assert(q.count() == 100)
+    // disjunctions prune to the union of their sides
+    val qor = spark.sql(
+      s"SELECT * FROM graft.`$t` WHERE id < 100 OR id >= 3900")
+    assert(scanned(qor) == 2, "OR must open the two band files")
+    assert(qor.count() == 200)
+    // time travel rides the same pruned lane
+    val qv = spark.sql(
+      s"SELECT * FROM graft.`$t` VERSION AS OF 0 WHERE id >= 3900")
+    assert(scanned(qv) == 1)
+    assert(qv.count() == 100)
+  }
+
   test("DESCRIBE HISTORY/DETAIL and SHOW TBLPROPERTIES from plain SQL") {
     ensureCatalog()
     val t = new java.io.File(tmpRoot(), "t").getAbsolutePath

@@ -97,6 +97,32 @@ class VtRelationSpec extends AnyFunSuite {
       "no stats on x: pruning must be conservative")
   }
 
+  test("the Scala read surface prunes through the manifest index too") {
+    val t = tmpTable()
+    clustered(4000).write.format("graft-vt")
+      .option("statsCols", "id").save(t)
+    val total = VersionedTable.files(spark, t, 0).size
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value.toInt
+      }.sum
+    }
+    // read(...).where(...) auto-prunes — no explicit prunedReadWhere
+    val q = VersionedTable.read(spark, t).where(col("id") < 100)
+    assert(scanned(q) == 1, s"read().where must prune to 1 of $total")
+    assert(q.count() == 100)
+    // a DV'd version still prunes its CLEAN files (the masked subset
+    // rides the anti-join path; the plain subset rides the index)
+    VersionedTable.deleteWhere(spark, t, col("id") === 0L,
+      deletionVectors = true)
+    val q2 = VersionedTable.read(spark, t).where(col("id") >= 3900)
+    assert(q2.count() == 100)
+    assert(scanned(q2) < total,
+      "the clean subset of a DV'd version must still prune")
+  }
+
   test("OR predicates prune to the union of their sides' files") {
     val t = tmpTable()
     clustered(4000).write.format("graft-vt")
