@@ -323,6 +323,10 @@ object VersionedTable {
     * every pushed comparison, so this is what lets the relation path
     * skip all-null files before any value test runs. */
   final case class NotNullPred(column: String) extends PrunePred
+  /** `column IS NULL` — drops files whose recorded null count proves
+    * the column null-free (the "find the broken rows" query shape:
+    * most files of a healthy table carry zero nulls and never open). */
+  final case class IsNullPred(column: String) extends PrunePred
   /** A DISJUNCTION of conjunctions (`a OR b [OR …]`, each side itself
     * a pruning conjunction): a file survives when ANY alternative
     * might match it. Everyday shape (`year = 1995 OR year = 1997`)
@@ -1593,6 +1597,16 @@ object VersionedTable {
   final case class ExactIn(column: String, values: Seq[Any])
     extends ExactPred
   final case class ExactNotNull(column: String) extends ExactPred
+  /** `column IS NULL` — decidable from the null counts alone: all-in
+    * when the column is provably all-null (DV-safe: masking a null
+    * row leaves the rest null), all-out when provably null-free. */
+  final case class ExactIsNull(column: String) extends ExactPred
+  /** `column NOT IN (values)` / `column != v` — null-rejecting like
+    * every comparison; values non-empty and non-null (a NULL member
+    * makes the whole predicate match nothing — callers translate
+    * that to the provably-empty [[ExactIn]]). */
+  final case class ExactNotIn(column: String, values: Seq[Any])
+    extends ExactPred
   /** A DISJUNCTION of conjunctions (`a OR b`, each side a conjunction
     * of exact predicates — nested ORs nest here). A file is all-in
     * when SOME alternative provably matches its every row, all-out
@@ -1615,6 +1629,15 @@ object VersionedTable {
     if (e.nRows == 0) return Some(false) // no rows: vacuously out
     p match { // a provably-empty predicate needs no stats at all
       case ExactIn(_, vs) if vs.isEmpty => return Some(false)
+      case ExactIsNull(c) =>
+        // decided by null counts, not spans: Some(None) span = all-
+        // null = ALL-IN here (the value-predicate match below reads
+        // it as all-out, so dispatch before it)
+        return (
+          if (e.nulls.get(c).contains(0L)) Some(false)
+          else if (e.nulls.get(c).exists(_ == e.nRows) ||
+              e.stats.get(c).contains(None)) Some(true)
+          else None)
       case ExactOr(alts) =>
         // classify each alternative as its own conjunction; all-in
         // when some alternative covers every row, all-out when every
@@ -1661,7 +1684,20 @@ object VersionedTable {
           else None
         case ExactNotNull(_) =>
           if (noNulls) Some(true) else None
-        case _: ExactOr => None // unreachable: dispatched above
+        case ExactNotIn(_, vs) =>
+          // all-out: single-point span ∈ vs (non-null rows all equal
+          // it; null rows never match a NOT IN). all-in: null-free
+          // and every listed value provably outside the span.
+          if (cmpExact(mn, mx).contains(0) &&
+              vs.exists(v => cmpExact(v, mn).contains(0)))
+            Some(false)
+          else if (noNulls && vs.forall(v =>
+              cmpExact(v, mn).exists(_ < 0) ||
+                cmpExact(v, mx).exists(_ > 0)))
+            Some(true)
+          else None
+        case _: ExactOr | _: ExactIsNull =>
+          None // unreachable: dispatched above
       }
     }
   }
@@ -1977,6 +2013,7 @@ object VersionedTable {
       case GePred(c, lo) => col(c).isNotNull && col(c) >= lit(lo)
       case LePred(c, hi) => col(c).isNotNull && col(c) <= lit(hi)
       case NotNullPred(c) => col(c).isNotNull
+      case IsNullPred(c) => col(c).isNull
       case OrPred(alts) =>
         alts.map(_.map(toColumn).reduce(_ && _)).reduce(_ || _)
     }
@@ -2136,6 +2173,9 @@ object VersionedTable {
     // might match it — evaluated BEFORE the span lookup, since the
     // disjunction has no single anchor column
     case OrPred(alts) => alts.exists(_.forall(mightMatch(e, _)))
+    // null counts decide, not spans (an all-null span means MATCH
+    // here, the opposite of every value test below)
+    case IsNullPred(c) => !e.nulls.get(c).contains(0L)
     case _ => mightMatchLeaf(e, p)
   }
 
@@ -2153,7 +2193,8 @@ object VersionedTable {
         case GePred(_, lo) => cmp(mx, lo).forall(_ >= 0)
         case LePred(_, hi) => cmp(mn, hi).forall(_ <= 0)
         case NotNullPred(_) => true // a span exists: non-null values do
-        case _: OrPred => true // unreachable: dispatched in mightMatch
+        case _: OrPred | _: IsNullPred =>
+          true // unreachable: dispatched in mightMatch
       }
     }
 

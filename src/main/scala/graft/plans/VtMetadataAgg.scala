@@ -2,17 +2,17 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Or}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
-import graft.operators.VersionedTable.{ExactIn, ExactNotNull, ExactOr, ExactPred, ExactRange}
+import graft.operators.VersionedTable.{ExactIn, ExactIsNull, ExactNotIn, ExactNotNull, ExactOr, ExactPred, ExactRange}
 import graft.sources.VtTable
 
 /** METADATA-ONLY AGGREGATES over versioned catalog tables: a whole-
@@ -529,6 +529,29 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         })))
       case IsNotNull(a: AttributeReference) if ok(a) =>
         Some(Seq(ExactNotNull(a.name)))
+      case IsNull(a: AttributeReference) if ok(a) =>
+        Some(Seq(ExactIsNull(a.name)))
+      // negations: != / NOT IN. A NULL member makes the predicate
+      // match nothing (NULL NOT IN is never true) — the provably-
+      // empty ExactIn, same as `= NULL`.
+      case Not(EqualTo(a: AttributeReference, l: Literal)) if ok(a) =>
+        if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactNotIn(a.name, Seq(v(l)))))
+      case Not(EqualTo(l: Literal, a: AttributeReference)) if ok(a) =>
+        if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactNotIn(a.name, Seq(v(l)))))
+      case Not(In(a: AttributeReference, vs)) if ok(a) &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        val vals = vs.map(_.asInstanceOf[Literal])
+        if (vals.exists(_.value == null))
+          Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactNotIn(a.name, vals.map(v))))
+      case Not(InSet(a: AttributeReference, vs)) if ok(a) && vs.nonEmpty =>
+        if (vs.exists(_ == null)) Some(Seq(ExactIn(a.name, Seq.empty)))
+        else Some(Seq(ExactNotIn(a.name, vs.toSeq.map {
+          case u: UTF8String => u.toString
+          case other => other
+        })))
       case _ => None
     }
     if (out.exists(_.isEmpty)) None
@@ -543,12 +566,16 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     * simply carry no span and block the fold. */
   private def spanType(a: Attribute): Boolean = a.dataType match {
     case LongType | DoubleType | StringType => true
+    // dates normalize through their physical epoch days (Long in the
+    // manifest, Int in Catalyst) — unit-safe, unlike timestamps
+    case DateType => true
     case _ => false
   }
 
   private def toCatalyst(v: Any, a: Attribute): Any = (v, a.dataType) match {
     case (l: Long, LongType) => l
     case (d: Double, DoubleType) => d
+    case (l: Long, DateType) => l.toInt // epoch days
     case (s: String, StringType) => UTF8String.fromString(s)
     case _ => throw new IllegalStateException(
       s"span value $v does not fit column ${a.name}: ${a.dataType}")

@@ -837,6 +837,60 @@ object Ops {
     q
   }
 
+  // DATE-SPAN FOLDS + PREDICATE-ALGEBRA COMPLETION: dates normalize
+  // through their physical epoch days (unit-safe, unlike
+  // timestamps), so min/max/count(col) of a DATE column fold from
+  // the manifest (gated: LocalRelation-only plan); the exact
+  // translation also covers IS NULL (decided by null counts alone),
+  // != / NOT IN (all-out on single-point spans, all-in when every
+  // listed value provably misses the span), and date-banded ORs
+  // (gated: only boundary files scan). The oracle recomputes all
+  // seven values by full scan in DuckDB.
+  val opVtMetaDates: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtdate_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ords").getAbsolutePath
+    // the fixture stores o_orderdate as TIMESTAMP_NTZ; a DATE cast
+    // lands the span-foldable epoch-day physical type
+    VersionedTable.commit(
+      orders(s, d).select(col("o_orderkey"),
+          col("o_orderdate").cast("date").as("o_date"))
+        .repartitionByRange(8, col("o_date"))
+        .sortWithinPartitions(col("o_date")),
+      t, overwrite = true,
+      statsCols = Seq("o_orderkey", "o_date"))
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val agg = s.sql(s"SELECT count(*) AS n, " +
+      s"count(o_date) AS nd, min(o_date) AS lo0, " +
+      s"max(o_date) AS hi0 FROM graft.`$t`")
+    require(foldsToLocal(agg),
+      "date min/max + count(col) must fold from the manifest")
+    val base = agg.select(col("n"), col("nd"),
+      date_format(col("lo0"), "yyyy-MM-dd").as("lo"),
+      date_format(col("hi0"), "yyyy-MM-dd").as("hi"))
+    val orQ = s.sql(s"SELECT count(*) AS n_or FROM graft.`$t` " +
+      "WHERE o_date < DATE '1993-06-01' " +
+      "OR o_date >= DATE '1997-06-01'")
+    if (VersionedTable.readEntries(s, t, 0).size >= 8)
+      require(orQ.inputFiles.length < 4,
+        s"date-banded OR must scan boundaries only: " +
+          s"${orQ.inputFiles.length}/8")
+    val neQ = s.sql(s"SELECT count(*) AS n_ne FROM graft.`$t` " +
+      "WHERE o_orderkey != 1")
+    val nullQ = s.sql(s"SELECT count(*) AS n_null FROM graft.`$t` " +
+      "WHERE o_date IS NULL")
+    base.crossJoin(orQ).crossJoin(neQ).crossJoin(nullQ)
+  }
+
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
   // the inline layout rewrites the full O(live files) entry list per
   // commit (~80 MB per commit at ~800k files), so at streaming
@@ -2614,6 +2668,7 @@ object Ops {
     "op_vt_count_where" -> opVtCountWhere,
     "op_vt_count_or" -> opVtCountOr,
     "op_vt_dv_minmax" -> opVtDvMinmax,
+    "op_vt_meta_dates" -> opVtMetaDates,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -3074,6 +3129,22 @@ object Ops {
         |FROM lineitem
         |WHERE l_orderkey < (SELECT m FROM mx) // 4
         |   OR l_orderkey >= (3 * (SELECT m FROM mx)) // 4""".stripMargin,
+    // Date folds + IS NULL / negation classification must equal the
+    // full DuckDB scan of the same seven aggregates.
+    "op_vt_meta_dates" ->
+      """WITH o AS (SELECT o_orderkey,
+        |                  CAST(o_orderdate AS DATE) AS o_date
+        |           FROM orders)
+        |SELECT (SELECT count(*) FROM o) AS n,
+        |       (SELECT count(o_date) FROM o) AS nd,
+        |       (SELECT strftime(min(o_date), '%Y-%m-%d') FROM o) AS lo,
+        |       (SELECT strftime(max(o_date), '%Y-%m-%d') FROM o) AS hi,
+        |       (SELECT count(*) FROM o
+        |        WHERE o_date < DATE '1993-06-01'
+        |           OR o_date >= DATE '1997-06-01') AS n_or,
+        |       (SELECT count(*) FROM o WHERE o_orderkey <> 1) AS n_ne,
+        |       (SELECT count(*) FROM o WHERE o_date IS NULL)
+        |         AS n_null""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both
     // masks (interior mid-key row, then the global-max row).
     "op_vt_dv_minmax" ->

@@ -3,13 +3,13 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
-import graft.operators.VersionedTable.{FileEntry, GePred, InPred, LePred, NotNullPred, OrPred, PrunePred, RangePred}
+import graft.operators.VersionedTable.{FileEntry, GePred, InPred, IsNullPred, LePred, NotNullPred, OrPred, PrunePred, RangePred}
 
 /** Manifest-backed [[FileIndex]] for one committed version of a
   * [[VersionedTable]] — the piece that makes
@@ -138,6 +138,7 @@ object VtPushdown {
     case InSet(a: AttributeReference, vs) if vs.nonEmpty =>
       inList(a, vs.toSeq)
     case IsNotNull(a: AttributeReference) => Seq(NotNullPred(a.name))
+    case IsNull(a: AttributeReference) => Seq(IsNullPred(a.name))
     case _ => Seq.empty
   }
 

@@ -220,15 +220,19 @@ class VtMetadataAggSpec extends AnyFunSuite {
         case 1 => s"z�${i}" // non-ASCII: exact order must refuse
         case _ => f"k$i%03d"
       }
-      Row(id, d, s)
+      val dt = if (i % 19 == 0) null
+        else java.sql.Date.valueOf(java.time.LocalDate
+          .of(1995, 1, 1).plusDays((i * 37 % 1400).toInt).toString)
+      Row(id, d, s, dt)
     }
     val schema = StructType(Seq(StructField("id", LongType),
-      StructField("d", DoubleType), StructField("s", StringType)))
+      StructField("d", DoubleType), StructField("s", StringType),
+      StructField("dt", DateType)))
     VersionedTable.commit(
       spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
         schema).repartitionByRange(3, col("id"))
         .sortWithinPartitions(col("id")),
-      t, overwrite = true, statsCols = Seq("id", "d", "s"))
+      t, overwrite = true, statsCols = Seq("id", "d", "s", "dt"))
     VersionedTable.deleteWhere(spark, t, col("id") % 29 === 0,
       deletionVectors = true)
     val trusted = VersionedTable.read(spark, t) // never sees the rule
@@ -245,7 +249,15 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "id < 20 OR (d >= 10.0 AND d < 20.0)",
       "(id < 50 AND s IS NOT NULL) OR s = 'k150'",
       "d = 3.0 OR s >= 'z'", "id < 10 OR FALSE", "id < 10 OR TRUE",
-      "id IN (1, 2) OR id IN (298, 299)"
+      "id IN (1, 2) OR id IN (298, 299)",
+      // IS NULL / negations / dates
+      "id IS NULL", "s IS NULL", "dt IS NULL",
+      "d IS NULL OR d >= 20.0", "id IS NULL OR id >= 290",
+      "id != 100", "id <> 26", "s != 'k150'",
+      "id NOT IN (1, 2, 250)", "id NOT IN (1, NULL)",
+      "dt >= DATE '1996-01-01'", "dt = DATE '1995-03-17'",
+      "dt >= DATE '1995-06-01' AND dt < DATE '1997-06-01'",
+      "dt IS NOT NULL AND id != 7"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
@@ -254,8 +266,9 @@ class VtMetadataAggSpec extends AnyFunSuite {
       s"id < $lo OR id >= $hi"
     }
     val aggList = Seq("count(*) AS n", "count(id) AS nid",
-      "count(s) AS ns", "min(id) AS lo", "max(id) AS hi",
-      "min(s) AS smn", "max(s) AS smx")
+      "count(s) AS ns", "count(dt) AS ndt", "min(id) AS lo",
+      "max(id) AS hi", "min(s) AS smn", "max(s) AS smx",
+      "min(dt) AS dmn", "max(dt) AS dmx")
     preds.foreach { p =>
       val folded = spark.sql(
         s"SELECT ${aggList.mkString(", ")} FROM graft.`$t` WHERE $p")
@@ -447,6 +460,55 @@ class VtMetadataAggSpec extends AnyFunSuite {
     if (trusted.schema("s").dataType !=
         org.apache.spark.sql.types.StringType)
       assert(folded == 1L)
+  }
+
+  test("IS NULL folds from null counts; negations and dates classify") {
+    setup()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = tmpTable("isn")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("dt", DateType)))
+    def mk(rows: Seq[Row]) = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema).coalesce(1)
+    def day(d: String) = java.sql.Date.valueOf(d)
+    // file 1: s entirely null; file 2: s null-free
+    VersionedTable.commit(mk((0L until 40L).map(i =>
+      Row(java.lang.Long.valueOf(i), null, day("1995-01-02")))),
+      t, overwrite = true, statsCols = Seq("id", "s", "dt"))
+    VersionedTable.commit(mk((40L until 100L).map(i =>
+      Row(java.lang.Long.valueOf(i), s"k$i", day("1997-06-05")))),
+      t, overwrite = false)
+    // IS NULL decides every file from null counts: zero data files
+    val qn = s"SELECT count(*) AS n FROM graft.`$t` WHERE s IS NULL"
+    assert(foldsToLocal(qn), "all-null vs null-free files fold IS NULL")
+    assert(spark.sql(qn).collect()(0).getLong(0) == 40L)
+    // != excludes only the single-point file it provably equals;
+    // the wider file is boundary and scans
+    val qe = s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE dt != DATE '1995-01-02'"
+    assert(spark.sql(qe).collect()(0).getLong(0) == 60L)
+    assert(spark.sql(qe).inputFiles.isEmpty,
+      "single-point date spans decide != for both files")
+    // NOT IN with a NULL member matches nothing — folds to zero
+    val qnn = s"SELECT count(*) AS n FROM graft.`$t` " +
+      "WHERE id NOT IN (1, NULL)"
+    assert(foldsToLocal(qnn))
+    assert(spark.sql(qnn).collect()(0).getLong(0) == 0L)
+    // date min/max fold from the manifest's epoch-day spans
+    val qd = s"SELECT min(dt) AS lo, max(dt) AS hi FROM graft.`$t`"
+    assert(foldsToLocal(qd), "date spans fold min/max")
+    val r = spark.sql(qd).collect()(0)
+    assert(r.getDate(0) == day("1995-01-02") &&
+      r.getDate(1) == day("1997-06-05"))
+    // pruning: IS NULL opens only the nulls-bearing file
+    val pr = VersionedTable.read(spark, t).where(col("s").isNull)
+    pr.collect()
+    val scanned = pr.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value.toInt
+    }.sum
+    assert(scanned == 1, s"IS NULL must prune null-free files: $scanned")
   }
 
   test("distinct and expression aggregates never fold") {
