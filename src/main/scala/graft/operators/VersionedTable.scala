@@ -1587,6 +1587,16 @@ object VersionedTable {
     * decidable from per-file spans + null counts. Unlike [[PrunePred]]
     * (conservative supersets, re-filtered by the scan), these drive
     * metadata ANSWERS, so bounds keep their strictness. */
+  /** A TIMESTAMP span value, normalized to MICROSECONDS at footer
+    * harvest using the chunk's parquet unit annotation. A DISTINCT
+    * type (and manifest tag `T`), never a bare Long: spans harvested
+    * before unit normalization recorded the writer's RAW physical
+    * value (millis under `outputTimestampType=TIMESTAMP_MILLIS`), so
+    * a bare-Long timestamp span is untrustworthy — [[cmp]] treats the
+    * mixed pairing as incomparable and every consumer stays
+    * conservative (pruning keeps the file, folds decline). */
+  final case class TsMicros(us: Long)
+
   sealed trait ExactPred { def column: String }
   /** `lo/hi = (bound, inclusive)`; either side open. Equality is
     * `(v,true)..(v,true)`. Null-rejecting, like every comparison. */
@@ -4148,7 +4158,20 @@ object VersionedTable {
       case _ if logical.isInstanceOf[
         LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => None
       case PrimitiveTypeName.INT32 => Some(v.asInstanceOf[Number].longValue)
-      case PrimitiveTypeName.INT64 => Some(v.asInstanceOf[Number].longValue)
+      case PrimitiveTypeName.INT64 => logical match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          // unit-normalize to micros so the recorded span is writer-
+          // conf independent; nanos bounds truncate (inexact) and are
+          // therefore not collected
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+              Some(TsMicros(v.asInstanceOf[Number].longValue * 1000L))
+            case LogicalTypeAnnotation.TimeUnit.MICROS =>
+              Some(TsMicros(v.asInstanceOf[Number].longValue))
+            case _ => None
+          }
+        case _ => Some(v.asInstanceOf[Number].longValue)
+      }
       case PrimitiveTypeName.FLOAT =>
         Some(v.asInstanceOf[Number].doubleValue).filterNot(_.isNaN)
       case PrimitiveTypeName.DOUBLE =>
@@ -4178,6 +4201,8 @@ object VersionedTable {
       org.apache.spark.unsafe.types.UTF8String.fromString(x)
         .compareTo(
           org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+    case (TsMicros(a), TsMicros(b)) =>
+      Some(java.lang.Long.compare(a, b))
     case (x: Number, y: Number) =>
       val (dx, dy) = (x.doubleValue, y.doubleValue)
       if (dx.isNaN || dy.isNaN) None
@@ -4205,6 +4230,7 @@ object VersionedTable {
 
   private def encode(v: Any): String = v match {
     case l: Long => s"L$l"
+    case TsMicros(l) => s"T$l"
     case d: Double => s"D$d"
     case s: String =>
       "S" + java.net.URLEncoder.encode(s, "UTF-8")
@@ -4214,6 +4240,7 @@ object VersionedTable {
 
   private def decode(s: String): Any = s.charAt(0) match {
     case 'L' => s.drop(1).toLong
+    case 'T' => TsMicros(s.drop(1).toLong)
     case 'D' => s.drop(1).toDouble
     case 'S' => java.net.URLDecoder.decode(s.drop(1), "UTF-8")
     case _ => throw new IllegalStateException(s"bad span field: $s")

@@ -446,19 +446,23 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    def v(l: Literal): Any = l.value match {
+    def isTs(a: AttributeReference): Boolean = a.dataType match {
+      case _: org.apache.spark.sql.types.TimestampType => true
+      case _: org.apache.spark.sql.types.TimestampNTZType => true
+      case _ => false
+    }
+    // timestamp literals wrap in the manifest's unit-normalized
+    // micros domain ([[VersionedTable.TsMicros]]); spans harvested
+    // before unit tagging stay raw Longs, compare as incomparable,
+    // and conservatively decline — never a unit-mixed misclassify
+    def v(a: AttributeReference, l: Literal): Any = l.value match {
       case u: UTF8String => u.toString
+      case other: java.lang.Long if isTs(a) =>
+        VersionedTable.TsMicros(other)
       case other => other
     }
-    // timestamps decline: manifest spans hold the parquet PHYSICAL
-    // value (epoch millis or micros per the writer's
-    // outputTimestampType conf) while Catalyst literals are always
-    // micros — a unit mismatch would classify every file wrong, not
-    // conservatively. Dates are safe (days on both sides).
     def ok(a: AttributeReference): Boolean =
       relIds.contains(a.exprId) && (a.dataType match {
-        case _: org.apache.spark.sql.types.TimestampType => false
-        case _: org.apache.spark.sql.types.TimestampNTZType => false
         // non-default collations (Spark 4 StringType(collationId))
         // compare under ICU rules — e.g. UTF8_LCASE `= 'abc'` must
         // match 'ABC' — while span classification compares unsigned
@@ -489,42 +493,44 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case EqualTo(a: AttributeReference, l: Literal) if ok(a) =>
         if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
         else Some(Seq(ExactRange(a.name,
-          Some((v(l), true)), Some((v(l), true)))))
+          Some((v(a, l), true)), Some((v(a, l), true)))))
       case EqualTo(l: Literal, a: AttributeReference) if ok(a) =>
         if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
         else Some(Seq(ExactRange(a.name,
-          Some((v(l), true)), Some((v(l), true)))))
+          Some((v(a, l), true)), Some((v(a, l), true)))))
       case GreaterThan(a: AttributeReference, l: Literal)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, Some((v(l), false)), None)))
+        Some(Seq(ExactRange(a.name, Some((v(a, l), false)), None)))
       case GreaterThan(l: Literal, a: AttributeReference)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, None, Some((v(l), false)))))
+        Some(Seq(ExactRange(a.name, None, Some((v(a, l), false)))))
       case GreaterThanOrEqual(a: AttributeReference, l: Literal)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, Some((v(l), true)), None)))
+        Some(Seq(ExactRange(a.name, Some((v(a, l), true)), None)))
       case GreaterThanOrEqual(l: Literal, a: AttributeReference)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, None, Some((v(l), true)))))
+        Some(Seq(ExactRange(a.name, None, Some((v(a, l), true)))))
       case LessThan(a: AttributeReference, l: Literal)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, None, Some((v(l), false)))))
+        Some(Seq(ExactRange(a.name, None, Some((v(a, l), false)))))
       case LessThan(l: Literal, a: AttributeReference)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, Some((v(l), false)), None)))
+        Some(Seq(ExactRange(a.name, Some((v(a, l), false)), None)))
       case LessThanOrEqual(a: AttributeReference, l: Literal)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, None, Some((v(l), true)))))
+        Some(Seq(ExactRange(a.name, None, Some((v(a, l), true)))))
       case LessThanOrEqual(l: Literal, a: AttributeReference)
           if ok(a) && l.value != null =>
-        Some(Seq(ExactRange(a.name, Some((v(l), true)), None)))
+        Some(Seq(ExactRange(a.name, Some((v(a, l), true)), None)))
       case In(a: AttributeReference, vs) if ok(a) &&
           vs.forall(_.isInstanceOf[Literal]) =>
         Some(Seq(ExactIn(a.name, vs.collect {
-          case l: Literal if l.value != null => v(l) })))
+          case l: Literal if l.value != null => v(a, l) })))
       case InSet(a: AttributeReference, vs) if ok(a) =>
         Some(Seq(ExactIn(a.name, vs.toSeq.filter(_ != null).map {
           case u: UTF8String => u.toString
+          case other: java.lang.Long if isTs(a) =>
+            VersionedTable.TsMicros(other)
           case other => other
         })))
       case IsNotNull(a: AttributeReference) if ok(a) =>
@@ -536,20 +542,22 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       // empty ExactIn, same as `= NULL`.
       case Not(EqualTo(a: AttributeReference, l: Literal)) if ok(a) =>
         if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
-        else Some(Seq(ExactNotIn(a.name, Seq(v(l)))))
+        else Some(Seq(ExactNotIn(a.name, Seq(v(a, l)))))
       case Not(EqualTo(l: Literal, a: AttributeReference)) if ok(a) =>
         if (l.value == null) Some(Seq(ExactIn(a.name, Seq.empty)))
-        else Some(Seq(ExactNotIn(a.name, Seq(v(l)))))
+        else Some(Seq(ExactNotIn(a.name, Seq(v(a, l)))))
       case Not(In(a: AttributeReference, vs)) if ok(a) &&
           vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         val vals = vs.map(_.asInstanceOf[Literal])
         if (vals.exists(_.value == null))
           Some(Seq(ExactIn(a.name, Seq.empty)))
-        else Some(Seq(ExactNotIn(a.name, vals.map(v))))
+        else Some(Seq(ExactNotIn(a.name, vals.map(v(a, _)))))
       case Not(InSet(a: AttributeReference, vs)) if ok(a) && vs.nonEmpty =>
         if (vs.exists(_ == null)) Some(Seq(ExactIn(a.name, Seq.empty)))
         else Some(Seq(ExactNotIn(a.name, vs.toSeq.map {
           case u: UTF8String => u.toString
+          case other: java.lang.Long if isTs(a) =>
+            VersionedTable.TsMicros(other)
           case other => other
         })))
       case _ => None
@@ -567,8 +575,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
   private def spanType(a: Attribute): Boolean = a.dataType match {
     case LongType | DoubleType | StringType => true
     // dates normalize through their physical epoch days (Long in the
-    // manifest, Int in Catalyst) — unit-safe, unlike timestamps
+    // manifest, Int in Catalyst); timestamps through unit-normalized
+    // TsMicros spans (raw legacy spans decline via incomparability)
     case DateType => true
+    case _: org.apache.spark.sql.types.TimestampType => true
+    case _: org.apache.spark.sql.types.TimestampNTZType => true
     case _ => false
   }
 
@@ -576,6 +587,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case (l: Long, LongType) => l
     case (d: Double, DoubleType) => d
     case (l: Long, DateType) => l.toInt // epoch days
+    case (VersionedTable.TsMicros(l),
+      _: org.apache.spark.sql.types.TimestampType) => l
+    case (VersionedTable.TsMicros(l),
+      _: org.apache.spark.sql.types.TimestampNTZType) => l
     case (s: String, StringType) => UTF8String.fromString(s)
     case _ => throw new IllegalStateException(
       s"span value $v does not fit column ${a.name}: ${a.dataType}")

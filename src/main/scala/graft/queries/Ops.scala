@@ -860,23 +860,28 @@ object Ops {
     // lands the span-foldable epoch-day physical type
     VersionedTable.commit(
       orders(s, d).select(col("o_orderkey"),
-          col("o_orderdate").cast("date").as("o_date"))
+          col("o_orderdate").cast("date").as("o_date"),
+          col("o_orderdate"))
         .repartitionByRange(8, col("o_date"))
         .sortWithinPartitions(col("o_date")),
       t, overwrite = true,
-      statsCols = Seq("o_orderkey", "o_date"))
+      statsCols = Seq("o_orderkey", "o_date", "o_orderdate"))
     def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
       df.queryExecution.optimizedPlan.collectLeaves()
         .forall(_.isInstanceOf[
           org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
     val agg = s.sql(s"SELECT count(*) AS n, " +
       s"count(o_date) AS nd, min(o_date) AS lo0, " +
-      s"max(o_date) AS hi0 FROM graft.`$t`")
+      s"max(o_date) AS hi0, min(o_orderdate) AS tlo0, " +
+      s"max(o_orderdate) AS thi0 FROM graft.`$t`")
     require(foldsToLocal(agg),
-      "date min/max + count(col) must fold from the manifest")
+      "date AND timestamp min/max + count(col) must fold from the " +
+        "manifest (timestamp spans are unit-normalized micros)")
     val base = agg.select(col("n"), col("nd"),
       date_format(col("lo0"), "yyyy-MM-dd").as("lo"),
-      date_format(col("hi0"), "yyyy-MM-dd").as("hi"))
+      date_format(col("hi0"), "yyyy-MM-dd").as("hi"),
+      date_format(col("tlo0"), "yyyy-MM-dd HH:mm:ss").as("tlo"),
+      date_format(col("thi0"), "yyyy-MM-dd HH:mm:ss").as("thi"))
     val orQ = s.sql(s"SELECT count(*) AS n_or FROM graft.`$t` " +
       "WHERE o_date < DATE '1993-06-01' " +
       "OR o_date >= DATE '1997-06-01'")
@@ -888,7 +893,15 @@ object Ops {
       "WHERE o_orderkey != 1")
     val nullQ = s.sql(s"SELECT count(*) AS n_null FROM graft.`$t` " +
       "WHERE o_date IS NULL")
-    base.crossJoin(orQ).crossJoin(neQ).crossJoin(nullQ)
+    // TIMESTAMP_NTZ literal (no tz cast: a cast would wrap the
+    // attribute and decline the exact translation)
+    val tsQ = s.sql(s"SELECT count(*) AS n_ts FROM graft.`$t` " +
+      "WHERE o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'")
+    if (VersionedTable.readEntries(s, t, 0).size >= 8)
+      require(tsQ.inputFiles.length < 4,
+        s"timestamp range must scan boundaries only: " +
+          s"${tsQ.inputFiles.length}/8")
+    base.crossJoin(orQ).crossJoin(neQ).crossJoin(nullQ).crossJoin(tsQ)
   }
 
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
@@ -3144,7 +3157,14 @@ object Ops {
         |           OR o_date >= DATE '1997-06-01') AS n_or,
         |       (SELECT count(*) FROM o WHERE o_orderkey <> 1) AS n_ne,
         |       (SELECT count(*) FROM o WHERE o_date IS NULL)
-        |         AS n_null""".stripMargin,
+        |         AS n_null,
+        |       (SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |        FROM orders) AS tlo,
+        |       (SELECT strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')
+        |        FROM orders) AS thi,
+        |       (SELECT count(*) FROM orders
+        |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
+        |         AS n_ts""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both
     // masks (interior mid-key row, then the global-max row).
     "op_vt_dv_minmax" ->

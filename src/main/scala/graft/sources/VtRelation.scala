@@ -175,7 +175,10 @@ object VtPushdown {
         Some(v.asInstanceOf[Number].doubleValue)
       case DateType => Some(v.asInstanceOf[Number].longValue)
       case TimestampType | TimestampNTZType =>
-        Some(v.asInstanceOf[Number].longValue)
+        // distinct wrapper, matching the manifest's unit-normalized
+        // micros spans; legacy raw-Long spans compare as incomparable
+        // (conservative keep) instead of mixing units
+        Some(VersionedTable.TsMicros(v.asInstanceOf[Number].longValue))
       case _ => None
     }
 }

@@ -223,16 +223,20 @@ class VtMetadataAggSpec extends AnyFunSuite {
       val dt = if (i % 19 == 0) null
         else java.sql.Date.valueOf(java.time.LocalDate
           .of(1995, 1, 1).plusDays((i * 37 % 1400).toInt).toString)
-      Row(id, d, s, dt)
+      val ts = if (i % 23 == 0) null
+        else java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(1995, 1, 1, 0, 0).plusHours(i * 13 % 20000))
+      Row(id, d, s, dt, ts)
     }
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("d", DoubleType), StructField("s", StringType),
-      StructField("dt", DateType)))
+      StructField("dt", DateType), StructField("ts", TimestampType)))
     VersionedTable.commit(
       spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
         schema).repartitionByRange(3, col("id"))
         .sortWithinPartitions(col("id")),
-      t, overwrite = true, statsCols = Seq("id", "d", "s", "dt"))
+      t, overwrite = true,
+      statsCols = Seq("id", "d", "s", "dt", "ts"))
     VersionedTable.deleteWhere(spark, t, col("id") % 29 === 0,
       deletionVectors = true)
     val trusted = VersionedTable.read(spark, t) // never sees the rule
@@ -257,7 +261,12 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "id NOT IN (1, 2, 250)", "id NOT IN (1, NULL)",
       "dt >= DATE '1996-01-01'", "dt = DATE '1995-03-17'",
       "dt >= DATE '1995-06-01' AND dt < DATE '1997-06-01'",
-      "dt IS NOT NULL AND id != 7"
+      "dt IS NOT NULL AND id != 7",
+      "ts >= TIMESTAMP '1996-01-01 00:00:00'", "ts IS NULL",
+      "ts < TIMESTAMP '1995-06-01 12:00:00' " +
+        "OR ts >= TIMESTAMP '1996-09-01 00:00:00'",
+      "ts = TIMESTAMP '1995-01-01 13:00:00'",
+      "ts != TIMESTAMP '1995-01-02 05:00:00'"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
@@ -266,9 +275,10 @@ class VtMetadataAggSpec extends AnyFunSuite {
       s"id < $lo OR id >= $hi"
     }
     val aggList = Seq("count(*) AS n", "count(id) AS nid",
-      "count(s) AS ns", "count(dt) AS ndt", "min(id) AS lo",
-      "max(id) AS hi", "min(s) AS smn", "max(s) AS smx",
-      "min(dt) AS dmn", "max(dt) AS dmx")
+      "count(s) AS ns", "count(dt) AS ndt", "count(ts) AS nts",
+      "min(id) AS lo", "max(id) AS hi", "min(s) AS smn",
+      "max(s) AS smx", "min(dt) AS dmn", "max(dt) AS dmx",
+      "min(ts) AS tmn", "max(ts) AS tmx")
     preds.foreach { p =>
       val folded = spark.sql(
         s"SELECT ${aggList.mkString(", ")} FROM graft.`$t` WHERE $p")
@@ -509,6 +519,46 @@ class VtMetadataAggSpec extends AnyFunSuite {
         f.metrics("numFiles").value.toInt
     }.sum
     assert(scanned == 1, s"IS NULL must prune null-free files: $scanned")
+  }
+
+  test("timestamp folds are unit-safe under a millis-writing session") {
+    setup()
+    // outputTimestampType=TIMESTAMP_MILLIS stores raw millis in the
+    // footers; the harvest must unit-normalize to micros (tagged
+    // TsMicros) or every classification would be off by 1000x —
+    // dropping files in pruning and folding wrong counts
+    val t = tmpTable("tsu")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("ts", TimestampType)))
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MILLIS")
+    try {
+      VersionedTable.commit(
+        spark.createDataFrame(new java.util.ArrayList[Row](
+          (0L until 50L).map(i => Row(java.lang.Long.valueOf(i),
+            java.sql.Timestamp.valueOf(java.time.LocalDateTime
+              .of(1995, 1, (i % 25 + 1).toInt, 10, 30)))).asJava),
+          schema).repartitionByRange(2, col("ts"))
+          .sortWithinPartitions("ts"),
+        t, overwrite = true, statsCols = Seq("ts"))
+    } finally
+      spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    val trusted = VersionedTable.read(spark, t)
+    val w = s"SELECT count(ts) AS n, min(ts) AS lo, max(ts) AS hi " +
+      s"FROM graft.`$t`"
+    assert(foldsToLocal(w), "millis-written spans fold (as micros)")
+    assert(spark.sql(w).collect()(0).toSeq ==
+      trusted.selectExpr("count(ts) AS n", "min(ts) AS lo",
+        "max(ts) AS hi").collect()(0).toSeq)
+    val p = "ts >= TIMESTAMP '1995-01-13 00:00:00'"
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$t` WHERE $p")
+      .collect()(0).getLong(0) == trusted.where(p).count())
+    // pruning on the millis-written table never drops a wrong file
+    assert(VersionedTable.read(spark, t).where(p).count() ==
+      trusted.where(p).count())
   }
 
   test("distinct and expression aggregates never fold") {
