@@ -1597,6 +1597,22 @@ object VersionedTable {
     * conservative (pruning keeps the file, folds decline). */
   final case class TsMicros(us: Long)
 
+  /** The exclusive UPPER BOUND of the byte-order range equivalent to
+    * `startsWith(prefix)`: prefix with its last char incremented —
+    * `s.startsWith(p)` ⟺ `p <= s < upper` under UTF8String byte
+    * order (UTF-8 byte order equals codepoint order, and `upper`
+    * differs from `p` exactly at the last codepoint). `None` when no
+    * safe increment exists (empty prefix, last char at/inside the
+    * surrogate range or U+FFFF) — callers then decline rather than
+    * widen. */
+  private[graft] def prefixUpperBound(p: String): Option[String] = {
+    if (p.isEmpty) return None
+    val c = p.charAt(p.length - 1)
+    if (c >= 0xD7FF.toChar && c <= 0xDFFF.toChar) None // c or c+1 surrogate
+    else if (c == 0xFFFF.toChar) None
+    else Some(p.substring(0, p.length - 1) + (c + 1).toChar)
+  }
+
   sealed trait ExactPred { def column: String }
   /** `lo/hi = (bound, inclusive)`; either side open. Equality is
     * `(v,true)..(v,true)`. Null-rejecting, like every comparison. */

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -537,6 +537,16 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         Some(Seq(ExactNotNull(a.name)))
       case IsNull(a: AttributeReference) if ok(a) =>
         Some(Seq(ExactIsNull(a.name)))
+      // LIKE 'prefix%' (optimizer-lowered to StartsWith): exactly the
+      // byte-order range [prefix, prefix-with-last-char+1) — decline
+      // when no safe upper bound exists (an open range would claim
+      // all-in for rows merely >= the prefix)
+      case StartsWith(a: AttributeReference, l: Literal)
+          if ok(a) && l.value != null =>
+        val prefix = l.value.toString
+        VersionedTable.prefixUpperBound(prefix).map(up =>
+          Seq(ExactRange(a.name,
+            Some((prefix, true)), Some((up, false)))))
       // negations: != / NOT IN. A NULL member makes the predicate
       // match nothing (NULL NOT IN is never true) — the provably-
       // empty ExactIn, same as `= NULL`.

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, PartitionDirectory}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -139,6 +139,16 @@ object VtPushdown {
       inList(a, vs.toSeq)
     case IsNotNull(a: AttributeReference) => Seq(NotNullPred(a.name))
     case IsNull(a: AttributeReference) => Seq(IsNullPred(a.name))
+    // LIKE 'prefix%': the byte-order prefix range (inclusive-upper
+    // superset — pruning only needs might-match)
+    case StartsWith(a: AttributeReference, l: Literal)
+        if l.value != null =>
+      span(l.value, a.dataType).toSeq.flatMap { pv =>
+        val prefix = pv.toString
+        GePred(a.name, prefix) +:
+          VersionedTable.prefixUpperBound(prefix)
+            .map(LePred(a.name, _)).toSeq
+      }
     case _ => Seq.empty
   }
 

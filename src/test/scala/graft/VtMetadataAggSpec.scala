@@ -266,7 +266,9 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "ts < TIMESTAMP '1995-06-01 12:00:00' " +
         "OR ts >= TIMESTAMP '1996-09-01 00:00:00'",
       "ts = TIMESTAMP '1995-01-01 13:00:00'",
-      "ts != TIMESTAMP '1995-01-02 05:00:00'"
+      "ts != TIMESTAMP '1995-01-02 05:00:00'",
+      "s LIKE 'k1%'", "s LIKE 'z%'", "s LIKE 'k%' OR id < 5",
+      "s LIKE 'k_5%'"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
@@ -519,6 +521,40 @@ class VtMetadataAggSpec extends AnyFunSuite {
         f.metrics("numFiles").value.toInt
     }.sum
     assert(scanned == 1, s"IS NULL must prune null-free files: $scanned")
+  }
+
+  test("LIKE prefix ranges classify and prune by byte order") {
+    setup()
+    val t = tmpTable("pfx")
+    VersionedTable.commit(
+      (0 until 900).map(i => (i.toLong, f"k${i}%03d")).toDF("id", "s")
+        .repartitionByRange(3, col("s")).sortWithinPartitions("s"),
+      t, overwrite = true, statsCols = Seq("s"))
+    // every file's span sits inside [k, l): LIKE 'k%' folds whole
+    val qAll = s"SELECT count(*) AS n FROM graft.`$t` WHERE s LIKE 'k%'"
+    assert(foldsToLocal(qAll), "covering prefix folds from metadata")
+    assert(spark.sql(qAll).collect()(0).getLong(0) == 900L)
+    // a non-matching prefix proves every file all-out — still no scan
+    val qNone = s"SELECT count(*) AS n FROM graft.`$t` WHERE s LIKE 'z%'"
+    assert(foldsToLocal(qNone))
+    assert(spark.sql(qNone).collect()(0).getLong(0) == 0L)
+    // a sub-file prefix scans just the file whose span straddles it
+    val qSub = s"SELECT count(*) AS n FROM graft.`$t` WHERE s LIKE 'k3%'"
+    assert(spark.sql(qSub).collect()(0).getLong(0) == 100L)
+    assert(spark.sql(qSub).inputFiles.length <= 1,
+      "a straddling prefix scans one boundary file")
+    // pruning: the scan surface opens only span-matching files
+    val pr = VersionedTable.read(spark, t).where(col("s").like("k8%"))
+    pr.collect()
+    val scanned = pr.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.metrics("numFiles").value.toInt
+    }.sum
+    assert(scanned == 1, s"prefix prune must open 1 of 3 files: $scanned")
+    // a pattern with an interior wildcard is NOT a prefix — declines
+    // to the scan and stays correct
+    val qWild = s"SELECT count(*) AS n FROM graft.`$t` WHERE s LIKE 'k_5%'"
+    assert(spark.sql(qWild).collect()(0).getLong(0) == 90L)
   }
 
   test("timestamp folds are unit-safe under a millis-writing session") {
