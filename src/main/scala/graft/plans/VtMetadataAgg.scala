@@ -84,6 +84,24 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             case None => agg
           }
         }
+      // GROUPED metadata counts: GROUP BY one plain column over a
+      // table whose files are (mostly) single-valued in it — the
+      // daily-partitioned `GROUP BY day` shape. Point-span files
+      // contribute their group's partial counts from the manifest;
+      // undecided files scan and union in.
+      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs,
+          child, _) if aggExprs.nonEmpty =>
+        stripToVt(child) match {
+          case Some((t, relOut)) =>
+            foldGrouped(agg, g, aggExprs,
+              Literal(true, BooleanType), t, relOut).getOrElse(agg)
+          case None => stripToFilteredVt(child) match {
+            case Some((cond, t, relOut)) =>
+              foldGrouped(agg, g, aggExprs, cond, t, relOut)
+                .getOrElse(agg)
+            case None => agg
+          }
+        }
     }
 
   /** The relation beneath row-count-preserving wrappers, when it is a
@@ -434,6 +452,183 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             .Greatest(parts), o.name)(exprId = o.exprId)
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
+  }
+
+  /** GROUPED metadata counts: `SELECT g, count(*)[, count(col)…]
+    * [WHERE …] GROUP BY g` folds per group when files are
+    * single-valued in `g` (point span, or provably all-null → the
+    * NULL group). A g-clustered 100 TB table answers its per-day
+    * row counts from one manifest read. Exact-or-scan per FILE:
+    *   - point-span + zero g-nulls: every live row is group v —
+    *     count(*) += liveRows (DV-safe), count(col) += the file's
+    *     provable non-null count;
+    *   - point-span + g-nulls, no DV: rows split v / NULL groups by
+    *     the recorded null count; count(col≠g) is then unknowable
+    *     per group and the file demotes;
+    *   - all-null g: the whole file is the NULL group;
+    *   - anything else (multi-valued span, DV over a nulls split,
+    *     no stats) demotes to the boundary scan.
+    * Boundary files scan with the ORIGINAL predicate and union in as
+    * partial counts; the outer re-aggregate sums partials per group.
+    * Declines unless the grouping column is a plain span-typed
+    * relation attribute, every output is the group key or a plain
+    * count, every conjunct translates, and metadata decided at least
+    * one file. */
+  private def foldGrouped(agg: Aggregate, g: AttributeReference,
+      aggExprs: Seq[NamedExpression], cond: Expression, t: VtTable,
+      relOut: Seq[Attribute]): Option[LogicalPlan] = {
+    val relIds = relOut.map(_.exprId).toSet
+    if (!relIds.contains(g.exprId) || !spanType(g) || t.vtHasMapping)
+      return None
+    sealed trait Shape
+    case object GKey extends Shape
+    case object CountAll extends Shape
+    final case class CountColAgg(a: AttributeReference) extends Shape
+    val shapes: Seq[Shape] = aggExprs.map {
+      case a: AttributeReference if a.exprId == g.exprId => GKey
+      case Alias(a: AttributeReference, _)
+          if a.exprId == g.exprId => GKey
+      case Alias(AggregateExpression(
+          Count(Seq(Literal(v, _))), Complete, false, None, _), _)
+          if v != null => CountAll
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
+          if relIds.contains(a.exprId) => CountColAgg(a)
+      case _ => return None
+    }
+    val countCols = shapes.collect { case CountColAgg(a) => a }
+      .distinctBy(_.name)
+    val preds = toExactPreds(cond, relIds).getOrElse(return None)
+    val spark = SparkSession.active
+    val entries =
+      try {
+        VersionedTable.requireVisibleVersion(spark, t.vtPath, t.vtVersion)
+        VersionedTable.readEntries(spark, t.vtPath, t.vtVersion)
+      } catch { case scala.util.control.NonFatal(_) => return None }
+    val (_, allIn0, boundary0) =
+      VersionedTable.countWhereParts(entries, preds)
+    // per-file contributions: key None = the NULL group. A file whose
+    // split is not provable contributes NOTHING and demotes whole.
+    def contrib(e: graft.operators.VersionedTable.FileEntry)
+        : Option[Seq[(Option[Any], String, Long)]] = {
+      def dv = e.dv.exists(_._2 > 0)
+      def colCounts(key: Option[Any])
+          : Option[Seq[(Option[Any], String, Long)]] = {
+        val parts = countCols.map { a =>
+          if (a.name == g.name)
+            // count(g) rows are exactly the non-NULL-group rows
+            Some((key, a.name, if (key.isEmpty) 0L
+              else VersionedTable.nonNullRowsOf(e, a.name)
+                .getOrElse(return None)))
+          else VersionedTable.nonNullRowsOf(e, a.name)
+            .map(k => (key, a.name, k))
+        }
+        if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get))
+      }
+      e.stats.get(g.name) match {
+        case Some(Some((mn, mx)))
+            if VersionedTable.cmpMeta(mn, mx).contains(0) =>
+          e.nulls.get(g.name) match {
+            case Some(0L) =>
+              colCounts(Some(mn)).map(cs =>
+                (Some(mn): Option[Any], "*", e.liveRows) +: cs)
+            case Some(n) if !dv && countCols.forall(_.name == g.name) =>
+              // the v / NULL split is exact from the null count, but
+              // only count(*) and count(g) distribute over it —
+              // count(other) could sit on either side of the split
+              colCounts(Some(mn)).map(cs => Seq(
+                (Some(mn): Option[Any], "*", e.nRows - n),
+                (None: Option[Any], "*", n)) ++ cs)
+            case _ => None
+          }
+        case Some(None) =>
+          // g provably all-null: the whole file is the NULL group
+          // (masking a null row leaves the rest null — DV-safe)
+          colCounts(None).map(cs =>
+            (None: Option[Any], "*", e.liveRows) +: cs)
+        case _ => None
+      }
+    }
+    val metaCount =
+      scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
+    val metaColCount = scala.collection.mutable
+      .Map.empty[(Option[Any], String), Long]
+    val demoted = Seq.newBuilder[String]
+    allIn0.foreach { e =>
+      contrib(e) match {
+        case Some(cs) => cs.foreach {
+          case (key, "*", n) =>
+            metaCount(key) = metaCount.getOrElse(key, 0L) + n
+          case (key, c, n) =>
+            metaColCount((key, c)) =
+              metaColCount.getOrElse((key, c), 0L) + n
+        }
+        case None => demoted += e.name
+      }
+    }
+    val demotedSet = demoted.result().toSet
+    val boundary = boundary0 ++ demotedSet
+    if (boundary.size >= entries.size && entries.nonEmpty)
+      return None // metadata decided nothing: the plain scan is better
+    def keyValue(k: Option[Any]): Any =
+      k.map(toCatalyst(_, g)).orNull
+    val metaRows: Seq[Seq[Any]] = metaCount.keys.toSeq.map { k =>
+      (keyValue(k) +: (metaCount(k) +: countCols.map(c =>
+        metaColCount.getOrElse((k, c.name), 0L)))).map(x => x: Any)
+    }
+    if (boundary.isEmpty) {
+      val rows = metaCount.keys.toSeq.map { k =>
+        InternalRow.fromSeq(shapes.map {
+          case GKey => keyValue(k)
+          case CountAll => metaCount(k): Any
+          case CountColAgg(a) =>
+            metaColCount.getOrElse((k, a.name), 0L): Any
+        })
+      }
+      return Some(LocalRelation(agg.output, rows))
+    }
+    // union the metadata partials with the boundary scan's partials,
+    // then re-aggregate: sum per group
+    val nPartials = 1 + countCols.size
+    val localAttrs = AttributeReference("g", g.dataType,
+      nullable = true)() +:
+      (0 until nPartials).map(i => AttributeReference(s"p$i",
+        org.apache.spark.sql.types.LongType, nullable = false)())
+    val localRows = metaRows.map(r => InternalRow.fromSeq(r))
+    val local = LocalRelation(localAttrs, localRows)
+    val slice = Bridge.logicalPlan(
+      VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion,
+        boundary.toSet))
+    val byName = slice.output.map(a => a.name -> a).toMap
+    if (!relOut.forall(a => byName.contains(a.name))) return None
+    val remap = Project(relOut.map(a =>
+      Alias(byName(a.name), a.name)(exprId = a.exprId)), slice)
+    val bPartials = Alias(AggregateExpression(
+      Count(Seq(Literal(1))), Complete, isDistinct = false), "p0")() +:
+      countCols.zipWithIndex.map { case (a, i) =>
+        Alias(AggregateExpression(Count(Seq(a)), Complete,
+          isDistinct = false), s"p${i + 1}")()
+      }
+    val bAgg = Aggregate(Seq(g),
+      Alias(g, "g")() +: bPartials, Filter(cond, remap))
+    val union = org.apache.spark.sql.catalyst.plans.logical
+      .Union(Seq(local, bAgg))
+    val uG = union.output.head
+    val uP = union.output.tail
+    def summed(i: Int): Expression =
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        AggregateExpression(org.apache.spark.sql.catalyst.expressions
+          .aggregate.Sum(uP(i)), Complete, isDistinct = false),
+        Literal(0L)))
+    val outs = shapes.zip(agg.output).map {
+      case (GKey, o) => Alias(uG, o.name)(exprId = o.exprId)
+      case (CountAll, o) => Alias(summed(0), o.name)(exprId = o.exprId)
+      case (CountColAgg(a), o) =>
+        Alias(summed(1 + countCols.indexWhere(_.name == a.name)),
+          o.name)(exprId = o.exprId)
+    }
+    Some(VtMaskedScanRewrite.fixedPointPushdown(
+      Aggregate(Seq(uG), outs, union)))
   }
 
   /** Translate a WHERE into exact file-level predicates — EVERY

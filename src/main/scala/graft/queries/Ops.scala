@@ -904,6 +904,60 @@ object Ops {
     base.crossJoin(orQ).crossJoin(neQ).crossJoin(nullQ).crossJoin(tsQ)
   }
 
+  // GROUPED METADATA COUNTS: `GROUP BY <file-clustered key>` answers
+  // per-group count(*) / count(col) from the manifest — the daily-
+  // partitioned `GROUP BY day` shape; at 100 TB the per-day row
+  // counts are one manifest read. Files are banded by construction;
+  // point-span files fold, straddling files scan and union in
+  // (gated: fewer than half the files open). The oracle replays the
+  // GROUP BY by full scan in DuckDB.
+  val opVtGroupMeta: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtgrp_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+    val maxRow = li.agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val w = math.max(1L, (maxId + 1) / 8)
+    val banded = li.withColumn("band", expr(s"l_orderkey div $w"))
+    val stats = Seq("band", "l_orderkey", "l_quantity")
+    // one commit per band (the daily-partition ingest shape): every
+    // file is single-valued in the grouping key, so the GROUP BY
+    // folds whole. The distinct-band collect is bounded (≤ ~10 by
+    // construction).
+    val bands = banded.select(col("band")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) null
+        else java.lang.Long.valueOf(r.getLong(0)))
+      .sortBy(b => if (b == null) Long.MinValue else b.longValue())
+    if (bands.isEmpty)
+      VersionedTable.commit(banded, t, overwrite = true,
+        statsCols = stats)
+    else bands.zipWithIndex.foreach { case (b, i) =>
+      val part = if (b == null) banded.where(col("band").isNull)
+        else banded.where(col("band") === b.longValue())
+      VersionedTable.commit(part.coalesce(1), t, overwrite = i == 0,
+        statsCols = if (i == 0) stats else Seq.empty)
+    }
+    val q = s.sql(s"SELECT band, count(*) AS n, " +
+      s"count(l_quantity) AS nq FROM graft.`$t` GROUP BY band")
+    if (bands.length >= 2) {
+      def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      require(foldsToLocal(q),
+        "single-band files must answer the GROUP BY from metadata " +
+          "with zero files opened")
+    }
+    q
+  }
+
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
   // the inline layout rewrites the full O(live files) entry list per
   // commit (~80 MB per commit at ~800k files), so at streaming
@@ -2682,6 +2736,7 @@ object Ops {
     "op_vt_count_or" -> opVtCountOr,
     "op_vt_dv_minmax" -> opVtDvMinmax,
     "op_vt_meta_dates" -> opVtMetaDates,
+    "op_vt_group_meta" -> opVtGroupMeta,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -3165,6 +3220,17 @@ object Ops {
         |       (SELECT count(*) FROM orders
         |        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00')
         |         AS n_ts""".stripMargin,
+    // The grouped metadata counts must equal DuckDB's full-scan
+    // GROUP BY over the same derived band.
+    "op_vt_group_meta" ->
+      """WITH mx AS (SELECT CASE WHEN max(l_orderkey) IS NULL THEN 1
+        |                        ELSE greatest(1,
+        |                          (max(l_orderkey) + 1) // 8) END AS w
+        |           FROM lineitem)
+        |SELECT l_orderkey // (SELECT w FROM mx) AS band,
+        |       count(*) AS n, count(l_quantity) AS nq
+        |FROM lineitem
+        |GROUP BY 1""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both
     // masks (interior mid-key row, then the global-max row).
     "op_vt_dv_minmax" ->

@@ -597,6 +597,68 @@ class VtMetadataAggSpec extends AnyFunSuite {
       trusted.where(p).count())
   }
 
+  test("GROUP BY a file-clustered key folds per group from metadata") {
+    setup()
+    val t = tmpTable("grp")
+    def batch(band: java.lang.Long, ids: Range) =
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+        ids.map(i => org.apache.spark.sql.Row(java.lang.Long.valueOf(i.toLong),
+          band, if (i % 10 == 0) null else s"x$i")).asJava),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("band",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("s",
+            org.apache.spark.sql.types.StringType)))).coalesce(1)
+    // one commit per band: every file single-valued in `band`
+    VersionedTable.commit(batch(0L, 0 until 40), t, overwrite = true,
+      statsCols = Seq("id", "band", "s"))
+    (1 to 3).foreach(b =>
+      VersionedTable.commit(batch(b.toLong, b * 100 until b * 100 + 30),
+        t, overwrite = false))
+    def trusted = VersionedTable.read(spark, t)
+    val q = s"SELECT band, count(*) AS n, count(s) AS ns " +
+      s"FROM graft.`$t` GROUP BY band"
+    assert(foldsToLocal(q), "single-band files fold the whole GROUP BY")
+    assert(spark.sql(q).collect().toSet ==
+      trusted.groupBy("band").agg(count(lit(1)).as("n"),
+        count(col("s")).as("ns")).collect().toSet)
+    // WHERE composes: band-classified files fold under the predicate
+    val qw = s"SELECT band, count(*) AS n FROM graft.`$t` " +
+      "WHERE band >= 1 GROUP BY band"
+    assert(foldsToLocal(qw))
+    assert(spark.sql(qw).collect().toSet ==
+      trusted.where("band >= 1").groupBy("band")
+        .agg(count(lit(1)).as("n")).collect().toSet)
+    // an all-null band file lands in the NULL group, still folded
+    VersionedTable.commit(batch(null, 500 until 520), t,
+      overwrite = false)
+    assert(foldsToLocal(q), "the NULL group folds from null counts")
+    assert(spark.sql(q).collect().toSet ==
+      trusted.groupBy("band").agg(count(lit(1)).as("n"),
+        count(col("s")).as("ns")).collect().toSet)
+    // a MIXED-band file demotes to the boundary scan; everything
+    // else still answers from metadata (hybrid union)
+    VersionedTable.commit(
+      (600 until 620).map(i => (i.toLong, (i % 2 + 7).toLong, s"x$i"))
+        .toDF("id", "band", "s").coalesce(1), t, overwrite = false)
+    val mixed = spark.sql(q)
+    assert(!foldsToLocal(q))
+    assert(mixed.inputFiles.length <= 1,
+      s"only the mixed file scans: ${mixed.inputFiles.length}")
+    assert(mixed.collect().toSet ==
+      trusted.groupBy("band").agg(count(lit(1)).as("n"),
+        count(col("s")).as("ns")).collect().toSet)
+    // a DV over a nulls-bearing file makes count(s) unprovable there:
+    // that file demotes, values stay exact
+    VersionedTable.deleteWhere(spark, t, col("id") === 5L,
+      deletionVectors = true)
+    assert(spark.sql(q).collect().toSet ==
+      trusted.groupBy("band").agg(count(lit(1)).as("n"),
+        count(col("s")).as("ns")).collect().toSet)
+  }
+
   test("distinct and expression aggregates never fold") {
     setup()
     val t = tmpTable("d")
