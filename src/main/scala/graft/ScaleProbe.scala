@@ -945,6 +945,7 @@ object ScaleProbe {
         try {
           val runs = (0 until 5).map { _ =>
             VersionedTable.clearSegmentCache()
+            VersionedTable.clearEntriesCache()
             val t0 = System.nanoTime()
             VersionedTable.readEntries(spark, segT, segV)
             (System.nanoTime() - t0) / 1e6

@@ -210,6 +210,23 @@ object VersionedTable {
   private[graft] var parallelSegmentThreshold: Int = 16
   /** Observability hook for specs: cumulative segment-cache hits. */
   def segmentCacheHits: Long = segmentCacheHitsVar.get
+  /** Parsed-manifest cache (committed manifests are immutable; keys
+    * carry mtime+length so a recreated table never serves stale
+    * entries). Same clear-wholesale posture as the segment cache. */
+  private val entriesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+  private val entriesCacheCount =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private val entriesCacheHitsVar =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private val EntriesCacheMaxEntries = 4L * 1000 * 1000
+  /** Observability hook for specs: cumulative entries-cache hits. */
+  def entriesCacheHits: Long = entriesCacheHitsVar.get
+  /** Probe/spec hook: drop the parsed-manifest cache. */
+  private[graft] def clearEntriesCache(): Unit = {
+    entriesCache.clear()
+    entriesCacheCount.set(0L)
+  }
   /** Probe/spec hook: drop the segment cache so the next read is cold. */
   private[graft] def clearSegmentCache(): Unit = {
     segmentCache.clear()
@@ -3184,8 +3201,41 @@ object VersionedTable {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val mf = new Path(root, f"$LogDir/v$version%05d.manifest")
-    require(fs.exists(mf),
-      s"version $version was never committed (or expired) at $path")
+    // committed manifests are immutable, so the PARSED entry list is
+    // cacheable — one query over a catalog table otherwise parses the
+    // same manifest several times (table load, optimizer folds, the
+    // clean-scan rewrite's read plan), and at 800k files each parse
+    // is ~2 s of driver time. The key carries the manifest's
+    // (mtime, length): a DROP + re-CREATE at the same path mints a
+    // NEW v0 manifest whose status differs, so stale entries can
+    // never serve. The status probe doubles as the existence check.
+    val status =
+      try fs.getFileStatus(mf)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"requirement failed: version $version was never " +
+              s"committed (or expired) at $path")
+      }
+    val cacheKey =
+      s"$mf@${status.getModificationTime}:${status.getLen}"
+    val cached = entriesCache.get(cacheKey)
+    if (cached != null) {
+      entriesCacheHitsVar.incrementAndGet()
+      return cached
+    }
+    val out0 = readEntriesUncached(fs, root, mf)
+    if (entriesCache.putIfAbsent(cacheKey, out0) == null &&
+        entriesCacheCount.addAndGet(math.max(1L, out0.size.toLong)) >
+          EntriesCacheMaxEntries) {
+      entriesCache.clear()
+      entriesCacheCount.set(0L)
+    }
+    out0
+  }
+
+  private def readEntriesUncached(fs: FileSystem, root: Path,
+      mf: Path): Seq[FileEntry] = {
     val lines = readLines(fs, mf)
     lines.headOption match {
       case Some(Header) =>

@@ -2367,4 +2367,31 @@ class VersionedTableSpec extends AnyFunSuite {
       "a failed upload must not permanently wedge the destination key")
     assert(fs.exists(dest))
   }
+
+  test("entries cache: immutable manifests cached, recreate never stale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = java.nio.file.Files.createTempDirectory("graft_ecache_").toFile
+    d.deleteOnExit()
+    val t = new java.io.File(d, "t").getAbsolutePath
+    VersionedTable.commit(
+      (0L until 10L).map(i => (i, s"a$i")).toDF("id", "s").coalesce(1),
+      t, overwrite = true, statsCols = Seq("id"))
+    VersionedTable.readEntries(spark, t, 0) // populate
+    val before = VersionedTable.entriesCacheHits
+    VersionedTable.readEntries(spark, t, 0)
+    assert(VersionedTable.entriesCacheHits > before,
+      "a re-read of an immutable manifest must hit the entries cache")
+    // DROP + re-CREATE at the SAME path mints a new v0 manifest: the
+    // (mtime, length)-keyed cache must never serve the old entries
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(t))
+    VersionedTable.commit(
+      (100L until 103L).map(i => (i, s"bbbb$i")).toDF("id", "s")
+        .coalesce(1), t, overwrite = true, statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, t)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(100L, 101L, 102L),
+      "recreated tables must read their own files, never cached ones")
+    assert(VersionedTable.readEntries(spark, t, 0).size == 1)
+  }
 }

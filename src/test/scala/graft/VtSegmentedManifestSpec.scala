@@ -304,6 +304,9 @@ class VtSegmentedManifestSpec extends AnyFunSuite {
         statsCols = Seq("id"))
       ids(t) // populate
       val before = VersionedTable.segmentCacheHits
+      // the parsed-manifest cache sits above the segment cache; drop
+      // it so the re-read actually reaches the segment layer
+      VersionedTable.clearEntriesCache()
       ids(t)
       assert(VersionedTable.segmentCacheHits > before,
         "a re-read of the same version must hit the segment cache")
