@@ -484,6 +484,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case object GKey extends Shape
     case object CountAll extends Shape
     final case class CountColAgg(a: AttributeReference) extends Shape
+    final case class SpanGAgg(a: AttributeReference, lo: Boolean)
+      extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
       case a: AttributeReference if a.exprId == g.exprId => GKey
       case Alias(a: AttributeReference, _)
@@ -494,10 +496,21 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case Alias(AggregateExpression(
           Count(Seq(a: AttributeReference)), Complete, false, None, _), _)
           if relIds.contains(a.exprId) => CountColAgg(a)
+      case Alias(AggregateExpression(
+          Min(a: AttributeReference), Complete, false, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) =>
+        SpanGAgg(a, lo = true)
+      case Alias(AggregateExpression(
+          Max(a: AttributeReference), Complete, false, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) =>
+        SpanGAgg(a, lo = false)
       case _ => return None
     }
     val countCols = shapes.collect { case CountColAgg(a) => a }
       .distinctBy(_.name)
+    val spanSlots = shapes.collect { case SpanGAgg(a, lo) => (a, lo) }
+      .distinctBy(p => (p._1.name, p._2))
+    val spanColAttrs = spanSlots.map(_._1).distinctBy(_.name)
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -549,21 +562,64 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+    // per-group MIN/MAX contributions: a point-g (or all-null-g)
+    // file's c-span extrema ARE its group's extrema — but a DV could
+    // mask them and a g-nulls split scatters them, so those demote;
+    // an all-null c contributes nothing (SQL min/max skip nulls)
+    def spanContrib(e: graft.operators.VersionedTable.FileEntry)
+        : Option[Seq[(Option[Any], String, (Any, Any))]] = {
+      if (spanSlots.isEmpty) return Some(Seq.empty)
+      if (e.dv.exists(_._2 > 0)) return None
+      val key: Option[Option[Any]] = e.stats.get(g.name) match {
+        case Some(Some((mn, mx)))
+            if VersionedTable.cmpMeta(mn, mx).contains(0) =>
+          if (e.nulls.get(g.name).contains(0L)) Some(Some(mn)) else None
+        case Some(None) => Some(None)
+        case _ => None
+      }
+      key.flatMap { k =>
+        val out = Seq.newBuilder[(Option[Any], String, (Any, Any))]
+        spanColAttrs.foreach { c =>
+          e.stats.get(c.name) match {
+            case Some(Some(sp)) => out += ((k, c.name, sp))
+            case Some(None) => () // all-null column: nothing to add
+            case None => return None // stats never collected: demote
+          }
+        }
+        Some(out.result())
+      }
+    }
     val metaCount =
       scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
     val metaColCount = scala.collection.mutable
       .Map.empty[(Option[Any], String), Long]
+    val metaSpanG = scala.collection.mutable
+      .Map.empty[(Option[Any], String), (Any, Any)]
     val demoted = Seq.newBuilder[String]
     allIn0.foreach { e =>
-      contrib(e) match {
-        case Some(cs) => cs.foreach {
-          case (key, "*", n) =>
-            metaCount(key) = metaCount.getOrElse(key, 0L) + n
-          case (key, c, n) =>
-            metaColCount((key, c)) =
-              metaColCount.getOrElse((key, c), 0L) + n
-        }
-        case None => demoted += e.name
+      (contrib(e), spanContrib(e)) match {
+        case (Some(cs), Some(ss)) =>
+          cs.foreach {
+            case (key, "*", n) =>
+              metaCount(key) = metaCount.getOrElse(key, 0L) + n
+            case (key, c, n) =>
+              metaColCount((key, c)) =
+                metaColCount.getOrElse((key, c), 0L) + n
+          }
+          ss.foreach { case (key, c, (mn, mx)) =>
+            metaSpanG.get((key, c)) match {
+              case None => metaSpanG((key, c)) = (mn, mx)
+              case Some((lo, hi)) =>
+                (VersionedTable.cmpMeta(mn, lo),
+                  VersionedTable.cmpMeta(mx, hi)) match {
+                  case (Some(cl), Some(ch)) =>
+                    metaSpanG((key, c)) =
+                      (if (cl < 0) mn else lo, if (ch > 0) mx else hi)
+                  case _ => return None // not provably SQL order
+                }
+            }
+          }
+        case _ => demoted += e.name
       }
     }
     val demotedSet = demoted.result().toSet
@@ -574,7 +630,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       k.map(toCatalyst(_, g)).orNull
     val metaRows: Seq[Seq[Any]] = metaCount.keys.toSeq.map { k =>
       (keyValue(k) +: (metaCount(k) +: countCols.map(c =>
-        metaColCount.getOrElse((k, c.name), 0L)))).map(x => x: Any)
+        metaColCount.getOrElse((k, c.name), 0L): Any)))
+        .map(x => x: Any) ++ spanSlots.map { case (a, lo) =>
+          metaSpanG.get((k, a.name))
+            .map(sp => toCatalyst(if (lo) sp._1 else sp._2, a))
+            .orNull: Any
+        }
     }
     if (boundary.isEmpty) {
       val rows = metaCount.keys.toSeq.map { k =>
@@ -583,6 +644,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           case CountAll => metaCount(k): Any
           case CountColAgg(a) =>
             metaColCount.getOrElse((k, a.name), 0L): Any
+          case SpanGAgg(a, lo) =>
+            metaSpanG.get((k, a.name))
+              .map(sp => toCatalyst(if (lo) sp._1 else sp._2, a))
+              .orNull
         })
       }
       return Some(LocalRelation(agg.output, rows))
@@ -590,10 +655,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // union the metadata partials with the boundary scan's partials,
     // then re-aggregate: sum per group
     val nPartials = 1 + countCols.size
-    val localAttrs = AttributeReference("g", g.dataType,
+    val localAttrs = (AttributeReference("g", g.dataType,
       nullable = true)() +:
       (0 until nPartials).map(i => AttributeReference(s"p$i",
-        org.apache.spark.sql.types.LongType, nullable = false)())
+        org.apache.spark.sql.types.LongType, nullable = false)())) ++
+      spanSlots.zipWithIndex.map { case ((a, _), i) =>
+        AttributeReference(s"s$i", a.dataType, nullable = true)()
+      }
     val localRows = metaRows.map(r => InternalRow.fromSeq(r))
     val local = LocalRelation(localAttrs, localRows)
     val slice = Bridge.logicalPlan(
@@ -603,11 +671,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     if (!relOut.forall(a => byName.contains(a.name))) return None
     val remap = Project(relOut.map(a =>
       Alias(byName(a.name), a.name)(exprId = a.exprId)), slice)
-    val bPartials = Alias(AggregateExpression(
+    val bPartials = (Alias(AggregateExpression(
       Count(Seq(Literal(1))), Complete, isDistinct = false), "p0")() +:
       countCols.zipWithIndex.map { case (a, i) =>
         Alias(AggregateExpression(Count(Seq(a)), Complete,
           isDistinct = false), s"p${i + 1}")()
+      }) ++ spanSlots.zipWithIndex.map { case ((a, lo), i) =>
+        Alias(AggregateExpression(if (lo) Min(a) else Max(a),
+          Complete, isDistinct = false), s"s$i")()
       }
     val bAgg = Aggregate(Seq(g),
       Alias(g, "g")() +: bPartials, Filter(cond, remap))
@@ -626,6 +697,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case (CountColAgg(a), o) =>
         Alias(summed(1 + countCols.indexWhere(_.name == a.name)),
           o.name)(exprId = o.exprId)
+      case (SpanGAgg(a, lo), o) =>
+        val slot = nPartials + spanSlots.indexWhere(p =>
+          p._1.name == a.name && p._2 == lo)
+        Alias(AggregateExpression(
+          if (lo) Min(uP(slot)) else Max(uP(slot)),
+          Complete, isDistinct = false), o.name)(exprId = o.exprId)
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(
       Aggregate(Seq(uG), outs, union)))

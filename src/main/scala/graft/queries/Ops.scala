@@ -945,7 +945,8 @@ object Ops {
         statsCols = if (i == 0) stats else Seq.empty)
     }
     val q = s.sql(s"SELECT band, count(*) AS n, " +
-      s"count(l_quantity) AS nq FROM graft.`$t` GROUP BY band")
+      s"count(l_quantity) AS nq, min(l_orderkey) AS lo, " +
+      s"max(l_orderkey) AS hi FROM graft.`$t` GROUP BY band")
     if (bands.length >= 2) {
       def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collectLeaves()
@@ -3228,7 +3229,8 @@ object Ops {
         |                          (max(l_orderkey) + 1) // 8) END AS w
         |           FROM lineitem)
         |SELECT l_orderkey // (SELECT w FROM mx) AS band,
-        |       count(*) AS n, count(l_quantity) AS nq
+        |       count(*) AS n, count(l_quantity) AS nq,
+        |       min(l_orderkey) AS lo, max(l_orderkey) AS hi
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both

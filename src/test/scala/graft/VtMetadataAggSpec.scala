@@ -618,12 +618,14 @@ class VtMetadataAggSpec extends AnyFunSuite {
       VersionedTable.commit(batch(b.toLong, b * 100 until b * 100 + 30),
         t, overwrite = false))
     def trusted = VersionedTable.read(spark, t)
-    val q = s"SELECT band, count(*) AS n, count(s) AS ns " +
-      s"FROM graft.`$t` GROUP BY band"
+    val q = s"SELECT band, count(*) AS n, count(s) AS ns, " +
+      s"min(id) AS lo, max(id) AS hi FROM graft.`$t` GROUP BY band"
+    def oracle() = trusted.groupBy("band").agg(
+      count(lit(1)).as("n"), count(col("s")).as("ns"),
+      min(col("id")).as("lo"), max(col("id")).as("hi"))
+      .collect().toSet
     assert(foldsToLocal(q), "single-band files fold the whole GROUP BY")
-    assert(spark.sql(q).collect().toSet ==
-      trusted.groupBy("band").agg(count(lit(1)).as("n"),
-        count(col("s")).as("ns")).collect().toSet)
+    assert(spark.sql(q).collect().toSet == oracle())
     // WHERE composes: band-classified files fold under the predicate
     val qw = s"SELECT band, count(*) AS n FROM graft.`$t` " +
       "WHERE band >= 1 GROUP BY band"
@@ -635,9 +637,7 @@ class VtMetadataAggSpec extends AnyFunSuite {
     VersionedTable.commit(batch(null, 500 until 520), t,
       overwrite = false)
     assert(foldsToLocal(q), "the NULL group folds from null counts")
-    assert(spark.sql(q).collect().toSet ==
-      trusted.groupBy("band").agg(count(lit(1)).as("n"),
-        count(col("s")).as("ns")).collect().toSet)
+    assert(spark.sql(q).collect().toSet == oracle())
     // a MIXED-band file demotes to the boundary scan; everything
     // else still answers from metadata (hybrid union)
     VersionedTable.commit(
@@ -647,16 +647,16 @@ class VtMetadataAggSpec extends AnyFunSuite {
     assert(!foldsToLocal(q))
     assert(mixed.inputFiles.length <= 1,
       s"only the mixed file scans: ${mixed.inputFiles.length}")
-    assert(mixed.collect().toSet ==
-      trusted.groupBy("band").agg(count(lit(1)).as("n"),
-        count(col("s")).as("ns")).collect().toSet)
-    // a DV over a nulls-bearing file makes count(s) unprovable there:
-    // that file demotes, values stay exact
+    assert(mixed.collect().toSet == oracle())
+    // a DV over a nulls-bearing file makes count(s) (and the group's
+    // extrema) unprovable there: that file demotes, values stay exact
     VersionedTable.deleteWhere(spark, t, col("id") === 5L,
       deletionVectors = true)
-    assert(spark.sql(q).collect().toSet ==
-      trusted.groupBy("band").agg(count(lit(1)).as("n"),
-        count(col("s")).as("ns")).collect().toSet)
+    assert(spark.sql(q).collect().toSet == oracle())
+    // masking a group's extremum keeps per-group min/max exact
+    VersionedTable.deleteWhere(spark, t, col("id") === 100L,
+      deletionVectors = true)
+    assert(spark.sql(q).collect().toSet == oracle())
   }
 
   test("distinct and expression aggregates never fold") {
