@@ -297,6 +297,43 @@ class VtMetadataAggSpec extends AnyFunSuite {
       .collect()(0).toSeq
     val wscan = trusted.selectExpr(aggList: _*).collect()(0).toSeq
     assert(wfold == wscan, s"whole-table: $wfold != $wscan")
+    // GROUPED hostile lane: per-group point files carrying the same
+    // NaN / null / non-ASCII mix — folded grouped answers must equal
+    // the scan, across pure folds, DV demotes, and a NULL group.
+    // Doubles stringify so NaN compares equal to itself.
+    val tg = tmpTable("diffg")
+    val grouped = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), schema)
+    (0 to 3).foreach { b =>
+      VersionedTable.commit(
+        grouped.where(col("id").isNotNull && col("id") % 4 === b)
+          .withColumn("grp", lit(b.toLong)).coalesce(1),
+        tg, overwrite = b == 0,
+        statsCols = Seq("grp", "id", "d", "s", "dt", "ts"))
+    }
+    VersionedTable.commit(
+      grouped.where(col("id").isNull)
+        .withColumn("grp", lit(null).cast("long")).coalesce(1),
+      tg, overwrite = false)
+    VersionedTable.deleteWhere(spark, tg, col("id") === 26L,
+      deletionVectors = true)
+    val trustedG = VersionedTable.read(spark, tg)
+    val gAggs = Seq("count(*) AS n", "count(id) AS nid",
+      "count(d) AS nd", "min(id) AS lo", "max(id) AS hi",
+      "min(s) AS smn", "max(s) AS smx",
+      "cast(min(d) AS string) AS dmn", "cast(max(d) AS string) AS dmx",
+      "min(ts) AS tmn", "max(ts) AS tmx")
+    Seq("TRUE", "id >= 100", "grp = 1 OR grp = 3", "s IS NOT NULL",
+      "id >= 50 AND id < 250").foreach { p =>
+      val folded = spark.sql(s"SELECT grp, ${gAggs.mkString(", ")} " +
+        s"FROM graft.`$tg` WHERE $p GROUP BY grp").collect()
+        .map(_.toSeq).toSet
+      val scanned = trustedG.where(p).groupBy("grp")
+        .agg(expr(gAggs.head), gAggs.tail.map(expr): _*)
+        .collect().map(_.toSeq).toSet
+      assert(folded == scanned,
+        s"grouped pred [$p]: $folded != $scanned")
+    }
   }
 
   test("count(NULL) and alias-shadowed columns never fold wrong") {
