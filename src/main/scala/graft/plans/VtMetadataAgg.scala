@@ -628,7 +628,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       return None // metadata decided nothing: the plain scan is better
     def keyValue(k: Option[Any]): Any =
       k.map(toCatalyst(_, g)).orNull
-    val metaRows: Seq[Seq[Any]] = metaCount.keys.toSeq.map { k =>
+    // a fully-masked point file contributes 0 to its group: a real
+    // scan would emit NO group for it, so zero-count keys must not
+    // materialize rows (span shapes cannot leak here — DV'd files
+    // demote whole when any span shape is present)
+    val liveKeys = metaCount.keys.toSeq.filter(k => metaCount(k) > 0L)
+    val metaRows: Seq[Seq[Any]] = liveKeys.map { k =>
       (keyValue(k) +: (metaCount(k) +: countCols.map(c =>
         metaColCount.getOrElse((k, c.name), 0L): Any)))
         .map(x => x: Any) ++ spanSlots.map { case (a, lo) =>
@@ -638,7 +643,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         }
     }
     if (boundary.isEmpty) {
-      val rows = metaCount.keys.toSeq.map { k =>
+      val rows = liveKeys.map { k =>
         InternalRow.fromSeq(shapes.map {
           case GKey => keyValue(k)
           case CountAll => metaCount(k): Any

@@ -694,6 +694,15 @@ class VtMetadataAggSpec extends AnyFunSuite {
     VersionedTable.deleteWhere(spark, t, col("id") === 100L,
       deletionVectors = true)
     assert(spark.sql(q).collect().toSet == oracle())
+    // a FULLY-masked group must vanish, never emit a zero-count row
+    VersionedTable.deleteWhere(spark, t, col("band") === 3L,
+      deletionVectors = true)
+    val qc = s"SELECT band, count(*) AS n FROM graft.`$t` GROUP BY band"
+    assert(spark.sql(qc).collect().toSet ==
+      trusted.groupBy("band").agg(count(lit(1)).as("n"))
+        .collect().toSet,
+      "a fully-masked group is absent from the scan and must be " +
+        "absent from the fold")
   }
 
   test("distinct and expression aggregates never fold") {
