@@ -143,6 +143,16 @@ class TextDedupSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(clustered(5L) == 5L)
     assert(clustered(3L) == 1L)
+    // RELIABLE checkpointing (executor-loss survival on real
+    // clusters): value-identical to the localCheckpoint default
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft_ccck_").toFile
+    ckDir.deleteOnExit()
+    val reliable = Dedup.connectedComponents(pairs,
+      checkpointDir = Some(ckDir.getAbsolutePath))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == comps,
+      "checkpointDir must not change a single label")
   }
 
   test("quality score rewards length and structure") {
