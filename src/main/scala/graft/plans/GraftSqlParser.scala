@@ -6,36 +6,62 @@ import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{DataType, StructType}
 
-/** Delegating SQL parser adding the warehouse DDL forms Spark's
-  * grammar lacks (the Delta-parser posture): `DESCRIBE HISTORY t` and
-  * `DESCRIBE DETAIL t` lower onto the registered catalog procedures
-  * (`CALL <catalog>.history/detail(table => '<path>')`), so SQL-only
-  * users audit a table's commit log without shelling into CALL
-  * syntax. Everything else passes through verbatim — including
+/** Delegating SQL parser adding the warehouse statements Spark's
+  * grammar lacks (the Delta-parser posture), each lowered onto the
+  * registered catalog procedures so SQL-only users never shell into
+  * CALL syntax:
+  *
+  *   - `DESCRIBE HISTORY <cat>.<t>` / `DESCRIBE DETAIL <cat>.<t>`
+  *   - `OPTIMIZE <cat>.<t>`
+  *   - `VACUUM <cat>.<t> [RETAIN <n> HOURS]`
+  *   - `RESTORE [TABLE] <cat>.<t> [TO] VERSION AS OF <n>`
+  *
+  * Everything else passes through verbatim — including
   * `DESCRIBE <table>` for tables that happen to be NAMED `history`
-  * (the rewrite fires only when a target identifier FOLLOWS the
-  * keyword). Injected construction-time via
-  * [[graft.GraftExtensions]]; parsers cannot be added to a live
-  * session (Spark builds the session parser once), so runtime
-  * `ensureRegistered` sessions keep the CALL spelling. */
+  * (the rewrites fire only on their full statement shapes). Injected
+  * construction-time via [[graft.GraftExtensions]]; parsers cannot be
+  * added to a live session (Spark builds the session parser once), so
+  * runtime `ensureRegistered` sessions keep the CALL spelling. */
 final class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
 
   private val describeRe =
     """(?is)\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+(\S.*?)\s*;?\s*""".r
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+(\S.*?)\s*;?\s*""".r
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s+(\S.*?)(?:\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS)?\s*;?\s*""".r
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?(\S.*?)\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  /** `<catalog>.<table>` → (`quoted-catalog`, 'sql-quoted-path') —
+    * tables ARE paths in the graft catalog, so part 2 goes to the
+    * procedure's `table` argument verbatim. */
+  private def target(ident: String, form: String): (String, String) = {
+    val parts = delegate.parseMultipartIdentifier(ident)
+    require(parts.size == 2,
+      s"$form expects <catalog>.<table>, got: $ident")
+    ("`" + parts.head.replace("`", "``") + "`",
+      "'" + parts(1).replace("'", "''") + "'")
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case describeRe(verb, ident) =>
-      val parts = delegate.parseMultipartIdentifier(ident)
-      require(parts.size == 2,
-        s"DESCRIBE ${verb.toUpperCase} expects <catalog>.<table>, " +
-          s"got: $ident")
-      // tables ARE paths in the graft catalog: part 2 goes to the
-      // procedure's `table` argument verbatim (quotes doubled)
-      val path = parts(1).replace("'", "''")
-      val cat = "`" + parts.head.replace("`", "``") + "`"
+      val (cat, path) = target(ident, s"DESCRIBE ${verb.toUpperCase}")
       delegate.parsePlan(
-        s"CALL $cat.${verb.toLowerCase}(table => '$path')")
+        s"CALL $cat.${verb.toLowerCase}(table => $path)")
+    case optimizeRe(ident) =>
+      val (cat, path) = target(ident, "OPTIMIZE")
+      delegate.parsePlan(s"CALL $cat.optimize(table => $path)")
+    case vacuumRe(ident, retain) =>
+      val (cat, path) = target(ident, "VACUUM")
+      val extra = Option(retain)
+        .map(h => s", retain_hours => ${h.toDouble}").getOrElse("")
+      delegate.parsePlan(s"CALL $cat.vacuum(table => $path$extra)")
+    case restoreRe(ident, v) =>
+      val (cat, path) = target(ident, "RESTORE")
+      delegate.parsePlan(
+        s"CALL $cat.restore(table => $path, version => ${v.toInt})")
     case _ => delegate.parsePlan(sqlText)
   }
 

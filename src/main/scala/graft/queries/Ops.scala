@@ -2133,6 +2133,12 @@ object Ops {
       s"DESCRIBE HISTORY must list every commit newest-first: $hist")
     require(s2.sql(s"DESCRIBE DETAIL graft.`$t`").count() == 1,
       "DESCRIBE DETAIL answers one metadata row")
+    // maintenance statements lower onto the procedures; OPTIMIZE is
+    // content-invisible (the oracle hash proves it)
+    require(s2.sql(s"OPTIMIZE graft.`$t`").count() == 1,
+      "OPTIMIZE must report its bin-pack commit")
+    require(s2.sql(s"VACUUM graft.`$t` RETAIN 168 HOURS")
+      .columns.sameElements(Array("removed")), "VACUUM reports sweeps")
     s.sql(s"SELECT doc_id, origin, n_chars, flag FROM graft.`$t`")
   }
 

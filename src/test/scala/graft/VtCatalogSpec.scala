@@ -850,5 +850,19 @@ class VtCatalogSpec extends AnyFunSuite {
     assert(s2.sql(s"DESCRIBE TABLE graft.`$t`").count() >= 2)
     assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
       .collect()(0).getLong(0) == 60L)
+    // maintenance statements lower onto the procedures
+    val opt = s2.sql(s"OPTIMIZE graft.`$t`").collect()
+    assert(opt.length == 1 && opt(0).getInt(0) == 2,
+      s"OPTIMIZE must bin-pack into a new version: ${opt.toSeq}")
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 60L)
+    val vac = s2.sql(s"VACUUM graft.`$t` RETAIN 168 HOURS")
+    assert(vac.columns.toSeq == Seq("removed"))
+    vac.collect()
+    val res = s2.sql(s"RESTORE graft.`$t` TO VERSION AS OF 1").collect()
+    assert(res.length == 1)
+    assert(s2.sql(s"SELECT count(*) AS n FROM graft.`$t`")
+      .collect()(0).getLong(0) == 60L,
+      "the restore replays v1's content as a new commit")
   }
 }
