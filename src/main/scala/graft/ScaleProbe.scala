@@ -1024,6 +1024,31 @@ object ScaleProbe {
         f"${overlap.map(_.size).sum / 1e6}%.0f MB ($m4%.0f ms) — local " +
         "latency is planning-bound at page-cache speeds; the byte cut " +
         "is the cluster-side win (and grows with files per span)")
+      // GROUPED fold: the per-band profiling query (GROUP BY day
+      // shape) — the banded table is committed one file per band, so
+      // every group answers from the manifest; the twin pays the
+      // full shuffle-aggregate scan
+      val tg = s"$dir/tg"
+      val w = n / 64
+      (0 until 64).foreach { b =>
+        VersionedTable.commit(
+          rows.where(col("id") >= b * w && col("id") < (b + 1) * w)
+            .withColumn("band", expr(s"id div $w")).coalesce(1),
+          tg, overwrite = b == 0,
+          statsCols = if (b == 0) Seq("band", "id") else Seq.empty)
+      }
+      val gq = s"SELECT band, count(*) AS n, min(id) AS lo, " +
+        s"max(id) AS hi FROM graft.`$tg` GROUP BY band"
+      val (g1, gm1) = ms(spark.sql(gq).collect().length)
+      val (g2, gm2) = ms(spark.read.parquet(twin)
+        .withColumn("band", expr(s"id div $w"))
+        .groupBy("band").agg(count(lit(1)), min(col("id")),
+          max(col("id"))).collect().length)
+      require(g1 == g2 && g1 == 64, s"group mismatch: $g1 vs $g2")
+      println(f"[probe] vtmeta: 64-group profiling GROUP BY " +
+        f"$gm1%.0f ms from the manifest (zero data files) vs " +
+        f"$gm2%.0f ms for the full shuffle-aggregate scan — the fold " +
+        "is O(files) driver work; the scan is O(rows) cluster work")
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
 
