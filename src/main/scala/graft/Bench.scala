@@ -89,14 +89,24 @@ object Bench {
     // permanently-busy box still finishes: once the budget is spent,
     // measurements proceed and the recorded per-query load tells the
     // story. The budget and the total waited go into `env`.
+    // r16 saturated the 240 s budget EARLY (one sustained spike ate it
+    // all) and the later heavy groups (op_/sim_) ran ungated at load
+    // 7-9. Two fixes: a larger default, and a PER-CALL cap so no
+    // single spike can drain the budget the rest of the run needs.
     val regateBudgetS = sys.env.get("SPARK_GRAFT_REGATE_BUDGET")
-      .map(_.toInt).getOrElse(240)
+      .map(_.toInt).getOrElse(600)
+    val regatePerCallS = sys.env.get("SPARK_GRAFT_REGATE_PER_QUERY")
+      .map(_.toInt).getOrElse(30)
     var regateWaited = 0
-    def regate(): Unit =
-      while (loadSig()._1 > loadGate && regateWaited < regateBudgetS) {
+    def regate(): Unit = {
+      var thisCall = 0
+      while (loadSig()._1 > loadGate && regateWaited < regateBudgetS &&
+          thisCall < regatePerCallS) {
         Thread.sleep(5000)
         regateWaited += 5
+        thisCall += 5
       }
+    }
     val (load0, run0) = loadSig()
     val wall0 = System.currentTimeMillis()
     val entries = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -148,6 +158,7 @@ object Bench {
         s""""cpus":$cpus,"repeat_order":"2-warm+1-interleaved",""" +
         s""""load_gate":$loadGate,"gate_waited_s":$waited,""" +
         s""""regate_budget_s":$regateBudgetS,""" +
+        s""""regate_per_call_s":$regatePerCallS,""" +
         s""""regate_waited_s":$regateWaited,""" +
         s""""load_by_group":$loadByGroup}"""
     val qs = results.map { case (k, ts) => s"\"" + k + "\":" + ts.min }

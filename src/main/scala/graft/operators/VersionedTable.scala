@@ -165,8 +165,31 @@ object VersionedTable {
     * readers refuse loudly on the unknown header. */
   private val HeaderV7 = "graft-vt-v7"
   private val SegHeader = "graft-vt-seg-v1"
+  /** v6 layout + UNIT-TAGGED span values: entry lines may carry the
+    * `T<micros>` timestamp span encoding (r16's unit normalization).
+    * The tag is a new span-field alphabet, not a new line — a
+    * pre-tag reader would crash mid-parse ("bad span field") on any
+    * query, even one not touching the timestamp column. Like v6/v7,
+    * the bump exists purely so such readers refuse at the HEADER with
+    * a protocol error instead; tag-free versions keep writing the
+    * older headers, and a compact that drops the timestamp stats
+    * column downgrades automatically. Segmented manifests keep the v7
+    * header (their body is `seg:` refs — the tags live in segment
+    * files, gated by [[SegHeaderV2]]). */
+  private val HeaderV8 = "graft-vt-v8"
+  /** Segment-file header when (and only when) the segment's entry
+    * lines carry `T`-tagged span values — the per-segment analog of
+    * [[HeaderV8]]: pre-tag readers fail the header check up front
+    * instead of crashing inside span decode. */
+  private val SegHeaderV2 = "graft-vt-seg-v2"
   private val HeaderV3 = "graft-vt-v3"
   private val HeaderV2 = "graft-vt-v2"
+
+  /** Does any recorded span of `e` carry a unit-tagged timestamp
+    * value? Drives the [[HeaderV8]]/[[SegHeaderV2]] protocol gate. */
+  private def hasTaggedSpan(e: FileEntry): Boolean =
+    e.stats.valuesIterator.exists(_.exists(s =>
+      s._1.isInstanceOf[TsMicros] || s._2.isInstanceOf[TsMicros]))
 
   /** Entry count at which commits switch to the segmented (v7)
     * manifest layout. Default keeps small tables on the inline
@@ -208,6 +231,22 @@ object VersionedTable {
     * of a sequential loop. Var only so specs can force the parallel
     * path on small fixtures. */
   private[graft] var parallelSegmentThreshold: Int = 16
+
+  /** Process-wide bounded pool for parallel segment fetches — daemon
+    * threads (a stray in-flight read never blocks JVM exit) shared
+    * across every cold manifest open instead of a fresh pool each.
+    * 16 concurrent reads saturate an object store's per-connection
+    * latency without stampeding it; callers queue beyond that. */
+  private lazy val segmentFetchPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(16,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-segment-fetch-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
   /** Observability hook for specs: cumulative segment-cache hits. */
   def segmentCacheHits: Long = segmentCacheHitsVar.get
   /** Parsed-manifest cache (committed manifests are immutable; keys
@@ -312,10 +351,22 @@ object VersionedTable {
   final case class FileEntry(name: String, nRows: Long,
       stats: Map[String, Option[(Any, Any)]], size: Long = -1L,
       dv: Option[(String, Long)] = None,
-      nulls: Map[String, Long] = Map.empty) {
+      nulls: Map[String, Long] = Map.empty,
+      sums: Map[String, Option[java.math.BigDecimal]] = Map.empty) {
     /** Rows a reader actually sees from this file. */
     def liveRows: Long = if (nRows < 0) nRows
       else nRows - dv.map(_._2).getOrElse(0L)
+    /** Exact Σ of the PHYSICAL file's non-null `col` values, when it
+      * was harvested at write time (integral/decimal stats columns
+      * only — float sums are summation-order-dependent and never
+      * recorded). `None` = unknown (pre-field manifest, float column,
+      * harvest declined); `Some(None)` = provably no non-null rows
+      * (SQL `sum` = NULL); `Some(Some(σ))` = the exact sum. A
+      * deletion vector makes the recorded sum merely PHYSICAL — fold
+      * consumers must rescan DV'd files, exactly like spans. */
+    def sumOf(col: String): Option[Option[java.math.BigDecimal]] =
+      if (nRows == 0) Some(None) // no rows: Σ over the empty set
+      else sums.get(col)
   }
 
   /** Manifest-side pruning predicates for [[prunedReadWhere]]: a
@@ -470,9 +521,8 @@ object VersionedTable {
       val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
       val fresh =
         if (entries.nonEmpty) entries
-        else published.map(n => footerEntry(fs, conf, new Path(root, n),
-          cols, physicalOf(
-            if (overwrite) None else prevHeader.flatMap(_.schemaJson))))
+        else harvestEntries(spark, fs, conf, root, published, cols,
+          if (overwrite) None else prevHeader.flatMap(_.schemaJson))
       val carried =
         if (overwrite) Seq.empty
         else if (cached.nonEmpty) cached
@@ -599,9 +649,8 @@ object VersionedTable {
           // doc): holes between them are decided-aborted, never revive
           val pub = stageAndPublish(survivors, fs, root, v2, cols,
             header.schemaJson)
-          val newEntries = pub.map(n =>
-            footerEntry(fs, conf, new Path(root, n), cols,
-              physicalOf(header.schemaJson)))
+          val newEntries = harvestEntries(spark, fs, conf, root, pub,
+            cols, header.schemaJson)
           if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
               header.schemaJson, carried ++ newEntries,
               pendingTxn = pendingTxn)) {
@@ -711,9 +760,8 @@ object VersionedTable {
           perFile, v2)
         val pub = stageAndPublish(clusterOut(post, clusterBy, 1),
           fs, root, v2, cols, header.schemaJson)
-        val newEntries = pub.map(n =>
-          footerEntry(fs, conf, new Path(root, n), cols,
-            physicalOf(header.schemaJson)))
+        val newEntries = harvestEntries(spark, fs, conf, root, pub,
+          cols, header.schemaJson)
         if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
             header.schemaJson, masked ++ newEntries,
             pendingTxn = pendingTxn)) {
@@ -777,9 +825,8 @@ object VersionedTable {
         math.max(1, rewrite.size))
       val published = stageAndPublish(out, fs, root, v2, cols,
         header.schemaJson)
-      val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols,
-          physicalOf(header.schemaJson)))
+      val newEntries = harvestEntries(spark, fs, conf, root,
+        published, cols, header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -970,9 +1017,8 @@ object VersionedTable {
             matchedPos.get, perFile, v2)
         val pub = stageAndPublish(clusterOut(ordered, clusterBy, 1),
           fs, root, v2, cols, header.schemaJson)
-        val newEntries = pub.map(n =>
-          footerEntry(fs, conf, new Path(root, n), cols,
-            physicalOf(header.schemaJson)))
+        val newEntries = harvestEntries(spark, fs, conf, root, pub,
+          cols, header.schemaJson)
         if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
             header.schemaJson, masked ++ newEntries,
             pendingTxn = pendingTxn)) {
@@ -1009,9 +1055,8 @@ object VersionedTable {
       val published = stageAndPublish(
         clusterOut(newData, clusterBy, math.max(1, rewrite.size)),
         fs, root, v2, cols, header.schemaJson)
-      val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols,
-          physicalOf(header.schemaJson)))
+      val newEntries = harvestEntries(spark, fs, conf, root,
+        published, cols, header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -1367,7 +1412,8 @@ object VersionedTable {
       }
       val entries = readEntries(spark, path, v)
         .map(e => e.copy(stats = rekeyMap(rekey, e.stats),
-          nulls = rekeyMap(rekey, e.nulls)))
+          nulls = rekeyMap(rekey, e.nulls),
+          sums = rekeyMap(rekey, e.sums)))
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       if (tryWriteManifest(fs, root, v2, "alter", None, cols2,
           Some(encodeSchemaFull(st2, retired2)), entries)) {
@@ -1483,9 +1529,8 @@ object VersionedTable {
       val published = stageAndPublish(
         clusterOut(survivors, clusterBy, math.max(1, rewrite.size)),
         fs, root, v2, cols, header.schemaJson)
-      val newEntries = published.map(n =>
-        footerEntry(fs, conf, new Path(root, n), cols,
-          physicalOf(header.schemaJson)))
+      val newEntries = harvestEntries(spark, fs, conf, root,
+        published, cols, header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "replace", txnId, cols,
           header.schemaJson, carried ++ newEntries)) {
         maybeCheckpoint(fs, root, v2)
@@ -2123,6 +2168,10 @@ object VersionedTable {
     // known) — must round-trip, or job-pruned planning would lose the
     // all-in proofs the metadata count needs
     StructField("nulls", MapType(StringType, LongType),
+      nullable = true),
+    // per-column exact sums (plain decimal strings; "N" = no non-null
+    // rows) — same round-trip argument as `nulls` for sum folds
+    StructField("sums", MapType(StringType, StringType),
       nullable = true)))
 
   /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
@@ -2152,7 +2201,10 @@ object VersionedTable {
         },
         e.dv.map(_._1).orNull,
         e.dv.map(d => java.lang.Long.valueOf(d._2)).orNull,
-        if (e.nulls.isEmpty) null else e.nulls)
+        if (e.nulls.isEmpty) null else e.nulls,
+        if (e.sums.isEmpty) null
+        else e.sums.map { case (c, s) =>
+          c -> s.map(_.toPlainString).getOrElse("N") })
     }
     val slices = math.max(1, math.min(rows.size, 32))
     val tmp = new Path(root,
@@ -2194,7 +2246,12 @@ object VersionedTable {
           dv = if (r.isNullAt(4)) None
                else Some((r.getString(4), r.getLong(5))),
           nulls = if (r.isNullAt(6)) Map.empty
-            else r.getAs[Map[String, Long]](6))
+            else r.getAs[Map[String, Long]](6),
+          sums = if (r.isNullAt(7)) Map.empty
+            else r.getAs[Map[String, String]](7).map { case (c, v) =>
+              c -> (if (v == "N") None
+                else Some(new java.math.BigDecimal(v)))
+            })
       }.toSeq
     Some(survivors)
   }
@@ -2496,9 +2553,8 @@ object VersionedTable {
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(clustered, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols,
-        physicalOf(header.schemaJson)))
+    val newEntries = harvestEntries(spark, fs, conf, root,
+      published, cols, header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2547,9 +2603,8 @@ object VersionedTable {
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(packed, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols,
-        physicalOf(header.schemaJson)))
+    val newEntries = harvestEntries(spark, fs, conf, root,
+      published, cols, header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, big.map(_._1) ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2611,9 +2666,8 @@ object VersionedTable {
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(clustered, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols,
-        physicalOf(header.schemaJson)))
+    val newEntries = harvestEntries(spark, fs, conf, root,
+      published, cols, header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2725,9 +2779,8 @@ object VersionedTable {
     val cols = resolveStatsCols(Some(header), Seq.empty)
     val published = stageAndPublish(packed, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = published.map(n =>
-      footerEntry(fs, conf, new Path(root, n), cols,
-        physicalOf(header.schemaJson)))
+    val newEntries = harvestEntries(spark, fs, conf, root,
+      published, cols, header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -3241,7 +3294,7 @@ object VersionedTable {
       case Some(Header) =>
         val cols = statsColsOf(lines(3))
         lines.drop(7).map(parseEntry(_, cols))
-      case Some(HeaderV5) | Some(HeaderV6) =>
+      case Some(HeaderV5) | Some(HeaderV6) | Some(HeaderV8) =>
         val cols = statsColsOf(lines(3))
         lines.drop(8).map(parseEntry(_, cols))
       case Some(HeaderV7) =>
@@ -3258,17 +3311,24 @@ object VersionedTable {
           if (refs.size < parallelSegmentThreshold)
             refs.map(r => r -> readSegmentCached(fs, root, r.name, cols))
           else {
-            val pool = java.util.concurrent.Executors.newFixedThreadPool(
-              math.min(refs.size, 16))
-            try {
-              import scala.jdk.CollectionConverters._
-              pool.invokeAll(refs.map { r =>
-                new java.util.concurrent.Callable[(SegRef, Seq[FileEntry])] {
-                  override def call() =
-                    r -> readSegmentCached(fs, root, r.name, cols)
-                }
-              }.asJava).asScala.toSeq.map(_.get())
-            } finally pool.shutdown()
+            import scala.jdk.CollectionConverters._
+            // shared daemon pool: a fresh pool per cold read would
+            // leak non-daemon threads into every manifest open, and
+            // invokeAll wraps a segment failure in ExecutionException
+            // — unwrap so the corrupt-segment require surfaces with
+            // the same message the sequential path throws
+            segmentFetchPool.invokeAll(refs.map { r =>
+              new java.util.concurrent.Callable[(SegRef, Seq[FileEntry])] {
+                override def call() =
+                  r -> readSegmentCached(fs, root, r.name, cols)
+              }
+            }.asJava).asScala.toSeq.map { f =>
+              try f.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            }
           }
         val out = fetched.flatMap { case (ref, seg) =>
           require(seg.size == ref.n,
@@ -3319,7 +3379,7 @@ object VersionedTable {
     val head = readHeadLines(fs, mf, 8)
     head.headOption match {
       case Some(Header) | Some(HeaderV5) | Some(HeaderV6)
-           | Some(HeaderV7) =>
+           | Some(HeaderV7) | Some(HeaderV8) =>
         ManifestHeader(head(1),
           Option(head(2).stripPrefix("txn:")).filter(_ != "-"),
           statsColsOf(head(3)),
@@ -4126,6 +4186,99 @@ object VersionedTable {
         .sortWithinPartitions("__z")
         .drop("__z")
 
+  /** Manifest entries for a batch of just-published files: per-file
+    * footer harvest (row counts, spans, null counts — driver-side
+    * metadata reads) plus ONE distributed column-pruned pass
+    * attaching each file's exact per-column SUM ([[attachSums]]).
+    * Every writer path (commit, delete/update/merge rewrites,
+    * optimize) builds its fresh entries through here, so sum folds
+    * stay available across the table's whole life. */
+  private def harvestEntries(spark: SparkSession, fs: FileSystem,
+      conf: Configuration, root: Path, names: Seq[String],
+      cols: Seq[String], schemaJson: Option[String]): Seq[FileEntry] = {
+    val phys = physicalOf(schemaJson)
+    val base = names.map(n =>
+      footerEntry(fs, conf, new Path(root, n), cols, phys))
+    attachSums(spark, root, base, cols, phys)
+  }
+
+  /** Per-file EXACT SUMS of the integral/decimal stats columns, from
+    * one distributed pass over the just-written files — parquet
+    * footers carry no sums, so this is the only exact source. Cost
+    * posture: the pass is O(delta) (only the NEW files of this
+    * commit), column-pruned to the eligible stats columns (a few
+    * percent of the bytes just written), and fully parallel — the
+    * Σ-maintenance price every metadata-aggregate store pays at write
+    * time to make `sum()`/`avg()` zero-file-open at read time.
+    * Eligibility: integral types sum exactly into DECIMAL(38,0) and
+    * decimals into DECIMAL(38,s); floats are NEVER harvested (IEEE
+    * summation is order-dependent — a recorded float Σ could not
+    * reproduce Spark's scan result bit-for-bit). Failures leave sums
+    * unrecorded (folds then decline to the scan): the field is an
+    * optimization, never a correctness dependency. */
+  private def attachSums(spark: SparkSession, root: Path,
+      entries: Seq[FileEntry], cols: Seq[String],
+      phys: Map[String, String]): Seq[FileEntry] = {
+    if (entries.isEmpty || cols.isEmpty) return entries
+    try {
+      val paths = entries.map(e => new Path(root, e.name).toString)
+      val df = spark.read.parquet(paths: _*)
+      val fieldType = df.schema.fields.iterator
+        .map(f => f.name -> f.dataType).toMap
+      val eligible: Seq[(String, String, Int)] = cols.flatMap { c =>
+        val pc = phys.getOrElse(c, c)
+        fieldType.get(pc).collect {
+          case org.apache.spark.sql.types.ByteType
+             | org.apache.spark.sql.types.ShortType
+             | org.apache.spark.sql.types.IntegerType
+             | LongType => (c, pc, 0)
+          case dt: org.apache.spark.sql.types.DecimalType =>
+            (c, pc, dt.scale)
+        }
+      }
+      if (eligible.isEmpty) return entries
+      // sums AND per-column non-null counts: a NULL sum is only the
+      // "no non-null rows" proof when the count is 0 — a DECIMAL(38)
+      // overflow inside one file also nulls the sum, and recording
+      // THAT as all-null would drop the file's contribution from a
+      // total that Spark (whose buffer only checks overflow at final
+      // eval) might still answer. Overflowed files stay unknown.
+      val aggs = eligible.zipWithIndex.map { case ((_, pc, scale), i) =>
+        sum(col(s"`$pc`").cast(
+          org.apache.spark.sql.types.DecimalType(38, scale)))
+          .as(s"s$i")
+      } ++ eligible.zipWithIndex.map { case ((_, pc, _), i) =>
+        count(col(s"`$pc`")).as(s"c$i")
+      }
+      val n = eligible.size
+      val rows = df.groupBy(input_file_name().as("__graft_file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      val byFile: Map[String, Row] =
+        rows.iterator.map(r => uriFileName(r.getString(0)) -> r).toMap
+      entries.map { e =>
+        byFile.get(e.name) match {
+          case None =>
+            // a zero-row file emits no group: Σ over no rows is the
+            // SQL-null sum for every eligible column (exact)
+            if (e.nRows == 0)
+              e.copy(sums = eligible.map { case (c, _, _) =>
+                c -> (None: Option[java.math.BigDecimal]) }.toMap)
+            else e
+          case Some(r) =>
+            e.copy(sums = eligible.zipWithIndex.flatMap {
+              case ((c, _, _), i) =>
+                if (!r.isNullAt(i + 1))
+                  Some(c -> (Some(r.getDecimal(i + 1))
+                    : Option[java.math.BigDecimal]))
+                else if (r.getLong(1 + n + i) == 0L)
+                  Some(c -> (None: Option[java.math.BigDecimal]))
+                else None // overflow: unknown, never a false all-null
+            }.toMap)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => entries }
+  }
+
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
       cols0: Seq[String], phys: Map[String, String] = Map.empty)
       : FileEntry = {
@@ -4324,7 +4477,9 @@ object VersionedTable {
     * order (`-` = unknown) — what lets [[graft.plans.VtMetadataAgg]]
     * prove a file ALL-IN for a null-rejecting predicate; entries
     * harvested before the field existed parse to unknown and simply
-    * fall back to being scanned. */
+    * fall back to being scanned. `m<s1>,<s2>,...` records per-stats-
+    * column EXACT SUMS the same way (`-` unknown, `N` no non-null
+    * rows) — the `sum()`/`avg()` fold input. */
   private def formatEntry(e: FileEntry, cols: Seq[String]): String = {
     val fields = cols.flatMap { c =>
       e.stats.get(c) match {
@@ -4340,7 +4495,19 @@ object VersionedTable {
       if (cols.isEmpty || cols.forall(c => !e.nulls.contains(c))) Seq.empty
       else Seq("u" + cols.map(c =>
         e.nulls.get(c).map(_.toString).getOrElse("-")).mkString(","))
-    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu)
+    // `m<s1>,<s2>,...` — per-stats-column EXACT SUMS (plain decimal
+    // strings; `-` = unknown, `N` = no non-null rows), aligned with
+    // the cols order like `u`. A trailing tagged field: pre-sum
+    // parsers skip it, so no protocol bump — unlike the `T` span tag,
+    // which rides inside fields old parsers must decode.
+    val sm =
+      if (cols.isEmpty || cols.forall(c => !e.sums.contains(c))) Seq.empty
+      else Seq("m" + cols.map(c =>
+        e.sums.get(c).map {
+          case None => "N"
+          case Some(bd) => bd.toPlainString
+        }.getOrElse("-")).mkString(","))
+    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu ++ sm)
       .mkString("\t")
   }
 
@@ -4369,7 +4536,16 @@ object VersionedTable {
           case (c, p) if p != "-" => c -> p.toLong
         }.toMap
       }.getOrElse(Map.empty[String, Long])
-    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls)
+    val sums = trailing.find(s => s.startsWith("m") && s.length > 1)
+      .map(_.drop(1).split(',')).map { parts =>
+        cols.zip(parts.toSeq).collect {
+          case (c, "N") => c -> (None: Option[java.math.BigDecimal])
+          case (c, p) if p != "-" =>
+            c -> (Some(new java.math.BigDecimal(p))
+              : Option[java.math.BigDecimal])
+        }.toMap
+      }.getOrElse(Map.empty[String, Option[java.math.BigDecimal]])
+    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls, sums)
   }
 
   // ---- segmented (v7) manifest internals ------------------------------
@@ -4393,7 +4569,11 @@ object VersionedTable {
       cols: Seq[String]): Seq[FileEntry] = {
     val p = new Path(root, s"$LogDir/$name")
     val lines = readLines(fs, p)
-    require(lines.headOption.contains(SegHeader), s"bad segment $p")
+    require(lines.headOption.contains(SegHeader) ||
+        lines.headOption.contains(SegHeaderV2),
+      s"segment $p carries unknown header ${lines.headOption.orNull} " +
+        "— written by a newer graft version (or corrupt); refusing " +
+        "rather than misreading its entries")
     require(statsColsOf(lines(1)) == cols,
       s"segment $p was written with stats columns ${lines(1)} but the " +
         s"manifest declares ${if (cols.isEmpty) "-" else cols.mkString(",")}")
@@ -4430,7 +4610,11 @@ object VersionedTable {
       cols: Seq[String], entries: Seq[FileEntry]): SegRef = {
     val name = s"s-${java.util.UUID.randomUUID}.segment"
     val out = fs.create(new Path(root, s"$LogDir/$name"), false)
-    try out.write((Seq(SegHeader,
+    // protocol gate ([[SegHeaderV2]]): `T`-tagged spans bump the
+    // segment header so a pre-tag reader refuses up front
+    val segHeader =
+      if (entries.exists(hasTaggedSpan)) SegHeaderV2 else SegHeader
+    try out.write((Seq(segHeader,
       s"stats:${if (cols.isEmpty) "-" else cols.mkString(",")}")
       ++ entries.map(formatEntry(_, cols)))
       .mkString("", "\n", "\n").getBytes("UTF-8"))
@@ -4538,13 +4722,20 @@ object VersionedTable {
         retired.nonEmpty || schemaHasMapping(st)
       }
     val segmented = entries.size >= segmentThresholdVar
+    // unit-tagged (`T`) span values are a new span-field alphabet:
+    // inline manifests carrying one bump to v8 so pre-tag readers
+    // refuse at the header instead of crashing in span decode
+    // (segmented bodies hold only `seg:` refs — the gate moves to the
+    // segment files' own header, see writeSegment)
+    val tsTagged = !segmented && entries.exists(hasTaggedSpan)
     val header =
       if (segmented) Seq(HeaderV7, mode)
+      else if (tsTagged) Seq(HeaderV8, mode)
       else if (features) Seq(HeaderV6, mode)
       else if (pendingTxn.isEmpty) Seq(Header, mode)
       else Seq(HeaderV5, mode)
     val tail =
-      if (segmented || features)
+      if (segmented || features || tsTagged)
         Seq("pending:" + pendingTxn.map(u =>
           java.net.URLEncoder.encode(u, "UTF-8")).getOrElse("-"))
       else pendingTxn.toSeq.map(u =>

@@ -45,24 +45,36 @@ final class GraftSqlParser(delegate: ParserInterface)
       "'" + parts(1).replace("'", "''") + "'")
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case describeRe(verb, ident) =>
-      val (cat, path) = target(ident, s"DESCRIBE ${verb.toUpperCase}")
-      delegate.parsePlan(
-        s"CALL $cat.${verb.toLowerCase}(table => $path)")
-    case optimizeRe(ident) =>
-      val (cat, path) = target(ident, "OPTIMIZE")
-      delegate.parsePlan(s"CALL $cat.optimize(table => $path)")
-    case vacuumRe(ident, retain) =>
-      val (cat, path) = target(ident, "VACUUM")
-      val extra = Option(retain)
-        .map(h => s", retain_hours => ${h.toDouble}").getOrElse("")
-      delegate.parsePlan(s"CALL $cat.vacuum(table => $path$extra)")
-    case restoreRe(ident, v) =>
-      val (cat, path) = target(ident, "RESTORE")
-      delegate.parsePlan(
-        s"CALL $cat.restore(table => $path, version => ${v.toInt})")
-    case _ => delegate.parsePlan(sqlText)
+  /** Only statements that FULLY lower are intercepted: a regex match
+    * whose lowering fails (a one-part `OPTIMIZE t`, `VACUUM t DRY
+    * RUN` swallowed into the identifier, a table literally named
+    * `history`) falls through to the delegate, so its errors surface
+    * as the delegate's own ParseException — the documented
+    * pass-through contract, kept even when a rewrite regex happens to
+    * match. */
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val lowered: Option[LogicalPlan] =
+      try sqlText match {
+        case describeRe(verb, ident) =>
+          val (cat, path) = target(ident, s"DESCRIBE ${verb.toUpperCase}")
+          Some(delegate.parsePlan(
+            s"CALL $cat.${verb.toLowerCase}(table => $path)"))
+        case optimizeRe(ident) =>
+          val (cat, path) = target(ident, "OPTIMIZE")
+          Some(delegate.parsePlan(s"CALL $cat.optimize(table => $path)"))
+        case vacuumRe(ident, retain) =>
+          val (cat, path) = target(ident, "VACUUM")
+          val extra = Option(retain)
+            .map(h => s", retain_hours => ${h.toDouble}").getOrElse("")
+          Some(delegate.parsePlan(
+            s"CALL $cat.vacuum(table => $path$extra)"))
+        case restoreRe(ident, v) =>
+          val (cat, path) = target(ident, "RESTORE")
+          Some(delegate.parsePlan(
+            s"CALL $cat.restore(table => $path, version => ${v.toInt})"))
+        case _ => None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    lowered.getOrElse(delegate.parsePlan(sqlText))
   }
 
   override def parseExpression(sqlText: String): Expression =

@@ -2,13 +2,13 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, EqualTo, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualTo, EvalMode, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DecimalType, DoubleType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.VersionedTable
@@ -29,10 +29,17 @@ import graft.sources.VtTable
   *   - only a no-grouping [[Aggregate]] whose every output is a
   *     non-distinct, unfiltered `count(1)`/`count(*)`, `count(col)`
   *     (= Σ per file rows − nulls, from the manifest's null counts),
-  *     or a `min`/`max` of a plain relation column, over (Projects
-  *     of) the bare relation or exactly one Filter above it — any
-  *     join/expression in between blocks the rewrite (a Project
-  *     never changes row counts);
+  *     a `min`/`max` of a plain relation column, a LEGACY-mode
+  *     `sum(col)` of an integral/decimal stats column (= Σ of the
+  *     write-time per-file exact sums: integral results re-wrap mod
+  *     2^64 exactly as Spark's long accumulation does, decimal
+  *     results re-apply the final fit-or-NULL overflow check), or an
+  *     `avg(col)` of an integral column under the 2^53 double-
+  *     exactness proof (n·max|span| small enough that Spark's
+  *     double-accumulated scan is provably exact too), over
+  *     (Projects of) the bare relation or exactly one Filter above
+  *     it — any join/expression in between blocks the rewrite (a
+  *     Project never changes row counts);
   *   - a WHERE folds when EVERY conjunct translates to exact
   *     file-level predicates — ranges, IN, IS NOT NULL, and
   *     DISJUNCTIONS of those ([[VersionedTable.ExactOr]]: a file is
@@ -61,48 +68,121 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformWithSubqueries {
-      case agg @ Aggregate(Nil, aggExprs, child, _)
-          if aggExprs.nonEmpty =>
-        stripToVt(child) match {
-          case Some((t, relOut)) =>
-            foldAll(aggExprs, t, relOut) match {
-              case Some(rows) => LocalRelation(agg.output, rows)
-              case None =>
-                // pure-metadata fold declined (a DV could hide a
-                // min/max extremum, a null count is missing, a file
-                // predates row counts): try the HYBRID under a
-                // vacuous WHERE — fold what metadata proves, scan
-                // only the files it cannot decide
-                foldCountWhere(agg, aggExprs,
-                  Literal(true, BooleanType), t, relOut)
-                  .getOrElse(agg)
-            }
-          case None => stripToFilteredVt(child) match {
-            case Some((cond, t, relOut)) =>
-              foldCountWhere(agg, aggExprs, cond, t, relOut)
-                .getOrElse(agg)
-            case None => agg
-          }
-        }
-      // GROUPED metadata counts: GROUP BY one plain column over a
-      // table whose files are (mostly) single-valued in it — the
-      // daily-partitioned `GROUP BY day` shape. Point-span files
-      // contribute their group's partial counts from the manifest;
-      // undecided files scan and union in.
-      case agg @ Aggregate(Seq(g: AttributeReference), aggExprs,
-          child, _) if aggExprs.nonEmpty =>
-        stripToVt(child) match {
-          case Some((t, relOut)) =>
-            foldGrouped(agg, g, aggExprs,
-              Literal(true, BooleanType), t, relOut).getOrElse(agg)
-          case None => stripToFilteredVt(child) match {
-            case Some((cond, t, relOut)) =>
-              foldGrouped(agg, g, aggExprs, cond, t, relOut)
-                .getOrElse(agg)
-            case None => agg
-          }
-        }
+      case agg @ Aggregate(Nil, aggExprs, _, _) if aggExprs.nonEmpty =>
+        val direct = foldNoGroup(agg)
+        if (direct ne agg) direct
+        else splitWrapped(agg).map { case (outer, inner) =>
+          val f = foldNoGroup(inner)
+          if (f ne inner) Project(outer, f) else agg
+        }.getOrElse(agg)
+      // GROUPED metadata counts: GROUP BY one or more plain columns
+      // over a table whose files are (mostly) single-valued in them —
+      // the daily-partitioned `GROUP BY day[, priority]` shape (and
+      // `SELECT DISTINCT g…`, which is the same plan with key-only
+      // outputs). Whole-file-keyed files contribute their group's
+      // partials from the manifest; undecided files scan and union in.
+      case agg @ Aggregate(groups, aggExprs, _, _)
+          if groups.nonEmpty && aggExprs.nonEmpty &&
+            groups.forall(_.isInstanceOf[AttributeReference]) =>
+        val direct = foldOneGroup(agg)
+        if (direct ne agg) direct
+        else splitWrapped(agg).map { case (outer, inner) =>
+          val f = foldOneGroup(inner)
+          if (f ne inner) Project(outer, f) else agg
+        }.getOrElse(agg)
     }
+
+  private def foldNoGroup(agg: Aggregate): LogicalPlan = {
+    val aggExprs = agg.aggregateExpressions
+    stripToVt(agg.child) match {
+      case Some((t, relOut)) =>
+        foldAll(aggExprs, t, relOut) match {
+          case Some(rows) => LocalRelation(agg.output, rows)
+          case None =>
+            // pure-metadata fold declined (a DV could hide a
+            // min/max extremum, a null count is missing, a file
+            // predates row counts): try the HYBRID under a
+            // vacuous WHERE — fold what metadata proves, scan
+            // only the files it cannot decide
+            foldCountWhere(agg, aggExprs,
+              Literal(true, BooleanType), t, relOut)
+              .getOrElse(agg)
+        }
+      case None => stripToFilteredVt(agg.child) match {
+        case Some((cond, t, relOut)) =>
+          foldCountWhere(agg, aggExprs, cond, t, relOut)
+            .getOrElse(agg)
+        case None => agg
+      }
+    }
+  }
+
+  private def foldOneGroup(agg: Aggregate): LogicalPlan = {
+    val gs = agg.groupingExpressions
+      .map(_.asInstanceOf[AttributeReference])
+    val aggExprs = agg.aggregateExpressions
+    stripToVt(agg.child) match {
+      case Some((t, relOut)) =>
+        foldGrouped(agg, gs, aggExprs,
+          Literal(true, BooleanType), t, relOut).getOrElse(agg)
+      case None => stripToFilteredVt(agg.child) match {
+        case Some((cond, t, relOut)) =>
+          foldGrouped(agg, gs, aggExprs, cond, t, relOut)
+            .getOrElse(agg)
+        case None => agg
+      }
+    }
+  }
+
+  /** `SELECT cast(sum(x) AS double), …` — CollapseProject merges
+    * scalar WRAPPERS into the aggregate list, hiding the plain shapes
+    * the folds match (extraOptimizations run after the main batch, so
+    * the collapsed form is all this rule ever sees). Split them back
+    * out: a plain [[Aggregate]] computing each distinct aggregate
+    * under a fresh alias, and the wrappers re-anchored on those
+    * aliases in a [[Project]] above — the exact inverse of the
+    * collapse, applied only when the plain aggregate then actually
+    * folds (else the original plan stays untouched). */
+  private def splitWrapped(agg: Aggregate)
+      : Option[(Seq[NamedExpression], Aggregate)] = {
+    val groupAttrs = agg.groupingExpressions.collect {
+      case a: AttributeReference => a
+    }
+    if (groupAttrs.size != agg.groupingExpressions.size) return None
+    val hasWrapper = agg.aggregateExpressions.exists {
+      case Alias(_: AggregateExpression, _) => false
+      case _: AttributeReference => false
+      case Alias(child, _) =>
+        child.exists(_.isInstanceOf[AggregateExpression])
+      case _ => false
+    }
+    if (!hasWrapper) return None
+    val aggs = scala.collection.mutable.ArrayBuffer
+      .empty[(AggregateExpression, Alias)]
+    def aliasFor(ae: AggregateExpression): Alias =
+      aggs.find(_._1.semanticEquals(ae)) match {
+        case Some((_, al)) => al
+        case None =>
+          val al = Alias(ae, s"graft_agg_${aggs.size}")()
+          aggs += ae -> al
+          al
+      }
+    val outer: Seq[NamedExpression] = agg.aggregateExpressions.map {
+      case a: AttributeReference => a
+      case al @ Alias(child, name) =>
+        // an aggregate nested INSIDE another aggregate cannot occur
+        // (analyzer-rejected), so a wholesale top-down replace is safe
+        val newChild = child.transform {
+          case ae: AggregateExpression => aliasFor(ae).toAttribute
+        }
+        Alias(newChild, name)(exprId = al.exprId)
+      case _ => return None
+    }
+    if (aggs.isEmpty) return None
+    val inner = Aggregate(agg.groupingExpressions,
+      groupAttrs ++ aggs.map(_._2), agg.child)
+    Some((outer, inner))
+  }
 
   /** The relation beneath row-count-preserving wrappers, when it is a
     * versioned catalog table — plus the RELATION's own output
@@ -173,6 +253,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case object CountAll extends Fold
     final case class CountCol(a: AttributeReference) extends Fold
     final case class Span(a: AttributeReference, lo: Boolean) extends Fold
+    final case class SumCol(spec: SumSpec) extends Fold
+    final case class AvgCol(a: AttributeReference) extends Fold
+    final case class DistinctCol(a: AttributeReference) extends Fold
     val shapes: Seq[Option[Fold]] = aggExprs.map {
       // count(*) / count(<non-null literal>) — count(NULL) is 0 by
       // SQL null semantics, never the row count; leave it to the scan
@@ -195,11 +278,30 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Max(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) =>
         Some(Span(a, lo = false))
+      // avg(col) = Σ / count(col), under the double-exactness gate
+      // (double accumulation never throws, so ANSI == LEGACY here)
+      case Alias(ae @ AggregateExpression(
+          Average(a: AttributeReference, mode), Complete, false, None,
+          _), _)
+          if foldableSumMode(mode) && avgType(a) &&
+            ae.dataType == DoubleType && relIds.contains(a.exprId) =>
+        Some(AvgCol(a))
+      // count(DISTINCT col): every file single-valued (or all-null)
+      // in col → the distinct set reads straight off the manifest
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) =>
+        Some(DistinctCol(a))
+      // sum(col) = Σ of the manifest's per-file exact sums (ANSI
+      // folds only under the no-partial-overflow proofs)
+      case e if sumSpecOf(e, relIds).isDefined =>
+        Some(SumCol(sumSpecOf(e, relIds).get))
       case _ => None
     }
     if (shapes.exists(_.isEmpty)) return None
     if (shapes.exists {
-        case Some(_: Span) | Some(_: CountCol) => t.vtHasMapping
+        case Some(_: Span) | Some(_: CountCol) | Some(_: SumCol)
+           | Some(_: AvgCol) | Some(_: DistinctCol) => t.vtHasMapping
         case _ => false
       }) return None // mapped names would misalign against stats keys
     // ONE manifest read (segment-cached) answers every expression
@@ -216,6 +318,50 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     def span(col: String): Option[Option[(Any, Any)]] =
       spanCache.getOrElseUpdate(col,
         VersionedTable.statsSpanOf(entries, col))
+    lazy val anyDv = entries.exists(_.dv.exists(_._2 > 0))
+    // exact whole-table Σ from the per-file sums; None = not provable
+    // (a DV'd file's recorded sum is the PHYSICAL file's, a missing
+    // per-file sum is unknowable) — the hybrid fallback then scans
+    // only the undecidable files
+    def totalSum(col: String)
+        : Option[(java.math.BigDecimal, Boolean)] =
+      if (anyDv) None
+      else {
+        val parts = entries.map(_.sumOf(col))
+        if (parts.exists(_.isEmpty)) None
+        else {
+          var acc = java.math.BigDecimal.ZERO
+          var has = false
+          parts.flatten.foreach {
+            case Some(s) => acc = acc.add(s); has = true
+            case None => ()
+          }
+          Some((acc, has))
+        }
+      }
+    // avg = exact Σ / non-null count, provably equal to Spark's
+    // double-accumulated scan result only when n·max|span| < 2^53
+    // (then every per-row cast, partial and merge is exact in IEEE
+    // double, so ANY summation order lands on the same value and the
+    // single final division is shared)
+    def avgValue(a: AttributeReference): Option[Any] = {
+      if (anyDv) return None
+      val nn = entries.map(VersionedTable.nonNullRowsOf(_, a.name))
+      if (nn.exists(_.isEmpty)) return None
+      val n = nn.map(_.get).sum
+      if (n == 0L) return Some(null)
+      val (lo, hi) = span(a.name) match {
+        case Some(Some((l: Long, h: Long))) => (l, h)
+        case _ => return None
+      }
+      val m = java.math.BigDecimal.valueOf(lo).abs
+        .max(java.math.BigDecimal.valueOf(hi).abs)
+      if (java.math.BigDecimal.valueOf(n).multiply(m)
+          .compareTo(TwoP53) >= 0) return None
+      totalSum(a.name).map { case (sigma, has) =>
+        if (!has) null else (sigma.doubleValue / n.toDouble: Any)
+      }
+    }
     val values = shapes.map {
       case Some(CountAll) => count.map(n => n: Any)
       case Some(CountCol(a)) =>
@@ -223,8 +369,18 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         if (parts.exists(_.isEmpty)) None
         else Some(parts.map(_.get).sum: Any)
       case Some(Span(a, isLo)) =>
-        span(a.name).map(_.map(s =>
-          toCatalyst(if (isLo) s._1 else s._2, a)).orNull)
+        span(a.name) match {
+          case None => None // span not provable: decline
+          case Some(None) => Some(null: Any) // all-null: SQL null
+          case Some(Some(s)) =>
+            toCatalystSpan(if (isLo) s._1 else s._2, a)
+        }
+      case Some(SumCol(spec)) =>
+        totalSum(spec.a.name).flatMap { case (sigma, has) =>
+          sumValueOf(spec, sigma, has, sumLongProof(spec, entries)) }
+      case Some(AvgCol(a)) => avgValue(a)
+      case Some(DistinctCol(a)) =>
+        distinctCountOf(entries, a).map(n => n: Any)
       case None => None // unreachable: shape gate above
     }
     if (values.exists(_.isEmpty)) None
@@ -270,6 +426,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     final case class CountColAgg(a: AttributeReference) extends Shape
     final case class SpanAgg(a: AttributeReference, lo: Boolean)
       extends Shape
+    final case class SumColAgg(spec: SumSpec) extends Shape
+    final case class AvgColAgg(a: AttributeReference) extends Shape
+    final case class DistinctColAgg(a: AttributeReference)
+      extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
       case Alias(AggregateExpression(
           Count(Seq(Literal(v, _))), Complete, false, None, _), _)
@@ -288,12 +448,34 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           if spanType(a) && relIds.contains(a.exprId) &&
             !t.vtHasMapping =>
         SpanAgg(a, lo = false)
+      case Alias(ae @ AggregateExpression(
+          Average(a: AttributeReference, mode), Complete, false, None,
+          _), _)
+          if foldableSumMode(mode) && avgType(a) &&
+            ae.dataType == DoubleType && relIds.contains(a.exprId) &&
+            !t.vtHasMapping =>
+        AvgColAgg(a)
+      case Alias(AggregateExpression(
+          Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
+          if spanType(a) && relIds.contains(a.exprId) &&
+            !t.vtHasMapping =>
+        DistinctColAgg(a)
+      case e if !t.vtHasMapping && sumSpecOf(e, relIds).isDefined =>
+        SumColAgg(sumSpecOf(e, relIds).get)
       case _ => return None
     }
     val spanCols = shapes.collect { case SpanAgg(a, _) => a.name }.distinct
     val countColAttrs = shapes.collect { case CountColAgg(a) => a }
       .distinctBy(_.name)
     val countCols = countColAttrs.map(_.name)
+    val sumSlots = shapes.collect { case SumColAgg(sp) => sp }
+      .distinctBy(_.a.name)
+    val sumCols = sumSlots.map(_.a.name)
+    val avgAttrs = shapes.collect { case AvgColAgg(a) => a }
+      .distinctBy(_.name)
+    val avgCols = avgAttrs.map(_.name)
+    val distinctAttrs = shapes.collect { case DistinctColAgg(a) => a }
+      .distinctBy(_.name)
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -320,7 +502,20 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val missing = allIn0.filter(e =>
       spanCols.exists(c => !e.stats.contains(c)) ||
         countCols.exists(c =>
-          VersionedTable.nonNullRowsOf(e, c).isEmpty))
+          VersionedTable.nonNullRowsOf(e, c).isEmpty) ||
+        // sum/avg: a DV'd file's recorded Σ is the PHYSICAL file's —
+        // always rescan it; a missing Σ is unknowable. avg further
+        // needs the file's span (the 2^53 exactness bound) and a
+        // provable non-null count (the divisor).
+        (sumCols.nonEmpty && (dvOf(e) ||
+          sumCols.exists(c => e.sumOf(c).isEmpty))) ||
+        (avgCols.nonEmpty && (dvOf(e) ||
+          avgCols.exists(c => e.sumOf(c).isEmpty ||
+            VersionedTable.nonNullRowsOf(e, c).isEmpty ||
+            !e.stats.contains(c)))) ||
+        // count(DISTINCT c): a file that is not provably single-
+        // valued demotes (and the pure-only gate below then declines)
+        distinctAttrs.exists(a => distinctCountOf(Seq(e), a).isEmpty))
     val missingSet = missing.iterator.map(_.name).toSet
     val dvDemote =
       if (spanCols.isEmpty) Seq.empty
@@ -368,12 +563,61 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val demoted = demote.iterator.map(_.name).toSet
     val allIn = allIn0.filterNot(e => demoted.contains(e.name))
     val metaSum = allIn.map(_.liveRows).sum
-    val metaNonNull: Map[String, Long] = countCols.map { c =>
-      c -> allIn.map(e => VersionedTable.nonNullRowsOf(e, c).get).sum
-    }.toMap
+    val metaNonNull: Map[String, Long] =
+      (countCols ++ avgCols).distinct.map { c =>
+        c -> allIn.map(e => VersionedTable.nonNullRowsOf(e, c).get).sum
+      }.toMap
+    // exact Σ over the all-in files (`.get`s safe: unprovable files
+    // demoted above); `has` = any non-null value contributed, the
+    // SQL-null discriminator
+    val metaSumVal: Map[String, (java.math.BigDecimal, Boolean)] =
+      (sumCols ++ avgCols).distinct.map { c =>
+        var acc = java.math.BigDecimal.ZERO
+        var has = false
+        allIn.foreach(e => e.sumOf(c).get match {
+          case Some(s) => acc = acc.add(s); has = true
+          case None => ()
+        })
+        c -> ((acc, has))
+      }.toMap
     val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
+    // avg and count(DISTINCT) are PURE-FOLD ONLY: neither decomposes
+    // over a boundary union the way count/sum/min/max do (distinct
+    // values could overlap between the metadata side and the scan) —
+    // any undecided file declines them to the scan
+    if ((avgAttrs.nonEmpty || distinctAttrs.nonEmpty) &&
+        boundary.nonEmpty) return None
+    // ANSI integral sums need the checked-accumulation proof over
+    // every file whose rows the scan could aggregate (all-in and
+    // boundary alike — the un-folded alternative aggregates exactly
+    // those matching rows, and must neither throw where it would nor
+    // answer where it would throw)
+    val entryByName = entries.iterator.map(e => e.name -> e).toMap
+    lazy val proofEntries = allIn ++ boundary.flatMap(entryByName.get)
+    val sumProofCache = scala.collection.mutable.Map.empty[String, Boolean]
+    def longProof(sp: SumSpec): Boolean =
+      sumProofCache.getOrElseUpdate(sp.a.name,
+        sumLongProof(sp, proofEntries))
+    // the avg exactness gate: n·max|span| over the all-in files must
+    // stay under 2^53, else IEEE rounding could diverge from exact Σ/n
+    def avgMeta(a: AttributeReference): Option[Any] = {
+      val n = metaNonNull(a.name)
+      if (n == 0L) return Some(null)
+      var m = java.math.BigDecimal.ZERO
+      allIn.foreach(e => e.stats.get(a.name).flatten.foreach {
+        case (lo: Long, hi: Long) =>
+          val c = java.math.BigDecimal.valueOf(lo).abs
+            .max(java.math.BigDecimal.valueOf(hi).abs)
+          if (c.compareTo(m) > 0) m = c
+        case _ => return None
+      })
+      if (java.math.BigDecimal.valueOf(n).multiply(m)
+          .compareTo(TwoP53) >= 0) return None
+      val (sigma, has) = metaSumVal(a.name)
+      Some(if (!has) null else (sigma.doubleValue / n.toDouble: Any))
+    }
     // per-span-column extrema over the all-in files (byte-order/SQL
     // exact — incomparable pairs decline the whole fold)
     val metaSpan: Map[String, Option[(Any, Any)]] =
@@ -394,18 +638,30 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         }
         c -> acc
       }.toMap
-    def metaLit(a: AttributeReference, lo: Boolean): Literal =
+    // None = DECLINE the whole fold (a legacy-unit or sign-ambiguous
+    // recorded extremum — see toCatalystSpan); a missing span is the
+    // legitimate SQL-null answer (no non-null rows among all-in files)
+    def metaLit(a: AttributeReference, lo: Boolean): Option[Literal] =
       metaSpan(a.name) match {
         case Some((mn, mx)) =>
-          Literal(toCatalyst(if (lo) mn else mx, a), a.dataType)
-        case None => Literal(null, a.dataType)
+          toCatalystSpan(if (lo) mn else mx, a)
+            .map(Literal(_, a.dataType))
+        case None => Some(Literal(null, a.dataType))
       }
     if (boundary.isEmpty)
       return Some(LocalRelation(agg.output,
         Seq(InternalRow.fromSeq(shapes.map {
           case CountAll => metaSum: Any
           case CountColAgg(a) => metaNonNull(a.name): Any
-          case SpanAgg(a, lo) => metaLit(a, lo).value
+          case SpanAgg(a, lo) =>
+            metaLit(a, lo).getOrElse(return None).value
+          case SumColAgg(sp) =>
+            val (sigma, has) = metaSumVal(sp.a.name)
+            sumValueOf(sp, sigma, has, longProof(sp))
+              .getOrElse(return None)
+          case AvgColAgg(a) => avgMeta(a).getOrElse(return None)
+          case DistinctColAgg(a) =>
+            (distinctCountOf(allIn, a).getOrElse(return None)): Any
         }))))
     // boundary files: one masked/aliased subset scan, original
     // predicate re-applied, partial aggregates combined with the
@@ -432,8 +688,18 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             if (lo) Min(a) else Max(a), Complete, isDistinct = false),
             s"graft_boundary_${if (lo) "min" else "max"}_${a.name}")()
       }.toMap
+    // boundary partial Σ over the remapped slice, combined below with
+    // the metadata Σ. Wide-decimal partials run WIDENED to (38, s):
+    // the boundary is a SUBTOTAL, and Spark's result-precision check
+    // must fire once on the COMBINED value (the final Cast), never on
+    // a subtotal the full scan would not have checked.
+    val sumAggsB: Map[String, Alias] = sumSlots.map { sp =>
+      sp.a.name -> Alias(boundarySumAgg(sp),
+        s"graft_boundary_sum_${sp.a.name}")()
+    }.toMap
     val inner = Aggregate(Nil,
-      cnt +: (cntColAggs.values.toSeq ++ spanAggs.values.toSeq),
+      cnt +: (cntColAggs.values.toSeq ++ spanAggs.values.toSeq ++
+        sumAggsB.values.toSeq),
       Filter(cond, remap))
     val outs = shapes.zip(agg.output).map {
       case (CountAll, o) =>
@@ -445,51 +711,74 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case (SpanAgg(a, lo), o) =>
         // Least/Greatest skip nulls, matching min/max combination
         val parts = Seq(spanAggs((a.name, lo)).toAttribute,
-          metaLit(a, lo))
+          metaLit(a, lo).getOrElse(return None))
         Alias(if (lo) org.apache.spark.sql.catalyst.expressions
             .Least(parts)
           else org.apache.spark.sql.catalyst.expressions
             .Greatest(parts), o.name)(exprId = o.exprId)
+      case (SumColAgg(sp), o) =>
+        val (sigma, has) = metaSumVal(sp.a.name)
+        val b = sumAggsB(sp.a.name).toAttribute
+        // metadata partial in the accumulation domain (wrapped long /
+        // widened decimal / wrapped unscaled long); None = decline
+        val partial = sumPartialValue(sp, sigma, has, longProof(sp))
+          .getOrElse(return None)
+        val combined: Expression =
+          if (partial == null) b // metadata is SQL-null: boundary decides
+          else Add(Coalesce(Seq(b, sumPartialZero(sp))),
+            Literal(partial, sumPartialType(sp)))
+        // the final conversion applies the ONE overflow check the
+        // scan's own buffer would (LEGACY → NULL, ANSI → throw)
+        Alias(sumFinalExpr(sp, combined), o.name)(exprId = o.exprId)
+      case (AvgColAgg(_), _) | (DistinctColAgg(_), _) =>
+        return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
   }
 
-  /** GROUPED metadata counts: `SELECT g, count(*)[, count(col)…]
-    * [WHERE …] GROUP BY g` folds per group when files are
-    * single-valued in `g` (point span, or provably all-null → the
+  /** GROUPED metadata counts: `SELECT g1[, g2…], count(*)[,
+    * count(col), min/max, sum…] [WHERE …] GROUP BY g1[, g2…]` folds
+    * per group when files are single-valued in EVERY grouping column
+    * (point span, or provably all-null → that key component is the
     * NULL group). A g-clustered 100 TB table answers its per-day
-    * row counts from one manifest read. Exact-or-scan per FILE:
-    *   - point-span + zero g-nulls: every live row is group v —
-    *     count(*) += liveRows (DV-safe), count(col) += the file's
-    *     provable non-null count;
-    *   - point-span + g-nulls, no DV: rows split v / NULL groups by
-    *     the recorded null count; count(col≠g) is then unknowable
-    *     per group and the file demotes;
-    *   - all-null g: the whole file is the NULL group;
+    * (or per-day-per-priority) row counts from one manifest read.
+    * Exact-or-scan per FILE:
+    *   - every component point-span + zero nulls (or whole-file
+    *     null): count(*) += liveRows (DV-safe), count(col) += the
+    *     file's provable non-null count;
+    *   - SINGLE-column grouping additionally handles the point-span +
+    *     g-nulls split (rows split v / NULL groups by the recorded
+    *     null count; only count(*) and count(g) distribute over it);
     *   - anything else (multi-valued span, DV over a nulls split,
     *     no stats) demotes to the boundary scan.
-    * Boundary files scan with the ORIGINAL predicate and union in as
-    * partial counts; the outer re-aggregate sums partials per group.
-    * Declines unless the grouping column is a plain span-typed
-    * relation attribute, every output is the group key or a plain
-    * count, every conjunct translates, and metadata decided at least
-    * one file. */
-  private def foldGrouped(agg: Aggregate, g: AttributeReference,
+    * `SELECT DISTINCT g1[, g2…]` is this same shape with key-only
+    * outputs — distinct values straight off the manifest. Boundary
+    * files scan with the ORIGINAL predicate and union in as partials;
+    * the outer re-aggregate combines per group. Declines unless every
+    * grouping column is a plain span-typed relation attribute, every
+    * output is a group key or a foldable aggregate, every conjunct
+    * translates, and metadata decided at least one file. */
+  private def foldGrouped(agg: Aggregate, gs: Seq[AttributeReference],
       aggExprs: Seq[NamedExpression], cond: Expression, t: VtTable,
       relOut: Seq[Attribute]): Option[LogicalPlan] = {
     val relIds = relOut.map(_.exprId).toSet
-    if (!relIds.contains(g.exprId) || !spanType(g) || t.vtHasMapping)
+    if (gs.isEmpty || t.vtHasMapping ||
+        gs.exists(g => !relIds.contains(g.exprId) || !spanType(g)) ||
+        gs.map(_.exprId).distinct.size != gs.size)
       return None
+    val gIdx: Map[ExprId, Int] =
+      gs.map(_.exprId).zipWithIndex.toMap
     sealed trait Shape
-    case object GKey extends Shape
+    final case class GKey(a: AttributeReference) extends Shape
     case object CountAll extends Shape
     final case class CountColAgg(a: AttributeReference) extends Shape
     final case class SpanGAgg(a: AttributeReference, lo: Boolean)
       extends Shape
+    final case class SumGAgg(spec: SumSpec) extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
-      case a: AttributeReference if a.exprId == g.exprId => GKey
+      case a: AttributeReference if gIdx.contains(a.exprId) => GKey(a)
       case Alias(a: AttributeReference, _)
-          if a.exprId == g.exprId => GKey
+          if gIdx.contains(a.exprId) => GKey(a)
       case Alias(AggregateExpression(
           Count(Seq(Literal(v, _))), Complete, false, None, _), _)
           if v != null => CountAll
@@ -504,6 +793,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Max(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) =>
         SpanGAgg(a, lo = false)
+      case e if sumSpecOf(e, relIds).isDefined =>
+        SumGAgg(sumSpecOf(e, relIds).get)
       case _ => return None
     }
     val countCols = shapes.collect { case CountColAgg(a) => a }
@@ -511,6 +802,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val spanSlots = shapes.collect { case SpanGAgg(a, lo) => (a, lo) }
       .distinctBy(p => (p._1.name, p._2))
     val spanColAttrs = spanSlots.map(_._1).distinctBy(_.name)
+    val sumGSlots = shapes.collect { case SumGAgg(sp) => sp }
+      .distinctBy(_.a.name)
+    val sumGAttrs = sumGSlots.map(_.a)
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -520,65 +814,88 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       } catch { case scala.util.control.NonFatal(_) => return None }
     val (_, allIn0, boundary0) =
       VersionedTable.countWhereParts(entries, preds)
-    // per-file contributions: key None = the NULL group. A file whose
-    // split is not provable contributes NOTHING and demotes whole.
+    // group keys come from raw manifest span values — normalize
+    // signed-zero doubles at CREATION ([[normZero]]) so a
+    // [-0.0,-0.0] file and a [0.0,0.0] file merge into the single
+    // group Spark's GROUP BY would emit. A [-0.0, 0.0] span also
+    // classifies as a point (BigDecimal order equates the pair) —
+    // correct for the same reason: both signs land in one group.
+    def normKey(v: Any): Any = normZero(v)
+    // the group key of a file in which EVERY grouping column is
+    // single-valued: component Some(v) = point span with zero nulls,
+    // None = provably all-null (that component is the NULL group).
+    // A file where any component is multi-valued / unprovable has no
+    // whole-file key.
+    type K = Seq[Option[Any]]
+    def fileKey(e: graft.operators.VersionedTable.FileEntry)
+        : Option[K] = {
+      val comps = gs.map { g =>
+        e.stats.get(g.name) match {
+          case Some(Some((mn, mx)))
+              if VersionedTable.cmpMeta(mn, mx).contains(0) &&
+                e.nulls.get(g.name).contains(0L) =>
+            Some(Some(normKey(mn)))
+          case Some(None) => Some(None)
+          case _ => None
+        }
+      }
+      if (comps.forall(_.isDefined)) Some(comps.map(_.get)) else None
+    }
+    // per-file contributions: component None = the NULL group. A file
+    // whose split is not provable contributes NOTHING, demotes whole.
     def contrib(e: graft.operators.VersionedTable.FileEntry)
-        : Option[Seq[(Option[Any], String, Long)]] = {
+        : Option[Seq[(K, String, Long)]] = {
       def dv = e.dv.exists(_._2 > 0)
-      def colCounts(key: Option[Any])
-          : Option[Seq[(Option[Any], String, Long)]] = {
+      def colCounts(key: K): Option[Seq[(K, String, Long)]] = {
         val parts = countCols.map { a =>
-          if (a.name == g.name)
-            // count(g) rows are exactly the non-NULL-group rows
-            Some((key, a.name, if (key.isEmpty) 0L
-              else VersionedTable.nonNullRowsOf(e, a.name)
-                .getOrElse(return None)))
-          else VersionedTable.nonNullRowsOf(e, a.name)
-            .map(k => (key, a.name, k))
+          gIdx.get(a.exprId) match {
+            case Some(i) =>
+              // count(gi) rows are exactly the rows whose component
+              // is non-NULL — zero when this file IS the NULL group
+              // in gi, else the file's provable non-null count
+              Some((key, a.name, if (key(i).isEmpty) 0L
+                else VersionedTable.nonNullRowsOf(e, a.name)
+                  .getOrElse(return None)))
+            case None => VersionedTable.nonNullRowsOf(e, a.name)
+              .map(k => (key, a.name, k))
+          }
         }
         if (parts.exists(_.isEmpty)) None else Some(parts.map(_.get))
       }
-      e.stats.get(g.name) match {
-        case Some(Some((mn, mx)))
-            if VersionedTable.cmpMeta(mn, mx).contains(0) =>
-          e.nulls.get(g.name) match {
-            case Some(0L) =>
-              colCounts(Some(mn)).map(cs =>
-                (Some(mn): Option[Any], "*", e.liveRows) +: cs)
-            case Some(n) if !dv && countCols.forall(_.name == g.name) =>
-              // the v / NULL split is exact from the null count, but
-              // only count(*) and count(g) distribute over it —
-              // count(other) could sit on either side of the split
-              colCounts(Some(mn)).map(cs => Seq(
-                (Some(mn): Option[Any], "*", e.nRows - n),
-                (None: Option[Any], "*", n)) ++ cs)
+      fileKey(e) match {
+        case Some(key) =>
+          colCounts(key).map(cs => (key, "*", e.liveRows) +: cs)
+        case None if gs.size == 1 =>
+          // SINGLE-column grouping keeps the point-span + nulls SPLIT:
+          // rows divide v / NULL groups by the recorded null count,
+          // but only count(*) and count(g) distribute over the split
+          val g = gs.head
+          e.stats.get(g.name) match {
+            case Some(Some((mn, mx)))
+                if VersionedTable.cmpMeta(mn, mx).contains(0) =>
+              e.nulls.get(g.name) match {
+                case Some(n) if n > 0 && !dv &&
+                    countCols.forall(_.name == g.name) =>
+                  colCounts(Seq(Some(normKey(mn)))).map(cs => Seq(
+                    (Seq(Some(normKey(mn))): K, "*", e.nRows - n),
+                    (Seq(None): K, "*", n)) ++ cs)
+                case _ => None
+              }
             case _ => None
           }
-        case Some(None) =>
-          // g provably all-null: the whole file is the NULL group
-          // (masking a null row leaves the rest null — DV-safe)
-          colCounts(None).map(cs =>
-            (None: Option[Any], "*", e.liveRows) +: cs)
-        case _ => None
+        case None => None
       }
     }
-    // per-group MIN/MAX contributions: a point-g (or all-null-g)
-    // file's c-span extrema ARE its group's extrema — but a DV could
-    // mask them and a g-nulls split scatters them, so those demote;
-    // an all-null c contributes nothing (SQL min/max skip nulls)
+    // per-group MIN/MAX contributions: a whole-file-keyed file's
+    // c-span extrema ARE its group's extrema — but a DV could mask
+    // them and a nulls split scatters them, so those demote; an
+    // all-null c contributes nothing (SQL min/max skip nulls)
     def spanContrib(e: graft.operators.VersionedTable.FileEntry)
-        : Option[Seq[(Option[Any], String, (Any, Any))]] = {
+        : Option[Seq[(K, String, (Any, Any))]] = {
       if (spanSlots.isEmpty) return Some(Seq.empty)
       if (e.dv.exists(_._2 > 0)) return None
-      val key: Option[Option[Any]] = e.stats.get(g.name) match {
-        case Some(Some((mn, mx)))
-            if VersionedTable.cmpMeta(mn, mx).contains(0) =>
-          if (e.nulls.get(g.name).contains(0L)) Some(Some(mn)) else None
-        case Some(None) => Some(None)
-        case _ => None
-      }
-      key.flatMap { k =>
-        val out = Seq.newBuilder[(Option[Any], String, (Any, Any))]
+      fileKey(e).flatMap { k =>
+        val out = Seq.newBuilder[(K, String, (Any, Any))]
         spanColAttrs.foreach { c =>
           e.stats.get(c.name) match {
             case Some(Some(sp)) => out += ((k, c.name, sp))
@@ -589,16 +906,38 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         Some(out.result())
       }
     }
+    // per-group Σ contributions: same whole-file-key gating as spans
+    // (a DV masks unknown addends, a nulls split scatters them — both
+    // demote); an all-null c contributes `None` (SQL sum skips
+    // nulls), a missing per-file Σ demotes the file
+    def sumContrib(e: graft.operators.VersionedTable.FileEntry)
+        : Option[Seq[(K, String, Option[java.math.BigDecimal])]] = {
+      if (sumGSlots.isEmpty) return Some(Seq.empty)
+      if (e.dv.exists(_._2 > 0)) return None
+      fileKey(e).flatMap { k =>
+        val out = Seq.newBuilder[(K, String,
+          Option[java.math.BigDecimal])]
+        sumGAttrs.foreach { a =>
+          e.sumOf(a.name) match {
+            case Some(v) => out += ((k, a.name, v))
+            case None => return None // Σ never harvested: demote
+          }
+        }
+        Some(out.result())
+      }
+    }
     val metaCount =
-      scala.collection.mutable.LinkedHashMap.empty[Option[Any], Long]
+      scala.collection.mutable.LinkedHashMap.empty[K, Long]
     val metaColCount = scala.collection.mutable
-      .Map.empty[(Option[Any], String), Long]
+      .Map.empty[(K, String), Long]
     val metaSpanG = scala.collection.mutable
-      .Map.empty[(Option[Any], String), (Any, Any)]
+      .Map.empty[(K, String), (Any, Any)]
+    val metaSumG = scala.collection.mutable
+      .Map.empty[(K, String), (java.math.BigDecimal, Boolean)]
     val demoted = Seq.newBuilder[String]
     allIn0.foreach { e =>
-      (contrib(e), spanContrib(e)) match {
-        case (Some(cs), Some(ss)) =>
+      (contrib(e), spanContrib(e), sumContrib(e)) match {
+        case (Some(cs), Some(ss), Some(ms)) =>
           cs.foreach {
             case (key, "*", n) =>
               metaCount(key) = metaCount.getOrElse(key, 0L) + n
@@ -619,6 +958,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
                 }
             }
           }
+          ms.foreach { case (key, c, vOpt) =>
+            val (acc, has) = metaSumG.getOrElse((key, c),
+              (java.math.BigDecimal.ZERO, false))
+            metaSumG((key, c)) = vOpt match {
+              case Some(v) => (acc.add(v), true)
+              case None => (acc, has)
+            }
+          }
         case _ => demoted += e.name
       }
     }
@@ -626,48 +973,109 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demotedSet
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    def keyValue(k: Option[Any]): Any =
-      k.map(toCatalyst(_, g)).orNull
     // a fully-masked point file contributes 0 to its group: a real
     // scan would emit NO group for it, so zero-count keys must not
     // materialize rows (span shapes cannot leak here — DV'd files
     // demote whole when any span shape is present)
     val liveKeys = metaCount.keys.toSeq.filter(k => metaCount(k) > 0L)
+    // pre-validate every key and span conversion: a failure (legacy-
+    // unit timestamp span, sign-ambiguous double extremum) DECLINES
+    // the whole fold instead of crashing the optimizer
+    val keyValues: Map[K, Seq[Any]] = liveKeys.map { k =>
+      k -> k.zip(gs).map {
+        case (None, _) => null: Any
+        case (Some(v), g) => toCatalystKey(v, g).getOrElse(return None)
+      }
+    }.toMap
+    def keyValue(k: K, a: AttributeReference): Any =
+      keyValues(k)(gIdx(a.exprId))
+    // (validated in a plain loop, NOT inside a helper def — a
+    // non-local `return None` must leave foldGrouped, and inside a
+    // nested def it would instead become that def's return VALUE)
+    val spanValues: Map[(K, String, Boolean), Any] =
+      liveKeys.flatMap { k =>
+        spanSlots.map { case (a, lo) =>
+          val v: Any = metaSpanG.get((k, a.name)) match {
+            case None => null // no non-null rows in group: SQL null
+            case Some(sp) =>
+              toCatalystSpan(if (lo) sp._1 else sp._2, a)
+                .getOrElse(return None)
+          }
+          (k, a.name, lo) -> v
+        }
+      }.toMap
+    def spanValue(k: K, a: AttributeReference, lo: Boolean): Any =
+      spanValues((k, a.name, lo))
     val metaRows: Seq[Seq[Any]] = liveKeys.map { k =>
-      (keyValue(k) +: (metaCount(k) +: countCols.map(c =>
+      (keyValues(k) ++ (metaCount(k) +: countCols.map(c =>
         metaColCount.getOrElse((k, c.name), 0L): Any)))
         .map(x => x: Any) ++ spanSlots.map { case (a, lo) =>
-          metaSpanG.get((k, a.name))
-            .map(sp => toCatalyst(if (lo) sp._1 else sp._2, a))
-            .orNull: Any
+          spanValue(k, a, lo): Any
         }
     }
+    // per-(group, col) Σ of the metadata side; getOrElse covers keys
+    // whose every contributing file was all-null in the column
+    def sumAcc(k: K, c: String): (java.math.BigDecimal, Boolean) =
+      metaSumG.getOrElse((k, c), (java.math.BigDecimal.ZERO, false))
+    // ANSI integral proof over every file the scan could aggregate
+    // (all-in + boundary) — coarser than per-group, always sound
+    val gEntryByName = entries.iterator.map(e => e.name -> e).toMap
+    lazy val gProofEntries =
+      allIn0.filterNot(e => demotedSet.contains(e.name)) ++
+        boundary.flatMap(gEntryByName.get)
+    val gProofCache = scala.collection.mutable.Map.empty[String, Boolean]
+    def gLongProof(sp: SumSpec): Boolean =
+      gProofCache.getOrElseUpdate(sp.a.name,
+        sumLongProof(sp, gProofEntries))
     if (boundary.isEmpty) {
       val rows = liveKeys.map { k =>
         InternalRow.fromSeq(shapes.map {
-          case GKey => keyValue(k)
+          case GKey(a) => keyValue(k, a)
           case CountAll => metaCount(k): Any
           case CountColAgg(a) =>
             metaColCount.getOrElse((k, a.name), 0L): Any
-          case SpanGAgg(a, lo) =>
-            metaSpanG.get((k, a.name))
-              .map(sp => toCatalyst(if (lo) sp._1 else sp._2, a))
-              .orNull
+          case SpanGAgg(a, lo) => spanValue(k, a, lo)
+          case SumGAgg(sp) =>
+            val (acc, has) = sumAcc(k, sp.a.name)
+            sumValueOf(sp, acc, has, gLongProof(sp))
+              .getOrElse(return None)
         })
       }
       return Some(LocalRelation(agg.output, rows))
     }
+    // metadata-side Σ PARTIALS for the union combine: integral groups
+    // carry the wrapped-exact long (outer Sum re-wraps — congruent
+    // mod 2^64 in any order), decimal groups the exact value widened
+    // to (38, s); a metadata partial that cannot even fit 38 digits
+    // declines the fold (a null partial would LOSE the contribution
+    // while Spark's late-checking buffer might still answer)
+    val sumPartials: Map[(K, String), Any] =
+      liveKeys.flatMap { k =>
+        sumGSlots.map { sp =>
+          val (acc, has) = sumAcc(k, sp.a.name)
+          val v: Any = sumPartialValue(sp, acc, has, gLongProof(sp))
+            .getOrElse(return None)
+          (k, sp.a.name) -> v
+        }
+      }.toMap
     // union the metadata partials with the boundary scan's partials,
-    // then re-aggregate: sum per group
+    // then re-aggregate: combine per group
     val nPartials = 1 + countCols.size
-    val localAttrs = (AttributeReference("g", g.dataType,
-      nullable = true)() +:
+    val localAttrs = ((gs.zipWithIndex.map { case (g, i) =>
+      AttributeReference(s"g$i", g.dataType, nullable = true)()
+    } ++
       (0 until nPartials).map(i => AttributeReference(s"p$i",
         org.apache.spark.sql.types.LongType, nullable = false)())) ++
       spanSlots.zipWithIndex.map { case ((a, _), i) =>
         AttributeReference(s"s$i", a.dataType, nullable = true)()
+      }) ++ sumGSlots.zipWithIndex.map { case (sp, i) =>
+        AttributeReference(s"m$i", sumPartialType(sp),
+          nullable = true)()
       }
-    val localRows = metaRows.map(r => InternalRow.fromSeq(r))
+    val localRows = metaRows.zip(liveKeys).map { case (r, k) =>
+      InternalRow.fromSeq(r ++ sumGSlots.map(sp =>
+        sumPartials((k, sp.a.name))))
+    }
     val local = LocalRelation(localAttrs, localRows)
     val slice = Bridge.logicalPlan(
       VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion,
@@ -684,20 +1092,28 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       }) ++ spanSlots.zipWithIndex.map { case ((a, lo), i) =>
         Alias(AggregateExpression(if (lo) Min(a) else Max(a),
           Complete, isDistinct = false), s"s$i")()
+      } ++ sumGSlots.zipWithIndex.map { case (sp, i) =>
+        // boundary partials accumulate in the spec's partial domain
+        // (a subtotal must not hit the result-precision check the
+        // full scan applies only to the per-group total)
+        Alias(boundarySumAgg(sp), s"m$i")()
       }
-    val bAgg = Aggregate(Seq(g),
-      Alias(g, "g")() +: bPartials, Filter(cond, remap))
+    val bAgg = Aggregate(gs,
+      gs.zipWithIndex.map { case (g, i) =>
+        Alias(g, s"g$i")(): NamedExpression
+      } ++ bPartials, Filter(cond, remap))
     val union = org.apache.spark.sql.catalyst.plans.logical
       .Union(Seq(local, bAgg))
-    val uG = union.output.head
-    val uP = union.output.tail
+    val uG = union.output.take(gs.size)
+    val uP = union.output.drop(gs.size)
     def summed(i: Int): Expression =
       org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
         AggregateExpression(org.apache.spark.sql.catalyst.expressions
           .aggregate.Sum(uP(i)), Complete, isDistinct = false),
         Literal(0L)))
     val outs = shapes.zip(agg.output).map {
-      case (GKey, o) => Alias(uG, o.name)(exprId = o.exprId)
+      case (GKey(a), o) =>
+        Alias(uG(gIdx(a.exprId)), o.name)(exprId = o.exprId)
       case (CountAll, o) => Alias(summed(0), o.name)(exprId = o.exprId)
       case (CountColAgg(a), o) =>
         Alias(summed(1 + countCols.indexWhere(_.name == a.name)),
@@ -708,9 +1124,18 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         Alias(AggregateExpression(
           if (lo) Min(uP(slot)) else Max(uP(slot)),
           Complete, isDistinct = false), o.name)(exprId = o.exprId)
+      case (SumGAgg(sp), o) =>
+        val slot = nPartials + spanSlots.size +
+          sumGSlots.indexWhere(_.a.name == sp.a.name)
+        val aggE = AggregateExpression(Sum(uP(slot)), Complete,
+          isDistinct = false)
+        // the outer re-sum runs in the partial domain; the final
+        // conversion (Cast / MakeDecimal / identity) applies the one
+        // overflow check the scan's own buffer would
+        Alias(sumFinalExpr(sp, aggE), o.name)(exprId = o.exprId)
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(
-      Aggregate(Seq(uG), outs, union)))
+      Aggregate(uG, outs, union)))
   }
 
   /** Translate a WHERE into exact file-level predicates — EVERY
@@ -853,6 +1278,326 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     else Some(out.flatMap(_.get))
   }
 
+  /** 2^53 — the largest double-exact integer magnitude: the bound of
+    * the `avg()` exactness proof (every per-row cast, partial sum,
+    * and merge stays integral and below it ⇒ Spark's double-
+    * accumulated average equals exact-Σ/n in any execution order). */
+  private val TwoP53 = java.math.BigDecimal.valueOf(9007199254740992L)
+
+  /** `avg()` folds only over integral columns (result DoubleType,
+    * reproducible from exact Σ under the [[TwoP53]] gate). Decimal
+    * averages decline: their result carries Spark's own
+    * precision/rounding promotion (p+4, s+4, HALF_UP through decimal
+    * division) — reproducing that arithmetic from Σ is possible but
+    * not worth the exactness risk; the scan is always right. */
+  private def avgType(a: Attribute): Boolean = a.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** 2^63 — the checked-long bound of the ANSI sum proof. */
+  private val TwoP63 = new java.math.BigDecimal(2).pow(63)
+
+  /** Group/distinct VALUE normalization: ±0.0 doubles collapse to
+    * +0.0, matching Spark's grouping-key normalization (SPARK-24834)
+    * — a [-0.0,-0.0] file and a [0.0,0.0] file hold the SAME group/
+    * distinct value. */
+  private def normZero(v: Any): Any = v match {
+    case d: Double if d == 0.0 => 0.0d
+    case x => x
+  }
+
+  /** Proof that NO partial sum of `col` over `entries`' rows can
+    * overflow a checked long accumulation in any execution order:
+    * any partial is bounded by Σ over every row of |value|, itself
+    * bounded by Σ_files nRows·max(|lo|,|hi|) — when that stays under
+    * 2^63, Spark's ANSI sum cannot throw and equals the exact Σ.
+    * All-null files contribute nothing; a rowed file without a
+    * recorded span defeats the proof. */
+  private def ansiLongSumSafe(
+      entries: Seq[graft.operators.VersionedTable.FileEntry],
+      col: String): Boolean = {
+    var acc = java.math.BigDecimal.ZERO
+    entries.forall { e =>
+      if (e.nRows <= 0) e.nRows == 0
+      else e.stats.get(col) match {
+        case Some(None) => true // provably all-null
+        case Some(Some((lo: Long, hi: Long))) =>
+          val m = java.math.BigDecimal.valueOf(lo).abs
+            .max(java.math.BigDecimal.valueOf(hi).abs)
+          acc = acc.add(
+            java.math.BigDecimal.valueOf(e.nRows).multiply(m))
+          acc.compareTo(TwoP63) < 0
+        case _ => false
+      }
+    }
+  }
+
+  /** Sum eval modes the folds reproduce: LEGACY (wrap / null-on-
+    * overflow) and ANSI (checked — foldable only under overflow
+    * proofs). TRY's per-partial null-on-overflow is order-dependent
+    * and never folds. */
+  private def foldableSumMode(m: Enumeration#Value): Boolean =
+    m == EvalMode.LEGACY || m == EvalMode.ANSI
+
+  /** How a query's `sum(col)` accumulates — the three shapes Spark
+    * plans, each reproduced exactly from the manifest's per-file Σ. */
+  private sealed trait SumKind
+  /** Integral input: LongType accumulation of the values. */
+  private case object IntegralSum extends SumKind
+  /** Wide decimal: Decimal accumulation, result `rt` = (p+10 ≤ 38, s)
+    * checked once at final evaluation. */
+  private final case class DecimalSum(rt: DecimalType) extends SumKind
+  /** Small decimal after Spark's DecimalAggregates rewrite:
+    * `MakeDecimal(sum(UnscaledValue(col)), outPrec, scale)` — a LONG
+    * accumulation of unscaled values, converted and precision-checked
+    * by MakeDecimal at the end. `inPrec` bounds each |unscaled| by
+    * 10^inPrec, the type-level ANSI proof ingredient. */
+  private final case class UnscaledDecimalSum(inPrec: Int, outPrec: Int,
+      scale: Int, nullOnOverflow: Boolean) extends SumKind
+  /** A BARE `sum(UnscaledValue(col))` (the MakeDecimal conversion
+    * lives in a Project above — the [[splitWrapped]] form): a plain
+    * LONG sum in the unscaled domain. */
+  private final case class UnscaledLongSum(inPrec: Int, scale: Int)
+    extends SumKind
+
+  private final case class SumSpec(a: AttributeReference,
+      mode: Enumeration#Value, kind: SumKind)
+
+  /** Recognize a foldable `sum(col)` output — both the plain
+    * [[Sum]] shape and the DecimalAggregates `MakeDecimal ∘ sum ∘
+    * UnscaledValue` rewrite (which runs in the main optimizer batch,
+    * BEFORE extraOptimizations ever see the plan). */
+  private def sumSpecOf(e: NamedExpression,
+      relIds: Set[ExprId]): Option[SumSpec] = e match {
+    case Alias(AggregateExpression(
+        Sum(a: AttributeReference, ctx), Complete, false, None, _), _)
+        if foldableSumMode(ctx.evalMode) && relIds.contains(a.exprId) =>
+      a.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          Some(SumSpec(a, ctx.evalMode, IntegralSum))
+        case d: DecimalType =>
+          Some(SumSpec(a, ctx.evalMode, DecimalSum(
+            DecimalType(math.min(38, d.precision + 10), d.scale))))
+        case _ => None
+      }
+    case Alias(org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+        AggregateExpression(
+          Sum(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            a: AttributeReference), ctx), Complete, false, None, _),
+        p, s, no), _)
+        if foldableSumMode(ctx.evalMode) && relIds.contains(a.exprId) =>
+      a.dataType match {
+        case d: DecimalType if d.scale == s =>
+          Some(SumSpec(a, ctx.evalMode, UnscaledDecimalSum(
+            d.precision, p, s, no)))
+        case _ => None
+      }
+    case Alias(AggregateExpression(
+        Sum(org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+          a: AttributeReference), ctx), Complete, false, None, _), _)
+        if foldableSumMode(ctx.evalMode) && relIds.contains(a.exprId) =>
+      a.dataType match {
+        case d: DecimalType =>
+          Some(SumSpec(a, ctx.evalMode,
+            UnscaledLongSum(d.precision, d.scale)))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** ANSI no-partial-overflow proof for the spec's LONG-domain
+    * accumulation over `entries`' rows: value-span-based for
+    * integral, type-level (rows × 10^inPrec) for unscaled decimals.
+    * Wide-decimal sums never throw mid-accumulation (the buffer
+    * checks once at final evaluation), so the proof is vacuous. */
+  private def sumLongProof(spec: SumSpec,
+      entries: Seq[graft.operators.VersionedTable.FileEntry]): Boolean =
+    spec.kind match {
+      case IntegralSum => ansiLongSumSafe(entries, spec.a.name)
+      case UnscaledDecimalSum(inPrec, _, _, _) =>
+        unscaledProof(entries, inPrec)
+      case UnscaledLongSum(inPrec, _) => unscaledProof(entries, inPrec)
+      case DecimalSum(_) => true
+    }
+
+  private def unscaledProof(
+      entries: Seq[graft.operators.VersionedTable.FileEntry],
+      inPrec: Int): Boolean = {
+    var rows = java.math.BigDecimal.ZERO
+    entries.forall { e =>
+      if (e.nRows < 0) false
+      else {
+        rows = rows.add(java.math.BigDecimal.valueOf(e.nRows))
+        rows.multiply(java.math.BigDecimal.TEN.pow(inPrec))
+          .compareTo(TwoP63) < 0
+      }
+    }
+  }
+
+  /** Exact Σ (`has` = any non-null value contributed) → the value
+    * Spark's `sum()` returns under `spec`, or None = decline:
+    *   - integral LEGACY: the low 64 bits as a signed long — Long
+    *     addition is associative mod 2^64, so the wrapped exact Σ
+    *     equals the scan's wrapped accumulation in ANY order; ANSI
+    *     only under `longProofOk` (else the scan might throw);
+    *   - wide decimal: the value when it fits `rt` (fit-at-the-end is
+    *     Spark's own criterion); overflow → LEGACY NULL, ANSI decline;
+    *   - unscaled decimal: the wrapped unscaled-long Σ pushed through
+    *     MakeDecimal's precision check;
+    *   - no non-null values: SQL NULL. */
+  private def sumValueOf(spec: SumSpec, sigma: java.math.BigDecimal,
+      has: Boolean, longProofOk: => Boolean): Option[Any] = {
+    val ansi = spec.mode == EvalMode.ANSI
+    spec.kind match {
+      case IntegralSum =>
+        if (!has) Some(null)
+        else if (ansi && !longProofOk) None
+        else Some(sigma.toBigInteger.longValue: java.lang.Long)
+      case DecimalSum(rt) =>
+        if (!has) Some(null)
+        else {
+          val dec = org.apache.spark.sql.types.Decimal(sigma)
+          if (dec.changePrecision(rt.precision, rt.scale)) Some(dec)
+          else if (!ansi) Some(null)
+          else None
+        }
+      case UnscaledDecimalSum(_, outPrec, s, _) =>
+        if (!has) Some(null)
+        else if (ansi && !longProofOk) None
+        else {
+          val wrapped = sigma.movePointRight(s).toBigInteger.longValue
+          val dec = org.apache.spark.sql.types.Decimal(
+            java.math.BigDecimal.valueOf(wrapped, s))
+          if (dec.changePrecision(outPrec, s)) Some(dec)
+          else if (!ansi) Some(null)
+          else None
+        }
+      case UnscaledLongSum(_, s) =>
+        if (!has) Some(null)
+        else if (ansi && !longProofOk) None
+        else Some(sigma.movePointRight(s).toBigInteger.longValue
+          : java.lang.Long)
+    }
+  }
+
+  /** `count(DISTINCT col)` over `files` from metadata: every rowed
+    * file must be SINGLE-VALUED (point span — its non-null rows all
+    * equal the one recorded value) or provably all-null in the
+    * column, with a provable non-null live count. DV-safe through
+    * [[VersionedTable.nonNullRowsOf]]: a fully-masked point file's
+    * value vanishes from the set, exactly as it would from a scan.
+    * Values convert through [[toCatalystKey]] before deduplication,
+    * so ±0.0 collapses and a legacy raw-Long timestamp span (unknown
+    * unit) declines rather than miscounting against tagged ones.
+    * None = not provable → the caller scans. */
+  private def distinctCountOf(
+      files: Seq[graft.operators.VersionedTable.FileEntry],
+      a: AttributeReference): Option[Long] = {
+    val vals = scala.collection.mutable.Set.empty[Any]
+    var ok = true
+    files.foreach { e =>
+      if (ok && e.nRows != 0) e.stats.get(a.name) match {
+        case Some(None) => () // all-null: nothing distinct
+        case Some(Some((mn, mx)))
+            if VersionedTable.cmpMeta(mn, mx).contains(0) =>
+          VersionedTable.nonNullRowsOf(e, a.name) match {
+            case Some(n) if n > 0 =>
+              toCatalystKey(normZero(mn), a) match {
+                case Some(v) => vals += v
+                case None => ok = false
+              }
+            case Some(_) => () // zero live non-null rows: vanishes
+            case None => ok = false
+          }
+        case _ => ok = false
+      }
+    }
+    if (ok) Some(vals.size.toLong) else None
+  }
+
+  /** The boundary scan's partial-Σ aggregate for `spec` — typed to
+    * [[sumPartialType]] so union/combine stays in one domain. */
+  private def boundarySumAgg(spec: SumSpec): Expression =
+    spec.kind match {
+      case IntegralSum =>
+        AggregateExpression(Sum(spec.a), Complete, isDistinct = false)
+      case DecimalSum(rt) =>
+        // widened subtotal: the result-precision check must fire once
+        // on the COMBINED value, never on a subtotal
+        AggregateExpression(Sum(Cast(spec.a,
+          DecimalType(38, rt.scale))), Complete, isDistinct = false)
+      case UnscaledDecimalSum(_, _, _, _) | UnscaledLongSum(_, _) =>
+        AggregateExpression(Sum(
+          org.apache.spark.sql.catalyst.expressions.UnscaledValue(
+            spec.a)), Complete, isDistinct = false)
+    }
+
+  private def sumPartialType(spec: SumSpec): DataType = spec.kind match {
+    case IntegralSum => LongType
+    case DecimalSum(rt) => DecimalType(38, rt.scale)
+    case UnscaledDecimalSum(_, _, _, _) | UnscaledLongSum(_, _) =>
+      LongType
+  }
+
+  /** Typed zero for the Coalesce in the combine (a null boundary
+    * partial means "no matching non-null rows there", which adds 0
+    * once the metadata side holds a value). */
+  private def sumPartialZero(spec: SumSpec): Literal = spec.kind match {
+    case DecimalSum(rt) =>
+      val z = org.apache.spark.sql.types.Decimal(
+        java.math.BigDecimal.ZERO)
+      z.changePrecision(38, rt.scale)
+      Literal(z, DecimalType(38, rt.scale))
+    case _ => Literal(0L)
+  }
+
+  /** The metadata side's partial value for the union combine (the
+    * group's exact Σ rendered into [[sumPartialType]]'s domain), or
+    * None = decline. */
+  private def sumPartialValue(spec: SumSpec, sigma: java.math.BigDecimal,
+      has: Boolean, longProofOk: => Boolean): Option[Any] = {
+    val ansi = spec.mode == EvalMode.ANSI
+    spec.kind match {
+      case IntegralSum =>
+        if (ansi && !longProofOk) None
+        else if (!has) Some(null)
+        else Some(sigma.toBigInteger.longValue: java.lang.Long)
+      case DecimalSum(rt) =>
+        if (!has) Some(null)
+        else {
+          val dec = org.apache.spark.sql.types.Decimal(sigma)
+          // a metadata partial that cannot even fit 38 digits would
+          // LOSE its contribution (Spark's late-checking buffer might
+          // still answer) — decline instead
+          if (dec.changePrecision(38, rt.scale)) Some(dec) else None
+        }
+      case UnscaledDecimalSum(_, _, s, _) =>
+        if (ansi && !longProofOk) None
+        else if (!has) Some(null)
+        else Some(sigma.movePointRight(s).toBigInteger.longValue
+          : java.lang.Long)
+      case UnscaledLongSum(_, s) =>
+        if (ansi && !longProofOk) None
+        else if (!has) Some(null)
+        else Some(sigma.movePointRight(s).toBigInteger.longValue
+          : java.lang.Long)
+    }
+  }
+
+  /** Final conversion of a combined/re-summed partial expression back
+    * to the query's sum result — Cast for wide decimals (the one
+    * overflow check), MakeDecimal for unscaled, identity for longs. */
+  private def sumFinalExpr(spec: SumSpec, combined: Expression)
+      : Expression = spec.kind match {
+    case IntegralSum => combined
+    case DecimalSum(rt) => Cast(combined, rt)
+    case UnscaledDecimalSum(_, outPrec, s, no) =>
+      org.apache.spark.sql.catalyst.expressions.MakeDecimal(
+        combined, outPrec, s, no)
+    case UnscaledLongSum(_, _) => combined // the Project above converts
+  }
+
   /** Span values are normalized to Long/Double/String in the
     * manifest; only columns whose Catalyst type maps back identically
     * are foldable. Doubles are safe: a RECORDED span proves the file
@@ -870,18 +1615,43 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  private def toCatalyst(v: Any, a: Attribute): Any = (v, a.dataType) match {
-    case (l: Long, LongType) => l
-    case (d: Double, DoubleType) => d
-    case (l: Long, DateType) => l.toInt // epoch days
-    case (VersionedTable.TsMicros(l),
-      _: org.apache.spark.sql.types.TimestampType) => l
-    case (VersionedTable.TsMicros(l),
-      _: org.apache.spark.sql.types.TimestampNTZType) => l
-    case (s: String, StringType) => UTF8String.fromString(s)
-    case _ => throw new IllegalStateException(
-      s"span value $v does not fit column ${a.name}: ${a.dataType}")
-  }
+  /** Manifest span value → Catalyst, or None = DECLINE the fold (the
+    * caller falls back to the scan). Declines are how two recorded-
+    * value hazards stay conservative instead of wrong (or crashing
+    * inside the optimizer):
+    *   - a BARE-LONG span under a timestamp column — harvested before
+    *     unit tagging, its physical unit is unknowable
+    *     (millis-vs-micros); mixed old/new spans already decline via
+    *     cmp-incomparability, and this closes the all-legacy case;
+    *   - a ±0.0 double EXTREMUM — parquet-mr widens zero bounds to
+    *     (-0.0, +0.0) regardless of which sign the data holds, so the
+    *     recorded sign proves nothing, while a scan's min/max returns
+    *     the data's actual sign. */
+  private def toCatalystSpan(v: Any, a: Attribute): Option[Any] =
+    (v, a.dataType) match {
+      case (d: Double, DoubleType) =>
+        if (d == 0.0) None else Some(d)
+      case (l: Long, LongType) => Some(l)
+      case (l: Long, DateType) => Some(l.toInt) // epoch days
+      case (VersionedTable.TsMicros(l),
+        _: org.apache.spark.sql.types.TimestampType) => Some(l)
+      case (VersionedTable.TsMicros(l),
+        _: org.apache.spark.sql.types.TimestampNTZType) => Some(l)
+      case (s: String, StringType) => Some(UTF8String.fromString(s))
+      case _ => None
+    }
+
+  /** [[toCatalystSpan]] for GROUP KEYS: a point-span ±0.0 key is the
+    * one place the recorded sign is immaterial — Spark normalizes
+    * -0.0 to +0.0 in grouping keys (SPARK-24834), so both signs land
+    * in the SAME group and the key value folds to +0.0 exactly as a
+    * real GROUP BY would emit it. */
+  private def toCatalystKey(v: Any, a: Attribute): Option[Any] =
+    v match {
+      case d: Double if d == 0.0 && a.dataType == DoubleType =>
+        Some(0.0d)
+      case other => toCatalystSpan(other, a)
+    }
 
   /** Idempotently add the rewrite to a LIVE session, ahead of the
     * masked-scan rewrite (construction-time sessions get the same

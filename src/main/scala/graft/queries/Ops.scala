@@ -946,7 +946,8 @@ object Ops {
     }
     val q = s.sql(s"SELECT band, count(*) AS n, " +
       s"count(l_quantity) AS nq, min(l_orderkey) AS lo, " +
-      s"max(l_orderkey) AS hi FROM graft.`$t` GROUP BY band")
+      s"max(l_orderkey) AS hi, sum(l_orderkey) AS sk " +
+      s"FROM graft.`$t` GROUP BY band")
     if (bands.length >= 2) {
       def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
         df.queryExecution.optimizedPlan.collectLeaves()
@@ -957,6 +958,180 @@ object Ops {
           "with zero files opened")
     }
     q
+  }
+
+  // MULTI-KEY GROUPED METADATA FOLDS: `GROUP BY band, parity` answers
+  // per-(key₁,key₂) count/sum/min/max from the manifest when files
+  // are single-valued in EVERY grouping column — the
+  // day × priority profiling shape; at 100 TB one manifest read
+  // instead of a two-key shuffle over the table. Files are committed
+  // one per band (parity = band % 2 rides along, so every file is
+  // point-valued in both keys); gated: the whole GROUP BY folds to a
+  // LocalRelation. The oracle replays the two-key GROUP BY in DuckDB.
+  val opVtGroupMeta2: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtgrp2_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d).select(col("l_orderkey"))
+    val maxRow = li.agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val w = math.max(1L, (maxId + 1) / 8)
+    val banded = li.withColumn("band", expr(s"l_orderkey div $w"))
+      .withColumn("parity", col("band") % 2)
+    val stats = Seq("band", "parity", "l_orderkey")
+    val bands = banded.select(col("band")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) null
+        else java.lang.Long.valueOf(r.getLong(0)))
+      .sortBy(b => if (b == null) Long.MinValue else b.longValue())
+    if (bands.isEmpty)
+      VersionedTable.commit(banded, t, overwrite = true,
+        statsCols = stats)
+    else bands.zipWithIndex.foreach { case (b, i) =>
+      val part = if (b == null) banded.where(col("band").isNull)
+        else banded.where(col("band") === b.longValue())
+      VersionedTable.commit(part.coalesce(1), t, overwrite = i == 0,
+        statsCols = if (i == 0) stats else Seq.empty)
+    }
+    val q = s.sql(s"SELECT band, parity, count(*) AS n, " +
+      s"sum(l_orderkey) AS sk, min(l_orderkey) AS lo, " +
+      s"max(l_orderkey) AS hi FROM graft.`$t` GROUP BY band, parity")
+    if (bands.length >= 2) {
+      def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collectLeaves()
+          .forall(_.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      require(foldsToLocal(q),
+        "two-key grouped aggregates over per-band files must answer " +
+          "from metadata with zero files opened")
+    }
+    q
+  }
+
+  // DISTINCT FROM METADATA: `SELECT DISTINCT g…` (the grouped fold
+  // with key-only outputs) and `count(DISTINCT g)` (every file
+  // single-valued or all-null in g → the distinct set reads straight
+  // off the manifest; a fully-masked point file's value vanishes,
+  // exactly as from a scan). Gated: both shapes fold to
+  // LocalRelations, including under an aligned WHERE. The oracle
+  // replays all three in DuckDB by full scan.
+  val opVtDistinctMeta: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtdst_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    val li = lineitem(s, d).select(col("l_orderkey"))
+    val maxRow = li.agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val w = math.max(1L, (maxId + 1) / 8)
+    val banded = li.withColumn("band", expr(s"l_orderkey div $w"))
+      .withColumn("parity", col("band") % 2)
+    val stats = Seq("band", "parity", "l_orderkey")
+    val bands = banded.select(col("band")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) null
+        else java.lang.Long.valueOf(r.getLong(0)))
+      .sortBy(b => if (b == null) Long.MinValue else b.longValue())
+    if (bands.isEmpty)
+      VersionedTable.commit(banded, t, overwrite = true,
+        statsCols = stats)
+    else bands.zipWithIndex.foreach { case (b, i) =>
+      val part = if (b == null) banded.where(col("band").isNull)
+        else banded.where(col("band") === b.longValue())
+      VersionedTable.commit(part.coalesce(1), t, overwrite = i == 0,
+        statsCols = if (i == 0) stats else Seq.empty)
+    }
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val dist = s.sql(
+      s"SELECT DISTINCT band, parity FROM graft.`$t`")
+    val counts = s.sql(s"SELECT count(DISTINCT band) AS nb, " +
+      s"count(*) AS n FROM graft.`$t`")
+    val bandedW = s.sql(s"SELECT count(DISTINCT band) AS nbw " +
+      s"FROM graft.`$t` WHERE band >= 2")
+    if (bands.length >= 2) {
+      require(foldsToLocal(dist),
+        "SELECT DISTINCT over per-band files must fold to metadata")
+      require(foldsToLocal(counts),
+        "count(DISTINCT) over per-band files must fold to metadata")
+      require(foldsToLocal(bandedW),
+        "count(DISTINCT) under an aligned WHERE must fold to metadata")
+    }
+    dist.crossJoin(counts).crossJoin(bandedW)
+  }
+
+  // SUM/AVG FROM METADATA: the write path harvests each file's EXACT
+  // per-column Σ (integral + decimal; floats never — IEEE summation
+  // is order-dependent) in one delta-sized column-pruned pass, and
+  // `sum()` / `avg()` then fold from the manifest with zero data
+  // files opened — the last everyday profiling aggregates that still
+  // scanned. Exact-or-scan: integral sums reproduce Spark's wrap /
+  // ANSI-checked semantics (ANSI under a no-partial-overflow span
+  // proof), wide decimals re-apply the final fit check, small
+  // decimals ride the DecimalAggregates unscaled-long rewrite, and
+  // avg folds only under the 2^53 double-exactness proof. A banded
+  // WHERE folds all-in files and scans only boundaries (gated).
+  // The oracle recomputes every value by full scan in DuckDB.
+  val opVtMetaSum: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtsum_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "li").getAbsolutePath
+    VersionedTable.commit(
+      lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price"),
+          col("l_extendedprice").cast("decimal(8,2)").as("price8"))
+        .repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey")),
+      t, overwrite = true,
+      statsCols = Seq("l_orderkey", "l_linenumber", "price", "price8"))
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    // decimal sums compare as DOUBLE across engines, so the casts sit
+    // in an OUTER projection — in the aggregate itself they would
+    // block the fold shape (deliberately: exact-or-untouched)
+    val whole = s.sql(
+      s"""SELECT n, sk, sl, CAST(sp AS DOUBLE) AS sp,
+         |  CAST(sp8 AS DOUBLE) AS sp8, ak FROM (
+         |  SELECT count(*) AS n, sum(l_orderkey) AS sk,
+         |    sum(l_linenumber) AS sl, sum(price) AS sp,
+         |    sum(price8) AS sp8, avg(l_orderkey) AS ak
+         |  FROM graft.`$t`)""".stripMargin)
+    require(foldsToLocal(whole),
+      "whole-table sum/avg must fold from the manifest with zero " +
+        "files opened")
+    val maxRow = lineitem(s, d).agg(max(col("l_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val lo = (maxId + 1) / 4
+    val hi = (3L * (maxId + 1)) / 4
+    val banded = s.sql(s"SELECT sum(l_orderkey) AS skw, " +
+      s"count(*) AS nw FROM graft.`$t` " +
+      s"WHERE l_orderkey >= $lo AND l_orderkey < $hi")
+    if (VersionedTable.readEntries(s, t, 0).size >= 8) {
+      val read = banded.inputFiles.length
+      require(read < 8,
+        s"interior files must answer sums from the manifest, " +
+          s"scanned $read/8")
+    }
+    whole.crossJoin(banded)
   }
 
   // SEGMENTED (v7) MANIFESTS — commit-log metadata cost at 100 TB:
@@ -2744,6 +2919,9 @@ object Ops {
     "op_vt_dv_minmax" -> opVtDvMinmax,
     "op_vt_meta_dates" -> opVtMetaDates,
     "op_vt_group_meta" -> opVtGroupMeta,
+    "op_vt_group_meta2" -> opVtGroupMeta2,
+    "op_vt_distinct_meta" -> opVtDistinctMeta,
+    "op_vt_meta_sum" -> opVtMetaSum,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
     "op_vt_changes" -> opVtChanges,
@@ -3236,9 +3414,60 @@ object Ops {
         |           FROM lineitem)
         |SELECT l_orderkey // (SELECT w FROM mx) AS band,
         |       count(*) AS n, count(l_quantity) AS nq,
-        |       min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |       min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sk
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
+    // The two-key grouped metadata folds must equal DuckDB's
+    // full-scan GROUP BY over both derived keys.
+    "op_vt_group_meta2" ->
+      """WITH mx AS (SELECT CASE WHEN max(l_orderkey) IS NULL THEN 1
+        |                        ELSE greatest(1,
+        |                          (max(l_orderkey) + 1) // 8) END AS w
+        |           FROM lineitem)
+        |SELECT l_orderkey // (SELECT w FROM mx) AS band,
+        |       (l_orderkey // (SELECT w FROM mx)) % 2 AS parity,
+        |       count(*) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sk,
+        |       min(l_orderkey) AS lo, max(l_orderkey) AS hi
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
+    // The metadata distinct answers must equal DuckDB's full-scan
+    // DISTINCT / count(DISTINCT) over the same derived keys.
+    "op_vt_distinct_meta" ->
+      """WITH mx AS (SELECT CASE WHEN max(l_orderkey) IS NULL THEN 1
+        |                        ELSE greatest(1,
+        |                          (max(l_orderkey) + 1) // 8) END AS w
+        |           FROM lineitem),
+        |     b AS (SELECT l_orderkey // (SELECT w FROM mx) AS band
+        |           FROM lineitem)
+        |SELECT DISTINCT band, band % 2 AS parity,
+        |       (SELECT count(DISTINCT band) FROM b) AS nb,
+        |       (SELECT count(*) FROM b) AS n,
+        |       (SELECT count(DISTINCT band) FROM b WHERE band >= 2)
+        |         AS nbw
+        |FROM b""".stripMargin,
+    // The metadata sums/averages must equal DuckDB's full scan — the
+    // whole-table folds and the interior-band hybrid alike.
+    "op_vt_meta_sum" ->
+      """WITH mx AS (SELECT max(l_orderkey) + 1 AS m FROM lineitem)
+        |SELECT count(*) AS n,
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sk,
+        |       CAST(sum(l_linenumber) AS BIGINT) AS sl,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |         AS DOUBLE) AS sp,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2)))
+        |         AS DOUBLE) AS sp8,
+        |       avg(l_orderkey) AS ak,
+        |       (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
+        |        WHERE l_orderkey >= (SELECT m FROM mx) // 4
+        |          AND l_orderkey < (3 * (SELECT m FROM mx)) // 4)
+        |         AS skw,
+        |       (SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey >= (SELECT m FROM mx) // 4
+        |          AND l_orderkey < (3 * (SELECT m FROM mx)) // 4)
+        |         AS nw
+        |FROM lineitem""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both
     // masks (interior mid-key row, then the global-max row).
     "op_vt_dv_minmax" ->

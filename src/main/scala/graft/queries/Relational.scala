@@ -107,10 +107,13 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
   }
 
-  // Left-anti join: customers with no orders at all (NOT EXISTS).
+  // Left-anti join (NOT EXISTS): customers with no HIGH-VALUE order.
+  // The filtered right side keeps the anti-join shape while making the
+  // answer non-trivial on the synthetic tables, where every customer
+  // has at least one order ("no orders at all" proved nothing).
   val qAntiJoin: Q = (s, d) => {
     val c = customer(s, d)
-    val o = orders(s, d)
+    val o = orders(s, d).where(col("o_totalprice") > 400000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_nationkey"))
   }
@@ -158,12 +161,15 @@ object Relational {
       .cube(col("p_brand"), col("size_band"))
       .agg(count(lit(1)).as("n"))
 
-  // Set ops: nations that have customers but no suppliers (EXCEPT) —
-  // exercises distinct set difference.
+  // Set ops: suppliers that shipped lineitems EXCEPT suppliers in good
+  // standing — distinct set difference with a guaranteed non-empty
+  // answer on the synthetic tables (a handful of suppliers carry
+  // non-positive account balances).
   val qExcept: Q = (s, d) => {
-    val cn = customer(s, d).select(col("c_nationkey").as("nationkey"))
-    val sn = supplier(s, d).select(col("s_nationkey").as("nationkey"))
-    cn.except(sn)
+    val ls = lineitem(s, d).select(col("l_suppkey").as("suppkey"))
+    val sn = supplier(s, d).where(col("s_acctbal") > 0)
+      .select(col("s_suppkey").as("suppkey"))
+    ls.except(sn)
   }
 
   // INTERSECT: nation keys present on both sides.
@@ -1050,7 +1056,7 @@ object Relational {
     "q_anti_join" ->
       """SELECT c_custkey, c_nationkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |  WHERE o_custkey = c_custkey)""".stripMargin,
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)""".stripMargin,
     "q_window_top_per_customer" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
         |FROM (
@@ -1080,9 +1086,10 @@ object Relational {
         |FROM part
         |GROUP BY CUBE (p_brand, size_band)""".stripMargin,
     "q_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT l_suppkey AS suppkey FROM lineitem
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier""".stripMargin,
+        |SELECT s_suppkey AS suppkey FROM supplier
+        |WHERE s_acctbal > 0""".stripMargin,
     "q_intersect" ->
       """SELECT c_nationkey AS nationkey FROM customer
         |INTERSECT

@@ -47,11 +47,16 @@ import graft.operators.VersionedTable
   * DDL, type changes, RENAME TABLE) refuse loudly and point at the
   * Scala API.
   *
-  * Scale note: the SQL path plans through Spark's file-listing index
-  * over the version's file list (O(version's files) planning, still
-  * never a directory walk); the manifest-SPAN-pruned planning path
-  * ([[VtFileIndex]], the entry checkpoint) stays on the Scala/
-  * `graft-vt` read surface.
+  * Scale note: the catalog table answers name/schema straight from
+  * the manifest and its delegate parquet table plans from the
+  * listing-free [[org.apache.spark.sql.graftbridge
+  * .VtManifestFileIndex]] (statuses synthesized from recorded byte
+  * lengths) — NO statement phase ever lists the directory or the
+  * file set (the stock InMemoryFileIndex eagerly lists every path:
+  * a distributed job, ~20 s per statement at 60k files — `ScaleProbe
+  * vtanalyze`). The manifest-SPAN-pruned planning path
+  * ([[VtFileIndex]], the entry checkpoint) serves the Scala/
+  * `graft-vt` read surface and the clean-scan rewrite.
   */
 final class VtCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
@@ -114,12 +119,31 @@ final class VtCatalog extends TableCatalog
           "VersionedTable.read, or rewrite with an overwrite commit")
       else None
     val files = entries.map(e => s"$path/${e.name}")
-    val pq =
+    val tblName = s"$catalogName.$ident@v$version"
+    // LAZY inner table + LISTING-FREE file index: the stock FileTable
+    // eagerly lists every path the moment its InMemoryFileIndex is
+    // built (schema resolution at analysis, or V2 scan pushdown at
+    // optimize — a distributed 10000-task job at 60k files, ~20 s per
+    // STATEMENT measured by `ScaleProbe vtanalyze`; at 800k files on
+    // an object store it would dominate every query). The catalog
+    // table instead answers name/schema straight from the manifest,
+    // and the parquet table it delegates scans to plans from
+    // [[org.apache.spark.sql.graftbridge.VtManifestFileIndex]] —
+    // statuses synthesized from the manifest's recorded byte lengths,
+    // zero listings anywhere in the statement lifecycle.
+    def pq = {
+      val idx = new org.apache.spark.sql.graftbridge.VtManifestFileIndex(
+        spark, path, entries.map(e => (e.name, e.size)))
       new org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
-        s"$catalogName.$ident@v$version", spark,
+        tblName, spark,
         CaseInsensitiveStringMap.empty(), files, Some(schema),
         classOf[org.apache.spark.sql.execution.datasources
-          .parquet.ParquetFileFormat])
+          .parquet.ParquetFileFormat]) {
+        override lazy val fileIndex
+            : org.apache.spark.sql.execution.datasources
+              .PartitioningAwareFileIndex = idx
+      }
+    }
     val hasMapping = VersionedTable.schemaHasMapping(schema)
     // SHOW TBLPROPERTIES surface — all derived from state tableAt
     // already read, no extra IO
@@ -135,11 +159,19 @@ final class VtCatalog extends TableCatalog
       if (hasMapping) m.put("column_mapping", "true")
       java.util.Collections.unmodifiableMap(m)
     }
+    // .asNullable matches FileTable's own normalization (file sources
+    // treat every column nullable), so the swap is plan-invisible
     if (writable)
-      new VtSqlTable(pq, path, version, scanRefusal, hasMapping, props)
+      new VtSqlTable(pq, tblName,
+        org.apache.spark.sql.graftbridge.Bridge.asNullable(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        path, version,
+        scanRefusal, hasMapping, props)
     else
-      new VtTimeTravelTable(pq, path, version, scanRefusal, hasMapping,
-        props)
+      new VtTimeTravelTable(pq, tblName,
+        org.apache.spark.sql.graftbridge.Bridge.asNullable(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType],
+        path, version, scanRefusal, hasMapping, props)
   }
 
   private def latestOrThrow(ident: Identifier): Int =
@@ -202,8 +234,10 @@ final class VtCatalog extends TableCatalog
     * never a second write path. Time-travel tables stay read-only
     * (inserting into the past is not a thing). */
   private final class VtSqlTable(
-      inner: org.apache.spark.sql.execution.datasources.v2
+      inner: => org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,
+      tblName: String,
+      tableSchema: org.apache.spark.sql.types.StructType,
       path: String,
       version: Int,
       scanRefusal: Option[String] = None,
@@ -214,15 +248,19 @@ final class VtCatalog extends TableCatalog
       with org.apache.spark.sql.connector.catalog.SupportsRead
       with org.apache.spark.sql.connector.catalog.SupportsWrite
       with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    private lazy val innerTable = inner
     override def vtPath: String = path
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
     override def vtHasMapping: Boolean = hasMapping
     override def properties(): java.util.Map[String, String] = props
     import org.apache.spark.sql.connector.catalog.TableCapability
-    override def name(): String = inner.name
+    override def name(): String = tblName
+    // the MANIFEST's recorded schema, never the file table's (whose
+    // resolution would partition-infer = LIST every file at analysis;
+    // graft tables are unpartitioned file sets, so the two agree)
     override def schema(): org.apache.spark.sql.types.StructType =
-      inner.schema
+      tableSchema
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -235,9 +273,9 @@ final class VtCatalog extends TableCatalog
       * intact and intercepts only the batch-materialization calls. */
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       scanRefusal match {
-        case None => inner.newScanBuilder(options)
+        case None => innerTable.newScanBuilder(options)
         case Some(msg) => VtScanGuard.guardBuilder(
-          inner.newScanBuilder(options), msg)
+          innerTable.newScanBuilder(options), msg)
       }
 
     /** `DELETE FROM graft.t WHERE ...` → [[VersionedTable.deleteWhere]]
@@ -314,8 +352,10 @@ final class VtCatalog extends TableCatalog
     * whole-table count/min/max of ANY pinned version from its
     * manifest. */
   private final class VtTimeTravelTable(
-      inner: org.apache.spark.sql.execution.datasources.v2
+      inner: => org.apache.spark.sql.execution.datasources.v2
         .parquet.ParquetTable,
+      tblName: String,
+      tableSchema: org.apache.spark.sql.types.StructType,
       path: String,
       version: Int,
       scanRefusal: Option[String],
@@ -324,22 +364,23 @@ final class VtCatalog extends TableCatalog
         java.util.Collections.emptyMap()) extends Table
       with VtTable
       with org.apache.spark.sql.connector.catalog.SupportsRead {
+    private lazy val innerTable = inner
     override def vtPath: String = path
     override def vtVersion: Int = version
     override def vtScanRefusal: Option[String] = scanRefusal
     override def vtHasMapping: Boolean = hasMapping
     override def properties(): java.util.Map[String, String] = props
     import org.apache.spark.sql.connector.catalog.TableCapability
-    override def name(): String = inner.name
+    override def name(): String = tblName
     override def schema(): org.apache.spark.sql.types.StructType =
-      inner.schema
+      tableSchema // the manifest's, not the file table's (see above)
     override def capabilities(): java.util.Set[TableCapability] =
       java.util.EnumSet.of(TableCapability.BATCH_READ)
     override def newScanBuilder(options: CaseInsensitiveStringMap) =
       scanRefusal match {
-        case None => inner.newScanBuilder(options)
+        case None => innerTable.newScanBuilder(options)
         case Some(msg) => VtScanGuard.guardBuilder(
-          inner.newScanBuilder(options), msg)
+          innerTable.newScanBuilder(options), msg)
       }
   }
 

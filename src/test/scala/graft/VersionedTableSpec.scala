@@ -2305,6 +2305,71 @@ class VersionedTableSpec extends AnyFunSuite {
       "feature-free versions downgrade to the widely-readable header")
   }
 
+  test("unit-tagged timestamp spans bump the manifest/segment " +
+      "protocol headers") {
+    import spark.implicits._
+    val t = tmpTable()
+    def headerLine(v: Int): String = {
+      val src = scala.io.Source.fromFile(
+        f"$t/_graft_log/v$v%05d.manifest")
+      try src.getLines().next() finally src.close()
+    }
+    // a timestamp stats column records `T`-tagged span values — a
+    // NEW span-field alphabet a pre-tag reader would crash decoding
+    // ("bad span field") on ANY query; the v8 header makes it refuse
+    // up front instead
+    // INT96 (the parquet default) carries no harvestable span — write
+    // int64 micros so the ts column actually records tagged spans
+    val prevTs = spark.conf.getOption(
+      "spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
+    val rows = (0L until 40L).map(i => (i,
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(1995, 1, 1, 0, 0).plusHours(i))))
+    try {
+    VersionedTable.commit(rows.toDF("id", "ts"), t,
+      overwrite = true, statsCols = Seq("id", "ts"))
+    assert(headerLine(0) == "graft-vt-v8",
+      "tagged timestamp spans must bump the manifest protocol")
+    // current readers parse v8 (and the tagged spans fold/prune)
+    assert(VersionedTable.read(spark, t).count() == 40)
+    // a tag-free table keeps the widely-readable pre-tag header
+    VersionedTable.commit(rows.map(_._1).toDF("id"), t,
+      overwrite = true, statsCols = Seq("id"))
+    assert(headerLine(1) == "graft-vt-v4",
+      "tag-free versions downgrade automatically")
+    // segmented layout: the manifest stays v7 (its body is seg refs —
+    // no tags), the tag gate moves to the SEGMENT file header
+    val t2 = tmpTable()
+    val prev = VersionedTable.segmentThreshold
+    VersionedTable.setSegmentThreshold(2)
+    try {
+      VersionedTable.commit(
+        rows.toDF("id", "ts").repartitionByRange(3, col("id")),
+        t2, overwrite = true, statsCols = Seq("id", "ts"))
+      val src = scala.io.Source.fromFile(
+        s"$t2/_graft_log/v00000.manifest")
+      val head = try src.getLines().next() finally src.close()
+      assert(head == "graft-vt-v7")
+      val segs = VersionedTable.segmentNames(spark, t2, 0)
+      assert(segs.nonEmpty)
+      segs.foreach { n =>
+        val s2 = scala.io.Source.fromFile(s"$t2/_graft_log/$n")
+        val h2 = try s2.getLines().next() finally s2.close()
+        assert(h2 == "graft-vt-seg-v2",
+          "tag-bearing segments must bump the segment protocol")
+      }
+      assert(VersionedTable.read(spark, t2).count() == 40)
+    } finally VersionedTable.setSegmentThreshold(prev)
+    } finally prevTs match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None =>
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
   test("recluster policy: manifest-only decay metric drives the repair") {
     import spark.implicits._
     val t = tmpTable()

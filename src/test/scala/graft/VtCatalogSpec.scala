@@ -865,4 +865,24 @@ class VtCatalogSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 60L,
       "the restore replays v1's content as a new commit")
   }
+
+  test("SQL statements that match a rewrite regex but do not lower " +
+      "fall through to the delegate parser") {
+    val s2 = org.apache.spark.sql.graftbridge.Bridge
+      .sessionWithExtensions(spark.sparkContext,
+        new graft.GraftExtensions().apply)
+    // a ONE-PART target cannot name a graft table (<catalog>.<path>):
+    // the statement must surface the DELEGATE's ParseException, not a
+    // graft IllegalArgumentException thrown mid-rewrite
+    import org.apache.spark.sql.catalyst.parser.ParseException
+    intercept[ParseException] { s2.sql("OPTIMIZE just_a_table") }
+    // trailing junk swallowed into the lazy identifier group: same
+    // pass-through (Spark has no VACUUM statement → its parse error)
+    intercept[ParseException] { s2.sql("VACUUM t DRY RUN") }
+    intercept[ParseException] { s2.sql("RESTORE t VERSION AS OF 1") }
+    // DESCRIBE HISTORY <one-part> falls through to plain DESCRIBE
+    // handling — an unresolved-table analysis error, never a graft IAE
+    val e = intercept[Exception] { s2.sql("DESCRIBE HISTORY no_such") }
+    assert(!e.isInstanceOf[IllegalArgumentException], e.toString)
+  }
 }

@@ -280,7 +280,13 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "count(s) AS ns", "count(dt) AS ndt", "count(ts) AS nts",
       "min(id) AS lo", "max(id) AS hi", "min(s) AS smn",
       "max(s) AS smx", "min(dt) AS dmn", "max(dt) AS dmx",
-      "min(ts) AS tmn", "max(ts) AS tmx")
+      "min(ts) AS tmn", "max(ts) AS tmx",
+      // integral sum: folds (hybrid over the DV) and must equal the
+      // scan bit-for-bit. avg/sum(double) stay OUT of this list — an
+      // unfoldable shape declines the WHOLE statement's fold, which
+      // would silently turn every lane here into scan-vs-scan; they
+      // get their own lanes in the sum/avg fold test.
+      "sum(id) AS sid")
     preds.foreach { p =>
       val folded = spark.sql(
         s"SELECT ${aggList.mkString(", ")} FROM graft.`$t` WHERE $p")
@@ -322,7 +328,7 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "count(d) AS nd", "min(id) AS lo", "max(id) AS hi",
       "min(s) AS smn", "max(s) AS smx",
       "cast(min(d) AS string) AS dmn", "cast(max(d) AS string) AS dmx",
-      "min(ts) AS tmn", "max(ts) AS tmx")
+      "min(ts) AS tmn", "max(ts) AS tmx", "sum(id) AS sid")
     Seq("TRUE", "id >= 100", "grp = 1 OR grp = 3", "s IS NOT NULL",
       "id >= 50 AND id < 250").foreach { p =>
       val folded = spark.sql(s"SELECT grp, ${gAggs.mkString(", ")} " +
@@ -334,6 +340,136 @@ class VtMetadataAggSpec extends AnyFunSuite {
       assert(folded == scanned,
         s"grouped pred [$p]: $folded != $scanned")
     }
+  }
+
+  test("sum/avg fold from the manifest; wraps, gates, hybrids exact") {
+    setup()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val t = tmpTable("sum")
+    // longs + a nullable long + a decimal + a double, range-clustered
+    val df = (0L until 1000L).map(i =>
+        (i, if (i % 7 == 0) null else java.lang.Long.valueOf(i * 3),
+          i.toDouble / 3.0))
+      .toDF("id", "v", "d")
+      .withColumn("dec", (col("id") % 100).cast("decimal(10,2)"))
+    VersionedTable.commit(
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id", "v", "d", "dec"))
+    val aggs = Seq("sum(id) AS si", "sum(v) AS sv", "sum(dec) AS sd",
+      "avg(id) AS ai", "avg(v) AS av", "count(*) AS n")
+    val q = s"SELECT ${aggs.mkString(", ")} FROM graft.`$t`"
+    assert(foldsToLocal(q), "whole-table sum/avg must fold to metadata")
+    val trusted = VersionedTable.read(spark, t)
+    assert(spark.sql(q).collect()(0).toSeq ==
+      trusted.selectExpr(aggs: _*).collect()(0).toSeq)
+    // a DOUBLE column's sum must never fold (IEEE order-dependence)
+    assert(!foldsToLocal(s"SELECT sum(d) AS s FROM graft.`$t`"))
+    // WHERE hybrid: all-in files fold their Σ, boundary files scan,
+    // the Add/Cast combine equals the plain scan bit-for-bit
+    val w = s"SELECT sum(id) AS si, sum(v) AS sv, sum(dec) AS sd " +
+      s"FROM graft.`$t` WHERE id >= 100 AND id < 900"
+    val wdf = spark.sql(w)
+    assert(wdf.collect()(0).toSeq ==
+      trusted.where("id >= 100 AND id < 900")
+        .selectExpr("sum(id) AS si", "sum(v) AS sv", "sum(dec) AS sd")
+        .collect()(0).toSeq)
+    if (VersionedTable.readEntries(spark, t, 0).size >= 4)
+      assert(wdf.inputFiles.length < 4,
+        s"interior files must fold, scanned ${wdf.inputFiles.length}/4")
+    // avg does not decompose over a boundary: declines whole, stays
+    // exact by scanning
+    val wa = s"SELECT avg(id) AS ai FROM graft.`$t` " +
+      "WHERE id >= 100 AND id < 900"
+    assert(!foldsToLocal(wa))
+    assert(spark.sql(wa).collect()(0).getDouble(0) ==
+      trusted.where("id >= 100 AND id < 900")
+        .selectExpr("avg(id)").collect()(0).getDouble(0))
+    // a DV makes recorded sums physical: masked files rescan, totals
+    // stay exact
+    VersionedTable.deleteWhere(spark, t, col("id") === 500L,
+      deletionVectors = true)
+    val trusted2 = VersionedTable.read(spark, t)
+    val dq = s"SELECT sum(id) AS si, sum(v) AS sv, sum(dec) AS sd " +
+      s"FROM graft.`$t`"
+    assert(spark.sql(dq).collect()(0).toSeq ==
+      trusted2.selectExpr("sum(id) AS si", "sum(v) AS sv",
+        "sum(dec) AS sd").collect()(0).toSeq)
+    // LONG OVERFLOW near 2^63: the folded Σ re-wraps mod 2^64 exactly
+    // like Spark's LEGACY accumulation
+    val to = tmpTable("wrap")
+    val wrapRows = new java.util.ArrayList[Row](Seq(
+      Row(java.lang.Long.valueOf(Long.MaxValue - 10L)),
+      Row(java.lang.Long.valueOf(20L)),
+      Row(java.lang.Long.valueOf(Long.MaxValue - 30L))).asJava)
+    VersionedTable.commit(
+      spark.createDataFrame(wrapRows,
+        StructType(Seq(StructField("x", LongType)))).coalesce(1),
+      to, overwrite = true, statsCols = Seq("x"))
+    val oq = s"SELECT sum(x) AS s FROM graft.`$to`"
+    // ANSI (the Spark 4 session default): no overflow proof → the
+    // fold must DECLINE, and the plain scan throws — the fold must
+    // never answer where the scan would error
+    assert(!foldsToLocal(oq), "ANSI overflowing sum must not fold")
+    intercept[Exception] { spark.sql(oq).collect() }
+    // LEGACY: the folded Σ re-wraps mod 2^64 exactly like the scan
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      assert(foldsToLocal(oq), "LEGACY overflowing long sum folds")
+      assert(spark.sql(oq).collect()(0).getLong(0) ==
+        VersionedTable.read(spark, to).selectExpr("sum(x)")
+          .collect()(0).getLong(0))
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+    // the avg exactness gate: n·max|span| ≥ 2^53 must DECLINE to the
+    // scan (IEEE rounding there is not reproducible from Σ)
+    val oa = s"SELECT avg(x) AS a FROM graft.`$to`"
+    assert(!foldsToLocal(oa), "avg past the 2^53 bound must scan")
+    assert(spark.sql(oa).collect()(0).getDouble(0) ==
+      VersionedTable.read(spark, to).selectExpr("avg(x)")
+        .collect()(0).getDouble(0))
+    // all-null column: sum and avg fold to SQL NULL
+    val tn = tmpTable("nullsum")
+    val nullRows = new java.util.ArrayList[Row](
+      (0 until 5).map(_ => Row(null, java.lang.Long.valueOf(1L))).asJava)
+    VersionedTable.commit(
+      spark.createDataFrame(nullRows, StructType(Seq(
+        StructField("x", LongType), StructField("k", LongType))))
+        .coalesce(1),
+      tn, overwrite = true, statsCols = Seq("x", "k"))
+    val nq = s"SELECT sum(x) AS s, avg(x) AS a FROM graft.`$tn`"
+    assert(foldsToLocal(nq))
+    val nr = spark.sql(nq).collect()(0)
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // GROUPED: per-band long and decimal sums fold, zero files opened
+    val tgr = tmpTable("gsum")
+    (0L to 3L).foreach { b =>
+      VersionedTable.commit(
+        (0L until 100L).map(i => (b, b * 1000 + i)).toDF("band", "x")
+          .withColumn("dec", (col("x") % 50).cast("decimal(8,2)"))
+          .coalesce(1),
+        tgr, overwrite = b == 0,
+        statsCols = if (b == 0) Seq("band", "x", "dec") else Seq.empty)
+    }
+    val gq = s"SELECT band, sum(x) AS sx, sum(dec) AS sdec " +
+      s"FROM graft.`$tgr` GROUP BY band"
+    assert(foldsToLocal(gq), "grouped sums must fold from metadata")
+    val gFold = spark.sql(gq).collect().map(_.toSeq).toSet
+    val gScan = VersionedTable.read(spark, tgr).groupBy("band")
+      .agg(expr("sum(x) AS sx"), expr("sum(dec) AS sdec"))
+      .collect().map(_.toSeq).toSet
+    assert(gFold == gScan, s"$gFold != $gScan")
+    // grouped hybrid: a straddling commit scans and unions in
+    VersionedTable.commit(
+      (0L until 50L).map(i => (i % 4, 9000L + i)).toDF("band", "x")
+        .withColumn("dec", (col("x") % 50).cast("decimal(8,2)"))
+        .coalesce(1),
+      tgr, overwrite = false)
+    val gFold2 = spark.sql(gq).collect().map(_.toSeq).toSet
+    val gScan2 = VersionedTable.read(spark, tgr).groupBy("band")
+      .agg(expr("sum(x) AS sx"), expr("sum(dec) AS sdec"))
+      .collect().map(_.toSeq).toSet
+    assert(gFold2 == gScan2, s"hybrid: $gFold2 != $gScan2")
   }
 
   test("count(NULL) and alias-shadowed columns never fold wrong") {
@@ -705,15 +841,69 @@ class VtMetadataAggSpec extends AnyFunSuite {
         "absent from the fold")
   }
 
-  test("distinct and expression aggregates never fold") {
+  test("multi-key GROUP BY and DISTINCT fold from metadata") {
+    setup()
+    val t = tmpTable("g2")
+    (0L to 3L).foreach { b =>
+      VersionedTable.commit(
+        (0L until 50L).map(i => (b, b % 2, b * 100 + i))
+          .toDF("band", "parity", "x").coalesce(1),
+        t, overwrite = b == 0,
+        statsCols = if (b == 0) Seq("band", "parity", "x")
+          else Seq.empty)
+    }
+    def scanned(q: String => String) =
+      VersionedTable.read(spark, t).groupBy("band", "parity")
+        .agg(expr("count(*) AS n"), expr("sum(x) AS sx"),
+          expr("min(x) AS lo")).collect().map(_.toSeq).toSet
+    val gq = s"SELECT band, parity, count(*) AS n, sum(x) AS sx, " +
+      s"min(x) AS lo FROM graft.`$t` GROUP BY band, parity"
+    assert(foldsToLocal(gq),
+      "two-key grouped aggregates over per-band files must fold")
+    assert(spark.sql(gq).collect().map(_.toSeq).toSet == scanned(identity))
+    // DISTINCT = the same grouped fold with key-only outputs
+    val dq = s"SELECT DISTINCT band, parity FROM graft.`$t`"
+    assert(foldsToLocal(dq), "SELECT DISTINCT must fold to metadata")
+    assert(spark.sql(dq).collect().map(_.toSeq).toSet ==
+      VersionedTable.read(spark, t).select("band", "parity")
+        .distinct().collect().map(_.toSeq).toSet)
+    // count(DISTINCT band): point files only
+    val cq = s"SELECT count(DISTINCT band) AS nb FROM graft.`$t`"
+    assert(foldsToLocal(cq), "count(DISTINCT) must fold to metadata")
+    assert(spark.sql(cq).collect()(0).getLong(0) == 4L)
+    // fully mask band 3: its distinct value must VANISH (exactly as
+    // it would from a scan of the masked version)
+    VersionedTable.deleteWhere(spark, t, col("band") === 3L,
+      deletionVectors = true)
+    assert(spark.sql(cq).collect()(0).getLong(0) == 3L,
+      "a fully-masked point file's value must vanish from distinct")
+    // a straddling commit declines distinct (no boundary decompose)
+    // and hybrid-folds the grouped aggregates — both stay exact
+    VersionedTable.commit(
+      (0L until 20L).map(i => (i % 4, (i % 4) % 2, 9000L + i))
+        .toDF("band", "parity", "x").coalesce(1), t, overwrite = false)
+    assert(!foldsToLocal(cq),
+      "a straddling file must decline count(DISTINCT) to the scan")
+    assert(spark.sql(cq).collect()(0).getLong(0) == 4L)
+    assert(spark.sql(gq).collect().map(_.toSeq).toSet == scanned(identity),
+      "two-key hybrid (straddler + DV'd file scan) must equal the scan")
+  }
+
+  test("multi-valued files decline count(DISTINCT); wrapped " +
+      "aggregates stay exact") {
     setup()
     val t = tmpTable("d")
     VersionedTable.commit(
       Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "s").coalesce(1),
       t, overwrite = true, statsCols = Seq("id"))
+    // the one file spans [1,2] — NOT single-valued, so the distinct
+    // set is unknowable from metadata and the fold must decline
     val q = s"SELECT count(DISTINCT id) AS n FROM graft.`$t`"
-    assert(!foldsToLocal(q), "count(DISTINCT) must scan")
+    assert(!foldsToLocal(q),
+      "count(DISTINCT) over a multi-valued file must scan")
     assert(spark.sql(q).collect()(0).getLong(0) == 2L)
+    // an expression OVER an aggregate folds via the wrapper split
+    // (Project ∘ plain-Aggregate) and stays exact
     val q2 = s"SELECT count(*) + 1 AS n FROM graft.`$t`"
     assert(spark.sql(q2).collect()(0).getLong(0) == 4L)
   }
