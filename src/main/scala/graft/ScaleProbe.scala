@@ -1000,6 +1000,23 @@ object ScaleProbe {
       println(f"[probe] vtmeta: whole-table count $m1%.0f ms (ONE " +
         f"manifest read) vs $m2%.0f ms (64 footer reads — the scan " +
         "path pays one RPC per file: 12500x more of them at 800k files)")
+      // SUM/AVG fold (round 17): whole-table Σ and mean answer from
+      // the manifest's write-time per-file sums — zero data files
+      // opened — vs the twin's full column scan
+      val (s1, sm1) = ms(spark.sql(
+        s"SELECT sum(id) AS s FROM graft.`$t`").collect()(0).getLong(0))
+      val (s2, sm2) = ms(spark.read.parquet(twin)
+        .selectExpr("sum(id) AS s").collect()(0).getLong(0))
+      require(s1 == s2, s"sum mismatch: $s1 vs $s2")
+      val (a1, am1) = ms(spark.sql(
+        s"SELECT avg(id) AS a FROM graft.`$t`").collect()(0).getDouble(0))
+      val (a2, _) = ms(spark.read.parquet(twin)
+        .selectExpr("avg(id) AS a").collect()(0).getDouble(0))
+      require(a1 == a2, s"avg mismatch: $a1 vs $a2")
+      println(f"[probe] vtmeta: whole-table sum $sm1%.0f ms + avg " +
+        f"$am1%.0f ms from the manifest's write-time Σ ledger vs " +
+        f"$sm2%.0f ms for the full column scan — the write-side " +
+        "harvest price buys every later profiling sum")
       val (lo, hi) = (n / 4, 3 * n / 4)
       val q = s"WHERE id >= $lo AND id < $hi"
       val dfb = spark.sql(s"SELECT count(*) AS n FROM graft.`$t` $q")

@@ -165,31 +165,37 @@ object VersionedTable {
     * readers refuse loudly on the unknown header. */
   private val HeaderV7 = "graft-vt-v7"
   private val SegHeader = "graft-vt-seg-v1"
-  /** v6 layout + UNIT-TAGGED span values: entry lines may carry the
-    * `T<micros>` timestamp span encoding (r16's unit normalization).
-    * The tag is a new span-field alphabet, not a new line — a
-    * pre-tag reader would crash mid-parse ("bad span field") on any
-    * query, even one not touching the timestamp column. Like v6/v7,
-    * the bump exists purely so such readers refuse at the HEADER with
-    * a protocol error instead; tag-free versions keep writing the
-    * older headers, and a compact that drops the timestamp stats
-    * column downgrades automatically. Segmented manifests keep the v7
+  /** v6 layout + NEW-ALPHABET span values: entry lines may carry the
+    * `T<micros>` timestamp encoding (r16's unit normalization) and
+    * the `C<decimal>` encoding (r17's decimal spans). The tags are a
+    * new span-field alphabet, not a new line — a pre-tag reader
+    * would crash mid-parse ("bad span field") on any query, even one
+    * not touching the tagged column. Like v6/v7, the bump exists
+    * purely so such readers refuse at the HEADER with a protocol
+    * error instead; tag-free versions keep writing the older
+    * headers, and a compact that drops the tagged stats column
+    * downgrades automatically. Segmented manifests keep the v7
     * header (their body is `seg:` refs — the tags live in segment
     * files, gated by [[SegHeaderV2]]). */
   private val HeaderV8 = "graft-vt-v8"
   /** Segment-file header when (and only when) the segment's entry
-    * lines carry `T`-tagged span values — the per-segment analog of
-    * [[HeaderV8]]: pre-tag readers fail the header check up front
+    * lines carry `T`/`C`-tagged span values — the per-segment analog
+    * of [[HeaderV8]]: pre-tag readers fail the header check up front
     * instead of crashing inside span decode. */
   private val SegHeaderV2 = "graft-vt-seg-v2"
   private val HeaderV3 = "graft-vt-v3"
   private val HeaderV2 = "graft-vt-v2"
 
-  /** Does any recorded span of `e` carry a unit-tagged timestamp
-    * value? Drives the [[HeaderV8]]/[[SegHeaderV2]] protocol gate. */
+  /** Does any recorded span of `e` carry a NEW-ALPHABET value — a
+    * unit-tagged timestamp (`T…`) or a decimal (`C…`)? Drives the
+    * [[HeaderV8]]/[[SegHeaderV2]] protocol gate: pre-v8 readers would
+    * crash decoding either tag, so such entries only ever land under
+    * the bumped headers. */
   private def hasTaggedSpan(e: FileEntry): Boolean =
     e.stats.valuesIterator.exists(_.exists(s =>
-      s._1.isInstanceOf[TsMicros] || s._2.isInstanceOf[TsMicros]))
+      s._1.isInstanceOf[TsMicros] || s._2.isInstanceOf[TsMicros] ||
+        s._1.isInstanceOf[java.math.BigDecimal] ||
+        s._2.isInstanceOf[java.math.BigDecimal]))
 
   /** Entry count at which commits switch to the segmented (v7)
     * manifest layout. Default keeps small tables on the inline
@@ -4220,9 +4226,20 @@ object VersionedTable {
       entries: Seq[FileEntry], cols: Seq[String],
       phys: Map[String, String]): Seq[FileEntry] = {
     if (entries.isEmpty || cols.isEmpty) return entries
+    // zero-row batches (empty commits, idle streaming micro-batches)
+    // need no job: sumOf answers Σ-over-nothing for 0-row files
+    // directly, so recording nothing is equally exact
+    if (entries.forall(_.nRows == 0)) return entries
     try {
+      // a DETACHED session keeps the tiny harvest job cheap and
+      // isolated: shuffle width 1 (the grouped partials are O(#new
+      // files) rows) and no AQE re-planning — and its conf tweaks
+      // can never invalidate the CALLER's cached relation plans
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions", "1")
       val paths = entries.map(e => new Path(root, e.name).toString)
-      val df = spark.read.parquet(paths: _*)
+      val df = s.read.parquet(paths: _*)
       val fieldType = df.schema.fields.iterator
         .map(f => f.name -> f.dataType).toMap
       val eligible: Seq[(String, String, Int)] = cols.flatMap { c =>
@@ -4365,17 +4382,31 @@ object VersionedTable {
     } finally reader.close()
   }
 
-  /** Normalize a parquet statistics value to Long / Double / String.
-    * DATE (epoch days) and TIMESTAMP (epoch micros) columns normalize
-    * through their physical ints — pruning on them compares in those
-    * units. Decimals and int96 are not normalized, and neither is a
-    * NaN float/double bound (None → stat not collected). */
+  /** Normalize a parquet statistics value to Long / Double / String /
+    * BigDecimal. DATE (epoch days) and TIMESTAMP (epoch micros)
+    * columns normalize through their physical ints — pruning on them
+    * compares in those units. DECIMALS decode their unscaled physical
+    * value (int32/int64, or big-endian two's-complement bytes) at the
+    * column's fixed scale, so every file of a column records the same
+    * representation and BigDecimal equality is value equality. int96
+    * is not normalized, and neither is a NaN float/double bound
+    * (None → stat not collected). */
   private def normalize(prim: org.apache.parquet.schema.PrimitiveType,
       v: AnyRef): Option[Any] = {
     val logical = prim.getLogicalTypeAnnotation
     prim.getPrimitiveTypeName match {
       case _ if logical.isInstanceOf[
-        LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] => None
+          LogicalTypeAnnotation.DecimalLogicalTypeAnnotation] =>
+        val scale = logical.asInstanceOf[
+          LogicalTypeAnnotation.DecimalLogicalTypeAnnotation].getScale
+        v match {
+          case n: Number => Some(java.math.BigDecimal.valueOf(
+            n.longValue, scale))
+          case b: org.apache.parquet.io.api.Binary =>
+            Some(new java.math.BigDecimal(
+              new java.math.BigInteger(b.getBytes), scale))
+          case _ => None
+        }
       case PrimitiveTypeName.INT32 => Some(v.asInstanceOf[Number].longValue)
       case PrimitiveTypeName.INT64 => logical match {
         case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
@@ -4450,6 +4481,7 @@ object VersionedTable {
   private def encode(v: Any): String = v match {
     case l: Long => s"L$l"
     case TsMicros(l) => s"T$l"
+    case bd: java.math.BigDecimal => s"C${bd.toPlainString}"
     case d: Double => s"D$d"
     case s: String =>
       "S" + java.net.URLEncoder.encode(s, "UTF-8")
@@ -4460,6 +4492,7 @@ object VersionedTable {
   private def decode(s: String): Any = s.charAt(0) match {
     case 'L' => s.drop(1).toLong
     case 'T' => TsMicros(s.drop(1).toLong)
+    case 'C' => new java.math.BigDecimal(s.drop(1))
     case 'D' => s.drop(1).toDouble
     case 'S' => java.net.URLDecoder.decode(s.drop(1), "UTF-8")
     case _ => throw new IllegalStateException(s"bad span field: $s")

@@ -1161,6 +1161,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case u: UTF8String => u.toString
       case other: java.lang.Long if isTs(a) =>
         VersionedTable.TsMicros(other)
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
       case other => other
     }
     def ok(a: AttributeReference): Boolean =
@@ -1233,6 +1234,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           case u: UTF8String => u.toString
           case other: java.lang.Long if isTs(a) =>
             VersionedTable.TsMicros(other)
+          case d: org.apache.spark.sql.types.Decimal =>
+            d.toJavaBigDecimal
           case other => other
         })))
       case IsNotNull(a: AttributeReference) if ok(a) =>
@@ -1270,6 +1273,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           case u: UTF8String => u.toString
           case other: java.lang.Long if isTs(a) =>
             VersionedTable.TsMicros(other)
+          case d: org.apache.spark.sql.types.Decimal =>
+            d.toJavaBigDecimal
           case other => other
         })))
       case _ => None
@@ -1608,10 +1613,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     case LongType | DoubleType | StringType => true
     // dates normalize through their physical epoch days (Long in the
     // manifest, Int in Catalyst); timestamps through unit-normalized
-    // TsMicros spans (raw legacy spans decline via incomparability)
+    // TsMicros spans (raw legacy spans decline via incomparability);
+    // decimals through BigDecimal at the column's fixed scale (r17)
     case DateType => true
     case _: org.apache.spark.sql.types.TimestampType => true
     case _: org.apache.spark.sql.types.TimestampNTZType => true
+    case _: DecimalType => true
     case _ => false
   }
 
@@ -1637,6 +1644,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         _: org.apache.spark.sql.types.TimestampType) => Some(l)
       case (VersionedTable.TsMicros(l),
         _: org.apache.spark.sql.types.TimestampNTZType) => Some(l)
+      case (bd: java.math.BigDecimal, d: DecimalType) =>
+        val dec = org.apache.spark.sql.types.Decimal(bd)
+        if (dec.changePrecision(d.precision, d.scale)) Some(dec)
+        else None // recorded at a different shape: decline
       case (s: String, StringType) => Some(UTF8String.fromString(s))
       case _ => None
     }

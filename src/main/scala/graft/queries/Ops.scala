@@ -1110,14 +1110,17 @@ object Ops {
     // block the fold shape (deliberately: exact-or-untouched)
     val whole = s.sql(
       s"""SELECT n, sk, sl, CAST(sp AS DOUBLE) AS sp,
-         |  CAST(sp8 AS DOUBLE) AS sp8, ak FROM (
+         |  CAST(sp8 AS DOUBLE) AS sp8, ak,
+         |  CAST(plo AS DOUBLE) AS plo, CAST(phi AS DOUBLE) AS phi
+         |FROM (
          |  SELECT count(*) AS n, sum(l_orderkey) AS sk,
          |    sum(l_linenumber) AS sl, sum(price) AS sp,
-         |    sum(price8) AS sp8, avg(l_orderkey) AS ak
+         |    sum(price8) AS sp8, avg(l_orderkey) AS ak,
+         |    min(price) AS plo, max(price) AS phi
          |  FROM graft.`$t`)""".stripMargin)
     require(foldsToLocal(whole),
-      "whole-table sum/avg must fold from the manifest with zero " +
-        "files opened")
+      "whole-table sum/avg and decimal min/max must fold from the " +
+        "manifest with zero files opened")
     val maxRow = lineitem(s, d).agg(max(col("l_orderkey"))).collect()(0)
     val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val lo = (maxId + 1) / 4
@@ -3459,6 +3462,10 @@ object Ops {
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(8,2)))
         |         AS DOUBLE) AS sp8,
         |       avg(l_orderkey) AS ak,
+        |       CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |         AS DOUBLE) AS plo,
+        |       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |         AS DOUBLE) AS phi,
         |       (SELECT CAST(sum(l_orderkey) AS BIGINT) FROM lineitem
         |        WHERE l_orderkey >= (SELECT m FROM mx) // 4
         |          AND l_orderkey < (3 * (SELECT m FROM mx)) // 4)

@@ -189,6 +189,11 @@ object VtPushdown {
         // micros spans; legacy raw-Long spans compare as incomparable
         // (conservative keep) instead of mixing units
         Some(VersionedTable.TsMicros(v.asInstanceOf[Number].longValue))
+      case _: DecimalType =>
+        // manifests record decimal spans as BigDecimal at the
+        // column's fixed scale (r17, `C` tag under the v8 header)
+        Some(v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toJavaBigDecimal)
       case _ => None
     }
 }

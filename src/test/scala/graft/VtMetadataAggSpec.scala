@@ -226,17 +226,20 @@ class VtMetadataAggSpec extends AnyFunSuite {
       val ts = if (i % 23 == 0) null
         else java.sql.Timestamp.valueOf(java.time.LocalDateTime
           .of(1995, 1, 1, 0, 0).plusHours(i * 13 % 20000))
-      Row(id, d, s, dt, ts)
+      val dec = if (i % 5 == 4) null
+        else new java.math.BigDecimal(i).movePointLeft(1).setScale(2)
+      Row(id, d, s, dt, ts, dec)
     }
     val schema = StructType(Seq(StructField("id", LongType),
       StructField("d", DoubleType), StructField("s", StringType),
-      StructField("dt", DateType), StructField("ts", TimestampType)))
+      StructField("dt", DateType), StructField("ts", TimestampType),
+      StructField("dec", DecimalType(10, 2))))
     VersionedTable.commit(
       spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava),
         schema).repartitionByRange(3, col("id"))
         .sortWithinPartitions(col("id")),
       t, overwrite = true,
-      statsCols = Seq("id", "d", "s", "dt", "ts"))
+      statsCols = Seq("id", "d", "s", "dt", "ts", "dec"))
     VersionedTable.deleteWhere(spark, t, col("id") % 29 === 0,
       deletionVectors = true)
     val trusted = VersionedTable.read(spark, t) // never sees the rule
@@ -268,7 +271,12 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "ts = TIMESTAMP '1995-01-01 13:00:00'",
       "ts != TIMESTAMP '1995-01-02 05:00:00'",
       "s LIKE 'k1%'", "s LIKE 'z%'", "s LIKE 'k%' OR id < 5",
-      "s LIKE 'k_5%'"
+      "s LIKE 'k_5%'",
+      // DECIMAL spans (r17, `C` tag): ranges, equality, nulls,
+      // negations, cross-column ORs
+      "dec >= 10.00", "dec < 5.00", "dec = 7.70", "dec IS NULL",
+      "dec IS NOT NULL", "dec NOT IN (1.10, 2.20)",
+      "dec >= 3.30 AND dec < 25.00", "id < 50 OR dec >= 25.00"
     ) ++ (0 until 20).map { _ =>
       val lo = rnd.nextInt(300); val hi = lo + rnd.nextInt(100)
       s"id >= $lo AND id < $hi"
@@ -286,7 +294,10 @@ class VtMetadataAggSpec extends AnyFunSuite {
       // unfoldable shape declines the WHOLE statement's fold, which
       // would silently turn every lane here into scan-vs-scan; they
       // get their own lanes in the sum/avg fold test.
-      "sum(id) AS sid")
+      "sum(id) AS sid",
+      // decimal spans + sums (r17): count/min/max/sum over `dec`
+      "count(dec) AS ndec", "min(dec) AS dcmn", "max(dec) AS dcmx",
+      "sum(dec) AS dcs")
     preds.foreach { p =>
       val folded = spark.sql(
         s"SELECT ${aggList.mkString(", ")} FROM graft.`$t` WHERE $p")
@@ -315,7 +326,7 @@ class VtMetadataAggSpec extends AnyFunSuite {
         grouped.where(col("id").isNotNull && col("id") % 4 === b)
           .withColumn("grp", lit(b.toLong)).coalesce(1),
         tg, overwrite = b == 0,
-        statsCols = Seq("grp", "id", "d", "s", "dt", "ts"))
+        statsCols = Seq("grp", "id", "d", "s", "dt", "ts", "dec"))
     }
     VersionedTable.commit(
       grouped.where(col("id").isNull)
@@ -328,9 +339,10 @@ class VtMetadataAggSpec extends AnyFunSuite {
       "count(d) AS nd", "min(id) AS lo", "max(id) AS hi",
       "min(s) AS smn", "max(s) AS smx",
       "cast(min(d) AS string) AS dmn", "cast(max(d) AS string) AS dmx",
-      "min(ts) AS tmn", "max(ts) AS tmx", "sum(id) AS sid")
+      "min(ts) AS tmn", "max(ts) AS tmx", "sum(id) AS sid",
+      "min(dec) AS gdmn", "sum(dec) AS gdcs")
     Seq("TRUE", "id >= 100", "grp = 1 OR grp = 3", "s IS NOT NULL",
-      "id >= 50 AND id < 250").foreach { p =>
+      "id >= 50 AND id < 250", "dec >= 10.00").foreach { p =>
       val folded = spark.sql(s"SELECT grp, ${gAggs.mkString(", ")} " +
         s"FROM graft.`$tg` WHERE $p GROUP BY grp").collect()
         .map(_.toSeq).toSet
@@ -839,6 +851,41 @@ class VtMetadataAggSpec extends AnyFunSuite {
         .collect().toSet,
       "a fully-masked group is absent from the scan and must be " +
         "absent from the fold")
+  }
+
+  test("decimal spans: min/max/sum fold, WHERE classifies and prunes") {
+    setup()
+    val t = tmpTable("dec")
+    val df = (0L until 1000L).map(i => (i, i)).toDF("id", "raw")
+      .withColumn("price", (col("raw") / 4).cast("decimal(12,2)"))
+      .drop("raw")
+    VersionedTable.commit(
+      df.repartitionByRange(4, col("id")).sortWithinPartitions("id"),
+      t, overwrite = true, statsCols = Seq("id", "price"))
+    // `C` decimal spans are a new field alphabet: the v8 header gate
+    val src = scala.io.Source.fromFile(s"$t/_graft_log/v00000.manifest")
+    val head = try src.getLines().next() finally src.close()
+    assert(head == "graft-vt-v8",
+      "decimal spans must ride the bumped reader protocol")
+    val trusted = VersionedTable.read(spark, t)
+    val q = s"SELECT min(price) AS lo, max(price) AS hi, " +
+      s"sum(price) AS sp FROM graft.`$t`"
+    assert(foldsToLocal(q), "decimal min/max/sum must fold from spans")
+    assert(spark.sql(q).collect()(0).toSeq ==
+      trusted.selectExpr("min(price) AS lo", "max(price) AS hi",
+        "sum(price) AS sp").collect()(0).toSeq)
+    // a WHERE on the decimal column classifies files exactly: the
+    // interior of the range folds, only straddling files scan
+    val w = s"SELECT count(*) AS n, min(price) AS lo " +
+      s"FROM graft.`$t` WHERE price >= 60.00 AND price < 200.00"
+    val wdf = spark.sql(w)
+    assert(wdf.collect()(0).toSeq ==
+      trusted.where("price >= 60.00 AND price < 200.00")
+        .selectExpr("count(*) AS n", "min(price) AS lo")
+        .collect()(0).toSeq)
+    if (VersionedTable.readEntries(spark, t, 0).size >= 4)
+      assert(wdf.inputFiles.length < 4,
+        s"decimal ranges must prune files: ${wdf.inputFiles.length}/4")
   }
 
   test("multi-key GROUP BY and DISTINCT fold from metadata") {
