@@ -4192,6 +4192,23 @@ object VersionedTable {
         .sortWithinPartitions("__z")
         .drop("__z")
 
+  /** ONE detached harvest session per caller session, CACHED — the
+    * tiny per-commit sum job runs with shuffle width 1 (its grouped
+    * partials are O(#new files) rows) and no AQE re-planning, and its
+    * conf can never invalidate the caller's cached relation plans.
+    * Cached because `newSession()` mints a whole SessionState
+    * (analyzer/optimizer/conf) whose lazy init costs more than the
+    * job it was meant to speed up when paid per commit. */
+  private val harvestSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def harvestSession(spark: SparkSession): SparkSession =
+    harvestSessions.computeIfAbsent(spark, s => {
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      s2.conf.set("spark.sql.shuffle.partitions", "1")
+      s2
+    })
+
   /** Manifest entries for a batch of just-published files: per-file
     * footer harvest (row counts, spans, null counts — driver-side
     * metadata reads) plus ONE distributed column-pruned pass
@@ -4231,13 +4248,7 @@ object VersionedTable {
     // directly, so recording nothing is equally exact
     if (entries.forall(_.nRows == 0)) return entries
     try {
-      // a DETACHED session keeps the tiny harvest job cheap and
-      // isolated: shuffle width 1 (the grouped partials are O(#new
-      // files) rows) and no AQE re-planning — and its conf tweaks
-      // can never invalidate the CALLER's cached relation plans
-      val s = spark.newSession()
-      s.conf.set("spark.sql.adaptive.enabled", "false")
-      s.conf.set("spark.sql.shuffle.partitions", "1")
+      val s = harvestSession(spark)
       val paths = entries.map(e => new Path(root, e.name).toString)
       val df = s.read.parquet(paths: _*)
       val fieldType = df.schema.fields.iterator
