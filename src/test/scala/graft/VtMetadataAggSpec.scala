@@ -886,6 +886,25 @@ class VtMetadataAggSpec extends AnyFunSuite {
     if (VersionedTable.readEntries(spark, t, 0).size >= 4)
       assert(wdf.inputFiles.length < 4,
         s"decimal ranges must prune files: ${wdf.inputFiles.length}/4")
+    // a DECIMAL grouping key folds too (point-valued per file): the
+    // per-tier commit shape with a money-typed tier column
+    val tg = tmpTable("dectier")
+    (0 to 2).foreach { tier =>
+      VersionedTable.commit(
+        (0L until 50L).map(i => (tier.toLong, i)).toDF("raw", "x")
+          .withColumn("tier",
+            (col("raw") * 10 + 0.5).cast("decimal(6,2)"))
+          .drop("raw").coalesce(1),
+        tg, overwrite = tier == 0,
+        statsCols = if (tier == 0) Seq("tier", "x") else Seq.empty)
+    }
+    val gq = s"SELECT tier, count(*) AS n, sum(x) AS sx " +
+      s"FROM graft.`$tg` GROUP BY tier"
+    assert(foldsToLocal(gq), "a decimal grouping key must fold")
+    assert(spark.sql(gq).collect().map(_.toSeq).toSet ==
+      VersionedTable.read(spark, tg).groupBy("tier")
+        .agg(expr("count(*) AS n"), expr("sum(x) AS sx"))
+        .collect().map(_.toSeq).toSet)
   }
 
   test("multi-key GROUP BY and DISTINCT fold from metadata") {
