@@ -48,6 +48,10 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // INT64 micros, not the deprecated INT96: footer statistics (and
+      // hence manifest spans/folds) exist for TIMESTAMP columns only
+      // under INT64 — the Delta/Iceberg writer posture.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // TIMESTAMP(NANOS) parquet columns read as raw longs (the events
       // fixture needs it; setting it per read invalidates plan caches).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -8,6 +8,7 @@ import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.WriteHarvest
 import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, StructField, StructType}
 
 /** Versioned parquet table with a commit log and time-travel reads —
@@ -125,6 +126,9 @@ import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, Str
   * pushdown are untouched.
   */
 object VersionedTable {
+
+  private val log =
+    org.slf4j.LoggerFactory.getLogger("graft.operators.VersionedTable")
 
   private val LogDir = "_graft_log"
   private val Header = "graft-vt-v4"
@@ -498,7 +502,8 @@ object VersionedTable {
       resolveSchema(df.schema, prevHeader0, overwrite, path): Unit
     val stageSchema =
       if (overwrite) None else prevHeader0.flatMap(_.schemaJson)
-    val published = stageAndPublish(df, fs, root, v0, cols0, stageSchema)
+    val staged0 = stageAndPublish(df, fs, root, v0, cols0, stageSchema)
+    val published = staged0.names
 
     // not @tailrec: the non-local txn-idempotence return blocks the
     // optimization; depth is bounded by maxRetries (tiny)
@@ -527,6 +532,12 @@ object VersionedTable {
       val schemaJson = resolveSchema(df.schema, prevHeader, overwrite, path)
       val fresh =
         if (entries.nonEmpty) entries
+        // first attempt, same stats columns as staging resolved: the
+        // in-write harvest already built the entries (zero re-reads);
+        // a retry that resolved DIFFERENT cols re-harvests below
+        else if (cols == staged0.cols &&
+            (staged0.entries.nonEmpty || staged0.names.isEmpty))
+          staged0.entries
         else harvestEntries(spark, fs, conf, root, published, cols,
           if (overwrite) None else prevHeader.flatMap(_.schemaJson))
       val carried =
@@ -653,10 +664,11 @@ object VersionedTable {
               .where(!coalesce(predicate, lit(false)))
           // slot from the SAME listing as the base (latestVisibleIn
           // doc): holes between them are decided-aborted, never revive
-          val pub = stageAndPublish(survivors, fs, root, v2, cols,
+          val st = stageAndPublish(survivors, fs, root, v2, cols,
             header.schemaJson)
-          val newEntries = harvestEntries(spark, fs, conf, root, pub,
-            cols, header.schemaJson)
+          val pub = st.names
+          val newEntries = entriesOf(st, spark, fs, conf, root,
+            header.schemaJson)
           if (tryWriteManifest(fs, root, v2, "delete", txnId, cols,
               header.schemaJson, carried ++ newEntries,
               pendingTxn = pendingTxn)) {
@@ -764,10 +776,11 @@ object VersionedTable {
           entries,
           hits.select(col(probeFileC).as("file"), col(probePosC).as("pos")),
           perFile, v2)
-        val pub = stageAndPublish(clusterOut(post, clusterBy, 1),
+        val st = stageAndPublish(clusterOut(post, clusterBy, 1),
           fs, root, v2, cols, header.schemaJson)
-        val newEntries = harvestEntries(spark, fs, conf, root, pub,
-          cols, header.schemaJson)
+        val pub = st.names
+        val newEntries = entriesOf(st, spark, fs, conf, root,
+          header.schemaJson)
         if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
             header.schemaJson, masked ++ newEntries,
             pendingTxn = pendingTxn)) {
@@ -829,10 +842,11 @@ object VersionedTable {
       val cols = resolveStatsCols(Some(header), Seq.empty)
       val out = clusterOut(updated, clusterBy,
         math.max(1, rewrite.size))
-      val published = stageAndPublish(out, fs, root, v2, cols,
+      val st = stageAndPublish(out, fs, root, v2, cols,
         header.schemaJson)
-      val newEntries = harvestEntries(spark, fs, conf, root,
-        published, cols, header.schemaJson)
+      val published = st.names
+      val newEntries = entriesOf(st, spark, fs, conf, root,
+        header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "update", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -1021,10 +1035,11 @@ object VersionedTable {
           if (perFile.isEmpty) (entries, Seq.empty[String])
           else applyDvPositions(spark, fs, root, path, entries,
             matchedPos.get, perFile, v2)
-        val pub = stageAndPublish(clusterOut(ordered, clusterBy, 1),
+        val st = stageAndPublish(clusterOut(ordered, clusterBy, 1),
           fs, root, v2, cols, header.schemaJson)
-        val newEntries = harvestEntries(spark, fs, conf, root, pub,
-          cols, header.schemaJson)
+        val pub = st.names
+        val newEntries = entriesOf(st, spark, fs, conf, root,
+          header.schemaJson)
         if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
             header.schemaJson, masked ++ newEntries,
             pendingTxn = pendingTxn)) {
@@ -1058,11 +1073,12 @@ object VersionedTable {
       // opt-in: keep the rewrite clustered so CDC traffic does not
       // widen spans between OPTIMIZE runs; the rewritten-file count is
       // the layout-preserving output target (insert-only: one file)
-      val published = stageAndPublish(
+      val st = stageAndPublish(
         clusterOut(newData, clusterBy, math.max(1, rewrite.size)),
         fs, root, v2, cols, header.schemaJson)
-      val newEntries = harvestEntries(spark, fs, conf, root,
-        published, cols, header.schemaJson)
+      val published = st.names
+      val newEntries = entriesOf(st, spark, fs, conf, root,
+        header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "merge", txnId, cols,
           header.schemaJson, carried ++ newEntries,
           pendingTxn = pendingTxn)) {
@@ -1532,11 +1548,12 @@ object VersionedTable {
       // holes between them are decided-aborted and can never revive
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       val cols = resolveStatsCols(Some(header), Seq.empty)
-      val published = stageAndPublish(
+      val st = stageAndPublish(
         clusterOut(survivors, clusterBy, math.max(1, rewrite.size)),
         fs, root, v2, cols, header.schemaJson)
-      val newEntries = harvestEntries(spark, fs, conf, root,
-        published, cols, header.schemaJson)
+      val published = st.names
+      val newEntries = entriesOf(st, spark, fs, conf, root,
+        header.schemaJson)
       if (tryWriteManifest(fs, root, v2, "replace", txnId, cols,
           header.schemaJson, carried ++ newEntries)) {
         maybeCheckpoint(fs, root, v2)
@@ -2557,10 +2574,11 @@ object VersionedTable {
     // concurrent writer's commit with pre-compaction content
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(clustered, fs, root, v2, cols,
+    val st = stageAndPublish(clustered, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = harvestEntries(spark, fs, conf, root,
-      published, cols, header.schemaJson)
+    val published = st.names
+    val newEntries = entriesOf(st, spark, fs, conf, root,
+      header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2607,10 +2625,11 @@ object VersionedTable {
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(packed, fs, root, v2, cols,
+    val st = stageAndPublish(packed, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = harvestEntries(spark, fs, conf, root,
-      published, cols, header.schemaJson)
+    val published = st.names
+    val newEntries = entriesOf(st, spark, fs, conf, root,
+      header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, big.map(_._1) ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2670,10 +2689,11 @@ object VersionedTable {
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(clustered, fs, root, v2, cols,
+    val st = stageAndPublish(clustered, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = harvestEntries(spark, fs, conf, root,
-      published, cols, header.schemaJson)
+    val published = st.names
+    val newEntries = entriesOf(st, spark, fs, conf, root,
+      header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -2783,10 +2803,11 @@ object VersionedTable {
     // slot from the SAME listing as the base (latestVisibleIn doc)
     val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
     val cols = resolveStatsCols(Some(header), Seq.empty)
-    val published = stageAndPublish(packed, fs, root, v2, cols,
+    val st = stageAndPublish(packed, fs, root, v2, cols,
       header.schemaJson)
-    val newEntries = harvestEntries(spark, fs, conf, root,
-      published, cols, header.schemaJson)
+    val published = st.names
+    val newEntries = entriesOf(st, spark, fs, conf, root,
+      header.schemaJson)
     if (tryWriteManifest(fs, root, v2, "optimize", None, cols,
         header.schemaJson, carried ++ newEntries)) {
       maybeCheckpoint(fs, root, v2)
@@ -3675,9 +3696,116 @@ object VersionedTable {
     * membership ([[mergeInto]]'s discovery uses both). Cost is a few
     * KB per file per column at write time — the write path already
     * buffers the values. */
+  /** What one staging pass produced: the published file names, their
+    * fully-built manifest entries (stats included), and the stats
+    * columns those entries were built FOR — a retry that resolves a
+    * different column set (another writer changed the table's stats
+    * declaration mid-race) must rebuild via [[harvestEntries]] instead
+    * of trusting these. */
+  private[graft] final case class Staged(names: Seq[String],
+      entries: Seq[FileEntry], cols: Seq[String])
+
+  /** Resolve each stats column of the staged (PHYSICAL-named) frame to
+    * an in-write harvest spec. Kind resolution mirrors what a parquet
+    * FOOTER harvest of the written file could normalize — same units
+    * (DATE epoch days, TIMESTAMP micros with millis-truncation under
+    * `outputTimestampType=TIMESTAMP_MILLIS`), same declines (INT96
+    * timestamps, LEGACY datetime rebase — where written values differ
+    * from in-memory ones — and non-atomic types record nothing) — so
+    * write-harvested and footer-harvested entries are interchangeable
+    * in one manifest. */
+  private def harvestSpecs(physDf: DataFrame, indexCols: Seq[String],
+      mapping: Map[String, String]): Seq[WriteHarvest.ColSpec] = {
+    import org.apache.spark.sql.types._
+    val sqlConf = physDf.sparkSession.asInstanceOf[
+      org.apache.spark.sql.classic.SparkSession].sessionState.conf
+    // the EFFECTIVE value (SQLConf default applies — Spark 4 still
+    // defaults to INT96, which a footer harvest cannot normalize; the
+    // tracker declines identically so both harvest paths agree)
+    val tsType = sqlConf.parquetOutputTimestampType.toString
+    val rebaseLegacy = sqlConf.getConfString(
+      "spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
+      .equalsIgnoreCase("LEGACY")
+    val fields = physDf.schema.fields
+    indexCols.flatMap { c =>
+      val pc = mapping.getOrElse(c, c)
+      val i = fields.indexWhere(_.name == pc)
+      if (i < 0) None // column absent from this batch: nothing recorded
+      else {
+        val kind: Option[Int] = fields(i).dataType match {
+          case ByteType => Some(WriteHarvest.KByte)
+          case ShortType => Some(WriteHarvest.KShort)
+          case IntegerType => Some(WriteHarvest.KInt)
+          case org.apache.spark.sql.types.LongType =>
+            Some(WriteHarvest.KLong)
+          case DateType => Some(
+            if (rebaseLegacy) WriteHarvest.KNullsOnly
+            else WriteHarvest.KDate)
+          case TimestampType => Some(
+            if (rebaseLegacy) WriteHarvest.KNullsOnly
+            else tsType match {
+              case "TIMESTAMP_MICROS" => WriteHarvest.KTsMicros
+              case "TIMESTAMP_MILLIS" => WriteHarvest.KTsMillis
+              case _ => WriteHarvest.KNullsOnly // INT96: footer declines too
+            })
+          case TimestampNTZType => Some(WriteHarvest.KTsMicros)
+          case FloatType => Some(WriteHarvest.KFloat)
+          case DoubleType => Some(WriteHarvest.KDouble)
+          case org.apache.spark.sql.types.StringType =>
+            Some(WriteHarvest.KString)
+          case _: DecimalType => Some(WriteHarvest.KDecimal)
+          case BooleanType | BinaryType => Some(WriteHarvest.KNullsOnly)
+          case _: YearMonthIntervalType | _: DayTimeIntervalType =>
+            Some(WriteHarvest.KNullsOnly)
+          case _ => None // nested: footer records nothing either
+        }
+        val (p, s) = fields(i).dataType match {
+          case d: DecimalType => (d.precision, d.scale)
+          case _ => (0, 0)
+        }
+        kind.map(k => WriteHarvest.ColSpec(c, i, k, p, s))
+      }
+    }
+  }
+
+  /** Build the manifest [[FileEntry]] of one published file from its
+    * in-write harvest. Timestamp-kind spans re-tag their micros Longs
+    * as [[TsMicros]] here (the tracker is graft-agnostic). */
+  private def entryFromHarvest(name: String, size: Long,
+      h: WriteHarvest.FileHarvest,
+      specs: Seq[WriteHarvest.ColSpec]): FileEntry = {
+    val tsCols = specs.iterator.filter(s =>
+      s.kind == WriteHarvest.KTsMicros || s.kind == WriteHarvest.KTsMillis)
+      .map(_.logical).toSet
+    val stats = specs.flatMap { s =>
+      h.cols.get(s.logical).flatMap(_.span).map {
+        case Some((mn, mx)) if tsCols(s.logical) =>
+          s.logical -> Some((TsMicros(mn.asInstanceOf[Long]): Any,
+            TsMicros(mx.asInstanceOf[Long]): Any))
+        case sp => s.logical -> sp
+      }
+    }.toMap
+    val nulls = specs.flatMap(s =>
+      h.cols.get(s.logical).filter(_.nulls >= 0)
+        .map(r => s.logical -> r.nulls)).toMap
+    val sums = specs.flatMap(s =>
+      h.cols.get(s.logical).flatMap(_.sum).map(s.logical -> _)).toMap
+    FileEntry(name, h.rows, stats, size, nulls = nulls, sums = sums)
+  }
+
+  /** A staging pass's manifest entries: the in-write harvest's when it
+    * ran (the default), otherwise (kill-switch `spark.graft.writeHarvest
+    * =false`) the footer+scan harvest over the published names. */
+  private def entriesOf(st: Staged, spark: SparkSession, fs: FileSystem,
+      conf: Configuration, root: Path,
+      schemaJson: Option[String]): Seq[FileEntry] =
+    if (st.entries.nonEmpty || st.names.isEmpty) st.entries
+    else harvestEntries(spark, fs, conf, root, st.names, st.cols,
+      schemaJson)
+
   private def stageAndPublish(df: DataFrame, fs: FileSystem, root: Path,
       v: Int, indexCols: Seq[String] = Seq.empty,
-      schemaJson: Option[String] = None): Seq[String] = {
+      schemaJson: Option[String] = None): Staged = {
     val stage = new Path(root.getParent,
       s".${root.getName}__vt_stage_${java.util.UUID.randomUUID}")
     // column mapping: files always carry PHYSICAL names, so a renamed
@@ -3689,24 +3817,69 @@ object VersionedTable {
       else df.select(df.columns.map(c =>
         col(c).as(mapping.getOrElse(c, c))).toSeq: _*)
     val physIdx = indexCols.map(c => mapping.getOrElse(c, c))
-    val writer = physIdx.foldLeft(physDf.write.mode("overwrite")) {
-      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
-        .option(s"parquet.bloom.filter.fpp#$c", BloomFpp)
+    val bloomOpts: Map[String, String] =
+      physIdx.flatMap(c => Seq(
+        s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.fpp#$c" -> BloomFpp.toString)).toMap ++
+      (if (physIdx.isEmpty) Map.empty[String, String]
+       else Map("parquet.bloom.filter.adaptive.enabled" -> "true"))
+    // In-write stats harvest (default ON; `spark.graft.writeHarvest`
+    // false = the pre-tracker path, kept as a measured A/B lane and a
+    // kill switch): the write tasks themselves record each file's row
+    // count, spans, null counts and exact sums — zero post-commit
+    // reads. OFF or per-file holes fall back to the footer+scan
+    // harvest below.
+    val useInWrite = df.sparkSession.conf
+      .get("spark.graft.writeHarvest", "true").toBoolean
+    var harvest = Map.empty[String, WriteHarvest.FileHarvest]
+    val specs =
+      if (useInWrite) harvestSpecs(physDf, indexCols, mapping)
+      else Seq.empty
+    if (useInWrite) {
+      harvest = WriteHarvest.stageWrite(physDf, stage.toString,
+        bloomOpts, specs)
+    } else {
+      val writer = bloomOpts.foldLeft(physDf.write.mode("overwrite")) {
+        case (w, (k, vv)) => w.option(k, vv)
+      }
+      writer.parquet(stage.toString)
     }
-    (if (physIdx.isEmpty) writer
-     else writer.option("parquet.bloom.filter.adaptive.enabled", "true"))
-      .parquet(stage.toString)
     val staged = fs.listStatus(stage).filter(_.isFile)
-      .map(_.getPath).filterNot(p =>
-        p.getName.startsWith("_") || p.getName.startsWith("."))
-    val published = staged.map { p =>
+      .filterNot(st => st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("."))
+    val published = staged.map { st =>
+      val p = st.getPath
       val name = f"v$v%05d-${p.getName}"
       require(fs.rename(p, new Path(root, name)),
         s"versioned commit: publish $p -> $name failed")
-      name
-    }.toSeq.sorted
+      (name, p.getName, st.getLen)
+    }.toSeq.sortBy(_._1)
     fs.delete(stage, true)
-    published
+    val names = published.map(_._1)
+    val entries =
+      if (!useInWrite) Seq.empty // caller path computes via harvestEntries
+      else {
+        val (have, missing) = published.partition {
+          case (_, bare, _) => harvest.contains(bare) }
+        val fromWrite = have.map { case (name, bare, len) =>
+          entryFromHarvest(name, len, harvest(bare), specs) }
+        val fallback =
+          if (missing.isEmpty) Seq.empty
+          else {
+            // a committed file the tracker did not report (should not
+            // happen) — observable, never silent; stats stay exact via
+            // the footer+scan harvest
+            log.warn(s"in-write stats harvest missed " +
+              s"${missing.size}/${published.size} file(s) at $root " +
+              s"(${missing.take(3).map(_._1).mkString(",")}…); " +
+              "falling back to footer harvest for them")
+            harvestEntries(df.sparkSession, fs,
+              df.sparkSession.sessionState.newHadoopConf(), root,
+              missing.map(_._1), indexCols, schemaJson)
+          }
+        (fromWrite ++ fallback).sortBy(_.name)
+      }
+    Staged(names, entries, indexCols)
   }
 
   /** Move already-published files from version prefix `from` to `to`
@@ -4139,7 +4312,7 @@ object VersionedTable {
       if (prior.isEmpty) Map.empty
       else allPos.groupBy("file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val side = stageAndPublish(allPos.coalesce(1), fs, root, v2)
+    val side = stageAndPublish(allPos.coalesce(1), fs, root, v2).names
     val sidecar = side match {
       case Seq(one) => one
       case more => throw new IllegalStateException(
@@ -4199,15 +4372,36 @@ object VersionedTable {
     * Cached because `newSession()` mints a whole SessionState
     * (analyzer/optimizer/conf) whose lazy init costs more than the
     * job it was meant to speed up when paid per commit. */
+  /** BOUNDED (LRU, 8 entries): a long-lived service minting many
+    * caller sessions must not accumulate one detached SessionState per
+    * session forever — an evicted caller simply pays one `newSession`
+    * again on its next fallback harvest. (Weak keys would not help:
+    * the derived session's SessionState chain references its parent,
+    * keeping the key reachable.) */
   private val harvestSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    new java.util.LinkedHashMap[SparkSession, SparkSession](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[SparkSession, SparkSession]): Boolean =
+        size > 8
+    }
   private def harvestSession(spark: SparkSession): SparkSession =
-    harvestSessions.computeIfAbsent(spark, s => {
-      val s2 = s.newSession()
-      s2.conf.set("spark.sql.adaptive.enabled", "false")
-      s2.conf.set("spark.sql.shuffle.partitions", "1")
-      s2
-    })
+    harvestSessions.synchronized {
+      val hit = harvestSessions.get(spark)
+      if (hit != null) hit
+      else {
+        val s2 = spark.newSession()
+        s2.conf.set("spark.sql.adaptive.enabled", "false")
+        s2.conf.set("spark.sql.shuffle.partitions", "1")
+        // ANSI off: one file whose per-file DECIMAL(38) sum overflows
+        // must degrade to "unknown" via the null-sum/count>0 shape the
+        // caller already disambiguates — not throw and abort the whole
+        // batch's Σ ledger
+        s2.conf.set("spark.sql.ansi.enabled", "false")
+        harvestSessions.put(spark, s2)
+        s2
+      }
+    }
 
   /** Manifest entries for a batch of just-published files: per-file
     * footer harvest (row counts, spans, null counts — driver-side
@@ -4304,7 +4498,15 @@ object VersionedTable {
             }.toMap)
         }
       }
-    } catch { case scala.util.control.NonFatal(_) => entries }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // degradation only — folds decline to the scan — but it must
+        // never be SILENT: a table quietly losing its Σ ledger forever
+        // is unobservable otherwise
+        log.warn(s"per-file sum harvest failed at $root " +
+          s"(${entries.size} file(s) commit without recorded sums): $e")
+        entries
+    }
   }
 
   private def footerEntry(fs: FileSystem, conf: Configuration, p: Path,
