@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // before the masked-scan rewrite (a DV'd table's count answers
     // from live-row metadata instead of planning the masking read).
     ext.injectOptimizerRule(_ => graft.plans.VtMetadataAgg)
+    // ORDER BY col LIMIT k over versioned tables opens only files
+    // whose span can reach the provable top-k (needs the raw relation,
+    // so it also precedes the masked rewrite).
+    ext.injectOptimizerRule(_ => graft.plans.VtTopKRewrite)
+    // Join-key dynamic file pruning: a broadcast-class selective
+    // build side prunes the versioned probe side's manifest files
+    // before the scan starts (star-join DPP at the file level).
+    ext.injectOptimizerRule(_ => graft.plans.VtJoinPrune)
     // SQL SELECT over deletion-vector'd / column-mapped versions —
     // swaps the relation for the masking read plan pre-pushdown.
     ext.injectOptimizerRule(_ => graft.plans.VtMaskedScanRewrite)
@@ -81,6 +89,10 @@ object GraftExtensions {
     graft.plans.VtDml.ensureRegistered(spark)
     graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
     // prepends itself, so it stays ahead of the masked rewrite
+    graft.plans.VtJoinPrune.ensureRegistered(spark)
+    // prepends itself, so it stays ahead of the masked rewrite
+    graft.plans.VtTopKRewrite.ensureRegistered(spark)
+    // prepends itself, so it stays ahead of both
     graft.plans.VtMetadataAgg.ensureRegistered(spark)
     // Runtime twin of injectOptimizerRule: the experimental batch runs
     // at the end of logical optimization — single-distinct aggregates

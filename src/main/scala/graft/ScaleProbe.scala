@@ -28,7 +28,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv", "vtseg", "vtmeta", "vtanalyze")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv", "vtseg", "vtmeta", "vtanalyze", "dfp", "topk")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1498,6 +1498,70 @@ object ScaleProbe {
           Seq(VersionedTable.RangePred("id", 5000000L, 5100000L))).get)
       require(jobKept.toSet == kept.toSet,
         "job prune must equal driver prune")
+      org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+    }
+
+    // Round-18 lanes: join-key dynamic file pruning (files opened
+    // with/without, star-join shape) and ORDER BY LIMIT top-k file
+    // skipping, both on a 64-file ~700 MB versioned fact table.
+    if (stages("dfp") || stages("topk")) {
+      import graft.operators.VersionedTable
+      val dir = java.nio.file.Files.createTempDirectory("probe_dfp_")
+      val t = s"$dir/fact"
+      val n = 64L * 100000
+      val rows = spark.range(n).selectExpr("id",
+        "concat(cast(id as string), '_', md5(cast(id as string)), " +
+          "'_', md5(cast(id + 1 as string))) as s")
+        .repartitionByRange(64, col("id")).sortWithinPartitions("id")
+      VersionedTable.commit(rows, t, overwrite = true,
+        statsCols = Seq("id"))
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+      graft.plans.VtJoinPrune.ensureRegistered(spark)
+      graft.plans.VtTopKRewrite.ensureRegistered(spark)
+      graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+      def minOf3[A](body: => A): (A, Double) = {
+        var best = Double.MaxValue; var r: A = body
+        for (_ <- 1 to 3) {
+          val t0 = System.nanoTime(); r = body
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        }
+        (r, best)
+      }
+      if (stages("dfp")) {
+        // a selective dimension: 50k contiguous keys in the middle
+        // (past the IN-set cap, so the range path carries it)
+        spark.range(n / 2, n / 2 + 50000).selectExpr("id AS dk")
+          .where("dk % 1 = 0")
+          .createOrReplaceTempView("probe_dim")
+        val q = s"SELECT count(*) AS c FROM graft.`$t` f " +
+          "JOIN probe_dim d ON f.id = d.dk"
+        def files(): Int = spark.sql(q).inputFiles.length
+        spark.conf.set("spark.graft.dfp.enabled", "false")
+        val f0 = files()
+        val (c0, t0) = minOf3(spark.sql(q).collect()(0).getLong(0))
+        spark.conf.set("spark.graft.dfp.enabled", "true")
+        val f1 = files()
+        val (c1, t1) = minOf3(spark.sql(q).collect()(0).getLong(0))
+        require(c0 == c1 && c0 == 50000L, s"dfp changed the answer: $c0 vs $c1")
+        println(f"[probe] dfp: star join opens $f1/$f0 files " +
+          f"with pruning on ($t1%.2f s) vs off ($t0%.2f s) — at 800k " +
+          "files the unpruned side is the whole fact scan")
+        require(f1 < f0, s"dfp must prune: $f1 vs $f0")
+      }
+      if (stages("topk")) {
+        val q = s"SELECT id, s FROM graft.`$t` " +
+          "ORDER BY id DESC LIMIT 100"
+        spark.conf.set("spark.graft.topk.enabled", "false")
+        val f0 = spark.sql(q).inputFiles.length
+        val (r0, t0) = minOf3(spark.sql(q).collect().map(_.getLong(0)).toSeq)
+        spark.conf.set("spark.graft.topk.enabled", "true")
+        val f1 = spark.sql(q).inputFiles.length
+        val (r1, t1) = minOf3(spark.sql(q).collect().map(_.getLong(0)).toSeq)
+        require(r0 == r1, "topk changed the answer")
+        println(f"[probe] topk: ORDER BY DESC LIMIT 100 opens $f1/$f0 " +
+          f"files with skipping on ($t1%.2f s) vs off ($t0%.2f s)")
+        require(f1 < f0, s"topk must skip files: $f1 vs $f0")
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
     }
     spark.stop()

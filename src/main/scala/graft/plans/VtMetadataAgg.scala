@@ -175,7 +175,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         val newChild = child.transform {
           case ae: AggregateExpression => aliasFor(ae).toAttribute
         }
-        Alias(newChild, name)(exprId = al.exprId)
+        // carry the ORIGINAL alias's qualifier/metadata — the rewrite
+        // promises a plan-output-identical split, and dropping
+        // explicitMetadata would lose column metadata the unrewritten
+        // plan propagates
+        Alias(newChild, name)(exprId = al.exprId,
+          qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata,
+          nonInheritableMetadataKeys = al.nonInheritableMetadataKeys)
       case _ => return None
     }
     if (aggs.isEmpty) return None
@@ -583,12 +590,22 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    // avg and count(DISTINCT) are PURE-FOLD ONLY: neither decomposes
-    // over a boundary union the way count/sum/min/max do (distinct
-    // values could overlap between the metadata side and the scan) —
-    // any undecided file declines them to the scan
-    if ((avgAttrs.nonEmpty || distinctAttrs.nonEmpty) &&
-        boundary.nonEmpty) return None
+    // avg is PURE-FOLD ONLY: it does not decompose over a boundary
+    // union the way count/sum/min/max do — any undecided file declines
+    // it to the scan. count(DISTINCT g) DOES decompose — as a SET
+    // union (metadata point values ∪ boundary-scan values, one outer
+    // distinct-count deduplicating across the split) — but only the
+    // single-output shape rewrites (mixing with additive partials
+    // would need a second, differently-keyed union aggregation).
+    if (distinctAttrs.nonEmpty && boundary.nonEmpty) {
+      shapes match {
+        case Seq(DistinctColAgg(a)) =>
+          return distinctHybrid(agg, a, allIn, boundary.toSet, cond,
+            t, relOut)
+        case _ => return None
+      }
+    }
+    if (avgAttrs.nonEmpty && boundary.nonEmpty) return None
     // ANSI integral sums need the checked-accumulation proof over
     // every file whose rows the scan could aggregate (all-in and
     // boundary alike — the un-folded alternative aggregates exactly
@@ -717,6 +734,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           else org.apache.spark.sql.catalyst.expressions
             .Greatest(parts), o.name)(exprId = o.exprId)
       case (SumColAgg(sp), o) =>
+        // wide decimals: the boundary SUBTOTAL must provably fit the
+        // widened (38, s) partial (see [[decimalBoundarySafe]]) — a
+        // nulled-by-overflow partial under the Coalesce below would
+        // silently count as zero
+        decimalInPrec(sp).foreach { p =>
+          if (!decimalBoundarySafe(
+              boundary.toSeq.flatMap(entryByName.get), p)) return None
+        }
         val (sigma, has) = metaSumVal(sp.a.name)
         val b = sumAggsB(sp.a.name).toAttribute
         // metadata partial in the accumulation domain (wrapped long /
@@ -775,6 +800,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     final case class SpanGAgg(a: AttributeReference, lo: Boolean)
       extends Shape
     final case class SumGAgg(spec: SumSpec) extends Shape
+    final case class AvgGAgg(a: AttributeReference) extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
       case a: AttributeReference if gIdx.contains(a.exprId) => GKey(a)
       case Alias(a: AttributeReference, _)
@@ -793,6 +819,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Max(a: AttributeReference), Complete, false, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) =>
         SpanGAgg(a, lo = false)
+      case Alias(ae @ AggregateExpression(
+          Average(a: AttributeReference, mode), Complete, false, None,
+          _), _)
+          if foldableSumMode(mode) && avgType(a) &&
+            ae.dataType == DoubleType && relIds.contains(a.exprId) =>
+        AvgGAgg(a)
       case e if sumSpecOf(e, relIds).isDefined =>
         SumGAgg(sumSpecOf(e, relIds).get)
       case _ => return None
@@ -805,6 +837,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val sumGSlots = shapes.collect { case SumGAgg(sp) => sp }
       .distinctBy(_.a.name)
     val sumGAttrs = sumGSlots.map(_.a)
+    val avgGAttrs = shapes.collect { case AvgGAgg(a) => a }
+      .distinctBy(_.name)
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -926,6 +960,37 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         Some(out.result())
       }
     }
+    // per-group avg inputs (same whole-file-key gating as sums):
+    // exact Σ, live non-null count, and the max |span| bound feeding
+    // the per-group 2^53 double-exactness proof [[avgMeta]] applies
+    // whole-table. avg is PURE-FOLD ONLY (it does not decompose over
+    // the boundary union), so any demoted file declines it below.
+    def avgContrib(e: graft.operators.VersionedTable.FileEntry)
+        : Option[Seq[(K, String,
+          (java.math.BigDecimal, Long, java.math.BigDecimal))]] = {
+      if (avgGAttrs.isEmpty) return Some(Seq.empty)
+      if (e.dv.exists(_._2 > 0)) return None
+      fileKey(e).flatMap { k =>
+        val out = Seq.newBuilder[(K, String,
+          (java.math.BigDecimal, Long, java.math.BigDecimal))]
+        var ok = true
+        avgGAttrs.foreach { a =>
+          if (ok) VersionedTable.nonNullRowsOf(e, a.name) match {
+            case Some(n) if n > 0 =>
+              (e.sumOf(a.name), e.stats.get(a.name).flatten) match {
+                case (Some(Some(sig)), Some((lo: Long, hi: Long))) =>
+                  val mab = java.math.BigDecimal.valueOf(lo).abs
+                    .max(java.math.BigDecimal.valueOf(hi).abs)
+                  out += ((k, a.name, (sig, n, mab)))
+                case _ => ok = false
+              }
+            case Some(_) => () // no non-null rows: contributes nothing
+            case None => ok = false
+          }
+        }
+        if (ok) Some(out.result()) else None
+      }
+    }
     val metaCount =
       scala.collection.mutable.LinkedHashMap.empty[K, Long]
     val metaColCount = scala.collection.mutable
@@ -934,10 +999,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       .Map.empty[(K, String), (Any, Any)]
     val metaSumG = scala.collection.mutable
       .Map.empty[(K, String), (java.math.BigDecimal, Boolean)]
+    val metaAvgG = scala.collection.mutable.Map.empty[(K, String),
+      (java.math.BigDecimal, Long, java.math.BigDecimal)]
     val demoted = Seq.newBuilder[String]
     allIn0.foreach { e =>
-      (contrib(e), spanContrib(e), sumContrib(e)) match {
-        case (Some(cs), Some(ss), Some(ms)) =>
+      (contrib(e), spanContrib(e), sumContrib(e), avgContrib(e)) match {
+        case (Some(cs), Some(ss), Some(ms), Some(as)) =>
           cs.foreach {
             case (key, "*", n) =>
               metaCount(key) = metaCount.getOrElse(key, 0L) + n
@@ -966,6 +1033,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
               case None => (acc, has)
             }
           }
+          as.foreach { case (key, c, (sig, n, mab)) =>
+            val (s0, n0, m0) = metaAvgG.getOrElse((key, c),
+              (java.math.BigDecimal.ZERO, 0L, java.math.BigDecimal.ZERO))
+            metaAvgG((key, c)) = (s0.add(sig), n0 + n, m0.max(mab))
+          }
         case _ => demoted += e.name
       }
     }
@@ -973,6 +1045,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demotedSet
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
+    // grouped avg is PURE-FOLD ONLY (Σ/n does not decompose over the
+    // boundary union): any undecided file declines it to the scan
+    if (avgGAttrs.nonEmpty && boundary.nonEmpty) return None
     // a fully-masked point file contributes 0 to its group: a real
     // scan would emit NO group for it, so zero-count keys must not
     // materialize rows (span shapes cannot leak here — DV'd files
@@ -1039,9 +1114,32 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             val (acc, has) = sumAcc(k, sp.a.name)
             sumValueOf(sp, acc, has, gLongProof(sp))
               .getOrElse(return None)
+          case AvgGAgg(a) =>
+            metaAvgG.get((k, a.name)) match {
+              case None => null // group has no non-null rows: SQL null
+              case Some((sig, n, mab)) =>
+                // the per-group 2^53 double-exactness proof (same
+                // gate avgMeta applies whole-table): the scan's
+                // double-accumulated average is provably exact too,
+                // so exact Σ/n reproduces it bit-for-bit
+                if (java.math.BigDecimal.valueOf(n).multiply(mab)
+                    .compareTo(TwoP53) >= 0) return None
+                (sig.doubleValue / n.toDouble): Any
+            }
         })
       }
       return Some(LocalRelation(agg.output, rows))
+    }
+    // wide decimals: every boundary PER-GROUP partial must provably
+    // fit the widened (38, s) domain ([[decimalBoundarySafe]] over the
+    // boundary files bounds every group's subtotal) — the outer
+    // re-sum skips nulls, so an overflow-nulled group partial would
+    // silently vanish from a total the scan still answers
+    sumGSlots.foreach { sp =>
+      decimalInPrec(sp).foreach { p =>
+        if (!decimalBoundarySafe(
+            boundary.toSeq.flatMap(gEntryByName.get), p)) return None
+      }
     }
     // metadata-side Σ PARTIALS for the union combine: integral groups
     // carry the wrapped-exact long (outer Sum re-wraps — congruent
@@ -1288,6 +1386,42 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     * and merge stays integral and below it ⇒ Spark's double-
     * accumulated average equals exact-Σ/n in any execution order). */
   private val TwoP53 = java.math.BigDecimal.valueOf(9007199254740992L)
+  private val Ten38BD = new java.math.BigDecimal(
+    java.math.BigInteger.TEN.pow(38))
+
+  /** Type-level proof that NO boundary subtotal of a wide-decimal sum
+    * can overflow the widened DECIMAL(38, s) partial domain: the
+    * boundary files' total row count n bounds every subtotal (in any
+    * grouping) by n·max|v| < n·10^(p−s), which fits (38, s) whenever
+    * n·10^p ≤ 10^38 — the decimal mirror of [[unscaledProof]].
+    * Without it, a LEGACY boundary partial that overflows evaluates
+    * to NULL and the combine would treat it as zero (whole-table) or
+    * the outer re-sum would skip it (grouped) — a wrong NON-NULL
+    * answer where the scan, which checks overflow only on the
+    * combined total, still answers; ANSI would throw spuriously.
+    * Unknown row counts decline. */
+  private def decimalBoundarySafe(
+      entries: Seq[graft.operators.VersionedTable.FileEntry],
+      inPrec: Int): Boolean = {
+    var rows = java.math.BigDecimal.ZERO
+    entries.forall { e =>
+      e.nRows >= 0 && {
+        rows = rows.add(java.math.BigDecimal.valueOf(e.nRows))
+        rows.multiply(java.math.BigDecimal.TEN.pow(inPrec))
+          .compareTo(Ten38BD) <= 0
+      }
+    }
+  }
+
+  /** The input precision of a wide-decimal sum spec, when its
+    * boundary partials need the [[decimalBoundarySafe]] proof. */
+  private def decimalInPrec(sp: SumSpec): Option[Int] = sp.kind match {
+    case DecimalSum(_) => sp.a.dataType match {
+      case d: DecimalType => Some(d.precision)
+      case _ => None
+    }
+    case _ => None
+  }
 
   /** `avg()` folds only over integral columns (result DoubleType,
     * reproducible from exact Σ under the [[TwoP53]] gate). Decimal
@@ -1498,7 +1632,18 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     * None = not provable → the caller scans. */
   private def distinctCountOf(
       files: Seq[graft.operators.VersionedTable.FileEntry],
-      a: AttributeReference): Option[Long] = {
+      a: AttributeReference): Option[Long] =
+    distinctValuesOf(files, a).map(_.size.toLong)
+
+  /** The exact NON-NULL distinct value set (as Catalyst values) of
+    * `a` over `files`, provable only when every rowed file is
+    * single-valued or all-null — the metadata side of both the pure
+    * `count(DISTINCT)` fold and the boundary-union DISTINCT hybrid
+    * (sets union cleanly across the metadata/scan split; counts do
+    * not). */
+  private def distinctValuesOf(
+      files: Seq[graft.operators.VersionedTable.FileEntry],
+      a: AttributeReference): Option[Set[Any]] = {
     val vals = scala.collection.mutable.Set.empty[Any]
     var ok = true
     files.foreach { e =>
@@ -1518,7 +1663,42 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         case _ => ok = false
       }
     }
-    if (ok) Some(vals.size.toLong) else None
+    if (ok) Some(vals.toSet) else None
+  }
+
+  /** The `count(DISTINCT g)` BOUNDARY HYBRID: metadata point values
+    * (a LocalRelation) union the boundary files' values, deduplicated
+    * by ONE outer distinct-count — the set-union decomposition counts
+    * cannot have (values may overlap across the metadata/scan split,
+    * and the outer DISTINCT is exactly what absorbs the overlap). The
+    * boundary side pre-deduplicates per group before the union, so
+    * the exchange carries at most its distinct values. */
+  private def distinctHybrid(agg: Aggregate, a: AttributeReference,
+      allIn: Seq[graft.operators.VersionedTable.FileEntry],
+      boundary: Set[String], cond: Expression, t: VtTable,
+      relOut: Seq[Attribute]): Option[LogicalPlan] = {
+    val spark = SparkSession.active
+    val metaVals = distinctValuesOf(allIn, a).getOrElse(return None)
+    val slice = Bridge.logicalPlan(
+      VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion,
+        boundary))
+    val byName = slice.output.map(x => x.name -> x).toMap
+    if (!relOut.forall(x => byName.contains(x.name))) return None
+    val remap = Project(relOut.map(x =>
+      Alias(byName(x.name), x.name)(exprId = x.exprId)), slice)
+    val bDistinct = Aggregate(Seq(a), Seq(a), Filter(cond, remap))
+    val localAttr =
+      AttributeReference("graft_dv", a.dataType, nullable = true)()
+    val local = LocalRelation(Seq(localAttr),
+      metaVals.toSeq.map(v => InternalRow.fromSeq(Seq(v))))
+    val union = org.apache.spark.sql.catalyst.plans.logical
+      .Union(Seq(local, bDistinct))
+    val u = union.output.head
+    val outs = agg.output.map(o =>
+      Alias(AggregateExpression(Count(Seq(u)), Complete,
+        isDistinct = true), o.name)(exprId = o.exprId))
+    Some(VtMaskedScanRewrite.fixedPointPushdown(
+      Aggregate(Nil, outs, union)))
   }
 
   /** The boundary scan's partial-Σ aggregate for `spec` — typed to

@@ -946,7 +946,8 @@ object Ops {
     }
     val q = s.sql(s"SELECT band, count(*) AS n, " +
       s"count(l_quantity) AS nq, min(l_orderkey) AS lo, " +
-      s"max(l_orderkey) AS hi, sum(l_orderkey) AS sk " +
+      s"max(l_orderkey) AS hi, sum(l_orderkey) AS sk, " +
+      s"avg(l_orderkey) AS ak " +
       s"FROM graft.`$t` GROUP BY band")
     if (bands.length >= 2) {
       def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
@@ -954,7 +955,8 @@ object Ops {
           .forall(_.isInstanceOf[
             org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
       require(foldsToLocal(q),
-        "single-band files must answer the GROUP BY from metadata " +
+        "single-band files must answer the GROUP BY (incl. the " +
+          "per-group avg under its 2^53 proof) from metadata " +
           "with zero files opened")
     }
     q
@@ -1060,6 +1062,13 @@ object Ops {
       s"count(*) AS n FROM graft.`$t`")
     val bandedW = s.sql(s"SELECT count(DISTINCT band) AS nbw " +
       s"FROM graft.`$t` WHERE band >= 2")
+    // STRADDLING-FILE HYBRID: a WHERE cutting through band 0's file
+    // makes it a boundary — its values come from the scan, every
+    // decided file's from metadata, one outer DISTINCT deduplicates
+    // across the split. Gated: only the straddled file opens.
+    val halfW = math.max(1L, w / 2)
+    val straddle = s.sql(s"SELECT count(DISTINCT band) AS nbs " +
+      s"FROM graft.`$t` WHERE l_orderkey >= $halfW")
     if (bands.length >= 2) {
       require(foldsToLocal(dist),
         "SELECT DISTINCT over per-band files must fold to metadata")
@@ -1067,8 +1076,93 @@ object Ops {
         "count(DISTINCT) over per-band files must fold to metadata")
       require(foldsToLocal(bandedW),
         "count(DISTINCT) under an aligned WHERE must fold to metadata")
+      require(straddle.inputFiles.length <= 1,
+        "the straddling count(DISTINCT) must open only the boundary " +
+          s"file, opened ${straddle.inputFiles.length}")
     }
-    dist.crossJoin(counts).crossJoin(bandedW)
+    dist.crossJoin(counts).crossJoin(bandedW).crossJoin(straddle)
+  }
+
+  // TOP-K FROM METADATA: `ORDER BY key [DESC] LIMIT k` over a
+  // versioned table opens ONLY files whose manifest span can reach
+  // the provable top-k — on a 100 TB time-clustered table, the
+  // latest-events query touches the newest file or two instead of a
+  // full TakeOrdered scan. The rewrite only narrows the file set
+  // (Sort + Limit still execute), so exactness is structural; gated:
+  // each lane opens fewer files than the table holds. The oracle
+  // replays both lanes by full scan in DuckDB (o_orderkey is unique,
+  // so the limit is deterministic).
+  val opVtTopkMeta: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtTopKRewrite.ensureRegistered(s)
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vttopk_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ord").getAbsolutePath
+    val ord = orders(s, d).select(col("o_orderkey"),
+      col("o_totalprice").cast("double").as("price"))
+    VersionedTable.commit(
+      ord.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"),
+      t, overwrite = true, statsCols = Seq("o_orderkey"))
+    val n = VersionedTable.readEntries(s, t, 0).size
+    val newest = s.sql(s"SELECT o_orderkey, price FROM graft.`$t` " +
+      "ORDER BY o_orderkey DESC LIMIT 100")
+    val oldest = s.sql(s"SELECT o_orderkey, price FROM graft.`$t` " +
+      "ORDER BY o_orderkey LIMIT 100")
+    if (n >= 4) {
+      require(newest.inputFiles.length < n,
+        s"DESC top-k must skip files: ${newest.inputFiles.length}/$n")
+      require(oldest.inputFiles.length < n,
+        s"ASC top-k must skip files: ${oldest.inputFiles.length}/$n")
+    }
+    newest.withColumn("lane", lit("d"))
+      .unionByName(oldest.withColumn("lane", lit("a")))
+  }
+
+  // JOIN-KEY DYNAMIC FILE PRUNING: the star-join shape — a selective
+  // dimension filter prunes the versioned FACT table's files by the
+  // build keys' span before the scan starts (file-level DPP; Spark's
+  // partition-DPP cannot skip inside an unpartitioned table). The
+  // rewrite only narrows the file set, so the oracle (a full-scan
+  // join in DuckDB) is unchanged by pruning — gated: the fact side
+  // opens fewer files than the table holds.
+  val opVtDfp: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtJoinPrune.ensureRegistered(s)
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtdfp_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "fact").getAbsolutePath
+    val li = lineitem(s, d).select(col("l_orderkey"),
+      col("l_quantity").cast("double").as("qty"))
+    VersionedTable.commit(
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey"),
+      t, overwrite = true, statsCols = Seq("l_orderkey"))
+    val n = VersionedTable.readEntries(s, t, 0).size
+    val maxRow = orders(s, d).agg(max(col("o_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    val dim = orders(s, d)
+      .where(col("o_orderkey") <= maxId / 8)
+      .select(col("o_orderkey"), col("o_custkey"))
+    dim.createOrReplaceTempView("graft_dfp_dim")
+    val q = s.sql(s"SELECT f.l_orderkey AS k, f.qty, " +
+      s"d.o_custkey AS ck FROM graft.`$t` f " +
+      "JOIN graft_dfp_dim d ON f.l_orderkey = d.o_orderkey")
+    if (n >= 4 && maxId > 16)
+      require(q.inputFiles.length < n,
+        s"the dim filter must prune fact files: " +
+          s"${q.inputFiles.length}/$n")
+    q
   }
 
   // SUM/AVG FROM METADATA: the write path harvests each file's EXACT
@@ -2924,6 +3018,8 @@ object Ops {
     "op_vt_group_meta" -> opVtGroupMeta,
     "op_vt_group_meta2" -> opVtGroupMeta2,
     "op_vt_distinct_meta" -> opVtDistinctMeta,
+    "op_vt_topk_meta" -> opVtTopkMeta,
+    "op_vt_dfp" -> opVtDfp,
     "op_vt_meta_sum" -> opVtMetaSum,
     "op_vt_sql_dv_select" -> opVtSqlDvSelect,
     "op_vt_sql_ddl" -> opVtSqlDdl,
@@ -3418,7 +3514,8 @@ object Ops {
         |SELECT l_orderkey // (SELECT w FROM mx) AS band,
         |       count(*) AS n, count(l_quantity) AS nq,
         |       min(l_orderkey) AS lo, max(l_orderkey) AS hi,
-        |       CAST(sum(l_orderkey) AS BIGINT) AS sk
+        |       CAST(sum(l_orderkey) AS BIGINT) AS sk,
+        |       avg(l_orderkey) AS ak
         |FROM lineitem
         |GROUP BY 1""".stripMargin,
     // The two-key grouped metadata folds must equal DuckDB's
@@ -3448,8 +3545,35 @@ object Ops {
         |       (SELECT count(DISTINCT band) FROM b) AS nb,
         |       (SELECT count(*) FROM b) AS n,
         |       (SELECT count(DISTINCT band) FROM b WHERE band >= 2)
-        |         AS nbw
+        |         AS nbw,
+        |       (SELECT count(DISTINCT l_orderkey // (SELECT w FROM mx))
+        |        FROM lineitem
+        |        WHERE l_orderkey >=
+        |          greatest(1, (SELECT w FROM mx) // 2)) AS nbs
         |FROM b""".stripMargin,
+    // Both ORDER BY LIMIT lanes must equal DuckDB's full-scan sort
+    // (o_orderkey is unique — the limit is deterministic).
+    "op_vt_topk_meta" ->
+      """SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |         'd' AS lane
+        |  FROM orders ORDER BY o_orderkey DESC LIMIT 100)
+        |UNION ALL
+        |SELECT * FROM (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS price,
+        |         'a' AS lane
+        |  FROM orders ORDER BY o_orderkey LIMIT 100)""".stripMargin,
+    // File pruning must be invisible to the answer: the pruned
+    // star join equals DuckDB's full-scan join.
+    "op_vt_dfp" ->
+      """WITH mx AS (SELECT coalesce(max(o_orderkey), 0) AS m
+        |            FROM orders)
+        |SELECT l.l_orderkey AS k,
+        |       CAST(l.l_quantity AS DOUBLE) AS qty,
+        |       o.o_custkey AS ck
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderkey <= (SELECT m FROM mx) // 8""".stripMargin,
     // The metadata sums/averages must equal DuckDB's full scan — the
     // whole-table folds and the interior-band hybrid alike.
     "op_vt_meta_sum" ->

@@ -973,4 +973,153 @@ class VtMetadataAggSpec extends AnyFunSuite {
     val q2 = s"SELECT count(*) + 1 AS n FROM graft.`$t`"
     assert(spark.sql(q2).collect()(0).getLong(0) == 4L)
   }
+
+  test("grouped avg folds per group under the 2^53 proof") {
+    setup()
+    val t = tmpTable("gavg")
+    def batch(band: Long, ids: Range) =
+      ids.map(i => (i.toLong, band,
+        if (i % 5 == 0) null else java.lang.Long.valueOf(i * 3L)))
+        .toDF("id", "band", "v").coalesce(1)
+    VersionedTable.commit(batch(0L, 0 until 40), t, overwrite = true,
+      statsCols = Seq("id", "band", "v"))
+    (1 to 3).foreach(b =>
+      VersionedTable.commit(batch(b.toLong, b * 100 until b * 100 + 30),
+        t, overwrite = false))
+    def trusted = VersionedTable.read(spark, t)
+    val q = s"SELECT band, avg(v) AS av, avg(id) AS ai, " +
+      s"count(*) AS n FROM graft.`$t` GROUP BY band"
+    def oracle() = trusted.groupBy("band").agg(
+      avg(col("v")).as("av"), avg(col("id")).as("ai"),
+      count(lit(1)).as("n")).collect().toSet
+    assert(foldsToLocal(q), "grouped avg must fold from metadata")
+    assert(spark.sql(q).collect().toSet == oracle())
+    // an all-null-v band answers SQL NULL for its average
+    VersionedTable.commit(
+      (500 until 520).map(i => (i.toLong, 9L,
+        null: java.lang.Long)).toDF("id", "band", "v").coalesce(1),
+      t, overwrite = false)
+    assert(foldsToLocal(q))
+    assert(spark.sql(q).collect().toSet == oracle())
+    // any boundary (a mixed-band file) declines avg — the scan stays
+    VersionedTable.commit(
+      (600 until 610).map(i => (i.toLong, (i % 2 + 7).toLong, i * 3L))
+        .toDF("id", "band", "v").coalesce(1), t, overwrite = false)
+    assert(!foldsToLocal(q), "a demoted file must decline grouped avg")
+    assert(spark.sql(q).collect().toSet == oracle())
+    // a value past the 2^53 proof declines (the scan's double
+    // accumulation is no longer provably exact)
+    val t2 = tmpTable("gavg53")
+    VersionedTable.commit(
+      Seq((1L, 1L, (1L << 60)), (2L, 1L, 8L)).toDF("id", "band", "v")
+        .coalesce(1),
+      t2, overwrite = true, statsCols = Seq("id", "band", "v"))
+    val q2 = s"SELECT band, avg(v) AS av FROM graft.`$t2` GROUP BY band"
+    assert(!foldsToLocal(q2), "past 2^53 the grouped avg must decline")
+  }
+
+  test("count(DISTINCT) hybrids: boundary values union with metadata") {
+    setup()
+    val t = tmpTable("dhybrid")
+    // three point files inside the predicate + one straddling file
+    // carrying overlapping AND new values
+    Seq((1L, 10L), (1L, 10L)).toDF("g", "k").coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = true,
+        statsCols = Seq("g", "k"))
+    }
+    Seq((2L, 20L)).toDF("g", "k").coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = false)
+    }
+    Seq((3L, 30L), (3L, 31L)).toDF("g", "k").coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = false)
+    }
+    // straddles k >= 0: g values 2 (overlap) and 4, 5 (new), plus a
+    // row excluded by the predicate carrying 6
+    Seq((2L, 5L), (4L, 1L), (5L, 2L), (6L, -1L)).toDF("g", "k")
+      .coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = false)
+    }
+    val n = VersionedTable.readEntries(spark, t, 3).size
+    val q = spark.sql(
+      s"SELECT count(DISTINCT g) AS d FROM graft.`$t` WHERE k >= 0")
+    assert(q.collect()(0).getLong(0) == 5L, // {1,2,3,4,5}
+      "metadata values must union with the boundary scan's")
+    assert(q.inputFiles.length < n,
+      s"decided files must not open: ${q.inputFiles.length}/$n")
+    // all-null-g files contribute nothing to the distinct set
+    Seq((Option.empty[Long], 7L)).toDF("g", "k")
+      .coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = false)
+    }
+    assert(spark.sql(
+      s"SELECT count(DISTINCT g) AS d FROM graft.`$t` WHERE k >= 0")
+      .collect()(0).getLong(0) == 5L)
+  }
+
+  test("near-38-precision decimal hybrids decline: a boundary " +
+      "subtotal that overflows must never count as zero") {
+    setup()
+    val t = tmpTable("decoverflow")
+    def dec(s: String) = s"CAST('$s' AS DECIMAL(38,0))"
+    // file A (all-in under k >= 0): one row of -9e37; g point-span 2
+    spark.sql(s"SELECT 2L AS g, 5L AS k, ${dec("-" + "9" * 38)} AS v")
+      .createOrReplaceTempView("fa")
+    VersionedTable.commit(spark.table("fa").coalesce(1), t,
+      overwrite = true, statsCols = Seq("g", "k", "v"))
+    // file B (boundary: k span [-1, 2]): two matching rows whose
+    // SUBTOTAL needs 39 digits, while the combined group/table total
+    // (-9e37 + 2·9e37 = 9e37) fits DECIMAL(38,0) — the exact shape
+    // where a LEGACY boundary partial nulls (silently zero under the
+    // old combine) and ANSI throws spuriously
+    spark.sql(
+      s"""SELECT * FROM VALUES
+         |  (2L, 1L, ${dec("9" * 38)}),
+         |  (2L, 2L, ${dec("9" * 38)}),
+         |  (2L, -1L, ${dec("1")}) AS t(g, k, v)""".stripMargin)
+      .createOrReplaceTempView("fb")
+    VersionedTable.commit(spark.table("fb").coalesce(1), t,
+      overwrite = false)
+    val expect = new java.math.BigDecimal("9" * 38)
+    // the ONLY wrong outcome is the silent one: a non-null total that
+    // dropped the boundary file's contribution. The scan itself is
+    // partition-layout-dependent here (a per-file partial overflows
+    // the (38,0) buffer: ANSI throws, LEGACY yields NULL; one
+    // partition covering both files answers the exact value), so the
+    // fold must DECLINE — never answer — and whatever the scan then
+    // does is Spark's own documented overflow semantics.
+    val wrong = new java.math.BigDecimal("-" + "9" * 38)
+    val ansi0 = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val q = s"SELECT sum(v) AS s FROM graft.`$t` WHERE k >= 0"
+      assert(spark.sql(q).queryExecution.optimizedPlan.collectLeaves()
+        .forall(!_.isInstanceOf[LocalRelation]),
+        "the near-38 decimal hybrid must decline, not fold")
+      val got = spark.sql(q).collect()(0).getDecimal(0)
+      assert(got == null || got.compareTo(expect) == 0,
+        s"whole-table hybrid answered wrong: $got")
+      assert(got == null || got.compareTo(wrong) != 0)
+      val gotG = spark.sql(s"SELECT g, sum(v) AS s FROM graft.`$t` " +
+        "WHERE k >= 0 GROUP BY g").collect()
+      assert(gotG.length == 1 && gotG(0).getLong(0) == 2L)
+      val gv = gotG(0).getDecimal(1)
+      assert(gv == null || gv.compareTo(expect) == 0,
+        s"grouped hybrid answered wrong: $gv")
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansi0)
+    // and a provably-safe wide-decimal hybrid still folds its all-in
+    // side (no blanket decline): row counts bound 3 × 10^12 « 10^38
+    val t2 = tmpTable("decsafe")
+    val df = (0L until 300L).map(i => (i, BigDecimal(i)))
+      .toDF("k", "v").select($"k", $"v".cast("decimal(12,0)").as("v"))
+    VersionedTable.commit(
+      df.repartitionByRange(3, col("k")).sortWithinPartitions("k"),
+      t2, overwrite = true, statsCols = Seq("k", "v"))
+    val w = spark.sql(
+      s"SELECT sum(v) AS s FROM graft.`$t2` WHERE k >= 50 AND k < 250")
+    assert(w.collect()(0).getDecimal(0)
+      .compareTo(new java.math.BigDecimal((50L until 250L).sum)) == 0)
+    if (VersionedTable.readEntries(spark, t2, 0).size >= 3)
+      assert(w.inputFiles.length < 3,
+        "interior files must still fold under the safety proof")
+  }
 }
