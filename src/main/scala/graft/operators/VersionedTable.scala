@@ -362,7 +362,8 @@ object VersionedTable {
       stats: Map[String, Option[(Any, Any)]], size: Long = -1L,
       dv: Option[(String, Long)] = None,
       nulls: Map[String, Long] = Map.empty,
-      sums: Map[String, Option[java.math.BigDecimal]] = Map.empty) {
+      sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
+      dsets: Map[String, Set[Any]] = Map.empty) {
     /** Rows a reader actually sees from this file. */
     def liveRows: Long = if (nRows < 0) nRows
       else nRows - dv.map(_._2).getOrElse(0L)
@@ -2195,6 +2196,11 @@ object VersionedTable {
     // per-column exact sums (plain decimal strings; "N" = no non-null
     // rows) — same round-trip argument as `nulls` for sum folds
     StructField("sums", MapType(StringType, StringType),
+      nullable = true),
+    // per-column exact distinct value sets (encoded span values;
+    // empty array = no non-null values; column absent = unknown) —
+    // round-trips so job-pruned planning keeps the distinct folds
+    StructField("dsets", MapType(StringType, ArrayType(StringType)),
       nullable = true)))
 
   /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
@@ -2227,7 +2233,10 @@ object VersionedTable {
         if (e.nulls.isEmpty) null else e.nulls,
         if (e.sums.isEmpty) null
         else e.sums.map { case (c, s) =>
-          c -> s.map(_.toPlainString).getOrElse("N") })
+          c -> s.map(_.toPlainString).getOrElse("N") },
+        if (e.dsets.isEmpty) null
+        else e.dsets.map { case (c, vs) =>
+          c -> vs.toSeq.map(encode).sorted })
     }
     val slices = math.max(1, math.min(rows.size, 32))
     val tmp = new Path(root,
@@ -2274,7 +2283,12 @@ object VersionedTable {
             else r.getAs[Map[String, String]](7).map { case (c, v) =>
               c -> (if (v == "N") None
                 else Some(new java.math.BigDecimal(v)))
-            })
+            },
+          dsets = if (r.length <= 8 || r.isNullAt(8)) Map.empty
+            else r.getAs[Map[String, scala.collection.Seq[String]]](8)
+              .map { case (c, vs) =>
+                c -> vs.iterator.map(decode).toSet
+              })
       }.toSeq
     Some(survivors)
   }
@@ -3790,7 +3804,15 @@ object VersionedTable {
         .map(r => s.logical -> r.nulls)).toMap
     val sums = specs.flatMap(s =>
       h.cols.get(s.logical).flatMap(_.sum).map(s.logical -> _)).toMap
-    FileEntry(name, h.rows, stats, size, nulls = nulls, sums = sums)
+    val dsets = specs.flatMap(s =>
+      h.cols.get(s.logical).flatMap(_.dset).map(vs =>
+        s.logical -> vs.map {
+          case l: java.lang.Long if tsCols(s.logical) =>
+            TsMicros(l): Any
+          case v => v
+        }.toSet)).toMap
+    FileEntry(name, h.rows, stats, size, nulls = nulls, sums = sums,
+      dsets = dsets)
   }
 
   /** A staging pass's manifest entries: the in-write harvest's when it
@@ -4753,8 +4775,23 @@ object VersionedTable {
           case None => "N"
           case Some(bd) => bd.toPlainString
         }.getOrElse("-")).mkString(","))
-    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu ++ sm)
-      .mkString("\t")
+    // `q<set1>;<set2>;…` — per-stats-column EXACT DISTINCT VALUE SETS
+    // (write-time bounded harvest; `-` = unknown/uncollected, `N` =
+    // no non-null values, else comma-joined [[encode]]d values, sorted
+    // for determinism). Values within a set use `,`, columns `;` —
+    // both safe: numeric encodings carry neither, strings are
+    // URL-encoded. A trailing tagged field like `u`/`m`: pre-dset
+    // parsers skip it, no protocol bump.
+    val qs =
+      if (cols.isEmpty || cols.forall(c => !e.dsets.contains(c)))
+        Seq.empty
+      else Seq("q" + cols.map(c =>
+        e.dsets.get(c).map { s =>
+          if (s.isEmpty) "N"
+          else s.toSeq.map(encode).sorted.mkString(",")
+        }.getOrElse("-")).mkString(";"))
+    (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu ++ sm ++
+      qs).mkString("\t")
   }
 
   private def parseEntry(line: String, cols: Seq[String]): FileEntry = {
@@ -4791,7 +4828,15 @@ object VersionedTable {
               : Option[java.math.BigDecimal])
         }.toMap
       }.getOrElse(Map.empty[String, Option[java.math.BigDecimal]])
-    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls, sums)
+    val dsets = trailing.find(s => s.startsWith("q") && s.length > 1)
+      .map(_.drop(1).split(';')).map { parts =>
+        cols.zip(parts.toSeq).collect {
+          case (c, "N") => c -> Set.empty[Any]
+          case (c, p) if p != "-" =>
+            c -> p.split(',').iterator.map(decode).toSet
+        }.toMap
+      }.getOrElse(Map.empty[String, Set[Any]])
+    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls, sums, dsets)
   }
 
   // ---- segmented (v7) manifest internals ------------------------------

@@ -1636,16 +1636,30 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     distinctValuesOf(files, a).map(_.size.toLong)
 
   /** The exact NON-NULL distinct value set (as Catalyst values) of
-    * `a` over `files`, provable only when every rowed file is
-    * single-valued or all-null — the metadata side of both the pure
+    * `a` over `files` — the metadata side of both the pure
     * `count(DISTINCT)` fold and the boundary-union DISTINCT hybrid
     * (sets union cleanly across the metadata/scan split; counts do
-    * not). */
+    * not). A file is provable when it is single-valued or all-null
+    * in the column, OR when it carries a write-time DISTINCT VALUE
+    * SET (the bounded per-file dset ledger) — the multi-valued case
+    * that used to decline whole. The dset is PHYSICAL, so a file
+    * with live deletion-vector masks refuses it (a masked row could
+    * be a value's last occurrence); the point-span path stays DV-safe
+    * through the live non-null count. */
   private def distinctValuesOf(
       files: Seq[graft.operators.VersionedTable.FileEntry],
       a: AttributeReference): Option[Set[Any]] = {
     val vals = scala.collection.mutable.Set.empty[Any]
     var ok = true
+    def addDset(e: graft.operators.VersionedTable.FileEntry): Boolean =
+      !e.dv.exists(_._2 > 0) && (e.dsets.get(a.name) match {
+        case Some(vs) =>
+          vs.forall(v => toCatalystKey(normZero(v), a) match {
+            case Some(cv) => vals += cv; true
+            case None => false
+          })
+        case None => false
+      })
     files.foreach { e =>
       if (ok && e.nRows != 0) e.stats.get(a.name) match {
         case Some(None) => () // all-null: nothing distinct
@@ -1658,9 +1672,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
                 case None => ok = false
               }
             case Some(_) => () // zero live non-null rows: vanishes
-            case None => ok = false
+            case None => ok = if (addDset(e)) ok else false
           }
-        case _ => ok = false
+        case _ => ok = if (addDset(e)) ok else false
       }
     }
     if (ok) Some(vals.toSet) else None

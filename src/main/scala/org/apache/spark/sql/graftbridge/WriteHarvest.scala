@@ -63,16 +63,29 @@ object WriteHarvest {
   final case class ColSpec(logical: String, ordinal: Int, kind: Int,
       precision: Int = 0, scale: Int = 0) extends Serializable
 
+  /** Distinct-set cap: a column whose file exceeds this many distinct
+    * non-null values records NO set (unknown) — bounded memory and
+    * near-zero cost on high-cardinality columns (the set stops
+    * growing after cap+1 inserts). Low-cardinality columns (status
+    * flags, categories, partitions-by-another-name) keep their exact
+    * per-file value sets, upgrading `count(DISTINCT)` from
+    * point-file-only to set-union metadata folds. */
+  final val DsetCap = 64
+
   /** Per-column harvest result. `nulls` < 0 = not tracked. `span`:
     * None = not collected (unsupported kind / NaN seen); Some(None) =
     * provably all-null; Some(Some((mn, mx))) = the span, holding
     * Long / Double / String / java.math.BigDecimal (timestamp kinds
     * hold the micros Long — the caller re-tags). `sum`: None =
     * ineligible or overflowed past DECIMAL(38) (unknown); Some(None) =
-    * no non-null rows; Some(Some(σ)) = the exact sum. */
+    * no non-null rows; Some(Some(σ)) = the exact sum. `dset`: None =
+    * not tracked or past [[DsetCap]]; Some(vs) = the file's EXACT
+    * non-null distinct values (±0.0 collapsed to +0.0, matching
+    * Spark's distinct normalization; same value domain as spans). */
   final case class ColResult(nulls: Long,
       span: Option[Option[(Any, Any)]],
-      sum: Option[Option[java.math.BigDecimal]]) extends Serializable
+      sum: Option[Option[java.math.BigDecimal]],
+      dset: Option[Seq[Any]] = None) extends Serializable
 
   /** One written file's harvest: physical row count + per-logical-
     * column results (keys = the spec'd columns present in the written
@@ -93,6 +106,23 @@ object WriteHarvest {
     def result(): ColResult
   }
 
+  /** Bounded exact distinct-set collector: stops (→ unknown) past
+    * [[DsetCap]], so high-cardinality columns cost ~cap inserts and
+    * then nothing. */
+  private final class DSet {
+    private var set: java.util.HashSet[Any] = new java.util.HashSet[Any]
+    def add(v: Any): Unit = if (set != null) {
+      set.add(v)
+      if (set.size > DsetCap) set = null
+    }
+    /** Membership probe without insert — lets callers defer an
+      * allocation (string clone) to genuinely-new values. */
+    def wouldAdd(v: Any): Boolean = set != null && !set.contains(v)
+    def alive: Boolean = set != null
+    def result: Option[Seq[Any]] =
+      Option(set).map(_.toArray.toIndexedSeq)
+  }
+
   private val Ten38 = java.math.BigInteger.TEN.pow(38)
 
   /** Integral + date + timestamp kinds: Long min/max, exact Σ in a
@@ -106,6 +136,7 @@ object WriteHarvest {
     private var mx = Long.MinValue
     private var s = 0L
     private var big: java.math.BigInteger = null
+    private val ds = new DSet
     def update(row: InternalRow): Unit = {
       if (row.isNullAt(ord)) { nulls += 1; return }
       var v: Long = kind match {
@@ -118,6 +149,7 @@ object WriteHarvest {
       n += 1
       if (v < mn) mn = v
       if (v > mx) mx = v
+      ds.add(v)
       if (sumEligible) {
         if (big == null) {
           val ns = s + v
@@ -140,7 +172,7 @@ object WriteHarvest {
           if (tot.abs.compareTo(Ten38) >= 0) None // > DECIMAL(38,0)
           else Some(Some(new java.math.BigDecimal(tot)))
         }
-      ColResult(nulls, span, sum)
+      ColResult(nulls, span, sum, ds.result)
     }
   }
 
@@ -155,9 +187,15 @@ object WriteHarvest {
     private var nan = false
     private var mn = 0.0d
     private var mx = 0.0d
+    private val ds = new DSet
     def update(row: InternalRow): Unit = {
       if (row.isNullAt(ord)) { nulls += 1; return }
       val v = if (isFloat) row.getFloat(ord).toDouble else row.getDouble(ord)
+      // dset: NaN IS a distinct value (one canonical value — boxed
+      // Double.equals already collapses NaNs, matching Spark's
+      // normalization) and +-0.0 collapse like Spark's group keys
+      ds.add(if (java.lang.Double.isNaN(v)) java.lang.Double.NaN
+        else if (v == 0.0d) 0.0d else v)
       if (java.lang.Double.isNaN(v)) { nan = true; return }
       if (n == 0) { mn = v; mx = v }
       else {
@@ -177,7 +215,7 @@ object WriteHarvest {
         else Some(Some((
           (if (mn == 0.0d) -0.0d else mn): Any,
           (if (mx == 0.0d) 0.0d else mx): Any)))
-      ColResult(nulls, span, None)
+      ColResult(nulls, span, None, ds.result)
     }
   }
 
@@ -189,6 +227,7 @@ object WriteHarvest {
     private var n = 0L
     private var mn: org.apache.spark.unsafe.types.UTF8String = null
     private var mx: org.apache.spark.unsafe.types.UTF8String = null
+    private val ds = new DSet
     def update(row: InternalRow): Unit = {
       if (row.isNullAt(ord)) { nulls += 1; return }
       val v = row.getUTF8String(ord)
@@ -197,13 +236,16 @@ object WriteHarvest {
         if (v.compareTo(mn) < 0) mn = v.clone()
         if (v.compareTo(mx) > 0) mx = v.clone()
       }
+      if (ds.wouldAdd(v)) ds.add(v.clone()) // clone only new values
       n += 1
     }
     def result(): ColResult = {
       val span =
         if (n == 0) Some(None)
         else Some(Some((mn.toString: Any, mx.toString: Any)))
-      ColResult(nulls, span, None)
+      ColResult(nulls, span, None,
+        ds.result.map(_.map(_.asInstanceOf[
+          org.apache.spark.unsafe.types.UTF8String].toString)))
     }
   }
 
@@ -218,11 +260,13 @@ object WriteHarvest {
     private var mn: java.math.BigDecimal = null
     private var mx: java.math.BigDecimal = null
     private var s: java.math.BigDecimal = null
+    private val ds = new DSet
     def update(row: InternalRow): Unit = {
       if (row.isNullAt(ord)) { nulls += 1; return }
       val d = row.getDecimal(ord, precision, scale)
       if (d == null) { nulls += 1; return }
       val v = d.toJavaBigDecimal
+      ds.add(v) // all values share the column scale: value == repr
       if (n == 0) { mn = v; mx = v; s = v }
       else {
         if (v.compareTo(mn) < 0) mn = v
@@ -241,7 +285,7 @@ object WriteHarvest {
           val t = s.setScale(scale)
           if (t.precision > 38) None else Some(Some(t))
         }
-      ColResult(nulls, span, sum)
+      ColResult(nulls, span, sum, ds.result)
     }
   }
 

@@ -943,31 +943,46 @@ class VtMetadataAggSpec extends AnyFunSuite {
       deletionVectors = true)
     assert(spark.sql(cq).collect()(0).getLong(0) == 3L,
       "a fully-masked point file's value must vanish from distinct")
-    // a straddling commit declines distinct (no boundary decompose)
-    // and hybrid-folds the grouped aggregates — both stay exact
+    // a straddling (multi-band) commit: its write-time distinct-set
+    // ledger keeps count(DISTINCT) a PURE metadata fold (r18 — this
+    // used to decline to the scan), still exact
     VersionedTable.commit(
       (0L until 20L).map(i => (i % 4, (i % 4) % 2, 9000L + i))
         .toDF("band", "parity", "x").coalesce(1), t, overwrite = false)
-    assert(!foldsToLocal(cq),
-      "a straddling file must decline count(DISTINCT) to the scan")
+    assert(foldsToLocal(cq),
+      "a multi-valued file with a recorded value set must still fold")
     assert(spark.sql(cq).collect()(0).getLong(0) == 4L)
     assert(spark.sql(gq).collect().map(_.toSeq).toSet == scanned(identity),
       "two-key hybrid (straddler + DV'd file scan) must equal the scan")
   }
 
-  test("multi-valued files decline count(DISTINCT); wrapped " +
-      "aggregates stay exact") {
+  test("multi-valued files fold count(DISTINCT) via the value-set " +
+      "ledger; wrapped aggregates stay exact") {
     setup()
     val t = tmpTable("d")
     VersionedTable.commit(
       Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "s").coalesce(1),
       t, overwrite = true, statsCols = Seq("id"))
-    // the one file spans [1,2] — NOT single-valued, so the distinct
-    // set is unknowable from metadata and the fold must decline
+    // the one file spans [1,2] — not single-valued, but the write-time
+    // value-set ledger records {1,2} exactly (r18; pre-ledger this
+    // declined to the scan)
     val q = s"SELECT count(DISTINCT id) AS n FROM graft.`$t`"
-    assert(!foldsToLocal(q),
-      "count(DISTINCT) over a multi-valued file must scan")
+    assert(foldsToLocal(q),
+      "count(DISTINCT) over a recorded value set must fold")
     assert(spark.sql(q).collect()(0).getLong(0) == 2L)
+    // a PRE-LEDGER entry (no recorded set) still declines: strip the
+    // q field from the manifest and re-ask through a fresh session
+    // state (simulated by a footer-path commit)
+    val t2 = tmpTable("d2")
+    spark.conf.set("spark.graft.writeHarvest", "false")
+    try VersionedTable.commit(
+      Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("id", "s").coalesce(1),
+      t2, overwrite = true, statsCols = Seq("id"))
+    finally spark.conf.set("spark.graft.writeHarvest", "true")
+    val q2b = s"SELECT count(DISTINCT id) AS n FROM graft.`$t2`"
+    assert(!foldsToLocal(q2b),
+      "without a recorded set a multi-valued file must scan")
+    assert(spark.sql(q2b).collect()(0).getLong(0) == 2L)
     // an expression OVER an aggregate folds via the wrapper split
     // (Project ∘ plain-Aggregate) and stays exact
     val q2 = s"SELECT count(*) + 1 AS n FROM graft.`$t`"
@@ -1054,6 +1069,34 @@ class VtMetadataAggSpec extends AnyFunSuite {
     assert(spark.sql(
       s"SELECT count(DISTINCT g) AS d FROM graft.`$t` WHERE k >= 0")
       .collect()(0).getLong(0) == 5L)
+  }
+
+  test("distinct-set ledger: multi-valued files fold count(DISTINCT) " +
+      "pure; deletion vectors refuse the physical set") {
+    setup()
+    val t = tmpTable("dsetfold")
+    // two files, EACH multi-valued (no point spans anywhere) with
+    // overlapping small value sets — only the write-time dset ledger
+    // can fold this
+    Seq((1L, 10L), (2L, 11L), (3L, 12L)).toDF("g", "k")
+      .coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = true,
+        statsCols = Seq("g", "k"))
+    }
+    Seq((3L, 20L), (4L, 21L)).toDF("g", "k").coalesce(1) match {
+      case d => VersionedTable.commit(d, t, overwrite = false)
+    }
+    val q = s"SELECT count(DISTINCT g) AS d FROM graft.`$t`"
+    assert(foldsToLocal(q),
+      "multi-valued files with recorded value sets must fold")
+    assert(spark.sql(q).collect()(0).getLong(0) == 4L) // {1,2,3,4}
+    // a live DV makes the recorded set merely physical: the masked
+    // file rescans (hybrid) and the vanished value drops
+    VersionedTable.deleteWhere(spark, t, col("g") === 4L,
+      deletionVectors = true)
+    val q2 = spark.sql(q)
+    assert(q2.collect()(0).getLong(0) == 3L,
+      "a DV-masked value must vanish exactly as from a scan")
   }
 
   test("near-38-precision decimal hybrids decline: a boundary " +

@@ -35,8 +35,13 @@ class WriteHarvestSpec extends AnyFunSuite {
         val in = fs.open(st.getPath)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
+        // the `q` distinct-set field is write-path-ONLY knowledge (a
+        // footer cannot reconstruct per-file value sets) — documented
+        // extra information, excluded from the byte differential like
+        // the file name and byte size
         s.split('\n').toSeq.filter(_.contains("\t")).map { l =>
-          l.split('\t').drop(1).filterNot(_.startsWith("z"))
+          l.split('\t').drop(1).filterNot(f =>
+            f.startsWith("z") || f.startsWith("q"))
             .mkString("\t")
         }
       }
@@ -134,6 +139,31 @@ class WriteHarvestSpec extends AnyFunSuite {
     val entries = normalizedEntries(path)
     assert(entries.exists(l => l.contains("L175\tL199") &&
       l.contains("\tm")), s"mapped append entry missing: $entries")
+  }
+
+  test("distinct-set ledger: low-cardinality columns record exact " +
+      "sets, high-cardinality ones stay unknown") {
+    val tmp = Files.createTempDirectory("wh_dset").toString
+    val path = s"$tmp/t"
+    val df = spark.range(0, 1000).select(
+      $"id".as("k"), // 1000 distinct: past the cap, no set
+      ($"id" % 3).cast("string").as("cat"), // {0,1,2}
+      when($"id" % 2 === 0, lit(7L)).as("sparse")) // {7} + nulls
+    spark.conf.set("spark.graft.writeHarvest", "true")
+    VersionedTable.commit(df.coalesce(1), path, overwrite = true,
+      statsCols = Seq("k", "cat", "sparse"))
+    val e = VersionedTable.readEntries(spark, path, 0).head
+    assert(!e.dsets.contains("k"),
+      "a >cap column must record no set")
+    assert(e.dsets.get("cat").map(_.map(_.toString)) ==
+      Some(Set("0", "1", "2")))
+    assert(e.dsets.get("sparse") == Some(Set(7L)))
+    // checkpoint round-trip keeps the sets
+    VersionedTable.checkpointEntries(spark, path, 0)
+    val viaJob = VersionedTable.pruneEntriesJob(spark, path, 0,
+      Seq.empty).get.head
+    assert(viaJob.dsets == e.dsets,
+      "the entry checkpoint must round-trip distinct sets")
   }
 
   test("empty batch commits cleanly with zero-row entries") {
