@@ -2264,12 +2264,16 @@ object VersionedTable {
     val dest = entryCkptDir(root, version)
     if (!fs.exists(new Path(dest, "_SUCCESS"))) return None
     val ps = preds // serializable case classes; captured by the udf
-    val keepUdf = udf { (stats: Map[String, Seq[String]]) =>
-      val e = FileEntry("", 0L, decodeCkptStats(stats))
+    val keepUdf = udf { (stats: Map[String, Seq[String]],
+        dsets: Map[String, Seq[String]]) =>
+      val e = FileEntry("", 0L, decodeCkptStats(stats),
+        dsets = if (dsets == null) Map.empty
+          else dsets.map { case (c, vs) =>
+            c -> vs.iterator.map(decode).toSet })
       ps.forall(p => mightMatch(e, p))
     }
     val survivors = spark.read.schema(ckptSchema).parquet(dest.toString)
-      .where(keepUdf(col("stats")))
+      .where(keepUdf(col("stats"), col("dsets")))
       .collect()
       .map { r =>
         FileEntry(r.getString(0), r.getLong(1),
@@ -2316,8 +2320,8 @@ object VersionedTable {
     case _ => mightMatchLeaf(e, p)
   }
 
-  private def mightMatchLeaf(e: FileEntry, p: PrunePred): Boolean =
-    e.stats.get(p.column) match {
+  private def mightMatchLeaf(e: FileEntry, p: PrunePred): Boolean = {
+    val spanKeep = e.stats.get(p.column) match {
       case None => true // stats never collected: cannot prune
       case Some(None) => false // all-null column: no value test matches
       case Some(Some((mn, mx))) => p match {
@@ -2334,6 +2338,27 @@ object VersionedTable {
           true // unreachable: dispatched in mightMatch
       }
     }
+    // the recorded DISTINCT VALUE SET refines the span: a file whose
+    // set excludes every probe value prunes even when its span covers
+    // them — the sparse-keys-inside-a-wide-span shape (CDC upserts,
+    // merge discovery). Sound regardless of deletion vectors: the set
+    // is the PHYSICAL value list, a superset of the live one, so
+    // "physically absent" implies "no live row matches". Conservative
+    // on any incomparable pair. Value tests only — null tests are the
+    // dispatcher's.
+    spanKeep && (e.dsets.get(p.column) match {
+      case None => true
+      case Some(vals) => p match {
+        case RangePred(_, lo, hi) => vals.exists(v =>
+          cmp(v, lo).forall(_ >= 0) && cmp(v, hi).forall(_ <= 0))
+        case InPred(_, vs) => vs.exists(x => vals.exists(v =>
+          cmp(v, x).forall(_ == 0))) // incomparable pair: keep
+        case GePred(_, lo) => vals.exists(v => cmp(v, lo).forall(_ >= 0))
+        case LePred(_, hi) => vals.exists(v => cmp(v, hi).forall(_ <= 0))
+        case _ => true
+      }
+    })
+  }
 
   /** Membership prune via parquet FOOTER BLOOM FILTERS (written for
     * every indexed column by [[stageAndPublish]]): keep only the

@@ -1038,7 +1038,30 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
               (java.math.BigDecimal.ZERO, 0L, java.math.BigDecimal.ZERO))
             metaAvgG((key, c)) = (s0.add(sig), n0 + n, m0.max(mab))
           }
-        case _ => demoted += e.name
+        case _ =>
+          // SELECT DISTINCT g (key-only single-column shape): a
+          // multi-valued file with a write-time VALUE SET still folds
+          // — its keys are the recorded values (+ the NULL group when
+          // the null count says so). DV-free only (the set is
+          // physical: a masked row could be a value's or the last
+          // null's occurrence), and only when no count/span/sum/avg
+          // output needs per-key row counts the set cannot supply.
+          val distinctOnly = gs.size == 1 &&
+            shapes.forall(_.isInstanceOf[GKey])
+          val viaDset = distinctOnly && !e.dv.exists(_._2 > 0) &&
+            e.dsets.contains(gs.head.name) &&
+            e.nulls.contains(gs.head.name)
+          if (viaDset) {
+            val g = gs.head
+            e.dsets(g.name).foreach { v =>
+              val key: K = Seq(Some(normKey(v)))
+              metaCount(key) = metaCount.getOrElse(key, 0L) + 1L
+            }
+            if (e.nulls(g.name) > 0L) {
+              val key: K = Seq(None)
+              metaCount(key) = metaCount.getOrElse(key, 0L) + 1L
+            }
+          } else demoted += e.name
       }
     }
     val demotedSet = demoted.result().toSet
@@ -1240,7 +1263,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     * conjunct must translate, or the fold declines (a dropped
     * conjunct would over-count; this is the opposite posture from
     * [[graft.sources.VtPushdown]]'s conservative pruning). */
-  private def toExactPreds(cond: Expression,
+  private[plans] def toExactPreds(cond: Expression,
       relIds: Set[ExprId]): Option[Seq[ExactPred]] = {
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)

@@ -62,18 +62,32 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The versioned-table relation NODE beneath row-preserving
-    * wrappers — the node itself (for `eq`-replacement) plus its
-    * output. A Filter/Join/Aggregate in between declines: removed
-    * rows could include the very rows the pruning guarantee counted. */
-  private def vtUnder(p: LogicalPlan)
-      : Option[(LogicalPlan, VtTable, Seq[AttributeReference])] =
+  /** The versioned-table relation NODE beneath wrappers — the node
+    * itself (for `eq`-replacement), its output, and the AND of any
+    * Filter conditions encountered on the way down. A Join/Aggregate
+    * in between declines. Filters are allowed because the caller
+    * folds them into the guarantee: every conjunct must translate to
+    * exact file-level predicates, all-out files prune outright,
+    * boundary files keep but guarantee nothing. A scan carrying
+    * pushed DATA filters is acceptable exactly when a Filter above
+    * was collected (parquet reports every data filter as post-scan,
+    * so the Filter above re-applies what the scan might skip);
+    * without one, the scan must be provably unfiltered. */
+  private def vtUnder(p: LogicalPlan, cond: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] = None)
+      : Option[(LogicalPlan, VtTable, Seq[AttributeReference],
+        Option[org.apache.spark.sql.catalyst.expressions.Expression])] =
     p match {
-      case Project(_, c) => vtUnder(c)
-      case SubqueryAlias(_, c) => vtUnder(c)
+      case Project(_, c) => vtUnder(c, cond)
+      case SubqueryAlias(_, c) => vtUnder(c, cond)
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(fc, c) =>
+        vtUnder(c, Some(cond.map(
+          org.apache.spark.sql.catalyst.expressions.And(_, fc))
+          .getOrElse(fc)))
       case r: DataSourceV2Relation => r.table match {
         case t: VtTable =>
-          Some((r, t, r.output.map(_.asInstanceOf[AttributeReference])))
+          Some((r, t,
+            r.output.map(_.asInstanceOf[AttributeReference]), cond))
         case _ => None
       }
       case s: DataSourceV2ScanRelation =>
@@ -84,16 +98,14 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
         val clean = real match {
           case p: org.apache.spark.sql.execution.datasources.v2
               .parquet.ParquetScan =>
-            // pushed/partition/data filters would remove rows the
-            // guarantee counted — only a provably unfiltered scan
-            p.partitionFilters.isEmpty && p.pushedFilters.isEmpty &&
-              p.dataFilters.isEmpty
+            p.partitionFilters.isEmpty && (cond.isDefined ||
+              (p.pushedFilters.isEmpty && p.dataFilters.isEmpty))
           case _ => false
         }
         if (!clean) None
         else s.relation.table match {
           case t: VtTable => Some((s, t,
-            s.output.map(_.asInstanceOf[AttributeReference])))
+            s.output.map(_.asInstanceOf[AttributeReference]), cond))
           case _ => None
         }
       case _ => None
@@ -119,7 +131,8 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
       case (Ascending, NullsFirst) => false
       case _ => return None // non-default null orderings: decline
     }
-    val (relNode, t, relOut) = vtUnder(sort.child).getOrElse(return None)
+    val (relNode, t, relOut, cond) =
+      vtUnder(sort.child).getOrElse(return None)
     if (!relOut.exists(_.exprId == a.exprId)) return None
     val spark = SparkSession.active
     val entries =
@@ -128,7 +141,27 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
         VersionedTable.readEntries(spark, t.vtPath, t.vtVersion)
       } catch { case scala.util.control.NonFatal(_) => return None }
     if (entries.isEmpty) return None
-    val keep = keepSet(entries, a.name, desc, k).getOrElse(return None)
+    // a WHERE folds into the guarantee only when EVERY conjunct
+    // translates to exact file-level predicates: all-out files prune
+    // outright (no matching rows at all), all-in files' live rows all
+    // match (they fund the threshold), boundary files keep
+    // conservatively but guarantee nothing
+    val (candidates, guaranteeFrom) = cond match {
+      case None => (entries, entries.map(_.name).toSet)
+      case Some(c) =>
+        val relIds = relOut.map(_.exprId).toSet
+        val preds = VtMetadataAgg.toExactPreds(c, relIds)
+          .getOrElse(return None)
+        val (_, allIn, boundaryNames) =
+          VersionedTable.countWhereParts(entries, preds)
+        val bset = boundaryNames.toSet
+        val cands = entries.filter(e =>
+          bset.contains(e.name) || allIn.exists(_.name == e.name))
+        (cands, allIn.map(_.name).toSet)
+    }
+    if (candidates.isEmpty) return None
+    val keep = keepSet(candidates, guaranteeFrom, a.name, desc, k)
+      .getOrElse(return None)
     if (keep.size >= entries.size) return None // nothing provable
     val slice = Bridge.logicalPlan(
       VersionedTable.readEntrySubset(spark, t.vtPath, t.vtVersion, keep))
@@ -141,25 +174,31 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
     }))
   }
 
-  /** The provably-sufficient file subset for the top-k, or None when
-    * the manifest cannot guarantee k rows (no pruning then). */
+  /** The provably-sufficient file subset for the top-k among
+    * `entries` (already WHERE-classified by the caller: all-out files
+    * excluded), or None when the manifest cannot guarantee k rows (no
+    * pruning then). Only files in `guaranteeFrom` (the all-in set —
+    * every live row matches the residual predicate) fund the
+    * threshold; boundary files keep by span but guarantee nothing. */
   private def keepSet(
-      entries: Seq[VersionedTable.FileEntry], col: String,
+      entries: Seq[VersionedTable.FileEntry],
+      guaranteeFrom: Set[String], col: String,
       desc: Boolean, k: Int): Option[Set[String]] = {
     def dvc(e: VersionedTable.FileEntry): Long =
       e.dv.map(_._2).getOrElse(0L)
     // guaranteed LIVE non-null rows (a DV might mask any of them)
     def nonNullLB(e: VersionedTable.FileEntry): Long =
       e.nulls.get(col) match {
-        case Some(n) if e.nRows >= 0 =>
+        case Some(n) if e.nRows >= 0 && guaranteeFrom(e.name) =>
           math.max(0L, e.nRows - n - dvc(e))
         case _ => 0L
       }
     // guaranteed LIVE nulls
     def nullLB(e: VersionedTable.FileEntry): Long =
       e.nulls.get(col) match {
-        case Some(n) => math.max(0L, n - dvc(e))
-        case None => 0L
+        case Some(n) if guaranteeFrom(e.name) =>
+          math.max(0L, n - dvc(e))
+        case _ => 0L
       }
     def mayHaveNull(e: VersionedTable.FileEntry): Boolean =
       e.nulls.get(col) match {

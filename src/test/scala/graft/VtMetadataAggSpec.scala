@@ -1090,13 +1090,33 @@ class VtMetadataAggSpec extends AnyFunSuite {
     assert(foldsToLocal(q),
       "multi-valued files with recorded value sets must fold")
     assert(spark.sql(q).collect()(0).getLong(0) == 4L) // {1,2,3,4}
+    // SELECT DISTINCT g (key-only) folds off the same sets, NULL
+    // group included
+    val dq = s"SELECT DISTINCT g FROM graft.`$t`"
+    assert(foldsToLocal(dq),
+      "SELECT DISTINCT over value-set files must fold")
+    assert(spark.sql(dq).collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L))
+    VersionedTable.commit(
+      Seq((Option.empty[Long], 30L), (Option(5L), 31L))
+        .toDF("g", "k").coalesce(1), t, overwrite = false)
+    assert(foldsToLocal(dq))
+    assert(spark.sql(dq).collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 1L, 2L, 3L, 4L, 5L),
+      "the NULL group must appear from the null count")
     // a live DV makes the recorded set merely physical: the masked
     // file rescans (hybrid) and the vanished value drops
     VersionedTable.deleteWhere(spark, t, col("g") === 4L,
       deletionVectors = true)
     val q2 = spark.sql(q)
-    assert(q2.collect()(0).getLong(0) == 3L,
+    assert(q2.collect()(0).getLong(0) == 4L, // {1,2,3,5}
       "a DV-masked value must vanish exactly as from a scan")
+    assert(spark.sql(dq).collect().map(r =>
+        if (r.isNullAt(0)) -1L else r.getLong(0)).sorted.toSeq ==
+      Seq(-1L, 1L, 2L, 3L, 5L),
+      "DISTINCT under a DV must match the scan")
   }
 
   test("near-38-precision decimal hybrids decline: a boundary " +

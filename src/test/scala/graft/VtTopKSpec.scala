@@ -124,16 +124,34 @@ class VtTopKSpec extends AnyFunSuite {
         .map(_.getLong(0)).toSeq)
   }
 
-  test("filters, expression keys and collations decline untouched") {
+  test("translatable WHEREs fold into the guarantee; opaque ones " +
+      "and expression keys stay exact") {
     setup()
-    val t = tmpTable("topk_decline")
+    val t = tmpTable("topk_where")
     val df = (0L until 1000L).map(i => (i, s"s$i")).toDF("v", "s")
     VersionedTable.commit(
       df.repartitionByRange(4, col("v")).sortWithinPartitions("v"),
       t, overwrite = true, statsCols = Seq("v"))
+    val n = VersionedTable.readEntries(spark, t, 0).size
+    assume(n >= 4)
     val trusted = VersionedTable.read(spark, t)
-    // a WHERE between limit and relation: the guarantee rows might be
-    // filtered out — must stay a full (filtered) sort
+    // all-out files prune outright; the all-in band funds the
+    // threshold: top-5 of WHERE v < 500 lives in one file
+    val qw = spark.sql(s"SELECT v FROM graft.`$t` " +
+      "WHERE v < 500 ORDER BY v DESC LIMIT 5")
+    assert(qw.collect().map(_.getLong(0)).toSeq ==
+      (499L to 495L by -1L))
+    assert(qw.inputFiles.length < n,
+      s"WHERE-folded top-k must prune: ${qw.inputFiles.length}/$n")
+    // a boundary (straddled) file keeps but guarantees nothing — the
+    // answer can still come FROM it
+    val qb = spark.sql(s"SELECT v FROM graft.`$t` " +
+      "WHERE v >= 100 ORDER BY v LIMIT 5")
+    assert(qb.collect().map(_.getLong(0)).toSeq == (100L to 104L))
+    assert(qb.inputFiles.length < n,
+      s"boundary-aware ASC top-k must prune: ${qb.inputFiles.length}/$n")
+    // an un-indexed filter column: every file is boundary, nothing
+    // guaranteed → no pruning, values exact
     val qf = spark.sql(s"SELECT v FROM graft.`$t` " +
       "WHERE s LIKE 's1%' ORDER BY v DESC LIMIT 5")
     assert(qf.collect().map(_.getLong(0)).toSeq ==

@@ -166,6 +166,43 @@ class WriteHarvestSpec extends AnyFunSuite {
       "the entry checkpoint must round-trip distinct sets")
   }
 
+  test("value-set pruning: sparse keys inside a wide span prune") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(spark)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("wh_dprune").toString
+    val path = s"$tmp/t"
+    // f1 spans [1, 1000] but holds only {1, 1000}; f2 holds {500}
+    VersionedTable.commit(Seq(1L, 1000L).toDF("k").coalesce(1), path,
+      overwrite = true, statsCols = Seq("k"))
+    VersionedTable.commit(Seq(500L).toDF("k").coalesce(1), path,
+      overwrite = false)
+    // span-only pruning would KEEP f1 for k = 500 (500 ∈ [1,1000]);
+    // its recorded value set excludes it
+    val entries = VersionedTable.readEntries(spark, path, 1)
+    assert(entries.size == 2)
+    def kept(p: VersionedTable.PrunePred*): Seq[String] =
+      VersionedTable.pruneEntriesWhere(entries, p.toSeq).map(_.name)
+    assert(kept(VersionedTable.InPred("k", Seq(500L))).size == 1,
+      "the value set must prune the wide-span file")
+    assert(kept(VersionedTable.RangePred("k", 2L, 400L)).isEmpty,
+      "a range inside the value gap must prune everything")
+    assert(kept(VersionedTable.GePred("k", 600L)).size == 1,
+      "one-sided bounds consult the set too")
+    assert(kept(VersionedTable.InPred("k", Seq(1L, 500L))).size == 2,
+      "present values keep their files")
+    // end-to-end: answers stay exact through the pruned SQL scan
+    val q = spark.sql(s"SELECT k FROM graft.`$path` WHERE k = 500")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(500L))
+    val q2 = spark.sql(
+      s"SELECT k FROM graft.`$path` WHERE k >= 2 AND k <= 400")
+    assert(q2.collect().isEmpty)
+    val q3 = spark.sql(s"SELECT k FROM graft.`$path` WHERE k IN (1, 500)")
+    assert(q3.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 500L))
+  }
+
   test("empty batch commits cleanly with zero-row entries") {
     val tmp = Files.createTempDirectory("wh_empty").toString
     val path = s"$tmp/t"
