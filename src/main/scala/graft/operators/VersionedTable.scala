@@ -2351,8 +2351,13 @@ object VersionedTable {
       case Some(vals) => p match {
         case RangePred(_, lo, hi) => vals.exists(v =>
           cmp(v, lo).forall(_ >= 0) && cmp(v, hi).forall(_ <= 0))
-        case InPred(_, vs) => vs.exists(x => vals.exists(v =>
-          cmp(v, x).forall(_ == 0))) // incomparable pair: keep
+        // exact-compare pairwise (hash equality would mis-prune ±0.0
+        // doubles and scale-mismatched decimals); COST-BOUNDED: a
+        // huge IN-list × set product falls back to the span verdict
+        // rather than tax planning quadratically per file
+        case InPred(_, vs) if vs.size.toLong * vals.size <= 4096 =>
+          vs.exists(x => vals.exists(v =>
+            cmp(v, x).forall(_ == 0))) // incomparable pair: keep
         case GePred(_, lo) => vals.exists(v => cmp(v, lo).forall(_ >= 0))
         case LePred(_, hi) => vals.exists(v => cmp(v, hi).forall(_ <= 0))
         case _ => true

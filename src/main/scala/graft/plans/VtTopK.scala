@@ -155,9 +155,9 @@ object VtTopKRewrite extends Rule[LogicalPlan] {
         val (_, allIn, boundaryNames) =
           VersionedTable.countWhereParts(entries, preds)
         val bset = boundaryNames.toSet
-        val cands = entries.filter(e =>
-          bset.contains(e.name) || allIn.exists(_.name == e.name))
-        (cands, allIn.map(_.name).toSet)
+        val aset = allIn.iterator.map(_.name).toSet
+        (entries.filter(e => bset.contains(e.name) ||
+          aset.contains(e.name)), aset)
     }
     if (candidates.isEmpty) return None
     val keep = keepSet(candidates, guaranteeFrom, a.name, desc, k)

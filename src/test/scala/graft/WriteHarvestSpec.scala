@@ -166,6 +166,34 @@ class WriteHarvestSpec extends AnyFunSuite {
       "the entry checkpoint must round-trip distinct sets")
   }
 
+  test("distinct sets round-trip hostile strings (separators, tabs, " +
+      "unicode) and fold count(DISTINCT) exactly") {
+    if (!spark.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(spark)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(spark)
+    val tmp = Files.createTempDirectory("wh_dsethostile").toString
+    val path = s"$tmp/t"
+    // the q-field uses ',' inside a column's set and ';' between
+    // columns — values containing BOTH (plus tabs, newlines beyond
+    // BMP-ASCII) must survive the URL-escape round trip
+    val hostile = Seq("a,b;c", "tab\there", "semi;only", "ünïcodé🙂",
+      "line\nbreak", "a,b;c") // one duplicate
+    hostile.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("k", "s").coalesce(1) match {
+      case d => VersionedTable.commit(d, path, overwrite = true,
+        statsCols = Seq("k", "s"))
+    }
+    val e = VersionedTable.readEntries(spark, path, 0).head
+    assert(e.dsets.get("s").map(_.map(_.toString)) ==
+      Some(hostile.distinct.toSet),
+      s"hostile strings must round-trip: ${e.dsets.get("s")}")
+    val q = s"SELECT count(DISTINCT s) AS d FROM graft.`$path`"
+    assert(spark.sql(q).collect()(0).getLong(0) ==
+      hostile.distinct.size.toLong)
+  }
+
   test("value-set pruning: sparse keys inside a wide span prune") {
     if (!spark.conf.getOption("spark.sql.catalog.graft")
         .contains("graft.sources.VtCatalog"))
