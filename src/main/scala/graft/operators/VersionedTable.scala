@@ -363,10 +363,19 @@ object VersionedTable {
       dv: Option[(String, Long)] = None,
       nulls: Map[String, Long] = Map.empty,
       sums: Map[String, Option[java.math.BigDecimal]] = Map.empty,
-      dsets: Map[String, Set[Any]] = Map.empty) {
+      dsets: Map[String, Set[Any]] = Map.empty,
+      ndvs: Map[String, Seq[Long]] = Map.empty) {
     /** Rows a reader actually sees from this file. */
     def liveRows: Long = if (nRows < 0) nRows
       else nRows - dv.map(_._2).getOrElse(0L)
+    /** The file's HLL++ NDV sketch for `col` (register words at the
+      * write-time precision — the word count identifies the register
+      * layout), harvested by the in-write tracker with the exact hash
+      * `approx_count_distinct` uses. PHYSICAL like spans/sums: a
+      * deletion vector demotes fold consumers to the scan. Absent =
+      * not harvested (footer path, pre-field manifest, sketch
+      * disabled). */
+    def ndvOf(col: String): Option[Seq[Long]] = ndvs.get(col)
     /** Exact Σ of the PHYSICAL file's non-null `col` values, when it
       * was harvested at write time (integral/decimal stats columns
       * only — float sums are summation-order-dependent and never
@@ -1436,7 +1445,13 @@ object VersionedTable {
       val entries = readEntries(spark, path, v)
         .map(e => e.copy(stats = rekeyMap(rekey, e.stats),
           nulls = rekeyMap(rekey, e.nulls),
-          sums = rekeyMap(rekey, e.sums)))
+          sums = rekeyMap(rekey, e.sums),
+          // value sets and NDV sketches describe PHYSICAL values — a
+          // logical rename re-keys them unchanged (dropping them here
+          // would silently retire the set-union folds and value-set
+          // pruning the moment a column is renamed)
+          dsets = rekeyMap(rekey, e.dsets),
+          ndvs = rekeyMap(rekey, e.ndvs)))
       val v2 = math.max(v, nums.lastOption.getOrElse(-1)) + 1
       if (tryWriteManifest(fs, root, v2, "alter", None, cols2,
           Some(encodeSchemaFull(st2, retired2)), entries)) {
@@ -2201,6 +2216,11 @@ object VersionedTable {
     // empty array = no non-null values; column absent = unknown) —
     // round-trips so job-pruned planning keeps the distinct folds
     StructField("dsets", MapType(StringType, ArrayType(StringType)),
+      nullable = true),
+    // per-column HLL++ NDV sketches (base64 register words, the
+    // manifest's `h` encoding; column absent = not harvested) —
+    // round-trips so job-pruned planning keeps the approx-NDV folds
+    StructField("ndvs", MapType(StringType, StringType),
       nullable = true)))
 
   /** Write the parquet ENTRY CHECKPOINT for `version` if absent: the
@@ -2236,7 +2256,9 @@ object VersionedTable {
           c -> s.map(_.toPlainString).getOrElse("N") },
         if (e.dsets.isEmpty) null
         else e.dsets.map { case (c, vs) =>
-          c -> vs.toSeq.map(encode).sorted })
+          c -> vs.toSeq.map(encode).sorted },
+        if (e.ndvs.isEmpty) null
+        else e.ndvs.map { case (c, ws) => c -> encodeWords(ws) })
     }
     val slices = math.max(1, math.min(rows.size, 32))
     val tmp = new Path(root,
@@ -2292,7 +2314,10 @@ object VersionedTable {
             else r.getAs[Map[String, scala.collection.Seq[String]]](8)
               .map { case (c, vs) =>
                 c -> vs.iterator.map(decode).toSet
-              })
+              },
+          ndvs = if (r.length <= 9 || r.isNullAt(9)) Map.empty
+            else r.getAs[Map[String, String]](9)
+              .map { case (c, s) => c -> decodeWords(s) })
       }.toSeq
     Some(survivors)
   }
@@ -3807,7 +3832,20 @@ object VersionedTable {
           case d: DecimalType => (d.precision, d.scale)
           case _ => (0, 0)
         }
-        kind.map(k => WriteHarvest.ColSpec(c, i, k, p, s))
+        // NDV sketch: every span-normalizable kind (the null-only
+        // kinds — boolean/binary/INT96/intervals — have no
+        // approx_count_distinct fold worth a sketch, and INT96's
+        // written values cannot be mirrored cheaply). Default ON;
+        // `spark.graft.ndvSketch=false` drops it, `.rsd` re-sizes.
+        val ndvOn = sqlConf.getConfString(
+          "spark.graft.ndvSketch", "true").toBoolean
+        val ndvRsd = sqlConf.getConfString(
+          "spark.graft.ndvSketch.rsd", "0.05").toDouble
+        val ndvType =
+          if (!ndvOn || kind.forall(_ == WriteHarvest.KNullsOnly)) null
+          else fields(i).dataType
+        kind.map(k => WriteHarvest.ColSpec(c, i, k, p, s,
+          ndvType = ndvType, ndvRsd = ndvRsd))
       }
     }
   }
@@ -3841,8 +3879,10 @@ object VersionedTable {
             TsMicros(l): Any
           case v => v
         }.toSet)).toMap
+    val ndvs = specs.flatMap(s =>
+      h.cols.get(s.logical).flatMap(_.ndv).map(s.logical -> _)).toMap
     FileEntry(name, h.rows, stats, size, nulls = nulls, sums = sums,
-      dsets = dsets)
+      dsets = dsets, ndvs = ndvs)
   }
 
   /** A staging pass's manifest entries: the in-write harvest's when it
@@ -4820,8 +4860,36 @@ object VersionedTable {
           if (s.isEmpty) "N"
           else s.toSeq.map(encode).sorted.mkString(",")
         }.getOrElse("-")).mkString(";"))
+    // `h<w1>;<w2>;…` — per-stats-column HLL++ NDV SKETCHES (base64 of
+    // the big-endian register words; `-` = not harvested), aligned
+    // with the cols order like `q`. The word count (recoverable from
+    // the byte length) identifies the register layout, so a fold only
+    // merges sketches whose precision matches the query's. A trailing
+    // tagged field: pre-sketch parsers skip it, no protocol bump.
+    val hs =
+      if (cols.isEmpty || cols.forall(c => !e.ndvs.contains(c)))
+        Seq.empty
+      else Seq("h" + cols.map(c =>
+        e.ndvs.get(c).map(encodeWords).getOrElse("-")).mkString(";"))
     (Seq(e.name, e.nRows.toString) ++ fields ++ sz ++ dv ++ nu ++ sm ++
-      qs).mkString("\t")
+      qs ++ hs).mkString("\t")
+  }
+
+  /** Base64 (no padding) of HLL register words, 8 bytes big-endian
+    * each — the manifest/checkpoint wire form of an NDV sketch. The
+    * alphabet (`A-Za-z0-9+/`) is disjoint from the entry line's `\t`
+    * and the tag's `;` separator. */
+  private def encodeWords(ws: Seq[Long]): String = {
+    val bb = java.nio.ByteBuffer.allocate(ws.size * 8)
+    ws.foreach(bb.putLong)
+    java.util.Base64.getEncoder.withoutPadding.encodeToString(bb.array)
+  }
+
+  private def decodeWords(s: String): Seq[Long] = {
+    val bytes = java.util.Base64.getDecoder.decode(s)
+    require(bytes.length % 8 == 0, s"bad NDV sketch length: ${bytes.length}")
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Vector.fill(bytes.length / 8)(bb.getLong)
   }
 
   private def parseEntry(line: String, cols: Seq[String]): FileEntry = {
@@ -4866,7 +4934,14 @@ object VersionedTable {
             c -> p.split(',').iterator.map(decode).toSet
         }.toMap
       }.getOrElse(Map.empty[String, Set[Any]])
-    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls, sums, dsets)
+    val ndvs = trailing.find(s => s.startsWith("h") && s.length > 1)
+      .map(_.drop(1).split(';')).map { parts =>
+        cols.zip(parts.toSeq).collect {
+          case (c, p) if p != "-" && p.nonEmpty => c -> decodeWords(p)
+        }.toMap
+      }.getOrElse(Map.empty[String, Seq[Long]])
+    FileEntry(f(0), f(1).toLong, stats, size, dv, nulls, sums, dsets,
+      ndvs)
   }
 
   // ---- segmented (v7) manifest internals ------------------------------

@@ -3,7 +3,9 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualTo, EvalMode, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecificInternalRow}
+import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -263,6 +265,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     final case class SumCol(spec: SumSpec) extends Fold
     final case class AvgCol(a: AttributeReference) extends Fold
     final case class DistinctCol(a: AttributeReference) extends Fold
+    final case class NdvCol(a: AttributeReference, rsd: Double)
+      extends Fold
     val shapes: Seq[Option[Fold]] = aggExprs.map {
       // count(*) / count(<non-null literal>) — count(NULL) is 0 by
       // SQL null semantics, never the row count; leave it to the scan
@@ -299,6 +303,16 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Count(Seq(a: AttributeReference)), Complete, true, None, _), _)
           if spanType(a) && relIds.contains(a.exprId) =>
         Some(DistinctCol(a))
+      // approx_count_distinct(col): merge the write-time per-file
+      // HLL++ register words — BIT-IDENTICAL to the scan's buffer
+      // (register max is an order-free idempotent join and the
+      // write tracker hashed with the same function), so folding an
+      // "approximate" aggregate is still exact-or-untouched
+      case Alias(AggregateExpression(
+          hll @ HyperLogLogPlusPlus(a: AttributeReference, _, _, _),
+          Complete, false, None, _), _)
+          if relIds.contains(a.exprId) =>
+        Some(NdvCol(a, hll.relativeSD))
       // sum(col) = Σ of the manifest's per-file exact sums (ANSI
       // folds only under the no-partial-overflow proofs)
       case e if sumSpecOf(e, relIds).isDefined =>
@@ -308,7 +322,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     if (shapes.exists(_.isEmpty)) return None
     if (shapes.exists {
         case Some(_: Span) | Some(_: CountCol) | Some(_: SumCol)
-           | Some(_: AvgCol) | Some(_: DistinctCol) => t.vtHasMapping
+           | Some(_: AvgCol) | Some(_: DistinctCol) | Some(_: NdvCol) =>
+          t.vtHasMapping
         case _ => false
       }) return None // mapped names would misalign against stats keys
     // ONE manifest read (segment-cached) answers every expression
@@ -388,10 +403,46 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       case Some(AvgCol(a)) => avgValue(a)
       case Some(DistinctCol(a)) =>
         distinctCountOf(entries, a).map(n => n: Any)
+      case Some(NdvCol(a, rsd)) =>
+        ndvMerged(entries, a.name, rsd).map(n => n: Any)
       case None => None // unreachable: shape gate above
     }
     if (values.exists(_.isEmpty)) None
     else Some(Seq(InternalRow.fromSeq(values.map(_.get))))
+  }
+
+  /** Merge the per-file HLL++ register words of `es` (per-register
+    * max, via the same [[HyperLogLogPlusPlusHelper]] the scan-side
+    * aggregate runs) and evaluate the estimate — the merged buffer is
+    * bit-identical to what one pass over those files' rows would have
+    * accumulated, because the write tracker hashed every value with
+    * the identical function and register merge is an order-free
+    * idempotent join. None (decline) when any file that has rows
+    * lacks a sketch at the QUERY's register layout (the rsd→word-
+    * count mapping is strictly monotone, so a word-count match proves
+    * the precision match) or carries a deletion vector (the sketch is
+    * PHYSICAL — a masked row's value cannot be subtracted from HLL
+    * registers). Zero-row files contribute nothing sketch or not;
+    * zero files = the empty buffer = 0, the scan's answer too. */
+  private def ndvMerged(es: Seq[graft.operators.VersionedTable.FileEntry],
+      col: String, rsd: Double): Option[Long] = {
+    val helper =
+      try new HyperLogLogPlusPlusHelper(rsd)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val n = helper.numWords
+    val buf = new SpecificInternalRow(Seq.fill(n)(LongType))
+    var i = 0
+    while (i < n) { buf.setLong(i, 0L); i += 1 }
+    es.foreach { e =>
+      if (e.dv.exists(_._2 > 0)) return None
+      if (e.nRows != 0L) { // negative (unknown) rows need the sketch too
+        val ws = e.ndvOf(col).getOrElse(return None)
+        if (ws.size != n) return None
+        helper.merge(buf,
+          new GenericInternalRow(ws.map(w => w: Any).toArray), 0, 0)
+      }
+    }
+    Some(helper.query(buf, 0))
   }
 
   /** [[stripToVt]] through exactly one [[Filter]] — the
@@ -437,6 +488,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     final case class AvgColAgg(a: AttributeReference) extends Shape
     final case class DistinctColAgg(a: AttributeReference)
       extends Shape
+    final case class NdvColAgg(a: AttributeReference, rsd: Double)
+      extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
       case Alias(AggregateExpression(
           Count(Seq(Literal(v, _))), Complete, false, None, _), _)
@@ -467,6 +520,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           if spanType(a) && relIds.contains(a.exprId) &&
             !t.vtHasMapping =>
         DistinctColAgg(a)
+      case Alias(AggregateExpression(
+          hll @ HyperLogLogPlusPlus(a: AttributeReference, _, _, _),
+          Complete, false, None, _), _)
+          if relIds.contains(a.exprId) && !t.vtHasMapping =>
+        NdvColAgg(a, hll.relativeSD)
       case e if !t.vtHasMapping && sumSpecOf(e, relIds).isDefined =>
         SumColAgg(sumSpecOf(e, relIds).get)
       case _ => return None
@@ -483,6 +541,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val avgCols = avgAttrs.map(_.name)
     val distinctAttrs = shapes.collect { case DistinctColAgg(a) => a }
       .distinctBy(_.name)
+    val ndvSlots = shapes.collect { case NdvColAgg(a, r) => (a, r) }
+      .distinctBy(p => (p._1.name, p._2))
+    // the query-rsd register layout each sketch must match; an
+    // unconstructible helper (hostile rsd) declines the fold
+    val ndvWords: Map[Double, Int] = ndvSlots.map(_._2).distinct
+      .map(r => r -> (try new HyperLogLogPlusPlusHelper(r).numWords
+        catch { case scala.util.control.NonFatal(_) => return None }))
+      .toMap
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -522,7 +588,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
             !e.stats.contains(c)))) ||
         // count(DISTINCT c): a file that is not provably single-
         // valued demotes (and the pure-only gate below then declines)
-        distinctAttrs.exists(a => distinctCountOf(Seq(e), a).isEmpty))
+        distinctAttrs.exists(a => distinctCountOf(Seq(e), a).isEmpty) ||
+        // approx_count_distinct: a file with rows must carry a DV-free
+        // sketch at the query's register layout (the fold merges only
+        // whole-file registers; anything else rescans)
+        (ndvSlots.nonEmpty && e.nRows != 0L && (dvOf(e) ||
+          ndvSlots.exists { case (a, r) =>
+            !e.ndvOf(a.name).exists(_.size == ndvWords(r)) })))
     val missingSet = missing.iterator.map(_.name).toSet
     val dvDemote =
       if (spanCols.isEmpty) Seq.empty
@@ -606,6 +678,10 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       }
     }
     if (avgAttrs.nonEmpty && boundary.nonEmpty) return None
+    // approx_count_distinct is PURE-FOLD ONLY here: an HLL register
+    // set cannot be combined with a boundary scan through the
+    // expression layer (the partials are buffers, not values)
+    if (ndvSlots.nonEmpty && boundary.nonEmpty) return None
     // ANSI integral sums need the checked-accumulation proof over
     // every file whose rows the scan could aggregate (all-in and
     // boundary alike — the un-folded alternative aggregates exactly
@@ -679,6 +755,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           case AvgColAgg(a) => avgMeta(a).getOrElse(return None)
           case DistinctColAgg(a) =>
             (distinctCountOf(allIn, a).getOrElse(return None)): Any
+          case NdvColAgg(a, r) =>
+            (ndvMerged(allIn, a.name, r).getOrElse(return None)): Any
         }))))
     // boundary files: one masked/aliased subset scan, original
     // predicate re-applied, partial aggregates combined with the
@@ -755,7 +833,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // the final conversion applies the ONE overflow check the
         // scan's own buffer would (LEGACY → NULL, ANSI → throw)
         Alias(sumFinalExpr(sp, combined), o.name)(exprId = o.exprId)
-      case (AvgColAgg(_), _) | (DistinctColAgg(_), _) =>
+      case (AvgColAgg(_), _) | (DistinctColAgg(_), _)
+         | (NdvColAgg(_, _), _) =>
         return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
@@ -801,6 +880,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       extends Shape
     final case class SumGAgg(spec: SumSpec) extends Shape
     final case class AvgGAgg(a: AttributeReference) extends Shape
+    final case class NdvGAgg(a: AttributeReference, rsd: Double)
+      extends Shape
     val shapes: Seq[Shape] = aggExprs.map {
       case a: AttributeReference if gIdx.contains(a.exprId) => GKey(a)
       case Alias(a: AttributeReference, _)
@@ -825,6 +906,14 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           if foldableSumMode(mode) && avgType(a) &&
             ae.dataType == DoubleType && relIds.contains(a.exprId) =>
         AvgGAgg(a)
+      // per-group approx_count_distinct: whole-file-keyed files merge
+      // their register words into their group's buffer — the per-day
+      // distinct-users profile answered from the manifest
+      case Alias(AggregateExpression(
+          hll @ HyperLogLogPlusPlus(a: AttributeReference, _, _, _),
+          Complete, false, None, _), _)
+          if relIds.contains(a.exprId) =>
+        NdvGAgg(a, hll.relativeSD)
       case e if sumSpecOf(e, relIds).isDefined =>
         SumGAgg(sumSpecOf(e, relIds).get)
       case _ => return None
@@ -839,6 +928,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val sumGAttrs = sumGSlots.map(_.a)
     val avgGAttrs = shapes.collect { case AvgGAgg(a) => a }
       .distinctBy(_.name)
+    val ndvGSlots = shapes.collect { case NdvGAgg(a, r) => (a, r) }
+      .distinctBy(p => (p._1.name, p._2))
+    val ndvGHelpers: Map[Double, HyperLogLogPlusPlusHelper] =
+      ndvGSlots.map(_._2).distinct
+        .map(r => r -> (try new HyperLogLogPlusPlusHelper(r)
+          catch { case scala.util.control.NonFatal(_) => return None }))
+        .toMap
     val preds = toExactPreds(cond, relIds).getOrElse(return None)
     val spark = SparkSession.active
     val entries =
@@ -991,6 +1087,28 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         if (ok) Some(out.result()) else None
       }
     }
+    // per-group NDV contributions (same whole-file-key gating as
+    // sums: a DV masks register-irreversible values, demote); a
+    // zero-row file contributes nothing, every other file needs every
+    // slot's words at the query's register layout. An all-null column
+    // still carries its (all-zero) words — merging them is the scan's
+    // own no-op.
+    def ndvContrib(e: graft.operators.VersionedTable.FileEntry)
+        : Option[Seq[(K, String, Double, Seq[Long])]] = {
+      if (ndvGSlots.isEmpty || e.nRows == 0L) return Some(Seq.empty)
+      if (e.dv.exists(_._2 > 0)) return None
+      fileKey(e).flatMap { k =>
+        val out = Seq.newBuilder[(K, String, Double, Seq[Long])]
+        ndvGSlots.foreach { case (a, r) =>
+          e.ndvOf(a.name) match {
+            case Some(ws) if ws.size == ndvGHelpers(r).numWords =>
+              out += ((k, a.name, r, ws))
+            case _ => return None // no/foreign sketch: demote
+          }
+        }
+        Some(out.result())
+      }
+    }
     val metaCount =
       scala.collection.mutable.LinkedHashMap.empty[K, Long]
     val metaColCount = scala.collection.mutable
@@ -1001,10 +1119,27 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       .Map.empty[(K, String), (java.math.BigDecimal, Boolean)]
     val metaAvgG = scala.collection.mutable.Map.empty[(K, String),
       (java.math.BigDecimal, Long, java.math.BigDecimal)]
+    // per-(group, col, rsd) merged register buffer — helper.merge is
+    // the scan's own per-register max
+    val metaNdvG = scala.collection.mutable
+      .Map.empty[(K, String, Double), SpecificInternalRow]
+    def ndvMergeInto(key: (K, String, Double), ws: Seq[Long]): Unit = {
+      val helper = ndvGHelpers(key._3)
+      val buf = metaNdvG.getOrElseUpdate(key, {
+        val b = new SpecificInternalRow(
+          Seq.fill(helper.numWords)(LongType))
+        var i = 0
+        while (i < helper.numWords) { b.setLong(i, 0L); i += 1 }
+        b
+      })
+      helper.merge(buf,
+        new GenericInternalRow(ws.map(w => w: Any).toArray), 0, 0)
+    }
     val demoted = Seq.newBuilder[String]
     allIn0.foreach { e =>
-      (contrib(e), spanContrib(e), sumContrib(e), avgContrib(e)) match {
-        case (Some(cs), Some(ss), Some(ms), Some(as)) =>
+      (contrib(e), spanContrib(e), sumContrib(e), avgContrib(e),
+        ndvContrib(e)) match {
+        case (Some(cs), Some(ss), Some(ms), Some(as), Some(ns)) =>
           cs.foreach {
             case (key, "*", n) =>
               metaCount(key) = metaCount.getOrElse(key, 0L) + n
@@ -1038,6 +1173,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
               (java.math.BigDecimal.ZERO, 0L, java.math.BigDecimal.ZERO))
             metaAvgG((key, c)) = (s0.add(sig), n0 + n, m0.max(mab))
           }
+          ns.foreach { case (key, c, r, ws) =>
+            ndvMergeInto((key, c, r), ws)
+          }
         case _ =>
           // SELECT DISTINCT g (key-only single-column shape): a
           // multi-valued file with a write-time VALUE SET still folds
@@ -1068,9 +1206,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demotedSet
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    // grouped avg is PURE-FOLD ONLY (Σ/n does not decompose over the
-    // boundary union): any undecided file declines it to the scan
-    if (avgGAttrs.nonEmpty && boundary.nonEmpty) return None
+    // grouped avg and approx_count_distinct are PURE-FOLD ONLY (Σ/n
+    // does not decompose over the boundary union; HLL registers
+    // cannot combine with a scan through the expression layer): any
+    // undecided file declines them to the scan
+    if ((avgGAttrs.nonEmpty || ndvGSlots.nonEmpty) && boundary.nonEmpty)
+      return None
     // a fully-masked point file contributes 0 to its group: a real
     // scan would emit NO group for it, so zero-count keys must not
     // materialize rows (span shapes cannot leak here — DV'd files
@@ -1149,6 +1290,16 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
                     .compareTo(TwoP53) >= 0) return None
                 (sig.doubleValue / n.toDouble): Any
             }
+          case NdvGAgg(a, r) =>
+            // a live key with no merged buffer means every
+            // contributing file was all-null in `a` before the words
+            // existed — unreachable in practice (all-zero words are
+            // always recorded), but the empty estimate is the scan's
+            // answer for no values anyway
+            (metaNdvG.get((k, a.name, r)) match {
+              case Some(buf) => ndvGHelpers(r).query(buf, 0)
+              case None => 0L
+            }): Any
         })
       }
       return Some(LocalRelation(agg.output, rows))
@@ -1254,6 +1405,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // conversion (Cast / MakeDecimal / identity) applies the one
         // overflow check the scan's own buffer would
         Alias(sumFinalExpr(sp, aggE), o.name)(exprId = o.exprId)
+      case (AvgGAgg(_), _) | (NdvGAgg(_, _), _) =>
+        return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(
       Aggregate(uG, outs, union)))

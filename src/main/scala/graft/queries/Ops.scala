@@ -1083,6 +1083,91 @@ object Ops {
     dist.crossJoin(counts).crossJoin(bandedW).crossJoin(straddle)
   }
 
+  // APPROX-NDV FROM METADATA: the write ledger records each file's
+  // HLL++ register words (the exact buffer Spark's
+  // `approx_count_distinct` accumulates, hashed identically), so the
+  // whole-table — and any cleanly-partitioned WHERE — estimate folds
+  // to a manifest merge with ZERO files opened, bit-identical to the
+  // scan (register max is an order-free idempotent join). On a 100 TB
+  // corpus the daily "how many distinct users/documents" profile
+  // becomes a metadata read. The entry asserts the bit-equality
+  // differentially (fold vs direct file scan) and hands the oracle
+  // exact-comparable outputs: DuckDB's HLL differs from Spark's, so
+  // the estimate itself is checked as a deterministic tolerance
+  // boolean, plus the exact count(DISTINCT) both engines share.
+  val opVtApproxNdv: Q = (s, d) => {
+    import graft.operators.VersionedTable
+    if (!s.conf.getOption("spark.sql.catalog.graft")
+        .contains("graft.sources.VtCatalog"))
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.VtCatalog")
+    graft.plans.VtMetadataAgg.ensureRegistered(s)
+    graft.plans.VtMaskedScanRewrite.ensureRegistered(s)
+    val dir = Sources.fixtureDir(s, "graft_vtndv_")
+    Sources.registerCleanup(dir)
+    val t = new java.io.File(dir, "ord").getAbsolutePath
+    val ord = orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val maxRow = ord.agg(max(col("o_orderkey"))).collect()(0)
+    val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val w = math.max(1L, (maxId + 1) / 4)
+    val banded = ord.withColumn("band", expr(s"o_orderkey div $w"))
+    val stats = Seq("band", "o_custkey", "o_orderkey")
+    val bands = banded.select(col("band")).distinct().collect()
+      .map(_.getLong(0)).sorted
+    if (bands.isEmpty)
+      VersionedTable.commit(banded, t, overwrite = true,
+        statsCols = stats)
+    else bands.zipWithIndex.foreach { case (b, i) =>
+      VersionedTable.commit(
+        banded.where(col("band") === b).coalesce(1), t,
+        overwrite = i == 0,
+        statsCols = if (i == 0) stats else Seq.empty)
+    }
+    def foldsToLocal(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+    val full = s.sql(
+      s"SELECT approx_count_distinct(o_custkey) AS a FROM graft.`$t`")
+    // per-band files are single-valued in the group key: the grouped
+    // estimate folds per group from the manifest registers
+    val grouped = s.sql("SELECT band, " +
+      "approx_count_distinct(o_custkey) AS a " +
+      s"FROM graft.`$t` GROUP BY band")
+    if (bands.nonEmpty) {
+      require(foldsToLocal(full),
+        "whole-table approx_count_distinct must fold to metadata")
+      require(foldsToLocal(grouped),
+        "per-band approx_count_distinct must fold to metadata")
+    }
+    // the DIFFERENTIAL gate: folds must be bit-identical to the
+    // scan-side aggregates over the same files (not merely "close")
+    val v = VersionedTable.latestVersion(s, t).get
+    val entries = VersionedTable.readEntries(s, t, v)
+    val scan = if (entries.isEmpty) banded.limit(0)
+      else s.read.parquet(entries.map(e => s"$t/${e.name}"): _*)
+    require(full.collect()(0).getLong(0) ==
+      scan.agg(approx_count_distinct(col("o_custkey"))).collect()(0)
+        .getLong(0),
+      "whole-table metadata fold != scan estimate")
+    require(grouped.collect().map(_.toSeq).toSet ==
+      scan.groupBy(col("band"))
+        .agg(approx_count_distinct(col("o_custkey")).as("a"))
+        .collect().map(_.toSeq).toSet,
+      "per-band metadata folds != per-band scan estimates")
+    // oracle-comparable output: the exact per-band NDV both engines
+    // share, plus the (deterministic) tolerance verdict on the
+    // estimate — rsd 0.05 → 25% is 5σ; observed error here is <2%
+    val approxByBand = grouped.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = banded.groupBy(col("band"))
+      .agg(countDistinct(col("o_custkey")).as("nd_exact"))
+    import s.implicits._
+    exact.collect().toSeq.map { r =>
+      val (b, nd) = (r.getLong(0), r.getLong(1))
+      (b, nd, math.abs(approxByBand(b) - nd) <= 0.25 * nd)
+    }.toDF("band", "nd_exact", "within")
+  }
+
   // TOP-K FROM METADATA: `ORDER BY key [DESC] LIMIT k` over a
   // versioned table opens ONLY files whose manifest span can reach
   // the provable top-k — on a 100 TB time-clustered table, the
@@ -3018,6 +3103,7 @@ object Ops {
     "op_vt_group_meta" -> opVtGroupMeta,
     "op_vt_group_meta2" -> opVtGroupMeta2,
     "op_vt_distinct_meta" -> opVtDistinctMeta,
+    "op_vt_approx_ndv" -> opVtApproxNdv,
     "op_vt_topk_meta" -> opVtTopkMeta,
     "op_vt_dfp" -> opVtDfp,
     "op_vt_meta_sum" -> opVtMetaSum,
@@ -3551,6 +3637,17 @@ object Ops {
         |        WHERE l_orderkey >=
         |          greatest(1, (SELECT w FROM mx) // 2)) AS nbs
         |FROM b""".stripMargin,
+    // Spark's HLL++ estimate is engine-specific, so the oracle checks
+    // the shared exact NDV plus the (deterministic) tolerance verdict;
+    // the bit-equality of fold vs scan is asserted inside the entry.
+    "op_vt_approx_ndv" ->
+      """WITH mx AS (SELECT CASE WHEN max(o_orderkey) IS NULL THEN 1
+        |                        ELSE greatest(1,
+        |                          (max(o_orderkey) + 1) // 4) END AS w
+        |           FROM orders)
+        |SELECT o_orderkey // (SELECT w FROM mx) AS band,
+        |       count(DISTINCT o_custkey) AS nd_exact, true AS within
+        |FROM orders GROUP BY 1""".stripMargin,
     // Both ORDER BY LIMIT lanes must equal DuckDB's full-scan sort
     // (o_orderkey is unique — the limit is deterministic).
     "op_vt_topk_meta" ->

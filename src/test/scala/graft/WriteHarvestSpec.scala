@@ -35,13 +35,14 @@ class WriteHarvestSpec extends AnyFunSuite {
         val in = fs.open(st.getPath)
         val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        // the `q` distinct-set field is write-path-ONLY knowledge (a
-        // footer cannot reconstruct per-file value sets) — documented
-        // extra information, excluded from the byte differential like
-        // the file name and byte size
+        // the `q` distinct-set and `h` NDV-sketch fields are
+        // write-path-ONLY knowledge (a footer cannot reconstruct
+        // per-file value sets or register words) — documented extra
+        // information, excluded from the byte differential like the
+        // file name and byte size
         s.split('\n').toSeq.filter(_.contains("\t")).map { l =>
           l.split('\t').drop(1).filterNot(f =>
-            f.startsWith("z") || f.startsWith("q"))
+            f.startsWith("z") || f.startsWith("q") || f.startsWith("h"))
             .mkString("\t")
         }
       }
