@@ -429,6 +429,19 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val helper =
       try new HyperLogLogPlusPlusHelper(rsd)
       catch { case scala.util.control.NonFatal(_) => return None }
+    ndvMergedWords(es, col, rsd).map { ws =>
+      helper.query(new GenericInternalRow(ws.map(w => w: Any).toArray), 0)
+    }
+  }
+
+  /** The merged register WORDS themselves — what [[SeededHll]] seeds
+    * the boundary scan's buffer with in the hybrid. */
+  private def ndvMergedWords(
+      es: Seq[graft.operators.VersionedTable.FileEntry],
+      col: String, rsd: Double): Option[Seq[Long]] = {
+    val helper =
+      try new HyperLogLogPlusPlusHelper(rsd)
+      catch { case scala.util.control.NonFatal(_) => return None }
     val n = helper.numWords
     val buf = new SpecificInternalRow(Seq.fill(n)(LongType))
     var i = 0
@@ -442,7 +455,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           new GenericInternalRow(ws.map(w => w: Any).toArray), 0, 0)
       }
     }
-    Some(helper.query(buf, 0))
+    Some((0 until n).map(buf.getLong))
   }
 
   /** [[stripToVt]] through exactly one [[Filter]] — the
@@ -678,10 +691,18 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       }
     }
     if (avgAttrs.nonEmpty && boundary.nonEmpty) return None
-    // approx_count_distinct is PURE-FOLD ONLY here: an HLL register
-    // set cannot be combined with a boundary scan through the
-    // expression layer (the partials are buffers, not values)
-    if (ndvSlots.nonEmpty && boundary.nonEmpty) return None
+    // approx_count_distinct DOES decompose over the boundary — not
+    // through the expression layer (the partials are register
+    // buffers, not values) but through [[SeededHll]]: the all-in
+    // files' merged manifest registers become the boundary scan
+    // aggregate's INITIAL buffer. Register max is idempotent, so
+    // every task partial may carry the seed and the merged result is
+    // bit-identical to one filtered pass over all matching rows.
+    val ndvSeeds: Map[(String, Double), Seq[Long]] =
+      ndvSlots.map { case (a, r) =>
+        (a.name, r) -> ndvMergedWords(allIn, a.name, r)
+          .getOrElse(return None)
+      }.toMap
     // ANSI integral sums need the checked-accumulation proof over
     // every file whose rows the scan could aggregate (all-in and
     // boundary alike — the un-folded alternative aggregates exactly
@@ -792,9 +813,19 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       sp.a.name -> Alias(boundarySumAgg(sp),
         s"graft_boundary_sum_${sp.a.name}")()
     }.toMap
+    // seeded NDV aggregates: the boundary scan's buffer initializes
+    // from the all-in files' merged registers, so this aggregate's
+    // output IS the final hybrid answer (no outer combine)
+    val ndvAggsB: Map[(String, Double), Alias] = ndvSlots.map {
+      case (a, r) =>
+        (a.name, r) -> Alias(AggregateExpression(
+          SeededHll(a, r, ndvSeeds((a.name, r))), Complete,
+          isDistinct = false),
+          s"graft_boundary_ndv_${a.name}")()
+    }.toMap
     val inner = Aggregate(Nil,
       cnt +: (cntColAggs.values.toSeq ++ spanAggs.values.toSeq ++
-        sumAggsB.values.toSeq),
+        sumAggsB.values.toSeq ++ ndvAggsB.values.toSeq),
       Filter(cond, remap))
     val outs = shapes.zip(agg.output).map {
       case (CountAll, o) =>
@@ -833,8 +864,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // the final conversion applies the ONE overflow check the
         // scan's own buffer would (LEGACY → NULL, ANSI → throw)
         Alias(sumFinalExpr(sp, combined), o.name)(exprId = o.exprId)
-      case (AvgColAgg(_), _) | (DistinctColAgg(_), _)
-         | (NdvColAgg(_, _), _) =>
+      case (NdvColAgg(a, r), o) =>
+        // the seeded aggregate already carries the metadata half
+        Alias(ndvAggsB((a.name, r)).toAttribute, o.name)(
+          exprId = o.exprId)
+      case (AvgColAgg(_), _) | (DistinctColAgg(_), _) =>
         return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))

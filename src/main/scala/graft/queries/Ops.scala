@@ -1154,9 +1154,30 @@ object Ops {
         .agg(approx_count_distinct(col("o_custkey")).as("a"))
         .collect().map(_.toSeq).toSet,
       "per-band metadata folds != per-band scan estimates")
+    // STRADDLING WHERE: a cut through band 0's file leaves one
+    // boundary file — the SEEDED hybrid merges the all-in registers
+    // into the scan aggregate's initial buffer and opens only that
+    // file, still bit-identical to a full filtered scan
+    val cut = w / 2
+    val straddle = s.sql("SELECT approx_count_distinct(o_custkey) " +
+      s"AS a FROM graft.`$t` WHERE o_orderkey >= $cut")
+    if (bands.length >= 2) {
+      require(straddle.inputFiles.length <= 1,
+        "the seeded hybrid must open only the straddled file, " +
+          s"opened ${straddle.inputFiles.length}")
+      require(straddle.collect()(0).getLong(0) ==
+        scan.where(col("o_orderkey") >= cut)
+          .agg(approx_count_distinct(col("o_custkey"))).collect()(0)
+          .getLong(0),
+        "seeded hybrid != full filtered scan estimate")
+    }
+    val exactS = banded.where(col("o_orderkey") >= cut)
+      .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
+    val withinS = math.abs(straddle.collect()(0).getLong(0) - exactS) <=
+      0.25 * exactS
     // oracle-comparable output: the exact per-band NDV both engines
-    // share, plus the (deterministic) tolerance verdict on the
-    // estimate — rsd 0.05 → 25% is 5σ; observed error here is <2%
+    // share, plus the (deterministic) tolerance verdicts on the
+    // estimates — rsd 0.05 → 25% is 5σ; observed error here is <2%
     val approxByBand = grouped.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = banded.groupBy(col("band"))
@@ -1164,8 +1185,9 @@ object Ops {
     import s.implicits._
     exact.collect().toSeq.map { r =>
       val (b, nd) = (r.getLong(0), r.getLong(1))
-      (b, nd, math.abs(approxByBand(b) - nd) <= 0.25 * nd)
-    }.toDF("band", "nd_exact", "within")
+      (b, nd, math.abs(approxByBand(b) - nd) <= 0.25 * nd, exactS,
+        withinS)
+    }.toDF("band", "nd_exact", "within", "nds_exact", "within_s")
   }
 
   // TOP-K FROM METADATA: `ORDER BY key [DESC] LIMIT k` over a
@@ -3646,7 +3668,11 @@ object Ops {
         |                          (max(o_orderkey) + 1) // 4) END AS w
         |           FROM orders)
         |SELECT o_orderkey // (SELECT w FROM mx) AS band,
-        |       count(DISTINCT o_custkey) AS nd_exact, true AS within
+        |       count(DISTINCT o_custkey) AS nd_exact, true AS within,
+        |       (SELECT count(DISTINCT o_custkey) FROM orders
+        |        WHERE o_orderkey >= (SELECT w FROM mx) // 2)
+        |         AS nds_exact,
+        |       true AS within_s
         |FROM orders GROUP BY 1""".stripMargin,
     // Both ORDER BY LIMIT lanes must equal DuckDB's full-scan sort
     // (o_orderkey is unique — the limit is deterministic).

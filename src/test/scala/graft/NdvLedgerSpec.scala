@@ -116,11 +116,16 @@ class NdvLedgerSpec extends AnyFunSuite {
     val masked = spark.sql(
       s"SELECT approx_count_distinct(cat) AS a FROM graft.`$path`")
     assert(!foldsToLocal(masked),
-      "a DV'd file's sketch is physical: the fold must decline")
+      "a DV'd file's sketch is physical: the pure fold must decline")
+    // …but the SEEDED hybrid rescans only the masked file; the
+    // answer equals the engine's own masked read end to end
+    assert(masked.collect()(0).getLong(0) ==
+      VersionedTable.read(spark, path)
+        .agg(approx_count_distinct($"cat")).collect()(0).getLong(0),
+      "the hybrid must equal the masked full read bit-exactly")
     val exactMasked = spark.sql(
       s"SELECT count(DISTINCT cat) AS n FROM graft.`$path`")
       .collect()(0).getLong(0)
-    // the declined estimate is the true masked-scan estimate
     assert(math.abs(masked.collect()(0).getLong(0) - exactMasked)
       <= math.max(2L, (0.25 * exactMasked).toLong))
   }
@@ -238,8 +243,8 @@ class NdvLedgerSpec extends AnyFunSuite {
     assert(qe.collect()(0).getLong(0) == 0L)
   }
 
-  test("WHERE folds when files partition cleanly, declines on a " +
-      "straddling boundary") {
+  test("WHERE folds when files partition cleanly; a straddling " +
+      "boundary opens one file via the seeded hybrid") {
     ensureCatalog()
     val tmp = Files.createTempDirectory("ndv_where").toString
     val path = s"$tmp/t"
@@ -261,15 +266,19 @@ class NdvLedgerSpec extends AnyFunSuite {
       .agg(approx_count_distinct($"cat")).collect()(0).getLong(0)
     assert(aligned.collect()(0).getLong(0) == alignedScan,
       "the all-in merge must equal the scan of the same rows")
-    // a mid-file cut leaves a boundary: HLL registers cannot be
-    // combined with a partial scan, so the whole query scans
+    // a mid-file cut leaves ONE boundary file: the SEEDED hybrid
+    // merges the all-in registers into the scan aggregate's initial
+    // buffer and opens only the straddled file — still bit-identical
+    // to a full filtered scan (register max is idempotent)
     val straddle = spark.sql(
       "SELECT approx_count_distinct(cat) AS a " +
         s"FROM graft.`$path` WHERE k >= ${edge + 7}")
-    assert(!foldsToLocal(straddle),
-      "a straddling WHERE must decline the register fold")
+    assert(straddle.inputFiles.length == 1,
+      "the seeded hybrid must open only the straddled file, " +
+        s"opened ${straddle.inputFiles.length}")
     assert(straddle.collect()(0).getLong(0) ==
       scanFiles(path).where($"k" >= edge + 7)
-        .agg(approx_count_distinct($"cat")).collect()(0).getLong(0))
+        .agg(approx_count_distinct($"cat")).collect()(0).getLong(0),
+      "the seeded hybrid must equal the full filtered scan bit-exactly")
   }
 }
