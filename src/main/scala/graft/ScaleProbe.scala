@@ -28,7 +28,7 @@ object ScaleProbe {
       if (args.length > 1) args(1).split(',').toSet
       else Set("lsh", "pipeline", "pack", "rank", "winnow", "range",
         "contam", "bm25", "profile", "quant", "surprisal", "curriculum",
-        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv", "vtseg", "vtmeta", "vtanalyze", "dfp", "topk")
+        "asofskew", "ivfups", "bpe", "zorder", "tdelete", "asofnative", "fuzzy", "vtstats", "vtlog", "vtmerge", "dv", "vtseg", "vtmeta", "vtanalyze", "dfp", "topk", "ndv")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
       .config("spark.sql.shuffle.partitions", "16")
@@ -1504,7 +1504,7 @@ object ScaleProbe {
     // Round-18 lanes: join-key dynamic file pruning (files opened
     // with/without, star-join shape) and ORDER BY LIMIT top-k file
     // skipping, both on a 64-file ~700 MB versioned fact table.
-    if (stages("dfp") || stages("topk")) {
+    if (stages("dfp") || stages("topk") || stages("ndv")) {
       import graft.operators.VersionedTable
       val dir = java.nio.file.Files.createTempDirectory("probe_dfp_")
       val t = s"$dir/fact"
@@ -1547,6 +1547,24 @@ object ScaleProbe {
           f"with pruning on ($t1%.2f s) vs off ($t0%.2f s) — at 800k " +
           "files the unpruned side is the whole fact scan")
         require(f1 < f0, s"dfp must prune: $f1 vs $f0")
+      }
+      if (stages("ndv")) {
+        graft.plans.VtMetadataAgg.ensureRegistered(spark)
+        val q = "SELECT approx_count_distinct(id) AS a " +
+          s"FROM graft.`$t`"
+        // the honest baseline: the engine's own versioned read (no
+        // catalog, no fold rule) aggregating every row
+        val (a0, t0) = minOf3(VersionedTable.read(spark, t)
+          .agg(approx_count_distinct(col("id"))).collect()(0)
+          .getLong(0))
+        val (a1, t1) = minOf3(spark.sql(q).collect()(0).getLong(0))
+        require(a0 == a1,
+          s"ndv fold must be bit-identical to the scan: $a1 vs $a0")
+        val f1 = spark.sql(q).inputFiles.length
+        println(f"[probe] ndv: approx_count_distinct folds from the " +
+          f"manifest in $t1%.3f s / $f1 files vs $t0%.2f s scanning " +
+          "64 files — at 800k files the scan is the whole column read")
+        require(f1 == 0, s"ndv fold must open no files: $f1")
       }
       if (stages("topk")) {
         val q = s"SELECT id, s FROM graft.`$t` " +

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Coalesce, EqualTo, EvalMode, ExprId, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, EqualTo, EvalMode, ExprId, Expression, GreaterThan, GreaterThanOrEqual, If, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, NamedExpression, Not, Or, StartsWith}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, HyperLogLogPlusPlus, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, SpecificInternalRow}
 import org.apache.spark.sql.catalyst.util.HyperLogLogPlusPlusHelper
@@ -675,9 +675,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demote.map(_.name)
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    // avg is PURE-FOLD ONLY: it does not decompose over a boundary
-    // union the way count/sum/min/max do — any undecided file declines
-    // it to the scan. count(DISTINCT g) DOES decompose — as a SET
+    // count(DISTINCT g) decomposes over the boundary — as a SET
     // union (metadata point values ∪ boundary-scan values, one outer
     // distinct-count deduplicating across the split) — but only the
     // single-output shape rewrites (mixing with additive partials
@@ -690,7 +688,46 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    if (avgAttrs.nonEmpty && boundary.nonEmpty) return None
+    val entryByName = entries.iterator.map(e => e.name -> e).toMap
+    // avg DOES decompose over the boundary: Σ and n are both
+    // additive, and under the 2^53 double-exactness proof — checked
+    // here over EVERY file the scan could touch (all-in AND
+    // boundary), with each boundary file's non-null rows bounded by
+    // its physical row count — the scan's double-accumulated average
+    // is provably exact too, so exact (metaΣ + boundaryΣ) /
+    // (metaN + boundaryN) reproduces it bit-for-bit. Anything
+    // unprovable (missing span, unknown rows, a span too wide)
+    // declines the whole fold.
+    val avgHybridProof: Map[String, Boolean] = avgCols.map { c =>
+      def bound(): Boolean = {
+        var m = java.math.BigDecimal.ZERO
+        var n = metaNonNull(c)
+        allIn.foreach(e => e.stats.get(c).flatten.foreach {
+          case (lo: Long, hi: Long) =>
+            val x = java.math.BigDecimal.valueOf(lo).abs
+              .max(java.math.BigDecimal.valueOf(hi).abs)
+            if (x.compareTo(m) > 0) m = x
+          case _ => return false
+        })
+        boundary.toSeq.flatMap(entryByName.get).foreach { e =>
+          if (e.nRows < 0) return false
+          n += e.nRows // every physical row may be a non-null match
+          e.stats.get(c) match {
+            case Some(Some((lo: Long, hi: Long))) =>
+              val x = java.math.BigDecimal.valueOf(lo).abs
+                .max(java.math.BigDecimal.valueOf(hi).abs)
+              if (x.compareTo(m) > 0) m = x
+            case Some(None) => () // all-null: contributes nothing
+            case _ => return false
+          }
+        }
+        java.math.BigDecimal.valueOf(n).multiply(m)
+          .compareTo(TwoP53) < 0
+      }
+      c -> bound()
+    }.toMap
+    if (avgAttrs.nonEmpty && boundary.nonEmpty &&
+        avgCols.exists(c => !avgHybridProof(c))) return None
     // approx_count_distinct DOES decompose over the boundary — not
     // through the expression layer (the partials are register
     // buffers, not values) but through [[SeededHll]]: the all-in
@@ -708,7 +745,6 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // boundary alike — the un-folded alternative aggregates exactly
     // those matching rows, and must neither throw where it would nor
     // answer where it would throw)
-    val entryByName = entries.iterator.map(e => e.name -> e).toMap
     lazy val proofEntries = allIn ++ boundary.flatMap(entryByName.get)
     val sumProofCache = scala.collection.mutable.Map.empty[String, Boolean]
     def longProof(sp: SumSpec): Boolean =
@@ -823,9 +859,21 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           isDistinct = false),
           s"graft_boundary_ndv_${a.name}")()
     }.toMap
+    // avg partials: exact boundary Σ (long — no overflow under the
+    // avgHybridProof bound) and matching-row count, combined with the
+    // exact metadata halves in the outer projection
+    val avgSumB: Map[String, Alias] = avgAttrs.map { a =>
+      a.name -> Alias(AggregateExpression(Sum(a), Complete,
+        isDistinct = false), s"graft_boundary_avgsum_${a.name}")()
+    }.toMap
+    val avgCntB: Map[String, Alias] = avgAttrs.map { a =>
+      a.name -> Alias(AggregateExpression(Count(Seq(a)), Complete,
+        isDistinct = false), s"graft_boundary_avgcnt_${a.name}")()
+    }.toMap
     val inner = Aggregate(Nil,
       cnt +: (cntColAggs.values.toSeq ++ spanAggs.values.toSeq ++
-        sumAggsB.values.toSeq ++ ndvAggsB.values.toSeq),
+        sumAggsB.values.toSeq ++ ndvAggsB.values.toSeq ++
+        avgSumB.values.toSeq ++ avgCntB.values.toSeq),
       Filter(cond, remap))
     val outs = shapes.zip(agg.output).map {
       case (CountAll, o) =>
@@ -868,7 +916,24 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // the seeded aggregate already carries the metadata half
         Alias(ndvAggsB((a.name, r)).toAttribute, o.name)(
           exprId = o.exprId)
-      case (AvgColAgg(_), _) | (DistinctColAgg(_), _) =>
+      case (AvgColAgg(a), o) =>
+        // (metaΣ + boundaryΣ) / (metaN + boundaryN), exact in IEEE
+        // double under avgHybridProof — the same value the scan's
+        // double-accumulated buffer lands on in any order
+        val (sigma, _) = metaSumVal(a.name)
+        val metaS =
+          try sigma.longValueExact()
+          catch { case _: ArithmeticException => return None }
+        val n: Expression = Add(avgCntB(a.name).toAttribute,
+          Literal(metaNonNull(a.name)))
+        val sTot: Expression = Add(
+          Coalesce(Seq(avgSumB(a.name).toAttribute, Literal(0L))),
+          Literal(metaS))
+        Alias(If(EqualTo(n, Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(sTot, DoubleType), Cast(n, DoubleType))),
+          o.name)(exprId = o.exprId)
+      case (DistinctColAgg(_), _) =>
         return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(Project(outs, inner)))
@@ -1093,8 +1158,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // per-group avg inputs (same whole-file-key gating as sums):
     // exact Σ, live non-null count, and the max |span| bound feeding
     // the per-group 2^53 double-exactness proof [[avgMeta]] applies
-    // whole-table. avg is PURE-FOLD ONLY (it does not decompose over
-    // the boundary union), so any demoted file declines it below.
+    // whole-table. A demoted file sends avg through the BOUNDARY
+    // HYBRID below (Σ and n partials union per group) — provable
+    // only under the conservative all-boundary-rows bound.
     def avgContrib(e: graft.operators.VersionedTable.FileEntry)
         : Option[Seq[(K, String,
           (java.math.BigDecimal, Long, java.math.BigDecimal))]] = {
@@ -1240,11 +1306,43 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demotedSet
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    // grouped avg and approx_count_distinct are PURE-FOLD ONLY (Σ/n
-    // does not decompose over the boundary union; HLL registers
-    // cannot combine with a scan through the expression layer): any
-    // undecided file declines them to the scan
-    if ((avgGAttrs.nonEmpty || ndvGSlots.nonEmpty) && boundary.nonEmpty)
+    // grouped approx_count_distinct is PURE-FOLD ONLY (a per-group
+    // register seed would need one SeededHll per group — the scan
+    // side cannot address them): any undecided file declines it.
+    if (ndvGSlots.nonEmpty && boundary.nonEmpty) return None
+    // grouped avg DOES decompose (per-group Σ and n are additive) —
+    // but only under a per-group 2^53 double-exactness proof, checked
+    // here CONSERVATIVELY: every group's (n, max|v|) is bounded by
+    // its metadata half plus ALL boundary rows and the widest
+    // boundary span (a boundary row may land in any group). Anything
+    // unprovable declines the whole fold.
+    val avgGHybridOk: Boolean =
+      avgGAttrs.isEmpty || boundary.isEmpty || {
+        var bRows = 0L
+        var bMax = java.math.BigDecimal.ZERO
+        var ok = true
+        val ebn = entries.iterator.map(e => e.name -> e).toMap
+        boundary.toSeq.flatMap(ebn.get).foreach { e =>
+          if (e.nRows < 0) ok = false else bRows += e.nRows
+          avgGAttrs.foreach { a =>
+            e.stats.get(a.name) match {
+              case Some(Some((lo: Long, hi: Long))) =>
+                val x = java.math.BigDecimal.valueOf(lo).abs
+                  .max(java.math.BigDecimal.valueOf(hi).abs)
+                if (x.compareTo(bMax) > 0) bMax = x
+              case Some(None) => () // all-null: contributes nothing
+              case _ => ok = false
+            }
+          }
+        }
+        val metaN = metaAvgG.valuesIterator.map(_._2)
+          .foldLeft(0L)(math.max)
+        val metaM = metaAvgG.valuesIterator.map(_._3)
+          .foldLeft(java.math.BigDecimal.ZERO)((x, y) => x.max(y))
+        ok && java.math.BigDecimal.valueOf(metaN + bRows)
+          .multiply(metaM.max(bMax)).compareTo(TwoP53) < 0
+      }
+    if (avgGAttrs.nonEmpty && boundary.nonEmpty && !avgGHybridOk)
       return None
     // a fully-masked point file contributes 0 to its group: a real
     // scan would emit NO group for it, so zero-count keys must not
@@ -1367,7 +1465,7 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // union the metadata partials with the boundary scan's partials,
     // then re-aggregate: combine per group
     val nPartials = 1 + countCols.size
-    val localAttrs = ((gs.zipWithIndex.map { case (g, i) =>
+    val localAttrs = (((gs.zipWithIndex.map { case (g, i) =>
       AttributeReference(s"g$i", g.dataType, nullable = true)()
     } ++
       (0 until nPartials).map(i => AttributeReference(s"p$i",
@@ -1377,10 +1475,36 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
       }) ++ sumGSlots.zipWithIndex.map { case (sp, i) =>
         AttributeReference(s"m$i", sumPartialType(sp),
           nullable = true)()
+      }) ++ avgGAttrs.zipWithIndex.flatMap { case (_, i) => Seq(
+        AttributeReference(s"a${i}s",
+          org.apache.spark.sql.types.LongType, nullable = true)(),
+        AttributeReference(s"a${i}n",
+          org.apache.spark.sql.types.LongType, nullable = true)())
       }
+    // metadata avg partials: per-group exact Σ (long — fits under
+    // avgGHybridOk) and non-null count; a group all-null in the
+    // column carries (0, 0) and the outer division yields SQL null
+    val avgPartials: Map[(K, String), (Long, Long)] =
+      liveKeys.flatMap { k =>
+        avgGAttrs.map { a =>
+          val v = metaAvgG.get((k, a.name)) match {
+            case None => (0L, 0L)
+            case Some((sig, n, _)) =>
+              val s =
+                try sig.longValueExact()
+                catch { case _: ArithmeticException => return None }
+              (s, n)
+          }
+          (k, a.name) -> v
+        }
+      }.toMap
     val localRows = metaRows.zip(liveKeys).map { case (r, k) =>
       InternalRow.fromSeq(r ++ sumGSlots.map(sp =>
-        sumPartials((k, sp.a.name))))
+        sumPartials((k, sp.a.name))) ++
+        avgGAttrs.flatMap { a =>
+          val (s, n) = avgPartials((k, a.name))
+          Seq(s: Any, n: Any)
+        })
     }
     val local = LocalRelation(localAttrs, localRows)
     val slice = Bridge.logicalPlan(
@@ -1403,6 +1527,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // (a subtotal must not hit the result-precision check the
         // full scan applies only to the per-group total)
         Alias(boundarySumAgg(sp), s"m$i")()
+      } ++ avgGAttrs.zipWithIndex.flatMap { case (a, i) => Seq(
+        // avg partials: exact long Σ (no overflow under the proof)
+        // and matching non-null count per group
+        Alias(AggregateExpression(Sum(a), Complete,
+          isDistinct = false), s"a${i}s")(),
+        Alias(AggregateExpression(Count(Seq(a)), Complete,
+          isDistinct = false), s"a${i}n")())
       }
     val bAgg = Aggregate(gs,
       gs.zipWithIndex.map { case (g, i) =>
@@ -1439,7 +1570,22 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
         // conversion (Cast / MakeDecimal / identity) applies the one
         // overflow check the scan's own buffer would
         Alias(sumFinalExpr(sp, aggE), o.name)(exprId = o.exprId)
-      case (AvgGAgg(_), _) | (NdvGAgg(_, _), _) =>
+      case (AvgGAgg(a), o) =>
+        // per-group (metaΣ + boundaryΣ) / (metaN + boundaryN) —
+        // exact in IEEE double under avgGHybridOk, the same value
+        // the scan's double buffer lands on in any order
+        val i = avgGAttrs.indexWhere(_.name == a.name)
+        val slot = nPartials + spanSlots.size + sumGSlots.size + 2 * i
+        def summedL(j: Int): Expression = Coalesce(Seq(
+          AggregateExpression(Sum(uP(j)), Complete,
+            isDistinct = false), Literal(0L)))
+        val sTot = summedL(slot)
+        val nTot = summedL(slot + 1)
+        Alias(If(EqualTo(nTot, Literal(0L)),
+          Literal(null, DoubleType),
+          Divide(Cast(sTot, DoubleType), Cast(nTot, DoubleType))),
+          o.name)(exprId = o.exprId)
+      case (NdvGAgg(_, _), _) =>
         return None // unreachable: declined above when boundary
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(

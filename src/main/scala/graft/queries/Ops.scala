@@ -1326,13 +1326,16 @@ object Ops {
     val maxId = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
     val lo = (maxId + 1) / 4
     val hi = (3L * (maxId + 1)) / 4
+    // the straddling band exercises the AVG HYBRID too: boundary
+    // Σ/n partials union with the all-in files' exact metadata
+    // halves under the 2^53 proof — same file-skipping gate
     val banded = s.sql(s"SELECT sum(l_orderkey) AS skw, " +
-      s"count(*) AS nw FROM graft.`$t` " +
+      s"count(*) AS nw, avg(l_orderkey) AS akw FROM graft.`$t` " +
       s"WHERE l_orderkey >= $lo AND l_orderkey < $hi")
     if (VersionedTable.readEntries(s, t, 0).size >= 8) {
       val read = banded.inputFiles.length
       require(read < 8,
-        s"interior files must answer sums from the manifest, " +
+        s"interior files must answer sums/avg from the manifest, " +
           s"scanned $read/8")
     }
     whole.crossJoin(banded)
@@ -3720,7 +3723,11 @@ object Ops {
         |       (SELECT count(*) FROM lineitem
         |        WHERE l_orderkey >= (SELECT m FROM mx) // 4
         |          AND l_orderkey < (3 * (SELECT m FROM mx)) // 4)
-        |         AS nw
+        |         AS nw,
+        |       (SELECT avg(l_orderkey) FROM lineitem
+        |        WHERE l_orderkey >= (SELECT m FROM mx) // 4
+        |          AND l_orderkey < (3 * (SELECT m FROM mx)) // 4)
+        |         AS akw
         |FROM lineitem""".stripMargin,
     // The hybrid DV'd min/max must equal DuckDB's replay of both
     // masks (interior mid-key row, then the global-max row).

@@ -1016,11 +1016,16 @@ class VtMetadataAggSpec extends AnyFunSuite {
       t, overwrite = false)
     assert(foldsToLocal(q))
     assert(spark.sql(q).collect().toSet == oracle())
-    // any boundary (a mixed-band file) declines avg — the scan stays
+    // a boundary (mixed-band file) no longer declines: the HYBRID
+    // unions per-group Σ/n partials from the one-file scan with the
+    // metadata halves — only the straddler opens, bit-exact
     VersionedTable.commit(
       (600 until 610).map(i => (i.toLong, (i % 2 + 7).toLong, i * 3L))
         .toDF("id", "band", "v").coalesce(1), t, overwrite = false)
-    assert(!foldsToLocal(q), "a demoted file must decline grouped avg")
+    assert(!foldsToLocal(q), "a demoted file keeps a (1-file) scan")
+    assert(spark.sql(q).inputFiles.length == 1,
+      "the avg hybrid must open only the demoted file: " +
+        s"${spark.sql(q).inputFiles.length}")
     assert(spark.sql(q).collect().toSet == oracle())
     // a value past the 2^53 proof declines (the scan's double
     // accumulation is no longer provably exact)
@@ -1031,6 +1036,46 @@ class VtMetadataAggSpec extends AnyFunSuite {
       t2, overwrite = true, statsCols = Seq("id", "band", "v"))
     val q2 = s"SELECT band, avg(v) AS av FROM graft.`$t2` GROUP BY band"
     assert(!foldsToLocal(q2), "past 2^53 the grouped avg must decline")
+  }
+
+  test("avg hybrids: boundary Σ/n partials combine with metadata, " +
+      "whole-table and per-group, bit-exact") {
+    setup()
+    val t = tmpTable("avghyb")
+    val df = spark.range(0, 4000).select($"id".as("k"),
+      ($"id" * 3 - 5555).as("v"))
+    VersionedTable.commit(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"), t,
+      overwrite = true, statsCols = Seq("k", "v"))
+    def trusted = VersionedTable.read(spark, t)
+    // whole-table: a WHERE cutting mid-file opens only the straddler
+    val cut = 1013L
+    val q = spark.sql(
+      s"SELECT avg(v) AS a, count(*) AS n FROM graft.`$t` " +
+        s"WHERE k >= $cut")
+    assert(q.inputFiles.length == 1,
+      s"avg hybrid must open one file: ${q.inputFiles.length}")
+    val expect = trusted.where(col("k") >= cut)
+      .agg(avg(col("v")), count(lit(1))).collect()(0)
+    val got = q.collect()(0)
+    assert(java.lang.Double.doubleToLongBits(got.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(expect.getDouble(0)) &&
+      got.getLong(1) == expect.getLong(1),
+      s"hybrid avg must be bit-exact: $got vs $expect")
+    // a boundary value past the 2^53 proof declines to the full scan
+    val t2 = tmpTable("avghyb53")
+    VersionedTable.commit(Seq((1L, 1L), (2L, 1L << 60), (3L, 9L))
+      .toDF("k", "v").coalesce(1), t2, overwrite = true,
+      statsCols = Seq("k", "v"))
+    VersionedTable.commit(Seq((10L, 4L)).toDF("k", "v").coalesce(1),
+      t2, overwrite = false)
+    val q2 = spark.sql(
+      s"SELECT avg(v) AS a FROM graft.`$t2` WHERE k >= 2")
+    assert(q2.inputFiles.length == 2,
+      "past 2^53 the hybrid must decline to the full scan")
+    assert(q2.collect()(0).getDouble(0) ==
+      VersionedTable.read(spark, t2).where(col("k") >= 2)
+        .agg(avg(col("v"))).collect()(0).getDouble(0))
   }
 
   test("count(DISTINCT) hybrids: boundary values union with metadata") {
