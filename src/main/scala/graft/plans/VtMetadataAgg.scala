@@ -1306,10 +1306,12 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     val boundary = boundary0 ++ demotedSet
     if (boundary.size >= entries.size && entries.nonEmpty)
       return None // metadata decided nothing: the plain scan is better
-    // grouped approx_count_distinct is PURE-FOLD ONLY (a per-group
-    // register seed would need one SeededHll per group — the scan
-    // side cannot address them): any undecided file declines it.
-    if (ndvGSlots.nonEmpty && boundary.nonEmpty) return None
+    // grouped approx_count_distinct decomposes over the boundary
+    // through the union itself: each group's metadata registers ride
+    // a BINARY union column, the boundary scan accumulates per-group
+    // registers with [[HllWordsAgg]], and [[HllUnionEstimate]] above
+    // the union merges both halves per group — bit-identical to the
+    // scan (register max is order-free and idempotent).
     // grouped avg DOES decompose (per-group Σ and n are additive) —
     // but only under a per-group 2^53 double-exactness proof, checked
     // here CONSERVATIVELY: every group's (n, max|v|) is bounded by
@@ -1480,6 +1482,9 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           org.apache.spark.sql.types.LongType, nullable = true)(),
         AttributeReference(s"a${i}n",
           org.apache.spark.sql.types.LongType, nullable = true)())
+      } ++ ndvGSlots.zipWithIndex.map { case (_, i) =>
+        AttributeReference(s"h$i",
+          org.apache.spark.sql.types.BinaryType, nullable = true)()
       }
     // metadata avg partials: per-group exact Σ (long — fits under
     // avgGHybridOk) and non-null count; a group all-null in the
@@ -1498,12 +1503,28 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           (k, a.name) -> v
         }
       }.toMap
+    // per-group metadata registers, packed big-endian for the union's
+    // binary column; a key with no contribution in the column carries
+    // the all-zero (empty) registers — the scan's own no-op
+    def packedWords(k: K, c: String, r: Double): Array[Byte] = {
+      val n = ndvGHelpers(r).numWords
+      val bb = java.nio.ByteBuffer.allocate(n * 8)
+      metaNdvG.get((k, c, r)) match {
+        case Some(buf) =>
+          var i = 0
+          while (i < n) { bb.putLong(buf.getLong(i)); i += 1 }
+        case None => () // allocate() zero-fills
+      }
+      bb.array
+    }
     val localRows = metaRows.zip(liveKeys).map { case (r, k) =>
       InternalRow.fromSeq(r ++ sumGSlots.map(sp =>
         sumPartials((k, sp.a.name))) ++
         avgGAttrs.flatMap { a =>
           val (s, n) = avgPartials((k, a.name))
           Seq(s: Any, n: Any)
+        } ++ ndvGSlots.map { case (a, rsd) =>
+          packedWords(k, a.name, rsd): Any
         })
     }
     val local = LocalRelation(localAttrs, localRows)
@@ -1534,6 +1555,11 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           isDistinct = false), s"a${i}s")(),
         Alias(AggregateExpression(Count(Seq(a)), Complete,
           isDistinct = false), s"a${i}n")())
+      } ++ ndvGSlots.zipWithIndex.map { case ((a, r), i) =>
+        // the boundary's per-group registers, packed like the
+        // metadata side's so the outer union-merge is symmetric
+        Alias(AggregateExpression(HllWordsAgg(a, r), Complete,
+          isDistinct = false), s"h$i")()
       }
     val bAgg = Aggregate(gs,
       gs.zipWithIndex.map { case (g, i) =>
@@ -1585,8 +1611,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
           Literal(null, DoubleType),
           Divide(Cast(sTot, DoubleType), Cast(nTot, DoubleType))),
           o.name)(exprId = o.exprId)
-      case (NdvGAgg(_, _), _) =>
-        return None // unreachable: declined above when boundary
+      case (NdvGAgg(a, r), o) =>
+        val i = ndvGSlots.indexWhere(p =>
+          p._1.name == a.name && p._2 == r)
+        val slot = nPartials + spanSlots.size + sumGSlots.size +
+          2 * avgGAttrs.size + i
+        Alias(AggregateExpression(HllUnionEstimate(uP(slot), r),
+          Complete, isDistinct = false), o.name)(exprId = o.exprId)
     }
     Some(VtMaskedScanRewrite.fixedPointPushdown(
       Aggregate(uG, outs, union)))

@@ -209,18 +209,26 @@ class NdvLedgerSpec extends AnyFunSuite {
     assert(q.collect().map(_.toSeq).toSet ==
       scan.collect().map(_.toSeq).toSet,
       "grouped register merges must equal the scan per group")
-    // a multi-day file demotes: fold declines, answer stays correct
-    VersionedTable.commit(df.where($"k" < 10).coalesce(1), path,
-      overwrite = false)
+    // a multi-day file (also carrying a boundary-ONLY new day) rides
+    // the grouped HYBRID: its rows' registers accumulate per group in
+    // the one-file scan (HllWordsAgg) and merge with each group's
+    // metadata registers above the union — only the straddler opens,
+    // and every group (including the boundary-only one) is bit-exact
+    val extra = spark.range(9000, 9030).select(lit(9L).as("day"),
+      ($"id" % 7).as("user"), $"id".as("k"))
+    VersionedTable.commit(df.where($"k" < 10).unionByName(extra)
+      .coalesce(1), path, overwrite = false)
     val mixed = spark.sql(
       "SELECT day, approx_count_distinct(user) AS u " +
         s"FROM graft.`$path` GROUP BY day")
-    assert(!foldsToLocal(mixed),
-      "a file spanning group keys must decline the grouped NDV fold")
+    assert(mixed.inputFiles.length == 1,
+      "the grouped NDV hybrid must open only the straddler: " +
+        s"${mixed.inputFiles.length}")
     assert(mixed.collect().map(_.toSeq).toSet ==
       scanFiles(path).groupBy($"day")
         .agg(approx_count_distinct($"user").as("u"))
-        .collect().map(_.toSeq).toSet)
+        .collect().map(_.toSeq).toSet,
+      "grouped hybrid estimates must equal the scan per group")
   }
 
   test("empty table and all-null column fold to zero") {
