@@ -2773,6 +2773,37 @@ object VersionedTable {
     }
   }
 
+  /** Merge the version's per-file NDV sketches for `col` and
+    * estimate — the [[graft.plans.VtMetadataAgg]] fold's contract as
+    * a library call (None when any live file lacks a sketch at the
+    * requested precision or carries a deletion vector; register max
+    * is order-free, so the merge is bit-identical to a scan-side
+    * `approx_count_distinct`). Zero data files read. */
+  def ndvEstimate(entries: Seq[FileEntry], col: String,
+      rsd: Double = 0.05): Option[Long] = {
+    val helper =
+      try new org.apache.spark.sql.catalyst.util
+        .HyperLogLogPlusPlusHelper(rsd)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val n = helper.numWords
+    val buf = new org.apache.spark.sql.catalyst.expressions
+      .SpecificInternalRow(Seq.fill(n)(
+        org.apache.spark.sql.types.LongType))
+    var i = 0
+    while (i < n) { buf.setLong(i, 0L); i += 1 }
+    entries.foreach { e =>
+      if (e.dv.exists(_._2 > 0)) return None
+      if (e.nRows != 0L) {
+        val ws = e.ndvOf(col).getOrElse(return None)
+        if (ws.size != n) return None
+        helper.merge(buf, new org.apache.spark.sql.catalyst
+          .expressions.GenericInternalRow(
+            ws.map(w => w: Any).toArray), 0, 0)
+      }
+    }
+    Some(helper.query(buf, 0))
+  }
+
   /** One row of operational metadata for [[describeDetail]] — what a
     * maintenance operator sizes vacuum/optimize/decay decisions on. */
   final case class TableDetail(nFiles: Int, liveRows: Option[Long],

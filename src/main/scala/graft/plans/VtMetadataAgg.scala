@@ -425,14 +425,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     * registers). Zero-row files contribute nothing sketch or not;
     * zero files = the empty buffer = 0, the scan's answer too. */
   private def ndvMerged(es: Seq[graft.operators.VersionedTable.FileEntry],
-      col: String, rsd: Double): Option[Long] = {
-    val helper =
-      try new HyperLogLogPlusPlusHelper(rsd)
-      catch { case scala.util.control.NonFatal(_) => return None }
-    ndvMergedWords(es, col, rsd).map { ws =>
-      helper.query(new GenericInternalRow(ws.map(w => w: Any).toArray), 0)
-    }
-  }
+      col: String, rsd: Double): Option[Long] =
+    VersionedTable.ndvEstimate(es, col, rsd)
 
   /** The merged register WORDS themselves — what [[SeededHll]] seeds
     * the boundary scan's buffer with in the hybrid. */

@@ -231,6 +231,38 @@ class NdvLedgerSpec extends AnyFunSuite {
       "grouped hybrid estimates must equal the scan per group")
   }
 
+  test("CALL graft.ndv(...) profiles per-column cardinality from the " +
+      "manifest; a DV nulls it (exact-or-decline)") {
+    ensureCatalog()
+    val tmp = Files.createTempDirectory("ndv_proc").toString
+    val path = s"$tmp/t"
+    val df = spark.range(0, 3000).select($"id".as("k"),
+      ($"id" % 41).as("cat"))
+    VersionedTable.commit(df.repartition(3), path, overwrite = true,
+      statsCols = Seq("k", "cat"))
+    val rows = spark.sql(s"CALL graft.ndv(table => '$path')")
+      .collect().map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getInt(2), r.getInt(3))).toMap
+    assert(rows.keySet == Set("k", "cat"))
+    assert(rows("k")._2 == 3 && rows("k")._3 == 3)
+    // the procedure's estimate IS the fold's (same registers)
+    val fold = spark.sql("SELECT approx_count_distinct(cat) AS a " +
+      s"FROM graft.`$path`").collect()(0).getLong(0)
+    assert(rows("cat")._1.contains(fold),
+      s"procedure ndv must equal the fold: ${rows("cat")._1} vs $fold")
+    assert(rows("cat")._1.exists(v => math.abs(v - 41L) <= 11L),
+      s"estimate must sit within rsd of 41: ${rows("cat")._1}")
+    // a deletion vector makes the sketch unprovable: NULL, never a
+    // silently-wrong estimate — sketch counts still report
+    VersionedTable.deleteWhere(spark, path, col("k") < 5L,
+      deletionVectors = true)
+    val masked = spark.sql(s"CALL graft.ndv(table => '$path')")
+      .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
+    assert(masked("k") && masked("cat"),
+      "a DV'd version must decline the metadata NDV")
+  }
+
   test("empty table and all-null column fold to zero") {
     ensureCatalog()
     val tmp = Files.createTempDirectory("ndv_empty").toString
