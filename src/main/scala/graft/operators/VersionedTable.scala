@@ -2773,18 +2773,17 @@ object VersionedTable {
     }
   }
 
-  /** Merge the version's per-file NDV sketches for `col` and
-    * estimate — the [[graft.plans.VtMetadataAgg]] fold's contract as
-    * a library call (None when any live file lacks a sketch at the
-    * requested precision or carries a deletion vector; register max
-    * is order-free, so the merge is bit-identical to a scan-side
-    * `approx_count_distinct`). Zero data files read. */
-  def ndvEstimate(entries: Seq[FileEntry], col: String,
-      rsd: Double = 0.05): Option[Long] = {
-    val helper =
-      try new org.apache.spark.sql.catalyst.util
-        .HyperLogLogPlusPlusHelper(rsd)
-      catch { case scala.util.control.NonFatal(_) => return None }
+  /** Merge the version's per-file NDV register words for `col` under
+    * `helper`'s layout — THE one decline contract every consumer
+    * (fold, seeded hybrid, procedure) shares: None when any live file
+    * lacks a sketch at that layout or carries a deletion vector;
+    * register max is order-free, so the merged words are bit-
+    * identical to a scan-side `approx_count_distinct` buffer. Zero
+    * data files read. */
+  private[graft] def ndvMergedWords(entries: Seq[FileEntry],
+      col: String,
+      helper: org.apache.spark.sql.catalyst.util
+        .HyperLogLogPlusPlusHelper): Option[Seq[Long]] = {
     val n = helper.numWords
     val buf = new org.apache.spark.sql.catalyst.expressions
       .SpecificInternalRow(Seq.fill(n)(
@@ -2801,8 +2800,58 @@ object VersionedTable {
             ws.map(w => w: Any).toArray), 0, 0)
       }
     }
-    Some(helper.query(buf, 0))
+    Some((0 until n).map(buf.getLong))
   }
+
+  private[graft] def ndvHelperFor(rsd: Double)
+      : Option[org.apache.spark.sql.catalyst.util
+        .HyperLogLogPlusPlusHelper] =
+    try Some(new org.apache.spark.sql.catalyst.util
+      .HyperLogLogPlusPlusHelper(rsd))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The helper matching a RECORDED word count — the rsd→word-count
+    * map is strictly monotone in the register exponent p, so the
+    * stored length identifies the layout; 1.106/2^(p/2) is exactly
+    * the rsd the helper's own p formula rounds to p. Lets consumers
+    * that have no query rsd (the `ndv` procedure) read sketches
+    * written at ANY precision. */
+  private[graft] def ndvHelperForWords(words: Int)
+      : Option[org.apache.spark.sql.catalyst.util
+        .HyperLogLogPlusPlusHelper] =
+    (4 to 24).iterator
+      .flatMap(p => ndvHelperFor(1.106 / math.pow(2.0, p / 2.0)))
+      .find(_.numWords == words)
+
+  /** Merge the version's per-file NDV sketches for `col` and
+    * estimate at the query precision `rsd` — the
+    * [[graft.plans.VtMetadataAgg]] fold's contract as a library
+    * call. */
+  def ndvEstimate(entries: Seq[FileEntry], col: String,
+      rsd: Double = 0.05): Option[Long] =
+    ndvHelperFor(rsd).flatMap(h => ndvMergedWords(entries, col, h)
+      .map(ws => h.query(new org.apache.spark.sql.catalyst
+        .expressions.GenericInternalRow(
+          ws.map(w => w: Any).toArray), 0)))
+
+  /** [[ndvEstimate]] at whatever precision the table's sketches were
+    * WRITTEN at (inferred from the recorded word count) — what
+    * `CALL graft.ndv` uses, so a non-default
+    * `spark.graft.ndvSketch.rsd` table still profiles. */
+  def ndvEstimateAuto(entries: Seq[FileEntry], col: String)
+      : Option[Long] =
+    entries.find(e => e.nRows != 0L && e.ndvs.contains(col))
+      .map(_.ndvs(col).size) match {
+      case None =>
+        // no live sketch-carrying file: empty table estimates 0 only
+        // when every file is provably empty
+        if (entries.forall(_.nRows == 0L)) Some(0L) else None
+      case Some(w) => ndvHelperForWords(w)
+        .flatMap(h => ndvMergedWords(entries, col, h)
+          .map(ws => h.query(new org.apache.spark.sql.catalyst
+            .expressions.GenericInternalRow(
+              ws.map(x => x: Any).toArray), 0)))
+    }
 
   /** One row of operational metadata for [[describeDetail]] — what a
     * maintenance operator sizes vacuum/optimize/decay decisions on. */
@@ -3826,6 +3875,12 @@ object VersionedTable {
     val rebaseLegacy = sqlConf.getConfString(
       "spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
       .equalsIgnoreCase("LEGACY")
+    // NDV sketch: default ON; `spark.graft.ndvSketch=false` drops it,
+    // `.rsd` re-sizes — resolved once, not per column
+    val ndvOn = sqlConf.getConfString(
+      "spark.graft.ndvSketch", "true").toBoolean
+    val ndvRsd = sqlConf.getConfString(
+      "spark.graft.ndvSketch.rsd", "0.05").toDouble
     val fields = physDf.schema.fields
     indexCols.flatMap { c =>
       val pc = mapping.getOrElse(c, c)
@@ -3866,12 +3921,7 @@ object VersionedTable {
         // NDV sketch: every span-normalizable kind (the null-only
         // kinds — boolean/binary/INT96/intervals — have no
         // approx_count_distinct fold worth a sketch, and INT96's
-        // written values cannot be mirrored cheaply). Default ON;
-        // `spark.graft.ndvSketch=false` drops it, `.rsd` re-sizes.
-        val ndvOn = sqlConf.getConfString(
-          "spark.graft.ndvSketch", "true").toBoolean
-        val ndvRsd = sqlConf.getConfString(
-          "spark.graft.ndvSketch.rsd", "0.05").toDouble
+        // written values cannot be mirrored cheaply)
         val ndvType =
           if (!ndvOn || kind.forall(_ == WriteHarvest.KNullsOnly)) null
           else fields(i).dataType

@@ -429,28 +429,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     VersionedTable.ndvEstimate(es, col, rsd)
 
   /** The merged register WORDS themselves — what [[SeededHll]] seeds
-    * the boundary scan's buffer with in the hybrid. */
+    * the boundary scan's buffer with in the hybrid. One shared
+    * decline contract: [[VersionedTable.ndvMergedWords]]. */
   private def ndvMergedWords(
       es: Seq[graft.operators.VersionedTable.FileEntry],
-      col: String, rsd: Double): Option[Seq[Long]] = {
-    val helper =
-      try new HyperLogLogPlusPlusHelper(rsd)
-      catch { case scala.util.control.NonFatal(_) => return None }
-    val n = helper.numWords
-    val buf = new SpecificInternalRow(Seq.fill(n)(LongType))
-    var i = 0
-    while (i < n) { buf.setLong(i, 0L); i += 1 }
-    es.foreach { e =>
-      if (e.dv.exists(_._2 > 0)) return None
-      if (e.nRows != 0L) { // negative (unknown) rows need the sketch too
-        val ws = e.ndvOf(col).getOrElse(return None)
-        if (ws.size != n) return None
-        helper.merge(buf,
-          new GenericInternalRow(ws.map(w => w: Any).toArray), 0, 0)
-      }
-    }
-    Some((0 until n).map(buf.getLong))
-  }
+      col: String, rsd: Double): Option[Seq[Long]] =
+    VersionedTable.ndvHelperFor(rsd)
+      .flatMap(h => VersionedTable.ndvMergedWords(es, col, h))
 
   /** [[stripToVt]] through exactly one [[Filter]] — the
     * `count(*) WHERE <pred>` shape. Projects may sit above the
@@ -692,7 +677,8 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // (metaN + boundaryN) reproduces it bit-for-bit. Anything
     // unprovable (missing span, unknown rows, a span too wide)
     // declines the whole fold.
-    val avgHybridProof: Map[String, Boolean] = avgCols.map { c =>
+    val avgHybridProof: Map[String, Boolean] =
+      (if (boundary.isEmpty) Seq.empty else avgCols).map { c =>
       def bound(): Boolean = {
         var m = java.math.BigDecimal.ZERO
         var n = metaNonNull(c)
@@ -729,10 +715,13 @@ object VtMetadataAgg extends Rule[LogicalPlan] {
     // aggregate's INITIAL buffer. Register max is idempotent, so
     // every task partial may carry the seed and the merged result is
     // bit-identical to one filtered pass over all matching rows.
+    // seeds are boundary-branch-only: computing them on the pure
+    // path would merge every file's registers twice
     val ndvSeeds: Map[(String, Double), Seq[Long]] =
-      ndvSlots.map { case (a, r) =>
-        (a.name, r) -> ndvMergedWords(allIn, a.name, r)
-          .getOrElse(return None)
+      (if (boundary.isEmpty) Seq.empty else ndvSlots).map {
+        case (a, r) =>
+          (a.name, r) -> ndvMergedWords(allIn, a.name, r)
+            .getOrElse(return None)
       }.toMap
     // ANSI integral sums need the checked-accumulation proof over
     // every file whose rows the scan could aggregate (all-in and

@@ -1145,11 +1145,12 @@ object Ops {
     val entries = VersionedTable.readEntries(s, t, v)
     val scan = if (entries.isEmpty) banded.limit(0)
       else s.read.parquet(entries.map(e => s"$t/${e.name}"): _*)
+    val groupedRows = grouped.collect()
     require(full.collect()(0).getLong(0) ==
       scan.agg(approx_count_distinct(col("o_custkey"))).collect()(0)
         .getLong(0),
       "whole-table metadata fold != scan estimate")
-    require(grouped.collect().map(_.toSeq).toSet ==
+    require(groupedRows.map(_.toSeq).toSet ==
       scan.groupBy(col("band"))
         .agg(approx_count_distinct(col("o_custkey")).as("a"))
         .collect().map(_.toSeq).toSet,
@@ -1161,11 +1162,12 @@ object Ops {
     val cut = w / 2
     val straddle = s.sql("SELECT approx_count_distinct(o_custkey) " +
       s"AS a FROM graft.`$t` WHERE o_orderkey >= $cut")
+    val straddleVal = straddle.collect()(0).getLong(0)
     if (bands.length >= 2) {
       require(straddle.inputFiles.length <= 1,
         "the seeded hybrid must open only the straddled file, " +
           s"opened ${straddle.inputFiles.length}")
-      require(straddle.collect()(0).getLong(0) ==
+      require(straddleVal ==
         scan.where(col("o_orderkey") >= cut)
           .agg(approx_count_distinct(col("o_custkey"))).collect()(0)
           .getLong(0),
@@ -1173,12 +1175,11 @@ object Ops {
     }
     val exactS = banded.where(col("o_orderkey") >= cut)
       .agg(countDistinct(col("o_custkey"))).collect()(0).getLong(0)
-    val withinS = math.abs(straddle.collect()(0).getLong(0) - exactS) <=
-      0.25 * exactS
+    val withinS = math.abs(straddleVal - exactS) <= 0.25 * exactS
     // oracle-comparable output: the exact per-band NDV both engines
     // share, plus the (deterministic) tolerance verdicts on the
     // estimates — rsd 0.05 → 25% is 5σ; observed error here is <2%
-    val approxByBand = grouped.collect()
+    val approxByBand = groupedRows
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val exact = banded.groupBy(col("band"))
       .agg(countDistinct(col("o_custkey")).as("nd_exact"))

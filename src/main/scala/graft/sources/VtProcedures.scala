@@ -261,7 +261,7 @@ private[sources] object VtProcedures {
       result(outSchema, cols.map { c =>
         new GenericInternalRow(Array[Any](
           UTF8String.fromString(c),
-          VersionedTable.ndvEstimate(entries, c)
+          VersionedTable.ndvEstimateAuto(entries, c)
             .map(java.lang.Long.valueOf).orNull,
           entries.count(_.ndvs.contains(c)),
           entries.size))

@@ -92,8 +92,11 @@ class NdvLedgerSpec extends AnyFunSuite {
     val path = s"$tmp/t"
     val df = spark.range(0, 2000).select($"id".as("k"),
       ($"id" % 53).as("cat"))
-    VersionedTable.commit(df.repartition(2), path, overwrite = true,
-      statsCols = Seq("k", "cat"))
+    // range-clustered so the DV below lands in exactly ONE file —
+    // the whole-table (vacuous-WHERE) hybrid must then rescan only it
+    VersionedTable.commit(
+      df.repartitionByRange(2, $"k").sortWithinPartitions("k"), path,
+      overwrite = true, statsCols = Seq("k", "cat"))
     // a foreign precision (different register layout) declines
     val foreign = spark.sql(
       s"SELECT approx_count_distinct(cat, 0.01) AS a FROM graft.`$path`")
@@ -117,8 +120,12 @@ class NdvLedgerSpec extends AnyFunSuite {
       s"SELECT approx_count_distinct(cat) AS a FROM graft.`$path`")
     assert(!foldsToLocal(masked),
       "a DV'd file's sketch is physical: the pure fold must decline")
-    // …but the SEEDED hybrid rescans only the masked file; the
+    // …but the SEEDED hybrid rescans only the masked file (even with
+    // no WHERE — the vacuous-predicate fallback hybridizes too); the
     // answer equals the engine's own masked read end to end
+    assert(masked.inputFiles.length == 1,
+      "the no-WHERE DV hybrid must open only the masked file: " +
+        s"${masked.inputFiles.length}")
     assert(masked.collect()(0).getLong(0) ==
       VersionedTable.read(spark, path)
         .agg(approx_count_distinct($"cat")).collect()(0).getLong(0),
@@ -261,6 +268,36 @@ class NdvLedgerSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.isNullAt(1)).toMap
     assert(masked("k") && masked("cat"),
       "a DV'd version must decline the metadata NDV")
+  }
+
+  test("non-default write rsd: the matching query folds and " +
+      "CALL graft.ndv infers the layout from the word count") {
+    ensureCatalog()
+    val tmp = Files.createTempDirectory("ndv_rsd").toString
+    val path = s"$tmp/t"
+    val df = spark.range(0, 2000).select($"id".as("k"))
+    spark.conf.set("spark.graft.ndvSketch.rsd", "0.01")
+    try VersionedTable.commit(df.repartition(2), path,
+      overwrite = true, statsCols = Seq("k"))
+    finally spark.conf.unset("spark.graft.ndvSketch.rsd")
+    val fine = spark.sql(
+      s"SELECT approx_count_distinct(k, 0.01) AS a FROM graft.`$path`")
+    assert(foldsToLocal(fine),
+      "the write-time precision spelled in the query must fold")
+    assert(fine.collect()(0).getLong(0) ==
+      scanFiles(path).agg(approx_count_distinct($"k", 0.01))
+        .collect()(0).getLong(0))
+    val coarse = spark.sql(
+      s"SELECT approx_count_distinct(k) AS a FROM graft.`$path`")
+    assert(!foldsToLocal(coarse),
+      "the default 0.05 layout must decline against 0.01 sketches")
+    // the procedure has no query rsd: it recovers the layout from
+    // the recorded word count
+    val proc = spark.sql(s"CALL graft.ndv(table => '$path')")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(proc("k") == Some(fine.collect()(0).getLong(0)),
+      s"CALL ndv must read 0.01-layout sketches: ${proc("k")}")
   }
 
   test("empty table and all-null column fold to zero") {
