@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness (not part of the driver contract): run one declared
+  * query and print EVERY Spark job it launches with wall time and the
+  * first line of its call site — shows how many jobs a procedural
+  * entry pays and where the fixed per-job overhead concentrates.
+  *
+  * Usage: runMain graft.ProfileQ <queryName> [runs]
+  */
+object ProfileQ {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val runs = if (args.length > 1) args(1).toInt else 2
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.files.openCostInBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("?")
+        starts.put(js.jobId, (System.nanoTime(), site))
+      }
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        Option(starts.get(je.jobId)).foreach { case (t0, site) =>
+          val dt = (System.nanoTime() - t0) / 1e9
+          lines.add(f"[job] ${je.jobId}%4d ${dt}%8.3f s  $site")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fn = SparkEntry.queries(name)
+    (1 to runs).foreach { i =>
+      lines.clear()
+      val t0 = System.nanoTime()
+      val n = fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // let listener events drain
+      import scala.jdk.CollectionConverters._
+      val ls = lines.asScala.toSeq
+      if (i == runs) ls.foreach(println)
+      val jobSum = ls.map(_.split("\\s+")(2).toDouble).sum
+      println(f"[profq] $name run$i: wall=$wall%.2f s jobs=${ls.size} " +
+        f"jobTimeSum=$jobSum%.2f s ($n rows)")
+      spark.catalog.clearCache()
+      org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
+      System.gc()
+    }
+    spark.stop()
+  }
+}
