@@ -34,7 +34,9 @@ object ProfileQ {
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .flatMap(p => Option(p.getProperty("callSite.short"))
+            .orElse(Option(p.getProperty("spark.job.description"))))
+          .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
         starts.put(js.jobId, (System.nanoTime(), site))
       }
@@ -46,9 +48,26 @@ object ProfileQ {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // Per-ACTION attribution (AQE splits one query into many anonymous
+    // stage jobs; the query-execution listener sees the whole action
+    // with its analyzed output — enough to identify the operator).
+    val qlines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val out = qe.analyzed.output.map(_.name).take(5).mkString(",")
+          qlines.add(f"[q] ${durationNs / 1e9}%8.3f s  $funcName([$out])")
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     val fn = SparkEntry.queries(name)
     (1 to runs).foreach { i =>
       lines.clear()
+      qlines.clear()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -56,6 +75,7 @@ object ProfileQ {
       import scala.jdk.CollectionConverters._
       val ls = lines.asScala.toSeq
       if (i == runs) ls.foreach(println)
+      if (i == runs) qlines.asScala.foreach(println)
       val jobSum = ls.map(_.split("\\s+")(2).toDouble).sum
       println(f"[profq] $name run$i: wall=$wall%.2f s jobs=${ls.size} " +
         f"jobTimeSum=$jobSum%.2f s ($n rows)")

@@ -1,8 +1,9 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Column, SparkSession}
+import org.apache.spark.sql.{DataFrame, Column, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -376,6 +377,12 @@ object SimilaritySearch {
   private def keymapPath(path: String): String =
     path.stripSuffix("/") + "/_keymap"
 
+  /** [[upsertQuantizedIndex]] collects at most this many distinct
+    * changed keys for the fused key profile (bounded driver state — a
+    * few MB; CDC change sets are delta-sized by contract). Oversized
+    * batches keep the distributed key-set shape. */
+  private val UpsertKeyProfileMax = 65536
+
   /** Write-side and read-side MUST bucket identically; the bucket count
     * is recorded next to the keymap (underscore file — invisible to the
     * parquet reader) so upsert never has to guess it. */
@@ -500,14 +507,39 @@ object SimilaritySearch {
       .select(col("cand_id"), col("__q").cast("array<tinyint>").as("q"),
         col("n"), col("cell"))
       .localCheckpoint() // consumers: landing cells + index + keymap writes
-    val keys = filtered.select(col(idCol).as("cand_id")).distinct()
-      .localCheckpoint()
     val keyBuckets = readKeyBucketsMeta(spark, path)
+    // FUSED key profile — ONE bounded job where the unfused path ran
+    // two (the key-set checkpoint and the changed-buckets collect):
+    // the distinct changed keys WITH their bucket ids. Complete only
+    // when the change set holds <= UpsertKeyProfileMax distinct keys
+    // (CDC batches are delta-sized by contract); an oversized batch
+    // keeps the checkpoint + collect shape. A complete profile also
+    // turns `keys` into a LOCAL relation, so the three joins below
+    // broadcast it instead of re-planning the distinct per consumer.
+    val keyProf: Option[Array[Row]] = {
+      val base = filtered.select(col(idCol).as("cand_id")).distinct()
+      val g = keyBuckets
+        .map(kb => base.withColumn("kb", keyBucketCol(col("cand_id"), kb)))
+        .getOrElse(base)
+        .limit(UpsertKeyProfileMax + 1).collect()
+      if (g.length <= UpsertKeyProfileMax) Some(g) else None
+    }
+    val keys = keyProf match {
+      case Some(g) =>
+        spark.createDataFrame(
+          java.util.Arrays.asList(g.map(r => Row(r.get(0))): _*),
+          StructType(Seq(filtered.schema(idCol).copy(name = "cand_id"))))
+      case None => filtered.select(col(idCol).as("cand_id")).distinct()
+        .localCheckpoint()
+    }
     // Changed keys' bucket ids — ≤ |changes| values, computed ONCE for
     // both the pruned scan and the emptied-bucket sweep.
     val changedKbs = keyBuckets.map { kb =>
-      keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
-        .distinct().collect().map(_.getInt(0))
+      keyProf match {
+        case Some(g) => g.map(_.getInt(1)).distinct
+        case None => keys.select(keyBucketCol(col("cand_id"), kb).as("kb"))
+          .distinct().collect().map(_.getInt(0))
+      }
     }
     // ONE pruned keymap scan (changed keys' buckets only), checkpointed:
     // touched-cell discovery semi-joins it, the bucket rewrite

@@ -308,6 +308,20 @@ object VersionedTable {
     * (measured in `ScaleProbe vtmerge`). */
   private val BloomProbeMaxKeys = 1000
 
+  /** [[mergeInto]] fuses its four pre-flight questions (empty probe,
+    * key-uniqueness check, per-key-column span bounds, bloom-probe key
+    * collect) into ONE bounded job — the distinct key tuples with
+    * per-tuple counts — whenever the delta holds at most this many
+    * distinct key tuples. Past the cap the answers fall back to one
+    * fused aggregate (uniqueness + bounds) and the bloom probe is
+    * skipped, exactly as the unfused path did. Sized above
+    * [[BloomProbeMaxKeys]] so every bloom-eligible delta also gets the
+    * fused path; 64k rows of keys is a few MB of driver state (still
+    * trivially bounded — the merge contract says the source is
+    * delta-sized) and the resulting LOCAL-relation key set stays well
+    * under the broadcast cap for the exact-probe joins. */
+  private val MergeProfileMaxKeys = 65536
+
   /** False-positive rate for the footer blooms [[stageAndPublish]]
     * writes (parquet's default 1% is sized for single-key point
     * lookups, not multi-key probes — see [[BloomProbeMaxKeys]]).
@@ -928,19 +942,77 @@ object VersionedTable {
     // the rewrite, and possibly a retry — recomputing a non-
     // deterministic source per consumer would un-serialize the merge.
     val src = source.localCheckpoint()
-    if (src.isEmpty)
+    val nonNullKeys = keys.map(col(_).isNotNull).reduce(_ && _)
+    // FUSED DELTA PROFILE — one bounded job where the unfused path ran
+    // four (empty probe, uniqueness check, span aggregate, bloom-key
+    // collect): the distinct matchable key tuples with per-tuple
+    // counts. `limit(cap+1)` makes completeness detectable — <= cap
+    // rows back means EVERY group was returned; cap+1 means the delta
+    // is oversized and the per-question fallbacks below apply.
+    val cntAlias = Iterator.from(0)
+      .map(i => if (i == 0) "__graft_mrg_cnt" else s"__graft_mrg_cnt_$i")
+      .find(n => !src.columns.contains(n)).get
+    val profile: Option[Array[Row]] = {
+      val g = src.where(nonNullKeys).groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(cntAlias))
+        .limit(MergeProfileMaxKeys + 1).collect()
+      if (g.length <= MergeProfileMaxKeys) Some(g) else None
+    }
+    // empty-source early return: a complete-but-empty profile can still
+    // hide null-keyed rows (they match nothing but DO insert) — only
+    // then is the separate empty probe needed
+    if (profile.exists(_.isEmpty) && src.isEmpty)
       return latestVisible(fs, root, forWrite = true).getOrElse(
         throw new IllegalStateException(s"no committed versions at $path"))
     // uniqueness applies to MATCHABLE keys only: null-keyed rows match
     // nothing (SQL join semantics) and are all inserted as-is, so two
-    // of them are not a conflict
-    require(src.where(keys.map(col(_).isNotNull).reduce(_ && _))
-        .groupBy(keys.map(col): _*).count()
-        .where(col("count") > 1).isEmpty,
-      s"mergeInto: source keys ${keys.mkString(",")} are not unique")
-    val aggs = keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"),
-      max(col(k)).as(s"__mx_$k")))
-    val bounds = src.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // of them are not a conflict. Complete profile: read the counts
+    // directly; oversized delta: fused into the bounds aggregate below.
+    profile.foreach(g => require(g.forall(_.getLong(keys.length) == 1L),
+      s"mergeInto: source keys ${keys.mkString(",")} are not unique"))
+    // coarse-prune span bounds per key column. Complete profile: a
+    // driver-side reduce with the SAME comparator the manifest prune
+    // applies ([[cmp]]), so the pruning verdict is unchanged — an
+    // unorderable value type drops its pred, which only keeps MORE
+    // candidates (the exact probe decides; the unfused path was
+    // equally conservative because [[mightMatchLeaf]] keeps files on
+    // any incomparable pair). Oversized delta: ONE aggregate job
+    // answers uniqueness and bounds together.
+    val preds: Seq[RangePred] = profile match {
+      case Some(g) if g.isEmpty => Seq.empty
+      case Some(g) =>
+        keys.zipWithIndex.flatMap { case (k, i) =>
+          var lo = g(0).get(i)
+          var hi = lo
+          var ok = true
+          g.iterator.drop(1).foreach { r =>
+            val x = r.get(i)
+            (cmp(x, lo), cmp(x, hi)) match {
+              case (Some(cl), Some(ch)) =>
+                if (cl < 0) lo = x
+                if (ch > 0) hi = x
+              case _ => ok = false
+            }
+          }
+          if (ok) Some(RangePred(k, lo, hi)) else None
+        }
+      case None =>
+        val aggs = max(col(cntAlias)).as("__graft_mrg_mxc") +:
+          keys.flatMap(k => Seq(min(col(k)).as(s"__mn_$k"),
+            max(col(k)).as(s"__mx_$k")))
+        val row = src.where(nonNullKeys).groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as(cntAlias))
+          .agg(aggs.head, aggs.tail: _*).collect()(0)
+        require(row.isNullAt(row.fieldIndex("__graft_mrg_mxc")) ||
+            row.getLong(row.fieldIndex("__graft_mrg_mxc")) == 1L,
+          s"mergeInto: source keys ${keys.mkString(",")} are not unique")
+        keys.flatMap { k =>
+          val (mn, mx) = (row.get(row.fieldIndex(s"__mn_$k")),
+            row.get(row.fieldIndex(s"__mx_$k")))
+          if (mn == null || mx == null) None
+          else Some(RangePred(k, mn, mx))
+        }
+    }
     var triesLeft = maxRetries
     var consChecked = false
     while (true) {
@@ -986,34 +1058,40 @@ object VersionedTable {
           "composes via a prior commit, not mid-merge")
       // coarse manifest prune: a file can hold a match only if its span
       // overlaps the source's [min, max] on EVERY key column
-      val preds = keys.flatMap { k =>
-        val (mn, mx) = (bounds.get(bounds.fieldIndex(s"__mn_$k")),
-          bounds.get(bounds.fieldIndex(s"__mx_$k")))
-        if (mn == null || mx == null) None else Some(RangePred(k, mn, mx))
-      }
       val candidates = pruneEntriesWhere(entries, preds)
-      val srcKeys = src.select(keys.map(col): _*)
-        .where(keys.map(col(_).isNotNull).reduce(_ && _)).distinct()
+      // distinct matchable keys: a complete profile becomes a LOCAL
+      // relation (the delta-sized build side the joins below broadcast
+      // — no re-scan of src, no distinct shuffle per consumer);
+      // oversized deltas compute it as before
+      val srcKeys = profile match {
+        case Some(g) =>
+          spark.createDataFrame(
+            java.util.Arrays.asList(g.map(r =>
+              Row.fromSeq(keys.indices.map(r.get))): _*),
+            StructType(keys.map(k => src.schema(k))))
+        case None => src.select(keys.map(col): _*)
+          .where(nonNullKeys).distinct()
+      }
       // bloom layer: when the key set is delta-sized, footer blooms
       // drop candidate files whose key chunks provably hold no source
       // key — the span prune's blind spot (scattered keys span every
       // file). Composite keys prune per column: a file can hold a
       // matching TUPLE only if every key column's bloom says "maybe"
-      // for some source value. Capped collect; past the cap the exact
-      // probe below carries the full load unchanged.
-      val probed =
-        if (candidates.isEmpty) candidates
-        else {
-          val ks = srcKeys.limit(BloomProbeMaxKeys + 1).collect()
-          if (ks.length > BloomProbeMaxKeys) candidates
-          else keys.zipWithIndex.foldLeft(candidates) {
+      // for some source value. Keys come straight from the profile (no
+      // collect job); an oversized or bloom-ineligible key set skips
+      // the layer and the exact probe below carries the full load.
+      val probed = profile match {
+        case Some(g) if candidates.nonEmpty && g.nonEmpty &&
+            g.length <= BloomProbeMaxKeys =>
+          keys.zipWithIndex.foldLeft(candidates) {
             case (cand, (kc, i)) =>
               if (cand.isEmpty) cand
               else bloomPrune(spark, path, cand,
                 physicalOf(header.schemaJson).getOrElse(kc, kc),
-                ks.map(_.get(i)).distinct.toSeq)
+                g.map(_.get(i)).distinct.toSeq)
           }
-        }
+        case _ => candidates
+      }
       // every matched target row leaves (update AND delete verbs);
       // only non-tombstoned source rows come back
       val upserts = tombstoneCol.map(c =>
