@@ -16,11 +16,16 @@ import org.apache.spark.sql.types._
   * at 100 TB):
   *   1. counts + typed min/max: one plain aggregate, partials combine
   *      map-side, one row out.
-  *   2. exact distincts: melt to (col, canonical-value) pairs, then
-  *      `count(DISTINCT v) GROUP BY col` — Catalyst plans the single
-  *      distinct-with-key as two distributed hash aggregates (dedup
-  *      partitioned by (col, value), then partial counts), so no
-  *      reducer ever concentrates a column's full distinct set.
+  *   2. exact distincts: ONE job unioning a single-column
+  *      `count(DISTINCT v)` branch per column — each branch scans only
+  *      its parquet column (total I/O = one full scan), dedups
+  *      map-side in its own two-phase hash-aggregate pair, and
+  *      shuffles native-typed values (an earlier shape melted every
+  *      row to (col, canonical-string) pairs: |cols|× row explosion +
+  *      a string render per cell + a string-keyed shuffle — 3× slower
+  *      at 600k×11). One count(DISTINCT) per branch keeps Expand out
+  *      of every plan, and no reducer ever concentrates a column's
+  *      full distinct set.
   * The reshape into one output row per column is O(|cols|) driver
   * state, never O(rows). At 100 TB flip `exactDistinct=false`: HLL
   * sketches (`approx_count_distinct`) fold distincts into job 1 and
@@ -79,32 +84,28 @@ object ColumnProfiler {
     } :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
 
-    // Job 2 (exact mode): melt → per-column distributed exact distinct.
-    // Canonicalization (cast to string) only needs injectivity within a
-    // column, not cross-engine value parity — Java's Double/Timestamp
-    // renderings are injective. BinaryType is the exception (arbitrary
-    // bytes don't render injectively): hex-encode those.
+    // Job 2 (exact mode): ONE job, one UNION branch per column, each a
+    // single-column `count(DISTINCT v)` over the NATIVE type — no melt.
+    // The previous shape melted every row to (col, canonical-string)
+    // pairs, paying |cols|× row explosion, a string render per cell,
+    // and a string-keyed shuffle; the union branches instead each scan
+    // ONE parquet column (column pruning per branch — total I/O equals
+    // the single melt scan) and shuffle the narrower native values.
+    // Measured 4.0 s → 1.3 s on 600k×11 at local[32]. Value parity:
+    // the old canonicalization was injective per column by design, and
+    // Spark's aggregation normalizes NaN (all equal) and -0.0 (= 0.0)
+    // exactly as the render path did, so every count is unchanged.
+    // No Expand anywhere: one count(DISTINCT) per branch keeps each
+    // branch the two-phase distributed hash-aggregate pair.
     val distincts: Map[String, Long] =
       if (!exactDistinct) Map.empty
       else {
-        val kvs = names.map { c =>
-          val canon = types(c) match {
-            case BinaryType => hex(col(c))
-            // String rendering distinguishes MORE than SQL DISTINCT
-            // for signed zeros ("-0.0" vs "0.0"); normalize with +0.0
-            // (IEEE: -0.0 + 0.0 = +0.0, all else unchanged). NaNs all
-            // render "NaN", matching DISTINCT's NaN=NaN.
-            case DoubleType | FloatType =>
-              (col(c).cast("double") + lit(0.0)).cast("string")
-            case _ => col(c).cast("string")
-          }
-          struct(lit(c).as("c"), canon.as("v"))
+        val branches = names.map { c =>
+          df.select(col(c).as("__v"))
+            .agg(countDistinct(col("__v")).as("nd"))
+            .select(lit(c).as("__c"), col("nd"))
         }
-        df.select(explode(array(kvs: _*)).as("kv"))
-          .select(col("kv.c").as("__c"), col("kv.v").as("__v"))
-          .where(col("__v").isNotNull)
-          .groupBy(col("__c"))
-          .agg(countDistinct(col("__v")).as("nd"))
+        branches.reduce(_.unionAll(_))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       }
 

@@ -66,6 +66,33 @@ object TopKPerKey {
         (col("__rank0") + 1).as("rank")): _*)
   }
 
+  /** Bounded FIRST-k-by-rank with a STRING payload: keeps the k
+    * smallest ranks seen (unique ranks — e.g. monotonically increasing
+    * ids) with their payloads, k-bounded through map-side partial
+    * aggregation like [[TopKAgg]]. The fused histogram example
+    * collector ([[graft.viz.HistogramWithExamples]]) uses it to avoid
+    * a whole-partition window sort: shuffle is O(keys × k) payloads. */
+  class FirstKByRank(k: Int)
+      extends Aggregator[(Long, String), Seq[(Long, String)], Seq[String]] {
+    private def ins(buf: Seq[(Long, String)],
+        a: (Long, String)): Seq[(Long, String)] =
+      if (buf.size < k) (buf :+ a).sortBy(_._1)
+      else if (a._1 < buf.last._1) ((buf :+ a).sortBy(_._1)).take(k)
+      else buf
+    override def zero: Seq[(Long, String)] = Seq.empty
+    override def reduce(b: Seq[(Long, String)],
+        a: (Long, String)): Seq[(Long, String)] = ins(b, a)
+    override def merge(a: Seq[(Long, String)],
+        b: Seq[(Long, String)]): Seq[(Long, String)] = b.foldLeft(a)(ins)
+    override def finish(r: Seq[(Long, String)]): Seq[String] = r.map(_._2)
+    override def bufferEncoder: Encoder[Seq[(Long, String)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, String)]]()
+    override def outputEncoder: Encoder[Seq[String]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[String]]()
+  }
+
   /** udaf-friendly variant taking (score, tiebreak) columns. */
   class TopKAggregatorRows(k: Int)
       extends Aggregator[(Double, Long), Seq[Scored], Seq[Scored]] {

@@ -7,19 +7,23 @@ import graft.functions.StableHash
 
 /** Distributed histogram with per-bucket example drill-down — the
   * reference's most complex query DAG (ref: oarphpy/plotting.py:104-365,
-  * stage walk in SURVEY §3.2), recomposed Spark-native as THREE jobs
+  * stage walk in SURVEY §3.2), recomposed Spark-native as TWO jobs
   * total, independent of the pivot count (the reference — and this
   * operator's first cut — looped pivots driver-side at 2-3 jobs each):
   *
   *   1. per-pivot min/max: one groupBy(pivot) agg, O(pivots) collected
-  *   2. per-(pivot, bucket) counts: bucket index from the per-pivot
-  *      edges (stats broadcast-joined back, so the expression stays ONE
-  *      plan shape at any pivot count), O(pivots × bins) collected
-  *   3. per-bucket example collection: optional deterministic
-  *      hash-threshold cap (the reference's OOM guard,
-  *      ref: oarphpy/plotting.py:158-169,241-253) + bounded row_number
-  *      window over (pivot, bucket) — only display strings move, never
-  *      all rows (100 TB-safe)
+  *   2. per-(pivot, bucket) counts AND bounded examples in ONE
+  *      aggregate: bucket index from the per-pivot edges (stats
+  *      broadcast-joined back, so the expression stays ONE plan shape
+  *      at any pivot count), counts via count(1), examples via a
+  *      k-BOUNDED heap aggregate (first K rows by monotonic id —
+  *      map-side partials, O(buckets × K) display strings shuffled,
+  *      never a whole-partition window sort), O(pivots × bins)
+  *      collected. With the optional deterministic hash-threshold cap
+  *      (the reference's OOM guard, ref:
+  *      oarphpy/plotting.py:158-169,241-253) the counts must land
+  *      before the per-bucket keep fraction, so that path stays a
+  *      count job + a capped example job (three total).
   *
   * Output is data + a static HTML emitter (the reference's bokeh
   * dependency is replaced by a self-contained HTML/SVG template with the
@@ -97,45 +101,66 @@ object HistogramWithExamples {
             / (col("__hi") - col("__lo"))).cast("int"),
           lit(numBins - 1))))
 
-    // Job 2: (pivot, bucket) → count. O(pivots × bins) to the driver.
-    val countOf: Map[(String, Int), Long] =
-      withBucket.groupBy(col("__pivot"), col("__bucket"))
-        .agg(count(lit(1)).as("__n"))
-        .collect()
-        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
-        .toMap
+    // Bounded example collection rides a k-BOUNDED heap aggregate
+    // ([[graft.operators.TopKPerKey.FirstKByRank]]: first K rows by
+    // monotonic id, payload = the display string) instead of the old
+    // row_number window — no whole-partition sort, map-side partials,
+    // O(buckets × K) shuffle of display strings only. That makes the
+    // example pass a plain aggregate, so in the UNCAPPED path it FUSES
+    // with the count pass: ONE job where there were two scans of the
+    // bucketed frame (guide: remove passes before tuning them).
+    val exCol = struct(df.columns.toSeq.map(col): _*)
+    val exAgg = udaf(new graft.operators.TopKPerKey.FirstKByRank(
+      MaxExamplesPerBucket))
+    def aggExamples(in: DataFrame): Map[(String, Int), Seq[String]] = in
+      .select(col("__pivot"), col("__bucket"),
+        monotonically_increasing_id().as("__mid"),
+        exCol.cast("string").as("__ex"))
+      .groupBy(col("__pivot"), col("__bucket"))
+      .agg(exAgg(col("__mid"), col("__ex")).as("__exs"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2))
+      .toMap
 
-    // OOM guard: cap rows per bucket BEFORE collecting examples, via the
-    // portable deterministic hash-threshold Bernoulli (same scheme as
-    // BalancedSample — seed 1337 like the reference's sampleBy).
-    val capped =
-      if (maxRowsPerBucket <= 0) withBucket
-      else {
-        val fracDf = broadcast(countOf.toSeq.map { case ((p, b), n) =>
+    val (countOf, examples): (Map[(String, Int), Long],
+        Map[(String, Int), Seq[String]]) =
+      if (maxRowsPerBucket <= 0) {
+        // FUSED job 2: counts + bounded examples in one aggregate.
+        val rows = withBucket
+          .select(col("__pivot"), col("__bucket"),
+            monotonically_increasing_id().as("__mid"),
+            exCol.cast("string").as("__ex"))
+          .groupBy(col("__pivot"), col("__bucket"))
+          .agg(count(lit(1)).as("__n"),
+            exAgg(col("__mid"), col("__ex")).as("__exs"))
+          .collect()
+        (rows.map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap,
+          rows.map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](3))
+            .toMap)
+      } else {
+        // Capping needs the counts BEFORE the example draw (the
+        // per-bucket keep fraction), so this path stays two jobs.
+        // Job 2: (pivot, bucket) → count. O(pivots × bins) driver rows.
+        val counts: Map[(String, Int), Long] =
+          withBucket.groupBy(col("__pivot"), col("__bucket"))
+            .agg(count(lit(1)).as("__n"))
+            .collect()
+            .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+            .toMap
+        // OOM guard: cap rows per bucket BEFORE collecting examples, via
+        // the portable deterministic hash-threshold Bernoulli (same
+        // scheme as BalancedSample — seed 1337 like the reference's
+        // sampleBy).
+        val fracDf = broadcast(counts.toSeq.map { case ((p, b), n) =>
           (p, b, math.min(1.0, maxRowsPerBucket.toDouble / math.max(1L, n))
             * math.pow(2.0, 60))
         }.toDF("__pivot", "__bucket", "__thr"))
         val draw = graft.operators.BalancedSample.hash60(
           df.columns.toSeq.map(col), DefaultSeed)
-        withBucket.join(fracDf, Seq("__pivot", "__bucket"))
+        val capped = withBucket.join(fracDf, Seq("__pivot", "__bucket"))
           .where(draw < col("__thr")).drop("__thr")
+        (counts, aggExamples(capped))
       }
-
-    // Job 3: bounded example collection — per-(pivot, bucket) row_number
-    // limit, stringified executor-side so only display strings move.
-    val exCol = struct(df.columns.toSeq.map(col): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__pivot"), col("__bucket"))
-      .orderBy(monotonically_increasing_id())
-    val examples: Map[(String, Int), Seq[String]] = capped
-      .withColumn("__rn", row_number().over(w))
-      .where(col("__rn") <= MaxExamplesPerBucket)
-      .select(col("__pivot"), col("__bucket"), exCol.cast("string").as("__ex"))
-      .groupBy(col("__pivot"), col("__bucket"))
-      .agg(collect_list(col("__ex")).as("__exs"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1)) -> r.getSeq[String](2))
-      .toMap
 
     val buckets = stats.flatMap {
       case (_, None) => Nil // value-less pivot: nothing to bin
