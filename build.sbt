@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver invokes `sbt "runMain graft.Bench"` and parses the JSON
+// line from stdout. sbt's default LoggedOutput strategy prefixes every
+// forked-process line with "[info] ", which breaks any line-oriented
+// JSON parse (BENCH_r*.json carried "parsed": null in every round).
+// StdoutOutput passes the child's stdout/stderr through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

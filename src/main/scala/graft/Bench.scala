@@ -195,7 +195,6 @@ object Bench {
     }
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$overlap,"env":$env}"""
-    println(line)
     // Per-query {min, med, spread, load}: min is the steady-state
     // estimate (headline + round comparisons; this box's measured
     // ambient dispersion is ±40-50%, SCALE.md r10 bisection), med the
@@ -213,7 +212,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val statsLine =
       s"""{"metric":"per_query_stats","queries":$stats,"sf":"$sfDir","env":$env}"""
-    println(statsLine)
+    // CONTRACT: stdout carries exactly ONE JSON line — the headline
+    // with plain per-query seconds. The stats line (per-query
+    // min/med/spread/load objects) goes to stderr + the artifact file
+    // so a line-oriented stdout parse can never pick it up instead
+    // (the driver's BENCH artifacts showed "parsed": null every round;
+    // see also the build.sbt outputStrategy note).
+    System.err.println(statsLine)
+    println(line)
     // The driver's BENCH_r{N}.json keeps only a truncated log tail (~90
     // of 158 per-query timings were invisible in r8); persist the full
     // lines so every timing survives for audit. Full runs land in-repo

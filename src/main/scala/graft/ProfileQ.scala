@@ -8,11 +8,11 @@ import org.apache.spark.sql.SparkSession
   * first line of its call site — shows how many jobs a procedural
   * entry pays and where the fixed per-job overhead concentrates.
   *
-  * Usage: runMain graft.ProfileQ <queryName> [runs]
+  * Usage: runMain graft.ProfileQ <q1[,q2,...]> [runs]
   */
 object ProfileQ {
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').toSeq
     val runs = if (args.length > 1) args(1).toInt else 2
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -64,24 +64,28 @@ object ProfileQ {
             qe: org.apache.spark.sql.execution.QueryExecution,
             exception: Exception): Unit = ()
       })
-    val fn = SparkEntry.queries(name)
-    (1 to runs).foreach { i =>
-      lines.clear()
-      qlines.clear()
-      val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(500) // let listener events drain
-      import scala.jdk.CollectionConverters._
-      val ls = lines.asScala.toSeq
-      if (i == runs) ls.foreach(println)
-      if (i == runs) qlines.asScala.foreach(println)
-      val jobSum = ls.map(_.split("\\s+")(2).toDouble).sum
-      println(f"[profq] $name run$i: wall=$wall%.2f s jobs=${ls.size} " +
-        f"jobTimeSum=$jobSum%.2f s ($n rows)")
-      spark.catalog.clearCache()
-      org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
-      System.gc()
+    for (name <- names) {
+      val fn = SparkEntry.queries(name)
+      (1 to runs).foreach { i =>
+        lines.clear()
+        qlines.clear()
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500) // let listener events drain
+        import scala.jdk.CollectionConverters._
+        val ls = lines.asScala.toSeq
+        if (i == runs && names.size == 1) ls.foreach(println)
+        if (i == runs && names.size == 1) qlines.asScala.foreach(println)
+        val jobSum = ls.map(_.split("\\s+")(2).toDouble).sum
+        val qSum = qlines.asScala.toSeq
+          .map(_.split("\\s+")(1).toDouble).sum
+        println(f"[profq] $name run$i: wall=$wall%.2f s jobs=${ls.size} " +
+          f"jobTimeSum=$jobSum%.2f s actionSum=$qSum%.2f s ($n rows)")
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graftbridge.Bridge.unloadStateStores()
+        System.gc()
+      }
     }
     spark.stop()
   }

@@ -104,10 +104,20 @@ object IncrementalJoinView {
 
       case Some((lv, rv)) =>
         if (lv >= lt && rv >= rt) return None
-        val dl = VersionedTable.readChangesRange(spark, leftPath, lv,
+        // Materialize each MOVED side's delta ONCE: the CDC plan (per-
+        // version file diffs + DV anti-joins) is otherwise re-executed
+        // by the lane's key probe, its span-bounds aggregate, AND the
+        // lane join inside the merge's materialization — three scans
+        // of the same delta-sized feed. The checkpoint is bounded by
+        // the CDC window (delta-sized by contract) and cuts all three
+        // to one execution. An unmoved side contributes no lane and
+        // is never materialized.
+        val dl0 = VersionedTable.readChangesRange(spark, leftPath, lv,
           Some(lt))
-        val dr = VersionedTable.readChangesRange(spark, rightPath, rv,
+        val dr0 = VersionedTable.readChangesRange(spark, rightPath, rv,
           Some(rt))
+        val dl = if (lt > lv) dl0.localCheckpoint() else dl0
+        val dr = if (rt > rv) dr0.localCheckpoint() else dr0
         checkShapes(
           dl.drop("_change_type", "_commit_version"),
           dr.drop("_change_type", "_commit_version"),
