@@ -38,7 +38,10 @@ object ProfileQ {
             .orElse(Option(p.getProperty("spark.job.description"))))
           .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
           .getOrElse("?")
-        starts.put(js.jobId, (System.nanoTime(), site))
+        val stages = js.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != '\n').take(60)}/${si.numTasks}t")
+          .mkString(" | ")
+        starts.put(js.jobId, (System.nanoTime(), s"$site  [$stages]"))
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(starts.get(je.jobId)).foreach { case (t0, site) =>

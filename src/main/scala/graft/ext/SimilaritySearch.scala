@@ -560,8 +560,11 @@ object SimilaritySearch {
         .join(keys, Seq("cand_id"), "left_semi")
     }
     // Bounded driver state: the distinct touched-cell ids (≤ nCentroids).
-    val touched = oldLocs.select(col("cell")).distinct()
-      .union(upserts.select(col("cell")).distinct())
+    // ONE distinct over the raw union — the old per-branch distincts
+    // added two extra exchanges to dedup data a single final distinct
+    // dedups anyway (same result set, one shuffle instead of three).
+    val touched = oldLocs.select(col("cell"))
+      .union(upserts.select(col("cell")))
       .distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {
       val index = spark.read.parquet(path)

@@ -116,8 +116,21 @@ object IncrementalJoinView {
           Some(lt))
         val dr0 = VersionedTable.readChangesRange(spark, rightPath, rv,
           Some(rt))
-        val dl = if (lt > lv) dl0.localCheckpoint() else dl0
-        val dr = if (rt > rv) dr0.localCheckpoint() else dr0
+        // Both-sides window: the two delta materializations are
+        // independent reads of different tables — overlap them
+        // (guide-§2.6 back-fill; actions are only sequential because
+        // the driver calls them sequentially).
+        val (dl, dr) =
+          if (lt > lv && rt > rv) {
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration.Duration
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fl = Future(dl0.localCheckpoint())
+            val fr = Future(dr0.localCheckpoint())
+            (Await.result(fl, Duration.Inf), Await.result(fr, Duration.Inf))
+          }
+          else (if (lt > lv) dl0.localCheckpoint() else dl0,
+                if (rt > rv) dr0.localCheckpoint() else dr0)
         checkShapes(
           dl.drop("_change_type", "_commit_version"),
           dr.drop("_change_type", "_commit_version"),
